@@ -1,0 +1,161 @@
+"""Engine lifecycle — config → validated SparkSession → destination.
+
+Parity with ``H2DestinationModule.destination``
+(``H2DestinationModule.scala:59-107``, SURVEY §3 EP1):
+
+1. decode config (failure -> MalformedConfiguration with the redacted
+   config),
+2. acquire resources in dependency order: random 6-char instance tag
+   (``package.scala:38-39``) → SparkSession (replaces the Hikari
+   pool; Spark's scheduler manages parallelism) → optional server
+   boot (init script, then external SQL endpoint),
+3. validate the connection with a probe query under a 10 s timeout
+   (``:48-49,75-81``; invalid -> ConnectionFailed),
+4. yield the destination facade exposing exactly one sink — the CSV
+   create sink (``H2Destination.scala:37-46``).
+"""
+
+from __future__ import annotations
+
+import logging
+import random
+import string
+from concurrent.futures import ThreadPoolExecutor, TimeoutError as FutTimeout
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .config import Config
+from .errors import ConnectionFailed
+from .idents import hygienic_ident
+from .sources.sink import CsvCreateSink
+from .types import TypeOptions, DEFAULT_OPTIONS
+
+log = logging.getLogger(__name__)
+
+#: Probe timeout, seconds — parity with Connection.isValid(10)
+#: (H2DestinationModule.scala:49).
+VALIDATION_TIMEOUT_S = 10.0
+
+
+def random_alphanum(n: int = 6) -> str:
+    """Random instance tag for log correlation (package.scala:38-39)."""
+    return "".join(random.choices(string.ascii_letters + string.digits, k=n))
+
+
+#: Default session tuning. Sized for correctness on local[32] while
+#: keeping every knob that matters at cluster scale explicit: AQE for
+#: runtime re-planning (partition coalescing + skew-join splitting),
+#: Arrow for any Pandas-UDF path, UTC so results are tz-stable.
+DEFAULT_SPARK_CONF: dict[str, str] = {
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.ui.enabled": "false",
+}
+
+
+class Engine:
+    """The destination: a validated Spark session + the CSV create
+    sink + the Tier-B SQL surface over whatever it loaded."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: Config,
+        type_options: TypeOptions = DEFAULT_OPTIONS,
+    ):
+        self.spark = spark
+        self.config = config
+        self.tag = random_alphanum()
+        self.sink = CsvCreateSink(spark, type_options)
+        self._servers: list[Any] = []
+
+    # -- lifecycle -----------------------------------------------------
+
+    @classmethod
+    def from_config(
+        cls,
+        raw_config: "str | bytes | dict",
+        spark: Optional[SparkSession] = None,
+        type_options: TypeOptions = DEFAULT_OPTIONS,
+    ) -> "Engine":
+        """config JSON → validated Engine (EP1). Raises
+        MalformedConfiguration / ConnectionFailed."""
+        config = Config.from_json(raw_config)
+        if spark is None:
+            builder = SparkSession.builder.appName("quasar-destination-h2-spark")
+            if not SparkSession.getActiveSession():
+                builder = builder.master("local[*]")
+            conf = {**DEFAULT_SPARK_CONF, **config.spark_conf}
+            conf["spark.sql.warehouse.dir"] = config.connection_uri.partition(";")[0]
+            for k, v in conf.items():
+                builder = builder.config(k, v)
+            spark = builder.getOrCreate()
+        engine = cls(spark, config, type_options)
+        engine.validate_connection()
+        log.info("engine %s initialized (config: %s)", engine.tag, config.sanitized())
+        if config.server is not None:
+            engine._boot_servers()
+        return engine
+
+    def validate_connection(self) -> None:
+        """Probe the session with SELECT 1 under a 10 s timeout —
+        parity with validateConnection (H2DestinationModule.scala:75-81)."""
+        try:
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                fut = pool.submit(lambda: self.spark.sql("SELECT 1").collect())
+                rows = fut.result(timeout=VALIDATION_TIMEOUT_S)
+            if not rows or rows[0][0] != 1:
+                raise ConnectionFailed("probe query returned wrong result")
+        except ConnectionFailed:
+            raise
+        except FutTimeout as e:
+            raise ConnectionFailed(
+                f"probe query timed out after {VALIDATION_TIMEOUT_S}s"
+            ) from e
+        except Exception as e:
+            raise ConnectionFailed(str(e)) from e
+
+    def _boot_servers(self) -> None:
+        """Init script, then external endpoints — order parity with
+        H2Server.scala:33-39."""
+        from .server import run_init_script, start_sql_endpoint
+
+        assert self.config.server is not None
+        if self.config.server.init is not None:
+            run_init_script(self.spark, self.config.server.init)
+        for args in (self.config.server.tcp_args, self.config.server.pg_args):
+            if args is not None:
+                srv = start_sql_endpoint(self.spark, args)
+                if srv is not None:
+                    self._servers.append(srv)
+
+    def close(self) -> None:
+        """Release servers (session is shared; caller stops Spark)."""
+        from .server import stop_sql_endpoint
+
+        while self._servers:
+            stop_sql_endpoint(self._servers.pop())
+
+    # -- surface (H2Destination.scala:37-46) ---------------------------
+
+    def csv_create_sink(self) -> CsvCreateSink:
+        """The one ResultSink the destination exposes."""
+        return self.sink
+
+    def sql(self, query: str) -> DataFrame:
+        """Tier-B surface: full Spark SQL over loaded tables."""
+        return self.spark.sql(query)
+
+    def table(self, logical_name: str) -> DataFrame:
+        return self.sink.table(logical_name)
+
+    def drop_table_if_exists(self, logical_name: str) -> None:
+        """DROP TABLE IF EXISTS parity (H2CsvCreateSink.scala:125-126)."""
+        physical = self.sink.catalog.pop(logical_name, None)
+        if physical is not None:
+            self.spark.sql(f"DROP TABLE IF EXISTS {hygienic_ident(physical)}")

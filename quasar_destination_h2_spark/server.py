@@ -1,0 +1,93 @@
+"""Server lifecycle: init script + external SQL endpoint.
+
+Parity with ``server/H2Server.scala``:
+
+* ``run_init_script`` — run a user-supplied SQL script once at boot;
+  failures are swallowed as "already initialized" exactly like the
+  reference's catch-all (``H2Server.scala:41-58``). Statements are
+  split on ``;`` outside quotes and run through ``spark.sql``.
+* ``start_sql_endpoint`` — the reference boots H2 TCP and/or PG-wire
+  servers so loaded tables are externally queryable
+  (``H2Server.scala:60-84``). The Spark equivalents are the Thrift
+  JDBC/ODBC server (HiveServer2 protocol ≈ the PG-wire role) or Spark
+  Connect (≈ the TCP role). Neither's jars ship in this image, so the
+  boot is attempted reflectively and degrades to a logged no-op —
+  the bracketing (resource acquire/release order) is real and tested.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import SparkSession
+
+from .config import InitConfig
+
+log = logging.getLogger(__name__)
+
+
+def split_sql_script(script: str) -> list[str]:
+    """Split a SQL script into statements on ';' outside single/double
+    quotes and backticks."""
+    out: list[str] = []
+    buf: list[str] = []
+    quote: Optional[str] = None
+    for ch in script:
+        if quote is not None:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"', "`"):
+            quote = ch
+            buf.append(ch)
+        elif ch == ";":
+            stmt = "".join(buf).strip()
+            if stmt:
+                out.append(stmt)
+            buf = []
+        else:
+            buf.append(ch)
+    stmt = "".join(buf).strip()
+    if stmt:
+        out.append(stmt)
+    return out
+
+
+def run_init_script(spark: SparkSession, init: InitConfig) -> bool:
+    """Run the init script; any failure is treated as 'already
+    initialized' and swallowed (H2Server.scala:53-57). Returns True if
+    every statement succeeded."""
+    try:
+        for stmt in split_sql_script(init.script):
+            spark.sql(stmt).collect()
+        return True
+    except Exception as e:  # parity: catch-all, log, continue
+        log.info("init script skipped (assumed already initialized): %s", e)
+        return False
+
+
+def start_sql_endpoint(spark: SparkSession, args: Sequence[str]) -> Optional[Any]:
+    """Start an external SQL endpoint (Thrift JDBC server) sharing this
+    session's catalog — the H2 TCP/PG-server analogue
+    (H2Server.scala:60-84). Returns an opaque handle or None if the
+    server classes aren't on the classpath (this image)."""
+    try:
+        jvm = spark.sparkContext._jvm  # type: ignore[attr-defined]
+        thrift = jvm.org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
+        # Spark's startWithContext shares the live session state.
+        handle = thrift.startWithContext(spark._jsparkSession.sqlContext())
+        log.info("Thrift SQL endpoint started (args passthrough: %s)", list(args))
+        return handle
+    except Exception as e:
+        log.info("SQL endpoint unavailable in this image (%s); no-op", e)
+        return None
+
+
+def stop_sql_endpoint(handle: Any) -> None:
+    """Release the endpoint — resource-bracketing parity
+    (H2Server.scala:66-70,79-83)."""
+    try:
+        handle.stop()
+    except Exception:
+        pass

@@ -1,0 +1,134 @@
+"""The CSV create sink — the reference's one and only ResultSink.
+
+Pipeline parity with ``H2CsvCreateSink.scala:37-64`` (SURVEY §3 EP2):
+
+1. resolve the table name from a single-segment path (``:66-70``),
+2. validate columns / build the schema, aggregating all bad types
+   (``:72-99``),
+3. stage the byte stream to a temp file when given bytes — the only
+   materialization point, constant memory (``:50-52,101-104``),
+4. atomically replace the table: the reference runs DROP + CREATE ...
+   AS SELECT * FROM CSVREAD in one transaction (``:55-58``); here
+   ``spark.read.csv -> write.mode("overwrite").saveAsTable`` is one
+   parallel bulk load whose catalog commit flips readers to the new
+   data,
+5. delete the temp file (``:60``).
+
+Scale notes: the CSV scan is splittable (multiLine=false), so a
+1000-executor cluster reads a 100 TB push in parallel; nothing is
+ever collected to the driver. The written table is Parquet —
+columnar, so downstream Tier-B queries get column pruning + predicate
+pushdown for free.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from dataclasses import dataclass
+from typing import IO, Iterable, Sequence, Union
+
+from pyspark.sql import SparkSession
+
+from ..errors import NotAResource
+from ..idents import storage_safe_name
+from ..types import Column, TypeOptions, DEFAULT_OPTIONS, ensure_valid_columns
+from .csv_format import read_csv
+
+CsvSource = Union[str, bytes, IO[bytes], Iterable[bytes]]
+
+
+def ensure_valid_table_name(path: "str | Sequence[str]") -> str:
+    """Accept exactly one path segment as the table name, else
+    NotAResource — parity with ``H2CsvCreateSink.scala:66-70`` and the
+    path-rejection tests (``H2DestinationSpec.scala:84-108``)."""
+    if isinstance(path, str):
+        segments = [s for s in path.split("/") if s != ""]
+    else:
+        segments = [str(s) for s in path]
+    if len(segments) != 1 or segments[0] == "":
+        raise NotAResource(path)
+    return segments[0]
+
+
+@dataclass
+class CsvCreateSink:
+    """Full-replace CSV load sink bound to an engine session.
+
+    ``consume(path, columns, source)`` is the Spark rendering of the
+    reference's ``Pipe[F, Byte, Unit]`` — instead of a pull-based byte
+    stream we accept a path (preferred: stays distributed end-to-end),
+    or raw bytes / a binary file object / an iterator of chunks, which
+    are spooled to a temp file first exactly like the reference
+    (``H2CsvCreateSink.scala:50-52``).
+    """
+
+    spark: SparkSession
+    type_options: TypeOptions = DEFAULT_OPTIONS
+    # logical table name -> physical catalog name (see idents.storage_safe_name)
+    catalog: dict = None  # type: ignore[assignment]
+
+    def __post_init__(self) -> None:
+        if self.catalog is None:
+            self.catalog = {}
+
+    def consume(
+        self,
+        path: "str | Sequence[str]",
+        columns: Sequence[Column],
+        source: CsvSource,
+    ) -> str:
+        """Validate, load, atomically replace. Returns the physical
+        table name the data landed in."""
+        table = ensure_valid_table_name(path)  # step 1
+        schema = ensure_valid_columns(columns, self.type_options)  # step 2
+
+        tmp: str | None = None
+        try:
+            if isinstance(source, str):
+                csv_path = source  # already a file/dir/glob — no spooling
+            else:
+                tmp = self._spool(source)  # step 3
+                csv_path = tmp
+            df = read_csv(self.spark, csv_path, schema)
+            physical = storage_safe_name(table)
+            # step 4 — atomic replace: overwrite commit flips the table
+            # in the catalog (parity: one-transaction drop+create,
+            # H2CsvCreateSink.scala:55-58; replace semantics pinned by
+            # H2DestinationSpec.scala:226-237).
+            df.write.mode("overwrite").format("parquet").saveAsTable(physical)
+            self.catalog[table] = physical
+            return physical
+        finally:
+            if tmp is not None:
+                try:
+                    os.unlink(tmp)  # step 5 (package.scala:57-59)
+                except OSError:
+                    pass
+
+    def table(self, name: str):
+        """Read back a loaded table by its *logical* (opaque) name."""
+        physical = self.catalog.get(name)
+        if physical is None:
+            raise NotAResource(name)
+        return self.spark.table(physical)
+
+    @staticmethod
+    def _spool(source: CsvSource) -> str:
+        """Stream bytes to a fresh temp file (never buffers the whole
+        dataset beyond what the caller hands us per chunk) — parity
+        with save/createTempFile (H2CsvCreateSink.scala:101-104)."""
+        fd, tmp = tempfile.mkstemp(prefix="h2-", suffix=".csv")
+        with os.fdopen(fd, "wb") as out:
+            if isinstance(source, bytes):
+                out.write(source)
+            elif hasattr(source, "read"):
+                while True:
+                    chunk = source.read(1 << 20)  # type: ignore[union-attr]
+                    if not chunk:
+                        break
+                    out.write(chunk)
+            else:
+                for chunk in source:  # type: ignore[union-attr]
+                    out.write(chunk)
+        return tmp

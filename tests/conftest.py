@@ -1,0 +1,62 @@
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import SparkSession
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_SF_DIR_ORACLE", "/root/testdata/sf0.01")
+
+
+@pytest.fixture(scope="session")
+def warehouse_dir():
+    d = tempfile.mkdtemp(prefix="spark-warehouse-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+@pytest.fixture(scope="session")
+def spark(warehouse_dir):
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    s = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("quasar-h2-spark-tests")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.warehouse.dir", warehouse_dir)
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def engine(spark, warehouse_dir):
+    from quasar_destination_h2_spark import Engine
+
+    return Engine.from_config({"connectionUri": warehouse_dir}, spark=spark)
+
+
+@pytest.fixture(scope="session")
+def duck():
+    """DuckDB oracle connection with the testdata tables as views."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR_ORACLE}/{t}.parquet')"
+        )
+    yield con
+    con.close()
