@@ -92,7 +92,7 @@ class Config:
             if not isinstance(conf, dict):
                 raise TypeError("sparkConf must be an object")
             return Config(uri, server, {str(k): str(v) for k, v in conf.items()})
-        except (KeyError, TypeError, ValueError) as e:
+        except (KeyError, TypeError, ValueError, AttributeError) as e:
             # Reference redacts the WHOLE config on decode failure
             # (H2DestinationModule.scala:65-73).
             raise MalformedConfiguration(

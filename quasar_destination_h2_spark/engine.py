@@ -105,10 +105,14 @@ class Engine:
     def validate_connection(self) -> None:
         """Probe the session with SELECT 1 under a 10 s timeout —
         parity with validateConnection (H2DestinationModule.scala:75-81)."""
+        # Executor deliberately NOT used as a context manager: the
+        # with-block exit joins the worker thread, which would make a
+        # hung probe block forever instead of honoring the 10 s bound
+        # (Connection.isValid(10) does bound the wait).
+        pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="h2spark-probe")
         try:
-            with ThreadPoolExecutor(max_workers=1) as pool:
-                fut = pool.submit(lambda: self.spark.sql("SELECT 1").collect())
-                rows = fut.result(timeout=VALIDATION_TIMEOUT_S)
+            fut = pool.submit(lambda: self.spark.sql("SELECT 1").collect())
+            rows = fut.result(timeout=VALIDATION_TIMEOUT_S)
             if not rows or rows[0][0] != 1:
                 raise ConnectionFailed("probe query returned wrong result")
         except ConnectionFailed:
@@ -119,6 +123,8 @@ class Engine:
             ) from e
         except Exception as e:
             raise ConnectionFailed(str(e)) from e
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
 
     def _boot_servers(self) -> None:
         """Init script, then external endpoints — order parity with

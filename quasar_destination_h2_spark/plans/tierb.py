@@ -1,0 +1,1045 @@
+"""Tier-B conformance catalog: the delegated SQL surface (SURVEY §2.2).
+
+The reference exposes its loaded tables to full H2 1.4.200 SQL via the
+embedded TCP/PG servers (`/root/reference/core/src/main/scala/quasar/
+destination/h2/server/H2Server.scala:60-84`); this module re-expresses
+that query surface as idiomatic Spark DataFrame/SQL plans over the
+driver's TPC-H-ish parquet tables, each paired with an ANSI-SQL DuckDB
+oracle. Categories covered (one or more entries each): projection /
+filter / DISTINCT / CASE / COALESCE / IN / BETWEEN / LIKE / IS NULL,
+aggregation (GROUP BY, HAVING, COUNT DISTINCT, GROUP_CONCAT, ROLLUP),
+joins (inner broadcast, left, right, full, cross, semi, anti, theta),
+window functions (ranking, lag/lead, ROWS and RANGE frames), sorts
+with NULLS FIRST/LAST + LIMIT/OFFSET + top-k, set ops, subqueries
+(scalar, correlated EXISTS) and CTEs, scalar string/date/math/cast
+functions, and a batch query over the ns-timestamp `events` table.
+
+Cross-engine determinism rules (see catalog.py docstring):
+
+* Per-row arithmetic stays in IEEE doubles — identical inputs give
+  bit-identical results in Spark and DuckDB.
+* Aggregate sums over doubles go through ``CAST(x AS DECIMAL(38,6))``
+  — decimal addition is exact, hence order-independent — then are
+  cast back to ``DOUBLE`` so both engines hand pandas a float64.
+* Integer-valued aggregates are cast to ``BIGINT`` (DuckDB widens
+  integer SUM to HUGEINT, Spark to LONG).
+* Transcendental functions (ln, pow, sqrt chains) are rounded to 6
+  decimals — libm implementations may differ in the last ulp.
+* Every LIMIT/OFFSET query carries a total tie-breaking ORDER BY.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..sources.tables import TableSet
+from .catalog import query
+
+#: Exact-sum carrier for double aggregates (order-independent). Six
+#: fractional digits: source prices/discounts/taxes have ≤2 decimals,
+#: so 2-factor products have ≤4 and 3-factor products ≤6 — the cast
+#: recovers the exact decimal value on both engines (a 4-digit carrier
+#: hits half-way rounding that Spark and DuckDB resolve differently).
+DEC = "decimal(38,6)"
+
+
+def _dsum(col, alias):
+    """SUM(CAST(col AS DECIMAL(38,6))) cast back to DOUBLE — exact,
+    order-independent aggregation of a double column."""
+    return F.sum(col.cast(DEC)).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# Projection / filter / scalar predicates
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_projection",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_discount > 0.05
+    ORDER BY l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def q_filter_projection(t: TableSet) -> DataFrame:
+    """WHERE + arithmetic projection + total-ordered LIMIT."""
+    return (
+        t.lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_discount") > 0.05)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@query(
+    "distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def q_distinct(t: TableSet) -> DataFrame:
+    """SELECT DISTINCT."""
+    return t.lineitem.select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "case_coalesce",
+    oracle="""
+    SELECT CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 150000 THEN 'mid'
+                ELSE 'small' END AS bucket,
+           COALESCE(NULLIF(o_orderpriority, '3-MEDIUM'), 'MEDIUM') AS prio,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q_case_coalesce(t: TableSet) -> DataFrame:
+    """CASE WHEN / COALESCE / NULLIF."""
+    return (
+        t.orders.select(
+            F.when(F.col("o_totalprice") > 300000, "big")
+            .when(F.col("o_totalprice") > 150000, "mid")
+            .otherwise("small")
+            .alias("bucket"),
+            F.coalesce(
+                F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM")), F.lit("MEDIUM")
+            ).alias("prio"),
+        )
+        .groupBy("bucket", "prio")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "in_between_like",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_totalprice BETWEEN 50000 AND 250000
+      AND o_orderstatus LIKE 'O%'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_in_between_like(t: TableSet) -> DataFrame:
+    """IN-list + BETWEEN + LIKE predicates."""
+    return (
+        t.orders.where(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & F.col("o_totalprice").between(50000, 250000)
+            & F.col("o_orderstatus").like("O%")
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("o_totalprice"), "total"))
+    )
+
+
+@query(
+    "null_handling",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(NULLIF(l_returnflag, 'N')) AS n_not_null,
+           CAST(SUM(CASE WHEN NULLIF(l_returnflag, 'N') IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null
+    FROM lineitem
+    """,
+)
+def q_null_handling(t: TableSet) -> DataFrame:
+    """IS NULL / IS NOT NULL semantics (COUNT skips NULLs)."""
+    nullable = F.nullif(F.col("l_returnflag"), F.lit("N"))
+    return t.lineitem.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(nullable).alias("n_not_null"),
+        F.sum(F.when(nullable.isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_agg_pricing_summary(t: TableSet) -> DataFrame:
+    """TPC-H Q1-style pricing summary (the flagship aggregation).
+
+    Map-side partial aggregation + single shuffle on the group keys;
+    at 100 TB this is the canonical scalable plan (no driver
+    materialization, partials combine before exchange)."""
+    li = t.lineitem.where(
+        F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity"), "sum_qty"),
+            _dsum(F.col("l_extendedprice"), "sum_base_price"),
+            _dsum(disc_price, "sum_disc_price"),
+            _dsum(charge, "sum_charge"),
+            (
+                F.sum(F.col("l_quantity").cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "agg_having",
+    oracle="""
+    SELECT l_suppkey, COUNT(*) AS n,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS volume
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING COUNT(*) > 550
+    """,
+)
+def q_agg_having(t: TableSet) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    return (
+        t.lineitem.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("l_extendedprice"), "volume"))
+        .where(F.col("n") > 550)
+    )
+
+
+@query(
+    "count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_count_distinct(t: TableSet) -> DataFrame:
+    """COUNT(DISTINCT) — expand-based multi-distinct in Spark."""
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "group_concat",
+    oracle="""
+    SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM region JOIN nation ON r_regionkey = n_regionkey
+    GROUP BY r_name
+    """,
+)
+def q_group_concat(t: TableSet) -> DataFrame:
+    """GROUP_CONCAT parity: sorted collect_list + concat_ws (H2
+    GROUP_CONCAT ... ORDER BY). Sort makes the cross-engine compare
+    deterministic."""
+    return (
+        t.region.join(t.nation, F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("r_name")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_list("n_name"))).alias("nations"))
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+           ROUND(SQRT((CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))
+                                 * CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                       - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                         * CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+                         / COUNT(*))
+                      / (COUNT(*) - 1)), 6) AS stddev_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(t: TableSet) -> DataFrame:
+    """MIN/MAX plus sample stddev computed from exact decimal sums
+    (sum-of-squares formula) so the result is order-independent —
+    a direct STDDEV over doubles is not bit-stable across engines."""
+    q4 = F.col("l_quantity").cast("decimal(18,4)")
+    sumx = F.sum(q4).cast("double")
+    sumx2 = F.sum(q4 * q4).cast("double")
+    n = F.count(F.lit(1))
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.sqrt((sumx2 - sumx * sumx / n) / (n - 1)), 6).alias("stddev_qty"),
+    )
+
+
+@query(
+    "rollup_grouping",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_grouping(t: TableSet) -> DataFrame:
+    """ROLLUP hierarchy with GROUPING() disambiguation. grouping()
+    must be evaluated inside the Aggregate node (Spark rejects it in
+    a downstream Project), so it lives in .agg()."""
+    return (
+        t.lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+            _dsum(F.col("l_quantity"), "sum_qty"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "g_flag",
+            "g_status",
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "cube_grouping",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_grouping(t: TableSet) -> DataFrame:
+    """CUBE over two dimensions."""
+    return (
+        t.orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_inner_broadcast",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def q_join_inner_broadcast(t: TableSet) -> DataFrame:
+    """Multi-way inner join, dims explicitly broadcast (the flagship
+    join). At cluster scale the fact-fact join shuffles on its key
+    once; nation/customer ride along as broadcast hash joins."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t.lineitem.join(
+            t.orders, F.col("o_orderkey") == F.col("l_orderkey")
+        )
+        .join(F.broadcast(t.customer), F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(_dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@query(
+    "join_left",
+    oracle="""
+    SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def q_join_left(t: TableSet) -> DataFrame:
+    """LEFT OUTER join preserving customers with zero orders."""
+    return (
+        t.customer.join(t.orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_right",
+    oracle="""
+    SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+    FROM orders RIGHT JOIN customer ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def q_join_right(t: TableSet) -> DataFrame:
+    """RIGHT OUTER join."""
+    return (
+        t.orders.join(t.customer, F.col("c_custkey") == F.col("o_custkey"), "right")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    WITH cust AS (
+      SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+      FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey
+    ), supp AS (
+      SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+      FROM supplier WHERE s_acctbal > 5000 GROUP BY s_nationkey
+    )
+    SELECT COALESCE(cust.nk, supp.nk) AS nationkey,
+           COALESCE(n_cust, 0) AS n_cust,
+           COALESCE(n_supp, 0) AS n_supp
+    FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+    """,
+)
+def q_join_full_outer(t: TableSet) -> DataFrame:
+    """FULL OUTER join of two aggregates with COALESCE fill."""
+    cust = (
+        t.customer.where(F.col("c_mktsegment") == "BUILDING")
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        t.supplier.where(F.col("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cust.join(supp, cust.c_nk == supp.s_nk, "full").select(
+        F.coalesce("c_nk", "s_nk").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def q_join_semi(t: TableSet) -> DataFrame:
+    """LEFT SEMI join (EXISTS) — no row duplication, build side only
+    carries the key."""
+    big = t.orders.where(F.col("o_totalprice") > 400000)
+    return t.customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 350000)
+    """,
+)
+def q_join_anti(t: TableSet) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no large order."""
+    big = t.orders.where(F.col("o_totalprice") > 350000)
+    return t.customer.join(
+        big, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r_name, f.l_returnflag
+    FROM region CROSS JOIN (SELECT DISTINCT l_returnflag FROM lineitem) f
+    """,
+)
+def q_join_cross(t: TableSet) -> DataFrame:
+    """CROSS join (bounded: 5 regions x 3 flags)."""
+    flags = t.lineitem.select("l_returnflag").distinct()
+    return t.region.select("r_name").crossJoin(flags)
+
+
+@query(
+    "join_theta",
+    oracle="""
+    SELECT n1.n_regionkey AS regionkey, COUNT(*) AS n_pairs
+    FROM nation n1 JOIN nation n2
+      ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey
+    GROUP BY n1.n_regionkey
+    """,
+)
+def q_join_theta(t: TableSet) -> DataFrame:
+    """Theta join: equi-key + inequality predicate (pairs within a
+    region)."""
+    n1 = t.nation.select(
+        F.col("n_nationkey").alias("k1"), F.col("n_regionkey").alias("regionkey")
+    )
+    n2 = t.nation.select(
+        F.col("n_nationkey").alias("k2"), F.col("n_regionkey").alias("r2")
+    )
+    return (
+        n1.join(n2, (n1.regionkey == n2.r2) & (n1.k1 < n2.k2))
+        .groupBy("regionkey")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER w AS rn,
+             RANK() OVER w AS rnk,
+             DENSE_RANK() OVER w AS drnk
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 2
+    """,
+)
+def q_window_rank(t: TableSet) -> DataFrame:
+    """ROW_NUMBER / RANK / DENSE_RANK top-k per group — the scalable
+    top-k-per-key idiom (single shuffle on the partition key; rank
+    filter prunes before any further stage)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        t.orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+        )
+        .where(F.col("rn") <= 2)
+    )
+
+
+@query(
+    "window_lag_lead",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LAG(o_totalprice) OVER w AS prev_price,
+           LEAD(o_totalprice) OVER w AS next_price,
+           o_totalprice - COALESCE(LAG(o_totalprice) OVER w, 0.0) AS delta
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q_window_lag_lead(t: TableSet) -> DataFrame:
+    """LAG / LEAD over an ordered per-customer sequence."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        prev.alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (F.col("o_totalprice") - F.coalesce(prev, F.lit(0.0))).alias("delta"),
+    )
+
+
+@query(
+    "window_rows_frame",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_total,
+           CAST(COUNT(*) OVER (PARTITION BY l_suppkey
+                               ORDER BY l_shipdate, l_orderkey, l_linenumber
+                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cnt_4
+    FROM lineitem
+    WHERE l_suppkey <= 10
+    """,
+)
+def q_window_rows_frame(t: TableSet) -> DataFrame:
+    """ROWS frames: running total (unbounded preceding) + sliding
+    count (3 preceding). Decimal accumulation keeps the running sum
+    exact and order-stable under the total per-partition order."""
+    order = [F.col("l_shipdate"), F.col("l_orderkey"), F.col("l_linenumber")]
+    w_run = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_slide = Window.partitionBy("l_suppkey").orderBy(*order).rowsBetween(-3, 0)
+    return t.lineitem.where(F.col("l_suppkey") <= 10).select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_extendedprice").cast(DEC)).over(w_run).cast("double").alias(
+            "running_total"
+        ),
+        F.count(F.lit(1)).over(w_slide).cast("bigint").alias("cnt_4"),
+    )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, price_floor,
+           CAST(COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY price_floor
+                               RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_in_band
+    FROM (SELECT o_orderkey, o_orderstatus,
+                 CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor
+          FROM orders)
+    """,
+)
+def q_window_range_frame(t: TableSet) -> DataFrame:
+    """RANGE (value-based) frame over an exact integer ordering
+    column — FLOOR to BIGINT keeps the band edges engine-agnostic."""
+    base = t.orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice")).cast("bigint").alias("price_floor"),
+    )
+    w = (
+        Window.partitionBy("o_orderstatus")
+        .orderBy("price_floor")
+        .rangeBetween(-5000, 0)
+    )
+    return base.select(
+        "o_orderkey",
+        "price_floor",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_in_band"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / LIMIT / OFFSET / top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "orderby_nulls_offset",
+    oracle="""
+    SELECT o_orderkey, NULLIF(o_orderpriority, '5-LOW') AS prio
+    FROM orders
+    ORDER BY prio NULLS FIRST, o_orderkey
+    LIMIT 50 OFFSET 10
+    """,
+)
+def q_orderby_nulls_offset(t: TableSet) -> DataFrame:
+    """ORDER BY ... NULLS FIRST + LIMIT/OFFSET pagination with a
+    total tie-breaking order."""
+    return (
+        t.orders.select(
+            "o_orderkey",
+            F.nullif(F.col("o_orderpriority"), F.lit("5-LOW")).alias("prio"),
+        )
+        .orderBy(F.col("prio").asc_nulls_first(), "o_orderkey")
+        .offset(10)
+        .limit(50)
+    )
+
+
+@query(
+    "topk",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q_topk(t: TableSet) -> DataFrame:
+    """Global top-k — Spark plans TakeOrderedAndProject (per-partition
+    heap + driver merge of k rows), no full sort at scale."""
+    return (
+        t.orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_union_all",
+    oracle="""
+    SELECT nk, COUNT(*) AS n FROM (
+      SELECT c_nationkey AS nk FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nk FROM supplier
+    ) GROUP BY nk
+    """,
+)
+def q_set_union_all(t: TableSet) -> DataFrame:
+    """UNION ALL (bag semantics)."""
+    u = t.customer.select(F.col("c_nationkey").alias("nk")).unionAll(
+        t.supplier.select(F.col("s_nationkey").alias("nk"))
+    )
+    return u.groupBy("nk").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9000
+    INTERSECT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 9000
+    """,
+)
+def q_set_intersect(t: TableSet) -> DataFrame:
+    """INTERSECT (distinct set semantics)."""
+    c = t.customer.where(F.col("c_acctbal") > 9000).select(
+        F.col("c_nationkey").alias("nk")
+    )
+    s = t.supplier.where(F.col("s_acctbal") > 9000).select(
+        F.col("s_nationkey").alias("nk")
+    )
+    return c.intersect(s)
+
+
+@query(
+    "set_except",
+    oracle="""
+    SELECT n_nationkey AS nk FROM nation
+    EXCEPT
+    SELECT s_nationkey FROM supplier WHERE s_acctbal > 8000
+    """,
+)
+def q_set_except(t: TableSet) -> DataFrame:
+    """EXCEPT (set difference): nations with no high-balance supplier."""
+    n = t.nation.select(F.col("n_nationkey").alias("nk"))
+    s = t.supplier.where(F.col("s_acctbal") > 8000).select(
+        F.col("s_nationkey").alias("nk")
+    )
+    return n.exceptAll(s).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Subqueries / CTEs (via the SQL surface)
+# ---------------------------------------------------------------------------
+
+_SCALAR_SUBQ = """
+SELECT o_orderpriority, COUNT(*) AS n
+FROM orders
+WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+                                        AS DOUBLE) / COUNT(*)
+                            FROM orders)
+GROUP BY o_orderpriority
+"""
+
+
+@query("subquery_scalar", oracle=_SCALAR_SUBQ)
+def q_subquery_scalar(t: TableSet) -> DataFrame:
+    """Uncorrelated scalar subquery (identical SQL text both engines;
+    the average is an exact decimal sum so the threshold is
+    bit-identical)."""
+    return t.sql(_SCALAR_SUBQ)
+
+
+_CORR_EXISTS = """
+SELECT c_custkey, c_name
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+  AND c.c_acctbal > 0
+"""
+
+
+@query("subquery_correlated_exists", oracle=_CORR_EXISTS)
+def q_subquery_correlated_exists(t: TableSet) -> DataFrame:
+    """Correlated EXISTS — Catalyst decorrelates to a left-semi
+    join."""
+    return t.sql(_CORR_EXISTS)
+
+
+_CTE = """
+WITH cust_orders AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS total
+  FROM orders GROUP BY o_custkey
+),
+segmented AS (
+  SELECT c_mktsegment, n_orders, total
+  FROM customer JOIN cust_orders ON c_custkey = o_custkey
+)
+SELECT c_mktsegment,
+       CAST(SUM(n_orders) AS BIGINT) AS orders_total,
+       CAST(SUM(CAST(total AS DECIMAL(38,6))) AS DOUBLE) AS revenue_total
+FROM segmented
+GROUP BY c_mktsegment
+"""
+
+
+@query("cte_multi", oracle=_CTE)
+def q_cte_multi(t: TableSet) -> DataFrame:
+    """Multi-step WITH chain (CTE → join → re-aggregate)."""
+    return t.sql(_CTE)
+
+
+_IN_SUBQ = """
+SELECT p_brand, COUNT(*) AS n
+FROM part
+WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity >= 49)
+GROUP BY p_brand
+"""
+
+
+@query("subquery_in", oracle=_IN_SUBQ)
+def q_subquery_in(t: TableSet) -> DataFrame:
+    """IN-subquery (planned as left-semi join)."""
+    return t.sql(_IN_SUBQ)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scalar_string",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS up,
+           LOWER(p_type) AS lo,
+           SUBSTRING(p_name, 1, 8) AS name8,
+           REPLACE(p_type, ' ', '_') AS type_u,
+           TRIM(CONCAT('  ', p_brand, '  ')) AS trimmed,
+           LENGTH(p_name) AS name_len,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           POSITION('a' IN p_name) AS a_pos
+    FROM part
+    WHERE p_partkey <= 500
+    """,
+)
+def q_scalar_string(t: TableSet) -> DataFrame:
+    """String function battery: UPPER/LOWER/SUBSTRING/REPLACE/TRIM/
+    LENGTH/CONCAT/POSITION."""
+    return t.part.where(F.col("p_partkey") <= 500).select(
+        "p_partkey",
+        F.upper("p_brand").alias("up"),
+        F.lower("p_type").alias("lo"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_u"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("trimmed"),
+        F.length("p_name").alias("name_len"),
+        F.concat("p_brand", F.lit(":"), "p_type").alias("brand_type"),
+        F.instr(F.col("p_name"), "a").alias("a_pos"),
+    )
+
+
+@query(
+    "scalar_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+           CAST(EXTRACT(day FROM o_orderdate) AS INT) AS dy,
+           CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS plus30,
+           DATEDIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since,
+           STRFTIME(o_orderdate, '%Y-%m') AS ym,
+           DATE_TRUNC('month', o_orderdate) AS month_start
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def q_scalar_date(t: TableSet) -> DataFrame:
+    """Date/time battery: EXTRACT, date arithmetic, DATEDIFF,
+    FORMATDATETIME (H2) ≡ date_format, DATE_TRUNC."""
+    return t.orders.where(F.col("o_orderkey") <= 2000).select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30)
+        .cast("timestamp")
+        .alias("plus30"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        ).cast("bigint").alias("days_since"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+    )
+
+
+@query(
+    "scalar_math",
+    oracle="""
+    SELECT s_suppkey,
+           ABS(s_acctbal - 5000) AS centered,
+           CAST(MOD(s_suppkey, 7) AS BIGINT) AS mod7,
+           ROUND(s_acctbal, 1) AS rounded,
+           CEIL(s_acctbal) AS up_int,
+           FLOOR(s_acctbal) AS down_int,
+           ROUND(POWER(ABS(s_acctbal) + 1, 0.5), 6) AS p_half,
+           ROUND(SQRT(ABS(s_acctbal)), 6) AS root,
+           ROUND(LN(ABS(s_acctbal) + 1), 6) AS log_nat
+    FROM supplier
+    """,
+)
+def q_scalar_math(t: TableSet) -> DataFrame:
+    """Math battery: ABS/MOD/ROUND/CEIL/FLOOR/POWER/SQRT/LN —
+    transcendentals rounded to 6 decimals (libm ulp differences)."""
+    bal = F.col("s_acctbal")
+    return t.supplier.select(
+        "s_suppkey",
+        F.abs(bal - 5000).alias("centered"),
+        F.pmod(F.col("s_suppkey"), F.lit(7)).cast("bigint").alias("mod7"),
+        F.round(bal, 1).alias("rounded"),
+        F.ceil(bal).alias("up_int"),
+        F.floor(bal).alias("down_int"),
+        F.round(F.pow(F.abs(bal) + 1, F.lit(0.5)), 6).alias("p_half"),
+        F.round(F.sqrt(F.abs(bal)), 6).alias("root"),
+        F.round(F.log(F.abs(bal) + 1), 6).alias("log_nat"),
+    )
+
+
+@query(
+    "scalar_cast",
+    oracle="""
+    SELECT n_nationkey,
+           CAST(n_nationkey AS VARCHAR) AS key_str,
+           CAST(CAST(n_nationkey AS VARCHAR) AS BIGINT) AS key_back,
+           CAST(CAST(n_nationkey * 1.5 AS DECIMAL(10,2)) AS DOUBLE) AS key_dec,
+           CAST(CAST(TIMESTAMP '2024-06-01 12:34:56' AS DATE) AS VARCHAR)
+             AS fixed_date,
+           CAST(n_nationkey AS DOUBLE) AS key_dbl
+    FROM nation
+    """,
+)
+def q_scalar_cast(t: TableSet) -> DataFrame:
+    """CAST battery across int/string/decimal/date/double. Decimal
+    and date results are surfaced as DOUBLE / VARCHAR so the
+    cross-engine compare sees one canonical rendering (pandas maps
+    Spark DATE→date and DuckDB DATE→datetime64, DECIMAL→object vs
+    float64). Double→int CAST is intentionally absent — Spark
+    truncates where other engines round; the surface exposes
+    FLOOR/CEIL for that conversion instead."""
+    k = F.col("n_nationkey")
+    return t.nation.select(
+        "n_nationkey",
+        k.cast("string").alias("key_str"),
+        k.cast("string").cast("bigint").alias("key_back"),
+        (k * 1.5).cast("decimal(10,2)").cast("double").alias("key_dec"),
+        F.lit("2024-06-01 12:34:56")
+        .cast("timestamp")
+        .cast("date")
+        .cast("string")
+        .alias("fixed_date"),
+        k.cast("double").alias("key_dbl"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events (ns-timestamp table)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_hourly",
+    oracle="""
+    SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(t: TableSet) -> DataFrame:
+    """Hourly tumbling aggregation over the ns-timestamp events table
+    (batch form; the streaming form lives in streaming/). Exercises
+    the nanosecond→microsecond load path end-to-end."""
+    return (
+        t.events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).alias("n"), _dsum(F.col("value"), "value_sum"))
+    )
+
+
+@query(
+    "events_json_props",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS k_sum,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_events_json_props(t: TableSet) -> DataFrame:
+    """JSON property extraction from the string props column."""
+    return (
+        t.events.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").cast("bigint").alias("k_sum"), F.count(F.lit(1)).alias("n"))
+    )

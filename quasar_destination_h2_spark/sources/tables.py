@@ -29,20 +29,17 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
-        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+        # Spark reads the conf at SCAN time, not plan time, so it must
+        # stay set for the session's lifetime — resetting it after
+        # building the plan breaks a later collect(). Harmless for the
+        # other tables (their timestamps are µs-precision).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        try:
-            df = spark.read.parquet(path)
-            # ns -> µs truncation; DuckDB CAST(timestamp_ns AS TIMESTAMP)
-            # truncates identically.
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-            )
-            # force plan materialization of the schema before conf reset
-            df.schema
-            return df
-        finally:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+        df = spark.read.parquet(path)
+        # ns -> µs truncation; DuckDB CAST(timestamp_ns AS TIMESTAMP)
+        # truncates identically.
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+        )
     return spark.read.parquet(path)
 
 
@@ -63,6 +60,15 @@ class TableSet:
         if name not in self._cache:
             self._cache[name] = load_table(self.spark, self.sf_dir, name)
         return self._cache[name]
+
+    def sql(self, query: str) -> DataFrame:
+        """Run a Spark SQL query with every table registered as a temp
+        view — the spark.sql() path of the Tier-B surface (subqueries,
+        CTEs, EXISTS; SURVEY §2.2). Views are createOrReplaceTempView
+        so per-sf_dir re-registration is safe within a session."""
+        for name in TABLES:
+            getattr(self, name).createOrReplaceTempView(name)
+        return self.spark.sql(query)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> TableSet:
