@@ -1,0 +1,263 @@
+"""[EXT] Deduplication operators over the ``documents`` table.
+
+Four strategies, all Spark-native and all candidate-pair-bounded (no
+all-pairs cross join anywhere — the cardinal 100 TB rule):
+
+* **exact**: md5 content hash, keep min doc_id per hash. One shuffle.
+* **n-gram Jaccard**: inverted-index self-join on shared shingles —
+  exact similarity, cost bounded by shingle co-occurrence, not n².
+* **MinHash + LSH**: md5-seeded minhash signatures, banded bucket
+  join for candidates, exact Jaccard verification on candidates only.
+  md5 (not xxhash) so the DuckDB oracle reproduces every signature
+  bit-for-bit; at 100 TB swap in xxhash64 — identical plan shape.
+* **SimHash**: 64-bit token-weighted simhash built from 64 parallel
+  SUM aggregates (no 64x row explosion), banded hamming-distance
+  candidate join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import norm_text, tokens, word_shingles
+
+JACCARD_THRESHOLD = 0.8
+MINHASH_SEEDS = 8
+LSH_BANDS = 4  # rows-per-band = MINHASH_SEEDS // LSH_BANDS = 2
+SIMHASH_BANDS = 4  # 16 bits (4 hex chars) per band
+HAMMING_MAX = 3
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup on the normalized-content hash: one hash-groupBy
+    shuffle, survivor = min doc_id. Scales as a plain aggregation."""
+    return (
+        docs.select("doc_id", F.md5(norm_text(F.col(text_col))).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("doc_id", "content_hash", "n_copies")
+    )
+
+
+def _shingled(docs: DataFrame, text_col: str, k: int = 3) -> DataFrame:
+    """(doc_id, shingles array, n_shingles), docs with >= k tokens."""
+    toks = tokens(F.col(text_col))
+    return (
+        docs.select("doc_id", word_shingles(toks, k).alias("shingles"))
+        .where(F.size("shingles") > 0)
+        .withColumn("n_sh", F.size("shingles"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted index.
+
+    Explode shingles → self-join on the shingle (docs sharing none
+    never meet) → count intersection → Jaccard from the
+    inclusion-exclusion identity. The join fans out only where
+    shingles collide, so cost tracks true similarity structure; a
+    100 TB run additionally prunes high-df shingles (stop-shingle
+    cut) — semantics unchanged for any threshold > 0.5."""
+    sh = _shingled(docs, text_col, k)
+    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
+    a = ex.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "s"
+    )
+    b = ex.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "s"
+    )
+    pairs = (
+        a.join(b, (a.s == b.s) & (a.doc_a < b.doc_b))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "jaccard")
+    )
+
+
+def minhash_seed_expr(seed: int) -> Column:
+    """min over shingles of md5('<seed>:' || shingle) — one minhash
+    function. Hex-string min is total-ordered and engine-agnostic."""
+    return F.array_min(
+        F.transform(
+            F.col("shingles"), lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", n_seeds: int = MINHASH_SEEDS
+) -> DataFrame:
+    """Per-doc MinHash signature: n_seeds md5-min columns (sig_0..).
+    Entirely per-row after shingling — no shuffle at all."""
+    sh = _shingled(docs, text_col)
+    return sh.select(
+        "doc_id",
+        *[minhash_seed_expr(s).alias(f"sig_{s}") for s in range(n_seeds)],
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """MinHash-LSH near-dup join: band the signature (4 bands x 2
+    rows), bucket-join on (band_id, band_key) for candidates, then
+    verify with exact Jaccard on the candidates only.
+
+    Candidate generation is a hash-equality join — never a cross
+    product (`assert no CartesianProduct` in tests). With r=2,b=4 the
+    match probability at j=0.8 is 1-(1-j^2)^4 ≈ 0.98, and our planted
+    near-dups (j ≈ 0.97) are caught with P ≈ 1-1e-5."""
+    sh = _shingled(docs, text_col).cache()
+    rows_per_band = MINHASH_SEEDS // LSH_BANDS
+    sigs = sh.select(
+        "doc_id",
+        *[minhash_seed_expr(s).alias(f"sig_{s}") for s in range(MINHASH_SEEDS)],
+    )
+    bands = None
+    for b in range(LSH_BANDS):
+        key = F.concat_ws(
+            "|", *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        )
+        part = sigs.select(
+            "doc_id", F.lit(b).alias("band_id"), key.alias("band_key")
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), "band_id", "band_key"
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), "band_id", "band_key"
+    )
+    cands = (
+        left.join(right, ["band_id", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("sh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("sh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    verified = (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+# --- SimHash ---------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def _nibble(tok_hash: Column, pos: int) -> Column:
+    """Value 0..15 of hex digit `pos` (0-based) of an md5 hex string —
+    instr-based so DuckDB's strpos reproduces it exactly."""
+    return (
+        F.call_function("instr", F.lit(_HEX), F.substring(tok_hash, pos + 1, 1)) - 1
+    )
+
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit token-weighted SimHash as 64 parallel SUM aggregates.
+
+    tokens → (doc, token, count) → for bit j: SUM(count * ±1) where
+    the sign is bit j of md5(token)'s first 16 hex chars. One
+    groupBy(doc) shuffle with 64 narrow agg columns — no 64x explode,
+    stays in whole-stage codegen. Output is the 16-hex-char signature
+    rebuilt from the bit signs."""
+    toks = tokens(F.col(text_col))
+    tok_counts = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("h", F.md5(F.col("tok")))
+    )
+    bit_sums = []
+    for j in range(64):
+        nib = _nibble(F.col("h"), j // 4)
+        bit = F.shiftright(nib, 3 - (j % 4)).bitwiseAND(F.lit(1))
+        contrib = F.col("c") * (bit * 2 - 1)
+        bit_sums.append(F.sum(contrib).alias(f"b{j}"))
+    sums = tok_counts.groupBy("doc_id").agg(*bit_sums)
+    nibbles = []
+    for p in range(16):
+        v = None
+        for r in range(4):
+            j = p * 4 + r
+            bit = F.when(F.col(f"b{j}") > 0, 1 << (3 - r)).otherwise(0)
+            v = bit if v is None else (v + bit)
+        nibbles.append(F.lit(_HEX).substr(v + 1, F.lit(1)))
+    return sums.select(
+        "doc_id", F.concat(*nibbles).alias("simhash")
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame, text_col: str = "text", max_hamming: int = HAMMING_MAX
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit signature into 4
+    16-bit bands (4 hex chars), bucket-join on band equality (any
+    pair within hamming <= 3 shares at least one intact band by
+    pigeonhole), verify with exact nibble-wise popcount hamming."""
+    sig = simhash64(docs, text_col).cache()
+    bands = None
+    for b in range(SIMHASH_BANDS):
+        part = sig.select(
+            "doc_id",
+            F.lit(b).alias("band_id"),
+            F.substring("simhash", b * 4 + 1, 4).alias("band_key"),
+        )
+        bands = part if bands is None else bands.unionAll(part)
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
+    cands = (
+        left.join(right, ["band_id", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    ham = None
+    for p in range(16):
+        na = _nibble(F.col("ha"), p)
+        nb = _nibble(F.col("hb"), p)
+        d = F.bit_count(na.bitwiseXOR(nb))
+        ham = d if ham is None else (ham + d)
+    return (
+        cands.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,190 @@
+"""[EXT] Similarity search over the ``embeddings`` table.
+
+Two paths, per the north-star brief:
+
+* **brute-force cosine top-k** — the correctness baseline: broadcast
+  the (small) query set against the corpus, JVM-side zip_with dot
+  products, window top-k. Linear in corpus size; right answer, and
+  at 100 TB still viable when the query set is small (the corpus is
+  scanned once, never shuffled — the only shuffle is the per-query
+  top-k, k rows per query).
+* **random-hyperplane LSH buckets** — the scale path: sign-pattern
+  bucketing with fixed hyperplanes (seeded, embedded as literals so
+  the DuckDB oracle reproduces the buckets exactly), candidates =
+  same-bucket rows only, then exact cosine within the bucket. The
+  candidate join is a hash-equality join on the bucket id — never a
+  cross product.
+
+Cosine values are rounded to 6 decimals *before* ranking so the
+(rounded-score, id) ordering is identical across engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+EMBED_DIM = 64
+N_PLANES = 4  # 16 buckets — coarse on purpose (recall over precision)
+_PLANE_SEED = 42
+
+
+def lsh_planes(n_planes: int = N_PLANES, dim: int = EMBED_DIM) -> list[list[float]]:
+    """Fixed random hyperplanes (seed 42), rounded to 4 decimals so
+    the SQL-literal oracle is byte-identical to what Spark computes."""
+    rng = np.random.default_rng(_PLANE_SEED)
+    return [[round(float(v), 4) for v in rng.standard_normal(dim)] for _ in range(n_planes)]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Elementwise product + in-order sum, all in double (float32
+    inputs are cast up exactly)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: queries (vec_id < n_queries) broadcast
+    against the full corpus; rank by (rounded cosine desc, id)."""
+    q = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
+def bucket_expr(vec_col: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id: bit p = sign(vec . plane_p); id = sum bit<<p."""
+    bucket = None
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        bit = F.when(_dot(vec_col, lit_plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else (bucket + bit)
+    return bucket.cast("int")
+
+
+def probe_masks(n_planes: int = N_PLANES) -> list[int]:
+    """Multi-probe masks (Lv et al., VLDB'07): the exact bucket plus
+    every 1-bit flip — recall ~3x over single-probe at the cost of
+    n_planes+1 equality lookups per query."""
+    return [0] + [1 << p for p in range(n_planes)]
+
+
+def lsh_bucketed_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate NN: candidates restricted to the query's multi-
+    probe LSH buckets (own bucket + 1-bit flips), exact cosine
+    within. Equality join on bucket — at scale the corpus is
+    hash-partitioned (or bucketed on disk) by bucket id, so each
+    probe touches n_planes+1 partitions, not the corpus."""
+    planes = lsh_planes()
+    with_b = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = (
+        with_b.where(F.col("_id") < n_queries)
+        .select(
+            F.col("_id").alias("query_id"),
+            F.col("_v").alias("qv"),
+            F.explode(F.array(*[F.lit(m) for m in probe_masks()])).alias("_m"),
+            F.col("bucket").alias("_qb"),
+        )
+        .select(
+            "query_id",
+            "qv",
+            F.col("_qb").bitwiseXOR(F.col("_m")).cast("int").alias("bucket"),
+        )
+    )
+    c = with_b.select(
+        F.col("_id").alias("neighbor_id"), F.col("_v").alias("cv"), "bucket"
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "bucket",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "bucket", "cos_sim", "rank")
+    )
+
+
+def embedding_dedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucketed self-join (same
+    bucket only), exact cosine, keep pairs >= threshold. Bounded by
+    bucket sizes — never all-pairs."""
+    planes = lsh_planes()
+    with_b = emb.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        bucket_expr(F.col(vec_col), planes).alias("bucket"),
+    )
+    a = with_b.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"), "bucket"
+    )
+    b = with_b.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,196 @@
+"""[EXT] Text-analysis operators over the ``documents`` table.
+
+Spark-native (whole-stage-codegen) implementations of the
+training-data-pipeline text ops: normalization, tokenization, word
+shingles, token counting, quality scoring, language ID, and
+winnowing fingerprints. Every function returns a DataFrame plan —
+nothing collects, everything scales by partitioning on doc_id (or
+needs no shuffle at all for the purely per-row ops).
+
+Determinism: all hashes are md5 (hex string) so a DuckDB oracle can
+reproduce them bit-for-bit. At 100 TB you would swap md5 for
+xxhash64 (8x faster, still stable) — the plan shape is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+#: Marker stopword sets for the n-gram/stopword language-ID heuristic.
+#: Ordered dict — the argmax tie-break is "first language in this
+#: order wins", mirrored exactly in the SQL oracle's CASE chain.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en": ("the", "a", "and", "is", "of", "to", "in", "that"),
+    "es": ("el", "la", "los", "las", "y", "es", "de", "que"),
+    "fr": ("le", "la", "les", "et", "est", "de", "que", "une"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不"),
+}
+
+#: Quality-score weights (purely deterministic arithmetic).
+_STOPWORDS = LANG_MARKERS["en"]
+
+
+def norm_text(col: Column) -> Column:
+    """Whitespace-collapsed, lowercased normalization (the shared key
+    for exact dedup, shingling, and fingerprints)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of the normalized text."""
+    return F.split(norm_text(col), " ")
+
+
+def word_shingles(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (array<string>). Empty if < k tokens."""
+    # sequence(0, size-k) enumerates start offsets; transform builds
+    # each shingle JVM-side (no Python in the loop). Guard: Spark's
+    # sequence() auto-reverses when start > stop, so short docs must
+    # short-circuit to an empty array.
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
+            ),
+        )
+    )
+    return F.when(F.size(toks) >= k, sh).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    return docs.withColumn("toks", tokens(F.col(text_col)))
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex segmentation
+    (letter runs | single digits | single non-alnum). Per-row only —
+    no shuffle, fully pushed into codegen."""
+    norm = norm_text(F.col(text_col))
+    bpe_pattern = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+    return docs.select(
+        "doc_id",
+        F.size(F.split(norm, " ")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(norm, F.lit(bpe_pattern), 0))
+        .cast("bigint")
+        .alias("n_bpe_tokens"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length / punctuation / stopword / word-length
+    signals combined into one deterministic score in [0, ~1]."""
+    norm = norm_text(F.col(text_col))
+    toks = F.split(norm, " ")
+    n_tok = F.size(toks).cast("double")
+    n_chars = F.length(norm).cast("double")
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))).cast(
+        "double"
+    )
+    n_punct = F.size(F.regexp_extract_all(norm, F.lit(r"[^\w\s]"), 0)).cast("double")
+    avg_wlen = (n_chars - (n_tok - 1)) / n_tok  # chars excluding separators
+    stop_ratio = n_stop / n_tok
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1.0))
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    score = (
+        F.lit(0.4) * len_score
+        + F.lit(0.3) * F.least(stop_ratio * 5, F.lit(1.0))
+        + F.lit(0.2) * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
+        + F.lit(0.1) * F.least(avg_wlen / 8, F.lit(1.0))
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(avg_wlen, 6).alias("avg_word_len"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-marker language ID. Scores each language by marker-hit
+    ratio; argmax with first-in-LANG_MARKERS-order tie-break (the SQL
+    oracle uses the same CASE chain order)."""
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks).cast("double")
+
+    def marker_score(markers: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in markers])
+        # closure (not a default arg) — PySpark introspects lambda
+        # arity, so extra params would be misread as (elem, index).
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x))).cast(
+            "double"
+        ) / F.greatest(n_tok, F.lit(1.0))
+
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            marker_score(markers).alias(f"s_{lang}")
+            for lang, markers in LANG_MARKERS.items()
+        ],
+    )
+    langs = list(LANG_MARKERS)
+    pred = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = F.col(f"s_{lang}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        pred = (
+            F.when(cond, lang) if pred is None else pred.when(cond, lang)
+        )
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        pred.alias("predicted_lang"),
+        *[F.round(F.col(f"s_{lang}"), 6).alias(f"s_{lang}") for lang in langs],
+    )
+
+
+def winnow_fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
+    md5 over every k-char gram of the normalized text, then the min
+    hash of each w-gram window, distinct per doc.
+
+    Plan shape: explode positions → per-doc window min → distinct →
+    per-doc aggregate. One shuffle on doc_id (the window), one on
+    (doc_id, fp) for the distinct — both partition-local at cluster
+    scale if the doc table is bucketed by doc_id. For 100 TB, the same
+    logic runs as an applyInPandas per doc with zero explode; the
+    exploded form keeps everything in codegen and is the oracle-
+    checkable one."""
+    norm = norm_text(F.col(text_col))
+    # sequence() auto-reverses when start > stop — guard short docs.
+    positions = F.when(
+        F.length(norm) >= k, F.sequence(F.lit(1), F.length(norm) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        "doc_id",
+        F.explode(positions).alias("i"),
+        norm.alias("_norm"),
+    ).select(
+        "doc_id", "i", F.md5(F.expr(f"substring(_norm, i, {k})")).alias("h")
+    )
+    win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-(w - 1), 0)
+    selected = (
+        grams.withColumn("wmin", F.min("h").over(win))
+        .where(F.col("i") >= w)
+        .select("doc_id", F.col("wmin").alias("fp"))
+        .distinct()
+    )
+    return selected.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.min("fp").alias("fp_min"),
+        F.max("fp").alias("fp_max"),
+    )

@@ -1,17 +1,565 @@
 """[EXT] North-star extension catalog (SURVEY §2.3).
 
-LLM-data-pipeline operators beyond the reference's own surface:
-deduplication (exact hash, MinHash-LSH, SimHash, inverted-index
-n-gram Jaccard), similarity search over embeddings (brute-force
-cosine top-k baseline + LSH-bucketed scale path), text analysis
-(language ID, quality scoring, token counting, fingerprinting),
-approximate sketches, and multimodal binary-column plumbing.
+LLM-data-pipeline operators beyond the reference's own surface,
+registered as conformance queries. Wherever the semantics are
+SQL-expressible the DuckDB oracle reproduces the operator *exactly* —
+including MinHash signatures and SimHash bits, which use md5 (not an
+engine-specific hash) precisely so both engines compute identical
+values. Approximate sketches (HLL / KLL) are registered without an
+oracle → the driver records the weaker rows-only check.
 
-The real operator implementations live in ``..operators``; this
-module registers the conformance queries (oracle-paired where the
-semantics are SQL-expressible, rows-only otherwise).
+Implementations live in ``..operators``; this module is registration
+plus the generated oracle SQL (several oracles are built
+programmatically — 64 SimHash bit expressions, LSH hyperplane
+literals — to guarantee they mirror the Spark expressions term for
+term).
 """
 
 from __future__ import annotations
 
-# Populated incrementally — see operators/ for implementations.
+from pyspark.sql import DataFrame, functions as F
+
+from ..operators import dedup, multimodal, similarity, text
+from ..sources.tables import TableSet
+from .catalog import query
+
+# ---------------------------------------------------------------------------
+# Shared oracle fragments
+# ---------------------------------------------------------------------------
+
+_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+_SHINGLE_CTES = f"""
+toks AS (SELECT doc_id, string_split_regex({_NORM}, ' ') AS w FROM documents),
+shn AS (
+  SELECT doc_id, shingles, len(shingles) AS n_sh FROM (
+    SELECT doc_id,
+           list_distinct(list_transform(range(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS shingles
+    FROM toks WHERE len(w) >= 3
+  ) WHERE len(shingles) > 0
+)"""
+
+_SIG_EXPRS = ",\n  ".join(
+    f"list_aggregate(list_transform(shingles, s -> md5('{s}:' || s)), 'min')"
+    f" AS sig_{s}"
+    for s in range(dedup.MINHASH_SEEDS)
+)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT MIN(doc_id) AS doc_id,
+           md5({_NORM}) AS content_hash,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY content_hash
+    """,
+)
+def q_dedup_exact(t: TableSet) -> DataFrame:
+    """Exact dedup: md5 of normalized content, survivor = min doc_id.
+    One hash-groupBy shuffle — the canonical 100 TB-safe plan."""
+    return dedup.exact_dedup(t.documents)
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    ex AS (SELECT doc_id, n_sh, unnest(shingles) AS s FROM shn),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, inter,
+           round(inter / (n_a + n_b - inter), 6) AS jaccard
+    FROM pairs
+    WHERE round(inter / (n_a + n_b - inter), 6) >= {dedup.JACCARD_THRESHOLD}
+    """,
+)
+def q_dedup_ngram_jaccard(t: TableSet) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via inverted-index join
+    (cost bounded by shingle co-occurrence, never O(n^2))."""
+    return dedup.ngram_jaccard_pairs(t.documents)
+
+
+@query(
+    "minhash_signatures",
+    oracle=f"""
+    WITH {_SHINGLE_CTES}
+    SELECT doc_id,
+      {_SIG_EXPRS}
+    FROM shn
+    """,
+)
+def q_minhash_signatures(t: TableSet) -> DataFrame:
+    """Per-doc MinHash signature (8 md5-seeded min-hashes) —
+    bit-identical across engines because the hash is md5."""
+    return dedup.minhash_signatures(t.documents)
+
+
+def _lsh_band_sql() -> str:
+    rows = dedup.MINHASH_SEEDS // dedup.LSH_BANDS
+    parts = []
+    for b in range(dedup.LSH_BANDS):
+        key = " || '|' || ".join(
+            f"sig_{b * rows + r}" for r in range(rows)
+        )
+        parts.append(
+            f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sigs"
+        )
+    return "\n  UNION ALL ".join(parts)
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    sigs AS (SELECT doc_id, {_SIG_EXPRS} FROM shn),
+    bands AS (
+      {_lsh_band_sql()}
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           round(len(list_intersect(sa.shingles, sb.shingles))
+                 / (sa.n_sh + sb.n_sh
+                    - len(list_intersect(sa.shingles, sb.shingles))), 6)
+             AS jaccard
+    FROM cands
+    JOIN shn sa ON doc_a = sa.doc_id
+    JOIN shn sb ON doc_b = sb.doc_id
+    WHERE round(len(list_intersect(sa.shingles, sb.shingles))
+                / (sa.n_sh + sb.n_sh
+                   - len(list_intersect(sa.shingles, sb.shingles))), 6)
+          >= {dedup.JACCARD_THRESHOLD}
+    """,
+)
+def q_dedup_minhash_lsh(t: TableSet) -> DataFrame:
+    """MinHash-LSH near-dup join: banded bucket join for candidates
+    (hash-equality — no cross product), exact Jaccard verification on
+    candidates only. The oracle replicates the full LSH pipeline, so
+    the comparison is exact, not best-effort."""
+    return dedup.minhash_lsh_pairs(t.documents)
+
+
+# --- SimHash (generated SQL mirrors the generated Spark exprs) -------------
+
+
+def _simhash_cte() -> str:
+    terms = []
+    for j in range(64):
+        pos = j // 4 + 1
+        shift = 3 - (j % 4)
+        nib = f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+        terms.append(f"SUM(c * ((({nib} >> {shift}) & 1) * 2 - 1)) AS b{j}")
+    sums = ",\n      ".join(terms)
+    nibs = []
+    for p in range(16):
+        v = " + ".join(
+            f"(CASE WHEN b{p * 4 + r} > 0 THEN {1 << (3 - r)} ELSE 0 END)"
+            for r in range(4)
+        )
+        nibs.append(f"substr('0123456789abcdef', ({v}) + 1, 1)")
+    hexpr = " || ".join(nibs)
+    return f"""
+    toks AS (SELECT doc_id, string_split_regex({_NORM}, ' ') AS w FROM documents),
+    tc AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(w) AS tok FROM toks)
+      GROUP BY 1, 2
+    ),
+    th AS (SELECT doc_id, c, md5(tok) AS h FROM tc),
+    sums AS (SELECT doc_id,
+      {sums}
+      FROM th GROUP BY doc_id),
+    sig AS (SELECT doc_id, {hexpr} AS simhash FROM sums)"""
+
+
+@query(
+    "text_simhash",
+    oracle=f"""
+    WITH {_simhash_cte()}
+    SELECT doc_id, simhash FROM sig
+    """,
+)
+def q_text_simhash(t: TableSet) -> DataFrame:
+    """64-bit token-weighted SimHash per doc (64 parallel SUM
+    aggregates, no row explosion)."""
+    return dedup.simhash64(t.documents)
+
+
+def _hamming_sql(a: str, b: str) -> str:
+    parts = []
+    for p in range(16):
+        na = f"(strpos('0123456789abcdef', substr({a}, {p + 1}, 1)) - 1)"
+        nb = f"(strpos('0123456789abcdef', substr({b}, {p + 1}, 1)) - 1)"
+        parts.append(f"bit_count(xor({na}, {nb}))")
+    return " + ".join(parts)
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_simhash_cte()},
+    bands AS (
+      SELECT doc_id, b.band_id,
+             substr(simhash, b.band_id * 4 + 1, 4) AS band_key
+      FROM sig, (SELECT unnest([0, 1, 2, 3]) AS band_id) b
+    ),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST({_hamming_sql('sa.simhash', 'sb.simhash')} AS INT) AS hamming
+    FROM cands
+    JOIN sig sa ON doc_a = sa.doc_id
+    JOIN sig sb ON doc_b = sb.doc_id
+    WHERE {_hamming_sql('sa.simhash', 'sb.simhash')} <= {dedup.HAMMING_MAX}
+    """,
+)
+def q_dedup_simhash(t: TableSet) -> DataFrame:
+    """SimHash near-dup pairs: 4x16-bit band bucket join (pigeonhole
+    guarantees recall for hamming <= 3), exact popcount verify."""
+    return dedup.simhash_pairs(t.documents)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embed_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+      FROM c, q WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_embed_cosine_topk(t: TableSet) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors (the exactness
+    baseline; corpus scanned once, broadcast queries, single top-k
+    shuffle). Scores rounded to 6 decimals BEFORE ranking so the
+    ordering is engine-agnostic."""
+    return similarity.brute_force_topk(t.embeddings).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+def _planes_sql() -> list[str]:
+    return [
+        "[" + ", ".join(repr(v) for v in plane) + "]"
+        for plane in similarity.lsh_planes()
+    ]
+
+
+def _bucket_sql(planes: list[str]) -> str:
+    cases = [
+        f"(CASE WHEN list_dot_product(v, {p}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "CAST(" + " + ".join(cases) + " AS INT)"
+
+
+_PLANES = _planes_sql()
+
+
+_PROBE_MASKS = ", ".join(str(m) for m in similarity.probe_masks())
+
+
+@query(
+    "ann_lsh_bucketed",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    wb AS (SELECT vec_id, v, {_bucket_sql(_PLANES)} AS bucket FROM e),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM wb WHERE vec_id < 10),
+    probes AS (
+      SELECT query_id, qv, CAST(xor(q.bucket, m.m) AS INT) AS bucket
+      FROM q, (SELECT unnest([{_PROBE_MASKS}]) AS m) m
+    ),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM wb),
+    scored AS (
+      SELECT query_id, neighbor_id, bucket,
+             round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+      FROM c JOIN probes USING (bucket) WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, bucket, cos_sim, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q_ann_lsh_bucketed(t: TableSet) -> DataFrame:
+    """ANN via random-hyperplane LSH with multi-probe (own bucket +
+    1-bit flips): candidates share a probed bucket (equality join —
+    at scale, partition/bucket the corpus by bucket id so a probe
+    touches n_planes+1 partitions). The fixed seeded hyperplanes are
+    embedded as literals in both engines, so the oracle reproduces
+    the bucketing exactly (min |dot| on this data is 6e-5 — no
+    sign-flip risk from float noise)."""
+    return similarity.lsh_bucketed_topk(t.embeddings).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+@query(
+    "embed_dedup_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    wb AS (SELECT vec_id, v, {_bucket_sql(_PLANES)} AS bucket FROM e)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+    FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+    """,
+)
+def q_embed_dedup_pairs(t: TableSet) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-bucket-bounded self-join.
+    This corpus has no true dups (max pair cosine 0.51), so the
+    conformance threshold is 0.4 — the *pipeline* (bucket join, exact
+    verify, no cross product) is what's under test."""
+    return similarity.embedding_dedup_pairs(t.embeddings, threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "text_token_stats",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(norm, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(norm,
+                '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(norm) AS BIGINT) AS n_chars_norm
+    FROM (SELECT doc_id, {_NORM} AS norm FROM documents)
+    """,
+)
+def q_text_token_stats(t: TableSet) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex segmentation.
+    Pure per-row codegen, zero shuffle."""
+    return text.token_stats(t.documents)
+
+
+_STOP_LIST = ", ".join(f"'{w}'" for w in text.LANG_MARKERS["en"])
+
+
+@query(
+    "text_quality",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id, {_NORM} AS norm,
+             string_split_regex({_NORM}, ' ') AS w
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(w) AS DOUBLE) AS n_tok,
+             CAST(len(norm) AS DOUBLE) AS n_chars,
+             CAST(len(list_filter(w, x -> list_contains([{_STOP_LIST}], x)))
+                  AS DOUBLE) AS n_stop,
+             CAST(len(regexp_extract_all(norm, '[^\w\s]')) AS DOUBLE) AS n_punct
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           round(n_stop / n_tok, 6) AS stop_ratio,
+           round(n_punct / greatest(n_chars, 1.0), 6) AS punct_ratio,
+           round((n_chars - (n_tok - 1)) / n_tok, 6) AS avg_word_len,
+           round(0.4 * least(n_tok / 50.0, 1.0)
+                 + 0.3 * least((n_stop / n_tok) * 5, 1.0)
+                 + 0.2 * (1 - least((n_punct / greatest(n_chars, 1.0)) * 10, 1.0))
+                 + 0.1 * least(((n_chars - (n_tok - 1)) / n_tok) / 8, 1.0),
+                 6) AS quality
+    FROM m
+    """,
+)
+def q_text_quality(t: TableSet) -> DataFrame:
+    """Quality scoring: length/stopword/punctuation/word-length
+    signals, deterministic arithmetic identical in both engines."""
+    return text.quality_score(t.documents)
+
+
+def _langid_oracle() -> str:
+    score_exprs = []
+    for lang, markers in text.LANG_MARKERS.items():
+        lst = ", ".join(f"'{w}'" for w in markers)
+        score_exprs.append(
+            f"CAST(len(list_filter(w, x -> list_contains([{lst}], x))) AS DOUBLE)"
+            f" / greatest(CAST(len(w) AS DOUBLE), 1.0) AS s_{lang}"
+        )
+    langs = list(text.LANG_MARKERS)
+    whens = []
+    for lang in langs:
+        conds = " AND ".join(
+            f"s_{lang} >= s_{o}" for o in langs if o != lang
+        )
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " END"
+    rounded = ", ".join(f"round(s_{lang}, 6) AS s_{lang}" for lang in langs)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, lang, string_split_regex({_NORM}, ' ') AS w FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, {', '.join(score_exprs)} FROM base
+    )
+    SELECT doc_id, lang AS labeled_lang, {case} AS predicted_lang, {rounded}
+    FROM scored
+    """
+
+
+@query("text_language_id", oracle=_langid_oracle())
+def q_text_language_id(t: TableSet) -> DataFrame:
+    """Stopword-marker language ID with deterministic argmax
+    (first-language-wins tie-break, mirrored in the oracle CASE)."""
+    return text.language_id(t.documents)
+
+
+@query(
+    "text_fingerprints",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, i, md5(substr(t, CAST(i AS INT), 8)) AS h
+      FROM norm, UNNEST(range(1, greatest(len(t) - 7, 0) + 1)) AS u(i)
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, wmin AS fp FROM (
+        SELECT doc_id, i,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+        FROM grams
+      ) WHERE i >= 4
+    )
+    SELECT doc_id, COUNT(*) AS n_fp, MIN(fp) AS fp_min, MAX(fp) AS fp_max
+    FROM sel GROUP BY doc_id
+    """,
+)
+def q_text_fingerprints(t: TableSet) -> DataFrame:
+    """Winnowing fingerprints (k=8 char-grams, window w=4): per-doc
+    count + min/max selected hash."""
+    return text.winnow_fingerprints(t.documents)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (binary columns + pandas decode)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "multimodal_decode",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source AS origin,
+             octet_length(encode(text)) AS n_bytes,
+             md5(text) AS content_md5
+      FROM documents
+    )
+    SELECT origin,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           round(AVG(CAST(n_bytes % 640 + 1 AS DOUBLE)), 6) AS avg_width,
+           round(AVG(CAST(n_bytes * 7 % 480 + 1 AS DOUBLE)), 6) AS avg_height,
+           MIN(content_md5) AS md5_min
+    FROM d GROUP BY origin
+    """,
+)
+def q_multimodal_decode(t: TableSet) -> DataFrame:
+    """Multimodal pipeline: binary payload column + metadata struct →
+    Arrow-batched mapInPandas decode (deterministic fake, real
+    plumbing) → metadata join-back → per-origin aggregate. The oracle
+    reproduces the fake decode arithmetic on the same bytes."""
+    return multimodal.media_feature_summary(t.documents)
+
+
+# ---------------------------------------------------------------------------
+# Sketches & quantiles
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quantiles_exact",
+    oracle="""
+    SELECT round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25), 6) AS q25,
+           round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 6) AS q50,
+           round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75), 6) AS q75,
+           round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99), 6) AS q99
+    FROM orders
+    """,
+)
+def q_quantiles_exact(t: TableSet) -> DataFrame:
+    """Exact linear-interpolation percentiles (the correctness anchor
+    for the approximate sketch below)."""
+    return t.orders.agg(
+        *[
+            F.round(F.expr(f"percentile(o_totalprice, {p})"), 6).alias(a)
+            for p, a in ((0.25, "q25"), (0.5, "q50"), (0.75, "q75"), (0.99, "q99"))
+        ]
+    )
+
+
+@query("sketch_approx_distinct")  # rows-only: HLL values are engine-specific
+def q_sketch_approx_distinct(t: TableSet) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) next to the exact count —
+    the scalable distinct-cardinality path (no exact-distinct shuffle
+    explosion at 100 TB). No oracle: sketch values are
+    implementation-defined; accuracy is pinned by a pytest bound
+    instead."""
+    return (
+        t.lineitem.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+            F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query("sketch_approx_quantiles")  # rows-only: KLL values are engine-specific
+def q_sketch_approx_quantiles(t: TableSet) -> DataFrame:
+    """percentile_approx sketch over o_totalprice (KLL-style); the
+    exact anchor is `quantiles_exact`."""
+    qs = t.orders.agg(
+        F.percentile_approx(
+            "o_totalprice", [0.25, 0.5, 0.75, 0.99], 10000
+        ).alias("qs")
+    )
+    return qs.select(
+        F.round(F.col("qs")[0], 6).alias("q25"),
+        F.round(F.col("qs")[1], 6).alias("q50"),
+        F.round(F.col("qs")[2], 6).alias("q75"),
+        F.round(F.col("qs")[3], 6).alias("q99"),
+    )

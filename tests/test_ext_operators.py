@@ -1,0 +1,149 @@
+"""[EXT] operator tests: semantics + plan-shape scale assertions.
+
+The correctness of values is pinned by the DuckDB oracle gate
+(tools/oracle_check.py, driver CORRECTNESS); these tests pin the
+properties the oracle can't see — plan shapes that must survive
+100 TB (no cartesian products in LSH joins, broadcast where claimed,
+mapInPandas Arrow batching) and sketch accuracy bounds.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from quasar_destination_h2_spark.operators import dedup, multimodal, similarity, text
+from quasar_destination_h2_spark.sources.tables import TableSet
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def t(spark):
+    return TableSet(spark, SF_DIR)
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_exact_dedup_is_single_aggregation(t):
+    out = dedup.exact_dedup(t.documents)
+    rows = out.collect()
+    assert len(rows) > 0
+    assert {r.doc_id for r in rows} == {
+        r.doc_id for r in out.select("doc_id").distinct().collect()
+    }
+    # one hash aggregate, no join anywhere
+    plan = physical_plan(out)
+    assert "Join" not in plan
+
+
+def test_ngram_jaccard_no_cartesian(t):
+    pairs = dedup.ngram_jaccard_pairs(t.documents)
+    plan = physical_plan(pairs)
+    assert "CartesianProduct" not in plan
+    got = pairs.collect()
+    for r in got:
+        assert r.doc_a < r.doc_b
+        assert r.jaccard >= dedup.JACCARD_THRESHOLD
+
+
+def test_minhash_lsh_matches_exact_jaccard(t):
+    """LSH candidates verified with exact Jaccard == the inverted-
+    index exact pairs (at j >= 0.8 the 4x2 band scheme has ~no false
+    negatives on this data; both sets are deterministic)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(t.documents).collect()
+    }
+    lsh = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(t.documents).collect()}
+    assert lsh == exact
+    plan = physical_plan(dedup.minhash_lsh_pairs(t.documents))
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_signature_shape(t):
+    sig = dedup.simhash64(t.documents)
+    rows = sig.collect()
+    assert all(len(r.simhash) == 16 for r in rows)
+    assert all(set(r.simhash) <= set("0123456789abcdef") for r in rows)
+    # near-dup docs (jaccard ~0.98) must land within small hamming
+    pairs = dedup.simhash_pairs(t.documents).collect()
+    for r in pairs:
+        assert r.hamming <= dedup.HAMMING_MAX
+
+
+def test_brute_force_topk_is_broadcast(t):
+    topk = similarity.brute_force_topk(t.embeddings)
+    plan = physical_plan(topk)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    rows = topk.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        assert len(rs) == 5
+        sims = [r.cos_sim for r in sorted(rs, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+        assert all(-1.0 <= s <= 1.0 for s in sims)
+
+
+def test_lsh_ann_bucket_join_no_cartesian(t):
+    ann = similarity.lsh_bucketed_topk(t.embeddings)
+    plan = physical_plan(ann)
+    assert "CartesianProduct" not in plan
+    rows = ann.collect()
+    assert len(rows) > 0
+    # every returned neighbor shares the query's bucket by construction
+    assert all(0 <= r.bucket < (1 << similarity.N_PLANES) for r in rows)
+
+
+def test_lsh_ann_recall_vs_brute_force(t):
+    """Bucketed ANN top-1 should agree with brute force for a decent
+    fraction of queries (coarse 16-bucket LSH: recall, not precision)."""
+    bf = {
+        r.query_id: r.neighbor_id
+        for r in similarity.brute_force_topk(t.embeddings, k=1).collect()
+    }
+    ann = {
+        r.query_id: r.neighbor_id
+        for r in similarity.lsh_bucketed_topk(t.embeddings, k=1).collect()
+    }
+    hits = sum(1 for q, n in ann.items() if bf.get(q) == n)
+    assert hits >= len(ann) * 0.3  # coarse buckets — sanity floor
+    assert len(ann) > 0
+
+
+def test_multimodal_decode_schema_and_determinism(t):
+    media = multimodal.as_media_table(t.documents)
+    assert dict(media.dtypes)["payload"] == "binary"
+    decoded = multimodal.decode_media(media)
+    assert decoded.schema == multimodal.DECODED_SCHEMA
+    rows = {r.doc_id: r for r in decoded.collect()}
+    metas = {r.doc_id: r for r in media.select("doc_id", "meta.n_bytes").collect()}
+    for doc_id, r in rows.items():
+        assert r.n_bytes == metas[doc_id].n_bytes
+        assert r.width == r.n_bytes % 640 + 1
+        assert r.height == r.n_bytes * 7 % 480 + 1
+        assert len(r.content_md5) == 32
+
+
+def test_sketch_accuracy_bounds(t):
+    """HLL++ relative error must stay within ~5% (rsd default 0.05)."""
+    from pyspark.sql import functions as F
+
+    row = (
+        t.lineitem.agg(
+            F.approx_count_distinct("l_partkey").alias("approx"),
+            F.countDistinct("l_partkey").alias("exact"),
+        )
+    ).collect()[0]
+    assert abs(row.approx - row.exact) <= max(5, 0.1 * row.exact)
+
+
+def test_winnow_fingerprints_cover_all_docs(t):
+    fp = text.winnow_fingerprints(t.documents).collect()
+    n_docs = t.documents.count()
+    assert len(fp) == n_docs
+    assert all(r.n_fp > 0 for r in fp)
