@@ -73,6 +73,11 @@ class Engine:
         self.tag = random_alphanum()
         self.sink = CsvCreateSink(spark, type_options)
         self._servers: list[Any] = []
+        #: True iff an external SQL endpoint is actually serving. The
+        #: reference's PG/TCP server is what makes tables externally
+        #: queryable (H2Server.scala:60-84); a degraded no-op boot must
+        #: be visible in engine state, not only in an info log.
+        self.endpoint_started: bool = False
 
     # -- lifecycle -----------------------------------------------------
 
@@ -139,6 +144,7 @@ class Engine:
                 srv = start_sql_endpoint(self.spark, args)
                 if srv is not None:
                     self._servers.append(srv)
+        self.endpoint_started = bool(self._servers)
 
     def close(self) -> None:
         """Release servers (session is shared; caller stops Spark)."""
@@ -146,6 +152,7 @@ class Engine:
 
         while self._servers:
             stop_sql_endpoint(self._servers.pop())
+        self.endpoint_started = False
 
     # -- surface (H2Destination.scala:37-46) ---------------------------
 
@@ -165,3 +172,107 @@ class Engine:
         physical = self.sink.catalog.pop(logical_name, None)
         if physical is not None:
             self.spark.sql(f"DROP TABLE IF EXISTS {hygienic_ident(physical)}")
+            self.sink._persist_catalog()
+
+    # -- DML (SURVEY §2.2: INSERT built-in; UPDATE/DELETE/MERGE are
+    # documented overwrite-rewrites — parquet tables have no in-place
+    # mutation; Delta/Iceberg would upgrade these to transactional
+    # single-statement ops with the same call signatures) ------------
+
+    def insert_into(
+        self,
+        logical_name: str,
+        columns: Sequence,
+        source,
+    ) -> int:
+        """INSERT INTO (append): validate the column list exactly like
+        the create sink, then append the CSV to the existing table.
+        Returns the number of appended rows."""
+        from .types import ensure_valid_columns
+        from .sources.csv_format import read_csv
+
+        physical = self.sink.catalog.get(logical_name)
+        if physical is None:
+            from .errors import NotAResource
+
+            raise NotAResource(logical_name)
+        schema = ensure_valid_columns(columns, self.sink.type_options)
+        tmp = None
+        try:
+            if isinstance(source, str):
+                csv_path = source
+            else:
+                tmp = self.sink._spool(source)
+                csv_path = tmp
+            df = read_csv(self.spark, csv_path, schema)
+            n = df.count()
+            df.write.mode("append").format("parquet").saveAsTable(physical)
+            return n
+        finally:
+            if tmp is not None:
+                import os
+
+                try:
+                    os.unlink(tmp)
+                except OSError:
+                    pass
+
+    def _rewrite(self, physical: str, df: DataFrame) -> None:
+        """Overwrite `physical` with `df` via a staging table (Spark
+        cannot overwrite a parquet table from a plan that reads it —
+        the staging hop materializes first). Two sequential parallel
+        writes; at cluster scale both are shuffle-free scans."""
+        staging = f"{physical}_rw"
+        df.write.mode("overwrite").format("parquet").saveAsTable(staging)
+        try:
+            self.spark.table(staging).write.mode("overwrite").format(
+                "parquet"
+            ).saveAsTable(physical)
+        finally:
+            self.spark.sql(f"DROP TABLE IF EXISTS {hygienic_ident(staging)}")
+
+    def delete_where(self, logical_name: str, condition: str) -> int:
+        """DELETE FROM t WHERE cond (overwrite-rewrite). Returns the
+        number of deleted rows."""
+        target = self.table(logical_name)
+        physical = self.sink.catalog[logical_name]
+        before = target.count()
+        from pyspark.sql import functions as F
+
+        kept = target.where(~F.expr(condition) | F.expr(condition).isNull())
+        self._rewrite(physical, kept)
+        return before - self.table(logical_name).count()
+
+    def update_where(
+        self, logical_name: str, assignments: dict[str, str], condition: str
+    ) -> int:
+        """UPDATE t SET col=expr, ... WHERE cond (overwrite-rewrite).
+        Returns the number of rows matching the condition."""
+        target = self.table(logical_name)
+        physical = self.sink.catalog[logical_name]
+        from pyspark.sql import functions as F
+
+        cond = F.expr(condition)
+        n = target.where(cond).count()
+        updated = target.select(
+            *[
+                F.when(cond, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in target.columns
+            ]
+        )
+        self._rewrite(physical, updated)
+        return n
+
+    def merge_into(
+        self, logical_name: str, source: DataFrame, key_cols: Sequence[str]
+    ) -> None:
+        """MERGE (upsert): matched target rows are replaced by the
+        source row, unmatched source rows are inserted. Rewrite =
+        target ANTI JOIN source (on keys) UNION source — one shuffle
+        on the key, no driver materialization."""
+        target = self.table(logical_name)
+        physical = self.sink.catalog[logical_name]
+        kept = target.join(source, list(key_cols), "left_anti")
+        self._rewrite(physical, kept.unionByName(source))

@@ -67,12 +67,29 @@ def run_init_script(spark: SparkSession, init: InitConfig) -> bool:
         return False
 
 
+def endpoint_port(args: Sequence[str]) -> Optional[str]:
+    """Map the reference's H2 server args (``-tcpPort N`` /
+    ``-pgPort N``, README.md:28-31) to the Thrift server port."""
+    args = list(args)
+    for flag in ("-tcpPort", "-pgPort"):
+        if flag in args:
+            i = args.index(flag)
+            if i + 1 < len(args):
+                return str(args[i + 1])
+    return None
+
+
 def start_sql_endpoint(spark: SparkSession, args: Sequence[str]) -> Optional[Any]:
-    """Start an external SQL endpoint (Thrift JDBC server) sharing this
-    session's catalog — the H2 TCP/PG-server analogue
-    (H2Server.scala:60-84). Returns an opaque handle or None if the
-    server classes aren't on the classpath (this image)."""
+    """Start an external SQL endpoint — Spark's Thrift JDBC/ODBC
+    server (HiveServer2 wire protocol) sharing this session's
+    catalog — the H2 TCP/PG-server analogue (H2Server.scala:60-84).
+    ``-tcpPort``/``-pgPort`` args are honored as the listen port.
+    Returns an opaque stoppable handle, or None if the thriftserver
+    classes are missing from the distribution."""
     try:
+        port = endpoint_port(args)
+        if port is not None:
+            spark.conf.set("hive.server2.thrift.port", port)
         jvm = spark.sparkContext._jvm  # type: ignore[attr-defined]
         thrift = jvm.org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
         # Spark's startWithContext shares the live session state.

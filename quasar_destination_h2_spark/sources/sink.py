@@ -37,6 +37,11 @@ from .csv_format import read_csv
 
 CsvSource = Union[str, bytes, IO[bytes], Iterable[bytes]]
 
+#: Warehouse-side metadata table persisting the logical -> physical
+#: name mapping, so hostile-named tables survive engine restarts (the
+#: reference's H2 catalog is durable; an in-memory dict was not).
+CATALOG_TABLE = "h2spark_catalog"
+
 
 def ensure_valid_table_name(path: "str | Sequence[str]") -> str:
     """Accept exactly one path segment as the table name, else
@@ -71,6 +76,30 @@ class CsvCreateSink:
     def __post_init__(self) -> None:
         if self.catalog is None:
             self.catalog = {}
+            self._rehydrate_catalog()
+
+    def _rehydrate_catalog(self) -> None:
+        """Reload the logical->physical mapping from the warehouse
+        metadata table (written by _persist_catalog) so tables loaded
+        by a previous engine instance stay addressable by name."""
+        try:
+            if self.spark.catalog.tableExists(CATALOG_TABLE):
+                for row in self.spark.table(CATALOG_TABLE).collect():
+                    self.catalog[row.logical] = row.physical
+        except Exception:
+            # A corrupt/missing metadata table must not block the sink;
+            # physical names are sha-deterministic and re-derivable.
+            pass
+
+    def _persist_catalog(self) -> None:
+        """Overwrite the metadata table with the current mapping. The
+        table is metadata-scale (one row per loaded table), so a full
+        rewrite per push is O(tables), not O(data)."""
+        rows = [(k, v) for k, v in self.catalog.items()]
+        df = self.spark.createDataFrame(rows, "logical string, physical string")
+        df.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(
+            CATALOG_TABLE
+        )
 
     def consume(
         self,
@@ -98,6 +127,7 @@ class CsvCreateSink:
             # H2DestinationSpec.scala:226-237).
             df.write.mode("overwrite").format("parquet").saveAsTable(physical)
             self.catalog[table] = physical
+            self._persist_catalog()
             return physical
         finally:
             if tmp is not None:

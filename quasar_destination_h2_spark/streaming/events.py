@@ -1,0 +1,104 @@
+"""Streaming operators over the events schema (ns-timestamp parquet).
+
+Plan shapes are the standard scale-safe ones: watermark bounds state,
+windowed aggregation shuffles once on (window, key), stream dedup
+keeps only in-watermark keys, session windows merge per user. A
+1000-executor cluster runs these unchanged — state is partitioned by
+group key and pruned by the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Physical schema of events.parquet when read with
+#: spark.sql.legacy.parquet.nanosAsLong=true (ts arrives as int64 ns).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """readStream over an events parquet directory. The ns int64 ts is
+    truncated to a microsecond timestamp — identical arithmetic to the
+    batch loader (sources/tables.py), so stream and batch results are
+    comparable row-for-row."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def hourly_event_counts(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation with late-data watermark —
+    the streaming twin of the batch `events_hourly` conformance query
+    (same groups, same sums)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias(
+                "value_sum"
+            ),
+        )
+        .select(
+            F.col("win.start").alias("hour"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+def dedup_events_stream(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once event stream: drop duplicate event_ids arriving
+    within the watermark. State holds only keys newer than the
+    watermark — bounded memory at any scale."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def session_windows(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Per-user session windows (gap-based): one row per session with
+    its span and activity. session_window merges adjacent state
+    per user — the built-in replacement for custom stateful logic."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sess"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias(
+                "value_sum"
+            ),
+        )
+        .select(
+            F.col("sess.start").alias("session_start"),
+            F.col("sess.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "value_sum",
+        )
+    )

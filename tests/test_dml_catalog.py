@@ -1,0 +1,117 @@
+"""DML (INSERT/UPDATE/DELETE/MERGE), catalog durability across engine
+restarts, and endpoint-state surfacing."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from quasar_destination_h2_spark import server as server_mod
+from quasar_destination_h2_spark.engine import Engine
+from quasar_destination_h2_spark.errors import NotAResource
+from quasar_destination_h2_spark.types import Column, ColumnType
+
+
+@pytest.fixture()
+def engine(spark, warehouse_dir):
+    return Engine.from_config(
+        json.dumps({"connectionUri": warehouse_dir}), spark=spark
+    )
+
+
+COLS = [Column("k", ColumnType.NUMBER), Column("v", ColumnType.STRING)]
+
+
+def _load(engine, name="dml_t", rows=b"1,a\r\n2,b\r\n3,c\r\n"):
+    engine.csv_create_sink().consume(f"/{name}", COLS, rows)
+    return name
+
+
+def test_insert_into_appends(engine):
+    t = _load(engine)
+    n = engine.insert_into(t, COLS, b"4,d\r\n5,e\r\n")
+    assert n == 2
+    got = sorted((float(r.k), r.v) for r in engine.table(t).collect())
+    assert got == [(1.0, "a"), (2.0, "b"), (3.0, "c"), (4.0, "d"), (5.0, "e")]
+
+
+def test_insert_into_missing_table(engine):
+    with pytest.raises(NotAResource):
+        engine.insert_into("nope", COLS, b"1,a\r\n")
+
+
+def test_delete_where(engine):
+    t = _load(engine)
+    n = engine.delete_where(t, "k >= 2")
+    assert n == 2
+    got = [(float(r.k), r.v) for r in engine.table(t).collect()]
+    assert got == [(1.0, "a")]
+
+
+def test_update_where(engine):
+    t = _load(engine)
+    n = engine.update_where(t, {"v": "upper(v)"}, "k <= 2")
+    assert n == 2
+    got = sorted((float(r.k), r.v) for r in engine.table(t).collect())
+    assert got == [(1.0, "A"), (2.0, "B"), (3.0, "c")]
+
+
+def test_merge_upsert(engine):
+    t = _load(engine)
+    from decimal import Decimal
+
+    src = engine.table(t).sparkSession.createDataFrame(
+        [(Decimal(2), "B2"), (Decimal(9), "new")], schema=engine.table(t).schema
+    )
+    engine.merge_into(t, src, ["k"])
+    got = sorted((float(r.k), r.v) for r in engine.table(t).collect())
+    assert got == [(1.0, "a"), (2.0, "B2"), (3.0, "c"), (9.0, "new")]
+
+
+def test_catalog_survives_restart(spark, warehouse_dir):
+    cfg = json.dumps({"connectionUri": warehouse_dir})
+    e1 = Engine.from_config(cfg, spark=spark)
+    hostile = 'restart"; DROP TABLE x; --'
+    e1.csv_create_sink().consume(f"/{hostile}", COLS, b"7,z\r\n")
+    # fresh engine, same warehouse/session: mapping must rehydrate
+    e2 = Engine.from_config(cfg, spark=spark)
+    got = e2.table(hostile).collect()
+    assert [(float(r.k), r.v) for r in got] == [(7.0, "z")]
+    e2.drop_table_if_exists(hostile)
+    e3 = Engine.from_config(cfg, spark=spark)
+    with pytest.raises(NotAResource):
+        e3.table(hostile)
+
+
+def test_endpoint_state_started_and_degraded(spark, warehouse_dir, monkeypatch):
+    cfg = json.dumps(
+        {"connectionUri": warehouse_dir, "server": {"tcp": ["-tcpPort", "10321"]}}
+    )
+    # started branch: pyspark ships the thriftserver jars, the
+    # endpoint really serves (a TCP connect succeeds)
+    e = Engine.from_config(cfg, spark=spark)
+    assert e.endpoint_started is True
+    import socket
+
+    s = socket.socket()
+    try:
+        s.settimeout(10)
+        s.connect(("127.0.0.1", 10321))
+    finally:
+        s.close()
+    e.close()
+    assert e.endpoint_started is False
+    # degraded branch (jars absent in a slim image): must be visible
+    # in engine state, not just logs
+    monkeypatch.setattr(
+        server_mod, "start_sql_endpoint", lambda _spark, _args: None
+    )
+    e2 = Engine.from_config(cfg, spark=spark)
+    assert e2.endpoint_started is False
+
+
+def test_endpoint_port_mapping():
+    assert server_mod.endpoint_port(["-tcpPort", "9999"]) == "9999"
+    assert server_mod.endpoint_port(["-pgPort", "5435", "-pgAllowOthers"]) == "5435"
+    assert server_mod.endpoint_port(["-baseDir", "/tmp"]) is None
