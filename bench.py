@@ -31,6 +31,9 @@ HEADLINE = (
     "count_distinct",
     "cte_multi",
     "events_hourly",
+    # [EXT] scale paths: bucketed LSH dedup + brute-force ANN baseline
+    "dedup_minhash_lsh",
+    "embed_cosine_topk",
 )
 
 

@@ -100,6 +100,21 @@ class Engine:
             for k, v in conf.items():
                 builder = builder.config(k, v)
             spark = builder.getOrCreate()
+            # getOrCreate() on an already-active session ignores every
+            # builder config — including the warehouse dir derived
+            # from connectionUri. Silent config drop would violate the
+            # reference's contract (the URI *is* the destination), so
+            # surface it.
+            want = conf["spark.sql.warehouse.dir"]
+            got = spark.conf.get("spark.sql.warehouse.dir", "")
+            if want not in got:
+                log.warning(
+                    "active SparkSession reused: configured warehouse %r "
+                    "ignored (session uses %r); pass spark= explicitly or "
+                    "stop the session first",
+                    want,
+                    got,
+                )
         engine = cls(spark, config, type_options)
         engine.validate_connection()
         log.info("engine %s initialized (config: %s)", engine.tag, config.sanitized())

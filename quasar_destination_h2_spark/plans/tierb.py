@@ -994,6 +994,56 @@ def q_scalar_cast(t: TableSet) -> DataFrame:
     )
 
 
+@query(
+    "agg_bool",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           bool_or(o_totalprice > 400000) AS any_over_400k,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_agg_bool(t: TableSet) -> DataFrame:
+    """BOOL_AND / BOOL_OR aggregates (H2 grammar, SURVEY §2.2)."""
+    return t.orders.groupBy("o_orderpriority").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_totalprice") > 400000).alias("any_over_400k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "scalar_regex",
+    oracle=r"""
+    SELECT p_partkey,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+           regexp_extract(p_type, '^(\w+)', 1) AS first_word,
+           CASE WHEN regexp_matches(p_name, '^[a-z]+ ') THEN 1 ELSE 0 END
+             AS starts_word,
+           CAST(len(regexp_extract_all(p_name, ' ')) AS BIGINT) AS n_spaces
+    FROM part
+    WHERE p_partkey <= 300
+    """,
+)
+def q_scalar_regex(t: TableSet) -> DataFrame:
+    """REGEXP_REPLACE / REGEXP_EXTRACT / REGEXP_LIKE battery
+    (H2 REGEXP_REPLACE etc.). DuckDB needs the 'g' flag where Spark
+    replaces globally by default."""
+    return t.part.where(F.col("p_partkey") <= 300).select(
+        "p_partkey",
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "_").alias("devoweled"),
+        F.regexp_extract(F.col("p_type"), r"^(\w+)", 1).alias("first_word"),
+        F.when(F.col("p_name").rlike("^[a-z]+ "), 1).otherwise(0).alias(
+            "starts_word"
+        ),
+        F.size(F.regexp_extract_all(F.col("p_name"), F.lit(" "), 0))
+        .cast("bigint")
+        .alias("n_spaces"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Events (ns-timestamp table)
 # ---------------------------------------------------------------------------
