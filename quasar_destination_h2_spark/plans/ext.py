@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import dedup, multimodal, pandas_udfs, similarity, text
 from ..sources.tables import TableSet
 from .catalog import query
 
@@ -502,6 +502,50 @@ def q_multimodal_decode(t: TableSet) -> DataFrame:
     plumbing) → metadata join-back → per-origin aggregate. The oracle
     reproduces the fake decode arithmetic on the same bytes."""
     return multimodal.media_feature_summary(t.documents)
+
+
+# ---------------------------------------------------------------------------
+# pandas UDF surface
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "udf_vowel_stats",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[aeiou]')) AS BIGINT) AS n_vowels,
+           CAST(len(text) AS BIGINT) AS n_chars_raw
+    FROM documents
+    """,
+)
+def q_udf_vowel_stats(t: TableSet) -> DataFrame:
+    """Scalar @pandas_udf (Arrow-vectorized) — oracle-checked against
+    the pure-SQL equivalent."""
+    return pandas_udfs.text_vowel_stats(t.documents)
+
+
+@query(
+    "udf_zscore_by_source",
+    oracle="""
+    WITH stats AS (
+      SELECT source,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(n_chars AS DECIMAL(38,6))
+                      * CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE) AS sx2
+      FROM documents GROUP BY source
+    )
+    SELECT d.source, d.doc_id,
+           round((d.n_chars - sx / n)
+                 / sqrt((sx2 - sx * sx / n) / (n - 1)), 6) AS z_chars
+    FROM documents d JOIN stats USING (source)
+    """,
+)
+def q_udf_zscore_by_source(t: TableSet) -> DataFrame:
+    """Grouped applyInPandas z-score — fsum in the UDF matches the
+    oracle's exact decimal sums (both correctly rounded), so even
+    this Python-side computation is hash-comparable."""
+    return pandas_udfs.zscore_by_source(t.documents)
 
 
 # ---------------------------------------------------------------------------
