@@ -280,6 +280,34 @@ class Engine:
         self._rewrite(physical, updated)
         return n
 
+    def materialize_bucketed(
+        self,
+        logical_name: str,
+        df: DataFrame,
+        bucket_cols: Sequence[str],
+        n_buckets: int = 32,
+    ) -> str:
+        """[EXT] Materialize a DataFrame as a bucketed+sorted table.
+
+        Joins/aggregations between tables bucketed on the same keys
+        with the same bucket count run WITHOUT a shuffle (Spark reuses
+        the on-disk hash partitioning) — the co-located-join strategy
+        for repeated 100 TB fact-fact joins. Pinned by
+        tests/test_bucketing.py (no Exchange in the joined plan)."""
+        from .idents import storage_safe_name
+
+        physical = storage_safe_name(logical_name)
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, *bucket_cols)
+            .sortBy(*bucket_cols)
+            .saveAsTable(physical)
+        )
+        self.sink.catalog[logical_name] = physical
+        self.sink._persist_catalog()
+        return physical
+
     def merge_into(
         self, logical_name: str, source: DataFrame, key_cols: Sequence[str]
     ) -> None:

@@ -877,6 +877,104 @@ def q_set_except(t: TableSet) -> DataFrame:
     return n.exceptAll(s).distinct()
 
 
+@query(
+    "set_intersect_all",
+    oracle="""
+    SELECT nk, COUNT(*) AS n FROM (
+      SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 7000
+      INTERSECT ALL
+      SELECT s_nationkey FROM supplier WHERE s_acctbal > 2000
+    ) GROUP BY nk
+    """,
+)
+def q_set_intersect_all(t: TableSet) -> DataFrame:
+    """INTERSECT ALL (bag semantics — multiplicity = min of sides)."""
+    c = t.customer.where(F.col("c_acctbal") > 7000).select(
+        F.col("c_nationkey").alias("nk")
+    )
+    s = t.supplier.where(F.col("s_acctbal") > 2000).select(
+        F.col("s_nationkey").alias("nk")
+    )
+    return c.intersectAll(s).groupBy("nk").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "set_except_all",
+    oracle="""
+    SELECT nk, COUNT(*) AS n FROM (
+      SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 7000
+      EXCEPT ALL
+      SELECT s_nationkey FROM supplier WHERE s_acctbal > 2000
+    ) GROUP BY nk
+    """,
+)
+def q_set_except_all(t: TableSet) -> DataFrame:
+    """EXCEPT ALL (bag difference — multiplicity = left minus right)."""
+    c = t.customer.where(F.col("c_acctbal") > 7000).select(
+        F.col("c_nationkey").alias("nk")
+    )
+    s = t.supplier.where(F.col("s_acctbal") > 2000).select(
+        F.col("s_nationkey").alias("nk")
+    )
+    return c.exceptAll(s).groupBy("nk").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - LAG(CAST(ts AS TIMESTAMP))
+                         OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def q_events_sessionize(t: TableSet) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts
+    after a >30 min silence; session id = running count of starts.
+    Two window passes over one shuffle on user_id — the batch twin of
+    streaming session_window."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = t.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap > 30 * 60, 1).otherwise(0).alias("is_new"),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("is_new")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("bigint"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Subqueries / CTEs (via the SQL surface)
 # ---------------------------------------------------------------------------

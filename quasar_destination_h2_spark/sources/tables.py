@@ -36,9 +36,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
         # ns -> µs truncation; DuckDB CAST(timestamp_ns AS TIMESTAMP)
-        # truncates identically.
+        # truncates identically. Integer DIV, not F.floor(x/1000):
+        # double division loses ulps at ~1.7e18 ns and truncates to
+        # the wrong microsecond.
         return df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
         )
     return spark.read.parquet(path)
 

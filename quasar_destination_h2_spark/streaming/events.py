@@ -39,9 +39,8 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     comparable row-for-row."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    # integer DIV — double division is lossy at ns epoch magnitudes
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def hourly_event_counts(

@@ -1,0 +1,83 @@
+"""Bucketed co-located joins: same-key bucketed tables must join and
+aggregate without a SHUFFLE exchange (the 100 TB repeated-join
+strategy). A BroadcastExchange on a tiny side is fine — the property
+under test is that no hash-partitioning shuffle of the big tables is
+needed."""
+
+from __future__ import annotations
+
+import json
+from contextlib import contextmanager
+
+import pytest
+from pyspark.sql import functions as F
+
+from quasar_destination_h2_spark.engine import Engine
+from quasar_destination_h2_spark.sources.tables import load_table
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def engine(spark, warehouse_dir):
+    return Engine.from_config(
+        json.dumps({"connectionUri": warehouse_dir}), spark=spark
+    )
+
+
+@contextmanager
+def no_auto_broadcast(spark):
+    """Force the sort-merge path so the bucketed co-location (not a
+    small-table broadcast) is what eliminates the shuffle."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_has_no_shuffle(engine, spark):
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    engine.materialize_bucketed("b_lineitem", li, ["l_orderkey"], 8)
+    engine.materialize_bucketed(
+        "b_orders", orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        ["l_orderkey"], 8,
+    )
+    with no_auto_broadcast(spark):
+        joined = (
+            engine.table("b_lineitem")
+            .join(engine.table("b_orders"), "l_orderkey")
+            .groupBy("l_orderkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        got = {(r.l_orderkey, r.n) for r in joined.collect()}
+    expect = (
+        li.join(orders.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    want = {(r.l_orderkey, r.n) for r in expect.collect()}
+    assert got == want
+
+
+def test_bucketed_aggregation_no_shuffle(engine, spark):
+    agg = (
+        engine.table("b_lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("s")
+        )
+    )
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan
