@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..operators import dedup, multimodal, pandas_udfs, similarity, text
+from ..operators import dedup, joins, multimodal, pandas_udfs, similarity, text
 from ..sources.tables import TableSet
 from .catalog import query
 
@@ -502,6 +502,76 @@ def q_multimodal_decode(t: TableSet) -> DataFrame:
     plumbing) → metadata join-back → per-origin aggregate. The oracle
     reproduces the fake decode arithmetic on the same bytes."""
     return multimodal.media_feature_summary(t.documents)
+
+
+# ---------------------------------------------------------------------------
+# Custom join strategies
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "asof_join_events",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                      event_type, value FROM events),
+    clicks AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+    purch AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY value DESC) AS rn
+        FROM e WHERE event_type = 'purchase') WHERE rn = 1
+    )
+    SELECT c.event_id, c.user_id, c.ts, p.value AS value_asof
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+)
+def q_asof_join_events(t: TableSet) -> DataFrame:
+    """As-of join: each click gets the user's most recent prior (or
+    simultaneous) purchase value. Spark composition = union trick +
+    last(ignorenulls) window — one shuffle on user_id, O(1) state per
+    row. The oracle is DuckDB's native ASOF LEFT JOIN."""
+    ev = t.events
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return joins.asof_join(
+        clicks, purch, on="ts", by=["user_id"], right_cols=["value"]
+    )
+
+
+@query(
+    "salted_join_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_salted_join_agg(t: TableSet) -> DataFrame:
+    """Salted skew-join: deterministic per-row salt on the probe side,
+    build side replicated across salts, join on (key, salt). The
+    oracle is the PLAIN join — proving the strategy changes only the
+    partitioning, never the result."""
+    li = t.lineitem.select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice", "l_discount"
+    )
+    orders = t.orders.select(
+        F.col("o_orderkey").alias("okey"), "o_orderpriority"
+    )
+    j = joins.salted_join(li, orders, "okey", n_salts=8)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.groupBy("o_orderpriority").agg(
+        F.sum(revenue.cast("decimal(38,6)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -142,6 +142,48 @@ def test_sketch_accuracy_bounds(t):
     assert abs(row.approx - row.exact) <= max(5, 0.1 * row.exact)
 
 
+def test_salted_join_equals_plain_join(t):
+    from pyspark.sql import functions as F
+    from quasar_destination_h2_spark.operators import joins
+
+    li = t.lineitem.select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice"
+    )
+    orders = t.orders.select(F.col("o_orderkey").alias("okey"), "o_orderpriority")
+    salted = joins.salted_join(li, orders, "okey", n_salts=4)
+    plain = li.join(orders, "okey")
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in salted.collect()}
+    b = {tuple(r) for r in plain.collect()}
+    assert a == b
+
+
+def test_asof_join_semantics(t):
+    """Every attached value must be the max-timestamp purchase at or
+    before the click, verified row-by-row against a pandas replay."""
+    from quasar_destination_h2_spark.operators import joins
+    from pyspark.sql import functions as F
+
+    ev = t.events
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    got = joins.asof_join(
+        clicks, purch, on="ts", by=["user_id"], right_cols=["value"]
+    ).collect()
+    pur = sorted(purch.collect(), key=lambda r: r.ts)
+    by_user: dict = {}
+    for r in pur:
+        by_user.setdefault(r.user_id, []).append(r)
+    for row in got:
+        cands = [p for p in by_user.get(row.user_id, []) if p.ts <= row.ts]
+        want = cands[-1].value if cands else None
+        assert row.value_asof == want, (row, want)
+
+
 def test_winnow_fingerprints_cover_all_docs(t):
     fp = text.winnow_fingerprints(t.documents).collect()
     n_docs = t.documents.count()
