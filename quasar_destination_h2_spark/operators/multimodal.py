@@ -86,6 +86,55 @@ def decode_media(media: DataFrame) -> DataFrame:
     )
 
 
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_frames", LongType()),
+        StructField("frame_idx", LongType()),
+    ]
+)
+
+MAX_FRAMES = 4
+
+
+def _fake_sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Frame sampling for 'video' payloads (fake: n_frames derived
+    from byte length; a real decoder would read container metadata —
+    cv2.VideoCapture / PyAV drop in here, raising NotImplementedError
+    until the libs exist). Emits up to MAX_FRAMES evenly spaced frame
+    indices per doc — a 1→N mapInPandas, the batch shape a real
+    frame sampler needs."""
+    for pdf in batches:
+        out_doc, out_nf, out_idx = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = len(payload) // 100 + 1
+            k = min(MAX_FRAMES, n_frames)
+            idxs = (
+                [0]
+                if k == 1
+                else [(i * (n_frames - 1)) // (k - 1) for i in range(k)]
+            )
+            out_doc.extend([doc_id] * k)
+            out_nf.extend([n_frames] * k)
+            out_idx.extend(idxs)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "n_frames": pd.Series(out_nf, dtype="int64"),
+                "frame_idx": pd.Series(out_idx, dtype="int64"),
+            }
+        )
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Evenly-spaced frame sampling via mapInPandas (1 input row →
+    k output rows). No shuffle — sampling happens where the bytes
+    live."""
+    return media.select("doc_id", "payload").mapInPandas(
+        _fake_sample_frames, schema=FRAMES_SCHEMA
+    )
+
+
 def media_feature_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """End-to-end multimodal pipeline: build media table → decode via
     pandas batches → join metadata back → aggregate by origin."""

@@ -157,6 +157,98 @@ def lsh_bucketed_topk(
     )
 
 
+#: IVF coarse-quantizer: centroids are dataset vectors picked by a
+#: fixed seeded draw (ids, not values, so the oracle can join to the
+#: same rows). A trained k-means would be the production path; the
+#: index structure — assign to nearest centroid, probe nearest
+#: centroid's list — is identical.
+IVF_N_LIST = 16
+_IVF_SEED = 7
+
+
+def ivf_centroid_ids(n_vectors: int, n_list: int = IVF_N_LIST) -> list[int]:
+    rng = np.random.default_rng(_IVF_SEED)
+    return sorted(int(i) for i in rng.choice(n_vectors, size=n_list, replace=False))
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroid_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine —
+    ties broken by lower centroid id). Broadcast the n_list centroid
+    vectors; assignment is a per-row argmax, no shuffle."""
+    cents = emb.where(F.col(id_col).isin(centroid_ids)).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
+    )
+    scored = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).crossJoin(F.broadcast(cents)).select(
+        "_id",
+        "_v",
+        "centroid_id",
+        F.round(cosine(F.col("_v"), F.col("cvec")), 6).alias("_sim"),
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.col("_sim").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_v").alias(vec_col),
+            "centroid_id",
+        )
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN (nprobe=1): search only the query's own centroid
+    list. At scale the corpus is partitioned (or stored bucketed) by
+    centroid_id, so a probe scans one inverted list, not the corpus.
+    The count() here is driver-side METADATA (centroid id draw), not
+    data movement."""
+    n = emb.count()
+    assigned = ivf_assign(emb, ivf_centroid_ids(n), id_col, vec_col)
+    q = assigned.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        "centroid_id",
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "centroid_id",
+    )
+    scored = (
+        c.join(F.broadcast(q), "centroid_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "centroid_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "centroid_id", "cos_sim", "rank")
+    )
+
+
 def embedding_dedup_pairs(
     emb: DataFrame,
     threshold: float = 0.99,

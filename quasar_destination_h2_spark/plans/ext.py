@@ -504,6 +504,72 @@ def q_multimodal_decode(t: TableSet) -> DataFrame:
     return multimodal.media_feature_summary(t.documents)
 
 
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),
+    f AS (SELECT doc_id, nb // 100 + 1 AS n_frames,
+                 least(4, nb // 100 + 1) AS k
+          FROM d)
+    SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(CASE WHEN k = 1 THEN 0
+                     ELSE (i * (n_frames - 1)) // (k - 1) END AS BIGINT)
+             AS frame_idx
+    FROM f, UNNEST(range(0, k)) AS u(i)
+    """,
+)
+def q_multimodal_frame_sample(t: TableSet) -> DataFrame:
+    """Frame sampling (1→k mapInPandas): up to 4 evenly spaced frame
+    indices per 'video' payload. Real container decode is stubbed
+    (no media libs in the image); the batch plumbing and index
+    arithmetic are real and oracle-reproduced."""
+    return multimodal.sample_frames(multimodal.as_media_table(t.documents))
+
+
+_IVF_IDS_SF001 = ", ".join(str(i) for i in similarity.ivf_centroid_ids(500))
+
+
+@query(
+    "ivf_topk_ann",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
+              WHERE vec_id IN ({_IVF_IDS_SF001})),
+    assigned AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC,
+                          c.centroid_id) AS rn
+        FROM e CROSS JOIN cents c) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, centroid_id
+          FROM assigned WHERE vec_id < 10),
+    c2 AS (SELECT vec_id AS neighbor_id, v AS cv, centroid_id FROM assigned),
+    scored AS (
+      SELECT query_id, neighbor_id, centroid_id,
+             round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+      FROM c2 JOIN q USING (centroid_id) WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, centroid_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q_ivf_topk_ann(t: TableSet) -> DataFrame:
+    """IVF-flat ANN (nprobe=1): coarse quantizer = 16 seeded dataset
+    vectors, every vector assigned to its nearest centroid, search
+    probes only the query's inverted list. At scale the corpus is
+    stored bucketed by centroid_id. (Oracle centroid ids are fixed
+    for the sf0.01 corpus of 500 vectors — the correctness gate's
+    scale; the Spark side derives them from the corpus size.)"""
+    return similarity.ivf_topk(t.embeddings)
+
+
 # ---------------------------------------------------------------------------
 # Custom join strategies
 # ---------------------------------------------------------------------------
