@@ -42,11 +42,14 @@ def main() -> int:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
+    import tempfile as _tf
+
     from pyspark.sql import SparkSession
 
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName("quasar-h2-spark-bench")
+        .config("spark.sql.warehouse.dir", _tf.mkdtemp(prefix="bench-wh-"))
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
@@ -60,6 +63,50 @@ def main() -> int:
 
     qs = plans.all_queries()
     times: dict[str, float] = {}
+
+    # Load-path throughput (the reference IS a loader: CSVREAD-CTAS
+    # bulk load, H2CsvCreateSink.scala:121-122). Export lineitem once
+    # as headerless CSV, then time the full sink pipeline: validate ->
+    # splittable CSV scan -> parquet saveAsTable (atomic replace).
+    import tempfile
+
+    from quasar_destination_h2_spark.engine import Engine
+    from quasar_destination_h2_spark.types import Column, ColumnType
+
+    stage = tempfile.mkdtemp(prefix="bench-csv-")
+    li = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+    )
+    csv_dir = f"{stage}/lineitem_csv"
+    # 16 files so the load parallelism reflects the engine, not the
+    # accident of the staged export's layout (single-file CSVs cap
+    # scan parallelism at maxPartitionBytes granularity)
+    li.repartition(16).write.option("header", False).option(
+        "emptyValue", ""
+    ).csv(csv_dir)
+    cols = [
+        Column("l_orderkey", ColumnType.NUMBER),
+        Column("l_partkey", ColumnType.NUMBER),
+        Column("l_suppkey", ColumnType.NUMBER),
+        Column("l_quantity", ColumnType.NUMBER),
+        Column("l_extendedprice", ColumnType.NUMBER),
+        Column("l_discount", ColumnType.NUMBER),
+        Column("l_tax", ColumnType.NUMBER),
+        Column("l_returnflag", ColumnType.STRING),
+    ]
+    engine = Engine.from_config(
+        json.dumps({"connectionUri": f"{stage}/wh"}), spark=spark
+    )
+    sink = engine.csv_create_sink()
+    sink.consume("/bench_load", cols, csv_dir)  # warm
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        sink.consume("/bench_load", cols, csv_dir)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    times["csv_load"] = round(best, 4)
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:

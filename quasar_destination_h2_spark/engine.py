@@ -186,7 +186,14 @@ class Engine:
         """DROP TABLE IF EXISTS parity (H2CsvCreateSink.scala:125-126)."""
         physical = self.sink.catalog.pop(logical_name, None)
         if physical is not None:
+            from .sources.sink import warehouse_path
+
             self.spark.sql(f"DROP TABLE IF EXISTS {hygienic_ident(physical)}")
+            # cross-process: data of a table this session never
+            # registered survives DROP — remove it explicitly
+            import shutil
+
+            shutil.rmtree(warehouse_path(self.spark, physical), ignore_errors=True)
             self.sink._persist_catalog()
 
     # -- DML (SURVEY §2.2: INSERT built-in; UPDATE/DELETE/MERGE are
@@ -237,7 +244,10 @@ class Engine:
         cannot overwrite a parquet table from a plan that reads it —
         the staging hop materializes first). Two sequential parallel
         writes; at cluster scale both are shuffle-free scans."""
+        from .sources.sink import clear_stale_location
+
         staging = f"{physical}_rw"
+        clear_stale_location(self.spark, staging)
         df.write.mode("overwrite").format("parquet").saveAsTable(staging)
         try:
             self.spark.table(staging).write.mode("overwrite").format(
@@ -295,8 +305,10 @@ class Engine:
         for repeated 100 TB fact-fact joins. Pinned by
         tests/test_bucketing.py (no Exchange in the joined plan)."""
         from .idents import storage_safe_name
+        from .sources.sink import clear_stale_location
 
         physical = storage_safe_name(logical_name)
+        clear_stale_location(self.spark, physical)
         (
             df.write.mode("overwrite")
             .format("parquet")

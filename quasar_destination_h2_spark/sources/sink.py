@@ -24,6 +24,7 @@ pushdown for free.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 from dataclasses import dataclass
 from typing import IO, Iterable, Sequence, Union
@@ -41,6 +42,33 @@ CsvSource = Union[str, bytes, IO[bytes], Iterable[bytes]]
 #: name mapping, so hostile-named tables survive engine restarts (the
 #: reference's H2 catalog is durable; an in-memory dict was not).
 CATALOG_TABLE = "h2spark_catalog"
+
+
+def warehouse_path(spark: SparkSession, physical: str) -> str:
+    """Local filesystem path of a managed table's data directory."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    if wh.startswith("file:"):
+        wh = wh[len("file:"):]
+    return os.path.join(wh, physical.lower())
+
+
+def clear_stale_location(spark: SparkSession, physical: str) -> None:
+    """Managed-table data outlives the (in-memory/derby) session
+    catalog across process restarts: saveAsTable then fails with
+    LOCATION_ALREADY_EXISTS on a table the new session has never
+    heard of. If the session catalog does NOT know `physical` but its
+    warehouse directory exists, remove the stale directory so the
+    create (atomic-replace semantics) can proceed. Local-FS only —
+    on a cluster warehouse (S3/HDFS) this becomes a Hadoop FS delete,
+    same contract."""
+    try:
+        if spark.catalog.tableExists(physical):
+            return
+        path = warehouse_path(spark, physical)
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+    except Exception:
+        pass  # best effort — the write surfaces any real failure
 
 
 def ensure_valid_table_name(path: "str | Sequence[str]") -> str:
@@ -81,11 +109,21 @@ class CsvCreateSink:
     def _rehydrate_catalog(self) -> None:
         """Reload the logical->physical mapping from the warehouse
         metadata table (written by _persist_catalog) so tables loaded
-        by a previous engine instance stay addressable by name."""
+        by a previous engine instance stay addressable by name. Read
+        from the session catalog when it knows the table, else from
+        the warehouse files directly (a fresh process's in-memory
+        catalog has never heard of any table, but the parquet is
+        there)."""
         try:
             if self.spark.catalog.tableExists(CATALOG_TABLE):
-                for row in self.spark.table(CATALOG_TABLE).collect():
-                    self.catalog[row.logical] = row.physical
+                df = self.spark.table(CATALOG_TABLE)
+            else:
+                path = warehouse_path(self.spark, CATALOG_TABLE)
+                if not os.path.isdir(path):
+                    return
+                df = self.spark.read.parquet(path)
+            for row in df.collect():
+                self.catalog[row.logical] = row.physical
         except Exception:
             # A corrupt/missing metadata table must not block the sink;
             # physical names are sha-deterministic and re-derivable.
@@ -96,10 +134,12 @@ class CsvCreateSink:
         table is metadata-scale (one row per loaded table), so a full
         rewrite per push is O(tables), not O(data)."""
         rows = [(k, v) for k, v in self.catalog.items()]
+        # NOTE no coalesce(1): coalescing a parallelized local
+        # relation costs seconds at high local[*] parallelism (one
+        # task dragging 32 empty slices); a few tiny files are free.
         df = self.spark.createDataFrame(rows, "logical string, physical string")
-        df.coalesce(1).write.mode("overwrite").format("parquet").saveAsTable(
-            CATALOG_TABLE
-        )
+        clear_stale_location(self.spark, CATALOG_TABLE)
+        df.write.mode("overwrite").format("parquet").saveAsTable(CATALOG_TABLE)
 
     def consume(
         self,
@@ -121,6 +161,7 @@ class CsvCreateSink:
                 csv_path = tmp
             df = read_csv(self.spark, csv_path, schema)
             physical = storage_safe_name(table)
+            clear_stale_location(self.spark, physical)
             # step 4 — atomic replace: overwrite commit flips the table
             # in the catalog (parity: one-transaction drop+create,
             # H2CsvCreateSink.scala:55-58; replace semantics pinned by
@@ -137,11 +178,19 @@ class CsvCreateSink:
                     pass
 
     def table(self, name: str):
-        """Read back a loaded table by its *logical* (opaque) name."""
+        """Read back a loaded table by its *logical* (opaque) name.
+        Falls back to the warehouse parquet directly when the session
+        catalog doesn't know the physical table (fresh process over a
+        pre-existing warehouse)."""
         physical = self.catalog.get(name)
         if physical is None:
             raise NotAResource(name)
-        return self.spark.table(physical)
+        if self.spark.catalog.tableExists(physical):
+            return self.spark.table(physical)
+        path = warehouse_path(self.spark, physical)
+        if os.path.isdir(path):
+            return self.spark.read.parquet(path)
+        raise NotAResource(name)
 
     @staticmethod
     def _spool(source: CsvSource) -> str:

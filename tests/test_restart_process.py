@@ -1,0 +1,83 @@
+"""True cross-process durability: a table loaded by one engine
+PROCESS must be addressable by logical name in a second process over
+the same warehouse (the reference's H2 catalog is durable on disk;
+Spark's default in-memory session catalog is not — the engine's own
+warehouse-side catalog makes up the difference)."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+import tempfile
+import textwrap
+
+
+SCRIPT_LOAD = textwrap.dedent(
+    """
+    import json, sys
+    sys.path.insert(0, {repo!r})
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", {wh!r}).getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    from quasar_destination_h2_spark.engine import Engine
+    from quasar_destination_h2_spark.types import Column, ColumnType
+    e = Engine.from_config(json.dumps({{"connectionUri": {wh!r}}}), spark=spark)
+    e.csv_create_sink().consume(
+        '/restart"; DROP TABLE x; --',
+        [Column("k", ColumnType.NUMBER), Column("v", ColumnType.STRING)],
+        b"7,z\\r\\n8,y\\r\\n",
+    )
+    print("LOADED")
+    spark.stop()
+    """
+)
+
+SCRIPT_READ = textwrap.dedent(
+    """
+    import json, sys
+    sys.path.insert(0, {repo!r})
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", {wh!r}).getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    from quasar_destination_h2_spark.engine import Engine
+    e = Engine.from_config(json.dumps({{"connectionUri": {wh!r}}}), spark=spark)
+    rows = sorted((float(r.k), r.v) for r in
+                  e.table('restart"; DROP TABLE x; --').collect())
+    assert rows == [(7.0, "z"), (8.0, "y")], rows
+    # and the load path still works over the pre-existing warehouse
+    from quasar_destination_h2_spark.types import Column, ColumnType
+    e.csv_create_sink().consume(
+        '/restart"; DROP TABLE x; --',
+        [Column("k", ColumnType.NUMBER), Column("v", ColumnType.STRING)],
+        b"1,a\\r\\n",
+    )
+    assert e.table('restart"; DROP TABLE x; --').count() == 1
+    print("READBACK-OK")
+    spark.stop()
+    """
+)
+
+
+def _run(script: str) -> str:
+    p = subprocess.run(
+        [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
+    )
+    assert p.returncode == 0, p.stderr[-2000:]
+    return p.stdout
+
+
+def test_table_survives_process_restart():
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wh = tempfile.mkdtemp(prefix="restart-wh-")
+    out1 = _run(SCRIPT_LOAD.format(repo=repo, wh=wh))
+    assert "LOADED" in out1
+    out2 = _run(SCRIPT_READ.format(repo=repo, wh=wh))
+    assert "READBACK-OK" in out2
