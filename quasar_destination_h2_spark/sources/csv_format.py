@@ -33,9 +33,11 @@ CSV_READ_OPTIONS: dict[str, str] = {
     "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS][XXX][X]",
     "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS]",
     "dateFormat": "yyyy-MM-dd",
-    # NOTE multiLine stays false: quoted embedded newlines never occur in
-    # Quasar's renderer output, and multiLine=true would force whole-file
-    # (non-splittable) reads — unacceptable at 100 TB.
+    # NOTE multiLine defaults to false: the splittable line-oriented
+    # scan is the 100 TB path. Values containing quoted embedded
+    # newlines (legal in the wire format, loaded fine by H2 CSVREAD)
+    # make that scan fail — the sink catches the parse failure and
+    # retries with multiLine=true (whole-file reads; correct, slower).
 }
 
 #: Writer options replicating Quasar's renderer (CsvSupport.scala:42-51).
@@ -49,6 +51,11 @@ CSV_WRITE_OPTIONS: dict[str, str] = {
     "quoteAll": "false",  # minimal quoting
     "emptyValue": '""',
     "nullValue": "",
+    # Spark's CSV WRITER trims cell whitespace by default — the
+    # reference renderer writes values verbatim (found by the
+    # hypothesis round-trip property: " " must not become NULL).
+    "ignoreLeadingWhiteSpace": "false",
+    "ignoreTrailingWhiteSpace": "false",
     "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSS",
     "timestampNTZFormat": "yyyy-MM-dd'T'HH:mm:ss.SSS",
     "dateFormat": "yyyy-MM-dd",

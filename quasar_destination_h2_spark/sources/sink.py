@@ -166,7 +166,22 @@ class CsvCreateSink:
             # in the catalog (parity: one-transaction drop+create,
             # H2CsvCreateSink.scala:55-58; replace semantics pinned by
             # H2DestinationSpec.scala:226-237).
-            df.write.mode("overwrite").format("parquet").saveAsTable(physical)
+            try:
+                df.write.mode("overwrite").format("parquet").saveAsTable(physical)
+            except Exception as e:
+                # Splittable line-oriented scan chokes on quoted
+                # embedded newlines (legal wire format; H2 CSVREAD
+                # loads them). Retry whole-file: correct, unsplittable.
+                if "FAILED_READ_FILE" not in str(e) and "Malformed" not in str(e):
+                    raise
+                # explicit lineSep stops univocity normalizing \r\n
+                # INSIDE quoted values to \n (H2 preserves verbatim)
+                df = read_csv(
+                    self.spark, csv_path, schema,
+                    multiLine="true", lineSep="\r\n",
+                )
+                clear_stale_location(self.spark, physical)
+                df.write.mode("overwrite").format("parquet").saveAsTable(physical)
             self.catalog[table] = physical
             self._persist_catalog()
             return physical
