@@ -771,6 +771,40 @@ def q_window_range_frame(t: TableSet) -> DataFrame:
     )
 
 
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT s_suppkey,
+           NTILE(4) OVER w AS quartile,
+           FIRST_VALUE(s_suppkey) OVER w AS first_in_nation,
+           LAST_VALUE(s_suppkey) OVER (PARTITION BY s_nationkey
+                                       ORDER BY s_acctbal, s_suppkey
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND UNBOUNDED FOLLOWING)
+             AS last_in_nation,
+           round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           round(CUME_DIST() OVER w, 6) AS cume
+    FROM supplier
+    WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+    """,
+)
+def q_window_distribution(t: TableSet) -> DataFrame:
+    """NTILE / FIRST_VALUE / LAST_VALUE / PERCENT_RANK / CUME_DIST
+    (H2 window function set, SURVEY §2.2). LAST_VALUE uses the full
+    frame (the default running frame would just echo the current
+    row)."""
+    w = Window.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return t.supplier.select(
+        "s_suppkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.first("s_suppkey").over(w).alias("first_in_nation"),
+        F.last("s_suppkey").over(w_full).alias("last_in_nation"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sorts / LIMIT / OFFSET / top-k
 # ---------------------------------------------------------------------------
@@ -1150,6 +1184,69 @@ def q_scalar_math(t: TableSet) -> DataFrame:
         F.round(F.pow(F.abs(bal) + 1, F.lit(0.5)), 6).alias("p_half"),
         F.round(F.sqrt(F.abs(bal)), 6).alias("root"),
         F.round(F.log(F.abs(bal) + 1), 6).alias("log_nat"),
+    )
+
+
+@query(
+    "scalar_string_extended",
+    oracle="""
+    SELECT n_nationkey,
+           lpad(n_name, 20, '.') AS padded_l,
+           rpad(n_name, 20, '.') AS padded_r,
+           left(n_name, 3) AS l3,
+           right(n_name, 3) AS r3,
+           repeat('ab', 3) AS rep,
+           reverse(n_name) AS rev,
+           translate(n_name, 'AEIOU', 'aeiou') AS lowered_vowels
+    FROM nation
+    """,
+)
+def q_scalar_string_extended(t: TableSet) -> DataFrame:
+    """LPAD/RPAD/LEFT/RIGHT/REPEAT/REVERSE/TRANSLATE (H2 string
+    function set round-out)."""
+    n = F.col("n_name")
+    return t.nation.select(
+        "n_nationkey",
+        F.lpad(n, 20, ".").alias("padded_l"),
+        F.rpad(n, 20, ".").alias("padded_r"),
+        F.left(n, F.lit(3)).alias("l3"),
+        F.right(n, F.lit(3)).alias("r3"),
+        F.repeat(F.lit("ab"), 3).alias("rep"),
+        F.reverse(n).alias("rev"),
+        F.translate(n, "AEIOU", "aeiou").alias("lowered_vowels"),
+    )
+
+
+@query(
+    "scalar_date_extended",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS VARCHAR) AS month_end,
+           round(CAST(datediff('month', DATE '1995-01-01',
+                               CAST(o_orderdate AS DATE)) AS DOUBLE), 6)
+             AS months_since_int,
+           CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+                AS VARCHAR) AS plus_3m,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+           CAST(EXTRACT(dow FROM o_orderdate) AS INT) AS dow
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def q_scalar_date_extended(t: TableSet) -> DataFrame:
+    """LAST_DAY / month arithmetic / ADD_MONTHS / QUARTER / DAY_OF_WEEK
+    (H2 DATEADD/EXTRACT round-out). Integer month difference (not
+    Spark months_between's fractional form, which has no DuckDB
+    equivalent); DOW normalized to DuckDB's 0=Sunday convention."""
+    d = F.col("o_orderdate").cast("date")
+    return t.orders.where(F.col("o_orderkey") <= 1000).select(
+        "o_orderkey",
+        F.last_day(d).cast("string").alias("month_end"),
+        (
+            (F.year(d) - F.lit(1995)) * 12 + (F.month(d) - F.lit(1))
+        ).cast("double").alias("months_since_int"),
+        F.add_months(d, 3).cast("string").alias("plus_3m"),
+        F.quarter(d).alias("qtr"),
+        (F.dayofweek(d) - 1).alias("dow"),
     )
 
 
