@@ -156,6 +156,93 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-unigram language-model quality score: avg -log2 p(tok)
+    per doc, where p comes from the corpus itself (add-0 MLE). The
+    classic perplexity-style quality filter (GPT-3-style data
+    curation), as two aggregations + one broadcast join — freq table
+    is vocabulary-sized, tiny next to the corpus."""
+    toks = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
+    freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = toks.count()  # driver-side scalar: corpus token count
+    # per-token nll is rounded to 6 BEFORE summation and summed as
+    # exact decimal — order-independent, so the cross-engine average
+    # is bit-stable (a raw double AVG is not)
+    nll6 = F.round(-F.log2(F.col("tf") / F.lit(float(total))), 6)
+    scored = (
+        toks.join(F.broadcast(freqs), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.sum(nll6.cast("decimal(28,10)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
+    return scored
+
+
+#: PII-ish patterns (RE2-compatible so DuckDB matches exactly).
+PATTERNS = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "urls": r"https?://[^\s]+",
+    "phones": r"\+?[0-9][0-9()\- ]{7,}[0-9]",
+}
+
+
+def pattern_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc counts of PII-ish patterns (email/URL/phone) — the
+    filter-or-redact signal of a curation pipeline. Per-row regex,
+    zero shuffle."""
+    return docs.select(
+        "doc_id",
+        *[
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(rx), 0))
+            .cast("bigint")
+            .alias(f"n_{name}")
+            for name, rx in PATTERNS.items()
+        ],
+    )
+
+
+def hash_bucket(col: Column, n: int = 10000) -> Column:
+    """Deterministic engine-agnostic bucket in [0, n): integer value
+    of the first 8 md5 hex digits mod n (md5 so DuckDB reproduces
+    it; at 100 TB you'd use xxhash64 — same shape)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % n
+
+
+def stratified_sample(
+    docs: DataFrame, frac_pct: int = 20, strata_col: str = "lang"
+) -> DataFrame:
+    """Deterministic stratified sample: keep frac_pct% of every
+    stratum by content-hash bucket — reproducible across runs and
+    engines, no RNG state, no shuffle (pure filter)."""
+    b = hash_bucket(F.col("doc_id"), 100)
+    return docs.where(b < frac_pct).select(
+        "doc_id", F.col(strata_col).alias("stratum"), b.cast("int").alias("bucket")
+    )
+
+
+def dataset_split(
+    docs: DataFrame, val_pct: int = 10, test_pct: int = 10
+) -> DataFrame:
+    """Hash-based train/val/test assignment — stable under corpus
+    growth (a doc's split never changes when other docs arrive),
+    the property random splits lack."""
+    b = hash_bucket(F.col("doc_id"), 100)
+    split = (
+        F.when(b < test_pct, "test")
+        .when(b < test_pct + val_pct, "val")
+        .otherwise("train")
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
 def winnow_fingerprints(
     docs: DataFrame, text_col: str = "text", k: int = 8, w: int = 4
 ) -> DataFrame:

@@ -447,6 +447,91 @@ def q_text_language_id(t: TableSet) -> DataFrame:
     return text.language_id(t.documents)
 
 
+_TOKS_CTE = f"""
+toks AS (
+  SELECT doc_id, unnest(string_split_regex({_NORM}, ' ')) AS tok
+  FROM documents
+)"""
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    freqs AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+    total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           round(CAST(SUM(CAST(round(-log2(tf / total.n), 6)
+                               AS DECIMAL(28,10))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_nll
+    FROM toks JOIN freqs USING (tok), total
+    GROUP BY doc_id
+    """,
+)
+def q_text_unigram_logprob(t: TableSet) -> DataFrame:
+    """Corpus-unigram LM quality score (avg -log2 p(token)) — the
+    perplexity-style curation filter. Per-token nll rounded before an
+    exact decimal sum, so the average is engine-stable."""
+    return text.unigram_logprob(t.documents)
+
+
+@query(
+    "text_pattern_flags",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT)
+             AS n_urls,
+           CAST(len(regexp_extract_all(text,
+             '\+?[0-9][0-9()\- ]{{7,}}[0-9]')) AS BIGINT) AS n_phones
+    FROM documents
+    """,
+)
+def q_text_pattern_flags(t: TableSet) -> DataFrame:
+    """PII-ish pattern counts (emails / URLs / phones) — the
+    filter-or-redact signal. RE2-compatible patterns, per-row."""
+    return text.pattern_flags(t.documents)
+
+
+_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+)
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang AS stratum, CAST({_BUCKET_SQL} AS INT) AS bucket
+    FROM documents
+    WHERE {_BUCKET_SQL} < 20
+    """,
+)
+def q_sample_stratified(t: TableSet) -> DataFrame:
+    """Deterministic 20% stratified sample by content-hash bucket —
+    reproducible across engines and runs, pure filter (no shuffle,
+    no RNG state)."""
+    return text.stratified_sample(t.documents)
+
+
+@query(
+    "dataset_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN {_BUCKET_SQL} < 10 THEN 'test'
+                WHEN {_BUCKET_SQL} < 20 THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents
+    """,
+)
+def q_dataset_split(t: TableSet) -> DataFrame:
+    """Hash-based train/val/test split — a doc's assignment never
+    changes as the corpus grows (the property random splits lack)."""
+    return text.dataset_split(t.documents)
+
+
 @query(
     "text_fingerprints",
     oracle=f"""

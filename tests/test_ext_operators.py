@@ -184,6 +184,34 @@ def test_asof_join_semantics(t):
         assert row.value_asof == want, (row, want)
 
 
+def test_pattern_flags_on_real_matches(spark):
+    """The synthetic corpus contains zero emails/URLs/phones, so the
+    oracle match for text_pattern_flags is vacuous there — pin the
+    regex semantics on constructed text with known match counts, and
+    DuckDB parity on the same literals."""
+    rows = [
+        (1, "mail a@b.co and x.y+z@ex-ample.org, visit https://ex.com/p?q=1"),
+        (2, "call +1 (415) 555-0100 or 415-555-0199 now"),
+        (3, "no signals here, just words and 42"),
+        (4, "edge: http://x.io a@b@c bad@tld. trailing@ok.museum"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in text.pattern_flags(docs).collect()}
+    assert (got[1].n_emails, got[1].n_urls, got[1].n_phones) == (2, 1, 0)
+    assert (got[2].n_emails, got[2].n_urls, got[2].n_phones) == (0, 0, 2)
+    assert (got[3].n_emails, got[3].n_urls, got[3].n_phones) == (0, 0, 0)
+    assert got[4].n_urls == 1 and got[4].n_emails >= 1
+    import duckdb
+
+    con = duckdb.connect()
+    for doc_id, txt in rows:
+        for name, rx in text.PATTERNS.items():
+            duck = con.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [txt, rx]
+            ).fetchone()[0]
+            assert duck == got[doc_id][f"n_{name}"], (doc_id, name)
+
+
 def test_winnow_fingerprints_cover_all_docs(t):
     fp = text.winnow_fingerprints(t.documents).collect()
     n_docs = t.documents.count()
