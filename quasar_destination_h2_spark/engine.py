@@ -78,6 +78,9 @@ class Engine:
         #: queryable (H2Server.scala:60-84); a degraded no-op boot must
         #: be visible in engine state, not only in an info log.
         self.endpoint_started: bool = False
+        #: effective Thrift listen port (may differ from the requested
+        #: port when joining an already-running JVM-wide endpoint)
+        self.endpoint_port: Optional[str] = None
 
     # -- lifecycle -----------------------------------------------------
 
@@ -158,7 +161,9 @@ class Engine:
             if args is not None:
                 srv = start_sql_endpoint(self.spark, args)
                 if srv is not None:
-                    self._servers.append(srv)
+                    handle, port = srv
+                    self._servers.append(handle)
+                    self.endpoint_port = port
         self.endpoint_started = bool(self._servers)
 
     def close(self) -> None:

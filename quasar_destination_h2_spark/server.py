@@ -79,32 +79,73 @@ def endpoint_port(args: Sequence[str]) -> Optional[str]:
     return None
 
 
-def start_sql_endpoint(spark: SparkSession, args: Sequence[str]) -> Optional[Any]:
-    """Start an external SQL endpoint — Spark's Thrift JDBC/ODBC
-    server (HiveServer2 wire protocol) sharing this session's
-    catalog — the H2 TCP/PG-server analogue (H2Server.scala:60-84).
-    ``-tcpPort``/``-pgPort`` args are honored as the listen port.
-    Returns an opaque stoppable handle, or None if the thriftserver
-    classes are missing from the distribution."""
+# The Thrift server is a JVM-wide singleton in Spark: HiveServer2
+# caches its HiveConf (including the listen port) at first init, so a
+# stop-then-restart on a different port in the same JVM silently
+# serves nothing. We therefore treat the endpoint as a process-wide
+# shared resource (like the metastore): first start wins, later
+# engines reuse it, and the *effective* port is surfaced so clients
+# connect to the right place.
+_shared_endpoint: Optional[Any] = None
+_shared_port: Optional[str] = None
+
+
+def start_sql_endpoint(
+    spark: SparkSession, args: Sequence[str]
+) -> Optional[tuple[Any, Optional[str]]]:
+    """Start (or join) the external SQL endpoint — Spark's Thrift
+    JDBC/ODBC server (HiveServer2 wire protocol) sharing this
+    session's catalog — the H2 TCP/PG-server analogue
+    (H2Server.scala:60-84). ``-tcpPort``/``-pgPort`` args are honored
+    as the listen port on first start. Returns ``(handle,
+    effective_port)``, or None if the thriftserver classes are
+    missing from the distribution."""
+    global _shared_endpoint, _shared_port
+    requested = endpoint_port(args)
+    if _shared_endpoint is not None:
+        if requested is not None and requested != _shared_port:
+            log.warning(
+                "Thrift endpoint already running on port %s; requested "
+                "port %s ignored (one endpoint per JVM)",
+                _shared_port,
+                requested,
+            )
+        return _shared_endpoint, _shared_port
     try:
-        port = endpoint_port(args)
-        if port is not None:
-            spark.conf.set("hive.server2.thrift.port", port)
+        if requested is not None:
+            spark.conf.set("hive.server2.thrift.port", requested)
         jvm = spark.sparkContext._jvm  # type: ignore[attr-defined]
         thrift = jvm.org.apache.spark.sql.hive.thriftserver.HiveThriftServer2
         # Spark's startWithContext shares the live session state.
         handle = thrift.startWithContext(spark._jsparkSession.sqlContext())
+        _shared_endpoint, _shared_port = handle, requested
         log.info("Thrift SQL endpoint started (args passthrough: %s)", list(args))
-        return handle
+        return handle, requested
     except Exception as e:
         log.info("SQL endpoint unavailable in this image (%s); no-op", e)
         return None
 
 
 def stop_sql_endpoint(handle: Any) -> None:
-    """Release the endpoint — resource-bracketing parity
-    (H2Server.scala:66-70,79-83)."""
+    """Release an engine's claim on the endpoint — resource-bracketing
+    parity (H2Server.scala:66-70,79-83). The JVM-wide server itself
+    keeps running (restart within one JVM is unsupported by Spark);
+    use :func:`shutdown_shared_endpoint` for explicit teardown."""
+    if handle is _shared_endpoint:
+        return
     try:
         handle.stop()
     except Exception:
         pass
+
+
+def shutdown_shared_endpoint() -> None:
+    """Actually stop the JVM-wide Thrift server (end-of-process only:
+    it cannot be restarted in this JVM)."""
+    global _shared_endpoint, _shared_port
+    if _shared_endpoint is not None:
+        try:
+            _shared_endpoint.stop()
+        except Exception:
+            pass
+        _shared_endpoint, _shared_port = None, None

@@ -32,6 +32,10 @@ def test_external_jdbc_client_query(spark, warehouse_dir):
     )
     engine = Engine.from_config(cfg, spark=spark)
     assert engine.endpoint_started
+    # The Thrift server is a JVM-wide singleton: if an earlier test
+    # already started it, this engine joins it and the effective port
+    # differs from the requested one — connect to the effective port.
+    port = engine.endpoint_port or str(PORT)
     try:
         engine.csv_create_sink().consume(
             "/wire_t",
@@ -43,7 +47,7 @@ def test_external_jdbc_client_query(spark, warehouse_dir):
             [
                 BEELINE,
                 "-u",
-                f"jdbc:hive2://localhost:{PORT}",
+                f"jdbc:hive2://localhost:{port}",
                 "-n",
                 "test",
                 "--silent=true",
