@@ -85,3 +85,30 @@ def zscore_by_source(docs: DataFrame) -> DataFrame:
     return docs.select("source", "doc_id", "n_chars").groupBy("source").applyInPandas(
         _zscore_group, schema=ZSCORE_SCHEMA
     )
+
+
+@F.pandas_udf(DoubleType())
+def weighted_mean(values: pd.Series, weights: pd.Series) -> float:
+    """Grouped-agg pandas_udf (SURVEY §2.2 'pandas_udf
+    scalar/grouped-agg'): quantity-weighted mean. fsum sums are
+    correctly rounded, matching the oracle's exact-decimal
+    SUM(v*w)/SUM(w) after one final double rounding each."""
+    sw = math.fsum(weights)
+    if sw == 0:
+        return float("nan")
+    return round(math.fsum(values * weights) / sw, 6)
+
+
+def weighted_price_by_flag(lineitem: DataFrame) -> DataFrame:
+    """Grouped-agg UDF demo: per returnflag, the quantity-weighted
+    mean extended price. Spark plans this as a real aggregate (partial
+    Arrow batches per partition would break fsum exactness, so Spark
+    feeds whole groups — one shuffle on the key, same as any agg)."""
+    return (
+        lineitem.groupBy(F.col("l_returnflag").alias("returnflag"))
+        .agg(
+            weighted_mean(F.col("l_extendedprice"), F.col("l_quantity")).alias(
+                "wavg_price"
+            )
+        )
+    )

@@ -769,6 +769,25 @@ def q_udf_zscore_by_source(t: TableSet) -> DataFrame:
     return pandas_udfs.zscore_by_source(t.documents)
 
 
+@query(
+    "udf_weighted_mean",
+    oracle="""
+    SELECT l_returnflag AS returnflag,
+           round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))
+                          * CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE),
+                 6) AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_udf_weighted_mean(t: TableSet) -> DataFrame:
+    """Grouped-AGG pandas_udf (the third UDF flavor next to scalar and
+    grouped-map): quantity-weighted mean price per returnflag. fsum in
+    the UDF ≡ the oracle's exact-decimal sums after one rounding."""
+    return pandas_udfs.weighted_price_by_flag(t.lineitem)
+
+
 # ---------------------------------------------------------------------------
 # Sketches & quantiles
 # ---------------------------------------------------------------------------

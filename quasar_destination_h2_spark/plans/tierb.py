@@ -366,6 +366,23 @@ def q_cube_grouping(t: TableSet) -> DataFrame:
     )
 
 
+_GROUPING_SETS = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@query("grouping_sets", oracle=_GROUPING_SETS)
+def q_grouping_sets(t: TableSet) -> DataFrame:
+    """Explicit GROUPING SETS (the general form ROLLUP/CUBE sugar
+    over; SURVEY §2.2 aggregation). Planned as a single Expand +
+    partial/final aggregate — one shuffle for all three sets."""
+    return t.sql(_GROUPING_SETS)
+
+
 # ---------------------------------------------------------------------------
 # Joins
 # ---------------------------------------------------------------------------
@@ -539,6 +556,20 @@ def q_join_theta(t: TableSet) -> DataFrame:
         .groupBy("regionkey")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+_NATURAL_JOIN = """
+SELECT n_name, r_name
+FROM (SELECT n_name, n_regionkey AS regionkey FROM nation) n
+NATURAL JOIN (SELECT r_name, r_regionkey AS regionkey FROM region) r
+"""
+
+
+@query("join_natural", oracle=_NATURAL_JOIN)
+def q_join_natural(t: TableSet) -> DataFrame:
+    """NATURAL JOIN (H2 grammar; SURVEY §2.2 joins) — join columns
+    inferred from the shared name. Identical SQL in both dialects."""
+    return t.sql(_NATURAL_JOIN)
 
 
 @query(
@@ -1083,6 +1114,30 @@ GROUP BY p_brand
 def q_subquery_in(t: TableSet) -> DataFrame:
     """IN-subquery (planned as left-semi join)."""
     return t.sql(_IN_SUBQ)
+
+
+@query(
+    "subquery_derived",
+    oracle="""
+    SELECT d.n_orders, COUNT(*) AS n_customers
+    FROM (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY o_custkey) d
+    WHERE d.n_orders >= 5
+    GROUP BY d.n_orders
+    """,
+)
+def q_subquery_derived(t: TableSet) -> DataFrame:
+    """Derived table in FROM (SURVEY §2.2 subqueries): orders-per-
+    customer histogram — inner agg feeds an outer filter + agg with
+    no intermediate materialization (one plan, two shuffles)."""
+    per_cust = t.orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    return (
+        per_cust.where(F.col("n_orders") >= 5)
+        .groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
 
 
 # ---------------------------------------------------------------------------
