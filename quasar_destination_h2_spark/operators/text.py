@@ -243,6 +243,89 @@ def dataset_split(
     return docs.select("doc_id", split.alias("split"))
 
 
+def _all_shingles(toks: Column, k: int) -> Column:
+    """All k-word shingles WITH duplicates (unlike word_shingles) —
+    the denominator of repetition metrics."""
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+    )
+    return F.when(F.size(toks) >= k, sh).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-doc repetition metrics (the Gopher-rules quality
+    signal): duplicate word-bigram fraction and duplicate-line
+    fraction. 1 - distinct/total per doc; high values flag the
+    boilerplate/spam documents a curation pipeline drops. Pure
+    per-row array arithmetic — zero shuffle, fully codegen."""
+    toks = tokens(F.col(text_col))
+    grams = _all_shingles(toks, 2)
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+    def dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(n > 0, F.round(1 - F.size(F.array_distinct(arr)) / n, 6)).otherwise(
+            F.lit(0.0)
+        )
+
+    return docs.select(
+        "doc_id",
+        F.size(grams).cast("bigint").alias("n_bigrams"),
+        dup_frac(grams).alias("dup_bigram_frac"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        dup_frac(lines).alias("dup_line_frac"),
+    )
+
+
+#: Every doc_id divisible by this is treated as the held-out eval set
+#: for the contamination check (a deterministic stand-in for a real
+#: benchmark suite).
+EVAL_MODULUS = 97
+
+
+def contamination_check(
+    docs: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Train/eval contamination: for each train doc, the fraction of
+    its distinct k-gram shingles that appear anywhere in the eval
+    set. The eval shingle vocabulary is tiny next to the corpus, so
+    it broadcasts; the train side explodes linearly and aggregates
+    back on doc_id — one shuffle, no cross product (the shape that
+    survives 100 TB; a real pipeline feeds the benchmark suite in as
+    the eval frame)."""
+    sh = (
+        docs.select("doc_id", word_shingles(tokens(F.col(text_col)), k).alias("g"))
+        .where(F.size(F.col("g")) >= 1)
+    )
+    is_eval = F.col("doc_id") % EVAL_MODULUS == 0
+    eval_grams = (
+        sh.where(is_eval).select(F.explode("g").alias("gram")).distinct()
+    )
+    train = sh.where(~is_eval).select(
+        "doc_id", F.size("g").alias("n_grams"), F.explode("g").alias("gram")
+    )
+    return (
+        train.join(
+            F.broadcast(eval_grams.withColumn("hit", F.lit(1))), "gram", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_grams").cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("n_grams"), 6).alias("contamination"),
+        )
+    )
+
+
 def winnow_fingerprints(
     docs: DataFrame, text_col: str = "text", k: int = 8, w: int = 4
 ) -> DataFrame:

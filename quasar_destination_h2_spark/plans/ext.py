@@ -533,6 +533,67 @@ def q_dataset_split(t: TableSet) -> DataFrame:
 
 
 @query(
+    "text_repetition",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split_regex({_NORM}, ' ') AS w
+                  FROM documents),
+    grams AS (
+      SELECT doc_id,
+             CASE WHEN len(w) >= 2
+                  THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                  ELSE [] END AS g
+      FROM toks),
+    lns AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, chr(10)),
+                                        l -> trim(l)), l -> l <> '') AS ls
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(g) AS BIGINT) AS n_bigrams,
+           CASE WHEN len(g) > 0
+                THEN round(1 - len(list_distinct(g)) / len(g), 6)
+                ELSE 0.0 END AS dup_bigram_frac,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CASE WHEN len(ls) > 0
+                THEN round(1 - len(list_distinct(ls)) / len(ls), 6)
+                ELSE 0.0 END AS dup_line_frac
+    FROM grams JOIN lns USING (doc_id)
+    """,
+)
+def q_text_repetition(t: TableSet) -> DataFrame:
+    """Within-doc repetition (Gopher-rules quality signal): duplicate
+    bigram + duplicate line fractions. Per-row array arithmetic, zero
+    shuffle."""
+    return text.repetition_stats(t.documents)
+
+
+@query(
+    "contamination_check",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    eval_g AS (SELECT DISTINCT unnest(shingles) AS gram FROM shn
+               WHERE doc_id % {text.EVAL_MODULUS} = 0),
+    train AS (SELECT doc_id, len(shingles) AS n_grams,
+                     unnest(shingles) AS gram
+              FROM shn WHERE doc_id % {text.EVAL_MODULUS} <> 0)
+    SELECT doc_id,
+           CAST(MIN(n_grams) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_shared,
+           round(CAST(SUM(CASE WHEN e.gram IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / MIN(n_grams), 6) AS contamination
+    FROM train t LEFT JOIN eval_g e USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def q_contamination_check(t: TableSet) -> DataFrame:
+    """Train/eval n-gram contamination score per train doc — eval
+    shingle vocab broadcast, linear explode + one groupBy shuffle
+    (never O(n^2))."""
+    return text.contamination_check(t.documents)
+
+
+@query(
     "text_fingerprints",
     oracle=f"""
     WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),

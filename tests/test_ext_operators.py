@@ -212,6 +212,43 @@ def test_pattern_flags_on_real_matches(spark):
             assert duck == got[doc_id][f"n_{name}"], (doc_id, name)
 
 
+def test_repetition_stats_on_constructed_docs(spark):
+    """Pin the duplicate-bigram / duplicate-line fractions on text
+    with hand-countable repetition (the corpus oracle checks the
+    distributed values; this pins the formula itself)."""
+    rows = [
+        (1, "a b a b a b"),          # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+        (2, "one two three four"),    # all distinct
+        (3, "x\nx\ny\n\nx"),          # lines x,x,y,x -> 4 total, 2 distinct
+        (4, "solo"),                  # too short for bigrams
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in text.repetition_stats(docs).collect()}
+    assert got[1].n_bigrams == 5 and got[1].dup_bigram_frac == 0.6
+    assert got[2].dup_bigram_frac == 0.0
+    assert got[3].n_lines == 4 and got[3].dup_line_frac == 0.5
+    assert got[4].n_bigrams == 0 and got[4].dup_bigram_frac == 0.0
+
+
+def test_contamination_check_flags_overlap(spark):
+    """A train doc sharing shingles with an eval doc (doc_id % 97 == 0)
+    scores > 0; a disjoint doc scores 0; eval docs are excluded."""
+    m = text.EVAL_MODULUS
+    rows = [
+        (m, "the quick brown fox jumps over the lazy dog"),  # eval
+        (1, "the quick brown fox ran away"),                 # overlaps
+        (2, "completely different words entirely here now"),  # disjoint
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in text.contamination_check(docs).collect()}
+    assert m not in got
+    # "the quick brown" and "quick brown fox" are shared 3-grams
+    assert got[1].n_shared == 2 and got[1].contamination > 0
+    assert got[2].n_shared == 0 and got[2].contamination == 0.0
+    plan = physical_plan(text.contamination_check(docs))
+    assert "CartesianProduct" not in plan
+
+
 def test_winnow_fingerprints_cover_all_docs(t):
     fp = text.winnow_fingerprints(t.documents).collect()
     n_docs = t.documents.count()
