@@ -13,6 +13,7 @@ from .events import (
     dedup_events_stream,
     hourly_event_counts,
     read_events_stream,
+    running_user_stats,
     session_windows,
 )
 
@@ -20,5 +21,6 @@ __all__ = [
     "read_events_stream",
     "hourly_event_counts",
     "dedup_events_stream",
+    "running_user_stats",
     "session_windows",
 ]

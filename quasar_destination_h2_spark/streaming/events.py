@@ -78,6 +78,66 @@ def dedup_events_stream(
     )
 
 
+#: Output schema of running_user_stats — one row per user per
+#: micro-batch in which that user appeared.
+USER_STATS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_sum", DoubleType()),
+        StructField("value_max", DoubleType()),
+    ]
+)
+
+_USER_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("s", DoubleType()),
+        StructField("mx", DoubleType()),
+    ]
+)
+
+
+def running_user_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running event count / value sum / value max across micro-batches.
+
+    The built-in windowed aggregates can't express "cumulative since
+    stream start, emitted every batch" — this is the escape hatch the
+    reference has no analog for ([EXT]; SURVEY §2.2 streaming). State
+    is one 3-field tuple per user, partitioned by user_id, updated
+    from Arrow batches — bounded memory, shuffle only on user_id, so
+    a 1000-executor cluster shards state horizontally.
+    """
+    import pandas as pd  # local: keep module import light
+
+    def update(key, pdfs, state):
+        n, s, mx = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            vals = pdf["value"].dropna()
+            n += len(pdf)
+            s += float(vals.sum())
+            if len(vals):
+                mx = max(mx, float(vals.max()))
+        state.update((n, s, mx))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "value_sum": [s],
+                "value_max": [mx if mx != float("-inf") else None],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=USER_STATS_SCHEMA,
+        stateStructType=_USER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )
+
+
 def session_windows(
     events: DataFrame, gap: str = "5 minutes", watermark: str = "1 hour"
 ) -> DataFrame:

@@ -16,6 +16,7 @@ from quasar_destination_h2_spark.streaming import (
     dedup_events_stream,
     hourly_event_counts,
     read_events_stream,
+    running_user_stats,
     session_windows,
 )
 
@@ -81,6 +82,61 @@ def test_stream_dedup_drops_replayed_file(spark, events_dir):
         n_unique = load_table(spark, SF_DIR, "events").count()
         assert got.count() == n_unique
         assert got.select("event_id").distinct().count() == n_unique
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_running_user_stats_matches_batch(spark, events_dir):
+    """The custom stateful operator's final per-user state (update
+    mode: last emitted row per user) must equal the batch groupBy."""
+    stream = read_events_stream(spark, events_dir)
+    got = run_to_memory(
+        spark, running_user_stats(stream), "t_userstats", "update"
+    )
+    # update mode appends a row per user per batch; keep the last
+    final = {
+        r.user_id: r
+        for r in got.orderBy("n_events").collect()  # last = max n_events
+    }
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("s"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    )
+    assert len(final) == len(batch)
+    for r in batch:
+        g = final[r.user_id]
+        assert g.n_events == r.n
+        assert g.value_sum == pytest.approx(r.s, rel=1e-9)
+        assert g.value_max == pytest.approx(r.mx, rel=1e-12)
+
+
+def test_running_user_stats_accumulates_replayed_data(spark, events_dir):
+    """Two copies of the events file replayed → per-user counts double:
+    the state tuple accumulates everything seen (across micro-batches
+    when the source splits files, within one otherwise)."""
+    d = tempfile.mkdtemp(prefix="events-state-")
+    try:
+        shutil.copy(f"{events_dir}/part-0.parquet", f"{d}/a.parquet")
+        shutil.copy(f"{events_dir}/part-0.parquet", f"{d}/b.parquet")
+        stream = read_events_stream(spark, d)
+        got = run_to_memory(
+            spark, running_user_stats(stream), "t_userstats2", "update"
+        )
+        final = {r.user_id: r.n_events for r in got.orderBy("n_events").collect()}
+        batch = {
+            r.user_id: r.n
+            for r in load_table(spark, SF_DIR, "events")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert final == {u: 2 * n for u, n in batch.items()}
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
