@@ -174,6 +174,78 @@ def minhash_lsh_pairs(
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
+def dedup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate clusters: connected components over the near-dup
+    pair graph, canonical representative = min doc_id per component.
+
+    This is the step that turns pairwise near-dup evidence into an
+    actual keep/drop decision (transitive closure: a~b and b~c put
+    a,b,c in ONE cluster even when a,c were never paired). Spark-
+    first iterative min-label propagation — the same shape GraphX/
+    GraphFrames connectedComponents uses:
+
+    * labels start as each doc's own id;
+    * each round, every node takes the min of its own and its
+      neighbors' labels (one shuffle join + one groupBy per round);
+    * ``localCheckpoint`` truncates lineage every round (without it
+      the plan nests one join per iteration and Catalyst analysis
+      blows up long before the data does);
+    * convergence = the strictly-decreasing label sum goes flat —
+      one tiny agg action per round, O(component diameter) rounds.
+
+    Near-dup graphs are overwhelmingly short-diameter (dup clusters
+    are cliques or near-cliques from the pair generators), so this
+    terminates in 2-4 rounds in practice; ``max_iter`` bounds
+    adversarial chains. Output covers *every* doc (singletons are
+    their own cluster), so `WHERE is_canonical` is the dedup filter.
+    """
+    pairs = ngram_jaccard_pairs(docs, text_col, k, threshold)
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    labels = docs.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint()
+    prev_sum = None
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "cluster_id")
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        labels = (
+            labels.join(nbr_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        cur = labels.agg(F.sum("cluster_id")).collect()[0][0]
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 # --- SimHash ---------------------------------------------------------------
 
 _HEX = "0123456789abcdef"

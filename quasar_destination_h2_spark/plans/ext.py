@@ -92,6 +92,39 @@ def q_dedup_ngram_jaccard(t: TableSet) -> DataFrame:
 
 
 @query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLE_CTES},
+    ex AS (SELECT doc_id, n_sh, unnest(shingles) AS s FROM shn),
+    prs AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+      ) WHERE round(inter / (n_a + n_b - inter), 6)
+              >= {dedup.JACCARD_THRESHOLD}
+    ),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM prs
+              UNION ALL SELECT doc_b, doc_a FROM prs),
+    reach(node, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.node
+    )
+    SELECT node AS doc_id, MIN(root) AS cluster_id,
+           MIN(root) = node AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def q_dedup_clusters(t: TableSet) -> DataFrame:
+    """Connected-component duplicate clusters over the n-gram-Jaccard
+    near-dup graph (iterative min-label propagation, O(diameter)
+    rounds); oracle = DuckDB recursive-CTE transitive closure."""
+    return dedup.dedup_clusters(t.documents)
+
+
+@query(
     "minhash_signatures",
     oracle=f"""
     WITH {_SHINGLE_CTES}

@@ -212,6 +212,35 @@ def test_pattern_flags_on_real_matches(spark):
             assert duck == got[doc_id][f"n_{name}"], (doc_id, name)
 
 
+def test_dedup_clusters_transitive_chain(spark):
+    """a~b and b~c (but NOT a~c) must land in ONE cluster — the
+    transitive closure pairwise dedup can't express. d stays a
+    singleton and is its own canonical."""
+    rows = [
+        (10, "a b c d e"),   # shingles {abc,bcd,cde}
+        (11, "c d e f g"),   # shares {cde} with 10, {efg} with 12
+        (12, "e f g h i"),   # shares nothing with 10
+        (13, "x y z w v"),   # singleton
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # jaccard(10,11) = jaccard(11,12) = 1/5, jaccard(10,12) = 0
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.15).collect()
+    }
+    assert pairs == {(10, 11), (11, 12)}
+    got = {
+        r.doc_id: (r.cluster_id, r.is_canonical)
+        for r in dedup.dedup_clusters(docs, threshold=0.15).collect()
+    }
+    assert got == {
+        10: (10, True),
+        11: (10, False),
+        12: (10, False),
+        13: (13, True),
+    }
+
+
 def test_repetition_stats_on_constructed_docs(spark):
     """Pin the duplicate-bigram / duplicate-line fractions on text
     with hand-countable repetition (the corpus oracle checks the
