@@ -1,0 +1,165 @@
+"""[EXT] Training-batch assembly over the ``documents`` table.
+
+The last mile of a training-data pipeline: build the token
+vocabulary, shuffle the corpus deterministically into shards, and
+pack documents into fixed-token-budget sequences. All three are
+Spark-first:
+
+* **vocab_topk** — global token counts + top-k: partial+final
+  aggregation then ``TakeOrderedAndProject`` (a per-partition heap;
+  no global sort materializes 100 TB of token counts).
+* **shuffle_shards** — seeded md5 key → shard by key bits →
+  position by partitioned window. No global window anywhere (a
+  single ``row_number`` over the whole corpus would funnel 100 TB
+  through one task); determinism comes from the hash, not from a
+  sort order someone forgot to pin.
+* **sequence_pack** — greedy first-fit-in-order packing inside each
+  shard via ``applyInPandas`` (Arrow-batched; the greedy reset is
+  genuinely sequential, so it is the documented Python escape hatch,
+  parallel across shards).
+
+Hashes are md5 so the DuckDB oracles reproduce shard assignment
+bit-for-bit; at 100 TB swap xxhash64 — identical plan shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from .text import tokens
+
+SHUFFLE_SEED = 42
+N_SHARDS = 64
+PACK_BUDGET = 256
+
+_HEX = "0123456789abcdef"
+
+
+def _hex_nibble(key: Column, pos: int) -> Column:
+    """0..15 value of hex digit `pos` (0-based) — instr arithmetic so
+    DuckDB's strpos mirrors it exactly (same trick as dedup.simhash)."""
+    return F.call_function("instr", F.lit(_HEX), F.substring(key, pos + 1, 1)) - 1
+
+
+def _shard_of(key: Column, n_shards: int) -> Column:
+    """Shard from the first 16 bits of the md5 key."""
+    v = (
+        _hex_nibble(key, 0) * 4096
+        + _hex_nibble(key, 1) * 256
+        + _hex_nibble(key, 2) * 16
+        + _hex_nibble(key, 3)
+    )
+    return F.pmod(v, F.lit(n_shards)).cast("int")
+
+
+def vocab_topk(docs: DataFrame, text_col: str = "text", topn: int = 1000) -> DataFrame:
+    """Top-`topn` tokens by corpus frequency (ties broken by token
+    text — fully deterministic). explode → partial+final count →
+    TakeOrderedAndProject."""
+    return (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(topn)
+    )
+
+
+def shuffle_shards(
+    docs: DataFrame, n_shards: int = N_SHARDS, seed: int = SHUFFLE_SEED
+) -> DataFrame:
+    """Deterministic global shuffle for training-data loaders:
+    (doc_id, shuffle_key, shard, pos). Reading shards in order of
+    (shard, pos) yields a seeded pseudorandom permutation of the
+    corpus, reproducible across engines and runs. The window is
+    partitioned by shard — each shard sorts independently."""
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")))
+    keyed = docs.select(
+        "doc_id",
+        key.alias("shuffle_key"),
+    ).withColumn("shard", _shard_of(F.col("shuffle_key"), n_shards))
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shuffle_key",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+PACK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("shard", IntegerType()),
+        StructField("bin_id", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("offset", LongType()),
+    ]
+)
+
+
+def sequence_pack(
+    docs: DataFrame,
+    text_col: str = "text",
+    budget: int = PACK_BUDGET,
+    n_shards: int = N_SHARDS,
+    seed: int = SHUFFLE_SEED,
+) -> DataFrame:
+    """Pack documents into fixed-token-budget training sequences.
+
+    Each doc's whitespace-token count is clipped to the budget (a
+    real pipeline splits over-long docs; clipping keeps the packing
+    invariant exact), docs are ordered by the seeded shuffle key
+    within their shard, and a greedy in-order packer opens a new bin
+    whenever the next doc would overflow `budget`. Output: one row
+    per doc with (shard, bin_id, offset-within-bin).
+
+    The greedy reset is inherently sequential state, so it runs as
+    `applyInPandas` per shard — Python, but Arrow-batched, once per
+    doc (not per token), and parallel across all shards. Invariants
+    (pytest-pinned): per-bin token sums never exceed `budget`; bins
+    are dense 0..k per shard; offsets are the prefix sums of their
+    bin."""
+    n_tok = F.least(
+        F.size(F.filter(tokens(F.col(text_col)), lambda t: t != "")),
+        F.lit(budget),
+    ).cast("long")
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")))
+    keyed = docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        key.alias("shuffle_key"),
+    ).withColumn("shard", _shard_of(F.col("shuffle_key"), n_shards))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["shuffle_key", "doc_id"], kind="mergesort")
+        bins, offsets = [], []
+        bin_id, used = 0, 0
+        for n in pdf["n_tokens"]:
+            if used + n > budget and used > 0:
+                bin_id, used = bin_id + 1, 0
+            bins.append(bin_id)
+            offsets.append(used)
+            used += n
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "shard": pdf["shard"].to_numpy(),
+                "bin_id": bins,
+                "n_tokens": pdf["n_tokens"].to_numpy(),
+                "offset": offsets,
+            }
+        )
+
+    return keyed.groupBy("shard").applyInPandas(pack, PACK_SCHEMA)

@@ -19,7 +19,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..operators import dedup, joins, multimodal, pandas_udfs, similarity, text
+from ..operators import (
+    dedup,
+    joins,
+    multimodal,
+    packing,
+    pandas_udfs,
+    similarity,
+    text,
+)
 from ..sources.tables import TableSet
 from .catalog import query
 
@@ -563,6 +571,75 @@ def q_dataset_split(t: TableSet) -> DataFrame:
     """Hash-based train/val/test split — a doc's assignment never
     changes as the corpus grows (the property random splits lack)."""
     return text.dataset_split(t.documents)
+
+
+def _duck_nib(key: str, p: int) -> str:
+    return f"(strpos('0123456789abcdef', substr({key}, {p + 1}, 1)) - 1)"
+
+
+def _duck_shard(key: str, n: int) -> str:
+    """DuckDB mirror of packing._shard_of (first-16-bit md5 shard)."""
+    return (
+        f"(({_duck_nib(key, 0)} * 4096 + {_duck_nib(key, 1)} * 256 + "
+        f"{_duck_nib(key, 2)} * 16 + {_duck_nib(key, 3)}) % {n})"
+    )
+
+
+@query(
+    "vocab_topk",
+    oracle=f"""
+    SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split_regex({_NORM}, ' ')) AS tok
+          FROM documents)
+    WHERE tok <> ''
+    GROUP BY tok
+    ORDER BY n DESC, token
+    LIMIT 1000
+    """,
+)
+def q_vocab_topk(t: TableSet) -> DataFrame:
+    """Corpus token vocabulary, top 1000 by frequency (ties broken by
+    token text). Partial+final count, then TakeOrderedAndProject —
+    no global sort of the full token histogram."""
+    return packing.vocab_topk(t.documents)
+
+
+@query(
+    "shuffle_shards",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('{packing.SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR))
+               AS shuffle_key
+      FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, shuffle_key,
+             CAST({_duck_shard("shuffle_key", packing.N_SHARDS)} AS INTEGER)
+               AS shard
+      FROM keyed
+    )
+    SELECT doc_id, shuffle_key, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                   ORDER BY shuffle_key, doc_id) AS BIGINT)
+             AS pos
+    FROM sharded
+    """,
+)
+def q_shuffle_shards(t: TableSet) -> DataFrame:
+    """Deterministic seeded shuffle into training shards: md5 key →
+    16-bit shard → per-shard position (partitioned window only — no
+    global row_number funnel)."""
+    return packing.shuffle_shards(t.documents)
+
+
+@query("sequence_pack")  # rows-only: greedy reset is not SQL-expressible
+def q_sequence_pack(t: TableSet) -> DataFrame:
+    """Greedy fixed-budget sequence packing per shard via
+    applyInPandas. No oracle (sequential reset state isn't
+    SQL-expressible); invariants pinned by pytest against an
+    independent single-threaded packer."""
+    return packing.sequence_pack(t.documents)
 
 
 @query(

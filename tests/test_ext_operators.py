@@ -11,7 +11,13 @@ from __future__ import annotations
 
 import pytest
 
-from quasar_destination_h2_spark.operators import dedup, multimodal, similarity, text
+from quasar_destination_h2_spark.operators import (
+    dedup,
+    multimodal,
+    packing,
+    similarity,
+    text,
+)
 from quasar_destination_h2_spark.sources.tables import TableSet
 
 from conftest import SF_DIR
@@ -210,6 +216,46 @@ def test_pattern_flags_on_real_matches(spark):
                 "SELECT len(regexp_extract_all(?, ?))", [txt, rx]
             ).fetchone()[0]
             assert duck == got[doc_id][f"n_{name}"], (doc_id, name)
+
+
+def test_sequence_pack_matches_reference_packer(t):
+    """The distributed applyInPandas packer must agree row-for-row
+    with an independent single-threaded greedy packer over the same
+    (shard, shuffle_key) order, and respect the budget invariants."""
+    budget = packing.PACK_BUDGET
+    got = packing.sequence_pack(t.documents).collect()
+    keyed = {
+        r.doc_id: (r.shard, r.shuffle_key)
+        for r in packing.shuffle_shards(t.documents).collect()
+    }
+    toks = {
+        r.doc_id: min(r.n, budget)
+        for r in t.documents.selectExpr(
+            "doc_id",
+            r"size(filter(split(trim(regexp_replace(lower(text),'\\s+',' ')),' '),"
+            r" x -> x != '')) AS n",
+        ).collect()
+    }
+    # independent reference packer
+    by_shard: dict = {}
+    for doc_id, (shard, key) in keyed.items():
+        by_shard.setdefault(shard, []).append((key, doc_id))
+    want = {}
+    for shard, docs_ in by_shard.items():
+        bin_id, used = 0, 0
+        for key, doc_id in sorted(docs_):
+            n = toks[doc_id]
+            if used + n > budget and used > 0:
+                bin_id, used = bin_id + 1, 0
+            want[doc_id] = (shard, bin_id, n, used)
+            used += n
+    got_m = {r.doc_id: (r.shard, r.bin_id, r.n_tokens, r.offset) for r in got}
+    assert got_m == want
+    # budget invariant: no bin's token sum exceeds the budget
+    sums: dict = {}
+    for doc_id, (shard, bin_id, n, _) in got_m.items():
+        sums[(shard, bin_id)] = sums.get((shard, bin_id), 0) + n
+    assert all(s <= budget for s in sums.values())
 
 
 def test_dedup_clusters_transitive_chain(spark):
