@@ -249,6 +249,39 @@ def ivf_topk(
     )
 
 
+def quantize_int8(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector int8 scale quantization — the 4× storage/IO lever
+    for a 100 TB embedding store (float32 → uint8 codes + 2 floats).
+
+    Each vector is affinely mapped to codes 0..255 over its own
+    [min, max] range: code = floor((x - vmin)/scale + 0.5). Pure
+    per-row array arithmetic — zero shuffle, whole-stage codegen.
+    Output carries the codes (csv string — engine-neutral rendering),
+    the range, and the max reconstruction error (max, not sum: order-
+    independent, so cross-engine float comparison is exact)."""
+    x = F.transform(F.col(vec_col), lambda e: e.cast("double"))
+    vmin, vmax = F.array_min(x), F.array_max(x)
+    scale = (vmax - vmin) / F.lit(255.0)
+    codes = F.when(
+        vmax > vmin,
+        F.transform(x, lambda e: F.floor((e - vmin) / scale + 0.5).cast("int")),
+    ).otherwise(F.transform(x, lambda e: F.lit(0)))
+    recon_err = F.zip_with(
+        x, codes, lambda e, c: F.abs(vmin + c.cast("double") * scale - e)
+    )
+    return emb.select(
+        F.col(id_col),
+        F.round(vmin, 6).alias("vmin"),
+        F.round(vmax, 6).alias("vmax"),
+        F.array_join(
+            F.transform(codes, lambda c: c.cast("string")), ","
+        ).alias("codes_csv"),
+        F.round(F.array_max(recon_err), 6).alias("qerr_max"),
+    )
+
+
 def embedding_dedup_pairs(
     emb: DataFrame,
     threshold: float = 0.99,

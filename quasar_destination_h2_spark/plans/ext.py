@@ -391,6 +391,36 @@ def q_embed_dedup_pairs(t: TableSet) -> DataFrame:
     return similarity.embedding_dedup_pairs(t.embeddings, threshold=0.4)
 
 
+@query(
+    "embed_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS x
+               FROM embeddings),
+    m AS (SELECT vec_id, x, list_min(x) AS vmin, list_max(x) AS vmax FROM e),
+    q AS (
+      SELECT vec_id, x, vmin, vmax, (vmax - vmin) / 255.0 AS scale,
+             CASE WHEN vmax > vmin THEN
+               list_transform(x, v -> CAST(floor((v - vmin)
+                 / ((vmax - vmin) / 255.0) + 0.5) AS INTEGER))
+             ELSE list_transform(x, v -> 0) END AS codes
+      FROM m)
+    SELECT vec_id,
+           round(vmin, 6) AS vmin,
+           round(vmax, 6) AS vmax,
+           array_to_string(codes, ',') AS codes_csv,
+           round(list_max(list_transform(range(1, len(x) + 1),
+             i -> abs(vmin + codes[i] * scale - x[i]))), 6) AS qerr_max
+    FROM q
+    """,
+)
+def q_embed_quantize_int8(t: TableSet) -> DataFrame:
+    """Per-vector int8 scale quantization of the embedding store
+    (4x storage cut) with max reconstruction error — per-row array
+    arithmetic, zero shuffle; codes bit-identical across engines."""
+    return similarity.quantize_int8(t.embeddings)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
