@@ -43,11 +43,17 @@ def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _shingled(docs: DataFrame, text_col: str, k: int = 3) -> DataFrame:
-    """(doc_id, shingles array, n_shingles), docs with >= k tokens."""
+    """(doc_id, shingles array, n_shingles), docs with >= k tokens.
+
+    The eligibility filter runs on the cheap token count, BEFORE
+    shingling: a filter on size(shingles) would be alias-substituted
+    by predicate pushdown and re-evaluate the whole shingle build per
+    row (size(shingles) > 0 ⟺ size(tokens) >= k, since distinct
+    k-shingles of >= k tokens are never empty)."""
     toks = tokens(F.col(text_col))
     return (
-        docs.select("doc_id", word_shingles(toks, k).alias("shingles"))
-        .where(F.size("shingles") > 0)
+        docs.where(F.size(toks) >= k)
+        .select("doc_id", word_shingles(toks, k).alias("shingles"))
         .withColumn("n_sh", F.size("shingles"))
     )
 

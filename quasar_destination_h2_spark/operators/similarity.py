@@ -261,24 +261,43 @@ def quantize_int8(
     Output carries the codes (csv string — engine-neutral rendering),
     the range, and the max reconstruction error (max, not sum: order-
     independent, so cross-engine float comparison is exact)."""
+    from .text import bind_once
+
     x = F.transform(F.col(vec_col), lambda e: e.cast("double"))
-    vmin, vmax = F.array_min(x), F.array_max(x)
-    scale = (vmax - vmin) / F.lit(255.0)
-    codes = F.when(
-        vmax > vmin,
-        F.transform(x, lambda e: F.floor((e - vmin) / scale + 0.5).cast("int")),
-    ).otherwise(F.transform(x, lambda e: F.lit(0)))
-    recon_err = F.zip_with(
-        x, codes, lambda e, c: F.abs(vmin + c.cast("double") * scale - e)
+    # Bind (x, min, max) once per row: array_min/max inlined into the
+    # codes lambda would re-scan the vector per element (O(d^2)).
+    bound = F.struct(
+        x.alias("x"), F.array_min(x).alias("mn"), F.array_max(x).alias("mx")
     )
+
+    def out(s: Column) -> Column:
+        vmin, vmax = s["mn"], s["mx"]
+        scale = (vmax - vmin) / F.lit(255.0)
+        codes = F.when(
+            vmax > vmin,
+            F.transform(
+                s["x"], lambda e: F.floor((e - vmin) / scale + 0.5).cast("int")
+            ),
+        ).otherwise(F.transform(s["x"], lambda e: F.lit(0)))
+        recon_err = F.zip_with(
+            s["x"], codes, lambda e, c: F.abs(vmin + c.cast("double") * scale - e)
+        )
+        return F.struct(
+            F.round(vmin, 6).alias("vmin"),
+            F.round(vmax, 6).alias("vmax"),
+            F.array_join(
+                F.transform(codes, lambda c: c.cast("string")), ","
+            ).alias("codes_csv"),
+            F.round(F.array_max(recon_err), 6).alias("qerr_max"),
+        )
+
+    q = bind_once(bound, out)
     return emb.select(
         F.col(id_col),
-        F.round(vmin, 6).alias("vmin"),
-        F.round(vmax, 6).alias("vmax"),
-        F.array_join(
-            F.transform(codes, lambda c: c.cast("string")), ","
-        ).alias("codes_csv"),
-        F.round(F.array_max(recon_err), 6).alias("qerr_max"),
+        q["vmin"].alias("vmin"),
+        q["vmax"].alias("vmax"),
+        q["codes_csv"].alias("codes_csv"),
+        q["qerr_max"].alias("qerr_max"),
     )
 
 

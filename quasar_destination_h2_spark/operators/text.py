@@ -42,23 +42,36 @@ def tokens(col: Column) -> Column:
     return F.split(norm_text(col), " ")
 
 
-def word_shingles(toks: Column, k: int = 3) -> Column:
-    """Distinct k-word shingles (array<string>). Empty if < k tokens."""
-    # sequence(0, size-k) enumerates start offsets; transform builds
-    # each shingle JVM-side (no Python in the loop). Guard: Spark's
-    # sequence() auto-reverses when start > stop, so short docs must
-    # short-circuit to an empty array.
-    sh = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - k),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(k)]
-            ),
-        )
-    )
-    return F.when(F.size(toks) >= k, sh).otherwise(
+def bind_once(col: Column, build) -> Column:
+    """Evaluate `col` exactly once per row and hand the bound value to
+    `build`. Catalyst inlines aliased expressions into every use site
+    (CollapseProject), and expressions inlined into a higher-order-
+    function lambda are re-evaluated PER ELEMENT — so an expensive
+    expression (regex+split tokenization) referenced k times inside a
+    transform re-runs O(k * array_size) times per row (~40x measured
+    at sf0.1). Wrapping it as the single element of an array and
+    referencing only the lambda variable makes every use a bound-
+    value read: transform's collection argument is evaluated once."""
+    return F.get(F.transform(F.array(col), build), 0)
+
+
+def _shingles_of(tk: Column, k: int) -> Column:
+    """k-word shingles of a BOUND token array (see bind_once), with
+    duplicates, in positional order. Built from k slices zip_with-
+    joined pairwise — the lambdas touch only their element args."""
+    n_sh = F.greatest(F.size(tk) - (k - 1), F.lit(0))  # slice rejects <0
+    parts = [F.slice(tk, j + 1, n_sh) for j in range(k)]
+    joined = parts[0]
+    for p in parts[1:]:
+        joined = F.zip_with(joined, p, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(F.size(tk) >= k, joined).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (array<string>). Empty if < k tokens."""
+    return bind_once(toks, lambda tk: F.array_distinct(_shingles_of(tk, k)))
 
 
 def with_tokens(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -169,15 +182,25 @@ def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
     # exact decimal — order-independent, so the cross-engine average
     # is bit-stable (a raw double AVG is not)
     nll6 = F.round(-F.log2(F.col("tf") / F.lit(float(total))), 6)
+    # micro-units (1e-6) as exact integers; the per-doc average is
+    # rounded half-up with pure integer arithmetic ((2S+n) DIV 2n) —
+    # a double round(sum/count, 6) can land on a .5 boundary where
+    # Java (BigDecimal HALF_UP) and DuckDB (multiply-then-floor)
+    # disagree by one ulp (seen once at sf0.1).
+    micro = (nll6.cast("decimal(28,10)") * 1000000).cast("bigint")
     scored = (
         toks.join(F.broadcast(freqs), "tok")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                F.sum(nll6.cast("decimal(28,10)")).cast("double")
-                / F.count(F.lit(1)),
-                6,
+            F.sum(micro).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                F.expr("(2 * _s + n_tokens) DIV (2 * n_tokens)")
+                / F.lit(1000000.0)
             ).alias("avg_nll"),
         )
     )
@@ -246,11 +269,7 @@ def dataset_split(
 def _all_shingles(toks: Column, k: int) -> Column:
     """All k-word shingles WITH duplicates (unlike word_shingles) —
     the denominator of repetition metrics."""
-    sh = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
-    )
-    return F.when(F.size(toks) >= k, sh).otherwise(F.array().cast("array<string>"))
+    return bind_once(toks, lambda tk: _shingles_of(tk, k))
 
 
 def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -297,9 +316,11 @@ def contamination_check(
     back on doc_id — one shuffle, no cross product (the shape that
     survives 100 TB; a real pipeline feeds the benchmark suite in as
     the eval frame)."""
-    sh = (
-        docs.select("doc_id", word_shingles(tokens(F.col(text_col)), k).alias("g"))
-        .where(F.size(F.col("g")) >= 1)
+    # Filter on the cheap token count, not size(g): a filter on the
+    # alias would be pushdown-substituted and re-run the shingle
+    # build per row (size(g) >= 1 ⟺ size(tokens) >= k).
+    sh = docs.where(F.size(tokens(F.col(text_col))) >= k).select(
+        "doc_id", word_shingles(tokens(F.col(text_col)), k).alias("g")
     )
     is_eval = F.col("doc_id") % EVAL_MODULUS == 0
     eval_grams = (

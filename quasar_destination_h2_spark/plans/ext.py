@@ -533,9 +533,9 @@ toks AS (
     total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks)
     SELECT doc_id,
            COUNT(*) AS n_tokens,
-           round(CAST(SUM(CAST(round(-log2(tf / total.n), 6)
-                               AS DECIMAL(28,10))) AS DOUBLE)
-                 / COUNT(*), 6) AS avg_nll
+           ((2 * SUM(CAST(CAST(round(-log2(tf / total.n), 6)
+                               AS DECIMAL(28,10)) * 1000000 AS BIGINT))
+             + COUNT(*)) // (2 * COUNT(*))) / 1000000.0 AS avg_nll
     FROM toks JOIN freqs USING (tok), total
     GROUP BY doc_id
     """,
@@ -543,7 +543,8 @@ toks AS (
 def q_text_unigram_logprob(t: TableSet) -> DataFrame:
     """Corpus-unigram LM quality score (avg -log2 p(token)) — the
     perplexity-style curation filter. Per-token nll rounded before an
-    exact decimal sum, so the average is engine-stable."""
+    exact integer-micro sum; the average rounds half-up in integer
+    arithmetic, so it is bit-stable across engines."""
     return text.unigram_logprob(t.documents)
 
 
