@@ -26,6 +26,26 @@ TABLES = (
 )
 
 
+def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Local-fixture parallelism: the test parquet files are a single
+    rowgroup, so the scan is ONE task and every downstream per-row
+    computation runs on one core. Fan out to the session parallelism
+    when (and only when) the scan under-splits — at cluster scale a
+    real table has >= parallelism splits and this branch never
+    triggers, so no shuffle is added to production plans."""
+    p = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < p:
+        return df.repartition(p)
+    return df
+
+
+#: Only the tables whose queries are CPU-bound per row (regex
+#: tokenization, shingling, hashing, vector arithmetic) repay a
+#: fan-out shuffle at fixture size; the relational tables' scans are
+#: cheaper than the extra exchange.
+_FAN_OUT_TABLES = frozenset({"documents", "embeddings"})
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
@@ -42,7 +62,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return df.withColumn(
             "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
         )
-    return spark.read.parquet(path)
+    df = spark.read.parquet(path)
+    return _fan_out(spark, df) if name in _FAN_OUT_TABLES else df
 
 
 class TableSet:
