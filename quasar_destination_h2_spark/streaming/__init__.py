@@ -10,11 +10,14 @@ registry (tested by pytest round-trips instead, SURVEY §2.2).
 """
 
 from .events import (
+    clicks_to_purchases,
     dedup_events_stream,
+    enrich_events_stream,
     hourly_event_counts,
     read_events_stream,
     running_user_stats,
     session_windows,
+    stream_to_table,
 )
 
 __all__ = [
@@ -23,4 +26,7 @@ __all__ = [
     "dedup_events_stream",
     "running_user_stats",
     "session_windows",
+    "enrich_events_stream",
+    "clicks_to_purchases",
+    "stream_to_table",
 ]

@@ -138,6 +138,86 @@ def running_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_events_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a static
+    dimension (user_id → customer row). The static side is broadcast
+    per micro-batch — no stream state at all, the standard shape for
+    dimension enrichment at any scale."""
+    d = dim.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    return events.join(F.broadcast(d), "user_id", "left")
+
+
+def clicks_to_purchases(
+    events: DataFrame, horizon: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream join: each purchase joined to every click by the
+    same user in the preceding `horizon`. Both sides carry
+    watermarks, and the range condition bounds the join state to the
+    horizon — Spark drops buffered clicks older than
+    watermark+horizon, so state is finite at any input rate."""
+    clicks = (
+        events.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    cond = (
+        (clicks.c_user == purchases.p_user)
+        & (clicks.click_ts <= purchases.purchase_ts)
+        & (clicks.click_ts >= purchases.purchase_ts - F.expr(f"INTERVAL {horizon}"))
+    )
+    return clicks.join(purchases, cond).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "click_id",
+        "click_ts",
+        "value",
+    )
+
+
+def stream_to_table(events: DataFrame, table: str, checkpoint: str):
+    """foreachBatch append sink: lands each micro-batch of the stream
+    in a catalog table (parquet, append). With the checkpoint dir,
+    restarts resume from the last committed batch — the streaming
+    twin of the engine's INSERT append path."""
+
+    # the ORIGINAL session, not batch.sparkSession: micro-batches run
+    # in a cloned session whose relation-cache refresh would not
+    # invalidate the main session's cached file listing
+    main_session = events.sparkSession
+
+    def write_batch(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").format("parquet").saveAsTable(table)
+        # invalidate the cached file listing so readers of the table
+        # in the main session see the appended files immediately
+        main_session.catalog.refreshTable(table)
+
+    return (
+        events.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def session_windows(
     events: DataFrame, gap: str = "5 minutes", watermark: str = "1 hour"
 ) -> DataFrame:

@@ -13,11 +13,14 @@ from pyspark.sql import functions as F
 
 from quasar_destination_h2_spark.sources.tables import load_table
 from quasar_destination_h2_spark.streaming import (
+    clicks_to_purchases,
     dedup_events_stream,
+    enrich_events_stream,
     hourly_event_counts,
     read_events_stream,
     running_user_stats,
     session_windows,
+    stream_to_table,
 )
 
 from conftest import SF_DIR
@@ -139,6 +142,81 @@ def test_running_user_stats_accumulates_replayed_data(spark, events_dir):
         assert final == {u: 2 * n for u, n in batch.items()}
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_dir):
+    """Stream-static broadcast join == the same join run in batch."""
+    customers = load_table(spark, SF_DIR, "customer")
+    stream = read_events_stream(spark, events_dir)
+    got = run_to_memory(
+        spark, enrich_events_stream(stream, customers), "t_enrich", "append"
+    )
+    batch_events = load_table(spark, SF_DIR, "events")
+    batch = batch_events.join(
+        customers.select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        ),
+        "user_id",
+        "left",
+    )
+    assert got.count() == batch.count() == batch_events.count()
+    g = {r.event_id: r.segment for r in got.collect()}
+    for r in batch.collect():
+        assert g[r.event_id] == r.segment
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    """Watermarked stream-stream range join == the batch equivalent
+    (every purchase x its same-user clicks in the preceding hour)."""
+    stream = read_events_stream(spark, events_dir)
+    got = run_to_memory(
+        spark, clicks_to_purchases(stream), "t_ss_join", "append"
+    ).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = clicks.join(purchases, "user_id").where(
+        (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 hour"))
+    )
+    got_pairs = {(r.purchase_id, r.click_id) for r in got}
+    want_pairs = {(r.purchase_id, r.click_id) for r in batch.collect()}
+    assert got_pairs == want_pairs and len(got_pairs) > 0
+
+
+def test_foreachbatch_append_lands_all_rows(spark, events_dir):
+    """foreachBatch append sink: the landed table holds exactly the
+    streamed rows; a second replayed file appends, not replaces."""
+    ckpt = tempfile.mkdtemp(prefix="ckpt-")
+    spark.sql("DROP TABLE IF EXISTS stream_landing")
+    try:
+        stream = read_events_stream(spark, events_dir)
+        q = stream_to_table(stream, "stream_landing", ckpt)
+        q.awaitTermination(120)
+        n = load_table(spark, SF_DIR, "events").count()
+        assert spark.table("stream_landing").count() == n
+        # second file → appended on resume from the same checkpoint
+        shutil.copy(f"{events_dir}/part-0.parquet", f"{events_dir}/part-1.parquet")
+        try:
+            q2 = stream_to_table(
+                read_events_stream(spark, events_dir), "stream_landing", ckpt
+            )
+            q2.awaitTermination(120)
+            assert spark.table("stream_landing").count() == 2 * n
+        finally:
+            import os
+
+            os.remove(f"{events_dir}/part-1.parquet")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stream_landing")
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
 def test_session_windows_shape(spark, events_dir):
