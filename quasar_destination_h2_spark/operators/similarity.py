@@ -166,23 +166,40 @@ IVF_N_LIST = 16
 _IVF_SEED = 7
 
 
-def ivf_centroid_ids(n_vectors: int, n_list: int = IVF_N_LIST) -> list[int]:
-    rng = np.random.default_rng(_IVF_SEED)
-    return sorted(int(i) for i in rng.choice(n_vectors, size=n_list, replace=False))
+def ivf_centroids(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_list: int = IVF_N_LIST,
+) -> DataFrame:
+    """The n_list dataset vectors with the smallest md5('seed:id') —
+    a deterministic pseudorandom sample computed IN the plan (a
+    TakeOrderedAndProject top-k, no driver round-trip) that any other
+    engine reproduces exactly at any corpus size."""
+    key = F.md5(
+        F.concat(F.lit(f"{_IVF_SEED}:"), F.col(id_col).cast("string"))
+    )
+    return (
+        emb.select(
+            F.col(id_col).alias("centroid_id"),
+            F.col(vec_col).alias("cvec"),
+            key.alias("_k"),
+        )
+        .orderBy("_k", "centroid_id")
+        .limit(n_list)
+        .drop("_k")
+    )
 
 
 def ivf_assign(
     emb: DataFrame,
-    centroid_ids: list[int],
+    cents: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine —
     ties broken by lower centroid id). Broadcast the n_list centroid
     vectors; assignment is a per-row argmax, no shuffle."""
-    cents = emb.where(F.col(id_col).isin(centroid_ids)).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec")
-    )
     scored = emb.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     ).crossJoin(F.broadcast(cents)).select(
@@ -214,11 +231,8 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-flat ANN (nprobe=1): search only the query's own centroid
     list. At scale the corpus is partitioned (or stored bucketed) by
-    centroid_id, so a probe scans one inverted list, not the corpus.
-    The count() here is driver-side METADATA (centroid id draw), not
-    data movement."""
-    n = emb.count()
-    assigned = ivf_assign(emb, ivf_centroid_ids(n), id_col, vec_col)
+    centroid_id, so a probe scans one inverted list, not the corpus."""
+    assigned = ivf_assign(emb, ivf_centroids(emb, id_col, vec_col), id_col, vec_col)
     q = assigned.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),

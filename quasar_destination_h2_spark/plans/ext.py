@@ -813,7 +813,8 @@ def q_multimodal_frame_sample(t: TableSet) -> DataFrame:
     return multimodal.sample_frames(multimodal.as_media_table(t.documents))
 
 
-_IVF_IDS_SF001 = ", ".join(str(i) for i in similarity.ivf_centroid_ids(500))
+_IVF_SEED = similarity._IVF_SEED
+_IVF_N_LIST = similarity.IVF_N_LIST
 
 
 @query(
@@ -821,7 +822,10 @@ _IVF_IDS_SF001 = ", ".join(str(i) for i in similarity.ivf_centroid_ids(500))
     oracle=f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     cents AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
-              WHERE vec_id IN ({_IVF_IDS_SF001})),
+              WHERE vec_id IN (
+                SELECT vec_id FROM e
+                ORDER BY md5('{_IVF_SEED}:' || CAST(vec_id AS VARCHAR)), vec_id
+                LIMIT {_IVF_N_LIST})),
     assigned AS (
       SELECT vec_id, v, centroid_id FROM (
         SELECT e.vec_id, e.v, c.centroid_id,
@@ -848,12 +852,11 @@ _IVF_IDS_SF001 = ", ".join(str(i) for i in similarity.ivf_centroid_ids(500))
     """,
 )
 def q_ivf_topk_ann(t: TableSet) -> DataFrame:
-    """IVF-flat ANN (nprobe=1): coarse quantizer = 16 seeded dataset
-    vectors, every vector assigned to its nearest centroid, search
-    probes only the query's inverted list. At scale the corpus is
-    stored bucketed by centroid_id. (Oracle centroid ids are fixed
-    for the sf0.01 corpus of 500 vectors — the correctness gate's
-    scale; the Spark side derives them from the corpus size.)"""
+    """IVF-flat ANN (nprobe=1): coarse quantizer = 16 dataset vectors
+    picked by smallest md5(seed:id) — derived in-plan on BOTH engines,
+    so the oracle holds at any scale factor; every vector assigned to
+    its nearest centroid, search probes only the query's inverted
+    list. At scale the corpus is stored bucketed by centroid_id."""
     return similarity.ivf_topk(t.embeddings)
 
 
