@@ -135,6 +135,56 @@ def sample_frames(media: DataFrame) -> DataFrame:
     )
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("src_width", LongType()),
+        StructField("src_height", LongType()),
+        StructField("dst_width", LongType()),
+        StructField("dst_height", LongType()),
+        StructField("resized_md5", StringType()),
+    ]
+)
+
+#: Standard vision-model input size; the fake resize targets it.
+RESIZE_TO = (224, 224)
+
+
+def _fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Fake resize: source dims from the fake decode arithmetic,
+    'resized bytes' checksum = md5 of the source checksum + target
+    dims (deterministic, so an oracle reproduces it). A real
+    implementation (PIL Image.resize / cv2.resize) drops into this
+    exact Iterator[pd.DataFrame] shape, raising NotImplementedError
+    until the libs exist in the image."""
+    import hashlib
+
+    w, h = RESIZE_TO
+    for pdf in batches:
+        n = pdf["payload"].map(len)
+        src_md5 = pdf["payload"].map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "src_width": (n % 640 + 1).astype("int64"),
+                "src_height": (n * 7 % 480 + 1).astype("int64"),
+                "dst_width": pd.Series([w] * len(pdf), dtype="int64"),
+                "dst_height": pd.Series([h] * len(pdf), dtype="int64"),
+                "resized_md5": src_md5.map(
+                    lambda m: hashlib.md5(f"{m}:{w}x{h}".encode()).hexdigest()
+                ),
+            }
+        )
+
+
+def resize_media(media: DataFrame) -> DataFrame:
+    """Resize stage of the multimodal pipeline via mapInPandas —
+    Arrow-batched, no shuffle (resize runs where the bytes live)."""
+    return media.select("doc_id", "payload").mapInPandas(
+        _fake_resize, schema=RESIZED_SCHEMA
+    )
+
+
 def media_feature_summary(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """End-to-end multimodal pipeline: build media table → decode via
     pandas batches → join metadata back → aggregate by origin."""

@@ -792,6 +792,27 @@ def q_multimodal_decode(t: TableSet) -> DataFrame:
 
 
 @query(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT doc_id,
+           octet_length(encode(text)) % 640 + 1 AS src_width,
+           octet_length(encode(text)) * 7 % 480 + 1 AS src_height,
+           {multimodal.RESIZE_TO[0]} AS dst_width,
+           {multimodal.RESIZE_TO[1]} AS dst_height,
+           md5(md5(text) ||
+               ':{multimodal.RESIZE_TO[0]}x{multimodal.RESIZE_TO[1]}')
+             AS resized_md5
+    FROM documents
+    """,
+)
+def q_multimodal_resize(t: TableSet) -> DataFrame:
+    """Resize stage of the multimodal pipeline: mapInPandas fake
+    resize to 224x224 (real plumbing, deterministic checksum the
+    oracle reproduces)."""
+    return multimodal.resize_media(multimodal.as_media_table(t.documents))
+
+
+@query(
     "multimodal_frame_sample",
     oracle="""
     WITH d AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents),

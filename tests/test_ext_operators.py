@@ -324,6 +324,69 @@ def test_contamination_check_flags_overlap(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_multimodal_resize_schema_and_determinism(t):
+    from quasar_destination_h2_spark.operators.multimodal import (
+        RESIZE_TO,
+        as_media_table,
+        resize_media,
+    )
+
+    media = as_media_table(t.documents)
+    out = resize_media(media)
+    assert "MapInPandas" in physical_plan(out)
+    rows = out.collect()
+    assert len(rows) == t.documents.count()
+    again = {r.doc_id: r.resized_md5 for r in resize_media(media).collect()}
+    for r in rows:
+        assert (r.dst_width, r.dst_height) == RESIZE_TO
+        assert 1 <= r.src_width <= 640 and 1 <= r.src_height <= 480
+        assert again[r.doc_id] == r.resized_md5  # deterministic
+
+
+def test_word_shingles_property_matches_python_reference(spark):
+    """Hypothesis: the slice+zip_with shingle kernel agrees with a
+    trivial Python reference on arbitrary token lists (the kernel
+    under every dedup/contamination operator)."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    token = st.text(
+        alphabet=st.characters(blacklist_categories=("Zs", "Cc", "Cs")),
+        min_size=1,
+        max_size=6,
+    )
+    cases: list[list[str]] = []
+
+    @given(st.lists(token, max_size=12))
+    @settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+    def collect(toks):
+        cases.append(toks)
+
+    collect()
+
+    def ref_shingles(toks, k=3):
+        seen, out = set(), []
+        for i in range(max(0, len(toks) - k + 1)):
+            s = " ".join(toks[i : i + k])
+            if s not in seen:
+                seen.add(s)
+                out.append(s)
+        return out
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, toks) for i, toks in enumerate(cases)], ["i", "toks"]
+    )
+    got = {
+        r.i: r.sh
+        for r in df.select(
+            "i", text.word_shingles(F.col("toks")).alias("sh")
+        ).collect()
+    }
+    for i, toks in enumerate(cases):
+        assert got[i] == ref_shingles(toks), (i, toks)
+
+
 def test_winnow_fingerprints_cover_all_docs(t):
     fp = text.winnow_fingerprints(t.documents).collect()
     n_docs = t.documents.count()
