@@ -147,6 +147,7 @@ class Engine:
         except Exception as e:
             raise ConnectionFailed(str(e)) from e
         finally:
+            # non-blocking: never join a possibly-hung probe thread
             pool.shutdown(wait=False, cancel_futures=True)
 
     def _boot_servers(self) -> None:
