@@ -211,13 +211,13 @@ def dedup_clusters(
     adversarial chains. Output covers *every* doc (singletons are
     their own cluster), so `WHERE is_canonical` is the dedup filter.
     """
-    pairs = ngram_jaccard_pairs(docs, text_col, k, threshold)
-    edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionAll(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        .localCheckpoint()
+    # materialize the pair join ONCE; the symmetric edge union is
+    # then two cheap scans of the checkpoint, not two joins
+    pairs = ngram_jaccard_pairs(docs, text_col, k, threshold).localCheckpoint()
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     labels = docs.select(
         "doc_id", F.col("doc_id").alias("cluster_id")
