@@ -87,3 +87,43 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     )
     return lt.join(rt, [key, "_salt"], how).drop("_salt")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    by: Sequence[str],
+    bucket_seconds: int = 1800,
+) -> DataFrame:
+    """Point-in-interval range join via bucketization — the Spark
+    composition for a join Spark has no special form for (H2 1.4.200
+    has none either; SURVEY §2.2).
+
+    A naive `ts BETWEEN start AND end` theta join plans as a nested
+    loop — the O(n·m) scale-killer. Instead: each interval explodes
+    to the epoch buckets it covers (intervals are short, so a handful
+    of rows), each point maps to its single bucket, and the join runs
+    as a plain HASH join on (by…, bucket) with the exact range
+    predicate as a post-filter. Each (point, interval) pair meets in
+    exactly one bucket — the point's — so no dedup is needed.
+    `bucket_seconds` trades interval fan-out against bucket
+    selectivity; set it near the median interval length."""
+    by = list(by)
+    p_bucket = F.expr(f"CAST({ts_col} AS LONG) DIV {bucket_seconds}")
+    i_buckets = F.sequence(
+        F.expr(f"CAST({start_col} AS LONG) DIV {bucket_seconds}"),
+        F.expr(f"CAST({end_col} AS LONG) DIV {bucket_seconds}"),
+    )
+    pb = points.withColumn("_b", p_bucket)
+    ib = intervals.withColumn("_b", F.explode(i_buckets))
+    return (
+        pb.join(ib, [*by, "_b"])
+        .where(
+            (F.col(ts_col) >= F.col(start_col))
+            & (F.col(ts_col) <= F.col(end_col))
+        )
+        .drop("_b")
+    )

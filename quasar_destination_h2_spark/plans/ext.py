@@ -17,7 +17,7 @@ term).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from ..operators import (
     dedup,
@@ -25,6 +25,7 @@ from ..operators import (
     multimodal,
     packing,
     pandas_udfs,
+    rollup,
     similarity,
     text,
 )
@@ -884,6 +885,124 @@ def q_ivf_topk_ann(t: TableSet) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Custom join strategies
 # ---------------------------------------------------------------------------
+
+
+_ROLLUP_LEVEL_SQL = "\n      UNION ALL\n".join(
+    f"""
+      SELECT '{label}' AS resolution,
+             s // {width} * {width} AS bucket_s, event_type,
+             COUNT(*) AS n,
+             SUM(CAST(value AS DECIMAL(38,6))) AS vs
+      FROM e GROUP BY 2, 3"""
+    for label, width in rollup.RESOLUTIONS
+)
+
+
+@query(
+    "rollup_cascade",
+    oracle=f"""
+    WITH e AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+                      event_type, value
+               FROM events),
+    lvl AS ({_ROLLUP_LEVEL_SQL})
+    SELECT resolution, make_timestamp(bucket_s * 1000000) AS bucket_start,
+           event_type, n, CAST(vs AS DOUBLE) AS value_sum
+    FROM lvl
+    """,
+)
+def q_rollup_cascade(t: TableSet) -> DataFrame:
+    """Hypertable-style continuous aggregate: minute rollup from raw
+    events, hour from minutes, day from hours — counts-of-counts and
+    exact decimal sums-of-sums, so every level is bit-equal to
+    aggregating raw data (which is what the oracle does)."""
+    return rollup.rollup_cascade(t.events)
+
+
+@query("sketch_user_rollup")  # rows-only: HLL estimates are impl-defined
+def q_sketch_user_rollup(t: TableSet) -> DataFrame:
+    """Distinct-user rollup via mergeable DataSketches HLL: coarser
+    levels UNION the finer level's sketches (COUNT DISTINCT does not
+    re-aggregate; sketches do). Accuracy pinned by a pytest bound
+    against exact distinct counts."""
+    return rollup.user_sketch_rollup(t.events)
+
+
+@query(
+    "range_join_sessions",
+    oracle="""
+    WITH clk AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id
+                 FROM events WHERE event_type = 'click'),
+    marked AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       > INTERVAL 8 HOUR
+                  THEN 1 ELSE 0 END AS is_new
+      FROM clk),
+    sess_rows AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS session_id
+      FROM marked),
+    sessions AS (
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             MIN(ts) AS session_start, MAX(ts) AS session_end
+      FROM sess_rows GROUP BY user_id, session_id),
+    purch AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+              FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id, p.user_id, s.session_id,
+           s.session_start, s.session_end,
+           p.ts AS purchase_ts, p.value
+    FROM purch p JOIN sessions s
+      ON p.user_id = s.user_id
+     AND p.ts >= s.session_start AND p.ts <= s.session_end
+    """,
+)
+def q_range_join_sessions(t: TableSet) -> DataFrame:
+    """Point-in-interval range join: purchases placed into the click
+    session (8-hour gap — the corpus's click cadence) containing
+    them. Bucketized hash join — never the nested-loop a raw BETWEEN
+    theta join would plan."""
+    clicks = t.events.where(F.col("event_type") == "click")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = clicks.select(
+        "user_id", "ts", "event_id",
+        F.when(gap > 8 * 3600, 1).otherwise(0).alias("is_new"),
+    )
+    sessions = (
+        marked.withColumn(
+            "session_id",
+            F.sum("is_new")
+            .over(
+                Window.partitionBy("user_id")
+                .orderBy("ts", "event_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .cast("bigint"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+    purchases = t.events.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return joins.range_join(
+        purchases,
+        sessions,
+        "ts",
+        "session_start",
+        "session_end",
+        ["user_id"],
+        bucket_seconds=21600,
+    ).select(
+        "event_id", "user_id", "session_id", "session_start", "session_end",
+        F.col("ts").alias("purchase_ts"), "value",
+    )
 
 
 @query(

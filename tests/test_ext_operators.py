@@ -387,6 +387,77 @@ def test_word_shingles_property_matches_python_reference(spark):
         assert got[i] == ref_shingles(toks), (i, toks)
 
 
+def test_range_join_matches_theta_join_and_stays_hash(t):
+    """Bucketized range join == the naive BETWEEN theta join, but
+    plans as a hash join (the theta join would nested-loop)."""
+    from quasar_destination_h2_spark.operators import joins
+    from quasar_destination_h2_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(t.spark, SF_DIR, "events")
+    points = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    iv = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+    )
+    got = joins.range_join(points, iv, "ts", "lo", "hi", ["user_id"], 86400)
+    plan = physical_plan(got)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    want = points.join(iv, "user_id").where(
+        (F.col("ts") >= F.col("lo")) & (F.col("ts") <= F.col("hi"))
+    )
+    g = {(r.event_id, r.user_id) for r in got.collect()}
+    w = {(r.event_id, r.user_id) for r in want.collect()}
+    assert g == w and len(g) > 0
+
+
+def test_rollup_cascade_levels_consistent(t):
+    """Each coarser level's totals re-aggregate exactly to the same
+    grand totals (counts and decimal sums are re-aggregable)."""
+    from quasar_destination_h2_spark.operators import rollup
+
+    out = rollup.rollup_cascade(t.events).collect()
+    by_res: dict = {}
+    for r in out:
+        n, v = by_res.get(r.resolution, (0, 0.0))
+        by_res[r.resolution] = (n + r.n, v + r.value_sum)
+    totals = list(by_res.values())
+    assert len(totals) == len(rollup.RESOLUTIONS)
+    for n, v in totals[1:]:
+        assert n == totals[0][0]
+        assert v == pytest.approx(totals[0][1], rel=1e-12)
+
+
+def test_user_sketch_rollup_accuracy(t):
+    """HLL estimates at the coarsest level within 5% of exact
+    distinct counts (union of minute sketches == sketch of all)."""
+    from pyspark.sql import functions as F
+    from quasar_destination_h2_spark.operators import rollup
+
+    est = {
+        (r.bucket_start, r.event_type): r.approx_users
+        for r in rollup.user_sketch_rollup(t.events).collect()
+        if r.resolution == "1d"
+    }
+    secs = F.col("ts").cast("long")
+    exact = {
+        (r.b, r.event_type): r.n
+        for r in t.events.groupBy(
+            F.timestamp_seconds(secs - F.pmod(secs, F.lit(86400))).alias("b"),
+            "event_type",
+        )
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for k, e in est.items():
+        assert abs(e - exact[k]) <= max(1, 0.05 * exact[k]), (k, e, exact[k])
+
+
 def test_winnow_fingerprints_cover_all_docs(t):
     fp = text.winnow_fingerprints(t.documents).collect()
     n_docs = t.documents.count()
