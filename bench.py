@@ -39,6 +39,10 @@ HEADLINE = (
     "dedup_clusters",
     "vocab_topk",
     "sequence_pack",
+    # [EXT] time-series paths: multi-resolution re-aggregation +
+    # bucketized range join
+    "rollup_cascade",
+    "range_join_sessions",
 )
 
 
