@@ -1440,6 +1440,65 @@ def q_scalar_cast(t: TableSet) -> DataFrame:
 
 
 @query(
+    "agg_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6)))
+                FILTER (WHERE l_tax > 0.03) AS DOUBLE) AS taxed_price,
+           COUNT(*) FILTER (WHERE l_quantity >= 25) AS n_bulk
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_filter_clause(t: TableSet) -> DataFrame:
+    """Aggregate FILTER clauses (H2 1.4.200 grammar): per-aggregate
+    predicates in one pass — one shuffle, no self-joins."""
+    return t.lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.when(F.col("l_discount") > 0.05, 1)).alias("n_discounted"),
+        F.sum(
+            F.when(
+                F.col("l_tax") > 0.03, F.col("l_extendedprice").cast(DEC)
+            )
+        )
+        .cast("double")
+        .alias("taxed_price"),
+        F.count(F.when(F.col("l_quantity") >= 25, 1)).alias("n_bulk"),
+    )
+
+
+@query(
+    "values_inline_table",
+    oracle="""
+    SELECT v.tier, COUNT(*) AS n_nations
+    FROM nation n
+    JOIN (VALUES (0, 'americas'), (1, 'emea'), (2, 'apac'),
+                 (3, 'emea'), (4, 'apac'))
+         AS v(r_key, tier)
+      ON n.n_regionkey = v.r_key
+    GROUP BY v.tier
+    """,
+)
+def q_values_inline_table(t: TableSet) -> DataFrame:
+    """VALUES inline table (H2 grammar) joined to a real table — the
+    literal lookup-table pattern; the VALUES side broadcasts."""
+    spark = t.nation.sparkSession
+    tiers = spark.sql(
+        "SELECT * FROM VALUES (0, 'americas'), (1, 'emea'), (2, 'apac'), "
+        "(3, 'emea'), (4, 'apac') AS v(r_key, tier)"
+    )
+    return (
+        t.nation.join(
+            F.broadcast(tiers), F.col("n_regionkey") == F.col("r_key")
+        )
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n_nations"))
+    )
+
+
+@query(
     "agg_bool",
     oracle="""
     SELECT o_orderpriority,

@@ -458,6 +458,31 @@ def test_user_sketch_rollup_accuracy(t):
         assert abs(e - exact[k]) <= max(1, 0.05 * exact[k]), (k, e, exact[k])
 
 
+def test_operators_handle_empty_input(spark):
+    """Zero-row inputs must produce zero-row outputs, not exceptions —
+    a 100 TB pipeline routinely hits empty partitions/filters."""
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StringType, StructField, StructType,
+    )
+
+    empty_docs = spark.createDataFrame(
+        [], StructType([StructField("doc_id", LongType()),
+                        StructField("text", StringType())])
+    )
+    empty_emb = spark.createDataFrame(
+        [], StructType([StructField("vec_id", LongType()),
+                        StructField("embedding", ArrayType(FloatType()))])
+    )
+    assert dedup.exact_dedup(empty_docs).count() == 0
+    assert dedup.ngram_jaccard_pairs(empty_docs).count() == 0
+    assert dedup.dedup_clusters(empty_docs).count() == 0
+    assert text.repetition_stats(empty_docs).count() == 0
+    assert text.contamination_check(empty_docs).count() == 0
+    assert packing.vocab_topk(empty_docs).count() == 0
+    assert packing.sequence_pack(empty_docs).count() == 0
+    assert similarity.quantize_int8(empty_emb).count() == 0
+
+
 def test_winnow_fingerprints_cover_all_docs(t):
     fp = text.winnow_fingerprints(t.documents).collect()
     n_docs = t.documents.count()
