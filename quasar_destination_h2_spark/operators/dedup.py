@@ -211,6 +211,8 @@ def dedup_clusters(
     adversarial chains. Output covers *every* doc (singletons are
     their own cluster), so `WHERE is_canonical` is the dedup filter.
     """
+    from .iterate import fixpoint
+
     # materialize the pair join ONCE; the symmetric edge union is
     # then two cheap scans of the checkpoint, not two joins
     pairs = ngram_jaccard_pairs(docs, text_col, k, threshold).localCheckpoint()
@@ -219,32 +221,29 @@ def dedup_clusters(
     ).unionAll(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    labels = docs.select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
-    ).localCheckpoint()
-    prev_sum = None
-    for _ in range(max_iter):
+
+    def propagate(labels: DataFrame) -> DataFrame:
         nbr_min = (
             edges.join(labels, edges.src == labels.doc_id)
             .select(F.col("dst").alias("doc_id"), "cluster_id")
             .groupBy("doc_id")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
-        labels = (
-            labels.join(nbr_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()
+        return labels.join(nbr_min, "doc_id", "left").select(
+            "doc_id",
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+            ).alias("cluster_id"),
         )
-        cur = labels.agg(F.sum("cluster_id")).collect()[0][0]
-        if cur == prev_sum:
-            break
-        prev_sum = cur
+
+    labels = fixpoint(
+        docs.select("doc_id", F.col("doc_id").alias("cluster_id")),
+        propagate,
+        # label sum strictly decreases until the component minima fix
+        lambda df: df.agg(F.sum("cluster_id")).collect()[0][0],
+        max_iter,
+    )
     return labels.select(
         "doc_id",
         "cluster_id",

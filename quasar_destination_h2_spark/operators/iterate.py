@@ -1,0 +1,51 @@
+"""Fixpoint iteration — the engine's replacement for recursive CTEs.
+
+H2 1.4.200 supports ``WITH RECURSIVE`` (SURVEY §2.2 subqueries);
+Spark SQL has no recursive CTE form. The Spark-idiomatic equivalent
+is driver-controlled fixpoint iteration over DataFrames: apply a
+monotone step until the state stops changing. This module makes that
+pattern a first-class, reusable API instead of an ad-hoc loop:
+
+* each round builds the next state declaratively (joins/aggregates —
+  Catalyst optimizes every step);
+* ``localCheckpoint`` truncates lineage per round (without it the
+  plan nests one join per iteration and analysis time explodes long
+  before the data does; on a cluster, swap ``checkpoint`` to survive
+  executor loss);
+* convergence is detected with a caller-supplied numeric measure
+  that the step must strictly decrease (or leave fixed at the
+  fixpoint) — one tiny agg action per round, O(recursion depth)
+  rounds total, exactly like the recursive CTE it replaces.
+
+``dedup_clusters`` (connected components; DuckDB ``WITH RECURSIVE``
+oracle) is the conformance-gated user of this API.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+
+def fixpoint(
+    state: DataFrame,
+    step: Callable[[DataFrame], DataFrame],
+    measure: Callable[[DataFrame], float],
+    max_iter: int = 25,
+) -> DataFrame:
+    """Iterate ``state = step(state)`` until ``measure(state)`` stops
+    changing (the fixpoint) or ``max_iter`` rounds elapse.
+
+    ``measure`` must be invariant at — and only at — the fixpoint
+    (e.g. the sum of monotonically decreasing labels, or a row
+    count for monotonically growing reachability sets)."""
+    state = state.localCheckpoint()
+    prev = None
+    for _ in range(max_iter):
+        state = step(state).localCheckpoint()
+        cur = measure(state)
+        if cur == prev:
+            break
+        prev = cur
+    return state
