@@ -98,6 +98,56 @@ def shuffle_shards(
     )
 
 
+#: Target fraction of the corpus a temperature-mixed sample keeps.
+MIX_FRAC = 0.5
+
+
+def mixture_sample(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Temperature-based data-mixture sampling (α = 0.5): per-group
+    sampling rates ∝ sqrt(group size), the standard move to up-weight
+    under-represented slices of a training mix without discarding the
+    head. Groups here are document-length buckets; in a real pipeline
+    the group key is source/language/quality tier — same plan.
+
+    Shape: tiny per-group count table → rates (broadcast) → per-row
+    deterministic md5 threshold test. One aggregation over group
+    keys; the corpus itself is touched once, filter-only. sqrt (not
+    pow) because IEEE sqrt is correctly rounded in every engine —
+    rates come out bit-identical."""
+    n_tok = F.size(F.filter(tokens(F.col(text_col)), lambda x: x != ""))
+    bucket = (
+        F.when(n_tok < 40, "short").when(n_tok <= 60, "mid").otherwise("long")
+    )
+    keyed = docs.select("doc_id", bucket.alias("bucket"))
+    counts = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.agg(
+        F.sum("n").alias("tot_n"), F.sum(F.sqrt(F.col("n"))).alias("tot_w")
+    )
+    rates = counts.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("tot_n") * MIX_FRAC * F.sqrt(F.col("n"))
+                / F.col("tot_w") / F.col("n"),
+            ),
+            6,
+        ).alias("rate"),
+    )
+    key = F.md5(F.concat(F.lit("mix:"), F.col("doc_id").cast("string")))
+    frac16 = (
+        _hex_nibble(key, 0) * 4096
+        + _hex_nibble(key, 1) * 256
+        + _hex_nibble(key, 2) * 16
+        + _hex_nibble(key, 3)
+    ) / F.lit(65536.0)
+    return (
+        keyed.join(F.broadcast(rates), "bucket")
+        .where(frac16 < F.col("rate"))
+        .select("doc_id", "bucket", "rate")
+    )
+
+
 PACK_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),

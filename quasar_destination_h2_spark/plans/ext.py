@@ -665,6 +665,47 @@ def q_shuffle_shards(t: TableSet) -> DataFrame:
     return packing.shuffle_shards(t.documents)
 
 
+@query(
+    "mixture_sample",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id,
+             CASE WHEN ntok < 40 THEN 'short'
+                  WHEN ntok <= 60 THEN 'mid'
+                  ELSE 'long' END AS bucket
+      FROM (SELECT doc_id,
+                   len(list_filter(string_split_regex({_NORM}, ' '),
+                                   x -> x <> '')) AS ntok
+            FROM documents)),
+    c AS (SELECT bucket, COUNT(*) AS n FROM k GROUP BY bucket),
+    t AS (SELECT SUM(n) AS N, SUM(sqrt(n)) AS W FROM c),
+    r AS (SELECT bucket,
+                 round(least(1.0, t.N * {packing.MIX_FRAC} * sqrt(c.n)
+                                  / t.W / c.n), 6) AS rate
+          FROM c, t),
+    h AS (SELECT doc_id,
+                 ((strpos('0123456789abcdef', substr(md5('mix:' ||
+                     CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096 +
+                  (strpos('0123456789abcdef', substr(md5('mix:' ||
+                     CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256 +
+                  (strpos('0123456789abcdef', substr(md5('mix:' ||
+                     CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16 +
+                  (strpos('0123456789abcdef', substr(md5('mix:' ||
+                     CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) / 65536.0
+                 AS frac
+          FROM documents)
+    SELECT k.doc_id, k.bucket, r.rate
+    FROM k JOIN r USING (bucket) JOIN h USING (doc_id)
+    WHERE h.frac < r.rate
+    """,
+)
+def q_mixture_sample(t: TableSet) -> DataFrame:
+    """Temperature-based (α=0.5) data-mixture sample over length
+    buckets: rates ∝ sqrt(bucket size) broadcast against a single
+    filter-only pass over the corpus."""
+    return packing.mixture_sample(t.documents)
+
+
 @query("sequence_pack")  # rows-only: greedy reset is not SQL-expressible
 def q_sequence_pack(t: TableSet) -> DataFrame:
     """Greedy fixed-budget sequence packing per shard via
