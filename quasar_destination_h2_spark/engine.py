@@ -207,6 +207,28 @@ class Engine:
     # mutation; Delta/Iceberg would upgrade these to transactional
     # single-statement ops with the same call signatures) ------------
 
+    def _ensure_registered(self, physical: str) -> None:
+        """Cross-process DML support: a fresh process's session catalog
+        has never heard of a table a previous engine materialized, so
+        append/overwrite ``saveAsTable`` would take the create-table
+        path and fail with LOCATION_ALREADY_EXISTS. Re-register the
+        warehouse directory as a parquet table (schema inferred from
+        the existing files) before any DML write. No-op when the
+        session already knows the table."""
+        import os
+
+        from .sources.sink import warehouse_path
+
+        if self.spark.catalog.tableExists(physical):
+            return
+        path = warehouse_path(self.spark, physical)
+        if os.path.isdir(path):
+            escaped = path.replace("'", "''")
+            self.spark.sql(
+                f"CREATE TABLE {hygienic_ident(physical)} USING parquet "
+                f"LOCATION '{escaped}'"
+            )
+
     def insert_into(
         self,
         logical_name: str,
@@ -215,9 +237,11 @@ class Engine:
     ) -> int:
         """INSERT INTO (append): validate the column list exactly like
         the create sink, then append the CSV to the existing table.
-        Returns the number of appended rows."""
+        Accepts the same payloads as consume() (embedded-newline CSVs
+        retry via the shared multiLine fallback). Returns the number
+        of appended rows."""
         from .types import ensure_valid_columns
-        from .sources.csv_format import read_csv
+        from .sources.sink import load_csv_with_fallback
 
         physical = self.sink.catalog.get(logical_name)
         if physical is None:
@@ -225,6 +249,7 @@ class Engine:
 
             raise NotAResource(logical_name)
         schema = ensure_valid_columns(columns, self.sink.type_options)
+        self._ensure_registered(physical)
         tmp = None
         try:
             if isinstance(source, str):
@@ -232,10 +257,15 @@ class Engine:
             else:
                 tmp = self.sink._spool(source)
                 csv_path = tmp
-            df = read_csv(self.spark, csv_path, schema)
-            n = df.count()
-            df.write.mode("append").format("parquet").saveAsTable(physical)
-            return n
+            df = load_csv_with_fallback(
+                self.spark,
+                csv_path,
+                schema,
+                lambda d: d.write.mode("append")
+                .format("parquet")
+                .saveAsTable(physical),
+            )
+            return df.count()
         finally:
             if tmp is not None:
                 import os
@@ -249,16 +279,29 @@ class Engine:
         """Overwrite `physical` with `df` via a staging table (Spark
         cannot overwrite a parquet table from a plan that reads it —
         the staging hop materializes first). Two sequential parallel
-        writes; at cluster scale both are shuffle-free scans."""
+        writes; at cluster scale both are shuffle-free scans.
+
+        The final write is ``insertInto(overwrite=True)`` when the
+        table exists: DML preserves the table's schema, and unlike
+        ``saveAsTable(mode=overwrite)`` it truncates IN PLACE — which
+        also works on a table re-registered EXTERNAL after a process
+        restart (saveAsTable would drop it and refuse to recreate a
+        managed table over the surviving location)."""
         from .sources.sink import clear_stale_location
 
+        self._ensure_registered(physical)
         staging = f"{physical}_rw"
         clear_stale_location(self.spark, staging)
         df.write.mode("overwrite").format("parquet").saveAsTable(staging)
         try:
-            self.spark.table(staging).write.mode("overwrite").format(
-                "parquet"
-            ).saveAsTable(physical)
+            staged = self.spark.table(staging)
+            if self.spark.catalog.tableExists(physical):
+                cols = self.spark.table(physical).columns
+                staged.select(*cols).write.insertInto(physical, overwrite=True)
+            else:
+                staged.write.mode("overwrite").format("parquet").saveAsTable(
+                    physical
+                )
         finally:
             self.spark.sql(f"DROP TABLE IF EXISTS {hygienic_ident(staging)}")
 

@@ -80,7 +80,20 @@ def salted_join(
     """Skew-safe equi-join on `key`: probe rows get a deterministic
     salt (hash of the whole row modulo n), build rows are replicated
     across all salts, and the join runs on (key, salt). Equivalent to
-    `left.join(right, key, how)` row-for-row."""
+    `left.join(right, key, how)` row-for-row — for probe-preserving
+    join types only. `how` is restricted to inner / left / semi /
+    anti: the build side is replicated ``n_salts`` times, so a
+    right/full outer join would emit each unmatched build row once
+    per salt instead of once. (Outer parity would need a post-join
+    dedup of the replicated null-matched rows; use AQE skew-join for
+    those shapes instead.)"""
+    allowed = {"inner", "left", "leftouter", "leftsemi", "semi", "leftanti", "anti"}
+    if how.lower().replace("_", "") not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — the replicated build "
+            "side would duplicate unmatched right rows; use "
+            "inner/left/left_semi/left_anti"
+        )
     salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
     lt = left.withColumn("_salt", salt)
     rt = right.withColumn(

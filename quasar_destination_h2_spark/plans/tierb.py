@@ -1314,9 +1314,9 @@ def q_scalar_date(t: TableSet) -> DataFrame:
     SELECT s_suppkey,
            ABS(s_acctbal - 5000) AS centered,
            CAST(MOD(s_suppkey, 7) AS BIGINT) AS mod7,
-           ROUND(s_acctbal, 1) AS rounded,
-           CEIL(s_acctbal) AS up_int,
-           FLOOR(s_acctbal) AS down_int,
+           CAST(ROUND(CAST(s_acctbal AS DECIMAL(18,2)), 1) AS DOUBLE) AS rounded,
+           CAST(CEIL(s_acctbal) AS BIGINT) AS up_int,
+           CAST(FLOOR(s_acctbal) AS BIGINT) AS down_int,
            ROUND(POWER(ABS(s_acctbal) + 1, 0.5), 6) AS p_half,
            ROUND(SQRT(ABS(s_acctbal)), 6) AS root,
            ROUND(LN(ABS(s_acctbal) + 1), 6) AS log_nat
@@ -1331,7 +1331,7 @@ def q_scalar_math(t: TableSet) -> DataFrame:
         "s_suppkey",
         F.abs(bal - 5000).alias("centered"),
         F.pmod(F.col("s_suppkey"), F.lit(7)).cast("bigint").alias("mod7"),
-        F.round(bal, 1).alias("rounded"),
+        F.round(bal.cast("decimal(18,2)"), 1).cast("double").alias("rounded"),
         F.ceil(bal).alias("up_int"),
         F.floor(bal).alias("down_int"),
         F.round(F.pow(F.abs(bal) + 1, F.lit(0.5)), 6).alias("p_half"),

@@ -71,6 +71,91 @@ def clear_stale_location(spark: SparkSession, physical: str) -> None:
         pass  # best effort — the write surfaces any real failure
 
 
+def prepare_replace(spark: SparkSession, physical: str) -> None:
+    """Make `physical` safely replaceable by an overwrite-saveAsTable.
+
+    * table unknown to the session catalog → remove any stale
+      warehouse directory a previous process left behind
+      (clear_stale_location);
+    * table registered EXTERNAL (the cross-process DML path
+      re-registers surviving warehouse dirs as external) → drop it and
+      remove the location, because ``saveAsTable(mode=overwrite)``
+      would drop the external entry WITHOUT deleting its files and
+      then refuse to create a managed table over them
+      (LOCATION_ALREADY_EXISTS). Schema may change between pushes, so
+      an in-place INSERT OVERWRITE is not an option here;
+    * table registered MANAGED → leave it: the overwrite commit flips
+      readers to the new data atomically (the reference's
+      one-transaction DROP+CREATE, H2CsvCreateSink.scala:55-58).
+    """
+    try:
+        if spark.catalog.tableExists(physical):
+            t = spark.catalog.getTable(physical)
+            if (t.tableType or "").upper() == "EXTERNAL":
+                from ..idents import hygienic_ident
+
+                spark.sql(f"DROP TABLE IF EXISTS {hygienic_ident(physical)}")
+                shutil.rmtree(
+                    warehouse_path(spark, physical), ignore_errors=True
+                )
+            return
+    except Exception:
+        pass  # fall through to the stale-location sweep
+    clear_stale_location(spark, physical)
+
+
+def sniff_linesep(path: str) -> str:
+    """Detect the record terminator of a CSV file for the multiLine
+    retry path. H2's CSVREAD accepts both ``\\r\\n`` and bare ``\\n``
+    terminators, so hard-coding either breaks the other (a payload
+    with bare-\\n records plus quoted embedded newlines would parse as
+    one giant record under a forced \\r\\n lineSep). A well-formed CSV
+    export ends with a record terminator, which by definition is
+    outside any quoted field — so the file's tail is the reliable
+    signal; majority vote is the no-trailing-newline fallback."""
+    try:
+        with open(path, "rb") as f:
+            f.seek(0, os.SEEK_END)
+            size = f.tell()
+            f.seek(max(0, size - (1 << 16)))
+            tail = f.read()
+    except OSError:
+        return "\r\n"
+    if tail.endswith(b"\r\n"):
+        return "\r\n"
+    if tail.endswith(b"\n"):
+        return "\n"
+    crlf = tail.count(b"\r\n")
+    return "\r\n" if crlf * 2 > tail.count(b"\n") else "\n"
+
+
+def load_csv_with_fallback(spark, csv_path, schema, write, on_retry=None):
+    """Read `csv_path` with the fast splittable line-oriented scan and
+    run `write(df)`; if the scan chokes on quoted embedded newlines
+    (legal wire format; H2 CSVREAD loads them), retry whole-file with
+    multiLine + a sniffed record terminator (explicit lineSep stops
+    univocity normalizing ``\\r\\n`` INSIDE quoted values to ``\\n`` —
+    H2 preserves verbatim). `on_retry` runs before the second write
+    (e.g. to clear a half-created table). Returns the DataFrame that
+    was successfully written. Shared by the create sink's consume()
+    and Engine.insert_into so both paths accept the same payloads."""
+    df = read_csv(spark, csv_path, schema)
+    try:
+        write(df)
+        return df
+    except Exception as e:
+        if "FAILED_READ_FILE" not in str(e) and "Malformed" not in str(e):
+            raise
+        df = read_csv(
+            spark, csv_path, schema,
+            multiLine="true", lineSep=sniff_linesep(csv_path),
+        )
+        if on_retry is not None:
+            on_retry()
+        write(df)
+        return df
+
+
 def ensure_valid_table_name(path: "str | Sequence[str]") -> str:
     """Accept exactly one path segment as the table name, else
     NotAResource — parity with ``H2CsvCreateSink.scala:66-70`` and the
@@ -132,7 +217,15 @@ class CsvCreateSink:
     def _persist_catalog(self) -> None:
         """Overwrite the metadata table with the current mapping. The
         table is metadata-scale (one row per loaded table), so a full
-        rewrite per push is O(tables), not O(data)."""
+        rewrite per push is O(tables), not O(data).
+
+        Concurrency contract: SINGLE WRITER per warehouse. Two engine
+        processes pushing to the same warehouse can interleave the
+        clear+overwrite and lose each other's logical→physical
+        entries (the reference delegates this to H2's server-side
+        catalog; a multi-writer deployment here would use a
+        transactional table format — Delta/Iceberg — for the
+        metadata table)."""
         rows = [(k, v) for k, v in self.catalog.items()]
         # NOTE no coalesce(1): coalescing a parallelized local
         # relation costs seconds at high local[*] parallelism (one
@@ -159,29 +252,23 @@ class CsvCreateSink:
             else:
                 tmp = self._spool(source)  # step 3
                 csv_path = tmp
-            df = read_csv(self.spark, csv_path, schema)
             physical = storage_safe_name(table)
-            clear_stale_location(self.spark, physical)
+            prepare_replace(self.spark, physical)
             # step 4 — atomic replace: overwrite commit flips the table
             # in the catalog (parity: one-transaction drop+create,
             # H2CsvCreateSink.scala:55-58; replace semantics pinned by
-            # H2DestinationSpec.scala:226-237).
-            try:
-                df.write.mode("overwrite").format("parquet").saveAsTable(physical)
-            except Exception as e:
-                # Splittable line-oriented scan chokes on quoted
-                # embedded newlines (legal wire format; H2 CSVREAD
-                # loads them). Retry whole-file: correct, unsplittable.
-                if "FAILED_READ_FILE" not in str(e) and "Malformed" not in str(e):
-                    raise
-                # explicit lineSep stops univocity normalizing \r\n
-                # INSIDE quoted values to \n (H2 preserves verbatim)
-                df = read_csv(
-                    self.spark, csv_path, schema,
-                    multiLine="true", lineSep="\r\n",
-                )
-                clear_stale_location(self.spark, physical)
-                df.write.mode("overwrite").format("parquet").saveAsTable(physical)
+            # H2DestinationSpec.scala:226-237). The splittable scan is
+            # tried first; embedded-newline payloads fall back to a
+            # whole-file multiLine read (load_csv_with_fallback).
+            load_csv_with_fallback(
+                self.spark,
+                csv_path,
+                schema,
+                lambda df: df.write.mode("overwrite")
+                .format("parquet")
+                .saveAsTable(physical),
+                on_retry=lambda: prepare_replace(self.spark, physical),
+            )
             self.catalog[table] = physical
             self._persist_catalog()
             return physical

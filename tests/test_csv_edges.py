@@ -37,6 +37,27 @@ def test_embedded_newline_in_quoted_value(engine):
     ]
 
 
+def test_bare_lf_records_with_embedded_crlf(engine):
+    """H2 CSVREAD accepts bare-\\n record separators too; a payload
+    mixing them with quoted embedded \\r\\n must not collapse into one
+    giant record under the multiLine retry (the retry sniffs the
+    terminator instead of hard-coding \\r\\n)."""
+    csv = b'1,"a\r\nb"\n2,c\n'
+    engine.csv_create_sink().consume("/nl_lf", COLS, csv)
+    rows = sorted((float(r.x), r.y) for r in engine.table("nl_lf").collect())
+    assert rows == [(1.0, "a\r\nb"), (2.0, "c")]
+
+
+def test_insert_into_embedded_newline(engine):
+    """INSERT append accepts the same embedded-newline payloads as
+    consume() — both route through the shared multiLine fallback."""
+    engine.csv_create_sink().consume("/nl_ins", COLS, b"1,base\r\n")
+    n = engine.insert_into("nl_ins", COLS, b'2,"x\r\ny"\r\n3,z\r\n')
+    assert n == 2
+    rows = sorted((float(r.x), r.y) for r in engine.table("nl_ins").collect())
+    assert rows == [(1.0, "base"), (2.0, "x\r\ny"), (3.0, "z")]
+
+
 # printable-ish strings incl. quotes, commas, newlines, unicode; no
 # NUL (not representable in the wire format) and not all-empty (an
 # empty field is NULL by spec, and a lone empty row is dropped).

@@ -164,6 +164,17 @@ def test_salted_join_equals_plain_join(t):
     assert a == b
 
 
+def test_salted_join_rejects_build_duplicating_how(t):
+    """right/full outer would emit each unmatched build row once per
+    salt — the operator must refuse rather than silently duplicate."""
+    import pytest
+    from quasar_destination_h2_spark.operators import joins
+
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            joins.salted_join(t.orders, t.customer, "o_custkey", how=how)
+
+
 def test_asof_join_semantics(t):
     """Every attached value must be the max-timestamp purchase at or
     before the click, verified row-by-row against a pandas replay."""

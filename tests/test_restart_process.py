@@ -64,6 +64,38 @@ SCRIPT_READ = textwrap.dedent(
 )
 
 
+SCRIPT_DML = textwrap.dedent(
+    """
+    import json, sys
+    sys.path.insert(0, {repo!r})
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", {wh!r}).getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    from quasar_destination_h2_spark.engine import Engine
+    from quasar_destination_h2_spark.types import Column, ColumnType
+    e = Engine.from_config(json.dumps({{"connectionUri": {wh!r}}}), spark=spark)
+    name = 'restart"; DROP TABLE x; --'
+    cols = [Column("k", ColumnType.NUMBER), Column("v", ColumnType.STRING)]
+    # DML against a table THIS process never created: the session
+    # catalog has never heard of it, only the warehouse has.
+    n = e.insert_into(name, cols, b"9,w\\r\\n")
+    assert n == 1, n
+    assert e.table(name).count() == 3
+    m = e.update_where(name, {{"v": "'Z'"}}, "k = 7")
+    assert m == 1, m
+    d = e.delete_where(name, "k = 8")
+    assert d == 1, d
+    rows = sorted((float(r.k), r.v) for r in e.table(name).collect())
+    assert rows == [(7.0, "Z"), (9.0, "w")], rows
+    print("DML-OK")
+    spark.stop()
+    """
+)
+
+
 def _run(script: str) -> str:
     p = subprocess.run(
         [sys.executable, "-c", script], capture_output=True, text=True, timeout=300
@@ -81,3 +113,18 @@ def test_table_survives_process_restart():
     assert "LOADED" in out1
     out2 = _run(SCRIPT_READ.format(repo=repo, wh=wh))
     assert "READBACK-OK" in out2
+
+
+def test_dml_survives_process_restart():
+    """INSERT/UPDATE/DELETE in a FRESH process against a table a
+    previous engine materialized: append/overwrite saveAsTable must
+    not take the create-table path (LOCATION_ALREADY_EXISTS) — the
+    engine re-registers the warehouse directory first."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wh = tempfile.mkdtemp(prefix="restart-dml-wh-")
+    out1 = _run(SCRIPT_LOAD.format(repo=repo, wh=wh))
+    assert "LOADED" in out1
+    out2 = _run(SCRIPT_DML.format(repo=repo, wh=wh))
+    assert "DML-OK" in out2

@@ -37,14 +37,17 @@ def duck_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # canonical value rendering so dtype differences don't matter
+    # DRIVER-STRICT value rendering: int64 and float64 render
+    # distinctly (8753 vs 8753.0). Collapsing integral floats to int
+    # strings is exactly the leniency that let the r2 scalar_math
+    # CEIL/FLOOR LONG-vs-DOUBLE drift ship unverified — never do it.
     def render(v):
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "<NULL>"
+        if isinstance(v, bool):
+            return str(v)
         if isinstance(v, float):
-            if v == int(v) and abs(v) < 1e15:
-                return str(int(v))
-            return repr(v)
+            return repr(float(v))
         return str(v)
 
     out = df.map(render)
