@@ -185,6 +185,18 @@ class Engine:
         """Tier-B surface: full Spark SQL over loaded tables."""
         return self.spark.sql(query)
 
+    def execute_sql(self, statement: str):
+        """SQL statement surface with H2-parity DML: UPDATE / DELETE /
+        MERGE text is parsed and dispatched to the engine's
+        rewrite-based DML (returning a JDBC-style update count), every
+        other statement runs as plain Spark SQL (returning its
+        DataFrame) — the reference's users issue these as SQL because
+        H2 parses them server-side (H2Server.scala:60-84). See
+        sql_dml module docstring for dialect + wire-endpoint notes."""
+        from . import sql_dml
+
+        return sql_dml.execute(self, statement)
+
     def table(self, logical_name: str) -> DataFrame:
         return self.sink.table(logical_name)
 

@@ -99,7 +99,17 @@ def start_sql_endpoint(
     (H2Server.scala:60-84). ``-tcpPort``/``-pgPort`` args are honored
     as the listen port on first start. Returns ``(handle,
     effective_port)``, or None if the thriftserver classes are
-    missing from the distribution."""
+    missing from the distribution.
+
+    Statement-surface caveat: the Thrift server executes SQL JVM-side,
+    so wire clients get the full read surface (SELECT over every
+    sink-loaded table) but NOT UPDATE/DELETE/MERGE on parquet tables —
+    Spark only parses those for transactional formats (Delta/Iceberg).
+    The engine provides that H2 statement surface in-process instead:
+    ``Engine.execute_sql`` parses the three DML verbs and dispatches
+    to the rewrite-based DML (see ``sql_dml``). Wire-level DML parity
+    would require a Delta/Iceberg warehouse — documented trade-off,
+    SURVEY §2.2."""
     global _shared_endpoint, _shared_port
     requested = endpoint_port(args)
     if _shared_endpoint is not None:

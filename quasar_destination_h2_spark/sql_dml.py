@@ -1,0 +1,248 @@
+"""SQL-statement DML: parse-and-dispatch for UPDATE / DELETE / MERGE.
+
+The reference's users issue DML as SQL text because H2 parses it
+server-side (``H2Server.scala:60-84`` boots the TCP/PG servers over
+the same database the sink writes). Spark SQL cannot run UPDATE /
+DELETE / MERGE on parquet tables, so the engine provides the same
+statement surface by parsing these three verbs itself and dispatching
+to the rewrite-based DML (``Engine.update_where`` /
+``delete_where`` / ``merge_into``). Everything else passes through to
+``spark.sql`` untouched.
+
+Dialect notes:
+
+* statement-level identifiers (table name, SET / column-list / KEY
+  targets) accept H2 double-quoted form, backticks, or bare names;
+* value / condition EXPRESSIONS are evaluated by Spark
+  (``F.expr``) — Spark SQL expression dialect, i.e. backtick-quote
+  any non-trivial column name inside an expression;
+* MERGE implements H2 1.4.200's legacy form
+  ``MERGE INTO t [(cols)] KEY (keycols) { VALUES (...), ... | SELECT ... }``
+  (H2 without a KEY clause falls back to the primary key — parquet
+  tables have none, so KEY is required here);
+* the Spark Thrift endpoint executes SQL JVM-side and cannot be
+  intercepted per-statement from Python, so a JDBC wire client still
+  cannot issue UPDATE/DELETE/MERGE against parquet tables — that
+  wire-level parity requires a transactional table format
+  (Delta/Iceberg). ``Engine.execute_sql`` is the in-process
+  statement surface; see ``server.py``.
+
+Keyword scanning is done on a "shadow" copy of the statement in which
+string literals and quoted identifiers are blanked out, so hostile
+table names containing ``WHERE``/``SET``/commas can never confuse the
+splitter (same defensive posture as ``idents.py``).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from pyspark.sql import functions as F
+
+
+def _shadow(sql: str) -> str:
+    """Same-length copy with the CONTENTS of '...' literals (with ''
+    escapes), "..." identifiers and `...` identifiers replaced by
+    spaces — keyword/comma scans run on this, slicing on the
+    original."""
+    out = list(sql)
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in ("'", '"', "`"):
+            j = i + 1
+            while j < n:
+                if sql[j] == c:
+                    if c == "'" and j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            for k in range(i + 1, min(j, n)):
+                out[k] = " "
+            i = j + 1
+        else:
+            i += 1
+    return "".join(out)
+
+
+def _parse_ident(sql: str, shadow: str, pos: int) -> tuple[str, int]:
+    """Parse one identifier at `pos` (skipping leading whitespace);
+    returns (name, next_pos)."""
+    while pos < len(sql) and sql[pos].isspace():
+        pos += 1
+    if pos >= len(sql):
+        raise ValueError("expected identifier, found end of statement")
+    c = sql[pos]
+    if c in ('"', "`"):
+        end = sql.find(c, pos + 1)
+        # '' / `` escapes are not used by our physical names; the
+        # shadow already blanked the contents so find() is the close
+        while end != -1 and c == '"' and end + 1 < len(sql) and sql[end + 1] == '"':
+            end = sql.find(c, end + 2)
+        if end == -1:
+            raise ValueError(f"unterminated quoted identifier at {pos}")
+        raw = sql[pos + 1 : end]
+        return (raw.replace('""', '"') if c == '"' else raw), end + 1
+    m = re.compile(r"[A-Za-z_][\w$]*").match(sql, pos)
+    if not m:
+        raise ValueError(f"expected identifier at position {pos}")
+    return m.group(0), m.end()
+
+
+def _split_top_level(sql: str, shadow: str, start: int, end: int) -> list[str]:
+    """Split sql[start:end] on commas at paren depth 0 (scanned on the
+    shadow so quoted commas never split)."""
+    parts, depth, seg_start = [], 0, start
+    for i in range(start, end):
+        c = shadow[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "," and depth == 0:
+            parts.append(sql[seg_start:i])
+            seg_start = i + 1
+    parts.append(sql[seg_start:end])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _find_kw(shadow: str, kw: str, start: int = 0) -> Optional[re.Match]:
+    return re.compile(rf"\b{kw}\b", re.I).search(shadow, start)
+
+
+def parse_update(sql: str, shadow: str):
+    """-> (table, {col: expr_text}, cond_text)"""
+    m = re.compile(r"\s*UPDATE\s", re.I).match(shadow)
+    table, pos = _parse_ident(sql, shadow, m.end())
+    mset = re.compile(r"\s*SET\s", re.I).match(shadow, pos)
+    if not mset:
+        raise ValueError("UPDATE: expected SET")
+    mwhere = _find_kw(shadow, "WHERE", mset.end())
+    set_end = mwhere.start() if mwhere else len(sql)
+    assignments = {}
+    for part in _split_top_level(sql, shadow, mset.end(), set_end):
+        ps = _shadow(part)
+        eq = ps.find("=")
+        if eq == -1:
+            raise ValueError(f"UPDATE: bad assignment {part!r}")
+        col, after = _parse_ident(part, ps, 0)
+        if part[after:eq].strip():
+            raise ValueError(f"UPDATE: bad assignment target {part!r}")
+        assignments[col] = part[eq + 1 :].strip()
+    cond = sql[mwhere.end() :].strip() if mwhere else "true"
+    return table, assignments, cond
+
+
+def parse_delete(sql: str, shadow: str):
+    """-> (table, cond_text)"""
+    m = re.compile(r"\s*DELETE\s+FROM\s", re.I).match(shadow)
+    if not m:
+        raise ValueError("DELETE: expected DELETE FROM")
+    table, pos = _parse_ident(sql, shadow, m.end())
+    mwhere = _find_kw(shadow, "WHERE", pos)
+    cond = sql[mwhere.end() :].strip() if mwhere else "true"
+    if not mwhere and sql[pos:].strip():
+        raise ValueError(f"DELETE: unexpected trailing text {sql[pos:].strip()!r}")
+    return table, cond
+
+
+def parse_merge(sql: str, shadow: str):
+    """H2 legacy MERGE -> (table, cols|None, key_cols, source_kind,
+    source_text) where source_kind is 'values' or 'select'."""
+    m = re.compile(r"\s*MERGE\s+INTO\s", re.I).match(shadow)
+    if not m:
+        raise ValueError("MERGE: expected MERGE INTO")
+    table, pos = _parse_ident(sql, shadow, m.end())
+    while pos < len(sql) and sql[pos].isspace():
+        pos += 1
+    cols = None
+    if pos < len(sql) and sql[pos] == "(":
+        close = shadow.find(")", pos)
+        if close == -1:
+            raise ValueError("MERGE: unterminated column list")
+        cols = []
+        for part in _split_top_level(sql, shadow, pos + 1, close):
+            name, _ = _parse_ident(part, _shadow(part), 0)
+            cols.append(name)
+        pos = close + 1
+    mkey = re.compile(r"\s*KEY\s*\(", re.I).match(shadow, pos)
+    if not mkey:
+        raise ValueError(
+            "MERGE: KEY (columns) clause is required (parquet tables "
+            "have no primary key for H2's implicit-key fallback)"
+        )
+    close = shadow.find(")", mkey.end() - 1)
+    if close == -1:
+        raise ValueError("MERGE: unterminated KEY list")
+    key_cols = []
+    for part in _split_top_level(sql, shadow, mkey.end(), close):
+        name, _ = _parse_ident(part, _shadow(part), 0)
+        key_cols.append(name)
+    pos = close + 1
+    mrest = re.compile(r"\s*(VALUES|SELECT)\b", re.I).match(shadow, pos)
+    if not mrest:
+        raise ValueError("MERGE: expected VALUES or SELECT source")
+    kind = mrest.group(1).lower()
+    source = sql[mrest.start() :].strip() if kind == "select" else sql[mrest.end() :].strip()
+    return table, cols, key_cols, kind, source
+
+
+def execute(engine, statement: str):
+    """Front door: dispatch DML verbs to the engine's rewrite-based
+    DML; every other statement runs as plain Spark SQL (returning its
+    DataFrame). DML returns the affected-row count (UPDATE/DELETE) or
+    the upserted-source row count (MERGE), like a JDBC update count."""
+    statement = statement.strip().rstrip(";").strip()
+    shadow = _shadow(statement)
+    m = re.match(r"\s*(UPDATE|DELETE|MERGE)\b", shadow, re.I)
+    if not m:
+        return engine.sql(statement)
+    verb = m.group(1).upper()
+    if verb == "UPDATE":
+        table, assignments, cond = parse_update(statement, shadow)
+        return engine.update_where(_logical(engine, table), assignments, cond)
+    if verb == "DELETE":
+        table, cond = parse_delete(statement, shadow)
+        return engine.delete_where(_logical(engine, table), cond)
+    table, cols, key_cols, kind, source = parse_merge(statement, shadow)
+    logical = _logical(engine, table)
+    target = engine.table(logical)
+    names = cols if cols is not None else list(target.columns)
+    if kind == "values":
+        quoted = ", ".join(f"`{c}`" for c in names)
+        src = engine.spark.sql(f"SELECT * FROM VALUES {source} AS T({quoted})")
+    else:
+        src = engine.spark.sql(source).toDF(*names)
+    # conform to the target schema: cast provided columns, NULL-fill
+    # the rest (H2 inserts NULL/default for unspecified columns)
+    provided = {c: s for c, s in zip(names, src.columns)}
+    src = src.select(
+        *[
+            F.col(provided[f.name]).cast(f.dataType).alias(f.name)
+            if f.name in provided
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in target.schema.fields
+        ]
+    )
+    missing = [k for k in key_cols if k not in names]
+    if missing:
+        raise ValueError(f"MERGE: KEY columns {missing} not in column list")
+    n = src.count()
+    engine.merge_into(logical, src, key_cols)
+    return n
+
+
+def _logical(engine, name: str) -> str:
+    """Resolve a statement's table name: logical names take priority,
+    then physical (what a wire client sees in SHOW TABLES)."""
+    catalog = engine.sink.catalog
+    if name in catalog:
+        return name
+    for logical, physical in catalog.items():
+        if name == physical or name.lower() == physical:
+            return logical
+    from .errors import NotAResource
+
+    raise NotAResource(name)

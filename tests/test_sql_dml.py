@@ -1,0 +1,140 @@
+"""SQL-statement DML surface: UPDATE / DELETE / MERGE as SQL text
+through engine.execute_sql — the statement forms the reference's
+users issue because H2 parses them server-side (H2Server.scala:60-84).
+Covers hostile identifiers (the parser's shadow-scan defense), the
+H2 legacy MERGE grammar (KEY clause, VALUES and SELECT sources,
+partial column lists), and query pass-through."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from quasar_destination_h2_spark.engine import Engine
+from quasar_destination_h2_spark.errors import NotAResource
+from quasar_destination_h2_spark.types import Column, ColumnType
+
+
+@pytest.fixture()
+def engine(spark, warehouse_dir):
+    return Engine.from_config(
+        json.dumps({"connectionUri": warehouse_dir}), spark=spark
+    )
+
+
+COLS = [Column("k", ColumnType.NUMBER), Column("v", ColumnType.STRING)]
+
+
+def _load(engine, name="sqldml_t", rows=b"1,a\r\n2,b\r\n3,c\r\n"):
+    engine.csv_create_sink().consume(f"/{name}", COLS, rows)
+    return name
+
+
+def _rows(engine, name):
+    return sorted((float(r.k), r.v) for r in engine.table(name).collect())
+
+
+def test_update_statement(engine):
+    t = _load(engine)
+    n = engine.execute_sql("UPDATE sqldml_t SET v = 'Z' WHERE k >= 2")
+    assert n == 2
+    assert _rows(engine, t) == [(1.0, "a"), (2.0, "Z"), (3.0, "Z")]
+
+
+def test_update_expression_and_multi_assign(engine):
+    t = _load(engine)
+    n = engine.execute_sql(
+        "UPDATE sqldml_t SET k = k * 10, v = concat(v, '!') WHERE v = 'b'"
+    )
+    assert n == 1
+    assert _rows(engine, t) == [(1.0, "a"), (3.0, "c"), (20.0, "b!")]
+
+
+def test_update_string_literal_containing_keywords(engine):
+    """A literal containing WHERE/SET/commas must not confuse the
+    splitter (scanned on the literal-blanked shadow)."""
+    t = _load(engine)
+    n = engine.execute_sql(
+        "UPDATE sqldml_t SET v = 'x, WHERE SET y' WHERE k = 1"
+    )
+    assert n == 1
+    assert _rows(engine, t)[0] == (1.0, "x, WHERE SET y")
+
+
+def test_delete_statement(engine):
+    t = _load(engine)
+    n = engine.execute_sql("DELETE FROM sqldml_t WHERE k = 2")
+    assert n == 1
+    assert _rows(engine, t) == [(1.0, "a"), (3.0, "c")]
+
+
+def test_delete_without_where_truncates(engine):
+    t = _load(engine)
+    n = engine.execute_sql("DELETE FROM sqldml_t")
+    assert n == 3
+    assert engine.table(t).count() == 0
+
+
+def test_merge_values_upsert(engine):
+    t = _load(engine)
+    n = engine.execute_sql(
+        "MERGE INTO sqldml_t (k, v) KEY (k) VALUES (2, 'B'), (9, 'new')"
+    )
+    assert n == 2
+    assert _rows(engine, t) == [(1.0, "a"), (2.0, "B"), (3.0, "c"), (9.0, "new")]
+
+
+def test_merge_partial_column_list_null_fills(engine):
+    t = _load(engine)
+    n = engine.execute_sql("MERGE INTO sqldml_t (k) KEY (k) VALUES (3), (7)")
+    assert n == 2
+    got = sorted(
+        (float(r.k), r.v) for r in engine.table(t).collect()
+    )
+    assert got == [(1.0, "a"), (2.0, "b"), (3.0, None), (7.0, None)]
+
+
+def test_merge_select_source(engine):
+    t = _load(engine)
+    n = engine.execute_sql(
+        "MERGE INTO sqldml_t (k, v) KEY (k) "
+        "SELECT k + 100, upper(v) FROM VALUES (1, 'q'), (2, 'r') AS s(k, v)"
+    )
+    assert n == 2
+    assert _rows(engine, t) == [
+        (1.0, "a"), (2.0, "b"), (3.0, "c"), (101.0, "Q"), (102.0, "R"),
+    ]
+
+
+def test_merge_requires_key(engine):
+    _load(engine)
+    with pytest.raises(ValueError, match="KEY"):
+        engine.execute_sql("MERGE INTO sqldml_t (k, v) VALUES (1, 'x')")
+
+
+def test_hostile_table_name_via_physical_and_logical(engine):
+    """Statement table names resolve logically first, then by the
+    physical name a wire client would see — including injection-shaped
+    logical names (double-quoted in the statement)."""
+    hostile = 'evil"; DROP TABLE users; --'
+    engine.csv_create_sink().consume("/" + hostile, COLS, b"1,a\r\n2,b\r\n")
+    physical = engine.sink.catalog[hostile]
+    quoted = hostile.replace('"', '""')
+    n = engine.execute_sql(f'UPDATE "{quoted}" SET v = \'X\' WHERE k = 1')
+    assert n == 1
+    n = engine.execute_sql(f"DELETE FROM {physical} WHERE k = 2")
+    assert n == 1
+    assert _rows(engine, hostile) == [(1.0, "X")]
+
+
+def test_unknown_table_raises(engine):
+    with pytest.raises(NotAResource):
+        engine.execute_sql("DELETE FROM no_such_table WHERE 1=1")
+
+
+def test_query_passthrough_returns_dataframe(engine):
+    t = _load(engine)
+    physical = engine.sink.catalog[t]
+    df = engine.execute_sql(f"SELECT count(*) AS c FROM {physical}")
+    assert df.collect()[0].c == 3
