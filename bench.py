@@ -31,6 +31,10 @@ HEADLINE = (
     "count_distinct",
     "cte_multi",
     "events_hourly",
+    # hardest TPC-H decorrelation shapes: bilateral-trade multi-join,
+    # sole-late-supplier semi+anti join
+    "tpch_q7_volume_shipping",
+    "tpch_q21_suppliers_who_kept_waiting",
     # [EXT] scale paths: bucketed LSH dedup + brute-force ANN baseline
     "dedup_minhash_lsh",
     "embed_cosine_topk",

@@ -73,7 +73,12 @@ def ngram_jaccard_pairs(
     100 TB run additionally prunes high-df shingles (stop-shingle
     cut) — semantics unchanged for any threshold > 0.5."""
     sh = _shingled(docs, text_col, k)
-    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
+    # both sides of the inverted-index self-join scan this posting
+    # list — materialize it once (tokenize+shingle+explode is the
+    # expensive part; the stored (doc_id, n_sh, shingle) rows are not)
+    ex = sh.select(
+        "doc_id", "n_sh", F.explode("shingles").alias("s")
+    ).localCheckpoint()
     a = ex.select(
         F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "s"
     )
@@ -128,21 +133,34 @@ def minhash_lsh_pairs(
     product (`assert no CartesianProduct` in tests). With r=2,b=4 the
     match probability at j=0.8 is 1-(1-j^2)^4 ≈ 0.98, and our planted
     near-dups (j ≈ 0.97) are caught with P ≈ 1-1e-5."""
-    sh = _shingled(docs, text_col).cache()
+    from pyspark import StorageLevel
+
+    # The shingled projection feeds BOTH signature generation and the
+    # exact-Jaccard verify — persist it so tokenize+shingle runs once
+    # (MEMORY_AND_DISK: degrades to spill, never recomputes).
+    sh = _shingled(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     rows_per_band = MINHASH_SEEDS // LSH_BANDS
+    # Signatures are tiny (doc_id + 8 hex strings): materialize them
+    # eagerly (localCheckpoint) so the band self-join's two scans read
+    # the stored rows instead of re-running 8 md5-min passes over the
+    # shingle arrays per scan.
     sigs = sh.select(
         "doc_id",
         *[minhash_seed_expr(s).alias(f"sig_{s}") for s in range(MINHASH_SEEDS)],
+    ).localCheckpoint()
+    band_keys = [
+        F.concat_ws(
+            "|",
+            *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)],
+        ).alias(f"k{b}")
+        for b in range(LSH_BANDS)
+    ]
+    # one-pass band explode (stack) — NOT a 4-branch union, which
+    # would scan/recompute the signature subtree once per band
+    stack_args = ", ".join(f"{b}, k{b}" for b in range(LSH_BANDS))
+    bands = sigs.select("doc_id", *band_keys).selectExpr(
+        "doc_id", f"stack({LSH_BANDS}, {stack_args}) AS (band_id, band_key)"
     )
-    bands = None
-    for b in range(LSH_BANDS):
-        key = F.concat_ws(
-            "|", *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        )
-        part = sigs.select(
-            "doc_id", F.lit(b).alias("band_id"), key.alias("band_key")
-        )
-        bands = part if bands is None else bands.unionAll(part)
     left = bands.select(
         F.col("doc_id").alias("doc_a"), "band_id", "band_key"
     )
@@ -271,21 +289,43 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     the sign is bit j of md5(token)'s first 16 hex chars. One
     groupBy(doc) shuffle with 64 narrow agg columns — no 64x explode,
     stays in whole-stage codegen. Output is the 16-hex-char signature
-    rebuilt from the bit signs."""
+    rebuilt from the bit signs.
+
+    The md5 nibbles are computed on a DISTINCT-TOKEN dimension and
+    joined back, not projected inline: Catalyst's CollapseProject
+    inlines a projected ``md5(tok)`` into all 64 aggregate
+    expressions (64 md5 evaluations per (doc, token) row — 4x
+    measured at sf0.1), while join output attributes are
+    materialized values. The vocabulary is orders of magnitude
+    smaller than the token-count table at any scale, and the join is
+    a broadcast (small vocab) or a hash join on tok — never wider
+    than the groupBy(doc) shuffle that follows."""
     toks = tokens(F.col(text_col))
     tok_counts = (
         docs.select("doc_id", F.explode(toks).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("h", F.md5(F.col("tok")))
     )
+    tok_dim = (
+        tok_counts.select("tok")
+        .distinct()
+        .select(
+            "tok",
+            *[
+                _nibble(F.md5(F.col("tok")), p).alias(f"nib_{p}")
+                for p in range(16)
+            ],
+        )
+    )
+    joined = tok_counts.join(tok_dim, "tok")
     bit_sums = []
     for j in range(64):
-        nib = _nibble(F.col("h"), j // 4)
-        bit = F.shiftright(nib, 3 - (j % 4)).bitwiseAND(F.lit(1))
+        bit = F.shiftright(F.col(f"nib_{j // 4}"), 3 - (j % 4)).bitwiseAND(
+            F.lit(1)
+        )
         contrib = F.col("c") * (bit * 2 - 1)
         bit_sums.append(F.sum(contrib).alias(f"b{j}"))
-    sums = tok_counts.groupBy("doc_id").agg(*bit_sums)
+    sums = joined.groupBy("doc_id").agg(*bit_sums)
     nibbles = []
     for p in range(16):
         v = None
@@ -306,15 +346,20 @@ def simhash_pairs(
     16-bit bands (4 hex chars), bucket-join on band equality (any
     pair within hamming <= 3 shares at least one intact band by
     pigeonhole), verify with exact nibble-wise popcount hamming."""
-    sig = simhash64(docs, text_col).cache()
-    bands = None
-    for b in range(SIMHASH_BANDS):
-        part = sig.select(
-            "doc_id",
-            F.lit(b).alias("band_id"),
-            F.substring("simhash", b * 4 + 1, 4).alias("band_key"),
-        )
-        bands = part if bands is None else bands.unionAll(part)
+    # tiny frame (doc_id + 16 hex chars) behind a 64-agg groupBy:
+    # materialize it EAGERLY (localCheckpoint, not cache) — the band
+    # self-join and the verify join scan it four times in one action,
+    # and a lazy cache races those scans into four concurrent
+    # recomputations of the aggregation (4x measured at sf0.1)
+    sig = simhash64(docs, text_col).localCheckpoint()
+    band_keys = [
+        F.substring("simhash", b * 4 + 1, 4).alias(f"k{b}")
+        for b in range(SIMHASH_BANDS)
+    ]
+    stack_args = ", ".join(f"{b}, k{b}" for b in range(SIMHASH_BANDS))
+    bands = sig.select("doc_id", *band_keys).selectExpr(
+        "doc_id", f"stack({SIMHASH_BANDS}, {stack_args}) AS (band_id, band_key)"
+    )
     left = bands.select(F.col("doc_id").alias("doc_a"), "band_id", "band_key")
     right = bands.select(F.col("doc_id").alias("doc_b"), "band_id", "band_key")
     cands = (

@@ -32,13 +32,21 @@ EVENTS_RAW_SCHEMA = StructType(
 )
 
 
-def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: "int | None" = None
+) -> DataFrame:
     """readStream over an events parquet directory. The ns int64 ts is
     truncated to a microsecond timestamp — identical arithmetic to the
     batch loader (sources/tables.py), so stream and batch results are
-    comparable row-for-row."""
+    comparable row-for-row. `max_files_per_trigger` bounds each
+    micro-batch (availableNow honors it, splitting a backlog into
+    several batches — watermarks advance between them, which is what
+    makes late-data semantics testable)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(path)
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(path)
     # integer DIV — double division is lossy at ns epoch magnitudes
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 

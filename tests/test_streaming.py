@@ -236,3 +236,71 @@ def test_session_windows_shape(spark, events_dir):
         spans.sort()
         for (s1, e1), (s2, _) in zip(spans, spans[1:]):
             assert s2 >= e1
+
+
+def test_late_event_past_watermark_dropped_in_append(spark):
+    """Watermark semantics pinned: an event arriving in a later
+    micro-batch with ts below the watermark must be DROPPED — its
+    already-closed window is emitted once and never updated. (The
+    other streaming tests replay everything in one batch, where the
+    watermark never advances mid-run and nothing can be late.)"""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1577836800  # 2020-01-01T00:00:00Z
+
+    def ns(h, m=0):
+        return (base + h * 3600 + m * 60) * 10**9
+
+    def write_file(path, rows):
+        ids, tss = [r[0] for r in rows], [r[1] for r in rows]
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(ids, pa.int64()),
+                    "ts": pa.array(tss, pa.int64()),
+                    "user_id": pa.array([1] * len(rows), pa.int64()),
+                    "event_type": pa.array(["click"] * len(rows)),
+                    "value": pa.array([1.0] * len(rows), pa.float64()),
+                    "props": pa.array(["{}"] * len(rows)),
+                }
+            ),
+            path,
+        )
+
+    d = tempfile.mkdtemp(prefix="events-late-")
+    try:
+        # batch 1: three on-time events in the 01:00 window, plus one
+        # at 06:00 that advances the watermark to 05:00 (delay = 1 h)
+        write_file(f"{d}/a.parquet", [(1, ns(1, 5)), (2, ns(1, 10)), (3, ns(1, 20)), (4, ns(6))])
+        # batch 2: an innocuous on-time event. Spark applies the
+        # late-row filter with the watermark as of the PREVIOUS
+        # batch's end, so the drop is observable one batch after the
+        # advancing event — this spacer batch makes 05:00+ effective.
+        write_file(f"{d}/b.parquet", [(5, ns(6, 30))])
+        # batch 3: a LATE event back in the (long-closed) 01:00
+        # window, plus one at 09:00 that closes the 06:00 window
+        write_file(f"{d}/c.parquet", [(6, ns(1, 15)), (7, ns(9))])
+        os.utime(f"{d}/a.parquet", (1_000_000, 1_000_000))
+        os.utime(f"{d}/b.parquet", (2_000_000, 2_000_000))
+        os.utime(f"{d}/c.parquet", (3_000_000, 3_000_000))
+
+        stream = read_events_stream(spark, d, max_files_per_trigger=1)
+        got = run_to_memory(
+            spark,
+            hourly_event_counts(stream, watermark="1 hour"),
+            "t_late",
+            "append",
+        ).collect()
+        emitted = {r.hour.hour: r.n for r in got}
+        # 01:00 window: 3 on-time events only — the late event_id=6
+        # was behind the watermark and must not re-open the window
+        assert emitted.get(1) == 3, emitted
+        # 06:00 window (both on-time events) closed by the 09:00 event
+        assert emitted.get(6) == 2, emitted
+        # 09:00 window is still open at end-of-stream: withheld
+        assert 9 not in emitted, emitted
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
