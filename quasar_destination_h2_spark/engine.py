@@ -287,6 +287,41 @@ class Engine:
                 except OSError:
                     pass
 
+    def insert_rows(self, logical_name: str, df: DataFrame) -> int:
+        """INSERT (append) of an arbitrary DataFrame whose schema
+        already matches the target (the SQL front door conforms it).
+        Returns the number of appended rows."""
+        physical = self.sink.catalog.get(logical_name)
+        if physical is None:
+            from .errors import NotAResource
+
+            raise NotAResource(logical_name)
+        self._ensure_registered(physical)
+        n = df.count()
+        df.write.mode("append").format("parquet").saveAsTable(physical)
+        return n
+
+    def create_table_as(
+        self, logical_name: str, df: DataFrame, if_not_exists: bool = False
+    ) -> str:
+        """CREATE TABLE ... AS SELECT: materialize `df` as a new
+        engine-cataloged table (same storage-safe naming + durable
+        catalog as the CSV sink). Returns the physical name. Errors if
+        the table exists, unless `if_not_exists` (then no-op)."""
+        from .idents import storage_safe_name
+        from .sources.sink import prepare_replace
+
+        if logical_name in self.sink.catalog:
+            if if_not_exists:
+                return self.sink.catalog[logical_name]
+            raise ValueError(f"table already exists: {logical_name!r}")
+        physical = storage_safe_name(logical_name)
+        prepare_replace(self.spark, physical)
+        df.write.mode("overwrite").format("parquet").saveAsTable(physical)
+        self.sink.catalog[logical_name] = physical
+        self.sink._persist_catalog()
+        return physical
+
     def _rewrite(self, physical: str, df: DataFrame) -> None:
         """Overwrite `physical` with `df` via a staging table (Spark
         cannot overwrite a parquet table from a plan that reads it —

@@ -189,36 +189,46 @@ def parse_merge(sql: str, shadow: str):
     return table, cols, key_cols, kind, source
 
 
-def execute(engine, statement: str):
-    """Front door: dispatch DML verbs to the engine's rewrite-based
-    DML; every other statement runs as plain Spark SQL (returning its
-    DataFrame). DML returns the affected-row count (UPDATE/DELETE) or
-    the upserted-source row count (MERGE), like a JDBC update count."""
-    statement = statement.strip().rstrip(";").strip()
-    shadow = _shadow(statement)
-    m = re.match(r"\s*(UPDATE|DELETE|MERGE)\b", shadow, re.I)
+def parse_insert(sql: str, shadow: str):
+    """``INSERT INTO t [(cols)] { VALUES ... | SELECT ... }`` ->
+    (table, cols|None, source_kind, source_text)"""
+    m = re.compile(r"\s*INSERT\s+INTO\s", re.I).match(shadow)
     if not m:
-        return engine.sql(statement)
-    verb = m.group(1).upper()
-    if verb == "UPDATE":
-        table, assignments, cond = parse_update(statement, shadow)
-        return engine.update_where(_logical(engine, table), assignments, cond)
-    if verb == "DELETE":
-        table, cond = parse_delete(statement, shadow)
-        return engine.delete_where(_logical(engine, table), cond)
-    table, cols, key_cols, kind, source = parse_merge(statement, shadow)
-    logical = _logical(engine, table)
-    target = engine.table(logical)
-    names = cols if cols is not None else list(target.columns)
+        raise ValueError("INSERT: expected INSERT INTO")
+    table, pos = _parse_ident(sql, shadow, m.end())
+    while pos < len(sql) and sql[pos].isspace():
+        pos += 1
+    cols = None
+    if pos < len(sql) and sql[pos] == "(":
+        close = shadow.find(")", pos)
+        if close == -1:
+            raise ValueError("INSERT: unterminated column list")
+        cols = []
+        for part in _split_top_level(sql, shadow, pos + 1, close):
+            name, _ = _parse_ident(part, _shadow(part), 0)
+            cols.append(name)
+        pos = close + 1
+    mrest = re.compile(r"\s*(VALUES|SELECT|WITH)\b", re.I).match(shadow, pos)
+    if not mrest:
+        raise ValueError("INSERT: expected VALUES or SELECT source")
+    kind = "values" if mrest.group(1).upper() == "VALUES" else "select"
+    source = (
+        sql[mrest.end() :].strip() if kind == "values" else sql[mrest.start() :].strip()
+    )
+    return table, cols, kind, source
+
+
+def _conform_source(engine, target, names, kind, source):
+    """Build the source DataFrame for INSERT/MERGE and conform it to
+    the target schema: cast provided columns, NULL-fill the rest (H2
+    inserts NULL/default for unspecified columns)."""
     if kind == "values":
         quoted = ", ".join(f"`{c}`" for c in names)
         src = engine.spark.sql(f"SELECT * FROM VALUES {source} AS T({quoted})")
     else:
         src = engine.spark.sql(source).toDF(*names)
-    # conform to the target schema: cast provided columns, NULL-fill
-    # the rest (H2 inserts NULL/default for unspecified columns)
     provided = {c: s for c, s in zip(names, src.columns)}
-    src = src.select(
+    return src.select(
         *[
             F.col(provided[f.name]).cast(f.dataType).alias(f.name)
             if f.name in provided
@@ -226,9 +236,99 @@ def execute(engine, statement: str):
             for f in target.schema.fields
         ]
     )
+
+
+def execute(engine, statement: str):
+    """Front door: dispatch table-statement verbs to the engine (the
+    reference's users issue these as SQL because H2 parses them
+    server-side); every other statement runs as plain Spark SQL
+    (returning its DataFrame). Returns a JDBC-style update count for
+    DML (UPDATE/DELETE/TRUNCATE affected rows; INSERT/MERGE source
+    rows), None for DDL (CREATE TABLE AS / DROP TABLE). Statements
+    naming tables outside the engine catalog fall through to Spark
+    (e.g. INSERT into a session-managed table, CREATE VIEW)."""
+    from .errors import NotAResource
+
+    statement = statement.strip().rstrip(";").strip()
+    shadow = _shadow(statement)
+    m = re.match(
+        r"\s*(UPDATE|DELETE|MERGE|INSERT|CREATE|DROP|TRUNCATE)\b", shadow, re.I
+    )
+    if not m:
+        return engine.sql(statement)
+    verb = m.group(1).upper()
+
+    if verb == "UPDATE":
+        table, assignments, cond = parse_update(statement, shadow)
+        return engine.update_where(_logical(engine, table), assignments, cond)
+
+    if verb == "DELETE":
+        table, cond = parse_delete(statement, shadow)
+        return engine.delete_where(_logical(engine, table), cond)
+
+    if verb == "INSERT":
+        table, cols, kind, source = parse_insert(statement, shadow)
+        try:
+            logical = _logical(engine, table)
+        except NotAResource:
+            return engine.sql(statement)  # session-managed table
+        target = engine.table(logical)
+        names = cols if cols is not None else list(target.columns)
+        src = _conform_source(engine, target, names, kind, source)
+        return engine.insert_rows(logical, src)
+
+    if verb == "CREATE":
+        mc = re.match(
+            r"\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?", shadow, re.I
+        )
+        if not mc:
+            return engine.sql(statement)  # CREATE VIEW / DATABASE / ...
+        table, pos = _parse_ident(statement, shadow, mc.end())
+        mas = re.compile(r"\s*AS\b", re.I).match(shadow, pos)
+        if not mas:
+            return engine.sql(statement)  # column-defs form: native DDL
+        df = engine.spark.sql(statement[mas.end() :].strip())
+        engine.create_table_as(
+            table, df, if_not_exists=mc.group("ine") is not None
+        )
+        return None
+
+    if verb == "DROP":
+        md = re.match(
+            r"\s*DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?", shadow, re.I
+        )
+        if not md:
+            return engine.sql(statement)  # DROP VIEW / ...
+        table, _ = _parse_ident(statement, shadow, md.end())
+        try:
+            logical = _logical(engine, table)
+        except NotAResource:
+            if md.group("ie") is not None:
+                return None
+            return engine.sql(statement)  # session-managed table or error
+        engine.drop_table_if_exists(logical)
+        return None
+
+    if verb == "TRUNCATE":
+        mt = re.match(r"\s*TRUNCATE\s+TABLE\s", shadow, re.I)
+        if not mt:
+            raise ValueError("TRUNCATE: expected TRUNCATE TABLE")
+        table, _ = _parse_ident(statement, shadow, mt.end())
+        try:
+            logical = _logical(engine, table)
+        except NotAResource:
+            return engine.sql(statement)
+        return engine.delete_where(logical, "true")
+
+    # MERGE
+    table, cols, key_cols, kind, source = parse_merge(statement, shadow)
+    logical = _logical(engine, table)
+    target = engine.table(logical)
+    names = cols if cols is not None else list(target.columns)
     missing = [k for k in key_cols if k not in names]
     if missing:
         raise ValueError(f"MERGE: KEY columns {missing} not in column list")
+    src = _conform_source(engine, target, names, kind, source)
     n = src.count()
     engine.merge_into(logical, src, key_cols)
     return n

@@ -133,6 +133,62 @@ def test_unknown_table_raises(engine):
         engine.execute_sql("DELETE FROM no_such_table WHERE 1=1")
 
 
+def test_insert_values_statement(engine):
+    t = _load(engine)
+    n = engine.execute_sql("INSERT INTO sqldml_t (k, v) VALUES (4, 'd'), (5, 'e')")
+    assert n == 2
+    assert _rows(engine, t) == [
+        (1.0, "a"), (2.0, "b"), (3.0, "c"), (4.0, "d"), (5.0, "e"),
+    ]
+
+
+def test_insert_partial_columns_null_fill(engine):
+    t = _load(engine)
+    n = engine.execute_sql("INSERT INTO sqldml_t (k) VALUES (9)")
+    assert n == 1
+    got = sorted(
+        (float(r.k), r.v) for r in engine.table(t).collect()
+    )
+    assert got == [(1.0, "a"), (2.0, "b"), (3.0, "c"), (9.0, None)]
+
+
+def test_insert_select_statement(engine):
+    t = _load(engine)
+    n = engine.execute_sql(
+        "INSERT INTO sqldml_t (k, v) SELECT k * 2, v FROM VALUES (10, 'x') AS s(k, v)"
+    )
+    assert n == 1
+    assert (20.0, "x") in _rows(engine, t)
+
+
+def test_create_table_as_and_drop(engine):
+    t = _load(engine)
+    physical = engine.sink.catalog[t]
+    engine.execute_sql(
+        f"CREATE TABLE derived AS SELECT k, upper(v) AS v FROM {physical} WHERE k <= 2"
+    )
+    assert _rows(engine, "derived") == [(1.0, "A"), (2.0, "B")]
+    # exists -> error; IF NOT EXISTS -> no-op
+    with pytest.raises(ValueError, match="exists"):
+        engine.execute_sql(f"CREATE TABLE derived AS SELECT * FROM {physical}")
+    engine.execute_sql(
+        f"CREATE TABLE IF NOT EXISTS derived AS SELECT * FROM {physical}"
+    )
+    assert engine.table("derived").count() == 2
+    engine.execute_sql("DROP TABLE derived")
+    with pytest.raises(NotAResource):
+        engine.table("derived")
+    # IF EXISTS on a missing table: silent no-op
+    assert engine.execute_sql("DROP TABLE IF EXISTS derived") is None
+
+
+def test_truncate_statement(engine):
+    t = _load(engine)
+    n = engine.execute_sql("TRUNCATE TABLE sqldml_t")
+    assert n == 3
+    assert engine.table(t).count() == 0
+
+
 def test_query_passthrough_returns_dataframe(engine):
     t = _load(engine)
     physical = engine.sink.catalog[t]
