@@ -347,20 +347,19 @@ def contamination_check(
     )
 
 
-def winnow_fingerprints(
+def winnow_selected(
     docs: DataFrame, text_col: str = "text", k: int = 8, w: int = 4
 ) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03):
-    md5 over every k-char gram of the normalized text, then the min
-    hash of each w-gram window, distinct per doc.
+    """The winnowing fingerprint SELECTION (Schleimer et al.,
+    SIGMOD'03): md5 over every k-char gram of the normalized text,
+    min hash of each w-gram window, distinct per doc → (doc_id, fp).
 
-    Plan shape: explode positions → per-doc window min → distinct →
-    per-doc aggregate. One shuffle on doc_id (the window), one on
-    (doc_id, fp) for the distinct — both partition-local at cluster
-    scale if the doc table is bucketed by doc_id. For 100 TB, the same
-    logic runs as an applyInPandas per doc with zero explode; the
-    exploded form keeps everything in codegen and is the oracle-
-    checkable one."""
+    Plan shape: explode positions → per-doc window min → distinct.
+    One shuffle on doc_id (the window), one on (doc_id, fp) for the
+    distinct — both partition-local at cluster scale if the doc table
+    is bucketed by doc_id. For 100 TB, the same logic runs as an
+    applyInPandas per doc with zero explode; the exploded form keeps
+    everything in codegen and is the oracle-checkable one."""
     norm = norm_text(F.col(text_col))
     # sequence() auto-reverses when start > stop — guard short docs.
     positions = F.when(
@@ -374,14 +373,110 @@ def winnow_fingerprints(
         "doc_id", "i", F.md5(F.expr(f"substring(_norm, i, {k})")).alias("h")
     )
     win = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-(w - 1), 0)
-    selected = (
+    return (
         grams.withColumn("wmin", F.min("h").over(win))
         .where(F.col("i") >= w)
         .select("doc_id", F.col("wmin").alias("fp"))
         .distinct()
     )
-    return selected.groupBy("doc_id").agg(
+
+
+def winnow_fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = 8, w: int = 4
+) -> DataFrame:
+    """Per-doc winnowing fingerprint summary (count + min/max) over
+    :func:`winnow_selected`."""
+    return winnow_selected(docs, text_col, k, w).groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_fp"),
         F.min("fp").alias("fp_min"),
         F.max("fp").alias("fp_max"),
+    )
+
+
+def boilerplate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 8,
+    w: int = 4,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-document repeated-span (boilerplate) detection — the
+    C4/CCNet-style curation step that flags headers, footers, and
+    license blurbs repeated across many documents.
+
+    A winnowing fingerprint shared by >= min_docs DISTINCT documents
+    marks a boilerplate span; each doc is scored by the fraction of
+    its fingerprints that are boilerplate. Plan: the (doc_id, fp)
+    selection feeds one groupBy(fp) for document frequency, the
+    flagged subset joins back on fp (small next to the selection —
+    AQE broadcasts it locally, hash join at scale), one final
+    groupBy(doc_id). The boilerplate fraction is computed half-up in
+    INTEGER arithmetic ((2*10^6*b + n) DIV (2n)): a double
+    round(b/n, 6) lands on a .5 boundary whenever n has enough
+    factors of 2 (1/128 = 0.0078125), where engines disagree."""
+    sel = winnow_selected(docs, text_col, k, w)
+    # sel is distinct per (doc_id, fp), so count(*) IS document freq
+    boiler = (
+        sel.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") >= min_docs)
+    )
+    return (
+        sel.join(boiler, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_fp"),
+            F.sum(
+                F.when(F.col("df").isNotNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_fp",
+            "n_boiler",
+            (
+                F.expr("(2000000 * n_boiler + n_fp) DIV (2 * n_fp)")
+                / F.lit(1000000.0)
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-bigram conditional language-model score: avg
+    -log2 p(w2 | w1) per doc with MLE estimates from the corpus
+    itself — a sharper perplexity-style curation filter than the
+    unigram one (KenLM-lite, no external model).
+
+    Bigrams are built PER ROW with array slices (zip_with of the
+    token array against its own shift) — no positional self-join, no
+    window. Two vocabulary-sized frequency tables (bigram and
+    context) join back broadcast-or-hash; the per-doc average uses
+    the same round-before-exact-integer-sum discipline as
+    :func:`unigram_logprob` so it is bit-stable across engines."""
+    toks = tokens(F.col(text_col))
+    bigrams = bind_once(toks, lambda tk: _shingles_of(tk, 2))
+    bg = docs.select("doc_id", F.explode(bigrams).alias("bg"))
+    bg_freq = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cbg"))
+    ctx = bg.select(F.substring_index("bg", " ", 1).alias("w1"))
+    ctx_freq = ctx.groupBy("w1").agg(F.count(F.lit(1)).alias("cw1"))
+    nll6 = F.round(-F.log2(F.col("cbg") / F.col("cw1")), 6)
+    micro = (nll6.cast("decimal(28,10)") * 1000000).cast("bigint")
+    return (
+        bg.join(F.broadcast(bg_freq), "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(F.broadcast(ctx_freq), "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(micro).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.expr("(2 * _s + n_bigrams) DIV (2 * n_bigrams)")
+                / F.lit(1000000.0)
+            ).alias("avg_nll2"),
+        )
     )

@@ -802,6 +802,81 @@ def q_text_fingerprints(t: TableSet) -> DataFrame:
     return text.winnow_fingerprints(t.documents)
 
 
+@query(
+    "text_boilerplate",
+    oracle=f"""
+    WITH norm AS (SELECT doc_id, {_NORM} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, i, md5(substr(t, CAST(i AS INT), 8)) AS h
+      FROM norm, UNNEST(range(1, greatest(len(t) - 7, 0) + 1)) AS u(i)
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, wmin AS fp FROM (
+        SELECT doc_id, i,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+        FROM grams
+      ) WHERE i >= 4
+    ),
+    boiler AS (
+      SELECT fp, COUNT(*) AS df FROM sel GROUP BY fp HAVING COUNT(*) >= 3
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_fp,
+             CAST(COALESCE(SUM(CASE WHEN df IS NOT NULL THEN 1 ELSE 0 END), 0)
+                  AS BIGINT) AS n_boiler
+      FROM sel LEFT JOIN boiler USING (fp)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_fp, n_boiler,
+           ((2000000 * n_boiler + n_fp) // (2 * n_fp)) / 1000000.0
+             AS boiler_frac
+    FROM agg
+    """,
+)
+def q_text_boilerplate(t: TableSet) -> DataFrame:
+    """Cross-document boilerplate spans: winnowing fingerprints shared
+    by >= 3 docs flag repeated headers/footers/license blurbs; per-doc
+    boilerplate fraction in exact integer half-up arithmetic."""
+    return text.boilerplate_spans(t.documents)
+
+
+@query(
+    "text_bigram_logprob",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex({_NORM}, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS bg
+      FROM base
+    ),
+    bgf AS (SELECT bg, COUNT(*) AS cbg FROM bg GROUP BY bg),
+    ctx AS (
+      SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS cw1
+      FROM bg GROUP BY 1
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ((2 * SUM(CAST(CAST(round(-log2(cbg / cw1), 6)
+                               AS DECIMAL(28,10)) * 1000000 AS BIGINT))
+             + COUNT(*)) // (2 * COUNT(*))) / 1000000.0 AS avg_nll2
+    FROM bg
+    JOIN bgf USING (bg)
+    JOIN ctx ON split_part(bg.bg, ' ', 1) = ctx.w1
+    GROUP BY doc_id
+    """,
+)
+def q_text_bigram_logprob(t: TableSet) -> DataFrame:
+    """Corpus-bigram conditional LM score (avg -log2 p(w2|w1)) — the
+    KenLM-lite perplexity curation filter; bigrams built per-row from
+    array slices (no positional self-join)."""
+    return text.bigram_logprob(t.documents)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal (binary columns + pandas decode)
 # ---------------------------------------------------------------------------
