@@ -352,6 +352,63 @@ class Engine:
         finally:
             self.spark.sql(f"DROP TABLE IF EXISTS {hygienic_ident(staging)}")
 
+    def _rewrite_new_schema(self, physical: str, df: DataFrame) -> None:
+        """Schema-CHANGING overwrite (ALTER TABLE): the in-place
+        ``insertInto`` of :meth:`_rewrite` requires the old schema, so
+        here the staging hop is followed by a real drop+recreate (the
+        catalog commit of the final create is the atomicity point)."""
+        from .sources.sink import clear_stale_location
+
+        self._ensure_registered(physical)
+        staging = f"{physical}_rw"
+        clear_stale_location(self.spark, staging)
+        df.write.mode("overwrite").format("parquet").saveAsTable(staging)
+        try:
+            self.spark.sql(f"DROP TABLE IF EXISTS {hygienic_ident(physical)}")
+            clear_stale_location(self.spark, physical)
+            self.spark.table(staging).write.mode("overwrite").format(
+                "parquet"
+            ).saveAsTable(physical)
+        finally:
+            self.spark.sql(f"DROP TABLE IF EXISTS {hygienic_ident(staging)}")
+
+    def add_column(
+        self, logical_name: str, col_name: str, spark_type: str
+    ) -> None:
+        """ALTER TABLE ... ADD COLUMN (NULL-filled, H2 semantics for a
+        column without DEFAULT)."""
+        from pyspark.sql import functions as F
+
+        target = self.table(logical_name)
+        if col_name in target.columns:
+            raise ValueError(f"column already exists: {col_name!r}")
+        self._rewrite_new_schema(
+            self.sink.catalog[logical_name],
+            target.withColumn(col_name, F.lit(None).cast(spark_type)),
+        )
+
+    def drop_column(self, logical_name: str, col_name: str) -> None:
+        """ALTER TABLE ... DROP COLUMN."""
+        target = self.table(logical_name)
+        if col_name not in target.columns:
+            raise ValueError(f"no such column: {col_name!r}")
+        if len(target.columns) == 1:
+            raise ValueError("cannot drop the only column")
+        self._rewrite_new_schema(
+            self.sink.catalog[logical_name], target.drop(col_name)
+        )
+
+    def rename_column(self, logical_name: str, old: str, new: str) -> None:
+        """ALTER TABLE ... RENAME COLUMN ... TO ..."""
+        target = self.table(logical_name)
+        if old not in target.columns:
+            raise ValueError(f"no such column: {old!r}")
+        if new in target.columns:
+            raise ValueError(f"column already exists: {new!r}")
+        self._rewrite_new_schema(
+            self.sink.catalog[logical_name], target.withColumnRenamed(old, new)
+        )
+
     def delete_where(self, logical_name: str, condition: str) -> int:
         """DELETE FROM t WHERE cond (overwrite-rewrite). Returns the
         number of deleted rows."""

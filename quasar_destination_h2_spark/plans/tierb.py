@@ -1733,3 +1733,79 @@ def q_events_json_props(t: TableSet) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("k").cast("bigint").alias("k_sum"), F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# PIVOT / UNPIVOT (reshaping grammar — Spark-native pivot/unpivot
+# operators, oracle expressed as portable FILTER aggregates / UNION)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pivot_status_matrix",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'F') AS BIGINT) AS cnt_f,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'O') AS BIGINT) AS cnt_o,
+           CAST(COUNT(*) FILTER (o_orderstatus = 'P') AS BIGINT) AS cnt_p,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(o_totalprice AS DECIMAL(38,6))
+                         ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE) AS rev_f
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_status_matrix(t: TableSet) -> DataFrame:
+    """PIVOT: order-status columns per priority via Spark's native
+    groupBy().pivot() with an EXPLICIT value list — without it Spark
+    runs an extra distinct-collection job, and unknown values at
+    100 TB would explode the column count. Absent combinations
+    coalesce to the oracle's FILTER-aggregate zeros."""
+    p = (
+        t.orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev"),
+        )
+    )
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("F_cnt", F.lit(0)).alias("cnt_f"),
+        F.coalesce("O_cnt", F.lit(0)).alias("cnt_o"),
+        F.coalesce("P_cnt", F.lit(0)).alias("cnt_p"),
+        F.coalesce("F_rev", F.lit(0.0)).alias("rev_f"),
+    )
+
+
+@query(
+    "unpivot_nation_metrics",
+    oracle="""
+    WITH base AS (
+      SELECT n_name,
+             CAST(COUNT(*) AS DOUBLE) AS n_cust,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS total_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    )
+    SELECT n_name, 'n_cust' AS metric, n_cust AS value FROM base
+    UNION ALL
+    SELECT n_name, 'total_bal' AS metric, total_bal AS value FROM base
+    """,
+)
+def q_unpivot_nation_metrics(t: TableSet) -> DataFrame:
+    """UNPIVOT (wide → long): Spark's native DataFrame.unpivot
+    (melt); per-row reshaping, no shuffle beyond the source
+    aggregation."""
+    base = (
+        t.customer.join(
+            F.broadcast(t.nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_bal"),
+        )
+    )
+    return base.unpivot(["n_name"], ["n_cust", "total_bal"], "metric", "value")

@@ -252,7 +252,9 @@ def execute(engine, statement: str):
     statement = statement.strip().rstrip(";").strip()
     shadow = _shadow(statement)
     m = re.match(
-        r"\s*(UPDATE|DELETE|MERGE|INSERT|CREATE|DROP|TRUNCATE)\b", shadow, re.I
+        r"\s*(UPDATE|DELETE|MERGE|INSERT|CREATE|DROP|TRUNCATE|ALTER)\b",
+        shadow,
+        re.I,
     )
     if not m:
         return engine.sql(statement)
@@ -320,6 +322,41 @@ def execute(engine, statement: str):
             return engine.sql(statement)
         return engine.delete_where(logical, "true")
 
+    if verb == "ALTER":
+        ma = re.match(r"\s*ALTER\s+TABLE\s", shadow, re.I)
+        if not ma:
+            return engine.sql(statement)  # ALTER VIEW / ...
+        table, pos = _parse_ident(statement, shadow, ma.end())
+        try:
+            logical = _logical(engine, table)
+        except NotAResource:
+            return engine.sql(statement)  # session-managed table
+        madd = re.compile(r"\s*ADD\s+(COLUMN\s+)?", re.I).match(shadow, pos)
+        if madd:
+            col, pos2 = _parse_ident(statement, shadow, madd.end())
+            engine.add_column(
+                logical, col, _h2_type_to_spark(statement[pos2:].strip())
+            )
+            return None
+        mdrop = re.compile(r"\s*DROP\s+(COLUMN\s+)?", re.I).match(shadow, pos)
+        if mdrop:
+            col, _ = _parse_ident(statement, shadow, mdrop.end())
+            engine.drop_column(logical, col)
+            return None
+        mren = re.compile(r"\s*RENAME\s+COLUMN\s+", re.I).match(shadow, pos)
+        if mren:
+            old, pos2 = _parse_ident(statement, shadow, mren.end())
+            mto = re.compile(r"\s*TO\s+", re.I).match(shadow, pos2)
+            if not mto:
+                raise ValueError("ALTER: expected RENAME COLUMN ... TO ...")
+            new, _ = _parse_ident(statement, shadow, mto.end())
+            engine.rename_column(logical, old, new)
+            return None
+        raise ValueError(
+            "ALTER TABLE: supported forms are ADD [COLUMN], DROP [COLUMN], "
+            "RENAME COLUMN ... TO ..."
+        )
+
     # MERGE
     table, cols, key_cols, kind, source = parse_merge(statement, shadow)
     logical = _logical(engine, table)
@@ -332,6 +369,45 @@ def execute(engine, statement: str):
     n = src.count()
     engine.merge_into(logical, src, key_cols)
     return n
+
+
+def _h2_type_to_spark(type_text: str) -> str:
+    """Map an H2 column-type token (ALTER TABLE ADD) to a Spark SQL
+    type string — the same name set the sink accepts (types.py),
+    rendered for ``Column.cast``. Parenthesized precision carries
+    through (DECIMAL(p,s), VARCHAR(n))."""
+    t = type_text.strip().rstrip(";").upper()
+    t = re.sub(r"\s+", " ", t)
+    base = t.split("(", 1)[0].strip()
+    aliases = {
+        "VARCHAR": "string" if "(" not in t else None,
+        "CHAR": "string" if "(" not in t else None,
+        "CLOB": "string",
+        "TEXT": "string",
+        "INT": "int",
+        "INTEGER": "int",
+        "INT4": "int",
+        "BIGINT": "bigint",
+        "INT8": "bigint",
+        "SMALLINT": "smallint",
+        "TINYINT": "tinyint",
+        "DOUBLE": "double",
+        "DOUBLE PRECISION": "double",
+        "FLOAT": "double",
+        "REAL": "float",
+        "BOOLEAN": "boolean",
+        "BOOL": "boolean",
+        "DATE": "date",
+        "TIMESTAMP": "timestamp",
+        "TIME": "string",  # Spark has no TIME type; string carrier (types.py)
+        "BINARY": "binary",
+        "VARBINARY": "binary",
+        "BLOB": "binary",
+    }
+    mapped = aliases.get(t) or aliases.get(base)
+    if mapped:
+        return mapped
+    return t.lower()  # DECIMAL(p,s), VARCHAR(n), ... — Spark-parsable
 
 
 def _logical(engine, name: str) -> str:

@@ -189,6 +189,33 @@ def test_truncate_statement(engine):
     assert engine.table(t).count() == 0
 
 
+def test_alter_add_drop_rename_column(engine):
+    t = _load(engine)
+    engine.execute_sql("ALTER TABLE sqldml_t ADD COLUMN score DOUBLE")
+    assert engine.table(t).columns == ["k", "v", "score"]
+    assert engine.table(t).where("score IS NULL").count() == 3
+    # new column participates in DML immediately
+    engine.execute_sql("UPDATE sqldml_t SET score = k * 1.5 WHERE k >= 2")
+    got = {float(r.k): (r.score if r.score is None else float(r.score))
+           for r in engine.table(t).collect()}
+    assert got == {1.0: None, 2.0: 3.0, 3.0: 4.5}
+    engine.execute_sql("ALTER TABLE sqldml_t RENAME COLUMN score TO quality")
+    assert engine.table(t).columns == ["k", "v", "quality"]
+    engine.execute_sql("ALTER TABLE sqldml_t DROP COLUMN quality")
+    assert engine.table(t).columns == ["k", "v"]
+    assert _rows(engine, t) == [(1.0, "a"), (2.0, "b"), (3.0, "c")]
+
+
+def test_alter_errors(engine):
+    _load(engine)
+    with pytest.raises(ValueError, match="exists"):
+        engine.execute_sql("ALTER TABLE sqldml_t ADD COLUMN v VARCHAR")
+    with pytest.raises(ValueError, match="no such column"):
+        engine.execute_sql("ALTER TABLE sqldml_t DROP COLUMN nope")
+    with pytest.raises(ValueError, match="supported forms"):
+        engine.execute_sql("ALTER TABLE sqldml_t SET WHATEVER")
+
+
 def test_query_passthrough_returns_dataframe(engine):
     t = _load(engine)
     physical = engine.sink.catalog[t]
