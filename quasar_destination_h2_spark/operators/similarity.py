@@ -263,6 +263,66 @@ def ivf_topk(
     )
 
 
+def ivf_topk_nprobe(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 3,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat ANN with multi-probe (nprobe > 1): each query searches
+    its `nprobe` nearest centroid lists instead of only its own —
+    the standard recall lever when the true neighbor's list differs
+    from the query's (cell-boundary misses). Cost scales linearly in
+    nprobe and stays ∝ corpus/n_list per probe; every joined pair is
+    unique because a corpus vector lives in exactly one inverted
+    list. Same probed-bucket equality join as nprobe=1 — never a
+    corpus scan per query."""
+    cents = ivf_centroids(emb, id_col, vec_col)
+    assigned = ivf_assign(emb, cents, id_col, vec_col)
+    qv = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    probes = qv.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "qv",
+        "centroid_id",
+        F.round(cosine(F.col("qv"), F.col("cvec")), 6).alias("_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("centroid_id")
+    )
+    q = (
+        probes.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "centroid_id",
+    )
+    scored = (
+        c.join(F.broadcast(q), "centroid_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "centroid_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "centroid_id", "cos_sim", "rank")
+    )
+
+
 def quantize_int8(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -998,6 +998,54 @@ def q_ivf_topk_ann(t: TableSet) -> DataFrame:
     return similarity.ivf_topk(t.embeddings)
 
 
+@query(
+    "ivf_topk_ann_nprobe2",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
+              WHERE vec_id IN (
+                SELECT vec_id FROM e
+                ORDER BY md5('{_IVF_SEED}:' || CAST(vec_id AS VARCHAR)), vec_id
+                LIMIT {_IVF_N_LIST})),
+    assigned AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC,
+                          c.centroid_id) AS rn
+        FROM e CROSS JOIN cents c) WHERE rn = 1
+    ),
+    q AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC,
+                          c.centroid_id) AS rn
+        FROM e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE rn <= 2
+    ),
+    c2 AS (SELECT vec_id AS neighbor_id, v AS cv, centroid_id FROM assigned),
+    scored AS (
+      SELECT query_id, neighbor_id, centroid_id,
+             round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+      FROM c2 JOIN q USING (centroid_id) WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, centroid_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q_ivf_topk_ann_nprobe2(t: TableSet) -> DataFrame:
+    """IVF-flat ANN with multi-probe (nprobe=2): each query searches
+    its two nearest inverted lists — the recall lever for
+    cell-boundary misses; cost stays ∝ nprobe * corpus / n_list."""
+    return similarity.ivf_topk_nprobe(t.embeddings)
+
+
 # ---------------------------------------------------------------------------
 # Custom join strategies
 # ---------------------------------------------------------------------------
