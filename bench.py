@@ -47,6 +47,8 @@ HEADLINE = (
     # bucketized range join
     "rollup_cascade",
     "range_join_sessions",
+    # [EXT] flagship composition: dedup -> quality gate -> stable split
+    "pipeline_curate",
 )
 
 

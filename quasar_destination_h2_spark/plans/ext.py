@@ -1356,3 +1356,72 @@ def q_sketch_approx_quantiles(t: TableSet) -> DataFrame:
         F.round(F.col("qs")[2], 6).alias("q75"),
         F.round(F.col("qs")[3], 6).alias("q99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline (flagship composition)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pipeline_curate",
+    oracle=rf"""
+    WITH surv AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents GROUP BY md5({_NORM})
+    ),
+    base AS (
+      SELECT doc_id, {_NORM} AS norm, string_split_regex({_NORM}, ' ') AS w
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(w) AS DOUBLE) AS n_tok,
+             CAST(len(norm) AS DOUBLE) AS n_chars,
+             CAST(len(list_filter(w, x -> list_contains([{_STOP_LIST}], x)))
+                  AS DOUBLE) AS n_stop,
+             CAST(len(regexp_extract_all(norm, '[^\w\s]')) AS DOUBLE) AS n_punct
+      FROM base
+    ),
+    q AS (
+      SELECT doc_id,
+             CAST(n_tok AS BIGINT) AS n_tokens,
+             round(0.4 * least(n_tok / 50.0, 1.0)
+                   + 0.3 * least((n_stop / n_tok) * 5, 1.0)
+                   + 0.2 * (1 - least((n_punct / greatest(n_chars, 1.0)) * 10,
+                                      1.0))
+                   + 0.1 * least(((n_chars - (n_tok - 1)) / n_tok) / 8, 1.0),
+                   6) AS quality
+      FROM m
+    )
+    SELECT d.doc_id, d.lang, q.n_tokens, q.quality,
+           CASE WHEN {_BUCKET_SQL} < 10 THEN 'test'
+                WHEN {_BUCKET_SQL} < 20 THEN 'val'
+                ELSE 'train' END AS split
+    FROM documents d
+    JOIN surv USING (doc_id)
+    JOIN q ON q.doc_id = d.doc_id
+    WHERE q.quality >= 0.5 AND q.n_tokens >= 20
+    """,
+)
+def q_pipeline_curate(t: TableSet) -> DataFrame:
+    """End-to-end curation pipeline as ONE composed plan: exact-dedup
+    survivors → quality gate (score >= 0.5, >= 20 tokens) → stable
+    hash split. Shows the operators compose without materialization
+    boundaries: Catalyst fuses the per-row scoring into the scan, the
+    dedup survivor set arrives as a semi-joinable aggregate, and the
+    whole thing is two shuffles (dedup groupBy + survivor join) at
+    any scale. The curated (doc_id, lang, n_tokens, quality, split)
+    is exactly what a training-data writer shards out."""
+    d = t.documents
+    surv = dedup.exact_dedup(d).select("doc_id")
+    q = text.quality_score(d).select("doc_id", "n_tokens", "quality")
+    split = text.dataset_split(d)
+    return (
+        d.select("doc_id", "lang")
+        .join(surv, "doc_id")
+        .join(q, "doc_id")
+        .where((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 20))
+        .join(split, "doc_id")
+        .select("doc_id", "lang", "n_tokens", "quality", "split")
+    )
