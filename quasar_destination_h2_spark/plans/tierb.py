@@ -903,6 +903,195 @@ def q_tpch_q21_suppliers_who_kept_waiting(t: TableSet) -> DataFrame:
     )
 
 
+@query(
+    "tpch_q2_min_price_supplier",
+    oracle="""
+    SELECT DISTINCT p_partkey, p_name, s_name, l_extendedprice AS min_price
+    FROM lineitem l1
+    JOIN part ON p_partkey = l1.l_partkey
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE p_size BETWEEN 1 AND 15
+      AND l_extendedprice = (
+        SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+        WHERE l2.l_partkey = l1.l_partkey)
+    ORDER BY p_partkey, s_name
+    LIMIT 100
+    """,
+)
+def q_tpch_q2_min_price_supplier(t: TableSet) -> DataFrame:
+    """TPC-H Q2 shape (correlated scalar-MIN subquery): for each
+    small-size part, the supplier(s) who shipped it at its minimum
+    price. Decorrelation by hand: the per-part MIN is one groupBy
+    shuffle on l_partkey, re-joined to lineitem on (partkey, price) —
+    a hash equi-join, never a per-row subquery. part/supplier are
+    broadcast dims."""
+    minp = t.lineitem.groupBy(F.col("l_partkey").alias("mp_key")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    parts = t.part.where(F.col("p_size").between(1, 15))
+    return (
+        t.lineitem.join(
+            minp,
+            (F.col("l_partkey") == F.col("mp_key"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("p_partkey", "p_name", "s_name", "min_price")
+        .distinct()
+        .orderBy("p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(38,6))) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q15_top_supplier(t: TableSet) -> DataFrame:
+    """TPC-H Q15 shape (aggregate-over-aggregate): top supplier by
+    quarterly revenue. The MAX-of-the-view scalar is a 1-row aggregate
+    broadcast back onto the view with an *equality* condition, so it
+    plans as a BroadcastHashJoin — not the nested loop a bare scalar
+    comparison would produce. Exact-decimal revenue on both engines
+    makes the double equality safe."""
+    rev = (
+        t.lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                "total_revenue",
+            )
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_rev"))
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / 7.0
+           AS avg_yearly
+    FROM lineitem l1
+    JOIN part ON p_partkey = l1.l_partkey
+    WHERE p_brand = 'Brand#13'
+      AND l1.l_quantity < (
+        SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6)))
+                           AS DOUBLE) / COUNT(*))
+        FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+    """,
+)
+def q_tpch_q17_small_quantity_revenue(t: TableSet) -> DataFrame:
+    """TPC-H Q17 shape (correlated scalar-AVG subquery): revenue lost
+    to small-quantity orders of one brand. The per-part average is
+    decorrelated into a groupBy; semantically it only matters for the
+    brand's parts, so the aggregate input is semi-joined to the
+    broadcast brand dim FIRST — at 100 TB that prunes the shuffle to
+    the brand's ~1/25 of lineitem instead of aggregating everything.
+    The threshold is exact-decimal sum / count in IEEE doubles so the
+    `<` boundary is bit-identical across engines."""
+    brand = t.part.where(F.col("p_brand") == "Brand#13").select("p_partkey")
+    branded = t.lineitem.join(
+        F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"), "left_semi"
+    )
+    avgq = (
+        branded.groupBy(F.col("l_partkey").alias("aq_key"))
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("qty_sum"),
+            F.count(F.lit(1)).alias("qty_cnt"),
+        )
+        .select(
+            "aq_key",
+            (F.lit(0.2) * (F.col("qty_sum") / F.col("qty_cnt"))).alias(
+                "qty_thresh"
+            ),
+        )
+    )
+    return (
+        branded.join(avgq, F.col("l_partkey") == F.col("aq_key"))
+        .where(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(DEC)).cast("double") / F.lit(7.0))
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "tpch_q22_dormant_customers",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*)
+        FROM customer c2 WHERE c2.c_acctbal > 0)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_tpch_q22_dormant_customers(t: TableSet) -> DataFrame:
+    """TPC-H Q22 shape (global scalar subquery + NOT EXISTS anti-join):
+    above-average-balance customers with no recent orders, by market
+    segment. The global average is expressed as an *uncorrelated
+    scalar subquery* (SQL over a temp view): Spark plans it as a
+    one-shot Subquery stage whose result is embedded into the filter
+    — zero joins, strictly better than broadcasting a 1-row aggregate
+    (which plans as a nested loop once constant keys fold away).
+    NOT EXISTS -> left-anti on the date-pruned orders scan."""
+    spark = t.customer.sparkSession
+    t.customer.createOrReplaceTempView("q22_customer")
+    rich = spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment, c_acctbal FROM q22_customer c
+        WHERE c.c_acctbal > (
+          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*)
+          FROM q22_customer c2 WHERE c2.c_acctbal > 0)
+        """
+    )
+    recent = t.orders.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        rich.join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            _dsum(F.col("c_acctbal"), "totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions
 # ---------------------------------------------------------------------------
