@@ -35,6 +35,7 @@ HEADLINE = (
     # sole-late-supplier semi+anti join
     "tpch_q7_volume_shipping",
     "tpch_q21_suppliers_who_kept_waiting",
+    "tpch_q17_small_quantity_revenue",
     # [EXT] scale paths: bucketed LSH dedup + brute-force ANN baseline
     "dedup_minhash_lsh",
     "embed_cosine_topk",

@@ -222,6 +222,47 @@ def ivf_assign(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster by the IVF coarse quantizer, then drop
+    any vector that has a higher-priority (lower-id) neighbor in the
+    SAME cluster with cosine >= threshold. The quadratic comparison is
+    confined to one cluster — the whole point of clustering first —
+    and the cluster join is a plain hash equi-join on centroid_id.
+    At 100 TB: grow n_list so E[cluster]^2 stays bounded (n_list ~
+    n/1e5 keeps per-cluster work linear-ish), and bucket the stored
+    corpus by centroid_id so the self-join is co-located.
+
+    Returns every vector with its cluster and a `kept` verdict —
+    deterministic (id-priority), engine-independent."""
+    assigned = ivf_assign(emb, ivf_centroids(emb, id_col, vec_col), id_col, vec_col)
+    a = assigned.select(
+        F.col(id_col).alias("u_id"), F.col(vec_col).alias("uv"), "centroid_id"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("v_id"), F.col(vec_col).alias("vv"), "centroid_id"
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .where(F.col("u_id") < F.col("v_id"))
+        .where(F.round(cosine(F.col("uv"), F.col("vv")), 6) >= threshold)
+        .select(F.col("v_id").alias("dup_id"))
+        .distinct()
+    )
+    return assigned.join(
+        dropped, F.col(id_col) == F.col("dup_id"), "left"
+    ).select(
+        id_col,
+        "centroid_id",
+        F.col("dup_id").isNull().alias("kept"),
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     n_queries: int = 10,

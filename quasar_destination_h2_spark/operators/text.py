@@ -266,6 +266,30 @@ def dataset_split(
     return docs.select("doc_id", split.alias("split"))
 
 
+def source_cap(
+    docs: DataFrame, cap: int = 15, source_col: str = "source"
+) -> DataFrame:
+    """Per-source quota cap (the domain-balancing curation op: no
+    single domain may contribute more than `cap` documents). Which
+    docs survive is decided by a deterministic content-hash priority,
+    not arrival order — the kept set is reproducible across engines
+    and stable under scan-order changes, and adding documents from
+    OTHER sources never evicts a kept one. One shuffle on the source
+    key; the window is per-source (bounded), never a global sort. At
+    100 TB a pathologically hot source makes one fat partition —
+    acceptable because the window computes rank only (spills
+    sequentially); if a source is a significant corpus fraction,
+    pre-filter with an approximate per-source count and hash-sample
+    before ranking."""
+    pri = F.md5(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy(source_col).orderBy(pri, "doc_id")
+    return (
+        docs.withColumn("keep_rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("keep_rank") <= cap)
+        .select("doc_id", F.col(source_col).alias("source"), "keep_rank")
+    )
+
+
 def _all_shingles(toks: Column, k: int) -> Column:
     """All k-word shingles WITH duplicates (unlike word_shingles) —
     the denominator of repetition metrics."""

@@ -605,6 +605,26 @@ def q_dataset_split(t: TableSet) -> DataFrame:
     return text.dataset_split(t.documents)
 
 
+@query(
+    "source_cap",
+    oracle="""
+    SELECT doc_id, source, CAST(rn AS BIGINT) AS keep_rank
+    FROM (SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rn
+          FROM documents)
+    WHERE rn <= 15
+    """,
+)
+def q_source_cap(t: TableSet) -> DataFrame:
+    """Per-source quota cap (domain balancing): at most 15 docs per
+    source, chosen by deterministic hash priority. Per-source window
+    only — one shuffle, no global sort."""
+    return text.source_cap(t.documents)
+
+
 def _duck_nib(key: str, p: int) -> str:
     return f"(strpos('0123456789abcdef', substr({key}, {p + 1}, 1)) - 1)"
 
@@ -1044,6 +1064,42 @@ def q_ivf_topk_ann_nprobe2(t: TableSet) -> DataFrame:
     its two nearest inverted lists — the recall lever for
     cell-boundary misses; cost stays ∝ nprobe * corpus / n_list."""
     return similarity.ivf_topk_nprobe(t.embeddings)
+
+
+@query(
+    "semantic_dedup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
+              WHERE vec_id IN (
+                SELECT vec_id FROM e
+                ORDER BY md5('{_IVF_SEED}:' || CAST(vec_id AS VARCHAR)), vec_id
+                LIMIT {_IVF_N_LIST})),
+    assigned AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC,
+                          c.centroid_id) AS rn
+        FROM e CROSS JOIN cents c) WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id AS dup_id
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+    )
+    SELECT a.vec_id, a.centroid_id, (d.dup_id IS NULL) AS kept
+    FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.dup_id
+    """,
+)
+def q_semantic_dedup(t: TableSet) -> DataFrame:
+    """SemDeDup-style semantic dedup: IVF-cluster the embeddings,
+    drop any vector with a lower-id neighbor at cosine >= 0.35 in the
+    same cluster. Quadratic work is confined within clusters; the
+    cluster self-join is a hash equi-join on centroid_id."""
+    return similarity.semantic_dedup(t.embeddings)
 
 
 # ---------------------------------------------------------------------------

@@ -499,3 +499,66 @@ def test_winnow_fingerprints_cover_all_docs(t):
     n_docs = t.documents.count()
     assert len(fp) == n_docs
     assert all(r.n_fp > 0 for r in fp)
+
+
+def test_source_cap_invariants(t):
+    """No source exceeds the cap; under-cap sources keep everything;
+    the kept set is stable when docs from OTHER sources are removed
+    (hash priority, not arrival order)."""
+    from pyspark.sql import functions as F
+
+    capped = text.source_cap(t.documents, cap=7)
+    per_src = {
+        r.source: r.n
+        for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    sizes = {
+        r.source: r.n
+        for r in t.documents.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    for src, n in per_src.items():
+        assert n == min(7, sizes[src]), (src, n)
+    # drop one entire source: every other source's kept set is unchanged
+    some_src = sorted(sizes)[0]
+    kept_before = {
+        (r.doc_id, r.source)
+        for r in capped.where(F.col("source") != some_src).collect()
+    }
+    kept_after = {
+        (r.doc_id, r.source)
+        for r in text.source_cap(
+            t.documents.where(F.col("source") != some_src), cap=7
+        ).collect()
+    }
+    assert kept_before == kept_after
+
+
+def test_semantic_dedup_drop_rule(t):
+    """Every dropped vector has a lower-id same-cluster neighbor at
+    cosine >= threshold; every kept vector has none. Verified against
+    an independent in-driver recomputation at fixture scale."""
+    import itertools
+
+    import numpy as np
+
+    verdicts = similarity.semantic_dedup(t.embeddings, threshold=0.35).collect()
+    rows = t.embeddings.select("vec_id", "embedding").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    cluster = {r.vec_id: r.centroid_id for r in verdicts}
+    assert set(cluster) == set(vecs)
+
+    by_cluster: dict[int, list[int]] = {}
+    for vid, cid in cluster.items():
+        by_cluster.setdefault(cid, []).append(vid)
+    expected_dropped = set()
+    for members in by_cluster.values():
+        for u, v in itertools.combinations(sorted(members), 2):
+            a, b = vecs[u], vecs[v]
+            s = round(
+                float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6
+            )
+            if s >= 0.35:
+                expected_dropped.add(v)
+    actual_dropped = {r.vec_id for r in verdicts if not r.kept}
+    assert actual_dropped == expected_dropped
+    assert 0 < len(actual_dropped) < len(vecs)
