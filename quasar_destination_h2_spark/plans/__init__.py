@@ -10,12 +10,17 @@ from . import ext  # noqa: E402,F401
 # plus every flagship LLM-pipeline operator. Everything else keeps its
 # original (module/file) order after the priority block.
 _DRIVER_WINDOW = [
-    # Tier-B: projection / filter / row expressions
+    # Tier-B: projection / filter / row expressions (distinct /
+    # case_coalesce / in_between_like were driver-green in r02 and
+    # ceded their window slots to the round-3 flagship operators —
+    # they remain oracle-checked locally)
     "filter_projection",
-    "distinct",
-    "case_coalesce",
-    "in_between_like",
     "null_handling",
+    # Round-3 flagships: composed curation pipeline, SemDeDup-style
+    # semantic dedup, per-source quota cap
+    "pipeline_curate",
+    "semantic_dedup",
+    "source_cap",
     # Tier-B: aggregation (incl. grammar stragglers new since r2 window)
     "agg_pricing_summary",
     "agg_having",
