@@ -255,17 +255,32 @@ def dedup_clusters(
             ).alias("cluster_id"),
         )
 
+    # Iterate over the near-dup SUBGRAPH only: a doc with no edge can
+    # never change its label, so singletons — the overwhelming corpus
+    # majority at 100 TB — are excluded from every round's shuffle and
+    # re-attached once at the end (label = own id). Per-round cost is
+    # ∝ |dup subgraph|, not ∝ corpus.
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     labels = fixpoint(
-        docs.select("doc_id", F.col("doc_id").alias("cluster_id")),
+        nodes.select("doc_id", F.col("doc_id").alias("cluster_id")),
         propagate,
         # label sum strictly decreases until the component minima fix
         lambda df: df.agg(F.sum("cluster_id")).collect()[0][0],
         max_iter,
     )
-    return labels.select(
-        "doc_id",
-        "cluster_id",
-        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    sub = labels.select("doc_id", F.col("cluster_id").alias("sub_cluster"))
+    return (
+        docs.select("doc_id")
+        .join(sub, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("sub_cluster"), F.col("doc_id")).alias("cluster_id"),
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
     )
 
 
