@@ -1414,6 +1414,60 @@ def q_sketch_approx_quantiles(t: TableSet) -> DataFrame:
     )
 
 
+@query("sketch_theta_overlap")  # rows-only: Theta estimates are impl-defined
+def q_sketch_theta_overlap(t: TableSet) -> DataFrame:
+    """Theta-sketch set algebra (DataSketches): per-event-type user
+    sketches built in ONE pass, then |A∩B|, |A∪B| and |A\\B| of the
+    'click' and 'purchase' audiences estimated by sketch algebra —
+    the mergeable path to audience-overlap questions that exact
+    COUNT(DISTINCT) answers only with a full re-shuffle per pair. At
+    100 TB: sketches are a few KB per group, combine associatively
+    across partitions and ACROSS PAIRS (any pair of stored sketches
+    can be intersected later without touching raw data). No oracle:
+    estimates are implementation-defined; pytest pins a 5% bound
+    against the exact counts."""
+    sk = t.events.groupBy("event_type").agg(
+        F.theta_sketch_agg("user_id").alias("sk")
+    )
+    a = sk.where(F.col("event_type") == "click").select(
+        F.col("sk").alias("sk_a")
+    )
+    b = sk.where(F.col("event_type") == "purchase").select(
+        F.col("sk").alias("sk_b")
+    )
+    both = a.crossJoin(b)  # 1x1 sketch rows — driver-side algebra
+    return both.select(
+        F.round(F.theta_sketch_estimate(F.col("sk_a")), 0)
+        .cast("bigint")
+        .alias("clicks_distinct"),
+        F.round(F.theta_sketch_estimate(F.col("sk_b")), 0)
+        .cast("bigint")
+        .alias("purchases_distinct"),
+        F.round(
+            F.theta_sketch_estimate(
+                F.theta_intersection(F.col("sk_a"), F.col("sk_b"))
+            ),
+            0,
+        )
+        .cast("bigint")
+        .alias("overlap_est"),
+        F.round(
+            F.theta_sketch_estimate(F.theta_union(F.col("sk_a"), F.col("sk_b"))),
+            0,
+        )
+        .cast("bigint")
+        .alias("union_est"),
+        F.round(
+            F.theta_sketch_estimate(
+                F.theta_difference(F.col("sk_a"), F.col("sk_b"))
+            ),
+            0,
+        )
+        .cast("bigint")
+        .alias("click_only_est"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # End-to-end curation pipeline (flagship composition)
 # ---------------------------------------------------------------------------

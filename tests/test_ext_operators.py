@@ -501,6 +501,36 @@ def test_winnow_fingerprints_cover_all_docs(t):
     assert all(r.n_fp > 0 for r in fp)
 
 
+def test_theta_sketch_overlap_accuracy(t):
+    """Theta-sketch overlap/union/difference estimates within 5% of
+    the exact set sizes (fixture cardinalities are far below sketch
+    capacity, so estimates should in fact be exact)."""
+    from pyspark.sql import functions as F
+
+    from quasar_destination_h2_spark.plans import REGISTRY
+
+    est = REGISTRY["sketch_theta_overlap"].fn(
+        t.documents.sparkSession, SF_DIR
+    ).collect()[0]
+    users = {
+        r.event_type: set(r.us)
+        for r in t.events.groupBy("event_type")
+        .agg(F.collect_set("user_id").alias("us"))
+        .collect()
+    }
+    a, b = users["click"], users["purchase"]
+    exact = {
+        "clicks_distinct": len(a),
+        "purchases_distinct": len(b),
+        "overlap_est": len(a & b),
+        "union_est": len(a | b),
+        "click_only_est": len(a - b),
+    }
+    for k, ex in exact.items():
+        got = est[k]
+        assert abs(got - ex) <= max(1, 0.05 * ex), (k, got, ex)
+
+
 def test_source_cap_invariants(t):
     """No source exceeds the cap; under-cap sources keep everything;
     the kept set is stable when docs from OTHER sources are removed
