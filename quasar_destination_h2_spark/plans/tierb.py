@@ -1301,6 +1301,32 @@ def q_topk(t: TableSet) -> DataFrame:
     )
 
 
+_TOPK_TIES = """
+WITH banded AS (
+  SELECT o_orderkey,
+         CAST(FLOOR(o_totalprice / 10000) AS BIGINT) * 10000 AS price_band
+  FROM orders)
+SELECT o_orderkey, price_band
+FROM banded
+WHERE price_band >= (
+  SELECT MIN(price_band) FROM (
+    SELECT price_band FROM banded ORDER BY price_band DESC LIMIT 10))
+ORDER BY price_band DESC, o_orderkey
+"""
+
+
+@query("topk_with_ties", oracle=_TOPK_TIES)
+def q_topk_with_ties(t: TableSet) -> DataFrame:
+    """H2's `FETCH FIRST n ROWS WITH TIES` — peers of the k-th row are
+    kept. Rendered scale-first: the tie threshold is min-of-top-k (a
+    TakeOrderedAndProject over k rows feeding an uncorrelated scalar
+    Subquery), then a plain filter — no single-partition global rank
+    window. Banding uses FLOOR division, not ROUND (half-way rounding
+    on doubles is cross-engine-hazardous). Identical SQL text runs on
+    both engines."""
+    return t.sql(_TOPK_TIES)
+
+
 # ---------------------------------------------------------------------------
 # Set operations
 # ---------------------------------------------------------------------------
@@ -1478,6 +1504,27 @@ def q_subquery_scalar(t: TableSet) -> DataFrame:
     the average is an exact decimal sum so the threshold is
     bit-identical)."""
     return t.sql(_SCALAR_SUBQ)
+
+
+_SCALAR_SELECT = """
+SELECT n_name,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey) AS n_cust,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier s
+        WHERE s.s_nationkey = n.n_nationkey) AS n_supp
+FROM nation n
+ORDER BY n_name
+"""
+
+
+@query("subquery_scalar_select", oracle=_SCALAR_SELECT)
+def q_subquery_scalar_select(t: TableSet) -> DataFrame:
+    """Correlated scalar subqueries in the SELECT list (H2 grammar) —
+    Catalyst decorrelates each into an aggregate + left outer join on
+    the correlation key; COUNT(*) over the null-extended side still
+    yields 0, matching the scalar-subquery semantics. Identical SQL
+    text runs on both engines."""
+    return t.sql(_SCALAR_SELECT)
 
 
 _CORR_EXISTS = """
