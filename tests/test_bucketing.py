@@ -81,3 +81,36 @@ def test_bucketed_aggregation_no_shuffle(engine, spark):
     )
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_semantic_dedup_bucketed_by_centroid_no_shuffle(engine, spark):
+    """SCALE.md's semantic-dedup claim made concrete: with the
+    centroid-assigned corpus STORED bucketed by centroid_id, the
+    in-cluster pair self-join needs no shuffle of the corpus — the
+    on-disk hash partitioning is reused on both sides."""
+    from quasar_destination_h2_spark.operators import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assigned = similarity.ivf_assign(
+        emb, similarity.ivf_centroids(emb)
+    ).select("vec_id", "centroid_id")
+    engine.materialize_bucketed("b_assigned", assigned, ["centroid_id"], 8)
+    stored = engine.table("b_assigned")
+    with no_auto_broadcast(spark):
+        pairs = (
+            stored.alias("a")
+            .join(stored.alias("b"), "centroid_id")
+            .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        )
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        n_pairs = pairs.count()
+    # sanity: same pair count as the unbucketed join
+    want = (
+        assigned.alias("a")
+        .join(assigned.alias("b"), "centroid_id")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .count()
+    )
+    assert n_pairs == want
