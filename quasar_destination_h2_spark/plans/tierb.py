@@ -1087,6 +1087,150 @@ def q_tpch_q22_dormant_customers(t: TableSet) -> DataFrame:
     )
 
 
+@query(
+    "tpch_q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_tpch_q4_order_priority(t: TableSet) -> DataFrame:
+    """TPC-H Q4 shape: priority distribution of orders with at least
+    one late line. Correlated EXISTS (with the outer o_orderdate in
+    the lateness predicate) -> left-semi hash join on orderkey; the
+    quarter filter prunes orders before the join. Lateness adapted to
+    this schema: shipped > 90 days after order."""
+    orders = t.orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = t.lineitem.select(
+        F.col("l_orderkey").alias("lk"), F.col("l_shipdate").alias("ls")
+    )
+    return (
+        orders.join(
+            li,
+            (F.col("o_orderkey") == F.col("lk"))
+            & (F.col("ls") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT 100.0 * (
+      CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+               THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+               ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+      / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+             AS DOUBLE)) AS promo_share
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def q_tpch_q14_promo_revenue(t: TableSet) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month —
+    conditional aggregate over a broadcast dim join, both sums in the
+    exact-decimal carrier so the double ratio is bit-identical."""
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    month = t.lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    return (
+        month.join(
+            F.broadcast(t.part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+                    F.lit(0).cast(DEC)
+                )
+            )
+            .cast("double")
+            .alias("promo"),
+            F.sum(rev).cast("double").alias("total"),
+        )
+        .select(
+            (F.lit(100.0) * (F.col("promo") / F.col("total"))).alias(
+                "promo_share"
+            )
+        )
+    )
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19_disjunctive_revenue(t: TableSet) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs predicate spanning both join
+    sides. The part-only disjunction (brand+size) is applied BEFORE
+    the broadcast — a manual pre-filter Catalyst cannot infer from
+    the mixed residual — so only the three brands' parts ship with
+    the broadcast; the full disjunction remains as the residual
+    filter after the join."""
+    b12 = (F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+    b23 = (F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+    b24 = (F.col("p_brand") == "Brand#24") & F.col("p_size").between(1, 15)
+    parts = t.part.where(b12 | b23 | b24).select("p_partkey", "p_brand", "p_size")
+    full = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#24")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return (
+        t.lineitem.join(
+            F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .where(full)
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions
 # ---------------------------------------------------------------------------
