@@ -1231,6 +1231,160 @@ def q_tpch_q19_disjunctive_revenue(t: TableSet) -> DataFrame:
     )
 
 
+@query(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey)
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q_tpch_q13_customer_distribution(t: TableSet) -> DataFrame:
+    """TPC-H Q13 shape (aggregate of an aggregate over a filtered
+    LEFT JOIN): how many customers placed k qualifying orders, for
+    each k — including k = 0, which only the outer join preserves
+    (COUNT(col) skips the null-extended rows). Two shuffles: custkey,
+    then the tiny c_count key."""
+    qual = t.orders.where(F.col("o_orderpriority") != "5-LOW").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        t.customer.join(qual, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "tpch_q16_supplier_count",
+    oracle="""
+    SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT)
+             AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_size IN (1, 4, 9, 14, 19, 23)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+)
+def q_tpch_q16_supplier_count(t: TableSet) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part group with
+    a NOT IN exclusion subquery. s_suppkey is non-nullable here, so
+    NOT IN == left-anti join (the null-poisoning hazard of NOT IN
+    doesn't arise); the excluded-supplier set broadcasts. The
+    part-supplier relation is derived from lineitem (this schema has
+    no partsupp table)."""
+    excluded = t.supplier.where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("ex_key")
+    )
+    parts = t.part.where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23)
+    ).select("p_partkey", "p_brand", "p_size")
+    return (
+        t.lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == F.col("ex_key"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CASE WHEN n2.n_name = 'NATION_1'
+                    THEN CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(38,6))
+                    ELSE CAST(0 AS DECIMAL(38,6)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(38,6))) AS DOUBLE) AS mkt_share
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA'
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q_tpch_q8_market_share(t: TableSet) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's trade volume
+    per order year — a conditional-numerator ratio inside a six-way
+    join. All dims broadcast; lineitem-orders is the only big
+    shuffle; both sums ride the exact-decimal carrier so the share
+    divides bit-identically."""
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    asia_cust = (
+        t.customer.join(
+            F.broadcast(
+                t.nation.join(
+                    F.broadcast(t.region.where(F.col("r_name") == "ASIA")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nation = t.supplier.join(
+        F.broadcast(
+            t.nation.select(
+                F.col("n_nationkey").alias("sn_key"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    return (
+        t.lineitem.join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(asia_cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            rev.alias("rev"),
+            F.col("supp_nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_1", F.col("rev")).otherwise(
+                    F.lit(0).cast(DEC)
+                )
+            )
+            .cast("double")
+            .alias("num"),
+            F.sum("rev").cast("double").alias("den"),
+        )
+        .select(
+            "o_year", (F.col("num") / F.col("den")).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions
 # ---------------------------------------------------------------------------
