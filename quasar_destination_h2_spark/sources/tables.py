@@ -55,13 +55,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # other tables (their timestamps are µs-precision).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        # ns -> µs truncation; DuckDB CAST(timestamp_ns AS TIMESTAMP)
-        # truncates identically. Integer DIV, not F.floor(x/1000):
-        # double division loses ulps at ~1.7e18 ns and truncates to
-        # the wrong microsecond.
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-        )
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # ns-precision fixture: ns -> µs truncation; DuckDB
+            # CAST(timestamp_ns AS TIMESTAMP) truncates identically.
+            # Integer DIV, not F.floor(x/1000): double division loses
+            # ulps at ~1.7e18 ns and truncates to the wrong µs.
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+            )
+        if ts_type == "timestamp_ntz":
+            # µs-precision fixture read as NTZ: normalize to the
+            # session-zoned TimestampType every downstream operator is
+            # written against (CAST(ts AS BIGINT) epoch math is legal
+            # on LTZ but not NTZ). Session tz is pinned to UTC in the
+            # engine, so the wall-clock rendering is unchanged and
+            # DuckDB's naive timestamps still compare equal.
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     df = spark.read.parquet(path)
     return _fan_out(spark, df) if name in _FAN_OUT_TABLES else df
 

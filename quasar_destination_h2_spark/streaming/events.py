@@ -18,37 +18,37 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: Physical schema of events.parquet when read with
-#: spark.sql.legacy.parquet.nanosAsLong=true (ts arrives as int64 ns).
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_schema(spark: SparkSession, path: str) -> StructType:
+    """Streaming reads require an explicit schema; batch-infer it from
+    the same files so ns fixtures (ts: int64 under nanosAsLong) and µs
+    fixtures (ts: timestamp) both stream without a hand-pinned type."""
+    return spark.read.parquet(path).schema
 
 
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: "int | None" = None
 ) -> DataFrame:
-    """readStream over an events parquet directory. The ns int64 ts is
+    """readStream over an events parquet directory. A ns int64 ts is
     truncated to a microsecond timestamp — identical arithmetic to the
     batch loader (sources/tables.py), so stream and batch results are
-    comparable row-for-row. `max_files_per_trigger` bounds each
-    micro-batch (availableNow honors it, splitting a backlog into
-    several batches — watermarks advance between them, which is what
-    makes late-data semantics testable)."""
+    comparable row-for-row; a µs timestamp streams as-is. `max_files_per_trigger`
+    bounds each micro-batch (availableNow honors it, splitting a
+    backlog into several batches — watermarks advance between them,
+    which is what makes late-data semantics testable)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    schema = _events_schema(spark, path)
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(path)
-    # integer DIV — double division is lossy at ns epoch magnitudes
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(schema["ts"].dataType, LongType):
+        # integer DIV — double division is lossy at ns epoch magnitudes
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    elif schema["ts"].dataType.typeName() == "timestamp_ntz":
+        # normalize to session-zoned TimestampType (UTC-pinned) so
+        # watermarks/windows behave identically to the batch loader
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def hourly_event_counts(
