@@ -726,12 +726,56 @@ def q_mixture_sample(t: TableSet) -> DataFrame:
     return packing.mixture_sample(t.documents)
 
 
-@query("sequence_pack")  # rows-only: greedy reset is not SQL-expressible
+@query(
+    "sequence_pack",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+      SELECT doc_id,
+             CAST(LEAST(len(list_filter(string_split_regex({_NORM}, ' '),
+                                        x -> x <> '')),
+                        {packing.PACK_BUDGET}) AS BIGINT) AS n_tokens,
+             md5('{packing.SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR))
+               AS shuffle_key
+      FROM documents
+    ),
+    ordered AS (
+      SELECT doc_id, n_tokens,
+             CAST({_duck_shard("shuffle_key", packing.N_SHARDS)} AS INTEGER)
+               AS shard,
+             ROW_NUMBER() OVER (
+               PARTITION BY {_duck_shard("shuffle_key", packing.N_SHARDS)}
+               ORDER BY shuffle_key, doc_id) AS rn
+      FROM base
+    ),
+    packed AS (
+      SELECT doc_id, shard, rn, n_tokens,
+             CAST(0 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS off,
+             n_tokens AS used
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.doc_id, o.shard, o.rn, o.n_tokens,
+             CASE WHEN p.used + o.n_tokens > {packing.PACK_BUDGET}
+                       AND p.used > 0
+                  THEN p.bin_id + 1 ELSE p.bin_id END,
+             CASE WHEN p.used + o.n_tokens > {packing.PACK_BUDGET}
+                       AND p.used > 0
+                  THEN CAST(0 AS BIGINT) ELSE p.used END,
+             CASE WHEN p.used + o.n_tokens > {packing.PACK_BUDGET}
+                       AND p.used > 0
+                  THEN o.n_tokens ELSE p.used + o.n_tokens END
+      FROM packed p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+    )
+    SELECT doc_id, shard, bin_id, n_tokens, off AS "offset" FROM packed
+    """,
+)
 def q_sequence_pack(t: TableSet) -> DataFrame:
     """Greedy fixed-budget sequence packing per shard via
-    applyInPandas. No oracle (sequential reset state isn't
-    SQL-expressible); invariants pinned by pytest against an
-    independent single-threaded packer."""
+    applyInPandas (the greedy reset is sequential state — Python
+    escape hatch, Arrow-batched, parallel across shards). The packing
+    is nonetheless fully deterministic (seeded shard + in-shard order),
+    so the oracle replays the exact greedy recurrence as a DuckDB
+    recursive CTE stepping rank-by-rank within each shard — a full
+    hash-match oracle, not just invariants."""
     return packing.sequence_pack(t.documents)
 
 
@@ -1138,13 +1182,64 @@ def q_rollup_cascade(t: TableSet) -> DataFrame:
     return rollup.rollup_cascade(t.events)
 
 
-@query("sketch_user_rollup")  # rows-only: HLL estimates are impl-defined
+_USER_ROLLUP_LEVEL_SQL = "\n      UNION ALL\n".join(
+    f"""
+      SELECT '{label}' AS resolution,
+             s // {width} * {width} AS bucket_s, event_type,
+             COUNT(DISTINCT user_id) AS eu
+      FROM e GROUP BY 2, 3"""
+    for label, width in rollup.RESOLUTIONS
+)
+
+
+@query(
+    "sketch_user_rollup",
+    oracle=f"""
+    WITH e AS (SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS s,
+                      event_type, user_id
+               FROM events),
+    lvl AS ({_USER_ROLLUP_LEVEL_SQL})
+    SELECT resolution, make_timestamp(bucket_s * 1000000) AS bucket_start,
+           event_type, CAST(eu AS BIGINT) AS exact_users, TRUE AS approx_ok
+    FROM lvl
+    """,
+)
 def q_sketch_user_rollup(t: TableSet) -> DataFrame:
     """Distinct-user rollup via mergeable DataSketches HLL: coarser
     levels UNION the finer level's sketches (COUNT DISTINCT does not
-    re-aggregate; sketches do). Accuracy pinned by a pytest bound
-    against exact distinct counts."""
-    return rollup.user_sketch_rollup(t.events)
+    re-aggregate; sketches do). The raw estimate is impl-defined, so
+    the conformance row publishes the DuckDB-verified exact distinct
+    per bucket plus `approx_ok` — the sketch's accuracy contract
+    (|approx − exact| ≤ max(2, 8% — HLL lgK=12 rsd≈1.6%, 5σ slack))
+    checked in-plan; the oracle asserts it TRUE for every bucket."""
+    sk = rollup.user_sketch_rollup(t.events)
+    frames = []
+    for label, width in rollup.RESOLUTIONS:
+        frames.append(
+            t.events.groupBy(
+                rollup._bucket(F.col("ts"), width), F.col("event_type")
+            )
+            .agg(F.countDistinct("user_id").alias("exact_users"))
+            .select(
+                F.lit(label).alias("resolution"),
+                F.timestamp_seconds(F.col("bucket_s")).alias("bucket_start"),
+                "event_type",
+                "exact_users",
+            )
+        )
+    exact = frames[0]
+    for fdf in frames[1:]:
+        exact = exact.unionByName(fdf)
+    tol = F.greatest(F.lit(2.0), F.col("exact_users") * 0.08)
+    return sk.join(exact, ["resolution", "bucket_start", "event_type"]).select(
+        "resolution",
+        "bucket_start",
+        "event_type",
+        "exact_users",
+        (F.abs(F.col("approx_users") - F.col("exact_users")) <= tol).alias(
+            "approx_ok"
+        ),
+    )
 
 
 @query(
@@ -1379,42 +1474,109 @@ def q_quantiles_exact(t: TableSet) -> DataFrame:
     )
 
 
-@query("sketch_approx_distinct")  # rows-only: HLL values are engine-specific
+@query(
+    "sketch_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS exact_supps,
+           TRUE AS approx_parts_ok, TRUE AS approx_supps_ok
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
 def q_sketch_approx_distinct(t: TableSet) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) next to the exact count —
     the scalable distinct-cardinality path (no exact-distinct shuffle
-    explosion at 100 TB). No oracle: sketch values are
-    implementation-defined; accuracy is pinned by a pytest bound
-    instead."""
+    explosion at 100 TB). HLL values are engine-specific, so the
+    conformance row carries the DuckDB-verified exact counts plus
+    per-column `*_ok` accuracy-contract booleans (|approx − exact| ≤
+    max(2, 15% — 3σ at the default rsd 5%)), asserted TRUE by the
+    oracle."""
+    ok = lambda approx, exact: (  # noqa: E731
+        F.abs(F.col(approx) - F.col(exact))
+        <= F.greatest(F.lit(2.0), F.col(exact) * 0.15)
+    )
     return (
         t.lineitem.groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_partkey").alias("_ap"),
             F.countDistinct("l_partkey").alias("exact_parts"),
-            F.approx_count_distinct("l_suppkey").alias("approx_supps"),
+            F.approx_count_distinct("l_suppkey").alias("_as"),
+            F.countDistinct("l_suppkey").alias("exact_supps"),
+        )
+        .select(
+            "l_returnflag",
+            "exact_parts",
+            "exact_supps",
+            ok("_ap", "exact_parts").alias("approx_parts_ok"),
+            ok("_as", "exact_supps").alias("approx_supps_ok"),
         )
         .orderBy("l_returnflag")
     )
 
 
-@query("sketch_approx_quantiles")  # rows-only: KLL values are engine-specific
+@query(
+    "sketch_approx_quantiles",
+    oracle="""
+    SELECT round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.25), 6)
+             AS q25_exact,
+           round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5), 6)
+             AS q50_exact,
+           round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.75), 6)
+             AS q75_exact,
+           round(quantile_cont(CAST(o_totalprice AS DOUBLE), 0.99), 6)
+             AS q99_exact,
+           TRUE AS q25_ok, TRUE AS q50_ok, TRUE AS q75_ok, TRUE AS q99_ok
+    FROM orders
+    """,
+)
 def q_sketch_approx_quantiles(t: TableSet) -> DataFrame:
-    """percentile_approx sketch over o_totalprice (KLL-style); the
-    exact anchor is `quantiles_exact`."""
-    qs = t.orders.agg(
+    """percentile_approx sketch over o_totalprice (KLL-style, accuracy
+    10000 → rank error ≤ n/10000). Sketch outputs are engine-specific,
+    so the row publishes the DuckDB-verified exact interpolated
+    quantiles plus per-quantile `*_ok` booleans (approx within 1% of
+    exact — generous against the ≤2-rank error at conformance scale),
+    asserted TRUE by the oracle."""
+    agg = t.orders.agg(
         F.percentile_approx(
             "o_totalprice", [0.25, 0.5, 0.75, 0.99], 10000
-        ).alias("qs")
+        ).alias("qs"),
+        F.expr(
+            "percentile(o_totalprice, array(0.25, 0.5, 0.75, 0.99))"
+        ).alias("ex"),
     )
-    return qs.select(
-        F.round(F.col("qs")[0], 6).alias("q25"),
-        F.round(F.col("qs")[1], 6).alias("q50"),
-        F.round(F.col("qs")[2], 6).alias("q75"),
-        F.round(F.col("qs")[3], 6).alias("q99"),
-    )
+    cols = []
+    for i, tag in enumerate(("q25", "q50", "q75", "q99")):
+        cols.append(F.round(F.col("ex")[i], 6).alias(f"{tag}_exact"))
+    for i, tag in enumerate(("q25", "q50", "q75", "q99")):
+        cols.append(
+            (
+                F.abs(F.col("qs")[i] - F.col("ex")[i])
+                <= F.col("ex")[i] * 0.01
+            ).alias(f"{tag}_ok")
+        )
+    return agg.select(*cols)
 
 
-@query("sketch_theta_overlap")  # rows-only: Theta estimates are impl-defined
+@query(
+    "sketch_theta_overlap",
+    oracle="""
+    WITH pu AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+      FROM events GROUP BY user_id)
+    SELECT CAST(SUM(c) AS BIGINT) AS clicks_exact,
+           CAST(SUM(p) AS BIGINT) AS purchases_exact,
+           CAST(SUM(c * p) AS BIGINT) AS overlap_exact,
+           CAST(SUM(CASE WHEN c + p > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS union_exact,
+           CAST(SUM(c * (1 - p)) AS BIGINT) AS click_only_exact,
+           TRUE AS clicks_ok, TRUE AS purchases_ok, TRUE AS overlap_ok,
+           TRUE AS union_ok, TRUE AS click_only_ok
+    FROM pu
+    """,
+)
 def q_sketch_theta_overlap(t: TableSet) -> DataFrame:
     """Theta-sketch set algebra (DataSketches): per-event-type user
     sketches built in ONE pass, then |A∩B|, |A∪B| and |A\\B| of the
@@ -1423,9 +1585,10 @@ def q_sketch_theta_overlap(t: TableSet) -> DataFrame:
     COUNT(DISTINCT) answers only with a full re-shuffle per pair. At
     100 TB: sketches are a few KB per group, combine associatively
     across partitions and ACROSS PAIRS (any pair of stored sketches
-    can be intersected later without touching raw data). No oracle:
-    estimates are implementation-defined; pytest pins a 5% bound
-    against the exact counts."""
+    can be intersected later without touching raw data). Estimates
+    are impl-defined, so the row carries the DuckDB-verified exact
+    audience counts plus per-estimate accuracy-contract booleans
+    (|est − exact| ≤ max(2, 5%)), asserted TRUE by the oracle."""
     sk = t.events.groupBy("event_type").agg(
         F.theta_sketch_agg("user_id").alias("sk")
     )
@@ -1435,14 +1598,13 @@ def q_sketch_theta_overlap(t: TableSet) -> DataFrame:
     b = sk.where(F.col("event_type") == "purchase").select(
         F.col("sk").alias("sk_b")
     )
-    both = a.crossJoin(b)  # 1x1 sketch rows — driver-side algebra
-    return both.select(
+    ests = a.crossJoin(b).select(  # 1x1 sketch rows — driver-side algebra
         F.round(F.theta_sketch_estimate(F.col("sk_a")), 0)
         .cast("bigint")
-        .alias("clicks_distinct"),
+        .alias("_clicks_est"),
         F.round(F.theta_sketch_estimate(F.col("sk_b")), 0)
         .cast("bigint")
-        .alias("purchases_distinct"),
+        .alias("_purchases_est"),
         F.round(
             F.theta_sketch_estimate(
                 F.theta_intersection(F.col("sk_a"), F.col("sk_b"))
@@ -1450,13 +1612,13 @@ def q_sketch_theta_overlap(t: TableSet) -> DataFrame:
             0,
         )
         .cast("bigint")
-        .alias("overlap_est"),
+        .alias("_overlap_est"),
         F.round(
             F.theta_sketch_estimate(F.theta_union(F.col("sk_a"), F.col("sk_b"))),
             0,
         )
         .cast("bigint")
-        .alias("union_est"),
+        .alias("_union_est"),
         F.round(
             F.theta_sketch_estimate(
                 F.theta_difference(F.col("sk_a"), F.col("sk_b"))
@@ -1464,7 +1626,43 @@ def q_sketch_theta_overlap(t: TableSet) -> DataFrame:
             0,
         )
         .cast("bigint")
-        .alias("click_only_est"),
+        .alias("_click_only_est"),
+    )
+    c = F.max(
+        F.when(F.col("event_type") == "click", 1).otherwise(0)
+    ).alias("c")
+    p = F.max(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    ).alias("p")
+    exact = (
+        t.events.groupBy("user_id")
+        .agg(c, p)
+        .agg(
+            F.sum("c").cast("bigint").alias("clicks_exact"),
+            F.sum("p").cast("bigint").alias("purchases_exact"),
+            F.sum(F.col("c") * F.col("p")).cast("bigint").alias("overlap_exact"),
+            F.sum((F.col("c") + F.col("p") > 0).cast("int"))
+            .cast("bigint")
+            .alias("union_exact"),
+            F.sum(F.col("c") * (1 - F.col("p")))
+            .cast("bigint")
+            .alias("click_only_exact"),
+        )
+    )
+    ok = lambda est, ex: (  # noqa: E731
+        F.abs(F.col(est) - F.col(ex)) <= F.greatest(F.lit(2.0), F.col(ex) * 0.05)
+    )
+    return ests.crossJoin(exact).select(
+        "clicks_exact",
+        "purchases_exact",
+        "overlap_exact",
+        "union_exact",
+        "click_only_exact",
+        ok("_clicks_est", "clicks_exact").alias("clicks_ok"),
+        ok("_purchases_est", "purchases_exact").alias("purchases_ok"),
+        ok("_overlap_est", "overlap_exact").alias("overlap_ok"),
+        ok("_union_est", "union_exact").alias("union_ok"),
+        ok("_click_only_est", "click_only_exact").alias("click_only_ok"),
     )
 
 

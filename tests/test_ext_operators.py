@@ -520,15 +520,22 @@ def test_theta_sketch_overlap_accuracy(t):
     }
     a, b = users["click"], users["purchase"]
     exact = {
-        "clicks_distinct": len(a),
-        "purchases_distinct": len(b),
-        "overlap_est": len(a & b),
-        "union_est": len(a | b),
-        "click_only_est": len(a - b),
+        "clicks_exact": len(a),
+        "purchases_exact": len(b),
+        "overlap_exact": len(a & b),
+        "union_exact": len(a | b),
+        "click_only_exact": len(a - b),
     }
     for k, ex in exact.items():
-        got = est[k]
-        assert abs(got - ex) <= max(1, 0.05 * ex), (k, got, ex)
+        assert est[k] == ex, (k, est[k], ex)
+    for k in (
+        "clicks_ok",
+        "purchases_ok",
+        "overlap_ok",
+        "union_ok",
+        "click_only_ok",
+    ):
+        assert est[k] is True, k
 
 
 def test_source_cap_invariants(t):
