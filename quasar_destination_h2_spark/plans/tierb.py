@@ -1385,6 +1385,251 @@ def q_tpch_q8_market_share(t: TableSet) -> DataFrame:
     )
 
 
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-12-31'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6_forecast_revenue(t: TableSet) -> DataFrame:
+    """TPC-H Q6 shape (pure filter + global aggregate — no joins): the
+    revenue increase if small-quantity mid-discount discounts were
+    dropped for a year. Every predicate reaches the parquet scan as a
+    pushed filter, the projection prunes to three columns, and the
+    aggregate is partial+final — the minimal possible plan, which is
+    the point of the shape."""
+    return (
+        t.lineitem.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-12-31").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle="""
+    SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - 0.6 * p_retailprice * l_quantity
+                         AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q_tpch_q9_product_profit(t: TableSet) -> DataFrame:
+    """TPC-H Q9 shape (LIKE-filtered part, multi-way join, *signed*
+    expression aggregate): profit on one product line by supplier
+    nation and order year. This schema has no partsupp, so unit cost
+    is proxied as 60% of p_retailprice — the signed profit expression
+    (revenue − cost, can go negative) is the point of the shape. The
+    LIKE-pruned part dim broadcasts FIRST so only ~1/8 of lineitem
+    reaches the orders join (the one real shuffle); supplier→nation
+    broadcast on the side."""
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast(DEC)
+    gear = t.part.where(F.col("p_name").like("%gear%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp_nation = t.supplier.join(
+        F.broadcast(t.nation),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "n_name")
+    return (
+        t.lineitem.join(F.broadcast(gear), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t.orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(F.sum(profit).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle="""
+    WITH vbp AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(38,6))) AS DOUBLE) AS value
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_7')
+      GROUP BY l_partkey)
+    SELECT l_partkey, value FROM vbp
+    WHERE value > (
+      SELECT CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) * 0.001
+      FROM vbp)
+    ORDER BY value DESC, l_partkey
+    """,
+)
+def q_tpch_q11_important_stock(t: TableSet) -> DataFrame:
+    """TPC-H Q11 shape (group aggregate filtered by a *global scalar
+    threshold subquery*): parts whose shipped value for two nations'
+    suppliers exceeds 0.1% of that scope's total. The per-part
+    aggregate is computed ONCE into a temp view; the threshold is an
+    uncorrelated scalar subquery over the same view, which Spark
+    plans as a one-shot Subquery stage folded into the filter — the
+    aggregate is not recomputed and no nested-loop join appears.
+    Both the per-part and the grand total ride the exact-decimal
+    carrier so the `>` boundary is bit-identical."""
+    spark = t.lineitem.sparkSession
+    nat = t.nation.where(F.col("n_name").isin("NATION_3", "NATION_7"))
+    supp = t.supplier.join(
+        F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    vbp = (
+        t.lineitem.join(
+            F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+        )
+        .groupBy("l_partkey")
+        .agg(
+            _dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "value"
+            )
+        )
+    )
+    vbp.createOrReplaceTempView("q11_vbp")
+    return spark.sql(
+        """
+        SELECT l_partkey, value FROM q11_vbp
+        WHERE value > (
+          SELECT CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) * 0.001
+          FROM q11_vbp)
+        ORDER BY value DESC, l_partkey
+        """
+    )
+
+
+@query(
+    "tpch_q12_priority_lateness",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def q_tpch_q12_priority_lateness(t: TableSet) -> DataFrame:
+    """TPC-H Q12 shape (CASE-bucketed counts over a join with an
+    inter-table predicate): late shipments for a year, split into
+    high- vs low-priority counts per line status (this schema has no
+    l_shipmode; l_linestatus plays the grouping role). orders is NOT
+    broadcast — at scale it is ~1/4 of lineitem, so the honest plan
+    is a shuffled hash join on orderkey with the year filter pruning
+    lineitem first; the lateness predicate is a post-join filter
+    because it references both sides."""
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t.orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+        .join(
+            t.lineitem.where(
+                (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            ).select("l_orderkey", "l_shipdate", "l_linestatus"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "tpch_q20_dominant_supplier",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l1.l_suppkey
+      FROM lineitem l1
+      WHERE l1.l_partkey IN (SELECT p_partkey FROM part
+                             WHERE p_name LIKE '%gear%')
+        AND l1.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l1.l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l1.l_suppkey, l1.l_partkey
+      HAVING CAST(SUM(CAST(l1.l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 0.5 * (
+        SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+        FROM lineitem l2
+        WHERE l2.l_partkey = l1.l_partkey
+          AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
+      AND s_nationkey IN (SELECT n_nationkey FROM nation
+                          WHERE n_name IN ('NATION_3', 'NATION_7'))
+    ORDER BY s_suppkey
+    """,
+)
+def q_tpch_q20_dominant_supplier(t: TableSet) -> DataFrame:
+    """TPC-H Q20 shape (nested IN subqueries + correlated
+    half-quantity aggregate): suppliers in two nations who shipped
+    more than half of some gear part's annual volume. The correlated
+    per-part total is decorrelated into a second aggregate over the
+    SAME pre-filtered (gear ⋉ year) slice of lineitem and joined back
+    on partkey — one scan feeds both aggregation shapes; the nested
+    part-IN is a broadcast semi-join, the supplier-IN a semi-join on
+    the HAVING-filtered group output, the nation-IN a broadcast
+    semi-join on the dim."""
+    gear = t.part.where(F.col("p_name").like("%gear%")).select("p_partkey")
+    year_li = t.lineitem.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).join(F.broadcast(gear), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+    by_supp_part = year_li.groupBy("l_suppkey", "l_partkey").agg(
+        _dsum(F.col("l_quantity"), "supp_qty")
+    )
+    by_part = year_li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        _dsum(F.col("l_quantity"), "part_qty")
+    )
+    dominant = (
+        by_supp_part.join(by_part, F.col("l_partkey") == F.col("pk"))
+        .where(F.col("supp_qty") > 0.5 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nat = t.nation.where(F.col("n_name").isin("NATION_3", "NATION_7"))
+    return (
+        t.supplier.join(
+            F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"), "left_semi"
+        )
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Window functions
 # ---------------------------------------------------------------------------
