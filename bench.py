@@ -132,9 +132,17 @@ def main() -> int:
         # localCheckpoint, so timing only a count of a pre-built
         # DataFrame would under-report them
         fn(spark, sf_dir).count()  # warm: footer reads, JIT, plans
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        times[name] = round(time.perf_counter() - t0, 4)
+        # best-of-2 timed runs (the csv_load pattern, generalized):
+        # a single timed run is hostage to co-tenant noise — the r3
+        # artifact published ~1.5-2x uniform inflation that a clean
+        # re-run didn't reproduce. min-of-2 bounds that distortion.
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        times[name] = round(best, 4)
 
     total = round(sum(times.values()), 4)
     print(

@@ -39,12 +39,19 @@ def fixpoint(
 
     ``measure`` must be invariant at — and only at — the fixpoint
     (e.g. the sum of monotonically decreasing labels, or a row
-    count for monotonically growing reachability sets)."""
-    state = state.localCheckpoint()
+    count for monotonically growing reachability sets).
+
+    One driver action per round: the checkpoint is marked lazy
+    (``eager=False``) and the measure's aggregation job is what
+    materializes it — an eager checkpoint would spend a second
+    full job per round just to truncate lineage, doubling driver
+    round-trips on an operator whose per-round floor is scheduler
+    latency, not data volume."""
+    state = state.localCheckpoint(eager=False)
     prev = None
     for _ in range(max_iter):
-        state = step(state).localCheckpoint()
-        cur = measure(state)
+        state = step(state).localCheckpoint(eager=False)
+        cur = measure(state)  # this single action materializes the checkpoint
         if cur == prev:
             break
         prev = cur

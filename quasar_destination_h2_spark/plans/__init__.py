@@ -5,79 +5,78 @@ from . import tierb  # noqa: E402,F401
 from . import ext  # noqa: E402,F401
 
 # The driver's conformance harness checks the first 50 registered
-# queries (dict insertion order). Order the registry so that window is
-# *representative*: at least one query per SURVEY §2.2 Tier-B category
-# plus every flagship LLM-pipeline operator. Everything else keeps its
-# original (module/file) order after the priority block.
+# queries (dict insertion order). Rounds 2+3 drove 73 queries to a
+# driver-witnessed green hash; the round-4 window swaps ALL of those
+# out (they stay oracle-checked locally via tools/oracle_check.py)
+# and spends every slot on queries the driver has never hashed:
+# the remaining 13 TPC-H shapes + the 5 new ones, PIVOT/UNPIVOT, the
+# text-analysis tail, the remaining UDF/ANN/sampling entries, the
+# four sketch queries (now oracle-paired via exact anchors +
+# accuracy-contract booleans), and sequence_pack (whose r3 row was
+# `err: no_oracle`; it now has a full recursive-CTE hash oracle).
+# The only never-witnessed query left out is quantiles_exact, whose
+# exact-percentile formula is witnessed inside
+# sketch_approx_quantiles' *_exact columns.
 _DRIVER_WINDOW = [
-    # Tier-B: projection / filter / row expressions (distinct /
-    # case_coalesce / in_between_like were driver-green in r02 and
-    # ceded their window slots to the round-3 flagship operators —
-    # they remain oracle-checked locally)
-    "filter_projection",
-    "null_handling",
-    # Round-3 flagships: composed curation pipeline, SemDeDup-style
-    # semantic dedup, per-source quota cap
-    "pipeline_curate",
-    "semantic_dedup",
-    "source_cap",
-    # Tier-B: aggregation (incl. grammar stragglers new since r2 window)
-    "agg_pricing_summary",
-    "agg_having",
-    "count_distinct",
-    "grouping_sets",
-    "agg_filter_clause",
-    "values_inline_table",
-    "agg_bool",
-    # Tier-B: joins + TPC-H reporting shapes
-    "join_inner_broadcast",
-    "join_full_outer",
-    "join_anti",
-    "join_theta",
-    "tpch_q3_shipping_priority",
-    "tpch_q18_large_orders",
-    # Tier-B: window functions
-    "window_rank",
-    "window_rows_frame",
-    "window_distribution",
-    # Tier-B: sort / limit
-    "orderby_nulls_offset",
-    "topk",
-    # Tier-B: set operations
-    "set_union_all",
-    "set_except_all",
-    # Tier-B: subqueries / CTEs
-    "subquery_correlated_exists",
-    "cte_multi",
-    # Tier-B: scalar function batteries
-    "scalar_string",
-    "scalar_date",
-    "scalar_math",
-    "scalar_regex",
-    "scalar_cast",
-    # Tier-B: events (ns-timestamp) batch
-    "events_sessionize",
-    "events_hourly",
-    # EXT flagships: dedup family
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_clusters",
-    # EXT flagships: similarity / embeddings
-    "embed_cosine_topk",
-    "ivf_topk_ann",
-    "embed_quantize_int8",
-    # EXT flagships: text analysis + batch assembly
-    "text_language_id",
-    "vocab_topk",
+    # TPC-H reporting shapes not yet driver-witnessed
+    "tpch_q2_min_price_supplier",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_lateness",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_count",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_dominant_supplier",
+    "tpch_q21_suppliers_who_kept_waiting",
+    "tpch_q22_dormant_customers",
+    # Sort / limit + subquery stragglers
+    "topk_with_ties",
+    "subquery_scalar_select",
+    # Grouping-transpose forms
+    "pivot_status_matrix",
+    "unpivot_nation_metrics",
+    # Events JSON access
+    "events_json_props",
+    # Dedup / similarity tail
+    "minhash_signatures",
+    "text_simhash",
+    "ann_lsh_bucketed",
+    "embed_dedup_pairs",
+    "ivf_topk_ann_nprobe2",
+    # Text-analysis tail
+    "text_token_stats",
+    "text_quality",
+    "text_unigram_logprob",
+    "text_bigram_logprob",
+    "text_pattern_flags",
+    "text_repetition",
+    "text_fingerprints",
+    "text_boilerplate",
+    "contamination_check",
+    # Batch assembly / sampling
+    "sample_stratified",
+    "dataset_split",
+    "shuffle_shards",
+    "mixture_sample",
     "sequence_pack",
-    # EXT flagships: time series + multimodal + pandas UDF
-    "rollup_cascade",
-    "asof_join_events",
-    "range_join_sessions",
-    "multimodal_decode",
-    "udf_zscore_by_source",
+    # Sketches (new oracles this round)
+    "sketch_user_rollup",
+    "sketch_approx_distinct",
+    "sketch_approx_quantiles",
+    "sketch_theta_overlap",
+    # Joins / UDF / multimodal tail
+    "salted_join_agg",
+    "udf_vowel_stats",
+    "udf_weighted_mean",
+    "multimodal_resize",
+    "multimodal_frame_sample",
 ]
 
 
