@@ -66,27 +66,43 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted index.
 
-    Explode shingles → self-join on the shingle (docs sharing none
-    never meet) → count intersection → Jaccard from the
-    inclusion-exclusion identity. The join fans out only where
-    shingles collide, so cost tracks true similarity structure; a
-    100 TB run additionally prunes high-df shingles (stop-shingle
-    cut) — semantics unchanged for any threshold > 0.5."""
+    Explode shingles → group postings BY shingle (docs sharing none
+    never meet) → emit the ordered pairs inside each posting list
+    with a higher-order array transform → count each pair's
+    occurrences (= intersection size) → Jaccard from the
+    inclusion-exclusion identity.
+
+    Shaped as group-then-pair rather than the textbook posting-list
+    self-join on purpose: the self-join scans the posting list twice
+    (forcing a materialization) and needs THREE exchanges (both join
+    sides on the shingle + the pair aggregation); this form scans the
+    shingling once and needs two — per-shingle pair fan-out happens
+    inside the row, JVM-side, between the same two shuffles the
+    aggregation needs anyway. Cost still tracks true similarity
+    structure; a 100 TB run additionally prunes high-df shingles
+    (stop-shingle cut = a size(ds) cap on the posting list) —
+    semantics unchanged for any threshold > 0.5."""
     sh = _shingled(docs, text_col, k)
-    # both sides of the inverted-index self-join scan this posting
-    # list — materialize it once (tokenize+shingle+explode is the
-    # expensive part; the stored (doc_id, n_sh, shingle) rows are not)
-    ex = sh.select(
-        "doc_id", "n_sh", F.explode("shingles").alias("s")
-    ).localCheckpoint()
-    a = ex.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), "s"
+    posts = sh.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
+    grouped = (
+        posts.groupBy("s")
+        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
+        .where(F.size("ds") >= 2)
     )
-    b = ex.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), "s"
+    pair_arr = F.expr(
+        """
+        flatten(transform(ds, (x, i) ->
+          transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+            if(x.doc_id < y.doc_id,
+               named_struct('doc_a', x.doc_id, 'n_a', x.n_sh,
+                            'doc_b', y.doc_id, 'n_b', y.n_sh),
+               named_struct('doc_a', y.doc_id, 'n_a', y.n_sh,
+                            'doc_b', x.doc_id, 'n_b', x.n_sh)))))
+        """
     )
     pairs = (
-        a.join(b, (a.s == b.s) & (a.doc_a < b.doc_b))
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.*")
         .groupBy("doc_a", "doc_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
