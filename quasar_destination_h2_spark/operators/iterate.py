@@ -1,10 +1,14 @@
-"""Fixpoint iteration — the engine's replacement for recursive CTEs.
+"""Fixpoint iteration — recursion beyond what recursive CTEs can do.
 
-H2 1.4.200 supports ``WITH RECURSIVE`` (SURVEY §2.2 subqueries);
-Spark SQL has no recursive CTE form. The Spark-idiomatic equivalent
-is driver-controlled fixpoint iteration over DataFrames: apply a
-monotone step until the state stops changing. This module makes that
-pattern a first-class, reusable API instead of an ad-hoc loop:
+H2 1.4.200 supports ``WITH RECURSIVE`` (SURVEY §2.2 subqueries), and
+Spark 4.x grammars it natively too — SQL-text recursion passes
+straight through ``spark.sql`` (conformance query
+``recursive_cte_sql``). What a UNION ALL recursive CTE cannot do is
+terminate on a *cyclic* dataflow (connected components: every edge
+re-derives its endpoints forever). The Spark-idiomatic form for
+those is driver-controlled fixpoint iteration over DataFrames: apply
+a monotone step until the state stops changing. This module makes
+that pattern a first-class, reusable API instead of an ad-hoc loop:
 
 * each round builds the next state declaratively (joins/aggregates —
   Catalyst optimizes every step);

@@ -2110,6 +2110,36 @@ def q_cte_multi(t: TableSet) -> DataFrame:
     return t.sql(_CTE)
 
 
+_RECURSIVE_CTE = """
+WITH RECURSIVE months(m) AS (
+  SELECT TIMESTAMP '1996-01-01'
+  UNION ALL
+  SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '1996-12-01'
+)
+SELECT m AS month_start,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+       COALESCE(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 0.0)
+         AS revenue
+FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+GROUP BY m
+ORDER BY month_start
+"""
+
+
+@query("recursive_cte_sql", oracle=_RECURSIVE_CTE)
+def q_recursive_cte_sql(t: TableSet) -> DataFrame:
+    """WITH RECURSIVE as SQL *text* (H2 1.4.200 grammars it; Spark
+    gained native recursive CTEs in 4.x, so the statement passes
+    straight through ``spark.sql`` / ``engine.execute_sql`` — no
+    rewrite): a 12-row calendar spine built by recursion, LEFT-joined
+    to orders on the truncated month (hash equi-join, not a range
+    NLJ) for a monthly revenue report. The identical statement is the
+    DuckDB oracle. Data-dependent/cyclic fixpoints (connected
+    components) still use ``operators.iterate.fixpoint`` — UNION ALL
+    recursion cannot terminate on cycles."""
+    return t.sql(_RECURSIVE_CTE)
+
+
 _IN_SUBQ = """
 SELECT p_brand, COUNT(*) AS n
 FROM part

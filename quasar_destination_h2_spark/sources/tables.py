@@ -1,16 +1,26 @@
 """Loaders for the driver-provided parquet tables (TESTDATA.md).
 
 Tables: region nation customer supplier part orders lineitem events
-documents embeddings. ``events.ts`` is a nanosecond parquet timestamp,
-which Spark's vectorized reader rejects; we read it via
-``spark.sql.legacy.parquet.nanosAsLong`` and convert to a
-microsecond TimestampType (truncation — matching DuckDB's
-``CAST(ts_ns AS TIMESTAMP)`` exactly, verified in tests).
+documents embeddings. ``events.ts`` comes in two fixture flavors —
+int64 nanoseconds (read under ``spark.sql.legacy.parquet.nanosAsLong``
+and truncated to µs, matching DuckDB's ``CAST(ts_ns AS TIMESTAMP)``
+exactly, verified in tests) or a µs timestamp / timestamp_ntz. Either
+way :func:`normalize_ts` lands it on the session-zoned TimestampType
+every downstream operator is written against; the streaming reader
+(streaming/events.py) shares the same helper so stream and batch
+results stay comparable row-for-row.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 TABLES = (
     "region",
@@ -46,6 +56,47 @@ def _fan_out(spark: SparkSession, df: DataFrame) -> DataFrame:
 _FAN_OUT_TABLES = frozenset({"documents", "embeddings"})
 
 
+#: Explicit ns-flavor events schema: lets a *stream* start over a
+#: directory no file has landed in yet (batch schema inference needs
+#: at least one file). Matches the driver's events fixture columns.
+EVENTS_NS_FALLBACK_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),  # int64 ns under nanosAsLong
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Land whichever ts flavor the fixture carries on the
+    session-zoned TimestampType (engine pins the session tz to UTC).
+    Shared by the batch loader and the streaming reader
+    (streaming/events.py) so the two can never drift apart and
+    stream/batch results stay comparable row-for-row.
+
+    * ``bigint`` — ns-precision fixture read under nanosAsLong:
+      ns -> µs truncation; DuckDB CAST(timestamp_ns AS TIMESTAMP)
+      truncates identically. Integer DIV, not F.floor(x/1000):
+      double division loses ulps at ~1.7e18 ns and truncates to the
+      wrong µs.
+    * ``timestamp_ntz`` — µs fixture read as NTZ: cast to LTZ
+      (CAST(ts AS BIGINT) epoch math is legal on LTZ but not NTZ);
+      with the UTC session tz the wall-clock rendering is unchanged
+      and DuckDB's naive timestamps still compare equal.
+    * anything else (already a session-zoned timestamp) — unchanged.
+    """
+    dtype = dict(df.dtypes).get(col)
+    if dtype == "bigint":
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
@@ -54,25 +105,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # building the plan breaks a later collect(). Harmless for the
         # other tables (their timestamps are µs-precision).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
-            # ns-precision fixture: ns -> µs truncation; DuckDB
-            # CAST(timestamp_ns AS TIMESTAMP) truncates identically.
-            # Integer DIV, not F.floor(x/1000): double division loses
-            # ulps at ~1.7e18 ns and truncates to the wrong µs.
-            return df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-            )
-        if ts_type == "timestamp_ntz":
-            # µs-precision fixture read as NTZ: normalize to the
-            # session-zoned TimestampType every downstream operator is
-            # written against (CAST(ts AS BIGINT) epoch math is legal
-            # on LTZ but not NTZ). Session tz is pinned to UTC in the
-            # engine, so the wall-clock rendering is unchanged and
-            # DuckDB's naive timestamps still compare equal.
-            return df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
+        return normalize_ts(spark.read.parquet(path))
     df = spark.read.parquet(path)
     return _fan_out(spark, df) if name in _FAN_OUT_TABLES else df
 

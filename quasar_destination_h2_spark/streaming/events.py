@@ -1,4 +1,6 @@
-"""Streaming operators over the events schema (ns-timestamp parquet).
+"""Streaming operators over the events schema (ts: int64-ns under
+nanosAsLong, or a µs timestamp — either flavor, normalized by the
+loader shared with batch).
 
 Plan shapes are the standard scale-safe ones: watermark bounds state,
 windowed aggregation shuffles once on (window, key), stream dedup
@@ -13,42 +15,42 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
 
+from ..sources.tables import EVENTS_NS_FALLBACK_SCHEMA, normalize_ts
+
+
 def _events_schema(spark: SparkSession, path: str) -> StructType:
     """Streaming reads require an explicit schema; batch-infer it from
     the same files so ns fixtures (ts: int64 under nanosAsLong) and µs
-    fixtures (ts: timestamp) both stream without a hand-pinned type."""
-    return spark.read.parquet(path).schema
+    fixtures (ts: timestamp) both stream without a hand-pinned type.
+    An empty/not-yet-populated directory can't be inferred from —
+    fall back to the explicit ns schema so a stream can start before
+    the first file lands (the normal deploy order for a stream)."""
+    try:
+        return spark.read.parquet(path).schema
+    except Exception:
+        return EVENTS_NS_FALLBACK_SCHEMA
 
 
 def read_events_stream(
     spark: SparkSession, path: str, max_files_per_trigger: "int | None" = None
 ) -> DataFrame:
-    """readStream over an events parquet directory. A ns int64 ts is
-    truncated to a microsecond timestamp — identical arithmetic to the
-    batch loader (sources/tables.py), so stream and batch results are
-    comparable row-for-row; a µs timestamp streams as-is. `max_files_per_trigger`
-    bounds each micro-batch (availableNow honors it, splitting a
-    backlog into several batches — watermarks advance between them,
-    which is what makes late-data semantics testable)."""
+    """readStream over an events parquet directory, ts normalized by
+    the SAME helper as the batch loader (sources.tables.normalize_ts)
+    so stream and batch results are comparable row-for-row by
+    construction. `max_files_per_trigger` bounds each micro-batch
+    (availableNow honors it, splitting a backlog into several batches
+    — watermarks advance between them, which is what makes late-data
+    semantics testable)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = _events_schema(spark, path)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(path)
-    if isinstance(schema["ts"].dataType, LongType):
-        # integer DIV — double division is lossy at ns epoch magnitudes
-        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    elif schema["ts"].dataType.typeName() == "timestamp_ntz":
-        # normalize to session-zoned TimestampType (UTC-pinned) so
-        # watermarks/windows behave identically to the batch loader
-        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
-    return raw
+    return normalize_ts(reader.parquet(path))
 
 
 def hourly_event_counts(

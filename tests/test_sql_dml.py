@@ -221,3 +221,24 @@ def test_query_passthrough_returns_dataframe(engine):
     physical = engine.sink.catalog[t]
     df = engine.execute_sql(f"SELECT count(*) AS c FROM {physical}")
     assert df.collect()[0].c == 3
+
+
+def test_with_recursive_sql_text(engine):
+    """H2 1.4.200 grammars WITH RECURSIVE; Spark 4.x does natively
+    too, so the statement passes through execute_sql as a query and
+    returns its DataFrame — no rewrite, no typed error."""
+    t = _load(engine)
+    physical = engine.sink.catalog[t]
+    df = engine.execute_sql(
+        f"""
+        WITH RECURSIVE seq(n) AS (
+          SELECT 1
+          UNION ALL
+          SELECT n + 1 FROM seq WHERE n < 3
+        )
+        SELECT s.n, COUNT(t.k) AS n_rows
+        FROM seq s LEFT JOIN {physical} t ON t.k = s.n
+        GROUP BY s.n ORDER BY s.n
+        """
+    )
+    assert [(r.n, r.n_rows) for r in df.collect()] == [(1, 1), (2, 1), (3, 1)]

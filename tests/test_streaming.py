@@ -304,3 +304,37 @@ def test_late_event_past_watermark_dropped_in_append(spark):
         assert 9 not in emitted, emitted
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_starts_over_empty_directory(spark):
+    """ADVICE r3: a stream must be constructible before the first
+    file lands (batch schema inference has nothing to read — the
+    explicit ns fallback schema kicks in), and rows arriving *after*
+    start must flow with the same normalized µs timestamps."""
+    import os
+
+    d = tempfile.mkdtemp(prefix="events-empty-")
+    try:
+        stream = read_events_stream(spark, d)  # must not raise
+        assert stream.isStreaming
+        assert dict(stream.dtypes)["ts"] == "timestamp"
+        # land a ns-flavor file, then drain: rows flow through the
+        # fallback schema with the batch-identical ts arithmetic
+        batch = load_table(spark, SF_DIR, "events").limit(7)
+        pdf = batch.toPandas()
+        pdf["ts"] = pdf["ts"].astype("datetime64[ns]").astype("int64")
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        tbl = pa.Table.from_pandas(
+            pdf[["event_id", "ts", "user_id", "event_type", "value", "props"]],
+            preserve_index=False,
+        )
+        pq.write_table(tbl, os.path.join(d, "part-0.parquet"))
+        got = run_to_memory(
+            spark, stream.select("event_id", "ts"), "empty_start", "append"
+        )
+        want = {(r.event_id, r.ts) for r in batch.select("event_id", "ts").collect()}
+        assert {(r.event_id, r.ts) for r in got.collect()} == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
