@@ -30,6 +30,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI SQL oracle per query (omitted for
-    non-SQL-expressible ops → driver records rows-only checks)."""
+    """DuckDB-runnable ANSI SQL oracle per query — every registered
+    query has one (even the approx sketches: they publish exact
+    anchors + accuracy-contract booleans; greedy packing is replayed
+    by a recursive CTE)."""
     return plans.all_oracles()

@@ -1540,11 +1540,13 @@ def q_tpch_q12_priority_lateness(t: TableSet) -> DataFrame:
     """TPC-H Q12 shape (CASE-bucketed counts over a join with an
     inter-table predicate): late shipments for a year, split into
     high- vs low-priority counts per line status (this schema has no
-    l_shipmode; l_linestatus plays the grouping role). orders is NOT
-    broadcast — at scale it is ~1/4 of lineitem, so the honest plan
-    is a shuffled hash join on orderkey with the year filter pruning
-    lineitem first; the lateness predicate is a post-join filter
-    because it references both sides."""
+    l_shipmode; l_linestatus plays the grouping role). orders is not
+    FORCED broadcast — at scale it is ~1/4 of lineitem, so the honest
+    declared plan is a shuffled hash join on orderkey with the year
+    filter pruning lineitem first (AQE is free to pick broadcast at
+    small SF where orders fits the threshold — that is the point of
+    leaving the strategy to the optimizer); the lateness predicate is
+    a post-join filter because it references both sides."""
     hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
     return (
         t.orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
