@@ -119,7 +119,13 @@ def mixture_sample(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.when(n_tok < 40, "short").when(n_tok <= 60, "mid").otherwise("long")
     )
     keyed = docs.select("doc_id", bucket.alias("bucket"))
-    counts = keyed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    # a handful of rows (one per bucket) — checkpoint so the rates
+    # subtree and the totals subtree don't each re-scan the corpus
+    counts = (
+        keyed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
     totals = counts.agg(
         F.sum("n").alias("tot_n"), F.sum(F.sqrt(F.col("n"))).alias("tot_w")
     )

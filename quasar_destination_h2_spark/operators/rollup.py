@@ -40,7 +40,15 @@ def rollup_cascade(events: DataFrame) -> DataFrame:
     """Multi-resolution rollup: minute level aggregates raw events;
     hour re-aggregates minutes; day re-aggregates hours. One shuffle
     per level, each over progressively tiny input. Output: one row
-    per (resolution, bucket, event_type) with re-aggregable stats."""
+    per (resolution, bucket, event_type) with re-aggregable stats.
+
+    Each level is MATERIALIZED (``localCheckpoint``) before the next
+    derives from it — that is the hypertable continuous-aggregate
+    contract this operator models: the daily rollup reads the stored
+    hourly table, never the raw events. Declaratively unioning
+    un-materialized levels looks the same but plans three raw-event
+    scans (one per union branch re-deriving its chain — verified);
+    with materialization raw events are scanned exactly once."""
     label0, w0 = RESOLUTIONS[0]
     level = (
         events.groupBy(
@@ -50,6 +58,7 @@ def rollup_cascade(events: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast(_DEC)).alias("_vsum"),
         )
+        .localCheckpoint()
     )
     out = level.select(
         F.lit(label0).alias("resolution"),
@@ -67,6 +76,7 @@ def rollup_cascade(events: DataFrame) -> DataFrame:
                 F.sum("n").alias("n"),  # counts of counts
                 F.sum("_vsum").alias("_vsum"),  # exact decimal sums of sums
             )
+            .localCheckpoint()
         )
         out = out.unionByName(
             level.select(
@@ -86,11 +96,16 @@ def user_sketch_rollup(events: DataFrame) -> DataFrame:
     level's sketches (register-wise max — lossless). This is how a
     100 TB store answers 'distinct users in any window' without ever
     re-scanning raw data. Estimates carry the sketch's error (~2% at
-    default lgK) — pinned by a pytest bound, not an oracle."""
+    default lgK) — pinned by a pytest bound AND by the conformance
+    query's accuracy-contract booleans against exact per-bucket
+    distincts. Like rollup_cascade, each level is materialized before
+    the next unions its sketches — raw events are scanned once."""
     label0, w0 = RESOLUTIONS[0]
-    level = events.groupBy(
-        _bucket(F.col("ts"), w0), F.col("event_type")
-    ).agg(F.expr("hll_sketch_agg(user_id)").alias("_sk"))
+    level = (
+        events.groupBy(_bucket(F.col("ts"), w0), F.col("event_type"))
+        .agg(F.expr("hll_sketch_agg(user_id)").alias("_sk"))
+        .localCheckpoint()
+    )
     frames = [
         level.select(
             F.lit(label0).alias("resolution"),
@@ -100,9 +115,11 @@ def user_sketch_rollup(events: DataFrame) -> DataFrame:
         )
     ]
     for label, width in RESOLUTIONS[1:]:
-        level = level.groupBy(
-            _bucket(F.col("bucket_s"), width), F.col("event_type")
-        ).agg(F.expr("hll_union_agg(_sk)").alias("_sk"))
+        level = (
+            level.groupBy(_bucket(F.col("bucket_s"), width), F.col("event_type"))
+            .agg(F.expr("hll_union_agg(_sk)").alias("_sk"))
+            .localCheckpoint()
+        )
         frames.append(
             level.select(
                 F.lit(label).alias("resolution"),

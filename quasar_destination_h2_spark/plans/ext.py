@@ -1589,8 +1589,12 @@ def q_sketch_theta_overlap(t: TableSet) -> DataFrame:
     are impl-defined, so the row carries the DuckDB-verified exact
     audience counts plus per-estimate accuracy-contract booleans
     (|est − exact| ≤ max(2, 5%)), asserted TRUE by the oracle."""
-    sk = t.events.groupBy("event_type").agg(
-        F.theta_sketch_agg("user_id").alias("sk")
+    # a few rows (one sketch per event type) — checkpoint so the two
+    # filtered sides don't each re-scan events to rebuild sketches
+    sk = (
+        t.events.groupBy("event_type")
+        .agg(F.theta_sketch_agg("user_id").alias("sk"))
+        .localCheckpoint()
     )
     a = sk.where(F.col("event_type") == "click").select(
         F.col("sk").alias("sk_a")

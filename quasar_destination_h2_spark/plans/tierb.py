@@ -958,11 +958,14 @@ def q_tpch_q2_min_price_supplier(t: TableSet) -> DataFrame:
 )
 def q_tpch_q15_top_supplier(t: TableSet) -> DataFrame:
     """TPC-H Q15 shape (aggregate-over-aggregate): top supplier by
-    quarterly revenue. The MAX-of-the-view scalar is a 1-row aggregate
-    broadcast back onto the view with an *equality* condition, so it
-    plans as a BroadcastHashJoin — not the nested loop a bare scalar
-    comparison would produce. Exact-decimal revenue on both engines
-    makes the double equality safe."""
+    quarterly revenue. The per-supplier revenue view (tiny: one row
+    per supplier) is checkpointed once — without that, the MAX
+    subtree and the join probe each re-derive it from lineitem (two
+    fact scans; verified). The MAX-of-the-view scalar is then a 1-row
+    aggregate broadcast back onto the view with an *equality*
+    condition, so it plans as a BroadcastHashJoin — not the nested
+    loop a bare scalar comparison would produce. Exact-decimal
+    revenue on both engines makes the double equality safe."""
     rev = (
         t.lineitem.where(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -975,6 +978,7 @@ def q_tpch_q15_top_supplier(t: TableSet) -> DataFrame:
                 "total_revenue",
             )
         )
+        .localCheckpoint()
     )
     mx = rev.agg(F.max("total_revenue").alias("max_rev"))
     return (
@@ -1487,12 +1491,16 @@ def q_tpch_q11_important_stock(t: TableSet) -> DataFrame:
     """TPC-H Q11 shape (group aggregate filtered by a *global scalar
     threshold subquery*): parts whose shipped value for two nations'
     suppliers exceeds 0.1% of that scope's total. The per-part
-    aggregate is computed ONCE into a temp view; the threshold is an
-    uncorrelated scalar subquery over the same view, which Spark
-    plans as a one-shot Subquery stage folded into the filter — the
-    aggregate is not recomputed and no nested-loop join appears.
-    Both the per-part and the grand total ride the exact-decimal
-    carrier so the `>` boundary is bit-identical."""
+    aggregate (tiny: one row per part) is materialized ONCE with
+    ``localCheckpoint`` — without it, Spark plans the scalar
+    subquery and the main path as two independent subtrees and scans
+    lineitem TWICE (verified: 6 FileScans, 0 ReusedExchange); with
+    it, both read the stored rows and the fact table is touched once
+    at any scale. The threshold is then an uncorrelated scalar
+    subquery over the checkpointed view — a one-shot Subquery stage
+    folded into the filter, no nested-loop join. Both the per-part
+    and the grand total ride the exact-decimal carrier so the `>`
+    boundary is bit-identical."""
     spark = t.lineitem.sparkSession
     nat = t.nation.where(F.col("n_name").isin("NATION_3", "NATION_7"))
     supp = t.supplier.join(
@@ -1508,6 +1516,7 @@ def q_tpch_q11_important_stock(t: TableSet) -> DataFrame:
                 F.col("l_extendedprice") * (1 - F.col("l_discount")), "value"
             )
         )
+        .localCheckpoint()
     )
     vbp.createOrReplaceTempView("q11_vbp")
     return spark.sql(
@@ -1598,25 +1607,35 @@ def q_tpch_q20_dominant_supplier(t: TableSet) -> DataFrame:
     """TPC-H Q20 shape (nested IN subqueries + correlated
     half-quantity aggregate): suppliers in two nations who shipped
     more than half of some gear part's annual volume. The correlated
-    per-part total is decorrelated into a second aggregate over the
-    SAME pre-filtered (gear ⋉ year) slice of lineitem and joined back
-    on partkey — one scan feeds both aggregation shapes; the nested
-    part-IN is a broadcast semi-join, the supplier-IN a semi-join on
-    the HAVING-filtered group output, the nation-IN a broadcast
-    semi-join on the dim."""
+    per-part total is decorrelated, and — because exact-decimal sums
+    re-aggregate losslessly — it is computed FROM the (supplier,
+    part) aggregate rather than from lineitem again: the fact table
+    is scanned once, the tiny group table is checkpointed and feeds
+    both the probe side and the per-part re-aggregation (the naive
+    two-aggregate form scans lineitem twice — verified before this
+    shape was chosen). The nested part-IN is a broadcast semi-join,
+    the supplier-IN a semi-join on the threshold-filtered group
+    output, the nation-IN a broadcast semi-join on the dim."""
     gear = t.part.where(F.col("p_name").like("%gear%")).select("p_partkey")
     year_li = t.lineitem.where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     ).join(F.broadcast(gear), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
-    by_supp_part = year_li.groupBy("l_suppkey", "l_partkey").agg(
-        _dsum(F.col("l_quantity"), "supp_qty")
+    by_supp_part = (
+        year_li.groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("supp_qty_dec"))
+        .localCheckpoint()  # tiny; shared by probe + re-aggregation
     )
-    by_part = year_li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        _dsum(F.col("l_quantity"), "part_qty")
+    by_part = by_supp_part.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("supp_qty_dec").cast("double").alias("part_qty")
     )
     dominant = (
-        by_supp_part.join(by_part, F.col("l_partkey") == F.col("pk"))
+        by_supp_part.select(
+            "l_suppkey",
+            "l_partkey",
+            F.col("supp_qty_dec").cast("double").alias("supp_qty"),
+        )
+        .join(by_part, F.col("l_partkey") == F.col("pk"))
         .where(F.col("supp_qty") > 0.5 * F.col("part_qty"))
         .select("l_suppkey")
         .distinct()
