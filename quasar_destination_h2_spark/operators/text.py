@@ -94,9 +94,11 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Quality scoring: length / punctuation / stopword / word-length
-    signals combined into one deterministic score in [0, ~1]."""
+def quality_exprs(text_col: str = "text") -> "dict[str, Column]":
+    """The quality-scoring column expressions, exposed so composed
+    pipelines (pipeline_curate) can fuse them into a single
+    projection over one scan instead of joining a separate
+    quality-score branch back on doc_id."""
     norm = norm_text(F.col(text_col))
     toks = F.split(norm, " ")
     n_tok = F.size(toks).cast("double")
@@ -116,13 +118,21 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + F.lit(0.2) * (1 - F.least(punct_ratio * 10, F.lit(1.0)))
         + F.lit(0.1) * F.least(avg_wlen / 8, F.lit(1.0))
     )
+    return {
+        "n_tokens": F.size(toks).cast("bigint"),
+        "stop_ratio": F.round(stop_ratio, 6),
+        "punct_ratio": F.round(punct_ratio, 6),
+        "avg_word_len": F.round(avg_wlen, 6),
+        "quality": F.round(score, 6),
+    }
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length / punctuation / stopword / word-length
+    signals combined into one deterministic score in [0, ~1]."""
+    ex = quality_exprs(text_col)
     return docs.select(
-        "doc_id",
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(avg_wlen, 6).alias("avg_word_len"),
-        F.round(score, 6).alias("quality"),
+        "doc_id", *[c.alias(name) for name, c in ex.items()]
     )
 
 
@@ -251,19 +261,26 @@ def stratified_sample(
     )
 
 
+def split_expr(val_pct: int = 10, test_pct: int = 10) -> Column:
+    """The hash-split column expression (see dataset_split), exposed
+    for single-projection fusion in composed pipelines."""
+    b = hash_bucket(F.col("doc_id"), 100)
+    return (
+        F.when(b < test_pct, "test")
+        .when(b < test_pct + val_pct, "val")
+        .otherwise("train")
+    )
+
+
 def dataset_split(
     docs: DataFrame, val_pct: int = 10, test_pct: int = 10
 ) -> DataFrame:
     """Hash-based train/val/test assignment — stable under corpus
     growth (a doc's split never changes when other docs arrive),
     the property random splits lack."""
-    b = hash_bucket(F.col("doc_id"), 100)
-    split = (
-        F.when(b < test_pct, "test")
-        .when(b < test_pct + val_pct, "val")
-        .otherwise("train")
+    return docs.select(
+        "doc_id", split_expr(val_pct, test_pct).alias("split")
     )
-    return docs.select("doc_id", split.alias("split"))
 
 
 def source_cap(

@@ -1719,21 +1719,25 @@ def q_sketch_theta_overlap(t: TableSet) -> DataFrame:
 def q_pipeline_curate(t: TableSet) -> DataFrame:
     """End-to-end curation pipeline as ONE composed plan: exact-dedup
     survivors → quality gate (score >= 0.5, >= 20 tokens) → stable
-    hash split. Shows the operators compose without materialization
-    boundaries: Catalyst fuses the per-row scoring into the scan, the
-    dedup survivor set arrives as a semi-joinable aggregate, and the
-    whole thing is two shuffles (dedup groupBy + survivor join) at
-    any scale. The curated (doc_id, lang, n_tokens, quality, split)
-    is exactly what a training-data writer shards out."""
+    hash split. All per-row derivations (quality signals, token
+    count, split bucket) are FUSED into a single projection over one
+    corpus scan — the operators expose their column expressions
+    (text.quality_exprs / text.split_expr) precisely so composition
+    does not become a chain of self-joins on doc_id (the naive
+    join-per-operator form scanned the corpus four times; verified).
+    The only other corpus pass is the dedup aggregate, whose survivor
+    set semi-joins back — two shuffles total (dedup groupBy +
+    survivor join) at any scale. The curated (doc_id, lang,
+    n_tokens, quality, split) is exactly what a training-data writer
+    shards out."""
     d = t.documents
+    qx = text.quality_exprs("text")
+    row = d.select(
+        "doc_id",
+        "lang",
+        qx["n_tokens"].alias("n_tokens"),
+        qx["quality"].alias("quality"),
+        text.split_expr().alias("split"),
+    ).where((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 20))
     surv = dedup.exact_dedup(d).select("doc_id")
-    q = text.quality_score(d).select("doc_id", "n_tokens", "quality")
-    split = text.dataset_split(d)
-    return (
-        d.select("doc_id", "lang")
-        .join(surv, "doc_id")
-        .join(q, "doc_id")
-        .where((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 20))
-        .join(split, "doc_id")
-        .select("doc_id", "lang", "n_tokens", "quality", "split")
-    )
+    return row.join(surv, "doc_id", "left_semi")

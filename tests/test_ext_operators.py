@@ -599,3 +599,23 @@ def test_semantic_dedup_drop_rule(t):
     actual_dropped = {r.vec_id for r in verdicts if not r.kept}
     assert actual_dropped == expected_dropped
     assert 0 < len(actual_dropped) < len(vecs)
+
+
+def test_single_fact_scan_after_materialization(t):
+    """r4 regression pin: operators whose structure would otherwise
+    re-derive a fact-scan chain per subtree (union levels, index
+    probes, scalar thresholds) materialize the shared intermediate
+    and scan the fact table exactly once."""
+    import re
+
+    def n_scans(df, table):
+        p = physical_plan(df)
+        return len(re.findall(rf"FileScan parquet [^\n]*{table}\.parquet", p))
+
+    from quasar_destination_h2_spark.operators import rollup, similarity
+
+    assert n_scans(rollup.rollup_cascade(t.events), "events") <= 1
+    assert n_scans(rollup.user_sketch_rollup(t.events), "events") <= 1
+    assert n_scans(similarity.ivf_topk(t.embeddings), "embeddings") <= 1
+    assert n_scans(similarity.ivf_topk_nprobe(t.embeddings), "embeddings") <= 1
+    assert n_scans(similarity.semantic_dedup(t.embeddings), "embeddings") <= 1
