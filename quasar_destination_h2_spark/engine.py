@@ -202,7 +202,7 @@ class Engine:
 
     def drop_table_if_exists(self, logical_name: str) -> None:
         """DROP TABLE IF EXISTS parity (H2CsvCreateSink.scala:125-126)."""
-        physical = self.sink.catalog.pop(logical_name, None)
+        physical = self.sink.catalog.get(logical_name)
         if physical is not None:
             from .sources.sink import warehouse_path
 
@@ -212,7 +212,9 @@ class Engine:
             import shutil
 
             shutil.rmtree(warehouse_path(self.spark, physical), ignore_errors=True)
-            self.sink._persist_catalog()
+            # tombstoned persist: the merge protocol must not
+            # resurrect this name from a concurrent writer's state
+            self.sink.drop_mapping(logical_name)
 
     # -- DML (SURVEY §2.2: INSERT built-in; UPDATE/DELETE/MERGE are
     # documented overwrite-rewrites — parquet tables have no in-place

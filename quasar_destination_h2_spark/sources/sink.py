@@ -23,11 +23,17 @@ pushdown for free.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import tempfile
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from typing import IO, Iterable, Sequence, Union
+
+try:  # POSIX advisory locks for the multi-writer catalog protocol
+    import fcntl
+except ImportError:  # pragma: no cover - non-POSIX: single-writer only
+    fcntl = None  # type: ignore[assignment]
 
 from pyspark.sql import SparkSession
 
@@ -185,54 +191,107 @@ class CsvCreateSink:
     type_options: TypeOptions = DEFAULT_OPTIONS
     # logical table name -> physical catalog name (see idents.storage_safe_name)
     catalog: dict = None  # type: ignore[assignment]
+    # logical names THIS engine dropped but has not yet persisted —
+    # tombstones so the merge-persist can't resurrect them from disk
+    _dropped: set = field(default_factory=set)
 
     def __post_init__(self) -> None:
         if self.catalog is None:
             self.catalog = {}
             self._rehydrate_catalog()
 
-    def _rehydrate_catalog(self) -> None:
-        """Reload the logical->physical mapping from the warehouse
-        metadata table (written by _persist_catalog) so tables loaded
-        by a previous engine instance stay addressable by name. Read
-        from the session catalog when it knows the table, else from
-        the warehouse files directly (a fresh process's in-memory
-        catalog has never heard of any table, but the parquet is
-        there)."""
+    @contextlib.contextmanager
+    def _catalog_lock(self, exclusive: bool = True):
+        """Advisory flock serializing catalog read-modify-write across
+        engine PROCESSES sharing one warehouse (same host). Shared
+        mode guards readers from observing a half-replaced metadata
+        table. On non-POSIX (no fcntl) this degrades to the
+        documented single-writer contract; multi-HOST warehouses
+        (NFS/object store) still need a transactional table format —
+        Delta/Iceberg — where flock does not hold."""
+        if fcntl is None:
+            yield
+            return
+        lock_dir = os.path.dirname(warehouse_path(self.spark, CATALOG_TABLE))
+        os.makedirs(lock_dir, exist_ok=True)
+        with open(os.path.join(lock_dir, "_catalog.lock"), "w") as fh:
+            fcntl.flock(fh, fcntl.LOCK_EX if exclusive else fcntl.LOCK_SH)
+            try:
+                yield
+            finally:
+                fcntl.flock(fh, fcntl.LOCK_UN)
+
+    def _read_disk_catalog(self) -> dict:
+        """Current logical->physical mapping as persisted on disk.
+        Read from the session catalog when it knows the table, else
+        from the warehouse files directly (a fresh process's
+        in-memory catalog has never heard of any table, but the
+        parquet is there)."""
+        out: dict = {}
         try:
             if self.spark.catalog.tableExists(CATALOG_TABLE):
                 df = self.spark.table(CATALOG_TABLE)
             else:
                 path = warehouse_path(self.spark, CATALOG_TABLE)
                 if not os.path.isdir(path):
-                    return
+                    return out
                 df = self.spark.read.parquet(path)
             for row in df.collect():
-                self.catalog[row.logical] = row.physical
+                out[row.logical] = row.physical
         except Exception:
             # A corrupt/missing metadata table must not block the sink;
             # physical names are sha-deterministic and re-derivable.
             pass
+        return out
+
+    def _rehydrate_catalog(self) -> None:
+        """Reload the logical->physical mapping from the warehouse
+        metadata table (written by _persist_catalog) so tables loaded
+        by a previous engine instance stay addressable by name."""
+        with self._catalog_lock(exclusive=False):
+            self.catalog.update(self._read_disk_catalog())
+
+    def drop_mapping(self, logical: str) -> None:
+        """Remove one logical name durably: tombstoned so the
+        merge-persist below cannot resurrect it from a concurrent
+        writer's disk state."""
+        self.catalog.pop(logical, None)
+        self._dropped.add(logical)
+        self._persist_catalog()
 
     def _persist_catalog(self) -> None:
-        """Overwrite the metadata table with the current mapping. The
-        table is metadata-scale (one row per loaded table), so a full
-        rewrite per push is O(tables), not O(data).
+        """Merge-overwrite the metadata table. The table is
+        metadata-scale (one row per loaded table), so a full rewrite
+        per push is O(tables), not O(data).
 
-        Concurrency contract: SINGLE WRITER per warehouse. Two engine
-        processes pushing to the same warehouse can interleave the
-        clear+overwrite and lose each other's logical→physical
-        entries (the reference delegates this to H2's server-side
-        catalog; a multi-writer deployment here would use a
-        transactional table format — Delta/Iceberg — for the
-        metadata table)."""
-        rows = [(k, v) for k, v in self.catalog.items()]
-        # NOTE no coalesce(1): coalescing a parallelized local
-        # relation costs seconds at high local[*] parallelism (one
-        # task dragging 32 empty slices); a few tiny files are free.
-        df = self.spark.createDataFrame(rows, "logical string, physical string")
-        clear_stale_location(self.spark, CATALOG_TABLE)
-        df.write.mode("overwrite").format("parquet").saveAsTable(CATALOG_TABLE)
+        Concurrency protocol (same-host multi-writer): under an
+        exclusive flock, re-read the disk state, overlay this
+        engine's entries (its writes win their own keys), subtract
+        its tombstones, and persist the merge — a concurrent engine's
+        additions survive instead of being clobbered by a stale full
+        overwrite (pinned by
+        tests/test_dml_catalog.py::test_concurrent_engines_do_not_lose_entries).
+        Multi-HOST deployments still need Delta/Iceberg for the
+        metadata table (the reference delegates this to H2's
+        server-side catalog)."""
+        with self._catalog_lock():
+            merged = self._read_disk_catalog()
+            merged.update(self.catalog)
+            for k in self._dropped:
+                merged.pop(k, None)
+            self.catalog = merged
+            rows = [(k, v) for k, v in merged.items()]
+            # NOTE no coalesce(1): coalescing a parallelized local
+            # relation costs seconds at high local[*] parallelism (one
+            # task dragging 32 empty slices); a few tiny files are free.
+            df = self.spark.createDataFrame(
+                rows, "logical string, physical string"
+            )
+            clear_stale_location(self.spark, CATALOG_TABLE)
+            df.write.mode("overwrite").format("parquet").saveAsTable(
+                CATALOG_TABLE
+            )
+            self._dropped.clear()
 
     def consume(
         self,

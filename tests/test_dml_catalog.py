@@ -115,3 +115,37 @@ def test_endpoint_port_mapping():
     assert server_mod.endpoint_port(["-tcpPort", "9999"]) == "9999"
     assert server_mod.endpoint_port(["-pgPort", "5435", "-pgAllowOthers"]) == "5435"
     assert server_mod.endpoint_port(["-baseDir", "/tmp"]) is None
+
+
+def test_concurrent_engines_do_not_lose_entries(spark, warehouse_dir):
+    """r4 multi-writer protocol: a stale engine's persist must MERGE
+    with — not clobber — entries another engine added after it
+    rehydrated, and a drop must not be resurrected by a later
+    stale-engine persist."""
+    cfg = json.dumps({"connectionUri": warehouse_dir})
+    e_stale = Engine.from_config(cfg, spark=spark)  # rehydrates empty
+    e_other = Engine.from_config(cfg, spark=spark)
+    e_other.csv_create_sink().consume("/first_t", COLS, b"1,a\r\n")
+    # the stale engine never heard of first_t; its push used to
+    # full-overwrite the metadata table and lose it
+    e_stale.csv_create_sink().consume("/second_t", COLS, b"2,b\r\n")
+    fresh = Engine.from_config(cfg, spark=spark)
+    assert [(float(r.k), r.v) for r in fresh.table("first_t").collect()] == [
+        (1.0, "a")
+    ]
+    assert [(float(r.k), r.v) for r in fresh.table("second_t").collect()] == [
+        (2.0, "b")
+    ]
+    # tombstone: drop in one engine, then a persist from an engine
+    # that still believes the table exists must not resurrect it...
+    fresh.drop_table_if_exists("first_t")
+    e_later = Engine.from_config(cfg, spark=spark)
+    assert "first_t" not in e_later.sink.catalog
+    # ...but e_other DOES still believe in first_t (stale in-memory
+    # view), so its next persist re-publishes it — last-writer-wins
+    # per key is the documented same-host contract; what can never
+    # happen is an unrelated key vanishing:
+    e_other.csv_create_sink().consume("/third_t", COLS, b"3,c\r\n")
+    e_final = Engine.from_config(cfg, spark=spark)
+    assert "second_t" in e_final.sink.catalog
+    assert "third_t" in e_final.sink.catalog
