@@ -42,13 +42,17 @@ def rollup_cascade(events: DataFrame) -> DataFrame:
     per level, each over progressively tiny input. Output: one row
     per (resolution, bucket, event_type) with re-aggregable stats.
 
-    Each level is MATERIALIZED (``localCheckpoint``) before the next
-    derives from it — that is the hypertable continuous-aggregate
-    contract this operator models: the daily rollup reads the stored
-    hourly table, never the raw events. Declaratively unioning
-    un-materialized levels looks the same but plans three raw-event
-    scans (one per union branch re-deriving its chain — verified);
-    with materialization raw events are scanned exactly once."""
+    The raw→minute level is MATERIALIZED (``localCheckpoint``) —
+    that is the hypertable continuous-aggregate contract this
+    operator models: coarser rollups read the stored fine table,
+    never the raw events. Declaratively unioning un-materialized
+    levels looks the same but plans three raw-event scans (one per
+    union branch re-deriving its chain — verified); with the minute
+    level materialized, raw events are scanned exactly once and the
+    coarser branches recompute only from the tiny checkpoint (a
+    per-minute aggregate is ~10^3-10^5 rows at any corpus size —
+    re-aggregating it twice is cheaper than two more checkpoint
+    jobs)."""
     label0, w0 = RESOLUTIONS[0]
     level = (
         events.groupBy(
@@ -76,7 +80,6 @@ def rollup_cascade(events: DataFrame) -> DataFrame:
                 F.sum("n").alias("n"),  # counts of counts
                 F.sum("_vsum").alias("_vsum"),  # exact decimal sums of sums
             )
-            .localCheckpoint()
         )
         out = out.unionByName(
             level.select(
@@ -115,11 +118,9 @@ def user_sketch_rollup(events: DataFrame) -> DataFrame:
         )
     ]
     for label, width in RESOLUTIONS[1:]:
-        level = (
-            level.groupBy(_bucket(F.col("bucket_s"), width), F.col("event_type"))
-            .agg(F.expr("hll_union_agg(_sk)").alias("_sk"))
-            .localCheckpoint()
-        )
+        level = level.groupBy(
+            _bucket(F.col("bucket_s"), width), F.col("event_type")
+        ).agg(F.expr("hll_union_agg(_sk)").alias("_sk"))
         frames.append(
             level.select(
                 F.lit(label).alias("resolution"),
