@@ -17,6 +17,11 @@ from . import ext  # noqa: E402,F401
 # The only never-witnessed query left out is quantiles_exact, whose
 # exact-percentile formula is witnessed inside
 # sketch_approx_quantiles' *_exact columns.
+#
+# ROUND-5 ROTATION NOTE: once CORRECTNESS_r04 lands green, swap this
+# window back to ~2 anchors per category and include the two entries
+# without a driver witness: quantiles_exact and recursive_cte_sql
+# (added post-rotation in r4; both locally oracle-green).
 _DRIVER_WINDOW = [
     # TPC-H reporting shapes not yet driver-witnessed
     "tpch_q2_min_price_supplier",
