@@ -5,83 +5,91 @@ from . import tierb  # noqa: E402,F401
 from . import ext  # noqa: E402,F401
 
 # The driver's conformance harness checks the first 50 registered
-# queries (dict insertion order). Rounds 2+3 drove 73 queries to a
-# driver-witnessed green hash; the round-4 window swaps ALL of those
-# out (they stay oracle-checked locally via tools/oracle_check.py)
-# and spends every slot on queries the driver has never hashed:
-# the remaining 13 TPC-H shapes + the 5 new ones, PIVOT/UNPIVOT, the
-# text-analysis tail, the remaining UDF/ANN/sampling entries, the
-# four sketch queries (now oracle-paired via exact anchors +
-# accuracy-contract booleans), and sequence_pack (whose r3 row was
-# `err: no_oracle`; it now has a full recursive-CTE hash oracle).
-# The only never-witnessed query left out is quantiles_exact, whose
-# exact-percentile formula is witnessed inside
-# sketch_approx_quantiles' *_exact columns.
-#
-# ROUND-5 ROTATION NOTE: once CORRECTNESS_r04 lands green, swap this
-# window back to ~2 anchors per category and include the two entries
-# without a driver witness: quantiles_exact and recursive_cte_sql
-# (added post-rotation in r4; both locally oracle-green).
+# queries (dict insertion order). Rounds 2-4 drove 123 of the 125
+# registered queries to a driver-witnessed green hash (r4 was 50/50
+# on an all-new window). The round-5 window completes coverage and
+# guards against regression:
+#   * slots 1-2: the ONLY two queries the driver has never hashed
+#     (quantiles_exact, recursive_cte_sql; both added after the r4
+#     rotation, both locally oracle-green) -> cumulative witnessed
+#     coverage becomes 125/125.
+#   * the remaining 48 slots: ~2 anchors per operator category,
+#     drawn from all three witness eras (r2 Tier-B base, r3
+#     LLM-pipeline, r4 additions) so a regression anywhere in the
+#     surface is caught, and deliberately including every query
+#     whose implementation round 5 touches (dedup_ngram_jaccard
+#     gains a max-document-frequency posting-list cap;
+#     dedup_clusters gains star-contraction).
+# Everything outside the window stays oracle-checked locally via
+# tools/oracle_check.py at sf0.01 and sf0.1 (see COVERAGE.md).
 _DRIVER_WINDOW = [
-    # TPC-H reporting shapes not yet driver-witnessed
-    "tpch_q2_min_price_supplier",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_lateness",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_count",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_dominant_supplier",
+    # Never driver-witnessed -- evidence completion
+    "quantiles_exact",
+    "recursive_cte_sql",
+    # Projection / filter / scalar-expression base (r2 era)
+    "filter_projection",
+    "case_coalesce",
+    "in_between_like",
+    "null_handling",
+    # Aggregation + grouping analytics
+    "agg_pricing_summary",
+    "count_distinct",
+    "agg_stats",
+    "grouping_sets",
+    "cube_grouping",
+    # Join family
+    "join_inner_broadcast",
+    "join_full_outer",
+    "join_semi",
+    "join_anti",
+    # TPC-H anchors (r2-witnessed + one r4-witnessed heavy shape)
+    "tpch_q3_shipping_priority",
+    "tpch_q5_region_volume",
+    "tpch_q10_returned_items",
+    "tpch_q18_large_orders",
     "tpch_q21_suppliers_who_kept_waiting",
-    "tpch_q22_dormant_customers",
-    # Sort / limit + subquery stragglers
-    "topk_with_ties",
-    "subquery_scalar_select",
-    # Grouping-transpose forms
-    "pivot_status_matrix",
-    "unpivot_nation_metrics",
-    # Events JSON access
-    "events_json_props",
-    # Dedup / similarity tail
-    "minhash_signatures",
-    "text_simhash",
-    "ann_lsh_bucketed",
-    "embed_dedup_pairs",
-    "ivf_topk_ann_nprobe2",
-    # Text-analysis tail
-    "text_token_stats",
-    "text_quality",
-    "text_unigram_logprob",
-    "text_bigram_logprob",
-    "text_pattern_flags",
-    "text_repetition",
-    "text_fingerprints",
-    "text_boilerplate",
-    "contamination_check",
-    # Batch assembly / sampling
-    "sample_stratified",
-    "dataset_split",
-    "shuffle_shards",
-    "mixture_sample",
+    # Window functions
+    "window_rank",
+    "window_range_frame",
+    "window_distribution",
+    # Ordering / limit
+    "orderby_nulls_offset",
+    "topk",
+    # Set operations
+    "set_union_all",
+    "set_except_all",
+    # Subqueries / CTEs
+    "subquery_scalar",
+    "subquery_correlated_exists",
+    "cte_multi",
+    # Scalar batteries
+    "scalar_string",
+    "scalar_date",
+    "scalar_math",
+    "scalar_regex",
+    # Events (ns timestamps)
+    "events_sessionize",
+    "events_hourly",
+    # Dedup family (r5 touches ngram + clusters -- re-witness them)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    # Similarity / ANN
+    "embed_cosine_topk",
+    "ivf_topk_ann",
+    "semantic_dedup",
+    # Text analysis
+    "text_language_id",
+    # Batch assembly (sequence_pack = r4-witnessed anchor)
+    "vocab_topk",
     "sequence_pack",
-    # Sketches (new oracles this round)
-    "sketch_user_rollup",
-    "sketch_approx_distinct",
-    "sketch_approx_quantiles",
-    "sketch_theta_overlap",
-    # Joins / UDF / multimodal tail
-    "salted_join_agg",
-    "udf_vowel_stats",
-    "udf_weighted_mean",
-    "multimodal_resize",
-    "multimodal_frame_sample",
+    # Time series / joins
+    "rollup_cascade",
+    "asof_join_events",
+    # Multimodal + composed pipeline
+    "multimodal_decode",
+    "pipeline_curate",
 ]
 
 
