@@ -36,6 +36,7 @@ except ImportError:  # pragma: no cover - non-POSIX: single-writer only
     fcntl = None  # type: ignore[assignment]
 
 from pyspark.sql import SparkSession
+from pyspark.errors import AnalysisException
 
 from ..errors import NotAResource
 from ..idents import storage_safe_name
@@ -223,33 +224,54 @@ class CsvCreateSink:
 
     def _read_disk_catalog(self) -> dict:
         """Current logical->physical mapping as persisted on disk.
-        Read from the session catalog when it knows the table, else
-        from the warehouse files directly (a fresh process's
-        in-memory catalog has never heard of any table, but the
-        parquet is there)."""
-        out: dict = {}
+
+        Always reads the warehouse parquet path with a fresh
+        ``spark.read`` — never ``spark.table`` — because another
+        PROCESS may have overwritten the metadata table since this
+        session last resolved it, and Spark's cached table relation
+        would then serve stale entries or fail on deleted part files.
+        A partial/empty read here would make the merge-persist
+        clobber the concurrent writer's entries — the exact
+        lost-update the flock protocol exists to prevent — so only
+        the two provably-empty cases (no directory, no readable
+        parquet footer) return ``{}``; any mid-read failure
+        propagates rather than merging as empty. The session's
+        cached relation for the table name is invalidated so later
+        ``spark.table(CATALOG_TABLE)`` callers also see the fresh
+        files. Callers must hold ``_catalog_lock``."""
+        path = warehouse_path(self.spark, CATALOG_TABLE)
+        if not os.path.isdir(path):
+            return {}
         try:
-            if self.spark.catalog.tableExists(CATALOG_TABLE):
-                df = self.spark.table(CATALOG_TABLE)
-            else:
-                path = warehouse_path(self.spark, CATALOG_TABLE)
-                if not os.path.isdir(path):
-                    return out
-                df = self.spark.read.parquet(path)
-            for row in df.collect():
-                out[row.logical] = row.physical
+            # Drop any cached relation/file listing this session holds
+            # for the metadata table (no-op when the name is unknown).
+            self.spark.catalog.refreshTable(CATALOG_TABLE)
         except Exception:
-            # A corrupt/missing metadata table must not block the sink;
-            # physical names are sha-deterministic and re-derivable.
             pass
-        return out
+        try:
+            df = self.spark.read.parquet(path)
+        except AnalysisException:
+            # Directory exists but holds no readable parquet footer
+            # (e.g. a crashed writer cleared it mid-replace): there is
+            # genuinely nothing to merge, and physical names are
+            # sha-deterministic and re-derivable.
+            return {}
+        return {row.logical: row.physical for row in df.collect()}
 
     def _rehydrate_catalog(self) -> None:
         """Reload the logical->physical mapping from the warehouse
         metadata table (written by _persist_catalog) so tables loaded
-        by a previous engine instance stay addressable by name."""
+        by a previous engine instance stay addressable by name.
+
+        Read-only and best-effort: a corrupt metadata table must not
+        block engine construction (worst case the engine starts with
+        an empty in-memory catalog). The strictness lives in
+        _persist_catalog, where an empty merge would lose entries."""
         with self._catalog_lock(exclusive=False):
-            self.catalog.update(self._read_disk_catalog())
+            try:
+                self.catalog.update(self._read_disk_catalog())
+            except Exception:
+                pass
 
     def drop_mapping(self, logical: str) -> None:
         """Remove one logical name durably: tombstoned so the

@@ -4,6 +4,9 @@ restarts, and endpoint-state surfacing."""
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 
 import pytest
 
@@ -149,3 +152,79 @@ def test_concurrent_engines_do_not_lose_entries(spark, warehouse_dir):
     e_final = Engine.from_config(cfg, spark=spark)
     assert "second_t" in e_final.sink.catalog
     assert "third_t" in e_final.sink.catalog
+
+
+# Runs in a SEPARATE python process: its own JVM, its own
+# SparkSession, its own session catalog — only the warehouse
+# directory (argv[1]) is shared with the parent test session.
+_SUBPROC_WRITER = """
+import json, sys
+from pyspark.sql import SparkSession
+
+from quasar_destination_h2_spark.engine import Engine
+from quasar_destination_h2_spark.types import Column, ColumnType
+
+wd = sys.argv[1]
+spark = (
+    SparkSession.builder.master("local[2]")
+    .appName("xp-writer")
+    .config("spark.sql.warehouse.dir", wd)
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+try:
+    e = Engine.from_config(json.dumps({"connectionUri": wd}), spark=spark)
+    cols = [Column("k", ColumnType.NUMBER), Column("v", ColumnType.STRING)]
+    e.csv_create_sink().consume("/xp_child", cols, b"9,child\\r\\n")
+    assert "xp_child" in e.sink.catalog
+finally:
+    spark.stop()
+"""
+
+
+def test_cross_process_persist_merges(spark, warehouse_dir, tmp_path):
+    """The cross-PROCESS half of the r4 multi-writer protocol, which
+    test_concurrent_engines_do_not_lose_entries cannot see (all its
+    engines share one SparkSession, whose saveAsTable invalidates the
+    shared relation cache for free).
+
+    Reproduces the r4-advice lost-update: the parent session primes
+    its relation cache for the metadata table, a SEPARATE process
+    overwrites the metadata parquet (deleting the cached part files),
+    and the parent then persists. _read_disk_catalog must re-read the
+    warehouse files fresh — a stale/partial read swallowed to {}
+    would merge-clobber the child's entry."""
+    from quasar_destination_h2_spark.sources.sink import CATALOG_TABLE
+
+    cfg = json.dumps({"connectionUri": warehouse_dir})
+    e_parent = Engine.from_config(cfg, spark=spark)
+    e_parent.csv_create_sink().consume("/xp_parent", COLS, b"1,p\r\n")
+    # Prime this session's cached relation (incl. its file listing)
+    # for the metadata table — the ingredient of the stale read.
+    spark.table(CATALOG_TABLE).collect()
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.abspath(sys.modules[Engine.__module__].__file__))
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [sys.executable, "-c", _SUBPROC_WRITER, warehouse_dir],
+        cwd=str(tmp_path),  # keep any derby/metastore litter out of the repo
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    # Parent persists AFTER the other process rewrote the metadata
+    # table: the merge must keep xp_child.
+    e_parent.csv_create_sink().consume("/xp_parent2", COLS, b"2,q\r\n")
+    e_fresh = Engine.from_config(cfg, spark=spark)
+    for name in ("xp_parent", "xp_child", "xp_parent2"):
+        assert name in e_fresh.sink.catalog, name
+    assert [(float(r.k), r.v) for r in e_fresh.table("xp_child").collect()] == [
+        (9.0, "child")
+    ]
