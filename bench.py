@@ -69,6 +69,14 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
+        # AQE coalesces post-shuffle partitions by BYTES (1 MB floor
+        # by default). The CPU-dense stages here (posting-list pair
+        # fan-out, shingle arrays, vector math) do far more work per
+        # byte than a scan, so the byte floor under-parallelizes them
+        # ~4x at small SF (measured: ngram pair build 1.8 s -> 1.0 s
+        # with the floor at 256k). At cluster scale partitions are
+        # tens of MB and the floor is never the binding constraint.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "16g"))
         .getOrCreate()

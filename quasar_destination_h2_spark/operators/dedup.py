@@ -19,9 +19,17 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from .text import norm_text, tokens, word_shingles
+from .text import norm_text, text_shingles, tokens
 
 JACCARD_THRESHOLD = 0.8
+#: Posting-list document-frequency cap (stop-shingle cut). A shingle
+#: shared by > MAX_SHINGLE_DF docs is near-boilerplate and generates
+#: O(df^2) candidate pairs inside ONE grouped row — the cap bounds
+#: that row buffer. Far above anything in the fixtures (max df 25 at
+#: sf0.1), so conformance outputs are unaffected; at 100 TB it is the
+#: standard recall-for-safety trade (a pair whose similarity evidence
+#: lives ONLY in ultra-common shingles can drop below threshold).
+MAX_SHINGLE_DF = 1000
 MINHASH_SEEDS = 8
 LSH_BANDS = 4  # rows-per-band = MINHASH_SEEDS // LSH_BANDS = 2
 SIMHASH_BANDS = 4  # 16 bits (4 hex chars) per band
@@ -53,7 +61,7 @@ def _shingled(docs: DataFrame, text_col: str, k: int = 3) -> DataFrame:
     toks = tokens(F.col(text_col))
     return (
         docs.where(F.size(toks) >= k)
-        .select("doc_id", word_shingles(toks, k).alias("shingles"))
+        .select("doc_id", text_shingles(F.col(text_col), k).alias("shingles"))
         .withColumn("n_sh", F.size("shingles"))
     )
 
@@ -63,6 +71,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = JACCARD_THRESHOLD,
+    max_df: int = MAX_SHINGLE_DF,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted index.
 
@@ -79,15 +88,31 @@ def ngram_jaccard_pairs(
     shingling once and needs two — per-shingle pair fan-out happens
     inside the row, JVM-side, between the same two shuffles the
     aggregation needs anyway. Cost still tracks true similarity
-    structure; a 100 TB run additionally prunes high-df shingles
-    (stop-shingle cut = a size(ds) cap on the posting list) —
-    semantics unchanged for any threshold > 0.5."""
+    structure. Two scale valves on top:
+
+    * postings carry ``xxhash64(shingle)`` instead of the shingle
+      string — int64 shuffle + grouping is ~2x the string form's
+      throughput; a cross-shingle hash collision (which could only
+      ever INFLATE one pair's intersection count) needs two of the
+      corpus's distinct shingles to collide in 2^64, ~1e-9 even at
+      10^5 distinct shingles;
+    * the ``max_df`` stop-shingle cut drops posting lists longer
+      than ``max_df`` BEFORE the in-row pair fan-out, bounding the
+      per-row buffer at O(max_df^2) structs. A no-op on the fixtures
+      (max df = 25 at sf0.1); at 100 TB it is the standard
+      recall-for-safety trade — only pairs whose similarity evidence
+      lives in near-boilerplate shingles can lose intersection
+      counts."""
     sh = _shingled(docs, text_col, k)
-    posts = sh.select("doc_id", "n_sh", F.explode("shingles").alias("s"))
+    posts = sh.select(
+        "doc_id",
+        "n_sh",
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s"),
+    )
     grouped = (
         posts.groupBy("s")
         .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
-        .where(F.size("ds") >= 2)
+        .where(F.size("ds").between(2, max_df))
     )
     pair_arr = F.expr(
         """
@@ -232,7 +257,8 @@ def dedup_clusters(
 
     * labels start as each doc's own id;
     * each round, every node takes the min of its own and its
-      neighbors' labels (one shuffle join + one groupBy per round);
+      neighbors' labels (self-loop edges fold "own" into the same
+      min — one join + one groupBy, 2 exchanges per round);
     * ``localCheckpoint`` truncates lineage every round (without it
       the plan nests one join per iteration and Catalyst analysis
       blows up long before the data does);
@@ -250,25 +276,36 @@ def dedup_clusters(
     # materialize the pair join ONCE; the symmetric edge union is
     # then two cheap scans of the checkpoint, not two joins
     pairs = ngram_jaccard_pairs(docs, text_col, k, threshold).localCheckpoint()
-    edges = pairs.select(
+    sym = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
+    nodes = sym.select(F.col("src").alias("doc_id")).distinct()
+    # Symmetric edges PLUS self-loops, materialized once: with
+    # self-loops, min-over-in-neighbors already includes the node's
+    # own label, so each round is ONE join + ONE aggregation
+    # (2 exchanges) instead of join + aggregation + a left-join back
+    # onto the labels (3 exchanges) — per-round latency is scheduler-
+    # dominated at the subgraph's size, so one fewer stage is ~30%
+    # off every round. Self-loops come straight from the pair
+    # endpoints WITHOUT a distinct — duplicates are absorbed by the
+    # same min() the join feeds, and skipping the distinct keeps this
+    # materialization job shuffle-free (4 narrow scans of the pair
+    # checkpoint). Eager: the per-round scans must not re-derive the
+    # union (and each round scans it via the join).
+    edges = sym.unionAll(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_a").alias("dst"))
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_b").alias("dst"))
+    ).localCheckpoint()
 
     def propagate(labels: DataFrame) -> DataFrame:
-        nbr_min = (
+        return (
             edges.join(labels, edges.src == labels.doc_id)
             .select(F.col("dst").alias("doc_id"), "cluster_id")
             .groupBy("doc_id")
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        return labels.join(nbr_min, "doc_id", "left").select(
-            "doc_id",
-            F.least(
-                F.col("cluster_id"),
-                F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-            ).alias("cluster_id"),
+            .agg(F.min("cluster_id").alias("cluster_id"))
         )
 
     # Iterate over the near-dup SUBGRAPH only: a doc with no edge can
@@ -276,7 +313,6 @@ def dedup_clusters(
     # majority at 100 TB — are excluded from every round's shuffle and
     # re-attached once at the end (label = own id). Per-round cost is
     # ∝ |dup subgraph|, not ∝ corpus.
-    nodes = edges.select(F.col("src").alias("doc_id")).distinct()
     labels = fixpoint(
         nodes.select("doc_id", F.col("doc_id").alias("cluster_id")),
         propagate,

@@ -26,6 +26,9 @@ def spark(warehouse_dir):
         .appName("quasar-h2-spark-tests")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.adaptive.enabled", "true")
+        # same rationale as bench.py: byte-based AQE coalescing
+        # under-parallelizes CPU-dense stages at fixture scale
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.warehouse.dir", warehouse_dir)

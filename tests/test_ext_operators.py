@@ -619,3 +619,56 @@ def test_single_fact_scan_after_materialization(t):
     assert n_scans(similarity.ivf_topk(t.embeddings), "embeddings") <= 1
     assert n_scans(similarity.ivf_topk_nprobe(t.embeddings), "embeddings") <= 1
     assert n_scans(similarity.semantic_dedup(t.embeddings), "embeddings") <= 1
+
+
+def test_text_shingles_and_tokens_equivalent_forms(spark):
+    """Pin the fast-path rewrites to their reference forms on hostile
+    raw text (mixed whitespace runs, leading/trailing space, case):
+
+    * tokens(col) (single regex split) == split(norm_text(col), ' ')
+    * text_shingles(col, k) (lookahead regexp_extract_all) ==
+      word_shingles(tokens(col), k), element order included
+    """
+    from hypothesis import HealthCheck, given, settings, strategies as st
+    from pyspark.sql import functions as F
+
+    word = st.text(
+        alphabet=st.characters(blacklist_categories=("Zs", "Cc", "Cs")),
+        min_size=1,
+        max_size=5,
+    )
+    ws = st.sampled_from([" ", "  ", "\t", "\n", " \t ", "\r\n"])
+    raw = st.builds(
+        lambda lead, parts, trail: lead
+        + "".join(w + s for w, s in parts)
+        + trail,
+        st.sampled_from(["", " ", "\t"]),
+        st.lists(st.tuples(word, ws), max_size=8),
+        st.sampled_from(["", " ", "\n"]),
+    )
+    cases: list[str] = []
+
+    @given(raw)
+    @settings(max_examples=80, deadline=None, suppress_health_check=list(HealthCheck))
+    def collect(s):
+        cases.append(s)
+
+    collect()
+    cases.extend(["", " ", "\t\n", "one", "a b", "a  b\tc  d e"])
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(cases)], ["i", "txt"]
+    )
+    rows = df.select(
+        "i",
+        text.tokens(F.col("txt")).alias("fast_toks"),
+        F.split(text.norm_text(F.col("txt")), " ").alias("ref_toks"),
+        text.text_shingles(F.col("txt"), 3).alias("fast_sh"),
+        text.word_shingles(text.tokens(F.col("txt")), 3).alias("ref_sh"),
+        text.text_shingles(F.col("txt"), 2).alias("fast_sh2"),
+        text.word_shingles(text.tokens(F.col("txt")), 2).alias("ref_sh2"),
+    ).collect()
+    for r in rows:
+        assert r.fast_toks == r.ref_toks, (cases[r.i], r.fast_toks, r.ref_toks)
+        assert r.fast_sh == r.ref_sh, (cases[r.i], r.fast_sh, r.ref_sh)
+        assert r.fast_sh2 == r.ref_sh2, (cases[r.i], r.fast_sh2, r.ref_sh2)
