@@ -56,3 +56,36 @@ class ConnectionFailed(EngineError):
 
     def __init__(self, reason: str = ""):
         super().__init__(f"connection failed: {reason}")
+
+
+class CyclicRecursionError(EngineError):
+    """A ``WITH RECURSIVE`` query hit Spark's recursion level limit.
+
+    A UNION ALL recursive CTE can only terminate when each step stops
+    producing rows; on cyclic data (graph reachability, connected
+    components) every edge re-derives its endpoints forever and Spark
+    aborts at the recursion level limit with an opaque SparkException.
+    The engine translates that into this typed error so the user gets
+    the actionable choice up front:
+
+    * genuinely deep but ACYCLIC recursion: raise the limit in the
+      statement (``WITH RECURSIVE t(col) MAX RECURSION LEVEL n``);
+    * CYCLIC dataflow: use the driver-controlled fixpoint operator
+      (:func:`quasar_destination_h2_spark.operators.iterate.fixpoint`),
+      which converges on a caller-supplied measure instead of
+      row-production — ``operators.dedup.dedup_clusters`` is the
+      worked example (connected components over a cyclic edge set).
+    """
+
+    def __init__(self, original: str):
+        self.original = original
+        super().__init__(
+            "recursive query hit Spark's recursion level limit. If the "
+            "recursion is deep but acyclic, raise it with 'WITH RECURSIVE "
+            "t(col) MAX RECURSION LEVEL <n>'. If the data is CYCLIC "
+            "(graph reachability / connected components), a UNION ALL "
+            "recursive CTE can never terminate — use the fixpoint "
+            "operator instead: quasar_destination_h2_spark.operators."
+            "iterate.fixpoint (see operators.dedup.dedup_clusters for a "
+            f"worked example). Original error: {original}"
+        )

@@ -37,6 +37,7 @@ def fixpoint(
     step: Callable[[DataFrame], DataFrame],
     measure: Callable[[DataFrame], float],
     max_iter: int = 25,
+    reliable: bool = False,
 ) -> DataFrame:
     """Iterate ``state = step(state)`` until ``measure(state)`` stops
     changing (the fixpoint) or ``max_iter`` rounds elapse.
@@ -50,12 +51,34 @@ def fixpoint(
     materializes it — an eager checkpoint would spend a second
     full job per round just to truncate lineage, doubling driver
     round-trips on an operator whose per-round floor is scheduler
-    latency, not data volume."""
-    state = state.localCheckpoint(eager=False)
+    latency, not data volume.
+
+    ``reliable=True`` switches the per-round lineage truncation from
+    ``localCheckpoint`` (executor-local blocks — lost with a lost
+    executor, and an iterative state has no lineage left to recompute
+    from) to reliable ``checkpoint`` files under
+    ``spark.sparkContext.setCheckpointDir`` (HDFS/object store on a
+    cluster). Same convergence, same results; per-round cost gains a
+    distributed-FS write. local[*] development and bounded-round
+    fixtures keep the default; long cluster runs over revocable
+    executors should pass ``reliable=True``."""
+    if reliable and state.sparkSession.sparkContext.getCheckpointDir() is None:
+        raise ValueError(
+            "fixpoint(reliable=True) needs "
+            "spark.sparkContext.setCheckpointDir(<fault-tolerant path>)"
+        )
+
+    def truncate(df: DataFrame) -> DataFrame:
+        # reliable checkpoint() has no lazy form — it always runs its
+        # own materialization job, the price of durable round state
+        return df.checkpoint() if reliable else df.localCheckpoint(eager=False)
+
+    state = truncate(state)
     prev = None
     for _ in range(max_iter):
-        state = step(state).localCheckpoint(eager=False)
-        cur = measure(state)  # this single action materializes the checkpoint
+        state = truncate(step(state))
+        cur = measure(state)  # with lazy checkpoints this single
+        #                       action materializes the round
         if cur == prev:
             break
         prev = cur

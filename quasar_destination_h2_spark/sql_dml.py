@@ -238,6 +238,55 @@ def _conform_source(engine, target, names, kind, source):
     )
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def _translate_recursion_limit():
+    """Turn Spark's opaque RECURSION_LEVEL_LIMIT_EXCEEDED abort into
+    the engine's typed :class:`errors.CyclicRecursionError`, which
+    tells the user whether to raise MAX RECURSION LEVEL (deep acyclic
+    recursion) or to move to operators.iterate.fixpoint (cyclic data,
+    where a UNION ALL CTE can never terminate)."""
+    from .errors import CyclicRecursionError
+
+    try:
+        yield
+    except Exception as ex:  # Py4JJavaError carries the JVM message
+        if "RECURSION_LEVEL_LIMIT_EXCEEDED" in str(ex):
+            raise CyclicRecursionError(str(ex).split("\n")[1][:300]) from ex
+        raise
+
+
+class _RecursiveStatementResult:
+    """Lazy-DataFrame wrapper for ``WITH RECURSIVE`` statements: Spark
+    only detects a non-terminating recursion at ACTION time, so the
+    driver-side actions are wrapped to translate the recursion-limit
+    abort into the typed error. Every other attribute passes through
+    to the underlying DataFrame unchanged (transformations return
+    plain DataFrames — the statement surface's contract is that the
+    STATEMENT's own execution is typed, not arbitrary downstream
+    plans)."""
+
+    _ACTIONS = frozenset(
+        {"collect", "count", "toPandas", "show", "take", "head", "first",
+         "tail", "toLocalIterator", "foreach", "foreachPartition"}
+    )
+
+    def __init__(self, df):
+        self._df = df
+
+    def __getattr__(self, name):
+        attr = getattr(self._df, name)
+        if name in self._ACTIONS and callable(attr):
+            def wrapped(*args, **kwargs):
+                with _translate_recursion_limit():
+                    return attr(*args, **kwargs)
+
+            return wrapped
+        return attr
+
+
 def execute(engine, statement: str):
     """Front door: dispatch table-statement verbs to the engine (the
     reference's users issue these as SQL because H2 parses them
@@ -251,13 +300,26 @@ def execute(engine, statement: str):
 
     statement = statement.strip().rstrip(";").strip()
     shadow = _shadow(statement)
+    recursive = re.search(r"\bWITH\s+RECURSIVE\b", shadow, re.I) is not None
     m = re.match(
         r"\s*(UPDATE|DELETE|MERGE|INSERT|CREATE|DROP|TRUNCATE|ALTER)\b",
         shadow,
         re.I,
     )
     if not m:
-        return engine.sql(statement)
+        df = engine.sql(statement)
+        return _RecursiveStatementResult(df) if recursive else df
+    if recursive:
+        # verb statements (INSERT ... SELECT, CTAS over a recursive
+        # CTE) execute eagerly below — translate in place
+        with _translate_recursion_limit():
+            return _execute_verb(engine, statement, shadow, m)
+    return _execute_verb(engine, statement, shadow, m)
+
+
+def _execute_verb(engine, statement: str, shadow: str, m):
+    from .errors import NotAResource
+
     verb = m.group(1).upper()
 
     if verb == "UPDATE":

@@ -22,17 +22,28 @@ from pyspark.sql.types import (
 from ..sources.tables import EVENTS_NS_FALLBACK_SCHEMA, normalize_ts
 
 
-def _events_schema(spark: SparkSession, path: str) -> StructType:
+#: Any ns-precision epoch after 1973-03 exceeds this; any µs/ms/s
+#: epoch of ANY date before year ~5000 stays far below it. The
+#: ns-fallback magnitude guard splits the flavors on this line.
+_NS_MAGNITUDE_FLOOR = 10**17
+
+
+def _events_schema(spark: SparkSession, path: str) -> "tuple[StructType, bool]":
     """Streaming reads require an explicit schema; batch-infer it from
     the same files so ns fixtures (ts: int64 under nanosAsLong) and µs
     fixtures (ts: timestamp) both stream without a hand-pinned type.
     An empty/not-yet-populated directory can't be inferred from —
     fall back to the explicit ns schema so a stream can start before
-    the first file lands (the normal deploy order for a stream)."""
+    the first file lands (the normal deploy order for a stream).
+    Returns (schema, fallback_used): a stream whose schema was PINNED
+    (not inferred) cannot re-resolve it once files land, so the
+    caller installs the ns-magnitude guard — a µs-flavor file read
+    through the pinned LongType would otherwise SILENTLY misparse as
+    1970s timestamps (µs value ÷ 1000; observed, not hypothetical)."""
     try:
-        return spark.read.parquet(path).schema
+        return spark.read.parquet(path).schema, False
     except Exception:
-        return EVENTS_NS_FALLBACK_SCHEMA
+        return EVENTS_NS_FALLBACK_SCHEMA, True
 
 
 def read_events_stream(
@@ -44,13 +55,35 @@ def read_events_stream(
     construction. `max_files_per_trigger` bounds each micro-batch
     (availableNow honors it, splitting a backlog into several batches
     — watermarks advance between them, which is what makes late-data
-    semantics testable)."""
+    semantics testable).
+
+    Empty-directory starts pin the int64-NANOSECOND flavor (the only
+    choice inference can't make for us) and guard it: if a file of
+    the µs flavor lands later, the micro-batch FAILS with an
+    actionable message instead of silently shifting every timestamp
+    to 1970 (restart the stream once files exist — the schema then
+    resolves from the data — or land ns-flavor files)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = _events_schema(spark, path)
+    schema, fallback_used = _events_schema(spark, path)
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return normalize_ts(reader.parquet(path))
+    df = reader.parquet(path)
+    if fallback_used:
+        # assert_true is NULL on pass; threading it through the ts
+        # expression itself keeps it un-prunable while ts is in use
+        guard = F.assert_true(
+            F.col("ts").isNull() | (F.col("ts") >= _NS_MAGNITUDE_FLOOR),
+            F.lit(
+                "events stream was started over an EMPTY directory, which "
+                "pins the int64-nanosecond ts flavor; an arriving file's ts "
+                "is below ns magnitude (a microsecond-flavor file?). "
+                "Restart the stream now that files exist (the schema will "
+                "resolve from the data), or land ns-flavor files."
+            ),
+        )
+        df = df.withColumn("ts", F.when(guard.isNull(), F.col("ts")))
+    return normalize_ts(df)
 
 
 def hourly_event_counts(

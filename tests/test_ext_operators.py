@@ -672,3 +672,47 @@ def test_text_shingles_and_tokens_equivalent_forms(spark):
         assert r.fast_toks == r.ref_toks, (cases[r.i], r.fast_toks, r.ref_toks)
         assert r.fast_sh == r.ref_sh, (cases[r.i], r.fast_sh, r.ref_sh)
         assert r.fast_sh2 == r.ref_sh2, (cases[r.i], r.fast_sh2, r.ref_sh2)
+
+
+def test_fixpoint_reliable_checkpoint_matches_local(spark, tmp_path):
+    """fixpoint(reliable=True) — the cluster-scale escape hatch that
+    survives executor loss by writing round state to the checkpoint
+    dir — must converge to the identical result as the
+    localCheckpoint default (r4-advice item 5). Also pins the guard:
+    reliable mode without a checkpoint dir is a typed ValueError."""
+    from pyspark.sql import functions as F
+
+    from quasar_destination_h2_spark.operators.iterate import fixpoint
+
+    # two components: a 4-chain (needs >1 round) and a 2-clique
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["src", "dst"]
+    )
+    sym = edges.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    nodes = sym.select(F.col("src").alias("doc_id")).distinct()
+    loops = nodes.select(F.col("doc_id").alias("src"), F.col("doc_id").alias("dst"))
+    all_edges = sym.unionAll(loops).localCheckpoint()
+
+    def propagate(labels):
+        return (
+            all_edges.join(labels, all_edges.src == labels.doc_id)
+            .select(F.col("dst").alias("doc_id"), "cluster_id")
+            .groupBy("doc_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+        )
+
+    init = nodes.select("doc_id", F.col("doc_id").alias("cluster_id"))
+    measure = lambda df: df.agg(F.sum("cluster_id")).collect()[0][0]
+
+    if spark.sparkContext.getCheckpointDir() is None:
+        with pytest.raises(ValueError, match="setCheckpointDir"):
+            fixpoint(init, propagate, measure, reliable=True)
+
+    local = sorted(map(tuple, fixpoint(init, propagate, measure).collect()))
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    reliable = sorted(
+        map(tuple, fixpoint(init, propagate, measure, reliable=True).collect())
+    )
+    assert local == reliable == [
+        (1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10),
+    ]

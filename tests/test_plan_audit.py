@@ -1,0 +1,36 @@
+"""Hard scale gates over EVERY registered query's physical plan.
+
+tools/plan_audit.py renders the reviewed-plan record (PLANS.md); this
+test enforces the same gates red: a future query that plans a
+CartesianProduct, a row-at-a-time Python UDF, an undeclared
+BroadcastNestedLoopJoin, or a NEW repeated big-table scan (the classic
+100 TB killer — a scalar-subquery / union / self-join shape silently
+re-deriving a fact-scan chain per subtree) fails the suite instead of
+merely appearing in a report. Reviewed repeats live in
+tools/plan_audit.RESCAN_REVIEWED with per-entry justifications.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+
+from conftest import SF_DIR
+
+
+def test_every_plan_passes_scale_gates(spark):
+    from plan_audit import sweep_violations
+
+    from quasar_destination_h2_spark import plans
+
+    violations = sweep_violations(spark, SF_DIR, plans.all_queries())
+    assert violations == {
+        "cartesian": [],
+        "row_python_udf": [],
+        "unexpected_nlj": [],
+        "new_repeated_big_scans": [],
+    }, violations

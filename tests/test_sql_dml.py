@@ -242,3 +242,40 @@ def test_with_recursive_sql_text(engine):
         """
     )
     assert [(r.n, r.n_rows) for r in df.collect()] == [(1, 1), (2, 1), (3, 1)]
+
+
+def test_cyclic_recursive_sql_raises_typed_error(engine, spark):
+    """A WITH RECURSIVE over cyclic data spins to Spark's recursion
+    level limit; the statement surface must surface the typed
+    CyclicRecursionError pointing at operators.iterate.fixpoint, not
+    the opaque SparkException (r4-advice item 6)."""
+    from quasar_destination_h2_spark.errors import CyclicRecursionError
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW cyc_e AS "
+        "SELECT * FROM VALUES (1, 2), (2, 1) AS t(src, dst)"
+    )
+    # MAX RECURSION LEVEL 8 keeps the doomed loop short; cyclic data
+    # exhausts any finite level.
+    result = engine.execute_sql(
+        """
+        WITH RECURSIVE reach (node) MAX RECURSION LEVEL 8 AS (
+          SELECT 1 AS node
+          UNION ALL
+          SELECT cyc_e.dst FROM cyc_e JOIN reach ON cyc_e.src = reach.node
+        ) SELECT count(*) AS n FROM reach
+        """
+    )
+    with pytest.raises(CyclicRecursionError) as exc:
+        result.collect()
+    assert "iterate.fixpoint" in str(exc.value)
+    assert "MAX RECURSION LEVEL" in str(exc.value)
+    # acyclic recursion through the same surface still works
+    ok = engine.execute_sql(
+        """
+        WITH RECURSIVE cnt (n) AS (
+          SELECT 1 AS n UNION ALL SELECT n + 1 FROM cnt WHERE n < 5
+        ) SELECT sum(n) AS total FROM cnt
+        """
+    )
+    assert ok.collect()[0].total == 15

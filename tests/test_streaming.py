@@ -338,3 +338,49 @@ def test_stream_starts_over_empty_directory(spark):
         assert {(r.event_id, r.ts) for r in got.collect()} == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_us_flavor_file_over_empty_dir_start_fails_loudly(spark):
+    """ADVICE r4: the empty-dir fallback pins the ns ts flavor; a
+    µs-flavor file arriving later used to SILENTLY misparse as 1970s
+    timestamps (µs ÷ 1000). The magnitude guard must fail the
+    micro-batch with an actionable message instead."""
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="events-usflavor-")
+    try:
+        stream = read_events_stream(spark, d)  # empty dir -> ns pin
+        pdf = pd.DataFrame(
+            {
+                "event_id": [1],
+                "ts": pd.to_datetime(["2024-05-01 10:00:00"]),
+                "user_id": [7],
+                "event_type": ["click"],
+                "value": [1.5],
+                "props": ['{"a":1}'],
+            }
+        )
+        tbl = pa.Table.from_pandas(pdf, preserve_index=False)
+        pq.write_table(
+            tbl, os.path.join(d, "p0.parquet"), coerce_timestamps="us"
+        )
+        q = (
+            stream.select("event_id", "ts")
+            .writeStream.format("memory")
+            .queryName("usflavor_guard")
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            with pytest.raises(Exception, match="nanosecond|ns-flavor"):
+                q.awaitTermination(120)
+        finally:
+            if q.isActive:
+                q.stop()
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -76,6 +76,83 @@ MARKERS = (
     "MapInPandas",
 )
 
+# ---------------------------------------------------------------------------
+# Shared gate definitions — imported by tests/test_plan_audit.py, which
+# FAILS the suite on violations; main() below additionally renders the
+# reviewed-plan record (PLANS.md).
+# ---------------------------------------------------------------------------
+
+#: BroadcastNestedLoopJoin is tolerated only where it is the declared
+#: design (brute-force cosine baseline, IVF probe match, literal tiny
+#: cross joins).
+NLJ_OK = frozenset({
+    "embed_cosine_topk",
+    "ivf_topk_ann",
+    "ivf_topk_ann_nprobe2",  # same 16-row centroid broadcast as nprobe=1
+    "semantic_dedup",  # same 16-row centroid-assignment broadcast
+    "sketch_theta_overlap",  # literal 1x1 join of two sketch rows
+    "ann_lsh_bucketed",
+    "join_cross",  # literal CROSS JOIN of two broadcast-size dims
+    "mixture_sample",  # 1-row totals aggregate broadcast onto rates
+})
+
+#: Tables whose repeated FileScan in one plan is a 100 TB scale killer.
+BIG_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
+
+#: Reviewed repeated big-table scans. Some repeats are inherent
+#: (two-pass LM scoring, shared-SQL subquery demos, pruned event-type
+#: slices) or cache-backed (the LSH persist) — each entry here names a
+#: reviewed, justified repeat. Anything NEW fails the pytest gate.
+RESCAN_REVIEWED = frozenset({
+    # classic TPC-H row-level reuse of a big slice (agg + probe):
+    "tpch_q2_min_price_supplier", "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_orders", "tpch_q21_suppliers_who_kept_waiting",
+    # shared-SQL subquery demos (pruned k-row subquery scans):
+    "topk_with_ties", "subquery_scalar",
+    # two-pass model-then-score algorithms over the corpus:
+    "text_simhash", "text_unigram_logprob", "text_bigram_logprob",
+    "text_boilerplate", "contamination_check",
+    # query-set vs corpus / self-join sides (pruned or cached):
+    "ann_lsh_bucketed", "embed_dedup_pairs", "embed_cosine_topk",
+    "dedup_minhash_lsh", "multimodal_decode", "pipeline_curate",
+    # per-level exact-verification scaffolding (sketch side scans once):
+    "sketch_user_rollup",
+    # pruned event-type slices (clicks vs purchases):
+    "range_join_sessions", "asof_join_events",
+    # structurally single-scan (verified in a fresh session: 1
+    # FileScan each); the long-lived audit session sometimes
+    # renders an AQE-finalized stage twice in toString():
+    "dedup_ngram_jaccard", "minhash_signatures",
+})
+
+
+def sweep_violations(spark, sf_dir: str, queries) -> dict[str, list[str]]:
+    """Plan every registered query and collect the scale-gate
+    violations. Returns {gate: [offending query names]} — all empty
+    on a clean repo. Shared by the pytest hard gate and main()."""
+    cartesian: list[str] = []
+    row_udf: list[str] = []
+    nlj_unexpected: list[str] = []
+    rescan_new: list[str] = []
+    for name, fn in sorted(queries.items()):
+        p = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in p:
+            cartesian.append(name)
+        if "BatchEvalPython" in p:
+            row_udf.append(name)
+        if "BroadcastNestedLoopJoin" in p and name not in NLJ_OK:
+            nlj_unexpected.append(name)
+        if name not in RESCAN_REVIEWED:
+            for tbl in BIG_TABLES:
+                if len(re.findall(rf"FileScan parquet [^\n]*{tbl}\.parquet", p)) > 1:
+                    rescan_new.append(f"{name}({tbl})")
+    return {
+        "cartesian": cartesian,
+        "row_python_udf": row_udf,
+        "unexpected_nlj": nlj_unexpected,
+        "new_repeated_big_scans": rescan_new,
+    }
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -123,64 +200,14 @@ def main() -> int:
         print(name, "->", counts)
 
     # Global sweep: EVERY registered query must be CartesianProduct-
-    # free and contain no row-at-a-time Python UDF (BatchEvalPython).
-    # BroadcastNestedLoopJoin is tolerated only where it is the
-    # declared design (brute-force cosine baseline, IVF probe match).
-    nlj_ok = {
-        "embed_cosine_topk",
-        "ivf_topk_ann",
-        "ivf_topk_ann_nprobe2",  # same 16-row centroid broadcast as nprobe=1
-        "semantic_dedup",  # same 16-row centroid-assignment broadcast
-        "sketch_theta_overlap",  # literal 1x1 join of two sketch rows
-        "ann_lsh_bucketed",
-        "join_cross",  # literal CROSS JOIN of two broadcast-size dims
-        "mixture_sample",  # 1-row totals aggregate broadcast onto rates
-    }
-    # Repeated big-table scans: a scalar-subquery / self-join / union
-    # structure can make Spark re-derive a whole fact-scan chain per
-    # subtree (ReusedExchange does not fire across these shapes).
-    # Reported, not failed: some repeats are inherent (two-pass LM
-    # scoring, shared-SQL subquery demos, pruned event-type slices)
-    # or cache-backed (the LSH persist) — the allowlist below names
-    # the reviewed ones; anything NEW showing up here needs a review.
-    BIG_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
-    rescan_reviewed = {
-        # classic TPC-H row-level reuse of a big slice (agg + probe):
-        "tpch_q2_min_price_supplier", "tpch_q17_small_quantity_revenue",
-        "tpch_q18_large_orders", "tpch_q21_suppliers_who_kept_waiting",
-        # shared-SQL subquery demos (pruned k-row subquery scans):
-        "topk_with_ties", "subquery_scalar",
-        # two-pass model-then-score algorithms over the corpus:
-        "text_simhash", "text_unigram_logprob", "text_bigram_logprob",
-        "text_boilerplate", "contamination_check",
-        # query-set vs corpus / self-join sides (pruned or cached):
-        "ann_lsh_bucketed", "embed_dedup_pairs", "embed_cosine_topk",
-        "dedup_minhash_lsh", "multimodal_decode", "pipeline_curate",
-        # per-level exact-verification scaffolding (sketch side scans once):
-        "sketch_user_rollup",
-        # pruned event-type slices (clicks vs purchases):
-        "range_join_sessions", "asof_join_events",
-        # structurally single-scan (verified in a fresh session: 1
-        # FileScan each); the long-lived audit session sometimes
-        # renders an AQE-finalized stage twice in toString():
-        "dedup_ngram_jaccard", "minhash_signatures",
-    }
-    cartesian: list[str] = []
-    row_udf: list[str] = []
-    nlj_unexpected: list[str] = []
-    rescan_new: list[str] = []
-    for name, fn in sorted(qs.items()):
-        p = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        if "CartesianProduct" in p:
-            cartesian.append(name)
-        if "BatchEvalPython" in p:
-            row_udf.append(name)
-        if "BroadcastNestedLoopJoin" in p and name not in nlj_ok:
-            nlj_unexpected.append(name)
-        if name not in rescan_reviewed:
-            for tbl in BIG_TABLES:
-                if len(re.findall(rf"FileScan parquet [^\n]*{tbl}\.parquet", p)) > 1:
-                    rescan_new.append(f"{name}({tbl})")
+    # free, contain no row-at-a-time Python UDF (BatchEvalPython), no
+    # undeclared BroadcastNestedLoopJoin, and no unreviewed repeated
+    # big-table scan. Same gate tests/test_plan_audit.py enforces red.
+    v = sweep_violations(spark, sf_dir, qs)
+    cartesian = v["cartesian"]
+    row_udf = v["row_python_udf"]
+    nlj_unexpected = v["unexpected_nlj"]
+    rescan_new = v["new_repeated_big_scans"]
     offenders = cartesian + row_udf
     bad += len(offenders)
     lines.append("## Global sweep (all registered queries)")
@@ -197,14 +224,15 @@ def main() -> int:
         lines.append("- NLJ (review): " + ", ".join(nlj_unexpected))
     lines.append(
         "- BroadcastNestedLoopJoin allowed by design: "
-        + ", ".join(sorted(nlj_ok))
+        + ", ".join(sorted(NLJ_OK))
     )
     lines.append(
         f"- repeated big-table scans needing review: "
         f"{', '.join(rescan_new) if rescan_new else 'none'} "
-        f"({len(rescan_reviewed)} reviewed repeats allowlisted — "
+        f"({len(RESCAN_REVIEWED)} reviewed repeats allowlisted — "
         "inherent two-pass algorithms, shared-SQL demos, pruned "
-        "slices, or cache-backed)"
+        "slices, or cache-backed; NEW entries fail "
+        "tests/test_plan_audit.py)"
     )
     lines.append("")
     print("sweep:", len(qs), "queries; offenders:", offenders or "none",
