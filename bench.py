@@ -32,13 +32,17 @@ HEADLINE = (
     "cte_multi",
     "events_hourly",
     # hardest TPC-H decorrelation shapes: bilateral-trade multi-join,
-    # sole-late-supplier semi+anti join
+    # sole-late-supplier semi+anti join, widest-scan 6-way product
+    # profit join (r5 addition — heaviest remaining plan family)
     "tpch_q7_volume_shipping",
     "tpch_q21_suppliers_who_kept_waiting",
     "tpch_q17_small_quantity_revenue",
+    "tpch_q9_product_profit",
     # [EXT] scale paths: bucketed LSH dedup + brute-force ANN baseline
+    # + IVF-confined semantic dedup (r5 addition)
     "dedup_minhash_lsh",
     "embed_cosine_topk",
+    "semantic_dedup",
     # [EXT] training-pipeline paths: iterative connected components,
     # global token histogram top-k, applyInPandas sequence packing
     "dedup_clusters",

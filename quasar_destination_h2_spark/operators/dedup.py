@@ -273,32 +273,38 @@ def dedup_clusters(
     """
     from .iterate import fixpoint
 
-    # materialize the pair join ONCE; the symmetric edge union is
-    # then two cheap scans of the checkpoint, not two joins
-    pairs = ngram_jaccard_pairs(docs, text_col, k, threshold).localCheckpoint()
-    sym = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionAll(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    # ONE materialization job: each near-dup pair row explodes into
+    # its 4 edge rows — both directions (symmetric min-propagation)
+    # plus a self-loop per endpoint. With self-loops,
+    # min-over-in-neighbors already includes the node's own label, so
+    # each round is ONE join + ONE aggregation (2 exchanges) instead
+    # of join + aggregation + a left-join back onto the labels
+    # (3 exchanges) — per-round latency is scheduler-dominated at the
+    # subgraph's size, so one fewer stage is ~30% off every round.
+    # The explode scans the expensive pair build exactly once (a
+    # union form would re-derive it per branch — no ReusedExchange
+    # across checkpoint-free subtrees), duplicate self-loops are
+    # absorbed by the same min() the rounds compute, and the eager
+    # checkpoint is what every round's join scans.
+    a, b = F.col("doc_a"), F.col("doc_b")
+    edges = (
+        ngram_jaccard_pairs(docs, text_col, k, threshold)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(a.alias("src"), b.alias("dst")),
+                    F.struct(b.alias("src"), a.alias("dst")),
+                    F.struct(a.alias("src"), a.alias("dst")),
+                    F.struct(b.alias("src"), b.alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .localCheckpoint()
     )
-    nodes = sym.select(F.col("src").alias("doc_id")).distinct()
-    # Symmetric edges PLUS self-loops, materialized once: with
-    # self-loops, min-over-in-neighbors already includes the node's
-    # own label, so each round is ONE join + ONE aggregation
-    # (2 exchanges) instead of join + aggregation + a left-join back
-    # onto the labels (3 exchanges) — per-round latency is scheduler-
-    # dominated at the subgraph's size, so one fewer stage is ~30%
-    # off every round. Self-loops come straight from the pair
-    # endpoints WITHOUT a distinct — duplicates are absorbed by the
-    # same min() the join feeds, and skipping the distinct keeps this
-    # materialization job shuffle-free (4 narrow scans of the pair
-    # checkpoint). Eager: the per-round scans must not re-derive the
-    # union (and each round scans it via the join).
-    edges = sym.unionAll(
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_a").alias("dst"))
-    ).unionAll(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_b").alias("dst"))
-    ).localCheckpoint()
+    nodes = edges.where(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("doc_id")
+    ).distinct()
 
     def propagate(labels: DataFrame) -> DataFrame:
         return (
