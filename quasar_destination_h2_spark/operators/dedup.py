@@ -239,21 +239,22 @@ def minhash_lsh_pairs(
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
-def dedup_clusters(
+def _dup_subgraph_labels(
     docs: DataFrame,
-    text_col: str = "text",
-    k: int = 3,
-    threshold: float = JACCARD_THRESHOLD,
-    max_iter: int = 25,
+    text_col: str,
+    k: int,
+    threshold: float,
+    max_iter: int,
 ) -> DataFrame:
-    """Duplicate clusters: connected components over the near-dup
-    pair graph, canonical representative = min doc_id per component.
+    """Connected-component labels (doc_id, cluster_id) for the docs
+    that appear in at least one near-dup pair — the dup SUBGRAPH
+    only, orders of magnitude smaller than the corpus at any scale.
+    Shared by dedup_clusters (which reattaches singletons) and
+    keep_best_per_cluster (which ranks quality within these labels
+    without ever windowing the corpus).
 
-    This is the step that turns pairwise near-dup evidence into an
-    actual keep/drop decision (transitive closure: a~b and b~c put
-    a,b,c in ONE cluster even when a,c were never paired). Spark-
-    first iterative min-label propagation — the same shape GraphX/
-    GraphFrames connectedComponents uses:
+    Spark-first iterative min-label propagation — the same shape
+    GraphX/GraphFrames connectedComponents uses:
 
     * labels start as each doc's own id;
     * each round, every node takes the min of its own and its
@@ -268,9 +269,7 @@ def dedup_clusters(
     Near-dup graphs are overwhelmingly short-diameter (dup clusters
     are cliques or near-cliques from the pair generators), so this
     terminates in 2-4 rounds in practice; ``max_iter`` bounds
-    adversarial chains. Output covers *every* doc (singletons are
-    their own cluster), so `WHERE is_canonical` is the dedup filter.
-    """
+    adversarial chains."""
     from .iterate import fixpoint
 
     # ONE materialization job: each near-dup pair row explodes into
@@ -319,13 +318,33 @@ def dedup_clusters(
     # majority at 100 TB — are excluded from every round's shuffle and
     # re-attached once at the end (label = own id). Per-round cost is
     # ∝ |dup subgraph|, not ∝ corpus.
-    labels = fixpoint(
+    return fixpoint(
         nodes.select("doc_id", F.col("doc_id").alias("cluster_id")),
         propagate,
         # label sum strictly decreases until the component minima fix
         lambda df: df.agg(F.sum("cluster_id")).collect()[0][0],
         max_iter,
     )
+
+
+def dedup_clusters(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate clusters: connected components over the near-dup
+    pair graph, canonical representative = min doc_id per component.
+
+    This is the step that turns pairwise near-dup evidence into an
+    actual keep/drop decision (transitive closure: a~b and b~c put
+    a,b,c in ONE cluster even when a,c were never paired). The
+    iteration itself is :func:`_dup_subgraph_labels` (shared with
+    keep_best_per_cluster). Output covers *every* doc (singletons are
+    their own cluster), so `WHERE is_canonical` is the dedup filter.
+    """
+    labels = _dup_subgraph_labels(docs, text_col, k, threshold, max_iter)
     sub = labels.select("doc_id", F.col("cluster_id").alias("sub_cluster"))
     return (
         docs.select("doc_id")
@@ -338,6 +357,107 @@ def dedup_clusters(
             "doc_id",
             "cluster_id",
             (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+    )
+
+
+def keep_best_per_cluster(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Quality-aware dedup survivor selection: within each near-dup
+    cluster keep the HIGHEST-quality member (ties broken by lowest
+    doc_id), not the arbitrary min-id member — the form a real
+    curation pipeline wants ("of these 5 near-identical pages, keep
+    the cleanest one").
+
+    Scale shape: the quality ranking runs ONLY over the dup subgraph
+    (a groupBy max_by on the tiny label frame joined to its docs) —
+    never a corpus-wide window, whose global sort-shuffle would be
+    the 100 TB killer here. The corpus is touched by three pruned
+    columnar scans (pair build; subgraph quality lookup; final
+    projection), each joined against a subgraph-sized side — the
+    repeated pruned scans are the reviewed trade (see
+    tools/plan_audit.RESCAN_REVIEWED) and beat any corpus shuffle.
+
+    Output: one row per doc — (doc_id, cluster_id, quality, keep);
+    ``WHERE keep`` is the dedup filter."""
+    from .text import quality_exprs
+
+    quality = quality_exprs(text_col)["quality"]
+    sub = _dup_subgraph_labels(docs, text_col, k, threshold, max_iter)
+    # quality of subgraph members: corpus scan pruned to (doc_id,
+    # text), joined against the tiny label frame
+    subq = docs.select("doc_id", quality.alias("quality")).join(sub, "doc_id")
+    # arg-max per cluster without a window: max_by on the ordering
+    # struct (quality DESC, doc_id ASC via negation)
+    best = subq.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("quality"), (-F.col("doc_id")))
+        ).alias("best_doc")
+    )
+    sub_keyed = sub.join(best, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("best_doc")).alias("keep_sub"),
+    )
+    return (
+        docs.select("doc_id", quality.alias("quality"))
+        .join(sub_keyed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+            "quality",
+            F.coalesce(F.col("keep_sub"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    k: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Cross-source near-duplication matrix: for every unordered pair
+    of sources, how many near-dup pairs span them and how similar
+    those pairs are — the data-governance view ("how much of the
+    crawl duplicates the curated set?") that decides which source a
+    mixture should drop its duplicates from.
+
+    Scale shape: the near-dup pair frame is subgraph-sized, so both
+    source lookups are joins of a tiny side against a corpus scan
+    pruned to (doc_id, source); the final aggregation groups the tiny
+    pair frame by source pair. No corpus shuffle anywhere."""
+    pairs = ngram_jaccard_pairs(docs, text_col, k, threshold)
+    src = docs.select("doc_id", F.col(source_col).alias("_src"))
+    j = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("_src").alias("sa")),
+            "doc_a",
+        ).join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("_src").alias("sb")),
+            "doc_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            "jaccard",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(
+                F.sum(F.col("jaccard").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_jaccard"),
         )
     )
 

@@ -22,6 +22,11 @@ from . import ext  # noqa: E402,F401
 #     dedup_clusters gains star-contraction).
 # Everything outside the window stays oracle-checked locally via
 # tools/oracle_check.py at sf0.01 and sf0.1 (see COVERAGE.md).
+#
+# ROUND-6 ROTATION NOTE: the round-5 additions dedup_keep_best and
+# source_overlap_matrix (registered post-rotation; both locally
+# oracle-green at sf0.01 + sf0.1) are the only queries without a
+# driver witness — lead the next window with them.
 _DRIVER_WINDOW = [
     # Never driver-witnessed -- evidence completion
     "quantiles_exact",

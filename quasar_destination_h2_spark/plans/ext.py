@@ -1741,3 +1741,97 @@ def q_pipeline_curate(t: TableSet) -> DataFrame:
     ).where((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 20))
     surv = dedup.exact_dedup(d).select("doc_id")
     return row.join(surv, "doc_id", "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# Round-5 composed dedup queries: quality-aware survivor selection and
+# the cross-source near-duplication matrix
+# ---------------------------------------------------------------------------
+
+_PAIR_CTES = f"""{_SHINGLE_CTES},
+    ex AS (SELECT doc_id, n_sh, unnest(shingles) AS s FROM shn),
+    prs AS (
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(COUNT(*) / (a.n_sh + b.n_sh - COUNT(*)), 6) AS jaccard
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+      ) WHERE jaccard >= {dedup.JACCARD_THRESHOLD}
+    )"""
+
+_QUALITY_CTE = rf"""
+    qm AS (
+      SELECT doc_id,
+             CAST(len(w) AS DOUBLE) AS n_tok,
+             CAST(len(norm) AS DOUBLE) AS n_chars,
+             CAST(len(list_filter(w, x -> list_contains([{_STOP_LIST}], x)))
+                  AS DOUBLE) AS n_stop,
+             CAST(len(regexp_extract_all(norm, '[^\w\s]')) AS DOUBLE) AS n_punct
+      FROM (SELECT doc_id, {_NORM} AS norm,
+                   string_split_regex({_NORM}, ' ') AS w
+            FROM documents)
+    ),
+    q AS (
+      SELECT doc_id,
+             round(0.4 * least(n_tok / 50.0, 1.0)
+                   + 0.3 * least((n_stop / n_tok) * 5, 1.0)
+                   + 0.2 * (1 - least((n_punct / greatest(n_chars, 1.0)) * 10,
+                                      1.0))
+                   + 0.1 * least(((n_chars - (n_tok - 1)) / n_tok) / 8, 1.0),
+                   6) AS quality
+      FROM qm
+    )"""
+
+
+@query(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_PAIR_CTES},
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM prs
+              UNION ALL SELECT doc_b, doc_a FROM prs),
+    reach(node, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    clus AS (SELECT node AS doc_id, MIN(root) AS cluster_id
+             FROM reach GROUP BY node),
+    {_QUALITY_CTE.lstrip()},
+    ranked AS (
+      SELECT c.doc_id, c.cluster_id, q.quality,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.quality DESC, c.doc_id) AS rn
+      FROM clus c JOIN q USING (doc_id)
+    )
+    SELECT doc_id, cluster_id, quality, rn = 1 AS keep FROM ranked
+    """,
+)
+def q_dedup_keep_best(t: TableSet) -> DataFrame:
+    """Quality-aware dedup survivor: within each near-dup cluster
+    keep the highest-quality member (ties -> lowest doc_id). The
+    quality arg-max runs only over the dup subgraph (max_by on the
+    label frame) — no corpus-wide window; oracle replays the
+    recursive-CTE closure plus a per-cluster row_number."""
+    return dedup.keep_best_per_cluster(t.documents)
+
+
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH {_PAIR_CTES}
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(CAST(p.jaccard AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_jaccard
+    FROM prs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    GROUP BY 1, 2
+    """,
+)
+def q_source_overlap_matrix(t: TableSet) -> DataFrame:
+    """Cross-source near-duplication matrix (pairs spanning each
+    unordered source pair + their mean similarity) — the governance
+    view that decides which source's duplicates a mixture drops."""
+    return dedup.source_overlap_matrix(t.documents)

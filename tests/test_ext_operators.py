@@ -716,3 +716,33 @@ def test_fixpoint_reliable_checkpoint_matches_local(spark, tmp_path):
     assert local == reliable == [
         (1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10),
     ]
+
+
+def test_keep_best_per_cluster_prefers_quality_over_min_id(spark):
+    """keep_best_per_cluster must keep the HIGHEST-quality cluster
+    member (ties -> lowest doc_id) — i.e. genuinely differ from the
+    min-id canonical rule — and keep singletons unconditionally."""
+    base_words = [f"w{i:02d}" for i in range(30)]
+    base = " ".join(base_words)
+    # same 30 tokens plus 4 extra (incl. stopwords): shares 28 of its
+    # 32 distinct 3-shingles with base -> jaccard 28/32 = 0.875, and
+    # scores HIGHER quality (longer + stopword ratio) despite the
+    # higher doc_id
+    better = base + " the and is of"
+    docs = spark.createDataFrame(
+        [(1, base), (2, better), (50, "lone piece of text here")],
+        ["doc_id", "text"],
+    )
+    from quasar_destination_h2_spark.operators.dedup import (
+        keep_best_per_cluster,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(docs).collect()
+    assert [(p.doc_a, p.doc_b) for p in pairs] == [(1, 2)], pairs
+    got = {r.doc_id: r for r in keep_best_per_cluster(docs).collect()}
+    assert got[1].cluster_id == 1 and got[2].cluster_id == 1
+    assert got[2].quality > got[1].quality
+    assert got[2].keep is True  # quality wins...
+    assert got[1].keep is False  # ...over the lower doc_id
+    assert got[50].keep is True and got[50].cluster_id == 50  # singleton

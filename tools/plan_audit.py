@@ -119,6 +119,11 @@ RESCAN_REVIEWED = frozenset({
     "sketch_user_rollup",
     # pruned event-type slices (clicks vs purchases):
     "range_join_sessions", "asof_join_events",
+    # r5 composed dedup: repeated PRUNED corpus scans, each joined
+    # against a dup-subgraph-sized side — the reviewed alternative to
+    # a corpus-wide window/shuffle (see keep_best_per_cluster /
+    # source_overlap_matrix docstrings):
+    "dedup_keep_best", "source_overlap_matrix",
     # structurally single-scan (verified in a fresh session: 1
     # FileScan each); the long-lived audit session sometimes
     # renders an AQE-finalized stage twice in toString():
