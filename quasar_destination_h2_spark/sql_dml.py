@@ -342,6 +342,16 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         return engine.insert_rows(logical, src)
 
     if verb == "CREATE":
+        if re.match(
+            r"\s*CREATE\s+(UNIQUE\s+|SPATIAL\s+|HASH\s+)*INDEX\b", shadow, re.I
+        ):
+            # H2 DDL scripts routinely create secondary indexes
+            # (H2 grammar: CREATE [UNIQUE|SPATIAL|HASH] INDEX).
+            # Parquet tables have none — data skipping comes from
+            # parquet min/max stats, partition pruning, and (where
+            # declared) bucketing — so for script compatibility this
+            # is an accepted no-op, like DDL it returns None.
+            return None
         mc = re.match(
             r"\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?", shadow, re.I
         )
@@ -358,6 +368,8 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         return None
 
     if verb == "DROP":
+        if re.match(r"\s*DROP\s+INDEX\b", shadow, re.I):
+            return None  # pair of the CREATE INDEX no-op above
         md = re.match(
             r"\s*DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?", shadow, re.I
         )

@@ -279,3 +279,19 @@ def test_cyclic_recursive_sql_raises_typed_error(engine, spark):
         """
     )
     assert ok.collect()[0].total == 15
+
+
+def test_create_and_drop_index_are_accepted_noops(engine):
+    """H2 DDL scripts routinely CREATE/DROP secondary indexes; parquet
+    tables have none (skipping comes from parquet stats + pruning),
+    so the statement surface accepts them as documented no-ops
+    instead of erroring out mid-script."""
+    t = _load(engine, "idx_t")
+    assert engine.execute_sql('CREATE INDEX idx_k ON "idx_t" (k)') is None
+    assert (
+        engine.execute_sql("CREATE UNIQUE HASH INDEX IF NOT EXISTS i2 ON idx_t (k, v)")
+        is None
+    )
+    assert engine.execute_sql("DROP INDEX IF EXISTS idx_k") is None
+    # table untouched and still queryable
+    assert _rows(engine, t) == [(1.0, "a"), (2.0, "b"), (3.0, "c")]
