@@ -245,6 +245,7 @@ def _dup_subgraph_labels(
     k: int,
     threshold: float,
     max_iter: int,
+    reliable: bool = False,
 ) -> DataFrame:
     """Connected-component labels (doc_id, cluster_id) for the docs
     that appear in at least one near-dup pair — the dup SUBGRAPH
@@ -324,6 +325,7 @@ def _dup_subgraph_labels(
         # label sum strictly decreases until the component minima fix
         lambda df: df.agg(F.sum("cluster_id")).collect()[0][0],
         max_iter,
+        reliable=reliable,
     )
 
 
@@ -333,6 +335,7 @@ def dedup_clusters(
     k: int = 3,
     threshold: float = JACCARD_THRESHOLD,
     max_iter: int = 25,
+    reliable: bool = False,
 ) -> DataFrame:
     """Duplicate clusters: connected components over the near-dup
     pair graph, canonical representative = min doc_id per component.
@@ -343,8 +346,13 @@ def dedup_clusters(
     iteration itself is :func:`_dup_subgraph_labels` (shared with
     keep_best_per_cluster). Output covers *every* doc (singletons are
     their own cluster), so `WHERE is_canonical` is the dedup filter.
+    ``reliable=True`` makes the fixpoint rounds survive executor loss
+    (iterate.fixpoint's reliable-checkpoint mode; needs
+    setCheckpointDir).
     """
-    labels = _dup_subgraph_labels(docs, text_col, k, threshold, max_iter)
+    labels = _dup_subgraph_labels(
+        docs, text_col, k, threshold, max_iter, reliable=reliable
+    )
     sub = labels.select("doc_id", F.col("cluster_id").alias("sub_cluster"))
     return (
         docs.select("doc_id")
@@ -367,6 +375,7 @@ def keep_best_per_cluster(
     k: int = 3,
     threshold: float = JACCARD_THRESHOLD,
     max_iter: int = 25,
+    reliable: bool = False,
 ) -> DataFrame:
     """Quality-aware dedup survivor selection: within each near-dup
     cluster keep the HIGHEST-quality member (ties broken by lowest
@@ -388,7 +397,9 @@ def keep_best_per_cluster(
     from .text import quality_exprs
 
     quality = quality_exprs(text_col)["quality"]
-    sub = _dup_subgraph_labels(docs, text_col, k, threshold, max_iter)
+    sub = _dup_subgraph_labels(
+        docs, text_col, k, threshold, max_iter, reliable=reliable
+    )
     # quality of subgraph members: corpus scan pruned to (doc_id,
     # text), joined against the tiny label frame
     subq = docs.select("doc_id", quality.alias("quality")).join(sub, "doc_id")

@@ -484,9 +484,16 @@ def test_operators_handle_empty_input(spark):
         [], StructType([StructField("vec_id", LongType()),
                         StructField("embedding", ArrayType(FloatType()))])
     )
+    empty_sourced = spark.createDataFrame(
+        [], StructType([StructField("doc_id", LongType()),
+                        StructField("text", StringType()),
+                        StructField("source", StringType())])
+    )
     assert dedup.exact_dedup(empty_docs).count() == 0
     assert dedup.ngram_jaccard_pairs(empty_docs).count() == 0
     assert dedup.dedup_clusters(empty_docs).count() == 0
+    assert dedup.keep_best_per_cluster(empty_docs).count() == 0
+    assert dedup.source_overlap_matrix(empty_sourced).count() == 0
     assert text.repetition_stats(empty_docs).count() == 0
     assert text.contamination_check(empty_docs).count() == 0
     assert packing.vocab_topk(empty_docs).count() == 0
