@@ -107,12 +107,19 @@ def _norm(rows) -> list[tuple]:
     return sorted(out)
 
 
+_ORDERS_PARQUET = f"{SF_DIR}/orders.parquet"
+
+
 @pytest.fixture(scope="module")
 def engines(spark):
     spark.read.parquet(_PARQUET).createOrReplaceTempView("lineitem")
+    spark.read.parquet(_ORDERS_PARQUET).createOrReplaceTempView("orders")
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{_PARQUET}')"
+    )
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM read_parquet('{_ORDERS_PARQUET}')"
     )
     yield spark, con
     con.close()
@@ -141,6 +148,51 @@ def test_random_queries_agree_between_spark_and_duckdb(engines):
         ]
     )
 
+    mismatches = []
+    for q in cases:
+        got = _norm([tuple(r) for r in spark.sql(q).collect()])
+        want = _norm(con.execute(q).fetchall())
+        if got != want:
+            mismatches.append((q, got[:3], want[:3]))
+    assert not mismatches, mismatches[:3]
+
+
+def _join_queries() -> st.SearchStrategy[str]:
+    """Fact-to-dim join shell: INNER/LEFT lineitem->orders with the
+    same dialect-neutral aggregate/filter/grouping core. LEFT join
+    output includes NULL-extended groups — exactly the rows where the
+    engines could diverge on join-vs-filter placement semantics."""
+
+    def build(join_kind, group_col, agg_col, pred):
+        return (
+            f"SELECT {group_col}, COUNT(*) AS n, "
+            f"COUNT(o_orderkey) AS n_matched, MIN({agg_col}) AS a0, "
+            f"SUM(l_orderkey) AS a1 FROM lineitem "
+            f"{join_kind} JOIN orders ON l_orderkey = o_orderkey "
+            f"WHERE {pred} GROUP BY {group_col} ORDER BY {group_col}"
+        )
+
+    return st.builds(
+        build,
+        st.sampled_from(("INNER", "LEFT")),
+        st.sampled_from(("l_returnflag", "l_linestatus")),
+        st.sampled_from(("l_partkey", "l_suppkey", "o_custkey")),
+        _predicates(),
+    )
+
+
+def test_random_join_queries_agree_between_spark_and_duckdb(engines):
+    spark, con = engines
+    cases: list[str] = []
+
+    @given(_join_queries())
+    @settings(
+        max_examples=40, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    def collect(q):
+        cases.append(q)
+
+    collect()
     mismatches = []
     for q in cases:
         got = _norm([tuple(r) for r in spark.sql(q).collect()])
