@@ -5,96 +5,97 @@ from . import tierb  # noqa: E402,F401
 from . import ext  # noqa: E402,F401
 
 # The driver's conformance harness checks the first 50 registered
-# queries (dict insertion order). Rounds 2-4 drove 123 of the 125
-# registered queries to a driver-witnessed green hash (r4 was 50/50
-# on an all-new window). The round-5 window completes coverage and
-# guards against regression:
+# queries (dict insertion order). Rounds 2-5 drove 125 of the 127
+# registered queries to a driver-witnessed green hash (r5 was 50/50,
+# completing every query registered before round 5). The round-6
+# window finishes coverage and guards against regression:
 #   * slots 1-2: the ONLY two queries the driver has never hashed
-#     (quantiles_exact, recursive_cte_sql; both added after the r4
-#     rotation, both locally oracle-green) -> cumulative witnessed
-#     coverage becomes 125/125.
+#     (dedup_keep_best, source_overlap_matrix; both added in round 5
+#     after that window was fixed, both locally oracle-green at
+#     sf0.01 + sf0.1) -> cumulative witnessed coverage becomes
+#     127/127.
 #   * the remaining 48 slots: ~2 anchors per operator category,
-#     drawn from all three witness eras (r2 Tier-B base, r3
-#     LLM-pipeline, r4 additions) so a regression anywhere in the
-#     surface is caught, and deliberately including every query
-#     whose implementation round 5 touches (dedup_ngram_jaccard
-#     gains a max-document-frequency posting-list cap;
-#     dedup_clusters gains star-contraction).
+#     drawn from all witness eras (r2 Tier-B base, r3 LLM-pipeline,
+#     r4/r5 additions), deliberately including every query whose
+#     implementation round 6 touches (dedup_ngram_jaccard: the
+#     max-df posting-list cap is now mirrored in its oracle;
+#     dedup_minhash_lsh: gains a band-bucket fan-out cap;
+#     dedup_clusters: fixpoint shared with dedup_keep_best;
+#     recursive_cte_sql: sql_dml error-translation hardening) and
+#     the set-op / subquery / window families the round-6
+#     differential-fuzzer extension exercises.
 # Everything outside the window stays oracle-checked locally via
 # tools/oracle_check.py at sf0.01 and sf0.1 (see COVERAGE.md).
-#
-# ROUND-6 ROTATION NOTE: the round-5 additions dedup_keep_best and
-# source_overlap_matrix (registered post-rotation; both locally
-# oracle-green at sf0.01 + sf0.1) are the only queries without a
-# driver witness — lead the next window with them.
 _DRIVER_WINDOW = [
     # Never driver-witnessed -- evidence completion
-    "quantiles_exact",
+    "dedup_keep_best",
+    "source_overlap_matrix",
+    # Queries whose implementation round 6 touches
     "recursive_cte_sql",
-    # Projection / filter / scalar-expression base (r2 era)
-    "filter_projection",
-    "case_coalesce",
-    "in_between_like",
-    "null_handling",
-    # Aggregation + grouping analytics
-    "agg_pricing_summary",
-    "count_distinct",
-    "agg_stats",
-    "grouping_sets",
-    "cube_grouping",
-    # Join family
-    "join_inner_broadcast",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    # TPC-H anchors (r2-witnessed + one r4-witnessed heavy shape)
-    "tpch_q3_shipping_priority",
-    "tpch_q5_region_volume",
-    "tpch_q10_returned_items",
-    "tpch_q18_large_orders",
-    "tpch_q21_suppliers_who_kept_waiting",
-    # Window functions
-    "window_rank",
-    "window_range_frame",
-    "window_distribution",
-    # Ordering / limit
-    "orderby_nulls_offset",
-    "topk",
-    # Set operations
-    "set_union_all",
-    "set_except_all",
-    # Subqueries / CTEs
-    "subquery_scalar",
-    "subquery_correlated_exists",
-    "cte_multi",
-    # Scalar batteries
-    "scalar_string",
-    "scalar_date",
-    "scalar_math",
-    "scalar_regex",
-    # Events (ns timestamps)
-    "events_sessionize",
-    "events_hourly",
-    # Dedup family (r5 touches ngram + clusters -- re-witness them)
-    "dedup_exact",
     "dedup_ngram_jaccard",
-    "dedup_clusters",
     "dedup_minhash_lsh",
+    "dedup_clusters",
+    # Dedup family anchors
+    "dedup_exact",
+    "dedup_simhash",
+    # Projection / filter base
+    "distinct",
+    "filter_projection",
+    # Aggregation + grouping analytics
+    "agg_having",
+    "group_concat",
+    "agg_filter_clause",
+    "agg_bool",
+    "values_inline_table",
+    "rollup_grouping",
+    # Join family
+    "join_left",
+    "join_right",
+    "join_cross",
+    "join_theta",
+    "join_natural",
+    # TPC-H anchors (r4-witnessed heavy shapes)
+    "tpch_q7_volume_shipping",
+    "tpch_q9_product_profit",
+    "tpch_q6_forecast_revenue",
+    "tpch_q13_customer_distribution",
+    "tpch_q20_dominant_supplier",
+    # Window functions (fuzzer-extension family)
+    "window_lag_lead",
+    "window_rows_frame",
+    # Ordering / limit
+    "topk_with_ties",
+    "orderby_nulls_offset",
+    # Set operations (fuzzer-extension family)
+    "set_intersect",
+    "set_except_all",
+    "set_intersect_all",
+    # Subqueries (fuzzer-extension family)
+    "subquery_in",
+    "subquery_derived",
+    "subquery_scalar_select",
+    # Scalar batteries
+    "scalar_string_extended",
+    "scalar_date_extended",
+    "scalar_cast",
+    # Events (ns timestamps)
+    "events_json_props",
+    # Pivot / unpivot
+    "pivot_status_matrix",
+    "unpivot_nation_metrics",
     # Similarity / ANN
-    "embed_cosine_topk",
-    "ivf_topk_ann",
-    "semantic_dedup",
+    "ann_lsh_bucketed",
+    "embed_dedup_pairs",
+    "ivf_topk_ann_nprobe2",
     # Text analysis
-    "text_language_id",
-    # Batch assembly (sequence_pack = r4-witnessed anchor)
-    "vocab_topk",
-    "sequence_pack",
+    "text_quality",
+    "contamination_check",
+    # Sampling / batch assembly
+    "sample_stratified",
+    # Sketches
+    "sketch_theta_overlap",
     # Time series / joins
-    "rollup_cascade",
-    "asof_join_events",
-    # Multimodal + composed pipeline
-    "multimodal_decode",
-    "pipeline_curate",
+    "range_join_sessions",
 ]
 
 
