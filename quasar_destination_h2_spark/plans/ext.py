@@ -49,6 +49,18 @@ shn AS (
   ) WHERE len(shingles) > 0
 )"""
 
+# Exploded shingle postings with the SAME document-frequency valve as
+# dedup.ngram_jaccard_pairs (posting lists kept only when their df is
+# BETWEEN 2 AND MAX_SHINGLE_DF) — mirrored here so Spark and oracle
+# cannot diverge once a fixture/SF grows a shingle past the cap. The
+# df >= 2 bound is semantics-neutral (df-1 shingles produce no pairs);
+# the upper bound is the stop-shingle recall trade both sides share.
+_EX_CTES = f"""{_SHINGLE_CTES},
+ex_all AS (SELECT doc_id, n_sh, unnest(shingles) AS s FROM shn),
+ok_s AS (SELECT s FROM ex_all GROUP BY s
+         HAVING COUNT(*) BETWEEN 2 AND {dedup.MAX_SHINGLE_DF}),
+ex AS (SELECT ex_all.* FROM ex_all JOIN ok_s USING (s))"""
+
 _SIG_EXPRS = ",\n  ".join(
     f"list_aggregate(list_transform(shingles, s -> md5('{s}:' || s)), 'min')"
     f" AS sig_{s}"
@@ -80,8 +92,7 @@ def q_dedup_exact(t: TableSet) -> DataFrame:
 @query(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH {_SHINGLE_CTES},
-    ex AS (SELECT doc_id, n_sh, unnest(shingles) AS s FROM shn),
+    WITH {_EX_CTES},
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS inter
@@ -103,8 +114,7 @@ def q_dedup_ngram_jaccard(t: TableSet) -> DataFrame:
 @query(
     "dedup_clusters",
     oracle=f"""
-    WITH RECURSIVE {_SHINGLE_CTES},
-    ex AS (SELECT doc_id, n_sh, unnest(shingles) AS s FROM shn),
+    WITH RECURSIVE {_EX_CTES},
     prs AS (
       SELECT doc_a, doc_b FROM (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -1748,8 +1758,7 @@ def q_pipeline_curate(t: TableSet) -> DataFrame:
 # the cross-source near-duplication matrix
 # ---------------------------------------------------------------------------
 
-_PAIR_CTES = f"""{_SHINGLE_CTES},
-    ex AS (SELECT doc_id, n_sh, unnest(shingles) AS s FROM shn),
+_PAIR_CTES = f"""{_EX_CTES},
     prs AS (
       SELECT doc_a, doc_b, jaccard FROM (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -27,6 +27,8 @@ import contextlib
 import os
 import shutil
 import tempfile
+import uuid
+import warnings
 from dataclasses import dataclass, field
 from typing import IO, Iterable, Sequence, Union
 
@@ -232,13 +234,20 @@ class CsvCreateSink:
         would then serve stale entries or fail on deleted part files.
         A partial/empty read here would make the merge-persist
         clobber the concurrent writer's entries — the exact
-        lost-update the flock protocol exists to prevent — so only
-        the two provably-empty cases (no directory, no readable
-        parquet footer) return ``{}``; any mid-read failure
-        propagates rather than merging as empty. The session's
-        cached relation for the table name is invalidated so later
-        ``spark.table(CATALOG_TABLE)`` callers also see the fresh
-        files. Callers must hold ``_catalog_lock``."""
+        lost-update the flock protocol exists to prevent — so the
+        provably-empty cases (no directory, no readable parquet
+        footer) return ``{}``, PROVABLY-CORRUPT metadata (a crashed
+        writer's truncated part file: footer/magic-number decode
+        errors at scan time) is quarantined — renamed aside, never
+        deleted — and treated as empty (physical names are
+        sha-deterministic and re-derivable, and without the rename a
+        permanently-bad file would block every future consume()),
+        and only genuinely ambiguous mid-read failures (I/O errors
+        that may be transient) propagate rather than merging as
+        empty. The session's cached relation for the table name is
+        invalidated so later ``spark.table(CATALOG_TABLE)`` callers
+        also see the fresh files. Callers must hold
+        ``_catalog_lock``."""
         path = warehouse_path(self.spark, CATALOG_TABLE)
         if not os.path.isdir(path):
             return {}
@@ -250,13 +259,53 @@ class CsvCreateSink:
             pass
         try:
             df = self.spark.read.parquet(path)
+            return {row.logical: row.physical for row in df.collect()}
         except AnalysisException:
             # Directory exists but holds no readable parquet footer
             # (e.g. a crashed writer cleared it mid-replace): there is
-            # genuinely nothing to merge, and physical names are
-            # sha-deterministic and re-derivable.
+            # genuinely nothing to merge.
             return {}
-        return {row.logical: row.physical for row in df.collect()}
+        except Exception as ex:
+            if self._is_parquet_corruption(ex):
+                self._quarantine_catalog_dir(path, ex)
+                return {}
+            raise
+
+    # Decode-time signatures of a truncated/garbled parquet part file.
+    # Deliberately narrow: an executor-lost or filesystem I/O error
+    # must NOT match (those are transient and retryable).
+    _CORRUPTION_MARKERS = (
+        "is not a parquet file",
+        "could not read footer",
+        "expected magic number",
+        "parquetdecodingexception",
+        "unexpected end of stream",
+        "eofexception",
+        # Hadoop's local/checksum FS verifies the .crc sidecar before
+        # parquet ever parses the footer — a torn write fails here
+        "checksumexception",
+        "checksum error",
+    )
+
+    @classmethod
+    def _is_parquet_corruption(cls, ex: Exception) -> bool:
+        text = str(ex).lower()
+        return any(marker in text for marker in cls._CORRUPTION_MARKERS)
+
+    def _quarantine_catalog_dir(self, path: str, ex: Exception) -> None:
+        """Move a corrupt metadata dir aside (never delete — it is the
+        only forensic evidence of the crashed writer) so the next
+        persist cycle starts from a clean slate instead of failing on
+        the same truncated file forever."""
+        quarantine = f"{path}.corrupt-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        os.rename(path, quarantine)
+        warnings.warn(
+            "catalog metadata at %s was unreadable (%s); quarantined to %s "
+            "and rebuilding from sha-deterministic physical names"
+            % (path, str(ex).split("\n")[0][:200], quarantine),
+            RuntimeWarning,
+            stacklevel=3,
+        )
 
     def _rehydrate_catalog(self) -> None:
         """Reload the logical->physical mapping from the warehouse

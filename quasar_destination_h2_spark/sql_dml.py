@@ -253,25 +253,59 @@ def _translate_recursion_limit():
     try:
         yield
     except Exception as ex:  # Py4JJavaError carries the JVM message
-        if "RECURSION_LEVEL_LIMIT_EXCEEDED" in str(ex):
-            raise CyclicRecursionError(str(ex).split("\n")[1][:300]) from ex
+        text = str(ex)
+        if "RECURSION_LEVEL_LIMIT_EXCEEDED" in text:
+            # Py4J puts the JVM message on line 2; non-Py4J wrappers
+            # (plain SparkException, Spark Connect) may be single-line.
+            parts = text.split("\n")
+            snippet = parts[1] if len(parts) > 1 and parts[1].strip() else parts[0]
+            raise CyclicRecursionError(snippet[:300]) from ex
         raise
+
+
+class _TranslatingWriterProxy:
+    """Proxy over ``DataFrameWriter``/``DataFrameWriterV2`` that runs
+    every method under the recursion-limit translation. Chainable
+    builder methods (``format``/``mode``/``option``…) return the
+    writer again — re-wrap those so the terminal ``save``/
+    ``saveAsTable``/``insertInto`` at the end of the chain is still
+    translated."""
+
+    def __init__(self, target):
+        self._target = target
+
+    def __getattr__(self, name):
+        attr = getattr(self._target, name)
+        if callable(attr):
+            def wrapped(*args, **kwargs):
+                with _translate_recursion_limit():
+                    out = attr(*args, **kwargs)
+                if isinstance(out, type(self._target)):
+                    return _TranslatingWriterProxy(out)
+                return out
+
+            return wrapped
+        return attr
 
 
 class _RecursiveStatementResult:
     """Lazy-DataFrame wrapper for ``WITH RECURSIVE`` statements: Spark
     only detects a non-terminating recursion at ACTION time, so the
-    driver-side actions are wrapped to translate the recursion-limit
-    abort into the typed error. Every other attribute passes through
-    to the underlying DataFrame unchanged (transformations return
-    plain DataFrames — the statement surface's contract is that the
-    STATEMENT's own execution is typed, not arbitrary downstream
-    plans)."""
+    driver-side actions — including the write path (``.write``/
+    ``.writeTo``, whose ``save``/``saveAsTable``/``insertInto``/
+    ``append`` are actions too) — are wrapped to translate the
+    recursion-limit abort into the typed error. Every other attribute
+    passes through to the underlying DataFrame unchanged
+    (transformations return plain DataFrames — the statement
+    surface's contract is that the STATEMENT's own execution is
+    typed, not arbitrary downstream plans)."""
 
     _ACTIONS = frozenset(
         {"collect", "count", "toPandas", "show", "take", "head", "first",
-         "tail", "toLocalIterator", "foreach", "foreachPartition"}
+         "tail", "toLocalIterator", "foreach", "foreachPartition",
+         "toJSON"}
     )
+    _WRITERS = frozenset({"write", "writeTo", "writeStream"})
 
     def __init__(self, df):
         self._df = df
@@ -284,7 +318,12 @@ class _RecursiveStatementResult:
                     return attr(*args, **kwargs)
 
             return wrapped
+        if name in self._WRITERS:
+            return _TranslatingWriterProxy(attr)
         return attr
+
+    def __repr__(self):
+        return repr(self._df)
 
 
 def execute(engine, statement: str):

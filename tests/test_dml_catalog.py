@@ -228,3 +228,39 @@ def test_cross_process_persist_merges(spark, warehouse_dir, tmp_path):
     assert [(float(r.k), r.v) for r in e_fresh.table("xp_child").collect()] == [
         (9.0, "child")
     ]
+
+
+def test_corrupt_catalog_metadata_quarantined(spark, warehouse_dir):
+    """A crashed writer's truncated metadata part file must not block
+    consume() forever: decode-time corruption is quarantined (renamed
+    aside with a warning — never deleted) and the catalog rebuilds
+    from sha-deterministic physical names (r5-advice item 4)."""
+    import glob
+    import warnings as warnings_mod
+
+    from quasar_destination_h2_spark.sources.sink import (
+        CATALOG_TABLE,
+        warehouse_path,
+    )
+
+    cfg = json.dumps({"connectionUri": warehouse_dir})
+    e1 = Engine.from_config(cfg, spark=spark)
+    e1.csv_create_sink().consume("/quarantine_t1", COLS, b"1,a\r\n")
+    meta = warehouse_path(spark, CATALOG_TABLE)
+    parts = glob.glob(os.path.join(meta, "part-*"))
+    assert parts, "catalog metadata table was never persisted"
+    for p in parts:
+        # keep the head magic, destroy the footer: the decode-time
+        # signature of a writer that died mid-stream
+        with open(p, "wb") as fh:
+            fh.write(b"PAR1truncated-mid-write-no-footer")
+
+    with warnings_mod.catch_warnings(record=True) as caught:
+        warnings_mod.simplefilter("always")
+        # the best-effort rehydrate inside from_config is the first
+        # reader to trip over the corruption and quarantine it
+        e2 = Engine.from_config(cfg, spark=spark)
+        e2.csv_create_sink().consume("/quarantine_t2", COLS, b"2,b\r\n")
+    assert glob.glob(meta + ".corrupt-*"), "corrupt dir was not renamed aside"
+    assert any("quarantined" in str(w.message) for w in caught)
+    assert e2.table("quarantine_t2").count() == 1

@@ -295,3 +295,45 @@ def test_create_and_drop_index_are_accepted_noops(engine):
     assert engine.execute_sql("DROP INDEX IF EXISTS idx_k") is None
     # table untouched and still queryable
     assert _rows(engine, t) == [(1.0, "a"), (2.0, "b"), (3.0, "c")]
+
+
+def test_cyclic_recursion_translated_on_write_path(engine, spark):
+    """The recursion-limit abort fires at ACTION time — and a .write
+    chain is an action too. A cyclic recursive CTE consumed via the
+    write path must raise the same typed CyclicRecursionError as
+    collect(), not the opaque SparkException (r5-advice item 2)."""
+    from quasar_destination_h2_spark.errors import CyclicRecursionError
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW cyc_w AS "
+        "SELECT * FROM VALUES (1, 2), (2, 1) AS t(src, dst)"
+    )
+    result = engine.execute_sql(
+        """
+        WITH RECURSIVE reach (node) MAX RECURSION LEVEL 8 AS (
+          SELECT 1 AS node
+          UNION ALL
+          SELECT cyc_w.dst FROM cyc_w JOIN reach ON cyc_w.src = reach.node
+        ) SELECT count(*) AS n FROM reach
+        """
+    )
+    with pytest.raises(CyclicRecursionError):
+        # chained builder methods must keep the translation through to
+        # the terminal save()
+        result.write.format("noop").mode("overwrite").save()
+
+
+def test_recursion_translation_handles_single_line_message():
+    """Non-Py4J wrappers (plain SparkException, Spark Connect) can
+    carry the RECURSION_LEVEL_LIMIT_EXCEEDED text on ONE line; the
+    translator must not IndexError on the missing second line
+    (r5-advice item 1)."""
+    from quasar_destination_h2_spark.errors import CyclicRecursionError
+    from quasar_destination_h2_spark.sql_dml import _translate_recursion_limit
+
+    with pytest.raises(CyclicRecursionError) as exc:
+        with _translate_recursion_limit():
+            raise RuntimeError(
+                "[RECURSION_LEVEL_LIMIT_EXCEEDED] single-line wrapper form"
+            )
+    assert "single-line wrapper form" in str(exc.value)
