@@ -30,6 +30,16 @@ JACCARD_THRESHOLD = 0.8
 #: standard recall-for-safety trade (a pair whose similarity evidence
 #: lives ONLY in ultra-common shingles can drop below threshold).
 MAX_SHINGLE_DF = 1000
+#: LSH band-bucket fan-out cap — the minhash analogue of
+#: MAX_SHINGLE_DF. A near-identical mega-cluster that survives exact
+#: dedup (boilerplate with per-page noise) lands its whole membership
+#: in ONE (band_id, band_key) bucket and would generate clique^2
+#: candidate pairs; buckets larger than this are dropped before the
+#: in-row pair fan-out, bounding the per-row buffer at
+#: O(max_bucket^2). Far above any fixture bucket (max 3 at sf0.1);
+#: the recall trade only affects clusters that exact/boilerplate
+#: dedup should have removed first.
+MAX_LSH_BUCKET = 1000
 MINHASH_SEEDS = 8
 LSH_BANDS = 4  # rows-per-band = MINHASH_SEEDS // LSH_BANDS = 2
 SIMHASH_BANDS = 4  # 16 bits (4 hex chars) per band
@@ -165,15 +175,22 @@ def minhash_lsh_pairs(
     docs: DataFrame,
     text_col: str = "text",
     threshold: float = JACCARD_THRESHOLD,
+    max_bucket: int = MAX_LSH_BUCKET,
 ) -> DataFrame:
     """MinHash-LSH near-dup join: band the signature (4 bands x 2
-    rows), bucket-join on (band_id, band_key) for candidates, then
+    rows), bucket candidates on (band_id, band_key) equality, then
     verify with exact Jaccard on the candidates only.
 
-    Candidate generation is a hash-equality join — never a cross
-    product (`assert no CartesianProduct` in tests). With r=2,b=4 the
-    match probability at j=0.8 is 1-(1-j^2)^4 ≈ 0.98, and our planted
-    near-dups (j ≈ 0.97) are caught with P ≈ 1-1e-5."""
+    Candidate generation is group-then-pair (the same shape as
+    ngram_jaccard_pairs, for the same reason): group the banded rows
+    BY bucket, emit the ordered pairs inside each bucket with an
+    in-row array transform. One exchange instead of the textbook
+    bucket self-join's two, and the ``max_bucket`` valve drops
+    oversized buckets BEFORE the pair fan-out — without it a
+    near-identical mega-cluster (which shares every band key) yields
+    clique^2 candidate rows. With r=2,b=4 the match probability at
+    j=0.8 is 1-(1-j^2)^4 ≈ 0.98, and our planted near-dups
+    (j ≈ 0.97) are caught with P ≈ 1-1e-5."""
     from pyspark import StorageLevel
 
     # The shingled projection feeds BOTH signature generation and the
@@ -202,16 +219,21 @@ def minhash_lsh_pairs(
     bands = sigs.select("doc_id", *band_keys).selectExpr(
         "doc_id", f"stack({LSH_BANDS}, {stack_args}) AS (band_id, band_key)"
     )
-    left = bands.select(
-        F.col("doc_id").alias("doc_a"), "band_id", "band_key"
+    grouped = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .where(F.size("ds").between(2, max_bucket))
     )
-    right = bands.select(
-        F.col("doc_id").alias("doc_b"), "band_id", "band_key"
+    pair_arr = F.expr(
+        """
+        flatten(transform(ds, (x, i) ->
+          transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+            named_struct('doc_a', least(x, y), 'doc_b', greatest(x, y)))))
+        """
     )
     cands = (
-        left.join(right, ["band_id", "band_key"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     sa = sh.select(

@@ -179,9 +179,14 @@ def _lsh_band_sql() -> str:
     bands AS (
       {_lsh_band_sql()}
     ),
+    ok_b AS (
+      SELECT band_id, band_key FROM bands GROUP BY band_id, band_key
+      HAVING COUNT(*) BETWEEN 2 AND {dedup.MAX_LSH_BUCKET}
+    ),
+    bandf AS (SELECT bands.* FROM bands JOIN ok_b USING (band_id, band_key)),
     cands AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM bands a JOIN bands b
+      FROM bandf a JOIN bandf b
         ON a.band_id = b.band_id AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
     )

@@ -753,3 +753,64 @@ def test_keep_best_per_cluster_prefers_quality_over_min_id(spark):
     assert got[2].keep is True  # quality wins...
     assert got[1].keep is False  # ...over the lower doc_id
     assert got[50].keep is True and got[50].cluster_id == 50  # singleton
+
+
+def test_ngram_max_df_valve_bounds_boilerplate_fanout(spark):
+    """The max_df stop-shingle valve must actually fire (it is a
+    no-op on the parquet fixtures): a shingle shared by > max_df docs
+    is dropped BEFORE the in-row pair fan-out, so docs whose only
+    similarity evidence is boilerplate disappear from the output (the
+    documented recall-for-safety trade) while pairs backed by sub-cap
+    shingles are unaffected."""
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"{boiler} unique{i}") for i in range(1, 7)]
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101, "alpha beta gamma delta epsilon zeta eta iota"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(threshold=0.5)
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, max_df=3, **kw).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, max_df=10**9, **kw).collect()
+    }
+    clique = {(a, b) for a in range(1, 7) for b in range(1, 7) if a < b}
+    # without the valve the boilerplate clique is all there...
+    assert clique <= uncapped
+    # ...with it, every clique pair is dropped (bounded fan-out)
+    assert capped & clique == set()
+    # the pair whose shared shingles have df=2 survives both runs
+    assert (100, 101) in capped and (100, 101) in uncapped
+
+
+def test_minhash_lsh_bucket_valve_bounds_megacluster(spark):
+    """The LSH band-bucket valve (minhash analogue of max_df): a
+    near-identical mega-cluster shares every band key, so without the
+    cap it yields clique^2 candidate pairs from one bucket row. With
+    max_bucket below the cluster size the oversized buckets are
+    dropped (documented recall trade — such clusters belong to exact
+    dedup) while small-bucket near-dups keep matching."""
+    base = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    rows = [(i, base) for i in range(1, 7)]
+    rows += [
+        (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (101, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    kw = dict(threshold=0.5)
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(docs, max_bucket=3, **kw).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(docs, max_bucket=10**9, **kw).collect()
+    }
+    clique = {(a, b) for a in range(1, 7) for b in range(1, 7) if a < b}
+    assert clique <= uncapped
+    assert capped & clique == set()
+    assert (100, 101) in capped and (100, 101) in uncapped
