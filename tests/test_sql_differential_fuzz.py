@@ -200,3 +200,207 @@ def test_random_join_queries_agree_between_spark_and_duckdb(engines):
         if got != want:
             mismatches.append((q, got[:3], want[:3]))
     assert not mismatches, mismatches[:3]
+
+
+def _run_cases(engines, strategy, n, extra=()):
+    """Draw n queries from the strategy, run each VERBATIM on both
+    engines, and report every row-level disagreement."""
+    spark, con = engines
+    cases: list[str] = []
+
+    @given(strategy)
+    @settings(
+        max_examples=n, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    def collect(q):
+        cases.append(q)
+
+    collect()
+    cases.extend(extra)
+    mismatches = []
+    for q in cases:
+        got = _norm([tuple(r) for r in spark.sql(q).collect()])
+        want = _norm(con.execute(q).fetchall())
+        if got != want:
+            mismatches.append((q, got[:3], want[:3]))
+    assert not mismatches, mismatches[:3]
+
+
+# --- round-6 grammar branches: windows, set ops, IN/EXISTS subqueries ------
+
+
+def _window_queries() -> st.SearchStrategy[str]:
+    """Window functions reduced to a one-row digest (COUNT, SUM(w),
+    SUM(w * l_linenumber)) so hundreds of examples stay cheap while
+    still pinning EVERY row's window value (a single misassigned rank
+    shifts s_mix).
+
+    Determinism rules per function family — the synthetic lineitem
+    does NOT keep TPC-H's (l_orderkey, l_linenumber) key unique
+    (group sizes up to 6), so the window runs over a DISTINCT
+    projection and orders by ALL of its non-partition columns, which
+    is a total order by construction:
+    * ROW_NUMBER / LAG / LEAD / running SUM use that total order;
+    * RANK / DENSE_RANK order by a deliberately NON-unique column:
+      tie handling is exactly the semantics worth differentialing,
+      and ties still yield deterministic ranks (same value -> same
+      rank).
+    Running-SUM / s_mix operands stay on small-domain columns
+    (l_suppkey, l_linenumber) so the digest cannot overflow BIGINT
+    even under the sf0.1 env-override sweep."""
+
+    def build(fn, part, col, pred):
+        base = (
+            f"(SELECT DISTINCT {part} AS p, l_orderkey AS ok, "
+            f"l_linenumber AS ln, {col} AS c "
+            f"FROM lineitem WHERE {pred}) t0"
+        )
+        total = "ok, ln, c"
+        if fn == "ROW_NUMBER":
+            w = f"ROW_NUMBER() OVER (PARTITION BY p ORDER BY {total})"
+        elif fn in ("RANK", "DENSE_RANK"):
+            w = f"{fn}() OVER (PARTITION BY p ORDER BY c)"
+        elif fn in ("LAG", "LEAD"):
+            w = (
+                f"COALESCE({fn}(c, 1) OVER "
+                f"(PARTITION BY p ORDER BY {total}), -1)"
+            )
+        else:  # running SUM
+            w = (
+                f"SUM(c) OVER (PARTITION BY p ORDER BY {total} "
+                f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            )
+        return (
+            f"SELECT COUNT(*) AS n, SUM(w) AS s_w, SUM(w * ln) AS s_mix "
+            f"FROM (SELECT {w} AS w, ln FROM {base}) t"
+        )
+
+    return st.builds(
+        build,
+        st.sampled_from(
+            ("ROW_NUMBER", "RANK", "DENSE_RANK", "LAG", "LEAD", "SUM")
+        ),
+        st.sampled_from(_STR_COLS),
+        st.sampled_from(("l_suppkey", "l_linenumber")),
+        _predicates(),
+    )
+
+
+def test_random_window_queries_agree_between_spark_and_duckdb(engines):
+    _run_cases(
+        engines,
+        _window_queries(),
+        80,
+        extra=[
+            # empty input: every SUM digest must be NULL in both
+            "SELECT COUNT(*) AS n, SUM(w) AS s_w, SUM(w) AS s_mix FROM ("
+            "SELECT ROW_NUMBER() OVER (PARTITION BY l_returnflag "
+            "ORDER BY l_orderkey, l_linenumber) AS w "
+            "FROM lineitem WHERE l_orderkey < 0) t",
+        ],
+    )
+
+
+def _setop_queries() -> st.SearchStrategy[str]:
+    """UNION [ALL] / INTERSECT [ALL] / EXCEPT [ALL] between two
+    filtered projections of the same low-cardinality columns,
+    re-aggregated to a (group, COUNT) digest so the ALL variants'
+    multiplicities are compared exactly without hauling full row
+    sets through both engines."""
+
+    def build(op, pred_a, pred_b):
+        proj = "l_returnflag AS f, l_linestatus AS s, l_linenumber AS ln"
+        return (
+            f"SELECT f, s, ln, COUNT(*) AS n FROM ("
+            f"SELECT {proj} FROM lineitem WHERE {pred_a} "
+            f"{op} "
+            f"SELECT {proj} FROM lineitem WHERE {pred_b}"
+            f") t GROUP BY f, s, ln ORDER BY f, s, ln"
+        )
+
+    return st.builds(
+        build,
+        st.sampled_from(
+            (
+                "UNION",
+                "UNION ALL",
+                "INTERSECT",
+                "INTERSECT ALL",
+                "EXCEPT",
+                "EXCEPT ALL",
+            )
+        ),
+        _predicates(),
+        _predicates(),
+    )
+
+
+def test_random_setop_queries_agree_between_spark_and_duckdb(engines):
+    _run_cases(
+        engines,
+        _setop_queries(),
+        60,
+        extra=[
+            # self-EXCEPT must be empty under both ALL and DISTINCT
+            "SELECT f, COUNT(*) AS n FROM ("
+            "SELECT l_returnflag AS f FROM lineitem EXCEPT ALL "
+            "SELECT l_returnflag AS f FROM lineitem) t GROUP BY f",
+        ],
+    )
+
+
+def _subquery_queries() -> st.SearchStrategy[str]:
+    """[NOT] IN and correlated [NOT] EXISTS against orders, digested
+    to (COUNT, SUM) — the quantified-predicate surface a reference
+    user gets through H2 SQL. o_orderkey is the orders key (never
+    NULL), so NOT IN's three-valued-logic trap cannot make the
+    comparison vacuous."""
+    o_pred = st.one_of(
+        st.builds(
+            lambda op, v: f"o_custkey {op} {v}",
+            st.sampled_from(("<", ">", "<=", ">=")),
+            st.integers(min_value=0, max_value=1500),
+        ),
+        st.builds(
+            lambda v: f"o_orderstatus = '{v}'",
+            st.sampled_from(("F", "O", "P")),
+        ),
+    )
+
+    def build(form, pred, opred):
+        if form.endswith("IN"):
+            sub = (
+                f"l_orderkey {form} "
+                f"(SELECT o_orderkey FROM orders WHERE {opred})"
+            )
+        else:
+            sub = (
+                f"{form} (SELECT 1 FROM orders "
+                f"WHERE o_orderkey = l_orderkey AND {opred})"
+            )
+        return (
+            f"SELECT COUNT(*) AS n, SUM(l_orderkey) AS s0, "
+            f"SUM(l_linenumber) AS s1 "
+            f"FROM lineitem WHERE ({pred}) AND {sub}"
+        )
+
+    return st.builds(
+        build,
+        st.sampled_from(("IN", "NOT IN", "EXISTS", "NOT EXISTS")),
+        _predicates(),
+        o_pred,
+    )
+
+
+def test_random_subquery_queries_agree_between_spark_and_duckdb(engines):
+    _run_cases(
+        engines,
+        _subquery_queries(),
+        60,
+        extra=[
+            # empty subquery: IN matches nothing, NOT IN matches all
+            "SELECT COUNT(*) AS n, SUM(l_linenumber) AS s1 FROM lineitem "
+            "WHERE l_orderkey NOT IN "
+            "(SELECT o_orderkey FROM orders WHERE o_custkey < 0)",
+        ],
+    )
