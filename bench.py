@@ -44,8 +44,11 @@ HEADLINE = (
     "embed_cosine_topk",
     "semantic_dedup",
     # [EXT] training-pipeline paths: iterative connected components,
-    # global token histogram top-k, applyInPandas sequence packing
+    # quality-aware survivor selection over the same fixpoint (r6
+    # addition), global token histogram top-k, applyInPandas sequence
+    # packing
     "dedup_clusters",
+    "dedup_keep_best",
     "vocab_topk",
     "sequence_pack",
     # [EXT] time-series paths: multi-resolution re-aggregation +

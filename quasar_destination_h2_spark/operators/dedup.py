@@ -423,8 +423,16 @@ def keep_best_per_cluster(
         docs, text_col, k, threshold, max_iter, reliable=reliable
     )
     # quality of subgraph members: corpus scan pruned to (doc_id,
-    # text), joined against the tiny label frame
-    subq = docs.select("doc_id", quality.alias("quality")).join(sub, "doc_id")
+    # text) broadcast-joined against the tiny label frame FIRST, so
+    # the tokenize-heavy quality expression is evaluated only on the
+    # subgraph's rows (a projection below the join would evaluate it
+    # corpus-wide — noise-level locally, corpus-proportional waste
+    # at 100 TB)
+    subq = (
+        docs.select("doc_id", text_col)
+        .join(sub, "doc_id")
+        .select("doc_id", "cluster_id", quality.alias("quality"))
+    )
     # arg-max per cluster without a window: max_by on the ordering
     # struct (quality DESC, doc_id ASC via negation)
     best = subq.groupBy("cluster_id").agg(
