@@ -463,3 +463,55 @@ def embedding_dedup_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def _label_pos_sums(
+    emb: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """(label, pos, s, n): exact DECIMAL(38,6) element sums and
+    member counts per (label, dimension) — the order-independent
+    core both label_centroids and its conformance query build on."""
+    e = emb.select(label_col, F.posexplode(vec_col).alias("pos", "v"))
+    return e.groupBy(label_col, "pos").agg(
+        F.sum(
+            F.round(F.col("v").cast("double"), 6).cast("decimal(38,6)")
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def label_centroids(
+    emb: DataFrame, vec_col: str = "embedding", label_col: str = "label"
+) -> DataFrame:
+    """Per-label mean embedding (class centroids) — the building
+    block for centroid-based classification, cluster naming, and
+    per-class drift monitoring over an embedding store.
+
+    Scale shape: ``posexplode`` widens the corpus by the vector
+    dimension, but the per-(label, pos) aggregation partial-combines
+    map-side, so the shuffle carries |labels| x dim rows regardless
+    of corpus size; the second groupBy reassembles |labels| rows.
+    Never a corpus collect, never a cross join.
+
+    Determinism: element values are rounded to 6 decimals and summed
+    as DECIMAL(38,6) — an order-independent exact sum, so the sums
+    are bit-stable across partitionings AND engines (float summation
+    order is the classic distributed-mean trap; the DuckDB oracle
+    replays the identical decimal pipeline). The conformance query
+    compares the exact sums (``_label_pos_sums``), not the means:
+    ``round(sum/n, 6)`` re-rounds a double QUOTIENT, and engines
+    disagree on quotients whose shortest decimal representation ties
+    at the 7th digit (observed at sf0.1 — one element off by 1e-6)."""
+    per = _label_pos_sums(emb, vec_col, label_col).select(
+        label_col,
+        "pos",
+        F.round(F.col("s").cast("double") / F.col("n"), 6).alias("m"),
+        F.col("n"),
+    )
+    return per.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))),
+            lambda s: s["m"],
+        ).alias("centroid"),
+        F.max("n").cast("bigint").alias("n_vectors"),
+    )

@@ -276,6 +276,49 @@ def pattern_flags(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+#: Replacement order matters: URLs go first so the narrower email /
+#: phone patterns cannot eat fragments of an already-matched URL
+#: (a URL path can contain digit runs that look like phone numbers).
+REDACT_ORDER = (("urls", "<URL>"), ("emails", "<EMAIL>"), ("phones", "<PHONE>"))
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction — the redact-don't-drop counterpart of
+    pattern_flags: every URL / email / phone span is replaced in
+    place with a typed token, keeping the document usable for
+    training while removing the contact strings. Pure per-row
+    regexp_replace chain, zero shuffle, whole-stage codegen.
+    ``n_redacted`` counts the tokens actually emitted (not the
+    pre-redaction matches — the replacement chain is the truth)."""
+    red = F.col(text_col)
+    for name, token in REDACT_ORDER:
+        red = F.regexp_replace(red, PATTERNS[name], token)
+    n = F.size(F.regexp_extract_all(red, F.lit("<URL>|<EMAIL>|<PHONE>"), 0))
+    return docs.select(
+        "doc_id", red.alias("redacted"), n.cast("bigint").alias("n_redacted")
+    )
+
+
+def domain_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-domain URL statistics over the corpus (occurrences + the
+    number of distinct docs linking each host) — the view a curation
+    pipeline ranks to build domain allow/block lists. One explode +
+    one groupBy shuffle; the count-distinct is a partial-aggregated
+    hash agg, never a corpus sort."""
+    host = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"https?://([^/\s]+)"), 1
+    )
+    return (
+        docs.select("doc_id", F.explode(host).alias("d"))
+        .select("doc_id", F.lower(F.col("d")).alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+    )
+
+
 def hash_bucket(col: Column, n: int = 10000) -> Column:
     """Deterministic engine-agnostic bucket in [0, n): integer value
     of the first 8 md5 hex digits mod n (md5 so DuckDB reproduces

@@ -26,6 +26,11 @@ from . import ext  # noqa: E402,F401
 #     differential-fuzzer extension exercises.
 # Everything outside the window stays oracle-checked locally via
 # tools/oracle_check.py at sf0.01 and sf0.1 (see COVERAGE.md).
+#
+# ROUND-7 ROTATION NOTE: the round-6 additions text_pii_redact,
+# docs_domain_stats, and embed_label_centroid (registered after this
+# window was fixed; tri-scale oracle-green locally) are the only
+# queries without a driver witness — lead the next window with them.
 _DRIVER_WINDOW = [
     # Never driver-witnessed -- evidence completion
     "dedup_keep_best",

@@ -1849,3 +1849,131 @@ def q_source_overlap_matrix(t: TableSet) -> DataFrame:
     unordered source pair + their mean similarity) — the governance
     view that decides which source's duplicates a mixture drops."""
     return dedup.source_overlap_matrix(t.documents)
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: PII redaction, domain statistics, label centroids
+# ---------------------------------------------------------------------------
+
+# The parquet corpus contains no URLs/emails/phones (pattern density
+# is a fixture property, verified zero at every SF), so the
+# redaction/domain conformance queries deterministically ENRICH the
+# text in-query — both engines build the identical enriched column,
+# making the regexp_replace / host-extraction parity a real
+# comparison instead of a vacuous no-op. Docs with doc_id % 3 = 0
+# stay untouched to keep the no-match path in the comparison too.
+_ENRICH_SQL = """
+    enr AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN text
+                  ELSE text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or https://site'
+                       || CAST(doc_id % 7 AS VARCHAR)
+                       || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+                       || ' tel +1 (555) 010-'
+                       || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             END AS text
+      FROM documents
+    )"""
+
+
+def _pii_enriched(docs: DataFrame) -> DataFrame:
+    sid = F.col("doc_id").cast("string")
+    enriched = F.when(F.col("doc_id") % 3 == 0, F.col("text")).otherwise(
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            sid,
+            F.lit("@example.com or https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/p/"),
+            sid,
+            F.lit(" tel +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        )
+    )
+    return docs.select("doc_id", enriched.alias("text"))
+
+
+@query(
+    "text_pii_redact",
+    oracle=rf"""
+    WITH {_ENRICH_SQL.strip()},
+    red AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               'https?://[^\s]+', '<URL>', 'g'),
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}',
+               '<EMAIL>', 'g'),
+               '\+?[0-9][0-9()\- ]{{7,}}[0-9]', '<PHONE>', 'g') AS redacted
+      FROM enr
+    )
+    SELECT doc_id, redacted,
+           CAST(len(regexp_extract_all(redacted,
+             '<URL>|<EMAIL>|<PHONE>')) AS BIGINT) AS n_redacted
+    FROM red
+    """,
+)
+def q_text_pii_redact(t: TableSet) -> DataFrame:
+    """PII redaction round-trip on deterministically enriched text:
+    URL -> <URL>, email -> <EMAIL>, phone -> <PHONE>, full redacted
+    text hash-compared across engines (500 rows of real matches plus
+    the untouched doc_id%3 stratum)."""
+    return text.pii_redact(_pii_enriched(t.documents))
+
+
+@query(
+    "docs_domain_stats",
+    oracle=rf"""
+    WITH {_ENRICH_SQL.strip()},
+    ex AS (
+      SELECT doc_id,
+             lower(unnest(regexp_extract_all(text,
+               'https?://([^/\s]+)', 1))) AS domain
+      FROM enr
+    )
+    SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM ex GROUP BY domain
+    """,
+)
+def q_docs_domain_stats(t: TableSet) -> DataFrame:
+    """Per-domain URL statistics (occurrence + distinct-doc counts)
+    over the enriched corpus — the allow/block-list ranking view.
+    One explode + one hash-agg shuffle."""
+    return text.domain_stats(_pii_enriched(t.documents))
+
+
+@query(
+    "embed_label_centroid",
+    oracle="""
+    WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS x
+               FROM embeddings),
+    ex AS (
+      SELECT label,
+             unnest(list_transform(range(1, len(x) + 1),
+               i -> {'pos': i - 1, 'v': round(x[i], 6)})) AS s
+      FROM e
+    )
+    SELECT label, CAST(s.pos AS BIGINT) AS pos,
+           CAST(SUM(CAST(s.v AS DECIMAL(38,6))) * 1000000 AS BIGINT)
+             AS s_micro,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM ex GROUP BY label, s.pos
+    """,
+)
+def q_embed_label_centroid(t: TableSet) -> DataFrame:
+    """Per-label centroid aggregation in (label, pos) long form,
+    compared as EXACT integer micro-unit sums (the decimal-carrier
+    sum times 1e6). The mean itself is one trivial division away but
+    is deliberately not the compared value: round(sum/n, 6) re-rounds
+    a double quotient, and engines disagree on shortest-repr rounding
+    ties at the 7th digit (observed once at sf0.1). Exact sums are
+    bit-stable at every SF."""
+    per = similarity._label_pos_sums(t.embeddings)
+    return per.select(
+        "label",
+        F.col("pos").cast("bigint").alias("pos"),
+        (F.col("s") * 1000000).cast("bigint").alias("s_micro"),
+        F.col("n").cast("bigint").alias("n_vectors"),
+    )

@@ -814,3 +814,73 @@ def test_minhash_lsh_bucket_valve_bounds_megacluster(spark):
     assert clique <= uncapped
     assert capped & clique == set()
     assert (100, 101) in capped and (100, 101) in uncapped
+
+
+def test_pii_redact_replaces_and_counts(spark):
+    """Real matches: all three pattern families redact to their typed
+    tokens, counts reflect emitted tokens, clean text is untouched."""
+    from quasar_destination_h2_spark.operators import text as text_ops
+
+    rows = [
+        (1, "write to alice.smith+x@corp.example.com today"),
+        (2, "see https://a.example.org/path?q=1 and http://b.example.net/x"),
+        (3, "call +1 (555) 010-4242 now"),
+        (4, "no pii here at all"),
+        (5, "mix: bob@ex.org https://c.example.com/z tel 555-010-99887"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in text_ops.pii_redact(docs).collect()}
+    assert got[1].redacted == "write to <EMAIL> today"
+    assert got[1].n_redacted == 1
+    assert got[2].redacted == "see <URL> and <URL>"
+    assert got[2].n_redacted == 2
+    assert got[3].redacted == "call <PHONE> now"
+    assert got[4].redacted == "no pii here at all"
+    assert got[4].n_redacted == 0
+    assert got[5].n_redacted == 3
+    # a URL with a phone-like digit path must redact as ONE URL, not
+    # a URL plus a phone fragment (REDACT_ORDER contract)
+    tricky = spark.createDataFrame(
+        [(9, "go https://x.example.com/555-010-99887 ok")], ["doc_id", "text"]
+    )
+    r9 = text_ops.pii_redact(tricky).collect()[0]
+    assert r9.redacted == "go <URL> ok"
+    assert r9.n_redacted == 1
+
+
+def test_domain_stats_counts_occurrences_and_docs(spark):
+    from quasar_destination_h2_spark.operators import text as text_ops
+
+    rows = [
+        (1, "x https://A.example.org/1 y https://a.example.org/2"),
+        (2, "z http://a.example.org/3"),
+        (3, "w https://other.example.net/"),
+        (4, "no urls"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.domain: (r.n_occurrences, r.n_docs)
+        for r in text_ops.domain_stats(docs).collect()
+    }
+    # case-folded host, occurrences vs distinct docs distinguished
+    assert got["a.example.org"] == (3, 2)
+    assert got["other.example.net"] == (1, 1)
+    assert set(got) == {"a.example.org", "other.example.net"}
+
+
+def test_label_centroids_match_numpy_mean(spark):
+    import numpy as np
+    from quasar_destination_h2_spark.operators import similarity as sim
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8).astype("float32")], i % 3)
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {r.label: r for r in sim.label_centroids(emb).collect()}
+    for lbl in (0, 1, 2):
+        members = np.array([r[1] for r in rows if r[2] == lbl])
+        want = members.mean(axis=0)
+        assert got[lbl].n_vectors == len(members)
+        assert np.allclose(got[lbl].centroid, want, atol=2e-6)
