@@ -617,3 +617,120 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# --- Passage-level exact-substring dedup -----------------------------------
+
+#: Tokens per passage window. 16 tokens ≈ one long sentence — the
+#: granularity at which boilerplate (nav bars, license headers,
+#: repeated paragraphs) recurs across documents even when the full
+#: documents differ.
+PASSAGE_TOKENS = 16
+
+
+def passage_dedup_stats(
+    docs: DataFrame, text_col: str = "text", p: int = PASSAGE_TOKENS
+) -> DataFrame:
+    """Passage-level exact-substring duplication statistics: chunk
+    each document into non-overlapping ``p``-token passages, hash
+    each passage, and report per document how many of its passages
+    also occur (verbatim) in at least one OTHER document.
+
+    This is the chunk-granular approximation of exact-substring
+    dedup (the suffix-array pass of the reference LLM curation
+    recipe): full-document dedup misses a page that is 90% shared
+    boilerplate + 10% unique chrome; passage stats expose it as a
+    high ``n_dup_passages / n_passages`` ratio, and the passage
+    hashes themselves are the removal keys.
+
+    Scale shape — same group-then-mark pattern as
+    :func:`ngram_jaccard_pairs`: explode passages → ONE hash
+    aggregation (collect per-hash doc list, grouped-row buffer is
+    O(df) ids, linear — not the O(df²) a pair fan-out would risk) →
+    re-explode with the cross-doc flag → per-doc count aggregation.
+    One scan of the corpus, two hash-equality shuffles, no joins back
+    to the corpus. Docs shorter than ``p`` tokens have no full
+    passage and are absent from the output (deterministic, mirrored
+    by the oracle).
+
+    Output: (doc_id, n_passages, n_dup_passages)."""
+    toks = tokens(F.col(text_col))
+    base = docs.where(F.size(toks) >= p).select("doc_id", toks.alias("w"))
+    passages = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(w) div {p} - 1), "
+                f"i -> md5(concat_ws(' ', slice(w, i * {p} + 1, {p}))))"
+            )
+        ).alias("h"),
+    )
+    marked = (
+        passages.groupBy("h")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .select(
+            F.explode("ds").alias("doc_id"),
+            (F.size(F.array_distinct("ds")) >= 2).alias("dup"),
+        )
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_passages"),
+        F.sum(F.col("dup").cast("long")).cast("bigint").alias("n_dup_passages"),
+    )
+
+
+# --- Edit-distance verification of LSH candidates --------------------------
+
+#: Normalized edit-similarity acceptance threshold for
+#: :func:`edit_verified_pairs` (1 - levenshtein / max_len).
+EDIT_SIM_THRESHOLD = 0.8
+
+
+def edit_verified_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+    edit_sim_threshold: float = EDIT_SIM_THRESHOLD,
+) -> DataFrame:
+    """Character-level verification of the MinHash-LSH near-dup
+    pairs: annotate each candidate pair with its exact Levenshtein
+    distance and normalized edit similarity
+    (``1 - lev / max(len_a, len_b)``), plus the accept/reject
+    verdict at ``edit_sim_threshold``.
+
+    Shingle Jaccard is order-insensitive (a scrambled copy scores
+    high); edit distance is the order-sensitive second opinion a
+    curation pipeline runs before destructive removal. Running it on
+    every corpus pair is O(n²·len²) — running it on the LSH
+    candidate set (subgraph-sized) is the scalable form.
+
+    Scale shape: the pair frame out of :func:`minhash_lsh_pairs` is
+    subgraph-sized; the two text lookups are corpus scans pruned to
+    (doc_id, normalized text) hash-joined against that tiny frame.
+    Levenshtein itself is JVM codegen (built-in), per-pair.
+
+    Output: (doc_a, doc_b, jaccard, edit_distance, edit_sim,
+    verified)."""
+    pairs = minhash_lsh_pairs(docs, text_col, threshold)
+    na = docs.select(
+        F.col("doc_id").alias("doc_a"), norm_text(F.col(text_col)).alias("txt_a")
+    )
+    nb = docs.select(
+        F.col("doc_id").alias("doc_b"), norm_text(F.col(text_col)).alias("txt_b")
+    )
+    lev = F.levenshtein("txt_a", "txt_b")
+    sim = F.round(
+        F.lit(1) - lev / F.greatest(F.length("txt_a"), F.length("txt_b")), 6
+    )
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            lev.cast("bigint").alias("edit_distance"),
+            sim.alias("edit_sim"),
+            (sim >= edit_sim_threshold).alias("verified"),
+        )
+    )

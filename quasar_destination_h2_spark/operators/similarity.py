@@ -515,3 +515,41 @@ def label_centroids(
         ).alias("centroid"),
         F.max("n").cast("bigint").alias("n_vectors"),
     )
+
+
+def embedding_feature_stats(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Per-vector feature statistics via higher-order array
+    functions, with NO explode: quantize each element to integer
+    milli-units (``floor(v * 1000)`` — floor, not round, because
+    banker's-vs-half-up tie handling differs across engines while
+    floor is universal), then compute positive-element count, element
+    sum, self-dot-product, and max — all inside one JVM-codegen
+    projection (``transform`` / ``filter`` / ``aggregate`` /
+    ``zip_with``).
+
+    This is the vector-hygiene profile of an embedding store
+    (dead/saturated dimensions, magnitude outliers, all-zero rows)
+    computed the way it must be at 100 TB: per-row, zero shuffle,
+    zero Python — where ``posexplode`` would widen the corpus 64x
+    before aggregating it back down. Integer milli-unit arithmetic
+    makes every output bit-stable across engines (exact BIGINT sums,
+    no float summation-order drift).
+
+    Output: (vec_id, label, n_pos, sum_milli, dot_self, max_milli)."""
+    q = F.expr(
+        f"transform({vec_col}, v -> cast(floor(cast(v as double) * 1000) as bigint))"
+    )
+    base = emb.select(id_col, "label", q.alias("q"))
+    add = lambda a, v: a + v  # noqa: E731
+    return base.select(
+        id_col,
+        "label",
+        F.size(F.filter("q", lambda v: v > 0)).cast("bigint").alias("n_pos"),
+        F.aggregate("q", F.lit(0).cast("long"), add).alias("sum_milli"),
+        F.aggregate(
+            F.zip_with("q", "q", lambda a, b: a * b), F.lit(0).cast("long"), add
+        ).alias("dot_self"),
+        F.array_max("q").cast("bigint").alias("max_milli"),
+    )

@@ -171,10 +171,11 @@ def _lsh_band_sql() -> str:
     return "\n  UNION ALL ".join(parts)
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH {_SHINGLE_CTES},
+#: Full MinHash-LSH pipeline as composable CTEs ending in ``lshp``
+#: (doc_a, doc_b, jaccard) — shared by the dedup_minhash_lsh
+#: conformance oracle and every oracle that post-processes the LSH
+#: candidate pairs (edit-distance verification).
+_LSH_PAIR_CTES = f"""{_SHINGLE_CTES},
     sigs AS (SELECT doc_id, {_SIG_EXPRS} FROM shn),
     bands AS (
       {_lsh_band_sql()}
@@ -189,19 +190,28 @@ def _lsh_band_sql() -> str:
       FROM bandf a JOIN bandf b
         ON a.band_id = b.band_id AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
-    )
-    SELECT doc_a, doc_b,
-           round(len(list_intersect(sa.shingles, sb.shingles))
-                 / (sa.n_sh + sb.n_sh
-                    - len(list_intersect(sa.shingles, sb.shingles))), 6)
-             AS jaccard
-    FROM cands
-    JOIN shn sa ON doc_a = sa.doc_id
-    JOIN shn sb ON doc_b = sb.doc_id
-    WHERE round(len(list_intersect(sa.shingles, sb.shingles))
-                / (sa.n_sh + sb.n_sh
-                   - len(list_intersect(sa.shingles, sb.shingles))), 6)
-          >= {dedup.JACCARD_THRESHOLD}
+    ),
+    lshp AS (
+      SELECT doc_a, doc_b,
+             round(len(list_intersect(sa.shingles, sb.shingles))
+                   / (sa.n_sh + sb.n_sh
+                      - len(list_intersect(sa.shingles, sb.shingles))), 6)
+               AS jaccard
+      FROM cands
+      JOIN shn sa ON doc_a = sa.doc_id
+      JOIN shn sb ON doc_b = sb.doc_id
+      WHERE round(len(list_intersect(sa.shingles, sb.shingles))
+                  / (sa.n_sh + sb.n_sh
+                     - len(list_intersect(sa.shingles, sb.shingles))), 6)
+            >= {dedup.JACCARD_THRESHOLD}
+    )"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_LSH_PAIR_CTES}
+    SELECT doc_a, doc_b, jaccard FROM lshp
     """,
 )
 def q_dedup_minhash_lsh(t: TableSet) -> DataFrame:
@@ -1977,3 +1987,90 @@ def q_embed_label_centroid(t: TableSet) -> DataFrame:
         (F.col("s") * 1000000).cast("bigint").alias("s_micro"),
         F.col("n").cast("bigint").alias("n_vectors"),
     )
+
+
+@query(
+    "dedup_passage_exact",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, string_split_regex({_NORM}, ' ') AS w FROM documents
+    ),
+    eligible AS (SELECT * FROM w WHERE len(w) >= {dedup.PASSAGE_TOKENS}),
+    ps AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, len(w) // {dedup.PASSAGE_TOKENS}),
+               i -> md5(array_to_string(
+                 w[i * {dedup.PASSAGE_TOKENS} + 1
+                   : i * {dedup.PASSAGE_TOKENS} + {dedup.PASSAGE_TOKENS}],
+                 ' ')))) AS h
+      FROM eligible
+    ),
+    g AS (SELECT h, COUNT(DISTINCT doc_id) AS nd FROM ps GROUP BY h)
+    SELECT ps.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_passages,
+           CAST(SUM(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_passages
+    FROM ps JOIN g USING (h)
+    GROUP BY ps.doc_id
+    """,
+)
+def q_dedup_passage_exact(t: TableSet) -> DataFrame:
+    """Passage-level exact-substring duplication stats: 16-token
+    non-overlapping passages hashed and counted across documents —
+    the chunk-granular dedup view that catches shared boilerplate
+    inside otherwise-distinct documents. One corpus scan, two
+    hash-equality shuffles (see operators/dedup.py:passage_dedup_stats
+    for the grouped-row-buffer bound)."""
+    return dedup.passage_dedup_stats(t.documents)
+
+
+@query(
+    "dedup_edit_verify",
+    oracle=f"""
+    WITH {_LSH_PAIR_CTES},
+    nt AS (SELECT doc_id, {_NORM} AS norm FROM documents)
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           CAST(levenshtein(na.norm, nb.norm) AS BIGINT) AS edit_distance,
+           round(1 - levenshtein(na.norm, nb.norm)
+                     / greatest(len(na.norm), len(nb.norm)), 6) AS edit_sim,
+           round(1 - levenshtein(na.norm, nb.norm)
+                     / greatest(len(na.norm), len(nb.norm)), 6)
+             >= {dedup.EDIT_SIM_THRESHOLD} AS verified
+    FROM lshp p
+    JOIN nt na ON na.doc_id = p.doc_a
+    JOIN nt nb ON nb.doc_id = p.doc_b
+    """,
+)
+def q_dedup_edit_verify(t: TableSet) -> DataFrame:
+    """Order-sensitive second opinion on the LSH near-dup pairs:
+    exact Levenshtein distance + normalized edit similarity per
+    candidate pair, with the accept verdict at 0.8. Pair frame is
+    subgraph-sized; text lookups are pruned corpus scans hash-joined
+    against it; levenshtein runs JVM-side per pair."""
+    return dedup.edit_verified_pairs(t.documents)
+
+
+@query(
+    "array_hof_stats",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           CAST(len(list_filter(q, v -> v > 0)) AS BIGINT) AS n_pos,
+           CAST(list_sum(q) AS BIGINT) AS sum_milli,
+           CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT) AS dot_self,
+           CAST(list_max(q) AS BIGINT) AS max_milli
+    FROM q
+    """,
+)
+def q_array_hof_stats(t: TableSet) -> DataFrame:
+    """Higher-order array functions (transform / filter / aggregate /
+    zip_with) computing a per-vector hygiene profile in integer
+    milli-units — one zero-shuffle codegen projection, the
+    explode-free way to profile an embedding store (a posexplode
+    would widen the corpus 64x first)."""
+    return similarity.embedding_feature_stats(t.embeddings)

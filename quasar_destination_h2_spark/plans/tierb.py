@@ -2634,3 +2634,25 @@ def q_unpivot_nation_metrics(t: TableSet) -> DataFrame:
         )
     )
     return base.unpivot(["n_name"], ["n_cust", "total_bal"], "metric", "value")
+
+
+# --- LATERAL correlated subquery (top-N per group, SQL form) ---------------
+
+_LATERAL_TOPN = """
+SELECT n_name, c_name, c_acctbal
+FROM nation,
+LATERAL (SELECT c_name, c_acctbal FROM customer
+         WHERE c_nationkey = n_nationkey
+         ORDER BY c_acctbal DESC, c_name LIMIT 2) top_c
+"""
+
+
+@query("lateral_topn_per_group", oracle=_LATERAL_TOPN)
+def q_lateral_topn_per_group(t: TableSet) -> DataFrame:
+    """LATERAL correlated subquery — top-2 customers by balance per
+    nation, expressed as SQL *text* (H2 1.4.200 grammars LATERAL;
+    Spark 4.x plans the correlated LIMIT subquery natively, so the
+    identical statement runs on both engines verbatim). Catalyst
+    decorrelates the per-nation LIMIT into a partitioned window
+    rank — no per-outer-row re-execution."""
+    return t.sql(_LATERAL_TOPN)

@@ -884,3 +884,122 @@ def test_label_centroids_match_numpy_mean(spark):
         want = members.mean(axis=0)
         assert got[lbl].n_vectors == len(members)
         assert np.allclose(got[lbl].centroid, want, atol=2e-6)
+
+
+def test_passage_dedup_on_constructed_docs(spark):
+    """Hand-countable passage stats: 16-token passages, cross-doc
+    duplication only (a doc repeating its OWN passage doesn't count),
+    docs shorter than one passage are absent."""
+    p1 = " ".join(f"a{i}" for i in range(16))
+    p2 = " ".join(f"b{i}" for i in range(16))
+    p3 = " ".join(f"c{i}" for i in range(16))
+    selfrep = " ".join(f"d{i}" for i in range(16))
+    rows = [
+        (1, f"{p1} {p2}"),            # shares p1 with doc 2
+        (2, f"{p1} {p3}"),            # shares p1 with doc 1
+        (3, " ".join(f"e{i}" for i in range(16))),  # unique
+        (4, "too short"),             # < 16 tokens: absent
+        (5, f"{selfrep} {selfrep}"),  # self-repeat only: dup=0
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_passages, r.n_dup_passages)
+        for r in dedup.passage_dedup_stats(docs).collect()
+    }
+    assert got == {1: (2, 1), 2: (2, 1), 3: (1, 0), 5: (2, 0)}
+
+
+def test_passage_dedup_nontrivial_and_single_scan(t):
+    """The corpus fixture actually exercises the operator (planted
+    near-dups share verbatim 16-token runs), and the plan reads
+    documents exactly once — group-then-mark, no join back to the
+    corpus."""
+    df = dedup.passage_dedup_stats(t.documents)
+    plan = physical_plan(df)
+    assert plan.count("FileScan parquet") == 1
+    total_dup = sum(r.n_dup_passages for r in df.collect())
+    assert total_dup > 0
+
+
+def test_edit_verified_pairs_matches_python_levenshtein(spark):
+    """Pin the edit-distance annotation against a pure-Python
+    reference on constructed near-dups that LSH provably catches."""
+    base = " ".join(f"tok{i}" for i in range(30))
+    variant = base.replace("tok7", "tok7x", 1)  # 1-char insertion
+    far = " ".join(f"zz{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, variant), (4, far)],
+        ["doc_id", "text"],
+    )
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in dedup.edit_verified_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)].edit_distance == 0
+    assert got[(1, 2)].edit_sim == 1.0 and bool(got[(1, 2)].verified)
+    assert (1, 3) in got
+    expect = lev(base.lower(), variant.lower())
+    assert got[(1, 3)].edit_distance == expect == 1
+    assert bool(got[(1, 3)].verified)
+    assert all(p in {(1, 2), (1, 3), (2, 3)} for p in got)
+
+
+def test_embedding_feature_stats_exact_and_shuffle_free(spark):
+    """Integer milli-unit profile against hand arithmetic, including
+    the floor-of-negative edge (-0.0015 -> -2, not -1); the plan is
+    one projection — zero Exchange."""
+    import math
+    rows = [
+        (1, [0.5, -0.0015, 0.0], 7),
+        (2, [1.2345, 2.0, -3.5], 8),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    df = similarity.embedding_feature_stats(emb)
+    assert "Exchange" not in physical_plan(df)
+    got = {r.vec_id: r for r in df.collect()}
+    for vid, vec, _ in rows:
+        q = [math.floor(float(v) * 1000) for v in vec]
+        r = got[vid]
+        assert r.n_pos == sum(1 for v in q if v > 0)
+        assert r.sum_milli == sum(q)
+        assert r.dot_self == sum(v * v for v in q)
+        assert r.max_milli == max(q)
+    assert got[1].sum_milli == 500 - 2 + 0
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(t):
+    """The LATERAL correlated LIMIT subquery must decorrelate into a
+    rank-based plan (WindowGroupLimit pushes the per-group LIMIT
+    map-side) — never a per-outer-row nested-loop re-execution — and
+    must agree with the explicit window-function formulation."""
+    from quasar_destination_h2_spark.plans import REGISTRY
+    from pyspark.sql import functions as F, Window
+
+    df = REGISTRY["lateral_topn_per_group"].fn(t.spark, t.sf_dir)
+    plan = physical_plan(df)
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_name")
+    )
+    expect = (
+        t.customer.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .join(t.nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_name", "c_acctbal")
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(
+        map(tuple, expect.collect())
+    )

@@ -124,6 +124,12 @@ RESCAN_REVIEWED = frozenset({
     # a corpus-wide window/shuffle (see keep_best_per_cluster /
     # source_overlap_matrix docstrings):
     "dedup_keep_best", "source_overlap_matrix",
+    # r6 edit-distance verification: the LSH candidate build scans
+    # the persist-backed shingle projection, then the two Levenshtein
+    # text lookups are each a PRUNED (doc_id, text) corpus scan
+    # hash-joined against the subgraph-sized pair frame — same
+    # reviewed shape as dedup_keep_best:
+    "dedup_edit_verify",
     # structurally single-scan (verified in a fresh session: 1
     # FileScan each); the long-lived audit session sometimes
     # renders an AQE-finalized stage twice in toString():
