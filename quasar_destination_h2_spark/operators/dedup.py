@@ -324,10 +324,6 @@ def _dup_subgraph_labels(
         .select("e.src", "e.dst")
         .localCheckpoint()
     )
-    nodes = edges.where(F.col("src") == F.col("dst")).select(
-        F.col("src").alias("doc_id")
-    ).distinct()
-
     def propagate(labels: DataFrame) -> DataFrame:
         return (
             edges.join(labels, edges.src == labels.doc_id)
@@ -336,13 +332,28 @@ def _dup_subgraph_labels(
             .agg(F.min("cluster_id").alias("cluster_id"))
         )
 
+    # Round 1 folded into initialization: propagate() over the
+    # identity labeling (label = own id) joins each edge to a label
+    # equal to its src — i.e. it is just min(src) grouped by dst, no
+    # join needed. Starting the fixpoint from that aggregation (which
+    # also yields the node set for free — self-loops put every
+    # endpoint in dst) removes the identity-label distinct AND the
+    # first round's join+groupBy: on the clique-shaped components
+    # near-dup generators produce, the loop runs ONE confirming
+    # round instead of propagate+confirm (verified: propagate is
+    # invoked once, was twice) — one fewer subgraph shuffle round
+    # for every clusters/keep-best/overlap query.
+    labels0 = edges.groupBy(F.col("dst").alias("doc_id")).agg(
+        F.min("src").alias("cluster_id")
+    )
+
     # Iterate over the near-dup SUBGRAPH only: a doc with no edge can
     # never change its label, so singletons — the overwhelming corpus
     # majority at 100 TB — are excluded from every round's shuffle and
     # re-attached once at the end (label = own id). Per-round cost is
     # ∝ |dup subgraph|, not ∝ corpus.
     return fixpoint(
-        nodes.select("doc_id", F.col("doc_id").alias("cluster_id")),
+        labels0,
         propagate,
         # label sum strictly decreases until the component minima fix
         lambda df: df.agg(F.sum("cluster_id")).collect()[0][0],

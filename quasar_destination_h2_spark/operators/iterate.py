@@ -74,7 +74,16 @@ def fixpoint(
         return df.checkpoint() if reliable else df.localCheckpoint(eager=False)
 
     state = truncate(state)
-    prev = None
+    # Prime convergence with the INITIAL state's measure: when the
+    # caller seeds the loop with a state that is already one step
+    # application (dedup's labels0 = propagate(identity), computed
+    # join-free), the first in-loop step is the *confirming* round
+    # and the loop exits after it — without priming it would run the
+    # confirmation twice. Contract-safe: measure is invariant only at
+    # the fixpoint, so a non-converged seed still iterates. Costs one
+    # extra tiny agg action, which doubles as the materialization of
+    # the seed's checkpoint.
+    prev = measure(state)
     for _ in range(max_iter):
         state = truncate(step(state))
         cur = measure(state)  # with lazy checkpoints this single
