@@ -219,3 +219,128 @@ def sequence_pack(
         )
 
     return keyed.groupBy("shard").applyInPandas(pack, PACK_SCHEMA)
+
+
+def length_buckets(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Power-of-two sequence-length bucketing: assign each document
+    to the bucket ``bit_length(n_tokens)`` (i.e. bucket b holds
+    lengths in [2^(b-1), 2^b - 1]) and report per-bucket document
+    count, token mass, length range, the padded-token cost of
+    batching the bucket at its 2^b cap, and the resulting padding
+    efficiency — the standard pre-batching histogram that decides
+    bucketed-batch shapes (padding waste is what length bucketing
+    exists to kill).
+
+    Determinism: the bucket index is computed with INTEGER binary
+    representation length (``conv(n, 10, 2)`` / DuckDB ``bin(n)``) —
+    never floor(log2(x)), whose libm last-ulp behavior at exact
+    powers of two differs across engines. One aggregation shuffle
+    over ~30 bucket keys; partial aggregation makes the map side do
+    all the work."""
+    n_tok = F.size(tokens(F.col(text_col)))
+    keyed = docs.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.length(F.conv(n_tok.cast("string"), 10, 2)).cast("bigint").alias("bucket"),
+    )
+    cap = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))")
+    return (
+        keyed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        )
+        .select(
+            "bucket",
+            "n_docs",
+            "sum_tokens",
+            "min_tokens",
+            "max_tokens",
+            (F.col("n_docs") * cap).cast("bigint").alias("padded_tokens"),
+            F.round(F.col("sum_tokens") / (F.col("n_docs") * cap), 6).alias(
+                "pad_efficiency"
+            ),
+        )
+    )
+
+
+#: Fraction of the corpus token mass the budget allocator hands out.
+BUDGET_FRAC_DENOM = 2  # budget = total_tokens DIV 2 (integer-exact)
+
+
+def token_budget_allocation(
+    docs: DataFrame, text_col: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Water-filling token-budget allocation across sources: given a
+    total token budget (half the corpus token mass, integer-exact),
+    give every source up to a common level L, chosen so that sources
+    smaller than L keep everything and the rest are capped at L with
+    the budget exactly spent — the classic balanced-mixture
+    allocation ("no source may dominate, small sources are never
+    starved").
+
+    The textbook form iterates; this is the CLOSED-FORM window
+    formulation: sort sources by token count ascending, take prefix
+    sums, and the level is ``max over qualifying rows of
+    (B - prefix_before) / n_remaining`` where a row qualifies when
+    filling every remaining source to its own count would meet the
+    budget (for rows past the binding one the candidate level only
+    shrinks — proved in the conformance oracle's comment). All
+    window functions run over the per-source aggregate (|sources|
+    rows), never the corpus: the corpus is touched by ONE
+    aggregation shuffle; the single-partition window is on a frame
+    of dozens of rows.
+
+    Determinism: counts and prefix sums are BIGINT; the one double
+    division has identical integer operands on both engines, and the
+    allocation floors it back to BIGINT.
+
+    Output: (source, n_tokens, alloc_tokens, capped)."""
+    n_tok = F.size(tokens(F.col(text_col)))
+    per_src = (
+        docs.select(F.col(source_col).alias("source"), n_tok.alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("bigint").alias("n_tokens"))
+    )
+    w_asc = Window.orderBy(F.col("n_tokens").asc(), F.col("source").asc())
+    # explicit ROWS frames: the default RANGE frame's peer semantics
+    # are an engine-divergence trap the unique sort key makes moot —
+    # say ROWS anyway so the oracle comparison never depends on it
+    w_cum = w_asc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = w_asc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    annotated = per_src.select(
+        "source",
+        "n_tokens",
+        (F.sum("n_tokens").over(w_cum) - F.col("n_tokens")).alias("prefix_before"),
+        (F.count(F.lit(1)).over(w_all) - F.row_number().over(w_asc) + 1).alias(
+            "m_remaining"
+        ),
+        # floor() BEFORE the bigint cast: Spark's double->long cast
+        # truncates while DuckDB's rounds — floor is identical in
+        # both, so the mirrored oracle can never diverge on an odd
+        # corpus total
+        F.floor(F.sum("n_tokens").over(w_all) / F.lit(BUDGET_FRAC_DENOM))
+        .cast("bigint")
+        .alias("budget"),
+    )
+    candidate = F.when(
+        F.col("prefix_before") + F.col("n_tokens") * F.col("m_remaining")
+        >= F.col("budget"),
+        (F.col("budget") - F.col("prefix_before")) / F.col("m_remaining"),
+    )
+    leveled = annotated.select(
+        "source",
+        "n_tokens",
+        F.max(candidate).over(w_all).alias("level"),
+    )
+    alloc = F.when(
+        F.col("level").isNull(), F.col("n_tokens")
+    ).otherwise(F.least(F.col("n_tokens"), F.floor("level").cast("bigint")))
+    return leveled.select(
+        "source",
+        "n_tokens",
+        alloc.cast("bigint").alias("alloc_tokens"),
+        (alloc < F.col("n_tokens")).alias("capped"),
+    )

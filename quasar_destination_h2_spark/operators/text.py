@@ -600,3 +600,106 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("avg_nll2"),
         )
     )
+
+
+#: Query terms for the conformance keyword-search query (chosen to
+#: hit a non-trivial, non-universal slice of the synthetic corpus).
+SEARCH_TERMS: tuple[str, ...] = ("spark", "window", "query")
+
+
+def keyword_search(
+    docs: DataFrame, text_col: str = "text", terms: tuple[str, ...] = SEARCH_TERMS
+) -> DataFrame:
+    """AND-semantics keyword search: documents containing EVERY query
+    term (as a whole token), with the total occurrence count of the
+    terms — corpus exploration / slice extraction.
+
+    Shape: one pruned scan, per-row codegen only (tokenize →
+    array_contains per term → higher-order occurrence count) — zero
+    shuffle, embarrassingly parallel. This is the one-off-query form;
+    a *repeated*-query workload at 100 TB would amortize an inverted
+    token index instead (explode → (tok, doc_id) postings, bucketed
+    by tok — the same plan shape as ngram_jaccard_pairs' posting
+    build), trading one corpus pass for index storage."""
+    quoted = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
+    base = docs.select(
+        "doc_id", "lang", "source", tokens(F.col(text_col)).alias("tk")
+    )
+    has_all = None
+    for t in terms:
+        c = F.array_contains("tk", t)
+        has_all = c if has_all is None else (has_all & c)
+    return (
+        base.where(has_all)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.expr(f"size(filter(tk, x -> x IN ({quoted})))")
+            .cast("bigint")
+            .alias("n_occurrences"),
+        )
+    )
+
+
+def importance_weights(
+    docs: DataFrame, text_col: str = "text", target_lang: str = "en"
+) -> DataFrame:
+    """DSIR-style importance weighting for data selection: score each
+    document by the sum of per-token log-likelihood ratios between a
+    TARGET unigram LM (here: the ``target_lang`` slice — in a real
+    pipeline, the high-quality domain you want more of) and the
+    SOURCE LM (the whole corpus). High scores = documents that look
+    like the target distribution; the selection step keeps the top
+    slice or samples ∝ exp(weight).
+
+    Shape — the two-pass model-then-score pattern of
+    :func:`unigram_logprob`: pass one builds BOTH LMs in a single
+    vocabulary aggregation (corpus tf + target tf per token, one
+    shuffle); pass two re-scans the corpus and broadcast-joins the
+    vocabulary-sized ratio table. Target counts use add-one
+    smoothing over the corpus vocabulary (tokens unseen in the
+    target slice get mass; corpus tokens always have tf >= 1).
+
+    Determinism: the per-token log-ratio is rounded to 6 decimals
+    and summed as exact integer micro-units — order-independent,
+    bit-stable across engines (the same carrier as unigram_logprob;
+    the mean is one trivial division away but a summed integer never
+    hits a float-tie).
+
+    Output: (doc_id, n_tokens, logratio_sum_micro)."""
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).alias("tf_s"),
+            F.sum(
+                F.when(F.col("lang") == target_lang, 1).otherwise(0)
+            ).alias("tf_t"),
+        )
+        .localCheckpoint()  # tiny (vocabulary-sized); scanned by the
+        #                     totals action AND the scoring join
+    )
+    tot = vocab.agg(
+        F.sum("tf_s").alias("s"), F.sum("tf_t").alias("t"), F.count(F.lit(1)).alias("v")
+    ).collect()[0]
+    total_s, total_t, vsize = int(tot.s), int(tot.t), int(tot.v)
+    ratio6 = F.round(
+        F.log2((F.col("tf_t") + F.lit(1.0)) / F.lit(float(total_t + vsize)))
+        - F.log2(F.col("tf_s") / F.lit(float(total_s))),
+        6,
+    )
+    scored_vocab = vocab.select(
+        "tok",
+        (ratio6.cast("decimal(28,10)") * 1000000).cast("bigint").alias("micro"),
+    )
+    return (
+        toks.join(F.broadcast(scored_vocab), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("micro").cast("bigint").alias("logratio_sum_micro"),
+        )
+    )

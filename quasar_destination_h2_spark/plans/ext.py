@@ -2074,3 +2074,158 @@ def q_array_hof_stats(t: TableSet) -> DataFrame:
     explode-free way to profile an embedding store (a posexplode
     would widen the corpus 64x first)."""
     return similarity.embedding_feature_stats(t.embeddings)
+
+
+@query(
+    "keyword_search",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, lang, source,
+             string_split_regex({_NORM}, ' ') AS w
+      FROM documents
+    )
+    SELECT doc_id, lang, source,
+           CAST(len(list_filter(w,
+             x -> list_contains(['spark', 'window', 'query'], x)))
+             AS BIGINT) AS n_occurrences
+    FROM w
+    WHERE list_contains(w, 'spark') AND list_contains(w, 'window')
+      AND list_contains(w, 'query')
+    """,
+)
+def q_keyword_search(t: TableSet) -> DataFrame:
+    """AND-semantics whole-token keyword search with occurrence
+    counts — one pruned scan, per-row codegen, zero shuffle (the
+    one-off-query form; repeated workloads build the inverted-index
+    postings instead, see operators/text.py:keyword_search)."""
+    return text.keyword_search(t.documents)
+
+
+@query(
+    "importance_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex({_NORM}, ' ')) AS tok
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok, COUNT(*) AS tf_s,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tf_t
+      FROM toks GROUP BY tok
+    ),
+    tot AS (
+      SELECT CAST(SUM(tf_s) AS BIGINT) AS total_s,
+             CAST(SUM(tf_t) AS BIGINT) AS total_t,
+             CAST(COUNT(*) AS BIGINT) AS v
+      FROM vocab
+    ),
+    sv AS (
+      SELECT tok,
+             CAST(CAST(round(
+               log2((tf_t + 1.0) / CAST(total_t + v AS DOUBLE))
+               - log2(CAST(tf_s AS DOUBLE) / CAST(total_s AS DOUBLE)), 6)
+               AS DECIMAL(28,10)) * 1000000 AS BIGINT) AS micro
+      FROM vocab, tot
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(micro) AS BIGINT) AS logratio_sum_micro
+    FROM toks JOIN sv USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def q_importance_weights(t: TableSet) -> DataFrame:
+    """DSIR-style data-selection weights: per-doc sum of token
+    log-likelihood ratios between the target-slice unigram LM
+    (lang='en', add-one smoothed) and the corpus LM — two-pass
+    model-then-score, both LMs built in ONE vocabulary aggregation,
+    scores via a broadcast join. Exact integer micro-unit sums."""
+    return text.importance_weights(t.documents)
+
+
+@query(
+    "length_buckets",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex({_NORM}, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, n_tokens,
+             CAST(length(bin(n_tokens)) AS BIGINT) AS bucket
+      FROM w
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+           CAST(COUNT(*) * (CAST(1 AS BIGINT) << bucket) AS BIGINT)
+             AS padded_tokens,
+           round(SUM(n_tokens)
+                 / (COUNT(*) * (CAST(1 AS BIGINT) << bucket)), 6)
+             AS pad_efficiency
+    FROM k GROUP BY bucket
+    """,
+)
+def q_length_buckets(t: TableSet) -> DataFrame:
+    """Power-of-two sequence-length buckets with padding-efficiency
+    accounting — the pre-batching histogram. Bucket index from
+    integer binary-representation length (never floor(log2), whose
+    libm ulp behavior differs across engines)."""
+    return packing.length_buckets(t.documents)
+
+
+@query(
+    "token_budget_allocation",
+    oracle=f"""
+    WITH w AS (
+      SELECT source,
+             len(string_split_regex({_NORM}, ' ')) AS nt
+      FROM documents
+    ),
+    per_src AS (
+      SELECT source, CAST(SUM(nt) AS BIGINT) AS n_tokens
+      FROM w GROUP BY source
+    ),
+    ann AS (
+      SELECT source, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY n_tokens, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS prefix_before,
+             COUNT(*) OVER () - ROW_NUMBER() OVER (ORDER BY n_tokens, source)
+               + 1 AS m_remaining,
+             CAST(floor(SUM(n_tokens) OVER () / 2.0) AS BIGINT) AS budget
+      FROM per_src
+    ),
+    -- water level = MAX over qualifying rows of
+    -- (budget - prefix_before) / m_remaining. A row qualifies when
+    -- filling all remaining sources to its own count meets the
+    -- budget; for rows past the binding one the candidate can only
+    -- shrink (each earlier full count >= the true level), so MAX
+    -- picks the binding row's level.
+    lev AS (
+      SELECT source, n_tokens,
+             MAX(CASE WHEN prefix_before + n_tokens * m_remaining >= budget
+                      THEN (budget - prefix_before)
+                           / CAST(m_remaining AS DOUBLE) END)
+               OVER () AS level
+      FROM ann
+    )
+    SELECT source, n_tokens,
+           CAST(CASE WHEN level IS NULL THEN n_tokens
+                     ELSE least(n_tokens, CAST(floor(level) AS BIGINT))
+                END AS BIGINT) AS alloc_tokens,
+           (CASE WHEN level IS NULL THEN n_tokens
+                 ELSE least(n_tokens, CAST(floor(level) AS BIGINT))
+            END) < n_tokens AS capped
+    FROM lev
+    """,
+)
+def q_token_budget_allocation(t: TableSet) -> DataFrame:
+    """Closed-form water-filling token-budget allocation across
+    sources (budget = half the corpus token mass): prefix-sum window
+    over the |sources|-row aggregate finds the level analytically —
+    no iteration, corpus touched by one aggregation shuffle."""
+    return packing.token_budget_allocation(t.documents)

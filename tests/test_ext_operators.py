@@ -1003,3 +1003,96 @@ def test_lateral_topn_decorrelates_to_window_group_limit(t):
     assert sorted(map(tuple, df.collect())) == sorted(
         map(tuple, expect.collect())
     )
+
+
+def test_keyword_search_and_semantics(spark):
+    """AND semantics across whole tokens (substring matches must not
+    count), with total occurrence counting."""
+    rows = [
+        (1, "spark window query runs a window", "en", "s0"),
+        (2, "spark query only", "en", "s0"),          # no 'window'
+        (3, "sparkly windows querying", "en", "s1"),  # substrings only
+        (4, "query window spark spark", "de", "s1"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    got = {r.doc_id: r.n_occurrences for r in text.keyword_search(docs).collect()}
+    assert got == {1: 4, 4: 4}
+
+
+def test_importance_weights_prefers_target_like_docs(spark):
+    """DSIR weights: a doc made of target-slice tokens must outscore
+    a doc made of non-target tokens, and every micro-sum must match
+    a pure-Python replay of the smoothed log-ratio arithmetic."""
+    import math
+    rows = [
+        (1, "alpha beta alpha", "en"),
+        (2, "gamma delta gamma", "de"),
+        (3, "alpha beta gamma", "de"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    got = {r.doc_id: r for r in text.importance_weights(docs).collect()}
+
+    toks = [(d, t) for d, txt, lg in rows for t in txt.split()]
+    tgt = [t for (d, t) in toks if d == 1]
+    tf_s, tf_t = {}, {}
+    for _, t in toks:
+        tf_s[t] = tf_s.get(t, 0) + 1
+    for t in tgt:
+        tf_t[t] = tf_t.get(t, 0) + 1
+    total_s, total_t, v = len(toks), len(tgt), len(tf_s)
+    def micro(t):
+        r = math.log2((tf_t.get(t, 0) + 1.0) / float(total_t + v)) \
+            - math.log2(tf_s[t] / float(total_s))
+        return int(round(r, 6) * 1_000_000)
+    for d, txt, _ in rows:
+        want = sum(micro(t) for t in txt.split())
+        assert got[d].logratio_sum_micro == want
+    assert got[1].logratio_sum_micro > got[2].logratio_sum_micro
+
+
+def test_length_buckets_hand_counts(spark):
+    """Bucket = binary length of token count; padding cost at the
+    2^bucket cap."""
+    rows = [
+        (1, " ".join(["x"] * 3)),   # 3 tokens  -> bucket 2 (len '11')
+        (2, " ".join(["x"] * 5)),   # 5 tokens  -> bucket 3
+        (3, " ".join(["x"] * 7)),   # 7 tokens  -> bucket 3
+        (4, " ".join(["x"] * 8)),   # 8 tokens  -> bucket 4
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.bucket: r for r in packing.length_buckets(docs).collect()}
+    assert set(got) == {2, 3, 4}
+    assert (got[3].n_docs, got[3].sum_tokens) == (2, 12)
+    assert (got[3].min_tokens, got[3].max_tokens) == (5, 7)
+    assert got[3].padded_tokens == 2 * 8
+    assert got[3].pad_efficiency == 0.75
+    assert got[4].padded_tokens == 16
+
+
+def test_token_budget_allocation_water_filling(spark):
+    """Closed-form water level against the hand-solved allocation:
+    counts (1, 5, 5), budget = floor(11/2) = 5 -> level = 2, small
+    source keeps everything, big sources capped at 2."""
+    rows = (
+        [(1, "w", "tiny")]
+        + [(10 + i, " ".join(["w"] * 5), f"big{i}") for i in range(2)]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {r.source: r for r in packing.token_budget_allocation(docs).collect()}
+    assert got["tiny"].alloc_tokens == 1 and not got["tiny"].capped
+    for s in ("big0", "big1"):
+        assert got[s].alloc_tokens == 2 and got[s].capped
+    # budget exactly respected up to the floor remainder
+    assert sum(r.alloc_tokens for r in got.values()) == 5
+
+
+def test_token_budget_allocation_budget_exceeds_corpus(spark):
+    """When every source fits under the level (degenerate: no row
+    qualifies only if budget > total — impossible with frac 1/2; so
+    force it by a corpus of one source where the binding row IS the
+    only row), allocation still caps at the budget."""
+    docs = spark.createDataFrame(
+        [(1, " ".join(["w"] * 9), "only")], ["doc_id", "text", "source"]
+    )
+    got = packing.token_budget_allocation(docs).collect()[0]
+    assert got.n_tokens == 9 and got.alloc_tokens == 4 and got.capped
