@@ -2656,3 +2656,35 @@ def q_lateral_topn_per_group(t: TableSet) -> DataFrame:
     decorrelates the per-nation LIMIT into a partitioned window
     rank — no per-outer-row re-execution."""
     return t.sql(_LATERAL_TOPN)
+
+
+# --- Quantified comparison subqueries (ALL / ANY / SOME) -------------------
+
+_QUANTIFIED = """
+SELECT n_nationkey, n_name,
+       n_nationkey > ALL (SELECT r_regionkey FROM region) AS above_all_regions,
+       n_regionkey <= ANY (SELECT r_regionkey FROM region
+                           WHERE r_name LIKE 'A%') AS at_most_some_a,
+       n_regionkey = ANY (SELECT r_regionkey FROM region
+                          WHERE r_name LIKE 'E%') AS in_europeish,
+       n_regionkey <> ALL (SELECT CASE WHEN r_regionkey > 2 THEN NULL
+                                       ELSE r_regionkey END
+                           FROM region) AS outside_nullable_set
+FROM nation
+"""
+
+
+@query("quantified_subquery", oracle=_QUANTIFIED)
+def q_quantified_subquery(t: TableSet) -> DataFrame:
+    """Quantified comparison subqueries (H2 grammars ALL/ANY/SOME;
+    Spark's parser does not): the engine's statement surface rewrites
+    them into ANSI-equivalent CASE-over-aggregate scalar subqueries
+    (sql_dml.rewrite_quantified — three-valued logic preserved,
+    verified by a 90-case truth table incl. empty / NULL-bearing /
+    all-NULL subqueries in tests/test_sql_dml.py). The oracle runs
+    the ORIGINAL statement on DuckDB's native quantifier support, so
+    this row cross-checks the rewrite's fidelity end-to-end. The
+    fourth column exercises the NULL-degradation path on real data."""
+    from .. import sql_dml
+
+    return t.sql(sql_dml.rewrite_quantified(_QUANTIFIED))

@@ -339,6 +339,12 @@ def execute(engine, statement: str):
 
     statement = statement.strip().rstrip(";").strip()
     shadow = _shadow(statement)
+    if _QUANT_RE.search(shadow):
+        # H2-grammar quantified comparisons (x > ALL (subq)) — Spark
+        # can't parse them; rewrite into ANSI-equivalent constructs
+        # it can (see rewrite_quantified)
+        statement = rewrite_quantified(statement)
+        shadow = _shadow(statement)
     recursive = re.search(r"\bWITH\s+RECURSIVE\b", shadow, re.I) is not None
     m = re.match(
         r"\s*(UPDATE|DELETE|MERGE|INSERT|CREATE|DROP|TRUNCATE|ALTER)\b",
@@ -535,3 +541,172 @@ def _logical(engine, name: str) -> str:
     from .errors import NotAResource
 
     raise NotAResource(name)
+
+
+# --- Quantified comparison subqueries (ALL / ANY / SOME) -------------------
+#
+# H2 1.4.200 grammars ANSI quantified comparisons (``x > ALL
+# (subquery)``); Spark 4.x's parser does not. The statement surface
+# closes the gap with a text-level rewrite into constructs Spark DOES
+# plan, preserving ANSI three-valued logic exactly:
+#
+#   =  ANY  -> lhs IN (S)            (ANSI-identical by definition)
+#   <> ALL  -> lhs NOT IN (S)        (ANSI-identical by definition)
+#   ordered op + ALL/ANY -> CASE over uncorrelated COUNT/MIN/MAX
+#       scalar subqueries (FALSE dominates NULL for ALL, TRUE
+#       dominates NULL for ANY; empty S -> TRUE for ALL / FALSE for
+#       ANY; any NULL in S or a NULL lhs degrades the residual
+#       verdict to NULL)
+#   =  ALL / <> ANY -> CASE over a correlated counting subquery
+#       (outer refs only in the WHERE predicate — the one correlated
+#       shape Spark supports here)
+#
+# The subquery is spliced verbatim into each aggregate probe, so it
+# is PLANNED (and, uncached, executed) up to three times — the
+# documented cost of grammar parity; S is user-sized in practice
+# (quantified predicates compare against small extracts). The lhs
+# operand accepted is what H2 statements actually contain: an
+# identifier chain (quoting allowed), a literal, a function call, or
+# any parenthesized expression — an unparenthesized arithmetic lhs
+# must be parenthesized by the caller (documented limit).
+
+_QUANT_RE = re.compile(
+    r"(=|<>|!=|<=|>=|<|>)\s*(ALL|ANY|SOME)\s*\(", re.I
+)
+
+_ORDERED_ALL = {">": ("<=", "MAX"), ">=": ("<", "MAX"),
+                "<": (">=", "MIN"), "<=": (">", "MIN")}
+_ORDERED_ANY = {">": (">", "MIN"), ">=": (">=", "MIN"),
+                "<": ("<", "MAX"), "<=": ("<=", "MAX")}
+
+
+def _lhs_span(sql: str, shadow: str, end: int) -> int:
+    """Start index of the comparison operand ending (exclusive) at
+    ``end``: identifier chain / literal / quoted ident / function
+    call / parenthesized expression."""
+    j = end
+    while j > 0 and sql[j - 1].isspace():
+        j -= 1
+    if j == 0:
+        raise ValueError("quantified comparison: missing left operand")
+    i = j
+    if sql[i - 1] == ")":  # (expr) or f(args): balance on the shadow
+        depth = 0
+        while i > 0:
+            i -= 1
+            if shadow[i] == ")":
+                depth += 1
+            elif shadow[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+        if depth != 0:
+            raise ValueError("quantified comparison: unbalanced left operand")
+        m = re.search(r"[A-Za-z_][\w$]*\s*\Z", sql[:i])
+        if m:  # function call: include the name
+            i = m.start()
+        return i
+    while i > 0:
+        c = sql[i - 1]
+        if c.isalnum() or c in "_$.":
+            i -= 1
+        elif c in "`\"":  # quoted identifier segment: jump to opener
+            k = i - 2
+            while k >= 0 and sql[k] != c:
+                k -= 1
+            if k < 0:
+                raise ValueError("quantified comparison: unbalanced quote")
+            i = k
+        else:
+            break
+    if i == end:
+        raise ValueError("quantified comparison: missing left operand")
+    return i
+
+
+def rewrite_quantified(sql: str) -> str:
+    """Rewrite every quantified comparison predicate in ``sql`` (see
+    module comment). Returns the statement unchanged when none are
+    present. Rewrites repeatedly (leftmost first) so multiple
+    predicates — including ones duplicated into spliced probes —
+    all resolve; the pass cap only guards pathological nesting."""
+    for _ in range(64):
+        shadow = _shadow(sql)
+        m = _QUANT_RE.search(shadow)
+        if m is None:
+            return sql
+        op = "<>" if m.group(1) == "!=" else m.group(1)
+        quant = m.group(2).upper()
+        quant = "ANY" if quant == "SOME" else quant
+        # subquery span: balance from the '(' the match ends on
+        open_p = m.end() - 1
+        depth, close_p = 0, None
+        for k in range(open_p, len(shadow)):
+            if shadow[k] == "(":
+                depth += 1
+            elif shadow[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    close_p = k
+                    break
+        if close_p is None:
+            raise ValueError("quantified comparison: unbalanced subquery")
+        # innermost-first: resolve quantified predicates INSIDE the
+        # subquery before it is spliced into several probes (outer-
+        # first would duplicate them per probe and inflate the pass
+        # budget exponentially with nesting depth)
+        sub = rewrite_quantified(sql[open_p + 1 : close_p])
+        lhs_start = _lhs_span(sql, shadow, m.start())
+        lhs = f"({sql[lhs_start:m.start()].strip()})"
+
+        # NOTE: = ANY / <> ALL are NOT rewritten to IN / NOT IN —
+        # Spark's IN-subquery is null-faithful only in filter
+        # position; in a projection it renders the ANSI NULL verdict
+        # as FALSE (found by the rewrite truth-table test). The
+        # counting CASE below is position-independent.
+        cnt = f"(SELECT COUNT(*) FROM ({sub}) AS __qs(__qc))"
+        nulls = (
+            f"(SELECT COUNT(*) - COUNT(__qc) FROM ({sub}) AS __qs(__qc))"
+        )
+        null_b = "CAST(NULL AS BOOLEAN)"
+        if op in _ORDERED_ALL and quant == "ALL":
+            fop, agg = _ORDERED_ALL[op]
+            probe = f"(SELECT {agg}(__qc) FROM ({sub}) AS __qs(__qc))"
+            repl = (
+                f"(CASE WHEN {cnt} = 0 THEN TRUE"
+                f" WHEN {lhs} {fop} {probe} THEN FALSE"
+                f" WHEN {nulls} > 0 OR {lhs} IS NULL THEN {null_b}"
+                f" ELSE TRUE END)"
+            )
+        elif op in _ORDERED_ANY and quant == "ANY":
+            top, agg = _ORDERED_ANY[op]
+            probe = f"(SELECT {agg}(__qc) FROM ({sub}) AS __qs(__qc))"
+            repl = (
+                f"(CASE WHEN {cnt} = 0 THEN FALSE"
+                f" WHEN {lhs} {top} {probe} THEN TRUE"
+                f" WHEN {nulls} > 0 OR {lhs} IS NULL THEN {null_b}"
+                f" ELSE FALSE END)"
+            )
+        elif op in ("=", "<>"):
+            # counting probes: rows provably satisfying (eq) /
+            # violating (neq) the comparison; NULL rows of S and
+            # a NULL lhs match neither and land in the residual
+            hitop = "=" if (op == "=") == (quant == "ANY") else "<>"
+            hits = (
+                f"(SELECT COUNT(*) FROM ({sub}) AS __qs(__qc)"
+                f" WHERE __qc {hitop} {lhs})"
+            )
+            # ANY: a hit proves TRUE, residual default FALSE;
+            # ALL: a hit (violation) proves FALSE, default TRUE
+            proven = "TRUE" if quant == "ANY" else "FALSE"
+            default = "FALSE" if quant == "ANY" else "TRUE"
+            repl = (
+                f"(CASE WHEN {cnt} = 0 THEN {default}"
+                f" WHEN {hits} > 0 THEN {proven}"
+                f" WHEN {nulls} > 0 OR {lhs} IS NULL THEN {null_b}"
+                f" ELSE {default} END)"
+            )
+        else:  # pragma: no cover — regex admits only the above
+            raise ValueError(f"quantified comparison: {op} {quant}")
+        sql = sql[:lhs_start] + repl + sql[close_p + 1 :]
+    raise ValueError("quantified comparison: rewrite did not converge")

@@ -337,3 +337,90 @@ def test_recursion_translation_handles_single_line_message():
                 "[RECURSION_LEVEL_LIMIT_EXCEEDED] single-line wrapper form"
             )
     assert "single-line wrapper form" in str(exc.value)
+
+
+# --- Quantified comparison rewrite (ALL / ANY / SOME) ----------------------
+
+
+def test_quantified_rewrite_truth_table_vs_duckdb(spark):
+    """ANSI three-valued fidelity of rewrite_quantified across every
+    (op, quantifier) pair and the semantic edge sets — empty
+    subquery, NULL-bearing, all-NULL, duplicate-equal — compared
+    against DuckDB's NATIVE quantifier implementation (90 cases)."""
+    import duckdb
+
+    from quasar_destination_h2_spark.sql_dml import rewrite_quantified
+
+    con = duckdb.connect()
+    sets = {
+        "empty": "SELECT * FROM (VALUES (1)) t(c) WHERE c < 0",
+        "plain": "VALUES (2), (4)",
+        "withnull": "VALUES (2), (4), (NULL)",
+        "allnull": "VALUES (CAST(NULL AS INT))",
+        "eq": "VALUES (3), (3)",
+    }
+    mismatches = []
+    for sname, s in sets.items():
+        for op in ("=", "<>", "<", "<=", ">", ">="):
+            for q in ("ALL", "ANY", "SOME"):
+                sql = (
+                    f"SELECT x, x {op} {q} ({s}) AS v "
+                    f"FROM (VALUES (1),(3),(5),(CAST(NULL AS INT))) lhs(x)"
+                )
+                want = dict(con.sql(sql).fetchall())
+                got = {
+                    r.x: r.v for r in spark.sql(rewrite_quantified(sql)).collect()
+                }
+                if want != got:
+                    mismatches.append((sname, op, q, want, got))
+    assert not mismatches, mismatches
+
+
+def test_quantified_rewrite_operand_forms(spark):
+    """lhs forms the backward scan must handle: function call, quoted
+    identifier with a space, and a quantified predicate NESTED inside
+    another's subquery (innermost-first rewriting)."""
+    from quasar_destination_h2_spark.sql_dml import rewrite_quantified
+
+    cases = [
+        (
+            "SELECT abs(x) AS a FROM (VALUES (-9),(3)) t(x) "
+            "WHERE abs(x) >= ANY (VALUES (4), (8))",
+            [(9,)],
+        ),
+        (
+            "SELECT `x v` FROM (VALUES (1),(7)) t(`x v`) "
+            "WHERE `x v` <> ALL (VALUES (1))",
+            [(7,)],
+        ),
+        (
+            "SELECT x FROM (VALUES (1),(3)) t(x) WHERE x = ANY "
+            "(SELECT c FROM (VALUES (1),(9)) s(c) WHERE c < ALL (VALUES (5)))",
+            [(1,)],
+        ),
+    ]
+    for sql, want in cases:
+        got = sorted(map(tuple, spark.sql(rewrite_quantified(sql)).collect()))
+        assert got == want, (sql, got)
+
+
+def test_quantified_through_execute_sql(engine):
+    """The statement front door applies the rewrite transparently:
+    an H2-dialect SELECT with > ALL runs against a sink-loaded table
+    with no caller-side changes."""
+    name = _load(engine)
+    physical = engine.sink.catalog[name]
+    df = engine.execute_sql(
+        f"SELECT k FROM {physical} "
+        f"WHERE k > ALL (SELECT k FROM {physical} WHERE k < 3)"
+    )
+    assert sorted(float(r.k) for r in df.collect()) == [3.0]
+
+
+def test_quantified_string_literal_not_rewritten(engine):
+    """A string literal containing 'ANY (' must never trigger the
+    rewriter (keyword scan runs on the blanked shadow)."""
+    from quasar_destination_h2_spark.sql_dml import rewrite_quantified
+
+    sql = "SELECT 'x > ALL (SELECT 1)' AS s"
+    assert rewrite_quantified(sql) == sql
