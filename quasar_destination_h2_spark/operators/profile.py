@@ -1,0 +1,58 @@
+"""[EXT] Data-profiling operators — the "what is in this table"
+utilities every warehouse front-end runs before anything else.
+
+Spark-first: a profile is ONE aggregation over the table producing
+every column's statistics in a single pass (n_nulls, exact distinct
+count, numeric min/max), then a per-row ``stack`` transpose into the
+long (column_name, stats...) form. Never one job per column — at
+100 TB a 16-column table profiled column-by-column is 16 corpus
+scans; this is always exactly one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import NumericType
+
+
+def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Single-pass column profile in long form.
+
+    Output: one row per profiled column —
+    (column_name, n_rows, n_nulls, n_distinct, min_value, max_value)
+    with min/max as DOUBLE for numeric columns and NULL otherwise
+    (engine-portable: stringified min/max would hang cross-engine
+    comparison on float rendering).
+
+    The multiple COUNT(DISTINCT col) aggregates share one shuffle
+    (Spark plans them through a single Expand), so the table is
+    scanned once regardless of column count — pinned by
+    ``tests/test_ext_operators.py::test_table_profile``. n_distinct
+    counts non-null values (COUNT DISTINCT semantics in both
+    engines)."""
+    cols = columns if columns is not None else list(df.columns)
+    numeric = {
+        f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
+    }
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"__dist_{c}"))
+        if c in numeric:
+            aggs.append(F.min(F.col(c)).cast("double").alias(f"__min_{c}"))
+            aggs.append(F.max(F.col(c)).cast("double").alias(f"__max_{c}"))
+    wide = df.agg(*aggs)
+    rows = []
+    for c in cols:
+        mn = f"`__min_{c}`" if c in numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"`__max_{c}`" if c in numeric else "CAST(NULL AS DOUBLE)"
+        rows.append(
+            f"'{c}', `__n`, `__nulls_{c}`, `__dist_{c}`, {mn}, {mx}"
+        )
+    stack = ", ".join(rows)
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
+    )

@@ -553,3 +553,63 @@ def embedding_feature_stats(
         ).alias("dot_self"),
         F.array_max("q").cast("bigint").alias("max_milli"),
     )
+
+
+#: Dimensions kept by the truncation-fidelity probe (Matryoshka-style
+#: prefix truncation: keep the first K of EMBED_DIM dimensions).
+MATRYOSHKA_DIMS = 16
+
+
+def matryoshka_fidelity(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = MATRYOSHKA_DIMS,
+) -> DataFrame:
+    """Prefix-truncation fidelity per vector: how much of the
+    embedding's energy the first ``k`` dimensions retain, and the
+    cosine between the full vector and its truncated-then-zero-padded
+    form (which collapses to ``sqrt(retained)`` analytically — the
+    identity the test pins). The decision input for Matryoshka-style
+    storage tiering: serve short prefixes where fidelity is high,
+    full vectors elsewhere.
+
+    Per-row, zero shuffle, no Python. Determinism: elements are
+    quantized to integer milli-units first (exact BIGINT dot
+    products), so the one sqrt/division runs on identical integer
+    operands in every engine.
+
+    Output: (vec_id, label, dot_full, dot_prefix, retained_energy,
+    cos_truncated)."""
+    q = F.expr(
+        f"transform({vec_col}, v -> cast(floor(cast(v as double) * 1000) as bigint))"
+    )
+    add = lambda a, v: a + v  # noqa: E731
+    base = emb.select(id_col, "label", q.alias("q"))
+    dot_full = F.aggregate(
+        F.zip_with("q", "q", lambda a, b: a * b), F.lit(0).cast("long"), add
+    )
+    prefix = F.slice("q", 1, k)
+    dot_prefix = F.aggregate(
+        F.zip_with(prefix, prefix, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        add,
+    )
+    out = base.select(
+        id_col,
+        "label",
+        dot_full.alias("dot_full"),
+        dot_prefix.alias("dot_prefix"),
+    )
+    return out.select(
+        id_col,
+        "label",
+        "dot_full",
+        "dot_prefix",
+        F.round(F.col("dot_prefix") / F.col("dot_full"), 6).alias(
+            "retained_energy"
+        ),
+        F.round(
+            F.sqrt(F.col("dot_prefix")) / F.sqrt(F.col("dot_full")), 6
+        ).alias("cos_truncated"),
+    )

@@ -25,6 +25,7 @@ from ..operators import (
     multimodal,
     packing,
     pandas_udfs,
+    profile,
     rollup,
     similarity,
     text,
@@ -2229,3 +2230,76 @@ def q_token_budget_allocation(t: TableSet) -> DataFrame:
     over the |sources|-row aggregate finds the level analytically —
     no iteration, corpus touched by one aggregation shuffle."""
     return packing.token_budget_allocation(t.documents)
+
+
+_PROFILE_COLS = (
+    ("l_orderkey", True), ("l_quantity", True), ("l_extendedprice", True),
+    ("l_discount", True), ("l_returnflag", False), ("l_linestatus", False),
+)
+
+
+def _profile_oracle() -> str:
+    aggs, arms = ["COUNT(*) AS n"], []
+    for i, (c, num) in enumerate(_PROFILE_COLS):
+        aggs.append(f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nu{i}")
+        aggs.append(f"COUNT(DISTINCT {c}) AS d{i}")
+        if num:
+            aggs.append(f"CAST(MIN({c}) AS DOUBLE) AS mn{i}")
+            aggs.append(f"CAST(MAX({c}) AS DOUBLE) AS mx{i}")
+        mn = f"mn{i}" if num else "CAST(NULL AS DOUBLE)"
+        mx = f"mx{i}" if num else "CAST(NULL AS DOUBLE)"
+        arms.append(
+            f"SELECT '{c}' AS column_name, CAST(n AS BIGINT) AS n_rows,"
+            f" CAST(nu{i} AS BIGINT) AS n_nulls,"
+            f" CAST(d{i} AS BIGINT) AS n_distinct,"
+            f" {mn} AS min_value, {mx} AS max_value FROM a"
+        )
+    return (
+        "WITH a AS (SELECT " + ", ".join(aggs) + " FROM lineitem)\n"
+        + "\nUNION ALL ".join(arms)
+    )
+
+
+@query("table_profile", oracle=_profile_oracle())
+def q_table_profile(t: TableSet) -> DataFrame:
+    """Single-pass column profiler in long form (nulls, exact
+    distinct counts, numeric min/max) — ONE aggregation scan
+    regardless of column count (multiple COUNT DISTINCTs share a
+    single Expand), then a stack transpose. The first query every
+    warehouse UI runs; at 100 TB the one-scan property is the whole
+    point."""
+    return profile.table_profile(
+        t.lineitem, [c for c, _ in _PROFILE_COLS]
+    )
+
+
+@query(
+    "embed_matryoshka_fidelity",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id, label,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS q
+      FROM embeddings
+    ),
+    d AS (
+      SELECT vec_id, label,
+             CAST(list_sum(list_transform(q, v -> v * v)) AS BIGINT)
+               AS dot_full,
+             CAST(list_sum(list_transform(
+               q[1:{similarity.MATRYOSHKA_DIMS}], v -> v * v)) AS BIGINT)
+               AS dot_prefix
+      FROM q
+    )
+    SELECT vec_id, label, dot_full, dot_prefix,
+           round(dot_prefix / CAST(dot_full AS DOUBLE), 6)
+             AS retained_energy,
+           round(sqrt(dot_prefix) / sqrt(dot_full), 6) AS cos_truncated
+    FROM d
+    """,
+)
+def q_embed_matryoshka_fidelity(t: TableSet) -> DataFrame:
+    """Matryoshka prefix-truncation fidelity per vector (retained
+    energy + full-vs-truncated cosine) — per-row integer milli-unit
+    dot products, zero shuffle; the storage-tiering decision input."""
+    return similarity.matryoshka_fidelity(t.embeddings)

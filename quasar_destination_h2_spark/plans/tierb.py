@@ -2688,3 +2688,56 @@ def q_quantified_subquery(t: TableSet) -> DataFrame:
     from .. import sql_dml
 
     return t.sql(sql_dml.rewrite_quantified(_QUANTIFIED))
+
+
+# --- TRY_CAST / error-safe casts -------------------------------------------
+
+_TRY_CAST = """
+SELECT p_partkey,
+       try_cast(CASE WHEN p_partkey % 3 = 0 THEN CAST(p_retailprice AS STRING)
+                     WHEN p_partkey % 3 = 1 THEN p_name
+                     ELSE '' END AS DOUBLE) AS num_val,
+       CAST(try_cast(CASE WHEN p_partkey % 2 = 0
+                          THEN '1996-' || lpad(CAST(p_partkey % 12 + 1
+                                                    AS STRING), 2, '0')
+                               || '-15'
+                          ELSE p_brand END AS DATE) AS STRING) AS date_val
+FROM part
+"""
+
+
+@query("try_cast_safety", oracle=_TRY_CAST)
+def q_try_cast_safety(t: TableSet) -> DataFrame:
+    """Error-safe casts (H2 delegates bad casts to errors; the ANSI
+    escape hatch both Spark and DuckDB share is try_cast -> NULL):
+    numeric strings, free text, empty strings, valid and garbage
+    dates — identical statement text on both engines, NULL exactly
+    where the cast cannot succeed."""
+    return t.sql(_TRY_CAST)
+
+
+# --- Null-safe comparison (IS [NOT] DISTINCT FROM) -------------------------
+
+_NULL_SAFE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN NULLIF(o_orderkey % 4, 0)
+                          IS DISTINCT FROM NULLIF(o_orderkey % 2, 0)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct_pairs,
+       CAST(SUM(CASE WHEN NULLIF(o_orderkey % 4, 0)
+                          IS NOT DISTINCT FROM NULLIF(o_orderkey % 2, 0)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_same_pairs
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("null_safe_compare", oracle=_NULL_SAFE)
+def q_null_safe_compare(t: TableSet) -> DataFrame:
+    """Null-safe comparison semantics: IS [NOT] DISTINCT FROM over
+    NULLIF-derived nullable operands hitting all four quadrants
+    (NULL/NULL, NULL/value, equal values, differing values, keyed by
+    o_orderkey mod 4). Same statement text on both engines;
+    counts prove NULL-vs-NULL compares 'not distinct' and NULL-vs-
+    value 'distinct', which plain = can never assert."""
+    return t.sql(_NULL_SAFE)

@@ -1096,3 +1096,55 @@ def test_token_budget_allocation_budget_exceeds_corpus(spark):
     )
     got = packing.token_budget_allocation(docs).collect()[0]
     assert got.n_tokens == 9 and got.alloc_tokens == 4 and got.capped
+
+
+def test_table_profile_single_scan_and_values(spark, t):
+    """The profiler must read the table EXACTLY once however many
+    columns it profiles, and its stats must match hand queries."""
+    from quasar_destination_h2_spark.operators import profile
+
+    df = profile.table_profile(
+        t.lineitem, ["l_orderkey", "l_quantity", "l_returnflag"]
+    )
+    assert physical_plan(df).count("FileScan parquet") == 1
+    got = {r.column_name: r for r in df.collect()}
+    li = t.lineitem
+    n = li.count()
+    assert got["l_orderkey"].n_rows == n
+    assert got["l_orderkey"].n_nulls == 0
+    assert got["l_orderkey"].n_distinct == li.select("l_orderkey").distinct().count()
+    import pyspark.sql.functions as SF
+    mm = li.agg(SF.min("l_quantity"), SF.max("l_quantity")).collect()[0]
+    assert got["l_quantity"].min_value == float(mm[0])
+    assert got["l_quantity"].max_value == float(mm[1])
+    # string column: counted but no numeric range
+    assert got["l_returnflag"].min_value is None
+    assert got["l_returnflag"].n_distinct == 3
+
+
+def test_table_profile_counts_nulls(spark):
+    from quasar_destination_h2_spark.operators import profile
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "x"), (None, "x")], ["a", "b"]
+    )
+    got = {r.column_name: r for r in profile.table_profile(df).collect()}
+    assert (got["a"].n_nulls, got["a"].n_distinct) == (1, 2)
+    assert (got["b"].n_nulls, got["b"].n_distinct) == (1, 1)
+
+
+def test_matryoshka_fidelity_identities(t):
+    """cos_truncated must equal sqrt(retained_energy) analytically,
+    prefix energy can never exceed full energy, and a full-width
+    prefix is exact fidelity 1."""
+    from quasar_destination_h2_spark.operators import similarity as sim
+
+    rows = sim.matryoshka_fidelity(t.embeddings).collect()
+    assert rows
+    import math
+    for r in rows:
+        assert 0 <= r.dot_prefix <= r.dot_full
+        assert abs(r.cos_truncated - round(
+            math.sqrt(r.dot_prefix / r.dot_full), 6)) <= 1e-6
+    full = sim.matryoshka_fidelity(t.embeddings, k=64).collect()
+    assert all(r.retained_energy == 1.0 and r.cos_truncated == 1.0 for r in full)
