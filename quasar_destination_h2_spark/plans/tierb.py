@@ -2741,3 +2741,104 @@ def q_null_safe_compare(t: TableSet) -> DataFrame:
     counts prove NULL-vs-NULL compares 'not distinct' and NULL-vs-
     value 'distinct', which plain = can never assert."""
     return t.sql(_NULL_SAFE)
+
+
+# --- Hopping (sliding) window aggregation ----------------------------------
+
+
+@query(
+    "events_hopping",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 1800) * 1800
+                  AS BIGINT) AS b,
+             event_type
+      FROM events
+    ),
+    w AS (
+      SELECT unnest([b, b - 1800]) AS window_start_epoch, event_type FROM e
+    )
+    SELECT window_start_epoch, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM w GROUP BY window_start_epoch, event_type
+    """,
+)
+def q_events_hopping(t: TableSet) -> DataFrame:
+    """Hopping-window aggregation (1-hour windows sliding every 30
+    minutes — each event lands in exactly two windows), the batch
+    twin of the streaming sliding window. Spark's native window()
+    generator does the two-way assignment JVM-side before ONE
+    aggregation shuffle; the oracle replays the epoch-aligned window
+    arithmetic with an unnest. Window starts compared as epoch
+    seconds (BIGINT) so no engine timestamp-rendering drift."""
+    return (
+        t.events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), F.col("event_type")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start_epoch"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+# --- IGNORE NULLS window functions (LOCF gap-fill) -------------------------
+
+_IGNORE_NULLS_SPARK = """
+SELECT o_orderkey, o_orderpriority, gauge,
+       last_value(gauge) IGNORE NULLS OVER
+         (PARTITION BY o_orderpriority ORDER BY o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+       lag(gauge) IGNORE NULLS OVER
+         (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS prev_gauge
+FROM (SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice END AS gauge
+      FROM orders)
+"""
+
+_IGNORE_NULLS_DUCK = """
+SELECT o_orderkey, o_orderpriority, gauge,
+       last_value(gauge IGNORE NULLS) OVER
+         (PARTITION BY o_orderpriority ORDER BY o_orderkey
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+       lag(gauge IGNORE NULLS) OVER
+         (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS prev_gauge
+FROM (SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice END AS gauge
+      FROM orders)
+"""
+
+
+@query("window_ignore_nulls", oracle=_IGNORE_NULLS_DUCK)
+def q_window_ignore_nulls(t: TableSet) -> DataFrame:
+    """IGNORE NULLS window functions — last-observation-carried-
+    forward over a sparse gauge (every 7th order carries a value) and
+    the previous-seen-value lag: the time-series gap-fill surface.
+    Identical semantics both engines; the IGNORE NULLS token sits
+    outside the call in Spark's grammar and inside DuckDB's, so the
+    texts differ only in that placement."""
+    return t.sql(_IGNORE_NULLS_SPARK)
+
+
+# --- Gaps and islands ------------------------------------------------------
+
+_GAPS_ISLANDS = """
+WITH s AS (SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 150000),
+g AS (SELECT k, k - ROW_NUMBER() OVER (ORDER BY k) AS grp FROM s)
+SELECT CAST(MIN(k) AS BIGINT) AS island_start,
+       CAST(MAX(k) AS BIGINT) AS island_end,
+       CAST(COUNT(*) AS BIGINT) AS island_len
+FROM g GROUP BY grp
+"""
+
+
+@query("gaps_islands", oracle=_GAPS_ISLANDS)
+def q_gaps_islands(t: TableSet) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive order keys
+    inside a filtered subset (k - ROW_NUMBER() is constant within a
+    run). The single-partition window runs over the FILTERED subset,
+    not the corpus — the pattern's standard scale posture; at 100 TB
+    you'd pre-bucket by a coarse key range and islands never span
+    buckets wider than the data's gap structure."""
+    return t.sql(_GAPS_ISLANDS)
