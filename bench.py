@@ -57,6 +57,12 @@ HEADLINE = (
     "range_join_sessions",
     # [EXT] flagship composition: dedup -> quality gate -> stable split
     "pipeline_curate",
+    # r6 additions: two-pass LM scoring with broadcast vocabulary
+    # (the DSIR data-selection shape) and the one-scan multi-distinct
+    # profile aggregation (Expand-based) — plan families not yet in
+    # the headline set
+    "importance_weights",
+    "table_profile",
 )
 
 

@@ -745,3 +745,51 @@ def edit_verified_pairs(
             (sim >= edit_sim_threshold).alias("verified"),
         )
     )
+
+
+# --- Split-leakage governance ----------------------------------------------
+
+
+def split_leakage_check(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Train/eval split-leakage audit: for every near-duplicate
+    cluster (≥ 2 members), which dataset splits its members landed
+    in. A cluster spanning train AND val/test is eval contamination
+    that document-level dedup reports but split assignment silently
+    ships — the audit a curation pipeline runs before publishing a
+    dataset card.
+
+    Scale shape: the cluster labels come from the dup-subgraph
+    fixpoint (:func:`_dup_subgraph_labels` — subgraph-sized); the
+    split column is the same zero-shuffle hash expression
+    ``dataset_split`` uses, evaluated only on subgraph members via a
+    pruned (doc_id) scan joined to the tiny label frame. One
+    aggregation over cluster_id finishes it.
+
+    Output: (cluster_id, n_docs, n_splits, splits, leaky)."""
+    from .text import split_expr
+
+    sub = _dup_subgraph_labels(docs, text_col, k, threshold, max_iter)
+    member = docs.select("doc_id", split_expr().alias("split")).join(sub, "doc_id")
+    return (
+        member.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("split").cast("bigint").alias("n_splits"),
+            F.concat_ws(",", F.array_sort(F.collect_set("split"))).alias(
+                "splits"
+            ),
+        )
+        .select(
+            "cluster_id",
+            "n_docs",
+            "n_splits",
+            "splits",
+            (F.col("n_splits") > 1).alias("leaky"),
+        )
+    )

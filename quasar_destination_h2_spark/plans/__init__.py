@@ -27,10 +27,20 @@ from . import ext  # noqa: E402,F401
 # Everything outside the window stays oracle-checked locally via
 # tools/oracle_check.py at sf0.01 and sf0.1 (see COVERAGE.md).
 #
-# ROUND-7 ROTATION NOTE: the round-6 additions text_pii_redact,
-# docs_domain_stats, and embed_label_centroid (registered after this
-# window was fixed; tri-scale oracle-green locally) are the only
-# queries without a driver witness — lead the next window with them.
+# ROUND-7 ROTATION NOTE: the round-6 additions (registered after
+# this window was fixed; all tri-scale oracle-green locally) are the
+# only queries without a driver witness — lead the next window with
+# them: text_pii_redact, docs_domain_stats, embed_label_centroid,
+# dedup_passage_exact, dedup_edit_verify, array_hof_stats,
+# lateral_topn_per_group, keyword_search, importance_weights,
+# length_buckets, token_budget_allocation, quantified_subquery,
+# table_profile, embed_matryoshka_fidelity, try_cast_safety,
+# null_safe_compare, events_hopping, window_ignore_nulls,
+# gaps_islands, split_leakage_check (20 queries; fill the remaining 31 slots with
+# cross-era anchors, prioritizing the fixpoint family —
+# dedup_clusters / dedup_keep_best / source_overlap_matrix — whose
+# round-1 fold round 6 touched, and dedup_minhash_lsh whose oracle
+# was refactored into shared CTEs).
 _DRIVER_WINDOW = [
     # Never driver-witnessed -- evidence completion
     "dedup_keep_best",

@@ -2303,3 +2303,45 @@ def q_embed_matryoshka_fidelity(t: TableSet) -> DataFrame:
     energy + full-vs-truncated cosine) — per-row integer milli-unit
     dot products, zero shuffle; the storage-tiering decision input."""
     return similarity.matryoshka_fidelity(t.embeddings)
+
+
+@query(
+    "split_leakage_check",
+    oracle=f"""
+    WITH RECURSIVE {_PAIR_CTES},
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM prs
+              UNION ALL SELECT doc_b, doc_a FROM prs),
+    reach(node, root) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, r.root FROM reach r JOIN edges e ON e.s = r.node
+    ),
+    clus AS (SELECT node AS doc_id, MIN(root) AS cluster_id
+             FROM reach GROUP BY node),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN {_BUCKET_SQL} < 10 THEN 'test'
+                  WHEN {_BUCKET_SQL} < 20 THEN 'val'
+                  ELSE 'train' END AS split
+      FROM documents
+    ),
+    per AS (
+      SELECT c.cluster_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT s.split) AS BIGINT) AS n_splits,
+             array_to_string(list_sort(list(DISTINCT s.split)), ',')
+               AS splits
+      FROM clus c JOIN sp s USING (doc_id)
+      GROUP BY c.cluster_id
+    )
+    SELECT cluster_id, n_docs, n_splits, splits, n_splits > 1 AS leaky
+    FROM per WHERE n_docs >= 2
+    """,
+)
+def q_split_leakage_check(t: TableSet) -> DataFrame:
+    """Split-leakage audit: near-dup clusters whose members span
+    multiple hash-assigned dataset splits (eval contamination the
+    dataset card must report). Composes the dup-subgraph fixpoint
+    with the zero-shuffle split expression; oracle replays the
+    recursive-CTE closure + the split CASE."""
+    return dedup.split_leakage_check(t.documents)

@@ -1148,3 +1148,31 @@ def test_matryoshka_fidelity_identities(t):
             math.sqrt(r.dot_prefix / r.dot_full), 6)) <= 1e-6
     full = sim.matryoshka_fidelity(t.embeddings, k=64).collect()
     assert all(r.retained_energy == 1.0 and r.cos_truncated == 1.0 for r in full)
+
+
+def test_split_leakage_matches_cluster_split_composition(t):
+    """split_leakage_check must agree exactly with composing its two
+    constituent operators (dedup_clusters x dataset_split) in
+    DataFrame land — multi-doc clusters only, leaky == spans>1."""
+    from pyspark.sql import functions as SF
+
+    got = {r.cluster_id: r for r in dedup.split_leakage_check(t.documents).collect()}
+    clus = dedup.dedup_clusters(t.documents)
+    splits = text.dataset_split(t.documents)
+    want_rows = (
+        clus.join(splits, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            SF.count(SF.lit(1)).alias("n_docs"),
+            SF.count_distinct("split").alias("n_splits"),
+        )
+        .where(SF.col("n_docs") >= 2)
+        .collect()
+    )
+    want = {r.cluster_id: r for r in want_rows}
+    assert set(got) == set(want)
+    for cid, w in want.items():
+        g = got[cid]
+        assert (g.n_docs, g.n_splits) == (w.n_docs, w.n_splits)
+        assert g.leaky == (w.n_splits > 1)
+        assert g.n_splits == len(g.splits.split(","))

@@ -58,6 +58,19 @@ AUDITED = (
     "tpch_q12_priority_lateness",
     "tpch_q20_dominant_supplier",
     "recursive_cte_sql",
+    # round 6: the new plan families worth a reviewed record — the
+    # decorrelated LATERAL limit (WindowGroupLimit), the passage
+    # group-then-mark single scan, the LSH+levenshtein verify, the
+    # two-pass DSIR scoring, the one-scan Expand profile, the
+    # closed-form water-filling windows, and the sliding window
+    # generator
+    "lateral_topn_per_group",
+    "dedup_passage_exact",
+    "dedup_edit_verify",
+    "importance_weights",
+    "table_profile",
+    "token_budget_allocation",
+    "events_hopping",
 )
 
 MARKERS = (
