@@ -580,15 +580,22 @@ _ORDERED_ANY = {">": (">", "MIN"), ">=": (">=", "MIN"),
                 "<": ("<", "MAX"), "<=": ("<=", "MAX")}
 
 
-def _lhs_span(sql: str, shadow: str, end: int) -> int:
-    """Start index of the comparison operand ending (exclusive) at
-    ``end``: identifier chain / literal / quoted ident / function
-    call / parenthesized expression."""
-    j = end
-    while j > 0 and sql[j - 1].isspace():
-        j -= 1
-    if j == 0:
-        raise ValueError("quantified comparison: missing left operand")
+#: Tokens that terminate the leftward operand scan — an identifier
+#: equal to one of these is the clause context, never an operand.
+_LHS_STOP_WORDS = frozenset({
+    "select", "from", "where", "and", "or", "not", "on", "when",
+    "then", "else", "case", "end", "by", "having", "in", "like",
+    "between", "as", "join", "union", "all", "distinct", "exists",
+})
+
+#: Binary arithmetic/concat operators that BIND TIGHTER than a
+#: comparison — the quantified predicate's left operand extends
+#: through them (``a % 100 > ALL (s)`` compares a % 100, not 100).
+_LHS_ARITH = ("||", "+", "-", "*", "/", "%")
+
+
+def _one_operand(sql: str, shadow: str, j: int) -> int:
+    """Start index of the single operand ending (exclusive) at j."""
     i = j
     if sql[i - 1] == ")":  # (expr) or f(args): balance on the shadow
         depth = 0
@@ -619,8 +626,52 @@ def _lhs_span(sql: str, shadow: str, end: int) -> int:
             i = k
         else:
             break
-    if i == end:
+    if i == j:
         raise ValueError("quantified comparison: missing left operand")
+    return i
+
+
+def _lhs_span(sql: str, shadow: str, end: int) -> int:
+    """Start index of the comparison's left operand ending
+    (exclusive) at ``end``: an operand (identifier chain / literal /
+    quoted ident / function call / parenthesized expression),
+    extended leftward through binary arithmetic/concat operators —
+    which bind tighter than the comparison — so ``a % 100 > ALL (s)``
+    rewrites a % 100, not 100. The extension stops (reverting the
+    operator) when the next token leftward is a clause keyword, so a
+    leading sign after WHERE/AND never swallows the keyword."""
+    j = end
+    while j > 0 and sql[j - 1].isspace():
+        j -= 1
+    if j == 0:
+        raise ValueError("quantified comparison: missing left operand")
+    i = _one_operand(sql, shadow, j)
+    while True:
+        k = i
+        while k > 0 and sql[k - 1].isspace():
+            k -= 1
+        op = next(
+            (o for o in _LHS_ARITH if shadow[: k].endswith(o)), None
+        )
+        if op is None:
+            break
+        k2 = k - len(op)
+        while k2 > 0 and sql[k2 - 1].isspace():
+            k2 -= 1
+        if k2 == 0:
+            break
+        try:
+            prev = _one_operand(sql, shadow, k2)
+        except ValueError:
+            prev = None  # nothing operand-like to the left
+        if prev is None or sql[prev:k2].strip().lower() in _LHS_STOP_WORDS:
+            # the token left of the sign is clause context (WHERE,
+            # AND, a comma, a paren): a +/- here is UNARY and belongs
+            # to the operand; any other operator reverts
+            if op in ("+", "-"):
+                i = k - len(op)
+            break
+        i = prev
     return i
 
 

@@ -205,9 +205,12 @@ def test_random_join_queries_agree_between_spark_and_duckdb(engines):
     assert not mismatches, mismatches[:3]
 
 
-def _run_cases(engines, strategy, n, extra=()):
+def _run_cases(engines, strategy, n, extra=(), spark_transform=None):
     """Draw n queries from the strategy, run each VERBATIM on both
-    engines, and report every row-level disagreement."""
+    engines, and report every row-level disagreement. A branch whose
+    grammar Spark cannot parse natively (quantified comparisons)
+    passes ``spark_transform`` — the engine-side rewrite under test —
+    while DuckDB still receives the ORIGINAL text."""
     spark, con = engines
     cases: list[str] = []
 
@@ -222,7 +225,8 @@ def _run_cases(engines, strategy, n, extra=()):
     cases.extend(extra)
     mismatches = []
     for q in cases:
-        got = _norm([tuple(r) for r in spark.sql(q).collect()])
+        sq = spark_transform(q) if spark_transform else q
+        got = _norm([tuple(r) for r in spark.sql(sq).collect()])
         want = _norm(con.execute(q).fetchall())
         if got != want:
             mismatches.append((q, got[:3], want[:3]))
@@ -504,5 +508,68 @@ def test_random_case_agg_queries_agree_between_spark_and_duckdb(engines):
             # all-NULL CASE branch: SUM over empty -> NULL both sides
             "SELECT COUNT(*) AS n, SUM(CASE WHEN l_orderkey < 0 THEN 1 END)"
             " AS s FROM lineitem",
+        ],
+    )
+
+
+# --- round-6 grammar branch: quantified comparisons (ALL/ANY/SOME) ---------
+
+
+def _quantified_queries() -> st.SearchStrategy[str]:
+    """Quantified comparison predicates in WHERE and projection
+    position, over integer subqueries that randomly include NULLs
+    (CASE-injected) and may be empty — the three-valued edge space.
+    DuckDB executes the quantifier NATIVELY; the Spark side goes
+    through sql_dml.rewrite_quantified (the statement-surface path),
+    so every example differentially verifies the rewrite itself."""
+
+    def build(op, quant, sub_col, mod, pred, where_pos):
+        inner = (
+            f"CASE WHEN {sub_col} % {mod} = 0 THEN NULL "
+            f"ELSE {sub_col} % 100 END"
+            if mod
+            else f"{sub_col} % 100"
+        )
+        sub = f"SELECT {inner} FROM lineitem WHERE {pred}"
+        cmp = f"o_orderkey % 100 {op} {quant} ({sub})"
+        if where_pos:
+            return (
+                f"SELECT COUNT(*) AS n FROM orders "
+                f"WHERE o_orderkey < 400 AND ({cmp})"
+            )
+        return (
+            f"SELECT o_orderkey, ({cmp}) AS v FROM orders "
+            f"WHERE o_orderkey < 120"
+        )
+
+    return st.builds(
+        build,
+        st.sampled_from(("=", "<>", "<", "<=", ">", ">=")),
+        st.sampled_from(("ALL", "ANY", "SOME")),
+        st.sampled_from(_INT_COLS),
+        st.one_of(st.none(), st.integers(min_value=2, max_value=5)),
+        _predicates(),
+        st.booleans(),
+    )
+
+
+def test_random_quantified_queries_agree_between_spark_and_duckdb(engines):
+    from quasar_destination_h2_spark.sql_dml import rewrite_quantified
+
+    _run_cases(
+        engines,
+        _quantified_queries(),
+        30,
+        spark_transform=rewrite_quantified,
+        extra=[
+            # provably-empty subquery: ALL -> TRUE, ANY -> FALSE
+            "SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 100 "
+            "> ALL (SELECT l_orderkey FROM lineitem WHERE l_orderkey < 0)",
+            "SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 100 "
+            "> ANY (SELECT l_orderkey FROM lineitem WHERE l_orderkey < 0)",
+            # all-NULL subquery: every verdict NULL on non-empty S
+            "SELECT o_orderkey, (o_orderkey <= ALL (SELECT CASE WHEN "
+            "l_orderkey >= 0 THEN NULL ELSE l_orderkey END FROM lineitem)) "
+            "AS v FROM orders WHERE o_orderkey < 50",
         ],
     )

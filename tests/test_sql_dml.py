@@ -424,3 +424,26 @@ def test_quantified_string_literal_not_rewritten(engine):
 
     sql = "SELECT 'x > ALL (SELECT 1)' AS s"
     assert rewrite_quantified(sql) == sql
+
+
+def test_quantified_arithmetic_lhs_binds_tighter_than_comparison(spark):
+    """`a % 100 > ALL (s)` must rewrite the whole arithmetic chain,
+    not just the literal next to the operator (found by the r6
+    differential fuzzer); a sign directly after WHERE must not
+    swallow the keyword."""
+    from quasar_destination_h2_spark.sql_dml import rewrite_quantified
+
+    got = sorted(
+        r.x
+        for r in spark.sql(
+            rewrite_quantified(
+                "SELECT x FROM (VALUES (101),(250),(399)) t(x) "
+                "WHERE x % 100 > ALL (VALUES (1), (45))"
+            )
+        ).collect()
+    )
+    assert got == [250, 399]  # 101%100=1 fails, 50 and 99 pass
+    got2 = spark.sql(
+        rewrite_quantified("SELECT 1 AS v WHERE -5 < ANY (VALUES (0))")
+    ).collect()
+    assert [r.v for r in got2] == [1]
