@@ -284,3 +284,27 @@ def session_windows(
             "value_sum",
         )
     )
+
+
+def hopping_event_counts(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Hopping (sliding) 1-hour/30-minute windowed counts with a
+    late-data watermark — the streaming twin of the batch
+    ``events_hopping`` conformance query (every event lands in
+    exactly two windows; same counts). Window starts surface as
+    epoch seconds so downstream consumers and the batch twin compare
+    without timestamp-rendering concerns."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.col("win.start").cast("long").alias("window_start_epoch"),
+            "event_type",
+            "n",
+        )
+    )

@@ -384,3 +384,27 @@ def test_us_flavor_file_over_empty_dir_start_fails_loudly(spark):
                 q.stop()
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_hopping_counts_match_batch_conformance_query(spark, events_dir):
+    """Streaming hopping windows must agree exactly with the batch
+    events_hopping conformance query over the same data — the
+    batch/stream parity contract for sliding windows."""
+    from quasar_destination_h2_spark.plans import REGISTRY
+    from quasar_destination_h2_spark.streaming.events import (
+        hopping_event_counts,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    got = sorted(
+        map(
+            tuple,
+            run_to_memory(
+                spark, hopping_event_counts(stream), "t_hopping", "complete"
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(tuple, REGISTRY["events_hopping"].fn(spark, SF_DIR).collect())
+    )
+    assert got == want
