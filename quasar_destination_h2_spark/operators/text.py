@@ -703,3 +703,38 @@ def importance_weights(
             F.sum("micro").cast("bigint").alias("logratio_sum_micro"),
         )
     )
+
+
+def build_token_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Inverted token index: one (tok, doc_id) posting row per
+    DISTINCT token occurrence per document — the amortized structure
+    for repeated keyword queries (:func:`keyword_search` is the
+    one-off full-scan form). Build cost: one explode + one distinct
+    shuffle; at 100 TB you materialize this bucketed BY tok
+    (``engine.materialize_bucketed``) so every query's semi-join is
+    co-located and shuffle-free."""
+    return (
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok")
+        )
+    )
+
+
+def search_token_index(
+    index: DataFrame, terms: tuple[str, ...] = SEARCH_TERMS
+) -> DataFrame:
+    """AND-semantics retrieval over :func:`build_token_index`: prune
+    the postings to the query terms (filter pushes to the index
+    scan), then one aggregation keeps doc_ids carrying ALL terms.
+    Touches only the query terms' posting lists — O(Σ df(term)), not
+    O(corpus) like the scan form.
+
+    Output: (doc_id,) — join back to the corpus for payloads."""
+    n = len(terms)
+    return (
+        index.where(F.col("tok").isin(*terms))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("tok").alias("_nt"))
+        .where(F.col("_nt") == n)
+        .select("doc_id")
+    )

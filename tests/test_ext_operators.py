@@ -1176,3 +1176,19 @@ def test_split_leakage_matches_cluster_split_composition(t):
         assert (g.n_docs, g.n_splits) == (w.n_docs, w.n_splits)
         assert g.leaky == (w.n_splits > 1)
         assert g.n_splits == len(g.splits.split(","))
+
+
+def test_token_index_search_matches_scan_search(t):
+    """The inverted-index retrieval path must return exactly the
+    same document set as the one-off scan form, and its plan must
+    push the term filter into the index scan."""
+    idx = text.build_token_index(t.documents)
+    via_index = {
+        r.doc_id for r in text.search_token_index(idx).collect()
+    }
+    via_scan = {r.doc_id for r in text.keyword_search(t.documents).collect()}
+    assert via_index == via_scan and via_index
+    plan = physical_plan(
+        text.search_token_index(text.build_token_index(t.documents))
+    )
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
