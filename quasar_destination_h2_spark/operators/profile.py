@@ -30,6 +30,14 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     ``tests/test_ext_operators.py::test_table_profile``. n_distinct
     counts non-null values (COUNT DISTINCT semantics in both
     engines)."""
+    from ..sources.tables import _fan_out
+
+    # the multi-distinct Expand multiplies rows by n_cols+1 BEFORE the
+    # exchange — CPU-dense enough that an under-split local-fixture
+    # scan (single/few rowgroups) serializes it; same guarded fan-out
+    # the documents/embeddings loaders use (no-op at cluster scale
+    # where real tables have >= parallelism splits)
+    df = _fan_out(df.sparkSession, df)
     cols = columns if columns is not None else list(df.columns)
     numeric = {
         f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
