@@ -16,10 +16,13 @@ Dialect notes:
 * value / condition EXPRESSIONS are evaluated by Spark
   (``F.expr``) — Spark SQL expression dialect, i.e. backtick-quote
   any non-trivial column name inside an expression;
-* MERGE implements H2 1.4.200's legacy form
+* MERGE implements BOTH H2 1.4.200 grammars: the legacy form
   ``MERGE INTO t [(cols)] KEY (keycols) { VALUES (...), ... | SELECT ... }``
   (H2 without a KEY clause falls back to the primary key — parquet
-  tables have none, so KEY is required here);
+  tables have none, so KEY is required here) and the ANSI form
+  ``MERGE INTO t USING src ON cond WHEN MATCHED THEN UPDATE SET ... |
+  DELETE WHEN NOT MATCHED THEN INSERT ... VALUES (...)`` with the
+  ANSI multiple-match cardinality error;
 * the Spark Thrift endpoint executes SQL JVM-side and cannot be
   intercepted per-statement from Python, so a JDBC wire client still
   cannot issue UPDATE/DELETE/MERGE against parquet tables — that
@@ -476,7 +479,10 @@ def _execute_verb(engine, statement: str, shadow: str, m):
             "RENAME COLUMN ... TO ..."
         )
 
-    # MERGE
+    # MERGE: ANSI `MERGE ... USING` (H2 grammars both forms) is told
+    # apart from the legacy `MERGE ... KEY` by its USING keyword
+    if re.search(r"\bUSING\b", shadow, re.I):
+        return _execute_merge_using(engine, statement, shadow)
     table, cols, key_cols, kind, source = parse_merge(statement, shadow)
     logical = _logical(engine, table)
     target = engine.table(logical)
@@ -761,3 +767,238 @@ def rewrite_quantified(sql: str) -> str:
             raise ValueError(f"quantified comparison: {op} {quant}")
         sql = sql[:lhs_start] + repl + sql[close_p + 1 :]
     raise ValueError("quantified comparison: rewrite did not converge")
+
+
+# --- ANSI MERGE ... USING (H2 1.4.x grammars it alongside legacy) ----------
+
+
+def parse_merge_using(sql: str, shadow: str) -> dict:
+    """``MERGE INTO t [AS] [ta] USING { s | (query) } [AS] [sa]
+    ON cond WHEN MATCHED THEN { UPDATE SET ... | DELETE }
+    WHEN NOT MATCHED THEN INSERT [(cols)] VALUES (...)`` — at most
+    one branch of each kind (H2 1.4 semantics), either optional."""
+    m = re.compile(r"\s*MERGE\s+INTO\s", re.I).match(shadow)
+    target, pos = _parse_ident(sql, shadow, m.end())
+
+    def _opt_alias(pos: int, stop_kw: str) -> tuple[Optional[str], int]:
+        save = pos
+        while pos < len(sql) and sql[pos].isspace():
+            pos += 1
+        mk = re.compile(rf"{stop_kw}\b", re.I).match(shadow, pos)
+        if mk or pos >= len(sql):
+            return None, save
+        mas = re.compile(r"AS\s+", re.I).match(shadow, pos)
+        if mas:
+            pos = mas.end()
+        alias, pos = _parse_ident(sql, shadow, pos)
+        return alias, pos
+
+    t_alias, pos = _opt_alias(pos, "USING")
+    musing = re.compile(r"\s*USING\s*", re.I).match(shadow, pos)
+    if not musing:
+        raise ValueError("MERGE USING: expected USING")
+    pos = musing.end()
+    source_name = source_query = None
+    if sql[pos] == "(":
+        depth, k = 0, pos
+        while k < len(sql):
+            if shadow[k] == "(":
+                depth += 1
+            elif shadow[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        if depth != 0:
+            raise ValueError("MERGE USING: unterminated source query")
+        source_query = sql[pos + 1 : k].strip()
+        pos = k + 1
+    else:
+        source_name, pos = _parse_ident(sql, shadow, pos)
+    s_alias, pos = _opt_alias(pos, "ON")
+    if source_query is not None and s_alias is None:
+        raise ValueError("MERGE USING: a derived source needs an alias")
+    mon = re.compile(r"\s*ON\s", re.I).match(shadow, pos)
+    if not mon:
+        raise ValueError("MERGE USING: expected ON <condition>")
+    branch_re = re.compile(r"\bWHEN\s+(NOT\s+)?MATCHED\s+THEN\s+", re.I)
+    branches = list(branch_re.finditer(shadow, mon.end()))
+    if not branches:
+        raise ValueError("MERGE USING: at least one WHEN branch required")
+    on_text = sql[mon.end() : branches[0].start()].strip()
+
+    spec = {
+        "target": target,
+        "t_alias": t_alias or target,
+        "source_name": source_name,
+        "source_query": source_query,
+        "s_alias": s_alias or source_name,
+        "on": on_text,
+        "matched": None,       # ("update", {col: expr}) | ("delete",)
+        "not_matched": None,   # (cols | None, values_text)
+    }
+    for i, b in enumerate(branches):
+        body_end = branches[i + 1].start() if i + 1 < len(branches) else len(sql)
+        body = sql[b.end() : body_end].strip()
+        bshadow = _shadow(body)
+        if b.group(1):  # NOT MATCHED
+            if spec["not_matched"] is not None:
+                raise ValueError("MERGE USING: duplicate WHEN NOT MATCHED")
+            mi = re.compile(r"INSERT\s*", re.I).match(bshadow)
+            if not mi:
+                raise ValueError("MERGE USING: NOT MATCHED supports INSERT")
+            p = mi.end()
+            cols = None
+            if p < len(body) and body[p] == "(":
+                close = bshadow.find(")", p)
+                cols = [
+                    _parse_ident(c, _shadow(c), 0)[0]
+                    for c in _split_top_level(body, bshadow, p + 1, close)
+                ]
+                p = close + 1
+            mv = re.compile(r"\s*VALUES\s*\(", re.I).match(bshadow, p)
+            if not mv:
+                raise ValueError("MERGE USING: expected INSERT ... VALUES (...)")
+            close = len(body.rstrip())
+            if body.rstrip()[-1] != ")":
+                raise ValueError("MERGE USING: unterminated VALUES tuple")
+            vals = _split_top_level(body, bshadow, mv.end(), close - 1)
+            spec["not_matched"] = (cols, vals)
+        else:
+            if spec["matched"] is not None:
+                raise ValueError("MERGE USING: duplicate WHEN MATCHED")
+            if re.match(r"DELETE\s*$", bshadow, re.I):
+                spec["matched"] = ("delete",)
+                continue
+            mu = re.compile(r"UPDATE\s+SET\s", re.I).match(bshadow)
+            if not mu:
+                raise ValueError(
+                    "MERGE USING: MATCHED supports UPDATE SET or DELETE"
+                )
+            assignments = {}
+            for part in _split_top_level(body, bshadow, mu.end(), len(body)):
+                ps = _shadow(part)
+                eq = ps.find("=")
+                if eq == -1:
+                    raise ValueError(f"MERGE USING: bad assignment {part!r}")
+                col, after = _parse_ident(part, ps, 0)
+                if part[after:eq].strip():
+                    raise ValueError(
+                        f"MERGE USING: bad assignment target {part!r}"
+                    )
+                assignments[col] = part[eq + 1 :].strip()
+            spec["matched"] = ("update", assignments)
+    return spec
+
+
+def _execute_merge_using(engine, statement: str, shadow: str) -> int:
+    """Set-based rewrite of ANSI MERGE over parquet tables:
+
+        result = untouched-target ∪ updated-matches ∪ inserted
+
+    with the ANSI cardinality guard (a target row matched by more
+    than one source row is an error, detected with ONE aggregation
+    on the matched frame — H2 raises the same). All three legs are
+    joins on the ON condition; one overwrite commit via the engine's
+    staging rewrite. Returns the JDBC-style count
+    (matched-and-branch-applied + inserted)."""
+    from .errors import NotAResource
+
+    spec = parse_merge_using(statement, shadow)
+    logical = _logical(engine, spec["target"])
+    target = engine.table(logical)
+    physical = engine.sink.catalog[logical]
+
+    if spec["source_query"] is not None:
+        src_df = engine.sql(spec["source_query"])
+    else:
+        try:
+            src_df = engine.table(_logical(engine, spec["source_name"]))
+        except NotAResource:
+            src_df = engine.spark.table(spec["source_name"])
+
+    rid = "__merge_rid"
+    if rid in target.columns:  # pragma: no cover — reserved name
+        raise ValueError(f"MERGE USING: column name {rid} is reserved")
+    t = target.withColumn(rid, F.monotonically_increasing_id()).alias(
+        spec["t_alias"]
+    )
+    s = src_df.alias(spec["s_alias"])
+    cond = F.expr(spec["on"])
+    joined = t.join(s, cond, "inner")
+
+    stats = (
+        joined.groupBy(rid)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).alias("n"), F.max("c").alias("mx"))
+        .collect()[0]
+    )
+    n_matched = int(stats.n or 0)
+    if (stats.mx or 0) > 1:
+        raise ValueError(
+            "MERGE USING: a target row matched multiple source rows"
+        )
+
+    def tcol(name: str):
+        return F.expr(f"`{spec['t_alias']}`.`{name}`")
+
+    fields = target.schema.fields
+    parts = []
+    n_changed = 0
+    if spec["matched"] is None:
+        parts.append(t.select(*[tcol(f.name).alias(f.name) for f in fields]))
+    else:
+        parts.append(
+            t.join(s, cond, "left_anti").select(
+                *[tcol(f.name).alias(f.name) for f in fields]
+            )
+        )
+        n_changed += n_matched
+        if spec["matched"][0] == "update":
+            assignments = spec["matched"][1]
+            parts.append(
+                joined.select(
+                    *[
+                        (
+                            F.expr(assignments[f.name])
+                            if f.name in assignments
+                            else tcol(f.name)
+                        )
+                        .cast(f.dataType)
+                        .alias(f.name)
+                        for f in fields
+                    ]
+                )
+            )
+        # "delete": matched rows simply don't reappear
+    if spec["not_matched"] is not None:
+        cols, vals = spec["not_matched"]
+        names = cols if cols is not None else [f.name for f in fields]
+        if len(names) != len(vals):
+            raise ValueError(
+                "MERGE USING: INSERT column/value count mismatch"
+            )
+        anti_src = s.join(t, cond, "left_anti")
+        n_inserted = anti_src.count()
+        provided = dict(zip(names, vals))
+        parts.append(
+            anti_src.select(
+                *[
+                    (
+                        F.expr(provided[f.name])
+                        if f.name in provided
+                        else F.lit(None)
+                    )
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    for f in fields
+                ]
+            )
+        )
+        n_changed += int(n_inserted)
+
+    result = parts[0]
+    for p in parts[1:]:
+        result = result.unionByName(p)
+    engine._rewrite(physical, result)
+    return n_changed

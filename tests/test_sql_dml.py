@@ -447,3 +447,93 @@ def test_quantified_arithmetic_lhs_binds_tighter_than_comparison(spark):
         rewrite_quantified("SELECT 1 AS v WHERE -5 < ANY (VALUES (0))")
     ).collect()
     assert [r.v for r in got2] == [1]
+
+
+# --- ANSI MERGE ... USING --------------------------------------------------
+
+
+def test_merge_using_update_and_insert(engine):
+    """Full upsert: matched rows take the source values via SET,
+    unmatched source rows insert; count = updated + inserted."""
+    t = _load(engine)
+    n = engine.execute_sql(
+        "MERGE INTO sqldml_t AS tg "
+        "USING (SELECT * FROM VALUES (2, 'B'), (9, 'new') AS v(k, v)) AS s "
+        "ON tg.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = upper(s.v) "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"
+    )
+    assert n == 2
+    assert _rows(engine, t) == [
+        (1.0, "a"), (2.0, "B"), (3.0, "c"), (9.0, "new"),
+    ]
+
+
+def test_merge_using_delete_branch(engine):
+    t = _load(engine)
+    n = engine.execute_sql(
+        "MERGE INTO sqldml_t AS tg "
+        "USING (SELECT * FROM VALUES (1), (3) AS v(k)) AS s "
+        "ON tg.k = s.k "
+        "WHEN MATCHED THEN DELETE"
+    )
+    assert n == 2
+    assert _rows(engine, t) == [(2.0, "b")]
+
+
+def test_merge_using_update_referencing_both_sides(engine):
+    """SET expressions may mix target and source columns; unmatched
+    TARGET rows are untouched; no NOT MATCHED branch -> unmatched
+    source rows are ignored."""
+    t = _load(engine)
+    n = engine.execute_sql(
+        "MERGE INTO sqldml_t AS tg "
+        "USING (SELECT * FROM VALUES (2, 10.0), (42, 5.0) AS v(k, bump)) s "
+        "ON tg.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET k = tg.k + s.bump"
+    )
+    assert n == 1
+    assert _rows(engine, t) == [(1.0, "a"), (3.0, "c"), (12.0, "b")]
+
+
+def test_merge_using_insert_only_with_partial_columns(engine):
+    t = _load(engine)
+    n = engine.execute_sql(
+        "MERGE INTO sqldml_t tg "
+        "USING (SELECT * FROM VALUES (3), (7) AS v(k)) s "
+        "ON tg.k = s.k "
+        "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.k)"
+    )
+    assert n == 1  # only 7 is unmatched
+    got = sorted((float(r.k), r.v) for r in engine.table(t).collect())
+    assert got == [(1.0, "a"), (2.0, "b"), (3.0, "c"), (7.0, None)]
+
+
+def test_merge_using_cardinality_violation_raises(engine):
+    """ANSI: a target row matched by two source rows is an error, not
+    a silent duplicate."""
+    _load(engine)
+    with pytest.raises(ValueError, match="matched multiple"):
+        engine.execute_sql(
+            "MERGE INTO sqldml_t tg "
+            "USING (SELECT * FROM VALUES (2, 'x'), (2, 'y') AS v(k, v)) s "
+            "ON tg.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v"
+        )
+
+
+def test_merge_using_table_source(engine):
+    """USING a sink-loaded TABLE (not a derived query) as the source."""
+    t = _load(engine)
+    engine.csv_create_sink().consume("/merge_src", COLS, b"2,upd\r\n8,ins\r\n")
+    src_physical = engine.sink.catalog["merge_src"]
+    n = engine.execute_sql(
+        f"MERGE INTO sqldml_t tg USING {src_physical} s "
+        "ON tg.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"
+    )
+    assert n == 2
+    assert _rows(engine, t) == [
+        (1.0, "a"), (2.0, "upd"), (3.0, "c"), (8.0, "ins"),
+    ]
