@@ -140,3 +140,54 @@ def range_join(
         )
         .drop("_b")
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: Sequence[str],
+    right_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Forward as-of join: attach to each left row the EARLIEST right
+    row with right.on >= left.on, matching on `by` keys — the
+    "next event after" direction (lead-time analysis, next-purchase
+    attribution), mirror of :func:`asof_join`. Same scale shape: one
+    union, one shuffle on the `by` keys, O(1) window state per row.
+
+    Right side is deduplicated to one row per (by, on) first with the
+    same keep-the-last-by-column-order rule as the backward join, so
+    the two directions are consistent at shared timestamps."""
+    by = list(by)
+    wdup = Window.partitionBy(*by, on).orderBy(*[F.col(c) for c in right_cols])
+    r = (
+        right.withColumn("_rn", F.row_number().over(wdup))
+        .withColumn("_maxrn", F.max("_rn").over(Window.partitionBy(*by, on)))
+        .where(F.col("_rn") == F.col("_maxrn"))
+        .drop("_rn", "_maxrn")
+    )
+    # left rows sort BEFORE right rows at equal ts (left side=0), so a
+    # right row at exactly left.ts is inside the forward frame
+    # (>= semantics)
+    lt = left.withColumn("_side", F.lit(0))
+    rt = r.select(
+        *by, on, *[F.col(c).alias(f"{c}{suffix}") for c in right_cols]
+    ).withColumn("_side", F.lit(1))
+    combined = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on), F.col("_side"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    filled = combined.select(
+        "*",
+        *[
+            F.first(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"_f_{c}")
+            for c in right_cols
+        ],
+    )
+    keep = [c for c in left.columns] + [
+        F.col(f"_f_{c}").alias(f"{c}{suffix}") for c in right_cols
+    ]
+    return filled.where(F.col("_side") == 0).select(*keep)

@@ -2345,3 +2345,38 @@ def q_split_leakage_check(t: TableSet) -> DataFrame:
     with the zero-shuffle split expression; oracle replays the
     recursive-CTE closure + the split CASE."""
     return dedup.split_leakage_check(t.documents)
+
+
+@query(
+    "asof_join_forward",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+                      event_type, value FROM events),
+    clicks AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click'),
+    purch AS (
+      SELECT user_id, ts, value FROM (
+        SELECT user_id, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                  ORDER BY value DESC) AS rn
+        FROM e WHERE event_type = 'purchase') WHERE rn = 1
+    )
+    SELECT c.event_id, c.user_id, c.ts, p.value AS value_asof
+    FROM clicks c ASOF LEFT JOIN purch p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def q_asof_join_forward(t: TableSet) -> DataFrame:
+    """Forward as-of join: each click gets the user's NEXT (or
+    simultaneous) purchase value — the lead-time direction. Spark
+    composition = union trick + first(ignorenulls) forward window;
+    the oracle is DuckDB's native forward ASOF LEFT JOIN (<=)."""
+    ev = t.events
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    return joins.asof_join_forward(
+        clicks, purch, on="ts", by=["user_id"], right_cols=["value"]
+    )

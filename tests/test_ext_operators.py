@@ -1192,3 +1192,39 @@ def test_token_index_search_matches_scan_search(t):
         text.search_token_index(text.build_token_index(t.documents))
     )
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_forward_semantics(t):
+    """Every attached value must be the MIN-timestamp purchase at or
+    after the click (the mirror of the backward join), verified
+    row-by-row against a pandas replay — including ties at the exact
+    click timestamp being visible."""
+    from quasar_destination_h2_spark.operators import joins
+    from pyspark.sql import functions as SF
+
+    ev = t.events
+    clicks = ev.where(SF.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purch = ev.where(SF.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    got = joins.asof_join_forward(
+        clicks, purch, on="ts", by=["user_id"], right_cols=["value"]
+    ).collect()
+    assert got
+    pur = sorted(purch.collect(), key=lambda r: r.ts)
+    by_user: dict = {}
+    for r in pur:
+        by_user.setdefault(r.user_id, []).append(r)
+    n_attached = 0
+    for row in got:
+        cands = [p for p in by_user.get(row.user_id, []) if p.ts >= row.ts]
+        if cands:
+            first_ts = cands[0].ts
+            want = max(p.value for p in cands if p.ts == first_ts)
+        else:
+            want = None
+        assert row.value_asof == want, (row, want)
+        n_attached += want is not None
+    assert n_attached > 0
