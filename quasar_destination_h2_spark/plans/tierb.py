@@ -2842,3 +2842,82 @@ def q_gaps_islands(t: TableSet) -> DataFrame:
     you'd pre-bucket by a coarse key range and islands never span
     buckets wider than the data's gap structure."""
     return t.sql(_GAPS_ISLANDS)
+
+
+# --- Event funnel (ordered-step completion) --------------------------------
+
+_FUNNEL = """
+WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+           FROM events),
+w1 AS (SELECT *, MIN(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS t1 FROM e),
+w2 AS (SELECT *, MIN(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END)
+                   OVER (PARTITION BY user_id) AS t2 FROM w1),
+w3 AS (SELECT *, MIN(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts
+                      END)
+                   OVER (PARTITION BY user_id) AS t3 FROM w2)
+SELECT user_id,
+       MIN(t1) AS view_ts, MIN(t2) AS click_ts, MIN(t3) AS purchase_ts,
+       CAST(CAST(MIN(t1) IS NOT NULL AS INT)
+            + CAST(MIN(t2) IS NOT NULL AS INT)
+            + CAST(MIN(t3) IS NOT NULL AS INT) AS BIGINT)
+         AS steps_completed
+FROM w3 GROUP BY user_id
+"""
+
+
+@query("event_funnel", oracle=_FUNNEL)
+def q_event_funnel(t: TableSet) -> DataFrame:
+    """Ordered-funnel completion (view -> click -> purchase): each
+    step's timestamp is the earliest qualifying event AFTER the
+    previous step, computed with three chained per-user window
+    minima — ONE shuffle on user_id total (the windows share the
+    partitioning; no per-step self-joins, which is how funnel
+    queries usually die at scale). MATCH_RECOGNIZE-style sequencing
+    without the grammar; identical statement on both engines."""
+    return t.sql(_FUNNEL)
+
+
+# --- Retention cohorts -----------------------------------------------------
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH e AS (SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+               FROM events),
+    first AS (SELECT user_id, MIN(d) AS cohort_date FROM e GROUP BY user_id)
+    SELECT CAST(f.cohort_date AS STRING) AS cohort_date,
+           CAST(date_diff('day', f.cohort_date, e.d) AS BIGINT) AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM e JOIN first f USING (user_id)
+    GROUP BY f.cohort_date, day_offset
+    """,
+)
+def q_retention_cohorts(t: TableSet) -> DataFrame:
+    """Retention cohort matrix: users bucketed by first-activity
+    date, activity counted at each day offset — the
+    (cohort, offset) -> distinct-actives view every growth dashboard
+    draws. Two aggregations + one join, all keyed on user_id /
+    (cohort, offset); the per-user first-day frame is tiny and
+    broadcast. Engine date-diff spellings differ (Spark datediff vs
+    DuckDB date_diff) so the Spark side is the DataFrame form."""
+    e = t.events.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    first = e.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    return (
+        e.join(F.broadcast(first), "user_id")
+        .select(
+            "cohort_date",
+            F.datediff(F.col("d"), F.col("cohort_date"))
+            .cast("bigint")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .groupBy(
+            F.col("cohort_date").cast("string").alias("cohort_date"),
+            "day_offset",
+        )
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
+    )
