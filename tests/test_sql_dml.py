@@ -537,3 +537,17 @@ def test_merge_using_table_source(engine):
     assert _rows(engine, t) == [
         (1.0, "a"), (2.0, "upd"), (3.0, "c"), (8.0, "ins"),
     ]
+
+
+def test_quantified_inside_update_where(engine):
+    """The quantified rewrite applies to the WHOLE statement before
+    verb dispatch, so DML conditions can use ALL/ANY too (H2 users
+    write these): rows with k >= every k below 3 get updated."""
+    t = _load(engine)
+    physical = engine.sink.catalog[t]
+    n = engine.execute_sql(
+        f"UPDATE {physical} SET v = upper(v) "
+        f"WHERE k >= ALL (SELECT k FROM {physical} WHERE k < 3)"
+    )
+    assert n == 2
+    assert _rows(engine, t) == [(1.0, "a"), (2.0, "B"), (3.0, "C")]
