@@ -2898,16 +2898,19 @@ def q_retention_cohorts(t: TableSet) -> DataFrame:
     """Retention cohort matrix: users bucketed by first-activity
     date, activity counted at each day offset — the
     (cohort, offset) -> distinct-actives view every growth dashboard
-    draws. Two aggregations + one join, all keyed on user_id /
-    (cohort, offset); the per-user first-day frame is tiny and
-    broadcast. Engine date-diff spellings differ (Spark datediff vs
-    DuckDB date_diff) so the Spark side is the DataFrame form."""
+    draws. The per-user first day is a WINDOW min over the user_id
+    partition — ONE pruned scan and one shuffle; the
+    aggregate-then-join alternative scans events twice and must
+    broadcast a |users|-sized frame, which at 100 TB is billions of
+    rows (the plan-audit gate caught exactly that first draft).
+    Engine date-diff spellings differ (Spark datediff vs DuckDB
+    date_diff) so the Spark side is the DataFrame form."""
     e = t.events.select(
         "user_id", F.col("ts").cast("date").alias("d")
     )
-    first = e.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    w = Window.partitionBy("user_id")
     return (
-        e.join(F.broadcast(first), "user_id")
+        e.withColumn("cohort_date", F.min("d").over(w))
         .select(
             "cohort_date",
             F.datediff(F.col("d"), F.col("cohort_date"))

@@ -131,7 +131,7 @@ RESCAN_REVIEWED = frozenset({
     # per-level exact-verification scaffolding (sketch side scans once):
     "sketch_user_rollup",
     # pruned event-type slices (clicks vs purchases):
-    "range_join_sessions", "asof_join_events",
+    "range_join_sessions", "asof_join_events", "asof_join_forward",
     # r5 composed dedup: repeated PRUNED corpus scans, each joined
     # against a dup-subgraph-sized side — the reviewed alternative to
     # a corpus-wide window/shuffle (see keep_best_per_cluster /
