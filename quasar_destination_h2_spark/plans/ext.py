@@ -28,6 +28,7 @@ from ..operators import (
     profile,
     rollup,
     similarity,
+    stats,
     text,
 )
 from ..sources.tables import TableSet
@@ -2380,3 +2381,107 @@ def q_asof_join_forward(t: TableSet) -> DataFrame:
     return joins.asof_join_forward(
         clicks, purch, on="ts", by=["user_id"], right_cols=["value"]
     )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def _corr_oracle() -> str:
+    dec = "DECIMAL(18,6)"
+    pdec = "DECIMAL(28,6)"
+    aggs = ["COUNT(*) AS n"]
+    for c in _CORR_COLS:
+        aggs.append(f"CAST(SUM(CAST({c} AS {dec})) AS DOUBLE) AS s_{c}")
+        aggs.append(
+            f"CAST(SUM(CAST({c} AS {pdec}) * CAST({c} AS {pdec})) AS DOUBLE)"
+            f" AS ss_{c}"
+        )
+    from itertools import combinations
+
+    arms = []
+    for a, b in combinations(_CORR_COLS, 2):
+        aggs.append(
+            f"CAST(SUM(CAST({a} AS {pdec}) * CAST({b} AS {pdec})) AS DOUBLE)"
+            f" AS sp_{a}_{b}"
+        )
+        arms.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, CAST(n AS BIGINT) AS n,"
+            f" round((n * sp_{a}_{b} - s_{a} * s_{b}) /"
+            f" sqrt((n * ss_{a} - s_{a} * s_{a})"
+            f" * (n * ss_{b} - s_{b} * s_{b})), 6) AS corr FROM w"
+        )
+    return (
+        "WITH w AS (SELECT " + ", ".join(aggs) + " FROM lineitem)\n"
+        + "\nUNION ALL ".join(arms)
+    )
+
+
+@query("corr_matrix", oracle=_corr_oracle())
+def q_corr_matrix(t: TableSet) -> DataFrame:
+    """Pearson correlation of every numeric-column pair in ONE corpus
+    scan. Spark's built-in corr() accumulates doubles in partition
+    order (not hash-stable); this reduces to EXACT decimal power sums
+    and derives r in double from identical operands — bit-stable
+    across engines and partitionings (operators/stats.py)."""
+    return stats.corr_matrix(t.lineitem, list(_CORR_COLS))
+
+
+@query(
+    "ols_trend",
+    oracle="""
+    WITH e AS (
+      SELECT o_orderpriority AS grp,
+             CAST(CAST(CAST(o_orderdate AS TIMESTAMP) AS DATE)
+                  - DATE '1970-01-01' AS DECIMAL(28,6)) AS x,
+             CAST(o_totalprice AS DECIMAL(28,6)) AS y
+      FROM orders
+    ),
+    s AS (
+      SELECT grp, COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy
+      FROM e GROUP BY grp
+    )
+    SELECT grp, CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept,
+           round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def q_ols_trend(t: TableSet) -> DataFrame:
+    """Per-priority revenue-over-time linear trend: closed-form OLS
+    from exact decimal power sums — one groupBy shuffle, never an
+    iterative solver or driver-side fit. x = epoch days of the order
+    date, so slope reads as currency/day."""
+    e = t.orders.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.unix_date(F.col("o_orderdate").cast("date")).alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    return stats.group_ols(e, "grp", "x", "y")
+
+
+@query(
+    "histogram_fixed_width",
+    oracle="""
+    WITH k AS (
+      SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS bin,
+             CAST(l_extendedprice AS DECIMAL(18,6)) AS v
+      FROM lineitem
+    )
+    SELECT bin, bin * 10000.0 AS lo, (bin + 1) * 10000.0 AS hi,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           round(CAST(SUM(v) AS DOUBLE), 6) AS sum_value
+    FROM k GROUP BY bin
+    """,
+)
+def q_histogram_fixed_width(t: TableSet) -> DataFrame:
+    """Equi-width price histogram with epoch-anchored bins — ONE
+    aggregation, no min/max pre-pass, floor() bin edges (identical
+    in every engine where round/cast tie-handling is not)."""
+    return stats.fixed_width_histogram(t.lineitem, "l_extendedprice", 10000.0)

@@ -1228,3 +1228,55 @@ def test_asof_join_forward_semantics(t):
         assert row.value_asof == want, (row, want)
         n_attached += want is not None
     assert n_attached > 0
+
+
+def test_corr_matrix_matches_numpy(t):
+    """Exact-power-sum Pearson r against numpy's corrcoef on the
+    collected columns (tolerance only for numpy's own float path)."""
+    import numpy as np
+    from quasar_destination_h2_spark.operators import stats
+
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    df = stats.corr_matrix(t.lineitem, cols)
+    assert physical_plan(df).count("FileScan parquet") == 1
+    got = {(r.col_a, r.col_b): r.corr for r in df.collect()}
+    data = t.lineitem.select(*cols).toPandas()
+    for (a, b), r in got.items():
+        want = float(np.corrcoef(data[a], data[b])[0, 1])
+        assert abs(r - want) < 1e-6, (a, b, r, want)
+
+
+def test_group_ols_matches_numpy_polyfit(t):
+    import numpy as np
+    from pyspark.sql import functions as SF
+    from quasar_destination_h2_spark.operators import stats
+
+    e = t.orders.select(
+        SF.col("o_orderpriority").alias("grp"),
+        SF.unix_date(SF.col("o_orderdate").cast("date")).alias("x"),
+        SF.col("o_totalprice").alias("y"),
+    )
+    got = {r.grp: r for r in stats.group_ols(e, "grp", "x", "y").collect()}
+    pdf = e.toPandas()
+    for grp, sub in pdf.groupby("grp"):
+        slope, intercept = np.polyfit(sub.x, sub.y, 1)
+        assert abs(got[grp].slope - slope) < 1e-4
+        assert abs(got[grp].intercept - intercept) < 1e-2  # |intercept|~1e5
+        r = np.corrcoef(sub.x, sub.y)[0, 1]
+        assert abs(got[grp].r2 - r * r) < 1e-6
+
+
+def test_fixed_width_histogram_partitions_everything(t):
+    from pyspark.sql import functions as SF
+    from quasar_destination_h2_spark.operators import stats
+
+    h = stats.fixed_width_histogram(t.lineitem, "l_extendedprice", 10000.0)
+    rows = h.collect()
+    assert sum(r.n_rows for r in rows) == t.lineitem.count()
+    mn, mx = t.lineitem.agg(
+        SF.min("l_extendedprice"), SF.max("l_extendedprice")
+    ).collect()[0]
+    for r in rows:
+        assert r.lo == r.bin * 10000.0 and r.hi == r.lo + 10000.0
+    bins = {r.bin for r in rows}
+    assert int(mn // 10000) in bins and int(mx // 10000) in bins
