@@ -551,3 +551,27 @@ def test_quantified_inside_update_where(engine):
     )
     assert n == 2
     assert _rows(engine, t) == [(1.0, "a"), (2.0, "B"), (3.0, "C")]
+
+
+def test_merge_using_empty_source_and_empty_match(engine):
+    """Degenerate MERGE inputs: an empty source leaves the target
+    intact with count 0; a source matching nothing with only a
+    MATCHED branch also changes nothing."""
+    t = _load(engine)
+    n = engine.execute_sql(
+        "MERGE INTO sqldml_t tg "
+        "USING (SELECT * FROM VALUES (1, 'x') AS v(k, v) WHERE k < 0) s "
+        "ON tg.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)"
+    )
+    assert n == 0
+    assert _rows(engine, t) == [(1.0, "a"), (2.0, "b"), (3.0, "c")]
+    n = engine.execute_sql(
+        "MERGE INTO sqldml_t tg "
+        "USING (SELECT * FROM VALUES (99, 'x') AS v(k, v)) s "
+        "ON tg.k = s.k "
+        "WHEN MATCHED THEN DELETE"
+    )
+    assert n == 0
+    assert _rows(engine, t) == [(1.0, "a"), (2.0, "b"), (3.0, "c")]
