@@ -38,7 +38,8 @@ from . import ext  # noqa: E402,F401
 # null_safe_compare, events_hopping, window_ignore_nulls,
 # gaps_islands, split_leakage_check, asof_join_forward,
 # event_funnel, retention_cohorts, corr_matrix, ols_trend,
-# histogram_fixed_width (26 queries; fill the remaining 31 slots with
+# histogram_fixed_width, group_quantiles, tokenizer_fertility (28
+# queries; fill the remaining 31 slots with
 # cross-era anchors, prioritizing the fixpoint family —
 # dedup_clusters / dedup_keep_best / source_overlap_matrix — whose
 # round-1 fold round 6 touched, and dedup_minhash_lsh whose oracle

@@ -2485,3 +2485,85 @@ def q_histogram_fixed_width(t: TableSet) -> DataFrame:
     aggregation, no min/max pre-pass, floor() bin edges (identical
     in every engine where round/cast tie-handling is not)."""
     return stats.fixed_width_histogram(t.lineitem, "l_extendedprice", 10000.0)
+
+
+@query(
+    "group_quantiles",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(quantile_cont(CAST(length(text) AS DOUBLE), 0.25), 6)
+             AS len_q25,
+           round(quantile_cont(CAST(length(text) AS DOUBLE), 0.5), 6)
+             AS len_q50,
+           round(quantile_cont(CAST(length(text) AS DOUBLE), 0.9), 6)
+             AS len_q90
+    FROM documents GROUP BY source
+    """,
+)
+def q_group_quantiles(t: TableSet) -> DataFrame:
+    """Per-source exact length quantiles (linear interpolation) — the
+    distribution view behind per-source quality gates. One groupBy
+    shuffle; percentile() keeps per-group state bounded by the group
+    size, and the scalable swap at extreme group cardinality is the
+    KLL sketch already registered (sketch_approx_quantiles)."""
+    return t.documents.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        *[
+            F.round(F.expr(f"percentile(length(text), {p})"), 6).alias(a)
+            for p, a in ((0.25, "len_q25"), (0.5, "len_q50"), (0.9, "len_q90"))
+        ],
+    )
+
+
+@query(
+    "tokenizer_fertility",
+    oracle=rf"""
+    WITH m AS (
+      SELECT lang,
+             CAST(len(string_split_regex({_NORM}, ' ')) AS BIGINT) AS n_ws,
+             CAST(len(regexp_extract_all({_NORM},
+               '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+             CAST(length({_NORM}) AS BIGINT) AS n_chars
+      FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+           CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS chars,
+           round(CAST(SUM(n_chars) AS DOUBLE) / CAST(SUM(n_bpe) AS DOUBLE), 6)
+             AS chars_per_bpe,
+           round(CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_ws) AS DOUBLE), 6)
+             AS fertility
+    FROM m GROUP BY lang
+    """,
+)
+def q_tokenizer_fertility(t: TableSet) -> DataFrame:
+    """Tokenizer fertility by language: BPE-ish subword tokens per
+    whitespace word and characters per subword — the metric that
+    decides whether a tokenizer under-serves a language (high
+    fertility = more compute per word). Exact integer sums then one
+    double division; single scan, one tiny-keyed aggregation."""
+    from ..operators.text import norm_text, token_stats  # noqa: F401
+
+    norm = norm_text(F.col("text"))
+    bpe_pattern = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+    m = t.documents.select(
+        "lang",
+        F.size(F.split(norm, " ")).cast("bigint").alias("n_ws"),
+        F.size(F.regexp_extract_all(norm, F.lit(bpe_pattern), F.lit(0)))
+        .cast("bigint")
+        .alias("n_bpe"),
+        F.length(norm).cast("bigint").alias("n_chars"),
+    )
+    return m.groupBy("lang").agg(
+        F.sum("n_ws").cast("bigint").alias("ws_tokens"),
+        F.sum("n_bpe").cast("bigint").alias("bpe_tokens"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+        F.round(
+            F.sum("n_chars").cast("double") / F.sum("n_bpe").cast("double"), 6
+        ).alias("chars_per_bpe"),
+        F.round(
+            F.sum("n_bpe").cast("double") / F.sum("n_ws").cast("double"), 6
+        ).alias("fertility"),
+    )
