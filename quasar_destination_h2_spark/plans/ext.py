@@ -2544,7 +2544,7 @@ def q_tokenizer_fertility(t: TableSet) -> DataFrame:
     decides whether a tokenizer under-serves a language (high
     fertility = more compute per word). Exact integer sums then one
     double division; single scan, one tiny-keyed aggregation."""
-    from ..operators.text import norm_text, token_stats  # noqa: F401
+    from ..operators.text import norm_text
 
     norm = norm_text(F.col("text"))
     bpe_pattern = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
