@@ -573,3 +573,45 @@ def test_random_quantified_queries_agree_between_spark_and_duckdb(engines):
             "AS v FROM orders WHERE o_orderkey < 50",
         ],
     )
+
+
+# --- round-6 grammar branch: LATERAL correlated top-N ----------------------
+
+
+def _lateral_queries() -> st.SearchStrategy[str]:
+    """LATERAL correlated LIMIT subqueries — random order column,
+    direction, k, and an optional correlated filter. Both engines
+    parse LATERAL natively; Spark must decorrelate (WindowGroupLimit)
+    rather than re-execute per outer row, and the results must agree
+    exactly (ORDER BY carries a unique tie-break)."""
+
+    def build(order_col, direction, k, with_filter):
+        flt = "AND o_totalprice > 100000 " if with_filter else ""
+        return (
+            "SELECT c_custkey, t.o_orderkey, t.o_totalprice "
+            "FROM customer, LATERAL ("
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            f"WHERE o_custkey = c_custkey {flt}"
+            f"ORDER BY {order_col} {direction}, o_orderkey LIMIT {k}) t "
+            "WHERE c_custkey < 200"
+        )
+
+    return st.builds(
+        build,
+        st.sampled_from(("o_totalprice", "o_orderdate", "o_orderkey")),
+        st.sampled_from(("ASC", "DESC")),
+        st.integers(min_value=1, max_value=4),
+        st.booleans(),
+    )
+
+
+def test_random_lateral_queries_agree_between_spark_and_duckdb(engines):
+    spark, con = engines
+    spark.read.parquet(f"{SF_DIR}/customer.parquet").createOrReplaceTempView(
+        "customer"
+    )
+    con.execute(
+        "CREATE VIEW IF NOT EXISTS customer AS "
+        f"SELECT * FROM read_parquet('{SF_DIR}/customer.parquet')"
+    )
+    _run_cases(engines, _lateral_queries(), 20)
