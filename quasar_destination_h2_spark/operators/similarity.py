@@ -199,7 +199,15 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine —
     ties broken by lower centroid id). Broadcast the n_list centroid
-    vectors; assignment is a per-row argmax, no shuffle."""
+    vectors; the per-vector argmax is a ``max_by`` AGGREGATION, not a
+    window: the broadcast cross join emits each vector's n_list
+    scored rows consecutively in the same partition, so the partial
+    (map-side) aggregate collapses them to one row BEFORE any
+    exchange — the shuffle carries |corpus| rows regardless of
+    n_list. The window formulation shuffled |corpus| x n_list rows
+    each dragging the full embedding (measured 5x slower at
+    n_list=256 by tools/scale_probe.py — that finding motivated this
+    shape)."""
     scored = emb.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     ).crossJoin(F.broadcast(cents)).select(
@@ -208,15 +216,17 @@ def ivf_assign(
         "centroid_id",
         F.round(cosine(F.col("_v"), F.col("cvec")), 6).alias("_sim"),
     )
-    w = Window.partitionBy("_id").orderBy(
-        F.col("_sim").desc(), F.col("centroid_id")
-    )
     return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
+        scored.groupBy("_id")
+        .agg(
+            F.first("_v").alias("_vv"),
+            F.max_by(
+                "centroid_id", F.struct(F.col("_sim"), (-F.col("centroid_id")))
+            ).alias("centroid_id"),
+        )
         .select(
             F.col("_id").alias(id_col),
-            F.col("_v").alias(vec_col),
+            F.col("_vv").alias(vec_col),
             "centroid_id",
         )
     )
@@ -227,6 +237,7 @@ def semantic_dedup(
     threshold: float = 0.35,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_list: int = IVF_N_LIST,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster by the IVF coarse quantizer, then drop
@@ -245,7 +256,7 @@ def semantic_dedup(
     and the verdict join; declarative reuse would re-scan and
     re-assign the corpus three times (verified)."""
     assigned = ivf_assign(
-        emb, ivf_centroids(emb, id_col, vec_col), id_col, vec_col
+        emb, ivf_centroids(emb, id_col, vec_col, n_list), id_col, vec_col
     ).localCheckpoint()
     a = assigned.select(
         F.col(id_col).alias("u_id"), F.col(vec_col).alias("uv"), "centroid_id"
@@ -275,6 +286,7 @@ def ivf_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_list: int = IVF_N_LIST,
 ) -> DataFrame:
     """IVF-flat ANN (nprobe=1): search only the query's own centroid
     list. At scale the corpus is partitioned (or stored bucketed) by
@@ -286,7 +298,7 @@ def ivf_topk(
     and re-assign the whole corpus (verified: 4 embedding scans
     without, 1 with)."""
     assigned = ivf_assign(
-        emb, ivf_centroids(emb, id_col, vec_col), id_col, vec_col
+        emb, ivf_centroids(emb, id_col, vec_col, n_list), id_col, vec_col
     ).localCheckpoint()
     q = assigned.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
