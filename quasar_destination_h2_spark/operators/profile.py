@@ -45,7 +45,10 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs.append(
-            F.sum(F.col(c).isNull().cast("long")).alias(f"__nulls_{c}")
+            # coalesce: SUM over an EMPTY table is NULL, and the
+            # profile contract is a zero count, not a null one
+            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0))
+            .alias(f"__nulls_{c}")
         )
         aggs.append(F.count_distinct(F.col(c)).alias(f"__dist_{c}"))
         if c in numeric:

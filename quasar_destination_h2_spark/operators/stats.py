@@ -53,6 +53,10 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
     derives in double from the exact sums, rounded to 6.
 
     Output: (col_a, col_b, n, corr) for a < b."""
+    if len(cols) < 2:  # no pairs: empty result, contract schema
+        return df.sparkSession.createDataFrame(
+            [], "col_a string, col_b string, n bigint, corr double"
+        )
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in cols:
         d = F.col(c).cast(DEC)

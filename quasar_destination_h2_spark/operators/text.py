@@ -685,6 +685,15 @@ def importance_weights(
     tot = vocab.agg(
         F.sum("tf_s").alias("s"), F.sum("tf_t").alias("t"), F.count(F.lit(1)).alias("v")
     ).collect()[0]
+    # SUM over an empty vocabulary is NULL (empty corpus / empty
+    # partition upstream): there is nothing to score — return the
+    # empty frame with the contract schema instead of dividing by a
+    # zero-token model (found by the empty-input robustness test)
+    if tot.s is None:
+        return toks.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.lit(0).cast("bigint").alias("logratio_sum_micro"),
+        )
     total_s, total_t, vsize = int(tot.s), int(tot.t), int(tot.v)
     ratio6 = F.round(
         F.log2((F.col("tf_t") + F.lit(1.0)) / F.lit(float(total_t + vsize)))

@@ -1280,3 +1280,51 @@ def test_fixed_width_histogram_partitions_everything(t):
         assert r.lo == r.bin * 10000.0 and r.hi == r.lo + 10000.0
     bins = {r.bin for r in rows}
     assert int(mn // 10000) in bins and int(mx // 10000) in bins
+
+
+def test_round6_operators_handle_empty_input(spark):
+    """Empty-input robustness for every round-6 operator (the same
+    contract test_operators_handle_empty_input pins for the earlier
+    families): zero rows in, zero rows (or an empty-but-well-formed
+    aggregate) out, no exceptions."""
+    from pyspark.sql.types import (
+        ArrayType, FloatType, IntegerType, LongType, StringType,
+        StructField, StructType,
+    )
+    from quasar_destination_h2_spark.operators import profile, stats
+
+    empty_docs = spark.createDataFrame(
+        [], StructType([
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+        ])
+    )
+    empty_emb = spark.createDataFrame(
+        [], StructType([
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ])
+    )
+    assert dedup.passage_dedup_stats(empty_docs).count() == 0
+    assert dedup.edit_verified_pairs(empty_docs).count() == 0
+    assert dedup.split_leakage_check(empty_docs).count() == 0
+    assert text.keyword_search(empty_docs).count() == 0
+    assert text.importance_weights(empty_docs).count() == 0
+    assert text.search_token_index(
+        text.build_token_index(empty_docs)
+    ).count() == 0
+    assert packing.length_buckets(empty_docs).count() == 0
+    assert packing.token_budget_allocation(empty_docs).count() == 0
+    assert similarity.embedding_feature_stats(empty_emb).count() == 0
+    assert similarity.matryoshka_fidelity(empty_emb).count() == 0
+    # profiler on an empty table still emits one row PER COLUMN with
+    # zero counts (the shape a dashboard expects)
+    prof = {r.column_name: r for r in profile.table_profile(empty_docs).collect()}
+    assert set(prof) == {"doc_id", "text", "lang", "source"}
+    assert all(r.n_rows == 0 and r.n_nulls == 0 for r in prof.values())
+    assert stats.corr_matrix(empty_docs.select("doc_id"), ["doc_id"]).count() == 0
+    assert stats.group_ols(empty_docs, "source", "doc_id", "doc_id").count() == 0
+    assert stats.fixed_width_histogram(empty_docs, "doc_id", 10.0).count() == 0
