@@ -276,10 +276,13 @@ def token_budget_allocation(
     """Water-filling token-budget allocation across sources: given a
     total token budget (half the corpus token mass, integer-exact),
     give every source up to a common level L, chosen so that sources
-    smaller than L keep everything and the rest are capped at L with
-    the budget exactly spent — the classic balanced-mixture
-    allocation ("no source may dominate, small sources are never
-    starved").
+    smaller than L keep everything and the rest are capped at L —
+    the classic balanced-mixture allocation ("no source may
+    dominate, small sources are never starved"). The budget is spent
+    up to integer flooring: each capped source gets floor(L), so a
+    fractional water level under-allocates by at most
+    |capped sources| - 1 tokens (deterministic on both engines; the
+    conformance oracle floors identically).
 
     The textbook form iterates; this is the CLOSED-FORM window
     formulation: sort sources by token count ascending, take prefix

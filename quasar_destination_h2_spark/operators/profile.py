@@ -12,6 +12,8 @@ scans; this is always exactly one.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from ..idents import hygienic_ident
 from pyspark.sql.types import NumericType
 
 
@@ -42,25 +44,30 @@ def table_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     numeric = {
         f.name for f in df.schema.fields if isinstance(f.dataType, NumericType)
     }
+    # intermediate aliases are POSITIONAL (__nulls_0, ...) so hostile
+    # column names (embedded backticks/quotes) never reach the
+    # generated stack() expression as identifiers; the original name
+    # appears only as an escaped string literal
     aggs = [F.count(F.lit(1)).alias("__n")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs.append(
             # coalesce: SUM over an EMPTY table is NULL, and the
             # profile contract is a zero count, not a null one
-            F.coalesce(F.sum(F.col(c).isNull().cast("long")), F.lit(0))
-            .alias(f"__nulls_{c}")
+            F.coalesce(F.sum(F.col(hygienic_ident(c)).isNull().cast("long")), F.lit(0))
+            .alias(f"__nulls_{i}")
         )
-        aggs.append(F.count_distinct(F.col(c)).alias(f"__dist_{c}"))
+        aggs.append(F.count_distinct(F.col(hygienic_ident(c))).alias(f"__dist_{i}"))
         if c in numeric:
-            aggs.append(F.min(F.col(c)).cast("double").alias(f"__min_{c}"))
-            aggs.append(F.max(F.col(c)).cast("double").alias(f"__max_{c}"))
+            aggs.append(F.min(F.col(hygienic_ident(c))).cast("double").alias(f"__min_{i}"))
+            aggs.append(F.max(F.col(hygienic_ident(c))).cast("double").alias(f"__max_{i}"))
     wide = df.agg(*aggs)
     rows = []
-    for c in cols:
-        mn = f"`__min_{c}`" if c in numeric else "CAST(NULL AS DOUBLE)"
-        mx = f"`__max_{c}`" if c in numeric else "CAST(NULL AS DOUBLE)"
+    for i, c in enumerate(cols):
+        lit = c.replace("\\", "\\\\").replace("'", "\\'")
+        mn = f"`__min_{i}`" if c in numeric else "CAST(NULL AS DOUBLE)"
+        mx = f"`__max_{i}`" if c in numeric else "CAST(NULL AS DOUBLE)"
         rows.append(
-            f"'{c}', `__n`, `__nulls_{c}`, `__dist_{c}`, {mn}, {mx}"
+            f"'{lit}', `__n`, `__nulls_{i}`, `__dist_{i}`, {mn}, {mx}"
         )
     stack = ", ".join(rows)
     return wide.selectExpr(

@@ -739,9 +739,13 @@ def search_token_index(
     O(corpus) like the scan form.
 
     Output: (doc_id,) — join back to the corpus for payloads."""
-    n = len(terms)
+    # dedupe terms: the AND test compares COUNT(DISTINCT tok) to the
+    # term-set size, so a caller passing duplicates must not raise
+    # the bar to an unreachable count
+    uniq = sorted(set(terms))
+    n = len(uniq)
     return (
-        index.where(F.col("tok").isin(*terms))
+        index.where(F.col("tok").isin(*uniq))
         .groupBy("doc_id")
         .agg(F.count_distinct("tok").alias("_nt"))
         .where(F.col("_nt") == n)

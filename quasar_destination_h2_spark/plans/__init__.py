@@ -4,115 +4,86 @@ from .catalog import REGISTRY, Query, all_queries, all_oracles, query
 from . import tierb  # noqa: E402,F401
 from . import ext  # noqa: E402,F401
 
-# The driver's conformance harness checks the first 50 registered
-# queries (dict insertion order). Rounds 2-5 drove 125 of the 127
-# registered queries to a driver-witnessed green hash (r5 was 50/50,
-# completing every query registered before round 5). The round-6
-# window finishes coverage and guards against regression:
-#   * slots 1-2: the ONLY two queries the driver has never hashed
-#     (dedup_keep_best, source_overlap_matrix; both added in round 5
-#     after that window was fixed, both locally oracle-green at
-#     sf0.01 + sf0.1) -> cumulative witnessed coverage becomes
-#     127/127.
-#   * the remaining 48 slots: ~2 anchors per operator category,
-#     drawn from all witness eras (r2 Tier-B base, r3 LLM-pipeline,
-#     r4/r5 additions), deliberately including every query whose
-#     implementation round 6 touches (dedup_ngram_jaccard: the
-#     max-df posting-list cap is now mirrored in its oracle;
-#     dedup_minhash_lsh: gains a band-bucket fan-out cap;
-#     dedup_clusters: fixpoint shared with dedup_keep_best;
-#     recursive_cte_sql: sql_dml error-translation hardening) and
-#     the set-op / subquery / window families the round-6
-#     differential-fuzzer extension exercises.
+# The driver's conformance harness checks the first ~50 registered
+# queries (dict insertion order; r6 hashed 51). Rounds 2-6 drove 127
+# of the 155 registered queries to a driver-witnessed green hash
+# (r6 was 51/51, completing every query registered before round 6).
+# The round-7 window is pure evidence completion:
+#   * slots 1-28: the ONLY queries the driver has never hashed — all
+#     28 round-6 additions (each tri-scale oracle-green locally at
+#     sf0.001/0.01/0.1, see tools/gatelogs/). Green here makes
+#     cumulative driver-witnessed coverage 155/155.
+#   * the remaining slots: cross-era anchors, prioritizing the
+#     fixpoint family (dedup_clusters / dedup_keep_best /
+#     source_overlap_matrix) and any query whose implementation or
+#     oracle round 7 touches (table_profile ident-escaping,
+#     keyword_search term-dedup, MERGE-adjacent recursive_cte_sql),
+#     plus the heaviest TPC-H / dedup / ANN shapes as regression
+#     guards.
 # Everything outside the window stays oracle-checked locally via
 # tools/oracle_check.py at sf0.01 and sf0.1 (see COVERAGE.md).
-#
-# ROUND-7 ROTATION NOTE: the round-6 additions (registered after
-# this window was fixed; all tri-scale oracle-green locally) are the
-# only queries without a driver witness — lead the next window with
-# them: text_pii_redact, docs_domain_stats, embed_label_centroid,
-# dedup_passage_exact, dedup_edit_verify, array_hof_stats,
-# lateral_topn_per_group, keyword_search, importance_weights,
-# length_buckets, token_budget_allocation, quantified_subquery,
-# table_profile, embed_matryoshka_fidelity, try_cast_safety,
-# null_safe_compare, events_hopping, window_ignore_nulls,
-# gaps_islands, split_leakage_check, asof_join_forward,
-# event_funnel, retention_cohorts, corr_matrix, ols_trend,
-# histogram_fixed_width, group_quantiles, tokenizer_fertility (28
-# queries; fill the remaining 31 slots with
-# cross-era anchors, prioritizing the fixpoint family —
-# dedup_clusters / dedup_keep_best / source_overlap_matrix — whose
-# round-1 fold round 6 touched, and dedup_minhash_lsh whose oracle
-# was refactored into shared CTEs).
 _DRIVER_WINDOW = [
-    # Never driver-witnessed -- evidence completion
+    # --- Never driver-witnessed: all 28 round-6 additions ---
+    "text_pii_redact",
+    "docs_domain_stats",
+    "embed_label_centroid",
+    "dedup_passage_exact",
+    "dedup_edit_verify",
+    "array_hof_stats",
+    "lateral_topn_per_group",
+    "keyword_search",
+    "importance_weights",
+    "length_buckets",
+    "token_budget_allocation",
+    "quantified_subquery",
+    "table_profile",
+    "embed_matryoshka_fidelity",
+    "try_cast_safety",
+    "null_safe_compare",
+    "events_hopping",
+    "window_ignore_nulls",
+    "gaps_islands",
+    "split_leakage_check",
+    "asof_join_forward",
+    "event_funnel",
+    "retention_cohorts",
+    "corr_matrix",
+    "ols_trend",
+    "histogram_fixed_width",
+    "group_quantiles",
+    "tokenizer_fertility",
+    # --- Cross-era anchors (all previously witnessed) ---
+    # Fixpoint family (round-6 touched the shared fixpoint)
+    "dedup_clusters",
     "dedup_keep_best",
     "source_overlap_matrix",
-    # Queries whose implementation round 6 touches
+    # Queries whose implementation round 7 touches
     "recursive_cte_sql",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_clusters",
-    # Dedup family anchors
+    # Dedup anchors
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_simhash",
-    # Projection / filter base
-    "distinct",
-    "filter_projection",
-    # Aggregation + grouping analytics
-    "agg_having",
-    "group_concat",
-    "agg_filter_clause",
-    "agg_bool",
-    "values_inline_table",
-    "rollup_grouping",
-    # Join family
-    "join_left",
-    "join_right",
-    "join_cross",
-    "join_theta",
-    "join_natural",
-    # TPC-H anchors (r4-witnessed heavy shapes)
-    "tpch_q7_volume_shipping",
+    # TPC-H heavy shapes
+    "agg_pricing_summary",
     "tpch_q9_product_profit",
-    "tpch_q6_forecast_revenue",
     "tpch_q13_customer_distribution",
-    "tpch_q20_dominant_supplier",
-    # Window functions (fuzzer-extension family)
-    "window_lag_lead",
-    "window_rows_frame",
-    # Ordering / limit
-    "topk_with_ties",
-    "orderby_nulls_offset",
-    # Set operations (fuzzer-extension family)
-    "set_intersect",
-    "set_except_all",
-    "set_intersect_all",
-    # Subqueries (fuzzer-extension family)
-    "subquery_in",
-    "subquery_derived",
-    "subquery_scalar_select",
-    # Scalar batteries
-    "scalar_string_extended",
-    "scalar_date_extended",
-    "scalar_cast",
-    # Events (ns timestamps)
-    "events_json_props",
-    # Pivot / unpivot
-    "pivot_status_matrix",
-    "unpivot_nation_metrics",
-    # Similarity / ANN
+    "tpch_q21_suppliers_who_kept_waiting",
+    # ANN / similarity
+    "ivf_topk_ann_nprobe2",
     "ann_lsh_bucketed",
     "embed_dedup_pairs",
-    "ivf_topk_ann_nprobe2",
-    # Text analysis
+    # Text / sampling / sketches
     "text_quality",
     "contamination_check",
-    # Sampling / batch assembly
     "sample_stratified",
-    # Sketches
     "sketch_theta_overlap",
-    # Time series / joins
+    # Grammar-surface anchors
+    "rollup_grouping",
+    "window_rows_frame",
+    "set_except_all",
+    "subquery_scalar_select",
+    "events_json_props",
     "range_join_sessions",
 ]
 

@@ -689,7 +689,21 @@ def rewrite_quantified(sql: str) -> str:
     all resolve; the pass cap only guards pathological nesting."""
     for _ in range(64):
         shadow = _shadow(sql)
-        m = _QUANT_RE.search(shadow)
+        # Only a parenthesized QUERY is a quantified predicate; H2's
+        # array form (x = ANY(array_col)) and Spark's any()/some()
+        # boolean aggregates appearing after a comparison must pass
+        # through untouched — splicing them into SELECT COUNT(*)
+        # probes would fail with a misleading downstream parse error.
+        pos, m = 0, None
+        while True:
+            cand = _QUANT_RE.search(shadow, pos)
+            if cand is None:
+                break
+            body = shadow[cand.end():].lstrip(" \t\r\n(")
+            if re.match(r"(SELECT|WITH|VALUES)\b", body, re.I):
+                m = cand
+                break
+            pos = cand.end()
         if m is None:
             return sql
         op = "<>" if m.group(1) == "!=" else m.group(1)
@@ -943,6 +957,22 @@ def _execute_merge_using(engine, statement: str, shadow: str) -> int:
         return F.expr(f"`{spec['t_alias']}`.`{name}`")
 
     fields = target.schema.fields
+    known = set(target.columns)
+    # H2 raises "Column not found" for a misspelled UPDATE SET target
+    # or INSERT column; silently ignoring (the alternative) would
+    # diverge from the reference without any error signal.
+    if spec["matched"] is not None and spec["matched"][0] == "update":
+        bad = [c for c in spec["matched"][1] if c not in known]
+        if bad:
+            raise ValueError(
+                f"MERGE USING: column not found in UPDATE SET: {bad}"
+            )
+    if spec["not_matched"] is not None and spec["not_matched"][0] is not None:
+        bad = [c for c in spec["not_matched"][0] if c not in known]
+        if bad:
+            raise ValueError(
+                f"MERGE USING: column not found in INSERT list: {bad}"
+            )
     parts = []
     n_changed = 0
     if spec["matched"] is None:

@@ -1328,3 +1328,34 @@ def test_round6_operators_handle_empty_input(spark):
     assert stats.corr_matrix(empty_docs.select("doc_id"), ["doc_id"]).count() == 0
     assert stats.group_ols(empty_docs, "source", "doc_id", "doc_id").count() == 0
     assert stats.fixed_width_histogram(empty_docs, "doc_id", 10.0).count() == 0
+
+
+def test_table_profile_hostile_column_names(spark):
+    """Column names with embedded quotes/backticks must survive the
+    generated stack() expression (r6 ADVICE: identifiers were spliced
+    verbatim); the names come back verbatim in column_name."""
+    from quasar_destination_h2_spark.operators import profile
+
+    hostile = ["it's", "back`tick", 'dq"uote']
+    df = spark.createDataFrame([(1, "a", 2.0), (None, "b", 4.0)], hostile)
+    got = {r.column_name: r for r in profile.table_profile(df).collect()}
+    assert set(got) == set(hostile)
+    assert (got["it's"].n_nulls, got["it's"].n_distinct) == (1, 1)
+    assert got['dq"uote'].min_value == 2.0
+    assert got['dq"uote'].max_value == 4.0
+
+
+def test_token_index_search_duplicate_terms(t):
+    """Duplicate query terms must not make the AND bar unreachable
+    (r6 ADVICE: count_distinct(tok) was compared to len(terms))."""
+    from quasar_destination_h2_spark.operators.text import SEARCH_TERMS
+
+    idx = text.build_token_index(t.documents)
+    base = {r.doc_id for r in text.search_token_index(idx).collect()}
+    dup = {
+        r.doc_id
+        for r in text.search_token_index(
+            idx, SEARCH_TERMS + (SEARCH_TERMS[0],)
+        ).collect()
+    }
+    assert dup == base and base

@@ -575,3 +575,57 @@ def test_merge_using_empty_source_and_empty_match(engine):
     )
     assert n == 0
     assert _rows(engine, t) == [(1.0, "a"), (2.0, "b"), (3.0, "c")]
+
+
+def test_merge_using_unknown_update_column_raises(engine):
+    """H2 raises 'Column not found' for a misspelled UPDATE SET
+    target; silently ignoring it would be silent data divergence
+    (r6 ADVICE)."""
+    _load(engine)
+    with pytest.raises(ValueError, match="column not found in UPDATE SET"):
+        engine.execute_sql(
+            "MERGE INTO sqldml_t tg "
+            "USING (SELECT * FROM VALUES (2, 'x') AS v(k, v)) s "
+            "ON tg.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET vv = s.v"
+        )
+
+
+def test_merge_using_unknown_insert_column_raises(engine):
+    """An unknown INSERT column must error like H2, not NULL-fill."""
+    _load(engine)
+    with pytest.raises(ValueError, match="column not found in INSERT"):
+        engine.execute_sql(
+            "MERGE INTO sqldml_t tg "
+            "USING (SELECT * FROM VALUES (9, 'x') AS v(k, v)) s "
+            "ON tg.k = s.k "
+            "WHEN NOT MATCHED THEN INSERT (k, nope) VALUES (s.k, s.v)"
+        )
+
+
+def test_quantified_non_subquery_forms_pass_through(spark):
+    """H2's array form (x = ANY(array_col)) and Spark's any()/some()
+    boolean aggregates after a comparison are NOT quantified
+    predicates — the rewriter must leave them untouched instead of
+    splicing them into a COUNT(*) probe (r6 ADVICE)."""
+    from quasar_destination_h2_spark.sql_dml import rewrite_quantified
+
+    arr = "SELECT x = ANY(arr) AS hit FROM t"
+    assert rewrite_quantified(arr) == arr
+    agg = "SELECT g FROM t GROUP BY g HAVING max(x) > any(b)"
+    assert rewrite_quantified(agg) == agg
+    # a genuine subquery RIGHT AFTER a skipped form still rewrites
+    mixed = "SELECT x = ANY(arr) AS a, x > ALL (SELECT v FROM s) AS b FROM t"
+    out = rewrite_quantified(mixed)
+    assert "ANY(arr)" in out and "ALL (SELECT" not in out
+    # executable proof for the aggregate form (boolean vs boolean:
+    # true > false in Spark ordering, so max(a) > any(b) is FALSE
+    # only when some b is true)
+    got = spark.sql(
+        rewrite_quantified(
+            "SELECT g, max(a) > any(b) AS v FROM "
+            "(VALUES (1, true, false), (1, true, false)) t(g, a, b) "
+            "GROUP BY g"
+        )
+    ).collect()
+    assert [(r.g, r.v) for r in got] == [(1, True)]
