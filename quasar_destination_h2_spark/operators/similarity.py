@@ -205,9 +205,10 @@ def ivf_assign(
     (map-side) aggregate collapses them to one row BEFORE any
     exchange — the shuffle carries |corpus| rows regardless of
     n_list. The window formulation shuffled |corpus| x n_list rows
-    each dragging the full embedding (measured 5x slower at
-    n_list=256 by tools/scale_probe.py — that finding motivated this
-    shape)."""
+    each dragging the full embedding — ``tools/scale_probe.py --ivf``
+    measures it 15.5x slower at n_list=256 / 1.5x at n_list=16 on
+    sf0.1 (log: tools/gatelogs/IVF_PROBE_r7.json), and the gap grows
+    with n_list because only the window's shuffle volume does."""
     scored = emb.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     ).crossJoin(F.broadcast(cents)).select(

@@ -150,6 +150,28 @@ RESCAN_REVIEWED = frozenset({
 })
 
 
+def scan_schemas(jplan) -> list[tuple[int, str]]:
+    """(n_cols, comma-joined field names) for every file-scan leaf of
+    an executed plan, read from the scan node's requiredSchema via
+    py4j — NOT from the plan's toString(), which truncates long
+    struct<> lists and embeds commas inside decimal(p,s) types (the
+    r6 audit misreported tpch_q7's 5-column lineitem scan as 19)."""
+    if jplan.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        jplan = jplan.initialPlan()
+    out = []
+    leaves = jplan.collectLeaves()
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if "Scan" not in leaf.getClass().getSimpleName():
+            continue
+        try:
+            names = list(leaf.requiredSchema().fieldNames())
+        except Exception:
+            continue
+        out.append((len(names), ",".join(names)))
+    return out
+
+
 def sweep_violations(spark, sf_dir: str, queries) -> dict[str, list[str]]:
     """Plan every registered query and collect the scale-gate
     violations. Returns {gate: [offending query names]} — all empty
@@ -206,18 +228,17 @@ def main() -> int:
     bad = 0
     for name in AUDITED:
         df = qs[name](spark, sf_dir)
-        p = df._jdf.queryExecution().executedPlan().toString()
+        jplan = df._jdf.queryExecution().executedPlan()
+        p = jplan.toString()
         counts = {m: p.count(m) for m in MARKERS if p.count(m)}
-        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", p)
         pushed = [f for f in re.findall(r"PushedFilters: \[([^\]]*)\]", p) if f]
         if counts.get("CartesianProduct"):
             bad += 1
         lines.append(f"## {name}")
         lines.append("")
         lines.append("- markers: " + ", ".join(f"{k}×{v}" for k, v in counts.items()))
-        for s in schemas[:4]:
-            ncols = len(s.split(",")) if s else 0
-            lines.append(f"- scan ({ncols} cols): `{s[:100]}`")
+        for ncols, fields in scan_schemas(jplan)[:4]:
+            lines.append(f"- scan ({ncols} cols): `{fields[:100]}`")
         for f in pushed[:3]:
             lines.append(f"- pushed: `{f[:110]}`")
         lines.append("")

@@ -1,4 +1,6 @@
-"""Dedup-family scaling probe: measure the ngram pair build and
+"""Scaling probes.
+
+Default mode — dedup family: measure the ngram pair build and
 connected-components clustering at 1x / 3x / 10x the sf0.1 corpus.
 
 Each replica deterministically re-tags ~30% of tokens with a
@@ -13,7 +15,17 @@ near-linear wall time is the inverted-index design claim verified
 empirically; a quadratic candidate generator would blow up 100x at
 the 10x point.
 
-Usage: python tools/scale_probe.py [sf_dir]   (writes one JSON line)
+``--ivf`` mode: measure the window formulation of the IVF nearest-
+centroid assignment against the shipped ``max_by`` aggregation at
+n_list in {16, 256}. The aggregation's shuffle carries |corpus| rows
+regardless of n_list (map-side partial collapse of the broadcast
+cross join's consecutive scored rows); the window shuffles
+|corpus| x n_list rows each dragging the full embedding — this probe
+is the checked-in measurement behind ``similarity.ivf_assign``'s
+design note.
+
+Usage: python tools/scale_probe.py [--ivf] [sf_dir]
+(writes one JSON line)
 """
 
 from __future__ import annotations
@@ -26,8 +38,76 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def ivf_probe(spark, sf_dir: str) -> dict:
+    """Window-vs-aggregation assignment cost at n_list in {16, 256}.
+
+    The window variant below is the NAIVE formulation the shipped
+    operator replaced (row_number over partitionBy(vector) ordered by
+    similarity): identical output, but the exchange carries every
+    scored (vector x centroid) row. Timing both over the same staged
+    scan isolates the shuffle-volume difference."""
+    import time
+
+    from pyspark.sql import Window, functions as F
+
+    from quasar_destination_h2_spark.operators import similarity as sim
+    from quasar_destination_h2_spark.sources.tables import TableSet
+
+    emb = TableSet(spark, sf_dir).embeddings.select("vec_id", "embedding")
+
+    def window_assign(emb, cents):
+        scored = emb.select(
+            F.col("vec_id").alias("_id"), F.col("embedding").alias("_v")
+        ).crossJoin(F.broadcast(cents)).select(
+            "_id",
+            "_v",
+            "centroid_id",
+            F.round(sim.cosine(F.col("_v"), F.col("cvec")), 6).alias("_sim"),
+        )
+        w = Window.partitionBy("_id").orderBy(
+            F.col("_sim").desc(), F.col("centroid_id").asc()
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where("_rn = 1")
+            .select(
+                F.col("_id").alias("vec_id"),
+                F.col("_v").alias("embedding"),
+                "centroid_id",
+            )
+        )
+
+    out = {"sf_dir": sf_dir, "n_vectors": emb.count(), "points": []}
+    for n_list in (16, 256):
+        cents = sim.ivf_centroids(emb, n_list=n_list, id_col="vec_id")
+        cents.cache().count()
+        times = {}
+        for label, fn in (
+            ("agg", lambda: sim.ivf_assign(emb, cents, id_col="vec_id")),
+            ("window", lambda: window_assign(emb, cents)),
+        ):
+            t0 = time.perf_counter()
+            n = fn().count()
+            times[label] = (round(time.perf_counter() - t0, 2), n)
+        (agg_s, agg_n), (win_s, win_n) = times["agg"], times["window"]
+        assert agg_n == win_n, (agg_n, win_n)
+        out["points"].append(
+            {
+                "n_list": n_list,
+                "n_assigned": agg_n,
+                "agg_sec": agg_s,
+                "window_sec": win_s,
+                "window_over_agg": round(win_s / agg_s, 2),
+            }
+        )
+        cents.unpersist()
+    return out
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = [a for a in sys.argv[1:] if a != "--ivf"]
+    ivf_mode = "--ivf" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     from pyspark.sql import SparkSession, functions as F
 
@@ -43,6 +123,11 @@ def main() -> int:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if ivf_mode:
+        print(json.dumps(ivf_probe(spark, sf_dir)))
+        spark.stop()
+        return 0
 
     from quasar_destination_h2_spark.operators import dedup
     from quasar_destination_h2_spark.sources.tables import TableSet
