@@ -432,6 +432,12 @@ class Engine:
         physical = self.sink.catalog[logical_name]
         from pyspark.sql import functions as F
 
+        # H2 parity: a misspelled assignment target raises 'Column
+        # not found'; silently ignoring it diverges without a signal
+        # (same guard as MERGE USING, sql_dml._execute_merge_using)
+        bad = [c for c in assignments if c not in target.columns]
+        if bad:
+            raise ValueError(f"UPDATE: column not found in SET: {bad}")
         cond = F.expr(condition)
         n = target.where(cond).count()
         updated = target.select(
