@@ -292,7 +292,19 @@ def _dup_subgraph_labels(
     Near-dup graphs are overwhelmingly short-diameter (dup clusters
     are cliques or near-cliques from the pair generators), so this
     terminates in 2-4 rounds in practice; ``max_iter`` bounds
-    adversarial chains."""
+    adversarial chains.
+
+    Star-contraction (two-phase large-star/small-star, the
+    O(log d)-round alternative) was evaluated and deliberately NOT
+    adopted: on the clique-shaped components near-dup generators
+    produce, this loop already converges in ONE confirming round
+    (labels0 IS round 1), so contraction cannot remove rounds here —
+    wall time is dominated by the pair build, not the fixpoint
+    (measured: clusters end-to-end 4.5 s at sf0.1 cold, of which the
+    pair build alone is >2/3). Contraction's payoff exists only on
+    long-chain components, which ``max_iter`` already bounds, and its
+    two alternating step shapes would complicate the
+    ``reliable``-checkpoint path for no measured gain."""
     from .iterate import fixpoint
 
     # ONE materialization job: each near-dup pair row explodes into

@@ -24,7 +24,14 @@ cross join's consecutive scored rows); the window shuffles
 is the checked-in measurement behind ``similarity.ivf_assign``'s
 design note.
 
-Usage: python tools/scale_probe.py [--ivf] [sf_dir]
+``--profile`` mode: replicate the documents corpus 1x/3x/10x (plain
+row replication — the profiler is structure-insensitive) and time
+``table_profile`` at each point. Linear wall growth confirms the
+multi-distinct Expand's (n_cols+1)x row multiplication stays
+map-side and the fan-out repartition is a no-op on splittable
+input.
+
+Usage: python tools/scale_probe.py [--ivf|--profile] [sf_dir]
 (writes one JSON line)
 """
 
@@ -104,9 +111,45 @@ def ivf_probe(spark, sf_dir: str) -> dict:
     return out
 
 
+def profile_probe(spark, sf_dir: str) -> dict:
+    """table_profile wall time at 1x/3x/10x replicated documents."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from quasar_destination_h2_spark.operators.profile import table_profile
+    from quasar_destination_h2_spark.sources.tables import TableSet
+
+    base = TableSet(spark, sf_dir).documents
+    out = {"sf_dir": sf_dir, "n_base_docs": base.count(), "points": []}
+    for k in (1, 3, 10):
+        df = base
+        for r in range(1, k):
+            df = df.unionByName(
+                base.withColumn(
+                    "doc_id", F.col("doc_id") + r * 10_000_000
+                )
+            )
+        path = tempfile.mkdtemp(prefix=f"profile-probe-{k}x-")
+        df.write.mode("overwrite").parquet(path)
+        staged = spark.read.parquet(path)
+        n = staged.count()
+        t0 = time.perf_counter()
+        rows = table_profile(staged).collect()
+        sec = round(time.perf_counter() - t0, 2)
+        n_rows_col = {r.column_name: r.n_rows for r in rows}
+        assert all(v == n for v in n_rows_col.values()), n_rows_col
+        out["points"].append(
+            {"replicas": k, "n_docs": n, "n_cols": len(rows), "sec": sec}
+        )
+    return out
+
+
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--ivf"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     ivf_mode = "--ivf" in sys.argv[1:]
+    profile_mode = "--profile" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     from pyspark.sql import SparkSession, functions as F
@@ -126,6 +169,10 @@ def main() -> int:
 
     if ivf_mode:
         print(json.dumps(ivf_probe(spark, sf_dir)))
+        spark.stop()
+        return 0
+    if profile_mode:
+        print(json.dumps(profile_probe(spark, sf_dir)))
         spark.stop()
         return 0
 
