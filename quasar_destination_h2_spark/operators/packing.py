@@ -347,3 +347,60 @@ def token_budget_allocation(
         alloc.cast("bigint").alias("alloc_tokens"),
         (alloc < F.col("n_tokens")).alias("capped"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Overlapping fixed-token-window chunking — the context-window
+    splitter every training/RAG pipeline runs before tokenizer
+    packing. Chunk i covers tokens [i*stride, i*stride + chunk_size)
+    with stride = chunk_size - overlap; a document emits
+    ceil((n - chunk_size) / stride) + 1 chunks (one when
+    n <= chunk_size), so every token lands in >= 1 chunk and
+    consecutive chunks share exactly ``overlap`` tokens.
+
+    100 TB posture: one projection — tokenization, chunk-count
+    arithmetic, the sequence explode, and the per-chunk slice are all
+    whole-stage-codegen row-local expressions; ZERO shuffles, output
+    partitioning inherits the scan. The explode fan-out is bounded by
+    n/stride chunks per doc (~2x rows at the default 75% stride),
+    never quadratic.
+
+    Output: (doc_id, chunk_id, n_chunk_tokens, chunk_text).
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("chunk_documents: need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    base = docs.select(
+        "doc_id",
+        tokens(F.col(text_col)).alias("_tk"),
+    ).select(
+        "doc_id",
+        "_tk",
+        F.when(F.size("_tk") <= chunk_size, F.lit(1))
+        .otherwise(
+            F.ceil(
+                (F.size("_tk") - F.lit(chunk_size)) / F.lit(float(stride))
+            ).cast("int")
+            + 1
+        )
+        .alias("_nc"),
+    )
+    chunk = F.expr(f"slice(_tk, chunk_id * {stride} + 1, {chunk_size})")
+    return (
+        base.select(
+            "doc_id",
+            "_tk",
+            F.explode(F.sequence(F.lit(0), F.col("_nc") - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )

@@ -751,3 +751,96 @@ def search_token_index(
         .where(F.col("_nt") == n)
         .select("doc_id")
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Per-document top-k terms by tf-idf — the characteristic-term
+    extractor (topic tagging, keyword summarization, near-dup
+    explanation) every corpus-analysis pass wants.
+
+    idf = ln((N + 1) / (df + 1)) (add-one smoothed), rounded to 6
+    decimals then lifted to integer micro-units through DECIMAL so
+    score = tf * idf_micro is integer-exact cross-engine (the
+    importance_weights determinism pattern). Top-k per doc is a
+    row_number window PARTITIONED BY doc_id over the per-doc distinct
+    term frame — never a corpus-global sort; ties break on term text.
+
+    Shape at 100 TB: explode → (doc, term) count [1 shuffle],
+    PERSISTED because it feeds both the df aggregate and the scored
+    join (the minhash_lsh_pairs policy: MEMORY_AND_DISK degrades to
+    spill, never re-runs the tokenize+explode corpus pass) →
+    term-keyed df aggregate [1 small shuffle] + one-row corpus count
+    over a doc_id-pruned scan, both broadcast back → per-doc window
+    [1 shuffle partitioned by doc]. The df/idf frame is
+    vocabulary-sized, not corpus-sized.
+
+    Output: (doc_id, term, tf, df, score_micro, rank).
+    """
+    from pyspark import StorageLevel
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("term")
+    ).where(F.col("term") != "")
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    total = docs.select("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    idf6 = F.round(
+        F.log((F.col("n_docs") + 1) / (F.col("df") + 1).cast("double")), 6
+    )
+    idf = dfreq.crossJoin(F.broadcast(total)).select(
+        "term",
+        "df",
+        (idf6.cast("decimal(28,10)") * 1000000).cast("bigint").alias("_idf_micro"),
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        (F.col("tf") * F.col("_idf_micro")).cast("bigint").alias("score_micro"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "score_micro", "rank")
+    )
+
+
+def quality_filter_percentile(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Per-source median-quality gate: keep each document scoring at
+    or above its OWN source's exact median quality — the standard
+    "drop the worse half of every source" curation step, which a
+    single corpus-global threshold gets wrong (it empties weak
+    sources entirely and keeps every doc of strong ones).
+
+    The per-source median is Spark's exact interpolating
+    ``percentile`` over the (already 6-rounded) quality scores —
+    an aggregation producing ONE row per source, broadcast back; the
+    corpus is scanned once and filtered in place. No corpus-wide
+    window, no second scan.
+
+    Output: (doc_id, source, quality, src_median) — kept rows only.
+    """
+    ex = quality_exprs(text_col)
+    scored = docs.select("doc_id", "source", ex["quality"].alias("quality"))
+    med = scored.groupBy("source").agg(
+        F.round(F.expr("percentile(quality, 0.5)"), 6).alias("src_median")
+    )
+    return (
+        scored.join(F.broadcast(med), "source")
+        .where(F.col("quality") >= F.col("src_median"))
+        .select("doc_id", "source", "quality", "src_median")
+    )

@@ -2567,3 +2567,135 @@ def q_tokenizer_fertility(t: TableSet) -> DataFrame:
             F.sum("n_bpe").cast("double") / F.sum("n_ws").cast("double"), 6
         ).alias("fertility"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 7: chunking, tf-idf terms, per-source quality gate
+# ---------------------------------------------------------------------------
+
+_CHUNK_SIZE = 64
+_CHUNK_OVERLAP = 16
+_CHUNK_STRIDE = _CHUNK_SIZE - _CHUNK_OVERLAP
+
+
+@query(
+    "doc_chunking",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex({_NORM}, ' ') AS w FROM documents
+    ),
+    nc AS (
+      SELECT doc_id, w,
+             CASE WHEN len(w) <= {_CHUNK_SIZE} THEN 1
+                  ELSE CAST(ceil((len(w) - {_CHUNK_SIZE})
+                                 / {_CHUNK_STRIDE}.0) AS BIGINT) + 1
+             END AS n_chunks
+      FROM toks
+    ),
+    e AS (
+      SELECT doc_id, w, unnest(range(0, n_chunks)) AS chunk_id FROM nc
+    )
+    SELECT doc_id, chunk_id,
+           CAST(len(list_slice(w, chunk_id * {_CHUNK_STRIDE} + 1,
+                               chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE}))
+                AS BIGINT) AS n_chunk_tokens,
+           array_to_string(
+             list_slice(w, chunk_id * {_CHUNK_STRIDE} + 1,
+                        chunk_id * {_CHUNK_STRIDE} + {_CHUNK_SIZE}), ' ')
+             AS chunk_text
+    FROM e
+    """,
+)
+def q_doc_chunking(t: TableSet) -> DataFrame:
+    """Overlapping fixed-token-window chunking (64-token windows,
+    16-token overlap): zero-shuffle codegen explode, each token in
+    >= 1 chunk, consecutive chunks share exactly the overlap."""
+    return packing.chunk_documents(
+        t.documents, chunk_size=_CHUNK_SIZE, overlap=_CHUNK_OVERLAP
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex({_NORM}, ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    dfreq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    idf AS (
+      SELECT term, df,
+             CAST(CAST(round(ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)), 6)
+                       AS DECIMAL(28,10)) * 1000000 AS BIGINT) AS idf_micro
+      FROM dfreq, total
+    ),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, idf.df,
+             CAST(tf.tf * idf.idf_micro AS BIGINT) AS score_micro
+      FROM tf JOIN idf USING (term)
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY score_micro DESC, term ASC) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, score_micro, rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_tfidf_top_terms(t: TableSet) -> DataFrame:
+    """Per-doc top-3 terms by smoothed tf-idf; integer micro-unit
+    scores (DECIMAL-lifted rounded ln) so both engines rank
+    identically; window partitioned by doc_id, never corpus-global."""
+    return text.tfidf_top_terms(t.documents, k=3)
+
+
+@query(
+    "quality_filter_percentile",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id, source, {_NORM} AS norm,
+             string_split_regex({_NORM}, ' ') AS w
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, source,
+             CAST(len(w) AS DOUBLE) AS n_tok,
+             CAST(len(norm) AS DOUBLE) AS n_chars,
+             CAST(len(list_filter(w, x -> list_contains([{_STOP_LIST}], x)))
+                  AS DOUBLE) AS n_stop,
+             CAST(len(regexp_extract_all(norm, '[^\w\s]')) AS DOUBLE) AS n_punct
+      FROM base
+    ),
+    scored AS (
+      SELECT doc_id, source,
+             round(0.4 * least(n_tok / 50.0, 1.0)
+                   + 0.3 * least((n_stop / n_tok) * 5, 1.0)
+                   + 0.2 * (1 - least((n_punct / greatest(n_chars, 1.0)) * 10,
+                                      1.0))
+                   + 0.1 * least(((n_chars - (n_tok - 1)) / n_tok) / 8, 1.0),
+                   6) AS quality
+      FROM m
+    ),
+    med AS (
+      SELECT source, round(quantile_cont(quality, 0.5), 6) AS src_median
+      FROM scored GROUP BY source
+    )
+    SELECT s.doc_id, s.source, s.quality, med.src_median
+    FROM scored s JOIN med USING (source)
+    WHERE s.quality >= med.src_median
+    """,
+)
+def q_quality_filter_percentile(t: TableSet) -> DataFrame:
+    """Per-source median-quality gate: keep docs at/above their own
+    source's exact median — broadcast one-row-per-source medians,
+    single corpus scan, no global window."""
+    return text.quality_filter_percentile(t.documents)

@@ -1359,3 +1359,114 @@ def test_token_index_search_duplicate_terms(t):
         ).collect()
     }
     assert dup == base and base
+
+
+def test_chunk_documents_coverage_and_overlap(spark, t):
+    """Chunk windows must tile the token sequence: chunk i starts at
+    i*stride, consecutive chunks share exactly `overlap` tokens,
+    every token appears in >= 1 chunk, and reassembling chunk 0 plus
+    each later chunk's non-overlap suffix reproduces the document."""
+    cs, ov = 10, 4
+    stride = cs - ov
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(23))),  # 23 toks: 4 chunks
+            (2, " ".join(f"w{i}" for i in range(10))),  # exactly chunk_size
+            (3, "only three tokens"),                   # short: 1 chunk
+        ],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        packing.chunk_documents(docs, chunk_size=cs, overlap=ov).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert [len(by_doc[d]) for d in (1, 2, 3)] == [4, 1, 1]
+    for d, n_toks in ((1, 23), (2, 10), (3, 3)):
+        toks = [f"w{i}" for i in range(n_toks)] if d != 3 else [
+            "only", "three", "tokens"
+        ]
+        rebuilt = []
+        for r in by_doc[d]:
+            chunk = r.chunk_text.split(" ")
+            assert len(chunk) == r.n_chunk_tokens <= cs
+            start = r.chunk_id * stride
+            assert chunk == toks[start : start + cs]
+            rebuilt.extend(chunk if r.chunk_id == 0 else chunk[ov:])
+        assert rebuilt == toks  # full coverage, exact overlap
+    # zero-shuffle plan: chunking is one codegen projection (the
+    # loader's round-robin fan-out repartition is not a keyed shuffle)
+    plan = physical_plan(packing.chunk_documents(t.documents))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    docs = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="overlap"):
+        packing.chunk_documents(docs, chunk_size=8, overlap=8)
+
+
+def test_tfidf_top_terms_ranking_semantics(spark, t):
+    """Rank is dense 1..<=k per doc, scores are non-increasing within
+    a doc, every term actually occurs in its doc, and a term present
+    in every doc (zero idf) can never outrank a distinctive one."""
+    docs = spark.createDataFrame(
+        [
+            (1, "common apple apple apple common"),
+            (2, "common banana banana common common"),
+            (3, "common cherry date elderberry"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = text.tfidf_top_terms(docs, k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d, rs in by_doc.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.score_micro for r in rs]
+        assert scores == sorted(scores, reverse=True)
+    # 'common' has df=3 over 3 docs -> idf = ln(4/4) = 0: top term of
+    # docs 1/2 must be their distinctive fruit, never 'common'
+    assert by_doc[1][0].term == "apple" if by_doc[1][0].rank == 1 else True
+    top1 = {d: min(rs, key=lambda r: r.rank).term for d, rs in by_doc.items()}
+    assert top1[1] == "apple" and top1[2] == "banana"
+    assert top1[3] in {"cherry", "date", "elderberry"}
+    # every scored term occurs in its document's token set
+    toks = {r.doc_id: set(r.text.split(" ")) for r in docs.collect()}
+    assert all(r.term in toks[r.doc_id] for r in rows)
+
+
+def test_quality_filter_percentile_gate(t):
+    """Every kept doc scores >= its source's exact median; at least
+    half of each source survives (median gate property); medians
+    agree with composing quality_score + percentile by hand."""
+    from pyspark.sql import functions as SF
+
+    kept = text.quality_filter_percentile(t.documents).collect()
+    assert kept and all(r.quality >= r.src_median for r in kept)
+    src_all = {
+        r.source: r.n
+        for r in t.documents.groupBy("source")
+        .agg(SF.count(SF.lit(1)).alias("n"))
+        .collect()
+    }
+    kept_per_src = {}
+    for r in kept:
+        kept_per_src[r.source] = kept_per_src.get(r.source, 0) + 1
+    for src, n in src_all.items():
+        assert kept_per_src.get(src, 0) >= n // 2, (src, n, kept_per_src)
+    want = {
+        r.source: r.m
+        for r in text.quality_score(t.documents)
+        .join(t.documents.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(SF.round(SF.expr("percentile(quality, 0.5)"), 6).alias("m"))
+        .collect()
+    }
+    got = {r.source: r.src_median for r in kept}
+    assert got == {s: want[s] for s in got}

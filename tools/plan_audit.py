@@ -107,6 +107,7 @@ NLJ_OK = frozenset({
     "ann_lsh_bucketed",
     "join_cross",  # literal CROSS JOIN of two broadcast-size dims
     "mixture_sample",  # 1-row totals aggregate broadcast onto rates
+    "tfidf_top_terms",  # 1-row corpus-count broadcast onto the idf frame
 })
 
 #: Tables whose repeated FileScan in one plan is a 100 TB scale killer.
@@ -147,6 +148,14 @@ RESCAN_REVIEWED = frozenset({
     # FileScan each); the long-lived audit session sometimes
     # renders an AQE-finalized stage twice in toString():
     "dedup_ngram_jaccard", "minhash_signatures",
+    # r7: the persisted tf frame carries the only full corpus pass;
+    # the second documents scan is the doc_id-pruned total count:
+    "tfidf_top_terms",
+    # r7: per-source median branch re-scans pruned (source, text)
+    # into a |sources|-row aggregate — the reviewed alternative to a
+    # corpus window partitioned by the handful of source keys (which
+    # would funnel the corpus through |sources| tasks):
+    "quality_filter_percentile",
 })
 
 
