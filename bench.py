@@ -63,6 +63,11 @@ HEADLINE = (
     # the headline set
     "importance_weights",
     "table_profile",
+    # r7 additions: zero-shuffle chunk explode and the persisted-tf
+    # three-stage tf-idf ranking — the last two plan families
+    # (sequence-generate fan-out, cached-reuse aggregation tree)
+    "doc_chunking",
+    "tfidf_top_terms",
 )
 
 

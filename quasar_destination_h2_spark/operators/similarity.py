@@ -626,3 +626,66 @@ def matryoshka_fidelity(
             F.sqrt(F.col("dot_prefix")) / F.sqrt(F.col("dot_full")), 6
         ).alias("cos_truncated"),
     )
+
+
+def hard_negative_mining(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar corpus vectors carrying a
+    DIFFERENT label — the "looks alike, isn't" examples that give
+    contrastive/embedding losses their gradient signal. (Easy
+    negatives are random draws; mining the hard ones is the step
+    that needs the engine.)
+
+    Same 100 TB shape as :func:`brute_force_topk`: the query set
+    (with labels) is broadcast, the corpus streams past exactly once,
+    the label-mismatch predicate is part of the join condition — so
+    same-label pairs are dropped BEFORE the cosine arithmetic — and
+    the top-k is a row_number window partitioned by query_id (never
+    a global sort). At IVF scale, compose with ivf_assign to confine
+    candidates per cluster; the ranking stage is unchanged.
+
+    Output: (query_id, query_label, neighbor_id, neighbor_label,
+    cos_sim, rank) with rank 1..k by (cos_sim desc, neighbor_id).
+    """
+    q = emb.where(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("qv"),
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(vec_col).alias("cv"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        F.col("query_label") != F.col("neighbor_label"),
+    ).select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "cos_sim",
+            "rank",
+        )
+    )

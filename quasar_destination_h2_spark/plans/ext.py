@@ -2699,3 +2699,32 @@ def q_quality_filter_percentile(t: TableSet) -> DataFrame:
     source's exact median — broadcast one-row-per-source medians,
     single corpus scan, no global window."""
     return text.quality_filter_percentile(t.documents)
+
+
+@query(
+    "hard_negative_mining",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, label AS query_label,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, label AS neighbor_label,
+                 CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    scored AS (
+      SELECT query_id, query_label, neighbor_id, neighbor_label,
+             round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+      FROM c, q WHERE query_label <> neighbor_label
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, cos_sim,
+           CAST(rank AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_hard_negative_mining(t: TableSet) -> DataFrame:
+    """Contrastive hard negatives: top-5 most-similar OTHER-label
+    vectors per query; label exclusion inside the broadcast join
+    condition, scores 6-rounded before ranking."""
+    return similarity.hard_negative_mining(t.embeddings)

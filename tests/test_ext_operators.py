@@ -1470,3 +1470,77 @@ def test_quality_filter_percentile_gate(t):
     }
     got = {r.source: r.src_median for r in kept}
     assert got == {s: want[s] for s in got}
+
+
+def test_round7_operators_handle_empty_input(spark):
+    """Empty-input robustness for the round-7 operators — same
+    contract as the earlier-round empty tests: zero rows in, zero
+    rows out, no exceptions."""
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    empty_docs = spark.createDataFrame(
+        [], StructType([
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("source", StringType()),
+        ])
+    )
+    assert packing.chunk_documents(empty_docs).count() == 0
+    assert text.tfidf_top_terms(empty_docs).count() == 0
+    assert text.quality_filter_percentile(empty_docs).count() == 0
+    from pyspark.sql.types import ArrayType, FloatType, IntegerType
+
+    empty_emb = spark.createDataFrame(
+        [], StructType([
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ])
+    )
+    assert similarity.hard_negative_mining(empty_emb).count() == 0
+
+
+def test_hard_negative_mining_label_exclusion(t):
+    """Every mined negative carries a DIFFERENT label than its query;
+    ranks are dense per query; and each rank-1 negative is exactly
+    the best other-label neighbor that brute-force scoring finds."""
+    from pyspark.sql import functions as SF
+
+    rows = similarity.hard_negative_mining(t.embeddings, n_queries=5, k=3).collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert r.query_label != r.neighbor_label
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        sims = [r.cos_sim for r in rs]
+        assert sims == sorted(sims, reverse=True)
+    # cross-check rank-1 against an independent pandas replay
+    emb = {
+        r.vec_id: (r.label, r.embedding)
+        for r in t.embeddings.collect()
+    }
+    import math
+
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(y) ** 2 for y in b))
+        return round(d / (na * nb), 6)
+
+    for q, rs in by_q.items():
+        ql, qv = emb[q]
+        best = max(
+            (
+                (cos(qv, v), -i)
+                for i, (l, v) in emb.items()
+                if l != ql
+            ),
+        )
+        got1 = min(rs, key=lambda r: r.rank)
+        assert (got1.cos_sim, -got1.neighbor_id) == best

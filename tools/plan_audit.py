@@ -71,6 +71,12 @@ AUDITED = (
     "table_profile",
     "token_budget_allocation",
     "events_hopping",
+    # round 7: zero-shuffle chunk explode, persisted-tf three-stage
+    # tf-idf, per-source median gate, label-excluded hard negatives
+    "doc_chunking",
+    "tfidf_top_terms",
+    "quality_filter_percentile",
+    "hard_negative_mining",
 )
 
 MARKERS = (
@@ -108,6 +114,7 @@ NLJ_OK = frozenset({
     "join_cross",  # literal CROSS JOIN of two broadcast-size dims
     "mixture_sample",  # 1-row totals aggregate broadcast onto rates
     "tfidf_top_terms",  # 1-row corpus-count broadcast onto the idf frame
+    "hard_negative_mining",  # same broadcast-queries shape as embed_cosine_topk
 })
 
 #: Tables whose repeated FileScan in one plan is a 100 TB scale killer.
@@ -128,6 +135,7 @@ RESCAN_REVIEWED = frozenset({
     "text_boilerplate", "contamination_check",
     # query-set vs corpus / self-join sides (pruned or cached):
     "ann_lsh_bucketed", "embed_dedup_pairs", "embed_cosine_topk",
+    "hard_negative_mining",
     "dedup_minhash_lsh", "multimodal_decode", "pipeline_curate",
     # per-level exact-verification scaffolding (sketch side scans once):
     "sketch_user_rollup",
