@@ -148,8 +148,48 @@ def _merges() -> st.SearchStrategy[tuple]:
     ).filter(lambda s: s[2] is not None or s[3])  # >= one branch
 
 
+#: INSERT column-list variants: full row, NULL-filled tail, NULL key.
+_INSERT_COLSETS = (("k", "g", "n", "v"), ("k", "n"), ("g", "v"))
+
+
+def _inserts() -> st.SearchStrategy[tuple]:
+    rows = st.lists(
+        st.builds(
+            lambda k, n, s: (k, _GROUPS[n % 3], n, f"i{s}"),
+            st.integers(min_value=30, max_value=80),
+            st.integers(min_value=0, max_value=96),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda r: r[0],
+    )
+    return st.builds(
+        lambda r, ci: ("insert", r, _INSERT_COLSETS[ci]),
+        rows,
+        st.integers(min_value=0, max_value=len(_INSERT_COLSETS) - 1),
+    )
+
+
+def _legacy_merges() -> st.SearchStrategy[tuple]:
+    rows = st.lists(
+        st.builds(
+            lambda k, n, s: (k, _GROUPS[n % 3], n, f"m{s}"),
+            st.integers(min_value=30, max_value=55),
+            st.integers(min_value=0, max_value=96),
+            st.integers(min_value=0, max_value=9),
+        ),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda r: r[0],
+    )
+    return st.builds(lambda r: ("legacy_merge", r), rows)
+
+
 def _statements() -> st.SearchStrategy[tuple]:
-    return st.one_of(_updates(), _deletes(), _merges())
+    return st.one_of(
+        _updates(), _deletes(), _merges(), _inserts(), _legacy_merges()
+    )
 
 
 # --- rendering -------------------------------------------------------------
@@ -164,6 +204,19 @@ def _matched_set(kind: str, t: str, s: str) -> dict[str, str]:
     return {"n": f"{s}.sn", "v": f"upper({s}.sv)"}
 
 
+def _insert_values(rows, colset) -> str:
+    """Render VALUES tuples restricted to the column subset."""
+    idx = {"k": 0, "g": 1, "n": 2, "v": 3}
+
+    def lit(c, row):
+        val = row[idx[c]]
+        return str(val) if c in ("k", "n") else f"'{val}'"
+
+    return ", ".join(
+        "(" + ", ".join(lit(c, r) for c in colset) + ")" for r in rows
+    )
+
+
 def _engine_sql(spec: tuple) -> str:
     if spec[0] == "update":
         _, assignments, pred = spec
@@ -171,6 +224,19 @@ def _engine_sql(spec: tuple) -> str:
         return f"UPDATE dmlfuzz SET {sets} WHERE {pred}"
     if spec[0] == "delete":
         return f"DELETE FROM dmlfuzz WHERE {spec[1]}"
+    if spec[0] == "insert":
+        _, rows, colset = spec
+        cols = ", ".join(colset)
+        return (
+            f"INSERT INTO dmlfuzz ({cols}) VALUES "
+            + _insert_values(rows, colset)
+        )
+    if spec[0] == "legacy_merge":
+        _, rows = spec
+        return (
+            "MERGE INTO dmlfuzz (k, g, n, v) KEY (k) VALUES "
+            + _insert_values(rows, ("k", "g", "n", "v"))
+        )
     _, rows, matched, insert = spec
     values = ", ".join(f"({k}, '{g}', {n}, '{v}')" for k, g, n, v in rows)
     sql = (
@@ -205,6 +271,31 @@ def _duck_apply(con, spec: tuple) -> int:
         ).fetchone()[0]
     if spec[0] == "delete":
         return con.execute(f"DELETE FROM dmlfuzz WHERE {spec[1]}").fetchone()[0]
+    if spec[0] == "insert":
+        # dialect-neutral text: partial column lists NULL-fill on
+        # both engines
+        return con.execute(_engine_sql(spec)).fetchone()[0]
+    if spec[0] == "legacy_merge":
+        # H2 legacy MERGE ... KEY = replace-matched + insert, replayed
+        # from the definition (target anti-join source keys ∪ source)
+        _, rows = spec
+        con.execute(
+            "CREATE OR REPLACE TEMP TABLE __lsrc"
+            "(sk DOUBLE, sg VARCHAR, sn DOUBLE, sv VARCHAR)"
+        )
+        con.execute(
+            "INSERT INTO __lsrc VALUES "
+            + ", ".join(f"({k}, '{g}', {n}, '{v}')" for k, g, n, v in rows)
+        )
+        con.execute(
+            "CREATE OR REPLACE TEMP TABLE __res AS "
+            "SELECT k, g, n, v FROM dmlfuzz t "
+            "WHERE NOT EXISTS (SELECT 1 FROM __lsrc s WHERE t.k = s.sk) "
+            "UNION ALL SELECT sk, sg, sn, sv FROM __lsrc"
+        )
+        con.execute("DELETE FROM dmlfuzz")
+        con.execute("INSERT INTO dmlfuzz SELECT * FROM __res")
+        return len(rows)
 
     _, rows, matched, insert = spec
     values = ", ".join(
