@@ -143,3 +143,46 @@ def fixed_width_histogram(
             F.round("sum_value", 6).alias("sum_value"),
         )
     )
+
+
+def key_skew_profile(df: DataFrame, key_col: str, topn: int = 10) -> DataFrame:
+    """Pre-join skew diagnostic: the heavy-hitter keys and how far
+    the key distribution departs from uniform — the question every
+    big join/groupBy should ask BEFORE shuffling 100 TB on a key
+    (its answer decides between plain hash join, AQE skew handling,
+    and explicit salting; the engine's salted_join_agg is the
+    downstream consumer).
+
+    All ratios are integer parts-per-million via integer DIVISION so
+    both engines compute bit-identical values: share_ppm = this
+    key's row share; skew_ppm = max_count x n_keys / total — exactly
+    1,000,000 for a perfectly uniform key, k-million when the
+    hottest key carries k-times its uniform share.
+
+    Shape: one partial+final count aggregation on the key [the only
+    corpus shuffle], TakeOrderedAndProject for the top-N (per-
+    partition heap, no global sort), and a one-row global-stats
+    aggregate broadcast onto the N winners.
+
+    Output: (key, cnt, share_ppm, n_keys, total_rows, skew_ppm).
+    """
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    stats = counts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("key")).limit(topn)
+    return top.crossJoin(F.broadcast(stats)).select(
+        "key",
+        "cnt",
+        F.expr("CAST(cnt * 1000000 DIV total_rows AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        "n_keys",
+        "total_rows",
+        F.expr("CAST(max_cnt * n_keys * 1000000 DIV total_rows AS BIGINT)")
+        .alias("skew_ppm"),
+    )

@@ -2728,3 +2728,32 @@ def q_hard_negative_mining(t: TableSet) -> DataFrame:
     vectors per query; label exclusion inside the broadcast join
     condition, scores 6-rounded before ranking."""
     return similarity.hard_negative_mining(t.embeddings)
+
+
+@query(
+    "key_skew_profile",
+    oracle="""
+    WITH counts AS (
+      SELECT l_suppkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_suppkey
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS total_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM counts
+    ),
+    top AS (SELECT * FROM counts ORDER BY cnt DESC, key ASC LIMIT 10)
+    SELECT key, cnt,
+           CAST(cnt * 1000000 // total_rows AS BIGINT) AS share_ppm,
+           n_keys, total_rows,
+           CAST(max_cnt * n_keys * 1000000 // total_rows AS BIGINT)
+             AS skew_ppm
+    FROM top, stats
+    """,
+)
+def q_key_skew_profile(t: TableSet) -> DataFrame:
+    """Join-key skew diagnostic on lineitem.l_suppkey: top-10 heavy
+    keys + integer-ppm uniformity departure; one key-count shuffle,
+    TakeOrderedAndProject top-N, one-row stats broadcast."""
+    return stats.key_skew_profile(t.lineitem, "l_suppkey")

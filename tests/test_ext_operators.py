@@ -1544,3 +1544,42 @@ def test_hard_negative_mining_label_exclusion(t):
         )
         got1 = min(rs, key=lambda r: r.rank)
         assert (got1.cos_sim, -got1.neighbor_id) == best
+
+
+def test_key_skew_profile_semantics(spark, t):
+    """share/skew ppm agree with hand arithmetic on a crafted skewed
+    frame (one key with half the rows), the top list is count-sorted,
+    the plan top-N is a TakeOrderedAndProject, and a perfectly
+    uniform key reports skew_ppm == 1_000_000 exactly."""
+    from quasar_destination_h2_spark.operators import stats as S
+
+    skewed = spark.createDataFrame(
+        [(1,)] * 50 + [(k,) for k in range(2, 52)], ["k"]
+    )
+    rows = sorted(
+        S.key_skew_profile(skewed, "k", topn=3).collect(),
+        key=lambda r: -r.cnt,
+    )
+    assert rows[0].key == 1 and rows[0].cnt == 50
+    assert rows[0].n_keys == 51 and rows[0].total_rows == 100
+    assert rows[0].share_ppm == 50 * 1_000_000 // 100
+    assert rows[0].skew_ppm == 50 * 51 * 1_000_000 // 100
+    assert [r.cnt for r in rows] == sorted((r.cnt for r in rows), reverse=True)
+
+    uniform = spark.createDataFrame([(k,) for k in range(1, 11)] * 4, ["k"])
+    u = S.key_skew_profile(uniform, "k", topn=1).collect()[0]
+    assert u.skew_ppm == 1_000_000
+
+    plan = physical_plan(S.key_skew_profile(t.lineitem, "l_suppkey"))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_key_skew_profile_empty_input(spark):
+    from pyspark.sql.types import LongType, StructField, StructType
+    from quasar_destination_h2_spark.operators import stats as S
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField("k", LongType())])
+    )
+    assert S.key_skew_profile(empty, "k").count() == 0

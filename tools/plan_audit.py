@@ -115,6 +115,7 @@ NLJ_OK = frozenset({
     "mixture_sample",  # 1-row totals aggregate broadcast onto rates
     "tfidf_top_terms",  # 1-row corpus-count broadcast onto the idf frame
     "hard_negative_mining",  # same broadcast-queries shape as embed_cosine_topk
+    "key_skew_profile",  # 1-row global-stats broadcast onto the top-N keys
 })
 
 #: Tables whose repeated FileScan in one plan is a 100 TB scale killer.
