@@ -1583,3 +1583,50 @@ def test_key_skew_profile_empty_input(spark):
         [], StructType([StructField("k", LongType())])
     )
     assert S.key_skew_profile(empty, "k").count() == 0
+
+
+def test_chunk_documents_property_random_geometry(spark):
+    """Property test over random (n_tokens, chunk_size, overlap):
+    chunk starts stride apart, full coverage, last chunk non-empty,
+    chunk count matches the closed form — for every geometry, not
+    just the defaults."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    geoms: list[tuple[int, int, int]] = []
+
+    @given(
+        st.integers(min_value=1, max_value=40),   # n tokens
+        st.integers(min_value=2, max_value=12),   # chunk size
+        st.integers(min_value=0, max_value=11),   # overlap (clamped)
+    )
+    @settings(
+        max_examples=30, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    def collect(n, cs, ov):
+        geoms.append((n, cs, min(ov, cs - 1)))
+
+    collect()
+    # one spark job for all geometries: doc_id encodes the geometry
+    cases = {}
+    for i, (n, cs, ov) in enumerate(dict.fromkeys(geoms)):
+        cases[i] = (n, cs, ov)
+    for i, (n, cs, ov) in cases.items():
+        docs = spark.createDataFrame(
+            [(i, " ".join(f"t{j}" for j in range(n)))], ["doc_id", "text"]
+        )
+        rows = sorted(
+            packing.chunk_documents(docs, chunk_size=cs, overlap=ov).collect(),
+            key=lambda r: r.chunk_id,
+        )
+        stride = cs - ov
+        want_chunks = 1 if n <= cs else -(-(n - cs) // stride) + 1
+        assert len(rows) == want_chunks, (n, cs, ov)
+        toks = [f"t{j}" for j in range(n)]
+        covered = set()
+        for r in rows:
+            chunk = r.chunk_text.split(" ")
+            start = r.chunk_id * stride
+            assert chunk == toks[start : start + cs], (n, cs, ov)
+            assert 1 <= len(chunk) <= cs
+            covered.update(range(start, start + len(chunk)))
+        assert covered == set(range(n)), (n, cs, ov)

@@ -615,3 +615,70 @@ def test_random_lateral_queries_agree_between_spark_and_duckdb(engines):
         f"SELECT * FROM read_parquet('{SF_DIR}/customer.parquet')"
     )
     _run_cases(engines, _lateral_queries(), 20)
+
+
+# --- round-7 grammar branch: scalar expression batteries -------------------
+
+
+def _scalar_queries() -> st.SearchStrategy[str]:
+    """Random scalar-expression trees over the dialect-neutral
+    string/math core, reduced to a grouped digest (COUNT + MIN/MAX of
+    the expression) so every row's value is pinned. The function set
+    is restricted to calls whose semantics both engines define
+    identically: lower/upper/substr(1-based)/length/trim/replace/
+    concat via ||, abs/floor/ceil/integer %, and CASE fall-through.
+    No float division, no locale-dependent collation, no implicit
+    cast edges — those live in the fixed conformance queries where
+    each gets a purpose-built determinism treatment."""
+
+    str_expr = st.sampled_from(
+        (
+            "lower(l_returnflag)",
+            "upper(l_linestatus)",
+            "substr(CAST(CAST(l_shipdate AS DATE) AS CHAR(10)), 1, 7)",
+            "trim(l_returnflag || ' ')",
+            "replace(l_returnflag, 'A', 'x')",
+            "l_returnflag || '-' || l_linestatus",
+        )
+    )
+    int_expr = st.sampled_from(
+        (
+            "length(l_returnflag || l_linestatus)",
+            "abs(l_linenumber - 4)",
+            "l_suppkey % 7",
+            "CAST(floor(l_quantity) AS BIGINT)",
+            "CAST(ceil(l_quantity / 2) AS BIGINT)",
+        )
+    )
+
+    def build(se, ie, pred, k):
+        return (
+            f"SELECT {se} AS s, COUNT(*) AS n, "
+            f"CAST(MIN({ie}) AS BIGINT) AS mn, "
+            f"CAST(MAX({ie}) AS BIGINT) AS mx, "
+            f"CAST(SUM(CASE WHEN {ie} > {k} THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_hi "
+            f"FROM lineitem WHERE {pred} GROUP BY {se} ORDER BY s"
+        )
+
+    return st.builds(
+        build,
+        str_expr,
+        int_expr,
+        _predicates(),
+        st.integers(min_value=0, max_value=6),
+    )
+
+
+def test_random_scalar_queries_agree_between_spark_and_duckdb(engines):
+    _run_cases(
+        engines,
+        _scalar_queries(),
+        50,
+        extra=[
+            # nested calls + CASE fall-through to NULL
+            "SELECT COUNT(*) AS n, CAST(SUM(CASE WHEN "
+            "length(replace(upper(l_returnflag || l_linestatus), 'A', ''))"
+            " > 1 THEN 1 END) AS BIGINT) AS s FROM lineitem",
+        ],
+    )
