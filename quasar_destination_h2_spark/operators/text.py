@@ -844,3 +844,67 @@ def quality_filter_percentile(
         .where(F.col("quality") >= F.col("src_median"))
         .select("doc_id", "source", "quality", "src_median")
     )
+
+
+def perplexity_buckets(
+    docs: DataFrame, text_col: str = "text", bucket_bits: float = 0.5
+) -> DataFrame:
+    """Corpus-LM perplexity histogram — the "where do I set the
+    quality-filter threshold" view over :func:`unigram_logprob`:
+    bucket every document by its average per-token surprisal
+    (half-bit buckets by default) and report each bucket's
+    population. A curation pipeline reads this once, picks the
+    cutoff bucket, then filters — instead of guessing a threshold
+    and re-running.
+
+    All arithmetic is EXACT integer micro-bits (the unigram_logprob
+    determinism treatment): per-token nll rounded to 6 then
+    DECIMAL-lifted, per-doc average via half-up integer division,
+    bucket = avg DIV width. Shape: one corpus explode + broadcast
+    freq join + per-doc aggregation [the only corpus shuffle], then
+    a bucket-keyed aggregation over the |docs|-row frame.
+
+    Output: (bucket, lo_bits, n_docs, total_tokens, min_avg_micro,
+    max_avg_micro), bucket ascending.
+    """
+    width = int(round(bucket_bits * 1_000_000))
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    total = toks.count()
+    nll6 = F.round(-F.log2(F.col("tf") / F.lit(float(total))), 6)
+    micro = (nll6.cast("decimal(28,10)") * 1000000).cast("bigint")
+    per_doc = (
+        toks.join(F.broadcast(freqs), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(micro).alias("_s"),
+        )
+        .select(
+            "n_tokens",
+            F.expr("(2 * _s + n_tokens) DIV (2 * n_tokens)").alias(
+                "avg_micro"
+            ),
+        )
+    )
+    return (
+        per_doc.groupBy(
+            F.expr(f"avg_micro DIV {width}").cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.min("avg_micro").cast("bigint").alias("min_avg_micro"),
+            F.max("avg_micro").cast("bigint").alias("max_avg_micro"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * width / F.lit(1_000_000.0)).alias("lo_bits"),
+            "n_docs",
+            "total_tokens",
+            "min_avg_micro",
+            "max_avg_micro",
+        )
+    )

@@ -2757,3 +2757,35 @@ def q_key_skew_profile(t: TableSet) -> DataFrame:
     keys + integer-ppm uniformity departure; one key-count shuffle,
     TakeOrderedAndProject top-N, one-row stats broadcast."""
     return stats.key_skew_profile(t.lineitem, "l_suppkey")
+
+
+@query(
+    "perplexity_buckets",
+    oracle=f"""
+    WITH {_TOKS_CTE},
+    freqs AS (SELECT tok, COUNT(*) AS tf FROM toks GROUP BY tok),
+    total AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM toks),
+    per_doc AS (
+      SELECT doc_id,
+             COUNT(*) AS n_tokens,
+             ((2 * SUM(CAST(CAST(round(-log2(tf / total.n), 6)
+                                 AS DECIMAL(28,10)) * 1000000 AS BIGINT))
+               + COUNT(*)) // (2 * COUNT(*))) AS avg_micro
+      FROM toks JOIN freqs USING (tok), total
+      GROUP BY doc_id
+    )
+    SELECT CAST(avg_micro // 500000 AS BIGINT) AS bucket,
+           CAST(avg_micro // 500000 AS BIGINT) * 500000 / 1000000.0
+             AS lo_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(MIN(avg_micro) AS BIGINT) AS min_avg_micro,
+           CAST(MAX(avg_micro) AS BIGINT) AS max_avg_micro
+    FROM per_doc GROUP BY 1
+    """,
+)
+def q_perplexity_buckets(t: TableSet) -> DataFrame:
+    """Half-bit perplexity histogram over the corpus-unigram LM —
+    the threshold-picking view for quality filtering; exact integer
+    micro-bit arithmetic end-to-end."""
+    return text.perplexity_buckets(t.documents)

@@ -1630,3 +1630,41 @@ def test_chunk_documents_property_random_geometry(spark):
             assert 1 <= len(chunk) <= cs
             covered.update(range(start, start + len(chunk)))
         assert covered == set(range(n)), (n, cs, ov)
+
+
+def test_perplexity_buckets_conservation(t):
+    """Bucket populations must conserve the corpus (sum n_docs =
+    |docs|, sum total_tokens = corpus tokens), every bucket's
+    min/max must fall inside [bucket*width, (bucket+1)*width), and
+    the buckets must agree with composing unigram_logprob by hand."""
+    from pyspark.sql import functions as SF
+
+    rows = sorted(text.perplexity_buckets(t.documents).collect(),
+                  key=lambda r: r.bucket)
+    assert rows
+    n_docs = t.documents.count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.bucket * 500_000 <= r.min_avg_micro <= r.max_avg_micro
+        assert r.max_avg_micro < (r.bucket + 1) * 500_000
+        assert r.lo_bits == r.bucket * 0.5
+    # composition check against the registered unigram query
+    per_doc = text.unigram_logprob(t.documents).collect()
+    assert sum(r.total_tokens for r in rows) == sum(d.n_tokens for d in per_doc)
+    from collections import Counter
+
+    want = Counter(int(d.avg_nll * 1_000_000 + 0.5) // 500_000 for d in per_doc)
+    got = {r.bucket: r.n_docs for r in rows}
+    assert got == dict(want)
+
+
+def test_perplexity_buckets_empty_input(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    empty = spark.createDataFrame(
+        [], StructType([
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ])
+    )
+    assert text.perplexity_buckets(empty).count() == 0
