@@ -34,3 +34,25 @@ def test_every_plan_passes_scale_gates(spark):
         "unexpected_nlj": [],
         "new_repeated_big_scans": [],
     }, violations
+
+
+def test_scan_schema_counter_reports_pruned_columns(spark):
+    """Regression for the r6 PLANS.md cosmetic bug: column counts came
+    from comma-splitting the truncated plan string (decimal(p,s)
+    commas + truncation made tpch_q7's 5-column lineitem scan report
+    as 19). scan_schemas must read each scan node's requiredSchema —
+    q7's widest scan is exactly the 5 pruned lineitem columns."""
+    from plan_audit import scan_schemas
+
+    from quasar_destination_h2_spark import plans
+
+    df = plans.all_queries()["tpch_q7_volume_shipping"](spark, SF_DIR)
+    scans = scan_schemas(df._jdf.queryExecution().executedPlan())
+    assert scans, "no scan leaves found"
+    widest = max(scans, key=lambda s: s[0])
+    assert widest == (
+        5,
+        "l_orderkey,l_suppkey,l_extendedprice,l_discount,l_shipdate",
+    )
+    # every scan is pruned: nothing reads the full 11-column lineitem
+    assert all(n <= 5 for n, _ in scans)
