@@ -133,7 +133,7 @@ RESCAN_REVIEWED = frozenset({
     "topk_with_ties", "subquery_scalar",
     # two-pass model-then-score algorithms over the corpus:
     "text_simhash", "text_unigram_logprob", "text_bigram_logprob",
-    "text_boilerplate", "contamination_check",
+    "text_boilerplate", "contamination_check", "perplexity_buckets",
     # query-set vs corpus / self-join sides (pruned or cached):
     "ann_lsh_bucketed", "embed_dedup_pairs", "embed_cosine_topk",
     "hard_negative_mining",
