@@ -166,8 +166,15 @@ def key_skew_profile(df: DataFrame, key_col: str, topn: int = 10) -> DataFrame:
 
     Output: (key, cnt, share_ppm, n_keys, total_rows, skew_ppm).
     """
-    counts = df.groupBy(F.col(key_col).alias("key")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    from pyspark import StorageLevel
+
+    # the per-key count frame feeds BOTH the top-N and the global
+    # stats aggregate — persist it (|keys| rows, 2 columns) so the
+    # corpus is scanned once, not once per subtree
+    counts = (
+        df.groupBy(F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     stats = counts.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),

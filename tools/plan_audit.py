@@ -160,6 +160,12 @@ RESCAN_REVIEWED = frozenset({
     # r7: the persisted tf frame carries the only full corpus pass;
     # the second documents scan is the doc_id-pruned total count:
     "tfidf_top_terms",
+    # r7: the per-key count frame is persisted (MEMORY_AND_DISK);
+    # both the top-N and the one-row stats aggregate read the cached
+    # counts at runtime — the second FileScan in the unmaterialized
+    # plan rendering never executes (same cache-backed shape as the
+    # LSH persist):
+    "key_skew_profile",
     # r7: per-source median branch re-scans pruned (source, text)
     # into a |sources|-row aggregate — the reviewed alternative to a
     # corpus window partitioned by the handful of source keys (which
