@@ -77,6 +77,8 @@ AUDITED = (
     "tfidf_top_terms",
     "quality_filter_percentile",
     "hard_negative_mining",
+    "key_skew_profile",
+    "perplexity_buckets",
 )
 
 MARKERS = (
