@@ -682,3 +682,31 @@ def test_random_scalar_queries_agree_between_spark_and_duckdb(engines):
             " > 1 THEN 1 END) AS BIGINT) AS s FROM lineitem",
         ],
     )
+
+
+def test_median_interpolation_parity_random_frames(engines):
+    """quality_filter_percentile rests on Spark's exact percentile()
+    and DuckDB's quantile_cont() computing the SAME interpolated
+    median on the same doubles. Pin that parity on random frames —
+    odd/even counts, duplicated values, 6-rounded inputs — where the
+    interpolation midpoint is exercised far beyond the fixture's
+    score distribution."""
+    import random
+
+    spark, con = engines
+    rng = random.Random(7)
+    for case in range(20):
+        n = rng.randint(1, 25)
+        vals = [round(rng.uniform(0, 1), 6) for _ in range(n)]
+        if case % 3 == 0 and n >= 2:  # force duplicates
+            vals[1] = vals[0]
+        rows = ", ".join(f"({v!r})" for v in vals)
+        got = spark.sql(
+            f"SELECT round(percentile(v, 0.5), 6) AS m "
+            f"FROM (VALUES {rows}) t(v)"
+        ).collect()[0].m
+        want = con.execute(
+            f"SELECT round(quantile_cont(CAST(v AS DOUBLE), 0.5), 6) AS m "
+            f"FROM (VALUES {rows}) t(v)"
+        ).fetchone()[0]
+        assert got == want, (case, vals, got, want)
