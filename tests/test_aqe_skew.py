@@ -82,3 +82,28 @@ def test_salted_join_is_the_fallback_for_pathological_keys(spark, skew_conf):
     assert {tuple(r) for r in salted.collect()} == {
         tuple(r) for r in plain.collect()
     }
+
+
+def test_key_skew_profile_detects_the_hot_key(spark):
+    """Composition: the diagnostic that decides when to reach for
+    AQE-skew/salting must actually surface this module's hot key.
+    On the same ~99%-one-key frame, key_skew_profile must rank key 0
+    first with a share near 99% and a skew factor near 50x uniform —
+    the signal a pipeline author reads before picking salted_join."""
+    from pyspark.sql import functions as F
+
+    from quasar_destination_h2_spark.operators.stats import key_skew_profile
+
+    left = spark.range(0, 300_000).select(
+        F.when(F.col("id") % 100 != 0, F.lit(0))
+        .otherwise(F.floor(F.col("id") / 100) % 49 + 1)
+        .alias("k")
+    )
+    rows = sorted(
+        key_skew_profile(left, "k", topn=3).collect(), key=lambda r: -r.cnt
+    )
+    hot = rows[0]
+    assert hot.key == 0
+    assert hot.share_ppm > 980_000          # ~99% of all rows
+    assert hot.skew_ppm > 40 * 1_000_000    # ~50 keys, one dominant
+    assert hot.total_rows == 300_000
