@@ -4,6 +4,7 @@
 #   2. oracle @ sf0.01  — the driver's correctness domain (hash-strict)
 #   3. oracle @ sf0.1   — 10x scale parity (log under tools/gatelogs/)
 #   4. fuzzer @ sf0.1   — differential sweep at 100x the fixture scale
+#      + the 120-statement DML statement fuzz sweep
 #   5. plan audit       — regenerates PLANS.md (0 cartesian / 0 row-UDF)
 #   6. bench            — one JSON line, best-of-2 per query
 set -e
@@ -13,5 +14,6 @@ python tools/oracle_check.py /root/testdata/sf0.01
 python tools/oracle_check.py /root/testdata/sf0.1
 SPARK_GRAFT_SF_DIR_TEST=/root/testdata/sf0.1 \
   python -m pytest tests/test_sql_differential_fuzz.py -q
+SPARK_GRAFT_DML_FUZZ=120 python -m pytest tests/test_dml_statement_fuzz.py -q
 python tools/plan_audit.py /root/testdata/sf0.1
 python bench.py
