@@ -1668,3 +1668,55 @@ def test_perplexity_buckets_empty_input(spark):
         ])
     )
     assert text.perplexity_buckets(empty).count() == 0
+
+
+def test_jsonl_roundtrip_hostile_content(spark, t, tmp_path):
+    """JSONL round-trip: documents (incl. hostile synthetic rows with
+    embedded newlines, quotes, unicode, and JSON-special chars) must
+    come back row-identical under an explicit schema — JSON escaping
+    replaces the CSV path's record-terminator sniffing."""
+    from pyspark.sql import Row
+
+    from quasar_destination_h2_spark.sources import jsonl
+
+    hostile = spark.createDataFrame(
+        [
+            Row(doc_id=900001, text='line1\nline2\r\n"quoted"', lang="en",
+                source="s", n_chars=20),
+            Row(doc_id=900002, text='{"not":"json"} \\ backslash é中',
+                lang="zh", source="s", n_chars=25),
+            Row(doc_id=900003, text="", lang="en", source="s", n_chars=0),
+        ],
+        t.documents.schema,
+    )
+    df = t.documents.unionByName(hostile)
+    path = str(tmp_path / "docs-jsonl")
+    jsonl.write_jsonl(df, path)
+    back = jsonl.read_jsonl(spark, path, jsonl.jsonl_roundtrip_schema(df))
+    assert back.schema == df.schema
+    want = sorted(map(tuple, df.collect()))
+    got = sorted(map(tuple, back.collect()))
+    assert got == want
+
+
+def test_jsonl_read_failfast_on_corrupt_line(spark, tmp_path):
+    """A corrupt line must fail the read loudly, not silently null a
+    column (everything-or-nothing load discipline)."""
+    import pytest as _pytest
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    from quasar_destination_h2_spark.sources import jsonl
+
+    p = tmp_path / "bad"
+    p.mkdir()
+    (p / "part-0.json").write_text(
+        '{"doc_id": 1, "text": "ok"}\n{"doc_id": broken!!\n'
+    )
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    with _pytest.raises(Exception):
+        jsonl.read_jsonl(spark, str(p), schema).collect()
