@@ -805,3 +805,82 @@ def split_leakage_check(
             (F.col("n_splits") > 1).alias("leaky"),
         )
     )
+
+
+#: Containment threshold: fraction of the SMALLER doc's shingles that
+#: must appear in the pair's intersection.
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    max_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Asymmetric near-dup detection: containment(A ⊂ B) =
+    |shingles(A) ∩ shingles(B)| / |shingles(A)| — the measure that
+    catches a short document EMBEDDED in a longer one (quote farms,
+    chunk re-publication, boilerplate-wrapped copies), which
+    symmetric Jaccard structurally misses: a 50-shingle doc fully
+    contained in a 5000-shingle doc scores Jaccard 0.01 but
+    containment 1.0. Standard companion to Jaccard in corpus dedup
+    (Broder's resemblance vs containment distinction).
+
+    Implementation reuses the inverted-index group-then-pair shape of
+    :func:`ngram_jaccard_pairs` — identical shuffle structure, both
+    scale valves included — only the final arithmetic differs: the
+    pair is reported when the SMALLER side's containment clears the
+    threshold, and both directed containments are returned.
+
+    Output: (doc_a, doc_b, inter, containment_a, containment_b,
+    jaccard) with doc_a < doc_b; containment_x = inter / n_x.
+    """
+    sh = _shingled(docs, text_col, k)
+    posts = sh.select(
+        "doc_id",
+        "n_sh",
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s"),
+    )
+    grouped = (
+        posts.groupBy("s")
+        .agg(F.collect_list(F.struct("doc_id", "n_sh")).alias("ds"))
+        .where(F.size("ds").between(2, max_df))
+    )
+    pair_arr = F.expr(
+        """
+        flatten(transform(ds, (x, i) ->
+          transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+            if(x.doc_id < y.doc_id,
+               named_struct('doc_a', x.doc_id, 'n_a', x.n_sh,
+                            'doc_b', y.doc_id, 'n_b', y.n_sh),
+               named_struct('doc_a', y.doc_id, 'n_a', y.n_sh,
+                            'doc_b', x.doc_id, 'n_b', x.n_sh)))))
+        """
+    )
+    pairs = (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.*")
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    c_a = F.round(F.col("inter") / F.col("n_a"), 6)
+    c_b = F.round(F.col("inter") / F.col("n_b"), 6)
+    jac = F.round(
+        F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6
+    )
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            c_a.alias("containment_a"),
+            c_b.alias("containment_b"),
+            jac.alias("jaccard"),
+        )
+        .where(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= threshold
+        )
+    )

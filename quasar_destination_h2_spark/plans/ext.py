@@ -2789,3 +2789,30 @@ def q_perplexity_buckets(t: TableSet) -> DataFrame:
     the threshold-picking view for quality filtering; exact integer
     micro-bit arithmetic end-to-end."""
     return text.perplexity_buckets(t.documents)
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_EX_CTES},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.n_sh AS n_a, b.n_sh AS n_b, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, inter,
+           round(inter / n_a, 6) AS containment_a,
+           round(inter / n_b, 6) AS containment_b,
+           round(inter / (n_a + n_b - inter), 6) AS jaccard
+    FROM pairs
+    WHERE greatest(round(inter / n_a, 6), round(inter / n_b, 6))
+          >= {dedup.CONTAINMENT_THRESHOLD}
+    """,
+)
+def q_dedup_containment(t: TableSet) -> DataFrame:
+    """Asymmetric containment near-dup pairs (Broder containment vs
+    resemblance): catches a short doc embedded in a long one that
+    symmetric Jaccard scores near zero. Same inverted-index
+    group-then-pair shuffle structure as dedup_ngram_jaccard."""
+    return dedup.containment_pairs(t.documents)

@@ -1720,3 +1720,39 @@ def test_jsonl_read_failfast_on_corrupt_line(spark, tmp_path):
     ])
     with _pytest.raises(Exception):
         jsonl.read_jsonl(spark, str(p), schema).collect()
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark, t):
+    """The defining case: a short doc fully embedded in a much longer
+    one must surface as a containment pair (containment == 1.0)
+    while its symmetric Jaccard stays far below the 0.8 threshold —
+    and the jaccard operator must indeed NOT pair them."""
+    short = " ".join(f"w{i}" for i in range(12))
+    long_ = short + " " + " ".join(f"x{i}" for i in range(200))
+    docs = spark.createDataFrame(
+        [(1, short, "en", "s", len(short)),
+         (2, long_, "en", "s", len(long_))],
+        t.documents.schema,
+    )
+    got = dedup.containment_pairs(docs).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.containment_a == 1.0       # every short shingle in long
+    assert r.jaccard < 0.1              # symmetric measure blind
+    assert dedup.ngram_jaccard_pairs(docs).count() == 0
+    # plan shape identical to the jaccard build: no cartesian
+    plan = physical_plan(dedup.containment_pairs(t.documents))
+    assert "CartesianProduct" not in plan
+
+
+def test_containment_empty_input(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    empty = spark.createDataFrame(
+        [], StructType([
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ])
+    )
+    assert dedup.containment_pairs(empty).count() == 0
