@@ -908,3 +908,68 @@ def perplexity_buckets(
             "max_avg_micro",
         )
     )
+
+
+def pmi_collocations(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    topn: int = 20,
+) -> DataFrame:
+    """Top-N collocations by pointwise mutual information —
+    PMI(a,b) = log2( p(a,b) / (p(a) p(b)) ) over adjacent token
+    pairs; the classic new-phrase / multi-word-entity detector a
+    corpus-analysis pass runs before tokenizer training (phrases
+    with high PMI deserve vocabulary slots).
+
+    Determinism: PMI is computed as ONE log2 over a ratio of integer
+    products — c_ab * N_uni^2 / (c_a * c_b * N_bi) — so both engines
+    evaluate the same double operand; rounded to 6 before ranking and
+    tie-broken on bigram text. ``min_count`` suppresses the
+    rare-pair noise that dominates raw PMI.
+
+    Shape: per-row bigram build (array slices, no positional
+    self-join), bigram + unigram count aggregates [the corpus
+    shuffles], broadcast unigram counts onto the bigram frame, then
+    a global top-N = TakeOrderedAndProject (per-partition heap).
+
+    Output: (bigram, w1, w2, c_ab, c_a, c_b, pmi).
+    """
+    toks = tokens(F.col(text_col))
+    bigrams = bind_once(toks, lambda tk: _shingles_of(tk, 2))
+    bg = docs.select(F.explode(bigrams).alias("bg"))
+    bgf = (
+        bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .where(F.col("c_ab") >= min_count)
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .withColumn("w2", F.substring_index("bg", " ", -1))
+    )
+    uni = docs.select(F.explode(toks).alias("w")).where(F.col("w") != "")
+    unif = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c_w"))
+    n_uni = uni.agg(F.count(F.lit(1)).cast("bigint").alias("n_uni"))
+    n_bi = bg.agg(F.count(F.lit(1)).cast("bigint").alias("n_bi"))
+    joined = (
+        bgf.join(F.broadcast(unif.withColumnRenamed("w", "w1")
+                 .withColumnRenamed("c_w", "c_a")), "w1")
+        .join(F.broadcast(unif.withColumnRenamed("w", "w2")
+              .withColumnRenamed("c_w", "c_b")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+    )
+    pmi = F.round(
+        F.log2(
+            (F.col("c_ab") * F.col("n_uni") * F.col("n_uni")).cast("double")
+            / (F.col("c_a") * F.col("c_b") * F.col("n_bi")).cast("double")
+        ),
+        6,
+    )
+    return (
+        joined.select(
+            "bg", "w1", "w2", "c_ab", "c_a", "c_b", pmi.alias("pmi")
+        )
+        .orderBy(F.desc("pmi"), F.asc("bg"))
+        .limit(topn)
+        .withColumnRenamed("bg", "bigram")
+        .select("bigram", "w1", "w2", "c_ab", "c_a", "c_b", "pmi")
+    )

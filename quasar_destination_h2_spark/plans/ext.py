@@ -2816,3 +2816,45 @@ def q_dedup_containment(t: TableSet) -> DataFrame:
     symmetric Jaccard scores near zero. Same inverted-index
     group-then-pair shuffle structure as dedup_ngram_jaccard."""
     return dedup.containment_pairs(t.documents)
+
+
+@query(
+    "pmi_collocations",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split_regex({_NORM}, ' ') AS w FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS bg
+      FROM base
+    ),
+    bgf AS (
+      SELECT bg, split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+             CAST(COUNT(*) AS BIGINT) AS c_ab
+      FROM bg GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5
+    ),
+    uni AS (SELECT unnest(w) AS tok FROM base),
+    unif AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c_w
+             FROM uni WHERE tok <> '' GROUP BY tok),
+    n_uni AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_uni
+              FROM uni WHERE tok <> ''),
+    n_bi AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bi FROM bg)
+    SELECT bg AS bigram, w1, w2, c_ab,
+           a.c_w AS c_a, b.c_w AS c_b,
+           round(log2(CAST(c_ab * n_uni.n_uni * n_uni.n_uni AS DOUBLE)
+                      / CAST(a.c_w * b.c_w * n_bi.n_bi AS DOUBLE)), 6)
+             AS pmi
+    FROM bgf
+    JOIN unif a ON bgf.w1 = a.tok
+    JOIN unif b ON bgf.w2 = b.tok, n_uni, n_bi
+    ORDER BY pmi DESC, bigram ASC
+    LIMIT 20
+    """,
+)
+def q_pmi_collocations(t: TableSet) -> DataFrame:
+    """Top-20 adjacent-token collocations by PMI (min count 5) —
+    phrase/multi-word-entity detection for tokenizer vocabulary
+    planning; single-log2-over-integer-ratio determinism, global
+    top-N as TakeOrderedAndProject."""
+    return text.pmi_collocations(t.documents)

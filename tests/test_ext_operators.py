@@ -1756,3 +1756,38 @@ def test_containment_empty_input(spark):
         ])
     )
     assert dedup.containment_pairs(empty).count() == 0
+
+
+def test_pmi_collocations_semantics(spark, t):
+    """A planted always-adjacent pair must take rank 1 with the
+    analytically exact PMI; independent pairs score near zero; the
+    global top-N plans as TakeOrderedAndProject."""
+    import math
+
+    # 60 docs, each "alpha beta filler_i" — alpha&beta always
+    # adjacent; filler varies so alpha-beta dominates PMI
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta f{i % 7} g{i % 5}") for i in range(60)],
+        ["doc_id", "text"],
+    )
+    rows = text.pmi_collocations(docs, min_count=5, topn=5).collect()
+    top = rows[0]
+    assert (top.w1, top.w2) == ("alpha", "beta")
+    # exact check: c_ab=60, c_a=c_b=60, N_uni=240, N_bi=180
+    want = round(math.log2((60 * 240 * 240) / (60 * 60 * 180)), 6)
+    assert top.pmi == want
+    plan = physical_plan(text.pmi_collocations(t.documents))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pmi_collocations_empty_input(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    empty = spark.createDataFrame(
+        [], StructType([
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ])
+    )
+    assert text.pmi_collocations(empty).count() == 0

@@ -118,6 +118,7 @@ NLJ_OK = frozenset({
     "tfidf_top_terms",  # 1-row corpus-count broadcast onto the idf frame
     "hard_negative_mining",  # same broadcast-queries shape as embed_cosine_topk
     "key_skew_profile",  # 1-row global-stats broadcast onto the top-N keys
+    "pmi_collocations",  # two 1-row total-count broadcasts onto the bigram frame
 })
 
 #: Tables whose repeated FileScan in one plan is a 100 TB scale killer.
@@ -136,6 +137,7 @@ RESCAN_REVIEWED = frozenset({
     # two-pass model-then-score algorithms over the corpus:
     "text_simhash", "text_unigram_logprob", "text_bigram_logprob",
     "text_boilerplate", "contamination_check", "perplexity_buckets",
+    "pmi_collocations",  # bigram + unigram model builds are two real passes
     # query-set vs corpus / self-join sides (pruned or cached):
     "ann_lsh_bucketed", "embed_dedup_pairs", "embed_cosine_topk",
     "hard_negative_mining",
