@@ -85,13 +85,18 @@ def corr_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
 
 
 def group_ols(
-    df: DataFrame, group_col: str, x: str, y: str
+    df: DataFrame, group_col: str, x: str, y: str, round6: bool = True
 ) -> DataFrame:
     """Per-group simple linear regression y = slope·x + intercept —
     one aggregation shuffle keyed on the group, closed-form from the
     exact power sums (never an iterative solver, never a collect).
 
-    Output: (group, n, slope, intercept, r2), all rounded to 6."""
+    Output: (group, n, slope, intercept, r2), rounded to 6 by
+    default. ``round6=False`` returns the raw doubles — for callers
+    whose statistics can land on a round-half boundary where Spark
+    (BigDecimal HALF_UP on the exact binary expansion) and DuckDB
+    (multiply-round-divide) disagree by one ulp; those callers floor
+    to integer micro-units instead (zipf_fit)."""
     xd = F.col(x).cast(PROD_DEC)
     yd = F.col(y).cast(PROD_DEC)
     sums = df.groupBy(F.col(group_col).alias("grp")).agg(
@@ -108,6 +113,14 @@ def group_ols(
     slope = cov / vx
     intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
     r2 = (cov * cov) / (vx * vy)
+    if not round6:
+        return sums.select(
+            "grp",
+            F.col("n").cast("bigint").alias("n"),
+            slope.alias("slope"),
+            intercept.alias("intercept"),
+            r2.alias("r2"),
+        )
     return sums.select(
         "grp",
         F.col("n").cast("bigint").alias("n"),

@@ -973,3 +973,57 @@ def pmi_collocations(
         .withColumnRenamed("bg", "bigram")
         .select("bigram", "w1", "w2", "c_ab", "c_a", "c_b", "pmi")
     )
+
+
+def zipf_fit(
+    docs: DataFrame, text_col: str = "text", head: int = 1000
+) -> DataFrame:
+    """Zipf heavy-tail fit of the vocabulary head: OLS of
+    log2(frequency) on log2(rank) over the top-``head`` tokens —
+    slope ≈ -s is the Zipf exponent, r2 its goodness. The one-glance
+    "is this corpus natural language or template spam" diagnostic
+    (natural corpora fit s ≈ 1 tightly; machine-generated or
+    boilerplate-heavy corpora bend the line).
+
+    Scale shape: the vocabulary count aggregate is the only corpus
+    shuffle; the fit runs on the top-``head`` frame selected by
+    ``TakeOrderedAndProject`` (per-partition heap — never a global
+    sort, never a vocabulary-wide window), ranked by a window over
+    those ``head`` rows only, then reduced through the exact
+    decimal power sums of :func:`~..operators.stats.group_ols`
+    (6-rounded logs in, bit-stable slope out).
+
+    Output: one row (n, slope, intercept, r2).
+    """
+    from .stats import group_ols
+
+    toks = docs.select(F.explode(tokens(F.col(text_col))).alias("w")).where(
+        F.col("w") != ""
+    )
+    top = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("w"))
+        .limit(head)
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("w"))
+    ranked = top.select(
+        F.round(F.log2(F.row_number().over(w).cast("double")), 6).alias(
+            "log_rank"
+        ),
+        F.round(F.log2(F.col("freq").cast("double")), 6).alias("log_freq"),
+        F.lit("corpus").alias("g"),
+    )
+    raw = group_ols(ranked, "g", "log_rank", "log_freq", round6=False)
+    # floor to integer micro-units instead of round(…, 6): the two
+    # engines compute IDENTICAL doubles here (same power-sum
+    # operands), and floor is the one decimalization both implement
+    # identically — round() differs by an ulp on half boundaries
+    # (observed on this very query's intercept at sf0.1)
+    return raw.select(
+        "n",
+        *[
+            F.floor(F.col(c) * 1_000_000).cast("bigint").alias(f"{c}_micro")
+            for c in ("slope", "intercept", "r2")
+        ],
+    )

@@ -24,12 +24,12 @@ from . import ext  # noqa: E402,F401
 # tools/oracle_check.py at sf0.01 and sf0.1 (see COVERAGE.md).
 #
 # ROUND-8 ROTATION NOTE: once CORRECTNESS_r07 lands green, the only
-# never-witnessed queries are the eight registered in round 7 (all
+# never-witnessed queries are the nine registered in round 7 (all
 # oracle-green locally at sf0.01 and sf0.1): doc_chunking,
 # tfidf_top_terms, quality_filter_percentile, hard_negative_mining,
 # key_skew_profile, perplexity_buckets, dedup_containment,
-# pmi_collocations. Lead the next window with them, then cross-era
-# anchors as before.
+# pmi_collocations, zipf_fit. Lead the next window with them, then
+# cross-era anchors as before.
 _DRIVER_WINDOW = [
     # --- Never driver-witnessed: all 28 round-6 additions ---
     "text_pii_redact",

@@ -2858,3 +2858,48 @@ def q_pmi_collocations(t: TableSet) -> DataFrame:
     planning; single-log2-over-integer-ratio determinism, global
     top-N as TakeOrderedAndProject."""
     return text.pmi_collocations(t.documents)
+
+
+@query(
+    "zipf_fit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split_regex({_NORM}, ' ')) AS w FROM documents
+    ),
+    top AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM toks WHERE w <> '' GROUP BY w
+      ORDER BY freq DESC, w ASC LIMIT 1000
+    ),
+    ranked AS (
+      SELECT CAST(round(log2(CAST(ROW_NUMBER() OVER
+                 (ORDER BY freq DESC, w ASC) AS DOUBLE)), 6)
+                  AS DECIMAL(28,6)) AS x,
+             CAST(round(log2(CAST(freq AS DOUBLE)), 6)
+                  AS DECIMAL(28,6)) AS y
+      FROM top
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy
+      FROM ranked
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                      * 1000000) AS BIGINT) AS slope_micro,
+           CAST(floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                      / n * 1000000) AS BIGINT) AS intercept_micro,
+           CAST(floor(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                      / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                      * 1000000) AS BIGINT) AS r2_micro
+    FROM s
+    """,
+)
+def q_zipf_fit(t: TableSet) -> DataFrame:
+    """Zipf exponent of the vocabulary head (top-1000 tokens):
+    log-log OLS through exact decimal power sums; top-N via
+    TakeOrderedAndProject, rank window over the head frame only."""
+    return text.zipf_fit(t.documents)

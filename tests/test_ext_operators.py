@@ -1791,3 +1791,37 @@ def test_pmi_collocations_empty_input(spark):
         ])
     )
     assert text.pmi_collocations(empty).count() == 0
+
+
+def test_zipf_fit_recovers_planted_exponent(spark, t):
+    """On a synthetic corpus with an EXACT power law freq ∝ rank^-1,
+    the fitted slope must be -1 (to rounding) with r2 ≈ 1; on the
+    real corpus the slope must be negative; the head selection plans
+    as TakeOrderedAndProject."""
+    # token t_r appears round(1200 / r) times, r = 1..30 — exact
+    # Zipf-1 by construction
+    words = []
+    for r in range(1, 31):
+        words.extend([f"t{r:02d}"] * round(1200 / r))
+    docs = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    row = text.zipf_fit(docs, head=30).collect()[0]
+    assert row.n == 30
+    assert abs(row.slope_micro / 1e6 + 1.0) < 0.01, row
+    assert row.r2_micro > 999_000
+    real = text.zipf_fit(t.documents).collect()[0]
+    assert real.slope_micro < 0 and real.n >= 20
+    plan = physical_plan(text.zipf_fit(t.documents))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_zipf_fit_empty_input(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    empty = spark.createDataFrame(
+        [], StructType([
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ])
+    )
+    # empty vocabulary -> zero-row fit frame -> zero-row output
+    assert text.zipf_fit(empty).count() == 0
