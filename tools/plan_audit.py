@@ -160,7 +160,7 @@ RESCAN_REVIEWED = frozenset({
     # structurally single-scan (verified in a fresh session: 1
     # FileScan each); the long-lived audit session sometimes
     # renders an AQE-finalized stage twice in toString():
-    "dedup_ngram_jaccard", "minhash_signatures",
+    "dedup_ngram_jaccard", "minhash_signatures", "dedup_containment",
     # r7: the persisted tf frame carries the only full corpus pass;
     # the second documents scan is the doc_id-pruned total count:
     "tfidf_top_terms",
