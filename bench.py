@@ -63,11 +63,19 @@ HEADLINE = (
     # the headline set
     "importance_weights",
     "table_profile",
-    # r7 additions: zero-shuffle chunk explode and the persisted-tf
-    # three-stage tf-idf ranking — the last two plan families
-    # (sequence-generate fan-out, cached-reuse aggregation tree)
+    # r7 additions: zero-shuffle chunk explode, the persisted-tf
+    # three-stage tf-idf ranking, the broadcast-median quality gate,
+    # label-excluded contrastive mining, the dual-model PMI build,
+    # and the head-ranked power-sum Zipf fit — the remaining plan
+    # families (sequence-generate fan-out, cached-reuse aggregation
+    # tree, aggregate-broadcast filter, NLJ-by-design ranking,
+    # two-model broadcast join, TakeOrdered + tiny window + OLS)
     "doc_chunking",
     "tfidf_top_terms",
+    "quality_filter_percentile",
+    "hard_negative_mining",
+    "pmi_collocations",
+    "zipf_fit",
 )
 
 
