@@ -31,7 +31,13 @@ multi-distinct Expand's (n_cols+1)x row multiplication stays
 map-side and the fan-out repartition is a no-op on splittable
 input.
 
-Usage: python tools/scale_probe.py [--ivf|--profile] [sf_dir]
+``--text`` mode: replicate the documents corpus 1x/3x/10x and time
+the round-7 text analytics (tfidf_top_terms, pmi_collocations,
+perplexity_buckets). Near-linear wall growth confirms the
+model-build aggregations (tf / bigram / unigram frequency tables)
+stay vocabulary-sized while only the corpus passes scale.
+
+Usage: python tools/scale_probe.py [--ivf|--profile|--text] [sf_dir]
 (writes one JSON line)
 """
 
@@ -146,10 +152,46 @@ def profile_probe(spark, sf_dir: str) -> dict:
     return out
 
 
+def text_probe(spark, sf_dir: str) -> dict:
+    """tfidf / PMI / perplexity wall time at 1x/3x/10x documents."""
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from quasar_destination_h2_spark.operators import text
+    from quasar_destination_h2_spark.sources.tables import TableSet
+
+    base = TableSet(spark, sf_dir).documents.select("doc_id", "text")
+    out = {"sf_dir": sf_dir, "n_base_docs": base.count(), "points": []}
+    for k in (1, 3, 10):
+        df = base
+        for r in range(1, k):
+            df = df.unionByName(
+                base.withColumn("doc_id", F.col("doc_id") + r * 10_000_000)
+            )
+        path = tempfile.mkdtemp(prefix=f"text-probe-{k}x-")
+        df.write.mode("overwrite").parquet(path)
+        staged = spark.read.parquet(path)
+        n = staged.count()
+        point = {"replicas": k, "n_docs": n}
+        for label, fn in (
+            ("tfidf", lambda: text.tfidf_top_terms(staged)),
+            ("pmi", lambda: text.pmi_collocations(staged)),
+            ("perplexity", lambda: text.perplexity_buckets(staged)),
+        ):
+            t0 = time.perf_counter()
+            point[f"{label}_rows"] = fn().count()
+            point[f"{label}_sec"] = round(time.perf_counter() - t0, 2)
+        out["points"].append(point)
+    return out
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     ivf_mode = "--ivf" in sys.argv[1:]
     profile_mode = "--profile" in sys.argv[1:]
+    text_mode = "--text" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     from pyspark.sql import SparkSession, functions as F
@@ -173,6 +215,10 @@ def main() -> int:
         return 0
     if profile_mode:
         print(json.dumps(profile_probe(spark, sf_dir)))
+        spark.stop()
+        return 0
+    if text_mode:
+        print(json.dumps(text_probe(spark, sf_dir)))
         spark.stop()
         return 0
 
