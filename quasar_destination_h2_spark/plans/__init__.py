@@ -5,95 +5,100 @@ from . import tierb  # noqa: E402,F401
 from . import ext  # noqa: E402,F401
 
 # The driver's conformance harness checks the first ~50 registered
-# queries (dict insertion order; r6 hashed 51). Rounds 2-6 drove 127
-# of the 155 registered queries to a driver-witnessed green hash
-# (r6 was 51/51, completing every query registered before round 6).
-# The round-7 window is pure evidence completion:
-#   * slots 1-28: the ONLY queries the driver has never hashed — all
-#     28 round-6 additions (each tri-scale oracle-green locally at
-#     sf0.001/0.01/0.1, see tools/gatelogs/). Green here makes
-#     cumulative driver-witnessed coverage 155/155.
-#   * the remaining slots: cross-era anchors, prioritizing the
-#     fixpoint family (dedup_clusters / dedup_keep_best /
-#     source_overlap_matrix) and any query whose implementation or
-#     oracle round 7 touches (table_profile ident-escaping,
-#     keyword_search term-dedup, MERGE-adjacent recursive_cte_sql),
-#     plus the heaviest TPC-H / dedup / ANN shapes as regression
-#     guards.
+# queries (dict insertion order; r6 hashed 51, r7 hashed 50).
+# Rounds 2-7 drove 155 of the 164 registered queries to a
+# driver-witnessed green hash; the only never-witnessed queries
+# entering round 8 are the nine registered in round 7.
+# The round-8 window:
+#   * slots 1-9: the nine round-7 additions the driver has never
+#     hashed (each tri-scale oracle-green locally, see
+#     tools/gatelogs/). Green here makes cumulative driver-witnessed
+#     coverage 164/164.
+#   * next: any NEW round-8 queries, so they are witnessed the same
+#     round they are registered (no carried deficit into round 9).
+#   * next: every query whose implementation round 8 touches — the
+#     LM-family text operators that lost their forced full-vocabulary
+#     broadcast hints and the single-scan restructure of the unigram
+#     LM (text_unigram_logprob, text_bigram_logprob,
+#     importance_weights), plus quantified_subquery (sql_dml
+#     quantifier-peek hardening).
+#   * the remaining slots: cross-era anchors — fixpoint dedup family,
+#     heaviest TPC-H shapes, ANN, packing, grammar corners.
 # Everything outside the window stays oracle-checked locally via
-# tools/oracle_check.py at sf0.01 and sf0.1 (see COVERAGE.md).
-#
-# ROUND-8 ROTATION NOTE: once CORRECTNESS_r07 lands green, the only
-# never-witnessed queries are the nine registered in round 7 (all
-# oracle-green locally at sf0.01 and sf0.1): doc_chunking,
-# tfidf_top_terms, quality_filter_percentile, hard_negative_mining,
-# key_skew_profile, perplexity_buckets, dedup_containment,
-# pmi_collocations, zipf_fit. Lead the next window with them, then
-# cross-era anchors as before.
+# tools/oracle_check.py at sf0.001/0.01/0.1 (see COVERAGE.md).
 _DRIVER_WINDOW = [
-    # --- Never driver-witnessed: all 28 round-6 additions ---
-    "text_pii_redact",
-    "docs_domain_stats",
-    "embed_label_centroid",
-    "dedup_passage_exact",
-    "dedup_edit_verify",
-    "array_hof_stats",
-    "lateral_topn_per_group",
-    "keyword_search",
+    # --- Never driver-witnessed: the nine round-7 additions ---
+    "doc_chunking",
+    "tfidf_top_terms",
+    "quality_filter_percentile",
+    "hard_negative_mining",
+    "key_skew_profile",
+    "perplexity_buckets",
+    "dedup_containment",
+    "pmi_collocations",
+    "zipf_fit",
+    # --- Round-8 registrations (witnessed same-round) are inserted
+    # here by _R8_NEW below ---
+    # --- Implementation touched in round 8 ---
+    "text_unigram_logprob",
+    "text_bigram_logprob",
     "importance_weights",
-    "length_buckets",
-    "token_budget_allocation",
     "quantified_subquery",
-    "table_profile",
-    "embed_matryoshka_fidelity",
-    "try_cast_safety",
-    "null_safe_compare",
-    "events_hopping",
-    "window_ignore_nulls",
-    "gaps_islands",
-    "split_leakage_check",
-    "asof_join_forward",
-    "event_funnel",
-    "retention_cohorts",
-    "corr_matrix",
-    "ols_trend",
-    "histogram_fixed_width",
-    "group_quantiles",
-    "tokenizer_fertility",
     # --- Cross-era anchors (all previously witnessed) ---
-    # Fixpoint family (round-6 touched the shared fixpoint)
+    # Fixpoint / dedup family
     "dedup_clusters",
     "dedup_keep_best",
     "source_overlap_matrix",
-    # Queries whose implementation round 7 touches
-    "recursive_cte_sql",
-    "dedup_minhash_lsh",
-    # Dedup anchors
     "dedup_exact",
     "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_edit_verify",
+    "split_leakage_check",
     # TPC-H heavy shapes
     "agg_pricing_summary",
     "tpch_q9_product_profit",
     "tpch_q13_customer_distribution",
     "tpch_q21_suppliers_who_kept_waiting",
+    "tpch_q18_large_orders",
+    "tpch_q17_small_quantity_revenue",
     # ANN / similarity
     "ivf_topk_ann_nprobe2",
     "ann_lsh_bucketed",
     "embed_dedup_pairs",
-    # Text / sampling / sketches
+    "semantic_dedup",
+    # Text / sampling / sketches / packing
     "text_quality",
+    "text_boilerplate",
     "contamination_check",
+    "keyword_search",
+    "table_profile",
     "sample_stratified",
     "sketch_theta_overlap",
+    "token_budget_allocation",
+    "length_buckets",
+    # Events / time series
+    "events_hopping",
+    "gaps_islands",
+    "event_funnel",
+    "retention_cohorts",
+    "asof_join_forward",
+    "range_join_sessions",
     # Grammar-surface anchors
     "rollup_grouping",
+    "window_ignore_nulls",
     "window_rows_frame",
     "set_except_all",
-    "subquery_scalar_select",
-    "events_json_props",
-    "range_join_sessions",
+    "lateral_topn_per_group",
+    "recursive_cte_sql",
+    "try_cast_safety",
+    "null_safe_compare",
 ]
+
+#: Round-8 query registrations, spliced directly after the nine
+#: round-7 witnesses so the driver hashes them this round.
+_R8_NEW: list[str] = []
+_DRIVER_WINDOW[9:9] = _R8_NEW
 
 
 def _reorder(window: list[str]) -> None:
