@@ -13,6 +13,7 @@ analysis, multimodal columns, streaming) in :mod:`.operators` and
 :mod:`.streaming`.
 """
 
+from . import cache
 from .config import Config
 from .engine import Engine
 from .errors import (
@@ -27,6 +28,7 @@ from .types import Column, ColumnType, TypeOptions
 __version__ = "0.1.0"
 
 __all__ = [
+    "cache",
     "Config",
     "Engine",
     "Column",

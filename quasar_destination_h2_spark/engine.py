@@ -434,10 +434,16 @@ class Engine:
 
         # H2 parity: a misspelled assignment target raises 'Column
         # not found'; silently ignoring it diverges without a signal
-        # (same guard as MERGE USING, sql_dml._execute_merge_using)
-        bad = [c for c in assignments if c not in target.columns]
-        if bad:
-            raise ValueError(f"UPDATE: column not found in SET: {bad}")
+        # (same guard as MERGE USING, sql_dml._execute_merge_using).
+        # Resolution is case-INSENSITIVE like both engines' own
+        # identifier lookup — 'SET VAL = 1' against column 'val'
+        # updates val rather than raising.
+        from .sql_dml import resolve_columns
+
+        res = resolve_columns(
+            assignments, target.columns, "UPDATE: column not found in SET"
+        )
+        assignments = {res[c]: e for c, e in assignments.items()}
         cond = F.expr(condition)
         n = target.where(cond).count()
         updated = target.select(

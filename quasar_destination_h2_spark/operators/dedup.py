@@ -191,12 +191,13 @@ def minhash_lsh_pairs(
     clique^2 candidate rows. With r=2,b=4 the match probability at
     j=0.8 is 1-(1-j^2)^4 ≈ 0.98, and our planted near-dups
     (j ≈ 0.97) are caught with P ≈ 1-1e-5."""
-    from pyspark import StorageLevel
+    from .. import cache
 
     # The shingled projection feeds BOTH signature generation and the
     # exact-Jaccard verify — persist it so tokenize+shingle runs once
-    # (MEMORY_AND_DISK: degrades to spill, never recomputes).
-    sh = _shingled(docs, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    # (MEMORY_AND_DISK: degrades to spill, never recomputes;
+    # registered with cache.release() for long-lived sessions).
+    sh = cache.persisted(_shingled(docs, text_col))
     rows_per_band = MINHASH_SEEDS // LSH_BANDS
     # Signatures are tiny (doc_id + 8 hex strings): materialize them
     # eagerly (localCheckpoint) so the band self-join's two scans read

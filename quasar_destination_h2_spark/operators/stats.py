@@ -170,7 +170,12 @@ def key_skew_profile(df: DataFrame, key_col: str, topn: int = 10) -> DataFrame:
     both engines compute bit-identical values: share_ppm = this
     key's row share; skew_ppm = max_count x n_keys / total — exactly
     1,000,000 for a perfectly uniform key, k-million when the
-    hottest key carries k-times its uniform share.
+    hottest key carries k-times its uniform share. The skew_ppm
+    numerator goes through DECIMAL(38,0): at diagnostic scale
+    (~1e9 keys with a ~1e5-row hot key) max_cnt * n_keys * 1e6
+    exceeds bigint, where ANSI engines raise and non-ANSI ones wrap
+    silently negative — exactly where the diagnostic matters most.
+    The quotient itself is a small multiple of 1e6 and always fits.
 
     Shape: one partial+final count aggregation on the key [the only
     corpus shuffle], TakeOrderedAndProject for the top-N (per-
@@ -179,15 +184,16 @@ def key_skew_profile(df: DataFrame, key_col: str, topn: int = 10) -> DataFrame:
 
     Output: (key, cnt, share_ppm, n_keys, total_rows, skew_ppm).
     """
-    from pyspark import StorageLevel
+    from .. import cache
 
     # the per-key count frame feeds BOTH the top-N and the global
     # stats aggregate — persist it (|keys| rows, 2 columns) so the
-    # corpus is scanned once, not once per subtree
-    counts = (
+    # corpus is scanned once, not once per subtree; registered with
+    # cache.release() so long-lived sessions can drop it between
+    # queries
+    counts = cache.persisted(
         df.groupBy(F.col(key_col).alias("key"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     stats = counts.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_keys"),
@@ -203,6 +209,8 @@ def key_skew_profile(df: DataFrame, key_col: str, topn: int = 10) -> DataFrame:
         ),
         "n_keys",
         "total_rows",
-        F.expr("CAST(max_cnt * n_keys * 1000000 DIV total_rows AS BIGINT)")
-        .alias("skew_ppm"),
+        F.expr(
+            "CAST(CAST(max_cnt AS DECIMAL(38,0)) * n_keys * 1000000"
+            " DIV total_rows AS BIGINT)"
+        ).alias("skew_ppm"),
     )

@@ -215,42 +215,80 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Corpus-unigram language-model quality score: avg -log2 p(tok)
-    per doc, where p comes from the corpus itself (add-0 MLE). The
-    classic perplexity-style quality filter (GPT-3-style data
-    curation), as two aggregations + one broadcast join — freq table
-    is vocabulary-sized, tiny next to the corpus."""
-    toks = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
-    freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
-    total = toks.count()  # driver-side scalar: corpus token count
-    # per-token nll is rounded to 6 BEFORE summation and summed as
-    # exact decimal — order-independent, so the cross-engine average
-    # is bit-stable (a raw double AVG is not)
-    nll6 = F.round(-F.log2(F.col("tf") / F.lit(float(total))), 6)
-    # micro-units (1e-6) as exact integers; the per-doc average is
-    # rounded half-up with pure integer arithmetic ((2S+n) DIV 2n) —
-    # a double round(sum/count, 6) can land on a .5 boundary where
-    # Java (BigDecimal HALF_UP) and DuckDB (multiply-then-floor)
-    # disagree by one ulp (seen once at sf0.1).
+def _doc_unigram_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc corpus-unigram LM stats: (doc_id, n_tokens, avg_micro)
+    where avg_micro is the per-doc average of round(-log2 p(tok), 6)
+    in exact integer micro-units (add-0 MLE; p from the corpus
+    itself). Shared carrier of :func:`unigram_logprob` and
+    :func:`perplexity_buckets`.
+
+    Shape — ONE corpus pass: the per-(doc, token) count frame is
+    PERSISTED (the tfidf_top_terms policy: MEMORY_AND_DISK degrades
+    to spill, never re-runs the tokenize+explode corpus scan) and
+    feeds both the vocabulary aggregate and the per-doc scoring
+    join. The corpus token total is sum(tf) over the vocab frame
+    (one-row aggregate, crossJoin-broadcast back) — NOT a separate
+    driver-side count action, which would force an extra corpus
+    pass. The tf/total join is a plain key join with NO broadcast
+    hint: the vocab frame grows with the corpus (whitespace tokens
+    of web text reach 1e8-1e9 distinct at 100 TB — multi-GB), so a
+    forced broadcast would override Spark's size threshold and OOM
+    executors; AQE still broadcasts it at runtime when it is
+    actually small.
+
+    Determinism: per-token nll is rounded to 6 BEFORE summation and
+    summed as exact integers (order-independent); the per-doc
+    average is rounded half-up with pure integer arithmetic
+    ((2S+n) DIV 2n) — a double round(sum/count, 6) can land on a .5
+    boundary where Java (BigDecimal HALF_UP) and DuckDB
+    (multiply-then-floor) disagree by one ulp (seen once at sf0.1).
+    """
+    from .. import cache
+
+    dt = cache.persisted(
+        docs.select(
+            "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    freqs = dt.groupBy("tok").agg(F.sum("c").alias("tf"))
+    totals = freqs.agg(F.sum("tf").alias("total"))
+    nll6 = F.round(
+        -F.log2(F.col("tf") / F.col("total").cast("double")), 6
+    )
     micro = (nll6.cast("decimal(28,10)") * 1000000).cast("bigint")
-    scored = (
-        toks.join(F.broadcast(freqs), "tok")
+    scored_vocab = freqs.crossJoin(F.broadcast(totals)).select(
+        "tok", micro.alias("micro")
+    )
+    return (
+        dt.join(scored_vocab, "tok")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(micro).alias("_s"),
+            F.sum("c").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("micro")).alias("_s"),
         )
         .select(
             "doc_id",
             "n_tokens",
-            (
-                F.expr("(2 * _s + n_tokens) DIV (2 * n_tokens)")
-                / F.lit(1000000.0)
-            ).alias("avg_nll"),
+            F.expr("(2 * _s + n_tokens) DIV (2 * n_tokens)").alias(
+                "avg_micro"
+            ),
         )
     )
-    return scored
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus-unigram language-model quality score: avg -log2 p(tok)
+    per doc, where p comes from the corpus itself (add-0 MLE). The
+    classic perplexity-style quality filter (GPT-3-style data
+    curation). One corpus pass, no forced vocabulary broadcast —
+    see :func:`_doc_unigram_stats` for the plan shape."""
+    return _doc_unigram_stats(docs, text_col).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("avg_micro") / F.lit(1000000.0)).alias("avg_nll"),
+    )
 
 
 #: PII-ish patterns (RE2-compatible so DuckDB matches exactly).
@@ -570,26 +608,45 @@ def bigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
     Bigrams are built PER ROW with array slices (zip_with of the
     token array against its own shift) — no positional self-join, no
-    window. Two vocabulary-sized frequency tables (bigram and
-    context) join back broadcast-or-hash; the per-doc average uses
-    the same round-before-exact-integer-sum discipline as
+    window. Shape — ONE corpus pass: the per-(doc, bigram) count
+    frame is PERSISTED and feeds both the bigram-vocabulary
+    aggregate and the per-doc scoring join; the CONTEXT counts
+    (cw1 = occurrences of bigrams starting with w1) are derived by
+    re-aggregating the bigram vocab frame — vocabulary-sized input,
+    no second corpus scan. Both model joins are plain key joins with
+    NO broadcast hint: bigram vocabulary grows super-linearly with
+    the corpus (the worst of the LM family at 100 TB), so a forced
+    broadcast would OOM executors; AQE broadcasts at runtime when
+    the frame is actually small. The per-doc average uses the same
+    round-before-exact-integer-sum discipline as
     :func:`unigram_logprob` so it is bit-stable across engines."""
+    from .. import cache
+
     toks = tokens(F.col(text_col))
     bigrams = bind_once(toks, lambda tk: _shingles_of(tk, 2))
-    bg = docs.select("doc_id", F.explode(bigrams).alias("bg"))
-    bg_freq = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cbg"))
-    ctx = bg.select(F.substring_index("bg", " ", 1).alias("w1"))
-    ctx_freq = ctx.groupBy("w1").agg(F.count(F.lit(1)).alias("cw1"))
+    dbg = cache.persisted(
+        docs.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg_freq = dbg.groupBy("bg").agg(F.sum("c").alias("cbg"))
+    ctx_freq = (
+        bg_freq.groupBy(F.substring_index("bg", " ", 1).alias("w1"))
+        .agg(F.sum("cbg").alias("cw1"))
+    )
     nll6 = F.round(-F.log2(F.col("cbg") / F.col("cw1")), 6)
     micro = (nll6.cast("decimal(28,10)") * 1000000).cast("bigint")
+    scored = (
+        bg_freq.withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(ctx_freq, "w1")
+        .select("bg", micro.alias("micro"))
+    )
     return (
-        bg.join(F.broadcast(bg_freq), "bg")
-        .withColumn("w1", F.substring_index("bg", " ", 1))
-        .join(F.broadcast(ctx_freq), "w1")
+        dbg.join(scored, "bg")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum(micro).alias("_s"),
+            F.sum("c").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("micro")).alias("_s"),
         )
         .select(
             "doc_id",
@@ -653,13 +710,21 @@ def importance_weights(
     like the target distribution; the selection step keeps the top
     slice or samples ∝ exp(weight).
 
-    Shape — the two-pass model-then-score pattern of
-    :func:`unigram_logprob`: pass one builds BOTH LMs in a single
-    vocabulary aggregation (corpus tf + target tf per token, one
-    shuffle); pass two re-scans the corpus and broadcast-joins the
-    vocabulary-sized ratio table. Target counts use add-one
-    smoothing over the corpus vocabulary (tokens unseen in the
-    target slice get mass; corpus tokens always have tf >= 1).
+    Shape — ONE corpus pass (round-8 restructure of the former
+    two-pass model-then-score): the per-(doc, token) count frame is
+    PERSISTED and feeds both the vocabulary aggregation (corpus tf
+    + target tf per token) and the per-doc scoring join; the model
+    totals are a one-row aggregate of the vocab frame crossJoin-
+    broadcast back into the ratio expression — no driver-side
+    collect, no second corpus scan. The vocab/score join carries NO
+    broadcast hint: the whitespace-token vocabulary grows with the
+    corpus (1e8-1e9 distinct at 100 TB), so a forced broadcast
+    would OOM executors; AQE broadcasts at runtime when actually
+    small. Target counts use add-one smoothing over the corpus
+    vocabulary (tokens unseen in the target slice get mass; corpus
+    tokens always have tf >= 1). An empty corpus yields an empty
+    vocab frame and therefore an empty (schema-stable) result — no
+    special case needed.
 
     Determinism: the per-token log-ratio is rounded to 6 decimals
     and summed as exact integer micro-units — order-independent,
@@ -668,48 +733,48 @@ def importance_weights(
     hits a float-tie).
 
     Output: (doc_id, n_tokens, logratio_sum_micro)."""
-    toks = docs.select(
-        "doc_id", "lang", F.explode(tokens(F.col(text_col))).alias("tok")
-    )
-    vocab = (
-        toks.groupBy("tok")
+    from .. import cache
+
+    dt = cache.persisted(
+        docs.select(
+            "doc_id", "lang", F.explode(tokens(F.col(text_col))).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
         .agg(
-            F.count(F.lit(1)).alias("tf_s"),
+            F.count(F.lit(1)).alias("c"),
             F.sum(
                 F.when(F.col("lang") == target_lang, 1).otherwise(0)
-            ).alias("tf_t"),
+            ).alias("ct"),
         )
-        .localCheckpoint()  # tiny (vocabulary-sized); scanned by the
-        #                     totals action AND the scoring join
     )
-    tot = vocab.agg(
-        F.sum("tf_s").alias("s"), F.sum("tf_t").alias("t"), F.count(F.lit(1)).alias("v")
-    ).collect()[0]
-    # SUM over an empty vocabulary is NULL (empty corpus / empty
-    # partition upstream): there is nothing to score — return the
-    # empty frame with the contract schema instead of dividing by a
-    # zero-token model (found by the empty-input robustness test)
-    if tot.s is None:
-        return toks.groupBy("doc_id").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.lit(0).cast("bigint").alias("logratio_sum_micro"),
-        )
-    total_s, total_t, vsize = int(tot.s), int(tot.t), int(tot.v)
+    vocab = dt.groupBy("tok").agg(
+        F.sum("c").alias("tf_s"), F.sum("ct").alias("tf_t")
+    )
+    totals = vocab.agg(
+        F.sum("tf_s").alias("s"),
+        F.sum("tf_t").alias("t"),
+        F.count(F.lit(1)).alias("v"),
+    )
     ratio6 = F.round(
-        F.log2((F.col("tf_t") + F.lit(1.0)) / F.lit(float(total_t + vsize)))
-        - F.log2(F.col("tf_s") / F.lit(float(total_s))),
+        F.log2(
+            (F.col("tf_t") + F.lit(1.0))
+            / (F.col("t") + F.col("v")).cast("double")
+        )
+        - F.log2(F.col("tf_s") / F.col("s").cast("double")),
         6,
     )
-    scored_vocab = vocab.select(
+    scored_vocab = vocab.crossJoin(F.broadcast(totals)).select(
         "tok",
         (ratio6.cast("decimal(28,10)") * 1000000).cast("bigint").alias("micro"),
     )
     return (
-        toks.join(F.broadcast(scored_vocab), "tok")
+        dt.join(scored_vocab, "tok")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum("micro").cast("bigint").alias("logratio_sum_micro"),
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("micro")).cast("bigint").alias(
+                "logratio_sum_micro"
+            ),
         )
     )
 
@@ -772,21 +837,24 @@ def tfidf_top_terms(
     join (the minhash_lsh_pairs policy: MEMORY_AND_DISK degrades to
     spill, never re-runs the tokenize+explode corpus pass) →
     term-keyed df aggregate [1 small shuffle] + one-row corpus count
-    over a doc_id-pruned scan, both broadcast back → per-doc window
-    [1 shuffle partitioned by doc]. The df/idf frame is
-    vocabulary-sized, not corpus-sized.
+    over a doc_id-pruned scan (the one-row total IS broadcast — it
+    is literally one row) → per-doc window [1 shuffle partitioned by
+    doc]. The idf join back onto tf carries NO broadcast hint: the
+    vocabulary grows with the corpus (1e8-1e9 distinct whitespace
+    tokens at 100 TB — multi-GB), so a forced broadcast would
+    override Spark's size threshold and OOM executors; AQE still
+    broadcasts it at runtime when it is actually small.
 
     Output: (doc_id, term, tf, df, score_micro, rank).
     """
-    from pyspark import StorageLevel
+    from .. import cache
 
     toks = docs.select(
         "doc_id", F.explode(tokens(F.col(text_col))).alias("term")
     ).where(F.col("term") != "")
-    tf = (
+    tf = cache.persisted(
         toks.groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     total = docs.select("doc_id").agg(
@@ -800,7 +868,7 @@ def tfidf_top_terms(
         "df",
         (idf6.cast("decimal(28,10)") * 1000000).cast("bigint").alias("_idf_micro"),
     )
-    scored = tf.join(F.broadcast(idf), "term").select(
+    scored = tf.join(idf, "term").select(
         "doc_id",
         "term",
         "tf",
@@ -860,34 +928,19 @@ def perplexity_buckets(
     All arithmetic is EXACT integer micro-bits (the unigram_logprob
     determinism treatment): per-token nll rounded to 6 then
     DECIMAL-lifted, per-doc average via half-up integer division,
-    bucket = avg DIV width. Shape: one corpus explode + broadcast
-    freq join + per-doc aggregation [the only corpus shuffle], then
-    a bucket-keyed aggregation over the |docs|-row frame.
+    bucket = avg DIV width. Shape: ONE corpus pass through the
+    persisted doc-term frame of :func:`_doc_unigram_stats` (the
+    corpus token total is sum(tf) over the vocab aggregate — no
+    driver-side count action, no extra pass; the tf join carries no
+    broadcast hint because the vocabulary grows with the corpus),
+    then a bucket-keyed aggregation over the |docs|-row frame.
 
     Output: (bucket, lo_bits, n_docs, total_tokens, min_avg_micro,
     max_avg_micro), bucket ascending.
     """
     width = int(round(bucket_bits * 1_000_000))
-    toks = docs.select(
-        "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
-    )
-    freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
-    total = toks.count()
-    nll6 = F.round(-F.log2(F.col("tf") / F.lit(float(total))), 6)
-    micro = (nll6.cast("decimal(28,10)") * 1000000).cast("bigint")
-    per_doc = (
-        toks.join(F.broadcast(freqs), "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum(micro).alias("_s"),
-        )
-        .select(
-            "n_tokens",
-            F.expr("(2 * _s + n_tokens) DIV (2 * n_tokens)").alias(
-                "avg_micro"
-            ),
-        )
+    per_doc = _doc_unigram_stats(docs, text_col).select(
+        "n_tokens", "avg_micro"
     )
     return (
         per_doc.groupBy(
@@ -929,31 +982,42 @@ def pmi_collocations(
     rare-pair noise that dominates raw PMI.
 
     Shape: per-row bigram build (array slices, no positional
-    self-join), bigram + unigram count aggregates [the corpus
-    shuffles], broadcast unigram counts onto the bigram frame, then
-    a global top-N = TakeOrderedAndProject (per-partition heap).
+    self-join), bigram + unigram count aggregates [the two corpus
+    passes — both PERSISTED so their totals re-aggregate the
+    vocabulary-sized cached frame instead of re-scanning the
+    corpus], unigram counts key-joined onto the bigram frame with
+    NO broadcast hint (the unigram vocabulary grows with the corpus
+    — forced broadcast would OOM at 100 TB; AQE broadcasts at
+    runtime when actually small; the two one-row totals ARE
+    broadcast), then a global top-N = TakeOrderedAndProject
+    (per-partition heap).
 
     Output: (bigram, w1, w2, c_ab, c_a, c_b, pmi).
     """
+    from .. import cache
+
     toks = tokens(F.col(text_col))
     bigrams = bind_once(toks, lambda tk: _shingles_of(tk, 2))
     bg = docs.select(F.explode(bigrams).alias("bg"))
+    bgf_all = cache.persisted(
+        bg.groupBy("bg").agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+    )
     bgf = (
-        bg.groupBy("bg")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
-        .where(F.col("c_ab") >= min_count)
+        bgf_all.where(F.col("c_ab") >= min_count)
         .withColumn("w1", F.substring_index("bg", " ", 1))
         .withColumn("w2", F.substring_index("bg", " ", -1))
     )
     uni = docs.select(F.explode(toks).alias("w")).where(F.col("w") != "")
-    unif = uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c_w"))
-    n_uni = uni.agg(F.count(F.lit(1)).cast("bigint").alias("n_uni"))
-    n_bi = bg.agg(F.count(F.lit(1)).cast("bigint").alias("n_bi"))
+    unif = cache.persisted(
+        uni.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c_w"))
+    )
+    n_uni = unif.agg(F.sum("c_w").cast("bigint").alias("n_uni"))
+    n_bi = bgf_all.agg(F.sum("c_ab").cast("bigint").alias("n_bi"))
     joined = (
-        bgf.join(F.broadcast(unif.withColumnRenamed("w", "w1")
-                 .withColumnRenamed("c_w", "c_a")), "w1")
-        .join(F.broadcast(unif.withColumnRenamed("w", "w2")
-              .withColumnRenamed("c_w", "c_b")), "w2")
+        bgf.join(unif.withColumnRenamed("w", "w1")
+                 .withColumnRenamed("c_w", "c_a"), "w1")
+        .join(unif.withColumnRenamed("w", "w2")
+              .withColumnRenamed("c_w", "c_b"), "w2")
         .crossJoin(F.broadcast(n_uni))
         .crossJoin(F.broadcast(n_bi))
     )

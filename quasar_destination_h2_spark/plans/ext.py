@@ -2747,8 +2747,8 @@ def q_hard_negative_mining(t: TableSet) -> DataFrame:
     SELECT key, cnt,
            CAST(cnt * 1000000 // total_rows AS BIGINT) AS share_ppm,
            n_keys, total_rows,
-           CAST(max_cnt * n_keys * 1000000 // total_rows AS BIGINT)
-             AS skew_ppm
+           CAST(CAST(max_cnt AS HUGEINT) * n_keys * 1000000
+                // total_rows AS BIGINT) AS skew_ppm
     FROM top, stats
     """,
 )

@@ -221,16 +221,45 @@ def parse_insert(sql: str, shadow: str):
     return table, cols, kind, source
 
 
-def _conform_source(engine, target, names, kind, source):
+def resolve_columns(names, columns, ctx: str) -> dict:
+    """Case-insensitive column resolution for DML column lists.
+
+    Both engines resolve case-differing identifiers: H2 uppercases
+    unquoted identifiers before lookup, Spark resolves with
+    ``spark.sql.caseSensitive=false`` (the default) — so ``SET VAL =
+    1`` against column ``val`` must resolve, not raise. Returns
+    {given_name: actual_target_name}; raises ValueError naming every
+    unknown column (aggregated, like the sink's column validation).
+    """
+    lower = {c.casefold(): c for c in columns}
+    out, bad = {}, []
+    for n in names:
+        actual = lower.get(n.casefold())
+        if actual is None:
+            bad.append(n)
+        else:
+            out[n] = actual
+    if bad:
+        raise ValueError(f"{ctx}: {bad}")
+    return out
+
+
+def _conform_source(engine, target, names, kind, source, verb="INSERT"):
     """Build the source DataFrame for INSERT/MERGE and conform it to
     the target schema: cast provided columns, NULL-fill the rest (H2
-    inserts NULL/default for unspecified columns)."""
+    inserts NULL/default for unspecified columns). An unknown column
+    in the explicit list raises (H2: 'Column not found') instead of
+    silently NULL-filling the whole row; matching is case-insensitive
+    via :func:`resolve_columns`."""
+    res = resolve_columns(
+        names, target.columns, f"{verb}: column not found in column list"
+    )
     if kind == "values":
         quoted = ", ".join(f"`{c}`" for c in names)
         src = engine.spark.sql(f"SELECT * FROM VALUES {source} AS T({quoted})")
     else:
         src = engine.spark.sql(source).toDF(*names)
-    provided = {c: s for c, s in zip(names, src.columns)}
+    provided = {res[c]: s for c, s in zip(names, src.columns)}
     return src.select(
         *[
             F.col(provided[f.name]).cast(f.dataType).alias(f.name)
@@ -487,10 +516,15 @@ def _execute_verb(engine, statement: str, shadow: str, m):
     logical = _logical(engine, table)
     target = engine.table(logical)
     names = cols if cols is not None else list(target.columns)
-    missing = [k for k in key_cols if k not in names]
+    names_cf = {n.casefold() for n in names}
+    missing = [k for k in key_cols if k.casefold() not in names_cf]
     if missing:
         raise ValueError(f"MERGE: KEY columns {missing} not in column list")
-    src = _conform_source(engine, target, names, kind, source)
+    key_cols = [
+        resolve_columns([k], target.columns, "MERGE: KEY column not found")[k]
+        for k in key_cols
+    ]
+    src = _conform_source(engine, target, names, kind, source, verb="MERGE")
     n = src.count()
     engine.merge_into(logical, src, key_cols)
     return n
@@ -700,7 +734,12 @@ def rewrite_quantified(sql: str) -> str:
             if cand is None:
                 break
             body = shadow[cand.end():].lstrip(" \t\r\n(")
-            if re.match(r"(SELECT|WITH|VALUES)\b", body, re.I):
+            # every query form both grammars admit as a subquery
+            # body: SELECT, WITH, VALUES, and TABLE t (Spark plans
+            # `FROM (TABLE t)` — verified — so the splice works
+            # unchanged). This set is exhaustive for H2/Spark, so a
+            # skipped group is genuinely the array/aggregate form.
+            if re.match(r"(SELECT|WITH|VALUES|TABLE)\b", body, re.I):
                 m = cand
                 break
             pos = cand.end()
@@ -957,22 +996,32 @@ def _execute_merge_using(engine, statement: str, shadow: str) -> int:
         return F.expr(f"`{spec['t_alias']}`.`{name}`")
 
     fields = target.schema.fields
-    known = set(target.columns)
     # H2 raises "Column not found" for a misspelled UPDATE SET target
     # or INSERT column; silently ignoring (the alternative) would
-    # diverge from the reference without any error signal.
+    # diverge from the reference without any error signal. Resolution
+    # is CASE-INSENSITIVE on both engines (H2 uppercases unquoted
+    # identifiers, Spark resolves case-insensitively), so the guard
+    # and the application loops below both go through
+    # resolve_columns — 'SET VAL = 1' against column 'val' resolves
+    # instead of raising a false 'column not found'.
     if spec["matched"] is not None and spec["matched"][0] == "update":
-        bad = [c for c in spec["matched"][1] if c not in known]
-        if bad:
-            raise ValueError(
-                f"MERGE USING: column not found in UPDATE SET: {bad}"
-            )
+        res = resolve_columns(
+            spec["matched"][1], target.columns,
+            "MERGE USING: column not found in UPDATE SET",
+        )
+        spec["matched"] = (
+            "update",
+            {res[c]: e for c, e in spec["matched"][1].items()},
+        )
     if spec["not_matched"] is not None and spec["not_matched"][0] is not None:
-        bad = [c for c in spec["not_matched"][0] if c not in known]
-        if bad:
-            raise ValueError(
-                f"MERGE USING: column not found in INSERT list: {bad}"
-            )
+        res = resolve_columns(
+            spec["not_matched"][0], target.columns,
+            "MERGE USING: column not found in INSERT list",
+        )
+        spec["not_matched"] = (
+            [res[c] for c in spec["not_matched"][0]],
+            spec["not_matched"][1],
+        )
     parts = []
     n_changed = 0
     if spec["matched"] is None:

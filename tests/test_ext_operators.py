@@ -1825,3 +1825,77 @@ def test_zipf_fit_empty_input(spark):
     )
     # empty vocabulary -> zero-row fit frame -> zero-row output
     assert text.zipf_fit(empty).count() == 0
+
+
+def test_key_skew_ppm_survives_bigint_overflow(spark, duck):
+    """r7 ADVICE: skew_ppm's numerator (max_cnt * n_keys * 1e6)
+    exceeds bigint at diagnostic scale (~1e9 keys, ~1e5-row hot key)
+    — ANSI engines raise, non-ANSI ones wrap silently negative. The
+    operator and its oracle both route the product through a 128-bit
+    carrier (Spark DECIMAL(38,0), DuckDB HUGEINT); pin that the two
+    expression shapes agree with exact Python arithmetic on literals
+    that overflow bigint."""
+    mx, nk, tot = 100_000, 1_000_000_000, 200_000_000_000
+    want = mx * nk * 1_000_000 // tot
+    got_spark = spark.sql(
+        f"SELECT CAST(CAST({mx} AS DECIMAL(38,0)) * {nk} * 1000000"
+        f" DIV {tot} AS BIGINT) AS skew_ppm"
+    ).collect()[0].skew_ppm
+    got_duck = duck.execute(
+        f"SELECT CAST(CAST({mx} AS HUGEINT) * {nk} * 1000000"
+        f" // {tot} AS BIGINT) AS skew_ppm"
+    ).fetchone()[0]
+    assert got_spark == got_duck == want
+    # and the floor (not round) behavior both sides share:
+    got_spark2 = spark.sql(
+        "SELECT CAST(CAST(640 AS DECIMAL(38,0)) * 10 * 1000000"
+        " DIV 6000 AS BIGINT) AS x"
+    ).collect()[0].x
+    got_duck2 = duck.execute(
+        "SELECT CAST(CAST(640 AS HUGEINT) * 10 * 1000000"
+        " // 6000 AS BIGINT) AS x"
+    ).fetchone()[0]
+    assert got_spark2 == got_duck2 == 640 * 10 * 1_000_000 // 6000
+
+
+def test_lm_vocab_joins_not_hinted(spark):
+    """r7 VERDICT: a forced F.broadcast() on a VOCABULARY-sized frame
+    is a 100 TB job-killer — whitespace-token vocab reaches 1e8-1e9
+    rows (bigrams worse) and an explicit hint overrides Spark's size
+    threshold unconditionally. The LM-family operators may hint only
+    their ONE-ROW totals frames; every vocab join must be unhinted so
+    AQE decides at runtime. Pin the analyzed-plan hint counts."""
+    from quasar_destination_h2_spark import cache, plans
+
+    expected = {
+        "text_unigram_logprob": 1,   # one-row corpus-total crossJoin
+        "text_bigram_logprob": 0,    # ctx model derived from bigram vocab
+        "importance_weights": 1,     # one-row model-totals crossJoin
+        "tfidf_top_terms": 1,        # one-row corpus doc count
+        "perplexity_buckets": 1,     # shares the unigram carrier
+        "pmi_collocations": 2,       # n_uni + n_bi one-row totals
+    }
+    qs = plans.all_queries()
+    for name, want in expected.items():
+        df = qs[name](spark, SF_DIR)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        got = analyzed.count("ResolvedHint")
+        cache.release()
+        assert got == want, f"{name}: {got} broadcast hints, want {want}"
+
+
+def test_cache_release_registry(spark, t):
+    """Operator-level persists register centrally so long-lived
+    sessions can drop them between queries (r7 ADVICE: the tf /
+    key-count persists accumulated without bound)."""
+    from quasar_destination_h2_spark import cache
+    from quasar_destination_h2_spark.operators import text
+
+    cache.release()  # drop anything earlier tests left behind
+    df = text.unigram_logprob(t.documents)
+    assert len(cache._LIVE) == 1  # the doc-term frame
+    assert df.count() > 0
+    n = cache.release()
+    assert n == 1 and not cache._LIVE
+    # idempotent / safe when empty
+    assert cache.release() == 0

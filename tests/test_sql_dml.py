@@ -629,3 +629,60 @@ def test_quantified_non_subquery_forms_pass_through(spark):
         )
     ).collect()
     assert [(r.g, r.v) for r in got] == [(1, True)]
+
+
+def test_update_set_case_insensitive(engine):
+    """Both engines resolve case-differing identifiers (H2 uppercases
+    unquoted ones, Spark is case-insensitive) — 'SET VV = ...' against
+    column 'v' must update v, not raise 'column not found' (r7
+    ADVICE: the guard AND the apply loop were case-sensitive)."""
+    t = _load(engine)
+    n = engine.execute_sql("UPDATE sqldml_t SET V = 'Q' WHERE K = 1")
+    assert n == 1
+    assert _rows(engine, t) == [(1.0, "Q"), (2.0, "b"), (3.0, "c")]
+
+
+def test_merge_using_case_insensitive_set_and_insert(engine):
+    """Case-differing UPDATE SET / INSERT-list targets resolve in
+    MERGE USING too (same r7 ADVICE as UPDATE)."""
+    t = _load(engine)
+    n = engine.execute_sql(
+        "MERGE INTO sqldml_t tg "
+        "USING (SELECT * FROM VALUES (2, 'U'), (9, 'I') AS v(k, v)) s "
+        "ON tg.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET V = s.v "
+        "WHEN NOT MATCHED THEN INSERT (K, V) VALUES (s.k, s.v)"
+    )
+    assert n == 2
+    assert _rows(engine, t) == [
+        (1.0, "a"), (2.0, "U"), (3.0, "c"), (9.0, "I"),
+    ]
+
+
+def test_insert_unknown_column_raises_and_case_insensitive(engine):
+    """An unknown column in an explicit INSERT list errors like H2
+    (not silent NULL-fill); a case-differing known column resolves."""
+    import pytest as _pytest
+
+    t = _load(engine)
+    with _pytest.raises(ValueError, match="column not found in column list"):
+        engine.execute_sql("INSERT INTO sqldml_t (k, nope) VALUES (7, 'x')")
+    engine.execute_sql("INSERT INTO sqldml_t (K, V) VALUES (7, 'g')")
+    assert (7.0, "g") in _rows(engine, t)
+
+
+def test_quantified_table_form_rewrites(spark):
+    """`x > ALL (TABLE t)` is a legal quantified subquery body in both
+    grammars; the peek must accept it (r7 ADVICE: it was silently
+    skipped and later died with an unrelated parse error)."""
+    from quasar_destination_h2_spark.sql_dml import rewrite_quantified
+
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW qtf AS "
+        "SELECT * FROM VALUES (1), (2), (3) AS v(x)"
+    )
+    out = rewrite_quantified("SELECT 5 > ALL (TABLE qtf) AS ok")
+    assert "TABLE qtf" in out and "ALL (" not in out
+    assert spark.sql(out).collect()[0].ok is True
+    out2 = rewrite_quantified("SELECT 0 > ANY (TABLE qtf) AS ok")
+    assert spark.sql(out2).collect()[0].ok is False

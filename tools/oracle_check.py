@@ -91,6 +91,8 @@ def main() -> int:
     oracles = e.oracle_sql()
     con = duck_conn(sf_dir)
 
+    from quasar_destination_h2_spark import cache
+
     n_pass = n_fail = n_rowsonly = 0
     failed = []
     for name, fn in qs.items():
@@ -103,6 +105,11 @@ def main() -> int:
             n_fail += 1
             failed.append(name)
             continue
+        finally:
+            # drop operator-level persisted intermediates between
+            # queries — the long-lived sweep session would otherwise
+            # accumulate MEMORY_AND_DISK partitions without bound
+            cache.release()
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows (no oracle)")
             n_rowsonly += 1
