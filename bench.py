@@ -76,6 +76,12 @@ HEADLINE = (
     "hard_negative_mining",
     "pmi_collocations",
     "zipf_fit",
+    # r8 additions: zero-explode BM25 retrieval (per-row HOF counting
+    # + one-row stats broadcast) and the prefix-filtered Jaccard join
+    # (rarest-prefix inverted index + full verification) — the two
+    # new plan families
+    "bm25_search",
+    "dedup_prefix_filter",
 )
 
 

@@ -818,6 +818,114 @@ def search_token_index(
     )
 
 
+#: Okapi BM25 constants (the standard defaults; written as exact
+#: decimal literals so the Spark expression and the SQL oracle embed
+#: the same doubles).
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(
+    docs: DataFrame,
+    text_col: str = "text",
+    terms: tuple[str, ...] = SEARCH_TERMS,
+    topn: int = 10,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval for a bounded query-term set — the
+    OR-semantics, relevance-ranked counterpart of
+    :func:`keyword_search` (which is AND + unranked): score every
+    document containing at least one query term by
+    sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+    idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)), and keep the top-N.
+
+    Shape at 100 TB — ONE corpus pass, ZERO corpus shuffles: doc
+    length and per-term tf are per-row higher-order-function counts
+    over the bound token array (the query set is bounded, so the
+    per-term columns are a fixed-width projection, never a pivot or
+    explode); that |docs|-row frame is PERSISTED and feeds (a) the
+    one-row corpus-stats aggregate (N, total length, df per term)
+    and (b) the scoring filter, which crossJoin-broadcasts the
+    one-row stats back. Top-N is orderBy+limit =
+    TakeOrderedAndProject (per-partition heap, no global sort); the
+    rank window runs over those N rows only (the zipf_fit pattern).
+
+    Determinism: idf and the tf-normalization factor are EACH
+    rounded to 6 decimals and lifted to exact integer micro-units
+    through DECIMAL; a term's contribution is their exact bigint
+    product (1e-12 units) and the document score the exact integer
+    sum — no float summation anywhere, and every double operand
+    stream (avgdl = exact-int division, the norm denominator) is
+    identical on both engines by construction.
+
+    Output: (doc_id, dl, score_u12, rank), rank 1 = best.
+    """
+    from .. import cache
+
+    tk = tokens(F.col(text_col))
+    uniq = sorted(set(terms))
+    per_doc = cache.persisted(
+        docs.select(
+            "doc_id",
+            bind_once(
+                tk,
+                lambda t: F.struct(
+                    F.size(F.filter(t, lambda x: x != F.lit(""))).alias("dl"),
+                    *[
+                        F.size(F.filter(t, lambda x: x == F.lit(term)))
+                        .alias(f"tf{i}")
+                        for i, term in enumerate(uniq)
+                    ],
+                ),
+            ).alias("_s"),
+        ).select("doc_id", "_s.*")
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("sum_dl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"df{i}")
+            for i in range(len(uniq))
+        ],
+    )
+    hit = None
+    for i in range(len(uniq)):
+        c = F.col(f"tf{i}") > 0
+        hit = c if hit is None else (hit | c)
+
+    def term_u12(i: int) -> Column:
+        idf6 = (
+            f"round(ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5)), 6)"
+        )
+        tfn6 = (
+            f"round(tf{i} * ({BM25_K1} + 1) / (tf{i} + {BM25_K1} * "
+            f"(1 - {BM25_B} + {BM25_B} * dl / (sum_dl / n_docs))), 6)"
+        )
+        return F.expr(
+            f"CAST(CAST({idf6} AS DECIMAL(28,10)) * 1000000 AS BIGINT)"
+            f" * CAST(CAST({tfn6} AS DECIMAL(28,10)) * 1000000 AS BIGINT)"
+        )
+
+    score = term_u12(0)
+    for i in range(1, len(uniq)):
+        score = score + term_u12(i)
+    scored = (
+        per_doc.where(hit)
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "dl", score.cast("bigint").alias("score_u12"))
+        .orderBy(F.desc("score_u12"), F.asc("doc_id"))
+        .limit(topn)
+    )
+    w = Window.orderBy(F.desc("score_u12"), F.asc("doc_id"))
+    return scored.select(
+        "doc_id",
+        "dl",
+        "score_u12",
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame, text_col: str = "text", k: int = 3
 ) -> DataFrame:

@@ -97,7 +97,10 @@ _DRIVER_WINDOW = [
 
 #: Round-8 query registrations, spliced directly after the nine
 #: round-7 witnesses so the driver hashes them this round.
-_R8_NEW: list[str] = []
+_R8_NEW: list[str] = [
+    "bm25_search",
+    "dedup_prefix_filter",
+]
 _DRIVER_WINDOW[9:9] = _R8_NEW
 
 

@@ -2903,3 +2903,113 @@ def q_zipf_fit(t: TableSet) -> DataFrame:
     log-log OLS through exact decimal power sums; top-N via
     TakeOrderedAndProject, rank window over the head frame only."""
     return text.zipf_fit(t.documents)
+
+
+@query(
+    "bm25_search",
+    oracle=rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex({_NORM}, ' ')) AS tok
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) FILTER (WHERE tok <> '') AS BIGINT) AS dl,
+             CAST(COUNT(*) FILTER (WHERE tok = 'query') AS BIGINT) AS tf0,
+             CAST(COUNT(*) FILTER (WHERE tok = 'spark') AS BIGINT) AS tf1,
+             CAST(COUNT(*) FILTER (WHERE tok = 'window') AS BIGINT) AS tf2
+      FROM toks GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl,
+             CAST(COUNT(*) FILTER (WHERE tf0 > 0) AS BIGINT) AS df0,
+             CAST(COUNT(*) FILTER (WHERE tf1 > 0) AS BIGINT) AS df1,
+             CAST(COUNT(*) FILTER (WHERE tf2 > 0) AS BIGINT) AS df2
+      FROM per_doc
+    ),
+    scored AS (
+      SELECT doc_id, dl,
+        CAST(
+          CAST(CAST(round(ln(1.0 + (n_docs - df0 + 0.5) / (df0 + 0.5)), 6)
+               AS DECIMAL(28,10)) * 1000000 AS BIGINT)
+          * CAST(CAST(round(tf0 * (1.2 + 1) / (tf0 + 1.2 *
+               (1 - 0.75 + 0.75 * dl / (sum_dl / n_docs))), 6)
+               AS DECIMAL(28,10)) * 1000000 AS BIGINT)
+        + CAST(CAST(round(ln(1.0 + (n_docs - df1 + 0.5) / (df1 + 0.5)), 6)
+               AS DECIMAL(28,10)) * 1000000 AS BIGINT)
+          * CAST(CAST(round(tf1 * (1.2 + 1) / (tf1 + 1.2 *
+               (1 - 0.75 + 0.75 * dl / (sum_dl / n_docs))), 6)
+               AS DECIMAL(28,10)) * 1000000 AS BIGINT)
+        + CAST(CAST(round(ln(1.0 + (n_docs - df2 + 0.5) / (df2 + 0.5)), 6)
+               AS DECIMAL(28,10)) * 1000000 AS BIGINT)
+          * CAST(CAST(round(tf2 * (1.2 + 1) / (tf2 + 1.2 *
+               (1 - 0.75 + 0.75 * dl / (sum_dl / n_docs))), 6)
+               AS DECIMAL(28,10)) * 1000000 AS BIGINT)
+        AS BIGINT) AS score_u12
+      FROM per_doc, stats
+      WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+    )
+    SELECT doc_id, dl, score_u12, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score_u12 DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_bm25_search(t: TableSet) -> DataFrame:
+    """Okapi BM25 top-10 retrieval for the fixed query-term set —
+    one corpus pass (per-row HOF tf/length counts, no explode), a
+    one-row stats broadcast, integer-exact micro-unit scoring, and
+    TakeOrderedAndProject for the top-N. The relevance-ranked
+    counterpart of keyword_search."""
+    return text.bm25_search(t.documents)
+
+
+@query(
+    "dedup_prefix_filter",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    ex AS (SELECT doc_id, n_sh, md5(unnest(shingles)) AS s FROM shn),
+    dfq AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s),
+    ranked AS (
+      SELECT ex.doc_id, ex.n_sh, ex.s,
+             ROW_NUMBER() OVER (PARTITION BY ex.doc_id
+                                ORDER BY dfq.df ASC, ex.s ASC) AS rnk
+      FROM ex JOIN dfq USING (s)
+    ),
+    pref AS (
+      SELECT doc_id, n_sh, s FROM ranked
+      WHERE rnk <= n_sh - ((4 * n_sh + 4) // 5) + 1
+    ),
+    bucket AS (
+      SELECT s FROM pref GROUP BY s
+      HAVING COUNT(*) BETWEEN 2 AND {dedup.MAX_SHINGLE_DF}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.n_sh AS n_a,
+                      b.doc_id AS doc_b, b.n_sh AS n_b
+      FROM pref a
+      JOIN bucket USING (s)
+      JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT cand.doc_a, cand.doc_b, cand.n_a, cand.n_b,
+             COUNT(*) AS inter
+      FROM cand
+      JOIN ex pa ON pa.doc_id = cand.doc_a
+      JOIN ex pb ON pb.doc_id = cand.doc_b AND pb.s = pa.s
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, inter,
+           round(inter / (n_a + n_b - inter), 6) AS jaccard
+    FROM verified
+    WHERE round(inter / (n_a + n_b - inter), 6) >= 0.8
+    """,
+)
+def q_dedup_prefix_filter(t: TableSet) -> DataFrame:
+    """Prefix-filtered exact-Jaccard near-dup join (ppjoin-style):
+    inverted index over each doc's p = n - ceil(0.8n) + 1 rarest
+    shingles only (global order = (df, md5) — engine-portable), full
+    verification of the shrunken candidate set. Same answer as
+    dedup_ngram_jaccard with ~25x fewer candidate pairs."""
+    return dedup.prefix_filter_pairs(t.documents)

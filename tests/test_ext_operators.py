@@ -1899,3 +1899,112 @@ def test_cache_release_registry(spark, t):
     assert n == 1 and not cache._LIVE
     # idempotent / safe when empty
     assert cache.release() == 0
+
+
+def test_prefix_filter_matches_full_inverted_index(t):
+    """Prefix filtering is an exact optimization: with the df valve
+    disengaged (fixture max df << MAX_SHINGLE_DF) the ppjoin-style
+    build must return EXACTLY the pairs of the full inverted index —
+    same docs, same intersection counts, same Jaccard."""
+    full = {
+        (r.doc_a, r.doc_b): (r.inter, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(t.documents).collect()
+    }
+    pf = {
+        (r.doc_a, r.doc_b): (r.inter, r.jaccard)
+        for r in dedup.prefix_filter_pairs(t.documents).collect()
+    }
+    assert pf == full and len(pf) > 0
+
+
+def test_prefix_filter_candidate_reduction(t):
+    """The point of the prefix index: strictly fewer postings than
+    the full index (p = n - ceil(0.8 n) + 1 rarest shingles per doc
+    is ~20% of n), and no CartesianProduct anywhere in the plan."""
+    from quasar_destination_h2_spark import cache
+    from pyspark.sql import functions as F
+
+    sh = dedup._shingled(t.documents, "text", 3)
+    full_postings = sh.select(F.explode("shingles")).count()
+    # rebuild the operator's prefix frame shape to measure its size
+    posts = sh.select(
+        "doc_id", "n_sh",
+        F.explode(F.transform("shingles", lambda s: F.md5(s))).alias("s"),
+    )
+    dfreq = posts.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("s"))
+    pref_n = (
+        posts.join(dfreq, "s")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= F.expr("n_sh - ((4 * n_sh + 4) DIV 5) + 1"))
+        .count()
+    )
+    assert pref_n < full_postings * 0.35, (pref_n, full_postings)
+    plan = physical_plan(dedup.prefix_filter_pairs(t.documents))
+    cache.release()
+    assert "CartesianProduct" not in plan
+
+
+def test_prefix_length_integer_ceil(spark):
+    """The prefix length uses rational integer arithmetic
+    (ceil(t*n) = (num*n + den - 1) DIV den) so completeness never
+    depends on how a float t*n happens to round — exactness is
+    guaranteed by construction, not by double-rounding luck. Pin the
+    integer form against Fraction-exact ceil over a value sweep."""
+    from fractions import Fraction
+    import math
+
+    ns = list(range(1, 200))
+    rows = spark.sql(
+        "SELECT n, n - ((4 * n + 4) DIV 5) + 1 AS p FROM VALUES "
+        + ", ".join(f"({n}L)" for n in ns)
+        + " AS v(n)"
+    ).collect()
+    for r in rows:
+        exact = r.n - math.ceil(Fraction(4, 5) * r.n) + 1
+        assert r.p == exact, (r.n, r.p, exact)
+
+
+def test_bm25_ranking_semantics(spark):
+    """BM25 on a crafted corpus: a doc hitting two query terms beats
+    single-term docs; among single-term docs with equal tf the
+    SHORTER one scores higher (length normalization); docs with no
+    term never appear; ranks are 1..N by descending score."""
+    from quasar_destination_h2_spark import cache
+    from quasar_destination_h2_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark window fast engine"),          # two terms
+            (2, "spark alone here with padding words x y z"),  # 1 term, long
+            (3, "spark alone short"),                 # 1 term, short
+            (4, "nothing relevant at all"),           # no terms
+        ],
+        ["doc_id", "text"],
+    )
+    rows = T.bm25_search(docs).collect()
+    cache.release()
+    got = {r.doc_id: r for r in rows}
+    assert 4 not in got and set(got) == {1, 2, 3}
+    assert got[1].rank == 1  # two distinct terms dominate
+    assert got[3].score_u12 > got[2].score_u12  # shorter doc wins
+    assert sorted(r.rank for r in rows) == [1, 2, 3]
+
+
+def test_bm25_empty_and_no_hit_corpus(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+    from quasar_destination_h2_spark import cache
+    from quasar_destination_h2_spark.operators import text as T
+
+    empty = spark.createDataFrame(
+        [], StructType([
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ])
+    )
+    assert T.bm25_search(empty).count() == 0
+    nohit = spark.createDataFrame([(1, "abc def")], ["doc_id", "text"])
+    assert T.bm25_search(nohit).count() == 0
+    cache.release()

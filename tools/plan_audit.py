@@ -79,6 +79,11 @@ AUDITED = (
     "hard_negative_mining",
     "key_skew_profile",
     "perplexity_buckets",
+    # round 8: zero-explode BM25 retrieval and the prefix-filtered
+    # Jaccard join (candidate set ~25x smaller than the full
+    # inverted index at t=0.8)
+    "bm25_search",
+    "dedup_prefix_filter",
 )
 
 MARKERS = (
@@ -126,6 +131,8 @@ NLJ_OK = frozenset({
     "text_unigram_logprob",
     "perplexity_buckets",
     "importance_weights",
+    # r8: one-row corpus-stats broadcast onto the per-doc tf frame
+    "bm25_search",
 })
 
 #: Tables whose repeated FileScan in one plan is a 100 TB scale killer.
@@ -193,6 +200,11 @@ RESCAN_REVIEWED = frozenset({
     # corpus window partitioned by the handful of source keys (which
     # would funnel the corpus through |sources| tasks):
     "quality_filter_percentile",
+    # r8 cache-backed single-scan shapes (persisted frame carries the
+    # only corpus pass; un-materialized renderings print the FileScan
+    # under each InMemoryRelation reference):
+    "bm25_search",         # persisted per-doc tf/length frame
+    "dedup_prefix_filter",  # persisted md5-shingle posting frame
 })
 
 

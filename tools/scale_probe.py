@@ -276,14 +276,24 @@ def main() -> int:
             dedup.dedup_clusters(docs).where("is_canonical").count()
         )
         t_clusters = time.perf_counter() - t0
+        # r8: containment shares the inverted-index group-then-pair
+        # shape with the Jaccard build (same MAX_SHINGLE_DF /
+        # MAX_LSH_BUCKET-style valves), so pair counts should grow
+        # linearly with replicas and wall time near-linearly — probe
+        # it alongside its Jaccard twin instead of asserting it.
+        t0 = time.perf_counter()
+        n_contain = dedup.containment_pairs(docs).count()
+        t_contain = time.perf_counter() - t0
         out["points"].append(
             {
                 "replicas": k,
                 "n_docs": n,
                 "n_pairs": n_pairs,
                 "n_clusters": n_clusters,
+                "n_containment": n_contain,
                 "pairs_sec": round(t_pairs, 2),
                 "clusters_sec": round(t_clusters, 2),
+                "containment_sec": round(t_contain, 2),
             }
         )
     print(json.dumps(out))
