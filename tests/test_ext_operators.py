@@ -2008,3 +2008,26 @@ def test_bm25_empty_and_no_hit_corpus(spark):
     nohit = spark.createDataFrame([(1, "abc def")], ["doc_id", "text"])
     assert T.bm25_search(nohit).count() == 0
     cache.release()
+
+
+def test_persisted_frames_use_spillable_storage_level(spark, t):
+    """The operator-persist policy (tfidf tf frame, LM doc-term
+    frames, minhash shingle projection) is MEMORY_AND_DISK: under
+    memory pressure cached partitions SPILL to local disk instead of
+    being dropped-and-recomputed — recompute would re-run the very
+    corpus pass the persist exists to bound. Pin the storage level
+    (useMemory AND useDisk, on-heap, 1 replica) and that the frame
+    actually materializes into the block manager."""
+    from quasar_destination_h2_spark import cache
+    from quasar_destination_h2_spark.operators import text
+
+    cache.release()
+    df = text.tfidf_top_terms(t.documents)
+    assert len(cache._LIVE) == 1
+    lvl = cache._LIVE[0].storageLevel
+    assert lvl.useMemory and lvl.useDisk
+    assert not lvl.useOffHeap and lvl.replication == 1
+    assert df.count() > 0
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert any(i.numCachedPartitions() > 0 for i in infos)
+    cache.release()
