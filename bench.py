@@ -77,11 +77,14 @@ HEADLINE = (
     "pmi_collocations",
     "zipf_fit",
     # r8 additions: zero-explode BM25 retrieval (per-row HOF counting
-    # + one-row stats broadcast) and the prefix-filtered Jaccard join
-    # (rarest-prefix inverted index + full verification) — the two
-    # new plan families
+    # + one-row stats broadcast), the prefix-filtered Jaccard join
+    # (rarest-prefix inverted index + full verification), the
+    # zero-shuffle sorted-neighbors diversity profile, and the
+    # exact-vs-IVF recall contract — the new plan families
     "bm25_search",
     "dedup_prefix_filter",
+    "lexical_diversity",
+    "ann_ivf_recall",
 )
 
 

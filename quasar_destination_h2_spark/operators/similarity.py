@@ -393,6 +393,60 @@ def ivf_topk_nprobe(
     )
 
 
+def ivf_recall(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN accuracy contract: per-query recall@k of the multi-probe
+    IVF index against the exact brute-force ranking — THE measurement
+    that sets nprobe/n_list before anyone trusts an index at 100 TB
+    (a production pipeline runs exactly this on a bounded query
+    sample, because exact search over the full corpus per query is
+    what the index exists to avoid).
+
+    Shape: both sides reuse the shipped operators' plans unchanged —
+    the exact side is quadratic ONLY in |query sample| x corpus
+    (bounded by construction; the reason recall is measured on a
+    sample), the IVF side probes nprobe inverted lists per query.
+    The hit join is (query_id, neighbor_id) keyed on two bounded
+    top-k frames (n_queries x k rows each). recall_ppm is integer
+    floor division — engine-exact; ties below the top-k cut are
+    deterministic on both engines because scores are 6-rounded and
+    tie-broken on neighbor_id before ranking.
+
+    Output: (query_id, k_eval, n_hits, recall_ppm); k_eval < k only
+    when the corpus has fewer than k candidates.
+    """
+    exact = brute_force_topk(emb, n_queries, k, id_col, vec_col).select(
+        "query_id", "neighbor_id"
+    )
+    approx = ivf_topk_nprobe(
+        emb, n_queries, k, nprobe, id_col, vec_col
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    return (
+        exact.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_eval"),
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "k_eval",
+            "n_hits",
+            F.expr("CAST(n_hits * 1000000 DIV k_eval AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+    )
+
+
 def quantize_int8(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

@@ -818,6 +818,62 @@ def search_token_index(
     )
 
 
+def lexical_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document lexical-diversity profile: type-token ratio,
+    hapax-legomenon count (tokens occurring exactly once IN the
+    document), and average token length — the cheap "template spam
+    vs natural text" signals a curation pass computes before any
+    model-based scoring (natural text: TTR falling slowly with
+    length, a fat hapax share; templated/boilerplate text: low TTR,
+    few hapaxes).
+
+    Shape: ZERO shuffles, pure whole-stage codegen. The hapax count
+    uses the sorted-neighbors identity — sort the token array once
+    per row; a token occurs exactly once iff it differs from BOTH
+    sorted neighbors — O(n log n) per row instead of the O(n^2)
+    nested-filter form or an explode + two corpus shuffles. All
+    ratios are integer ppm via floor division so both engines agree
+    bit-for-bit (no double rounding anywhere).
+
+    Output: (doc_id, n_tokens, n_distinct, n_hapax, ttr_ppm,
+    avg_len_ppm); empty-token documents are excluded (every ratio
+    would be 0/0).
+    """
+    tk = tokens(F.col(text_col))
+    base = (
+        docs.select(
+            "doc_id",
+            bind_once(
+                tk,
+                lambda t: F.array_sort(F.filter(t, lambda x: x != F.lit(""))),
+            ).alias("s"),
+        )
+        .withColumn("n", F.size("s"))
+        .where(F.col("n") > 0)
+        .withColumn("n_distinct", F.expr("size(array_distinct(s))"))
+        .withColumn(
+            "n_hapax",
+            F.expr(
+                "size(filter(transform(s, (x, i) ->"
+                " CASE WHEN (i = 0 OR s[i-1] <> x)"
+                " AND (i = size(s) - 1 OR s[i+1] <> x) THEN 1 END),"
+                " v -> v IS NOT NULL))"
+            ),
+        )
+        .withColumn(
+            "total_len", F.expr("aggregate(s, 0L, (acc, x) -> acc + length(x))")
+        )
+    )
+    return base.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.col("n_hapax").cast("bigint").alias("n_hapax"),
+        F.expr("CAST(n_distinct AS BIGINT) * 1000000 DIV n").alias("ttr_ppm"),
+        F.expr("total_len * 1000000 DIV n").cast("bigint").alias("avg_len_ppm"),
+    )
+
+
 #: Okapi BM25 constants (the standard defaults; written as exact
 #: decimal literals so the Spark expression and the SQL oracle embed
 #: the same doubles).

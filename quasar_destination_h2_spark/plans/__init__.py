@@ -100,6 +100,8 @@ _DRIVER_WINDOW = [
 _R8_NEW: list[str] = [
     "bm25_search",
     "dedup_prefix_filter",
+    "lexical_diversity",
+    "ann_ivf_recall",
 ]
 _DRIVER_WINDOW[9:9] = _R8_NEW
 

@@ -3013,3 +3013,104 @@ def q_dedup_prefix_filter(t: TableSet) -> DataFrame:
     verification of the shrunken candidate set. Same answer as
     dedup_ngram_jaccard with ~25x fewer candidate pairs."""
     return dedup.prefix_filter_pairs(t.documents)
+
+
+@query(
+    "lexical_diversity",
+    oracle=rf"""
+    WITH s0 AS (
+      SELECT doc_id,
+             list_sort(list_filter(string_split_regex({_NORM}, ' '),
+                                   x -> x <> '')) AS s
+      FROM documents
+    ),
+    base AS (SELECT doc_id, s, len(s) AS n FROM s0 WHERE len(s) > 0)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(s)) AS BIGINT) AS n_distinct,
+           CAST(len(list_filter(range(1, n + 1),
+                i -> (i = 1 OR s[i-1] <> s[i])
+                 AND (i = n OR s[i+1] <> s[i]))) AS BIGINT) AS n_hapax,
+           CAST(len(list_distinct(s)) * 1000000 // n AS BIGINT) AS ttr_ppm,
+           CAST(list_aggregate(list_transform(s, x -> length(x)), 'sum')
+                * 1000000 // n AS BIGINT) AS avg_len_ppm
+    FROM base
+    """,
+)
+def q_lexical_diversity(t: TableSet) -> DataFrame:
+    """Per-doc type-token ratio / hapax count / avg token length via
+    the sorted-neighbors identity — zero shuffles, pure codegen,
+    integer-ppm ratios."""
+    return text.lexical_diversity(t.documents)
+
+
+@query(
+    "ann_ivf_recall",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q0 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q0.query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q0.query_id
+                 ORDER BY round(list_cosine_similarity(q0.qv, e.v), 6) DESC,
+                          e.vec_id) AS rank
+        FROM e CROSS JOIN q0 WHERE q0.query_id <> e.vec_id
+      ) WHERE rank <= 5
+    ),
+    cents AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
+              WHERE vec_id IN (
+                SELECT vec_id FROM e
+                ORDER BY md5('{_IVF_SEED}:' || CAST(vec_id AS VARCHAR)), vec_id
+                LIMIT {_IVF_N_LIST})),
+    assigned AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC,
+                          c.centroid_id) AS rn
+        FROM e CROSS JOIN cents c) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC,
+                          c.centroid_id) AS rn
+        FROM e CROSS JOIN cents c WHERE e.vec_id < 10) WHERE rn <= 2
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                  ORDER BY s.cos_sim DESC, s.neighbor_id)
+                 AS rank
+        FROM (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(p.qv, a.v), 6) AS cos_sim
+          FROM assigned a JOIN probes p USING (centroid_id)
+          WHERE p.query_id <> a.vec_id
+        ) s
+      ) WHERE rank <= 5
+    )
+    SELECT query_id, k_eval, n_hits,
+           CAST(n_hits * 1000000 // k_eval AS BIGINT) AS recall_ppm
+    FROM (
+      SELECT exact.query_id,
+             CAST(COUNT(*) AS BIGINT) AS k_eval,
+             CAST(COUNT(approx.neighbor_id) AS BIGINT) AS n_hits
+      FROM exact LEFT JOIN approx
+        ON exact.query_id = approx.query_id
+       AND exact.neighbor_id = approx.neighbor_id
+      GROUP BY exact.query_id
+    )
+    """,
+)
+def q_ann_ivf_recall(t: TableSet) -> DataFrame:
+    """Recall@5 of the nprobe=2 IVF index against exact brute force
+    per query — the accuracy contract that tunes nprobe/n_list; hit
+    join over two bounded top-k frames, integer-ppm recall."""
+    return similarity.ivf_recall(t.embeddings)

@@ -2031,3 +2031,65 @@ def test_persisted_frames_use_spillable_storage_level(spark, t):
     infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
     assert any(i.numCachedPartitions() > 0 for i in infos)
     cache.release()
+
+
+def test_lexical_diversity_semantics(spark):
+    """Hand-checked TTR / hapax / avg-length on a crafted doc, the
+    all-duplicates and all-distinct extremes, and a zero-shuffle plan
+    (no Exchange at all — pure per-row codegen)."""
+    from quasar_destination_h2_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "b a c a d b e"),   # 7 toks, 5 distinct, hapax {c,d,e}
+            (2, "x x x x"),         # all dup: 1 distinct, 0 hapax
+            (3, "one two three"),   # all distinct: 3 hapax
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in T.lexical_diversity(docs).collect()}
+    assert rows[1].n_tokens == 7 and rows[1].n_distinct == 5
+    assert rows[1].n_hapax == 3
+    assert rows[1].ttr_ppm == 5 * 1_000_000 // 7
+    assert rows[1].avg_len_ppm == 7 * 1_000_000 // 7  # all 1-char tokens
+    assert rows[2].n_distinct == 1 and rows[2].n_hapax == 0
+    assert rows[3].n_hapax == 3 and rows[3].ttr_ppm == 1_000_000
+    plan = physical_plan(T.lexical_diversity(docs))
+    assert "Exchange" not in plan  # zero shuffles by design
+
+
+def test_lexical_diversity_empty_and_whitespace_docs(spark):
+    from quasar_destination_h2_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "ok")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in T.lexical_diversity(docs).collect()}
+    assert set(rows) == {3}  # token-less docs excluded, no 0/0
+    assert rows[3].n_tokens == 1 and rows[3].avg_len_ppm == 2_000_000
+
+
+def test_ivf_recall_bounds_and_self_consistency(t):
+    """recall_ppm is in [0, 1e6]; n_hits <= k_eval <= 5; every query
+    vector appears exactly once; and the hits really are the
+    intersection of the two shipped top-k operators."""
+    from quasar_destination_h2_spark.operators import similarity as S
+
+    rows = S.ivf_recall(t.embeddings).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert 0 <= r.n_hits <= r.k_eval <= 5
+        assert r.recall_ppm == r.n_hits * 1_000_000 // r.k_eval
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk(t.embeddings).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in S.ivf_topk_nprobe(t.embeddings, k=5).collect()
+    }
+    want_hits = {}
+    for q, nbr in exact:
+        want_hits[q] = want_hits.get(q, 0) + ((q, nbr) in approx)
+    got_hits = {r.query_id: r.n_hits for r in rows}
+    assert got_hits == want_hits

@@ -79,11 +79,14 @@ AUDITED = (
     "hard_negative_mining",
     "key_skew_profile",
     "perplexity_buckets",
-    # round 8: zero-explode BM25 retrieval and the prefix-filtered
+    # round 8: zero-explode BM25 retrieval, the prefix-filtered
     # Jaccard join (candidate set ~25x smaller than the full
-    # inverted index at t=0.8)
+    # inverted index at t=0.8), the zero-shuffle sorted-neighbors
+    # diversity profile, and the ANN recall contract
     "bm25_search",
     "dedup_prefix_filter",
+    "lexical_diversity",
+    "ann_ivf_recall",
 )
 
 MARKERS = (
@@ -133,6 +136,9 @@ NLJ_OK = frozenset({
     "importance_weights",
     # r8: one-row corpus-stats broadcast onto the per-doc tf frame
     "bm25_search",
+    # r8: composition of the two declared-NLJ ANN sides (brute-force
+    # baseline + IVF centroid broadcasts) into the recall contract
+    "ann_ivf_recall",
 })
 
 #: Tables whose repeated FileScan in one plan is a 100 TB scale killer.
@@ -205,6 +211,11 @@ RESCAN_REVIEWED = frozenset({
     # under each InMemoryRelation reference):
     "bm25_search",         # persisted per-doc tf/length frame
     "dedup_prefix_filter",  # persisted md5-shingle posting frame
+    # r8: composition of the exact baseline and the IVF probe — each
+    # side is its own reviewed query (embed_cosine_topk,
+    # ivf_topk_ann_nprobe2); the localCheckpointed index carries the
+    # assignment, the exact side's rescan is the bounded query sample
+    "ann_ivf_recall",
 })
 
 
