@@ -85,6 +85,8 @@ HEADLINE = (
     "dedup_prefix_filter",
     "lexical_diversity",
     "ann_ivf_recall",
+    # bipartite new-batch-vs-reference inverted-index join
+    "dedup_cross_corpus",
 )
 
 

@@ -260,6 +260,71 @@ def prefix_filter_pairs(
     )
 
 
+def cross_corpus_pairs(
+    new_docs: DataFrame,
+    ref_docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = JACCARD_THRESHOLD,
+    max_df: int = MAX_SHINGLE_DF,
+) -> DataFrame:
+    """Incremental (cross-corpus) near-dup join: which NEW documents
+    near-duplicate something already in the REFERENCE corpus — the
+    nightly-crawl question every growing training set asks, and a
+    shape the self-join operators cannot express (deduping the union
+    would also pair reference docs against each other, re-paying the
+    full corpus every night).
+
+    Bipartite inverted-index join: shingle postings built per side,
+    hash-joined on xxhash64(shingle) — no self-join, no pair
+    fan-out; one joined row per shared shingle, aggregated to the
+    intersection count, Jaccard from inclusion-exclusion over the
+    two distinct-shingle set sizes. The ``max_df`` stop-shingle
+    valve is computed on the REFERENCE side (its boilerplate is the
+    stable, known quantity; the new batch is typically much smaller)
+    and drops those postings from BOTH sides before the join — the
+    same recall-for-safety trade as ngram_jaccard_pairs, mirrored in
+    the oracle.
+
+    Scale shape: shuffle keyed on the shingle hash for both posting
+    sets [the only corpus shuffles] + one pair aggregation; cost
+    tracks shared-shingle co-occurrence, bounded by the valve. At
+    100 TB the reference postings are materialized ONCE, bucketed BY
+    the shingle hash (engine.materialize_bucketed), making every
+    nightly join co-located and shuffle-free on the big side.
+
+    Output: (new_id, ref_id, inter, jaccard), jaccard >= threshold.
+    """
+    pn = _shingled(new_docs, text_col, k).select(
+        F.col("doc_id").alias("new_id"),
+        F.col("n_sh").alias("n_new"),
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s"),
+    )
+    pr = _shingled(ref_docs, text_col, k).select(
+        F.col("doc_id").alias("ref_id"),
+        F.col("n_sh").alias("n_ref"),
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s"),
+    )
+    ok = (
+        pr.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("s")
+    )
+    pairs = (
+        pn.join(ok, "s")
+        .join(pr, "s")
+        .groupBy("new_id", "ref_id", "n_new", "n_ref")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("n_new") + F.col("n_ref") - F.col("inter"))
+    return (
+        pairs.withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("new_id", "ref_id", "inter", "jaccard")
+    )
+
+
 def minhash_seed_expr(seed: int) -> Column:
     """min over shingles of md5('<seed>:' || shingle) — one minhash
     function. Hex-string min is total-ordered and engine-agnostic."""

@@ -102,6 +102,8 @@ _R8_NEW: list[str] = [
     "dedup_prefix_filter",
     "lexical_diversity",
     "ann_ivf_recall",
+    "keyword_search_indexed",
+    "dedup_cross_corpus",
 ]
 _DRIVER_WINDOW[9:9] = _R8_NEW
 

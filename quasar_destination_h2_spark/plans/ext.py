@@ -3114,3 +3114,65 @@ def q_ann_ivf_recall(t: TableSet) -> DataFrame:
     per query — the accuracy contract that tunes nprobe/n_list; hit
     join over two bounded top-k frames, integer-ppm recall."""
     return similarity.ivf_recall(t.embeddings)
+
+
+@query(
+    "keyword_search_indexed",
+    oracle=f"""
+    WITH postings AS (
+      SELECT doc_id, unnest(list_distinct(
+               list_filter(string_split_regex({_NORM}, ' '), x -> x <> '')))
+             AS tok
+      FROM documents
+    )
+    SELECT doc_id FROM postings
+    WHERE tok IN ('query', 'spark', 'window')
+    GROUP BY doc_id
+    HAVING COUNT(DISTINCT tok) = 3
+    """,
+)
+def q_keyword_search_indexed(t: TableSet) -> DataFrame:
+    """The AMORTIZED retrieval form of keyword_search: AND-semantics
+    lookup over the inverted (tok, doc_id) posting index — touches
+    only the query terms' posting lists, O(sum df(term)) instead of
+    O(corpus); at 100 TB the index is materialized bucketed BY tok
+    (engine.materialize_bucketed) so every retrieval is co-located
+    and shuffle-free. Same doc set as the scan form (pinned by the
+    shared conformance data)."""
+    return text.search_token_index(text.build_token_index(t.documents))
+
+
+@query(
+    "dedup_cross_corpus",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    newd AS (SELECT shn.* FROM shn JOIN documents USING (doc_id)
+             WHERE documents.source = 'src0'),
+    refd AS (SELECT shn.* FROM shn JOIN documents USING (doc_id)
+             WHERE documents.source <> 'src0'),
+    pn AS (SELECT doc_id AS new_id, n_sh AS n_new, unnest(shingles) AS s
+           FROM newd),
+    pr AS (SELECT doc_id AS ref_id, n_sh AS n_ref, unnest(shingles) AS s
+           FROM refd),
+    ok AS (SELECT s FROM pr GROUP BY s
+           HAVING COUNT(*) <= {dedup.MAX_SHINGLE_DF}),
+    pairs AS (
+      SELECT new_id, ref_id, n_new, n_ref, COUNT(*) AS inter
+      FROM pn JOIN ok USING (s) JOIN pr USING (s)
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT new_id, ref_id, inter,
+           round(inter / (n_new + n_ref - inter), 6) AS jaccard
+    FROM pairs
+    WHERE round(inter / (n_new + n_ref - inter), 6)
+          >= {dedup.JACCARD_THRESHOLD}
+    """,
+)
+def q_dedup_cross_corpus(t: TableSet) -> DataFrame:
+    """Incremental near-dup join of the 'new batch' (source src0)
+    against the existing reference corpus (all other sources) — the
+    bipartite inverted-index shape a nightly crawl dedup runs;
+    reference-side stop-shingle valve, no self-join."""
+    new_docs = t.documents.where("source = 'src0'")
+    ref_docs = t.documents.where("source <> 'src0'")
+    return dedup.cross_corpus_pairs(new_docs, ref_docs)

@@ -2093,3 +2093,89 @@ def test_ivf_recall_bounds_and_self_consistency(t):
         want_hits[q] = want_hits.get(q, 0) + ((q, nbr) in approx)
     got_hits = {r.query_id: r.n_hits for r in rows}
     assert got_hits == want_hits
+
+
+def test_prefix_filter_equals_full_on_random_corpus(spark):
+    """Seeded-random corpus with planted near-dups at varied overlap
+    levels: the prefix-filtered join must agree with the full
+    inverted index EXACTLY (pairs, intersection counts, Jaccard) —
+    the completeness bound holds under arbitrary token shapes, not
+    just the fixture distribution. One generated corpus, one Spark
+    job per side."""
+    import random as _random
+
+    from quasar_destination_h2_spark import cache
+
+    rng = _random.Random(8_2025)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = []
+    for d in range(120):
+        n = rng.randint(3, 40)
+        docs.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+    # planted near-dups: copy with 0..3 token edits
+    for j in range(40):
+        base_id, base_text = docs[rng.randrange(len(docs))]
+        toks = base_text.split()
+        for _ in range(rng.randint(0, 3)):
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        docs.append((1000 + j, " ".join(toks)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    full = {
+        (r.doc_a, r.doc_b): (r.inter, r.jaccard)
+        for r in dedup.ngram_jaccard_pairs(df).collect()
+    }
+    pf = {
+        (r.doc_a, r.doc_b): (r.inter, r.jaccard)
+        for r in dedup.prefix_filter_pairs(df).collect()
+    }
+    cache.release()
+    assert pf == full
+    assert len(full) >= 10  # the planted structure was actually found
+
+
+def test_cross_corpus_pairs_semantics(spark, t):
+    """Bipartite semantics: (a) every returned pair crosses the
+    corpus boundary; (b) on a crafted new/ref split with a planted
+    copy, exactly that copy is found; (c) the pair set equals the
+    cross-boundary subset of the self-join operator's answer on the
+    union (when the valve is disengaged); (d) no CartesianProduct."""
+    from pyspark.sql import functions as F
+
+    new_docs = t.documents.where("source = 'src0'")
+    ref_docs = t.documents.where("source <> 'src0'")
+    got = {
+        (r.new_id, r.ref_id): (r.inter, r.jaccard)
+        for r in dedup.cross_corpus_pairs(new_docs, ref_docs).collect()
+    }
+    new_ids = {r.doc_id for r in new_docs.select("doc_id").collect()}
+    ref_ids = {r.doc_id for r in ref_docs.select("doc_id").collect()}
+    for n, rf in got:
+        assert n in new_ids and rf in ref_ids
+    # cross-boundary subset of the self-join answer on the union
+    full = dedup.ngram_jaccard_pairs(t.documents).collect()
+    want = {}
+    for r in full:
+        if r.doc_a in new_ids and r.doc_b in ref_ids:
+            want[(r.doc_a, r.doc_b)] = (r.inter, r.jaccard)
+        elif r.doc_b in new_ids and r.doc_a in ref_ids:
+            want[(r.doc_b, r.doc_a)] = (r.inter, r.jaccard)
+    assert got == want and len(got) > 0
+    plan = physical_plan(dedup.cross_corpus_pairs(new_docs, ref_docs))
+    assert "CartesianProduct" not in plan
+
+
+def test_cross_corpus_planted_copy(spark):
+    from pyspark.sql import Row
+
+    ref = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "one two three four five six seven")],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta"),   # exact copy of 1
+         (101, "totally different content here folks")],
+        ["doc_id", "text"],
+    )
+    rows = dedup.cross_corpus_pairs(new, ref).collect()
+    assert [(r.new_id, r.ref_id, r.jaccard) for r in rows] == [(100, 1, 1.0)]

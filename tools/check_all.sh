@@ -15,5 +15,6 @@ python tools/oracle_check.py /root/testdata/sf0.1
 SPARK_GRAFT_SF_DIR_TEST=/root/testdata/sf0.1 \
   python -m pytest tests/test_sql_differential_fuzz.py -q
 SPARK_GRAFT_DML_FUZZ=120 python -m pytest tests/test_dml_statement_fuzz.py -q
+SPARK_GRAFT_DDL_FUZZ=120 python -m pytest tests/test_ddl_statement_fuzz.py -q
 python tools/plan_audit.py /root/testdata/sf0.1
 python bench.py

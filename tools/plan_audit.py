@@ -87,6 +87,7 @@ AUDITED = (
     "dedup_prefix_filter",
     "lexical_diversity",
     "ann_ivf_recall",
+    "dedup_cross_corpus",
 )
 
 MARKERS = (
