@@ -565,14 +565,18 @@ def boilerplate_spans(
     A winnowing fingerprint shared by >= min_docs DISTINCT documents
     marks a boilerplate span; each doc is scored by the fraction of
     its fingerprints that are boilerplate. Plan: the (doc_id, fp)
-    selection feeds one groupBy(fp) for document frequency, the
-    flagged subset joins back on fp (small next to the selection —
-    AQE broadcasts it locally, hash join at scale), one final
+    selection is PERSISTED (r8 — it feeds both the df aggregate and
+    the join back, so the winnow+tokenize corpus pass runs ONCE at
+    runtime); one groupBy(fp) for document frequency, the flagged
+    subset joins back on fp (small next to the selection — AQE
+    broadcasts it locally, hash join at scale), one final
     groupBy(doc_id). The boilerplate fraction is computed half-up in
     INTEGER arithmetic ((2*10^6*b + n) DIV (2n)): a double
     round(b/n, 6) lands on a .5 boundary whenever n has enough
     factors of 2 (1/128 = 0.0078125), where engines disagree."""
-    sel = winnow_selected(docs, text_col, k, w)
+    from .. import cache
+
+    sel = cache.persisted(winnow_selected(docs, text_col, k, w))
     # sel is distinct per (doc_id, fp), so count(*) IS document freq
     boiler = (
         sel.groupBy("fp")
@@ -1060,14 +1064,21 @@ def quality_filter_percentile(
 
     The per-source median is Spark's exact interpolating
     ``percentile`` over the (already 6-rounded) quality scores —
-    an aggregation producing ONE row per source, broadcast back; the
-    corpus is scanned once and filtered in place. No corpus-wide
-    window, no second scan.
+    an aggregation producing ONE row per source, broadcast back (a
+    |sources|-row frame: genuinely bounded, so the hint is correct
+    here). The scored (doc_id, source, quality) frame is PERSISTED
+    (r8): it feeds both the median aggregate and the filter, so the
+    corpus is scanned ONCE at runtime instead of once per branch.
+    No corpus-wide window.
 
     Output: (doc_id, source, quality, src_median) — kept rows only.
     """
+    from .. import cache
+
     ex = quality_exprs(text_col)
-    scored = docs.select("doc_id", "source", ex["quality"].alias("quality"))
+    scored = cache.persisted(
+        docs.select("doc_id", "source", ex["quality"].alias("quality"))
+    )
     med = scored.groupBy("source").agg(
         F.round(F.expr("percentile(quality, 0.5)"), 6).alias("src_median")
     )

@@ -156,7 +156,10 @@ RESCAN_REVIEWED = frozenset({
     # shared-SQL subquery demos (pruned k-row subquery scans):
     "topk_with_ties", "subquery_scalar",
     # two-pass model-then-score algorithms over the corpus:
-    "text_simhash", "text_boilerplate", "contamination_check",
+    "text_simhash", "contamination_check",
+    # r8: winnow selection persisted — cache-backed single runtime
+    # scan (rendering still prints the FileScan per InMemoryRelation):
+    "text_boilerplate",
     # r8 LM-family restructure: the per-(doc, token/bigram) count
     # frame is PERSISTED (MEMORY_AND_DISK) and carries the ONLY
     # corpus pass at runtime — the vocab aggregate and the per-doc
@@ -202,10 +205,10 @@ RESCAN_REVIEWED = frozenset({
     # plan rendering never executes (same cache-backed shape as the
     # LSH persist):
     "key_skew_profile",
-    # r7: per-source median branch re-scans pruned (source, text)
-    # into a |sources|-row aggregate — the reviewed alternative to a
-    # corpus window partitioned by the handful of source keys (which
-    # would funnel the corpus through |sources| tasks):
+    # r8: scored (doc_id, source, quality) frame persisted — the
+    # median aggregate and the filter both read the cache; single
+    # runtime corpus scan (rendering still prints the FileScan per
+    # InMemoryRelation reference):
     "quality_filter_percentile",
     # r8 cache-backed single-scan shapes (persisted frame carries the
     # only corpus pass; un-materialized renderings print the FileScan
