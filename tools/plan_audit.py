@@ -181,6 +181,11 @@ RESCAN_REVIEWED = frozenset({
     "sketch_user_rollup",
     # pruned event-type slices (clicks vs purchases):
     "range_join_sessions", "asof_join_events", "asof_join_forward",
+    # r8: bipartite new-vs-reference dedup — the two documents scans
+    # are DISJOINT source-pruned slices (source = 'src0' vs <> —
+    # pushed filters, each row read once); a real deployment reads
+    # two separate tables, the conformance fixture splits one:
+    "dedup_cross_corpus",
     # r5 composed dedup: repeated PRUNED corpus scans, each joined
     # against a dup-subgraph-sized side — the reviewed alternative to
     # a corpus-wide window/shuffle (see keep_best_per_cluster /
