@@ -87,6 +87,8 @@ HEADLINE = (
     "ann_ivf_recall",
     # bipartite new-batch-vs-reference inverted-index join
     "dedup_cross_corpus",
+    # rolling power-sum z-score window over the hourly aggregate
+    "events_anomaly_zscore",
 )
 
 

@@ -165,9 +165,14 @@ def prefix_filter_pairs(
     — instead of all n. Any pair with Jaccard >= t must share at
     least one prefix element under ANY consistent global ordering
     (the classic prefix-filter completeness bound), so candidates
-    shrink by ~(1-t) per side (~96% fewer postings pairs at t=0.8)
-    while recall stays exact; candidates are then verified against
-    the FULL shingle sets.
+    shrink ~(1-t) per side — MEASURED 10.4x fewer candidate-pair
+    emissions at sf0.1 (1.27M -> 122k) — while recall stays exact;
+    candidates are then verified against the FULL shingle sets.
+    On corpora whose posting lists are already short (this synthetic
+    fixture) the reduction does not buy wall time (see SCALE.md's
+    probe — comparable, not faster); the win case is
+    common-phrase-heavy web text where mid-df posting lists below
+    the stop-shingle cap dominate candidate generation.
 
     Engine-portable determinism: the global shingle order is
     (document frequency ASC, md5(shingle) ASC) — md5 hex is
@@ -189,8 +194,8 @@ def prefix_filter_pairs(
     PREFIX postings with the ``max_df`` bucket valve [shuffle 3] →
     verification joins of the candidate frame (subgraph-sized)
     against the cached full postings. Pair fan-out is bounded by
-    prefix co-occurrence — typically ~25x fewer candidate pairs than
-    the full inverted index at t=0.8 — which is the whole point: the
+    prefix co-occurrence — measured 10.4x fewer candidate emissions
+    than the full inverted index at sf0.1 — which is the point: the
     verify cost tracks TRUE near-dup structure even when the corpus
     shares a heavy middle-frequency band.
 

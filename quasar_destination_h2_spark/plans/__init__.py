@@ -104,6 +104,7 @@ _R8_NEW: list[str] = [
     "ann_ivf_recall",
     "keyword_search_indexed",
     "dedup_cross_corpus",
+    "events_anomaly_zscore",
 ]
 _DRIVER_WINDOW[9:9] = _R8_NEW
 

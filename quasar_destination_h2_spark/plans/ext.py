@@ -3011,7 +3011,8 @@ def q_dedup_prefix_filter(t: TableSet) -> DataFrame:
     inverted index over each doc's p = n - ceil(0.8n) + 1 rarest
     shingles only (global order = (df, md5) — engine-portable), full
     verification of the shrunken candidate set. Same answer as
-    dedup_ngram_jaccard with ~25x fewer candidate pairs."""
+    dedup_ngram_jaccard with measured 10.4x fewer candidate
+    emissions at sf0.1."""
     return dedup.prefix_filter_pairs(t.documents)
 
 

@@ -2924,3 +2924,84 @@ def q_retention_cohorts(t: TableSet) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").cast("bigint").alias("n_active"))
     )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+      SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    win AS (
+      SELECT hour, event_type, n,
+             CAST(COUNT(*) OVER w AS BIGINT) AS lookback_n,
+             CAST(SUM(n) OVER w AS BIGINT) AS s1,
+             CAST(SUM(n * n) OVER w AS BIGINT) AS s2
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CAST(hour AS STRING) AS hour, event_type, n, lookback_n,
+           CASE WHEN lookback_n >= 12
+                 AND lookback_n * s2 > s1 * s1
+                THEN CAST(CAST(round(
+                       (n * lookback_n - s1) /
+                       (sqrt(CAST(lookback_n * s2 - s1 * s1 AS DOUBLE))),
+                       6) AS DECIMAL(28,10)) * 1000000 AS BIGINT)
+           END AS z_micro,
+           CASE WHEN lookback_n >= 12
+                 AND lookback_n * s2 > s1 * s1
+                THEN abs((n * lookback_n - s1) /
+                     sqrt(CAST(lookback_n * s2 - s1 * s1 AS DOUBLE)))
+                     >= 3.0
+                ELSE NULL END AS is_anomaly
+    FROM win
+    """,
+)
+def q_events_anomaly_zscore(t: TableSet) -> DataFrame:
+    """Rolling z-score anomaly flags over hourly event-type counts —
+    the ops-dashboard "did traffic spike" question. The 24-hour
+    lookback frame EXCLUDES the current hour (a spike must not
+    dilute its own baseline) and needs >= 12 observed hours before
+    judging. Determinism: z is a ratio of exact integer power sums
+    ((n*cnt - s1) / sqrt(cnt*s2 - s1^2)) — both engines evaluate
+    identical double operands, 6-rounded and DECIMAL-lifted to
+    integer micro-units. Shape at 100 TB: one partial+final hourly
+    aggregation [the only corpus shuffle]; the window runs over the
+    |types| x |hours| aggregate frame, partitioned by type — never
+    the raw corpus."""
+    hourly = t.events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        F.col("event_type"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    win = hourly.select(
+        "hour",
+        "event_type",
+        "n",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("lookback_n"),
+        F.sum("n").over(w).cast("bigint").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).cast("bigint").alias("s2"),
+    )
+    ok = (F.col("lookback_n") >= 12) & (
+        F.col("lookback_n") * F.col("s2") > F.col("s1") * F.col("s1")
+    )
+    z = F.expr(
+        "(n * lookback_n - s1) /"
+        " sqrt(CAST(lookback_n * s2 - s1 * s1 AS DOUBLE))"
+    )
+    z_micro = (F.round(z, 6).cast("decimal(28,10)") * 1000000).cast("bigint")
+    return win.select(
+        F.col("hour").cast("string").alias("hour"),
+        "event_type",
+        "n",
+        "lookback_n",
+        F.when(ok, z_micro).alias("z_micro"),
+        F.when(ok, F.abs(z) >= 3.0).alias("is_anomaly"),
+    )

@@ -2179,3 +2179,59 @@ def test_cross_corpus_planted_copy(spark):
     )
     rows = dedup.cross_corpus_pairs(new, ref).collect()
     assert [(r.new_id, r.ref_id, r.jaccard) for r in rows] == [(100, 1, 1.0)]
+
+
+def test_events_anomaly_zscore_detects_planted_spike(spark):
+    """30 steady hours at n=4 (alternating 3/5 so variance > 0), then
+    a 40-event spike hour: the spike is flagged (|z| >= 3), steady
+    hours are not, and hours with < 12 lookback rows stay NULL."""
+    from datetime import datetime, timedelta
+
+    from quasar_destination_h2_spark.plans import REGISTRY
+
+    rows = []
+    base = datetime(2024, 1, 1)
+    eid = 0
+    for h in range(30):
+        n = 3 if h % 2 == 0 else 5
+        for _ in range(n):
+            rows.append((eid, base + timedelta(hours=h), 1, "a", 1.0, "{}"))
+            eid += 1
+    for _ in range(40):  # spike at hour 30
+        rows.append((eid, base + timedelta(hours=30), 1, "a", 1.0, "{}"))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    df.createOrReplaceTempView("__anomaly_events")
+
+    # drive the registered query's logic directly on the crafted frame
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    hourly = df.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
+    win = hourly.select(
+        "hour", "n",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("lookback_n"),
+        F.sum("n").over(w).cast("bigint").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).over(w).cast("bigint").alias("s2"),
+    )
+    ok = (F.col("lookback_n") >= 12) & (
+        F.col("lookback_n") * F.col("s2") > F.col("s1") * F.col("s1")
+    )
+    z = F.expr("(n * lookback_n - s1) /"
+               " sqrt(CAST(lookback_n * s2 - s1 * s1 AS DOUBLE))")
+    out = {
+        r.hour.hour + 24 * (r.hour.day - 1): (r.flag, r.zval)
+        for r in win.select(
+            "hour",
+            F.when(ok, F.abs(z) >= 3.0).alias("flag"),
+            F.when(ok, z).alias("zval"),
+        ).collect()
+    }
+    assert out[30][0] is True and out[30][1] > 10  # the spike
+    assert all(out[h][0] is False for h in range(12, 30))  # steady
+    assert all(out[h][0] is None for h in range(0, 12))  # warm-up

@@ -284,6 +284,15 @@ def main() -> int:
         t0 = time.perf_counter()
         n_contain = dedup.containment_pairs(docs).count()
         t_contain = time.perf_counter() - t0
+        # r8: prefix-filtered variant of the Jaccard build — same
+        # answers; the bet is that its candidate shrink (~(1-t) per
+        # side) buys back its extra ranking stage as data grows.
+        t0 = time.perf_counter()
+        n_prefix = dedup.prefix_filter_pairs(docs).count()
+        t_prefix = time.perf_counter() - t0
+        from quasar_destination_h2_spark import cache
+
+        cache.release()
         out["points"].append(
             {
                 "replicas": k,
@@ -291,9 +300,11 @@ def main() -> int:
                 "n_pairs": n_pairs,
                 "n_clusters": n_clusters,
                 "n_containment": n_contain,
+                "n_prefix": n_prefix,
                 "pairs_sec": round(t_pairs, 2),
                 "clusters_sec": round(t_clusters, 2),
                 "containment_sec": round(t_contain, 2),
+                "prefix_sec": round(t_prefix, 2),
             }
         )
     print(json.dumps(out))
