@@ -3005,3 +3005,28 @@ def q_events_anomaly_zscore(t: TableSet) -> DataFrame:
         F.when(ok, z_micro).alias("z_micro"),
         F.when(ok, F.abs(z) >= 3.0).alias("is_anomaly"),
     )
+
+
+_NAMED_WINDOW = """
+SELECT o_custkey,
+       o_orderkey,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE)
+         AS running_spend,
+       CAST(RANK() OVER w2 AS BIGINT) AS price_rank
+FROM orders
+WHERE o_custkey < 50
+WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       w2 AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+"""
+
+
+@query("window_named_clause", oracle=_NAMED_WINDOW)
+def q_window_named_clause(t: TableSet) -> DataFrame:
+    """The named WINDOW clause (H2 1.4.200 grammars it; Spark SQL
+    plans it natively) — two named specs shared across three window
+    functions, exercised as SQL text so the grammar path itself is
+    what's verified; the identical statement is the DuckDB oracle.
+    Deterministic: both orderings tie-break on o_orderkey, the
+    running sum is DECIMAL-exact."""
+    return t.sql(_NAMED_WINDOW)
