@@ -89,6 +89,9 @@ HEADLINE = (
     "dedup_cross_corpus",
     # rolling power-sum z-score window over the hourly aggregate
     "events_anomaly_zscore",
+    # IVF balance diagnostic + candidate-vocab coverage audit
+    "ivf_cluster_profile",
+    "vocab_oov_rate",
 )
 
 

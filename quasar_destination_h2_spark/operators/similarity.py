@@ -447,6 +447,57 @@ def ivf_recall(
     )
 
 
+def ivf_cluster_profile(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_list: int = IVF_N_LIST,
+) -> DataFrame:
+    """IVF index balance + cohesion diagnostic: per-inverted-list
+    member count (with its corpus share in integer ppm) and the
+    EXACT sum of member-to-centroid similarities — the "is my index
+    balanced, are the cells tight" questions asked before trusting
+    probe counts at scale. A skewed inverted list is to IVF probing
+    what a hot key is to a join (key_skew_profile's story,
+    specialized to the index: probing a list holding 30% of the
+    corpus IS a corpus scan); a loose cell (low cohesion) predicts
+    recall loss at small nprobe — read together with
+    :func:`ivf_recall`.
+
+    Shape: the assignment's one aggregation is the only corpus
+    shuffle; the profile is a second aggregate over the |corpus|-row
+    assignment keyed by n_list values, plus a one-row total
+    broadcast. Cohesion is published as the exact integer micro-unit
+    SUM (not the mean): cosines can be negative, and floor-vs-
+    truncate integer division diverges across engines below zero —
+    the sum is division-free and bit-exact.
+
+    Output: (centroid_id, n_members, share_ppm, sum_sim_micro).
+    """
+    cents = ivf_centroids(emb, id_col, vec_col, n_list).localCheckpoint()
+    assigned = ivf_assign(emb, cents, id_col, vec_col)
+    sim6 = F.round(cosine(F.col(vec_col), F.col("cvec")), 6)
+    micro = (sim6.cast("decimal(28,10)") * 1000000).cast("bigint")
+    per = (
+        assigned.join(F.broadcast(cents), "centroid_id")
+        .select("centroid_id", micro.alias("m"))
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.sum("m").cast("bigint").alias("sum_sim_micro"),
+        )
+    )
+    totals = per.agg(F.sum("n_members").alias("total"))
+    return per.crossJoin(F.broadcast(totals)).select(
+        "centroid_id",
+        "n_members",
+        F.expr("CAST(n_members * 1000000 DIV total AS BIGINT)").alias(
+            "share_ppm"
+        ),
+        "sum_sim_micro",
+    )
+
+
 def quantize_int8(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

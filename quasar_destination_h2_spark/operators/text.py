@@ -878,6 +878,64 @@ def lexical_diversity(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def vocab_oov_rate(
+    docs: DataFrame, text_col: str = "text", vocab_size: int = 1000
+) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: per-document OOV rate
+    against the corpus top-``vocab_size`` token vocabulary — the
+    check run on a CANDIDATE tokenizer vocabulary before committing
+    to it (documents with high OOV under the planned vocab will
+    fragment into long byte-fallback sequences and waste context
+    budget; a curation pass caps or re-sources them).
+
+    Shape — ONE corpus pass: the per-(doc, token) count frame is
+    PERSISTED and feeds both the vocabulary selection (top
+    ``vocab_size`` by total frequency, tie-broken on token text —
+    a TakeOrderedAndProject, never a global sort) and the per-doc
+    coverage join. The vocab frame is bounded by the PARAMETER
+    (vocab_size rows), not by the corpus — joining against it is
+    scale-safe at any corpus size (AQE broadcasts it). oov_ppm is
+    integer floor division — engine-exact.
+
+    Output: (doc_id, n_tokens, n_oov, oov_ppm).
+    """
+    from .. import cache
+
+    dt = cache.persisted(
+        docs.select(
+            "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
+        )
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = (
+        dt.groupBy("tok")
+        .agg(F.sum("c").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        dt.join(vocab, "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("CAST(n_oov * 1000000 DIV n_tokens AS BIGINT)").alias(
+                "oov_ppm"
+            ),
+        )
+    )
+
+
 #: Okapi BM25 constants (the standard defaults; written as exact
 #: decimal literals so the Spark expression and the SQL oracle embed
 #: the same doubles).

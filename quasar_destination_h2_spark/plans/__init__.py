@@ -106,6 +106,9 @@ _R8_NEW: list[str] = [
     "dedup_cross_corpus",
     "events_anomaly_zscore",
     "window_named_clause",
+    "ansi_string_grammar",
+    "ivf_cluster_profile",
+    "vocab_oov_rate",
 ]
 
 # ROUND-9 ROTATION NOTE: every query registered through round 8 sits

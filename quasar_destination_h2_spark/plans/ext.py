@@ -3177,3 +3177,80 @@ def q_dedup_cross_corpus(t: TableSet) -> DataFrame:
     new_docs = t.documents.where("source = 'src0'")
     ref_docs = t.documents.where("source <> 'src0'")
     return dedup.cross_corpus_pairs(new_docs, ref_docs)
+
+
+@query(
+    "ivf_cluster_profile",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
+              WHERE vec_id IN (
+                SELECT vec_id FROM e
+                ORDER BY md5('{_IVF_SEED}:' || CAST(vec_id AS VARCHAR)), vec_id
+                LIMIT {_IVF_N_LIST})),
+    assigned AS (
+      SELECT vec_id, v, centroid_id FROM (
+        SELECT e.vec_id, e.v, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC,
+                          c.centroid_id) AS rn
+        FROM e CROSS JOIN cents c) WHERE rn = 1
+    ),
+    j AS (
+      SELECT a.centroid_id,
+             CAST(CAST(round(list_cosine_similarity(a.v, c.cvec), 6)
+                  AS DECIMAL(28,10)) * 1000000 AS BIGINT) AS m
+      FROM assigned a JOIN cents c USING (centroid_id)
+    ),
+    per AS (
+      SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(m) AS BIGINT) AS sum_sim_micro
+      FROM j GROUP BY centroid_id
+    ),
+    tot AS (SELECT SUM(n_members) AS total FROM per)
+    SELECT centroid_id, n_members,
+           CAST(n_members * 1000000 // total AS BIGINT) AS share_ppm,
+           sum_sim_micro
+    FROM per, tot
+    """,
+)
+def q_ivf_cluster_profile(t: TableSet) -> DataFrame:
+    """IVF inverted-list balance + cohesion: member count, corpus
+    share (integer ppm), exact micro-unit similarity sums per
+    centroid — the index-health view read alongside ann_ivf_recall
+    before tuning n_list/nprobe."""
+    return similarity.ivf_cluster_profile(t.embeddings)
+
+
+@query(
+    "vocab_oov_rate",
+    oracle=rf"""
+    WITH dt AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM (
+        SELECT doc_id, unnest(string_split_regex({_NORM}, ' ')) AS tok
+        FROM documents
+      ) WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, SUM(c) AS freq FROM dt GROUP BY tok
+        ORDER BY freq DESC, tok ASC LIMIT 1000
+      )
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN vocab.tok IS NULL THEN c ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN vocab.tok IS NULL THEN c ELSE 0 END)
+                * 1000000 // SUM(c) AS BIGINT) AS oov_ppm
+    FROM dt LEFT JOIN vocab USING (tok)
+    GROUP BY doc_id
+    """,
+)
+def q_vocab_oov_rate(t: TableSet) -> DataFrame:
+    """Per-doc OOV rate against the corpus top-1000 token vocabulary
+    — the candidate-tokenizer coverage audit; persisted doc-term
+    frame carries the only corpus pass, the vocab frame is bounded
+    by the parameter."""
+    return text.vocab_oov_rate(t.documents)

@@ -3030,3 +3030,27 @@ def q_window_named_clause(t: TableSet) -> DataFrame:
     Deterministic: both orderings tie-break on o_orderkey, the
     running sum is DECIMAL-exact."""
     return t.sql(_NAMED_WINDOW)
+
+
+_ANSI_STRING = """
+SELECT p_partkey,
+       p_name,
+       SUBSTRING(p_name FROM 2 FOR 3) AS mid3,
+       TRIM(LEADING 'c' FROM p_name) AS no_lead_c,
+       TRIM(TRAILING 't' FROM p_name) AS no_trail_t,
+       CAST(POSITION('dg' IN p_name) AS BIGINT) AS dg_at,
+       CONCAT(p_type, '%') LIKE '%O!%' ESCAPE '!' AS type_ends_o
+FROM part
+WHERE p_name LIKE '%widget%' OR POSITION('bolt' IN p_name) > 0
+"""
+
+
+@query("ansi_string_grammar", oracle=_ANSI_STRING)
+def q_ansi_string_grammar(t: TableSet) -> DataFrame:
+    """The ANSI keyword forms of the string battery — SUBSTRING FROM
+    FOR, TRIM LEADING/TRAILING ... FROM, POSITION(x IN y), LIKE ...
+    ESCAPE — exercised as SQL text so the GRAMMAR path is what is
+    verified (the function-call spellings are covered by
+    scalar_string/_extended); identical statement on both engines.
+    Per-row codegen, zero shuffle, pushed disjunctive filter."""
+    return t.sql(_ANSI_STRING)

@@ -2235,3 +2235,45 @@ def test_events_anomaly_zscore_detects_planted_spike(spark):
     assert out[30][0] is True and out[30][1] > 10  # the spike
     assert all(out[h][0] is False for h in range(12, 30))  # steady
     assert all(out[h][0] is None for h in range(0, 12))  # warm-up
+
+
+def test_ivf_cluster_profile_invariants(t):
+    """Counts sum to the corpus size, shares to ~1e6; every centroid
+    that owns members appears at most n_list rows; the member
+    containing the centroid itself contributes sim = 1.0 (1e6 micro),
+    so each cell's sum_sim_micro <= n_members * 1e6 with equality
+    only for perfectly duplicated cells."""
+    from quasar_destination_h2_spark.operators import similarity as S
+
+    rows = S.ivf_cluster_profile(t.embeddings).collect()
+    total = t.embeddings.count()
+    assert sum(r.n_members for r in rows) == total
+    assert len(rows) <= S.IVF_N_LIST
+    assert abs(sum(r.share_ppm for r in rows) - 1_000_000) <= len(rows)
+    for r in rows:
+        assert r.sum_sim_micro <= r.n_members * 1_000_000
+        # the centroid vector sits in its own cell at sim 1.0
+        assert r.sum_sim_micro >= 1_000_000 - (r.n_members - 1) * 1_000_000
+
+
+def test_vocab_oov_rate_semantics(spark):
+    """Crafted corpus with a 2-token vocab cap: the doc made of the
+    two dominant tokens has OOV 0; a doc of singletons is 100% OOV;
+    a mixed doc gets the exact integer ppm."""
+    from quasar_destination_h2_spark import cache
+    from quasar_destination_h2_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa aa aa bb bb"),        # both in vocab
+            (2, "zz yy xx"),              # all OOV (freq 1 each)
+            (3, "aa bb qq qq"),           # 2/4 OOV
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in T.vocab_oov_rate(docs, vocab_size=2).collect()}
+    cache.release()
+    assert rows[1].n_oov == 0 and rows[1].oov_ppm == 0
+    assert rows[2].n_oov == 3 and rows[2].oov_ppm == 1_000_000
+    assert rows[3].n_oov == 2 and rows[3].oov_ppm == 500_000
+    # vocab by total frequency: aa(4), bb(3) win over qq(2)

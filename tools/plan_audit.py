@@ -88,6 +88,8 @@ AUDITED = (
     "lexical_diversity",
     "ann_ivf_recall",
     "dedup_cross_corpus",
+    "ivf_cluster_profile",
+    "vocab_oov_rate",
 )
 
 MARKERS = (
@@ -140,6 +142,8 @@ NLJ_OK = frozenset({
     # r8: composition of the two declared-NLJ ANN sides (brute-force
     # baseline + IVF centroid broadcasts) into the recall contract
     "ann_ivf_recall",
+    # r8: centroid broadcast join + 1-row total broadcast
+    "ivf_cluster_profile",
 })
 
 #: Tables whose repeated FileScan in one plan is a 100 TB scale killer.
@@ -225,6 +229,12 @@ RESCAN_REVIEWED = frozenset({
     # ivf_topk_ann_nprobe2); the localCheckpointed index carries the
     # assignment, the exact side's rescan is the bounded query sample
     "ann_ivf_recall",
+    # r8: persisted doc-term frame carries the only corpus pass
+    # (cache-backed rendering, same shape as tfidf_top_terms):
+    "vocab_oov_rate",
+    # r8: centroid selection + assignment both read embeddings; the
+    # centroid side is the localCheckpointed n_list-row sample:
+    "ivf_cluster_profile",
 })
 
 
