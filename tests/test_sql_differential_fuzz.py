@@ -710,3 +710,71 @@ def test_median_interpolation_parity_random_frames(engines):
             f"FROM (VALUES {rows}) t(v)"
         ).fetchone()[0]
         assert got == want, (case, vals, got, want)
+
+
+# --- round-8 grammar branch: ANSI keyword string forms ---------------------
+
+
+def _ansi_keyword_queries() -> st.SearchStrategy[str]:
+    """Random queries over the ANSI KEYWORD spellings of the string
+    battery — SUBSTRING FROM FOR, TRIM LEADING/TRAILING/BOTH ...
+    FROM, POSITION(x IN y), LIKE ... ESCAPE — the grammar forms the
+    fixed conformance query ansi_string_grammar covers at one point
+    each; here positions, lengths, trim sides/chars, and escaped
+    LIKE patterns are randomized. All operands are low-cardinality
+    flag strings, so results are engine-exact by construction
+    (FROM >= 1, FOR >= 0 keeps both engines inside the ANSI-defined
+    domain)."""
+    str_expr = st.one_of(
+        st.builds(
+            lambda f, n: (
+                f"SUBSTRING(l_returnflag || l_linestatus || 'xyz'"
+                f" FROM {f} FOR {n})"
+            ),
+            st.integers(min_value=1, max_value=6),
+            st.integers(min_value=0, max_value=5),
+        ),
+        st.builds(
+            lambda side, ch: (
+                f"TRIM({side} '{ch}' FROM l_returnflag || '{ch}')"
+            ),
+            st.sampled_from(("LEADING", "TRAILING", "BOTH")),
+            st.sampled_from(("A", "N", "R", "x")),
+        ),
+    )
+    int_expr = st.builds(
+        lambda needle: (
+            f"POSITION('{needle}' IN l_returnflag || l_linestatus)"
+        ),
+        st.sampled_from(("A", "F", "O", "AF", "NO", "ZZ")),
+    )
+    like_pat = st.sampled_from(
+        ("A!_%", "%!_F", "N!_O", "%!_%", "R!_O", "%!__")
+    )
+
+    def build(se, ie, pat, pred):
+        return (
+            f"SELECT {se} AS s, COUNT(*) AS n, "
+            f"CAST(SUM(CASE WHEN {ie} > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_pos, "
+            f"CAST(SUM(CASE WHEN l_returnflag || '_' || l_linestatus"
+            f" LIKE '{pat}' ESCAPE '!' THEN 1 ELSE 0 END) AS BIGINT)"
+            f" AS n_like "
+            f"FROM lineitem WHERE {pred} GROUP BY {se} ORDER BY s"
+        )
+
+    return st.builds(build, str_expr, int_expr, like_pat, _predicates())
+
+
+def test_random_ansi_keyword_queries_agree(engines):
+    _run_cases(
+        engines,
+        _ansi_keyword_queries(),
+        40,
+        extra=[
+            # nested keyword forms in one expression
+            "SELECT COUNT(*) AS n, CAST(SUM(POSITION('F' IN "
+            "TRIM(BOTH 'A' FROM SUBSTRING(l_returnflag || l_linestatus"
+            " FROM 1 FOR 2)))) AS BIGINT) AS s FROM lineitem",
+        ],
+    )
