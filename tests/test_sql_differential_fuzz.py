@@ -778,3 +778,58 @@ def test_random_ansi_keyword_queries_agree(engines):
             " FROM 1 FOR 2)))) AS BIGINT) AS s FROM lineitem",
         ],
     )
+
+
+# --- round-8 grammar branch: named WINDOW clause ---------------------------
+
+
+def _named_window_queries() -> st.SearchStrategy[str]:
+    """The same deterministic window digest as _window_queries, but
+    rendered through NAMED WINDOW clauses shared across two
+    functions — the grammar path the fixed window_named_clause query
+    covers at one point; here the function pair, partition column,
+    operand, and predicate are randomized. Two named specs are
+    declared (one frameless, one carrying an explicit ROWS frame —
+    frames attach to the DEFINITION, since Spark does not parse
+    frame text at the reference site) and a resolution bug that
+    binds the wrong spec to a function flips the digest."""
+
+    pairs = st.sampled_from(
+        (
+            ("ROW_NUMBER() OVER w", "RANK() OVER w"),
+            ("ROW_NUMBER() OVER w", "DENSE_RANK() OVER w"),
+            ("SUM(c) OVER wf", "ROW_NUMBER() OVER w"),
+            (
+                "COALESCE(LAG(c, 1) OVER w, -1)",
+                "COALESCE(LEAD(c, 1) OVER w, -1)",
+            ),
+        )
+    )
+
+    def render(pair, part, col, pred):
+        f1, f2 = pair
+        base = (
+            f"(SELECT DISTINCT {part} AS p, l_orderkey AS ok, "
+            f"l_linenumber AS ln, {col} AS c "
+            f"FROM lineitem WHERE {pred}) t0"
+        )
+        return (
+            f"SELECT COUNT(*) AS n, SUM(w1) AS s1, SUM(w2 * ln) AS s2 "
+            f"FROM (SELECT {f1} AS w1, {f2} AS w2, ln "
+            f"FROM {base} "
+            f"WINDOW w AS (PARTITION BY p ORDER BY ok, ln, c), "
+            f"wf AS (PARTITION BY p ORDER BY ok, ln, c "
+            f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) t"
+        )
+
+    return st.builds(
+        render,
+        pairs,
+        st.sampled_from(_STR_COLS),
+        st.sampled_from(("l_suppkey", "l_linenumber")),
+        _predicates(),
+    )
+
+
+def test_random_named_window_queries_agree(engines):
+    _run_cases(engines, _named_window_queries(), 40)
