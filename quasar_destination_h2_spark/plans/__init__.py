@@ -112,12 +112,12 @@ _R8_NEW: list[str] = [
 ]
 
 # ROUND-9 ROTATION NOTE: every query registered through round 8 sits
-# inside the first ~50 slots of this round's window (the 9 r7 + 8 r8
-# additions lead it), so a green CORRECTNESS_r08 makes cumulative
-# driver-witnessed coverage 172/172. For round 9: splice any new
-# registrations into _R9_NEW right after the r8 block, lead with any
-# queries whose implementation round 9 touches, then cross-era
-# anchors as before.
+# inside the first ~50 slots of this round's window (the 9 r7 + 11 r8
+# additions occupy slots 1-20), so a green CORRECTNESS_r08 makes
+# cumulative driver-witnessed coverage 175/175. For round 9: splice
+# any new registrations right after the r8 block (the _R8_NEW
+# pattern), lead with any queries whose implementation round 9
+# touches, then cross-era anchors as before.
 _DRIVER_WINDOW[9:9] = _R8_NEW
 
 
