@@ -92,6 +92,9 @@ HEADLINE = (
     # IVF balance diagnostic + candidate-vocab coverage audit
     "ivf_cluster_profile",
     "vocab_oov_rate",
+    # sketch-estimator calibration + training-shard balance audit
+    "minhash_calibration",
+    "shard_balance",
 )
 
 

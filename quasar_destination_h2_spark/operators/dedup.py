@@ -265,6 +265,121 @@ def prefix_filter_pairs(
     )
 
 
+def minhash_calibration(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_bucket: int = MAX_LSH_BUCKET,
+) -> DataFrame:
+    """Estimator-quality audit for the MinHash sketch: for every LSH
+    candidate pair, the signature-match Jaccard ESTIMATE
+    (matches / MINHASH_SEEDS — the unbiased minhash estimator) side
+    by side with the EXACT Jaccard over the full shingle sets, plus
+    the absolute error. The calibration read before trusting the
+    sketch's band thresholds at scale — :func:`~.similarity.
+    ivf_recall`'s role, played for the dedup index (too few seeds →
+    wide error → the band match probability curve is not where the
+    r/b arithmetic says it is).
+
+    Shape: identical index build to :func:`minhash_lsh_pairs`
+    (persisted shingle projection, checkpointed signatures, banded
+    bucket candidates with the ``max_bucket`` valve); BOTH metrics
+    are then computed only on the candidate frame — the estimate by
+    joining the tiny signature table twice, the exact value by a
+    per-row ``array_intersect`` over the two shingle arrays (no
+    posting re-shuffle: candidates are subgraph-sized).
+
+    Determinism: est_ppm is the exact rational matches * (1e6 / 8);
+    exact_ppm is the 6-rounded DECIMAL-lifted Jaccard; err_ppm their
+    absolute difference — all integer, bit-stable.
+
+    Output: (doc_a, doc_b, est_ppm, exact_ppm, err_ppm).
+    """
+    from .. import cache
+
+    assert 1_000_000 % MINHASH_SEEDS == 0
+    sh = cache.persisted(_shingled(docs, text_col))
+    rows_per_band = MINHASH_SEEDS // LSH_BANDS
+    sigs = sh.select(
+        "doc_id",
+        *[minhash_seed_expr(s).alias(f"sig_{s}") for s in range(MINHASH_SEEDS)],
+    ).localCheckpoint()
+    band_keys = [
+        F.concat_ws(
+            "|",
+            *[F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)],
+        ).alias(f"k{b}")
+        for b in range(LSH_BANDS)
+    ]
+    stack_args = ", ".join(f"{b}, k{b}" for b in range(LSH_BANDS))
+    bands = sigs.select("doc_id", *band_keys).selectExpr(
+        "doc_id", f"stack({LSH_BANDS}, {stack_args}) AS (band_id, band_key)"
+    )
+    grouped = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.collect_list("doc_id").alias("ds"))
+        .where(F.size("ds").between(2, max_bucket))
+    )
+    pair_arr = F.expr(
+        """
+        flatten(transform(ds, (x, i) ->
+          transform(slice(ds, i + 2, size(ds) - i - 1), y ->
+            named_struct('doc_a', least(x, y), 'doc_b', greatest(x, y)))))
+        """
+    )
+    cands = (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig_{s}").alias(f"a{s}") for s in range(MINHASH_SEEDS)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig_{s}").alias(f"b{s}") for s in range(MINHASH_SEEDS)],
+    )
+    matches = None
+    for s in range(MINHASH_SEEDS):
+        m = F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        matches = m if matches is None else (matches + m)
+    est = cands.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        (matches * (1_000_000 // MINHASH_SEEDS)).cast("bigint").alias(
+            "est_ppm"
+        ),
+    )
+    sha = sh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("_sa"),
+        F.col("n_sh").alias("_na"),
+    )
+    shb = sh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("_sb"),
+        F.col("n_sh").alias("_nb"),
+    )
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    jac6 = F.round(inter / (F.col("_na") + F.col("_nb") - inter), 6)
+    exact = cands.join(sha, "doc_a").join(shb, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        (jac6.cast("decimal(28,10)") * 1000000).cast("bigint").alias(
+            "exact_ppm"
+        ),
+    )
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        "est_ppm",
+        "exact_ppm",
+        F.abs(F.col("est_ppm") - F.col("exact_ppm")).cast("bigint").alias(
+            "err_ppm"
+        ),
+    )
+
+
 def cross_corpus_pairs(
     new_docs: DataFrame,
     ref_docs: DataFrame,

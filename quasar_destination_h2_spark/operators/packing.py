@@ -98,6 +98,63 @@ def shuffle_shards(
     )
 
 
+def shard_balance(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_shards: int = N_SHARDS,
+    seed: int = SHUFFLE_SEED,
+) -> DataFrame:
+    """Training-shard balance audit over the deterministic shuffle:
+    per-shard document AND token counts with each shard's deviation
+    from the ideal 1/n share in integer ppm — unbalanced shards are
+    straggler batches (every data-parallel step waits for the fattest
+    shard), so a loader checks this once per corpus build; md5-based
+    sharding should land within sampling noise of uniform, and a
+    share far off 1e6/n means the shard function or the corpus
+    changed.
+
+    Shape: one corpus scan (the token count is a per-row
+    higher-order-function size, no explode) into the PERSISTED
+    n_shards-row aggregate — it feeds both the one-row totals and
+    the share projection, so the corpus pass runs once (the
+    key_skew_profile policy). All shares are integer floor-division
+    ppm — engine-exact.
+
+    Output: (shard, n_docs, n_tokens, doc_share_ppm, tok_share_ppm).
+    """
+    from .. import cache
+    from .text import tokens
+
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")))
+    per = cache.persisted(
+        docs.select(
+            _shard_of(key, n_shards).alias("shard"),
+            F.size(F.filter(tokens(F.col(text_col)), lambda x: x != F.lit("")))
+            .cast("bigint")
+            .alias("ntok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ntok").cast("bigint").alias("n_tokens"),
+        )
+    )
+    totals = per.agg(
+        F.sum("n_docs").alias("td"), F.sum("n_tokens").alias("tt")
+    )
+    return per.crossJoin(F.broadcast(totals)).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.expr("CAST(n_docs * 1000000 DIV td AS BIGINT)").alias(
+            "doc_share_ppm"
+        ),
+        F.expr("CAST(n_tokens * 1000000 DIV tt AS BIGINT)").alias(
+            "tok_share_ppm"
+        ),
+    )
+
+
 #: Target fraction of the corpus a temperature-mixed sample keeps.
 MIX_FRAC = 0.5
 

@@ -109,12 +109,14 @@ _R8_NEW: list[str] = [
     "ansi_string_grammar",
     "ivf_cluster_profile",
     "vocab_oov_rate",
+    "minhash_calibration",
+    "shard_balance",
 ]
 
 # ROUND-9 ROTATION NOTE: every query registered through round 8 sits
-# inside the first ~50 slots of this round's window (the 9 r7 + 11 r8
-# additions occupy slots 1-20), so a green CORRECTNESS_r08 makes
-# cumulative driver-witnessed coverage 175/175. For round 9: splice
+# inside the first ~50 slots of this round's window (the 9 r7 + 13 r8
+# additions occupy slots 1-22), so a green CORRECTNESS_r08 makes
+# cumulative driver-witnessed coverage 177/177. For round 9: splice
 # any new registrations right after the r8 block (the _R8_NEW
 # pattern), lead with any queries whose implementation round 9
 # touches, then cross-era anchors as before.

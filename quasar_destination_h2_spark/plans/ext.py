@@ -3254,3 +3254,67 @@ def q_vocab_oov_rate(t: TableSet) -> DataFrame:
     frame carries the only corpus pass, the vocab frame is bounded
     by the parameter."""
     return text.vocab_oov_rate(t.documents)
+
+
+@query(
+    "minhash_calibration",
+    oracle=f"""
+    WITH {_LSH_PAIR_CTES},
+    est AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(((CASE WHEN a.sig_0 = b.sig_0 THEN 1 ELSE 0 END) + (CASE WHEN a.sig_1 = b.sig_1 THEN 1 ELSE 0 END) + (CASE WHEN a.sig_2 = b.sig_2 THEN 1 ELSE 0 END) + (CASE WHEN a.sig_3 = b.sig_3 THEN 1 ELSE 0 END) + (CASE WHEN a.sig_4 = b.sig_4 THEN 1 ELSE 0 END) + (CASE WHEN a.sig_5 = b.sig_5 THEN 1 ELSE 0 END) + (CASE WHEN a.sig_6 = b.sig_6 THEN 1 ELSE 0 END) + (CASE WHEN a.sig_7 = b.sig_7 THEN 1 ELSE 0 END)) * 125000 AS BIGINT) AS est_ppm
+      FROM cands c
+      JOIN sigs a ON c.doc_a = a.doc_id
+      JOIN sigs b ON c.doc_b = b.doc_id
+    ),
+    ex AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(CAST(round(
+               len(list_intersect(sa.shingles, sb.shingles))
+               / (sa.n_sh + sb.n_sh
+                  - len(list_intersect(sa.shingles, sb.shingles))), 6)
+               AS DECIMAL(28,10)) * 1000000 AS BIGINT) AS exact_ppm
+      FROM cands c
+      JOIN shn sa ON c.doc_a = sa.doc_id
+      JOIN shn sb ON c.doc_b = sb.doc_id
+    )
+    SELECT est.doc_a, est.doc_b, est_ppm, exact_ppm,
+           CAST(abs(est_ppm - exact_ppm) AS BIGINT) AS err_ppm
+    FROM est JOIN ex USING (doc_a, doc_b)
+    """,
+)
+def q_minhash_calibration(t: TableSet) -> DataFrame:
+    """MinHash estimator calibration on the LSH candidate pairs:
+    signature-match estimate vs exact shingle-set Jaccard plus the
+    absolute error — the sketch-accuracy contract beside
+    dedup_minhash_lsh; both metrics candidate-bounded."""
+    return dedup.minhash_calibration(t.documents)
+
+
+@query(
+    "shard_balance",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT CAST({_duck_shard(f"md5('{packing.SHUFFLE_SEED}:' || CAST(doc_id AS VARCHAR))", packing.N_SHARDS)} AS INTEGER)
+               AS shard,
+             len(list_filter(string_split_regex({_NORM}, ' '),
+                             x -> x <> '')) AS ntok
+      FROM documents
+    ),
+    per AS (
+      SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(ntok) AS BIGINT) AS n_tokens
+      FROM keyed GROUP BY shard
+    ),
+    tot AS (SELECT SUM(n_docs) AS td, SUM(n_tokens) AS tt FROM per)
+    SELECT shard, n_docs, n_tokens,
+           CAST(n_docs * 1000000 // td AS BIGINT) AS doc_share_ppm,
+           CAST(n_tokens * 1000000 // tt AS BIGINT) AS tok_share_ppm
+    FROM per, tot
+    """,
+)
+def q_shard_balance(t: TableSet) -> DataFrame:
+    """Per-shard doc/token balance of the deterministic training
+    shuffle in integer ppm — the straggler audit; one corpus scan,
+    n_shards-keyed aggregate, one-row totals broadcast."""
+    return packing.shard_balance(t.documents)

@@ -2277,3 +2277,46 @@ def test_vocab_oov_rate_semantics(spark):
     assert rows[2].n_oov == 3 and rows[2].oov_ppm == 1_000_000
     assert rows[3].n_oov == 2 and rows[3].oov_ppm == 500_000
     # vocab by total frequency: aa(4), bb(3) win over qq(2)
+
+
+def test_minhash_calibration_consistency(t):
+    """The calibration frame covers exactly the LSH candidate pairs
+    that pass verification (plus near-misses); for every pair the
+    estimate is a multiple of 1e6/8, err = |est - exact|, and pairs
+    confirmed by dedup_minhash_lsh (exact j >= 0.8) appear with
+    exact_ppm >= 800000. Planted near-dups (j ~ 0.97) must show a
+    tight estimate (all 8 signatures usually agree -> est 1e6)."""
+    from quasar_destination_h2_spark import cache
+
+    rows = dedup.minhash_calibration(t.documents).collect()
+    cache.release()
+    assert rows
+    step = 1_000_000 // dedup.MINHASH_SEEDS
+    for r in rows:
+        assert r.est_ppm % step == 0 and 0 <= r.est_ppm <= 1_000_000
+        assert r.err_ppm == abs(r.est_ppm - r.exact_ppm)
+    confirmed = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(t.documents).collect()
+    }
+    cache.release()
+    cal = {(r.doc_a, r.doc_b): r for r in rows}
+    assert confirmed <= set(cal)
+    for pair in confirmed:
+        assert cal[pair].exact_ppm >= 800_000
+
+
+def test_shard_balance_invariants(t):
+    """Shares sum to ~1e6, totals match the corpus, every shard id is
+    in range, and the md5 shard function lands within loose sampling
+    noise of uniform (no shard above 3x the ideal doc share on the
+    fixture)."""
+    from quasar_destination_h2_spark.operators import packing as P
+
+    rows = P.shard_balance(t.documents).collect()
+    n_docs = t.documents.count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert all(0 <= r.shard < P.N_SHARDS for r in rows)
+    assert abs(sum(r.doc_share_ppm for r in rows) - 1_000_000) <= len(rows)
+    ideal = 1_000_000 // P.N_SHARDS
+    assert max(r.doc_share_ppm for r in rows) < 3 * ideal

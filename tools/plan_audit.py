@@ -90,6 +90,8 @@ AUDITED = (
     "dedup_cross_corpus",
     "ivf_cluster_profile",
     "vocab_oov_rate",
+    "minhash_calibration",
+    "shard_balance",
 )
 
 MARKERS = (
@@ -144,6 +146,8 @@ NLJ_OK = frozenset({
     "ann_ivf_recall",
     # r8: centroid broadcast join + 1-row total broadcast
     "ivf_cluster_profile",
+    # r8: 1-row totals broadcast onto the n_shards-row aggregate
+    "shard_balance",
 })
 
 #: Tables whose repeated FileScan in one plan is a 100 TB scale killer.
@@ -235,6 +239,13 @@ RESCAN_REVIEWED = frozenset({
     # r8: centroid selection + assignment both read embeddings; the
     # centroid side is the localCheckpointed n_list-row sample:
     "ivf_cluster_profile",
+    # r8: persisted shingle projection + checkpointed signatures feed
+    # candidates, estimate, and exact sides (cache-backed rendering,
+    # same shape as dedup_minhash_lsh):
+    "minhash_calibration",
+    # r8: the persisted n_shards-row aggregate feeds the totals and
+    # the share projection (cache-backed, key_skew_profile shape):
+    "shard_balance",
 })
 
 
