@@ -2320,3 +2320,44 @@ def test_shard_balance_invariants(t):
     assert abs(sum(r.doc_share_ppm for r in rows) - 1_000_000) <= len(rows)
     ideal = 1_000_000 // P.N_SHARDS
     assert max(r.doc_share_ppm for r in rows) < 3 * ideal
+
+
+def test_prefix_filter_equals_full_across_thresholds(spark):
+    """The completeness bound is per-threshold: check prefix-vs-full
+    equality at t = 3/5 (long prefixes, many candidates) and t = 9/10
+    (one- or two-element prefixes — the aggressive end where an
+    off-by-one in the prefix length silently loses pairs) on a seeded
+    random corpus with planted near-dups."""
+    import random as _random
+
+    from quasar_destination_h2_spark import cache
+
+    rng = _random.Random(424242)
+    vocab = [f"t{i}" for i in range(200)]
+    docs = []
+    for d in range(80):
+        n = rng.randint(4, 30)
+        docs.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+    for j in range(40):
+        base_id, base_text = docs[rng.randrange(80)]
+        toks = base_text.split()
+        for _ in range(rng.randint(0, 4)):
+            toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        docs.append((1000 + j, " ".join(toks)))
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    for num, den in ((3, 5), (9, 10)):
+        t = num / den
+        full = {
+            (r.doc_a, r.doc_b): (r.inter, r.jaccard)
+            for r in dedup.ngram_jaccard_pairs(df, threshold=t).collect()
+        }
+        pf = {
+            (r.doc_a, r.doc_b): (r.inter, r.jaccard)
+            for r in dedup.prefix_filter_pairs(
+                df, threshold_num=num, threshold_den=den
+            ).collect()
+        }
+        cache.release()
+        assert pf == full, (num, den)
+        if (num, den) == (3, 5):
+            assert len(full) >= 10  # loose threshold finds plenty
