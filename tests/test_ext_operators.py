@@ -2361,3 +2361,74 @@ def test_prefix_filter_equals_full_across_thresholds(spark):
         assert pf == full, (num, den)
         if (num, den) == (3, 5):
             assert len(full) >= 10  # loose threshold finds plenty
+
+
+def test_cross_corpus_valve_red_green(spark):
+    """The reference-side stop-shingle valve, exercised where it
+    actually fires: with max_df=2, a boilerplate shingle shared by
+    every reference doc stops generating candidates, so a pair whose
+    ONLY shared evidence is the boilerplate line disappears (red),
+    while a pair with genuine distinct-shingle overlap survives
+    (green) — same recall-for-safety trade as ngram_jaccard's valve,
+    on the bipartite shape."""
+    boiler = "all rights reserved by the corpus"
+    ref = spark.createDataFrame(
+        [
+            (1, f"alpha beta gamma delta {boiler}"),
+            (2, f"one two three four {boiler}"),
+            (3, f"five six seven eight {boiler}"),
+        ],
+        ["doc_id", "text"],
+    )
+    new = spark.createDataFrame(
+        [
+            # only-boilerplate overlap with every ref doc:
+            (100, f"totally different words here {boiler}"),
+            # genuine near-dup of ref doc 1 (shares its distinct part):
+            (101, f"alpha beta gamma delta {boiler}"),
+        ],
+        ["doc_id", "text"],
+    )
+    open_pairs = {
+        (r.new_id, r.ref_id)
+        for r in dedup.cross_corpus_pairs(
+            new, ref, threshold=0.3, max_df=1000
+        ).collect()
+    }
+    valved = {
+        (r.new_id, r.ref_id)
+        for r in dedup.cross_corpus_pairs(
+            new, ref, threshold=0.3, max_df=2
+        ).collect()
+    }
+    # red: boilerplate-only pairs exist without the valve, vanish with it
+    assert (100, 2) in open_pairs and (100, 2) not in valved
+    # green: the genuine near-dup survives the valve (distinct shingles)
+    assert (101, 1) in valved
+
+
+def test_bm25_idf_monotonicity(spark):
+    """A term appearing in fewer documents contributes more score at
+    equal tf and equal doc length — the defining property of the idf
+    component. 'rare' hits 1 of 6 docs, 'common' hits 5 of 6."""
+    from quasar_destination_h2_spark import cache
+    from quasar_destination_h2_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rare pad1 pad2"),
+            (2, "common pad1 pad2"),
+            (3, "common pad3 pad4"),
+            (4, "common pad5 pad6"),
+            (5, "common pad7 pad8"),
+            (6, "common pad9 pada"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r.doc_id: r
+        for r in T.bm25_search(docs, terms=("rare", "common")).collect()
+    }
+    cache.release()
+    assert rows[1].score_u12 > rows[2].score_u12
+    assert rows[1].rank == 1
