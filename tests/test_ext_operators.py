@@ -2432,3 +2432,26 @@ def test_bm25_idf_monotonicity(spark):
     cache.release()
     assert rows[1].score_u12 > rows[2].score_u12
     assert rows[1].rank == 1
+
+
+def test_cache_release_bounds_sweep_state(spark, t):
+    """The r7 ADVICE leak, closed end-to-end: run several
+    persist-carrying operators back to back with cache.release()
+    between them (exactly what oracle_check/bench/plan_audit do) and
+    assert the session's persisted-RDD set returns to empty after
+    every release — cached partitions cannot accumulate across a
+    sweep."""
+    from quasar_destination_h2_spark import cache
+    from quasar_destination_h2_spark.operators import packing, text
+
+    cache.release()
+    jsc = spark.sparkContext._jsc.sc()
+    for build in (
+        lambda: text.tfidf_top_terms(t.documents),
+        lambda: text.unigram_logprob(t.documents),
+        lambda: packing.shard_balance(t.documents),
+    ):
+        assert build().count() > 0
+        assert jsc.getPersistentRDDs().size() > 0  # persisted during
+        cache.release()
+        assert jsc.getPersistentRDDs().size() == 0  # and released
