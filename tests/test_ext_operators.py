@@ -2446,12 +2446,16 @@ def test_cache_release_bounds_sweep_state(spark, t):
 
     cache.release()
     jsc = spark.sparkContext._jsc.sc()
+    # session-scoped baseline: earlier tests' localCheckpoint RDDs
+    # stay pinned until GC and are NOT the operator-persist budget
+    # this hook manages — measure growth relative to it
+    baseline = jsc.getPersistentRDDs().size()
     for build in (
         lambda: text.tfidf_top_terms(t.documents),
         lambda: text.unigram_logprob(t.documents),
         lambda: packing.shard_balance(t.documents),
     ):
         assert build().count() > 0
-        assert jsc.getPersistentRDDs().size() > 0  # persisted during
+        assert jsc.getPersistentRDDs().size() > baseline  # persisted
         cache.release()
-        assert jsc.getPersistentRDDs().size() == 0  # and released
+        assert jsc.getPersistentRDDs().size() <= baseline  # released
