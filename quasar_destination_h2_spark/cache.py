@@ -18,10 +18,13 @@ release only runs between queries, after the consumer materialized.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
 _LIVE: list[DataFrame] = []
+_LOCK = threading.Lock()
 
 
 def persisted(
@@ -37,21 +40,35 @@ def persisted(
     executor heap.
     """
     out = df.persist(level)
-    _LIVE.append(out)
+    with _LOCK:
+        _LIVE.append(out)
     return out
 
 
 def release() -> int:
     """Unpersist every registered frame; returns how many were
-    released. Safe to call with a stopped/replaced session (errors
-    per-frame are swallowed — the JVM-side block manager drops blocks
-    with the session anyway)."""
+    released.
+
+    Contract: call BETWEEN queries only, never while a plan that
+    reads a registered cache is still executing — the registry is
+    process-global, so a release() racing another thread's in-flight
+    query would drop that query's cached blocks mid-plan (Spark
+    recomputes them from lineage: correct, but the single-pass
+    economics are lost). The registry itself is lock-guarded so
+    concurrent persisted()/release() calls cannot corrupt it; the
+    between-queries discipline is the caller's (tools/oracle_check,
+    bench.py, tools/plan_audit all run queries sequentially).
+
+    Safe to call with a stopped/replaced session (errors per-frame
+    are swallowed — the JVM-side block manager drops blocks with the
+    session anyway)."""
+    with _LOCK:
+        live, _LIVE[:] = _LIVE[:], []
     n = 0
-    for df in _LIVE:
+    for df in live:
         try:
             df.unpersist()
             n += 1
         except Exception:
             pass
-    _LIVE.clear()
     return n

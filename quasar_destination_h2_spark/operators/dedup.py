@@ -296,7 +296,13 @@ def minhash_calibration(
     """
     from .. import cache
 
-    assert 1_000_000 % MINHASH_SEEDS == 0
+    if 1_000_000 % MINHASH_SEEDS:
+        # not an assert: stripped under python -O, and a silently
+        # truncated per-seed step would skew est_ppm for every pair
+        raise ValueError(
+            f"MINHASH_SEEDS={MINHASH_SEEDS} must divide 1,000,000 "
+            "for the exact-rational est_ppm arithmetic"
+        )
     sh = cache.persisted(_shingled(docs, text_col))
     rows_per_band = MINHASH_SEEDS // LSH_BANDS
     sigs = sh.select(

@@ -133,6 +133,12 @@ def parse_update(sql: str, shadow: str):
         col, after = _parse_ident(part, ps, 0)
         if part[after:eq].strip():
             raise ValueError(f"UPDATE: bad assignment target {part!r}")
+        if col in assignments:
+            # exact-duplicate SET targets would silently collapse in
+            # the dict (last wins); H2 raises duplicate-column —
+            # case-DIFFERING duplicates are caught downstream by
+            # resolve_columns
+            raise ValueError(f"UPDATE: duplicate column name: [{col!r}]")
         assignments[col] = part[eq + 1 :].strip()
     cond = sql[mwhere.end() :].strip() if mwhere else "true"
     return table, assignments, cond
@@ -230,15 +236,33 @@ def resolve_columns(names, columns, ctx: str) -> dict:
     1`` against column ``val`` must resolve, not raise. Returns
     {given_name: actual_target_name}; raises ValueError naming every
     unknown column (aggregated, like the sink's column validation).
+
+    Duplicates are H2 errors, not last-wins: two GIVEN names that
+    resolve to the same target column (``SET v = 1, V = 2``) raise
+    H2's duplicate-column error instead of silently collapsing, and
+    a TARGET whose columns differ only by case is rejected as
+    ambiguous before any case-insensitive lookup can pick a winner.
     """
-    lower = {c.casefold(): c for c in columns}
-    out, bad = {}, []
+    lower: dict[str, str] = {}
+    for c in columns:
+        k = c.casefold()
+        if k in lower:
+            raise ValueError(
+                f"{ctx}: ambiguous target columns differing only by "
+                f"case: {lower[k]!r}, {c!r}"
+            )
+        lower[k] = c
+    out, bad, dup = {}, [], []
     for n in names:
         actual = lower.get(n.casefold())
         if actual is None:
             bad.append(n)
+        elif actual in out.values():
+            dup.append(n)
         else:
             out[n] = actual
+    if dup:
+        raise ValueError(f"{ctx}: duplicate column name: {dup}")
     if bad:
         raise ValueError(f"{ctx}: {bad}")
     return out

@@ -671,6 +671,44 @@ def test_insert_unknown_column_raises_and_case_insensitive(engine):
     assert (7.0, "g") in _rows(engine, t)
 
 
+def test_update_duplicate_set_targets_raise(engine):
+    """Two SET targets resolving to the same column raise H2's
+    duplicate-column error instead of last-wins (r8 ADVICE: the
+    casefold map silently collapsed `SET v = 1, V = 2`)."""
+    import pytest as _pytest
+
+    _load(engine)
+    with _pytest.raises(ValueError, match="duplicate column name"):
+        engine.execute_sql("UPDATE sqldml_t SET v = 'x', V = 'y' WHERE k = 1")
+    with _pytest.raises(ValueError, match="duplicate column name"):
+        engine.execute_sql("UPDATE sqldml_t SET v = 'x', v = 'y' WHERE k = 1")
+
+
+def test_insert_duplicate_column_list_raises(engine):
+    """INSERT column lists naming the same target twice (exact or
+    case-differing) raise like H2, never silently drop one."""
+    import pytest as _pytest
+
+    _load(engine)
+    with _pytest.raises(ValueError, match="duplicate column name"):
+        engine.execute_sql("INSERT INTO sqldml_t (k, K) VALUES (7, 8)")
+
+
+def test_resolve_columns_ambiguous_target_raises():
+    """A target whose columns differ only by case is rejected as
+    ambiguous before any case-insensitive lookup picks a winner."""
+    import pytest as _pytest
+
+    from quasar_destination_h2_spark.sql_dml import resolve_columns
+
+    with _pytest.raises(ValueError, match="ambiguous target columns"):
+        resolve_columns(["val"], ["val", "VAL"], "UPDATE")
+    # sanity: non-colliding targets still resolve case-insensitively
+    assert resolve_columns(["VAL"], ["val", "other"], "UPDATE") == {
+        "VAL": "val"
+    }
+
+
 def test_quantified_table_form_rewrites(spark):
     """`x > ALL (TABLE t)` is a legal quantified subquery body in both
     grammars; the peek must accept it (r7 ADVICE: it was silently
