@@ -233,6 +233,183 @@ def ivf_assign(
     )
 
 
+#: Lloyd-refinement rounds for the oracle-paired k-means queries —
+#: fixed and small so the DuckDB oracle can replay the exact bounded
+#: iteration as unrolled CTEs (a convergence-driven round count would
+#: be data-dependent and not statically SQL-expressible).
+KMEANS_ITERS = 2
+
+
+def _unit_rounded(v: Column) -> Column:
+    """6-rounded unit-normalized copy of vector ``v`` (NULL for a
+    zero-norm vector, which contributes nothing to a mean direction).
+    Rounding BEFORE the cross-partition sum is what makes the
+    per-cluster mean direction engine-exact: the rounded elements are
+    lifted to DECIMAL(38,6) and summed order-independently."""
+    from .text import bind_once
+
+    return bind_once(
+        F.struct(v.alias("v"), _dot(v, v).alias("n2")),
+        lambda s: F.when(
+            s["n2"] > 0,
+            F.transform(
+                s["v"], lambda e: F.round(e.cast("double") / F.sqrt(s["n2"]), 6)
+            ),
+        ),
+    )
+
+
+def kmeans_mean_directions(
+    assigned: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-cluster mean DIRECTION — the spherical-k-means centroid
+    update: elementwise exact DECIMAL(38,6) sums of each member's
+    6-rounded unit vector (cosine is scale-invariant, so the un-
+    divided sum IS the centroid: no mean quotient anywhere, dodging
+    the cross-engine quotient-rounding trap label_centroids
+    documents). Empty clusters simply drop out (both engines).
+
+    Scale shape: posexplode widens the corpus by the dimension, but
+    the per-(centroid, pos) aggregation partial-combines map-side, so
+    the shuffle carries n_list x dim rows regardless of corpus size
+    (the label_centroids shape). Output: (centroid_id, cvec)."""
+    e = assigned.select(
+        "centroid_id",
+        F.posexplode(_unit_rounded(F.col(vec_col))).alias("pos", "u"),
+    )
+    sums = e.groupBy("centroid_id", "pos").agg(
+        F.sum(F.col("u").cast("decimal(38,6)")).alias("sm")
+    )
+    return sums.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("pos"), F.col("sm").cast("double").alias("m"))
+                )
+            ),
+            lambda s: s["m"],
+        ).alias("cvec")
+    )
+
+
+def kmeans_refine(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_list: int = IVF_N_LIST,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Lloyd (spherical k-means) refinement of the md5-seeded IVF
+    coarse quantizer: ``iters`` rounds of assign-to-nearest (max
+    rounded cosine, ties to lower centroid id) then mean-direction
+    update. The md5 draw provides deterministic, engine-reproducible
+    SEEDS; refinement makes the quantizer data-DEPENDENT — on
+    clustered embeddings that is the difference between an index and
+    an arbitrary partition (r8 VERDICT; recall gain pinned by
+    tests/test_ext_operators.py on a synthetically clustered corpus,
+    measured per-query by the ann_ivf_recall_kmeans contract).
+
+    Scale shape per round: ONE corpus pass (broadcast n_list
+    centroids, map-side-combined argmax — ivf_assign's shape) plus
+    the n_list x dim mean-direction aggregate; the tiny centroid
+    frame is localCheckpoint-ed each round so lineage stays flat
+    (swap to reliable checkpoint on revocable executors, as
+    operators/iterate.py documents). Returns (centroid_id, cvec);
+    centroid ids remain the seed ids (clusters that empty out
+    disappear). Precondition (shared by every cosine operator here):
+    no zero-norm vectors in ``emb`` — cosine is undefined for them
+    and ANSI mode aborts on the 0/0; the centroid UPDATE is guarded
+    regardless (_unit_rounded yields NULL -> the row drops out)."""
+    cents = ivf_centroids(emb, id_col, vec_col, n_list).localCheckpoint()
+    for _ in range(iters):
+        assigned = ivf_assign(emb, cents, id_col, vec_col)
+        cents = kmeans_mean_directions(assigned, vec_col).localCheckpoint()
+    return cents
+
+
+def _assign_scored(
+    emb: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ivf_assign carrying the winning similarity: (id, vec,
+    centroid_id, sim_micro). Same single-shuffle argmax shape — the
+    struct max collapses map-side; sim_micro is the 6-rounded cosine
+    lifted to exact integer micro-units."""
+    scored = emb.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).crossJoin(F.broadcast(cents)).select(
+        "_id",
+        "_v",
+        "centroid_id",
+        F.round(cosine(F.col("_v"), F.col("cvec")), 6).alias("_sim"),
+    )
+    best = scored.groupBy("_id").agg(
+        F.first("_v").alias("_vv"),
+        F.max(
+            F.struct(
+                F.col("_sim").alias("s"), (-F.col("centroid_id")).alias("nc")
+            )
+        ).alias("b"),
+    )
+    return best.select(
+        F.col("_id").alias(id_col),
+        F.col("_vv").alias(vec_col),
+        (-F.col("b.nc")).alias("centroid_id"),
+        (F.col("b.s").cast("decimal(28,10)") * 1000000)
+        .cast("bigint")
+        .alias("sim_micro"),
+    )
+
+
+def kmeans_convergence(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_list: int = IVF_N_LIST,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """The k-means objective trace: after each refinement round, the
+    number of live clusters and the EXACT integer sum of member-to-
+    centroid similarities (sum_sim_micro — the spherical-k-means
+    objective; inertia analog = n*1e6 - sum). Lloyd guarantees the
+    objective is monotone nondecreasing round over round (each
+    assign step and each mean-direction step can only raise it, up
+    to the 1e-6 rounding grain) — the property the conformance test
+    pins and the instrument that says when more rounds stop paying.
+
+    Shape: each round's scored assignment is persisted once (via
+    cache.persisted) and feeds BOTH its one-row objective aggregate
+    and the next round's centroid update — one corpus pass per
+    round, exactly the kmeans_refine cost. Output: (iter,
+    n_clusters, sum_sim_micro), iter 0 = the md5 seeds."""
+    from .. import cache
+
+    cents = ivf_centroids(emb, id_col, vec_col, n_list).localCheckpoint()
+    rows = []
+    for it in range(iters + 1):
+        sc = cache.persisted(_assign_scored(emb, cents, id_col, vec_col))
+        rows.append(
+            sc.agg(
+                F.count_distinct("centroid_id").cast("bigint").alias(
+                    "n_clusters"
+                ),
+                F.sum("sim_micro").cast("bigint").alias("sum_sim_micro"),
+            ).select(
+                F.lit(it).cast("bigint").alias("iter"),
+                "n_clusters",
+                "sum_sim_micro",
+            )
+        )
+        if it < iters:
+            cents = kmeans_mean_directions(sc, vec_col).localCheckpoint()
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
 def semantic_dedup(
     emb: DataFrame,
     threshold: float = 0.35,
@@ -288,19 +465,22 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_list: int = IVF_N_LIST,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat ANN (nprobe=1): search only the query's own centroid
     list. At scale the corpus is partitioned (or stored bucketed) by
     centroid_id, so a probe scans one inverted list, not the corpus.
+    ``cents`` swaps in a refined coarse quantizer (kmeans_refine);
+    default = the md5-seeded draw.
 
     The assignment is MATERIALIZED (``localCheckpoint``) — that is
     the IVF index build, done once and probed many times; leaving it
     declarative makes every subtree that touches the index re-scan
     and re-assign the whole corpus (verified: 4 embedding scans
     without, 1 with)."""
-    assigned = ivf_assign(
-        emb, ivf_centroids(emb, id_col, vec_col, n_list), id_col, vec_col
-    ).localCheckpoint()
+    if cents is None:
+        cents = ivf_centroids(emb, id_col, vec_col, n_list)
+    assigned = ivf_assign(emb, cents, id_col, vec_col).localCheckpoint()
     q = assigned.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -338,6 +518,8 @@ def ivf_topk_nprobe(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_list: int = IVF_N_LIST,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat ANN with multi-probe (nprobe > 1): each query searches
     its `nprobe` nearest centroid lists instead of only its own —
@@ -348,8 +530,11 @@ def ivf_topk_nprobe(
     list. Same probed-bucket equality join as nprobe=1 — never a
     corpus scan per query. Centroids (n_list rows) and the
     assignment (the index) are both materialized once — index build,
-    then probe."""
-    cents = ivf_centroids(emb, id_col, vec_col).localCheckpoint()
+    then probe. ``cents`` swaps in a refined coarse quantizer
+    (kmeans_refine); default = the md5-seeded draw."""
+    if cents is None:
+        cents = ivf_centroids(emb, id_col, vec_col, n_list)
+    cents = cents.localCheckpoint()
     assigned = ivf_assign(emb, cents, id_col, vec_col).localCheckpoint()
     qv = emb.where(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
@@ -400,6 +585,8 @@ def ivf_recall(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_list: int = IVF_N_LIST,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """ANN accuracy contract: per-query recall@k of the multi-probe
     IVF index against the exact brute-force ranking — THE measurement
@@ -425,7 +612,7 @@ def ivf_recall(
         "query_id", "neighbor_id"
     )
     approx = ivf_topk_nprobe(
-        emb, n_queries, k, nprobe, id_col, vec_col
+        emb, n_queries, k, nprobe, id_col, vec_col, n_list, cents
     ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
     return (
         exact.join(approx, ["query_id", "neighbor_id"], "left")
@@ -452,6 +639,7 @@ def ivf_cluster_profile(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_list: int = IVF_N_LIST,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """IVF index balance + cohesion diagnostic: per-inverted-list
     member count (with its corpus share in integer ppm) and the
@@ -473,8 +661,11 @@ def ivf_cluster_profile(
     the sum is division-free and bit-exact.
 
     Output: (centroid_id, n_members, share_ppm, sum_sim_micro).
+    ``cents`` swaps in a refined coarse quantizer (kmeans_refine).
     """
-    cents = ivf_centroids(emb, id_col, vec_col, n_list).localCheckpoint()
+    if cents is None:
+        cents = ivf_centroids(emb, id_col, vec_col, n_list)
+    cents = cents.localCheckpoint()
     assigned = ivf_assign(emb, cents, id_col, vec_col)
     sim6 = F.round(cosine(F.col(vec_col), F.col("cvec")), 6)
     micro = (sim6.cast("decimal(28,10)") * 1000000).cast("bigint")

@@ -3318,3 +3318,199 @@ def q_shard_balance(t: TableSet) -> DataFrame:
     shuffle in integer ppm — the straggler audit; one corpus scan,
     n_shards-keyed aggregate, one-row totals broadcast."""
     return packing.shard_balance(t.documents)
+
+
+# ---------------------------------------------------------------------------
+# k-means (Lloyd) refinement of the IVF coarse quantizer [r9]
+# ---------------------------------------------------------------------------
+
+_KM_ITERS = similarity.KMEANS_ITERS
+
+
+def _kmeans_ctes(iters: int = _KM_ITERS) -> tuple[str, str, str]:
+    """Unrolled spherical-k-means CTEs for the DuckDB oracle: md5
+    seeds -> ``iters`` rounds of (assign by rounded cosine, exact
+    DECIMAL(38,6) mean-direction sums of the 6-rounded unit vectors)
+    -> final assignment. Replays ``similarity.kmeans_refine`` /
+    ``_assign_scored`` exactly (validated bit-equal at sf0.001/0.01/
+    0.1). Returns (cte_sql, final_cents_name, final_assign_name);
+    a{k} carries (vec_id, v, nv, centroid_id, sim)."""
+    parts = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        """n AS (SELECT vec_id, v,
+           CASE WHEN list_inner_product(v, v) > 0 THEN
+             list_transform(v, x -> round(x / sqrt(list_inner_product(v, v)), 6))
+           END AS nv FROM e)""",
+        f"""c0 AS (SELECT vec_id AS centroid_id, v AS cvec FROM e
+          WHERE vec_id IN (SELECT vec_id FROM e
+            ORDER BY md5('{_IVF_SEED}:' || CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {_IVF_N_LIST}))""",
+    ]
+    for k in range(iters + 1):
+        parts.append(f"""a{k} AS (
+      SELECT vec_id, v, nv, centroid_id, sim FROM (
+        SELECT n.vec_id, n.v, n.nv, c.centroid_id,
+               round(list_cosine_similarity(n.v, c.cvec), 6) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY round(list_cosine_similarity(n.v, c.cvec), 6) DESC,
+                          c.centroid_id) AS rn
+        FROM n CROSS JOIN c{k} c) WHERE rn = 1)""")
+        if k < iters:
+            parts.append(f"""s{k + 1} AS (
+      SELECT centroid_id, u.pos,
+             SUM(CAST(nv[u.pos + 1] AS DECIMAL(38,6))) AS sm
+      FROM a{k}, UNNEST(range({similarity.EMBED_DIM})) AS u(pos)
+      WHERE nv IS NOT NULL GROUP BY centroid_id, u.pos)""")
+            parts.append(f"""c{k + 1} AS (
+      SELECT centroid_id, list(CAST(sm AS DOUBLE) ORDER BY pos) AS cvec
+      FROM s{k + 1} GROUP BY centroid_id)""")
+    return ",\n    ".join(parts), f"c{iters}", f"a{iters}"
+
+
+_KM_CTES, _KM_CENTS, _KM_ASSIGN = _kmeans_ctes()
+
+
+@query(
+    "kmeans_convergence",
+    oracle="WITH "
+    + _KM_CTES
+    + "\n    "
+    + "\n    UNION ALL\n    ".join(
+        f"""SELECT {k} AS iter,
+           CAST(COUNT(DISTINCT centroid_id) AS BIGINT) AS n_clusters,
+           CAST(SUM(CAST(CAST(sim AS DECIMAL(28,10)) * 1000000 AS BIGINT))
+                AS BIGINT) AS sum_sim_micro
+    FROM a{k}"""
+        for k in range(_KM_ITERS + 1)
+    ),
+)
+def q_kmeans_convergence(t: TableSet) -> DataFrame:
+    """Spherical-k-means objective trace over the bounded Lloyd
+    refinement of the IVF quantizer: live-cluster count and the exact
+    integer member-to-centroid similarity sum after each round (iter
+    0 = md5 seeds). Lloyd guarantees the objective is monotone
+    nondecreasing — the instrument that says when more rounds stop
+    paying; one corpus pass per round."""
+    return similarity.kmeans_convergence(t.embeddings)
+
+
+@query(
+    "ivf_topk_kmeans",
+    oracle=f"""
+    WITH {_KM_CTES},
+    q AS (SELECT vec_id AS query_id, v AS qv, centroid_id
+          FROM {_KM_ASSIGN} WHERE vec_id < 10),
+    cc AS (SELECT vec_id AS neighbor_id, v AS cv, centroid_id
+           FROM {_KM_ASSIGN}),
+    scored AS (
+      SELECT query_id, neighbor_id, centroid_id,
+             round(list_cosine_similarity(qv, cv), 6) AS cos_sim
+      FROM cc JOIN q USING (centroid_id) WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, centroid_id, cos_sim,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def q_ivf_topk_kmeans(t: TableSet) -> DataFrame:
+    """IVF-flat ANN (nprobe=1) over the k-means-REFINED quantizer —
+    same probe plan as ivf_topk_ann, data-dependent inverted lists;
+    the index-build adds one corpus pass per Lloyd round."""
+    emb = t.embeddings
+    return similarity.ivf_topk(emb, cents=similarity.kmeans_refine(emb))
+
+
+@query(
+    "ann_ivf_recall_kmeans",
+    oracle=f"""
+    WITH {_KM_CTES},
+    q0 AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q0.query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q0.query_id
+                 ORDER BY round(list_cosine_similarity(q0.qv, e.v), 6) DESC,
+                          e.vec_id) AS rank
+        FROM e CROSS JOIN q0 WHERE q0.query_id <> e.vec_id
+      ) WHERE rank <= 5
+    ),
+    probes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(e.v, c.cvec), 6) DESC,
+                          c.centroid_id) AS rn
+        FROM e CROSS JOIN {_KM_CENTS} c WHERE e.vec_id < 10) WHERE rn <= 2
+    ),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT s.query_id, s.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                                  ORDER BY s.cos_sim DESC, s.neighbor_id)
+                 AS rank
+        FROM (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 round(list_cosine_similarity(p.qv, a.v), 6) AS cos_sim
+          FROM {_KM_ASSIGN} a JOIN probes p USING (centroid_id)
+          WHERE p.query_id <> a.vec_id
+        ) s
+      ) WHERE rank <= 5
+    )
+    SELECT query_id, k_eval, n_hits,
+           CAST(n_hits * 1000000 // k_eval AS BIGINT) AS recall_ppm
+    FROM (
+      SELECT exact.query_id,
+             CAST(COUNT(*) AS BIGINT) AS k_eval,
+             CAST(COUNT(approx.neighbor_id) AS BIGINT) AS n_hits
+      FROM exact LEFT JOIN approx
+        ON exact.query_id = approx.query_id
+       AND exact.neighbor_id = approx.neighbor_id
+      GROUP BY exact.query_id
+    )
+    """,
+)
+def q_ann_ivf_recall_kmeans(t: TableSet) -> DataFrame:
+    """Recall@5 of the nprobe=2 IVF index with k-means-refined
+    centroids against exact brute force — read beside ann_ivf_recall
+    (same contract, md5 baseline) to measure what refinement buys;
+    the r8 VERDICT's 'prove the refinement pays' instrument."""
+    emb = t.embeddings
+    return similarity.ivf_recall(emb, cents=similarity.kmeans_refine(emb))
+
+
+@query(
+    "ivf_kmeans_profile",
+    oracle=f"""
+    WITH {_KM_CTES},
+    j AS (
+      SELECT centroid_id,
+             CAST(CAST(sim AS DECIMAL(28,10)) * 1000000 AS BIGINT) AS m
+      FROM {_KM_ASSIGN}
+    ),
+    per AS (
+      SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(m) AS BIGINT) AS sum_sim_micro
+      FROM j GROUP BY centroid_id
+    ),
+    tot AS (SELECT SUM(n_members) AS total FROM per)
+    SELECT centroid_id, n_members,
+           CAST(n_members * 1000000 // total AS BIGINT) AS share_ppm,
+           sum_sim_micro
+    FROM per, tot
+    """,
+)
+def q_ivf_kmeans_profile(t: TableSet) -> DataFrame:
+    """Inverted-list balance + cohesion of the k-means-refined index
+    — read beside ivf_cluster_profile (md5 baseline): refinement
+    should tighten cells (higher per-member similarity) and is
+    EXPECTED to change the balance; the pair quantifies both."""
+    emb = t.embeddings
+    return similarity.ivf_cluster_profile(
+        emb, cents=similarity.kmeans_refine(emb)
+    )

@@ -148,6 +148,13 @@ NLJ_OK = frozenset({
     "ivf_cluster_profile",
     # r8: 1-row totals broadcast onto the n_shards-row aggregate
     "shard_balance",
+    # r9 k-means family: every NLJ is the bounded n_list-row centroid
+    # frame broadcast onto the corpus (the ivf_topk_ann design) or a
+    # 1-row totals broadcast; the objective trace runs one such
+    # broadcast per Lloyd round, all bounded by the n_list PARAMETER
+    "kmeans_convergence",
+    "ann_ivf_recall_kmeans",
+    "ivf_kmeans_profile",
 })
 
 #: Tables whose repeated FileScan in one plan is a 100 TB scale killer.
@@ -246,6 +253,16 @@ RESCAN_REVIEWED = frozenset({
     # r8: the persisted n_shards-row aggregate feeds the totals and
     # the share projection (cache-backed, key_skew_profile shape):
     "shard_balance",
+    # r9 k-means family. kmeans_convergence: each Lloyd round's
+    # scored assignment is a REAL corpus pass (that IS the
+    # algorithm — one pass per round, persisted so the objective
+    # aggregate and the next round's centroid update share it);
+    # ann_ivf_recall_kmeans: the ann_ivf_recall composition (bounded
+    # exact-baseline query sample rescans + checkpoint-backed index)
+    # over refined centroids; ivf_kmeans_profile: the
+    # ivf_cluster_profile shape (per-list aggregate + its own 1-row
+    # total re-render the same scan subtree in toString()):
+    "kmeans_convergence", "ann_ivf_recall_kmeans", "ivf_kmeans_profile",
 })
 
 
