@@ -1044,6 +1044,103 @@ def bm25_search(
     )
 
 
+def bm25_search_many(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str = "text",
+    topn: int = 10,
+) -> DataFrame:
+    """Okapi BM25 batch retrieval driven by a QUERY TABLE — the form
+    a real pipeline runs (eval-set contamination mining, batched
+    retrieval): ``queries`` is (query_id, term) rows, one row per
+    query term; every query is scored in ONE shot through the shared
+    posting index, with no per-query replanning or corpus scans
+    (:func:`bm25_search` is the single-bounded-query special case —
+    parity with it per query row is pytest-pinned).
+
+    Shape at 100 TB — ONE corpus pass, postings-sized everything
+    after: the tokenized corpus is PERSISTED and feeds (a) the
+    one-row corpus stats (N, total length) and (b) the (doc, term,
+    tf, dl) posting build (doc length rides along with the posting,
+    so no second corpus join is ever needed). Postings are PRUNED to
+    the query-table term set by a hash semi-join BEFORE anything
+    else touches them — everything downstream is O(Σ df(term)), not
+    O(corpus). df comes from the pruned postings themselves; the
+    per-term (term, df) frame is bounded by the query table, and the
+    query join is a plain key join on term (AQE broadcasts it when
+    small — unhinted, because a query TABLE is not bounded by
+    construction the way a literal term set is). At scale,
+    materialize the postings bucketed BY tok
+    (engine.materialize_bucketed) and the retrieval join is
+    co-located and shuffle-free. Top-N per query is a row_number
+    window partitioned by query_id over the scored (query, doc)
+    frame — never a global sort.
+
+    Determinism: identical micro-unit arithmetic to
+    :func:`bm25_search` (6-rounded idf and tf-norm, DECIMAL-lifted
+    to exact integer u12 products, integer sums); a term absent from
+    a document contributes exactly 0 there, so dropping non-matching
+    (query, doc, term) triples — what the posting join does — is
+    exact, not approximate.
+
+    Output: (query_id, doc_id, dl, score_u12, rank), rank 1 = best
+    per query."""
+    from .. import cache
+
+    tk = tokens(F.col(text_col))
+    base = cache.persisted(
+        docs.select(
+            "doc_id",
+            bind_once(tk, lambda a: F.filter(a, lambda x: x != F.lit(""))).alias(
+                "tk"
+            ),
+        )
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size("tk")).cast("bigint").alias("sum_dl"),
+    )
+    dt = (
+        base.select(
+            "doc_id",
+            F.size("tk").cast("bigint").alias("dl"),
+            F.explode("tk").alias("tok"),
+        )
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    terms = queries.select(F.col("term").alias("tok")).distinct()
+    pruned = dt.join(terms, "tok", "leftsemi")
+    dfreq = pruned.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    u12 = F.expr(
+        f"CAST(CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)"
+        f" AS DECIMAL(28,10)) * 1000000 AS BIGINT)"
+        f" * CAST(CAST(round(tf * ({BM25_K1} + 1) / (tf + {BM25_K1} * "
+        f"(1 - {BM25_B} + {BM25_B} * dl / (sum_dl / n_docs))), 6)"
+        f" AS DECIMAL(28,10)) * 1000000 AS BIGINT)"
+    )
+    contrib = (
+        pruned.join(dfreq, "tok")
+        .join(queries.select("query_id", F.col("term").alias("tok")), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", "dl", u12.alias("u12"))
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.max("dl").alias("dl"),
+        F.sum("u12").cast("bigint").alias("score_u12"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_u12").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= topn)
+        .select("query_id", "doc_id", "dl", "score_u12", "rank")
+    )
+
+
 def tfidf_top_terms(
     docs: DataFrame, text_col: str = "text", k: int = 3
 ) -> DataFrame:

@@ -3514,3 +3514,70 @@ def q_ivf_kmeans_profile(t: TableSet) -> DataFrame:
     return similarity.ivf_cluster_profile(
         emb, cents=similarity.kmeans_refine(emb)
     )
+
+
+#: Query table for the batch-retrieval conformance query: query 1 is
+#: exactly the SEARCH_TERMS set (enabling the pytest parity pin with
+#: single-query bm25_search); 2 and 3 exercise shared and disjoint
+#: terms across queries.
+_BM25_QUERY_ROWS = (
+    (1, "query"), (1, "spark"), (1, "window"),
+    (2, "data"), (2, "join"),
+    (3, "stream"), (3, "state"), (3, "window"),
+)
+
+_BM25_VALUES = ", ".join(f"({i}, '{s}')" for i, s in _BM25_QUERY_ROWS)
+
+
+@query(
+    "bm25_search_many",
+    oracle=rf"""
+    WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+               FROM (VALUES {_BM25_VALUES}) v(query_id, term)),
+    base AS (SELECT doc_id,
+                    list_filter(string_split_regex({_NORM}, ' '),
+                                x -> x <> '') AS tk
+             FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(len(tk)) AS BIGINT) AS sum_dl
+              FROM base),
+    dt AS (
+      SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS tok
+        FROM base)
+      GROUP BY doc_id, dl, tok),
+    pruned AS (SELECT * FROM dt
+               WHERE tok IN (SELECT DISTINCT term FROM q)),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+              FROM pruned GROUP BY tok),
+    contrib AS (
+      SELECT q.query_id, p.doc_id, p.dl,
+             CAST(CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+                  AS DECIMAL(28,10)) * 1000000 AS BIGINT)
+             * CAST(CAST(round(tf * ({text.BM25_K1} + 1) / (tf + {text.BM25_K1}
+                  * (1 - {text.BM25_B} + {text.BM25_B} * dl
+                     / (sum_dl / n_docs))), 6)
+                  AS DECIMAL(28,10)) * 1000000 AS BIGINT) AS u12
+      FROM pruned p JOIN dfreq USING (tok) JOIN q ON q.term = p.tok, stats),
+    scored AS (SELECT query_id, doc_id, MAX(dl) AS dl,
+                      CAST(SUM(u12) AS BIGINT) AS score_u12
+               FROM contrib GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, dl, score_u12, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score_u12 DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def q_bm25_search_many(t: TableSet) -> DataFrame:
+    """Query-table-driven batch BM25 (r8 VERDICT item 2): N queries
+    scored in one shot through a shared pruned posting index — one
+    corpus pass, a single posting join, per-query window top-10; no
+    per-query replanning. Parity with single-query bm25_search per
+    row is pytest-pinned."""
+    spark = t.documents.sparkSession
+    qdf = spark.createDataFrame(
+        list(_BM25_QUERY_ROWS), "query_id bigint, term string"
+    )
+    return text.bm25_search_many(t.documents, qdf)

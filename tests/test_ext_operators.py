@@ -2591,3 +2591,47 @@ def test_kmeans_mean_directions_skips_zero_vectors(spark):
     expect = 2 * round(1 / 8, 6)
     for x in cents[0].cvec:
         assert abs(x - expect) < 1e-9, (x, expect)
+
+
+def test_bm25_many_parity_with_single_query(spark, t):
+    """bm25_search_many over a one-query table carrying exactly
+    SEARCH_TERMS reproduces single-query bm25_search row for row —
+    dropping non-matching (query, doc, term) triples is exact
+    because an absent term's contribution is exactly 0."""
+    from quasar_destination_h2_spark import cache
+
+    single = {
+        (r.doc_id, r.dl, r.score_u12, r.rank)
+        for r in text.bm25_search(t.documents).collect()
+    }
+    qdf = spark.createDataFrame(
+        [(1, tm) for tm in text.SEARCH_TERMS], "query_id bigint, term string"
+    )
+    many = {
+        (r.doc_id, r.dl, r.score_u12, r.rank)
+        for r in text.bm25_search_many(t.documents, qdf).collect()
+    }
+    cache.release()
+    assert many == single and len(many) > 0
+
+
+def test_bm25_many_single_posting_join_no_per_query_scans(spark, t):
+    """The batch form's plan touches the documents corpus a bounded
+    number of times (the persisted tokenized base renders under its
+    two consumers) REGARDLESS of query count — scoring 3 queries and
+    30 queries produces the same number of corpus scan renderings
+    (no per-query replanning or rescans) and no CartesianProduct."""
+    import re as _re
+
+    from quasar_destination_h2_spark import cache
+
+    def n_scans(n_queries):
+        rows = [(q, tm) for q in range(n_queries)
+                for tm in ("query", "spark", "window")]
+        qdf = spark.createDataFrame(rows, "query_id bigint, term string")
+        p = physical_plan(text.bm25_search_many(t.documents, qdf))
+        cache.release()
+        assert "CartesianProduct" not in p
+        return len(_re.findall(r"FileScan parquet [^\n]*documents\.parquet", p))
+
+    assert n_scans(3) == n_scans(30)

@@ -92,6 +92,14 @@ AUDITED = (
     "vocab_oov_rate",
     "minhash_calibration",
     "shard_balance",
+    # round 9: the Lloyd-refined IVF family (one corpus pass per
+    # round, bounded centroid broadcasts) and the query-table-driven
+    # batch BM25 (single pruned posting join, per-query window top-k)
+    "kmeans_convergence",
+    "ivf_topk_kmeans",
+    "ann_ivf_recall_kmeans",
+    "ivf_kmeans_profile",
+    "bm25_search_many",
 )
 
 MARKERS = (
@@ -141,6 +149,8 @@ NLJ_OK = frozenset({
     "importance_weights",
     # r8: one-row corpus-stats broadcast onto the per-doc tf frame
     "bm25_search",
+    # r9: the batch form's identical one-row stats broadcast
+    "bm25_search_many",
     # r8: composition of the two declared-NLJ ANN sides (brute-force
     # baseline + IVF centroid broadcasts) into the recall contract
     "ann_ivf_recall",
@@ -234,6 +244,10 @@ RESCAN_REVIEWED = frozenset({
     # only corpus pass; un-materialized renderings print the FileScan
     # under each InMemoryRelation reference):
     "bm25_search",         # persisted per-doc tf/length frame
+    # r9: persisted tokenized base carries the only corpus pass; the
+    # stats aggregate and the posting build both read the cache, and
+    # scan-rendering count is query-count-INDEPENDENT (pytest-pinned)
+    "bm25_search_many",
     "dedup_prefix_filter",  # persisted md5-shingle posting frame
     # r8: composition of the exact baseline and the IVF probe — each
     # side is its own reviewed query (embed_cosine_topk,
