@@ -386,13 +386,31 @@ def minhash_calibration(
     )
 
 
+def cross_corpus_postings(
+    ref_docs: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """The reference-side posting frame of :func:`cross_corpus_pairs`
+    — (ref_id, n_ref, s) with s = xxhash64(shingle). Built ONCE per
+    reference refresh and materialized BUCKETED BY s
+    (``engine.materialize_bucketed``): every nightly cross-corpus
+    join then reads co-located posting buckets with NO exchange on
+    the big side, and the stop-shingle valve's groupBy("s") is
+    likewise shuffle-free (pinned by tools/scale_probe.py --r9)."""
+    return _shingled(ref_docs, text_col, k).select(
+        F.col("doc_id").alias("ref_id"),
+        F.col("n_sh").alias("n_ref"),
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s"),
+    )
+
+
 def cross_corpus_pairs(
     new_docs: DataFrame,
-    ref_docs: DataFrame,
+    ref_docs: DataFrame | None = None,
     text_col: str = "text",
     k: int = 3,
     threshold: float = JACCARD_THRESHOLD,
     max_df: int = MAX_SHINGLE_DF,
+    ref_postings: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental (cross-corpus) near-dup join: which NEW documents
     near-duplicate something already in the REFERENCE corpus — the
@@ -420,16 +438,23 @@ def cross_corpus_pairs(
     nightly join co-located and shuffle-free on the big side.
 
     Output: (new_id, ref_id, inter, jaccard), jaccard >= threshold.
+    ``ref_postings`` (from :func:`cross_corpus_postings`, typically
+    materialized bucketed by s) replaces ``ref_docs`` — the nightly
+    production path; passing documents rebuilds postings inline.
     """
+    if (ref_docs is None) == (ref_postings is None):
+        raise ValueError(
+            "cross_corpus_pairs: pass exactly one of ref_docs / ref_postings"
+        )
     pn = _shingled(new_docs, text_col, k).select(
         F.col("doc_id").alias("new_id"),
         F.col("n_sh").alias("n_new"),
         F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s"),
     )
-    pr = _shingled(ref_docs, text_col, k).select(
-        F.col("doc_id").alias("ref_id"),
-        F.col("n_sh").alias("n_ref"),
-        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("s"),
+    pr = (
+        ref_postings
+        if ref_postings is not None
+        else cross_corpus_postings(ref_docs, text_col, k)
     )
     ok = (
         pr.groupBy("s")

@@ -5,44 +5,42 @@ from . import tierb  # noqa: E402,F401
 from . import ext  # noqa: E402,F401
 
 # The driver's conformance harness checks the first ~50 registered
-# queries (dict insertion order; r6 hashed 51, r7 hashed 50).
-# Rounds 2-7 drove 155 of the 164 registered queries to a
-# driver-witnessed green hash; the only never-witnessed queries
-# entering round 8 are the nine registered in round 7.
-# The round-8 window:
-#   * slots 1-9: the nine round-7 additions the driver has never
-#     hashed (each tri-scale oracle-green locally, see
-#     tools/gatelogs/). Green here makes cumulative driver-witnessed
-#     coverage 164/164.
-#   * next: any NEW round-8 queries, so they are witnessed the same
-#     round they are registered (no carried deficit into round 9).
-#   * next: every query whose implementation round 8 touches — the
-#     LM-family text operators that lost their forced full-vocabulary
-#     broadcast hints and the single-scan restructure of the unigram
-#     LM (text_unigram_logprob, text_bigram_logprob,
-#     importance_weights), plus quantified_subquery (sql_dml
-#     quantifier-peek hardening).
+# queries (dict insertion order; r6 hashed 51, r7/r8 hashed 50).
+# Entering round 9, cumulative driver-witnessed coverage is 177/177
+# (CORRECTNESS_r08: all 22 then-unwitnessed queries went green).
+# The round-9 window keeps the rotation discipline:
+#   * slots 1-5: the five round-9 registrations (k-means IVF family
+#     + batch BM25), witnessed the same round they land;
+#   * next: every query whose implementation round 9 touches — the
+#     IVF/ANN operators that gained the cents= parameter
+#     (similarity.py), the cross-corpus dedup refactored for
+#     bucketed reference postings, minhash_calibration (assert ->
+#     raise), bm25_search (module shared with the new batch form),
+#     and quantified_subquery (sql_dml gained the H2-dialect rewrite
+#     hook in execute());
 #   * the remaining slots: cross-era anchors — fixpoint dedup family,
-#     heaviest TPC-H shapes, ANN, packing, grammar corners.
+#     heaviest TPC-H shapes, packing, grammar corners.
 # Everything outside the window stays oracle-checked locally via
 # tools/oracle_check.py at sf0.001/0.01/0.1 (see COVERAGE.md).
+_R9_NEW = [
+    "kmeans_convergence",
+    "ivf_topk_kmeans",
+    "ann_ivf_recall_kmeans",
+    "ivf_kmeans_profile",
+    "bm25_search_many",
+]
+
 _DRIVER_WINDOW = [
-    # --- Never driver-witnessed: the nine round-7 additions ---
-    "doc_chunking",
-    "tfidf_top_terms",
-    "quality_filter_percentile",
-    "hard_negative_mining",
-    "key_skew_profile",
-    "perplexity_buckets",
-    "dedup_containment",
-    "pmi_collocations",
-    "zipf_fit",
-    # --- Round-8 registrations (witnessed same-round) are inserted
-    # here by _R8_NEW below ---
-    # --- Implementation touched in round 8 ---
-    "text_unigram_logprob",
-    "text_bigram_logprob",
-    "importance_weights",
+    *_R9_NEW,
+    # --- Implementation touched in round 9 ---
+    "ivf_topk_ann",
+    "ivf_topk_ann_nprobe2",
+    "ann_ivf_recall",
+    "ivf_cluster_profile",
+    "semantic_dedup",
+    "dedup_cross_corpus",
+    "minhash_calibration",
+    "bm25_search",
     "quantified_subquery",
     # --- Cross-era anchors (all previously witnessed) ---
     # Fixpoint / dedup family
@@ -54,6 +52,7 @@ _DRIVER_WINDOW = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_edit_verify",
+    "dedup_prefix_filter",
     "split_leakage_check",
     # TPC-H heavy shapes
     "agg_pricing_summary",
@@ -63,22 +62,25 @@ _DRIVER_WINDOW = [
     "tpch_q18_large_orders",
     "tpch_q17_small_quantity_revenue",
     # ANN / similarity
-    "ivf_topk_ann_nprobe2",
     "ann_lsh_bucketed",
     "embed_dedup_pairs",
-    "semantic_dedup",
     # Text / sampling / sketches / packing
     "text_quality",
-    "text_boilerplate",
+    "text_unigram_logprob",
+    "importance_weights",
+    "tfidf_top_terms",
+    "lexical_diversity",
+    "vocab_oov_rate",
+    "keyword_search_indexed",
     "contamination_check",
-    "keyword_search",
     "table_profile",
     "sample_stratified",
     "sketch_theta_overlap",
     "token_budget_allocation",
-    "length_buckets",
+    "shard_balance",
     # Events / time series
     "events_hopping",
+    "events_anomaly_zscore",
     "gaps_islands",
     "event_funnel",
     "retention_cohorts",
@@ -86,41 +88,15 @@ _DRIVER_WINDOW = [
     "range_join_sessions",
     # Grammar-surface anchors
     "rollup_grouping",
+    "window_named_clause",
+    "ansi_string_grammar",
     "window_ignore_nulls",
-    "window_rows_frame",
     "set_except_all",
     "lateral_topn_per_group",
     "recursive_cte_sql",
     "try_cast_safety",
     "null_safe_compare",
 ]
-
-#: Round-8 query registrations, spliced directly after the nine
-#: round-7 witnesses so the driver hashes them this round.
-_R8_NEW: list[str] = [
-    "bm25_search",
-    "dedup_prefix_filter",
-    "lexical_diversity",
-    "ann_ivf_recall",
-    "keyword_search_indexed",
-    "dedup_cross_corpus",
-    "events_anomaly_zscore",
-    "window_named_clause",
-    "ansi_string_grammar",
-    "ivf_cluster_profile",
-    "vocab_oov_rate",
-    "minhash_calibration",
-    "shard_balance",
-]
-
-# ROUND-9 ROTATION NOTE: every query registered through round 8 sits
-# inside the first ~50 slots of this round's window (the 9 r7 + 13 r8
-# additions occupy slots 1-22), so a green CORRECTNESS_r08 makes
-# cumulative driver-witnessed coverage 177/177. For round 9: splice
-# any new registrations right after the r8 block (the _R8_NEW
-# pattern), lead with any queries whose implementation round 9
-# touches, then cross-era anchors as before.
-_DRIVER_WINDOW[9:9] = _R8_NEW
 
 
 def _reorder(window: list[str]) -> None:

@@ -395,6 +395,12 @@ def execute(engine, statement: str):
 
     statement = statement.strip().rstrip(";").strip()
     shadow = _shadow(statement)
+    if _H2_DIALECT_RE.search(shadow):
+        # H2-only SELECT grammar (SELECT TOP n, CASEWHEN) — rewrite
+        # to ANSI before any dispatch so it works in subqueries and
+        # DML sources too (see rewrite_h2_dialect)
+        statement = rewrite_h2_dialect(statement)
+        shadow = _shadow(statement)
     if _QUANT_RE.search(shadow):
         # H2-grammar quantified comparisons (x > ALL (subq)) — Spark
         # can't parse them; rewrite into ANSI-equivalent constructs
@@ -844,6 +850,67 @@ def rewrite_quantified(sql: str) -> str:
             raise ValueError(f"quantified comparison: {op} {quant}")
         sql = sql[:lhs_start] + repl + sql[close_p + 1 :]
     raise ValueError("quantified comparison: rewrite did not converge")
+
+
+# --- H2-dialect statement grammar Spark cannot parse -----------------------
+
+#: Cheap pre-filter run on the shadow so the common (ANSI) path pays
+#: one regex scan, like _QUANT_RE.
+_H2_DIALECT_RE = re.compile(
+    r"\bSELECT\s+TOP\s+\d|\bCASEWHEN\s*\(", re.I
+)
+
+
+def rewrite_h2_dialect(sql: str) -> str:
+    """Rewrite H2-1.4.200-only SELECT grammar an H2 client may emit
+    through the reference's PG/TCP socket (H2Server.scala:60-84) into
+    ANSI Spark parses, scanned on the shadow so quoted identifiers
+    and string literals are never touched:
+
+    * ``SELECT TOP n ...`` (H2 grammar: TOP before DISTINCT) becomes
+      ``SELECT ... LIMIT n`` at that SELECT's scope end (end of
+      statement or the parenthesis enclosing the subquery) — H2's
+      TOP is its LIMIT applied after ORDER BY, which is exactly
+      where the appended LIMIT lands. Nested TOPs rewrite leftmost-
+      first; each pass removes one, so the loop terminates.
+    * ``CASEWHEN(cond, a, b)`` becomes ``IF(cond, a, b)`` — an exact
+      alias (both return the else-branch for a NULL condition).
+
+    H2's other conveniences need no rewrite and are pinned by tests
+    instead: IFNULL/NVL/NVL2 are native Spark, and Spark's
+    ``decode(expr, search, result, ...)`` already carries the
+    H2/Oracle semantics including NULL-matches-NULL."""
+    # CASEWHEN -> IF (word-boundary match, only when called)
+    while True:
+        shadow = _shadow(sql)
+        m = re.search(r"\bCASEWHEN\b(?=\s*\()", shadow, re.I)
+        if not m:
+            break
+        sql = sql[: m.start()] + "IF" + sql[m.end() :]
+    # SELECT TOP n -> LIMIT n at scope end
+    while True:
+        shadow = _shadow(sql)
+        m = re.search(r"\bSELECT\s+TOP\s+(\d+)\b", shadow, re.I)
+        if not m:
+            break
+        end, depth = len(sql), 0
+        for i in range(m.end(), len(shadow)):
+            c = shadow[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+        sql = (
+            sql[: m.start()]
+            + "SELECT"
+            + sql[m.end() : end]
+            + f" LIMIT {m.group(1)}"
+            + sql[end:]
+        )
+    return sql
 
 
 # --- ANSI MERGE ... USING (H2 1.4.x grammars it alongside legacy) ----------

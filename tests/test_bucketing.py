@@ -114,3 +114,42 @@ def test_semantic_dedup_bucketed_by_centroid_no_shuffle(engine, spark):
         .count()
     )
     assert n_pairs == want
+
+
+def test_bucketed_cross_corpus_reference_side(engine, spark):
+    """The cross-corpus dedup's documented nightly path: reference
+    postings materialized bucketed BY the shingle hash. The bucketed
+    plan must (a) return exactly the inline-postings pairs and (b)
+    carry strictly fewer hash-partitioning exchanges — the
+    reference-side valve groupBy and join read co-located buckets."""
+    from quasar_destination_h2_spark.operators import dedup
+
+    docs = load_table(spark, SF_DIR, "documents")
+    new_docs = docs.where("source = 'src0'")
+    ref_docs = docs.where("source <> 'src0'")
+    engine.materialize_bucketed(
+        "cc_ref_postings", dedup.cross_corpus_postings(ref_docs), ["s"], 8
+    )
+    bucketed = engine.table("cc_ref_postings")
+    with no_auto_broadcast(spark):
+        inline = dedup.cross_corpus_pairs(new_docs, ref_docs)
+        buck = dedup.cross_corpus_pairs(new_docs, ref_postings=bucketed)
+        px = inline._jdf.queryExecution().executedPlan().toString().count(
+            "Exchange hashpartitioning"
+        )
+        bx = buck._jdf.queryExecution().executedPlan().toString().count(
+            "Exchange hashpartitioning"
+        )
+        got_inline = sorted(map(tuple, inline.collect()))
+        got_bucket = sorted(map(tuple, buck.collect()))
+    assert got_bucket == got_inline
+    assert bx < px, (bx, px)
+
+
+def test_cross_corpus_requires_exactly_one_reference_form():
+    from quasar_destination_h2_spark.operators import dedup
+
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup.cross_corpus_pairs(None)
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup.cross_corpus_pairs(None, ref_docs="x", ref_postings="y")

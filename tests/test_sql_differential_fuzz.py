@@ -833,3 +833,125 @@ def _named_window_queries() -> st.SearchStrategy[str]:
 
 def test_random_named_window_queries_agree(engines):
     _run_cases(engines, _named_window_queries(), 40)
+
+
+# --- round-9 grammar branch: H2-dialect SELECT TOP / CASEWHEN / DECODE -----
+
+
+def _h2_dialect_pairs() -> st.SearchStrategy[tuple[str, str]]:
+    """(h2_form, ansi_form) pairs: Spark receives the H2 text through
+    rewrite_h2_dialect (the rewrite under test); DuckDB — which has
+    neither TOP, CASEWHEN, nor Oracle DECODE — receives the
+    hand-built ANSI equivalent. Every shape carries a total ORDER BY
+    (group key or DISTINCT single column) so the LIMIT cut is
+    deterministic on both engines."""
+
+    def top_agg(k, direction):
+        body = (
+            "l_returnflag, CAST(COUNT(*) AS BIGINT) AS n FROM lineitem "
+            f"GROUP BY l_returnflag ORDER BY l_returnflag {direction}"
+        )
+        return (f"SELECT TOP {k} {body}", f"SELECT {body} LIMIT {k}")
+
+    def top_distinct(k, direction):
+        body = f"DISTINCT l_suppkey FROM lineitem ORDER BY l_suppkey {direction}"
+        return (f"SELECT TOP {k} {body}", f"SELECT {body} LIMIT {k}")
+
+    def top_nested(k, k2, direction):
+        inner_h2 = (
+            f"SELECT TOP {k2} DISTINCT l_orderkey FROM lineitem "
+            f"ORDER BY l_orderkey {direction}"
+        )
+        inner_ansi = (
+            f"SELECT DISTINCT l_orderkey FROM lineitem "
+            f"ORDER BY l_orderkey {direction} LIMIT {k2}"
+        )
+        return (
+            f"SELECT TOP {k} l_orderkey FROM ({inner_h2}) t ORDER BY l_orderkey",
+            f"SELECT l_orderkey FROM ({inner_ansi}) t ORDER BY l_orderkey LIMIT {k}",
+        )
+
+    def casewhen(m, a, b):
+        h2 = (
+            f"SELECT l_returnflag, CAST(SUM(CASEWHEN(l_linenumber % {m} = 0, "
+            f"CASEWHEN(l_suppkey % 2 = 0, {a}, {b}), 0)) AS BIGINT) AS s "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        )
+        ansi = (
+            f"SELECT l_returnflag, CAST(SUM(CASE WHEN l_linenumber % {m} = 0 "
+            f"THEN (CASE WHEN l_suppkey % 2 = 0 THEN {a} ELSE {b} END) "
+            "ELSE 0 END) AS BIGINT) AS s "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        )
+        return (h2, ansi)
+
+    def decode(m, r0, r1, with_default):
+        # Spark's decode() natively carries the H2/Oracle semantics
+        # (incl. NULL-matches-NULL); DuckDB gets null-safe CASE
+        default_h2 = f", '{r1}d'" if with_default else ""
+        default_ansi = f" ELSE '{r1}d'" if with_default else ""
+        h2 = (
+            f"SELECT l_returnflag, CAST(SUM(CASE WHEN DECODE(l_linenumber % {m}, "
+            f"0, '{r0}', 1, '{r1}'{default_h2}) = '{r0}' THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS s "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        )
+        ansi = (
+            f"SELECT l_returnflag, CAST(SUM(CASE WHEN (CASE "
+            f"WHEN (l_linenumber % {m}) IS NOT DISTINCT FROM 0 THEN '{r0}' "
+            f"WHEN (l_linenumber % {m}) IS NOT DISTINCT FROM 1 THEN '{r1}'"
+            f"{default_ansi} END) = '{r0}' THEN 1 ELSE 0 END) AS BIGINT) AS s "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        )
+        return (h2, ansi)
+
+    ks = st.integers(min_value=1, max_value=6)
+    dirs = st.sampled_from(("ASC", "DESC"))
+    return st.one_of(
+        st.builds(top_agg, ks, dirs),
+        st.builds(top_distinct, ks, dirs),
+        st.builds(top_nested, ks, ks, dirs),
+        st.builds(
+            casewhen,
+            st.integers(min_value=2, max_value=5),
+            st.integers(min_value=1, max_value=9),
+            st.integers(min_value=10, max_value=19),
+        ),
+        st.builds(
+            decode,
+            st.integers(min_value=2, max_value=4),
+            st.sampled_from(("x", "y")),
+            st.sampled_from(("p", "q")),
+            st.booleans(),
+        ),
+    )
+
+
+def test_random_h2_dialect_queries_agree(engines):
+    from quasar_destination_h2_spark.sql_dml import rewrite_h2_dialect
+
+    spark, con = engines
+    pairs: list[tuple[str, str]] = []
+
+    @given(_h2_dialect_pairs())
+    @settings(
+        max_examples=40, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    def collect(p):
+        pairs.append(p)
+
+    collect()
+    # literal/quoted text must survive the rewrite verbatim
+    pairs.append((
+        "SELECT 'SELECT TOP 3 CASEWHEN(' AS s, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM lineitem",
+        "SELECT 'SELECT TOP 3 CASEWHEN(' AS s, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM lineitem",
+    ))
+    mismatches = []
+    for h2_sql, ansi_sql in pairs:
+        got = _norm([tuple(r) for r in spark.sql(rewrite_h2_dialect(h2_sql)).collect()])
+        want = _norm(con.execute(ansi_sql).fetchall())
+        if got != want:
+            mismatches.append((h2_sql, got[:3], want[:3]))
+    assert not mismatches, mismatches[:3]

@@ -724,3 +724,72 @@ def test_quantified_table_form_rewrites(spark):
     assert spark.sql(out).collect()[0].ok is True
     out2 = rewrite_quantified("SELECT 0 > ANY (TABLE qtf) AS ok")
     assert spark.sql(out2).collect()[0].ok is False
+
+
+# --- r9: H2-dialect SELECT grammar (SELECT TOP n, CASEWHEN, DECODE) --------
+
+
+def test_rewrite_h2_dialect_top():
+    """SELECT TOP n lands as LIMIT n at that SELECT's scope end —
+    outer statement, subquery, and TOP-before-DISTINCT (the H2
+    1.4.200 grammar order); quoted/literal text is never touched."""
+    from quasar_destination_h2_spark.sql_dml import rewrite_h2_dialect as rw
+
+    assert rw("SELECT TOP 3 k FROM t ORDER BY k") == (
+        "SELECT k FROM t ORDER BY k LIMIT 3"
+    )
+    assert rw("SELECT TOP 5 DISTINCT k FROM t") == (
+        "SELECT DISTINCT k FROM t LIMIT 5"
+    )
+    assert rw("SELECT n FROM (SELECT TOP 2 k FROM t ORDER BY k) s") == (
+        "SELECT n FROM (SELECT k FROM t ORDER BY k LIMIT 2) s"
+    )
+    # nested: both rewritten, each at its own scope
+    assert rw(
+        "SELECT TOP 1 * FROM (SELECT TOP 2 k FROM t ORDER BY k) s"
+    ) == "SELECT * FROM (SELECT k FROM t ORDER BY k LIMIT 2) s LIMIT 1"
+    # literal and quoted-identifier text survives verbatim
+    assert rw("SELECT 'SELECT TOP 3' AS s FROM t") == (
+        "SELECT 'SELECT TOP 3' AS s FROM t"
+    )
+    assert rw('SELECT "SELECT TOP 3" FROM t') == 'SELECT "SELECT TOP 3" FROM t'
+
+
+def test_rewrite_h2_dialect_casewhen():
+    """CASEWHEN(c, a, b) -> IF(c, a, b), nested forms included;
+    a bare identifier named casewhen (no call parens) survives."""
+    from quasar_destination_h2_spark.sql_dml import rewrite_h2_dialect as rw
+
+    assert rw("SELECT CASEWHEN(k > 1, 'a', 'b') FROM t") == (
+        "SELECT IF(k > 1, 'a', 'b') FROM t"
+    )
+    assert rw("SELECT CASEWHEN(k > 1, CASEWHEN(k > 2, 1, 2), 3) FROM t") == (
+        "SELECT IF(k > 1, IF(k > 2, 1, 2), 3) FROM t"
+    )
+    assert rw("SELECT casewhen FROM t") == "SELECT casewhen FROM t"
+
+
+def test_h2_dialect_statements_execute(engine):
+    """The H2-only grammar works end-to-end at the execute_sql
+    surface: SELECT TOP, CASEWHEN, and native decode with H2's
+    NULL-matches-NULL semantics (no rewrite needed — pinned here so
+    a Spark behavior change would surface)."""
+    t = _load(engine)
+    physical = engine.sink.catalog[t]
+    rows = engine.execute_sql(
+        f"SELECT TOP 2 k FROM {physical} ORDER BY k DESC"
+    ).collect()
+    assert [float(r.k) for r in rows] == [3.0, 2.0]
+    rows = engine.execute_sql(
+        f"SELECT k, CASEWHEN(k > 1, 'big', 'small') AS sz FROM {physical} "
+        "ORDER BY k"
+    ).collect()
+    assert [(float(r.k), r.sz) for r in rows] == [
+        (1.0, "small"), (2.0, "big"), (3.0, "big"),
+    ]
+    r = engine.execute_sql(
+        "SELECT DECODE(NULL, NULL, 'matched', 'default') AS r"
+    ).collect()
+    assert r[0].r == "matched"
+    r = engine.execute_sql("SELECT DECODE(2, 1, 'a', 2, 'b', 'c') AS r").collect()
+    assert r[0].r == "b"

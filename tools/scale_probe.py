@@ -187,11 +187,141 @@ def text_probe(spark, sf_dir: str) -> dict:
     return out
 
 
+def _replicate_docs(spark, base, k: int):
+    """k retagged replicas of the documents corpus, staged as parquet
+    (the default dedup-mode replicate, factored for reuse): ~30% of
+    tokens per replica get a replica tag, so within-replica near-dup
+    structure is preserved exactly while cross-replica Jaccard drops
+    far below threshold and no high-df shingles are introduced."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    parts = []
+    for r in range(k):
+        tag = f"r{r}x"
+        retagged = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda t: F.when(
+                    F.pmod(F.xxhash64(t), F.lit(10)) < 3,
+                    F.concat(F.lit(tag), t),
+                ).otherwise(t),
+            ),
+            " ",
+        )
+        parts.append(
+            base.select(
+                (F.col("doc_id") + r * 10_000_000).alias("doc_id"),
+                retagged.alias("text"),
+                "lang",
+                "source",
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    path = tempfile.mkdtemp(prefix=f"scale-probe-{k}x-")
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def r9_probe(spark, sf_dir: str) -> dict:
+    """1x/3x/10x wall-time probes for the operators round 8 shipped
+    unprobed (r8 VERDICT item 5): dedup_cross_corpus, bm25_search
+    (plus the r9 batch form bm25_search_many), events_anomaly_zscore
+    — each run through its REGISTERED query over a staged sf-dir so
+    the probed plan is exactly the production plan. Documents
+    replicate with the retag transform (preserves per-replica
+    near-dup structure); events replicate with a +30d-per-replica
+    timestamp shift, so the hourly aggregate grows in BUCKETS and
+    the z-score window frame count scales with data, not just rows
+    per bucket.
+
+    The k=10 point also demonstrates the cross-corpus operator's
+    documented 100 TB path: reference postings materialized BUCKETED
+    by the shingle hash (engine.materialize_bucketed) — same pair
+    rows, strictly fewer exchanges than the inline-postings plan
+    (the reference-side valve groupBy and join read co-located
+    buckets with no shuffle)."""
+    import json as _json
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from quasar_destination_h2_spark import cache, plans
+    from quasar_destination_h2_spark.operators import dedup
+    from quasar_destination_h2_spark.sources.tables import TableSet
+
+    qs = plans.all_queries()
+    t = TableSet(spark, sf_dir)
+    base_docs = t.documents.select("doc_id", "text", "lang", "source")
+    base_events = t.events
+    out = {"sf_dir": sf_dir, "n_base_docs": base_docs.count(), "points": []}
+    for k in (1, 3, 10):
+        stage = tempfile.mkdtemp(prefix=f"r9-probe-{k}x-")
+        docs = _replicate_docs(spark, base_docs, k)
+        docs.write.mode("overwrite").parquet(f"{stage}/documents.parquet")
+        ev = base_events
+        for r in range(1, k):
+            ev = ev.unionByName(
+                base_events.withColumn(
+                    "ts", F.col("ts") + F.expr(f"INTERVAL {30 * r} DAYS")
+                )
+            )
+        ev.write.mode("overwrite").parquet(f"{stage}/events.parquet")
+        point = {"replicas": k}
+        for label, qname in (
+            ("cross", "dedup_cross_corpus"),
+            ("bm25", "bm25_search"),
+            ("bm25_many", "bm25_search_many"),
+            ("anomaly", "events_anomaly_zscore"),
+        ):
+            t0 = time.perf_counter()
+            point[f"{label}_rows"] = qs[qname](spark, stage).count()
+            point[f"{label}_sec"] = round(time.perf_counter() - t0, 2)
+            cache.release()
+        if k == 10:
+            # bucketed-reference demonstration on the largest point
+            sdocs = spark.read.parquet(f"{stage}/documents.parquet")
+            new_docs = sdocs.where("source = 'src0'")
+            ref_docs = sdocs.where("source <> 'src0'")
+            from quasar_destination_h2_spark.engine import Engine
+
+            engine = Engine.from_config(
+                _json.dumps({"connectionUri": f"{stage}/wh"}), spark=spark
+            )
+            posts = dedup.cross_corpus_postings(ref_docs)
+            engine.materialize_bucketed("ref_postings", posts, ["s"], 32)
+            bucketed = engine.table("ref_postings")
+            inline = dedup.cross_corpus_pairs(new_docs, ref_docs)
+            buck = dedup.cross_corpus_pairs(new_docs, ref_postings=bucketed)
+            px = (
+                inline._jdf.queryExecution().executedPlan().toString()
+            ).count("Exchange hashpartitioning")
+            bx = (
+                buck._jdf.queryExecution().executedPlan().toString()
+            ).count("Exchange hashpartitioning")
+            t0 = time.perf_counter()
+            n_b = buck.count()
+            b_sec = round(time.perf_counter() - t0, 2)
+            assert n_b == point["cross_rows"], (n_b, point["cross_rows"])
+            assert bx < px, (bx, px)
+            point["bucketed_rows"] = n_b
+            point["bucketed_sec"] = b_sec
+            point["exchanges_inline"] = px
+            point["exchanges_bucketed"] = bx
+        out["points"].append(point)
+    return out
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     ivf_mode = "--ivf" in sys.argv[1:]
     profile_mode = "--profile" in sys.argv[1:]
     text_mode = "--text" in sys.argv[1:]
+    r9_mode = "--r9" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     from pyspark.sql import SparkSession, functions as F
@@ -221,6 +351,10 @@ def main() -> int:
         print(json.dumps(text_probe(spark, sf_dir)))
         spark.stop()
         return 0
+    if r9_mode:
+        print(json.dumps(r9_probe(spark, sf_dir)))
+        spark.stop()
+        return 0
 
     from quasar_destination_h2_spark.operators import dedup
     from quasar_destination_h2_spark.sources.tables import TableSet
@@ -230,39 +364,11 @@ def main() -> int:
     )
     n_base = base.count()
 
+    # stage the input as parquet so the timed region is the operator
+    # over a realistic splittable scan, not the union construction
+    # (and nothing large pins executor memory)
     def replicate(k: int):
-        parts = []
-        for r in range(k):
-            tag = f"r{r}x"
-            retagged = F.array_join(
-                F.transform(
-                    F.split(F.col("text"), " "),
-                    lambda t: F.when(
-                        F.pmod(F.xxhash64(t), F.lit(10)) < 3,
-                        F.concat(F.lit(tag), t),
-                    ).otherwise(t),
-                ),
-                " ",
-            )
-            parts.append(
-                base.select(
-                    (F.col("doc_id") + r * 10_000_000).alias("doc_id"),
-                    retagged.alias("text"),
-                    "lang",
-                    "source",
-                )
-            )
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        # stage the input as parquet so the timed region is the
-        # operator over a realistic splittable scan, not the union
-        # construction (and nothing large pins executor memory)
-        import tempfile
-
-        path = tempfile.mkdtemp(prefix=f"scale-probe-{k}x-")
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
+        return _replicate_docs(spark, base, k)
 
     out = {"sf_dir": sf_dir, "n_base_docs": n_base, "points": []}
     for k in (1, 3, 10):
