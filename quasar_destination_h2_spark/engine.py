@@ -71,6 +71,11 @@ class Engine:
         self.spark = spark
         self.config = config
         self.tag = random_alphanum()
+        # H2-compat function aliases (BITAND, ISO_WEEK, TRUNCATE, ...)
+        # — session-scoped SQL-defined functions, idempotent
+        from .h2_functions import register_h2_functions
+
+        register_h2_functions(spark)
         self.sink = CsvCreateSink(spark, type_options)
         self._servers: list[Any] = []
         #: True iff an external SQL endpoint is actually serving. The

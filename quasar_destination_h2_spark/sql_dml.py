@@ -857,8 +857,51 @@ def rewrite_quantified(sql: str) -> str:
 #: Cheap pre-filter run on the shadow so the common (ANSI) path pays
 #: one regex scan, like _QUANT_RE.
 _H2_DIALECT_RE = re.compile(
-    r"\bSELECT\s+TOP\s+\d|\bCASEWHEN\s*\(", re.I
+    r"\bSELECT\s+TOP\s+\d|\bCASEWHEN\s*\("
+    r"|\b(?:DATEADD|TIMESTAMPADD|DATEDIFF|TIMESTAMPDIFF)\s*\(",
+    re.I,
 )
+
+#: H2 datetime-unit spellings → Spark unit keywords. H2 1.4.200
+#: accepts both long names and short forms (grammar `datetimeField`);
+#: DAYOFYEAR-family units normalize to DAY (adding N day-of-years IS
+#: adding N days, and a day-of-year boundary IS a day boundary).
+_H2_UNIT_MAP = {
+    "YEAR": "YEAR", "YYYY": "YEAR", "YY": "YEAR",
+    "QUARTER": "QUARTER", "Q": "QUARTER",
+    "MONTH": "MONTH", "MM": "MONTH", "M": "MONTH",
+    "WEEK": "WEEK", "WW": "WEEK", "WK": "WEEK",
+    "DAY": "DAY", "DD": "DAY", "D": "DAY",
+    "DAYOFYEAR": "DAY", "DOY": "DAY", "DY": "DAY",
+    "HOUR": "HOUR", "HH": "HOUR",
+    "MINUTE": "MINUTE", "MI": "MINUTE", "N": "MINUTE",
+    "SECOND": "SECOND", "SS": "SECOND", "S": "SECOND",
+    "MILLISECOND": "MILLISECOND", "MS": "MILLISECOND",
+    "MICROSECOND": "MICROSECOND", "MCS": "MICROSECOND",
+}
+
+
+def _h2_unit(arg: str):
+    """Canonical Spark unit for an H2 datetime-unit argument (quoted
+    or bare), or None if the argument is not a recognized unit."""
+    a = arg.strip()
+    if len(a) >= 2 and a[0] == "'" and a[-1] == "'":
+        a = a[1:-1]
+    return _H2_UNIT_MAP.get(a.strip().upper())
+
+
+def _match_close(shadow: str, open_pos: int) -> int:
+    """Index of the ')' matching the '(' at ``open_pos`` (shadow
+    scan, so parens in literals never miscount)."""
+    depth = 0
+    for i in range(open_pos, len(shadow)):
+        if shadow[i] == "(":
+            depth += 1
+        elif shadow[i] == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError("unbalanced parentheses")
 
 
 def rewrite_h2_dialect(sql: str) -> str:
@@ -876,10 +919,25 @@ def rewrite_h2_dialect(sql: str) -> str:
     * ``CASEWHEN(cond, a, b)`` becomes ``IF(cond, a, b)`` — an exact
       alias (both return the else-branch for a NULL condition).
 
+    * ``DATEADD('DAY', n, ts)`` / short units (``DD``): the quoted-
+      string unit is H2-only grammar; rewritten to
+      ``TIMESTAMPADD(DAY, n, ts)`` (identical add-N-units semantics).
+    * ``DATEDIFF(unit, a, b)`` (3-arg, quoted OR bare unit): H2
+      counts crossed unit BOUNDARIES (SQL-Server style) while
+      Spark's ``timestampdiff`` counts complete elapsed units —
+      rewritten to ``TIMESTAMPDIFF(unit, DATE_TRUNC(unit, a),
+      DATE_TRUNC(unit, b))``, where complete-units-between-
+      boundaries equals boundary crossings. Spark's own 2-arg
+      ``datediff(end, start)`` is untouched; ``TIMESTAMPDIFF`` is
+      rewritten only in its H2-only QUOTED-unit form so bare
+      Spark-native text keeps Spark semantics.
+
     H2's other conveniences need no rewrite and are pinned by tests
-    instead: IFNULL/NVL/NVL2 are native Spark, and Spark's
+    instead: IFNULL/NVL/NVL2 are native Spark, Spark's
     ``decode(expr, search, result, ...)`` already carries the
-    H2/Oracle semantics including NULL-matches-NULL."""
+    H2/Oracle semantics including NULL-matches-NULL, and the spelled
+    function aliases (BITAND, ISO_WEEK, TRUNCATE, ...) are
+    session-registered SQL-defined functions (``h2_functions.py``)."""
     # CASEWHEN -> IF (word-boundary match, only when called)
     while True:
         shadow = _shadow(sql)
@@ -887,6 +945,54 @@ def rewrite_h2_dialect(sql: str) -> str:
         if not m:
             break
         sql = sql[: m.start()] + "IF" + sql[m.end() :]
+    # DATEADD / TIMESTAMPADD: quoted or short-form units -> bare
+    # canonical (same semantics both engines)
+    pos = 0
+    while True:
+        shadow = _shadow(sql)
+        m = re.compile(r"\b(DATEADD|TIMESTAMPADD)\b(?=\s*\()", re.I).search(
+            shadow, pos
+        )
+        if not m:
+            break
+        open_p = shadow.index("(", m.end())
+        close = _match_close(shadow, open_p)
+        args = _split_top_level(sql, shadow, open_p + 1, close)
+        unit = _h2_unit(args[0]) if len(args) == 3 else None
+        if unit is None or args[0].strip().upper() == unit:
+            pos = m.end()  # not ours / already canonical bare
+            continue
+        sql = (
+            sql[: m.start()]
+            + f"TIMESTAMPADD({unit}, {args[1].strip()}, {args[2].strip()})"
+            + sql[close + 1 :]
+        )
+    # DATEDIFF (3-arg) / quoted-unit TIMESTAMPDIFF: H2 boundary
+    # semantics via DATE_TRUNC on both operands
+    pos = 0
+    while True:
+        shadow = _shadow(sql)
+        m = re.compile(r"\b(DATEDIFF|TIMESTAMPDIFF)\b(?=\s*\()", re.I).search(
+            shadow, pos
+        )
+        if not m:
+            break
+        fn = m.group(1).upper()
+        open_p = shadow.index("(", m.end())
+        close = _match_close(shadow, open_p)
+        args = _split_top_level(sql, shadow, open_p + 1, close)
+        unit = _h2_unit(args[0]) if len(args) == 3 else None
+        quoted = len(args) == 3 and args[0].strip().startswith("'")
+        if unit is None or (fn == "TIMESTAMPDIFF" and not quoted):
+            pos = m.end()
+            continue
+        a, b = args[1].strip(), args[2].strip()
+        sql = (
+            sql[: m.start()]
+            + f"TIMESTAMPDIFF({unit}, DATE_TRUNC('{unit}', {a}),"
+            f" DATE_TRUNC('{unit}', {b}))"
+            + sql[close + 1 :]
+        )
     # SELECT TOP n -> LIMIT n at scope end
     while True:
         shadow = _shadow(sql)

@@ -905,6 +905,65 @@ def _h2_dialect_pairs() -> st.SearchStrategy[tuple[str, str]]:
         )
         return (h2, ansi)
 
+    def datediff_boundary(unit, quoted):
+        # o_orderdate is a DATE; H2 DATEDIFF counts boundary
+        # crossings, exactly DuckDB's date_diff semantics
+        u = f"'{unit}'" if quoted else unit
+        h2 = (
+            f"SELECT CAST(SUM(DATEDIFF({u}, DATE '1995-01-01', o_orderdate))"
+            " AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM orders WHERE o_orderkey < 500"
+        )
+        ansi = (
+            f"SELECT CAST(SUM(date_diff('{unit.lower()}', DATE '1995-01-01',"
+            " o_orderdate)) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM orders WHERE o_orderkey < 500"
+        )
+        return (h2, ansi)
+
+    def dateadd_quoted(unit, n):
+        h2 = (
+            f"SELECT CAST(DATEADD('{unit}', {n}, DATE '2020-01-15') AS DATE)"
+            " AS d, CAST(COUNT(*) AS BIGINT) AS c FROM orders"
+        )
+        ansi = (
+            f"SELECT CAST(DATE '2020-01-15' + INTERVAL ({n}) {unit} AS DATE)"
+            " AS d, CAST(COUNT(*) AS BIGINT) AS c FROM orders"
+        )
+        return (h2, ansi)
+
+    def bitwise(fn, m):
+        # DuckDB: & and | are bitwise, but ^ is EXPONENT — XOR is
+        # the xor() function
+        duck = {
+            "BITAND": f"l_suppkey & {m}",
+            "BITOR": f"l_suppkey | {m}",
+            "BITXOR": f"xor(l_suppkey, {m})",
+        }[fn]
+        h2 = (
+            f"SELECT CAST(SUM({fn}(l_suppkey, {m})) AS BIGINT) AS s "
+            "FROM lineitem"
+        )
+        ansi = f"SELECT CAST(SUM({duck}) AS BIGINT) AS s FROM lineitem"
+        return (h2, ansi)
+
+    def week_dow():
+        # ISO week + both day-of-week conventions vs DuckDB's
+        # week()/dayofweek()/isodow() over a date column
+        h2 = (
+            "SELECT CAST(SUM(ISO_WEEK(o_orderdate)) AS BIGINT) AS w,"
+            " CAST(SUM(DAY_OF_WEEK(o_orderdate)) AS BIGINT) AS dw,"
+            " CAST(SUM(ISO_DAY_OF_WEEK(o_orderdate)) AS BIGINT) AS idw "
+            "FROM orders WHERE o_orderkey < 500"
+        )
+        ansi = (
+            "SELECT CAST(SUM(week(o_orderdate)) AS BIGINT) AS w,"
+            " CAST(SUM(dayofweek(o_orderdate) + 1) AS BIGINT) AS dw,"
+            " CAST(SUM(isodow(o_orderdate)) AS BIGINT) AS idw "
+            "FROM orders WHERE o_orderkey < 500"
+        )
+        return (h2, ansi)
+
     ks = st.integers(min_value=1, max_value=6)
     dirs = st.sampled_from(("ASC", "DESC"))
     return st.one_of(
@@ -924,18 +983,36 @@ def _h2_dialect_pairs() -> st.SearchStrategy[tuple[str, str]]:
             st.sampled_from(("p", "q")),
             st.booleans(),
         ),
+        st.builds(
+            datediff_boundary,
+            st.sampled_from(("DAY", "WEEK", "MONTH", "QUARTER", "YEAR")),
+            st.booleans(),
+        ),
+        st.builds(
+            dateadd_quoted,
+            st.sampled_from(("DAY", "MONTH", "YEAR")),
+            st.integers(min_value=-40, max_value=40),
+        ),
+        st.builds(
+            bitwise,
+            st.sampled_from(("BITAND", "BITOR", "BITXOR")),
+            st.integers(min_value=0, max_value=255),
+        ),
+        st.just(week_dow()),
     )
 
 
 def test_random_h2_dialect_queries_agree(engines):
+    from quasar_destination_h2_spark.h2_functions import register_h2_functions
     from quasar_destination_h2_spark.sql_dml import rewrite_h2_dialect
 
     spark, con = engines
+    register_h2_functions(spark)
     pairs: list[tuple[str, str]] = []
 
     @given(_h2_dialect_pairs())
     @settings(
-        max_examples=40, deadline=None, suppress_health_check=list(HealthCheck)
+        max_examples=60, deadline=None, suppress_health_check=list(HealthCheck)
     )
     def collect(p):
         pairs.append(p)
