@@ -55,12 +55,21 @@ _H2_FUNCTION_DEFS: tuple[str, ...] = (
     "RETURNS INT RETURN dayofmonth(d)",
     "CREATE OR REPLACE TEMPORARY FUNCTION DAY_OF_YEAR(d TIMESTAMP) "
     "RETURNS INT RETURN dayofyear(d)",
-    # truncation toward zero: floor the magnitude, restore the sign —
-    # floor(x*s)/s alone truncates toward -inf for negatives
+    # truncation toward zero: floor the magnitude, restore the sign
+    # (floor(x*s)/s alone truncates toward -inf for negatives). The
+    # scale-up runs in DECIMAL, not double: double x*10^d re-rounds,
+    # and e.g. 1.2 * 10 = 11.999999999999998 would truncate to 1.1.
+    # Spark's double->decimal cast goes through the double's SHORTEST
+    # decimal rendering (BigDecimal.valueOf), so DECIMAL(28,10)
+    # carries exactly the value the user sees.
     "CREATE OR REPLACE TEMPORARY FUNCTION TRUNCATE(x DOUBLE, d INT) "
     "RETURNS DOUBLE RETURN CASE WHEN x >= 0 "
-    "THEN floor(x * power(10, d)) / power(10, d) "
-    "ELSE -floor(-x * power(10, d)) / power(10, d) END",
+    "THEN CAST(floor(CAST(x AS DECIMAL(28,10)) "
+    "* CAST(power(10, d) AS DECIMAL(10,0))) "
+    "/ CAST(power(10, d) AS DECIMAL(10,0)) AS DOUBLE) "
+    "ELSE -CAST(floor(CAST(-x AS DECIMAL(28,10)) "
+    "* CAST(power(10, d) AS DECIMAL(10,0))) "
+    "/ CAST(power(10, d) AS DECIMAL(10,0)) AS DOUBLE) END",
 )
 
 

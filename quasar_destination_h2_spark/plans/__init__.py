@@ -28,6 +28,7 @@ _R9_NEW = [
     "ann_ivf_recall_kmeans",
     "ivf_kmeans_profile",
     "bm25_search_many",
+    "h2_dialect_battery",
 ]
 
 _DRIVER_WINDOW = [

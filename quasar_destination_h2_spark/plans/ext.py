@@ -3581,3 +3581,61 @@ def q_bm25_search_many(t: TableSet) -> DataFrame:
         list(_BM25_QUERY_ROWS), "query_id bigint, term string"
     )
     return text.bm25_search_many(t.documents, qdf)
+
+
+_H2_BATTERY_SQL = """
+SELECT TOP 250
+       CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(DATEDIFF('DAY', TIMESTAMP '1995-01-01 00:00:00', o_orderdate)
+            AS BIGINT) AS days_since,
+       CAST(CAST(DATEADD('MONTH', 2, o_orderdate) AS DATE) AS STRING)
+         AS plus2m,
+       CAST(BITAND(o_orderkey, 255) AS BIGINT) AS key_low,
+       CAST(ISO_WEEK(o_orderdate) AS INT) AS iso_wk,
+       CAST(DAY_OF_WEEK(o_orderdate) AS INT) AS dow,
+       CAST(ISO_DAY_OF_WEEK(o_orderdate) AS INT) AS idow,
+       CASEWHEN(BITAND(o_orderkey, 1) = 0, 'even', 'odd') AS parity
+FROM h2b_orders
+WHERE o_orderkey < 400
+ORDER BY o_orderkey
+"""
+
+
+@query(
+    "h2_dialect_battery",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+                          o_orderdate) AS BIGINT) AS days_since,
+           CAST(CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS VARCHAR)
+             AS plus2m,
+           CAST(o_orderkey & 255 AS BIGINT) AS key_low,
+           CAST(week(o_orderdate) AS INT) AS iso_wk,
+           CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+           CAST(isodow(o_orderdate) AS INT) AS idow,
+           CASE WHEN (o_orderkey & 1) = 0 THEN 'even' ELSE 'odd' END
+             AS parity
+    FROM orders
+    WHERE o_orderkey < 400
+    ORDER BY o_orderkey
+    LIMIT 250
+    """,
+)
+def q_h2_dialect_battery(t: TableSet) -> DataFrame:
+    """The H2-dialect statement surface as ONE driver-witnessed
+    query: SELECT TOP, quoted-unit boundary DATEDIFF, quoted-unit
+    DATEADD, CASEWHEN, and the spelled function aliases (BITAND,
+    ISO_WEEK, DAY_OF_WEEK, ISO_DAY_OF_WEEK) — the statement text is
+    H2 1.4.200 grammar run through rewrite_h2_dialect + the
+    session-registered SQL-defined functions, exactly the
+    execute_sql path an H2 wire client exercises
+    (/root/reference/.../server/H2Server.scala:60-84); the oracle is
+    the hand-built ANSI/DuckDB equivalent (date_diff IS
+    boundary-based, ^ is exponent so & masks parity)."""
+    from ..h2_functions import register_h2_functions
+    from ..sql_dml import rewrite_h2_dialect
+
+    spark = t.orders.sparkSession
+    register_h2_functions(spark)
+    t.orders.createOrReplaceTempView("h2b_orders")
+    return spark.sql(rewrite_h2_dialect(_H2_BATTERY_SQL))

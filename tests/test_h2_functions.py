@@ -47,6 +47,13 @@ def test_truncate_toward_zero(engine):
     assert _one(engine, "TRUNCATE(-1.567, 1)") == -1.5  # toward zero
     assert _one(engine, "TRUNCATE(-1.999, 2)") == -1.99
     assert _one(engine, "TRUNCATE(1.999, 0)") == 1.0
+    # the double-arithmetic trap: 1.2 * 10 = 11.999999999999998 in
+    # binary — a naive floor(x*10)/10 yields 1.1; H2 returns 1.2.
+    # The decimal-based scale-up must hold the user-visible value.
+    assert _one(engine, "TRUNCATE(1.2, 1)") == 1.2
+    assert _one(engine, "TRUNCATE(-1.2, 1)") == -1.2
+    assert _one(engine, "TRUNCATE(1.2345, 3)") == 1.234
+    assert _one(engine, "TRUNCATE(1234567.89, 1)") == 1234567.8
 
 
 def test_sql_defined_functions_stay_jvm_side(engine):

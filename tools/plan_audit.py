@@ -100,6 +100,9 @@ AUDITED = (
     "ann_ivf_recall_kmeans",
     "ivf_kmeans_profile",
     "bm25_search_many",
+    # the H2-dialect statement surface as one witnessed query (TOP /
+    # boundary DATEDIFF / CASEWHEN / function aliases over one scan)
+    "h2_dialect_battery",
 )
 
 MARKERS = (
