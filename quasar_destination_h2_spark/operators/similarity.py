@@ -416,6 +416,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_list: int = IVF_N_LIST,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster by the IVF coarse quantizer, then drop
@@ -432,10 +433,19 @@ def semantic_dedup(
     is materialized once (the index-build step — at scale this is
     the bucketed-by-centroid write) and feeds both self-join sides
     and the verdict join; declarative reuse would re-scan and
-    re-assign the corpus three times (verified)."""
-    assigned = ivf_assign(
-        emb, ivf_centroids(emb, id_col, vec_col, n_list), id_col, vec_col
-    ).localCheckpoint()
+    re-assign the corpus three times (verified).
+
+    ``assigned`` swaps in a PRE-MATERIALIZED assignment table
+    ((id, vec, centroid_id) — typically written once via
+    ``engine.materialize_bucketed(..., ["centroid_id"])``): the
+    production path where the index is stored bucketed BY
+    centroid_id, so the in-cluster self-join reads co-located
+    buckets with no exchange (pinned by
+    tests/test_bucketing.py::test_bucketed_semantic_dedup)."""
+    if assigned is None:
+        assigned = ivf_assign(
+            emb, ivf_centroids(emb, id_col, vec_col, n_list), id_col, vec_col
+        ).localCheckpoint()
     a = assigned.select(
         F.col(id_col).alias("u_id"), F.col(vec_col).alias("uv"), "centroid_id"
     )

@@ -153,3 +153,31 @@ def test_cross_corpus_requires_exactly_one_reference_form():
         dedup.cross_corpus_pairs(None)
     with pytest.raises(ValueError, match="exactly one"):
         dedup.cross_corpus_pairs(None, ref_docs="x", ref_postings="y")
+
+
+def test_bucketed_semantic_dedup(engine, spark):
+    """semantic_dedup's production path: the IVF assignment stored
+    bucketed BY centroid_id. Same verdicts as the inline build, and
+    the in-cluster self-join reads co-located buckets — strictly
+    fewer hash exchanges than the inline plan."""
+    from quasar_destination_h2_spark.operators import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assigned = similarity.ivf_assign(
+        emb, similarity.ivf_centroids(emb)
+    )
+    engine.materialize_bucketed("sd_assigned", assigned, ["centroid_id"], 8)
+    stored = engine.table("sd_assigned")
+    with no_auto_broadcast(spark):
+        inline = similarity.semantic_dedup(emb)
+        bucketed = similarity.semantic_dedup(emb, assigned=stored)
+        bx = bucketed._jdf.queryExecution().executedPlan().toString().count(
+            "Exchange hashpartitioning"
+        )
+        ix = inline._jdf.queryExecution().executedPlan().toString().count(
+            "Exchange hashpartitioning"
+        )
+        got_b = sorted(map(tuple, bucketed.collect()))
+        got_i = sorted(map(tuple, inline.collect()))
+    assert got_b == got_i and len(got_b) > 0
+    assert bx < ix, (bx, ix)

@@ -316,12 +316,66 @@ def r9_probe(spark, sf_dir: str) -> dict:
     return out
 
 
+def kmeans_probe(spark, sf_dir: str) -> dict:
+    """What Lloyd refinement buys on the REAL fixture, quantified
+    through the shipped instruments: mean recall@5 (nprobe 1 and 2)
+    for the md5 baseline vs 2- and 4-round refined quantizers, the
+    objective trace, and the index balance (max inverted-list share).
+    The fixture embeddings are near-uniform, so the recall gain here
+    is expected to be small-to-none — the clustered-corpus gain is
+    pinned by pytest; THIS probe documents the honest real-fixture
+    numbers plus the refine cost (seconds per round)."""
+    import time
+
+    from quasar_destination_h2_spark import cache
+    from quasar_destination_h2_spark.operators import similarity as sim
+    from quasar_destination_h2_spark.sources.tables import TableSet
+
+    emb = TableSet(spark, sf_dir).embeddings
+    out = {"sf_dir": sf_dir, "n_vectors": emb.count(), "points": []}
+
+    def mean_recall(cents, nprobe):
+        rows = sim.ivf_recall(emb, nprobe=nprobe, cents=cents).collect()
+        return round(sum(r.recall_ppm for r in rows) / len(rows))
+
+    def max_share(cents):
+        rows = sim.ivf_cluster_profile(emb, cents=cents).collect()
+        return max(r.share_ppm for r in rows)
+
+    for label, iters in (("md5_seed", 0), ("kmeans_2", 2), ("kmeans_4", 4)):
+        t0 = time.perf_counter()
+        cents = (
+            sim.kmeans_refine(emb, iters=iters) if iters else None
+        )
+        build_sec = round(time.perf_counter() - t0, 2)
+        out["points"].append(
+            {
+                "quantizer": label,
+                "build_sec": build_sec,
+                "recall_ppm_nprobe1": mean_recall(cents, 1),
+                "recall_ppm_nprobe2": mean_recall(cents, 2),
+                "max_list_share_ppm": max_share(cents),
+            }
+        )
+        cache.release()
+    conv = sorted(
+        sim.kmeans_convergence(emb, iters=4).collect(), key=lambda r: r.iter
+    )
+    cache.release()
+    out["objective_micro"] = [
+        {"iter": r.iter, "n_clusters": r.n_clusters, "sum_sim": r.sum_sim_micro}
+        for r in conv
+    ]
+    return out
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     ivf_mode = "--ivf" in sys.argv[1:]
     profile_mode = "--profile" in sys.argv[1:]
     text_mode = "--text" in sys.argv[1:]
     r9_mode = "--r9" in sys.argv[1:]
+    kmeans_mode = "--kmeans" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     from pyspark.sql import SparkSession, functions as F
@@ -353,6 +407,10 @@ def main() -> int:
         return 0
     if r9_mode:
         print(json.dumps(r9_probe(spark, sf_dir)))
+        spark.stop()
+        return 0
+    if kmeans_mode:
+        print(json.dumps(kmeans_probe(spark, sf_dir)))
         spark.stop()
         return 0
 
