@@ -363,6 +363,48 @@ def _assign_scored(
     )
 
 
+def kmeans_refine_converged(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_list: int = IVF_N_LIST,
+    max_iter: int = 10,
+    reliable: bool = False,
+) -> DataFrame:
+    """Convergence-DRIVEN Lloyd refinement on the
+    :func:`operators.iterate.fixpoint` harness: iterate
+    assign → mean-direction until the exact integer objective
+    (sum_sim_micro) stops improving, capped at ``max_iter``. The
+    state is the scored assignment frame — returned as THE index:
+    (id, vec, centroid_id, sim_micro), ready to be materialized
+    bucketed by centroid_id (semantic_dedup's ``assigned=`` path) or
+    aggregated to centroids via :func:`kmeans_mean_directions`.
+
+    Use this form when the round count should follow the DATA (a
+    production index build); the fixed-``iters``
+    :func:`kmeans_refine` exists so the conformance oracles can
+    replay a bounded iteration in SQL. One tiny objective aggregate
+    per round is the only driver action (the fixpoint contract);
+    ``reliable=True`` swaps per-round lineage truncation to durable
+    checkpoints for revocable executors, exactly as
+    operators/iterate.py documents. Spherical k-means' objective is
+    monotone nondecreasing, so a plateau IS the fixpoint (up to the
+    1e-6 rounding grain)."""
+    from .iterate import fixpoint
+
+    cents0 = ivf_centroids(emb, id_col, vec_col, n_list).localCheckpoint()
+    state0 = _assign_scored(emb, cents0, id_col, vec_col)
+
+    def step(state: DataFrame) -> DataFrame:
+        cents = kmeans_mean_directions(state, vec_col).localCheckpoint()
+        return _assign_scored(emb, cents, id_col, vec_col)
+
+    def measure(state: DataFrame) -> float:
+        return float(state.agg(F.sum("sim_micro")).collect()[0][0])
+
+    return fixpoint(state0, step, measure, max_iter=max_iter, reliable=reliable)
+
+
 def kmeans_convergence(
     emb: DataFrame,
     id_col: str = "vec_id",

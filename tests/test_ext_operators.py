@@ -2635,3 +2635,39 @@ def test_bm25_many_single_posting_join_no_per_query_scans(spark, t):
         return len(_re.findall(r"FileScan parquet [^\n]*documents\.parquet", p))
 
     assert n_scans(3) == n_scans(30)
+
+
+def test_kmeans_refine_converged_fixpoint(spark):
+    """The convergence-driven build (fixpoint harness) reaches a
+    plateau of the monotone objective within max_iter on the
+    clustered corpus, never below the seed objective, and its final
+    assignment feeds semantic_dedup's assigned= path unchanged."""
+    from quasar_destination_h2_spark import cache
+
+    emb = _clustered_embeddings(spark, K=4, per=25)
+    state = similarity.kmeans_refine_converged(emb, n_list=4, max_iter=8)
+    rows = state.collect()
+    assert len(rows) == 100 and {"vec_id", "embedding", "centroid_id",
+                                 "sim_micro"} <= set(state.columns)
+    converged_obj = sum(r.sim_micro for r in rows)
+    seed_obj = sum(
+        r.sim_micro
+        for r in similarity._assign_scored(
+            emb, similarity.ivf_centroids(emb, n_list=4)
+        ).collect()
+    )
+    assert converged_obj >= seed_obj
+    # one more Lloyd step from the converged state must not improve
+    # the objective (that IS the fixpoint)
+    cents = similarity.kmeans_mean_directions(state).localCheckpoint()
+    again = sum(
+        r.sim_micro
+        for r in similarity._assign_scored(emb, cents).collect()
+    )
+    assert again == converged_obj, (again, converged_obj)
+    # the returned state is a usable index: semantic_dedup over it
+    verdicts = similarity.semantic_dedup(
+        emb, assigned=state.select("vec_id", "embedding", "centroid_id")
+    ).collect()
+    cache.release()
+    assert len(verdicts) == 100
