@@ -55,21 +55,26 @@ _H2_FUNCTION_DEFS: tuple[str, ...] = (
     "RETURNS INT RETURN dayofmonth(d)",
     "CREATE OR REPLACE TEMPORARY FUNCTION DAY_OF_YEAR(d TIMESTAMP) "
     "RETURNS INT RETURN dayofyear(d)",
-    # truncation toward zero: floor the magnitude, restore the sign
-    # (floor(x*s)/s alone truncates toward -inf for negatives). The
-    # scale-up runs in DECIMAL, not double: double x*10^d re-rounds,
-    # and e.g. 1.2 * 10 = 11.999999999999998 would truncate to 1.1.
-    # Spark's double->decimal cast goes through the double's SHORTEST
-    # decimal rendering (BigDecimal.valueOf), so DECIMAL(28,10)
-    # carries exactly the value the user sees.
+    # truncation toward zero via exact decimal mod: x - (x % 10^-d)
+    # (Spark's decimal % carries the DIVIDEND's sign, which IS
+    # toward-zero for both signs). All arithmetic runs in DECIMAL,
+    # not double: a double scale-up re-rounds (1.2 * 10 =
+    # 11.999999999999998 would truncate to 1.1), while the
+    # double->decimal cast goes through the double's SHORTEST decimal
+    # rendering (BigDecimal.valueOf), so DECIMAL(38,12) carries
+    # exactly the value the user sees. H2 accepts NEGATIVE scales
+    # (TRUNCATE(12345.678, -2) = 12300.0) — the mod form handles
+    # them natively; outside the decimal domain (|x| >= 1e26, d >= 12
+    # -> identity at double precision; d <= -27 -> 0) the guards keep
+    # ANSI mode from aborting where H2 returns a value.
     "CREATE OR REPLACE TEMPORARY FUNCTION TRUNCATE(x DOUBLE, d INT) "
-    "RETURNS DOUBLE RETURN CASE WHEN x >= 0 "
-    "THEN CAST(floor(CAST(x AS DECIMAL(28,10)) "
-    "* CAST(power(10, d) AS DECIMAL(10,0))) "
-    "/ CAST(power(10, d) AS DECIMAL(10,0)) AS DOUBLE) "
-    "ELSE -CAST(floor(CAST(-x AS DECIMAL(28,10)) "
-    "* CAST(power(10, d) AS DECIMAL(10,0))) "
-    "/ CAST(power(10, d) AS DECIMAL(10,0)) AS DOUBLE) END",
+    "RETURNS DOUBLE RETURN "
+    "CASE WHEN x IS NULL OR d IS NULL THEN CAST(NULL AS DOUBLE) "
+    "WHEN abs(x) >= 1e26 OR d >= 12 THEN x "
+    "WHEN d <= -27 THEN 0.0d "
+    "ELSE CAST(CAST(x AS DECIMAL(38,12)) "
+    "- (CAST(x AS DECIMAL(38,12)) "
+    "% CAST(power(10, -d) AS DECIMAL(38,12))) AS DOUBLE) END",
 )
 
 

