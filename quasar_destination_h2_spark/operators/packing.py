@@ -461,3 +461,127 @@ def chunk_documents(
             F.array_join(chunk, " ").alias("chunk_text"),
         )
     )
+
+
+def _u24(key: Column) -> Column:
+    """Uniform draw in (0, 1) from the first 24 bits of an md5 hex
+    key — the strpos/instr nibble arithmetic DuckDB mirrors exactly
+    (see _hex_nibble); +1 keeps the draw strictly positive so ln(u)
+    is always finite."""
+    h = (
+        _hex_nibble(key, 0) * 1048576
+        + _hex_nibble(key, 1) * 65536
+        + _hex_nibble(key, 2) * 4096
+        + _hex_nibble(key, 3) * 256
+        + _hex_nibble(key, 4) * 16
+        + _hex_nibble(key, 5)
+    )
+    return (h + 1) / F.lit(16777217.0)
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    seed: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES, Inf. Proc. Letters 2006): every row
+    draws u from the md5 hash of its id and competes with key
+    -ln(u)/w ascending, w = its whitespace-token count — the
+    quality/length-weighted subset selection a curation pass runs
+    when it wants long (or high-scoring) documents over-represented
+    WITHOUT a nondeterministic RNG. Zero-weight (empty) documents
+    cannot be sampled and are excluded up front.
+
+    Shape at 100 TB: one filter-only corpus pass computing (w, u)
+    per row in codegen, then a global top-k = orderBy + limit =
+    TakeOrderedAndProject (per-partition heaps, never a global
+    sort); the rank window runs over the k survivors only.
+
+    Determinism: u is an exact rational from 24 md5 bits (both
+    engines evaluate the same strpos arithmetic), the E-S key is
+    6-rounded and DECIMAL-lifted to integer micro-units, ties break
+    on doc_id — bit-stable across engines and partitionings.
+
+    Output: (doc_id, w, score_micro, rank), rank 1 = first sampled."""
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")))
+    w = F.size(F.filter(tokens(F.col(text_col)), lambda t: t != ""))
+    scored = (
+        docs.select(
+            "doc_id", w.cast("bigint").alias("w"), key.alias("_k")
+        )
+        .where(F.col("w") > 0)
+        .select(
+            "doc_id",
+            "w",
+            (
+                F.round(-F.log(_u24(F.col("_k"))) / F.col("w"), 6)
+                .cast("decimal(28,10)")
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("score_micro"),
+        )
+        .orderBy(F.asc("score_micro"), F.asc("doc_id"))
+        .limit(k)
+    )
+    rank_w = Window.orderBy(F.asc("score_micro"), F.asc("doc_id"))
+    return scored.select(
+        "doc_id",
+        "w",
+        "score_micro",
+        F.row_number().over(rank_w).cast("bigint").alias("rank"),
+    )
+
+
+def weighted_sample_stratified(
+    docs: DataFrame,
+    k_per_group: int = 20,
+    group_col: str = "source",
+    text_col: str = "text",
+    seed: str = "ws",
+) -> DataFrame:
+    """Per-group Efraimidis–Spirakis: the same deterministic weighted
+    draw, top ``k_per_group`` WITHIN each group (source/language/
+    quality tier) — weighted selection that cannot starve a small
+    group. The rank is a row_number window partitioned by the group
+    key over the (w, u)-scored corpus — one corpus pass, one
+    window shuffle keyed on the group.
+
+    Output: (group, doc_id, w, score_micro, rank)."""
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col("doc_id").cast("string")))
+    w = F.size(F.filter(tokens(F.col(text_col)), lambda t: t != ""))
+    scored = (
+        docs.select(
+            F.col(group_col).alias("grp"),
+            "doc_id",
+            w.cast("bigint").alias("w"),
+            key.alias("_k"),
+        )
+        .where(F.col("w") > 0)
+        .select(
+            "grp",
+            "doc_id",
+            "w",
+            (
+                F.round(-F.log(_u24(F.col("_k"))) / F.col("w"), 6)
+                .cast("decimal(28,10)")
+                * 1000000
+            )
+            .cast("bigint")
+            .alias("score_micro"),
+        )
+    )
+    rank_w = Window.partitionBy("grp").orderBy(
+        F.asc("score_micro"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn(
+            "rank", F.row_number().over(rank_w).cast("bigint")
+        )
+        .where(F.col("rank") <= k_per_group)
+        .select(
+            F.col("grp").alias(group_col), "doc_id", "w", "score_micro", "rank"
+        )
+    )

@@ -3639,3 +3639,75 @@ def q_h2_dialect_battery(t: TableSet) -> DataFrame:
     register_h2_functions(spark)
     t.orders.createOrReplaceTempView("h2b_orders")
     return spark.sql(rewrite_h2_dialect(_H2_BATTERY_SQL))
+
+
+def _duck_u24(expr: str) -> str:
+    """DuckDB replica of packing._u24: uniform in (0,1) from the
+    first 24 bits of an md5 hex key via strpos arithmetic."""
+    nib = (
+        lambda p, m: f"(strpos('0123456789abcdef', substr(md5({expr}), {p}, 1)) - 1) * {m}"
+    )
+    h = " + ".join(
+        nib(p, m)
+        for p, m in ((1, 1048576), (2, 65536), (3, 4096), (4, 256), (5, 16), (6, 1))
+    )
+    return f"(({h}) + 1) / 16777217.0"
+
+
+_WS_U24 = _duck_u24("'ws:' || CAST(doc_id AS VARCHAR)")
+
+
+@query(
+    "weighted_sample_topk",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT doc_id, CAST(w AS BIGINT) AS w,
+             CAST(CAST(round(-ln({_WS_U24}) / w, 6) AS DECIMAL(28,10))
+                  * 1000000 AS BIGINT) AS score_micro
+      FROM (SELECT doc_id,
+                   len(list_filter(string_split_regex({_NORM}, ' '),
+                                   x -> x <> '')) AS w
+            FROM documents)
+      WHERE w > 0
+    )
+    SELECT doc_id, w, score_micro, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score_micro, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 100
+    """,
+)
+def q_weighted_sample_topk(t: TableSet) -> DataFrame:
+    """Deterministic Efraimidis-Spirakis weighted sampling without
+    replacement: every doc competes with key -ln(u)/w (u from 24 md5
+    bits, w = token count), global top-100 by ascending key — the
+    quality/length-weighted subset selection with no RNG; one
+    filter-only corpus pass + TakeOrderedAndProject."""
+    return packing.weighted_sample(t.documents)
+
+
+@query(
+    "weighted_sample_stratified",
+    oracle=rf"""
+    WITH scored AS (
+      SELECT source, doc_id, CAST(w AS BIGINT) AS w,
+             CAST(CAST(round(-ln({_WS_U24}) / w, 6) AS DECIMAL(28,10))
+                  * 1000000 AS BIGINT) AS score_micro
+      FROM (SELECT source, doc_id,
+                   len(list_filter(string_split_regex({_NORM}, ' '),
+                                   x -> x <> '')) AS w
+            FROM documents)
+      WHERE w > 0
+    )
+    SELECT source, doc_id, w, score_micro, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                   ORDER BY score_micro, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 20
+    """,
+)
+def q_weighted_sample_stratified(t: TableSet) -> DataFrame:
+    """Per-source Efraimidis-Spirakis weighted draw (top 20 within
+    each source) — weighted selection that cannot starve a small
+    group; one corpus pass, one group-keyed window shuffle."""
+    return packing.weighted_sample_stratified(t.documents)

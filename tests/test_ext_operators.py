@@ -2711,3 +2711,56 @@ def test_assign_scored_matches_ivf_assign(t):
     }
     cache.release()
     assert via_assign == via_scored and len(via_assign) > 0
+
+
+def test_weighted_sample_es_semantics(spark):
+    """Efraimidis-Spirakis invariants on a crafted corpus: a huge-
+    weight doc wins a slot, heavy docs dominate light ones at equal
+    count, zero-token docs can never be sampled, and the draw is
+    deterministic across runs."""
+    rows = [(0, "w " * 10000)]                       # huge weight
+    rows += [(i, "token " * 100) for i in range(1, 26)]   # heavy
+    rows += [(i, "x") for i in range(26, 51)]             # light w=1
+    rows += [(99, "")]                                    # zero tokens
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = packing.weighted_sample(docs, k=20).collect()
+    ids = {r.doc_id for r in got}
+    assert len(got) == 20 and 99 not in ids
+    assert 0 in ids  # the 10000-token doc is sampled
+    heavy = sum(1 for i in ids if 1 <= i <= 25)
+    light = sum(1 for i in ids if 26 <= i <= 50)
+    assert heavy > light, (heavy, light)
+    # deterministic: identical ranks on a second run
+    again = packing.weighted_sample(docs, k=20).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    # ranks are 1..k by ascending key
+    by_rank = sorted(got, key=lambda r: r.rank)
+    assert [r.rank for r in by_rank] == list(range(1, 21))
+    assert all(
+        a.score_micro <= b.score_micro
+        for a, b in zip(by_rank, by_rank[1:])
+    )
+
+
+def test_weighted_sample_stratified_per_group(spark, t):
+    """Stratified draw: every source contributes exactly
+    min(k_per_group, group size) rows, and within a source the
+    selected set equals the global formula's per-source prefix."""
+    from pyspark.sql import functions as F
+
+    got = packing.weighted_sample_stratified(t.documents, k_per_group=5)
+    rows = got.collect()
+    from collections import Counter
+
+    per = Counter(r.source for r in rows)
+    sizes = {
+        r.source: r.n
+        for r in t.documents.where("length(trim(text)) > 0")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for src, n in per.items():
+        assert n == min(5, sizes[src]), (src, n)
+    for r in rows:
+        assert 1 <= r.rank <= 5

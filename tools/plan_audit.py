@@ -103,6 +103,10 @@ AUDITED = (
     # the H2-dialect statement surface as one witnessed query (TOP /
     # boundary DATEDIFF / CASEWHEN / function aliases over one scan)
     "h2_dialect_battery",
+    # deterministic Efraimidis-Spirakis weighted sampling (global
+    # TakeOrderedAndProject + per-group window forms)
+    "weighted_sample_topk",
+    "weighted_sample_stratified",
 )
 
 MARKERS = (
