@@ -83,6 +83,7 @@ class Engine:
         #: queryable (H2Server.scala:60-84); a degraded no-op boot must
         #: be visible in engine state, not only in an info log.
         self.endpoint_started: bool = False
+        self._sequences = None
         #: effective Thrift listen port (may differ from the requested
         #: port when joining an already-running JVM-wide endpoint)
         self.endpoint_port: Optional[str] = None
@@ -179,6 +180,22 @@ class Engine:
         while self._servers:
             stop_sql_endpoint(self._servers.pop())
         self.endpoint_started = False
+
+    @property
+    def sequences(self):
+        """H2 sequence registry (CREATE SEQUENCE / NEXTVAL / ...):
+        durable JSON state in the warehouse directory under the same
+        flock protocol as the table catalog (see sequences.py)."""
+        if self._sequences is None:
+            import os
+
+            from .sequences import Sequences
+            from .sources.sink import CATALOG_TABLE, warehouse_path
+
+            self._sequences = Sequences(
+                os.path.dirname(warehouse_path(self.spark, CATALOG_TABLE))
+            )
+        return self._sequences
 
     # -- surface (H2Destination.scala:37-46) ---------------------------
 

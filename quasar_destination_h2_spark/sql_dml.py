@@ -424,6 +424,12 @@ def execute(engine, statement: str):
         # it can (see rewrite_quantified)
         statement = rewrite_quantified(statement)
         shadow = _shadow(statement)
+    if _SEQ_VAL_RE.search(shadow):
+        # H2 sequence value functions (NEXTVAL/CURRVAL/NEXT VALUE
+        # FOR) — allocated from the engine's durable registry and
+        # substituted as literals (see _substitute_sequence_values)
+        statement = _substitute_sequence_values(engine, statement)
+        shadow = _shadow(statement)
     recursive = re.search(r"\bWITH\s+RECURSIVE\b", shadow, re.I) is not None
     m = re.match(
         r"\s*(UPDATE|DELETE|MERGE|INSERT|CREATE|DROP|TRUNCATE|ALTER)\b",
@@ -439,6 +445,58 @@ def execute(engine, statement: str):
         with _translate_recursion_limit():
             return _execute_verb(engine, statement, shadow, m)
     return _execute_verb(engine, statement, shadow, m)
+
+
+#: Sequence value functions in H2 grammar (pre-filter, like _QUANT_RE).
+_SEQ_VAL_RE = re.compile(
+    r"\b(?:NEXTVAL|CURRVAL)\s*\(|\bNEXT\s+VALUE\s+FOR\b", re.I
+)
+
+
+def _substitute_sequence_values(engine, sql: str) -> str:
+    """Replace every NEXTVAL('s') / NEXT VALUE FOR s / CURRVAL('s')
+    with an allocated (or current) value literal, left to right —
+    one allocation per TEXTUAL occurrence, which matches H2's
+    per-row evaluation exactly for the dominant client shape
+    (``INSERT ... VALUES`` spells one NEXTVAL per row). A sequence
+    value over a table-driven source (any ``FROM`` in the statement)
+    would need per-result-row allocation that text substitution
+    cannot express — raise instead of silently handing every row the
+    same value."""
+    from .sequences import SequenceError
+
+    if re.search(r"\bFROM\b", _shadow(sql), re.I):
+        raise SequenceError(
+            "sequence value functions over a table-driven source are "
+            "not supported (values are allocated per textual "
+            "occurrence); generate ids with row_number() + a single "
+            "NEXTVAL base instead"
+        )
+    while True:
+        shadow = _shadow(sql)
+        m = re.search(
+            r"\b(NEXTVAL|CURRVAL)\s*\(\s*'([^']*)'\s*\)"
+            r"|\bNEXT\s+VALUE\s+FOR\s+",
+            shadow,
+            re.I,
+        )
+        if not m:
+            return sql
+        if m.group(1) is None:  # NEXT VALUE FOR ident
+            name, end = _parse_ident(sql, shadow, m.end())
+            v = engine.sequences.nextval(name)[0]
+        else:
+            # the name lives inside a blanked literal on the shadow —
+            # slice it from the ORIGINAL text
+            name = sql[m.start(2) : m.end(2)]
+            end = m.end()
+            fn = m.group(1).upper()
+            v = (
+                engine.sequences.nextval(name)[0]
+                if fn == "NEXTVAL"
+                else engine.sequences.currval(name)
+            )
+        sql = sql[: m.start()] + str(v) + sql[end:]
 
 
 def _execute_verb(engine, statement: str, shadow: str, m):
@@ -466,6 +524,23 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         return engine.insert_rows(logical, src)
 
     if verb == "CREATE":
+        ms = re.match(
+            r"\s*CREATE\s+SEQUENCE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?",
+            shadow,
+            re.I,
+        )
+        if ms:
+            name, pos = _parse_ident(statement, shadow, ms.end())
+            tail = shadow[pos:]
+            start = re.search(r"\bSTART\s+WITH\s+(-?\d+)", tail, re.I)
+            inc = re.search(r"\bINCREMENT\s+BY\s+(-?\d+)", tail, re.I)
+            engine.sequences.create(
+                name,
+                int(start.group(1)) if start else 1,
+                int(inc.group(1)) if inc else 1,
+                if_not_exists=ms.group("ine") is not None,
+            )
+            return None
         if re.match(
             r"\s*CREATE\s+(UNIQUE\s+|SPATIAL\s+|HASH\s+)*INDEX\b", shadow, re.I
         ):
@@ -492,6 +567,13 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         return None
 
     if verb == "DROP":
+        md = re.match(
+            r"\s*DROP\s+SEQUENCE\s+(?P<ie>IF\s+EXISTS\s+)?", shadow, re.I
+        )
+        if md:
+            name, _ = _parse_ident(statement, shadow, md.end())
+            engine.sequences.drop(name, if_exists=md.group("ie") is not None)
+            return None
         if re.match(r"\s*DROP\s+INDEX\b", shadow, re.I):
             return None  # pair of the CREATE INDEX no-op above
         md = re.match(
@@ -521,6 +603,26 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         return engine.delete_where(logical, "true")
 
     if verb == "ALTER":
+        msq = re.match(r"\s*ALTER\s+SEQUENCE\s", shadow, re.I)
+        if msq:
+            name, pos = _parse_ident(statement, shadow, msq.end())
+            tail = shadow[pos:]
+            restart = re.search(r"\bRESTART(?:\s+WITH\s+(-?\d+))?", tail, re.I)
+            inc = re.search(r"\bINCREMENT\s+BY\s+(-?\d+)", tail, re.I)
+            if not restart and not inc:
+                raise ValueError(
+                    "ALTER SEQUENCE: expected RESTART [WITH n] "
+                    "and/or INCREMENT BY n"
+                )
+            engine.sequences.alter(
+                name,
+                restart=restart is not None,
+                with_=int(restart.group(1))
+                if restart and restart.group(1)
+                else None,
+                increment=int(inc.group(1)) if inc else None,
+            )
+            return None
         ma = re.match(r"\s*ALTER\s+TABLE\s", shadow, re.I)
         if not ma:
             return engine.sql(statement)  # ALTER VIEW / ...

@@ -1,0 +1,142 @@
+"""H2 sequence objects at the statement surface (sequences.py +
+sql_dml): CREATE/DROP/ALTER SEQUENCE, NEXTVAL / NEXT VALUE FOR /
+CURRVAL substitution, durable same-warehouse state, and the
+table-source guard. Reference anchor: H2 1.4.200 sequences reachable
+through the reference's PG/TCP socket (H2Server.scala:60-84)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from quasar_destination_h2_spark.engine import Engine
+from quasar_destination_h2_spark.sequences import SequenceError
+from quasar_destination_h2_spark.types import Column, ColumnType
+
+
+@pytest.fixture()
+def engine(spark, warehouse_dir):
+    return Engine.from_config(
+        json.dumps({"connectionUri": warehouse_dir}), spark=spark
+    )
+
+
+COLS = [Column("k", ColumnType.NUMBER), Column("v", ColumnType.STRING)]
+
+
+def test_sequence_lifecycle_and_insert_ids(engine):
+    engine.execute_sql("CREATE SEQUENCE ids START WITH 10 INCREMENT BY 5")
+    engine.csv_create_sink().consume("/seq_t", COLS, b"1,a\r\n")
+    n = engine.execute_sql(
+        "INSERT INTO seq_t (k, v) VALUES (NEXTVAL('ids'), 'x'), "
+        "(NEXTVAL('ids'), 'y')"
+    )
+    assert n == 2
+    got = sorted(
+        (float(r.k), r.v) for r in engine.table("seq_t").collect()
+    )
+    assert got == [(1.0, "a"), (10.0, "x"), (15.0, "y")]
+    # CURRVAL = last dispensed in this session; SELECT form works
+    r = engine.execute_sql("SELECT CURRVAL('ids') AS c").collect()
+    assert r[0].c == 15
+    # NEXT VALUE FOR (ANSI spelling H2 also grammars)
+    r = engine.execute_sql("SELECT NEXT VALUE FOR ids AS nv").collect()
+    assert r[0].nv == 20
+
+
+def test_sequence_restart_increment_and_drop(engine):
+    engine.execute_sql("CREATE SEQUENCE s2")
+    assert engine.execute_sql("SELECT NEXTVAL('s2') AS v").collect()[0].v == 1
+    assert engine.execute_sql("SELECT NEXTVAL('s2') AS v").collect()[0].v == 2
+    engine.execute_sql("ALTER SEQUENCE s2 RESTART WITH 100")
+    assert engine.execute_sql("SELECT NEXTVAL('s2') AS v").collect()[0].v == 100
+    engine.execute_sql("ALTER SEQUENCE s2 INCREMENT BY -10")
+    # the stored next value (101) is dispensed as-is; the new
+    # increment applies AFTER it (H2 keeps the position on ALTER)
+    assert engine.execute_sql("SELECT NEXTVAL('s2') AS v").collect()[0].v == 101
+    assert engine.execute_sql("SELECT NEXTVAL('s2') AS v").collect()[0].v == 91
+    # bare RESTART resets to START WITH
+    engine.execute_sql("ALTER SEQUENCE s2 RESTART")
+    assert engine.execute_sql("SELECT NEXTVAL('s2') AS v").collect()[0].v == 1
+    engine.execute_sql("DROP SEQUENCE s2")
+    with pytest.raises(SequenceError, match="not found"):
+        engine.execute_sql("SELECT NEXTVAL('s2') AS v")
+    # IF EXISTS variants are silent
+    assert engine.execute_sql("DROP SEQUENCE IF EXISTS s2") is None
+    engine.execute_sql("CREATE SEQUENCE s2")
+    assert engine.execute_sql("CREATE SEQUENCE IF NOT EXISTS s2") is None
+    with pytest.raises(SequenceError, match="already exists"):
+        engine.execute_sql("CREATE SEQUENCE s2")
+
+
+def test_sequence_state_is_durable_across_engines(spark, warehouse_dir):
+    a = Engine.from_config(
+        json.dumps({"connectionUri": warehouse_dir}), spark=spark
+    )
+    a.execute_sql("CREATE SEQUENCE shared START WITH 7")
+    assert a.execute_sql("SELECT NEXTVAL('shared') AS v").collect()[0].v == 7
+    # a second engine over the same warehouse continues, never repeats
+    b = Engine.from_config(
+        json.dumps({"connectionUri": warehouse_dir}), spark=spark
+    )
+    assert b.execute_sql("SELECT NEXTVAL('shared') AS v").collect()[0].v == 8
+    assert a.execute_sql("SELECT NEXTVAL('shared') AS v").collect()[0].v == 9
+    # CURRVAL is SESSION-scoped like H2: engine b never called it
+    # on... b did call nextval; a fresh third engine did not
+    c = Engine.from_config(
+        json.dumps({"connectionUri": warehouse_dir}), spark=spark
+    )
+    with pytest.raises(SequenceError, match="CURRVAL"):
+        c.execute_sql("SELECT CURRVAL('shared') AS v")
+
+
+def test_sequence_table_source_guarded(engine):
+    """NEXTVAL over a table-driven source would hand every row the
+    same substituted literal — a clear error instead."""
+    engine.execute_sql("CREATE SEQUENCE g1")
+    engine.csv_create_sink().consume("/seq_g", COLS, b"1,a\r\n2,b\r\n")
+    physical = engine.sink.catalog["seq_g"]
+    with pytest.raises(SequenceError, match="table-driven"):
+        engine.execute_sql(
+            f"INSERT INTO seq_g (k, v) SELECT NEXTVAL('g1'), v FROM {physical}"
+        )
+    with pytest.raises(SequenceError, match="table-driven"):
+        engine.execute_sql(f"SELECT NEXTVAL('g1') FROM {physical}")
+
+
+def test_sequence_concurrent_allocation_disjoint(spark, warehouse_dir):
+    """Same-host multi-engine allocation under the flock: values are
+    disjoint and gap-free in union."""
+    import threading
+
+    eng = Engine.from_config(
+        json.dumps({"connectionUri": warehouse_dir}), spark=spark
+    )
+    eng.execute_sql("CREATE SEQUENCE conc")
+    got: list[int] = []
+    lock = threading.Lock()
+
+    def worker():
+        e = Engine.from_config(
+            json.dumps({"connectionUri": warehouse_dir}), spark=spark
+        )
+        vals = [e.sequences.nextval("conc")[0] for _ in range(25)]
+        with lock:
+            got.extend(vals)
+
+    ts = [threading.Thread(target=worker) for _ in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert sorted(got) == list(range(1, 101))
+
+
+def test_sequence_literal_containing_nextval_untouched(engine):
+    """A string literal spelling NEXTVAL( must not allocate."""
+    engine.execute_sql("CREATE SEQUENCE lit1")
+    r = engine.execute_sql("SELECT 'NEXTVAL(''lit1'')' AS s").collect()
+    assert r[0].s == "NEXTVAL('lit1')"
+    # nothing was dispensed
+    assert engine.execute_sql("SELECT NEXTVAL('lit1') AS v").collect()[0].v == 1
