@@ -140,3 +140,105 @@ def test_sequence_literal_containing_nextval_untouched(engine):
     assert r[0].s == "NEXTVAL('lit1')"
     # nothing was dispensed
     assert engine.execute_sql("SELECT NEXTVAL('lit1') AS v").collect()[0].v == 1
+
+
+def test_sequence_random_op_chains_match_model(spark, warehouse_dir):
+    """Hypothesis differential: random CREATE / NEXTVAL / CURRVAL /
+    ALTER RESTART / ALTER INCREMENT / DROP chains through
+    engine.execute_sql, every dispensed value compared against a
+    trivial Python reference model of H2's documented arithmetic."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    eng = Engine.from_config(
+        json.dumps({"connectionUri": warehouse_dir}), spark=spark
+    )
+
+    ops = st.lists(
+        st.one_of(
+            st.tuples(
+                st.just("create"),
+                st.integers(min_value=-50, max_value=50),
+                st.integers(min_value=-5, max_value=5).filter(lambda x: x),
+            ),
+            st.tuples(st.just("next")),
+            st.tuples(st.just("curr")),
+            st.tuples(
+                st.just("restart"),
+                st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+            ),
+            st.tuples(
+                st.just("inc"),
+                st.integers(min_value=-5, max_value=5).filter(lambda x: x),
+            ),
+            st.tuples(st.just("drop")),
+        ),
+        min_size=3,
+        max_size=15,
+    )
+
+    case_n = [0]
+
+    @given(ops)
+    @settings(
+        max_examples=25, deadline=None, suppress_health_check=list(HealthCheck)
+    )
+    def run(chain):
+        case_n[0] += 1
+        name = f"fz{case_n[0]}"
+        model = None  # (next, inc, start) or None when absent
+        curr = None
+        for op in chain:
+            kind = op[0]
+            if kind == "create":
+                _, start, inc = op
+                if model is None:
+                    eng.execute_sql(
+                        f"CREATE SEQUENCE {name} START WITH {start} "
+                        f"INCREMENT BY {inc}"
+                    )
+                    model = [start, inc, start]
+                else:
+                    with pytest.raises(SequenceError):
+                        eng.execute_sql(f"CREATE SEQUENCE {name}")
+            elif model is None:
+                with pytest.raises(SequenceError):
+                    eng.execute_sql(
+                        f"SELECT NEXTVAL('{name}') AS v"
+                        if kind in ("next", "curr")
+                        else f"ALTER SEQUENCE {name} RESTART"
+                    ) if kind != "drop" else eng.sequences.drop(name)
+            elif kind == "next":
+                v = eng.execute_sql(
+                    f"SELECT NEXTVAL('{name}') AS v"
+                ).collect()[0].v
+                assert v == model[0], (v, model)
+                curr = model[0]
+                model[0] += model[1]
+            elif kind == "curr":
+                if curr is None:
+                    with pytest.raises(SequenceError):
+                        eng.execute_sql(f"SELECT CURRVAL('{name}') AS v")
+                else:
+                    v = eng.execute_sql(
+                        f"SELECT CURRVAL('{name}') AS v"
+                    ).collect()[0].v
+                    assert v == curr
+            elif kind == "restart":
+                w = op[1]
+                eng.execute_sql(
+                    f"ALTER SEQUENCE {name} RESTART"
+                    + (f" WITH {w}" if w is not None else "")
+                )
+                model[0] = model[2] if w is None else w
+            elif kind == "inc":
+                eng.execute_sql(f"ALTER SEQUENCE {name} INCREMENT BY {op[1]}")
+                model[1] = op[1]
+            elif kind == "drop":
+                eng.execute_sql(f"DROP SEQUENCE {name}")
+                model = None
+                curr = None
+        if model is not None:
+            eng.execute_sql(f"DROP SEQUENCE IF EXISTS {name}")
+
+    run()
