@@ -61,20 +61,24 @@ _H2_FUNCTION_DEFS: tuple[str, ...] = (
     # not double: a double scale-up re-rounds (1.2 * 10 =
     # 11.999999999999998 would truncate to 1.1), while the
     # double->decimal cast goes through the double's SHORTEST decimal
-    # rendering (BigDecimal.valueOf), so DECIMAL(38,12) carries
-    # exactly the value the user sees. H2 accepts NEGATIVE scales
-    # (TRUNCATE(12345.678, -2) = 12300.0) — the mod form handles
-    # them natively; outside the decimal domain (|x| >= 1e26, d >= 12
-    # -> identity at double precision; d <= -27 -> 0) the guards keep
-    # ANSI mode from aborting where H2 returns a value.
+    # rendering (BigDecimal.valueOf). Scale 18 so even the longest
+    # shortest-renderings of |x| >= 0.1 (17 fractional digits, e.g.
+    # 0.09999999999999999) survive the cast EXACTLY — a scale-12 cast
+    # would HALF_UP them across the truncation boundary (H2 setScale
+    # DOWN returns 0.0 there, not 0.1). H2 accepts NEGATIVE scales
+    # (TRUNCATE(12345.678, -2) = 12300.0) — the mod form handles them
+    # natively. Domain guards keep ANSI mode from aborting where H2
+    # returns a value: DECIMAL(38,18) carries 20 integer digits, so
+    # |x| >= 1e19 or d >= 18 -> identity (such doubles are integral /
+    # sub-ulp truncation), d <= -20 -> 0 (10^20 > |x|).
     "CREATE OR REPLACE TEMPORARY FUNCTION TRUNCATE(x DOUBLE, d INT) "
     "RETURNS DOUBLE RETURN "
     "CASE WHEN x IS NULL OR d IS NULL THEN CAST(NULL AS DOUBLE) "
-    "WHEN abs(x) >= 1e26 OR d >= 12 THEN x "
-    "WHEN d <= -27 THEN 0.0d "
-    "ELSE CAST(CAST(x AS DECIMAL(38,12)) "
-    "- (CAST(x AS DECIMAL(38,12)) "
-    "% CAST(power(10, -d) AS DECIMAL(38,12))) AS DOUBLE) END",
+    "WHEN abs(x) >= 1e19 OR d >= 18 THEN x "
+    "WHEN d <= -20 THEN 0.0d "
+    "ELSE CAST(CAST(x AS DECIMAL(38,18)) "
+    "- (CAST(x AS DECIMAL(38,18)) "
+    "% CAST(power(10, -d) AS DECIMAL(38,18))) AS DOUBLE) END",
 )
 
 

@@ -479,6 +479,17 @@ def _u24(key: Column) -> Column:
     return (h + 1) / F.lit(16777217.0)
 
 
+def _es_score_micro(key: Column, w: Column) -> Column:
+    """The Efraimidis-Spirakis competition key -ln(u)/w as an exact
+    integer micro-unit column (6-rounded, DECIMAL-lifted) — ONE
+    definition shared by both sampling forms so a precision change
+    cannot desynchronize them (or their DuckDB oracles)."""
+    return (
+        (F.round(-F.log(_u24(key)) / w, 6).cast("decimal(28,10)") * 1000000)
+        .cast("bigint")
+    )
+
+
 def weighted_sample(
     docs: DataFrame,
     k: int = 100,
@@ -515,13 +526,7 @@ def weighted_sample(
         .select(
             "doc_id",
             "w",
-            (
-                F.round(-F.log(_u24(F.col("_k"))) / F.col("w"), 6)
-                .cast("decimal(28,10)")
-                * 1000000
-            )
-            .cast("bigint")
-            .alias("score_micro"),
+            _es_score_micro(F.col("_k"), F.col("w")).alias("score_micro"),
         )
         .orderBy(F.asc("score_micro"), F.asc("doc_id"))
         .limit(k)
@@ -564,13 +569,7 @@ def weighted_sample_stratified(
             "grp",
             "doc_id",
             "w",
-            (
-                F.round(-F.log(_u24(F.col("_k"))) / F.col("w"), 6)
-                .cast("decimal(28,10)")
-                * 1000000
-            )
-            .cast("bigint")
-            .alias("score_micro"),
+            _es_score_micro(F.col("_k"), F.col("w")).alias("score_micro"),
         )
     )
     rank_w = Window.partitionBy("grp").orderBy(

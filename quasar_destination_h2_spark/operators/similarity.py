@@ -396,11 +396,19 @@ def kmeans_refine_converged(
     state0 = _assign_scored(emb, cents0, id_col, vec_col)
 
     def step(state: DataFrame) -> DataFrame:
-        cents = kmeans_mean_directions(state, vec_col).localCheckpoint()
+        # lazy checkpoint: the measure's aggregation job materializes
+        # the round (fixpoint's one-action-per-round contract); an
+        # eager one would run a second full job per round
+        cents = kmeans_mean_directions(state, vec_col).localCheckpoint(
+            eager=False
+        )
         return _assign_scored(emb, cents, id_col, vec_col)
 
     def measure(state: DataFrame) -> float:
-        return float(state.agg(F.sum("sim_micro")).collect()[0][0])
+        v = state.agg(F.sum("sim_micro")).collect()[0][0]
+        # SUM over zero rows is NULL: an empty corpus is already at
+        # its fixpoint (constant measure ends the loop immediately)
+        return float(v) if v is not None else 0.0
 
     return fixpoint(state0, step, measure, max_iter=max_iter, reliable=reliable)
 

@@ -61,11 +61,20 @@ class Sequences:
         return fh
 
     def _read(self) -> dict:
+        """Absence means an empty registry; anything ELSE (corrupt
+        JSON, I/O error) must surface — treating corruption as
+        absence would silently reset every sequence and re-dispense
+        already-allocated values, breaking the durable-uniqueness
+        guarantee this module exists to provide."""
         try:
             with open(self.path) as f:
                 return json.load(f)
-        except Exception:
+        except FileNotFoundError:
             return {}
+        except (json.JSONDecodeError, OSError) as e:
+            raise SequenceError(
+                f"sequence state unreadable at {self.path!r}: {e}"
+            ) from e
 
     def _write(self, state: dict) -> None:
         # temp + rename: a reader never observes a half-written file

@@ -226,15 +226,20 @@ def parse_insert(sql: str, shadow: str):
         pos += 1
     cols = None
     if pos < len(sql) and sql[pos] == "(":
-        close = shadow.find(")", pos)
-        if close == -1:
-            raise ValueError("INSERT: unterminated column list")
-        cols = []
-        for part in _split_top_level(sql, shadow, pos + 1, close):
-            name, _ = _parse_ident(part, _shadow(part), 0)
-            cols.append(name)
-        pos = close + 1
-    mrest = re.compile(r"\s*(VALUES|SELECT|WITH)\b", re.I).match(shadow, pos)
+        # a '(' here is EITHER the optional column list OR a
+        # parenthesized query source — 'INSERT INTO t (SELECT ...)'
+        # is valid grammar on both engines, and the SELECT TOP
+        # rewrite emits exactly that shape (branch parenthesization)
+        if not re.match(r"\(\s*(SELECT|WITH|VALUES|\()", shadow[pos:], re.I):
+            close = shadow.find(")", pos)
+            if close == -1:
+                raise ValueError("INSERT: unterminated column list")
+            cols = []
+            for part in _split_top_level(sql, shadow, pos + 1, close):
+                name, _ = _parse_ident(part, _shadow(part), 0)
+                cols.append(name)
+            pos = close + 1
+    mrest = re.compile(r"\s*(VALUES|SELECT|WITH|\()", re.I).match(shadow, pos)
     if not mrest:
         raise ValueError("INSERT: expected VALUES or SELECT source")
     kind = "values" if mrest.group(1).upper() == "VALUES" else "select"
@@ -453,24 +458,68 @@ _SEQ_VAL_RE = re.compile(
 )
 
 
+#: Functions whose grammar embeds a FROM keyword that is NOT a table
+#: source (EXTRACT(YEAR FROM ts), SUBSTRING(s FROM 1 FOR 2), ...).
+_FROM_KEYWORD_FUNCS = frozenset(
+    {"extract", "substring", "trim", "position", "overlay"}
+)
+
+
+def _has_table_from(sql: str, shadow: str) -> bool:
+    """True iff a FROM keyword exists whose innermost enclosing paren
+    is not one of the FROM-keyword function calls — i.e. a real query
+    FROM source at any nesting level (main query, subquery,
+    parenthesized INSERT source)."""
+    stack: list[bool] = []  # True = benign function-call paren
+    for m in re.finditer(r"[()]|\bFROM\b", shadow, re.I):
+        t = m.group(0)
+        if t == "(":
+            j = m.start() - 1
+            while j >= 0 and shadow[j].isspace():
+                j -= 1
+            k = j
+            while k >= 0 and (shadow[k].isalnum() or shadow[k] in "_$"):
+                k -= 1
+            stack.append(sql[k + 1 : j + 1].lower() in _FROM_KEYWORD_FUNCS)
+        elif t == ")":
+            if stack:
+                stack.pop()
+        elif not (stack and stack[-1]):
+            return True
+    return False
+
+
 def _substitute_sequence_values(engine, sql: str) -> str:
     """Replace every NEXTVAL('s') / NEXT VALUE FOR s / CURRVAL('s')
     with an allocated (or current) value literal, left to right —
     one allocation per TEXTUAL occurrence, which matches H2's
     per-row evaluation exactly for the dominant client shape
-    (``INSERT ... VALUES`` spells one NEXTVAL per row). A sequence
-    value over a table-driven source (any ``FROM`` in the statement)
-    would need per-result-row allocation that text substitution
-    cannot express — raise instead of silently handing every row the
-    same value."""
+    (``INSERT ... VALUES`` spells one NEXTVAL per row).
+
+    CURRVAL is a session constant — substitutable anywhere,
+    including DELETE/UPDATE predicates. NEXTVAL is NOT: a statement
+    that applies one textual occurrence across many rows (UPDATE /
+    DELETE / MERGE, or any statement carrying a real query FROM
+    source at any nesting — see _has_table_from) would silently hand
+    every row the same value where H2 dispenses per row — those
+    raise instead. Function-keyword FROMs (EXTRACT(YEAR FROM ts),
+    SUBSTRING(s FROM 1)) never trip the guard."""
     from .sequences import SequenceError
 
-    if re.search(r"\bFROM\b", _shadow(sql), re.I):
+    shadow0 = _shadow(sql)
+    has_nextval = re.search(
+        r"\bNEXTVAL\s*\(|\bNEXT\s+VALUE\s+FOR\b", shadow0, re.I
+    )
+    if has_nextval and (
+        re.match(r"\s*(UPDATE|DELETE|MERGE)\b", shadow0, re.I)
+        or _has_table_from(sql, shadow0)
+    ):
         raise SequenceError(
-            "sequence value functions over a table-driven source are "
-            "not supported (values are allocated per textual "
-            "occurrence); generate ids with row_number() + a single "
-            "NEXTVAL base instead"
+            "NEXTVAL in a statement that applies one textual "
+            "occurrence across many rows (UPDATE/DELETE/MERGE or a "
+            "table-driven FROM source) is not supported — values are "
+            "allocated per textual occurrence; generate per-row ids "
+            "with row_number() + a single NEXTVAL base instead"
         )
     while True:
         shadow = _shadow(sql)
@@ -1144,11 +1193,14 @@ def rewrite_h2_dialect(sql: str) -> str:
             i += 1
         rest = sql[end:]
         sep = "" if (not rest or rest[0] in ") \n\t") else " "
+        # LIMIT goes on its own line: the branch body may end with a
+        # '--' line comment, and appending on the same line would
+        # bury the LIMIT (and the closing paren) inside the comment
         sql = (
             sql[: m.start()]
             + "(SELECT"
-            + sql[m.end() : end].rstrip()
-            + f" LIMIT {m.group(1)})"
+            + sql[m.end() : end]
+            + f"\nLIMIT {m.group(1)})"
             + sep
             + rest
         )

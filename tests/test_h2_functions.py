@@ -137,3 +137,18 @@ def test_truncate_negative_and_extreme_scales(engine):
     assert _one(engine, "TRUNCATE(3.7, 15)") == 3.7
     assert _one(engine, "TRUNCATE(0.5, -30)") == 0.0
     assert _one(engine, "TRUNCATE(CAST(NULL AS DOUBLE), 2)") is None
+
+
+def test_truncate_boundaries_and_long_renderings(engine):
+    """r9 review round 2: the decimal domain is [|x| < 1e19,
+    -20 < d < 18] with identity/zero outside (no ANSI aborts at the
+    former d=-26 overflow boundary), and 17-fractional-digit shortest
+    renderings truncate DOWN like H2's BigDecimal.setScale — a
+    scale-12 cast would HALF_UP 0.09999999999999999 to 0.1."""
+    assert _one(engine, "TRUNCATE(0.09999999999999999, 1)") == 0.0
+    assert _one(engine, "TRUNCATE(5.0, -19)") == 0.0
+    assert _one(engine, "TRUNCATE(5.0, -20)") == 0.0
+    assert _one(engine, "TRUNCATE(5.0, -26)") == 0.0
+    assert _one(engine, "TRUNCATE(1.23456, 17)") == 1.23456
+    assert _one(engine, "TRUNCATE(3.7, 18)") == 3.7
+    assert _one(engine, "TRUNCATE(1e19, 2)") == 1e19

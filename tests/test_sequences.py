@@ -242,3 +242,48 @@ def test_sequence_random_op_chains_match_model(spark, warehouse_dir):
             eng.execute_sql(f"DROP SEQUENCE IF EXISTS {name}")
 
     run()
+
+
+def test_nextval_multi_row_statements_guarded(engine):
+    """NEXTVAL in UPDATE/DELETE/MERGE (one textual occurrence, many
+    affected rows) raises instead of handing every row one value;
+    CURRVAL — a session constant — works in those same statements,
+    and function-keyword FROMs (EXTRACT) never trip the guard (r9
+    review round 2)."""
+    engine.execute_sql("CREATE SEQUENCE mg")
+    engine.csv_create_sink().consume("/seq_m", COLS, b"1,a\r\n2,b\r\n")
+    with pytest.raises(SequenceError, match="UPDATE/DELETE/MERGE"):
+        engine.execute_sql("UPDATE seq_m SET k = NEXTVAL('mg') WHERE k > 0")
+    with pytest.raises(SequenceError, match="UPDATE/DELETE/MERGE"):
+        engine.execute_sql("DELETE FROM seq_m WHERE k = NEXTVAL('mg')")
+    # CURRVAL in a DELETE predicate is fine (session constant)
+    engine.execute_sql("SELECT NEXTVAL('mg') AS v")  # currval := 1
+    n = engine.execute_sql("DELETE FROM seq_m WHERE k = CURRVAL('mg')")
+    assert n == 1
+    # EXTRACT's FROM keyword is not a table source
+    n = engine.execute_sql(
+        "INSERT INTO seq_m (k, v) VALUES (NEXTVAL('mg'), "
+        "CAST(EXTRACT(YEAR FROM TIMESTAMP '2020-01-01 00:00:00') AS STRING))"
+    )
+    assert n == 1
+    got = sorted((float(r.k), r.v) for r in engine.table("seq_m").collect())
+    assert (2.0, "2020") in got
+    # a real subquery FROM anywhere still raises
+    with pytest.raises(SequenceError, match="table-driven"):
+        engine.execute_sql(
+            "INSERT INTO seq_m (k) VALUES ((SELECT NEXTVAL('mg') FROM range(3)))"
+        )
+
+
+def test_sequence_corrupt_state_surfaces(spark, warehouse_dir, tmp_path):
+    """Corrupt state must raise, never silently reset (re-dispensing
+    already-allocated ids would break durable uniqueness)."""
+    eng = Engine.from_config(
+        json.dumps({"connectionUri": warehouse_dir}), spark=spark
+    )
+    eng.execute_sql("CREATE SEQUENCE cr1")
+    eng.execute_sql("SELECT NEXTVAL('cr1') AS v")
+    with open(eng.sequences.path, "w") as f:
+        f.write("{not json")
+    with pytest.raises(SequenceError, match="unreadable"):
+        eng.execute_sql("SELECT NEXTVAL('cr1') AS v")

@@ -736,18 +736,18 @@ def test_rewrite_h2_dialect_top():
     from quasar_destination_h2_spark.sql_dml import rewrite_h2_dialect as rw
 
     assert rw("SELECT TOP 3 k FROM t ORDER BY k") == (
-        "(SELECT k FROM t ORDER BY k LIMIT 3)"
+        "(SELECT k FROM t ORDER BY k\nLIMIT 3)"
     )
     assert rw("SELECT TOP 5 DISTINCT k FROM t") == (
-        "(SELECT DISTINCT k FROM t LIMIT 5)"
+        "(SELECT DISTINCT k FROM t\nLIMIT 5)"
     )
     assert rw("SELECT n FROM (SELECT TOP 2 k FROM t ORDER BY k) s") == (
-        "SELECT n FROM ((SELECT k FROM t ORDER BY k LIMIT 2)) s"
+        "SELECT n FROM ((SELECT k FROM t ORDER BY k\nLIMIT 2)) s"
     )
     # nested: both rewritten, each at its own scope
     assert rw(
         "SELECT TOP 1 * FROM (SELECT TOP 2 k FROM t ORDER BY k) s"
-    ) == "(SELECT * FROM ((SELECT k FROM t ORDER BY k LIMIT 2)) s LIMIT 1)"
+    ) == "(SELECT * FROM ((SELECT k FROM t ORDER BY k\nLIMIT 2)) s\nLIMIT 1)"
     # literal and quoted-identifier text survives verbatim
     assert rw("SELECT 'SELECT TOP 3' AS s FROM t") == (
         "SELECT 'SELECT TOP 3' AS s FROM t"
@@ -802,13 +802,13 @@ def test_rewrite_h2_dialect_top_binds_to_branch():
     from quasar_destination_h2_spark.sql_dml import rewrite_h2_dialect as rw
 
     assert rw("SELECT TOP 2 k FROM a UNION ALL SELECT k FROM b") == (
-        "(SELECT k FROM a LIMIT 2) UNION ALL SELECT k FROM b"
+        "(SELECT k FROM a \nLIMIT 2) UNION ALL SELECT k FROM b"
     )
     assert rw("SELECT k FROM a UNION SELECT TOP 3 k FROM b") == (
-        "SELECT k FROM a UNION (SELECT k FROM b LIMIT 3)"
+        "SELECT k FROM a UNION (SELECT k FROM b\nLIMIT 3)"
     )
     assert rw("SELECT TOP 1 k FROM a EXCEPT SELECT TOP 2 k FROM b") == (
-        "(SELECT k FROM a LIMIT 1) EXCEPT (SELECT k FROM b LIMIT 2)"
+        "(SELECT k FROM a \nLIMIT 1) EXCEPT (SELECT k FROM b\nLIMIT 2)"
     )
 
 
@@ -867,3 +867,28 @@ def test_merge_using_duplicate_set_targets_raise(engine):
             "ON tg.k = s.k "
             "WHEN MATCHED THEN UPDATE SET v = s.v, V = 'x'"
         )
+
+
+def test_h2_dialect_top_in_insert_source(engine):
+    """INSERT ... SELECT TOP n survives the branch parenthesization:
+    parse_insert accepts a parenthesized query source (r9 review
+    round 2 — the first parenthesization broke this shape)."""
+    t = _load(engine)
+    physical = engine.sink.catalog[t]
+    n = engine.execute_sql(
+        f"INSERT INTO {t} SELECT TOP 1 k + 100, v FROM "
+        f"(SELECT k, v FROM {physical} ORDER BY k) z"
+    )
+    assert n == 1
+    assert (101.0, "a") in _rows(engine, t)
+
+
+def test_h2_dialect_top_with_trailing_comment():
+    """A trailing -- comment must not swallow the appended LIMIT or
+    the closing paren (LIMIT goes on its own line)."""
+    from quasar_destination_h2_spark.sql_dml import rewrite_h2_dialect as rw
+
+    out = rw("SELECT TOP 2 a FROM t -- note")
+    assert out == "(SELECT a FROM t -- note\nLIMIT 2)"
+    out2 = rw("SELECT TOP 2 a FROM t -- c\nUNION SELECT b FROM u")
+    assert out2 == "(SELECT a FROM t -- c\n\nLIMIT 2) UNION SELECT b FROM u"
