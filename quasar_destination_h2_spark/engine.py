@@ -181,6 +181,72 @@ class Engine:
             stop_sql_endpoint(self._servers.pop())
         self.endpoint_started = False
 
+    def build_ivf_index(
+        self,
+        name: str,
+        emb: DataFrame,
+        n_list: int = 16,
+        kmeans_iters: int = 2,
+        n_buckets: int = 32,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """[EXT] Build-once ANN index lifecycle: k-means-refine the
+        IVF coarse quantizer (``kmeans_iters`` = 0 keeps the md5
+        seeds), materialize the centroids as ``{name}_centroids``
+        (n_list rows) and the assignment as ``{name}_assigned``
+        BUCKETED by centroid_id — every subsequent :meth:`ann_topk`
+        probe joins co-located inverted lists with no corpus-side
+        shuffle (the semantic_dedup ``assigned=`` story, productized;
+        pinned by tests/test_bucketing.py::test_ann_index_lifecycle).
+        Rebuild cost is paid ONCE per corpus refresh, probes pay
+        only their own bounded work."""
+        from .operators import similarity
+
+        cents = (
+            similarity.kmeans_refine(
+                emb, id_col, vec_col, n_list, iters=kmeans_iters
+            )
+            if kmeans_iters
+            else similarity.ivf_centroids(
+                emb, id_col, vec_col, n_list
+            ).localCheckpoint()
+        )
+        assigned = similarity.ivf_assign(emb, cents, id_col, vec_col)
+        self.drop_table_if_exists(f"{name}_centroids")
+        self.create_table_as(f"{name}_centroids", cents)
+        self.materialize_bucketed(
+            f"{name}_assigned", assigned, ["centroid_id"], n_buckets
+        )
+
+    def ann_topk(
+        self,
+        name: str,
+        queries: DataFrame,
+        k: int = 5,
+        nprobe: int = 2,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "qv",
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """[EXT] Query-table-driven ANN search over an index built by
+        :meth:`build_ivf_index` — probes the stored bucketed
+        inverted lists; no rebuild, no per-query replanning."""
+        from .operators import similarity
+
+        return similarity.ann_search(
+            self.table(f"{name}_assigned"),
+            self.table(f"{name}_centroids"),
+            queries,
+            k=k,
+            nprobe=nprobe,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+
     @property
     def sequences(self):
         """H2 sequence registry (CREATE SEQUENCE / NEXTVAL / ...):

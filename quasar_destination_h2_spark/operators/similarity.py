@@ -638,6 +638,73 @@ def ivf_topk_nprobe(
     )
 
 
+def ann_search(
+    assigned: DataFrame,
+    cents: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Query-TABLE-driven IVF probe over a PRE-BUILT index — the
+    serving form of the ANN stack (the bm25_search_many analogue):
+    ``queries`` is an external (query_id, qv) table, not a corpus
+    sample; ``assigned``/``cents`` are the built index
+    (ivf_assign + ivf_centroids/kmeans_refine), typically stored
+    ONCE via ``engine.build_ivf_index`` with the assignment
+    bucketed BY centroid_id so every probe join reads co-located
+    inverted lists.
+
+    Shape: the n_list-row centroid frame broadcasts onto the query
+    table (bounded work per query, window top-nprobe per query over
+    the n_list-scored frame), then ONE equality join on centroid_id
+    against the stored lists — per query, nprobe lists are scanned,
+    never the corpus — and a per-query row_number top-k. No rebuild,
+    no per-query replanning; query count scales the probe join's
+    small side only.
+
+    Output: (query_id, neighbor_id, centroid_id, cos_sim, rank)."""
+    probes = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qv"),
+    ).crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "qv",
+        "centroid_id",
+        F.round(cosine(F.col("qv"), F.col("cvec")), 6).alias("_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("centroid_id")
+    )
+    q = (
+        probes.withColumn("_rn", F.row_number().over(wq))
+        .where(F.col("_rn") <= nprobe)
+        .select("query_id", "qv", "centroid_id")
+    )
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        "centroid_id",
+    )
+    scored = c.join(q, "centroid_id").select(
+        "query_id",
+        "neighbor_id",
+        "centroid_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "centroid_id", "cos_sim", "rank")
+    )
+
+
 def ivf_recall(
     emb: DataFrame,
     n_queries: int = 10,

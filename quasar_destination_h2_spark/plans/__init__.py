@@ -9,9 +9,10 @@ from . import ext  # noqa: E402,F401
 # Entering round 9, cumulative driver-witnessed coverage is 177/177
 # (CORRECTNESS_r08: all 22 then-unwitnessed queries went green).
 # The round-9 window keeps the rotation discipline:
-#   * slots 1-8: the eight round-9 registrations (k-means IVF
+#   * slots 1-9: the nine round-9 registrations (k-means IVF
 #     family, batch BM25, the H2-dialect battery, the weighted E-S
-#     sampling pair), witnessed the same round they land;
+#     sampling pair, the ANN index-serving probe), witnessed the
+#     same round they land;
 #   * next: every query whose implementation round 9 touches — the
 #     IVF/ANN operators that gained the cents= parameter
 #     (similarity.py), the cross-corpus dedup refactored for
@@ -32,6 +33,7 @@ _R9_NEW = [
     "h2_dialect_battery",
     "weighted_sample_topk",
     "weighted_sample_stratified",
+    "ann_index_search",
 ]
 
 _DRIVER_WINDOW = [

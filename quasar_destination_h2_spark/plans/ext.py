@@ -3711,3 +3711,67 @@ def q_weighted_sample_stratified(t: TableSet) -> DataFrame:
     each source) — weighted selection that cannot starve a small
     group; one corpus pass, one group-keyed window shuffle."""
     return packing.weighted_sample_stratified(t.documents)
+
+
+@query(
+    "ann_index_search",
+    oracle=f"""
+    WITH {_KM_CTES},
+    q AS (
+      SELECT ea.vec_id AS query_id,
+             list_transform(range(0, {similarity.EMBED_DIM}),
+                            i -> round((ea.v[i+1] + eb.v[i+1]) / 2, 6)) AS qv
+      FROM e ea JOIN e eb ON eb.vec_id = ea.vec_id + 1
+      WHERE ea.vec_id < 5
+    ),
+    probes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.query_id, q.qv, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(q.qv, c.cvec), 6) DESC,
+                          c.centroid_id) AS rn
+        FROM q CROSS JOIN {_KM_CENTS} c) WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, a.centroid_id,
+             round(list_cosine_similarity(p.qv, a.v), 6) AS cos_sim
+      FROM {_KM_ASSIGN} a JOIN probes p USING (centroid_id)
+    )
+    SELECT query_id, neighbor_id, centroid_id, cos_sim,
+           CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_ann_index_search(t: TableSet) -> DataFrame:
+    """The ANN SERVING form: an EXTERNAL query table (deterministic
+    pair-average vectors, not corpus rows) probed against the built
+    k-means-refined IVF index via similarity.ann_search — bounded
+    centroid broadcast onto the query table, one equality join on
+    centroid_id into the inverted lists, per-query window top-5; at
+    scale the index is stored once via engine.build_ivf_index
+    (assignment bucketed by centroid_id) and probes are co-located."""
+    emb = t.embeddings
+    cents = similarity.kmeans_refine(emb)
+    assigned = similarity.ivf_assign(emb, cents).localCheckpoint()
+    a = emb.select(F.col("vec_id").alias("_ia"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("_ib"), F.col("embedding").alias("_vb"))
+    queries = (
+        a.join(b, F.col("_ib") == F.col("_ia") + 1)
+        .where(F.col("_ia") < 5)
+        .select(
+            F.col("_ia").alias("query_id"),
+            F.zip_with(
+                "_va",
+                "_vb",
+                lambda x, y: F.round(
+                    (x.cast("double") + y.cast("double")) / 2, 6
+                ),
+            ).alias("qv"),
+        )
+    )
+    return similarity.ann_search(assigned, cents, queries, k=5, nprobe=2)

@@ -181,3 +181,56 @@ def test_bucketed_semantic_dedup(engine, spark):
         got_i = sorted(map(tuple, inline.collect()))
     assert got_b == got_i and len(got_b) > 0
     assert bx < ix, (bx, ix)
+
+
+def test_ann_index_lifecycle(engine, spark):
+    """Build-once / probe-many: engine.build_ivf_index stores the
+    refined centroids + the centroid-bucketed assignment; ann_topk
+    probes reuse the stored tables (no rebuild — the probe plan scans
+    the index tables, not embeddings), carry fewer hash exchanges
+    than an unbucketed probe, and match the operator composition
+    row-for-row."""
+    from pyspark.sql import functions as F
+
+    from quasar_destination_h2_spark.operators import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    engine.build_ivf_index("annix", emb, n_list=8, kmeans_iters=2)
+    queries = emb.where("vec_id < 5").select(
+        F.col("vec_id").alias("query_id"),
+        F.transform(
+            "embedding", lambda x: F.round(x.cast("double") * 0.5 + 0.01, 6)
+        ).alias("qv"),
+    )
+    with no_auto_broadcast(spark):
+        got = engine.ann_topk("annix", queries, k=3, nprobe=2)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        rows1 = sorted(map(tuple, got.collect()))
+        rows2 = sorted(
+            map(tuple, engine.ann_topk("annix", queries, k=3, nprobe=2).collect())
+        )
+    # probe-many: identical answers, and the probe reads the STORED
+    # index tables — the only embeddings scan is the query-table
+    # input itself (queries here are derived from the corpus)
+    import re as _re
+
+    assert rows1 == rows2 and len(rows1) == 15
+    assert "annix_centroids" in plan and "annix_assigned" in plan
+    n_emb_scans = len(
+        _re.findall(r"FileScan parquet [^\n]*embeddings\.parquet", plan)
+    )
+    assert n_emb_scans == 1, plan
+    # parity with the operator composition over the same index frames
+    cents = engine.table("annix_centroids")
+    assigned = engine.table("annix_assigned")
+    direct = sorted(
+        map(
+            tuple,
+            similarity.ann_search(assigned, cents, queries, k=3, nprobe=2)
+            .collect(),
+        )
+    )
+    assert direct == rows1
+    # kmeans_iters=0 keeps the md5 seeds (baseline index)
+    engine.build_ivf_index("annix0", emb, n_list=8, kmeans_iters=0)
+    assert engine.table("annix0_centroids").count() == 8

@@ -107,6 +107,8 @@ AUDITED = (
     # TakeOrderedAndProject + per-group window forms)
     "weighted_sample_topk",
     "weighted_sample_stratified",
+    # query-table-driven ANN probe over the built IVF index
+    "ann_index_search",
 )
 
 MARKERS = (
@@ -172,6 +174,9 @@ NLJ_OK = frozenset({
     "kmeans_convergence",
     "ann_ivf_recall_kmeans",
     "ivf_kmeans_profile",
+    # r9: the serving probe broadcasts the same bounded n_list-row
+    # centroid frame onto the QUERY table (query-side work only)
+    "ann_index_search",
 })
 
 #: Tables whose repeated FileScan in one plan is a 100 TB scale killer.
@@ -284,6 +289,13 @@ RESCAN_REVIEWED = frozenset({
     # ivf_cluster_profile shape (per-list aggregate + its own 1-row
     # total re-render the same scan subtree in toString()):
     "kmeans_convergence", "ann_ivf_recall_kmeans", "ivf_kmeans_profile",
+    # r9 serving probe: the conformance fixture DERIVES its external
+    # query table from the same embeddings file (pair averages), so
+    # the query-input scan renders beside the checkpointed index; a
+    # production probe reads a real query table and the index tables
+    # stored by engine.build_ivf_index (pytest pins exactly one
+    # embeddings scan — the query input — in the engine path)
+    "ann_index_search",
 })
 
 
