@@ -101,6 +101,8 @@ HEADLINE = (
     "kmeans_convergence",
     "ann_ivf_recall_kmeans",
     "bm25_search_many",
+    # the ANN serving probe (external query table over the built index)
+    "ann_index_search",
 )
 
 
