@@ -101,7 +101,10 @@ HEADLINE = (
     "kmeans_convergence",
     "ann_ivf_recall_kmeans",
     "bm25_search_many",
-    # the ANN serving probe (external query table over the built index)
+    # the ANN serving query family — NOTE: the registered query
+    # rebuilds the k-means index per run (the oracle-replayable
+    # form), so this entry times BUILD + probe; production amortizes
+    # the build via engine.build_ivf_index and pays only the probe
     "ann_index_search",
 )
 

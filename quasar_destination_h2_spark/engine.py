@@ -201,6 +201,8 @@ class Engine:
         pinned by tests/test_bucketing.py::test_ann_index_lifecycle).
         Rebuild cost is paid ONCE per corpus refresh, probes pay
         only their own bounded work."""
+        from pyspark.sql import functions as F
+
         from .operators import similarity
 
         cents = (
@@ -213,10 +215,22 @@ class Engine:
             ).localCheckpoint()
         )
         assigned = similarity.ivf_assign(emb, cents, id_col, vec_col)
-        self.drop_table_if_exists(f"{name}_centroids")
-        self.create_table_as(f"{name}_centroids", cents)
+        # Both tables carry a shared build id, and the heavy write
+        # (the bucketed assignment) lands FIRST: a failure between
+        # the two writes leaves tables from DIFFERENT builds, whose
+        # centroid ids would still join silently — ann_topk verifies
+        # the build ids match and errors instead of serving wrong
+        # neighbors from a torn rebuild.
+        build_id = random_alphanum()
         self.materialize_bucketed(
-            f"{name}_assigned", assigned, ["centroid_id"], n_buckets
+            f"{name}_assigned",
+            assigned.withColumn("build_id", F.lit(build_id)),
+            ["centroid_id"],
+            n_buckets,
+        )
+        self.drop_table_if_exists(f"{name}_centroids")
+        self.create_table_as(
+            f"{name}_centroids", cents.withColumn("build_id", F.lit(build_id))
         )
 
     def ann_topk(
@@ -232,12 +246,27 @@ class Engine:
     ) -> DataFrame:
         """[EXT] Query-table-driven ANN search over an index built by
         :meth:`build_ivf_index` — probes the stored bucketed
-        inverted lists; no rebuild, no per-query replanning."""
+        inverted lists; no rebuild, no per-query replanning. Raises
+        if the two index tables carry different build ids (a torn
+        rebuild — see build_ivf_index)."""
         from .operators import similarity
 
+        assigned = self.table(f"{name}_assigned")
+        cents = self.table(f"{name}_centroids")
+        cid = [r.build_id for r in cents.select("build_id").distinct().collect()]
+        aid = [
+            r.build_id
+            for r in assigned.select("build_id").limit(1).collect()
+        ]
+        if len(cid) != 1 or (aid and cid != aid):
+            raise ValueError(
+                f"ANN index {name!r} is torn (centroids build "
+                f"{cid} vs assignment build {aid}) — re-run "
+                "build_ivf_index"
+            )
         return similarity.ann_search(
-            self.table(f"{name}_assigned"),
-            self.table(f"{name}_centroids"),
+            assigned,
+            cents,
             queries,
             k=k,
             nprobe=nprobe,

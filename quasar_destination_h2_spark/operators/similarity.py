@@ -648,6 +648,7 @@ def ann_search(
     query_vec_col: str = "qv",
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Query-TABLE-driven IVF probe over a PRE-BUILT index — the
     serving form of the ANN stack (the bm25_search_many analogue):
@@ -665,6 +666,15 @@ def ann_search(
     never the corpus — and a per-query row_number top-k. No rebuild,
     no per-query replanning; query count scales the probe join's
     small side only.
+
+    ``broadcast_queries`` (default True — the serving contract: a
+    probe call carries a bounded query BATCH) hints the probe frame
+    into the list join exactly like ivf_topk_nprobe, so the stored
+    corpus streams with zero corpus-side exchange. Pass False for a
+    query table that rivals the corpus (offline all-pairs scoring):
+    the join falls back to a key join AQE plans — with the index
+    stored bucketed by centroid_id, the corpus side still reads
+    co-located buckets without a shuffle.
 
     Output: (query_id, neighbor_id, centroid_id, cos_sim, rank)."""
     probes = queries.select(
@@ -689,7 +699,9 @@ def ann_search(
         F.col(vec_col).alias("cv"),
         "centroid_id",
     )
-    scored = c.join(q, "centroid_id").select(
+    scored = c.join(
+        F.broadcast(q) if broadcast_queries else q, "centroid_id"
+    ).select(
         "query_id",
         "neighbor_id",
         "centroid_id",

@@ -231,6 +231,24 @@ def test_ann_index_lifecycle(engine, spark):
         )
     )
     assert direct == rows1
+    # the bucketed store earns its keep: the co-located probe carries
+    # fewer hash exchanges than the same probe over an UNBUCKETED
+    # copy of the assignment (broadcast hint disabled on both sides
+    # so the join strategy, not the hint, is what differs)
+    with no_auto_broadcast(spark):
+        unbucketed = assigned.localCheckpoint()
+        bx = engine.ann_topk(
+            "annix", queries, k=3, nprobe=2
+        )._jdf.queryExecution().executedPlan().toString().count(
+            "Exchange hashpartitioning"
+        )
+        ux = similarity.ann_search(
+            unbucketed, cents, queries, k=3, nprobe=2,
+            broadcast_queries=False,
+        )._jdf.queryExecution().executedPlan().toString().count(
+            "Exchange hashpartitioning"
+        )
+    assert bx <= ux, (bx, ux)
     # kmeans_iters=0 keeps the md5 seeds (baseline index)
     engine.build_ivf_index("annix0", emb, n_list=8, kmeans_iters=0)
     assert engine.table("annix0_centroids").count() == 8

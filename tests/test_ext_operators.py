@@ -2764,3 +2764,37 @@ def test_weighted_sample_stratified_per_group(spark, t):
         assert n == min(5, sizes[src]), (src, n)
     for r in rows:
         assert 1 <= r.rank <= 5
+
+
+def test_ann_search_parity_with_ivf_topk_nprobe(t):
+    """ann_search and ivf_topk_nprobe share probe semantics (same
+    rounding, same tie-breaks): probing the SAME index with corpus
+    rows as the query table, ann_search's rank-1 hit is the query
+    itself (cos 1.0) and ranks 2..k+1 reproduce ivf_topk_nprobe's
+    1..k exactly — pinning the two implementations together so a
+    change to one cannot silently drift the other (r9 review)."""
+    from pyspark.sql import functions as F
+
+    emb = t.embeddings
+    cents = similarity.ivf_centroids(emb).localCheckpoint()
+    assigned = similarity.ivf_assign(emb, cents).localCheckpoint()
+    via_nprobe = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in similarity.ivf_topk_nprobe(
+            emb, n_queries=10, k=3, nprobe=2, cents=cents
+        ).collect()
+    }
+    queries = emb.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    via_search = similarity.ann_search(
+        assigned, cents, queries, k=4, nprobe=2
+    ).collect()
+    for r in via_search:
+        if r.rank == 1:
+            assert r.neighbor_id == r.query_id and r.cos_sim == 1.0, r
+        else:
+            assert via_nprobe[(r.query_id, r.rank - 1)] == (
+                r.neighbor_id,
+                r.cos_sim,
+            ), r
