@@ -254,11 +254,17 @@ class Engine:
         assigned = self.table(f"{name}_assigned")
         cents = self.table(f"{name}_centroids")
         cid = [r.build_id for r in cents.select("build_id").distinct().collect()]
-        aid = [
+        # DISTINCT over the assignment side, not limit(1): a torn
+        # overwrite / bad append can leave rows from SEVERAL builds
+        # interleaved, and a sampled single row can accidentally
+        # match the centroids' id while wrong-build rows still
+        # serve. Build ids are few by construction (one per build;
+        # appends reuse the build's id), so the distinct is bounded.
+        aid = sorted(
             r.build_id
-            for r in assigned.select("build_id").limit(1).collect()
-        ]
-        if len(cid) != 1 or (aid and cid != aid):
+            for r in assigned.select("build_id").distinct().collect()
+        )
+        if len(cid) != 1 or (aid and aid != cid):
             raise ValueError(
                 f"ANN index {name!r} is torn (centroids build "
                 f"{cid} vs assignment build {aid}) — re-run "

@@ -170,3 +170,18 @@ class Sequences:
 
     def exists(self, name: str) -> bool:
         return name.casefold() in self._read()
+
+    def describe(self, name: str) -> dict:
+        """Current durable state of one sequence: ``{"next": int,
+        "inc": int, "start": int}`` — read-only snapshot (allocation
+        still goes through :meth:`nextval`'s lock)."""
+        key = name.casefold()
+        state = self._read()
+        if key not in state:
+            raise SequenceError(f"sequence not found: {name!r}")
+        return dict(state[key])
+
+    def names(self) -> list[str]:
+        """All registered sequence names (casefolded storage keys),
+        sorted — the INFORMATION_SCHEMA.SEQUENCES row source."""
+        return sorted(self._read())

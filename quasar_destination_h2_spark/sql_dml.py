@@ -230,7 +230,13 @@ def parse_insert(sql: str, shadow: str):
         # parenthesized query source — 'INSERT INTO t (SELECT ...)'
         # is valid grammar on both engines, and the SELECT TOP
         # rewrite emits exactly that shape (branch parenthesization)
-        if not re.match(r"\(\s*(SELECT|WITH|VALUES|\()", shadow[pos:], re.I):
+        # keyword must be a whole word: a column named `selector` or
+        # `values_x` in the optional column list is NOT a query source
+        # (`$` is a word char in H2 identifiers but not in \b, hence
+        # the explicit lookahead)
+        if not re.match(
+            r"\(\s*(?:(?:SELECT|WITH|VALUES)\b(?![$])|\()", shadow[pos:], re.I
+        ):
             close = shadow.find(")", pos)
             if close == -1:
                 raise ValueError("INSERT: unterminated column list")
@@ -239,10 +245,13 @@ def parse_insert(sql: str, shadow: str):
                 name, _ = _parse_ident(part, _shadow(part), 0)
                 cols.append(name)
             pos = close + 1
-    mrest = re.compile(r"\s*(VALUES|SELECT|WITH|\()", re.I).match(shadow, pos)
+    mrest = re.compile(r"\s*(?:(VALUES|SELECT|WITH)\b(?![$])|(\())", re.I).match(
+        shadow, pos
+    )
     if not mrest:
         raise ValueError("INSERT: expected VALUES or SELECT source")
-    kind = "values" if mrest.group(1).upper() == "VALUES" else "select"
+    kw = mrest.group(1)
+    kind = "values" if kw is not None and kw.upper() == "VALUES" else "select"
     source = (
         sql[mrest.end() :].strip() if kind == "values" else sql[mrest.start() :].strip()
     )
@@ -302,7 +311,26 @@ def _conform_source(engine, target, names, kind, source, verb="INSERT"):
     )
     if kind == "values":
         quoted = ", ".join(f"`{c}`" for c in names)
-        src = engine.spark.sql(f"SELECT * FROM VALUES {source} AS T({quoted})")
+        vshadow = _shadow(source)
+        if re.search(r"\bSELECT\b", vshadow, re.I):
+            # Spark's inline tables reject scalar subqueries
+            # (SCALAR_SUBQUERY_IN_VALUES) where H2 accepts
+            # ``VALUES (NEXTVAL('s'), (SELECT MAX(x) FROM u))`` —
+            # rewrite each VALUES row as a SELECT and UNION ALL
+            # them (bounded: as many branches as spelled rows)
+            selects = []
+            for r in _split_top_level(source, vshadow, 0, len(source)):
+                r = r.strip()
+                if not (r.startswith("(") and r.endswith(")")):
+                    raise ValueError(
+                        f"{verb}: malformed VALUES row: {r[:80]!r}"
+                    )
+                selects.append("SELECT " + r[1:-1])
+            src = engine.spark.sql(" UNION ALL ".join(selects)).toDF(*names)
+        else:
+            src = engine.spark.sql(
+                f"SELECT * FROM VALUES {source} AS T({quoted})"
+            )
     else:
         src = engine.spark.sql(source).toDF(*names)
     provided = {res[c]: s for c, s in zip(names, src.columns)}
@@ -497,38 +525,74 @@ def _substitute_sequence_values(engine, sql: str) -> str:
     (``INSERT ... VALUES`` spells one NEXTVAL per row).
 
     CURRVAL is a session constant — substitutable anywhere,
-    including DELETE/UPDATE predicates. NEXTVAL is NOT: a statement
-    that applies one textual occurrence across many rows (UPDATE /
-    DELETE / MERGE, or any statement carrying a real query FROM
-    source at any nesting — see _has_table_from) would silently hand
-    every row the same value where H2 dispenses per row — those
-    raise instead. Function-keyword FROMs (EXTRACT(YEAR FROM ts),
-    SUBSTRING(s FROM 1)) never trip the guard."""
+    including DELETE/UPDATE predicates. NEXTVAL is NOT a constant:
+
+    * UPDATE / DELETE / MERGE apply one textual occurrence across
+      many existing rows; substituting one literal would silently
+      hand every row the same value where H2 dispenses per row —
+      those raise.
+    * ``INSERT ... VALUES``: one textual occurrence IS one row's
+      evaluation — plain substitution, including when a VALUES
+      expression carries a scalar subquery with its own FROM
+      (``VALUES (NEXTVAL('s'), (SELECT MAX(x) FROM u))`` — the
+      occurrence still evaluates exactly once).
+    * ``INSERT ... SELECT`` over a table-driven source: H2
+      allocates per RESULT row. NEXTVAL is left in the text here
+      (only CURRVAL is substituted) and the INSERT execution path
+      allocates the whole range atomically and assigns values by a
+      deterministic row_number — see :func:`_rewrite_nextval_select`.
+    * a bare ``SELECT NEXTVAL(..) FROM t`` (not an INSERT source)
+      still raises: the statement surface returns a lazy DataFrame,
+      and per-row allocation at plan-build time would dispense
+      values for rows that may never be consumed.
+
+    Function-keyword FROMs (EXTRACT(YEAR FROM ts), SUBSTRING(s FROM
+    1)) never trip the table-driven detection."""
     from .sequences import SequenceError
 
     shadow0 = _shadow(sql)
     has_nextval = re.search(
         r"\bNEXTVAL\s*\(|\bNEXT\s+VALUE\s+FOR\b", shadow0, re.I
     )
-    if has_nextval and (
-        re.match(r"\s*(UPDATE|DELETE|MERGE)\b", shadow0, re.I)
-        or _has_table_from(sql, shadow0)
-    ):
-        raise SequenceError(
-            "NEXTVAL in a statement that applies one textual "
-            "occurrence across many rows (UPDATE/DELETE/MERGE or a "
-            "table-driven FROM source) is not supported — values are "
-            "allocated per textual occurrence; generate per-row ids "
-            "with row_number() + a single NEXTVAL base instead"
+    currval_only = False
+    if has_nextval:
+        if re.match(r"\s*(UPDATE|DELETE|MERGE)\b", shadow0, re.I):
+            raise SequenceError(
+                "NEXTVAL in UPDATE/DELETE/MERGE is not supported — "
+                "one textual occurrence would apply across many "
+                "existing rows where H2 dispenses per row"
+            )
+        if re.match(r"\s*INSERT\b", shadow0, re.I):
+            try:
+                _t, _c, kind, source = parse_insert(sql, shadow0)
+            except ValueError:
+                kind, source = None, None
+            if kind == "select":
+                sshadow = _shadow(source)
+                if re.search(
+                    r"\bNEXTVAL\s*\(|\bNEXT\s+VALUE\s+FOR\b", sshadow, re.I
+                ) and _has_table_from(source, sshadow):
+                    # per-row allocation handled at INSERT execution
+                    currval_only = True
+        elif _has_table_from(sql, shadow0):
+            raise SequenceError(
+                "NEXTVAL over a table-driven SELECT is supported "
+                "only as an INSERT source (INSERT INTO t SELECT "
+                "NEXTVAL('s'), ... FROM u) — a bare SELECT would "
+                "allocate at plan-build time for rows that may "
+                "never be consumed"
+            )
+    pattern = (
+        r"\b(CURRVAL)\s*\(\s*'([^']*)'\s*\)"
+        if currval_only
+        else (
+            r"\b(NEXTVAL|CURRVAL)\s*\(\s*'([^']*)'\s*\)"
+            r"|\bNEXT\s+VALUE\s+FOR\s+"
         )
+    )
     while True:
         shadow = _shadow(sql)
-        m = re.search(
-            r"\b(NEXTVAL|CURRVAL)\s*\(\s*'([^']*)'\s*\)"
-            r"|\bNEXT\s+VALUE\s+FOR\s+",
-            shadow,
-            re.I,
-        )
+        m = re.search(pattern, shadow, re.I)
         if not m:
             return sql
         if m.group(1) is None:  # NEXT VALUE FOR ident
@@ -548,6 +612,179 @@ def _substitute_sequence_values(engine, sql: str) -> str:
         sql = sql[: m.start()] + str(v) + sql[end:]
 
 
+#: NEXTVAL occurrences (both spellings) — used by the per-row INSERT
+#: source rewrite. Group 2 is the quoted name for the NEXTVAL form;
+#: the NEXT VALUE FOR form parses its identifier after the match.
+_NEXTVAL_OCC_RE = re.compile(
+    r"\bNEXTVAL\s*\(\s*'([^']*)'\s*\)|\bNEXT\s+VALUE\s+FOR\s+", re.I
+)
+
+
+def _rewrite_nextval_select(engine, source: str):
+    """Per-row NEXTVAL over a table-driven INSERT source, H2-style.
+
+    ``INSERT INTO t SELECT NEXTVAL('s'), x FROM u`` allocates one
+    value per result row in H2. A distributed engine cannot stream
+    per-row allocations through a driver-side counter, so the range
+    is allocated ONCE, atomically (``Sequences.nextval(n)`` under the
+    flock), and assigned to rows by a deterministic ``row_number()``:
+
+    1. evaluate the source's FROM-tail once (``SELECT * FROM ...``),
+       attach ``row_number() OVER (ORDER BY <all source columns>)``,
+       and ``localCheckpoint`` it so the count and the insert read
+       the SAME snapshot (no torn double-scan);
+    2. count rows, atomically allocate the full range per referenced
+       sequence;
+    3. replace each NEXTVAL occurrence in the projection with
+       ``(base + (rn - 1) * inc)`` and re-project from a temp view
+       over the checkpointed rows.
+
+    The row→value pairing is deterministic (total order over all
+    source columns; duplicate rows are interchangeable, so the
+    result MULTISET is still deterministic) — one of the
+    unspecified-order assignments H2 itself may produce. Multiple
+    occurrences of the SAME sequence in one row receive the same
+    value (SQL-standard NEXT VALUE FOR semantics). The global sort
+    behind row_number is the price of determinism; the allocation
+    itself is O(1) driver work regardless of row count.
+
+    Supported source shape: a plain outer SELECT list over a FROM
+    tail (WHERE/ORDER BY/LIMIT fine). WITH, DISTINCT, GROUP BY /
+    HAVING, and set operators raise a clear unsupported error. A
+    bare depth-0 ``*`` in the projection is expanded to the source's
+    column list so the injected row-number column never leaks into
+    the insert arity.
+
+    Returns ``(new_source_sql, cleanup)`` — run ``cleanup()`` after
+    the insert to drop the temp view."""
+    import uuid
+
+    from pyspark.sql import Window
+
+    from .sequences import SequenceError
+
+    shadow = _shadow(source)
+    m0 = re.match(r"\s*SELECT\b", shadow, re.I)
+    if not m0 or re.match(r"\s*SELECT\s+DISTINCT\b", shadow, re.I):
+        raise SequenceError(
+            "NEXTVAL over a table-driven INSERT source is supported "
+            "only for a plain SELECT list (no WITH / DISTINCT / "
+            "parenthesized source)"
+        )
+    # depth-0 FROM splits projection from tail
+    depth, from_pos = 0, None
+    for mm in re.finditer(r"[()]|\bFROM\b", shadow, re.I):
+        t = mm.group(0)
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            from_pos = mm.start()
+            break
+    if from_pos is None:
+        raise SequenceError(
+            "NEXTVAL INSERT source: expected a depth-0 FROM"
+        )
+    proj, tail = source[m0.end() : from_pos], source[from_pos:]
+    tshadow = shadow[from_pos:]
+    depth = 0
+    for mm in re.finditer(
+        r"[()]|\bGROUP\s+BY\b|\bHAVING\b|\bUNION\b|\bINTERSECT\b"
+        r"|\bEXCEPT\b|\bMINUS\b",
+        tshadow,
+        re.I,
+    ):
+        t = mm.group(0)
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            raise SequenceError(
+                f"NEXTVAL INSERT source: {t.upper().split()[0]} in the "
+                "source is not supported with per-row allocation"
+            )
+    rn_col = f"__seq_rn_{uuid.uuid4().hex[:8]}__"
+    inner = engine.spark.sql("SELECT * " + tail)
+    src_cols = list(inner.columns)
+    inner_rn = inner.withColumn(
+        rn_col,
+        F.row_number().over(
+            Window.orderBy(*[F.col(f"`{c}`") for c in src_cols])
+        ),
+    ).localCheckpoint()
+    n = inner_rn.count()
+    # one formula per distinct sequence; same-row occurrences of the
+    # same sequence share it (same rn -> same value)
+    exprs: dict = {}
+
+    def _expr_for(name: str) -> str:
+        key = name.casefold()
+        if key not in exprs:
+            inc = engine.sequences.describe(name)["inc"]
+            vals = engine.sequences.nextval(name, n) if n else []
+            base = vals[0] if vals else 0
+            exprs[key] = f"({base} + (`{rn_col}` - 1) * ({inc}))"
+        return exprs[key]
+
+    while True:
+        pshadow = _shadow(proj)
+        mo = _NEXTVAL_OCC_RE.search(pshadow)
+        if not mo:
+            break
+        if mo.group(1) is not None:  # NEXTVAL('name') — name in literal
+            name = proj[mo.start(1) : mo.end(1)]
+            end = mo.end()
+        else:  # NEXT VALUE FOR ident
+            name, end = _parse_ident(proj, pshadow, mo.end())
+        proj = proj[: mo.start()] + _expr_for(name) + proj[end:]
+    # expand a bare depth-0 `*` so the rn column never leaks
+    star_expansion = ", ".join(f"`{c}`" for c in src_cols)
+    out, depth = [], 0
+    pshadow = _shadow(proj)
+    for i, ch in enumerate(proj):
+        if pshadow[i] == "(":
+            depth += 1
+        elif pshadow[i] == ")":
+            depth -= 1
+        if ch == "*" and depth == 0 and pshadow[i] == "*":
+            prev = proj[:i].rstrip()
+            if prev == "" or prev.endswith(","):
+                out.append(star_expansion)
+                continue
+        out.append(ch)
+    proj = "".join(out)
+    view = f"__seq_src_{uuid.uuid4().hex[:8]}__"
+    inner_rn.createOrReplaceTempView(view)
+
+    def cleanup():
+        engine.spark.catalog.dropTempView(view)
+
+    return f"SELECT {proj} FROM {view}", cleanup
+
+
+def _reject_sequence_tail(tail: str, consumed, ddl: str) -> None:
+    """H2 sequence DDL accepts more options than this layer supports
+    (MINVALUE/MAXVALUE/CYCLE/CACHE/NO CACHE/...). Silently ignoring
+    one would be a silent semantic divergence — a ``CREATE SEQUENCE
+    ... CYCLE`` that never wraps — so any tail text not consumed by
+    the supported-option regexes raises a loud unsupported error."""
+    residue = list(tail)
+    for mo in consumed:
+        if mo is not None:
+            for i in range(mo.start(), mo.end()):
+                residue[i] = " "
+    from .sequences import SequenceError
+
+    leftover = "".join(residue).replace(";", " ").strip()
+    if leftover:
+        raise SequenceError(
+            f"{ddl}: unsupported sequence option(s): {leftover.split()[0]!r}"
+            " (supported: START WITH n, INCREMENT BY n, RESTART [WITH n])"
+        )
+
+
 def _execute_verb(engine, statement: str, shadow: str, m):
     from .errors import NotAResource
 
@@ -562,15 +799,33 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         return engine.delete_where(_logical(engine, table), cond)
 
     if verb == "INSERT":
+        from .sequences import SequenceError
+
         table, cols, kind, source = parse_insert(statement, shadow)
+        deferred_nextval = kind == "select" and _NEXTVAL_OCC_RE.search(
+            _shadow(source)
+        )
         try:
             logical = _logical(engine, table)
         except NotAResource:
+            if deferred_nextval:
+                raise SequenceError(
+                    "NEXTVAL over a table-driven source targets a "
+                    "session-managed table — supported only for "
+                    "engine-catalog tables"
+                )
             return engine.sql(statement)  # session-managed table
         target = engine.table(logical)
         names = cols if cols is not None else list(target.columns)
-        src = _conform_source(engine, target, names, kind, source)
-        return engine.insert_rows(logical, src)
+        cleanup = None
+        if deferred_nextval:
+            source, cleanup = _rewrite_nextval_select(engine, source)
+        try:
+            src = _conform_source(engine, target, names, kind, source)
+            return engine.insert_rows(logical, src)
+        finally:
+            if cleanup is not None:
+                cleanup()
 
     if verb == "CREATE":
         ms = re.match(
@@ -583,6 +838,7 @@ def _execute_verb(engine, statement: str, shadow: str, m):
             tail = shadow[pos:]
             start = re.search(r"\bSTART\s+WITH\s+(-?\d+)", tail, re.I)
             inc = re.search(r"\bINCREMENT\s+BY\s+(-?\d+)", tail, re.I)
+            _reject_sequence_tail(tail, (start, inc), "CREATE SEQUENCE")
             engine.sequences.create(
                 name,
                 int(start.group(1)) if start else 1,
@@ -658,6 +914,7 @@ def _execute_verb(engine, statement: str, shadow: str, m):
             tail = shadow[pos:]
             restart = re.search(r"\bRESTART(?:\s+WITH\s+(-?\d+))?", tail, re.I)
             inc = re.search(r"\bINCREMENT\s+BY\s+(-?\d+)", tail, re.I)
+            _reject_sequence_tail(tail, (restart, inc), "ALTER SEQUENCE")
             if not restart and not inc:
                 raise ValueError(
                     "ALTER SEQUENCE: expected RESTART [WITH n] "
@@ -1096,9 +1353,16 @@ def rewrite_h2_dialect(sql: str) -> str:
       rewritten to ``TIMESTAMPDIFF(unit, DATE_TRUNC(unit, a),
       DATE_TRUNC(unit, b))``, where complete-units-between-
       boundaries equals boundary crossings. Spark's own 2-arg
-      ``datediff(end, start)`` is untouched; ``TIMESTAMPDIFF`` is
-      rewritten only in its H2-only QUOTED-unit form so bare
-      Spark-native text keeps Spark semantics.
+      ``datediff(end, start)`` is untouched. NOTE the asymmetry,
+      deliberate on this H2-compat surface: 3-arg ``DATEDIFF`` is
+      H2 grammar whether the unit is quoted or bare (an H2 client
+      writes ``DATEDIFF(DAY, a, b)`` unquoted and expects boundary
+      counting, so bare-unit 3-arg DATEDIFF gets H2 semantics here,
+      NOT Spark's complete-elapsed-unit ``timestampdiff`` alias),
+      while ``TIMESTAMPDIFF`` — a Spark-native spelling H2 1.4.200
+      does not document — is rewritten only in its QUOTED-unit form,
+      so bare ``TIMESTAMPDIFF(unit, a, b)`` text keeps Spark
+      semantics.
 
     H2's other conveniences need no rewrite and are pinned by tests
     instead: IFNULL/NVL/NVL2 are native Spark, Spark's

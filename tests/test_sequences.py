@@ -91,18 +91,100 @@ def test_sequence_state_is_durable_across_engines(spark, warehouse_dir):
         c.execute_sql("SELECT CURRVAL('shared') AS v")
 
 
-def test_sequence_table_source_guarded(engine):
-    """NEXTVAL over a table-driven source would hand every row the
-    same substituted literal — a clear error instead."""
+def test_sequence_table_source_per_row(engine):
+    """``INSERT INTO t SELECT NEXTVAL('s'), ... FROM u`` allocates
+    per result row like H2 (r9 verdict task 2): the range is taken
+    atomically and assigned by a deterministic row_number, so the
+    inserted ids are exactly the dispensed range and the sequence
+    advances by the row count."""
     engine.execute_sql("CREATE SEQUENCE g1")
     engine.csv_create_sink().consume("/seq_g", COLS, b"1,a\r\n2,b\r\n")
     physical = engine.sink.catalog["seq_g"]
-    with pytest.raises(SequenceError, match="table-driven"):
-        engine.execute_sql(
-            f"INSERT INTO seq_g (k, v) SELECT NEXTVAL('g1'), v FROM {physical}"
-        )
+    n = engine.execute_sql(
+        f"INSERT INTO seq_g (k, v) SELECT NEXTVAL('g1'), v FROM {physical}"
+    )
+    assert n == 2
+    got = sorted((float(r.k), r.v) for r in engine.table("seq_g").collect())
+    # deterministic pairing: row_number over all source columns —
+    # (1,a) sorts before (2,b), so a->1, b->2
+    assert got == [(1.0, "a"), (1.0, "a"), (2.0, "b"), (2.0, "b")]
+    # sequence advanced past the whole range
+    assert engine.execute_sql("SELECT NEXTVAL('g1') AS v").collect()[0].v == 3
+    # a bare SELECT ... FROM (not an INSERT source) still raises
     with pytest.raises(SequenceError, match="table-driven"):
         engine.execute_sql(f"SELECT NEXTVAL('g1') FROM {physical}")
+
+
+def test_sequence_table_source_increment_and_expr(engine):
+    """Per-row NEXTVAL composes inside expressions, respects
+    INCREMENT BY != 1, gives same-row occurrences of the same
+    sequence the SAME value (SQL-standard NEXT VALUE FOR), and
+    distinct sequences independent ranges."""
+    engine.execute_sql("CREATE SEQUENCE s7 START WITH 100 INCREMENT BY 7")
+    engine.execute_sql("CREATE SEQUENCE s1")
+    engine.csv_create_sink().consume(
+        "/seq_e", COLS, b"1,a\r\n2,b\r\n3,c\r\n"
+    )
+    physical = engine.sink.catalog["seq_e"]
+    three = [
+        Column("k", ColumnType.NUMBER),
+        Column("v", ColumnType.STRING),
+        Column("w", ColumnType.NUMBER),
+    ]
+    engine.csv_create_sink().consume("/seq_e3", three, b"")
+    n = engine.execute_sql(
+        "INSERT INTO seq_e3 (k, v, w) "
+        "SELECT NEXTVAL('s7') + 1000, CAST(NEXT VALUE FOR s7 AS STRING), "
+        f"NEXTVAL('s1') FROM {physical} WHERE k >= 2"
+    )
+    assert n == 2
+    got = sorted(
+        (float(r.k), r.v, float(r.w))
+        for r in engine.table("seq_e3").collect()
+    )
+    # rows (2,b) and (3,c): s7 dispenses 100,107; same-row NEXT
+    # VALUE FOR s7 repeats the row's value; s1 dispenses 1,2
+    assert got == [(1100.0, "100", 1.0), (1107.0, "107", 2.0)]
+    assert engine.execute_sql("SELECT NEXTVAL('s7') AS v").collect()[0].v == 114
+    assert engine.execute_sql("SELECT NEXTVAL('s1') AS v").collect()[0].v == 3
+
+
+def test_sequence_table_source_star_and_empty(engine):
+    """A bare ``*`` in the projection expands to the source columns
+    (the injected row-number never leaks into the insert arity), and
+    an empty source inserts nothing and advances nothing."""
+    engine.execute_sql("CREATE SEQUENCE st START WITH 5")
+    engine.csv_create_sink().consume("/seq_s", COLS, b"9,z\r\n")
+    physical = engine.sink.catalog["seq_s"]
+    three = [
+        Column("i", ColumnType.NUMBER),
+        Column("k", ColumnType.NUMBER),
+        Column("v", ColumnType.STRING),
+    ]
+    engine.csv_create_sink().consume("/seq_s3", three, b"")
+    n = engine.execute_sql(
+        f"INSERT INTO seq_s3 (i, k, v) SELECT NEXTVAL('st'), * FROM {physical}"
+    )
+    assert n == 1
+    got = [(float(r.i), float(r.k), r.v) for r in engine.table("seq_s3").collect()]
+    assert got == [(5.0, 9.0, "z")]
+    # empty source: no allocation
+    n = engine.execute_sql(
+        f"INSERT INTO seq_s3 (i, k, v) SELECT NEXTVAL('st'), * FROM {physical} "
+        "WHERE k < 0"
+    )
+    assert n == 0
+    assert engine.execute_sql("SELECT NEXTVAL('st') AS v").collect()[0].v == 6
+    # unsupported source shapes raise loudly, never mis-allocate
+    with pytest.raises(SequenceError, match="GROUP"):
+        engine.execute_sql(
+            f"INSERT INTO seq_s3 (i, k, v) SELECT NEXTVAL('st'), k, MAX(v) "
+            f"FROM {physical} GROUP BY k"
+        )
+    with pytest.raises(SequenceError, match="plain SELECT"):
+        engine.execute_sql(
+            f"INSERT INTO seq_s3 (i) SELECT DISTINCT NEXTVAL('st') FROM {physical}"
+        )
 
 
 def test_sequence_concurrent_allocation_disjoint(spark, warehouse_dir):
@@ -268,11 +350,16 @@ def test_nextval_multi_row_statements_guarded(engine):
     assert n == 1
     got = sorted((float(r.k), r.v) for r in engine.table("seq_m").collect())
     assert (2.0, "2020") in got
-    # a real subquery FROM anywhere still raises
-    with pytest.raises(SequenceError, match="table-driven"):
-        engine.execute_sql(
-            "INSERT INTO seq_m (k) VALUES ((SELECT NEXTVAL('mg') FROM range(3)))"
-        )
+    # r10 (advisor): a scalar subquery with its own FROM inside a
+    # VALUES row no longer trips the guard — the NEXTVAL occurrence
+    # still evaluates exactly once
+    n = engine.execute_sql(
+        "INSERT INTO seq_m (k, v) VALUES (NEXTVAL('mg'), "
+        "CAST((SELECT MAX(id) FROM range(3)) AS STRING))"
+    )
+    assert n == 1
+    got = sorted((float(r.k), r.v) for r in engine.table("seq_m").collect())
+    assert (3.0, "2") in got
 
 
 def test_sequence_corrupt_state_surfaces(spark, warehouse_dir, tmp_path):
