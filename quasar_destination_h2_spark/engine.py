@@ -172,6 +172,10 @@ class Engine:
                     self._servers.append(handle)
                     self.endpoint_port = port
         self.endpoint_started = bool(self._servers)
+        if self.endpoint_started:
+            # wire clients introspect on connect; give them the
+            # catalog as of endpoint start (see info_schema)
+            self.refresh_information_schema()
 
     def close(self) -> None:
         """Release servers (session is shared; caller stops Spark)."""
@@ -303,6 +307,18 @@ class Engine:
     def csv_create_sink(self) -> CsvCreateSink:
         """The one ResultSink the destination exposes."""
         return self.sink
+
+    def refresh_information_schema(self) -> None:
+        """[EXT] Rebuild the H2-spelled ``information_schema`` views
+        (TABLES/COLUMNS/SEQUENCES) from the current engine catalog —
+        the introspection surface every H2/JDBC/BI client reads on
+        connect (H2Server.scala:60-84). ``execute_sql`` refreshes
+        lazily on any statement mentioning INFORMATION_SCHEMA; wire
+        clients see the catalog as of endpoint start or the last
+        explicit refresh. See :mod:`.info_schema`."""
+        from . import info_schema
+
+        info_schema.refresh_information_schema(self)
 
     def sql(self, query: str) -> DataFrame:
         """Tier-B surface: full Spark SQL over loaded tables."""

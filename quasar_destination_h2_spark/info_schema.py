@@ -1,0 +1,295 @@
+"""H2-spelled catalog introspection (INFORMATION_SCHEMA + SHOW).
+
+Every H2/JDBC/BI client introspects on connect through the
+reference's socket — H2 1.4.200 exposes ``INFORMATION_SCHEMA``
+(TABLES / COLUMNS / SEQUENCES and friends) and the MySQL-compat
+``SHOW { SCHEMAS | TABLES | COLUMNS FROM t }`` commands, all served
+by the embedded H2 the reference delegates to
+(``/root/reference/core/src/main/scala/quasar/destination/h2/server/
+H2Server.scala:60-84``; the SQL surface itself is H2's, per
+``/root/reference/build.sbt:51``). Spark's session catalog speaks a
+different dialect, so this module maps the H2 spellings onto the
+ENGINE catalog (``sources/sink.py``'s durable logical→physical map)
+plus the durable sequence registry (``sequences.py``):
+
+* :func:`refresh_information_schema` materializes ``tables`` /
+  ``columns`` / ``sequences`` as PERSISTENT VIEWS in a real
+  ``information_schema`` database, built from literal row values —
+  no temp-view dependency, so a Thrift/beeline wire client resolves
+  ``SELECT ... FROM INFORMATION_SCHEMA.TABLES`` natively through the
+  shared session (Spark's resolver is case-insensitive). The
+  catalog is bounded, so the views are driver-built literals; a
+  refresh costs three CREATE OR REPLACE VIEW statements and zero
+  Spark jobs.
+* ``engine.execute_sql`` refreshes lazily: any statement whose text
+  mentions INFORMATION_SCHEMA triggers a refresh first, so the
+  in-process surface always sees the current catalog. Wire clients
+  see the catalog as of the last refresh — the engine refreshes at
+  endpoint start, and callers can force one with
+  ``engine.refresh_information_schema()``.
+* column spellings and value conventions follow H2 1.4.200:
+  ``TABLE_SCHEMA = 'PUBLIC'``, ``DATA_TYPE`` = ``java.sql.Types``
+  codes, ``IS_NULLABLE`` in {'YES','NO'} beside the int
+  ``NULLABLE``, sequence ``CURRENT_VALUE`` = last dispensed value
+  (``next - increment``). Table and column names keep their stored
+  case (the reference quotes every identifier it creates, so H2
+  preserves case there too); sequence names — created unquoted at
+  this surface — are uppercased the way H2 stores unquoted
+  identifiers.
+
+Non-H2 divergences, deliberate: ``STORAGE_TYPE`` reports
+``'PARQUET'`` (honest — H2 would say CACHED), and only the
+commonly-introspected column subset is exposed.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+
+if TYPE_CHECKING:  # pragma: no cover
+    from .engine import Engine
+
+#: Spark simple type -> (H2 TYPE_NAME, java.sql.Types code,
+#: char_max_length, numeric_precision, numeric_scale). DECIMAL and
+#: ARRAY are handled structurally in :func:`h2_type_info`.
+_TYPE_MAP = {
+    "string": ("VARCHAR", 12, 2147483647, None, None),
+    "double": ("DOUBLE", 8, None, 17, None),
+    "float": ("REAL", 7, None, 7, None),
+    "bigint": ("BIGINT", -5, None, 19, 0),
+    "int": ("INTEGER", 4, None, 10, 0),
+    "smallint": ("SMALLINT", 5, None, 5, 0),
+    "tinyint": ("TINYINT", -6, None, 3, 0),
+    "boolean": ("BOOLEAN", 16, None, 1, 0),
+    "timestamp": ("TIMESTAMP", 93, None, 26, 6),
+    "timestamp_ntz": ("TIMESTAMP", 93, None, 26, 6),
+    "date": ("DATE", 91, None, 10, 0),
+    "binary": ("VARBINARY", -3, 2147483647, None, None),
+}
+
+
+def h2_type_info(spark_type) -> tuple:
+    """(TYPE_NAME, DATA_TYPE, CHARACTER_MAXIMUM_LENGTH,
+    NUMERIC_PRECISION, NUMERIC_SCALE) for one Spark DataType, H2
+    1.4.200 conventions."""
+    simple = spark_type.simpleString()
+    m = re.match(r"decimal\((\d+),(\d+)\)", simple)
+    if m:
+        return ("DECIMAL", 3, None, int(m.group(1)), int(m.group(2)))
+    if simple.startswith("array"):
+        return ("ARRAY", 2003, None, None, None)
+    if simple in _TYPE_MAP:
+        return _TYPE_MAP[simple]
+    return (simple.upper(), 1111, None, None, None)  # OTHER
+
+
+def _lit(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, int):
+        return str(v)
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+def _values_view_sql(db: str, view: str, names: list, types: list, rows: list) -> str:
+    """CREATE OR REPLACE VIEW over literal rows (typed empty shape
+    when there are none) — self-contained, so the view survives in
+    the persistent catalog without temp-view dependencies."""
+    cols = ", ".join(f"`{n}`" for n in names)
+    if rows:
+        body = ",\n  ".join(
+            "(" + ", ".join(_lit(v) for v in r) + ")" for r in rows
+        )
+        sel = f"SELECT * FROM VALUES\n  {body}\nAS T({cols})"
+        # VALUES infers types from literals; NULL-only columns need
+        # the cast shell below instead — cast every column explicitly
+        casts = ", ".join(
+            f"CAST(`{n}` AS {t}) AS `{n}`" for n, t in zip(names, types)
+        )
+        sel = f"SELECT {casts} FROM ({sel})"
+    else:
+        casts = ", ".join(
+            f"CAST(NULL AS {t}) AS `{n}`" for n, t in zip(names, types)
+        )
+        sel = f"SELECT {casts} WHERE 1 = 0"
+    return f"CREATE OR REPLACE VIEW `{db}`.`{view}` AS {sel}"
+
+
+_TABLES_COLS = [
+    ("TABLE_CATALOG", "STRING"),
+    ("TABLE_SCHEMA", "STRING"),
+    ("TABLE_NAME", "STRING"),
+    ("TABLE_TYPE", "STRING"),
+    ("STORAGE_TYPE", "STRING"),
+    ("SQL", "STRING"),
+    ("REMARKS", "STRING"),
+]
+
+_COLUMNS_COLS = [
+    ("TABLE_CATALOG", "STRING"),
+    ("TABLE_SCHEMA", "STRING"),
+    ("TABLE_NAME", "STRING"),
+    ("COLUMN_NAME", "STRING"),
+    ("ORDINAL_POSITION", "INT"),
+    ("COLUMN_DEFAULT", "STRING"),
+    ("IS_NULLABLE", "STRING"),
+    ("DATA_TYPE", "INT"),
+    ("CHARACTER_MAXIMUM_LENGTH", "BIGINT"),
+    ("NUMERIC_PRECISION", "INT"),
+    ("NUMERIC_SCALE", "INT"),
+    ("TYPE_NAME", "STRING"),
+    ("NULLABLE", "INT"),
+    ("REMARKS", "STRING"),
+]
+
+_SEQUENCES_COLS = [
+    ("SEQUENCE_CATALOG", "STRING"),
+    ("SEQUENCE_SCHEMA", "STRING"),
+    ("SEQUENCE_NAME", "STRING"),
+    ("CURRENT_VALUE", "BIGINT"),
+    ("INCREMENT", "BIGINT"),
+    ("IS_GENERATED", "BOOLEAN"),
+    ("REMARKS", "STRING"),
+    ("CACHE", "BIGINT"),
+    ("MIN_VALUE", "BIGINT"),
+    ("MAX_VALUE", "BIGINT"),
+    ("IS_CYCLE", "BOOLEAN"),
+]
+
+DB = "information_schema"
+
+
+def _catalog_name(engine: "Engine") -> str:
+    """H2's TABLE_CATALOG is the database name; the closest Spark
+    analogue is the warehouse directory's basename."""
+    import os
+
+    from .sources.sink import CATALOG_TABLE, warehouse_path
+
+    wh = os.path.dirname(warehouse_path(engine.spark, CATALOG_TABLE))
+    base = os.path.basename(wh.rstrip("/"))
+    return (base or "UNNAMED").upper()
+
+
+def refresh_information_schema(engine: "Engine") -> None:
+    """(Re)build the ``information_schema`` views from the engine's
+    current catalog + sequence registry. Driver-only work, bounded
+    by catalog size (schemas come from parquet footers)."""
+    spark = engine.spark
+    cat = _catalog_name(engine)
+    trows, crows = [], []
+    for logical in sorted(engine.sink.catalog):
+        try:
+            schema = engine.table(logical).schema
+        except Exception:
+            continue  # stale catalog entry: skip, never fail introspection
+        trows.append((cat, "PUBLIC", logical, "TABLE", "PARQUET", None, ""))
+        for i, f in enumerate(schema.fields, start=1):
+            tname, code, cmax, prec, scale = h2_type_info(f.dataType)
+            crows.append(
+                (
+                    cat,
+                    "PUBLIC",
+                    logical,
+                    f.name,
+                    i,
+                    None,
+                    "YES" if f.nullable else "NO",
+                    code,
+                    cmax,
+                    prec,
+                    scale,
+                    tname,
+                    1 if f.nullable else 0,
+                    "",
+                )
+            )
+    srows = []
+    for name in engine.sequences.names():
+        s = engine.sequences.describe(name)
+        srows.append(
+            (
+                cat,
+                "PUBLIC",
+                name.upper(),
+                s["next"] - s["inc"],
+                s["inc"],
+                False,
+                "",
+                0,
+                1,
+                9223372036854775807,
+                False,
+            )
+        )
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS `{DB}`")
+    for view, cols, rows in (
+        ("tables", _TABLES_COLS, trows),
+        ("columns", _COLUMNS_COLS, crows),
+        ("sequences", _SEQUENCES_COLS, srows),
+    ):
+        names = [n for n, _ in cols]
+        types = [t for _, t in cols]
+        spark.sql(_values_view_sql(DB, view, names, types, rows))
+
+
+#: Statement mentions INFORMATION_SCHEMA (refresh trigger).
+INFO_SCHEMA_RE = re.compile(r"\bINFORMATION_SCHEMA\s*\.", re.I)
+
+#: SHOW command front-door (H2 grammar: SHOW SCHEMAS | SHOW TABLES
+#: [FROM schema] | SHOW COLUMNS FROM table).
+SHOW_RE = re.compile(r"\s*SHOW\s+(SCHEMAS|TABLES|COLUMNS)\b", re.I)
+
+
+def execute_show(engine: "Engine", statement: str, shadow: str, m) -> DataFrame:
+    """H2's SHOW commands over the engine catalog. Output shapes
+    match H2 1.4.200: SHOW SCHEMAS -> (SCHEMA_NAME); SHOW TABLES ->
+    (TABLE_NAME, TABLE_SCHEMA); SHOW COLUMNS FROM t -> (FIELD, TYPE,
+    NULL, KEY, DEFAULT)."""
+    spark = engine.spark
+    kind = m.group(1).upper()
+    if kind == "SCHEMAS":
+        return spark.createDataFrame(
+            [("INFORMATION_SCHEMA",), ("PUBLIC",)], "SCHEMA_NAME string"
+        )
+    if kind == "TABLES":
+        rows = [(t, "PUBLIC") for t in sorted(engine.sink.catalog)]
+        return spark.createDataFrame(
+            rows, "TABLE_NAME string, TABLE_SCHEMA string"
+        )
+    mf = re.compile(r"\s*SHOW\s+COLUMNS\s+FROM\s+", re.I).match(shadow)
+    if not mf:
+        raise ValueError("SHOW COLUMNS: expected SHOW COLUMNS FROM table")
+    from .sql_dml import _parse_ident
+
+    name, _ = _parse_ident(statement, shadow, mf.end())
+    # case-insensitive logical resolution, like the DML surface
+    target = None
+    for logical in engine.sink.catalog:
+        if logical.casefold() == name.casefold():
+            target = logical
+            break
+    if target is None:
+        raise ValueError(f"SHOW COLUMNS: table not found: {name!r}")
+    rows = []
+    for f in engine.table(target).schema.fields:
+        tname, _, cmax, prec, scale = h2_type_info(f.dataType)
+        if tname == "VARCHAR" and cmax:
+            tspell = f"VARCHAR({cmax})"
+        elif tname == "DECIMAL" and prec is not None:
+            tspell = f"DECIMAL({prec}, {scale})"
+        else:
+            tspell = tname
+        rows.append(
+            (f.name, tspell, "YES" if f.nullable else "NO", "", None)
+        )
+    return spark.createDataFrame(
+        rows,
+        "FIELD string, TYPE string, `NULL` string, KEY string, "
+        "DEFAULT string",
+    )

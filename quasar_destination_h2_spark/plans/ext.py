@@ -3775,3 +3775,81 @@ def q_ann_index_search(t: TableSet) -> DataFrame:
         )
     )
     return similarity.ann_search(assigned, cents, queries, k=5, nprobe=2)
+
+
+_IS10_STMT = """
+SELECT 'table' AS kind, TABLE_NAME AS obj, TABLE_TYPE AS detail,
+       CAST(NULL AS BIGINT) AS pos
+FROM INFORMATION_SCHEMA.TABLES
+WHERE TABLE_NAME IN ('is10_alpha', 'is10_beta')
+UNION ALL
+SELECT 'column', TABLE_NAME || '.' || COLUMN_NAME,
+       TYPE_NAME || '/' || CAST(DATA_TYPE AS STRING) || '/' || IS_NULLABLE,
+       CAST(ORDINAL_POSITION AS BIGINT)
+FROM INFORMATION_SCHEMA.COLUMNS
+WHERE TABLE_NAME IN ('is10_alpha', 'is10_beta')
+UNION ALL
+SELECT 'sequence', SEQUENCE_NAME, CAST(INCREMENT AS STRING),
+       CAST(CURRENT_VALUE AS BIGINT)
+FROM INFORMATION_SCHEMA.SEQUENCES
+WHERE SEQUENCE_NAME = 'IS10_SEQ'
+ORDER BY kind, obj
+"""
+
+
+@query(
+    "information_schema_battery",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('column', 'is10_alpha.flag', 'BOOLEAN/16/YES', CAST(3 AS BIGINT)),
+      ('column', 'is10_alpha.id', 'DECIMAL/3/YES', 1),
+      ('column', 'is10_alpha.name', 'VARCHAR/12/YES', 2),
+      ('column', 'is10_alpha.ts', 'TIMESTAMP/93/YES', 4),
+      ('column', 'is10_beta.x', 'VARCHAR/12/YES', 1),
+      ('sequence', 'IS10_SEQ', '5', 10),
+      ('table', 'is10_alpha', 'TABLE', NULL),
+      ('table', 'is10_beta', 'TABLE', NULL)
+    ) AS T(kind, obj, detail, pos)
+    ORDER BY kind, obj
+    """,
+)
+def q_information_schema_battery(t: TableSet) -> DataFrame:
+    """The H2-spelled catalog-introspection surface (r9 VERDICT task
+    1) as ONE driver-witnessed statement: sink-load two fixed tables
+    + a sequence into a fresh warehouse, then introspect TABLES /
+    COLUMNS / SEQUENCES through engine.execute_sql — exactly the SQL
+    an H2/JDBC/BI client issues on connect through the reference's
+    socket (H2Server.scala:60-84). H2 1.4.200 conventions under
+    test: java.sql.Types DATA_TYPE codes, 1-based ordinals, YES/NO
+    nullability, uppercased unquoted sequence names, CURRENT_VALUE =
+    last dispensed (two NEXTVALs of START 5 INCREMENT 5 -> 10). The
+    oracle is the literal expected frame — the fixture is fully
+    determined by this function, never by sf data."""
+    import json as _json
+    import tempfile
+
+    from ..engine import Engine
+    from ..types import Column, ColumnType
+
+    spark = t.documents.sparkSession
+    eng = Engine.from_config(
+        _json.dumps({"connectionUri": tempfile.mkdtemp()}), spark=spark
+    )
+    eng.csv_create_sink().consume(
+        "/is10_alpha",
+        [
+            Column("id", ColumnType.NUMBER),
+            Column("name", ColumnType.STRING),
+            Column("flag", ColumnType.BOOLEAN),
+            Column("ts", ColumnType.LOCAL_DATE_TIME),
+        ],
+        b"",
+    )
+    eng.csv_create_sink().consume(
+        "/is10_beta", [Column("x", ColumnType.STRING)], b""
+    )
+    eng.execute_sql("DROP SEQUENCE IF EXISTS is10_seq")
+    eng.execute_sql("CREATE SEQUENCE is10_seq START WITH 5 INCREMENT BY 5")
+    eng.execute_sql("SELECT NEXTVAL('is10_seq') AS v").collect()
+    eng.execute_sql("SELECT NEXTVAL('is10_seq') AS v").collect()
+    return eng.execute_sql(_IS10_STMT)

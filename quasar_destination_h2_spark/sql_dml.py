@@ -445,6 +445,17 @@ def execute(engine, statement: str):
 
     statement = statement.strip().rstrip(";").strip()
     shadow = _shadow(statement)
+    from . import info_schema
+
+    mshow = info_schema.SHOW_RE.match(shadow)
+    if mshow:
+        # H2's SHOW commands answer from the ENGINE catalog, not
+        # Spark's session namespace (info_schema module docstring)
+        return info_schema.execute_show(engine, statement, shadow, mshow)
+    if info_schema.INFO_SCHEMA_RE.search(shadow):
+        # refresh-on-introspection: the views then resolve natively
+        # through Spark's case-insensitive catalog
+        info_schema.refresh_information_schema(engine)
     if _H2_DIALECT_RE.search(shadow):
         # H2-only SELECT grammar (SELECT TOP n, CASEWHEN) — rewrite
         # to ANSI before any dispatch so it works in subqueries and
