@@ -218,7 +218,11 @@ class Engine:
                 emb, id_col, vec_col, n_list
             ).localCheckpoint()
         )
-        assigned = similarity.ivf_assign(emb, cents, id_col, vec_col)
+        # the stored assignment carries sim_micro (the winning
+        # 6-rounded cosine in integer micro-units): appends need it
+        # for the drift instrument, and it costs nothing extra — the
+        # argmax already computes the score
+        assigned = similarity._assign_scored(emb, cents, id_col, vec_col)
         # Both tables carry a shared build id, and the heavy write
         # (the bucketed assignment) lands FIRST: a failure between
         # the two writes leaves tables from DIFFERENT builds, whose
@@ -232,9 +236,99 @@ class Engine:
             ["centroid_id"],
             n_buckets,
         )
+        # the build's mean assigned similarity, frozen on the
+        # centroids table — the drift baseline append_to_ivf_index
+        # compares new batches against. Integer division of exact
+        # micro sums -> engine-reproducible. One column-pruned scan
+        # of the just-written int column; bounded driver work.
+        row = (
+            self.table(f"{name}_assigned")
+            .agg(
+                F.sum("sim_micro").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+        mean_micro = int(row.s) // int(row.n) if row.s is not None else None
         self.drop_table_if_exists(f"{name}_centroids")
         self.create_table_as(
-            f"{name}_centroids", cents.withColumn("build_id", F.lit(build_id))
+            f"{name}_centroids",
+            cents.withColumn("build_id", F.lit(build_id)).withColumn(
+                "build_mean_sim_micro",
+                F.lit(mean_micro).cast("bigint"),
+            ),
+        )
+
+    def append_to_ivf_index(
+        self,
+        name: str,
+        new_emb: DataFrame,
+        n_buckets: int = 32,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """[EXT] Incremental index append — the nightly-crawl story
+        for the ANN index (the dedup_cross_corpus analogue): assign
+        ``new_emb`` against the STORED centroids (bounded n_list
+        broadcast, one pass over the batch only — the corpus is
+        never rescanned), append the scored assignment to the
+        bucketed inverted lists under the SAME build id (probes keep
+        reading co-located buckets; ann_topk's torn-build check
+        still holds because the id matches), and return a one-row
+        drift report:
+
+        (appended_rows, batch_mean_sim_micro, build_mean_sim_micro,
+        drift_micro) — drift_micro = build mean − batch mean
+        assigned similarity, in integer micro-units. A batch drawn
+        from the build's distribution scores near the build mean
+        (small drift); a shifted batch fits the frozen centroids
+        worse and drift grows — the REBUILD TRIGGER a 100 TB
+        operator watches. Appending never re-trains: centroids stay
+        frozen until a full ``build_ivf_index`` rebuild.
+
+        ``n_buckets`` must match the build's (Spark refuses a
+        mismatched bucket spec loudly). Appended rows ≡ what a
+        rebuild-on-union would assign AGAINST THE SAME centroids —
+        pinned by tests/test_bucketing.py."""
+        from pyspark.sql import functions as F
+
+        from .idents import storage_safe_name
+        from .operators import similarity
+
+        cents = self.table(f"{name}_centroids")
+        cid = [
+            r.build_id for r in cents.select("build_id").distinct().collect()
+        ]
+        if len(cid) != 1:
+            raise ValueError(
+                f"ANN index {name!r} centroids carry build ids {cid} — "
+                "re-run build_ivf_index before appending"
+            )
+        build_mean = cents.select("build_mean_sim_micro").first()[0]
+        batch = similarity._assign_scored(
+            new_emb, cents.select("centroid_id", "cvec"), id_col, vec_col
+        ).withColumn("build_id", F.lit(cid[0])).localCheckpoint()
+        physical = storage_safe_name(f"{name}_assigned")
+        (
+            batch.write.mode("append")
+            .format("parquet")
+            .bucketBy(n_buckets, "centroid_id")
+            .sortBy("centroid_id")
+            .saveAsTable(physical)
+        )
+        row = batch.agg(
+            F.sum("sim_micro").alias("s"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        batch_mean = int(row.s) // int(row.n) if row.s is not None else None
+        drift = (
+            build_mean - batch_mean
+            if build_mean is not None and batch_mean is not None
+            else None
+        )
+        return self.spark.createDataFrame(
+            [(int(row.n), batch_mean, build_mean, drift)],
+            "appended_rows bigint, batch_mean_sim_micro bigint, "
+            "build_mean_sim_micro bigint, drift_micro bigint",
         )
 
     def ann_topk(

@@ -3327,7 +3327,7 @@ def q_shard_balance(t: TableSet) -> DataFrame:
 _KM_ITERS = similarity.KMEANS_ITERS
 
 
-def _kmeans_ctes(iters: int = _KM_ITERS) -> tuple[str, str, str]:
+def _kmeans_ctes(iters: int = _KM_ITERS, where: str = "") -> tuple[str, str, str]:
     """Unrolled spherical-k-means CTEs for the DuckDB oracle: md5
     seeds -> ``iters`` rounds of (assign by rounded cosine, exact
     DECIMAL(38,6) mean-direction sums of the 6-rounded unit vectors)
@@ -3335,8 +3335,9 @@ def _kmeans_ctes(iters: int = _KM_ITERS) -> tuple[str, str, str]:
     ``_assign_scored`` exactly (validated bit-equal at sf0.001/0.01/
     0.1). Returns (cte_sql, final_cents_name, final_assign_name);
     a{k} carries (vec_id, v, nv, centroid_id, sim)."""
+    cond = f" WHERE {where}" if where else ""
     parts = [
-        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings{cond})",
         """n AS (SELECT vec_id, v,
            CASE WHEN list_inner_product(v, v) > 0 THEN
              list_transform(v, x -> round(x / sqrt(list_inner_product(v, v)), 6))
@@ -3853,3 +3854,83 @@ def q_information_schema_battery(t: TableSet) -> DataFrame:
     eng.execute_sql("SELECT NEXTVAL('is10_seq') AS v").collect()
     eng.execute_sql("SELECT NEXTVAL('is10_seq') AS v").collect()
     return eng.execute_sql(_IS10_STMT)
+
+
+_KMH_CTES, _KMH_CENTS, _ = _kmeans_ctes(where="vec_id % 2 = 0")
+
+_APPEND_MICRO = "CAST(CAST(sim AS DECIMAL(28,10)) * 1000000 AS BIGINT)"
+
+
+@query(
+    "ann_index_append",
+    oracle=f"""
+    WITH {_KMH_CTES},
+    nb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 2 = 1),
+    ab AS (
+      SELECT vec_id, centroid_id, sim FROM (
+        SELECT nb.vec_id, c.centroid_id,
+               round(list_cosine_similarity(nb.v, c.cvec), 6) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY nb.vec_id
+                 ORDER BY round(list_cosine_similarity(nb.v, c.cvec), 6) DESC,
+                          c.centroid_id) AS rn
+        FROM nb CROSS JOIN {_KMH_CENTS} c) WHERE rn = 1),
+    bsim AS (
+      SELECT vec_id, sim FROM (
+        SELECT e2.vec_id,
+               round(list_cosine_similarity(e2.v, c.cvec), 6) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY e2.vec_id
+                 ORDER BY round(list_cosine_similarity(e2.v, c.cvec), 6) DESC,
+                          c.centroid_id) AS rn
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id % 2 = 0) e2
+        CROSS JOIN {_KMH_CENTS} c) WHERE rn = 1),
+    drift AS (
+      SELECT (SELECT SUM({_APPEND_MICRO}) // COUNT(*) FROM bsim)
+           - (SELECT SUM({_APPEND_MICRO}) // COUNT(*) FROM ab) AS d)
+    SELECT centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_appended,
+           CAST(SUM({_APPEND_MICRO}) AS BIGINT) AS sum_sim_micro,
+           CAST(d AS BIGINT) AS drift_micro
+    FROM ab, drift
+    GROUP BY centroid_id, d
+    ORDER BY centroid_id
+    """,
+)
+def q_ann_index_append(t: TableSet) -> DataFrame:
+    """Incremental ANN index append (r9 VERDICT task 4) through the
+    ENGINE lifecycle: build_ivf_index over the even-id half of the
+    corpus, append_to_ivf_index with the odd-id half — the batch is
+    assigned against the STORED centroids only (bounded broadcast,
+    one batch pass, zero corpus rescans, centroids frozen), lands in
+    the same bucketed inverted lists under the build's id, and the
+    one-row report carries the drift instrument (build mean minus
+    batch mean assigned similarity, integer micro-units — the
+    rebuild trigger). Output: the appended batch summarized per
+    inverted list + the constant drift column; the oracle replays
+    the half-corpus k-means build, the frozen-centroid batch
+    assignment, and the integer drift arithmetic in SQL."""
+    import json as _json
+    import tempfile
+
+    from ..engine import Engine
+
+    spark = t.embeddings.sparkSession
+    eng = Engine.from_config(
+        _json.dumps({"connectionUri": tempfile.mkdtemp()}), spark=spark
+    )
+    emb = t.embeddings
+    eng.build_ivf_index("apq", emb.where("vec_id % 2 = 0"), kmeans_iters=2)
+    report = eng.append_to_ivf_index("apq", emb.where("vec_id % 2 = 1"))
+    appended = eng.table("apq_assigned").where("vec_id % 2 = 1")
+    return (
+        appended.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_appended"),
+            F.sum("sim_micro").cast("bigint").alias("sum_sim_micro"),
+        )
+        .crossJoin(
+            F.broadcast(report.select(F.col("drift_micro").cast("bigint")))
+        )
+        .orderBy("centroid_id")
+    )
