@@ -241,6 +241,43 @@ def main() -> int:
 
         cache.release()
 
+    # ANN serving split (r9 VERDICT task 3): the registered
+    # ann_index_search entry times BUILD + probe by declaration (the
+    # oracle-replayable form). A 100 TB operator amortizes the build
+    # via engine.build_ivf_index and tracks PROBE-ONLY serving
+    # latency — measured here: build the index once, then time
+    # successive ann_topk probe batches over the stored bucketed
+    # lists (includes the torn-build verification, honestly — it is
+    # part of every serving call).
+    from pyspark.sql import functions as F
+
+    from quasar_destination_h2_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    t0 = time.perf_counter()
+    engine.build_ivf_index("bench_annix", emb, kmeans_iters=2)
+    times["ann_index_build"] = round(time.perf_counter() - t0, 4)
+    probe_queries = (
+        emb.where("vec_id < 5")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * 0.5 + 0.01, 6),
+            ).alias("qv"),
+        )
+        .localCheckpoint()  # probe timing excludes query-batch prep
+    )
+    engine.ann_topk("bench_annix", probe_queries).count()  # warm
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _b in range(5):
+            engine.ann_topk("bench_annix", probe_queries).count()
+        dt = (time.perf_counter() - t0) / 5
+        best = dt if best is None else min(best, dt)
+    times["ann_probe_only"] = round(best, 4)
+
     calib_end = _calibration(spark)
     calib = min(calib_start, calib_end)
     total = round(sum(times.values()), 4)
@@ -250,7 +287,6 @@ def main() -> int:
                 "metric": "wall_time_headline",
                 "value": total,
                 "unit": "sec",
-                "queries": times,
                 "sf": sf,
                 # machine fixed-overhead denominator (start/end probes;
                 # calibration_sec = min) — divide query times by this
@@ -258,9 +294,16 @@ def main() -> int:
                 "calibration_sec": calib,
                 "calibration_start_sec": calib_start,
                 "calibration_end_sec": calib_end,
+                "queries": times,
                 "queries_norm": {
                     k: round(v / calib, 2) for k, v in times.items()
                 },
+                # the headline repeated at the END of the line: the
+                # driver's capture keeps the TAIL, and r9's file lost
+                # the leading summary to truncation — now both ends
+                # carry it (r9 VERDICT task 8)
+                "total_sec": total,
+                "total_norm": round(total / calib, 2),
             }
         )
     )

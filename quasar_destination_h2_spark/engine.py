@@ -84,6 +84,10 @@ class Engine:
         #: be visible in engine state, not only in an info log.
         self.endpoint_started: bool = False
         self._sequences = None
+        #: ANN serving: build ids whose assignment-side integrity this
+        #: engine has already verified (see ann_topk) — keyed by index
+        #: name. Invalidated whenever THIS engine rebuilds or appends.
+        self._ann_verified: dict = {}
         #: effective Thrift listen port (may differ from the requested
         #: port when joining an already-running JVM-wide endpoint)
         self.endpoint_port: Optional[str] = None
@@ -230,6 +234,7 @@ class Engine:
         # the build ids match and errors instead of serving wrong
         # neighbors from a torn rebuild.
         build_id = random_alphanum()
+        self._ann_verified.pop(name, None)
         self.materialize_bucketed(
             f"{name}_assigned",
             assigned.withColumn("build_id", F.lit(build_id)),
@@ -309,6 +314,7 @@ class Engine:
             new_emb, cents.select("centroid_id", "cvec"), id_col, vec_col
         ).withColumn("build_id", F.lit(cid[0])).localCheckpoint()
         physical = storage_safe_name(f"{name}_assigned")
+        self._ann_verified.pop(name, None)
         (
             batch.write.mode("append")
             .format("parquet")
@@ -356,18 +362,31 @@ class Engine:
         # overwrite / bad append can leave rows from SEVERAL builds
         # interleaved, and a sampled single row can accidentally
         # match the centroids' id while wrong-build rows still
-        # serve. Build ids are few by construction (one per build;
-        # appends reuse the build's id), so the distinct is bounded.
-        aid = sorted(
-            r.build_id
-            for r in assigned.select("build_id").distinct().collect()
-        )
+        # serve. The distinct is one column-pruned scan — too much
+        # to pay on EVERY serving call at 100 TB, so the result is
+        # memoized per build id: once this engine has verified the
+        # assignment for the centroids' current id, later probes pay
+        # only the n_list-row centroid check. Rebuilds get a fresh
+        # id (cache miss -> re-verify); appends through
+        # append_to_ivf_index invalidate the memo explicitly. An
+        # out-of-band writer forging rows under a verified id is the
+        # one case this trusts — the same trust the catalog's flock
+        # protocol already extends to same-warehouse writers.
+        if len(cid) == 1 and self._ann_verified.get(name) == cid[0]:
+            aid = cid
+        else:
+            aid = sorted(
+                r.build_id
+                for r in assigned.select("build_id").distinct().collect()
+            )
         if len(cid) != 1 or (aid and aid != cid):
             raise ValueError(
                 f"ANN index {name!r} is torn (centroids build "
                 f"{cid} vs assignment build {aid}) — re-run "
                 "build_ivf_index"
             )
+        if aid:
+            self._ann_verified[name] = cid[0]
         return similarity.ann_search(
             assigned,
             cents,

@@ -369,6 +369,135 @@ def kmeans_probe(spark, sf_dir: str) -> dict:
     return out
 
 
+def r10_probe(spark, sf_dir: str) -> dict:
+    """Scale probes for the r9-shipped operators (r9 VERDICT task 5):
+
+    * weighted_sample_topk / weighted_sample_stratified at 1x/3x/10x
+      replicated documents — the expectation is a LINEAR single scan
+      with flat top-k cost (the global form is a
+      TakeOrderedAndProject over per-partition heaps; output size is
+      constant, so wall time should track the scan, never the rank);
+    * ann_search probe latency as a function of QUERY-BATCH size at
+      a FIXED corpus (the serving contract): linear in queries,
+      corpus-scan count flat — asserted from the executed plan (one
+      FileScan of the stored assignment regardless of batch size);
+    * kmeans_refine wall vs rounds at 1x/3x/10x replicated
+      embeddings — each round is one corpus pass, so wall should be
+      ~affine in (rounds x corpus)."""
+    import json as _json
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from quasar_destination_h2_spark import cache, plans
+    from quasar_destination_h2_spark.engine import Engine
+    from quasar_destination_h2_spark.operators import similarity
+    from quasar_destination_h2_spark.sources.tables import TableSet
+
+    qs = plans.all_queries()
+    t = TableSet(spark, sf_dir)
+    base_docs = t.documents.select("doc_id", "text", "lang", "source")
+    base_emb = t.embeddings
+    out = {
+        "sf_dir": sf_dir,
+        "n_base_docs": base_docs.count(),
+        "n_base_vecs": base_emb.count(),
+        "weighted": [],
+        "kmeans": [],
+        "ann_batch": [],
+    }
+
+    def _replicate_emb(k: int):
+        parts = [base_emb]
+        for r in range(1, k):
+            parts.append(
+                base_emb.select(
+                    (F.col("vec_id") + r * 10_000_000).alias("vec_id"),
+                    F.transform(
+                        "embedding",
+                        lambda x: F.round(
+                            x.cast("double") + (r % 7) * 0.003, 6
+                        ),
+                    ).alias("embedding"),
+                )
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        path = tempfile.mkdtemp(prefix=f"r10-emb-{k}x-")
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    # -- weighted sampling: linear scan, flat top-k --------------------
+    for k in (1, 3, 10):
+        stage = tempfile.mkdtemp(prefix=f"r10-docs-{k}x-")
+        _replicate_docs(spark, base_docs, k).write.mode("overwrite").parquet(
+            f"{stage}/documents.parquet"
+        )
+        point = {"replicas": k}
+        for label, qname in (
+            ("topk", "weighted_sample_topk"),
+            ("strat", "weighted_sample_stratified"),
+        ):
+            t0 = time.perf_counter()
+            point[f"{label}_rows"] = qs[qname](spark, stage).count()
+            point[f"{label}_sec"] = round(time.perf_counter() - t0, 2)
+            cache.release()
+        out["weighted"].append(point)
+
+    # -- kmeans_refine: wall vs rounds vs corpus -----------------------
+    for k in (1, 3, 10):
+        emb = _replicate_emb(k)
+        point = {"replicas": k, "n_vecs": emb.count()}
+        for iters in (1, 2, 4):
+            t0 = time.perf_counter()
+            similarity.kmeans_refine(emb, iters=iters).count()
+            point[f"iters{iters}_sec"] = round(time.perf_counter() - t0, 2)
+            cache.release()
+        out["kmeans"].append(point)
+
+    # -- ann_search: latency vs query-batch size at fixed corpus -------
+    emb10 = _replicate_emb(10)
+    stage = tempfile.mkdtemp(prefix="r10-ann-")
+    engine = Engine.from_config(
+        _json.dumps({"connectionUri": f"{stage}/wh"}), spark=spark
+    )
+    t0 = time.perf_counter()
+    engine.build_ivf_index("r10ix", emb10, kmeans_iters=2)
+    out["ann_build_sec"] = round(time.perf_counter() - t0, 2)
+    for nq in (5, 50, 500):
+        queries = (
+            emb10.orderBy("vec_id")
+            .limit(nq)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.transform(
+                    "embedding",
+                    lambda x: F.round(x.cast("double") * 0.5 + 0.01, 6),
+                ).alias("qv"),
+            )
+            .localCheckpoint()
+        )
+        probe = engine.ann_topk("r10ix", queries, k=5, nprobe=2)
+        plan = probe._jdf.queryExecution().executedPlan().toString()
+        n_scans = plan.count("r10ix_assigned")
+        t0 = time.perf_counter()
+        rows = probe.count()
+        sec = round(time.perf_counter() - t0, 2)
+        # the serving contract: ONE stored-list scan no matter how
+        # many queries ride the batch
+        assert n_scans == 1, (nq, n_scans)
+        out["ann_batch"].append(
+            {
+                "n_queries": nq,
+                "rows": rows,
+                "sec": sec,
+                "assigned_scans": n_scans,
+            }
+        )
+    return out
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     ivf_mode = "--ivf" in sys.argv[1:]
@@ -376,6 +505,7 @@ def main() -> int:
     text_mode = "--text" in sys.argv[1:]
     r9_mode = "--r9" in sys.argv[1:]
     kmeans_mode = "--kmeans" in sys.argv[1:]
+    r10_mode = "--r10" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     from pyspark.sql import SparkSession, functions as F
@@ -411,6 +541,10 @@ def main() -> int:
         return 0
     if kmeans_mode:
         print(json.dumps(kmeans_probe(spark, sf_dir)))
+        spark.stop()
+        return 0
+    if r10_mode:
+        print(json.dumps(r10_probe(spark, sf_dir)))
         spark.stop()
         return 0
 
