@@ -16,10 +16,13 @@ implements them as statement-layer state:
 * ``NEXTVAL`` allocates one value per TEXTUAL occurrence in the
   statement (H2 evaluates per row; in ``INSERT ... VALUES`` every
   row spells its own NEXTVAL, so the two coincide). A NEXTVAL over a
-  table-driven source (``SELECT NEXTVAL(..) FROM t``) would need
-  per-result-row allocation the text cannot express — the engine
-  raises a clear error instead of silently handing every row the
-  same value;
+  table-driven INSERT source (``INSERT INTO t SELECT NEXTVAL(..),
+  ... FROM u``) allocates PER RESULT ROW like H2: the range is
+  taken atomically with :meth:`Sequences.nextval` and values are
+  assigned by a deterministic row_number (``sql_dml.
+  _rewrite_nextval_select``). UPDATE/DELETE/MERGE — where one
+  textual occurrence would apply across many existing rows — still
+  raise;
 * ``CURRVAL`` is session-scoped like H2's: the last value THIS
   engine dispensed; an error if the engine has not called NEXTVAL
   on that sequence yet.

@@ -186,9 +186,22 @@ def _legacy_merges() -> st.SearchStrategy[tuple]:
     return st.builds(lambda r: ("legacy_merge", r), rows)
 
 
+def _insert_seqs() -> st.SearchStrategy[tuple]:
+    """r10: per-row NEXTVAL over a table-driven INSERT source. Keys
+    land at NEXTVAL + 1000 — above every merge-source key (<= 55) and
+    above any +100-shift a chain can produce from the base rows, so
+    the merge cardinality reasoning above is undisturbed."""
+    return st.builds(
+        lambda pred, tag: ("insert_seq", pred, tag),
+        _preds(),
+        st.integers(min_value=0, max_value=9),
+    )
+
+
 def _statements() -> st.SearchStrategy[tuple]:
     return st.one_of(
-        _updates(), _deletes(), _merges(), _inserts(), _legacy_merges()
+        _updates(), _deletes(), _merges(), _inserts(), _legacy_merges(),
+        _insert_seqs(),
     )
 
 
@@ -217,7 +230,22 @@ def _insert_values(rows, colset) -> str:
     )
 
 
-def _engine_sql(spec: tuple) -> str:
+#: Python-side replay model of the fuzz sequence counter (the oracle
+#: side must be an INDEPENDENT implementation of the allocation
+#: semantics, not a readback of the engine registry).
+_SEQ_MODEL = {"next": 1}
+
+
+def _engine_sql(spec: tuple, physical: str | None = None) -> str:
+    if spec[0] == "insert_seq":
+        _, pred, tag = spec
+        # the SELECT source must name the PHYSICAL table (Spark-SQL
+        # resolvable); the INSERT target resolves logically
+        return (
+            "INSERT INTO dmlfuzz (k, g, n, v) "
+            f"SELECT NEXTVAL('fzseq') + 1000, g, n, 'q{tag}' "
+            f"FROM {physical} WHERE {pred}"
+        )
     if spec[0] == "update":
         _, assignments, pred = spec
         sets = ", ".join(f"{c} = {e}" for c, e in assignments.items())
@@ -263,6 +291,26 @@ def _duck_apply(con, spec: tuple) -> int:
     under the engine's JDBC semantics (UPDATE: rows matching the
     condition; DELETE: rows removed; MERGE: matched-with-branch +
     inserted)."""
+    if spec[0] == "insert_seq":
+        # replay the per-row allocation from its DEFINITION: count the
+        # matching rows, advance the model counter by that count, and
+        # pair values by the engine's documented deterministic order —
+        # row_number over ALL source columns, Spark's NULLS FIRST
+        _, pred, tag = spec
+        count = con.execute(
+            f"SELECT count(*) FROM dmlfuzz WHERE {pred}"
+        ).fetchone()[0]
+        base = _SEQ_MODEL["next"]
+        _SEQ_MODEL["next"] += count
+        order = ", ".join(
+            f"{c} ASC NULLS FIRST" for c in ("k", "g", "n", "v")
+        )
+        con.execute(
+            "INSERT INTO dmlfuzz (k, g, n, v) "
+            f"SELECT {base} + (ROW_NUMBER() OVER (ORDER BY {order}) - 1) "
+            f"+ 1000, g, n, 'q{tag}' FROM dmlfuzz WHERE {pred}"
+        )
+        return count
     if spec[0] == "update":
         _, assignments, pred = spec
         sets = ", ".join(f"{c} = {e}" for c, e in assignments.items())
@@ -372,6 +420,9 @@ def dml_engine(spark, tmp_path_factory):
 
 
 def _reset(engine, con):
+    engine.execute_sql("DROP SEQUENCE IF EXISTS fzseq")
+    engine.execute_sql("CREATE SEQUENCE fzseq")
+    _SEQ_MODEL["next"] = 1
     csv = "".join(
         f"{k},{g},{n},{v}\r\n" for k, g, n, v in _initial_rows()
     ).encode()
@@ -407,7 +458,9 @@ def test_random_dml_statements_agree_between_engine_and_duckdb(dml_engine):
         for i in range(0, len(specs), CHAIN_LEN):
             _reset(dml_engine, con)
             for spec in specs[i : i + CHAIN_LEN]:
-                sql = _engine_sql(spec)
+                sql = _engine_sql(
+                    spec, physical=dml_engine.sink.catalog["dmlfuzz"]
+                )
                 got_n = dml_engine.execute_sql(sql)
                 want_n = _duck_apply(con, spec)
                 got = _norm_rows(
@@ -449,7 +502,9 @@ def test_dml_chain_hand_picked_edges(dml_engine):
             ("delete", "k % 2 = 0 OR k % 2 = 1"),
         ]
         for spec in chain:
-            got_n = dml_engine.execute_sql(_engine_sql(spec))
+            got_n = dml_engine.execute_sql(
+                _engine_sql(spec, physical=dml_engine.sink.catalog["dmlfuzz"])
+            )
             want_n = _duck_apply(con, spec)
             assert got_n == want_n, (spec, got_n, want_n)
             got = _norm_rows(

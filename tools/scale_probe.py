@@ -408,7 +408,7 @@ def r10_probe(spark, sf_dir: str) -> dict:
     }
 
     def _replicate_emb(k: int):
-        parts = [base_emb]
+        parts = [base_emb.select("vec_id", "embedding")]
         for r in range(1, k):
             parts.append(
                 base_emb.select(
@@ -478,9 +478,13 @@ def r10_probe(spark, sf_dir: str) -> dict:
             )
             .localCheckpoint()
         )
+        import re as _re
+
         probe = engine.ann_topk("r10ix", queries, k=5, nprobe=2)
         plan = probe._jdf.queryExecution().executedPlan().toString()
-        n_scans = plan.count("r10ix_assigned")
+        n_scans = len(
+            _re.findall(r"FileScan parquet [^\n]*r10ix_assigned", plan)
+        )
         t0 = time.perf_counter()
         rows = probe.count()
         sec = round(time.perf_counter() - t0, 2)
