@@ -221,10 +221,10 @@ def refresh_information_schema(engine: "Engine") -> None:
                 s["inc"],
                 False,
                 "",
-                0,
-                1,
-                9223372036854775807,
-                False,
+                s["cache"] if s["cache"] is not None else 0,
+                s["min"],
+                s["max"],
+                bool(s["cycle"]),
             )
         )
     spark.sql(f"CREATE DATABASE IF NOT EXISTS `{DB}`")

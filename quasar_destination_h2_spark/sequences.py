@@ -88,15 +88,56 @@ class Sequences:
 
     # -- DDL ----------------------------------------------------------------
 
+    #: int64 range H2's BIGINT sequences live in.
+    I64_MAX = 9223372036854775807
+    I64_MIN = -9223372036854775808
+
     def create(
         self,
         name: str,
-        start: int = 1,
+        start: int | None = None,
         increment: int = 1,
         if_not_exists: bool = False,
+        min_value: int | None = None,
+        max_value: int | None = None,
+        cycle: bool = False,
+        cache: int | None = None,
     ) -> None:
+        """H2 1.4.200 defaults: ascending ranges [min(1, start),
+        2^63-1] starting at MINVALUE when START is unspecified;
+        descending ranges [-2^63, max(-1, start)] starting at
+        MAXVALUE. ``cache`` is accepted and recorded for
+        introspection but does not change dispensed values (every
+        allocation is durably persisted, so there is nothing for a
+        cache block to lose)."""
         if increment == 0:
             raise SequenceError("CREATE SEQUENCE: INCREMENT BY must not be 0")
+        # H2 1.4.200 defaults CLAMP to an explicit start (Sequence.
+        # getDefaultMinValue: ascending min = min(1, start), so
+        # ``START WITH 0`` is legal without explicit bounds; the
+        # descending default max = max(-1, start) symmetrically)
+        if increment > 0:
+            if min_value is None:
+                min_value = 1 if start is None else min(1, start)
+            if max_value is None:
+                max_value = self.I64_MAX
+        else:
+            if min_value is None:
+                min_value = self.I64_MIN
+            if max_value is None:
+                max_value = -1 if start is None else max(-1, start)
+        if min_value > max_value:
+            raise SequenceError(
+                f"CREATE SEQUENCE: MINVALUE {min_value} exceeds "
+                f"MAXVALUE {max_value}"
+            )
+        if start is None:
+            start = min_value if increment > 0 else max_value
+        if not (min_value <= start <= max_value):
+            raise SequenceError(
+                f"CREATE SEQUENCE: START WITH {start} outside "
+                f"[{min_value}, {max_value}]"
+            )
         key = name.casefold()
         with self._locked():
             state = self._read()
@@ -104,7 +145,15 @@ class Sequences:
                 if if_not_exists:
                     return
                 raise SequenceError(f"sequence already exists: {name!r}")
-            state[key] = {"next": start, "inc": increment, "start": start}
+            state[key] = {
+                "next": start,
+                "inc": increment,
+                "start": start,
+                "min": min_value,
+                "max": max_value,
+                "cycle": bool(cycle),
+                "cache": cache,
+            }
             self._write(state)
 
     def drop(self, name: str, if_exists: bool = False) -> None:
@@ -119,22 +168,41 @@ class Sequences:
             self._write(state)
         self._currval.pop(key, None)
 
+    @classmethod
+    def _norm(cls, s: dict) -> dict:
+        """Fill bound/cycle defaults for state persisted before the
+        r10 option support (forward-compatible read)."""
+        inc = s["inc"]
+        s.setdefault(
+            "min", min(1, s.get("start", 1)) if inc > 0 else cls.I64_MIN
+        )
+        s.setdefault(
+            "max", cls.I64_MAX if inc > 0 else max(-1, s.get("start", -1))
+        )
+        s.setdefault("cycle", False)
+        s.setdefault("cache", None)
+        return s
+
     def alter(
         self,
         name: str,
         restart: bool = False,
         with_: int | None = None,
         increment: int | None = None,
+        min_value: int | None = None,
+        max_value: int | None = None,
+        cycle: bool | None = None,
     ) -> None:
         """ALTER SEQUENCE: RESTART [WITH n] resets the next value
         (to its START WITH when n is omitted, like H2); INCREMENT BY
-        changes the step without touching the current position."""
+        changes the step without touching the current position;
+        MINVALUE/MAXVALUE/[NO]CYCLE adjust the bounds in place."""
         key = name.casefold()
         with self._locked():
             state = self._read()
             if key not in state:
                 raise SequenceError(f"sequence not found: {name!r}")
-            s = state[key]
+            s = self._norm(state[key])
             if restart:
                 s["next"] = s["start"] if with_ is None else with_
             if increment is not None:
@@ -143,23 +211,55 @@ class Sequences:
                         "ALTER SEQUENCE: INCREMENT BY must not be 0"
                     )
                 s["inc"] = increment
+            if min_value is not None:
+                s["min"] = min_value
+            if max_value is not None:
+                s["max"] = max_value
+            if cycle is not None:
+                s["cycle"] = bool(cycle)
+            if s["min"] > s["max"]:
+                raise SequenceError(
+                    f"ALTER SEQUENCE: MINVALUE {s['min']} exceeds "
+                    f"MAXVALUE {s['max']}"
+                )
             self._write(state)
 
     # -- values -------------------------------------------------------------
 
     def nextval(self, name: str, n: int = 1) -> list[int]:
         """Atomically allocate ``n`` consecutive values; returns them
-        in dispensing order."""
+        in dispensing order, honoring the bounds: a value past
+        MAXVALUE (ascending) / MINVALUE (descending) wraps to the
+        opposite bound when the sequence CYCLEs — note the wrapped
+        phase restarts AT the bound, so a START not aligned to
+        MINVALUE changes phase after the first wrap, exactly like H2
+        — or raises H2's exhaustion error when it does not."""
         key = name.casefold()
         with self._locked():
             state = self._read()
             if key not in state:
                 raise SequenceError(f"sequence not found: {name!r}")
-            s = state[key]
-            vals = [s["next"] + i * s["inc"] for i in range(n)]
-            s["next"] = s["next"] + n * s["inc"]
+            s = self._norm(state[key])
+            inc, lo, hi = s["inc"], s["min"], s["max"]
+            cur, vals = s["next"], []
+            for _ in range(n):
+                # H2 enforces only the bound on the INCREMENT side
+                # (Sequence.getNext): an ascending sequence RESTARTed
+                # below MINVALUE still dispenses — MINVALUE is the
+                # cycle restart point, not a floor
+                if (inc > 0 and cur > hi) or (inc < 0 and cur < lo):
+                    if not s["cycle"]:
+                        raise SequenceError(
+                            f"sequence {name!r} has run out of numbers "
+                            f"(bounds [{lo}, {hi}], no CYCLE)"
+                        )
+                    cur = lo if inc > 0 else hi
+                vals.append(cur)
+                cur += inc
+            s["next"] = cur
             self._write(state)
-        self._currval[key] = vals[-1]
+        if vals:
+            self._currval[key] = vals[-1]
         return vals
 
     def currval(self, name: str) -> int:
@@ -182,7 +282,7 @@ class Sequences:
         state = self._read()
         if key not in state:
             raise SequenceError(f"sequence not found: {name!r}")
-        return dict(state[key])
+        return dict(self._norm(state[key]))
 
     def names(self) -> list[str]:
         """All registered sequence names (casefolded storage keys),

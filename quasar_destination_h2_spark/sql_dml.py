@@ -736,6 +736,17 @@ def _rewrite_nextval_select(engine, source: str):
             inc = engine.sequences.describe(name)["inc"]
             vals = engine.sequences.nextval(name, n) if n else []
             base = vals[0] if vals else 0
+            # the formula is affine in the row number — a CYCLE wrap
+            # inside the allocated range breaks that, so verify the
+            # dispensed range really is arithmetic (O(1): endpoints
+            # determine an arithmetic sequence given fixed step)
+            if vals and vals[-1] != base + (n - 1) * inc:
+                raise SequenceError(
+                    f"sequence {name!r} CYCLEd inside this INSERT's "
+                    f"{n}-row allocation — per-row NEXTVAL over a "
+                    "table source needs a contiguous range; RESTART "
+                    "the sequence or widen its bounds"
+                )
             exprs[key] = f"({base} + (`{rn_col}` - 1) * ({inc}))"
         return exprs[key]
 
@@ -775,12 +786,51 @@ def _rewrite_nextval_select(engine, source: str):
     return f"SELECT {proj} FROM {view}", cleanup
 
 
+def _parse_sequence_options(tail: str):
+    """Extract H2 1.4.200 sequence options from a DDL tail: START
+    WITH n, INCREMENT BY n, MINVALUE n / NOMINVALUE / NO MINVALUE,
+    MAXVALUE n / NOMAXVALUE / NO MAXVALUE, CYCLE / NOCYCLE / NO
+    CYCLE, CACHE n / NOCACHE / NO CACHE. Returns (opts, consumed)
+    where opts maps start/inc/min/max/cycle/cache to values (None =
+    not spelled; the NO* spellings yield the explicit default), and
+    consumed is the match list for :func:`_reject_sequence_tail`.
+    ``\\bSTART`` cannot false-match inside RESTART (no word boundary
+    after the E), so ALTER tails parse with the same function."""
+    start = re.search(r"\bSTART\s+WITH\s+(-?\d+)", tail, re.I)
+    inc = re.search(r"\bINCREMENT\s+BY\s+(-?\d+)", tail, re.I)
+    minv = re.search(r"\bMINVALUE\s+(-?\d+)", tail, re.I)
+    maxv = re.search(r"\bMAXVALUE\s+(-?\d+)", tail, re.I)
+    nominv = re.search(r"\bNOMINVALUE\b|\bNO\s+MINVALUE\b", tail, re.I)
+    nomaxv = re.search(r"\bNOMAXVALUE\b|\bNO\s+MAXVALUE\b", tail, re.I)
+    nocyc = re.search(r"\bNOCYCLE\b|\bNO\s+CYCLE\b", tail, re.I)
+    # blank the NOCYCLE span before looking for a bare CYCLE ("NO
+    # CYCLE" contains the word CYCLE)
+    scrub = tail
+    if nocyc:
+        scrub = tail[: nocyc.start()] + " " * (
+            nocyc.end() - nocyc.start()
+        ) + tail[nocyc.end() :]
+    cyc = re.search(r"\bCYCLE\b", scrub, re.I)
+    cache = re.search(r"\bCACHE\s+(\d+)", tail, re.I)
+    nocache = re.search(r"\bNOCACHE\b|\bNO\s+CACHE\b", tail, re.I)
+    opts = {
+        "start": int(start.group(1)) if start else None,
+        "inc": int(inc.group(1)) if inc else None,
+        "min": int(minv.group(1)) if minv else None,
+        "max": int(maxv.group(1)) if maxv else None,
+        # tri-state: None = unspelled, True = CYCLE, False = NOCYCLE
+        "cycle": True if cyc else (False if nocyc else None),
+        "cache": int(cache.group(1)) if cache else None,
+    }
+    consumed = (start, inc, minv, maxv, nominv, nomaxv, nocyc, cyc, cache, nocache)
+    return opts, consumed
+
+
 def _reject_sequence_tail(tail: str, consumed, ddl: str) -> None:
-    """H2 sequence DDL accepts more options than this layer supports
-    (MINVALUE/MAXVALUE/CYCLE/CACHE/NO CACHE/...). Silently ignoring
-    one would be a silent semantic divergence — a ``CREATE SEQUENCE
-    ... CYCLE`` that never wraps — so any tail text not consumed by
-    the supported-option regexes raises a loud unsupported error."""
+    """Any DDL tail text not consumed by the supported-option
+    regexes raises a loud unsupported error: silently ignoring an
+    option the grammar might grow (BELONGS TO, AS <type>, ...) would
+    be a silent semantic divergence."""
     residue = list(tail)
     for mo in consumed:
         if mo is not None:
@@ -792,7 +842,9 @@ def _reject_sequence_tail(tail: str, consumed, ddl: str) -> None:
     if leftover:
         raise SequenceError(
             f"{ddl}: unsupported sequence option(s): {leftover.split()[0]!r}"
-            " (supported: START WITH n, INCREMENT BY n, RESTART [WITH n])"
+            " (supported: START WITH n, INCREMENT BY n, RESTART [WITH n],"
+            " MINVALUE/MAXVALUE n, NOMINVALUE/NOMAXVALUE, [NO]CYCLE,"
+            " CACHE n, NOCACHE)"
         )
 
 
@@ -847,14 +899,17 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         if ms:
             name, pos = _parse_ident(statement, shadow, ms.end())
             tail = shadow[pos:]
-            start = re.search(r"\bSTART\s+WITH\s+(-?\d+)", tail, re.I)
-            inc = re.search(r"\bINCREMENT\s+BY\s+(-?\d+)", tail, re.I)
-            _reject_sequence_tail(tail, (start, inc), "CREATE SEQUENCE")
+            opts, consumed = _parse_sequence_options(tail)
+            _reject_sequence_tail(tail, consumed, "CREATE SEQUENCE")
             engine.sequences.create(
                 name,
-                int(start.group(1)) if start else 1,
-                int(inc.group(1)) if inc else 1,
+                opts["start"],
+                opts["inc"] if opts["inc"] is not None else 1,
                 if_not_exists=ms.group("ine") is not None,
+                min_value=opts["min"],
+                max_value=opts["max"],
+                cycle=bool(opts["cycle"]),
+                cache=opts["cache"],
             )
             return None
         if re.match(
@@ -924,12 +979,21 @@ def _execute_verb(engine, statement: str, shadow: str, m):
             name, pos = _parse_ident(statement, shadow, msq.end())
             tail = shadow[pos:]
             restart = re.search(r"\bRESTART(?:\s+WITH\s+(-?\d+))?", tail, re.I)
-            inc = re.search(r"\bINCREMENT\s+BY\s+(-?\d+)", tail, re.I)
-            _reject_sequence_tail(tail, (restart, inc), "ALTER SEQUENCE")
-            if not restart and not inc:
+            opts, consumed = _parse_sequence_options(tail)
+            _reject_sequence_tail(
+                tail, (restart, *consumed), "ALTER SEQUENCE"
+            )
+            if opts["start"] is not None:
                 raise ValueError(
-                    "ALTER SEQUENCE: expected RESTART [WITH n] "
-                    "and/or INCREMENT BY n"
+                    "ALTER SEQUENCE: use RESTART WITH n to move the "
+                    "position (START WITH is CREATE-only grammar)"
+                )
+            if restart is None and all(
+                opts[k] is None for k in ("inc", "min", "max", "cycle", "cache")
+            ):
+                raise ValueError(
+                    "ALTER SEQUENCE: expected RESTART [WITH n], "
+                    "INCREMENT BY n, MINVALUE/MAXVALUE, or [NO]CYCLE"
                 )
             engine.sequences.alter(
                 name,
@@ -937,7 +1001,10 @@ def _execute_verb(engine, statement: str, shadow: str, m):
                 with_=int(restart.group(1))
                 if restart and restart.group(1)
                 else None,
-                increment=int(inc.group(1)) if inc else None,
+                increment=opts["inc"],
+                min_value=opts["min"],
+                max_value=opts["max"],
+                cycle=opts["cycle"],
             )
             return None
         ma = re.match(r"\s*ALTER\s+TABLE\s", shadow, re.I)

@@ -370,7 +370,110 @@ def test_sequence_corrupt_state_surfaces(spark, warehouse_dir, tmp_path):
     )
     eng.execute_sql("CREATE SEQUENCE cr1")
     eng.execute_sql("SELECT NEXTVAL('cr1') AS v")
-    with open(eng.sequences.path, "w") as f:
-        f.write("{not json")
-    with pytest.raises(SequenceError, match="unreadable"):
-        eng.execute_sql("SELECT NEXTVAL('cr1') AS v")
+    try:
+        with open(eng.sequences.path, "w") as f:
+            f.write("{not json")
+        with pytest.raises(SequenceError, match="unreadable"):
+            eng.execute_sql("SELECT NEXTVAL('cr1') AS v")
+    finally:
+        # the sequence file is SHARED across the module's engines
+        # (spark-warehouse scoped) — leave it readable for later tests
+        with open(eng.sequences.path, "w") as f:
+            f.write("{}")
+
+
+def test_sequence_bounds_cycle_and_exhaustion(engine):
+    """H2 1.4.200 bound semantics: CYCLE wraps to the opposite bound
+    (phase restarts AT the bound, so an unaligned START changes
+    phase after the first wrap); without CYCLE the sequence runs out
+    with a loud error; CACHE is recorded but never changes values."""
+    engine.execute_sql("DROP SEQUENCE IF EXISTS cyc")
+    engine.execute_sql(
+        "CREATE SEQUENCE cyc START WITH 3 INCREMENT BY 5 "
+        "MINVALUE 1 MAXVALUE 10 CYCLE CACHE 20"
+    )
+    got = [
+        engine.execute_sql("SELECT NEXTVAL('cyc') AS v").collect()[0].v
+        for _ in range(6)
+    ]
+    # 3, 8, wrap -> 1, 6, wrap (11 > 10) -> 1, 6
+    assert got == [3, 8, 1, 6, 1, 6], got
+    engine.execute_sql("DROP SEQUENCE cyc")
+    engine.execute_sql(
+        "CREATE SEQUENCE cyc START WITH 9 MAXVALUE 10 NOCYCLE"
+    )
+    assert [
+        engine.execute_sql("SELECT NEXTVAL('cyc') AS v").collect()[0].v
+        for _ in range(2)
+    ] == [9, 10]
+    with pytest.raises(SequenceError, match="run out"):
+        engine.execute_sql("SELECT NEXTVAL('cyc') AS v")
+    engine.execute_sql("DROP SEQUENCE cyc")
+
+
+def test_sequence_descending_defaults_and_alter_bounds(engine):
+    """Descending sequences default to [-(2^63-1), -1] starting at
+    MAXVALUE; ALTER adjusts bounds/cycle in place; the introspection
+    surface reflects the real stored options."""
+    engine.execute_sql("DROP SEQUENCE IF EXISTS dsc")
+    engine.execute_sql("CREATE SEQUENCE dsc INCREMENT BY -2")
+    assert (
+        engine.execute_sql("SELECT NEXTVAL('dsc') AS v").collect()[0].v == -1
+    )
+    assert (
+        engine.execute_sql("SELECT NEXTVAL('dsc') AS v").collect()[0].v == -3
+    )
+    df = engine.execute_sql(
+        "SELECT MIN_VALUE, MAX_VALUE, IS_CYCLE, CACHE "
+        "FROM INFORMATION_SCHEMA.SEQUENCES WHERE SEQUENCE_NAME = 'DSC'"
+    )
+    assert [tuple(r) for r in df.collect()] == [
+        (-9223372036854775808, -1, False, 0)
+    ]
+    engine.execute_sql("ALTER SEQUENCE dsc MINVALUE -5 CYCLE")
+    got = [
+        engine.execute_sql("SELECT NEXTVAL('dsc') AS v").collect()[0].v
+        for _ in range(3)
+    ]
+    # -5, wrap (-7 < -5) -> -1, -3
+    assert got == [-5, -1, -3], got
+    df = engine.execute_sql(
+        "SELECT MIN_VALUE, IS_CYCLE FROM INFORMATION_SCHEMA.SEQUENCES "
+        "WHERE SEQUENCE_NAME = 'DSC'"
+    )
+    assert [tuple(r) for r in df.collect()] == [(-5, True)]
+    engine.execute_sql("DROP SEQUENCE dsc")
+    # invalid bound combos are loud
+    with pytest.raises(SequenceError, match="MINVALUE"):
+        engine.execute_sql("CREATE SEQUENCE bad MINVALUE 10 MAXVALUE 5")
+    with pytest.raises(SequenceError, match="outside"):
+        engine.execute_sql(
+            "CREATE SEQUENCE bad START WITH 99 MINVALUE 1 MAXVALUE 10"
+        )
+    # ALTER with CREATE-only grammar is loud, never a silent no-op
+    engine.execute_sql("CREATE SEQUENCE alt1")
+    with pytest.raises(ValueError, match="RESTART WITH"):
+        engine.execute_sql("ALTER SEQUENCE alt1 START WITH 5")
+    engine.execute_sql("DROP SEQUENCE alt1")
+    # still-unknown options stay loud
+    with pytest.raises(SequenceError, match="unsupported sequence option"):
+        engine.execute_sql("CREATE SEQUENCE bad2 BELONGS_TO_TABLE x")
+
+
+def test_sequence_table_source_cycle_guard(engine):
+    """Per-row NEXTVAL over a table source needs a contiguous
+    (affine) range: a CYCLE wrap inside the allocation raises
+    loudly instead of assigning wrong values."""
+    engine.execute_sql("DROP SEQUENCE IF EXISTS cg")
+    engine.execute_sql(
+        "CREATE SEQUENCE cg MINVALUE 1 MAXVALUE 2 CYCLE"
+    )
+    engine.csv_create_sink().consume(
+        "/seq_cg", COLS, b"1,a\r\n2,b\r\n3,c\r\n"
+    )
+    physical = engine.sink.catalog["seq_cg"]
+    with pytest.raises(SequenceError, match="CYCLEd inside"):
+        engine.execute_sql(
+            f"INSERT INTO seq_cg (k, v) SELECT NEXTVAL('cg'), v FROM {physical}"
+        )
+    engine.execute_sql("DROP SEQUENCE cg")

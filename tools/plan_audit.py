@@ -177,6 +177,10 @@ NLJ_OK = frozenset({
     # r9: the serving probe broadcasts the same bounded n_list-row
     # centroid frame onto the QUERY table (query-side work only)
     "ann_index_search",
+    # r10: the 1-row drift-report frame crossJoin-broadcast onto the
+    # n_list-row per-centroid aggregate (both sides bounded), plus
+    # the same centroid broadcasts as the serving family
+    "ann_index_append",
 })
 
 #: Tables whose repeated FileScan in one plan is a 100 TB scale killer.
