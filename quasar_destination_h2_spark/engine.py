@@ -177,9 +177,13 @@ class Engine:
                     self.endpoint_port = port
         self.endpoint_started = bool(self._servers)
         if self.endpoint_started:
-            # wire clients introspect on connect; give them the
-            # catalog as of endpoint start (see info_schema)
+            # wire clients introspect on connect; publish the catalog
+            # now AND republish on every later catalog/sequence
+            # mutation (three driver-only view statements per change —
+            # bounded; the hook exists only on serving engines, so
+            # batch-load sessions never pay it)
             self.refresh_information_schema()
+            self.sink.on_catalog_change = self._republish_info_schema
 
     def close(self) -> None:
         """Release servers (session is shared; caller stops Spark)."""
@@ -432,6 +436,17 @@ class Engine:
         from . import info_schema
 
         info_schema.refresh_information_schema(self)
+
+    def _republish_info_schema(self) -> None:
+        """Best-effort post-mutation republish for wire clients —
+        never lets an introspection failure break the mutation that
+        triggered it."""
+        if not self.endpoint_started:
+            return
+        try:
+            self.refresh_information_schema()
+        except Exception:  # pragma: no cover — degraded introspection
+            log.warning("information_schema republish failed", exc_info=True)
 
     def sql(self, query: str) -> DataFrame:
         """Tier-B surface: full Spark SQL over loaded tables."""

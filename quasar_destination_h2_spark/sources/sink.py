@@ -197,6 +197,9 @@ class CsvCreateSink:
     # logical names THIS engine dropped but has not yet persisted —
     # tombstones so the merge-persist can't resurrect them from disk
     _dropped: set = field(default_factory=set)
+    # best-effort post-persist hook (the owning Engine republishes
+    # the INFORMATION_SCHEMA views to wire clients; see info_schema)
+    on_catalog_change: object = None
 
     def __post_init__(self) -> None:
         if self.catalog is None:
@@ -363,6 +366,8 @@ class CsvCreateSink:
                 CATALOG_TABLE
             )
             self._dropped.clear()
+        if self.on_catalog_change is not None:
+            self.on_catalog_change()
 
     def consume(
         self,

@@ -911,6 +911,7 @@ def _execute_verb(engine, statement: str, shadow: str, m):
                 cycle=bool(opts["cycle"]),
                 cache=opts["cache"],
             )
+            engine._republish_info_schema()
             return None
         if re.match(
             r"\s*CREATE\s+(UNIQUE\s+|SPATIAL\s+|HASH\s+)*INDEX\b", shadow, re.I
@@ -944,6 +945,7 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         if md:
             name, _ = _parse_ident(statement, shadow, md.end())
             engine.sequences.drop(name, if_exists=md.group("ie") is not None)
+            engine._republish_info_schema()
             return None
         if re.match(r"\s*DROP\s+INDEX\b", shadow, re.I):
             return None  # pair of the CREATE INDEX no-op above
@@ -1006,6 +1008,7 @@ def _execute_verb(engine, statement: str, shadow: str, m):
                 max_value=opts["max"],
                 cycle=opts["cycle"],
             )
+            engine._republish_info_schema()
             return None
         ma = re.match(r"\s*ALTER\s+TABLE\s", shadow, re.I)
         if not ma:

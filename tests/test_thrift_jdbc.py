@@ -91,8 +91,8 @@ def test_external_jdbc_client_introspection(spark, warehouse_dir):
             [Column("k", ColumnType.NUMBER), Column("v", ColumnType.STRING)],
             b"1,alpha\r\n",
         )
-        # catalog changed after endpoint start: publish to wire clients
-        engine.refresh_information_schema()
+        # no explicit refresh: the serving engine republishes the
+        # views on every catalog mutation (sink.on_catalog_change)
         p = subprocess.run(
             [
                 BEELINE,
