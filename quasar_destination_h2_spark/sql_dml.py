@@ -567,12 +567,27 @@ def _substitute_sequence_values(engine, sql: str) -> str:
     )
     currval_only = False
     if has_nextval:
-        if re.match(r"\s*(UPDATE|DELETE|MERGE)\b", shadow0, re.I):
+        if re.match(r"\s*(UPDATE|DELETE)\b", shadow0, re.I):
             raise SequenceError(
-                "NEXTVAL in UPDATE/DELETE/MERGE is not supported — "
-                "one textual occurrence would apply across many "
+                "NEXTVAL in UPDATE/DELETE is not supported — one "
+                "textual occurrence would apply across many "
                 "existing rows where H2 dispenses per row"
             )
+        if re.match(r"\s*MERGE\b", shadow0, re.I):
+            # legacy ``MERGE INTO t [(cols)] KEY (k) VALUES ...``
+            # spells one NEXTVAL per row exactly like INSERT...VALUES
+            # — plain substitution is per-row-correct. The ANSI
+            # USING form and the legacy SELECT source apply one
+            # occurrence across a result set — those raise.
+            if re.search(r"\bUSING\b", shadow0, re.I) or _has_table_from(
+                sql, shadow0
+            ):
+                raise SequenceError(
+                    "NEXTVAL in MERGE is supported only for the "
+                    "legacy VALUES form (per spelled row) — USING / "
+                    "table-driven SELECT sources would apply one "
+                    "textual occurrence across many rows"
+                )
         if re.match(r"\s*INSERT\b", shadow0, re.I):
             try:
                 _t, _c, kind, source = parse_insert(sql, shadow0)

@@ -334,9 +334,9 @@ def test_nextval_multi_row_statements_guarded(engine):
     review round 2)."""
     engine.execute_sql("CREATE SEQUENCE mg")
     engine.csv_create_sink().consume("/seq_m", COLS, b"1,a\r\n2,b\r\n")
-    with pytest.raises(SequenceError, match="UPDATE/DELETE/MERGE"):
+    with pytest.raises(SequenceError, match="UPDATE/DELETE"):
         engine.execute_sql("UPDATE seq_m SET k = NEXTVAL('mg') WHERE k > 0")
-    with pytest.raises(SequenceError, match="UPDATE/DELETE/MERGE"):
+    with pytest.raises(SequenceError, match="UPDATE/DELETE"):
         engine.execute_sql("DELETE FROM seq_m WHERE k = NEXTVAL('mg')")
     # CURRVAL in a DELETE predicate is fine (session constant)
     engine.execute_sql("SELECT NEXTVAL('mg') AS v")  # currval := 1
@@ -477,3 +477,30 @@ def test_sequence_table_source_cycle_guard(engine):
             f"INSERT INTO seq_cg (k, v) SELECT NEXTVAL('cg'), v FROM {physical}"
         )
     engine.execute_sql("DROP SEQUENCE cg")
+
+
+def test_sequence_legacy_merge_values(engine):
+    """H2's legacy MERGE ... KEY VALUES spells one NEXTVAL per row —
+    substitution is per-row-correct and now allowed (r10); the ANSI
+    USING form and table-driven legacy SELECT sources still raise."""
+    engine.execute_sql("DROP SEQUENCE IF EXISTS mg2")
+    engine.execute_sql("CREATE SEQUENCE mg2 START WITH 50")
+    engine.csv_create_sink().consume("/seq_mv", COLS, b"1,a\r\n")
+    n = engine.execute_sql(
+        "MERGE INTO seq_mv (k, v) KEY (k) VALUES (NEXTVAL('mg2'), 'm1'), "
+        "(NEXTVAL('mg2'), 'm2')"
+    )
+    assert n == 2
+    got = sorted((float(r.k), r.v) for r in engine.table("seq_mv").collect())
+    assert got == [(1.0, "a"), (50.0, "m1"), (51.0, "m2")]
+    physical = engine.sink.catalog["seq_mv"]
+    with pytest.raises(SequenceError, match="MERGE"):
+        engine.execute_sql(
+            f"MERGE INTO seq_mv (k, v) KEY (k) SELECT NEXTVAL('mg2'), v "
+            f"FROM {physical}"
+        )
+    with pytest.raises(SequenceError, match="MERGE"):
+        engine.execute_sql(
+            "MERGE INTO seq_mv tg USING (SELECT 1 AS sk) AS s ON tg.k = s.sk "
+            "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (NEXTVAL('mg2'), 'x')"
+        )
