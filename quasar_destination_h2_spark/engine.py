@@ -678,6 +678,40 @@ class Engine:
             self.sink.catalog[logical_name], target.withColumnRenamed(old, new)
         )
 
+    def rename_table(self, old: str, new: str) -> None:
+        """ALTER TABLE ... RENAME TO (H2 grammar): a pure catalog
+        remap. Physical storage never moves — physical names are
+        opaque fingerprints of the ORIGINAL logical name, and the
+        catalog mapping is the only authority — so renaming a 100 TB
+        table is O(1) metadata under the same flock merge-persist as
+        every other catalog mutation (the old key tombstones so a
+        concurrent merge cannot resurrect it)."""
+        src = None
+        for logical in self.sink.catalog:
+            if logical.casefold() == old.casefold():
+                src = logical
+                break
+        if src is None:
+            raise ValueError(f"RENAME: table not found: {old!r}")
+        for logical in self.sink.catalog:
+            if logical.casefold() == new.casefold():
+                raise ValueError(f"RENAME: table already exists: {new!r}")
+        physical = self.sink.catalog.pop(src)
+        self.sink._dropped.add(src)
+        self.sink.catalog[new] = physical
+        self.sink._persist_catalog()
+
+    def drop_all_objects(self) -> None:
+        """H2's ``DROP ALL OBJECTS`` scoped to what this engine owns:
+        every catalog table and every sequence. Bounded driver work
+        (catalog-sized loop); each drop reuses the existing
+        flock-protected paths."""
+        for logical in list(self.sink.catalog):
+            self.drop_table_if_exists(logical)
+        for name in self.sequences.names():
+            self.sequences.drop(name, if_exists=True)
+        self._republish_info_schema()
+
     def delete_where(self, logical_name: str, condition: str) -> int:
         """DELETE FROM t WHERE cond (overwrite-rewrite). Returns the
         number of deleted rows."""

@@ -954,6 +954,11 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         return None
 
     if verb == "DROP":
+        if re.match(r"\s*DROP\s+ALL\s+OBJECTS\b", shadow, re.I):
+            # H2's whole-database reset, scoped to the engine catalog
+            # + sequence registry (session views are Spark-managed)
+            engine.drop_all_objects()
+            return None
         md = re.match(
             r"\s*DROP\s+SEQUENCE\s+(?P<ie>IF\s+EXISTS\s+)?", shadow, re.I
         )
@@ -1054,9 +1059,14 @@ def _execute_verb(engine, statement: str, shadow: str, m):
             new, _ = _parse_ident(statement, shadow, mto.end())
             engine.rename_column(logical, old, new)
             return None
+        mrt = re.compile(r"\s*RENAME\s+TO\s+", re.I).match(shadow, pos)
+        if mrt:
+            new, _ = _parse_ident(statement, shadow, mrt.end())
+            engine.rename_table(logical, new)
+            return None
         raise ValueError(
             "ALTER TABLE: supported forms are ADD [COLUMN], DROP [COLUMN], "
-            "RENAME COLUMN ... TO ..."
+            "RENAME COLUMN ... TO ..., RENAME TO ..."
         )
 
     # MERGE: ANSI `MERGE ... USING` (H2 grammars both forms) is told

@@ -264,3 +264,40 @@ def test_corrupt_catalog_metadata_quarantined(spark, warehouse_dir):
     assert glob.glob(meta + ".corrupt-*"), "corrupt dir was not renamed aside"
     assert any("quarantined" in str(w.message) for w in caught)
     assert e2.table("quarantine_t2").count() == 1
+
+
+def test_alter_table_rename_to(engine):
+    """ALTER TABLE ... RENAME TO (H2 grammar, r10): O(1) catalog
+    remap — data readable under the new name, old name gone, clash
+    and missing-table cases loud."""
+    _load(engine, "ren_src")
+    n_before = engine.table("ren_src").count()
+    assert engine.execute_sql("ALTER TABLE ren_src RENAME TO ren_dst") is None
+    assert engine.table("ren_dst").count() == n_before
+    assert "ren_src" not in engine.sink.catalog
+    # statement surface sees the new name; introspection follows
+    assert engine.execute_sql("DELETE FROM ren_dst WHERE k = 1") == 1
+    rows = engine.execute_sql(
+        "SELECT TABLE_NAME FROM INFORMATION_SCHEMA.TABLES "
+        "WHERE TABLE_NAME IN ('ren_src', 'ren_dst')"
+    ).collect()
+    assert [r.TABLE_NAME for r in rows] == ["ren_dst"]
+    # unknown tables fall through to Spark (same as every ALTER form)
+    with pytest.raises(Exception, match="not found|cannot be found"):
+        engine.execute_sql("ALTER TABLE ren_src RENAME TO ren_x")
+    _load(engine, "ren_other")
+    with pytest.raises(ValueError, match="already exists"):
+        engine.execute_sql("ALTER TABLE ren_other RENAME TO REN_DST")
+
+
+def test_drop_all_objects(engine):
+    """H2's DROP ALL OBJECTS empties the engine catalog and the
+    sequence registry in one statement."""
+    _load(engine, "dao_a")
+    _load(engine, "dao_b")
+    engine.execute_sql("DROP SEQUENCE IF EXISTS dao_s")
+    engine.execute_sql("CREATE SEQUENCE dao_s")
+    assert engine.execute_sql("DROP ALL OBJECTS") is None
+    assert engine.sink.catalog == {}
+    assert engine.sequences.names() == []
+    assert engine.execute_sql("SHOW TABLES").count() == 0
