@@ -3790,7 +3790,10 @@ SELECT 'column', TABLE_NAME || '.' || COLUMN_NAME,
 FROM INFORMATION_SCHEMA.COLUMNS
 WHERE TABLE_NAME IN ('is10_alpha', 'is10_beta')
 UNION ALL
-SELECT 'sequence', SEQUENCE_NAME, CAST(INCREMENT AS STRING),
+SELECT 'sequence', SEQUENCE_NAME,
+       CAST(INCREMENT AS STRING) || '/' || CAST(MIN_VALUE AS STRING)
+         || '/' || CAST(MAX_VALUE AS STRING) || '/'
+         || CAST(IS_CYCLE AS STRING),
        CAST(CURRENT_VALUE AS BIGINT)
 FROM INFORMATION_SCHEMA.SEQUENCES
 WHERE SEQUENCE_NAME = 'IS10_SEQ'
@@ -3807,7 +3810,7 @@ ORDER BY kind, obj
       ('column', 'is10_alpha.name', 'VARCHAR/12/YES', 2),
       ('column', 'is10_alpha.ts', 'TIMESTAMP/93/YES', 4),
       ('column', 'is10_beta.x', 'VARCHAR/12/YES', 1),
-      ('sequence', 'IS10_SEQ', '5', 10),
+      ('sequence', 'IS10_SEQ', '5/1/1000/true', 10),
       ('table', 'is10_alpha', 'TABLE', NULL),
       ('table', 'is10_beta', 'TABLE', NULL)
     ) AS T(kind, obj, detail, pos)
@@ -3823,7 +3826,9 @@ def q_information_schema_battery(t: TableSet) -> DataFrame:
     socket (H2Server.scala:60-84). H2 1.4.200 conventions under
     test: java.sql.Types DATA_TYPE codes, 1-based ordinals, YES/NO
     nullability, uppercased unquoted sequence names, CURRENT_VALUE =
-    last dispensed (two NEXTVALs of START 5 INCREMENT 5 -> 10). The
+    last dispensed (two NEXTVALs of START 5 INCREMENT 5 -> 10), and
+    the r10 option surface (MIN/MAX/IS_CYCLE reflect the real stored
+    bounds of a CYCLE sequence). The
     oracle is the literal expected frame — the fixture is fully
     determined by this function, never by sf data."""
     import json as _json
@@ -3850,7 +3855,10 @@ def q_information_schema_battery(t: TableSet) -> DataFrame:
         "/is10_beta", [Column("x", ColumnType.STRING)], b""
     )
     eng.execute_sql("DROP SEQUENCE IF EXISTS is10_seq")
-    eng.execute_sql("CREATE SEQUENCE is10_seq START WITH 5 INCREMENT BY 5")
+    eng.execute_sql(
+        "CREATE SEQUENCE is10_seq START WITH 5 INCREMENT BY 5 "
+        "MAXVALUE 1000 CYCLE"
+    )
     eng.execute_sql("SELECT NEXTVAL('is10_seq') AS v").collect()
     eng.execute_sql("SELECT NEXTVAL('is10_seq') AS v").collect()
     return eng.execute_sql(_IS10_STMT)
