@@ -88,6 +88,7 @@ class Engine:
         #: engine has already verified (see ann_topk) — keyed by index
         #: name. Invalidated whenever THIS engine rebuilds or appends.
         self._ann_verified: dict = {}
+        self._text_verified: dict = {}
         #: effective Thrift listen port (may differ from the requested
         #: port when joining an already-running JVM-wide endpoint)
         self.endpoint_port: Optional[str] = None
@@ -401,6 +402,218 @@ class Engine:
             query_vec_col=query_vec_col,
             id_col=id_col,
             vec_col=vec_col,
+        )
+
+    def build_text_index(
+        self,
+        name: str,
+        docs: DataFrame,
+        text_col: str = "text",
+        n_buckets: int = 32,
+    ) -> None:
+        """[EXT] Build-once BM25 text-retrieval index — the lexical
+        sibling of :meth:`build_ivf_index`: tokenize the corpus ONCE
+        (text.build_postings), materialize the (doc_id, dl, tok, tf)
+        postings as ``{name}_postings`` BUCKETED by ``tok`` (every
+        :meth:`text_search` term semi-join and df groupBy reads
+        co-located inverted lists — no index-side exchange; pinned
+        by tests/test_text_index.py) and the one-row corpus stats
+        (n_docs, sum_dl) as ``{name}_stats``.
+
+        Pick ``n_buckets`` to match the probe side's target
+        partitioning (``spark.sql.shuffle.partitions`` of the
+        serving session): Spark's planner keeps the co-located
+        bucketed read only when the bucket count equals the
+        partition count it would otherwise shuffle to — on a
+        mismatch it disables the bucketed scan and re-shuffles the
+        whole index per probe.
+
+        Unlike the ANN index's frozen centroids, BM25 state is
+        ADDITIVE — postings union and the stats sums compose — so
+        :meth:`append_to_text_index` keeps the index EXACT: probes
+        over (build + appends) equal a rebuild-on-union to the bit.
+
+        Torn-state discipline: both tables carry a shared build id
+        plus a monotone revision; the heavy write (postings) lands
+        FIRST, and text_search verifies id + revision agreement
+        before serving (a failure between the two writes leaves a
+        detectable mismatch instead of silently wrong df/stats)."""
+        from pyspark.sql import functions as F
+
+        from .operators import text
+
+        postings, stats = text.build_postings(docs, text_col)
+        build_id = random_alphanum()
+        self._text_verified.pop(name, None)
+        self.materialize_bucketed(
+            f"{name}_postings",
+            postings.withColumn("build_id", F.lit(build_id)).withColumn(
+                "revision", F.lit(0).cast("bigint")
+            ),
+            ["tok"],
+            n_buckets,
+        )
+        self.drop_table_if_exists(f"{name}_stats")
+        self.create_table_as(
+            f"{name}_stats",
+            stats.withColumn("build_id", F.lit(build_id)).withColumn(
+                "revision", F.lit(0).cast("bigint")
+            ),
+        )
+
+    def append_to_text_index(
+        self,
+        name: str,
+        new_docs: DataFrame,
+        text_col: str = "text",
+        n_buckets: int = 32,
+    ) -> DataFrame:
+        """[EXT] EXACT incremental append — the nightly-crawl story
+        for the text index: tokenize only the new batch (the corpus
+        is never rescanned), append its postings to the bucketed
+        inverted lists under the SAME build id at revision+1, and
+        fold the batch's (n_docs, sum_dl) into the stats row. df per
+        term is recomputed from postings at probe time, so the
+        appended index serves IDENTICAL scores to a full rebuild on
+        the union — pinned by tests/test_text_index.py.
+
+        Returns a one-row vocabulary-drift report: (appended_docs,
+        appended_postings, new_terms, new_term_ppm, revision) —
+        new_terms = batch terms absent from the stored index,
+        new_term_ppm = their share of the batch vocabulary in ppm.
+        A batch from the corpus distribution re-uses the stored
+        vocabulary (low ppm); topic/language drift mints new terms —
+        the COMPACTION/REBUILD trigger a 100 TB operator watches
+        (each append adds a parquet file set per bucket; periodic
+        rebuild re-compacts). Cost: the instrument prunes the
+        stored side to the batch's term set FIRST (co-located
+        semi-join on the bucketed ``tok``), so everything is
+        O(batch + Σ df(batch terms)), not O(index).
+
+        ``n_buckets`` must match the build's (Spark refuses a
+        mismatched bucket spec loudly)."""
+        from pyspark.sql import functions as F
+
+        from .idents import storage_safe_name
+        from .operators import text
+
+        stats_tbl = self.table(f"{name}_stats")
+        srow = stats_tbl.collect()
+        if len(srow) != 1:
+            raise ValueError(
+                f"text index {name!r} stats table has {len(srow)} rows — "
+                "re-run build_text_index"
+            )
+        srow = srow[0]
+        batch_postings, batch_stats = text.build_postings(new_docs, text_col)
+        batch_postings = batch_postings.localCheckpoint()
+        brow = batch_stats.collect()[0]
+        batch_terms = batch_postings.select("tok").distinct()
+        # anti-join against the PRUNED stored vocabulary: only stored
+        # terms matching the batch can cancel a batch term, so the
+        # semi-join prune is semantics-preserving and keeps the
+        # instrument batch-sized (the co-located bucketed read)
+        stored_toks = (
+            self.table(f"{name}_postings")
+            .join(batch_terms, "tok", "leftsemi")
+            .select("tok")
+            .distinct()
+        )
+        new_terms = batch_terms.join(stored_toks, "tok", "leftanti").count()
+        vocab = batch_terms.count()
+        n_postings = batch_postings.count()
+        revision = int(srow.revision) + 1
+        self._text_verified.pop(name, None)
+        physical = storage_safe_name(f"{name}_postings")
+        (
+            batch_postings.withColumn("build_id", F.lit(srow.build_id))
+            .withColumn("revision", F.lit(revision).cast("bigint"))
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(n_buckets, "tok")
+            .sortBy("tok")
+            .saveAsTable(physical)
+        )
+        self.drop_table_if_exists(f"{name}_stats")
+        self.create_table_as(
+            f"{name}_stats",
+            self.spark.createDataFrame(
+                [
+                    (
+                        int(srow.n_docs) + int(brow.n_docs),
+                        int(srow.sum_dl or 0) + int(brow.sum_dl or 0),
+                        srow.build_id,
+                        revision,
+                    )
+                ],
+                "n_docs bigint, sum_dl bigint, build_id string, "
+                "revision bigint",
+            ),
+        )
+        ppm = (new_terms * 1_000_000) // vocab if vocab else 0
+        return self.spark.createDataFrame(
+            [
+                (
+                    int(brow.n_docs),
+                    int(n_postings),
+                    int(new_terms),
+                    int(ppm),
+                    revision,
+                )
+            ],
+            "appended_docs bigint, appended_postings bigint, "
+            "new_terms bigint, new_term_ppm bigint, revision bigint",
+        )
+
+    def text_search(
+        self, name: str, queries: DataFrame, topn: int = 10
+    ) -> DataFrame:
+        """[EXT] Query-table-driven BM25 retrieval over an index
+        built by :meth:`build_text_index` — probes the stored
+        bucketed postings via text.bm25_probe; no re-tokenization,
+        no corpus scan, no per-query replanning. Raises if the two
+        index tables disagree on build id or revision (a torn build
+        or append — see build_text_index). Verification is one
+        column-pruned scan of the postings' (build_id, revision),
+        memoized per (id, revision) exactly like ann_topk's check —
+        serving calls after the first pay only the one-row stats
+        read."""
+        from .operators import text
+
+        postings = self.table(f"{name}_postings")
+        stats_tbl = self.table(f"{name}_stats")
+        srows = stats_tbl.select("build_id", "revision").collect()
+        if len(srows) != 1:
+            raise ValueError(
+                f"text index {name!r} stats table has {len(srows)} rows — "
+                "re-run build_text_index"
+            )
+        want = (srows[0].build_id, int(srows[0].revision))
+        if self._text_verified.get(name) != want:
+            seen = sorted(
+                (r.build_id, int(r.revision))
+                for r in postings.select("build_id", "revision")
+                .distinct()
+                .collect()
+            )
+            # postings land BEFORE the stats rewrite, so a torn
+            # append shows postings AHEAD of the stats revision (or
+            # under a foreign build id); postings trailing is the
+            # benign empty-append case (only stats bumped), and an
+            # empty `seen` is an empty-corpus build
+            ids = sorted({b for b, _ in seen})
+            max_rev = max((r for _, r in seen), default=want[1])
+            if seen and (ids != [want[0]] or max_rev > want[1]):
+                raise ValueError(
+                    f"text index {name!r} is torn (stats build/revision "
+                    f"{want} vs postings {seen}) — re-run build_text_index"
+                )
+            self._text_verified[name] = want
+        return text.bm25_probe(
+            postings.select("doc_id", "dl", "tok", "tf"),
+            stats_tbl.select("n_docs", "sum_dl"),
+            queries,
+            topn,
         )
 
     @property

@@ -1044,6 +1044,113 @@ def bm25_search(
     )
 
 
+def build_postings(
+    docs: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """The BM25 index-build half of :func:`bm25_search_many`:
+    tokenize the corpus ONCE (persisted) and return
+
+    - ``postings``: (doc_id, dl, tok, tf) — one row per distinct
+      (document, term), document length riding along so retrieval
+      never needs a second corpus join;
+    - ``stats``: one row (n_docs, sum_dl) — the corpus-level BM25
+      constants.
+
+    These two frames are the ENTIRE retrieval state: df per term is
+    recomputed at probe time from the postings themselves (exact,
+    and O(pruned) once the probe's term semi-join lands first), so
+    an appended index stays exact — unlike the ANN index's frozen
+    centroids, BM25 state composes under union (postings and the
+    stats sums are both additive). engine.build_text_index
+    materializes ``postings`` bucketed by ``tok`` so probe joins
+    read co-located inverted lists."""
+    from .. import cache
+
+    tk = tokens(F.col(text_col))
+    base = cache.persisted(
+        docs.select(
+            "doc_id",
+            bind_once(tk, lambda a: F.filter(a, lambda x: x != F.lit(""))).alias(
+                "tk"
+            ),
+        )
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size("tk")).cast("bigint").alias("sum_dl"),
+    )
+    postings = (
+        base.select(
+            "doc_id",
+            F.size("tk").cast("bigint").alias("dl"),
+            F.explode("tk").alias("tok"),
+        )
+        .groupBy("doc_id", "dl", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    return postings, stats
+
+
+def bm25_probe(
+    postings: DataFrame,
+    stats: DataFrame,
+    queries: DataFrame,
+    topn: int = 10,
+) -> DataFrame:
+    """The probe half of :func:`bm25_search_many`: score a
+    (query_id, term) query table against a prebuilt postings index
+    (see :func:`build_postings`) — the serving path
+    engine.text_search runs against the STORED bucketed index.
+
+    Postings are pruned to the query term set by a semi-join BEFORE
+    anything else touches them (over a tok-bucketed store both the
+    prune and the df groupBy are co-located — no index-side
+    exchange); df comes from the pruned postings; the one-row stats
+    frame is broadcast. Top-N per query is a window over the scored
+    (query, doc) frame — never a global sort. Arithmetic is the
+    exact integer-u12 BM25 of :func:`bm25_search` (parity pinned).
+
+    Output: (query_id, doc_id, dl, score_u12, rank), rank 1 = best
+    per query."""
+    terms = queries.select(F.col("term").alias("tok")).distinct()
+    pruned = postings.join(terms, "tok", "leftsemi")
+    dfreq = pruned.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    u12 = F.expr(
+        f"CAST(CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)"
+        f" AS DECIMAL(28,10)) * 1000000 AS BIGINT)"
+        f" * CAST(CAST(round(tf * ({BM25_K1} + 1) / (tf + {BM25_K1} * "
+        f"(1 - {BM25_B} + {BM25_B} * dl / (sum_dl / n_docs))), 6)"
+        f" AS DECIMAL(28,10)) * 1000000 AS BIGINT)"
+    )
+    # distinct BEFORE the join: a query table carrying duplicate
+    # (query_id, term) rows (easy in a mined table) must count a
+    # term ONCE — BM25 scores a term SET; a raw join would sum that
+    # term's contribution twice and break parity with bm25_search
+    qterms = queries.select(
+        "query_id", F.col("term").alias("tok")
+    ).distinct()
+    contrib = (
+        pruned.join(dfreq, "tok")
+        .join(qterms, "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", "dl", u12.alias("u12"))
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.max("dl").alias("dl"),
+        F.sum("u12").cast("bigint").alias("score_u12"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_u12").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= topn)
+        .select("query_id", "doc_id", "dl", "score_u12", "rank")
+    )
+
+
 def bm25_search_many(
     docs: DataFrame,
     queries: DataFrame,
@@ -1085,67 +1192,8 @@ def bm25_search_many(
 
     Output: (query_id, doc_id, dl, score_u12, rank), rank 1 = best
     per query."""
-    from .. import cache
-
-    tk = tokens(F.col(text_col))
-    base = cache.persisted(
-        docs.select(
-            "doc_id",
-            bind_once(tk, lambda a: F.filter(a, lambda x: x != F.lit(""))).alias(
-                "tk"
-            ),
-        )
-    )
-    stats = base.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.size("tk")).cast("bigint").alias("sum_dl"),
-    )
-    dt = (
-        base.select(
-            "doc_id",
-            F.size("tk").cast("bigint").alias("dl"),
-            F.explode("tk").alias("tok"),
-        )
-        .groupBy("doc_id", "dl", "tok")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-    )
-    terms = queries.select(F.col("term").alias("tok")).distinct()
-    pruned = dt.join(terms, "tok", "leftsemi")
-    dfreq = pruned.groupBy("tok").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df")
-    )
-    u12 = F.expr(
-        f"CAST(CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)"
-        f" AS DECIMAL(28,10)) * 1000000 AS BIGINT)"
-        f" * CAST(CAST(round(tf * ({BM25_K1} + 1) / (tf + {BM25_K1} * "
-        f"(1 - {BM25_B} + {BM25_B} * dl / (sum_dl / n_docs))), 6)"
-        f" AS DECIMAL(28,10)) * 1000000 AS BIGINT)"
-    )
-    # distinct BEFORE the join: a query table carrying duplicate
-    # (query_id, term) rows (easy in a mined table) must count a
-    # term ONCE — BM25 scores a term SET; a raw join would sum that
-    # term's contribution twice and break parity with bm25_search
-    qterms = queries.select(
-        "query_id", F.col("term").alias("tok")
-    ).distinct()
-    contrib = (
-        pruned.join(dfreq, "tok")
-        .join(qterms, "tok")
-        .crossJoin(F.broadcast(stats))
-        .select("query_id", "doc_id", "dl", u12.alias("u12"))
-    )
-    scored = contrib.groupBy("query_id", "doc_id").agg(
-        F.max("dl").alias("dl"),
-        F.sum("u12").cast("bigint").alias("score_u12"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score_u12").desc(), F.col("doc_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .where(F.col("rank") <= topn)
-        .select("query_id", "doc_id", "dl", "score_u12", "rank")
-    )
+    postings, stats = build_postings(docs, text_col)
+    return bm25_probe(postings, stats, queries, topn)
 
 
 def tfidf_top_terms(
