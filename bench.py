@@ -106,6 +106,10 @@ HEADLINE = (
     # form), so this entry times BUILD + probe; production amortizes
     # the build via engine.build_ivf_index and pays only the probe
     "ann_index_search",
+    # r10: the BM25 text-index serving probe (same declaration-vs-
+    # production split: the registered query builds postings in-plan
+    # for the oracle; text_probe_only below is the serving number)
+    "text_index_search",
 )
 
 
@@ -277,6 +281,35 @@ def main() -> int:
         dt = (time.perf_counter() - t0) / 5
         best = dt if best is None else min(best, dt)
     times["ann_probe_only"] = round(best, 4)
+
+    # Text-retrieval serving split (r10): build the BM25 postings
+    # index once (tok-bucketed store + stats row), then time
+    # successive text_search probe batches — term semi-join prune
+    # over co-located inverted lists, df from the pruned postings,
+    # per-query window top-k. Includes the torn-state verification
+    # (memoized after the first call), honestly part of serving.
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    t0 = time.perf_counter()
+    engine.build_text_index("bench_tix", docs, n_buckets=nb)
+    times["text_index_build"] = round(time.perf_counter() - t0, 4)
+    text_queries = spark.createDataFrame(
+        [
+            (1, "query"), (1, "spark"), (1, "window"),
+            (2, "data"), (2, "join"),
+            (3, "stream"), (3, "state"), (3, "window"),
+        ],
+        "query_id bigint, term string",
+    ).localCheckpoint()  # probe timing excludes query-batch prep
+    engine.text_search("bench_tix", text_queries).count()  # warm
+    best = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for _b in range(5):
+            engine.text_search("bench_tix", text_queries).count()
+        dt = (time.perf_counter() - t0) / 5
+        best = dt if best is None else min(best, dt)
+    times["text_probe_only"] = round(best, 4)
 
     calib_end = _calibration(spark)
     calib = min(calib_start, calib_end)

@@ -3584,6 +3584,81 @@ def q_bm25_search_many(t: TableSet) -> DataFrame:
     return text.bm25_search_many(t.documents, qdf)
 
 
+#: Query table for the text-index SERVING conformance query —
+#: deliberately different terms/topn from bm25_search_many so the two
+#: registrations witness distinct shapes (shared terms across queries,
+#: a high-df stopword-ish term, and a query whose terms straddle df
+#: extremes).
+_TIDX_QUERY_ROWS = (
+    (10, "the"), (10, "filter"),
+    (11, "plan"), (11, "scan"), (11, "query"),
+    (12, "state"), (12, "data"),
+)
+
+_TIDX_VALUES = ", ".join(f"({i}, '{s}')" for i, s in _TIDX_QUERY_ROWS)
+
+
+@query(
+    "text_index_search",
+    oracle=rf"""
+    WITH q AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+               FROM (VALUES {_TIDX_VALUES}) v(query_id, term)),
+    base AS (SELECT doc_id,
+                    list_filter(string_split_regex({_NORM}, ' '),
+                                x -> x <> '') AS tk
+             FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(len(tk)) AS BIGINT) AS sum_dl
+              FROM base),
+    dt AS (
+      SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS tok
+        FROM base)
+      GROUP BY doc_id, dl, tok),
+    pruned AS (SELECT * FROM dt
+               WHERE tok IN (SELECT DISTINCT term FROM q)),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+              FROM pruned GROUP BY tok),
+    contrib AS (
+      SELECT q.query_id, p.doc_id, p.dl,
+             CAST(CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+                  AS DECIMAL(28,10)) * 1000000 AS BIGINT)
+             * CAST(CAST(round(tf * ({text.BM25_K1} + 1) / (tf + {text.BM25_K1}
+                  * (1 - {text.BM25_B} + {text.BM25_B} * dl
+                     / (sum_dl / n_docs))), 6)
+                  AS DECIMAL(28,10)) * 1000000 AS BIGINT) AS u12
+      FROM pruned p JOIN dfreq USING (tok) JOIN q ON q.term = p.tok, stats),
+    scored AS (SELECT query_id, doc_id, MAX(dl) AS dl,
+                      CAST(SUM(u12) AS BIGINT) AS score_u12
+               FROM contrib GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, dl, score_u12, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score_u12 DESC, doc_id) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def q_text_index_search(t: TableSet) -> DataFrame:
+    """The text-retrieval SERVING form (r10): probe a prebuilt BM25
+    postings index through text.bm25_probe — the exact path
+    engine.text_search runs against its STORED tok-bucketed postings
+    (build once via engine.build_text_index, probe per batch; appends
+    stay exact because postings and the stats sums are additive).
+    The postings build here is in-plan so the DuckDB oracle can
+    replay it; production pays it once per corpus refresh and the
+    probe-only cost is the text_probe_only bench entry. Probe shape:
+    term semi-join prune first (co-located on the bucketed store),
+    df from the pruned postings, one-row stats broadcast, per-query
+    window top-5 — never a corpus scan per query."""
+    spark = t.documents.sparkSession
+    qdf = spark.createDataFrame(
+        list(_TIDX_QUERY_ROWS), "query_id bigint, term string"
+    )
+    postings, stats = text.build_postings(t.documents)
+    return text.bm25_probe(postings, stats, qdf, topn=5)
+
+
 _H2_BATTERY_SQL = """
 SELECT TOP 250
        CAST(o_orderkey AS BIGINT) AS o_orderkey,
