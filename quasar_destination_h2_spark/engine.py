@@ -566,7 +566,11 @@ class Engine:
         )
 
     def text_search(
-        self, name: str, queries: DataFrame, topn: int = 10
+        self,
+        name: str,
+        queries: DataFrame,
+        topn: int = 10,
+        max_pushdown_terms: int = 10_000,
     ) -> DataFrame:
         """[EXT] Query-table-driven BM25 retrieval over an index
         built by :meth:`build_text_index` — probes the stored
@@ -577,7 +581,23 @@ class Engine:
         column-pruned scan of the postings' (build_id, revision),
         memoized per (id, revision) exactly like ann_topk's check —
         serving calls after the first pay only the one-row stats
-        read."""
+        read.
+
+        Term pushdown: a serving batch's vocabulary is bounded, so
+        its distinct terms are collected (driver-side, capped at
+        ``max_pushdown_terms``) and pushed as a literal IN filter on
+        the postings scan — Spark then BUCKET-PRUNES the read to the
+        buckets holding query terms (``SelectedBucketsCount`` k out
+        of n in the plan) and row-group-prunes within them via the
+        tok-sorted layout, so probe I/O is sized by the query terms'
+        postings, not the index (pinned by tests/test_text_index.py).
+        Semantics are unchanged — the IN set is exactly the term set
+        bm25_probe's semi-join prunes to. A batch with more distinct
+        terms than the cap skips the pushdown and falls back to the
+        pure semi-join plan (set ``max_pushdown_terms=0`` to force
+        that path)."""
+        from pyspark.sql import functions as F
+
         from .operators import text
 
         postings = self.table(f"{name}_postings")
@@ -609,8 +629,19 @@ class Engine:
                     f"{want} vs postings {seen}) — re-run build_text_index"
                 )
             self._text_verified[name] = want
+        index = postings.select("doc_id", "dl", "tok", "tf")
+        if max_pushdown_terms > 0:
+            terms = [
+                r.term
+                for r in queries.select("term")
+                .distinct()
+                .limit(max_pushdown_terms + 1)
+                .collect()
+            ]
+            if len(terms) <= max_pushdown_terms:
+                index = index.where(F.col("tok").isin(terms))
         return text.bm25_probe(
-            postings.select("doc_id", "dl", "tok", "tf"),
+            index,
             stats_tbl.select("n_docs", "sum_dl"),
             queries,
             topn,

@@ -160,6 +160,36 @@ def test_probe_is_colocated_on_bucketed_postings(engine, spark):
         assert "Exchange hashpartitioning" not in above, plan
 
 
+def test_probe_bucket_prunes_to_query_terms(engine, spark):
+    import re
+
+    engine.build_text_index("ti_prune", docs_df(spark, DOCS_A), n_buckets=nb(spark))
+    plan = (
+        engine.text_search("ti_prune", qdf(spark), topn=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the literal IN pushdown must reach the postings scans and
+    # bucket-prune the read: probe I/O is sized by the query terms'
+    # buckets, never the whole index
+    counts = [
+        m.group(1, 2)
+        for m in re.finditer(
+            r"SelectedBucketsCount: (\d+) out of (\d+)", plan
+        )
+    ]
+    assert counts, plan
+    assert all(int(a) < int(b) for a, b in counts), counts
+    assert "In(tok" in plan, plan
+    # the cap falls back to the pure semi-join plan, same results
+    got = rows_of(engine.text_search("ti_prune", qdf(spark), topn=3))
+    fallback = rows_of(
+        engine.text_search("ti_prune", qdf(spark), topn=3, max_pushdown_terms=0)
+    )
+    assert got == fallback and got
+
+
 def test_torn_append_refuses_to_serve(engine, spark):
     engine.build_text_index("ti_torn", docs_df(spark, DOCS_A), n_buckets=nb(spark))
     engine.text_search("ti_torn", qdf(spark), topn=3).collect()
