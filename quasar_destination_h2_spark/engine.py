@@ -508,19 +508,11 @@ class Engine:
         batch_postings, batch_stats = text.build_postings(new_docs, text_col)
         batch_postings = batch_postings.localCheckpoint()
         brow = batch_stats.collect()[0]
-        batch_terms = batch_postings.select("tok").distinct()
-        # anti-join against the PRUNED stored vocabulary: only stored
-        # terms matching the batch can cancel a batch term, so the
-        # semi-join prune is semantics-preserving and keeps the
-        # instrument batch-sized (the co-located bucketed read)
-        stored_toks = (
-            self.table(f"{name}_postings")
-            .join(batch_terms, "tok", "leftsemi")
-            .select("tok")
-            .distinct()
-        )
-        new_terms = batch_terms.join(stored_toks, "tok", "leftanti").count()
-        vocab = batch_terms.count()
+        # one-row instrument; see text.vocab_drift for the prune-
+        # first anti-join shape that keeps it batch-sized
+        drift = text.vocab_drift(
+            self.table(f"{name}_postings"), batch_postings
+        ).collect()[0]
         n_postings = batch_postings.count()
         revision = int(srow.revision) + 1
         self._text_verified.pop(name, None)
@@ -550,14 +542,13 @@ class Engine:
                 "revision bigint",
             ),
         )
-        ppm = (new_terms * 1_000_000) // vocab if vocab else 0
         return self.spark.createDataFrame(
             [
                 (
                     int(brow.n_docs),
                     int(n_postings),
-                    int(new_terms),
-                    int(ppm),
+                    int(drift.new_terms),
+                    int(drift.new_term_ppm),
                     revision,
                 )
             ],

@@ -1151,6 +1151,54 @@ def bm25_probe(
     )
 
 
+def vocab_drift(
+    index_postings: DataFrame, batch_postings: DataFrame
+) -> DataFrame:
+    """The vocabulary-drift instrument behind
+    engine.append_to_text_index's report: what share of an incoming
+    batch's vocabulary is ABSENT from the stored postings index?
+    A batch drawn from the index's distribution re-uses its
+    vocabulary (ppm near 0); topic/language drift mints new terms —
+    the compaction/rebuild trigger a 100 TB text-index operator
+    watches.
+
+    Plan shape: the stored side is pruned to the batch's term set
+    FIRST (semi-join — co-located when the index is tok-bucketed),
+    which is semantics-preserving for the anti-join (only stored
+    terms matching the batch can cancel a batch term), so the whole
+    instrument is O(batch + Σ df(batch terms)), never O(index).
+    Arithmetic is exact-integer: ppm = floor(new * 1e6 / vocab).
+
+    One row: (batch_vocab, new_terms, new_term_ppm)."""
+    batch_terms = batch_postings.select("tok").distinct()
+    stored = (
+        index_postings.join(batch_terms, "tok", "leftsemi")
+        .select("tok")
+        .distinct()
+    )
+    new = batch_terms.join(stored, "tok", "leftanti")
+    return (
+        batch_terms.agg(
+            F.count(F.lit(1)).cast("bigint").alias("batch_vocab")
+        )
+        .crossJoin(
+            F.broadcast(
+                new.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("new_terms")
+                )
+            )
+        )
+        .select(
+            "batch_vocab",
+            "new_terms",
+            F.expr(
+                "CAST(CASE WHEN batch_vocab = 0 THEN 0 ELSE "
+                "FLOOR(new_terms * 1000000 / batch_vocab) END AS BIGINT)"
+            ).alias("new_term_ppm"),
+        )
+    )
+
+
 def bm25_search_many(
     docs: DataFrame,
     queries: DataFrame,

@@ -35,6 +35,7 @@ _R10_NEW = [
     "information_schema_battery",
     "ann_index_append",
     "text_index_search",
+    "text_index_drift",
 ]
 
 _DRIVER_WINDOW = [

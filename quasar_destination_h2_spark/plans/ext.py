@@ -3659,6 +3659,43 @@ def q_text_index_search(t: TableSet) -> DataFrame:
     return text.bm25_probe(postings, stats, qdf, topn=5)
 
 
+@query(
+    "text_index_drift",
+    oracle=rf"""
+    WITH base AS (SELECT doc_id,
+                         list_filter(string_split_regex({_NORM}, ' '),
+                                     x -> x <> '') AS tk
+                  FROM documents),
+    stored AS (SELECT DISTINCT unnest(tk) AS tok FROM base
+               WHERE doc_id % 3 <> 0),
+    batch AS (SELECT DISTINCT unnest(tk) AS tok FROM base
+              WHERE doc_id % 3 = 0),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS batch_vocab,
+                 CAST(COUNT(*) FILTER (WHERE tok NOT IN
+                      (SELECT tok FROM stored)) AS BIGINT) AS new_terms
+          FROM batch)
+    SELECT batch_vocab, new_terms,
+           CAST(CASE WHEN batch_vocab = 0 THEN 0 ELSE
+                FLOOR(new_terms * 1000000 / batch_vocab) END AS BIGINT)
+             AS new_term_ppm
+    FROM m
+    """,
+)
+def q_text_index_drift(t: TableSet) -> DataFrame:
+    """The text-index vocabulary-drift instrument (r10) as a
+    standalone conformance query: treat documents with doc_id%3 != 0
+    as the stored index and the rest as an incoming append batch,
+    and measure what share of the batch's vocabulary the index has
+    never seen (the compaction/rebuild trigger
+    engine.append_to_text_index reports on every append). Stored
+    side pruned to the batch term set FIRST — the anti-join is
+    batch-sized, never index-sized; exact integer ppm."""
+    docs = t.documents
+    stored, _ = text.build_postings(docs.where("doc_id % 3 != 0"))
+    batch, _ = text.build_postings(docs.where("doc_id % 3 = 0"))
+    return text.vocab_drift(stored, batch)
+
+
 _H2_BATTERY_SQL = """
 SELECT TOP 250
        CAST(o_orderkey AS BIGINT) AS o_orderkey,

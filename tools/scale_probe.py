@@ -502,6 +502,115 @@ def r10_probe(spark, sf_dir: str) -> dict:
     return out
 
 
+def textindex_probe(spark, sf_dir: str) -> dict:
+    """Scale probe for the r10 BM25 text-index serving lifecycle:
+
+    * build_text_index wall at 1x/3x/10x replicated documents —
+      expect ~linear (tokenize + one bucketed shuffle write);
+    * text_search probe wall at each corpus size, fixed query batch —
+      expect SUB-linear (bucket pruning + pushed IN filter size the
+      read by the query terms' postings, not the corpus), and an
+      order below the build at 10x;
+    * probe wall vs query-batch size at the fixed 10x index — expect
+      ~flat-to-linear in queries with the postings scan count
+      constant (2 branches: prune + df), never per-query scans;
+    * append_to_text_index wall for a 1x batch onto the 10x index —
+      the nightly-crawl increment, expect ~1x-build-sized."""
+    import json as _json
+    import re as _re
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from quasar_destination_h2_spark.engine import Engine
+    from quasar_destination_h2_spark.sources.tables import TableSet
+
+    base = TableSet(spark, sf_dir).documents.select(
+        "doc_id", "text", "lang", "source"
+    )
+    stage = tempfile.mkdtemp(prefix="tix-probe-")
+    engine = Engine.from_config(
+        _json.dumps({"connectionUri": f"{stage}/wh"}), spark=spark
+    )
+    queries = spark.createDataFrame(
+        [
+            (1, "query"), (1, "spark"), (1, "window"),
+            (2, "data"), (2, "join"),
+            (3, "stream"), (3, "state"), (3, "window"),
+        ],
+        "query_id bigint, term string",
+    ).localCheckpoint()
+    out = {"sf_dir": sf_dir, "n_base_docs": base.count(), "points": []}
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    for k in (1, 3, 10):
+        corpus = _replicate_docs(spark, base, k).select("doc_id", "text")
+        name = f"tixp{k}"
+        t0 = time.perf_counter()
+        engine.build_text_index(name, corpus, n_buckets=nb)
+        build_sec = round(time.perf_counter() - t0, 2)
+        engine.text_search(name, queries).count()  # warm + verify memo
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rows = engine.text_search(name, queries).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        plan = (
+            engine.text_search(name, queries)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        pruned = _re.findall(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        n_scans = len(
+            _re.findall(r"FileScan parquet [^\n]*_postings", plan)
+        )
+        out["points"].append(
+            {
+                "replicas": k,
+                "build_sec": build_sec,
+                "probe_sec": round(best, 3),
+                "probe_rows": rows,
+                "postings_scans": n_scans,
+                "buckets_read": pruned,
+            }
+        )
+    # probe vs query-batch size at the fixed 10x index
+    out["probe_vs_queries"] = []
+    vocab = (
+        engine.table("tixp10_postings")
+        .groupBy("tok")
+        .count()
+        .orderBy(F.desc("count"), "tok")
+        .limit(600)
+        .collect()
+    )
+    for nq in (5, 50, 500):
+        qb = spark.createDataFrame(
+            [(i, vocab[i % len(vocab)].tok) for i in range(nq)],
+            "query_id bigint, term string",
+        ).localCheckpoint()
+        engine.text_search("tixp10", qb).count()
+        t0 = time.perf_counter()
+        rows = engine.text_search("tixp10", qb).count()
+        out["probe_vs_queries"].append(
+            {
+                "n_queries": nq,
+                "rows": rows,
+                "sec": round(time.perf_counter() - t0, 3),
+            }
+        )
+    # incremental append of a 1x batch onto the 10x index
+    batch = _replicate_docs(spark, base, 1).select(
+        (F.col("doc_id") + 900_000_000).alias("doc_id"), "text"
+    )
+    t0 = time.perf_counter()
+    rep = engine.append_to_text_index("tixp10", batch, n_buckets=nb).collect()[0]
+    out["append_sec"] = round(time.perf_counter() - t0, 2)
+    out["append_report"] = rep.asDict()
+    return out
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     ivf_mode = "--ivf" in sys.argv[1:]
@@ -510,6 +619,7 @@ def main() -> int:
     r9_mode = "--r9" in sys.argv[1:]
     kmeans_mode = "--kmeans" in sys.argv[1:]
     r10_mode = "--r10" in sys.argv[1:]
+    textindex_mode = "--textindex" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     from pyspark.sql import SparkSession, functions as F
@@ -549,6 +659,10 @@ def main() -> int:
         return 0
     if r10_mode:
         print(json.dumps(r10_probe(spark, sf_dir)))
+        spark.stop()
+        return 0
+    if textindex_mode:
+        print(json.dumps(textindex_probe(spark, sf_dir)))
         spark.stop()
         return 0
 
