@@ -9,11 +9,12 @@ from . import ext  # noqa: E402,F401
 # cumulative driver-witnessed coverage is 186/186 with zero
 # ever-failures (union over CORRECTNESS_r02..r09). The round-10
 # window keeps the rotation discipline:
-#   * slots 1-3: the three round-10 registrations
+#   * slots 1-4: the four round-10 registrations
 #     (information_schema_battery — the H2 catalog-introspection
 #     surface; ann_index_append — incremental index append with the
 #     drift instrument; text_index_search — the BM25 text-index
-#     serving probe), witnessed the same round they land;
+#     serving probe; text_index_drift — its vocabulary-drift
+#     instrument), witnessed the same round they land;
 #   * next: every query whose implementation round 10 touches — the
 #     statement surface (sql_dml gained the INFORMATION_SCHEMA/SHOW
 #     front door, per-row NEXTVAL INSERT sources, the VALUES
