@@ -181,6 +181,13 @@ NLJ_OK = frozenset({
     # n_list-row per-centroid aggregate (both sides bounded), plus
     # the same centroid broadcasts as the serving family
     "ann_index_append",
+    # r10 text-index serving: the bm25_search_many one-row
+    # corpus-stats broadcast, probed through build_postings +
+    # bm25_probe (the engine.text_search code path)
+    "text_index_search",
+    # r10: the 1-row new-terms aggregate crossJoin-broadcast onto
+    # the 1-row batch-vocab aggregate (both sides single rows)
+    "text_index_drift",
 })
 
 #: Tables whose repeated FileScan in one plan is a 100 TB scale killer.
@@ -300,6 +307,14 @@ RESCAN_REVIEWED = frozenset({
     # stored by engine.build_ivf_index (pytest pins exactly one
     # embeddings scan — the query input — in the engine path)
     "ann_index_search",
+    # r10 text-index family: the conformance forms build postings
+    # IN-PLAN so the DuckDB oracle can replay them (the persisted
+    # tokenized base carries the single real corpus pass; stats and
+    # postings render the FileScan under each cache reference — the
+    # bm25_search_many shape). The production path probes the STORED
+    # bucketed postings with bucket-pruned reads and never scans the
+    # corpus (tests/test_text_index.py pins it).
+    "text_index_search", "text_index_drift",
 })
 
 
