@@ -4054,3 +4054,59 @@ def q_ann_index_append(t: TableSet) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+@query(
+    "csvread_roundtrip",
+    oracle=r"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(regexp_replace(substring(text, 1, 60),
+                                          '[\r\n]', ' ', 'g'))) AS BIGINT)
+             AS sum_snip_chars,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def q_csvread_roundtrip(t: TableSet) -> DataFrame:
+    r"""The H2 CSV table functions (csv_table_funcs.py) as ONE
+    driver-witnessed round trip: CALL CSVWRITE exports a snippet
+    projection of the corpus to a single CSV file (H2's one-file
+    contract; only the final encode is coalesced), then CSVREAD —
+    H2's all-VARCHAR lazy table function, here a splittable
+    spark.read.csv view with pushdown — loads it back and aggregates
+    per source. The statement pair is exactly what a wire client
+    types against H2 1.4.200 (H2Server.scala:60-84; the reference's
+    own spec reloads sink output via CSVREAD —
+    H2DestinationSpec.scala:253). Values survive the
+    write-quote-read cycle bit-for-bit (null=\N for NULL,
+    preserveWhitespace=true against H2's default unquoted trim), so
+    the oracle replays the aggregate straight over parquet — any
+    encode/decode divergence breaks the hash."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from ..engine import Engine
+
+    spark = t.documents.sparkSession
+    eng = Engine.from_config(
+        _json.dumps({"connectionUri": tempfile.mkdtemp()}), spark=spark
+    )
+    t.documents.createOrReplaceTempView("ctf_docs")
+    out = _os.path.join(tempfile.mkdtemp(), "docs.csv")
+    eng.execute_sql(
+        f"CALL CSVWRITE('{out}', 'SELECT doc_id, source, "
+        "REGEXP_REPLACE(SUBSTRING(text, 1, 60), ''[\\r\\n]'', '' '') "
+        "AS snippet FROM ctf_docs', 'fieldSeparator=| null=\\N')"
+    )
+    return eng.execute_sql(
+        f"SELECT SOURCE AS source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(LENGTH(SNIPPET)) AS BIGINT) AS sum_snip_chars, "
+        "CAST(SUM(CAST(DOC_ID AS BIGINT)) AS BIGINT) AS sum_doc_id "
+        f"FROM CSVREAD('{out}', NULL, "
+        "'fieldSeparator=| null=\\N preserveWhitespace=true') "
+        "GROUP BY SOURCE ORDER BY source"
+    )

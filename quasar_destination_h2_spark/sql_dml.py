@@ -456,6 +456,23 @@ def execute(engine, statement: str):
         # refresh-on-introspection: the views then resolve natively
         # through Spark's case-insensitive catalog
         info_schema.refresh_information_schema(engine)
+    from . import csv_table_funcs
+
+    if csv_table_funcs.CSVWRITE_RE.match(shadow):
+        # H2's CSV export function: runs the embedded query through
+        # this same surface and returns the written row count
+        return csv_table_funcs.execute_csvwrite(engine, statement, shadow)
+    mcall = csv_table_funcs.CALL_RE.match(shadow)
+    if mcall:
+        # H2's CALL <expr> evaluates any expression as a 1-row result
+        statement = "SELECT " + statement[mcall.end() :]
+        shadow = _shadow(statement)
+    if csv_table_funcs.CSVREAD_RE.search(shadow):
+        # H2's CSV table function, in any query position — each call
+        # site becomes a lazy all-VARCHAR spark.read.csv temp view
+        # (shadow scan, so CSVREAD inside a literal never rewrites)
+        statement = csv_table_funcs.rewrite_csvread(engine, statement, shadow)
+        shadow = _shadow(statement)
     if _H2_DIALECT_RE.search(shadow):
         # H2-only SELECT grammar (SELECT TOP n, CASEWHEN) — rewrite
         # to ANSI before any dispatch so it works in subqueries and
