@@ -4110,3 +4110,246 @@ def q_csvread_roundtrip(t: TableSet) -> DataFrame:
         "'fieldSeparator=| null=\\N preserveWhitespace=true') "
         "GROUP BY SOURCE ORDER BY source"
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (similarity.pq_* — ADC serving for 100 TB corpora)
+# ---------------------------------------------------------------------------
+
+_PQ_M = similarity.PQ_M
+_PQ_K = similarity.PQ_K
+_PQ_S = similarity.EMBED_DIM // similarity.PQ_M
+_PQ_MICRO = "CAST(CAST({x} AS DECIMAL(28,10)) * 1000000 AS BIGINT)"
+
+
+def _pq_ctes(iters: int = similarity.PQ_ITERS) -> tuple[str, str, str]:
+    """Unrolled per-subspace spherical-k-means CTEs for the DuckDB
+    oracle: md5 seeds sliced into M subspace codebooks -> ``iters``
+    rounds of (assign by rounded subvector cosine with ties to the
+    lower code, exact DECIMAL(38,6) mean-direction sums of the
+    6-rounded unit subvectors) -> final code assignment. Replays
+    ``similarity.pq_codebooks`` / ``pq_encode`` exactly. Returns
+    (cte_sql, final_codebook_name, final_assign_name); pa{k} carries
+    (vec_id, m, sv, usv, code)."""
+    s, m, k = _PQ_S, _PQ_M, _PQ_K
+    parts = [
+        "pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"pms AS (SELECT unnest(range({m})) AS m)",
+        f"""pseed AS (SELECT vec_id AS code, v FROM pe
+          WHERE vec_id IN (SELECT vec_id FROM pe
+            ORDER BY md5('{similarity._PQ_SEED}:' || CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {k}))""",
+        f"""pcb0 AS (SELECT pms.m, code, v[(pms.m*{s}+1):(pms.m*{s}+{s})] AS cvec
+          FROM pseed CROSS JOIN pms)""",
+        f"""psub AS (SELECT vec_id, pms.m,
+            v[(pms.m*{s}+1):(pms.m*{s}+{s})] AS sv,
+            CASE WHEN list_inner_product(v[(pms.m*{s}+1):(pms.m*{s}+{s})],
+                                         v[(pms.m*{s}+1):(pms.m*{s}+{s})]) > 0 THEN
+              list_transform(v[(pms.m*{s}+1):(pms.m*{s}+{s})],
+                x -> round(x / sqrt(list_inner_product(
+                       v[(pms.m*{s}+1):(pms.m*{s}+{s})],
+                       v[(pms.m*{s}+1):(pms.m*{s}+{s})])), 6))
+            END AS usv
+          FROM pe CROSS JOIN pms)""",
+    ]
+    for i in range(iters + 1):
+        parts.append(f"""pa{i} AS (
+      SELECT vec_id, m, sv, usv, code FROM (
+        SELECT p.vec_id, p.m, p.sv, p.usv, c.code,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id, p.m
+                 ORDER BY round(list_cosine_similarity(p.sv, c.cvec), 6) DESC,
+                          c.code) AS rn
+        FROM psub p JOIN pcb{i} c USING (m)) WHERE rn = 1)""")
+        if i < iters:
+            parts.append(f"""pss{i + 1} AS (
+      SELECT m, code, u.pos, SUM(CAST(usv[u.pos + 1] AS DECIMAL(38,6))) AS sm
+      FROM pa{i}, UNNEST(range({s})) AS u(pos)
+      WHERE usv IS NOT NULL GROUP BY m, code, u.pos)""")
+            parts.append(f"""pcb{i + 1} AS (
+      SELECT m, code, list(CAST(sm AS DOUBLE) ORDER BY pos) AS cvec
+      FROM pss{i + 1} GROUP BY m, code)""")
+    return ",\n    ".join(parts), f"pcb{iters}", f"pa{iters}"
+
+
+_PQ_CTES, _PQ_CB, _PQ_ASSIGN = _pq_ctes()
+
+_PQ_LUT = f"""plut AS (
+      SELECT q.vec_id AS query_id, c.m, c.code,
+             {_PQ_MICRO.format(x=f'''round(
+               list_inner_product(q.v[(c.m*{_PQ_S}+1):(c.m*{_PQ_S}+{_PQ_S})], c.cvec)
+               / sqrt(list_inner_product(c.cvec, c.cvec)), 6)''')} AS part_micro
+      FROM (SELECT vec_id, v FROM pe WHERE vec_id < 3) q
+      CROSS JOIN {_PQ_CB} c),
+    psc AS (
+      SELECT l.query_id, a.vec_id, CAST(SUM(l.part_micro) AS BIGINT) AS score_micro
+      FROM {_PQ_ASSIGN} a JOIN plut l ON a.m = l.m AND a.code = l.code
+      WHERE l.query_id <> a.vec_id
+      GROUP BY l.query_id, a.vec_id),
+    ptop AS (
+      SELECT query_id, vec_id, score_micro, CAST(rank AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score_micro DESC, vec_id) AS rank
+        FROM psc) WHERE rank <= {similarity.PQ_SHORTLIST})"""
+
+#: Exact rerank of the ADC shortlist (the served path).
+_PQ_RERANK = f"""prr AS (
+      SELECT query_id, vec_id, sim, CAST(r AS INT) AS rank FROM (
+        SELECT p.query_id, p.vec_id,
+               round(list_cosine_similarity(q.v, e.v), 6) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                 ORDER BY round(list_cosine_similarity(q.v, e.v), 6) DESC,
+                          p.vec_id) AS r
+        FROM ptop p JOIN pe e ON e.vec_id = p.vec_id
+                    JOIN pe q ON q.vec_id = p.query_id) WHERE r <= 10)"""
+
+
+@query(
+    "pq_codebook_fingerprint",
+    oracle=f"""
+    WITH {_PQ_CTES}
+    SELECT m, code,
+           CAST(COUNT(*) AS BIGINT) AS n_dims,
+           CAST(SUM({_PQ_MICRO.format(x=f'cvec[u.pos + 1]')}) AS BIGINT)
+             AS checksum_micro
+    FROM {_PQ_CB}, UNNEST(range({_PQ_S})) AS u(pos)
+    GROUP BY m, code
+    ORDER BY m, code
+    """,
+)
+def q_pq_codebook_fingerprint(t: TableSet) -> DataFrame:
+    """Product-quantization codebook training (Jegou et al., PAMI
+    2011) as a driver-witnessed fingerprint: per (subspace, code),
+    the dimension count and the exact integer micro-unit checksum of
+    the trained centroid — any drift in the seeded init, the rounded
+    assignment, or the DECIMAL mean-direction update breaks the
+    hash. Training runs all M subspace k-means problems in one
+    corpus pass per round (the subspace axis rides the scan)."""
+    cb = similarity.pq_codebooks(t.embeddings)
+    return (
+        cb.select("m", "code", F.posexplode("cvec").alias("pos", "x"))
+        .groupBy("m", "code")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+            F.sum((F.col("x").cast("decimal(28,10)") * 1000000).cast("bigint"))
+            .cast("bigint")
+            .alias("checksum_micro"),
+        )
+        .orderBy("m", "code")
+    )
+
+
+@query(
+    "ann_pq_topk",
+    oracle=f"""
+    WITH {_PQ_CTES},
+    {_PQ_LUT}
+    SELECT query_id, vec_id, score_micro, rank FROM ptop
+    WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def q_ann_pq_topk(t: TableSet) -> DataFrame:
+    """Asymmetric-distance PQ probe: three corpus queries build
+    bounded M x K lookup tables of integer micro-unit partials; every
+    candidate is scored by summing its M codes' table entries —
+    one pass over the compressed CODES (16-64x fewer bytes than the
+    float corpus at scale), never the vectors. Exact bigint
+    arithmetic end-to-end, so ranks replay identically in SQL."""
+    emb = t.embeddings
+    cb = similarity.pq_codebooks(emb)
+    codes = similarity.pq_encode(emb, cb)
+    lut = similarity.pq_query_lut(emb.where("vec_id < 3"), cb)
+    return similarity.ann_pq_topk(codes, lut, 10).orderBy("query_id", "rank")
+
+
+@query(
+    "ann_pq_rerank",
+    oracle=f"""
+    WITH {_PQ_CTES},
+    {_PQ_LUT},
+    {_PQ_RERANK}
+    SELECT query_id, vec_id, sim, rank FROM prr
+    ORDER BY query_id, rank
+    """,
+)
+def q_ann_pq_rerank(t: TableSet) -> DataFrame:
+    """The production PQ serving path: ADC prunes the corpus to a
+    100-candidate shortlist per query (compressed-codes pass only),
+    then the exact cosine rerank reads back JUST those vectors —
+    nq x 100 float reads instead of a corpus scan. Measured on the
+    real sf0.1 fixture this recovers 60-70% of the exact top-10
+    where raw ADC alone sits at 0-20% (the instrument next door,
+    ann_pq_recall, carries both numbers)."""
+    emb = t.embeddings
+    cb = similarity.pq_codebooks(emb)
+    codes = similarity.pq_encode(emb, cb)
+    lut = similarity.pq_query_lut(emb.where("vec_id < 3"), cb)
+    return similarity.ann_pq_rerank(emb, codes, lut, 10).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
+    "ann_pq_recall",
+    oracle=f"""
+    WITH {_PQ_CTES},
+    {_PQ_LUT},
+    {_PQ_RERANK},
+    pex AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.v, e.v), 6) DESC,
+                          e.vec_id) AS r
+        FROM (SELECT vec_id, v FROM pe WHERE vec_id < 3) q
+        CROSS JOIN pe e WHERE e.vec_id <> q.vec_id) WHERE r <= 10),
+    pha AS (
+      SELECT pex.query_id, COUNT(*) AS n FROM pex
+      JOIN (SELECT query_id, vec_id FROM ptop WHERE rank <= 10) a
+        ON pex.query_id = a.query_id AND pex.neighbor_id = a.vec_id
+      GROUP BY pex.query_id),
+    phr AS (
+      SELECT pex.query_id, COUNT(*) AS n FROM pex
+      JOIN prr ON pex.query_id = prr.query_id
+              AND pex.neighbor_id = prr.vec_id
+      GROUP BY pex.query_id)
+    SELECT x.query_id,
+           CAST(COALESCE(pha.n, 0) AS BIGINT) AS n_hit_adc,
+           CAST(COALESCE(pha.n, 0) * 1000000 / x.n_exact AS BIGINT)
+             AS recall_adc_ppm,
+           CAST(COALESCE(phr.n, 0) AS BIGINT) AS n_hit_rerank,
+           CAST(COALESCE(phr.n, 0) * 1000000 / x.n_exact AS BIGINT)
+             AS recall_rerank_ppm
+    FROM (SELECT query_id, COUNT(*) AS n_exact FROM pex GROUP BY query_id) x
+    LEFT JOIN pha ON x.query_id = pha.query_id
+    LEFT JOIN phr ON x.query_id = phr.query_id
+    ORDER BY x.query_id
+    """,
+)
+def q_ann_pq_recall(t: TableSet) -> DataFrame:
+    """The PQ index's recall contract, both paths side by side: per
+    query, how much of the exact cosine top-10 is recovered by (a)
+    the raw ADC top-10 from the compressed codes and (b) the
+    shortlist-then-exact-rerank serving path — the measured
+    instrument that says whether M x K and the shortlist width are
+    adequate BEFORE anyone serves from the codes (the contract the
+    IVF family carries via ann_ivf_recall_kmeans)."""
+    emb = t.embeddings
+    cb = similarity.pq_codebooks(emb)
+    codes = similarity.pq_encode(emb, cb)
+    lut = similarity.pq_query_lut(emb.where("vec_id < 3"), cb)
+    adc = similarity.pq_recall(
+        emb, similarity.ann_pq_topk(codes, lut, 10), 10
+    ).select(
+        "query_id",
+        F.col("n_hit").alias("n_hit_adc"),
+        F.col("recall_ppm").alias("recall_adc_ppm"),
+    )
+    rr = similarity.pq_recall(
+        emb, similarity.ann_pq_rerank(emb, codes, lut, 10), 10
+    ).select(
+        "query_id",
+        F.col("n_hit").alias("n_hit_rerank"),
+        F.col("recall_ppm").alias("recall_rerank_ppm"),
+    )
+    return adc.join(rr, "query_id").orderBy("query_id")

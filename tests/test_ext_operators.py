@@ -2798,3 +2798,91 @@ def test_ann_search_parity_with_ivf_topk_nprobe(t):
                 r.neighbor_id,
                 r.cos_sim,
             ), r
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (similarity.pq_*)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codebooks_shape_and_determinism(spark):
+    """Training is fully deterministic (md5 seeds, rounded
+    assignment, exact DECIMAL sums): two independent trainings give
+    identical codebooks; every subspace keeps at most K codes of
+    dim/M dims (clusters may empty out and drop)."""
+    from pyspark.sql import functions as F
+
+    emb = _clustered_embeddings(spark)
+    cb = similarity.pq_codebooks(emb)
+    per_m = {r.m: r.n for r in cb.groupBy("m").agg(F.count("*").alias("n")).collect()}
+    assert set(per_m) == set(range(similarity.PQ_M))
+    assert all(1 <= n <= similarity.PQ_K for n in per_m.values())
+    dims = cb.select(F.size("cvec").alias("d")).distinct().collect()
+    assert [r.d for r in dims] == [similarity.EMBED_DIM // similarity.PQ_M]
+    fp = lambda frame: sorted(
+        (r.m, r.code, tuple(round(x, 9) for x in r.cvec)) for r in frame.collect()
+    )
+    assert fp(cb) == fp(similarity.pq_codebooks(emb))
+
+
+def test_pq_encode_one_code_per_subspace(spark):
+    """Every (vector, subspace) gets exactly one code, and every code
+    exists in that subspace's codebook."""
+    from pyspark.sql import functions as F
+
+    emb = _clustered_embeddings(spark, K=4, per=25)
+    cb = similarity.pq_codebooks(emb)
+    codes = similarity.pq_encode(emb, cb)
+    n = emb.count()
+    assert codes.count() == n * similarity.PQ_M
+    assert codes.select("vec_id", "m").distinct().count() == n * similarity.PQ_M
+    orphans = codes.join(cb.select("m", "code"), ["m", "code"], "left_anti")
+    assert orphans.count() == 0
+
+
+def test_pq_rerank_recall_beats_adc_on_clustered_corpus(spark):
+    """The PQ recall contract on clusterable data: raw ADC from the
+    32-bit codes already recovers >= 70% of the exact top-10 per
+    query, and the shortlist-then-exact-rerank serving path recovers
+    ALL of it (deterministic fixture -> deterministic pin)."""
+    from quasar_destination_h2_spark import cache
+
+    emb = _clustered_embeddings(spark)
+    cb = similarity.pq_codebooks(emb)
+    codes = similarity.pq_encode(emb, cb)
+    lut = similarity.pq_query_lut(emb.where("vec_id < 3"), cb)
+    adc = {
+        r.query_id: r.recall_ppm
+        for r in similarity.pq_recall(
+            emb, similarity.ann_pq_topk(codes, lut, 10), 10
+        ).collect()
+    }
+    rer = {
+        r.query_id: r.recall_ppm
+        for r in similarity.pq_recall(
+            emb, similarity.ann_pq_rerank(emb, codes, lut, 10), 10
+        ).collect()
+    }
+    cache.release()
+    assert set(adc) == {0, 1, 2}
+    assert all(v >= 700_000 for v in adc.values()), adc
+    assert all(rer[q] == 1_000_000 for q in rer), rer
+    assert all(rer[q] >= adc[q] for q in adc), (adc, rer)
+
+
+def test_pq_probe_plan_is_broadcast_no_cartesian(t):
+    """The ADC probe's 100 TB shape: the LUT lands on the codes by
+    BROADCAST hash join (bounded nq x M x K frame), and nothing in
+    the PQ pipeline plans a CartesianProduct."""
+    emb = t.embeddings
+    cb = similarity.pq_codebooks(emb)
+    codes = similarity.pq_encode(emb, cb)
+    lut = similarity.pq_query_lut(emb.where("vec_id < 3"), cb)
+    plan = (
+        similarity.ann_pq_topk(codes, lut, 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

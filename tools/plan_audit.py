@@ -181,6 +181,10 @@ NLJ_OK = frozenset({
     # n_list-row per-centroid aggregate (both sides bounded), plus
     # the same centroid broadcasts as the serving family
     "ann_index_append",
+    # r10 PQ recall contract: the exact side is brute_force-shaped —
+    # bounded query rows (vec_id < 3) broadcast-NLJ onto the corpus,
+    # the accepted ann_ivf_recall shape
+    "ann_pq_recall",
     # r10 text-index serving: the bm25_search_many one-row
     # corpus-stats broadcast, probed through build_postings +
     # bm25_probe (the engine.text_search code path)
@@ -315,6 +319,14 @@ RESCAN_REVIEWED = frozenset({
     # bucketed postings with bucket-pruned reads and never scans the
     # corpus (tests/test_text_index.py pins it).
     "text_index_search", "text_index_drift",
+    # r10 PQ family: the conformance forms train the codebook, encode
+    # the corpus, slice the query vectors and (for recall) replay the
+    # exact side IN ONE PLAN so the DuckDB oracle can reproduce it —
+    # each stage re-reads the embeddings scan. The production path
+    # trains/encodes ONCE into stored codes (pq_encode output —
+    # skinny integer rows) and probes scan codes, not vectors
+    # (tests/test_ext_operators.py pins the broadcast probe shape).
+    "ann_pq_topk", "ann_pq_rerank", "ann_pq_recall",
 })
 
 
