@@ -404,6 +404,138 @@ class Engine:
             vec_col=vec_col,
         )
 
+    def build_pq_index(
+        self,
+        name: str,
+        emb: DataFrame,
+        m: int | None = None,
+        k: int | None = None,
+        kmeans_iters: int | None = None,
+        n_buckets: int = 32,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """[EXT] Build-once product-quantization index — the
+        compressed sibling of :meth:`build_ivf_index`: train the
+        per-subspace codebooks (similarity.pq_codebooks), encode the
+        corpus, and store three tables: ``{name}_codebook`` (m x k
+        rows), ``{name}_codes`` (the M-int compressed corpus — what
+        probes scan; 16-64x fewer bytes than the vectors) and
+        ``{name}_vectors`` (the floats, read back ONLY for the
+        per-query shortlist rerank). Codes and vectors are BUCKETED
+        by ``vec_id``: the ADC per-(query, vector) aggregation
+        groups on a superset of the bucket key, so the stored
+        distribution satisfies it and the probe's score aggregation
+        runs WITHOUT an index-side exchange (pinned by
+        tests/test_bucketing.py::test_pq_index_lifecycle).
+
+        Torn-state discipline (the build_ivf_index protocol): all
+        three tables share a build id, heavy writes land first, and
+        :meth:`pq_search` verifies agreement before serving."""
+        from pyspark.sql import functions as F
+
+        from .operators import similarity
+
+        m = similarity.PQ_M if m is None else m
+        k = similarity.PQ_K if k is None else k
+        iters = similarity.PQ_ITERS if kmeans_iters is None else kmeans_iters
+        cb = similarity.pq_codebooks(emb, m, k, iters, id_col, vec_col)
+        codes = similarity.pq_encode(emb, cb, m, id_col, vec_col)
+        build_id = random_alphanum()
+        self._ann_verified.pop(f"pq:{name}", None)
+        self.materialize_bucketed(
+            f"{name}_codes",
+            codes.withColumnRenamed(id_col, "vec_id").withColumn(
+                "build_id", F.lit(build_id)
+            ),
+            ["vec_id"],
+            n_buckets,
+        )
+        self.materialize_bucketed(
+            f"{name}_vectors",
+            emb.select(
+                F.col(id_col).alias("vec_id"), F.col(vec_col).alias("embedding")
+            ).withColumn("build_id", F.lit(build_id)),
+            ["vec_id"],
+            n_buckets,
+        )
+        self.drop_table_if_exists(f"{name}_codebook")
+        self.create_table_as(
+            f"{name}_codebook",
+            cb.withColumn("build_id", F.lit(build_id))
+            .withColumn("pq_m", F.lit(m).cast("int"))
+            .withColumn("pq_k", F.lit(k).cast("int")),
+        )
+
+    def pq_search(
+        self,
+        name: str,
+        queries: DataFrame,
+        topk: int = 10,
+        shortlist: int | None = None,
+        rerank: bool = True,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "qv",
+    ) -> DataFrame:
+        """[EXT] Query-table-driven search over a PQ index built by
+        :meth:`build_pq_index`: per query, a bounded M x K ADC
+        lookup table scores the stored compressed codes in one
+        codes pass (shuffle-free on the index side — the codes'
+        vec_id bucketing satisfies the score aggregation), then the
+        ``shortlist`` best candidates are reranked with exact cosine
+        against the stored vectors (``rerank=False`` returns the raw
+        ADC ranking: columns (query_id, vec_id, score_micro, rank)
+        instead of (query_id, vec_id, sim, rank)). Raises on a torn
+        build (mismatched build ids across the three tables); the
+        heavy distinct scans are memoized per build id like
+        ann_topk's."""
+        from .operators import similarity
+
+        codes = self.table(f"{name}_codes")
+        vectors = self.table(f"{name}_vectors")
+        cb = self.table(f"{name}_codebook")
+        cid = [r.build_id for r in cb.select("build_id").distinct().collect()]
+        memo_key = f"pq:{name}"
+        if len(cid) == 1 and self._ann_verified.get(memo_key) == cid[0]:
+            heavy = cid
+        else:
+            heavy = sorted(
+                set(
+                    r.build_id
+                    for r in codes.select("build_id")
+                    .distinct()
+                    .union(vectors.select("build_id").distinct())
+                    .collect()
+                )
+            )
+        if len(cid) != 1 or (heavy and heavy != cid):
+            raise ValueError(
+                f"PQ index {name!r} is torn (codebook build {cid} vs "
+                f"codes/vectors builds {heavy}) — re-run build_pq_index"
+            )
+        if heavy:
+            self._ann_verified[memo_key] = cid[0]
+        mrow = cb.select("pq_m").first()
+        m = int(mrow.pq_m) if mrow else similarity.PQ_M
+        lut = similarity.pq_query_lut(
+            queries, cb.select("m", "code", "cvec"), m, query_id_col, query_vec_col
+        )
+        n_short = similarity.PQ_SHORTLIST if shortlist is None else shortlist
+        if not rerank:
+            return similarity.ann_pq_topk(
+                codes.select("vec_id", "m", "code"), lut, topk
+            )
+        return similarity.ann_pq_rerank(
+            vectors.select("vec_id", "embedding"),
+            codes.select("vec_id", "m", "code"),
+            lut,
+            topk,
+            n_short,
+            queries=queries,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        )
+
     def build_text_index(
         self,
         name: str,

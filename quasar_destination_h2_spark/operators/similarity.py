@@ -1427,18 +1427,31 @@ def ann_pq_rerank(
     shortlist: int = PQ_SHORTLIST,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    queries: DataFrame | None = None,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
 ) -> DataFrame:
     """The production PQ serving path: ADC prunes the corpus to a
     per-query shortlist (one compressed-codes pass), then ONLY the
     shortlisted float vectors are read back for an exact cosine
     rerank — nq x shortlist vector reads instead of a corpus scan,
     which is what makes exact-quality top-k affordable at 100 TB.
+    Pass ``queries`` (the LUT's input frame) so the rerank reads the
+    query vectors from it directly; without it they are fished back
+    out of ``emb`` via the shortlist's query ids (an extra corpus
+    scan — fine for one-shot analysis, not for serving).
     Output (query_id, vec_id, sim, rank), ties to the lower vec_id."""
     short = ann_pq_topk(codes, lut, shortlist)
-    qids = short.select("query_id").distinct()
-    q = emb.join(
-        F.broadcast(qids), emb[id_col] == qids["query_id"]
-    ).select("query_id", F.col(vec_col).alias("qv"))
+    if queries is not None:
+        q = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("qv"),
+        )
+    else:
+        qids = short.select("query_id").distinct()
+        q = emb.join(
+            F.broadcast(qids), emb[id_col] == qids["query_id"]
+        ).select("query_id", F.col(vec_col).alias("qv"))
     j = (
         short.select("query_id", "vec_id")
         .join(

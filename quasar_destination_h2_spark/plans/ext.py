@@ -4353,3 +4353,96 @@ def q_ann_pq_recall(t: TableSet) -> DataFrame:
         F.col("recall_ppm").alias("recall_rerank_ppm"),
     )
     return adc.join(rr, "query_id").orderBy("query_id")
+
+
+_PQQ = f"""pqq AS (
+      SELECT ea.vec_id AS query_id,
+             list_transform(range(0, {similarity.EMBED_DIM}),
+                            i -> round((ea.v[i+1] + eb.v[i+1]) / 2, 6)) AS qv
+      FROM pe ea JOIN pe eb ON eb.vec_id = ea.vec_id + 1
+      WHERE ea.vec_id < 3)"""
+
+
+@query(
+    "pq_index_search",
+    oracle=f"""
+    WITH {{ctes}},
+    {{pqq}},
+    plut2 AS (
+      SELECT q.query_id, c.m, c.code,
+             {{part}} AS part_micro
+      FROM pqq q CROSS JOIN {{cb}} c),
+    psc2 AS (
+      SELECT l.query_id, a.vec_id,
+             CAST(SUM(l.part_micro) AS BIGINT) AS score_micro
+      FROM {{assign}} a JOIN plut2 l ON a.m = l.m AND a.code = l.code
+      WHERE l.query_id <> a.vec_id
+      GROUP BY l.query_id, a.vec_id),
+    pshort2 AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score_micro DESC, vec_id) AS rank
+        FROM psc2) WHERE rank <= {{short}}),
+    prr2 AS (
+      SELECT query_id, vec_id, sim, CAST(r AS INT) AS rank FROM (
+        SELECT p.query_id, p.vec_id,
+               round(list_cosine_similarity(q.qv, e.v), 6) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                 ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC,
+                          p.vec_id) AS r
+        FROM pshort2 p JOIN pe e ON e.vec_id = p.vec_id
+                       JOIN pqq q ON q.query_id = p.query_id) WHERE r <= 5)
+    SELECT query_id, vec_id, sim, rank FROM prr2
+    ORDER BY query_id, rank
+    """.format(
+        ctes=_PQ_CTES,
+        pqq=_PQQ,
+        cb=_PQ_CB,
+        assign=_PQ_ASSIGN,
+        short=similarity.PQ_SHORTLIST,
+        part=_PQ_MICRO.format(
+            x=f"""round(
+               list_inner_product(q.qv[(c.m*{_PQ_S}+1):(c.m*{_PQ_S}+{_PQ_S})], c.cvec)
+               / sqrt(list_inner_product(c.cvec, c.cvec)), 6)"""
+        ),
+    ),
+)
+def q_pq_index_search(t: TableSet) -> DataFrame:
+    """The PQ SERVING form through the ENGINE lifecycle:
+    engine.build_pq_index trains the codebooks ONCE and stores the
+    compressed codes + vectors bucketed by vec_id; an EXTERNAL query
+    table (deterministic pair-average vectors, not corpus rows) is
+    answered by engine.pq_search — bounded M x K ADC tables score
+    the stored codes shuffle-free (the bucketing satisfies the
+    aggregation), then the 100-candidate shortlist is exact-cosine
+    reranked against the stored vectors. The oracle replays
+    training, encoding, the external queries' LUTs, the shortlist
+    and the rerank in SQL."""
+    import json as _json
+    import tempfile
+
+    from ..engine import Engine
+
+    spark = t.embeddings.sparkSession
+    eng = Engine.from_config(
+        _json.dumps({"connectionUri": tempfile.mkdtemp()}), spark=spark
+    )
+    emb = t.embeddings
+    eng.build_pq_index("pqsrv", emb)
+    a = emb.select(F.col("vec_id").alias("_ia"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("_ib"), F.col("embedding").alias("_vb"))
+    queries = (
+        a.join(b, F.col("_ib") == F.col("_ia") + 1)
+        .where(F.col("_ia") < 3)
+        .select(
+            F.col("_ia").alias("query_id"),
+            F.zip_with(
+                "_va",
+                "_vb",
+                lambda x, y: F.round(
+                    (x.cast("double") + y.cast("double")) / 2, 6
+                ),
+            ).alias("qv"),
+        )
+    )
+    return eng.pq_search("pqsrv", queries, topk=5).orderBy("query_id", "rank")

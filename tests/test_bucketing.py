@@ -327,3 +327,80 @@ def test_ann_index_append_lifecycle(engine, spark):
         report.drift_micro,
         drift2.drift_micro,
     )
+
+
+def test_pq_index_lifecycle(engine, spark):
+    """Build-once / probe-many for the PQ index: build_pq_index
+    stores codebook + vec_id-bucketed codes and vectors; pq_search
+    probes the STORED tables (the only embeddings scan is the query
+    input), the raw-ADC score aggregation runs shuffle-free on the
+    bucketed codes (fewer exchanges than the same probe over an
+    unbucketed copy), results match the operator composition, and a
+    torn build refuses to serve."""
+    import re as _re
+
+    from quasar_destination_h2_spark.operators import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    engine.build_pq_index("pqix", emb)
+    queries = (
+        emb.where("vec_id < 3")
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        .localCheckpoint()
+    )
+    got = engine.pq_search("pqix", queries, topk=5)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    rows1 = sorted(map(tuple, got.collect()))
+    assert len(rows1) == 15
+    assert "pqix_codes" in plan and "pqix_vectors" in plan
+    # the probe reads ONLY the stored index tables + the query input
+    # (checkpointed here, so any embeddings scan would be a leak)
+    n_emb_scans = len(
+        _re.findall(r"FileScan parquet [^\n]*embeddings\.parquet", plan)
+    )
+    assert n_emb_scans == 0, plan
+    # probe-many: identical answers on a second probe (memoized
+    # torn-check: the second probe skips the heavy distinct scans)
+    assert rows1 == sorted(
+        map(tuple, engine.pq_search("pqix", queries, topk=5).collect())
+    )
+    # parity with the operator composition (training is deterministic)
+    cb = similarity.pq_codebooks(emb)
+    codes = similarity.pq_encode(emb, cb)
+    lut = similarity.pq_query_lut(queries, cb, id_col="query_id", vec_col="qv")
+    direct = sorted(
+        map(
+            tuple,
+            similarity.ann_pq_rerank(emb, codes, lut, 5, queries=queries).collect(),
+        )
+    )
+    assert direct == rows1
+    # the vec_id bucketing earns its keep: the raw-ADC aggregation
+    # over the STORED codes carries fewer hash exchanges than the
+    # same probe over an unbucketed copy
+    bx = (
+        engine.pq_search("pqix", queries, topk=5, rerank=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .count("Exchange hashpartitioning")
+    )
+    ux = (
+        similarity.ann_pq_topk(codes.localCheckpoint(), lut, 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .count("Exchange hashpartitioning")
+    )
+    assert bx < ux, (bx, ux)
+    # torn build: a codes table from a different build refuses to serve
+    engine.materialize_bucketed(
+        "pqix_codes",
+        engine.table("pqix_codes")
+        .withColumn("build_id", F.lit("deadbeef"))
+        .localCheckpoint(),  # break lineage: can't overwrite a read target
+        ["vec_id"],
+    )
+    engine._ann_verified.pop("pq:pqix", None)
+    with pytest.raises(ValueError, match="torn"):
+        engine.pq_search("pqix", queries, topk=5)

@@ -327,6 +327,10 @@ RESCAN_REVIEWED = frozenset({
     # skinny integer rows) and probes scan codes, not vectors
     # (tests/test_ext_operators.py pins the broadcast probe shape).
     "ann_pq_topk", "ann_pq_rerank", "ann_pq_recall",
+    # the serving form probes STORED pq tables; the only embeddings
+    # reads are the external query table's own pair-join sides
+    # (vec_id < 3, both pruned at the scan)
+    "pq_index_search",
 })
 
 
