@@ -33,6 +33,16 @@ from . import ext  # noqa: E402,F401
 # Everything outside the window stays oracle-checked locally via
 # tools/oracle_check.py at sf0.001/0.01/0.1 (see COVERAGE.md).
 _R10_NEW = [
+    # late-round-10 registrations: the PQ family (codebook training,
+    # ADC probe, exact rerank, both-path recall contract, the engine
+    # serving lifecycle) and the H2 CSV table functions round trip
+    "pq_codebook_fingerprint",
+    "ann_pq_topk",
+    "ann_pq_rerank",
+    "ann_pq_recall",
+    "pq_index_search",
+    "csvread_roundtrip",
+    # earlier round-10 registrations
     "information_schema_battery",
     "ann_index_append",
     "text_index_search",

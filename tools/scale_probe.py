@@ -502,6 +502,136 @@ def r10_probe(spark, sf_dir: str) -> dict:
     return out
 
 
+def pq_probe(spark, sf_dir: str) -> dict:
+    """PQ serving scale probe (round 10):
+
+    * build_pq_index wall at 1x/3x/10x replicated embeddings —
+      training is iters+1 corpus passes + one encode pass, so build
+      should be ~linear in corpus;
+    * probe-only pq_search wall at a fixed nq=5 batch per corpus
+      size — the ADC pass is linear in the CODES (skinny integer
+      rows), the rerank bounded by nq x shortlist;
+    * probe wall vs query-batch size (5/50/500) at the 10x corpus —
+      one stored-codes scan regardless of batch size (asserted from
+      the plan);
+    * the compression evidence: on-disk bytes of the stored codes
+      vs the stored vectors (the 100 TB argument in one number)."""
+    import json as _json
+    import re as _re
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from quasar_destination_h2_spark.engine import Engine
+    from quasar_destination_h2_spark.sources.tables import TableSet
+    from quasar_destination_h2_spark.sources.sink import warehouse_path
+
+    t = TableSet(spark, sf_dir)
+    base_emb = t.embeddings
+    out = {"sf_dir": sf_dir, "n_base_vecs": base_emb.count(), "points": []}
+
+    def _replicate_emb(k: int):
+        parts = [base_emb.select("vec_id", "embedding")]
+        for r in range(1, k):
+            parts.append(
+                base_emb.select(
+                    (F.col("vec_id") + r * 10_000_000).alias("vec_id"),
+                    F.transform(
+                        "embedding",
+                        lambda x: F.round(
+                            x.cast("double") + (r % 7) * 0.003, 6
+                        ),
+                    ).alias("embedding"),
+                )
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        path = tempfile.mkdtemp(prefix=f"pq-emb-{k}x-")
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def _du(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    engine = None
+    for k in (1, 3, 10):
+        emb = _replicate_emb(k)
+        stage = tempfile.mkdtemp(prefix=f"pq-wh-{k}x-")
+        engine = Engine.from_config(
+            _json.dumps({"connectionUri": f"{stage}/wh"}), spark=spark
+        )
+        t0 = time.perf_counter()
+        engine.build_pq_index("pqp", emb)
+        build = round(time.perf_counter() - t0, 2)
+        queries = (
+            emb.orderBy("vec_id")
+            .limit(5)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.transform(
+                    "embedding",
+                    lambda x: F.round(x.cast("double") * 0.5 + 0.01, 6),
+                ).alias("qv"),
+            )
+            .localCheckpoint()
+        )
+        engine.pq_search("pqp", queries).count()  # warm + memoize check
+        t0 = time.perf_counter()
+        rows = engine.pq_search("pqp", queries).count()
+        probe = round(time.perf_counter() - t0, 2)
+        codes_b = _du(
+            warehouse_path(spark, engine.sink.catalog["pqp_codes"])
+        )
+        vecs_b = _du(
+            warehouse_path(spark, engine.sink.catalog["pqp_vectors"])
+        )
+        out["points"].append(
+            {
+                "replicas": k,
+                "n_vecs": emb.count(),
+                "build_sec": build,
+                "probe_sec": probe,
+                "probe_rows": rows,
+                "codes_bytes": codes_b,
+                "vectors_bytes": vecs_b,
+                "compression_x": round(vecs_b / codes_b, 2) if codes_b else None,
+            }
+        )
+    # probe vs batch size at the 10x corpus (engine still holds it)
+    emb10_queries = None
+    out["probe_vs_queries"] = []
+    for nq in (5, 50, 500):
+        emb10_queries = (
+            engine.table("pqp_vectors")
+            .orderBy("vec_id")
+            .limit(nq)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.transform(
+                    "embedding",
+                    lambda x: F.round(x.cast("double") * 0.5 + 0.01, 6),
+                ).alias("qv"),
+            )
+            .localCheckpoint()
+        )
+        probe_df = engine.pq_search("pqp", emb10_queries)
+        plan = probe_df._jdf.queryExecution().executedPlan().toString()
+        n_scans = len(_re.findall(r"FileScan parquet [^\n]*pqp_codes", plan))
+        t0 = time.perf_counter()
+        rows = probe_df.count()
+        sec = round(time.perf_counter() - t0, 2)
+        assert n_scans == 1, (nq, n_scans)
+        out["probe_vs_queries"].append(
+            {"n_queries": nq, "rows": rows, "sec": sec, "codes_scans": n_scans}
+        )
+    return out
+
+
 def textindex_probe(spark, sf_dir: str) -> dict:
     """Scale probe for the r10 BM25 text-index serving lifecycle:
 
@@ -620,6 +750,7 @@ def main() -> int:
     kmeans_mode = "--kmeans" in sys.argv[1:]
     r10_mode = "--r10" in sys.argv[1:]
     textindex_mode = "--textindex" in sys.argv[1:]
+    pq_mode = "--pq" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     from pyspark.sql import SparkSession, functions as F
@@ -655,6 +786,10 @@ def main() -> int:
         return 0
     if kmeans_mode:
         print(json.dumps(kmeans_probe(spark, sf_dir)))
+        spark.stop()
+        return 0
+    if pq_mode:
+        print(json.dumps(pq_probe(spark, sf_dir)))
         spark.stop()
         return 0
     if r10_mode:
