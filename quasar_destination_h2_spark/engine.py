@@ -536,6 +536,193 @@ class Engine:
             query_vec_col=query_vec_col,
         )
 
+    def build_ivfpq_index(
+        self,
+        name: str,
+        emb: DataFrame,
+        n_list: int = 16,
+        kmeans_iters: int = 2,
+        m: int | None = None,
+        k: int | None = None,
+        pq_iters: int | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """[EXT] Build-once IVF+PQ index (the IVFADC architecture of
+        Jegou et al., PAMI 2011) — the composition of this engine's
+        two ANN lifecycles: IVF bounds WHICH vectors a probe touches
+        (nprobe of n_list inverted lists), PQ bounds what each
+        touched vector COSTS (M codes instead of dim floats). Probe
+        I/O at 100 TB ~ corpus x (nprobe/n_list) x (1/compression).
+
+        Stores four tables under a shared build id:
+        ``{name}_vectors`` (vec_id, centroid_id, embedding) and
+        ``{name}_codes`` (vec_id, centroid_id, m, code), both
+        directory-PARTITIONED by centroid_id so a probe's broadcast
+        list join dynamically prunes the files read to the probed
+        lists; ``{name}_centroids`` (the k-means-refined coarse
+        quantizer) and ``{name}_codebook`` (the m x k PQ codebooks).
+        The PQ encode reuses the stored vectors table (its
+        centroid_id rides the code argmax), so the build costs the
+        coarse assignment + codebook training + one encode pass —
+        never a join between corpus-sized frames. Heavy writes land
+        first; :meth:`ivfpq_search` verifies build-id agreement
+        before serving (the build_ivf_index torn-state protocol)."""
+        from pyspark.sql import functions as F
+
+        from .operators import similarity
+
+        m = similarity.PQ_M if m is None else m
+        k = similarity.PQ_K if k is None else k
+        iters = similarity.PQ_ITERS if pq_iters is None else pq_iters
+        cents = (
+            similarity.kmeans_refine(
+                emb, id_col, vec_col, n_list, iters=kmeans_iters
+            )
+            if kmeans_iters
+            else similarity.ivf_centroids(
+                emb, id_col, vec_col, n_list
+            ).localCheckpoint()
+        )
+        cb = similarity.pq_codebooks(emb, m, k, iters, id_col, vec_col)
+        build_id = random_alphanum()
+        self._ann_verified.pop(f"ivfpq:{name}", None)
+        assigned = similarity.ivf_assign(emb, cents, id_col, vec_col)
+        self.materialize_partitioned(
+            f"{name}_vectors",
+            assigned.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+                F.lit(build_id).alias("build_id"),
+                "centroid_id",
+            ),
+            ["centroid_id"],
+        )
+        stored = self.table(f"{name}_vectors")
+        codes = similarity.ivfpq_encode(
+            stored, cents, cb, m, dim=similarity.EMBED_DIM, assigned=stored
+        )
+        self.materialize_partitioned(
+            f"{name}_codes",
+            codes.select(
+                "vec_id",
+                "m",
+                "code",
+                F.lit(build_id).alias("build_id"),
+                "centroid_id",
+            ),
+            ["centroid_id"],
+        )
+        self.drop_table_if_exists(f"{name}_centroids")
+        self.create_table_as(
+            f"{name}_centroids",
+            cents.withColumn("build_id", F.lit(build_id)),
+        )
+        self.drop_table_if_exists(f"{name}_codebook")
+        self.create_table_as(
+            f"{name}_codebook",
+            cb.withColumn("build_id", F.lit(build_id))
+            .withColumn("pq_m", F.lit(m).cast("int"))
+            .withColumn("pq_k", F.lit(k).cast("int")),
+        )
+
+    def ivfpq_search(
+        self,
+        name: str,
+        queries: DataFrame,
+        topk: int = 10,
+        nprobe: int = 2,
+        shortlist: int | None = None,
+        rerank: bool = True,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "qv",
+    ) -> DataFrame:
+        """[EXT] Query-table-driven search over an IVF+PQ index built
+        by :meth:`build_ivfpq_index`: per query, the nprobe nearest
+        coarse lists are selected against the bounded stored
+        centroids, the ADC lookup table scores ONLY the codes in
+        those lists (the broadcast probe join dynamically prunes the
+        partitioned codes scan to nprobe/n_list of the files), and
+        the ``shortlist`` best candidates are exact-cosine reranked
+        against the stored vectors — whose (centroid_id, vec_id)
+        point lookups prune the same way. ``rerank=False`` returns
+        the raw ADC ranking (query_id, vec_id, centroid_id,
+        score_micro, rank). Raises on a torn build; heavy distinct
+        scans memoized per build id like ann_topk's."""
+        from .operators import similarity
+
+        codes = self.table(f"{name}_codes")
+        vectors = self.table(f"{name}_vectors")
+        cents = self.table(f"{name}_centroids")
+        cb = self.table(f"{name}_codebook")
+        cid = sorted(
+            set(
+                r.build_id
+                for r in cents.select("build_id")
+                .distinct()
+                .union(cb.select("build_id").distinct())
+                .collect()
+            )
+        )
+        memo_key = f"ivfpq:{name}"
+        if len(cid) == 1 and self._ann_verified.get(memo_key) == cid[0]:
+            heavy = cid
+        else:
+            heavy = sorted(
+                set(
+                    r.build_id
+                    for r in codes.select("build_id")
+                    .distinct()
+                    .union(vectors.select("build_id").distinct())
+                    .collect()
+                )
+            )
+        if len(cid) != 1 or (heavy and heavy != cid):
+            raise ValueError(
+                f"IVFPQ index {name!r} is torn (quantizer builds {cid} vs "
+                f"codes/vectors builds {heavy}) — re-run build_ivfpq_index"
+            )
+        if heavy:
+            self._ann_verified[memo_key] = cid[0]
+        mrow = cb.select("pq_m").first()
+        m = int(mrow.pq_m) if mrow else similarity.PQ_M
+        probes = similarity.ivfpq_probe_lists(
+            queries,
+            cents.select("centroid_id", "cvec"),
+            nprobe,
+            query_id_col,
+            query_vec_col,
+        )
+        lut = similarity.pq_query_lut(
+            queries,
+            cb.select("m", "code", "cvec"),
+            m,
+            query_id_col,
+            query_vec_col,
+        )
+        if not rerank:
+            return similarity.ann_ivfpq_topk(
+                codes.select("vec_id", "centroid_id", "m", "code"),
+                lut,
+                probes,
+                topk,
+            )
+        n_short = similarity.PQ_SHORTLIST if shortlist is None else shortlist
+        short = similarity.ann_ivfpq_topk(
+            codes.select("vec_id", "centroid_id", "m", "code"),
+            lut,
+            probes,
+            n_short,
+        )
+        return similarity.ann_ivfpq_rerank(
+            vectors.select("vec_id", "centroid_id", "embedding"),
+            short,
+            queries,
+            topk,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        )
+
     def build_text_index(
         self,
         name: str,
@@ -1149,6 +1336,39 @@ class Engine:
             .format("parquet")
             .bucketBy(n_buckets, *bucket_cols)
             .sortBy(*bucket_cols)
+            .saveAsTable(physical)
+        )
+        self.sink.catalog[logical_name] = physical
+        self.sink._persist_catalog()
+        return physical
+
+    def materialize_partitioned(
+        self,
+        logical_name: str,
+        df: DataFrame,
+        partition_cols: Sequence[str],
+    ) -> str:
+        """[EXT] Materialize a DataFrame as a directory-PARTITIONED
+        table (one directory per distinct partition-column value).
+        Complements :meth:`materialize_bucketed`: bucketing removes
+        the shuffle from co-located joins, partitioning removes the
+        I/O — a scan filtered (statically or via dynamic partition
+        pruning from a broadcast join) on the partition column reads
+        ONLY the matching directories. The IVFPQ index stores its
+        inverted lists this way: a probe touching nprobe of n_list
+        lists reads nprobe/n_list of the files, which is the whole
+        point of IVF at 100 TB. Use only for low-cardinality keys
+        (n_list centroid ids, dates) — per-value directories explode
+        on high-cardinality columns."""
+        from .idents import storage_safe_name
+        from .sources.sink import clear_stale_location
+
+        physical = storage_safe_name(logical_name)
+        clear_stale_location(self.spark, physical)
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .partitionBy(*partition_cols)
             .saveAsTable(physical)
         )
         self.sink.catalog[logical_name] = physical

@@ -1473,3 +1473,174 @@ def ann_pq_rerank(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF + PQ composition — the full coarse-prune / compressed-scan /
+# exact-rerank index (the IVFPQ architecture of Jegou et al. 2011)
+# ---------------------------------------------------------------------------
+#
+# IVF bounds WHICH vectors a probe touches (nprobe of n_list inverted
+# lists); PQ bounds what each touched vector COSTS (M codes, not dim
+# floats); the exact rerank of the surviving shortlist restores
+# precision. Probe I/O at 100 TB ~ corpus x (nprobe/n_list) x
+# (1/compression) — both factors measured in this repo
+# (PQ_PROBE_r10.json; IVF probes co-located since r9). The engine
+# lifecycle (build_ivfpq_index) stores the codes PARTITIONED by
+# centroid_id, so Spark's dynamic partition pruning restricts each
+# probe's file reads to the probed lists.
+
+
+def ivfpq_encode(
+    emb: DataFrame,
+    cents: DataFrame,
+    cb: DataFrame,
+    m: int = PQ_M,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """One corpus pass producing the composed index rows: each vector
+    coarse-assigned to its IVF list (broadcast n_list centroids) and
+    PQ-encoded against the trained codebooks (broadcast m x k) —
+    (vec_id, centroid_id, m, code). The centroid id RIDES the code
+    argmax aggregation (``F.first`` over the per-(vector, subspace)
+    group, constant within it), so composing the two quantizers
+    costs the same single pass as PQ encoding alone — no join back
+    to the assignment. Pass ``assigned`` (id, vec, centroid_id — e.g.
+    the engine's stored vectors table) to skip the coarse
+    assignment's corpus pass entirely."""
+    if assigned is None:
+        assigned = ivf_assign(emb, cents, id_col, vec_col)
+    base = assigned.select(
+        F.col(id_col).alias("vec_id"),
+        "centroid_id",
+        F.col(vec_col).alias("_v"),
+    )
+    sub = dim // m
+    slices = F.array(
+        *[F.slice(F.col("_v"), i * sub + 1, sub) for i in range(m)]
+    )
+    subv = base.select(
+        "vec_id", "centroid_id", F.posexplode(slices).alias("m", "subvec")
+    )
+    scored = subv.join(F.broadcast(cb), "m").select(
+        "vec_id",
+        "centroid_id",
+        "m",
+        "code",
+        F.round(cosine(F.col("subvec"), F.col("cvec")), 6).alias("_sim"),
+    )
+    return (
+        scored.groupBy("vec_id", "m")
+        .agg(
+            F.first("centroid_id").alias("centroid_id"),
+            F.max_by("code", F.struct(F.col("_sim"), -F.col("code"))).alias(
+                "code"
+            ),
+        )
+        .select("vec_id", "centroid_id", "m", "code")
+    )
+
+
+def ivfpq_probe_lists(
+    queries: DataFrame,
+    cents: DataFrame,
+    nprobe: int = 2,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Per query, the nprobe nearest IVF lists (max rounded cosine,
+    ties to the lower centroid id) — (query_id, centroid_id), a
+    bounded nq x nprobe frame built from a broadcast centroid
+    cross."""
+    scored = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("_q")
+    ).crossJoin(F.broadcast(cents.select("centroid_id", "cvec"))).select(
+        "query_id",
+        "centroid_id",
+        F.round(cosine(F.col("_q"), F.col("cvec")), 6).alias("_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_sim").desc(), F.col("centroid_id")
+    )
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .where(F.col("_r") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+
+
+def ann_ivfpq_topk(
+    codes: DataFrame,
+    lut: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """ADC over ONLY the probed inverted lists: the candidate set is
+    codes semi-restricted to each query's nprobe centroid ids
+    (broadcast probe-list join — over a centroid_id-PARTITIONED
+    store this dynamically prunes the files read), scored by exact
+    bigint LUT sums, top-k per query. Output (query_id, vec_id,
+    centroid_id, score_micro, rank)."""
+    cand = codes.join(F.broadcast(probes), "centroid_id")
+    scored = (
+        cand.join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.first("centroid_id").alias("centroid_id"),
+            F.sum("part_micro").alias("score_micro"),
+        )
+        .where(F.col("query_id") != F.col("vec_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "centroid_id", "score_micro", "rank")
+    )
+
+
+def ann_ivfpq_rerank(
+    vectors: DataFrame,
+    shortlist: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Exact cosine rerank of an IVFPQ shortlist. The join carries
+    (centroid_id, vec_id), so over a centroid_id-partitioned vector
+    store the read prunes to the probed lists before the point
+    lookups. Output (query_id, vec_id, sim, rank)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qv"),
+    )
+    j = (
+        vectors.join(
+            F.broadcast(shortlist.select("query_id", "vec_id", "centroid_id")),
+            ["centroid_id", "vec_id"]
+            if "centroid_id" in vectors.columns
+            else ["vec_id"],
+        )
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col(vec_col)), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )

@@ -33,6 +33,15 @@ from . import ext  # noqa: E402,F401
 # Everything outside the window stays oracle-checked locally via
 # tools/oracle_check.py at sf0.001/0.01/0.1 (see COVERAGE.md).
 _R10_NEW = [
+    # latest round-10 registrations: the IVF+PQ composition (IVFADC —
+    # coarse-prune which vectors a probe touches, PQ-compress what
+    # each costs, exact-rerank the shortlist; engine lifecycle stores
+    # the lists directory-partitioned so probes prune file reads)
+    "ann_ivfpq_search",
+    "ann_ivfpq_adc",
+    "ann_ivfpq_recall",
+    "ivfpq_index_search",
+    "ivfpq_list_profile",
     # late-round-10 registrations: the PQ family (codebook training,
     # ADC probe, exact rerank, both-path recall contract, the engine
     # serving lifecycle) and the H2 CSV table functions round trip

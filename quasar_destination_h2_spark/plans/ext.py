@@ -4446,3 +4446,303 @@ def q_pq_index_search(t: TableSet) -> DataFrame:
         )
     )
     return eng.pq_search("pqsrv", queries, topk=5).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# IVF+PQ composition (similarity.ivfpq_* — the IVFADC index of Jegou
+# et al., PAMI 2011: IVF bounds WHICH vectors a probe touches, PQ
+# bounds what each touched vector COSTS, exact rerank restores
+# precision on the surviving shortlist)
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_ctes(qcte: str, k: int, nprobe: int = 2) -> str:
+    """The shared IVFPQ oracle pipeline, parametrized by the query
+    CTE (``iq`` must expose (query_id, qv)): probe-list selection
+    against the k-means-refined centroids, the per-query ADC lookup
+    table, the composed (vec_id, centroid_id, m, code) index rows,
+    ADC scoring restricted to each query's nprobe lists, the
+    PQ_SHORTLIST cut, and the exact rerank to ``k``. Replays
+    similarity.ivfpq_probe_lists / ivfpq_encode / ann_ivfpq_topk /
+    ann_ivfpq_rerank term for term (rounded cosines, micro-unit
+    bigint partial sums, ties to the lower id everywhere)."""
+    part = _PQ_MICRO.format(
+        x=f"""round(
+               list_inner_product(iq.qv[(c.m*{_PQ_S}+1):(c.m*{_PQ_S}+{_PQ_S})], c.cvec)
+               / sqrt(list_inner_product(c.cvec, c.cvec)), 6)"""
+    )
+    return f"""iq AS ({qcte}),
+    ipl AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT iq.query_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY iq.query_id
+                 ORDER BY round(list_cosine_similarity(iq.qv, c.cvec), 6) DESC,
+                          c.centroid_id) AS rn
+        FROM iq CROSS JOIN {_KM_CENTS} c) WHERE rn <= {nprobe}),
+    ilut AS (
+      SELECT iq.query_id, c.m, c.code,
+             {part} AS part_micro
+      FROM iq CROSS JOIN {_PQ_CB} c),
+    icodes AS (
+      SELECT pa.vec_id, ka.centroid_id, pa.m, pa.code
+      FROM {_PQ_ASSIGN} pa JOIN {_KM_ASSIGN} ka USING (vec_id)),
+    isc AS (
+      SELECT pl.query_id, c.vec_id, MIN(c.centroid_id) AS centroid_id,
+             CAST(SUM(l.part_micro) AS BIGINT) AS score_micro
+      FROM icodes c
+      JOIN ipl pl ON pl.centroid_id = c.centroid_id
+      JOIN ilut l ON l.query_id = pl.query_id AND l.m = c.m AND l.code = c.code
+      WHERE pl.query_id <> c.vec_id
+      GROUP BY pl.query_id, c.vec_id),
+    ishort AS (
+      SELECT query_id, vec_id, centroid_id, score_micro,
+             CAST(rank AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score_micro DESC, vec_id) AS rank
+        FROM isc) WHERE rank <= {similarity.PQ_SHORTLIST}),
+    irr AS (
+      SELECT query_id, vec_id, sim, CAST(r AS INT) AS rank FROM (
+        SELECT s.query_id, s.vec_id,
+               round(list_cosine_similarity(q.qv, e.v), 6) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                 ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC,
+                          s.vec_id) AS r
+        FROM ishort s JOIN pe e ON e.vec_id = s.vec_id
+                      JOIN iq q ON q.query_id = s.query_id) WHERE r <= {k})"""
+
+
+_IVFPQ_CORPUS_Q = "SELECT vec_id AS query_id, v AS qv FROM pe WHERE vec_id < 3"
+
+
+def _ivfpq_spark_parts(t: TableSet, nq: int = 3):
+    """Shared Spark-side IVFPQ build for the operator-level queries:
+    (emb, queries, codes, probes, lut) over the k-means-refined
+    coarse quantizer and the trained PQ codebooks."""
+    emb = t.embeddings
+    cents = similarity.kmeans_refine(emb)
+    cb = similarity.pq_codebooks(emb)
+    codes = similarity.ivfpq_encode(emb, cents, cb)
+    q = emb.where(f"vec_id < {nq}").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    probes = similarity.ivfpq_probe_lists(q, cents, 2)
+    lut = similarity.pq_query_lut(emb.where(f"vec_id < {nq}"), cb)
+    return emb, q, codes, probes, lut
+
+
+@query(
+    "ann_ivfpq_adc",
+    oracle=f"""
+    WITH {_KM_CTES},
+    {_PQ_CTES},
+    {_ivfpq_ctes(_IVFPQ_CORPUS_Q, 5)}
+    SELECT query_id, vec_id, centroid_id, score_micro, rank
+    FROM ishort WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def q_ann_ivfpq_adc(t: TableSet) -> DataFrame:
+    """The composed IVF+PQ probe at the ADC level: each query picks
+    its nprobe=2 nearest k-means-refined lists (bounded centroid
+    cross), and ONLY the compressed codes in those lists are scored
+    by the bigint LUT sums — candidate cost ~ corpus x
+    (nprobe/n_list) x (M ints / dim floats), the multiplicative
+    prune that makes 100 TB ANN affordable. Exact integer arithmetic
+    end-to-end; ranks replay identically in SQL."""
+    _, _, codes, probes, lut = _ivfpq_spark_parts(t)
+    return similarity.ann_ivfpq_topk(codes, lut, probes, 10).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
+    "ann_ivfpq_search",
+    oracle=f"""
+    WITH {_KM_CTES},
+    {_PQ_CTES},
+    {_ivfpq_ctes(_IVFPQ_CORPUS_Q, 5)}
+    SELECT query_id, vec_id, sim, rank FROM irr
+    ORDER BY query_id, rank
+    """,
+)
+def q_ann_ivfpq_search(t: TableSet) -> DataFrame:
+    """The full IVFPQ serving path: probe-list selection -> ADC over
+    the probed lists only -> PQ_SHORTLIST cut -> exact cosine rerank
+    of just the shortlisted vectors. The rerank join carries
+    (centroid_id, vec_id), so over the engine's centroid-partitioned
+    vector store the float reads prune to the probed lists
+    (ivfpq_index_search next door witnesses that store)."""
+    emb, q, codes, probes, lut = _ivfpq_spark_parts(t)
+    short = similarity.ann_ivfpq_topk(
+        codes, lut, probes, similarity.PQ_SHORTLIST
+    )
+    return similarity.ann_ivfpq_rerank(emb, short, q, 5).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
+    "ann_ivfpq_recall",
+    oracle=f"""
+    WITH {_KM_CTES},
+    {_PQ_CTES},
+    {_ivfpq_ctes("SELECT vec_id AS query_id, v AS qv FROM pe WHERE vec_id < 10", 5)},
+    iex AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC,
+                          e.vec_id) AS r
+        FROM iq q CROSS JOIN pe e WHERE e.vec_id <> q.query_id) WHERE r <= 5),
+    iha AS (
+      SELECT iex.query_id, COUNT(*) AS n FROM iex
+      JOIN (SELECT query_id, vec_id FROM ishort WHERE rank <= 5) a
+        ON iex.query_id = a.query_id AND iex.neighbor_id = a.vec_id
+      GROUP BY iex.query_id),
+    ihr AS (
+      SELECT iex.query_id, COUNT(*) AS n FROM iex
+      JOIN irr ON iex.query_id = irr.query_id
+              AND iex.neighbor_id = irr.vec_id
+      GROUP BY iex.query_id)
+    SELECT x.query_id,
+           CAST(COALESCE(iha.n, 0) AS BIGINT) AS n_hit_adc,
+           CAST(COALESCE(iha.n, 0) * 1000000 / x.n_exact AS BIGINT)
+             AS recall_adc_ppm,
+           CAST(COALESCE(ihr.n, 0) AS BIGINT) AS n_hit_rerank,
+           CAST(COALESCE(ihr.n, 0) * 1000000 / x.n_exact AS BIGINT)
+             AS recall_rerank_ppm
+    FROM (SELECT query_id, COUNT(*) AS n_exact FROM iex GROUP BY query_id) x
+    LEFT JOIN iha ON x.query_id = iha.query_id
+    LEFT JOIN ihr ON x.query_id = ihr.query_id
+    ORDER BY x.query_id
+    """,
+)
+def q_ann_ivfpq_recall(t: TableSet) -> DataFrame:
+    """The composed index's recall contract: per query, the exact
+    cosine top-5 recovered by (a) the raw IVFPQ ADC top-5 and (b)
+    the shortlist-then-rerank serving path — now measuring BOTH
+    compression losses at once (coarse-list misses that no rerank
+    can recover, plus PQ quantization error that the rerank fixes).
+    The instrument that says whether n_list/nprobe/M/K are adequate
+    BEFORE anyone serves from the composed index."""
+    emb = t.embeddings
+    cents = similarity.kmeans_refine(emb)
+    cb = similarity.pq_codebooks(emb)
+    codes = similarity.ivfpq_encode(emb, cents, cb)
+    q = emb.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    probes = similarity.ivfpq_probe_lists(q, cents, 2)
+    lut = similarity.pq_query_lut(emb.where("vec_id < 10"), cb)
+    short = similarity.ann_ivfpq_topk(
+        codes, lut, probes, similarity.PQ_SHORTLIST
+    )
+    adc = similarity.pq_recall(
+        emb, short.where("rank <= 5").select("query_id", "vec_id"), 5
+    ).select(
+        "query_id",
+        F.col("n_hit").alias("n_hit_adc"),
+        F.col("recall_ppm").alias("recall_adc_ppm"),
+    )
+    rr = similarity.pq_recall(
+        emb, similarity.ann_ivfpq_rerank(emb, short, q, 5), 5
+    ).select(
+        "query_id",
+        F.col("n_hit").alias("n_hit_rerank"),
+        F.col("recall_ppm").alias("recall_rerank_ppm"),
+    )
+    return adc.join(rr, "query_id").orderBy("query_id")
+
+
+@query(
+    "ivfpq_list_profile",
+    oracle=f"""
+    WITH {_KM_CTES},
+    {_PQ_CTES},
+    icodes AS (
+      SELECT pa.vec_id, ka.centroid_id, pa.m, pa.code
+      FROM {_PQ_ASSIGN} pa JOIN {_KM_ASSIGN} ka USING (vec_id))
+    SELECT centroid_id,
+           CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_vecs,
+           CAST(SUM(m * 131 + code) AS BIGINT) AS code_checksum
+    FROM icodes
+    GROUP BY centroid_id
+    ORDER BY centroid_id
+    """,
+)
+def q_ivfpq_list_profile(t: TableSet) -> DataFrame:
+    """Index-health instrument for the composed index: per inverted
+    list, its occupancy (the quantity whose skew decides probe cost
+    variance — a hot list makes every probe touching it expensive)
+    and an exact integer checksum over the list's PQ codes (any
+    drift in either quantizer moves it). One pass over the composed
+    code rows."""
+    emb = t.embeddings
+    cents = similarity.kmeans_refine(emb)
+    cb = similarity.pq_codebooks(emb)
+    codes = similarity.ivfpq_encode(emb, cents, cb)
+    return (
+        codes.groupBy("centroid_id")
+        .agg(
+            F.countDistinct("vec_id").cast("bigint").alias("n_vecs"),
+            F.sum(F.col("m").cast("bigint") * 131 + F.col("code"))
+            .cast("bigint")
+            .alias("code_checksum"),
+        )
+        .orderBy("centroid_id")
+    )
+
+
+@query(
+    "ivfpq_index_search",
+    oracle=f"""
+    WITH {_KM_CTES},
+    {_PQ_CTES},
+    {_PQQ},
+    {_ivfpq_ctes("SELECT query_id, qv FROM pqq", 5)}
+    SELECT query_id, vec_id, sim, rank FROM irr
+    ORDER BY query_id, rank
+    """,
+)
+def q_ivfpq_index_search(t: TableSet) -> DataFrame:
+    """The IVFPQ SERVING form through the ENGINE lifecycle:
+    engine.build_ivfpq_index k-means-refines the coarse quantizer,
+    trains the PQ codebooks, and stores vectors + composed codes
+    directory-PARTITIONED by centroid_id; an EXTERNAL query table
+    (deterministic pair-average vectors) is answered by
+    engine.ivfpq_search — the broadcast probe-list join dynamically
+    prunes the codes scan to nprobe/n_list of the files (pinned by
+    tests/test_bucketing.py::test_ivfpq_index_lifecycle), the ADC
+    shortlist is exact-reranked against the same-pruned vector
+    store. The oracle replays both quantizer trainings, the probe
+    selection, ADC and rerank in SQL."""
+    import json as _json
+    import tempfile
+
+    from ..engine import Engine
+
+    spark = t.embeddings.sparkSession
+    eng = Engine.from_config(
+        _json.dumps({"connectionUri": tempfile.mkdtemp()}), spark=spark
+    )
+    emb = t.embeddings
+    eng.build_ivfpq_index("ipqsrv", emb)
+    a = emb.select(F.col("vec_id").alias("_ia"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("_ib"), F.col("embedding").alias("_vb"))
+    queries = (
+        a.join(b, F.col("_ib") == F.col("_ia") + 1)
+        .where(F.col("_ia") < 3)
+        .select(
+            F.col("_ia").alias("query_id"),
+            F.zip_with(
+                "_va",
+                "_vb",
+                lambda x, y: F.round(
+                    (x.cast("double") + y.cast("double")) / 2, 6
+                ),
+            ).alias("qv"),
+        )
+    )
+    return eng.ivfpq_search("ipqsrv", queries, topk=5).orderBy(
+        "query_id", "rank"
+    )

@@ -404,3 +404,72 @@ def test_pq_index_lifecycle(engine, spark):
     engine._ann_verified.pop("pq:pqix", None)
     with pytest.raises(ValueError, match="torn"):
         engine.pq_search("pqix", queries, topk=5)
+
+
+def test_ivfpq_index_lifecycle(engine, spark):
+    """Build-once / probe-many for the composed IVF+PQ index:
+    build_ivfpq_index stores vectors + codes directory-PARTITIONED
+    by centroid_id; ivfpq_search's broadcast probe-list join
+    dynamically prunes BOTH partitioned scans to the probed lists
+    (the IVF I/O contract — nprobe/n_list of the files, not a corpus
+    scan), reads no raw embeddings, matches the operator
+    composition, and refuses to serve a torn build."""
+    import re as _re
+
+    from quasar_destination_h2_spark.operators import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    engine.build_ivfpq_index("ipqix", emb)
+    queries = (
+        emb.where("vec_id < 3")
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        .localCheckpoint()
+    )
+    got = engine.ivfpq_search("ipqix", queries, topk=5)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    rows1 = sorted(map(tuple, got.collect()))
+    assert len(rows1) == 15
+    # dynamic partition pruning on BOTH partitioned index scans: the
+    # probe's file reads are restricted to the nprobe lists per query
+    for tbl in ("ipqix_codes", "ipqix_vectors"):
+        scans = [ln for ln in plan.splitlines() if f"{tbl}" in ln and "FileScan" in ln]
+        assert scans, plan
+        assert all("dynamicpruningexpression" in ln for ln in scans), (
+            tbl,
+            scans,
+        )
+    # the probe reads ONLY the stored index tables + the query input
+    assert (
+        len(_re.findall(r"FileScan parquet [^\n]*embeddings\.parquet", plan))
+        == 0
+    ), plan
+    # probe-many: identical answers on a second probe (memoized
+    # torn-check skips the heavy distinct scans)
+    assert rows1 == sorted(
+        map(tuple, engine.ivfpq_search("ipqix", queries, topk=5).collect())
+    )
+    # parity with the operator composition (both trainings are
+    # deterministic)
+    cents = similarity.kmeans_refine(emb)
+    cb = similarity.pq_codebooks(emb)
+    codes = similarity.ivfpq_encode(emb, cents, cb)
+    probes = similarity.ivfpq_probe_lists(queries, cents, 2)
+    lut = similarity.pq_query_lut(queries, cb, id_col="query_id", vec_col="qv")
+    short = similarity.ann_ivfpq_topk(
+        codes, lut, probes, similarity.PQ_SHORTLIST
+    )
+    direct = sorted(
+        map(tuple, similarity.ann_ivfpq_rerank(emb, short, queries, 5).collect())
+    )
+    assert direct == rows1
+    # torn build: a codes table from a different build refuses to serve
+    engine.materialize_partitioned(
+        "ipqix_codes",
+        engine.table("ipqix_codes")
+        .withColumn("build_id", F.lit("deadbeef"))
+        .localCheckpoint(),
+        ["centroid_id"],
+    )
+    engine._ann_verified.pop("ivfpq:ipqix", None)
+    with pytest.raises(ValueError, match="torn"):
+        engine.ivfpq_search("ipqix", queries, topk=5)

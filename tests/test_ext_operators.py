@@ -2886,3 +2886,115 @@ def test_pq_probe_plan_is_broadcast_no_cartesian(t):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivfpq_encode_matches_pq_encode(t):
+    """Composing the coarse quantizer must not perturb the PQ codes:
+    ivfpq_encode's (vec_id, m, code) against ANY centroid set equals
+    pq_encode over the same codebooks — the centroid id rides the
+    argmax, it doesn't participate in it."""
+    emb = t.embeddings
+    cents = similarity.kmeans_refine(emb)
+    cb = similarity.pq_codebooks(emb)
+    composed = sorted(
+        (r.vec_id, r.m, r.code)
+        for r in similarity.ivfpq_encode(emb, cents, cb).collect()
+    )
+    flat = sorted(
+        map(tuple, similarity.pq_encode(emb, cb).collect())
+    )
+    assert composed == flat
+
+
+def test_ivfpq_full_probe_equals_pq_adc(t):
+    """IVF prunes, PQ scores: with probe lists covering EVERY live
+    list (nprobe = n_list), the composed ADC ranking degenerates to
+    exactly the flat PQ ADC ranking — the pruning is the ONLY thing
+    IVF adds to the score path."""
+    from pyspark.sql import functions as F
+
+    emb = t.embeddings
+    cents = similarity.kmeans_refine(emb)
+    cb = similarity.pq_codebooks(emb)
+    codes = similarity.ivfpq_encode(emb, cents, cb)
+    lut = similarity.pq_query_lut(emb.where("vec_id < 3"), cb)
+    all_lists = (
+        lut.select("query_id")
+        .distinct()
+        .crossJoin(codes.select("centroid_id").distinct())
+    )
+    composed = sorted(
+        (r.query_id, r.vec_id, r.score_micro, r.rank)
+        for r in similarity.ann_ivfpq_topk(codes, lut, all_lists, 10).collect()
+    )
+    flat = sorted(
+        map(tuple, similarity.ann_pq_topk(
+            codes.select("vec_id", "m", "code"), lut, 10
+        ).collect())
+    )
+    assert composed == flat
+
+
+def test_ivfpq_rerank_recall_on_clustered_corpus(spark):
+    """The composed index's recall contract on clusterable data: the
+    serving path (probe 2 of 16 refined lists -> ADC shortlist ->
+    exact rerank) still recovers >= 80% of the exact top-10 per
+    query, and never less than the raw composed ADC."""
+    from pyspark.sql import functions as F
+
+    from quasar_destination_h2_spark import cache
+
+    emb = _clustered_embeddings(spark)
+    cents = similarity.kmeans_refine(emb)
+    cb = similarity.pq_codebooks(emb)
+    codes = similarity.ivfpq_encode(emb, cents, cb)
+    q = emb.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    probes = similarity.ivfpq_probe_lists(q, cents, 2)
+    lut = similarity.pq_query_lut(emb.where("vec_id < 3"), cb)
+    short = similarity.ann_ivfpq_topk(
+        codes, lut, probes, similarity.PQ_SHORTLIST
+    )
+    adc = {
+        r.query_id: r.recall_ppm
+        for r in similarity.pq_recall(
+            emb, short.where("rank <= 10").select("query_id", "vec_id"), 10
+        ).collect()
+    }
+    rer = {
+        r.query_id: r.recall_ppm
+        for r in similarity.pq_recall(
+            emb, similarity.ann_ivfpq_rerank(emb, short, q, 10), 10
+        ).collect()
+    }
+    cache.release()
+    assert set(rer) == {0, 1, 2}
+    assert all(v >= 800_000 for v in rer.values()), rer
+    assert all(rer[q] >= adc.get(q, 0) for q in rer), (adc, rer)
+
+
+def test_ivfpq_probe_plan_shape(t):
+    """The composed probe's 100 TB shape: probe lists and LUT land by
+    BROADCAST joins (bounded frames), and nothing in the pipeline
+    plans a CartesianProduct — the only nested-loop is the bounded
+    query x n_list centroid cross inside probe-list selection."""
+    from pyspark.sql import functions as F
+
+    emb = t.embeddings
+    cents = similarity.kmeans_refine(emb)
+    cb = similarity.pq_codebooks(emb)
+    codes = similarity.ivfpq_encode(emb, cents, cb)
+    q = emb.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    probes = similarity.ivfpq_probe_lists(q, cents, 2)
+    lut = similarity.pq_query_lut(emb.where("vec_id < 3"), cb)
+    plan = (
+        similarity.ann_ivfpq_topk(codes, lut, probes, 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -192,6 +192,17 @@ NLJ_OK = frozenset({
     # r10: the 1-row new-terms aggregate crossJoin-broadcast onto
     # the 1-row batch-vocab aggregate (both sides single rows)
     "text_index_drift",
+    # r10 IVFPQ composition: every NLJ is a bounded frame — the
+    # n_list-row centroid broadcast of the kmeans family (training +
+    # coarse assignment), the nq-row query cross in probe-list
+    # selection (ivfpq_probe_lists), and for the recall contract the
+    # accepted ann_ivf_recall exact-baseline shape (bounded query
+    # rows broadcast onto the corpus)
+    "ann_ivfpq_adc",
+    "ann_ivfpq_search",
+    "ann_ivfpq_recall",
+    "ivfpq_index_search",
+    "ivfpq_list_profile",
 })
 
 #: Tables whose repeated FileScan in one plan is a 100 TB scale killer.
@@ -331,6 +342,20 @@ RESCAN_REVIEWED = frozenset({
     # reads are the external query table's own pair-join sides
     # (vec_id < 3, both pruned at the scan)
     "pq_index_search",
+    # r10 IVFPQ composition: the conformance forms train BOTH
+    # quantizers (kmeans coarse + PQ codebooks), encode, probe and
+    # (for recall) replay the exact side IN ONE PLAN so the DuckDB
+    # oracle can reproduce them — each training/encode stage re-reads
+    # the embeddings scan (the ann_pq_* + kmeans_convergence shapes
+    # composed). The production path is engine.build_ivfpq_index →
+    # ivfpq_search: probes read ONLY the stored centroid-partitioned
+    # tables with dynamic partition pruning, zero embeddings scans
+    # (tests/test_bucketing.py::test_ivfpq_index_lifecycle pins it);
+    # ivfpq_index_search's remaining embeddings reads are the
+    # external query table's own pair-join sides (vec_id < 3, pruned
+    # at the scan).
+    "ann_ivfpq_adc", "ann_ivfpq_search", "ann_ivfpq_recall",
+    "ivfpq_index_search",
 })
 
 
