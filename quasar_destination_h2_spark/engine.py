@@ -587,12 +587,16 @@ class Engine:
         cb = similarity.pq_codebooks(emb, m, k, iters, id_col, vec_col)
         build_id = random_alphanum()
         self._ann_verified.pop(f"ivfpq:{name}", None)
-        assigned = similarity.ivf_assign(emb, cents, id_col, vec_col)
+        # the stored assignment carries sim_micro (the winning
+        # 6-rounded cosine in integer micro-units): appends need it
+        # for the drift instrument, and the argmax already computes it
+        assigned = similarity._assign_scored(emb, cents, id_col, vec_col)
         self.materialize_partitioned(
             f"{name}_vectors",
             assigned.select(
                 F.col(id_col).alias("vec_id"),
                 F.col(vec_col).alias("embedding"),
+                "sim_micro",
                 F.lit(build_id).alias("build_id"),
                 "centroid_id",
             ),
@@ -613,10 +617,25 @@ class Engine:
             ),
             ["centroid_id"],
         )
+        # the build's mean assigned similarity, frozen on the
+        # centroids table — the drift baseline append_to_ivfpq_index
+        # compares new batches against (the build_ivf_index protocol)
+        row = (
+            self.table(f"{name}_vectors")
+            .agg(
+                F.sum("sim_micro").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+        mean_micro = int(row.s) // int(row.n) if row.s is not None else None
         self.drop_table_if_exists(f"{name}_centroids")
         self.create_table_as(
             f"{name}_centroids",
-            cents.withColumn("build_id", F.lit(build_id)),
+            cents.withColumn("build_id", F.lit(build_id)).withColumn(
+                "build_mean_sim_micro",
+                F.lit(mean_micro).cast("bigint"),
+            ),
         )
         self.drop_table_if_exists(f"{name}_codebook")
         self.create_table_as(
@@ -624,6 +643,105 @@ class Engine:
             cb.withColumn("build_id", F.lit(build_id))
             .withColumn("pq_m", F.lit(m).cast("int"))
             .withColumn("pq_k", F.lit(k).cast("int")),
+        )
+
+    def append_to_ivfpq_index(
+        self,
+        name: str,
+        new_emb: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """[EXT] Incremental append to the composed IVF+PQ index —
+        the nightly-crawl story extended to both quantizers: the
+        batch is assigned against the STORED centroids and encoded
+        against the STORED codebooks (two bounded broadcasts, one
+        pass over the batch only — the corpus is never rescanned,
+        neither quantizer re-trains), appended to BOTH
+        centroid-partitioned tables under the build's id (probes
+        keep pruning to their lists; ivfpq_search's torn check still
+        holds because the id matches), and returns the one-row drift
+        report of :meth:`append_to_ivf_index` — (appended_rows,
+        batch_mean_sim_micro, build_mean_sim_micro, drift_micro),
+        the REBUILD TRIGGER. Appended codes ≡ what a rebuild against
+        the SAME quantizers would assign (pinned by
+        tests/test_bucketing.py::test_ivfpq_index_append)."""
+        from pyspark.sql import functions as F
+
+        from .idents import storage_safe_name
+        from .operators import similarity
+
+        cents = self.table(f"{name}_centroids")
+        cb = self.table(f"{name}_codebook")
+        cid = sorted(
+            set(
+                r.build_id
+                for r in cents.select("build_id")
+                .distinct()
+                .union(cb.select("build_id").distinct())
+                .collect()
+            )
+        )
+        if len(cid) != 1:
+            raise ValueError(
+                f"IVFPQ index {name!r} quantizers carry build ids {cid} — "
+                "re-run build_ivfpq_index before appending"
+            )
+        build_mean = cents.select("build_mean_sim_micro").first()[0]
+        mrow = cb.select("pq_m").first()
+        m = int(mrow.pq_m) if mrow else similarity.PQ_M
+        batch = similarity._assign_scored(
+            new_emb, cents.select("centroid_id", "cvec"), id_col, vec_col
+        ).localCheckpoint()
+        codes = similarity.ivfpq_encode(
+            batch,
+            cents,
+            cb.select("m", "code", "cvec"),
+            m,
+            id_col,
+            vec_col,
+            assigned=batch,
+        ).localCheckpoint()
+        self._ann_verified.pop(f"ivfpq:{name}", None)
+        (
+            batch.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+                "sim_micro",
+                F.lit(cid[0]).alias("build_id"),
+                "centroid_id",
+            )
+            .write.mode("append")
+            .format("parquet")
+            .partitionBy("centroid_id")
+            .saveAsTable(storage_safe_name(f"{name}_vectors"))
+        )
+        (
+            codes.select(
+                "vec_id",
+                "m",
+                "code",
+                F.lit(cid[0]).alias("build_id"),
+                "centroid_id",
+            )
+            .write.mode("append")
+            .format("parquet")
+            .partitionBy("centroid_id")
+            .saveAsTable(storage_safe_name(f"{name}_codes"))
+        )
+        row = batch.agg(
+            F.sum("sim_micro").alias("s"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        batch_mean = int(row.s) // int(row.n) if row.s is not None else None
+        drift = (
+            build_mean - batch_mean
+            if build_mean is not None and batch_mean is not None
+            else None
+        )
+        return self.spark.createDataFrame(
+            [(int(row.n), batch_mean, build_mean, drift)],
+            "appended_rows bigint, batch_mean_sim_micro bigint, "
+            "build_mean_sim_micro bigint, drift_micro bigint",
         )
 
     def ivfpq_search(

@@ -41,6 +41,7 @@ _R10_NEW = [
     "ann_ivfpq_adc",
     "ann_ivfpq_recall",
     "ivfpq_index_search",
+    "ivfpq_index_append",
     "ivfpq_list_profile",
     # late-round-10 registrations: the PQ family (codebook training,
     # ADC probe, exact rerank, both-path recall contract, the engine

@@ -4122,18 +4122,22 @@ _PQ_S = similarity.EMBED_DIM // similarity.PQ_M
 _PQ_MICRO = "CAST(CAST({x} AS DECIMAL(28,10)) * 1000000 AS BIGINT)"
 
 
-def _pq_ctes(iters: int = similarity.PQ_ITERS) -> tuple[str, str, str]:
+def _pq_ctes(
+    iters: int = similarity.PQ_ITERS, where: str = ""
+) -> tuple[str, str, str]:
     """Unrolled per-subspace spherical-k-means CTEs for the DuckDB
     oracle: md5 seeds sliced into M subspace codebooks -> ``iters``
     rounds of (assign by rounded subvector cosine with ties to the
     lower code, exact DECIMAL(38,6) mean-direction sums of the
     6-rounded unit subvectors) -> final code assignment. Replays
-    ``similarity.pq_codebooks`` / ``pq_encode`` exactly. Returns
-    (cte_sql, final_codebook_name, final_assign_name); pa{k} carries
-    (vec_id, m, sv, usv, code)."""
+    ``similarity.pq_codebooks`` / ``pq_encode`` exactly (``where``
+    filters the training corpus — the half-corpus append replays).
+    Returns (cte_sql, final_codebook_name, final_assign_name); pa{k}
+    carries (vec_id, m, sv, usv, code)."""
     s, m, k = _PQ_S, _PQ_M, _PQ_K
+    cond = f" WHERE {where}" if where else ""
     parts = [
-        "pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings{cond})",
         f"pms AS (SELECT unnest(range({m})) AS m)",
         f"""pseed AS (SELECT vec_id AS code, v FROM pe
           WHERE vec_id IN (SELECT vec_id FROM pe
@@ -4745,4 +4749,109 @@ def q_ivfpq_index_search(t: TableSet) -> DataFrame:
     )
     return eng.ivfpq_search("ipqsrv", queries, topk=5).orderBy(
         "query_id", "rank"
+    )
+
+
+_PQH_CTES, _PQH_CB, _ = _pq_ctes(where="vec_id % 2 = 0")
+
+
+@query(
+    "ivfpq_index_append",
+    oracle=f"""
+    WITH {_KMH_CTES},
+    {_PQH_CTES},
+    nb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 2 = 1),
+    ab AS (
+      SELECT vec_id, centroid_id, sim FROM (
+        SELECT nb.vec_id, c.centroid_id,
+               round(list_cosine_similarity(nb.v, c.cvec), 6) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY nb.vec_id
+                 ORDER BY round(list_cosine_similarity(nb.v, c.cvec), 6) DESC,
+                          c.centroid_id) AS rn
+        FROM nb CROSS JOIN {_KMH_CENTS} c) WHERE rn = 1),
+    nsub AS (SELECT vec_id, pms.m,
+                    v[(pms.m*{_PQ_S}+1):(pms.m*{_PQ_S}+{_PQ_S})] AS sv
+             FROM nb CROSS JOIN pms),
+    acode AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY round(list_cosine_similarity(s.sv, c.cvec), 6) DESC,
+                          c.code) AS rn
+        FROM nsub s JOIN {_PQH_CB} c USING (m)) WHERE rn = 1),
+    ccs AS (
+      SELECT ab.centroid_id,
+             CAST(SUM(a.m * 131 + a.code) AS BIGINT) AS code_checksum
+      FROM acode a JOIN ab ON ab.vec_id = a.vec_id
+      GROUP BY ab.centroid_id),
+    bsim AS (
+      SELECT vec_id, sim FROM (
+        SELECT e2.vec_id,
+               round(list_cosine_similarity(e2.v, c.cvec), 6) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY e2.vec_id
+                 ORDER BY round(list_cosine_similarity(e2.v, c.cvec), 6) DESC,
+                          c.centroid_id) AS rn
+        FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id % 2 = 0) e2
+        CROSS JOIN {_KMH_CENTS} c) WHERE rn = 1),
+    drift AS (
+      SELECT (SELECT SUM({_APPEND_MICRO}) // COUNT(*) FROM bsim)
+           - (SELECT SUM({_APPEND_MICRO}) // COUNT(*) FROM ab) AS d)
+    SELECT ab.centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_appended,
+           CAST(SUM({_APPEND_MICRO}) AS BIGINT) AS sum_sim_micro,
+           MIN(ccs.code_checksum) AS code_checksum,
+           CAST(d AS BIGINT) AS drift_micro
+    FROM ab JOIN ccs ON ccs.centroid_id = ab.centroid_id, drift
+    GROUP BY ab.centroid_id, d
+    ORDER BY ab.centroid_id
+    """,
+)
+def q_ivfpq_index_append(t: TableSet) -> DataFrame:
+    """Incremental append to the COMPOSED index through the engine
+    lifecycle: build_ivfpq_index over the even-id half of the corpus,
+    append_to_ivfpq_index with the odd-id half — the batch is
+    assigned against the STORED centroids and encoded against the
+    STORED codebooks (two bounded broadcasts, one batch pass, zero
+    corpus rescans, neither quantizer re-trains), lands in both
+    centroid-partitioned tables under the build's id, and the
+    one-row report carries the drift instrument (build mean − batch
+    mean assigned similarity — the rebuild trigger). Output: the
+    appended batch per inverted list (occupancy, exact sim sum, PQ
+    code checksum) + the constant drift column; the oracle replays
+    BOTH half-corpus trainings, the frozen-quantizer batch
+    assignment/encoding, and the integer drift arithmetic."""
+    import json as _json
+    import tempfile
+
+    from ..engine import Engine
+
+    spark = t.embeddings.sparkSession
+    eng = Engine.from_config(
+        _json.dumps({"connectionUri": tempfile.mkdtemp()}), spark=spark
+    )
+    emb = t.embeddings
+    eng.build_ivfpq_index("apq2", emb.where("vec_id % 2 = 0"))
+    report = eng.append_to_ivfpq_index("apq2", emb.where("vec_id % 2 = 1"))
+    vecs = eng.table("apq2_vectors").where("vec_id % 2 = 1")
+    codes = eng.table("apq2_codes").where("vec_id % 2 = 1")
+    return (
+        vecs.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_appended"),
+            F.sum("sim_micro").cast("bigint").alias("sum_sim_micro"),
+        )
+        .join(
+            codes.groupBy("centroid_id").agg(
+                F.sum(F.col("m").cast("bigint") * 131 + F.col("code"))
+                .cast("bigint")
+                .alias("code_checksum")
+            ),
+            "centroid_id",
+        )
+        .crossJoin(
+            F.broadcast(report.select(F.col("drift_micro").cast("bigint")))
+        )
+        .orderBy("centroid_id")
     )

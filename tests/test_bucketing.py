@@ -473,3 +473,69 @@ def test_ivfpq_index_lifecycle(engine, spark):
     engine._ann_verified.pop("ivfpq:ipqix", None)
     with pytest.raises(ValueError, match="torn"):
         engine.ivfpq_search("ipqix", queries, topk=5)
+
+
+def test_ivfpq_index_append(engine, spark):
+    """Incremental append to the composed index: the batch is
+    assigned/encoded against the STORED quantizers only (frozen —
+    appended codes equal an operator encode against the stored
+    centroids+codebooks exactly), probes over (build + append) equal
+    the operator composition over the union with the same quantizers,
+    and the drift metric moves on a distribution-shifted batch."""
+    from quasar_destination_h2_spark.operators import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base, batch = emb.where("vec_id % 2 = 0"), emb.where("vec_id % 2 = 1")
+    engine.build_ivfpq_index("ipqap", base)
+    report = engine.append_to_ivfpq_index("ipqap", batch).collect()[0]
+    assert report.appended_rows == batch.count()
+    assert (
+        report.drift_micro
+        == report.build_mean_sim_micro - report.batch_mean_sim_micro
+    )
+    # appended codes == operator encode against the stored quantizers
+    cents = engine.table("ipqap_centroids").select("centroid_id", "cvec")
+    cb = engine.table("ipqap_codebook").select("m", "code", "cvec")
+    stored = sorted(
+        (r.vec_id, r.centroid_id, r.m, r.code)
+        for r in engine.table("ipqap_codes").where("vec_id % 2 = 1").collect()
+    )
+    direct = sorted(
+        (r.vec_id, r.centroid_id, r.m, r.code)
+        for r in similarity.ivfpq_encode(batch, cents, cb).collect()
+    )
+    assert stored == direct
+    # probe over (build + append) == operator composition over the
+    # union against the SAME stored quantizers
+    queries = (
+        emb.where("vec_id < 3")
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        .localCheckpoint()
+    )
+    got = sorted(
+        map(tuple, engine.ivfpq_search("ipqap", queries, topk=5).collect())
+    )
+    codes_u = similarity.ivfpq_encode(emb, cents, cb)
+    probes = similarity.ivfpq_probe_lists(queries, cents, 2)
+    lut = similarity.pq_query_lut(queries, cb, id_col="query_id", vec_col="qv")
+    short = similarity.ann_ivfpq_topk(
+        codes_u, lut, probes, similarity.PQ_SHORTLIST
+    )
+    want = sorted(
+        map(tuple, similarity.ann_ivfpq_rerank(emb, short, queries, 5).collect())
+    )
+    assert got == want
+    # shifted batch: the drift metric moves — the rebuild trigger.
+    # An all-ones batch is maximally out-of-distribution for the
+    # zero-mean corpus (near-zero cosine to every centroid), so its
+    # mean assigned similarity collapses and drift jumps toward the
+    # build mean.
+    shifted = batch.select(
+        (F.col("vec_id") + 100_000).alias("vec_id"),
+        F.transform("embedding", lambda x: F.lit(1.0)).alias("embedding"),
+    )
+    report2 = engine.append_to_ivfpq_index("ipqap", shifted).collect()[0]
+    assert report2.drift_micro > report.drift_micro + 50_000, (
+        report.drift_micro,
+        report2.drift_micro,
+    )

@@ -203,6 +203,10 @@ NLJ_OK = frozenset({
     "ann_ivfpq_recall",
     "ivfpq_index_search",
     "ivfpq_list_profile",
+    # r10: frozen-quantizer batch assignment (bounded centroid
+    # broadcast) + the 1-row drift-report crossJoin — the
+    # ann_index_append shape over both quantizers
+    "ivfpq_index_append",
 })
 
 #: Tables whose repeated FileScan in one plan is a 100 TB scale killer.
@@ -356,6 +360,12 @@ RESCAN_REVIEWED = frozenset({
     # at the scan).
     "ann_ivfpq_adc", "ann_ivfpq_search", "ann_ivfpq_recall",
     "ivfpq_index_search",
+    # r10: the append conformance form REBUILDS the half-corpus index
+    # per run (both trainings in-plan for the oracle) then appends the
+    # other half — the embeddings rescans are the build declaration;
+    # production appends touch only the batch (pytest pins appended
+    # codes ≡ frozen-quantizer encode, zero corpus rescans)
+    "ivfpq_index_append",
 })
 
 
