@@ -632,6 +632,165 @@ def pq_probe(spark, sf_dir: str) -> dict:
     return out
 
 
+def ivfpq_probe(spark, sf_dir: str) -> dict:
+    """IVF+PQ composed-index scale probe (round 10):
+
+    * build_ivfpq_index wall at 1x/3x/10x replicated embeddings —
+      the coarse k-means rounds + PQ training + one composed encode
+      pass, each ~linear in corpus;
+    * probe-only ivfpq_search wall at fixed nq=5, nprobe=2 per
+      corpus size — the ADC pass reads only the probed lists'
+      compressed codes (dynamic partition pruning), the rerank only
+      their vectors;
+    * the IVF I/O contract measured: at the 10x corpus, probed-list
+      bytes (the files DPP restricts each probe to) as a fraction of
+      the stored index across nprobe = 1/2/4/8 — this fraction IS
+      the 100 TB read bound, and it should track nprobe/n_list;
+    * probe wall vs query-batch size (5/50/500) at 10x — one stored
+      codes scan regardless of batch size (asserted from the plan)."""
+    import json as _json
+    import re as _re
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from quasar_destination_h2_spark.engine import Engine
+    from quasar_destination_h2_spark.operators import similarity
+    from quasar_destination_h2_spark.sources.sink import warehouse_path
+    from quasar_destination_h2_spark.sources.tables import TableSet
+
+    t = TableSet(spark, sf_dir)
+    base_emb = t.embeddings
+    out = {"sf_dir": sf_dir, "n_base_vecs": base_emb.count(), "points": []}
+
+    def _replicate_emb(k: int):
+        parts = [base_emb.select("vec_id", "embedding")]
+        for r in range(1, k):
+            parts.append(
+                base_emb.select(
+                    (F.col("vec_id") + r * 10_000_000).alias("vec_id"),
+                    F.transform(
+                        "embedding",
+                        lambda x: F.round(
+                            x.cast("double") + (r % 7) * 0.003, 6
+                        ),
+                    ).alias("embedding"),
+                )
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        path = tempfile.mkdtemp(prefix=f"ipq-emb-{k}x-")
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
+    def _du(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    def _queries(src, nq):
+        return (
+            src.orderBy("vec_id")
+            .limit(nq)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.transform(
+                    "embedding",
+                    lambda x: F.round(x.cast("double") * 0.5 + 0.01, 6),
+                ).alias("qv"),
+            )
+            .localCheckpoint()
+        )
+
+    engine = None
+    for k in (1, 3, 10):
+        emb = _replicate_emb(k)
+        stage = tempfile.mkdtemp(prefix=f"ipq-wh-{k}x-")
+        engine = Engine.from_config(
+            _json.dumps({"connectionUri": f"{stage}/wh"}), spark=spark
+        )
+        t0 = time.perf_counter()
+        engine.build_ivfpq_index("ipqp", emb)
+        build = round(time.perf_counter() - t0, 2)
+        queries = _queries(emb, 5)
+        engine.ivfpq_search("ipqp", queries).count()  # warm + memoize
+        t0 = time.perf_counter()
+        rows = engine.ivfpq_search("ipqp", queries).count()
+        probe = round(time.perf_counter() - t0, 2)
+        out["points"].append(
+            {
+                "replicas": k,
+                "n_vecs": emb.count(),
+                "build_sec": build,
+                "probe_sec": probe,
+                "probe_rows": rows,
+                "codes_bytes": _du(
+                    warehouse_path(spark, engine.sink.catalog["ipqp_codes"])
+                ),
+                "vectors_bytes": _du(
+                    warehouse_path(spark, engine.sink.catalog["ipqp_vectors"])
+                ),
+            }
+        )
+    # the IVF I/O contract at the 10x corpus: what fraction of the
+    # stored index do the probed lists cover, per nprobe (DPP
+    # restricts each probe's file reads to exactly these directories)
+    codes_root = warehouse_path(spark, engine.sink.catalog["ipqp_codes"])
+    total_codes = _du(codes_root)
+    cents = engine.table("ipqp_centroids").select("centroid_id", "cvec")
+    queries10 = _queries(engine.table("ipqp_vectors"), 5)
+    out["probed_fraction_vs_nprobe"] = []
+    for nprobe in (1, 2, 4, 8):
+        probed = sorted(
+            set(
+                r.centroid_id
+                for r in similarity.ivfpq_probe_lists(
+                    queries10, cents, nprobe
+                ).collect()
+            )
+        )
+        probed_bytes = sum(
+            _du(os.path.join(codes_root, f"centroid_id={c}")) for c in probed
+        )
+        t0 = time.perf_counter()
+        rows = engine.ivfpq_search("ipqp", queries10, nprobe=nprobe).count()
+        sec = round(time.perf_counter() - t0, 2)
+        out["probed_fraction_vs_nprobe"].append(
+            {
+                "nprobe": nprobe,
+                "n_probed_lists": len(probed),
+                "probed_bytes": probed_bytes,
+                "total_codes_bytes": total_codes,
+                "probed_ppm": int(probed_bytes * 1_000_000 // total_codes),
+                "probe_sec": sec,
+                "rows": rows,
+            }
+        )
+    # probe wall vs query-batch size — the codes-scan count must be
+    # INDEPENDENT of the batch size (the rendering prints the scan
+    # once in the main plan and once under the DPP subquery, so the
+    # constant is 2, not 1 — what matters is that it doesn't grow)
+    out["probe_vs_queries"] = []
+    scan_counts = set()
+    for nq in (5, 50, 500):
+        qb = _queries(engine.table("ipqp_vectors"), nq)
+        probe_df = engine.ivfpq_search("ipqp", qb)
+        plan = probe_df._jdf.queryExecution().executedPlan().toString()
+        n_scans = len(_re.findall(r"FileScan parquet [^\n]*ipqp_codes", plan))
+        scan_counts.add(n_scans)
+        t0 = time.perf_counter()
+        rows = probe_df.count()
+        sec = round(time.perf_counter() - t0, 2)
+        out["probe_vs_queries"].append(
+            {"n_queries": nq, "rows": rows, "sec": sec, "codes_scans": n_scans}
+        )
+    assert len(scan_counts) == 1, scan_counts
+    return out
+
+
 def textindex_probe(spark, sf_dir: str) -> dict:
     """Scale probe for the r10 BM25 text-index serving lifecycle:
 
@@ -751,6 +910,7 @@ def main() -> int:
     r10_mode = "--r10" in sys.argv[1:]
     textindex_mode = "--textindex" in sys.argv[1:]
     pq_mode = "--pq" in sys.argv[1:]
+    ivfpq_mode = "--ivfpq" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     from pyspark.sql import SparkSession, functions as F
@@ -790,6 +950,10 @@ def main() -> int:
         return 0
     if pq_mode:
         print(json.dumps(pq_probe(spark, sf_dir)))
+        spark.stop()
+        return 0
+    if ivfpq_mode:
+        print(json.dumps(ivfpq_probe(spark, sf_dir)))
         spark.stop()
         return 0
     if r10_mode:
