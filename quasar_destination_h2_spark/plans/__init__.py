@@ -37,6 +37,9 @@ _R10_NEW = [
     # coarse-prune which vectors a probe touches, PQ-compress what
     # each costs, exact-rerank the shortlist; engine lifecycle stores
     # the lists directory-partitioned so probes prune file reads)
+    # the H2 script machinery (SCRIPT / RUNSCRIPT / EXPLAIN) and the
+    # logical-name resolution layer it witnesses
+    "script_roundtrip",
     "ann_ivfpq_search",
     "ann_ivfpq_adc",
     "ann_ivfpq_recall",

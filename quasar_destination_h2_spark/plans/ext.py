@@ -4855,3 +4855,91 @@ def q_ivfpq_index_append(t: TableSet) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+@query(
+    "script_roundtrip",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('script', CAST(1 AS BIGINT),
+       'CREATE CACHED TABLE "sc10_a"("id" DECIMAL(38,18), "name" VARCHAR);'),
+      ('script', 2,
+       'CREATE CACHED TABLE "sc10_b"("flag" BOOLEAN, "ts" TIMESTAMP);'),
+      ('column', 1, 'sc10_a.id:decimal(38,18)'),
+      ('column', 2, 'sc10_a.name:string'),
+      ('column', 3, 'sc10_b.flag:boolean'),
+      ('column', 4, 'sc10_b.ts:timestamp_ntz'),
+      ('select', 1, 'rows=2')
+    ) AS T(kind, pos, line)
+    ORDER BY kind, pos
+    """,
+)
+def q_script_roundtrip(t: TableSet) -> DataFrame:
+    """H2's SCRIPT / RUNSCRIPT machinery as ONE witnessed cycle — the
+    statement family the reference itself boots through
+    (h2.RunScript.execute, H2Server.scala:51): two sink-loaded tables
+    are dumped with ``SCRIPT NODATA TO 'file' TABLE ...`` (H2's
+    table-scoped dump grammar; H2 type spellings incl. the
+    wall-clock TIMESTAMP), dropped, restored with ``RUNSCRIPT FROM
+    'file'`` (each statement re-enters the full execute_sql surface,
+    landing CREATE CACHED TABLE back in the ENGINE catalog), then
+    queried BY LOGICAL NAME — witnessing the resolution-on-demand
+    layer (sql_dml._resolve_sql) that lets a wire client SELECT the
+    name it loaded, not the storage-safe physical name. Output:
+    the dump lines, the restored schema, and the post-restore
+    INSERT+SELECT row count. The oracle is the literal expected
+    frame — the fixture is fully determined by this function."""
+    import json as _json
+    import os as _os
+    import tempfile
+
+    from ..engine import Engine
+    from ..types import Column, ColumnType
+
+    spark = t.documents.sparkSession
+    eng = Engine.from_config(
+        _json.dumps({"connectionUri": tempfile.mkdtemp()}), spark=spark
+    )
+    eng.drop_table_if_exists("sc10_a")
+    eng.drop_table_if_exists("sc10_b")
+    eng.csv_create_sink().consume(
+        "/sc10_a",
+        [Column("id", ColumnType.NUMBER), Column("name", ColumnType.STRING)],
+        b"",
+    )
+    eng.csv_create_sink().consume(
+        "/sc10_b",
+        [
+            Column("flag", ColumnType.BOOLEAN),
+            Column("ts", ColumnType.LOCAL_DATE_TIME),
+        ],
+        b"",
+    )
+    f = _os.path.join(tempfile.mkdtemp(), "dump.sql")
+    script = [
+        (r.SCRIPT,)
+        for r in eng.execute_sql(
+            f"SCRIPT NODATA TO '{f}' TABLE sc10_a, sc10_b"
+        ).collect()
+    ]
+    eng.execute_sql("DROP TABLE sc10_a")
+    eng.execute_sql("DROP TABLE sc10_b")
+    eng.execute_sql(f"RUNSCRIPT FROM '{f}'")
+    cols = []
+    for tbl in ("sc10_a", "sc10_b"):
+        for fld in eng.table(tbl).schema.fields:
+            cols.append(f"{tbl}.{fld.name}:{fld.dataType.simpleString()}")
+    eng.execute_sql("INSERT INTO sc10_a VALUES (1, 'x'), (2, 'y')")
+    n = (
+        eng.execute_sql("SELECT COUNT(*) AS n FROM sc10_a")
+        .collect()[0]
+        .n
+    )
+    rows = (
+        [("script", i + 1, ln) for i, (ln,) in enumerate(script)]
+        + [("column", i + 1, c) for i, c in enumerate(cols)]
+        + [("select", 1, f"rows={n}")]
+    )
+    return spark.createDataFrame(
+        rows, "kind string, pos bigint, line string"
+    ).orderBy("kind", "pos")

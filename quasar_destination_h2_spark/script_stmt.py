@@ -1,0 +1,260 @@
+"""H2 SCRIPT / RUNSCRIPT / EXPLAIN at the statement surface.
+
+H2 1.4.200 grammar the reference's users reach through its socket
+(`H2Server.scala:60-84`) — and the reference itself boots through
+``h2.RunScript.execute`` (`H2Server.scala:51`), so script execution
+is literally the first statement surface it touches:
+
+* ``SCRIPT NODATA [TO 'file']`` — one row per DDL statement
+  re-creating the engine catalog (sequences first, then tables, both
+  name-sorted; H2 type spellings, ``NOT NULL`` carried), column name
+  ``SCRIPT`` like H2's. A data-ful ``SCRIPT`` (without NODATA)
+  raises: a 100 TB corpus rendered as driver-side INSERT literals is
+  an anti-pattern — ``CALL CSVWRITE`` / parquet are the data paths.
+* ``RUNSCRIPT FROM 'file' [CHARSET 'utf-8']`` — execute the file's
+  statements through the FULL ``execute_sql`` surface (each one gets
+  the same dialect rewrites and catalog-aware dispatch), so a
+  ``SCRIPT NODATA`` dump restores on a fresh warehouse.
+* ``EXPLAIN [ANALYZE] [PLAN FOR] <query>`` — H2's one-row plan
+  result (column ``PLAN``), carrying Spark's FORMATTED plan text:
+  honest about what actually executes here rather than imitating
+  H2's SQL-ish rendering. ANALYZE executes the query first and
+  explains the final (AQE-resolved) plan. Only query statements are
+  explainable: DML on this surface executes as catalog-rewrites, so
+  "explaining" one without running it has no single plan — the error
+  says so. Statements containing sequence value functions are
+  rejected (NEXTVAL substitution allocates; H2's EXPLAIN does not).
+
+The generated DDL spells tables ``CREATE CACHED TABLE`` exactly like
+H2's SCRIPT output; ``sql_dml`` dispatches that spelling into the
+ENGINE catalog (empty table with the declared schema), which is what
+makes the dump→restore round trip land back where it started.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:  # pragma: no cover
+    from pyspark.sql import DataFrame
+
+    from .engine import Engine
+
+SCRIPT_RE = re.compile(r"\s*SCRIPT\b", re.I)
+RUNSCRIPT_RE = re.compile(r"\s*RUNSCRIPT\b", re.I)
+EXPLAIN_RE = re.compile(
+    r"\s*EXPLAIN\s+(?P<analyze>ANALYZE\s+)?(?:PLAN\s+(?:FOR\s+)?)?", re.I
+)
+
+_SEQ_FUNC_RE = re.compile(
+    r"\b(?:NEXTVAL|CURRVAL)\s*\(|\bNEXT\s+VALUE\s+FOR\b", re.I
+)
+
+
+def _h2_column_type(field) -> str:
+    """H2-1.4.200 SCRIPT spelling for one Spark field's type. Complex
+    types raise: H2 1.4.200's own SCRIPT cannot round-trip a TYPED
+    array either (its ARRAY is untyped), and silently dropping the
+    element type would corrupt a restore — index/vector tables dump
+    via parquet, not SQL scripts."""
+    from .info_schema import h2_type_info
+
+    simple = field.dataType.simpleString()
+    if simple.startswith(("array", "map", "struct")):
+        raise ValueError(
+            f"SCRIPT: column {field.name!r} has type {simple!r}, which "
+            "H2 1.4.200 DDL cannot express faithfully — export such "
+            "tables as parquet (or CALL CSVWRITE for scalar "
+            "projections) instead"
+        )
+    if simple == "timestamp":
+        # H2 1.4.200: TIMESTAMP is the wall-clock type; the instant
+        # type is spelled out — round-tripping the distinction is
+        # what lets RUNSCRIPT restore the exact Spark schema
+        return "TIMESTAMP WITH TIME ZONE"
+    tname, _code, _cmax, prec, scale = h2_type_info(field.dataType)
+    if tname == "DECIMAL":
+        return f"DECIMAL({prec},{scale})"
+    m = re.match(r"(?:varchar|char)\((\d+)\)", simple)
+    if m:
+        return f"VARCHAR({m.group(1)})"
+    return tname
+
+
+def script_lines(
+    engine: "Engine", only_tables: list[str] | None = None
+) -> list[str]:
+    """The NODATA script: CREATE SEQUENCE statements (name-sorted,
+    current position carried via START WITH = the next value the
+    restored sequence dispenses), then CREATE CACHED TABLE statements
+    (name-sorted, H2 type spellings, NOT NULL carried). With
+    ``only_tables`` (H2's ``SCRIPT ... TABLE t1, t2`` scoping) only
+    those tables are emitted and — like H2 — sequences are omitted.
+    Driver-only work bounded by catalog size — the same footprint as
+    INFORMATION_SCHEMA refresh."""
+    lines: list[str] = []
+    if only_tables is None:
+        for name in sorted(engine.sequences.names()):
+            s = engine.sequences.describe(name)
+            ddl = f'CREATE SEQUENCE "{name}" START WITH {s["next"]}'
+            if s["inc"] != 1:
+                ddl += f' INCREMENT BY {s["inc"]}'
+            ddl += f' MINVALUE {s["min"]} MAXVALUE {s["max"]}'
+            if s["cycle"]:
+                ddl += " CYCLE"
+            if s["cache"] is not None:
+                ddl += f' CACHE {s["cache"]}'
+            lines.append(ddl + ";")
+        names = sorted(engine.sink.catalog)
+    else:
+        by_cf = {str(k).casefold(): str(k) for k in engine.sink.catalog}
+        names = []
+        for t in only_tables:
+            if t.casefold() not in by_cf:
+                raise ValueError(f"SCRIPT: table not found: {t!r}")
+            names.append(by_cf[t.casefold()])
+        names.sort()
+    for logical in names:
+        try:
+            schema = engine.table(logical).schema
+        except Exception:
+            if only_tables is not None:
+                raise
+            continue  # stale catalog entry: introspection never fails
+        cols = ", ".join(
+            f'"{f.name}" {_h2_column_type(f)}'
+            + ("" if f.nullable else " NOT NULL")
+            for f in schema.fields
+        )
+        lines.append(f'CREATE CACHED TABLE "{logical}"({cols});')
+    return lines
+
+
+def execute_script(engine: "Engine", statement: str, shadow: str) -> "DataFrame":
+    """``SCRIPT NODATA [TO 'file'] [TABLE t1, t2, ...]`` — see module
+    docstring."""
+    tail = shadow[SCRIPT_RE.match(shadow).end() :]
+    raw_tail = statement[SCRIPT_RE.match(shadow).end() :]
+    nodata = False
+    mn = re.match(r"\s*NODATA\b", tail, re.I)
+    if mn:
+        nodata = True
+        raw_tail = raw_tail[mn.end() :]
+        tail = tail[mn.end() :]
+    to_file = None
+    mt = re.match(r"\s*TO\s+'([^']*)'", tail, re.I)
+    if mt:
+        to_file = raw_tail[mt.start(1) : mt.end(1)]
+        raw_tail = raw_tail[mt.end() :]
+        tail = tail[mt.end() :]
+    only_tables = None
+    mtb = re.match(r"\s*TABLE\s+", tail, re.I)
+    if mtb:
+        from .sql_dml import _parse_ident, _shadow
+
+        rest = raw_tail[mtb.end() :]
+        only_tables = []
+        for part in rest.split(","):
+            part = part.strip()
+            name, pos = _parse_ident(part, _shadow(part), 0)
+            if part[pos:].strip():
+                raise ValueError(
+                    f"SCRIPT: unexpected text after table name: "
+                    f"{part[pos:].strip()!r}"
+                )
+            only_tables.append(name)
+        tail = ""
+    if tail.strip():
+        raise ValueError(
+            f"SCRIPT: unsupported option(s): {tail.strip().split()[0]!r} "
+            "(supported grammar: SCRIPT NODATA [TO 'file'] "
+            "[TABLE t1, t2, ...])"
+        )
+    if not nodata:
+        raise ValueError(
+            "SCRIPT without NODATA renders table DATA as driver-side "
+            "INSERT literals — unsupported by design at this engine's "
+            "scale. Use SCRIPT NODATA for the schema and CALL "
+            "CSVWRITE (or parquet) for data."
+        )
+    lines = script_lines(engine, only_tables)
+    if to_file is not None:
+        with open(to_file, "w", encoding="utf-8") as f:
+            f.write("\n".join(lines) + ("\n" if lines else ""))
+    df = engine.spark.createDataFrame(
+        [(ln,) for ln in lines], "SCRIPT string"
+    )
+    return df
+
+
+def execute_runscript(engine: "Engine", statement: str, shadow: str) -> None:
+    """``RUNSCRIPT FROM 'file' [CHARSET 'name']`` — each statement
+    re-enters the full ``execute_sql`` front door."""
+    m = re.match(r"\s*RUNSCRIPT\s+FROM\s+'([^']*)'", shadow, re.I)
+    if not m:
+        raise ValueError("RUNSCRIPT: expected RUNSCRIPT FROM 'file'")
+    path = statement[m.start(1) : m.end(1)]
+    tail = shadow[m.end() :]
+    charset = "utf-8"
+    mc = re.match(r"\s*CHARSET\s+'([^']*)'", tail, re.I)
+    if mc:
+        charset = statement[m.end() :][mc.start(1) : mc.end(1)]
+        tail = tail[mc.end() :]
+    if tail.strip():
+        raise ValueError(
+            f"RUNSCRIPT: unsupported option(s): {tail.strip().split()[0]!r} "
+            "(supported grammar: RUNSCRIPT FROM 'file' [CHARSET 'name'])"
+        )
+    from .server import split_sql_script
+    from .sql_dml import execute
+
+    with open(path, "r", encoding=charset) as f:
+        script = f.read()
+    for stmt in split_sql_script(script):
+        execute(engine, stmt)
+    return None
+
+
+def execute_explain(
+    engine: "Engine", statement: str, shadow: str, m
+) -> "DataFrame":
+    """``EXPLAIN [ANALYZE] [PLAN FOR] <query>`` — see module
+    docstring."""
+    inner = statement[m.end() :].strip()
+    inner_shadow = shadow[m.end() :].strip()
+    if _SEQ_FUNC_RE.search(inner_shadow):
+        raise ValueError(
+            "EXPLAIN: the statement contains a sequence value function "
+            "(NEXTVAL/CURRVAL/NEXT VALUE FOR), whose substitution on "
+            "this surface ALLOCATES — H2's EXPLAIN does not. Explain "
+            "the query without it."
+        )
+    if re.match(
+        r"(?:UPDATE|DELETE|MERGE|INSERT|CREATE|DROP|TRUNCATE|ALTER|"
+        r"RUNSCRIPT|SCRIPT)\b",
+        inner_shadow,
+        re.I,
+    ):
+        raise ValueError(
+            "EXPLAIN: only query statements are explainable on this "
+            "surface — DML/DDL execute as catalog rewrites with no "
+            "single Spark plan. EXPLAIN the statement's inner SELECT."
+        )
+    from .sql_dml import execute
+
+    df = execute(engine, inner)
+    if not hasattr(df, "_jdf"):
+        raise ValueError("EXPLAIN: the statement did not produce a query")
+    if m.group("analyze"):
+        df.count()  # execute, then explain the AQE-final plan
+    jqe = df._jdf.queryExecution()
+    try:
+        jvm = engine.spark.sparkContext._jvm
+        mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        text = jqe.explainString(mode)
+    except Exception:  # pragma: no cover - jvm surface drift
+        text = jqe.toString()
+    return engine.spark.createDataFrame([(text,)], "PLAN string")

@@ -299,6 +299,91 @@ def resolve_columns(names, columns, ctx: str) -> dict:
     return out
 
 
+def _missing_relation(exc) -> Optional[str]:
+    """The unresolved SINGLE-PART relation name of a Spark
+    TABLE_OR_VIEW_NOT_FOUND AnalysisException (backticks stripped),
+    else None — qualified names never map to engine-catalog
+    logicals."""
+    try:
+        get_cls = getattr(exc, "getCondition", None) or exc.getErrorClass
+        if get_cls() != "TABLE_OR_VIEW_NOT_FOUND":
+            return None
+        name = (exc.getMessageParameters() or {}).get("relationName", "")
+    except Exception:  # pragma: no cover — error-surface drift
+        return None
+    name = name.strip()
+    if not (name.startswith("`") and name.endswith("`")):
+        return None
+    parts = name[1:-1].split("`.`")
+    return parts[0] if len(parts) == 1 else None
+
+
+def _resolve_sql(engine, statement: str):
+    """``spark.sql`` with H2-parity LOGICAL table resolution: H2
+    resolves a loaded table by the name it was loaded under, but the
+    engine catalog maps logical names to storage-safe PHYSICAL names
+    (hostile-identifier hygiene), so a wire client's ``SELECT * FROM
+    mytable`` doesn't resolve natively. Strategy: run the statement;
+    when Spark reports an unresolved relation whose name IS an
+    engine-catalog entry, bind a session temp view for it and retry
+    (resolution-on-demand — a name Spark already resolves is NEVER
+    shadowed). Bound views are dropped after forcing analysis, so
+    they cannot shadow later same-name session objects. Bounded by
+    the statement's distinct table names."""
+    from .errors import NotAResource
+
+    try:
+        from pyspark.errors import AnalysisException
+    except ImportError:  # pragma: no cover — legacy error module
+        from pyspark.sql.utils import AnalysisException
+
+    bound: list[str] = []
+    try:
+        # pre-bind: catalog names literally mentioned in the text and
+        # not already resolvable bind up front, so the common case
+        # never pays (or logs) a failed analysis; the retry loop
+        # below remains the backstop for spellings this misses
+        sshadow = _shadow(statement)
+        for k in engine.sink.catalog:
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", str(k)):
+                continue
+            if not re.search(rf"\b{re.escape(str(k))}\b", sshadow, re.I):
+                continue
+            try:
+                if engine.spark.catalog.tableExists(str(k)):
+                    continue
+                engine.table(str(k)).createOrReplaceTempView(str(k))
+                bound.append(str(k))
+            except Exception:
+                continue  # backstop loop handles it loudly
+        for _ in range(20):
+            try:
+                df = engine.spark.sql(statement)
+                if bound:
+                    df.schema  # force analysis before the views drop
+                return df
+            except AnalysisException as e:
+                name = _missing_relation(e)
+                if name is None:
+                    raise
+                try:
+                    logical = _logical(engine, name)
+                except NotAResource:
+                    raise e from None
+                try:
+                    engine.table(logical).createOrReplaceTempView(name)
+                except Exception:
+                    raise e from None
+                bound.append(name)
+        return engine.spark.sql(statement)
+    finally:
+        for n in bound:
+            try:
+                engine.spark.catalog.dropTempView(n)
+            except Exception:  # pragma: no cover — session hygiene only
+                pass
+
+
 def _conform_source(engine, target, names, kind, source, verb="INSERT"):
     """Build the source DataFrame for INSERT/MERGE and conform it to
     the target schema: cast provided columns, NULL-fill the rest (H2
@@ -326,13 +411,13 @@ def _conform_source(engine, target, names, kind, source, verb="INSERT"):
                         f"{verb}: malformed VALUES row: {r[:80]!r}"
                     )
                 selects.append("SELECT " + r[1:-1])
-            src = engine.spark.sql(" UNION ALL ".join(selects)).toDF(*names)
+            src = _resolve_sql(engine, " UNION ALL ".join(selects)).toDF(*names)
         else:
             src = engine.spark.sql(
                 f"SELECT * FROM VALUES {source} AS T({quoted})"
             )
     else:
-        src = engine.spark.sql(source).toDF(*names)
+        src = _resolve_sql(engine, source).toDF(*names)
     provided = {res[c]: s for c, s in zip(names, src.columns)}
     return src.select(
         *[
@@ -445,6 +530,20 @@ def execute(engine, statement: str):
 
     statement = statement.strip().rstrip(";").strip()
     shadow = _shadow(statement)
+    from . import script_stmt
+
+    mex = script_stmt.EXPLAIN_RE.match(shadow)
+    if mex:
+        # H2's EXPLAIN [ANALYZE] [PLAN FOR]: one-row PLAN result; the
+        # inner query re-enters this front door for the rewrites
+        return script_stmt.execute_explain(engine, statement, shadow, mex)
+    if script_stmt.SCRIPT_RE.match(shadow):
+        # H2's schema dump (NODATA): one row per re-creating DDL
+        return script_stmt.execute_script(engine, statement, shadow)
+    if script_stmt.RUNSCRIPT_RE.match(shadow):
+        # H2's script execution (the reference boots through
+        # h2.RunScript.execute — H2Server.scala:51)
+        return script_stmt.execute_runscript(engine, statement, shadow)
     from . import info_schema
 
     mshow = info_schema.SHOW_RE.match(shadow)
@@ -498,7 +597,7 @@ def execute(engine, statement: str):
         re.I,
     )
     if not m:
-        df = engine.sql(statement)
+        df = _resolve_sql(engine, statement)
         return _RecursiveStatementResult(df) if recursive else df
     if recursive:
         # verb statements (INSERT ... SELECT, CTAS over a recursive
@@ -955,6 +1054,20 @@ def _execute_verb(engine, statement: str, shadow: str, m):
             # declared) bucketing — so for script compatibility this
             # is an accepted no-op, like DDL it returns None.
             return None
+        mcache = re.match(
+            r"\s*CREATE\s+(?:CACHED|MEMORY)\s+TABLE\s+"
+            r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?",
+            shadow,
+            re.I,
+        )
+        if mcache:
+            # H2's SCRIPT spells tables CREATE CACHED TABLE; this
+            # form lands in the ENGINE catalog (empty table with the
+            # declared schema) so a SCRIPT NODATA dump restores where
+            # it came from (script_stmt module docstring)
+            return _create_cached_table(
+                engine, statement, shadow, mcache
+            )
         mc = re.match(
             r"\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?", shadow, re.I
         )
@@ -964,7 +1077,7 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         mas = re.compile(r"\s*AS\b", re.I).match(shadow, pos)
         if not mas:
             return engine.sql(statement)  # column-defs form: native DDL
-        df = engine.spark.sql(statement[mas.end() :].strip())
+        df = _resolve_sql(engine, statement[mas.end() :].strip())
         engine.create_table_as(
             table, df, if_not_exists=mc.group("ine") is not None
         )
@@ -1108,6 +1221,56 @@ def _execute_verb(engine, statement: str, shadow: str, m):
     return n
 
 
+def _create_cached_table(engine, statement: str, shadow: str, mcache):
+    """H2 ``CREATE CACHED|MEMORY TABLE name(col type [NOT NULL],
+    ...)`` → an EMPTY engine-catalog table with the declared schema
+    (CACHED is H2's default table kind — its SCRIPT output spells
+    every table this way, and restoring one must land back in the
+    engine catalog, not Spark's session namespace like the plain
+    column-defs form). Constraint clauses raise loudly — parquet
+    tables have no enforced keys, and silently dropping one would
+    corrupt a restore's contract."""
+    from pyspark.sql import types as T
+
+    table, pos = _parse_ident(statement, shadow, mcache.end())
+    open_p = shadow.find("(", pos)
+    if open_p < 0:
+        raise ValueError("CREATE CACHED TABLE: expected (column defs)")
+    close = _match_close(shadow, open_p)
+    fields = []
+    for seg in _split_top_level(statement, shadow, open_p + 1, close):
+        seg = seg.strip()
+        sshadow = _shadow(seg)
+        if re.match(
+            r"(?:PRIMARY\s+KEY|CONSTRAINT|UNIQUE|FOREIGN|CHECK)\b",
+            sshadow,
+            re.I,
+        ):
+            raise ValueError(
+                f"CREATE CACHED TABLE: constraint clause {seg!r} is "
+                "unsupported — parquet tables carry no enforced keys"
+            )
+        col, p2 = _parse_ident(seg, sshadow, 0)
+        type_text = seg[p2:].strip()
+        nn = re.search(r"\s+NOT\s+NULL\s*$", _shadow(type_text), re.I)
+        nullable = nn is None
+        if nn:
+            type_text = type_text[: nn.start()].strip()
+        sp = _h2_type_to_spark(type_text)
+        # a DataFrame can't carry char/varchar without
+        # spark.sql.preserveCharVarcharTypeInfo, and parquet doesn't
+        # store the length anyway — string is the faithful carrier
+        sp = re.sub(r"^(?:var)?char\(\d+\)$", "string", sp, flags=re.I)
+        fields.append(
+            T.StructField(col, T._parse_datatype_string(sp), nullable)
+        )
+    df = engine.spark.createDataFrame([], T.StructType(fields))
+    engine.create_table_as(
+        table, df, if_not_exists=mcache.group("ine") is not None
+    )
+    return None
+
+
 def _h2_type_to_spark(type_text: str) -> str:
     """Map an H2 column-type token (ALTER TABLE ADD) to a Spark SQL
     type string — the same name set the sink accepts (types.py),
@@ -1135,7 +1298,14 @@ def _h2_type_to_spark(type_text: str) -> str:
         "BOOLEAN": "boolean",
         "BOOL": "boolean",
         "DATE": "date",
-        "TIMESTAMP": "timestamp",
+        # H2 1.4.200's TIMESTAMP is WITHOUT time zone (wall-clock) —
+        # the faithful Spark carrier is timestamp_ntz, exactly the
+        # sink's LOCAL_DATE_TIME mapping (types.py); the WITH TIME
+        # ZONE form is the instant type
+        "TIMESTAMP": "timestamp_ntz",
+        "TIMESTAMP WITH TIME ZONE": "timestamp",
+        "TIMESTAMP WITHOUT TIME ZONE": "timestamp_ntz",
+        "DATETIME": "timestamp_ntz",
         "TIME": "string",  # Spark has no TIME type; string carrier (types.py)
         "BINARY": "binary",
         "VARBINARY": "binary",
