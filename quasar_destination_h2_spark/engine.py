@@ -1160,6 +1160,19 @@ class Engine:
     # mutation; Delta/Iceberg would upgrade these to transactional
     # single-statement ops with the same call signatures) ------------
 
+    def append_rows_to_log(self, logical_name: str, rows: DataFrame) -> None:
+        """[EXT] Append a SMALL driver-built frame to a catalog table,
+        creating it on first use — the drift-log sink for streaming
+        index maintenance (streaming/index_maintenance.py; bounded:
+        one row per micro-batch)."""
+        physical = self.sink.catalog.get(logical_name)
+        if physical is None:
+            self.create_table_as(logical_name, rows)
+            return
+        self._ensure_registered(physical)
+        rows.write.mode("append").format("parquet").saveAsTable(physical)
+        self.spark.catalog.refreshTable(physical)
+
     def _ensure_registered(self, physical: str) -> None:
         """Cross-process DML support: a fresh process's session catalog
         has never heard of a table a previous engine materialized, so

@@ -9,6 +9,10 @@ Structured Streaming operators, quarantined from the conformance
 registry (tested by pytest round-trips instead, SURVEY §2.2).
 """
 
+from .index_maintenance import (
+    read_embeddings_stream,
+    stream_append_to_index,
+)
 from .events import (
     clicks_to_purchases,
     dedup_events_stream,
@@ -29,4 +33,6 @@ __all__ = [
     "enrich_events_stream",
     "clicks_to_purchases",
     "stream_to_table",
+    "stream_append_to_index",
+    "read_embeddings_stream",
 ]

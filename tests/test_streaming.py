@@ -43,7 +43,8 @@ def run_to_memory(spark, stream_df, name: str, output_mode: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    q.awaitTermination()
+    assert q.exception() is None
     return spark.table(name)
 
 
@@ -199,7 +200,8 @@ def test_foreachbatch_append_lands_all_rows(spark, events_dir):
     try:
         stream = read_events_stream(spark, events_dir)
         q = stream_to_table(stream, "stream_landing", ckpt)
-        q.awaitTermination(120)
+        q.awaitTermination()
+        assert q.exception() is None
         n = load_table(spark, SF_DIR, "events").count()
         assert spark.table("stream_landing").count() == n
         # second file → appended on resume from the same checkpoint
@@ -408,3 +410,153 @@ def test_hopping_counts_match_batch_conformance_query(spark, events_dir):
         map(tuple, REGISTRY["events_hopping"].fn(spark, SF_DIR).collect())
     )
     assert got == want
+
+
+def test_streaming_index_maintenance_ivfpq(spark, warehouse_dir):
+    """The continuous-crawl loop end-to-end: a file-source embedding
+    stream drives engine.append_to_ivfpq_index per micro-batch
+    (maxFilesPerTrigger=1 -> one append per staged file); the index
+    ends bit-identical to batch appends of the same files, and the
+    drift log carries one row per batch with the rebuild verdict."""
+    import json
+    import os
+
+    from quasar_destination_h2_spark.engine import Engine
+    from quasar_destination_h2_spark.streaming import (
+        read_embeddings_stream,
+        stream_append_to_index,
+    )
+
+    engine = Engine.from_config(
+        json.dumps({"connectionUri": warehouse_dir}), spark=spark
+    )
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.where("vec_id % 3 = 0")
+    engine.build_ivfpq_index("strix", base)
+
+    src = tempfile.mkdtemp(prefix="emb-stream-")
+    ck = tempfile.mkdtemp(prefix="emb-ck-")
+    try:
+        # two staged batch files: in-distribution, then shifted
+        emb.where("vec_id % 3 = 1").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b1")
+        q = stream_append_to_index(
+            engine,
+            read_embeddings_stream(spark, f"{src}/b1"),
+            "strix",
+            "ivfpq",
+            checkpoint=f"{ck}/1",
+            rebuild_threshold=1_000_000_000,  # never due in-dist
+        )
+        q.awaitTermination()
+        assert q.exception() is None
+        shifted = emb.where("vec_id % 3 = 2").select(
+            (F.col("vec_id") + 500_000).alias("vec_id"),
+            F.transform("embedding", lambda x: F.lit(1.0))
+            .cast("array<float>")
+            .alias("embedding"),
+        )
+        shifted.coalesce(1).write.mode("overwrite").parquet(f"{src}/b2")
+        q = stream_append_to_index(
+            engine,
+            read_embeddings_stream(spark, f"{src}/b2"),
+            "strix",
+            "ivfpq",
+            checkpoint=f"{ck}/2",
+            rebuild_threshold=50_000,  # the OOD batch trips this
+        )
+        q.awaitTermination()
+        assert q.exception() is None
+
+        n_base = base.count()
+        n1 = emb.where("vec_id % 3 = 1").count()
+        n2 = emb.where("vec_id % 3 = 2").count()
+        assert engine.table("strix_vectors").count() == n_base + n1 + n2
+        # one drift row per non-empty micro-batch, ordered verdicts
+        log = {
+            (r.appended_rows, bool(r.rebuild_due))
+            for r in engine.table("strix_drift_log").collect()
+        }
+        assert log == {(n1, False), (n2, True)}
+        # the streamed index serves the same answers as batch appends
+        # of the same files (the append is deterministic)
+        queries = (
+            emb.where("vec_id < 3")
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qv"),
+            )
+            .localCheckpoint()
+        )
+        got = sorted(
+            map(tuple, engine.ivfpq_search("strix", queries, topk=5).collect())
+        )
+        engine.build_ivfpq_index("strix_ref", base)
+        engine.append_to_ivfpq_index(
+            "strix_ref", spark.read.parquet(f"{src}/b1")
+        )
+        engine.append_to_ivfpq_index(
+            "strix_ref", spark.read.parquet(f"{src}/b2")
+        )
+        want = sorted(
+            map(
+                tuple,
+                engine.ivfpq_search("strix_ref", queries, topk=5).collect(),
+            )
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_streaming_index_maintenance_text(spark, warehouse_dir):
+    """The text-index flavor: micro-batches of documents append
+    postings exactly; the drift log carries new_term_ppm per batch."""
+    import json
+
+    from quasar_destination_h2_spark.engine import Engine
+    from quasar_destination_h2_spark.streaming import stream_append_to_index
+
+    engine = Engine.from_config(
+        json.dumps({"connectionUri": warehouse_dir}), spark=spark
+    )
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    base = docs.where("doc_id % 2 = 0")
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    engine.build_text_index("strtix", base, n_buckets=nb)
+
+    src = tempfile.mkdtemp(prefix="doc-stream-")
+    ck = tempfile.mkdtemp(prefix="doc-ck-")
+    try:
+        docs.where("doc_id % 2 = 1").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        batches = spark.readStream.schema(
+            "doc_id bigint, text string"
+        ).parquet(src)
+        q = stream_append_to_index(
+            engine, batches, "strtix", "text", checkpoint=ck, n_buckets=nb
+        )
+        q.awaitTermination()
+        assert q.exception() is None
+        log = engine.table("strtix_drift_log").collect()
+        assert len(log) == 1
+        assert log[0].appended_docs == docs.where("doc_id % 2 = 1").count()
+        assert not log[0].rebuild_due  # no threshold set
+        # probe parity with a rebuild over the union
+        qt = spark.createDataFrame(
+            [(1, "data"), (1, "spark")], "query_id bigint, term string"
+        )
+        got = sorted(
+            map(tuple, engine.text_search("strtix", qt, topn=5).collect())
+        )
+        engine.build_text_index("strtix_ref", docs, n_buckets=nb)
+        want = sorted(
+            map(tuple, engine.text_search("strtix_ref", qt, topn=5).collect())
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
