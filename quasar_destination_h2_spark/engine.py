@@ -754,6 +754,7 @@ class Engine:
         rerank: bool = True,
         query_id_col: str = "query_id",
         query_vec_col: str = "qv",
+        filter_ids: DataFrame | None = None,
     ) -> DataFrame:
         """[EXT] Query-table-driven search over an IVF+PQ index built
         by :meth:`build_ivfpq_index`: per query, the nprobe nearest
@@ -765,8 +766,12 @@ class Engine:
         against the stored vectors — whose (centroid_id, vec_id)
         point lookups prune the same way. ``rerank=False`` returns
         the raw ADC ranking (query_id, vec_id, centroid_id,
-        score_micro, rank). Raises on a torn build; heavy distinct
-        scans memoized per build id like ann_topk's."""
+        score_micro, rank). ``filter_ids`` (a frame with a vec_id
+        column) restricts candidates BEFORE scoring — the
+        filtered-vector-search form; see
+        :func:`operators.similarity.ann_ivfpq_topk`. Raises on a
+        torn build; heavy distinct scans memoized per build id like
+        ann_topk's."""
         from .operators import similarity
 
         codes = self.table(f"{name}_codes")
@@ -824,6 +829,7 @@ class Engine:
                 lut,
                 probes,
                 topk,
+                allowed=filter_ids,
             )
         n_short = similarity.PQ_SHORTLIST if shortlist is None else shortlist
         short = similarity.ann_ivfpq_topk(
@@ -831,6 +837,7 @@ class Engine:
             lut,
             probes,
             n_short,
+            allowed=filter_ids,
         )
         return similarity.ann_ivfpq_rerank(
             vectors.select("vec_id", "centroid_id", "embedding"),

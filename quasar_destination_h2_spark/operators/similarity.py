@@ -1577,14 +1577,28 @@ def ann_ivfpq_topk(
     lut: DataFrame,
     probes: DataFrame,
     k: int = 10,
+    allowed: DataFrame | None = None,
 ) -> DataFrame:
     """ADC over ONLY the probed inverted lists: the candidate set is
     codes semi-restricted to each query's nprobe centroid ids
     (broadcast probe-list join — over a centroid_id-PARTITIONED
     store this dynamically prunes the files read), scored by exact
     bigint LUT sums, top-k per query. Output (query_id, vec_id,
-    centroid_id, score_micro, rank)."""
+    centroid_id, score_micro, rank).
+
+    ``allowed`` (a frame with a vec_id column) is the FILTERED-search
+    form — metadata predicates in vector search, e.g. "nearest
+    neighbors among docs with license X". The semi-join lands BEFORE
+    scoring, so excluded candidates never cost LUT work; it is
+    deliberately unhinted — a small allow-list broadcasts under AQE,
+    a corpus-scale predicate becomes a key join. Post-filtering a
+    top-k instead UNDERFILLS results (the classic filtered-ANN
+    trap); the pre-filter keeps k exact within the probed lists."""
     cand = codes.join(F.broadcast(probes), "centroid_id")
+    if allowed is not None:
+        cand = cand.join(
+            allowed.select("vec_id"), "vec_id", "left_semi"
+        )
     scored = (
         cand.join(F.broadcast(lut), ["query_id", "m", "code"])
         .groupBy("query_id", "vec_id")

@@ -1524,3 +1524,51 @@ def zipf_fit(
             for c in ("slope", "intercept", "r2")
         ],
     )
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    rrf_k: int = 60,
+    topk: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009)
+    of N per-query rankings — the standard way to combine lexical
+    (BM25) and vector (ANN) retrieval without score calibration:
+    fused(d) = sum over sources of 1/(rrf_k + rank_source(d)). Each
+    input needs (query_id, <id_col>, rank); only ranks are read, so
+    any of this repo's retrieval operators plug in directly.
+
+    Scale shape: each ranking is already top-k per query (bounded nq
+    x k rows), so the union + two-key aggregation + per-query window
+    are all bounded by the query batch — fusion adds NO corpus work.
+    Determinism: the contribution is carried as the exact integer
+    1000000 DIV (rrf_k + rank) (floor division of exact integers —
+    identical in any engine), ties broken by the lower id. Output
+    (query_id, <id_col>, rrf_micro, n_sources, rank)."""
+    parts = []
+    for r in rankings:
+        parts.append(
+            r.select(
+                "query_id",
+                F.col(id_col),
+                F.expr(f"CAST(1000000 AS BIGINT) DIV ({rrf_k} + rank)").alias(
+                    "_c"
+                ),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = u.groupBy("query_id", id_col).agg(
+        F.sum("_c").cast("bigint").alias("rrf_micro"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col(id_col)
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= topk)
+        .select("query_id", id_col, "rrf_micro", "n_sources", "rank")
+    )

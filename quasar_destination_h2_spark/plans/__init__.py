@@ -40,6 +40,9 @@ _R10_NEW = [
     # the H2 script machinery (SCRIPT / RUNSCRIPT / EXPLAIN) and the
     # logical-name resolution layer it witnesses
     "script_roundtrip",
+    # filtered vector search + hybrid lexical/semantic retrieval
+    "ann_ivfpq_filtered",
+    "hybrid_search_rrf",
     "ann_ivfpq_search",
     "ann_ivfpq_adc",
     "ann_ivfpq_recall",

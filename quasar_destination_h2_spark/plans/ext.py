@@ -4460,16 +4460,21 @@ def q_pq_index_search(t: TableSet) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _ivfpq_ctes(qcte: str, k: int, nprobe: int = 2) -> str:
+def _ivfpq_ctes(
+    qcte: str, k: int, nprobe: int = 2, cand_where: str = ""
+) -> str:
     """The shared IVFPQ oracle pipeline, parametrized by the query
     CTE (``iq`` must expose (query_id, qv)): probe-list selection
     against the k-means-refined centroids, the per-query ADC lookup
     table, the composed (vec_id, centroid_id, m, code) index rows,
     ADC scoring restricted to each query's nprobe lists, the
-    PQ_SHORTLIST cut, and the exact rerank to ``k``. Replays
+    PQ_SHORTLIST cut, and the exact rerank to ``k``. ``cand_where``
+    adds a candidate predicate inside the scoring (the
+    filtered-search ``allowed=`` semi-join). Replays
     similarity.ivfpq_probe_lists / ivfpq_encode / ann_ivfpq_topk /
     ann_ivfpq_rerank term for term (rounded cosines, micro-unit
     bigint partial sums, ties to the lower id everywhere)."""
+    extra = f" AND ({cand_where})" if cand_where else ""
     part = _PQ_MICRO.format(
         x=f"""round(
                list_inner_product(iq.qv[(c.m*{_PQ_S}+1):(c.m*{_PQ_S}+{_PQ_S})], c.cvec)
@@ -4496,7 +4501,7 @@ def _ivfpq_ctes(qcte: str, k: int, nprobe: int = 2) -> str:
       FROM icodes c
       JOIN ipl pl ON pl.centroid_id = c.centroid_id
       JOIN ilut l ON l.query_id = pl.query_id AND l.m = c.m AND l.code = c.code
-      WHERE pl.query_id <> c.vec_id
+      WHERE pl.query_id <> c.vec_id{extra}
       GROUP BY pl.query_id, c.vec_id),
     ishort AS (
       SELECT query_id, vec_id, centroid_id, score_micro,
@@ -4943,3 +4948,127 @@ def q_script_roundtrip(t: TableSet) -> DataFrame:
     return spark.createDataFrame(
         rows, "kind string, pos bigint, line string"
     ).orderBy("kind", "pos")
+
+
+@query(
+    "ann_ivfpq_filtered",
+    oracle=f"""
+    WITH {_KM_CTES},
+    {_PQ_CTES},
+    {_ivfpq_ctes(_IVFPQ_CORPUS_Q, 5, cand_where="c.vec_id % 2 = 0")}
+    SELECT query_id, vec_id, sim, rank FROM irr
+    ORDER BY query_id, rank
+    """,
+)
+def q_ann_ivfpq_filtered(t: TableSet) -> DataFrame:
+    """FILTERED vector search over the composed index — metadata
+    predicates in ANN ("nearest neighbors among docs with license
+    X"): the allow-list semi-join lands BEFORE ADC scoring, so
+    excluded candidates never cost LUT work and the top-k stays
+    exact within the probed lists (post-filtering a top-k underfills
+    — the classic filtered-ANN trap). The oracle replays the same
+    predicate inside the scoring CTE."""
+    emb, q, codes, probes, lut = _ivfpq_spark_parts(t)
+    allowed = emb.where("vec_id % 2 = 0").select("vec_id")
+    short = similarity.ann_ivfpq_topk(
+        codes, lut, probes, similarity.PQ_SHORTLIST, allowed=allowed
+    )
+    return similarity.ann_ivfpq_rerank(emb, short, q, 5).orderBy(
+        "query_id", "rank"
+    )
+
+
+#: Hybrid-retrieval query batch: per query id, BOTH a term set (the
+#: lexical leg) and a corpus query vector (the semantic leg, vec_id =
+#: query_id). Ids align with documents.doc_id == embeddings.vec_id.
+_HYB_QUERY_ROWS = (
+    (0, "query"), (0, "plan"),
+    (1, "data"), (1, "stream"),
+    (2, "window"), (2, "state"), (2, "join"),
+)
+
+_HYB_VALUES = ", ".join(f"({i}, '{s}')" for i, s in _HYB_QUERY_ROWS)
+
+
+@query(
+    "hybrid_search_rrf",
+    oracle=rf"""
+    WITH hq AS (SELECT CAST(query_id AS BIGINT) AS query_id, term
+                FROM (VALUES {_HYB_VALUES}) v(query_id, term)),
+    base AS (SELECT doc_id,
+                    list_filter(string_split_regex({{norm}}, ' '),
+                                x -> x <> '') AS tk
+             FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(len(tk)) AS BIGINT) AS sum_dl
+              FROM base),
+    dt AS (
+      SELECT doc_id, dl, tok, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS tok
+        FROM base)
+      GROUP BY doc_id, dl, tok),
+    pruned AS (SELECT * FROM dt
+               WHERE tok IN (SELECT DISTINCT term FROM hq)),
+    dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+              FROM pruned GROUP BY tok),
+    contrib AS (
+      SELECT hq.query_id, p.doc_id,
+             CAST(CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6)
+                  AS DECIMAL(28,10)) * 1000000 AS BIGINT)
+             * CAST(CAST(round(tf * ({{k1}} + 1) / (tf + {{k1}}
+                  * (1 - {{b}} + {{b}} * dl
+                     / (sum_dl / n_docs))), 6)
+                  AS DECIMAL(28,10)) * 1000000 AS BIGINT) AS u12
+      FROM pruned p JOIN dfreq USING (tok) JOIN hq ON hq.term = p.tok, stats),
+    lex AS (
+      SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY SUM(u12) DESC, doc_id) AS rank
+        FROM contrib GROUP BY query_id, doc_id) WHERE rank <= 10),
+    he AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sem AS (
+      SELECT query_id, neighbor_id AS doc_id, CAST(rank AS BIGINT) AS rank
+      FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.v, e.v), 6) DESC,
+                          e.vec_id) AS rank
+        FROM (SELECT vec_id, v FROM he WHERE vec_id < 3) q
+        CROSS JOIN he e WHERE e.vec_id <> q.vec_id) WHERE rank <= 10),
+    fused AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro,
+             CAST(COUNT(*) AS BIGINT) AS n_sources
+      FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+      GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, rrf_micro, n_sources, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY rrf_micro DESC, doc_id) AS rank
+      FROM fused) WHERE rank <= 10
+    ORDER BY query_id, rank
+    """.format(norm=_NORM, k1=text.BM25_K1, b=text.BM25_B),
+)
+def q_hybrid_search_rrf(t: TableSet) -> DataFrame:
+    """Hybrid retrieval: lexical BM25 top-10 (query-table batch form,
+    one pruned posting join) and semantic exact-cosine top-10 over
+    the SAME query ids, fused by reciprocal-rank fusion — the
+    standard calibration-free way to combine the two retrievers, and
+    the shape a training-data pipeline uses for contamination checks
+    and targeted curation ("find everything about X" lexically OR
+    semantically). Fusion reads only the two bounded top-k frames
+    (exact integer 1000000 DIV (60 + rank) contributions, ties to
+    the lower doc id) — it adds no corpus work. documents.doc_id and
+    embeddings.vec_id share the id space by fixture construction."""
+    spark = t.documents.sparkSession
+    qdf = spark.createDataFrame(
+        list(_HYB_QUERY_ROWS), "query_id bigint, term string"
+    )
+    lex = text.bm25_search_many(t.documents, qdf, topn=10).select(
+        "query_id", "doc_id", "rank"
+    )
+    sem = similarity.brute_force_topk(t.embeddings, 3, 10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return text.rrf_fuse([lex, sem], 60, 10).orderBy("query_id", "rank")

@@ -2998,3 +2998,57 @@ def test_ivfpq_probe_plan_shape(t):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_ivfpq_filtered_search_respects_allowlist(t):
+    """Filtered vector search: every result id is in the allow-list,
+    and results equal the unfiltered ranking recomputed over only the
+    allowed candidates (pre-filter semantics — never an underfilled
+    post-filter)."""
+    from pyspark.sql import functions as F
+
+    emb = t.embeddings
+    cents = similarity.kmeans_refine(emb)
+    cb = similarity.pq_codebooks(emb)
+    codes = similarity.ivfpq_encode(emb, cents, cb)
+    q = emb.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    probes = similarity.ivfpq_probe_lists(q, cents, 2)
+    lut = similarity.pq_query_lut(emb.where("vec_id < 3"), cb)
+    allowed = emb.where("vec_id % 2 = 0").select("vec_id")
+    got = similarity.ann_ivfpq_topk(codes, lut, probes, 10, allowed=allowed)
+    rows = got.collect()
+    assert rows and all(r.vec_id % 2 == 0 for r in rows)
+    # equivalent formulation: restrict the code table itself
+    want = similarity.ann_ivfpq_topk(
+        codes.where("vec_id % 2 = 0"), lut, probes, 10
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, want.collect()))
+
+
+def test_rrf_fuse_properties(spark):
+    """RRF invariants: a doc ranked by BOTH sources at rank r beats a
+    doc ranked r by only one; fusing a ranking with itself preserves
+    its order; contributions are the exact integer 1000000 DIV
+    (60 + rank)."""
+    from pyspark.sql import functions as F
+
+    from quasar_destination_h2_spark.operators.text import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id bigint, doc_id bigint, rank int",
+    )
+    b = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id bigint, doc_id bigint, rank int",
+    )
+    fused = {r.doc_id: r for r in rrf_fuse([a, b], 60, 10).collect()}
+    # doc 11: 1000000//62 + 1000000//61 = 16129 + 16393
+    assert fused[11].rrf_micro == 16129 + 16393 and fused[11].n_sources == 2
+    assert fused[11].rank == 1  # two sources beat any single source
+    assert fused[10].rrf_micro == 1000000 // 61
+    # self-fusion preserves order
+    self_fused = rrf_fuse([a, a], 60, 10).orderBy("rank").collect()
+    assert [r.doc_id for r in self_fused] == [10, 11, 12]

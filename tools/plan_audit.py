@@ -207,6 +207,13 @@ NLJ_OK = frozenset({
     # broadcast) + the 1-row drift-report crossJoin — the
     # ann_index_append shape over both quantizers
     "ivfpq_index_append",
+    # r10: the ivfpq probe shapes + the allow-list semi-join
+    "ann_ivfpq_filtered",
+    # r10: the semantic leg is the declared brute-force baseline
+    # (embed_cosine_topk's bounded-query broadcast NLJ); the lexical
+    # leg carries bm25_search_many's 1-row stats broadcast; fusion
+    # itself is bounded frames only
+    "hybrid_search_rrf",
 })
 
 #: Tables whose repeated FileScan in one plan is a 100 TB scale killer.
@@ -359,7 +366,11 @@ RESCAN_REVIEWED = frozenset({
     # external query table's own pair-join sides (vec_id < 3, pruned
     # at the scan).
     "ann_ivfpq_adc", "ann_ivfpq_search", "ann_ivfpq_recall",
-    "ivfpq_index_search",
+    "ivfpq_index_search", "ann_ivfpq_filtered",
+    # r10 hybrid retrieval: the lexical leg is bm25_search_many's
+    # persisted-tokenize shape, the semantic leg the brute-force
+    # baseline — each its own reviewed query; fusion adds no scan
+    "hybrid_search_rrf",
     # r10: the append conformance form REBUILDS the half-corpus index
     # per run (both trainings in-plan for the oracle) then appends the
     # other half — the embeddings rescans are the build declaration;
