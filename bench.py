@@ -121,6 +121,11 @@ HEADLINE = (
     # ivfpq_probe_only below is the amortized serving number over the
     # centroid-partitioned store)
     "ivfpq_index_search",
+    # r10: the 1-bit quantization serving path (sign-bit encode +
+    # hamming shortlist on packed bigints + exact rerank — the 32x
+    # compression tier) and the hybrid lexical+semantic RRF fusion
+    "ann_bq_search",
+    "hybrid_search_rrf",
 )
 
 

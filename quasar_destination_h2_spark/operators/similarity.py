@@ -1658,3 +1658,124 @@ def ann_ivfpq_rerank(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary (1-bit sign) quantization — the extreme-compression ANN tier
+# ---------------------------------------------------------------------------
+#
+# Each dimension keeps only its SIGN: 64-dim floats become 64 bits,
+# packed into two 32-bit-loaded bigints — a 32x storage reduction
+# (256 B float32 -> 8 B), and candidate scoring becomes two XORs +
+# two popcounts per pair (whole-stage-codegen integer ops, no FP).
+# Hamming distance on sign bits approximates angular distance (each
+# dimension is a fixed axis-aligned hyperplane — the degenerate LSH
+# family); like PQ, serving quality comes from hamming-shortlist +
+# exact rerank. Sits beside PQ on the compression/recall curve: BQ
+# compresses ~4x harder, PQ ranks better at equal probe cost.
+
+#: SQL fragment packing 32 sign bits of a vector slice into a bigint
+#: (offset is 1-based). Bit i of the result = sign(v[off+i]); the
+#: accumulate is + over DISJOINT powers of two (== OR, no overflow:
+#: bits 0..31 only).
+_BQ_SIG = (
+    "aggregate(zip_with(slice({v}, {off}, 32), sequence(0, 31), "
+    "(x, i) -> IF(x >= CAST(0 AS DOUBLE), "
+    "shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), "
+    "CAST(0 AS BIGINT), (a, b) -> a + b)"
+)
+
+
+def bq_encode(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One corpus pass producing the 1-bit codes: (vec_id, sig_lo,
+    sig_hi) — bits 0..31 and 32..63 of the 64-dim sign pattern. Two
+    bigint halves rather than one so no value ever touches the sign
+    bit (engine-portable arithmetic; DuckDB replays the packing
+    exactly). Zero-shuffle codegen projection."""
+    return emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(_BQ_SIG.format(v=vec_col, off=1)).alias("sig_lo"),
+        F.expr(_BQ_SIG.format(v=vec_col, off=33)).alias("sig_hi"),
+    )
+
+
+def ann_bq_topk(
+    codes: DataFrame,
+    query_codes: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Hamming probe over the 1-bit codes: per query, the k candidates
+    with the fewest differing sign bits (ties to the lower vec_id).
+    ``query_codes`` is a bq_encode output re-labeled (query_id, q_lo,
+    q_hi) — bounded, broadcast onto ONE pass over the packed codes
+    (16 bytes/row); scoring is XOR+popcount, never FP. Corpus-drawn
+    queries never rank themselves. Output (query_id, vec_id, hamming,
+    rank)."""
+    scored = (
+        codes.crossJoin(F.broadcast(query_codes))
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.bit_count(F.col("sig_lo").bitwiseXOR(F.col("q_lo")))
+                + F.bit_count(F.col("sig_hi").bitwiseXOR(F.col("q_hi")))
+            )
+            .cast("bigint")
+            .alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming"), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "hamming", "rank")
+    )
+
+
+def ann_bq_rerank(
+    emb: DataFrame,
+    shortlist: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Exact cosine rerank of a hamming shortlist — the BQ serving
+    path: the 1-bit probe prunes the corpus to nq x shortlist
+    candidates (a 32x-compressed scan), then ONLY those float vectors
+    are read back. Output (query_id, vec_id, sim, rank), ties to the
+    lower vec_id."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).alias("qv"),
+    )
+    j = (
+        shortlist.select("query_id", "vec_id")
+        .join(
+            emb.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")),
+            "vec_id",
+        )
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("vec_id")
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "sim", "rank")
+    )

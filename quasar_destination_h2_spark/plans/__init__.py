@@ -9,22 +9,21 @@ from . import ext  # noqa: E402,F401
 # cumulative driver-witnessed coverage is 186/186 with zero
 # ever-failures (union over CORRECTNESS_r02..r09). The round-10
 # window keeps the rotation discipline:
-#   * slots 1-4: the four round-10 registrations
-#     (information_schema_battery — the H2 catalog-introspection
-#     surface; ann_index_append — incremental index append with the
-#     drift instrument; text_index_search — the BM25 text-index
-#     serving probe; text_index_drift — its vocabulary-drift
-#     instrument), witnessed the same round they land;
+#   * first: all NINETEEN round-10 registrations (_R10_NEW below),
+#     newest first, witnessed the same round they land — the H2
+#     script machinery + logical-name resolution, filtered vector
+#     search, hybrid RRF retrieval, the IVF+PQ composed-index family
+#     (ADC / serving / recall / append / list profile), the flat PQ
+#     family, the H2 CSV table functions, catalog introspection,
+#     incremental ANN append, and the text-index serving pair;
 #   * next: every query whose implementation round 10 touches — the
-#     statement surface (sql_dml gained the INFORMATION_SCHEMA/SHOW
-#     front door, per-row NEXTVAL INSERT sources, the VALUES
-#     scalar-subquery rewrite, and the parse_insert keyword-boundary
-#     fix) -> h2_dialect_battery + quantified_subquery; the k-means
-#     oracle builder (_kmeans_ctes grew the corpus-filter parameter
-#     every kmeans oracle regenerates through) -> the five kmeans/
-#     ANN-serving queries; the ANN engine lifecycle (stored
-#     assignment now carries sim_micro; memoized torn-build check)
-#     -> the ivf_topk pair;
+#     statement surface (INFORMATION_SCHEMA/SHOW front door, per-row
+#     NEXTVAL sources, H2 TIMESTAMP→NTZ mapping, the _resolve_sql
+#     logical-name layer every plain query now routes through) ->
+#     h2_dialect_battery + quantified_subquery; bm25_search_many
+#     (re-expressed over build_postings/bm25_probe); the kmeans/
+#     ANN-serving five and the ivf_topk pair (shared oracle builder +
+#     lifecycle code);
 #   * the remaining slots: cross-era anchors ROTATED to queries whose
 #     last driver witness is oldest (r2-r7 era: join/window/set/
 #     subquery/scalar grammar, outer TPC-H shapes, events, UDF and
@@ -33,16 +32,23 @@ from . import ext  # noqa: E402,F401
 # Everything outside the window stays oracle-checked locally via
 # tools/oracle_check.py at sf0.001/0.01/0.1 (see COVERAGE.md).
 _R10_NEW = [
-    # latest round-10 registrations: the IVF+PQ composition (IVFADC —
-    # coarse-prune which vectors a probe touches, PQ-compress what
-    # each costs, exact-rerank the shortlist; engine lifecycle stores
-    # the lists directory-partitioned so probes prune file reads)
+    # binary (1-bit sign) quantization — the 32x-compression ANN tier
+    # (hamming probe on packed bigints, exact rerank, recall
+    # contract, popcount balance instrument)
+    "ann_bq_search",
+    "ann_bq_topk",
+    "ann_bq_recall",
+    "bq_balance_profile",
     # the H2 script machinery (SCRIPT / RUNSCRIPT / EXPLAIN) and the
     # logical-name resolution layer it witnesses
     "script_roundtrip",
     # filtered vector search + hybrid lexical/semantic retrieval
     "ann_ivfpq_filtered",
     "hybrid_search_rrf",
+    # the IVF+PQ composition (IVFADC — coarse-prune which vectors a
+    # probe touches, PQ-compress what each costs, exact-rerank the
+    # shortlist; engine lifecycle stores the lists directory-
+    # partitioned so probes prune file reads; incremental append)
     "ann_ivfpq_search",
     "ann_ivfpq_adc",
     "ann_ivfpq_recall",

@@ -5072,3 +5072,219 @@ def q_hybrid_search_rrf(t: TableSet) -> DataFrame:
         "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
     )
     return text.rrf_fuse([lex, sem], 60, 10).orderBy("query_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# Binary (1-bit sign) quantization (similarity.bq_* — the 32x tier)
+# ---------------------------------------------------------------------------
+
+_BQ_LO = ("CAST(list_sum(list_transform(range(32), i -> CASE WHEN "
+          "{v}[i+1] >= 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT)")
+_BQ_HI = ("CAST(list_sum(list_transform(range(32), i -> CASE WHEN "
+          "{v}[i+33] >= 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT)")
+
+_BQ_CTES = f"""be AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+    bsig AS (SELECT vec_id, {_BQ_LO.format(v='v')} AS sig_lo,
+                    {_BQ_HI.format(v='v')} AS sig_hi FROM be),
+    bq AS (SELECT vec_id AS query_id, sig_lo AS q_lo, sig_hi AS q_hi
+           FROM bsig WHERE vec_id < 3),
+    bsc AS (
+      SELECT q.query_id, s.vec_id,
+             CAST(bit_count(xor(s.sig_lo, q.q_lo))
+                + bit_count(xor(s.sig_hi, q.q_hi)) AS BIGINT) AS hamming
+      FROM bsig s CROSS JOIN bq q WHERE s.vec_id <> q.query_id),
+    btop AS (
+      SELECT query_id, vec_id, hamming, CAST(rank AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY hamming, vec_id) AS rank
+        FROM bsc) WHERE rank <= {similarity.PQ_SHORTLIST}),
+    brr AS (
+      SELECT query_id, vec_id, sim, CAST(r AS INT) AS rank FROM (
+        SELECT t.query_id, t.vec_id,
+               round(list_cosine_similarity(q.v, e.v), 6) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY t.query_id
+                 ORDER BY round(list_cosine_similarity(q.v, e.v), 6) DESC,
+                          t.vec_id) AS r
+        FROM btop t JOIN be e ON e.vec_id = t.vec_id
+                    JOIN be q ON q.vec_id = t.query_id) WHERE r <= 5)"""
+
+
+def _bq_spark_parts(t: TableSet, nq: int = 3):
+    emb = t.embeddings
+    codes = similarity.bq_encode(emb)
+    qc = similarity.bq_encode(emb.where(f"vec_id < {nq}")).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sig_lo").alias("q_lo"),
+        F.col("sig_hi").alias("q_hi"),
+    )
+    q = emb.where(f"vec_id < {nq}").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return emb, codes, qc, q
+
+
+@query(
+    "ann_bq_topk",
+    oracle=f"""
+    WITH {_BQ_CTES}
+    SELECT query_id, vec_id, hamming, rank FROM btop WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def q_ann_bq_topk(t: TableSet) -> DataFrame:
+    """1-bit (sign) quantization probe: 64-dim floats packed into 64
+    sign bits (two engine-portable bigint halves, 32x smaller than
+    float32); candidates ranked by Hamming distance — two XORs + two
+    popcounts per pair, pure integer codegen, no FP. The extreme-
+    compression tier beside PQ (ann_pq_topk): BQ compresses ~4x
+    harder, PQ ranks better at equal probe cost — the recall
+    contract next door quantifies the trade."""
+    _, codes, qc, _ = _bq_spark_parts(t)
+    return similarity.ann_bq_topk(codes, qc, 10).orderBy("query_id", "rank")
+
+
+@query(
+    "ann_bq_search",
+    oracle=f"""
+    WITH {_BQ_CTES}
+    SELECT query_id, vec_id, sim, rank FROM brr
+    ORDER BY query_id, rank
+    """,
+)
+def q_ann_bq_search(t: TableSet) -> DataFrame:
+    """The BQ serving path: Hamming shortlist over the packed sign
+    bits (a 32x-compressed scan), exact cosine rerank of only the
+    shortlisted vectors — nq x 100 float reads instead of a corpus
+    scan, same contract as the PQ/IVFPQ serving forms."""
+    emb, codes, qc, q = _bq_spark_parts(t)
+    short = similarity.ann_bq_topk(codes, qc, similarity.PQ_SHORTLIST)
+    return similarity.ann_bq_rerank(emb, short, q, 5).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
+    "ann_bq_recall",
+    oracle=f"""
+    WITH be AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+    bsig AS (SELECT vec_id, {_BQ_LO.format(v='v')} AS sig_lo,
+                    {_BQ_HI.format(v='v')} AS sig_hi FROM be),
+    bq AS (SELECT vec_id AS query_id, sig_lo AS q_lo, sig_hi AS q_hi
+           FROM bsig WHERE vec_id < 10),
+    bsc AS (
+      SELECT q.query_id, s.vec_id,
+             CAST(bit_count(xor(s.sig_lo, q.q_lo))
+                + bit_count(xor(s.sig_hi, q.q_hi)) AS BIGINT) AS hamming
+      FROM bsig s CROSS JOIN bq q WHERE s.vec_id <> q.query_id),
+    btop AS (
+      SELECT query_id, vec_id, CAST(rank AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY hamming, vec_id) AS rank
+        FROM bsc) WHERE rank <= {similarity.PQ_SHORTLIST}),
+    brr AS (
+      SELECT query_id, vec_id FROM (
+        SELECT t.query_id, t.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY t.query_id
+                 ORDER BY round(list_cosine_similarity(q.v, e.v), 6) DESC,
+                          t.vec_id) AS r
+        FROM btop t JOIN be e ON e.vec_id = t.vec_id
+                    JOIN be q ON q.vec_id = t.query_id) WHERE r <= 5),
+    bex AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(bqv.v, e.v), 6) DESC,
+                          e.vec_id) AS r
+        FROM bq q JOIN be bqv ON bqv.vec_id = q.query_id
+        CROSS JOIN be e WHERE e.vec_id <> q.query_id) WHERE r <= 5),
+    bha AS (
+      SELECT bex.query_id, COUNT(*) AS n FROM bex
+      JOIN (SELECT query_id, vec_id FROM btop WHERE rank <= 5) a
+        ON bex.query_id = a.query_id AND bex.neighbor_id = a.vec_id
+      GROUP BY bex.query_id),
+    bhr AS (
+      SELECT bex.query_id, COUNT(*) AS n FROM bex
+      JOIN brr ON bex.query_id = brr.query_id
+              AND bex.neighbor_id = brr.vec_id
+      GROUP BY bex.query_id)
+    SELECT x.query_id,
+           CAST(COALESCE(bha.n, 0) AS BIGINT) AS n_hit_adc,
+           CAST(COALESCE(bha.n, 0) * 1000000 / x.n_exact AS BIGINT)
+             AS recall_adc_ppm,
+           CAST(COALESCE(bhr.n, 0) AS BIGINT) AS n_hit_rerank,
+           CAST(COALESCE(bhr.n, 0) * 1000000 / x.n_exact AS BIGINT)
+             AS recall_rerank_ppm
+    FROM (SELECT query_id, COUNT(*) AS n_exact FROM bex GROUP BY query_id) x
+    LEFT JOIN bha ON x.query_id = bha.query_id
+    LEFT JOIN bhr ON x.query_id = bhr.query_id
+    ORDER BY x.query_id
+    """,
+)
+def q_ann_bq_recall(t: TableSet) -> DataFrame:
+    """The BQ recall contract, both paths: per query, the exact
+    cosine top-5 recovered by (a) the raw Hamming top-5 and (b) the
+    shortlist-then-exact-rerank serving path — read beside
+    ann_pq_recall to place the 32x tier on the compression/recall
+    curve before anyone serves from sign bits alone."""
+    emb = t.embeddings
+    codes = similarity.bq_encode(emb)
+    qc = similarity.bq_encode(emb.where("vec_id < 10")).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sig_lo").alias("q_lo"),
+        F.col("sig_hi").alias("q_hi"),
+    )
+    q = emb.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    short = similarity.ann_bq_topk(codes, qc, similarity.PQ_SHORTLIST)
+    adc = similarity.pq_recall(
+        emb, short.where("rank <= 5").select("query_id", "vec_id"), 5
+    ).select(
+        "query_id",
+        F.col("n_hit").alias("n_hit_adc"),
+        F.col("recall_ppm").alias("recall_adc_ppm"),
+    )
+    rr = similarity.pq_recall(
+        emb, similarity.ann_bq_rerank(emb, short, q, 5), 5
+    ).select(
+        "query_id",
+        F.col("n_hit").alias("n_hit_rerank"),
+        F.col("recall_ppm").alias("recall_rerank_ppm"),
+    )
+    return adc.join(rr, "query_id").orderBy("query_id")
+
+
+@query(
+    "bq_balance_profile",
+    oracle=f"""
+    WITH be AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+    bsig AS (SELECT vec_id, {_BQ_LO.format(v='v')} AS sig_lo,
+                    {_BQ_HI.format(v='v')} AS sig_hi FROM be)
+    SELECT CAST(bit_count(sig_lo) + bit_count(sig_hi) AS BIGINT)
+             AS popcount,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM bsig
+    GROUP BY 1
+    ORDER BY popcount
+    """,
+)
+def q_bq_balance_profile(t: TableSet) -> DataFrame:
+    """BQ health instrument: the per-vector popcount histogram. Sign
+    quantization assumes roughly centered dimensions — a histogram
+    massed near 32 says the 64 bits carry maximal information; mass
+    near 0/64 says recenter (subtract the dimension means) before
+    trusting hamming ranks. One pass over the packed codes."""
+    codes = similarity.bq_encode(t.embeddings)
+    return (
+        codes.select(
+            (F.bit_count("sig_lo") + F.bit_count("sig_hi"))
+            .cast("bigint")
+            .alias("popcount")
+        )
+        .groupBy("popcount")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+        .orderBy("popcount")
+    )

@@ -3052,3 +3052,79 @@ def test_rrf_fuse_properties(spark):
     # self-fusion preserves order
     self_fused = rrf_fuse([a, a], 60, 10).orderBy("rank").collect()
     assert [r.doc_id for r in self_fused] == [10, 11, 12]
+
+
+def test_bq_encode_packs_sign_bits(t):
+    """The 1-bit codes: bit i of (sig_hi||sig_lo) == sign(dim i);
+    both halves stay in the non-negative 32-bit range (engine-
+    portable packing)."""
+    emb = t.embeddings.where("vec_id < 20")
+    rows = {r.vec_id: r for r in similarity.bq_encode(emb).collect()}
+    for e in emb.collect():
+        sig = rows[e.vec_id]
+        assert 0 <= sig.sig_lo < 2**32 and 0 <= sig.sig_hi < 2**32
+        for i, x in enumerate(e.embedding):
+            bit = (
+                (sig.sig_lo >> i) & 1 if i < 32 else (sig.sig_hi >> (i - 32)) & 1
+            )
+            assert bit == (1 if x >= 0 else 0), (e.vec_id, i)
+
+
+def test_bq_rerank_recall_on_clustered_corpus(spark):
+    """The BQ serving contract on clusterable data: hamming-shortlist
+    + exact rerank recovers >= 80% of the exact top-10 per query and
+    never less than the raw hamming ranking."""
+    from pyspark.sql import functions as F
+
+    from quasar_destination_h2_spark import cache
+
+    emb = _clustered_embeddings(spark)
+    codes = similarity.bq_encode(emb)
+    qc = similarity.bq_encode(emb.where("vec_id < 3")).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sig_lo").alias("q_lo"),
+        F.col("sig_hi").alias("q_hi"),
+    )
+    q = emb.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    short = similarity.ann_bq_topk(codes, qc, similarity.PQ_SHORTLIST)
+    raw = {
+        r.query_id: r.recall_ppm
+        for r in similarity.pq_recall(
+            emb, short.where("rank <= 10").select("query_id", "vec_id"), 10
+        ).collect()
+    }
+    rer = {
+        r.query_id: r.recall_ppm
+        for r in similarity.pq_recall(
+            emb, similarity.ann_bq_rerank(emb, short, q, 10), 10
+        ).collect()
+    }
+    cache.release()
+    assert set(rer) == {0, 1, 2}
+    assert all(v >= 800_000 for v in rer.values()), rer
+    assert all(rer[k] >= raw.get(k, 0) for k in rer), (raw, rer)
+
+
+def test_bq_probe_plan_is_integer_codegen(t):
+    """The hamming probe's 100 TB shape: the packed-codes scan reads
+    TWO bigints per row (never the float vectors), the bounded query
+    codes broadcast, and no CartesianProduct is planned."""
+    from pyspark.sql import functions as F
+
+    emb = t.embeddings
+    codes = similarity.bq_encode(emb)
+    qc = similarity.bq_encode(emb.where("vec_id < 3")).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sig_lo").alias("q_lo"),
+        F.col("sig_hi").alias("q_hi"),
+    )
+    plan = (
+        similarity.ann_bq_topk(codes.localCheckpoint(), qc, 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan

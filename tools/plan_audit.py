@@ -209,6 +209,13 @@ NLJ_OK = frozenset({
     "ivfpq_index_append",
     # r10: the ivfpq probe shapes + the allow-list semi-join
     "ann_ivfpq_filtered",
+    # r10 binary quantization: the bounded query-codes broadcast onto
+    # the packed-codes scan (the embed_cosine_topk shape, integer
+    # scoring); the recall contract adds the accepted exact-baseline
+    # broadcast
+    "ann_bq_topk",
+    "ann_bq_search",
+    "ann_bq_recall",
     # r10: the semantic leg is the declared brute-force baseline
     # (embed_cosine_topk's bounded-query broadcast NLJ); the lexical
     # leg carries bm25_search_many's 1-row stats broadcast; fusion
@@ -367,6 +374,13 @@ RESCAN_REVIEWED = frozenset({
     # at the scan).
     "ann_ivfpq_adc", "ann_ivfpq_search", "ann_ivfpq_recall",
     "ivfpq_index_search", "ann_ivfpq_filtered",
+    # r10 binary quantization: the conformance forms encode in-plan
+    # so the oracle replays the packing; the embeddings rescans are
+    # the corpus-codes pass + the bounded query-slice reads + (for
+    # recall/rerank) the shortlist float reads — at scale codes are
+    # encoded once (bq_encode output is what a deployment stores)
+    "ann_bq_topk", "ann_bq_search", "ann_bq_recall",
+    "bq_balance_profile",
     # r10 hybrid retrieval: the lexical leg is bm25_search_many's
     # persisted-tokenize shape, the semantic leg the brute-force
     # baseline — each its own reviewed query; fusion adds no scan
