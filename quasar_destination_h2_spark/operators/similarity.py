@@ -1779,3 +1779,97 @@ def ann_bq_rerank(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR — maximal marginal relevance (diverse top-k selection)
+# ---------------------------------------------------------------------------
+
+
+def mmr_select(
+    candidates: DataFrame,
+    k: int = 5,
+    lam_ppm: int = 700_000,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy MMR (Carbonell & Goldstein, SIGIR 1998) over a BOUNDED
+    per-query candidate frame (query_id, vec_id, <vec_col>,
+    rel_micro): step 1 takes the most relevant candidate; each later
+    step takes argmax of lam*rel − (1−lam)*max-sim-to-selected — the
+    knob that turns a redundant top-k into a DIVERSE one (dedup-aware
+    retrieval, diverse training-sample selection).
+
+    Scale shape: MMR is inherently sequential in k, so it runs over
+    the SHORTLIST a retrieval already produced (nq x n_cand rows) —
+    every step is bounded-frame work (selected-set join + one window)
+    and the corpus is never touched; the candidate frame is
+    localCheckpoint-ed once so the k steps don't stack lineage.
+    Determinism: scores are exact integers — lam in ppm, relevance
+    and similarity in micro-units, products in bigint (≤ 1e12); ties
+    to the lower vec_id. The first step's score is lam*rel (empty
+    selected set contributes no penalty). Output (query_id, step,
+    vec_id, mmr_score), step 1..k in selection order."""
+    cand = candidates.select(
+        "query_id",
+        "vec_id",
+        F.col(vec_col).alias("_v"),
+        F.col("rel_micro").cast("bigint").alias("rel_micro"),
+    ).localCheckpoint()
+    lam = F.lit(lam_ppm).cast("bigint")
+    inv = F.lit(1_000_000 - lam_ppm).cast("bigint")
+
+    def pick(scored: DataFrame, step: int) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("mmr_score").desc(), F.col("vec_id")
+        )
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .select(
+                "query_id",
+                F.lit(step).cast("int").alias("step"),
+                "vec_id",
+                "_v",
+                "mmr_score",
+            )
+        )
+
+    selected = pick(
+        cand.withColumn("mmr_score", (lam * F.col("rel_micro")).cast("bigint")),
+        1,
+    ).localCheckpoint()
+    for step in range(2, k + 1):
+        remaining = cand.join(
+            selected.select("query_id", "vec_id"),
+            ["query_id", "vec_id"],
+            "left_anti",
+        )
+        penal = (
+            remaining.join(
+                selected.select(
+                    "query_id", F.col("_v").alias("_sv")
+                ),
+                "query_id",
+            )
+            .select(
+                "query_id",
+                "vec_id",
+                "rel_micro",
+                "_v",
+                _micro(F.round(cosine(F.col("_v"), F.col("_sv")), 6)).alias(
+                    "_sim"
+                ),
+            )
+            .groupBy("query_id", "vec_id")
+            .agg(
+                F.first("rel_micro").alias("rel_micro"),
+                F.first("_v").alias("_v"),
+                F.max("_sim").alias("_ms"),
+            )
+        )
+        scored = penal.withColumn(
+            "mmr_score",
+            (lam * F.col("rel_micro") - inv * F.col("_ms")).cast("bigint"),
+        )
+        selected = selected.unionByName(pick(scored, step)).localCheckpoint()
+    return selected.select("query_id", "step", "vec_id", "mmr_score")

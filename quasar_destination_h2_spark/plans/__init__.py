@@ -32,6 +32,9 @@ from . import ext  # noqa: E402,F401
 # Everything outside the window stays oracle-checked locally via
 # tools/oracle_check.py at sf0.001/0.01/0.1 (see COVERAGE.md).
 _R10_NEW = [
+    # MMR diverse top-k (greedy maximal marginal relevance over the
+    # bounded retrieval shortlist)
+    "mmr_diverse_topk",
     # binary (1-bit sign) quantization — the 32x-compression ANN tier
     # (hamming probe on packed bigints, exact rerank, recall
     # contract, popcount balance instrument)

@@ -5288,3 +5288,84 @@ def q_bq_balance_profile(t: TableSet) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
         .orderBy("popcount")
     )
+
+
+def _mmr_ctes(k: int = 5, lam_ppm: int = 700_000, n_cand: int = 20) -> str:
+    """Unrolled greedy-MMR CTEs for the DuckDB oracle: the bounded
+    candidate build (exact brute-force top-n_cand with micro-unit
+    relevance), then k selection steps — each computes every
+    remaining candidate's max similarity to the selected set and
+    takes argmax of lam*rel − (1−lam)*max_sim (ties to the lower
+    vec_id). Replays similarity.mmr_select exactly (integer ppm/
+    micro arithmetic end-to-end)."""
+    inv = 1_000_000 - lam_ppm
+    sim = ("CAST(CAST(round(list_cosine_similarity({a}, {b}), 6) "
+           "AS DECIMAL(28,10)) * 1000000 AS BIGINT)")
+    parts = [
+        "me AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "mq AS (SELECT vec_id AS query_id, v AS qv FROM me WHERE vec_id < 3)",
+        f"""mc AS (SELECT query_id, vec_id, v, rel FROM (
+      SELECT q.query_id, e.vec_id, e.v,
+             {sim.format(a='q.qv', b='e.v')} AS rel,
+             ROW_NUMBER() OVER (PARTITION BY q.query_id
+               ORDER BY round(list_cosine_similarity(q.qv, e.v), 6) DESC,
+                        e.vec_id) AS rn
+      FROM mq q CROSS JOIN me e WHERE e.vec_id <> q.query_id)
+      WHERE rn <= {n_cand})""",
+        f"""s1 AS (SELECT query_id, 1 AS step, vec_id, v, mmr FROM (
+      SELECT query_id, vec_id, v,
+             CAST({lam_ppm} * rel AS BIGINT) AS mmr,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY {lam_ppm} * rel DESC, vec_id) AS rn
+      FROM mc) WHERE rn = 1)""",
+        "p1 AS (SELECT * FROM s1)",
+    ]
+    for j in range(2, k + 1):
+        parts.append(f"""m{j} AS (
+      SELECT c.query_id, c.vec_id, c.v, c.rel,
+             MAX({sim.format(a='c.v', b='s.v')}) AS ms
+      FROM mc c JOIN p{j - 1} s ON s.query_id = c.query_id
+      WHERE NOT EXISTS (SELECT 1 FROM p{j - 1} p
+                        WHERE p.query_id = c.query_id
+                          AND p.vec_id = c.vec_id)
+      GROUP BY c.query_id, c.vec_id, c.v, c.rel)""")
+        parts.append(f"""s{j} AS (SELECT query_id, {j} AS step, vec_id, v, mmr FROM (
+      SELECT query_id, vec_id, v,
+             CAST({lam_ppm} * rel - {inv} * ms AS BIGINT) AS mmr,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY {lam_ppm} * rel - {inv} * ms DESC, vec_id) AS rn
+      FROM m{j}) WHERE rn = 1)""")
+        parts.append(
+            f"p{j} AS (SELECT * FROM p{j - 1} UNION ALL SELECT * FROM s{j})"
+        )
+    return ",\n    ".join(parts) + f"""
+    SELECT query_id, CAST(step AS INT) AS step, vec_id,
+           CAST(mmr AS BIGINT) AS mmr_score
+    FROM p{k} ORDER BY query_id, step"""
+
+
+@query("mmr_diverse_topk", oracle="WITH " + _mmr_ctes())
+def q_mmr_diverse_topk(t: TableSet) -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein,
+    SIGIR 1998): each query's exact top-20 shortlist is greedily
+    re-selected down to a DIVERSE top-5 — step 1 takes the most
+    relevant candidate, later steps trade relevance against maximum
+    similarity to what's already selected (lam = 0.7 in exact ppm
+    arithmetic). The de-redundancy pass a curation pipeline runs on
+    retrieval output before labeling/training; sequential in k by
+    nature, so it runs over the bounded shortlist — never the
+    corpus. The oracle replays all five greedy steps as unrolled
+    CTEs."""
+    emb = t.embeddings
+    cand = (
+        similarity.brute_force_topk(emb, 3, 20)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("vec_id"),
+            (F.col("cos_sim").cast("decimal(28,10)") * 1000000)
+            .cast("bigint")
+            .alias("rel_micro"),
+        )
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+    )
+    return similarity.mmr_select(cand, 5).orderBy("query_id", "step")

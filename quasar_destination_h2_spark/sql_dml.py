@@ -530,6 +530,10 @@ def execute(engine, statement: str):
 
     statement = statement.strip().rstrip(";").strip()
     shadow = _shadow(statement)
+    mset = _SET_RE.match(shadow)
+    if mset:
+        # H2 session SET commands (JDBC pools emit these on connect)
+        return _execute_set(engine, statement, shadow, mset)
     from . import script_stmt
 
     mex = script_stmt.EXPLAIN_RE.match(shadow)
@@ -605,6 +609,61 @@ def execute(engine, statement: str):
         with _translate_recursion_limit():
             return _execute_verb(engine, statement, shadow, m)
     return _execute_verb(engine, statement, shadow, m)
+
+
+_SET_RE = re.compile(r"\s*SET\s+(@?[A-Za-z_][A-Za-z0-9_]*)\b", re.I)
+
+#: H2 1.4.200 session knobs with NO analogue on a Spark/parquet
+#: engine (locking, page cache, trace files, close delays...).
+#: Accepting them as no-ops is CORRECT compat — they tune the
+#: storage engine H2 has and this engine doesn't — and is what lets
+#: JDBC pools' connection-init scripts run unmodified.
+_SET_NOOP = frozenset({
+    "LOCK_MODE", "LOCK_TIMEOUT", "DEFAULT_LOCK_TIMEOUT", "CACHE_SIZE",
+    "DB_CLOSE_DELAY", "WRITE_DELAY", "MAX_MEMORY_ROWS",
+    "MAX_MEMORY_UNDO", "MAX_OPERATION_MEMORY", "MAX_LOG_SIZE",
+    "TRACE_LEVEL_FILE", "TRACE_LEVEL_SYSTEM_OUT", "TRACE_MAX_FILE_SIZE",
+    "UNDO_LOG", "MULTI_THREADED", "QUERY_TIMEOUT", "THROTTLE",
+    "RETENTION_TIME", "LOG", "OPTIMIZE_REUSE_RESULTS",
+    "REFERENTIAL_INTEGRITY", "QUERY_STATISTICS", "LAZY_QUERY_EXECUTION",
+})
+
+#: Knobs that CHANGE query semantics — silently accepting one would
+#: diverge results without a signal, so they error loudly instead.
+_SET_SEMANTIC = frozenset({
+    "MODE", "IGNORECASE", "COLLATION", "TIME", "ALLOW_LITERALS",
+    "DEFAULT_TABLE_TYPE", "COMPRESS_LOB", "BINARY_COLLATION",
+})
+
+
+def _execute_set(engine, statement: str, shadow: str, m):
+    """H2 ``SET <knob> <value>`` dispatch: storage-engine tuning
+    knobs are accepted no-ops (the table above); ``SET SCHEMA
+    PUBLIC`` is the identity (the engine's single schema); semantic
+    knobs and unknown names raise loudly. Spark-native spellings
+    (``SET spark.* = ...``, bare ``SET``/``SET -v`` and hive-style
+    ``SET key=value``) pass through to Spark SQL untouched."""
+    knob = m.group(1).upper()
+    tail = shadow[m.end():].strip()
+    if knob.startswith("@") or "=" in shadow or not tail:
+        return engine.sql(statement)  # Spark/Hive SET k=v, SET -v, vars
+    if knob == "SCHEMA":
+        name, _ = _parse_ident(statement, shadow, m.end())
+        if name.upper() != "PUBLIC":
+            raise ValueError(
+                f"SET SCHEMA {name!r}: this engine has the single "
+                "PUBLIC schema (H2 parity for the reference's layout)"
+            )
+        return None
+    if knob in _SET_NOOP:
+        return None  # storage-engine knob with no analogue here
+    if knob in _SET_SEMANTIC:
+        raise ValueError(
+            f"SET {knob}: unsupported — this knob changes query "
+            "semantics, and accepting it silently would diverge "
+            "results (H2-compat surface, loud by design)"
+        )
+    raise ValueError(f"SET {knob}: unknown H2 session setting")
 
 
 #: Sequence value functions in H2 grammar (pre-filter, like _QUANT_RE).

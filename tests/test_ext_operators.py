@@ -3128,3 +3128,89 @@ def test_bq_probe_plan_is_integer_codegen(t):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan
+
+
+def test_mmr_selection_is_diverse_and_relevance_anchored(spark):
+    """MMR invariants on the clustered corpus: step 1 is the plain
+    most-relevant candidate; all k selections are distinct candidate
+    members; and the MMR set's mean pairwise similarity is LOWER
+    than the plain top-k's (the whole point — on clustered data the
+    top-k is redundant)."""
+    from pyspark.sql import functions as F
+
+    emb = _clustered_embeddings(spark)
+    cand = (
+        similarity.brute_force_topk(emb, 3, 20)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("vec_id"),
+            (F.col("cos_sim").cast("decimal(28,10)") * 1000000)
+            .cast("bigint")
+            .alias("rel_micro"),
+        )
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .localCheckpoint()
+    )
+    sel = similarity.mmr_select(cand, 5)
+    rows = sel.collect()
+    assert len(rows) == 15
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, {})[r.step] = r.vec_id
+    top1 = {
+        r.query_id: r.vec_id
+        for r in cand.withColumn(
+            "_r",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("query_id")
+                .orderBy(F.col("rel_micro").desc(), F.col("vec_id"))
+            ),
+        )
+        .where("_r = 1")
+        .collect()
+    }
+    for q, steps in by_q.items():
+        assert steps[1] == top1[q]
+        assert len(set(steps.values())) == 5
+
+    def mean_pairwise(ids_by_q):
+        vecs = {
+            r.vec_id: r.embedding
+            for r in emb.where(
+                F.col("vec_id").isin(
+                    [v for ids in ids_by_q.values() for v in ids]
+                )
+            ).collect()
+        }
+        import math
+
+        tot, n = 0.0, 0
+        for ids in ids_by_q.values():
+            ids = list(ids)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a, b = vecs[ids[i]], vecs[ids[j]]
+                    dot = sum(x * y for x, y in zip(a, b))
+                    na = math.sqrt(sum(x * x for x in a))
+                    nb = math.sqrt(sum(x * x for x in b))
+                    tot += dot / (na * nb)
+                    n += 1
+        return tot / n
+
+    mmr_ids = {q: set(steps.values()) for q, steps in by_q.items()}
+    plain_ids = {}
+    for r in (
+        cand.withColumn(
+            "_r",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"])
+                .Window.partitionBy("query_id")
+                .orderBy(F.col("rel_micro").desc(), F.col("vec_id"))
+            ),
+        )
+        .where("_r <= 5")
+        .collect()
+    ):
+        plain_ids.setdefault(r.query_id, set()).add(r.vec_id)
+    assert mean_pairwise(mmr_ids) < mean_pairwise(plain_ids)

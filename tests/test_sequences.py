@@ -268,7 +268,14 @@ def test_sequence_random_op_chains_match_model(spark, warehouse_dir):
     def run(chain):
         case_n[0] += 1
         name = f"fz{case_n[0]}"
-        model = None  # (next, inc, start) or None when absent
+        # model = [next, inc, start, min, max] or None when absent.
+        # Bounds are fixed at CREATE time from H2's defaults (the
+        # increment's direction clamps the near-side bound to the
+        # start) and do NOT move when ALTER flips the increment —
+        # so a flipped sequence can exhaust at its old near bound,
+        # exactly like H2 (hypothesis found the divergence when the
+        # model ignored bounds).
+        model = None
         curr = None
         for op in chain:
             kind = op[0]
@@ -279,7 +286,11 @@ def test_sequence_random_op_chains_match_model(spark, warehouse_dir):
                         f"CREATE SEQUENCE {name} START WITH {start} "
                         f"INCREMENT BY {inc}"
                     )
-                    model = [start, inc, start]
+                    if inc > 0:
+                        mn, mx = min(1, start), 2**63 - 1
+                    else:
+                        mn, mx = -(2**63), max(-1, start)
+                    model = [start, inc, start, mn, mx]
                 else:
                     with pytest.raises(SequenceError):
                         eng.execute_sql(f"CREATE SEQUENCE {name}")
@@ -291,12 +302,21 @@ def test_sequence_random_op_chains_match_model(spark, warehouse_dir):
                         else f"ALTER SEQUENCE {name} RESTART"
                     ) if kind != "drop" else eng.sequences.drop(name)
             elif kind == "next":
-                v = eng.execute_sql(
-                    f"SELECT NEXTVAL('{name}') AS v"
-                ).collect()[0].v
-                assert v == model[0], (v, model)
-                curr = model[0]
-                model[0] += model[1]
+                exhausted = (
+                    model[0] > model[4]
+                    if model[1] > 0
+                    else model[0] < model[3]
+                )
+                if exhausted:
+                    with pytest.raises(SequenceError, match="run out"):
+                        eng.execute_sql(f"SELECT NEXTVAL('{name}') AS v")
+                else:
+                    v = eng.execute_sql(
+                        f"SELECT NEXTVAL('{name}') AS v"
+                    ).collect()[0].v
+                    assert v == model[0], (v, model)
+                    curr = model[0]
+                    model[0] += model[1]
             elif kind == "curr":
                 if curr is None:
                     with pytest.raises(SequenceError):

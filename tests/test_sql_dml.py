@@ -892,3 +892,31 @@ def test_h2_dialect_top_with_trailing_comment():
     assert out == "(SELECT a FROM t -- note\nLIMIT 2)"
     out2 = rw("SELECT TOP 2 a FROM t -- c\nUNION SELECT b FROM u")
     assert out2 == "(SELECT a FROM t -- c\n\nLIMIT 2) UNION SELECT b FROM u"
+
+
+def test_h2_set_commands(engine):
+    """H2 session SET surface: storage-engine knobs are accepted
+    no-ops (JDBC pool init scripts run unmodified), SET SCHEMA
+    PUBLIC is the identity, semantic knobs and unknown names raise
+    loudly, and Spark-native SET spellings pass through."""
+    import pytest
+
+    for stmt in (
+        "SET LOCK_MODE 3",
+        "SET CACHE_SIZE 65536",
+        "SET DB_CLOSE_DELAY -1",
+        "SET TRACE_LEVEL_FILE 0",
+        "SET WRITE_DELAY 500",
+    ):
+        assert engine.execute_sql(stmt) is None
+    assert engine.execute_sql("SET SCHEMA PUBLIC") is None
+    assert engine.execute_sql('SET SCHEMA "public"') is None
+    with pytest.raises(ValueError, match="single"):
+        engine.execute_sql("SET SCHEMA other")
+    with pytest.raises(ValueError, match="semantics"):
+        engine.execute_sql("SET MODE MySQL")
+    with pytest.raises(ValueError, match="unknown H2"):
+        engine.execute_sql("SET NO_SUCH_KNOB 1")
+    # Spark-native spelling passes through untouched
+    engine.execute_sql("SET spark.sql.ansi.enabled = true").collect()
+    engine.execute_sql("SET spark.sql.ansi.enabled = false").collect()

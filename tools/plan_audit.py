@@ -216,6 +216,10 @@ NLJ_OK = frozenset({
     "ann_bq_topk",
     "ann_bq_search",
     "ann_bq_recall",
+    # r10 MMR: the candidate build is the declared brute-force
+    # baseline; each greedy step joins two BOUNDED frames (shortlist
+    # x selected set)
+    "mmr_diverse_topk",
     # r10: the semantic leg is the declared brute-force baseline
     # (embed_cosine_topk's bounded-query broadcast NLJ); the lexical
     # leg carries bm25_search_many's 1-row stats broadcast; fusion
@@ -381,6 +385,12 @@ RESCAN_REVIEWED = frozenset({
     # encoded once (bq_encode output is what a deployment stores)
     "ann_bq_topk", "ann_bq_search", "ann_bq_recall",
     "bq_balance_profile",
+    # r10 MMR: the exact-baseline candidate build reads embeddings
+    # (bounded query rows broadcast onto the corpus — the accepted
+    # embed_cosine_topk shape) and the checkpointed candidate frame
+    # renders beside it; at runtime the k greedy steps read the
+    # localCheckpoint, not the corpus
+    "mmr_diverse_topk",
     # r10 hybrid retrieval: the lexical leg is bm25_search_many's
     # persisted-tokenize shape, the semantic leg the brute-force
     # baseline — each its own reviewed query; fusion adds no scan
