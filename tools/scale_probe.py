@@ -791,6 +791,97 @@ def ivfpq_probe(spark, sf_dir: str) -> dict:
     return out
 
 
+def bq_probe(spark, sf_dir: str) -> dict:
+    """Binary-quantization scale probe (round 10):
+
+    * the compression evidence: on-disk bytes of the packed sign-bit
+      codes vs the float vectors at 1x/3x/10x replicated corpora —
+      the claimed ~32x, measured through parquet encoding;
+    * probe wall (hamming top-10, fixed nq=3) per corpus size — one
+      pass over 16 bytes/row, XOR+popcount only;
+    * serving wall (shortlist + exact rerank) per corpus size — the
+      rerank reads only nq x shortlist float rows."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from quasar_destination_h2_spark.operators import similarity
+    from quasar_destination_h2_spark.sources.tables import TableSet
+
+    t = TableSet(spark, sf_dir)
+    base_emb = t.embeddings
+    out = {"sf_dir": sf_dir, "n_base_vecs": base_emb.count(), "points": []}
+
+    def _replicate_emb(k: int):
+        parts = [base_emb.select("vec_id", "embedding")]
+        for r in range(1, k):
+            parts.append(
+                base_emb.select(
+                    (F.col("vec_id") + r * 10_000_000).alias("vec_id"),
+                    F.transform(
+                        "embedding",
+                        lambda x: F.round(
+                            x.cast("double") + (r % 7) * 0.003, 6
+                        ),
+                    ).alias("embedding"),
+                )
+            )
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        path = tempfile.mkdtemp(prefix=f"bq-emb-{k}x-")
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path), path
+
+    def _du(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    for k in (1, 3, 10):
+        emb, vec_path = _replicate_emb(k)
+        codes_path = tempfile.mkdtemp(prefix=f"bq-codes-{k}x-")
+        t0 = time.perf_counter()
+        similarity.bq_encode(emb).write.mode("overwrite").parquet(codes_path)
+        encode = round(time.perf_counter() - t0, 2)
+        codes = spark.read.parquet(codes_path)
+        qc = similarity.bq_encode(emb.orderBy("vec_id").limit(3)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("sig_lo").alias("q_lo"),
+            F.col("sig_hi").alias("q_hi"),
+        ).localCheckpoint()
+        q = emb.orderBy("vec_id").limit(3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+        ).localCheckpoint()
+        similarity.ann_bq_topk(codes, qc, 10).count()  # warm
+        t0 = time.perf_counter()
+        similarity.ann_bq_topk(codes, qc, 10).count()
+        probe = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        short = similarity.ann_bq_topk(codes, qc, similarity.PQ_SHORTLIST)
+        similarity.ann_bq_rerank(emb, short, q, 10).count()
+        serve = round(time.perf_counter() - t0, 2)
+        codes_b, vecs_b = _du(codes_path), _du(vec_path)
+        out["points"].append(
+            {
+                "replicas": k,
+                "n_vecs": emb.count(),
+                "encode_sec": encode,
+                "hamming_probe_sec": probe,
+                "serve_sec": serve,
+                "codes_bytes": codes_b,
+                "vectors_bytes": vecs_b,
+                "compression_x": round(vecs_b / codes_b, 2)
+                if codes_b
+                else None,
+            }
+        )
+    return out
+
+
 def textindex_probe(spark, sf_dir: str) -> dict:
     """Scale probe for the r10 BM25 text-index serving lifecycle:
 
@@ -911,6 +1002,7 @@ def main() -> int:
     textindex_mode = "--textindex" in sys.argv[1:]
     pq_mode = "--pq" in sys.argv[1:]
     ivfpq_mode = "--ivfpq" in sys.argv[1:]
+    bq_mode = "--bq" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     from pyspark.sql import SparkSession, functions as F
@@ -954,6 +1046,10 @@ def main() -> int:
         return 0
     if ivfpq_mode:
         print(json.dumps(ivfpq_probe(spark, sf_dir)))
+        spark.stop()
+        return 0
+    if bq_mode:
+        print(json.dumps(bq_probe(spark, sf_dir)))
         spark.stop()
         return 0
     if r10_mode:
