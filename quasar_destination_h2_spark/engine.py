@@ -665,7 +665,11 @@ class Engine:
         batch_mean_sim_micro, build_mean_sim_micro, drift_micro),
         the REBUILD TRIGGER. Appended codes ≡ what a rebuild against
         the SAME quantizers would assign (pinned by
-        tests/test_bucketing.py::test_ivfpq_index_append)."""
+        tests/test_bucketing.py::test_ivfpq_index_append). The two
+        table appends are not atomic; a failure between them is
+        caught by ivfpq_search's m-codes-per-vector count identity
+        (checked whenever the build-id memo misses), which refuses
+        to serve a half-appended index."""
         from pyspark.sql import functions as F
 
         from .idents import storage_safe_name
@@ -788,6 +792,8 @@ class Engine:
             )
         )
         memo_key = f"ivfpq:{name}"
+        mrow = cb.select("pq_m").first()
+        m = int(mrow.pq_m) if mrow else similarity.PQ_M
         if len(cid) == 1 and self._ann_verified.get(memo_key) == cid[0]:
             heavy = cid
         else:
@@ -800,6 +806,22 @@ class Engine:
                     .collect()
                 )
             )
+            # a failure BETWEEN append_to_ivfpq_index's two table
+            # appends leaves vectors without codes under the SAME
+            # build id — invisible to the id check, silently absent
+            # from ADC scoring. Every vector carries exactly m code
+            # rows, so the count identity detects the tear; the two
+            # column-pruned counts ride the same memo as the id scan
+            # (paid once per build/append, never per steady-state
+            # probe).
+            n_codes = codes.count()
+            n_vecs = vectors.count()
+            if n_codes != m * n_vecs:
+                raise ValueError(
+                    f"IVFPQ index {name!r} is torn: {n_vecs} vectors "
+                    f"but {n_codes} code rows (expected {m * n_vecs}) "
+                    "— a failed append; re-run build_ivfpq_index"
+                )
         if len(cid) != 1 or (heavy and heavy != cid):
             raise ValueError(
                 f"IVFPQ index {name!r} is torn (quantizer builds {cid} vs "
@@ -807,8 +829,6 @@ class Engine:
             )
         if heavy:
             self._ann_verified[memo_key] = cid[0]
-        mrow = cb.select("pq_m").first()
-        m = int(mrow.pq_m) if mrow else similarity.PQ_M
         probes = similarity.ivfpq_probe_lists(
             queries,
             cents.select("centroid_id", "cvec"),

@@ -1690,12 +1690,23 @@ def bq_encode(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
 ) -> DataFrame:
     """One corpus pass producing the 1-bit codes: (vec_id, sig_lo,
     sig_hi) — bits 0..31 and 32..63 of the 64-dim sign pattern. Two
     bigint halves rather than one so no value ever touches the sign
     bit (engine-portable arithmetic; DuckDB replays the packing
-    exactly). Zero-shuffle codegen projection."""
+    exactly). Zero-shuffle codegen projection. The packing is
+    specialized to dim == 64 (this repo's embedding convention) and
+    REFUSES other dims rather than silently truncating — extend the
+    _BQ_SIG slices to ceil(dim/32) words for wider vectors.
+    Precondition (like every encoder here): vectors actually carry
+    ``dim`` elements."""
+    if dim != 64:
+        raise ValueError(
+            f"bq_encode packs exactly 64 sign bits (got dim={dim}); "
+            "extend the _BQ_SIG word slices for other dimensions"
+        )
     return emb.select(
         F.col(id_col).alias("vec_id"),
         F.expr(_BQ_SIG.format(v=vec_col, off=1)).alias("sig_lo"),

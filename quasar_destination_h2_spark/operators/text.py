@@ -1537,7 +1537,8 @@ def rrf_fuse(
     (BM25) and vector (ANN) retrieval without score calibration:
     fused(d) = sum over sources of 1/(rrf_k + rank_source(d)). Each
     input needs (query_id, <id_col>, rank); only ranks are read, so
-    any of this repo's retrieval operators plug in directly.
+    any of this repo's retrieval operators plug in directly (at
+    least one ranking is required).
 
     Scale shape: each ranking is already top-k per query (bounded nq
     x k rows), so the union + two-key aggregation + per-query window
@@ -1546,6 +1547,8 @@ def rrf_fuse(
     1000000 DIV (rrf_k + rank) (floor division of exact integers —
     identical in any engine), ties broken by the lower id. Output
     (query_id, <id_col>, rrf_micro, n_sources, rank)."""
+    if not rankings:
+        raise ValueError("rrf_fuse: at least one ranking is required")
     parts = []
     for r in rankings:
         parts.append(

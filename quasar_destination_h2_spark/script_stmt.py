@@ -93,11 +93,13 @@ def script_lines(
     those tables are emitted and — like H2 — sequences are omitted.
     Driver-only work bounded by catalog size — the same footprint as
     INFORMATION_SCHEMA refresh."""
+    from .idents import hygienic_ident_ansi as q
+
     lines: list[str] = []
     if only_tables is None:
         for name in sorted(engine.sequences.names()):
             s = engine.sequences.describe(name)
-            ddl = f'CREATE SEQUENCE "{name}" START WITH {s["next"]}'
+            ddl = f'CREATE SEQUENCE {q(name)} START WITH {s["next"]}'
             if s["inc"] != 1:
                 ddl += f' INCREMENT BY {s["inc"]}'
             ddl += f' MINVALUE {s["min"]} MAXVALUE {s["max"]}'
@@ -123,11 +125,11 @@ def script_lines(
                 raise
             continue  # stale catalog entry: introspection never fails
         cols = ", ".join(
-            f'"{f.name}" {_h2_column_type(f)}'
+            f"{q(f.name)} {_h2_column_type(f)}"
             + ("" if f.nullable else " NOT NULL")
             for f in schema.fields
         )
-        lines.append(f'CREATE CACHED TABLE "{logical}"({cols});')
+        lines.append(f"CREATE CACHED TABLE {q(logical)}({cols});")
     return lines
 
 
@@ -232,7 +234,7 @@ def execute_explain(
         )
     if re.match(
         r"(?:UPDATE|DELETE|MERGE|INSERT|CREATE|DROP|TRUNCATE|ALTER|"
-        r"RUNSCRIPT|SCRIPT)\b",
+        r"RUNSCRIPT|SCRIPT|SET)\b",
         inner_shadow,
         re.I,
     ):
@@ -240,6 +242,14 @@ def execute_explain(
             "EXPLAIN: only query statements are explainable on this "
             "surface — DML/DDL execute as catalog rewrites with no "
             "single Spark plan. EXPLAIN the statement's inner SELECT."
+        )
+    from .csv_table_funcs import CSVWRITE_RE
+
+    if CSVWRITE_RE.match(inner_shadow):
+        raise ValueError(
+            "EXPLAIN: CSVWRITE executes its export as a side effect — "
+            "H2's EXPLAIN never executes. Explain the embedded query "
+            "instead."
         )
     from .sql_dml import execute
 

@@ -631,7 +631,7 @@ _SET_NOOP = frozenset({
 #: Knobs that CHANGE query semantics — silently accepting one would
 #: diverge results without a signal, so they error loudly instead.
 _SET_SEMANTIC = frozenset({
-    "MODE", "IGNORECASE", "COLLATION", "TIME", "ALLOW_LITERALS",
+    "MODE", "IGNORECASE", "COLLATION", "ALLOW_LITERALS",
     "DEFAULT_TABLE_TYPE", "COMPRESS_LOB", "BINARY_COLLATION",
 })
 
@@ -641,12 +641,21 @@ def _execute_set(engine, statement: str, shadow: str, m):
     knobs are accepted no-ops (the table above); ``SET SCHEMA
     PUBLIC`` is the identity (the engine's single schema); semantic
     knobs and unknown names raise loudly. Spark-native spellings
-    (``SET spark.* = ...``, bare ``SET``/``SET -v`` and hive-style
-    ``SET key=value``) pass through to Spark SQL untouched."""
+    pass through untouched: ``SET k=v``, bare ``SET``/``SET -v``,
+    dotted conf keys in BOTH the write and the READ form (``SET
+    spark.sql.x`` with no value returns the key/value row), and
+    ``SET TIME ZONE ...`` (Spark grammar; H2 1.4.200 has no time
+    zone setting, so there is nothing to shadow)."""
     knob = m.group(1).upper()
     tail = shadow[m.end():].strip()
-    if knob.startswith("@") or "=" in shadow or not tail:
-        return engine.sql(statement)  # Spark/Hive SET k=v, SET -v, vars
+    if (
+        knob.startswith("@")
+        or "=" in shadow
+        or not tail
+        or shadow[m.end() : m.end() + 1] == "."  # dotted conf key
+        or (knob == "TIME" and re.match(r"ZONE\b", tail, re.I))
+    ):
+        return engine.sql(statement)  # Spark SET forms, conf reads
     if knob == "SCHEMA":
         name, _ = _parse_ident(statement, shadow, m.end())
         if name.upper() != "PUBLIC":

@@ -16,11 +16,16 @@ rebuild trigger as a time series: a 100 TB deployment alerts on
 
 Scale shape: per micro-batch cost is the batch append's (bounded
 broadcasts + one pass over the batch; the corpus is NEVER rescanned),
-plus one driver-side one-row write. State is Spark's file-source
-checkpoint — restarts resume from the last committed batch, and an
-append that already committed is not replayed (foreachBatch +
-checkpoint = effectively-once for this idempotent-under-build-id
-append trail).
+plus one driver-side one-row write. Delivery: Spark's checkpoint
+makes foreachBatch AT-LEAST-once, and a blind parquet append is not
+idempotent — so each batch's drift-log row doubles as its COMMIT
+MARKER: a replayed batch_id found in the log is skipped without
+touching the index. The remaining window is a crash BETWEEN the
+index append and its log write (that replay duplicates the batch's
+rows — the standard non-transactional-sink caveat; a Delta/Iceberg
+warehouse would close it, same documented blocker as wire-level
+DML). The log row is written LAST so a marker never exists without
+its data.
 
 Quarantined like the rest of :mod:`..streaming` per SURVEY: streaming
 is an [EXT] surface — the reference is a batch loader.
@@ -100,10 +105,29 @@ def stream_append_to_index(
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         if not batch.take(1):
             return  # empty trigger: nothing appended, nothing logged
+        # replay guard: foreachBatch is at-least-once; a batch whose
+        # commit marker (drift-log row) exists was fully applied —
+        # re-appending it would duplicate index rows. The marker is
+        # keyed by (checkpoint, batch_id): batch ids restart at 0
+        # per checkpoint, and the same index may be fed by several
+        # streams over its lifetime.
+        if engine.sink.catalog.get(log_table) is not None:
+            done = (
+                engine.table(log_table)
+                .where(
+                    (F.col("batch_id") == int(batch_id))
+                    & (F.col("checkpoint") == checkpoint)
+                )
+                .take(1)
+            )
+            if done:
+                return
         report = append(name, batch, **append_kwargs)
         _refresh_index_tables()
         row = report.withColumn(
             "batch_id", F.lit(int(batch_id)).cast("bigint")
+        ).withColumn(
+            "checkpoint", F.lit(checkpoint)
         ).withColumn(
             "rebuild_due",
             (

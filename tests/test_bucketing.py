@@ -539,3 +539,42 @@ def test_ivfpq_index_append(engine, spark):
         report.drift_micro,
         report2.drift_micro,
     )
+
+
+def test_ivfpq_search_detects_half_appended_index(engine, spark):
+    """The m-codes-per-vector count identity: vectors appended
+    without their codes (a failure between append_to_ivfpq_index's
+    two writes — same build id on both tables, invisible to the id
+    check) refuse to serve instead of silently dropping the batch
+    from ADC scoring."""
+    from quasar_destination_h2_spark.idents import storage_safe_name
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    engine.build_ivfpq_index("ipqtear", emb.where("vec_id % 2 = 0"))
+    # simulate the torn append: vectors land, codes never do
+    stored = engine.table("ipqtear_vectors")
+    bid = stored.select("build_id").first().build_id
+    extra = (
+        emb.where("vec_id % 2 = 1")
+        .limit(7)
+        .select(
+            F.col("vec_id") + 1_000_000,
+            F.col("embedding"),
+            F.lit(0).cast("bigint").alias("sim_micro"),
+            F.lit(bid).alias("build_id"),
+            F.lit(3).cast("bigint").alias("centroid_id"),
+        )
+        .toDF("vec_id", "embedding", "sim_micro", "build_id", "centroid_id")
+    )
+    (
+        extra.write.mode("append")
+        .format("parquet")
+        .partitionBy("centroid_id")
+        .saveAsTable(storage_safe_name("ipqtear_vectors"))
+    )
+    engine._ann_verified.pop("ivfpq:ipqtear", None)
+    queries = emb.where("vec_id < 2").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    with pytest.raises(ValueError, match="torn.*code rows"):
+        engine.ivfpq_search("ipqtear", queries, topk=3)

@@ -287,3 +287,45 @@ def test_timestamp_with_time_zone_round_trips(engine, spark):
         for f in engine.table("scr_tz").schema.fields
     ] == [("t_instant", "timestamp"), ("t_wall", "timestamp_ntz")]
     engine.drop_table_if_exists("scr_tz")
+
+
+def test_script_quotes_hostile_identifiers(engine, spark):
+    """A logical name/column containing double quotes dumps with
+    H2's doubled-quote escaping and restores through RUNSCRIPT —
+    hostile identifiers are a first-class repo theme."""
+    name = 'scr "odd" nm'
+    engine.drop_table_if_exists(name)
+    engine.create_table_as(
+        name, spark.sql('SELECT CAST(1 AS INT) AS `a "q" col`').limit(0)
+    )
+    lines = [
+        r.SCRIPT
+        for r in engine.execute_sql(
+            'SCRIPT NODATA TABLE "scr ""odd"" nm"'
+        ).collect()
+    ]
+    assert lines == [
+        'CREATE CACHED TABLE "scr ""odd"" nm"("a ""q"" col" INTEGER);'
+    ]
+    engine.drop_table_if_exists(name)
+    engine.execute_sql(lines[0].rstrip(";"))
+    assert [f.name for f in engine.table(name).schema.fields] == [
+        'a "q" col'
+    ]
+    engine.drop_table_if_exists(name)
+
+
+def test_explain_rejects_csvwrite_side_effect(engine, spark):
+    """EXPLAIN never executes: CSVWRITE (a file-writing CALL) is
+    rejected BEFORE its export runs — the same no-side-effect
+    contract as the NEXTVAL guard."""
+    import os
+    import tempfile
+
+    out = os.path.join(tempfile.mkdtemp(), "never_written.csv")
+    spark.range(3).toDF("x").createOrReplaceTempView("scr_ev")
+    with pytest.raises(ValueError, match="side effect"):
+        engine.execute_sql(
+            f"EXPLAIN CALL CSVWRITE('{out}', 'SELECT x FROM scr_ev')"
+        )
+    assert not os.path.exists(out)

@@ -917,6 +917,18 @@ def test_h2_set_commands(engine):
         engine.execute_sql("SET MODE MySQL")
     with pytest.raises(ValueError, match="unknown H2"):
         engine.execute_sql("SET NO_SUCH_KNOB 1")
-    # Spark-native spelling passes through untouched
-    engine.execute_sql("SET spark.sql.ansi.enabled = true").collect()
-    engine.execute_sql("SET spark.sql.ansi.enabled = false").collect()
+    # Spark-native spellings pass through untouched: conf write,
+    # conf READ (no '='), and SET TIME ZONE (Spark grammar; H2
+    # 1.4.200 has no time zone setting)
+    prior = engine.spark.conf.get("spark.sql.ansi.enabled")
+    try:
+        engine.execute_sql("SET spark.sql.ansi.enabled = true").collect()
+        rows = engine.execute_sql("SET spark.sql.ansi.enabled").collect()
+        assert rows and rows[0][1] == "true"
+    finally:
+        engine.spark.conf.set("spark.sql.ansi.enabled", prior)
+    tz = engine.spark.conf.get("spark.sql.session.timeZone")
+    try:
+        engine.execute_sql("SET TIME ZONE 'UTC'")
+    finally:
+        engine.spark.conf.set("spark.sql.session.timeZone", tz)

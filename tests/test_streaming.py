@@ -560,3 +560,69 @@ def test_streaming_index_maintenance_text(spark, warehouse_dir):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_streaming_index_append_replay_is_skipped(spark, warehouse_dir):
+    """The at-least-once replay guard: a micro-batch whose commit
+    marker (checkpoint, batch_id) already exists in the drift log is
+    skipped without touching the index — simulated by planting the
+    marker a crashed-after-append run would have left."""
+    import json
+
+    from pyspark.sql import functions as F2
+
+    from quasar_destination_h2_spark.engine import Engine
+    from quasar_destination_h2_spark.streaming import (
+        read_embeddings_stream,
+        stream_append_to_index,
+    )
+
+    engine = Engine.from_config(
+        json.dumps({"connectionUri": warehouse_dir}), spark=spark
+    )
+    emb = load_table(spark, SF_DIR, "embeddings")
+    engine.build_ivfpq_index("strrp", emb.where("vec_id % 2 = 0"))
+    src = tempfile.mkdtemp(prefix="rp-src-")
+    ck = tempfile.mkdtemp(prefix="rp-ck-")
+    try:
+        emb.where("vec_id % 2 = 1").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        # plant the marker the first (crashed) run would have left
+        marker = spark.createDataFrame(
+            [(0, 0, 0, 0, 0, ck, False)],
+            "appended_rows bigint, batch_mean_sim_micro bigint, "
+            "build_mean_sim_micro bigint, drift_micro bigint, "
+            "batch_id bigint, checkpoint string, rebuild_due boolean",
+        )
+        engine.append_rows_to_log("strrp_drift_log", marker)
+        before = engine.table("strrp_vectors").count()
+        q = stream_append_to_index(
+            engine,
+            read_embeddings_stream(spark, src),
+            "strrp",
+            "ivfpq",
+            checkpoint=ck,
+        )
+        q.awaitTermination()
+        assert q.exception() is None
+        # skipped: no index rows appended, no second log row
+        assert engine.table("strrp_vectors").count() == before
+        assert engine.table("strrp_drift_log").count() == 1
+        # a FRESH checkpoint (a genuinely new stream) still appends
+        q = stream_append_to_index(
+            engine,
+            read_embeddings_stream(spark, src),
+            "strrp",
+            "ivfpq",
+            checkpoint=tempfile.mkdtemp(prefix="rp-ck2-"),
+        )
+        q.awaitTermination()
+        assert q.exception() is None
+        assert (
+            engine.table("strrp_vectors").count()
+            == before + emb.where("vec_id % 2 = 1").count()
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)

@@ -51,6 +51,44 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _replicate_embeddings(spark, base_emb, k: int, prefix: str):
+    """Stage k jitter-replicas of the embeddings corpus as parquet
+    (shared by every embedding-family probe): replica r offsets
+    vec_id by r*10_000_000 and perturbs each dimension by
+    (r % 7)*0.003 — distinct vectors, same distribution. Returns
+    (dataframe, staged_path)."""
+    from pyspark.sql import functions as F
+    import tempfile
+
+    parts = [base_emb.select("vec_id", "embedding")]
+    for r in range(1, k):
+        parts.append(
+            base_emb.select(
+                (F.col("vec_id") + r * 10_000_000).alias("vec_id"),
+                F.transform(
+                    "embedding",
+                    lambda x: F.round(x.cast("double") + (r % 7) * 0.003, 6),
+                ).alias("embedding"),
+            )
+        )
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    path = tempfile.mkdtemp(prefix=f"{prefix}-emb-{k}x-")
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path), path
+
+
+def _dir_bytes(path: str) -> int:
+    """Recursive on-disk byte total of a staged directory."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+
 def ivf_probe(spark, sf_dir: str) -> dict:
     """Window-vs-aggregation assignment cost at n_list in {16, 256}.
 
@@ -408,25 +446,7 @@ def r10_probe(spark, sf_dir: str) -> dict:
     }
 
     def _replicate_emb(k: int):
-        parts = [base_emb.select("vec_id", "embedding")]
-        for r in range(1, k):
-            parts.append(
-                base_emb.select(
-                    (F.col("vec_id") + r * 10_000_000).alias("vec_id"),
-                    F.transform(
-                        "embedding",
-                        lambda x: F.round(
-                            x.cast("double") + (r % 7) * 0.003, 6
-                        ),
-                    ).alias("embedding"),
-                )
-            )
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        path = tempfile.mkdtemp(prefix=f"r10-emb-{k}x-")
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
+        return _replicate_embeddings(spark, base_emb, k, "r10")[0]
 
     # -- weighted sampling: linear scan, flat top-k --------------------
     for k in (1, 3, 10):
@@ -531,32 +551,9 @@ def pq_probe(spark, sf_dir: str) -> dict:
     out = {"sf_dir": sf_dir, "n_base_vecs": base_emb.count(), "points": []}
 
     def _replicate_emb(k: int):
-        parts = [base_emb.select("vec_id", "embedding")]
-        for r in range(1, k):
-            parts.append(
-                base_emb.select(
-                    (F.col("vec_id") + r * 10_000_000).alias("vec_id"),
-                    F.transform(
-                        "embedding",
-                        lambda x: F.round(
-                            x.cast("double") + (r % 7) * 0.003, 6
-                        ),
-                    ).alias("embedding"),
-                )
-            )
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        path = tempfile.mkdtemp(prefix=f"pq-emb-{k}x-")
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
+        return _replicate_embeddings(spark, base_emb, k, "pq")[0]
 
-    def _du(path: str) -> int:
-        total = 0
-        for root, _dirs, files in os.walk(path):
-            for f in files:
-                total += os.path.getsize(os.path.join(root, f))
-        return total
+    _du = _dir_bytes
 
     engine = None
     for k in (1, 3, 10):
@@ -664,32 +661,9 @@ def ivfpq_probe(spark, sf_dir: str) -> dict:
     out = {"sf_dir": sf_dir, "n_base_vecs": base_emb.count(), "points": []}
 
     def _replicate_emb(k: int):
-        parts = [base_emb.select("vec_id", "embedding")]
-        for r in range(1, k):
-            parts.append(
-                base_emb.select(
-                    (F.col("vec_id") + r * 10_000_000).alias("vec_id"),
-                    F.transform(
-                        "embedding",
-                        lambda x: F.round(
-                            x.cast("double") + (r % 7) * 0.003, 6
-                        ),
-                    ).alias("embedding"),
-                )
-            )
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        path = tempfile.mkdtemp(prefix=f"ipq-emb-{k}x-")
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path)
+        return _replicate_embeddings(spark, base_emb, k, "ipq")[0]
 
-    def _du(path: str) -> int:
-        total = 0
-        for root, _dirs, files in os.walk(path):
-            for f in files:
-                total += os.path.getsize(os.path.join(root, f))
-        return total
+    _du = _dir_bytes
 
     def _queries(src, nq):
         return (
@@ -813,32 +787,9 @@ def bq_probe(spark, sf_dir: str) -> dict:
     out = {"sf_dir": sf_dir, "n_base_vecs": base_emb.count(), "points": []}
 
     def _replicate_emb(k: int):
-        parts = [base_emb.select("vec_id", "embedding")]
-        for r in range(1, k):
-            parts.append(
-                base_emb.select(
-                    (F.col("vec_id") + r * 10_000_000).alias("vec_id"),
-                    F.transform(
-                        "embedding",
-                        lambda x: F.round(
-                            x.cast("double") + (r % 7) * 0.003, 6
-                        ),
-                    ).alias("embedding"),
-                )
-            )
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        path = tempfile.mkdtemp(prefix=f"bq-emb-{k}x-")
-        df.write.mode("overwrite").parquet(path)
-        return spark.read.parquet(path), path
+        return _replicate_embeddings(spark, base_emb, k, "bq")
 
-    def _du(path: str) -> int:
-        total = 0
-        for root, _dirs, files in os.walk(path):
-            for f in files:
-                total += os.path.getsize(os.path.join(root, f))
-        return total
+    _du = _dir_bytes
 
     for k in (1, 3, 10):
         emb, vec_path = _replicate_emb(k)
