@@ -476,6 +476,7 @@ class Engine:
         rerank: bool = True,
         query_id_col: str = "query_id",
         query_vec_col: str = "qv",
+        exclude_query_ids: bool = True,
     ) -> DataFrame:
         """[EXT] Query-table-driven search over a PQ index built by
         :meth:`build_pq_index`: per query, a bounded M x K ADC
@@ -485,10 +486,16 @@ class Engine:
         ``shortlist`` best candidates are reranked with exact cosine
         against the stored vectors (``rerank=False`` returns the raw
         ADC ranking: columns (query_id, vec_id, score_micro, rank)
-        instead of (query_id, vec_id, sim, rank)). Raises on a torn
-        build (mismatched build ids across the three tables); the
-        heavy distinct scans are memoized per build id like
-        ann_topk's."""
+        instead of (query_id, vec_id, sim, rank)).
+        ``exclude_query_ids=True`` (the default) drops candidates
+        whose vec_id equals the query's id — right when query ids
+        live in the corpus id space (corpus-drawn queries, or
+        callers re-using doc ids); pass False when the external
+        query id space may COLLIDE with vec_ids, or a same-id corpus
+        vector is silently excluded from that query's top-k. Raises
+        on a torn build (mismatched build ids across the three
+        tables); the heavy distinct scans are memoized per build id
+        like ann_topk's."""
         from .operators import similarity
 
         codes = self.table(f"{name}_codes")
@@ -523,7 +530,10 @@ class Engine:
         n_short = similarity.PQ_SHORTLIST if shortlist is None else shortlist
         if not rerank:
             return similarity.ann_pq_topk(
-                codes.select("vec_id", "m", "code"), lut, topk
+                codes.select("vec_id", "m", "code"),
+                lut,
+                topk,
+                exclude_query_ids,
             )
         return similarity.ann_pq_rerank(
             vectors.select("vec_id", "embedding"),
@@ -534,6 +544,7 @@ class Engine:
             queries=queries,
             query_id_col=query_id_col,
             query_vec_col=query_vec_col,
+            exclude_self=exclude_query_ids,
         )
 
     def build_ivfpq_index(
@@ -759,6 +770,7 @@ class Engine:
         query_id_col: str = "query_id",
         query_vec_col: str = "qv",
         filter_ids: DataFrame | None = None,
+        exclude_query_ids: bool = True,
     ) -> DataFrame:
         """[EXT] Query-table-driven search over an IVF+PQ index built
         by :meth:`build_ivfpq_index`: per query, the nprobe nearest
@@ -773,9 +785,11 @@ class Engine:
         score_micro, rank). ``filter_ids`` (a frame with a vec_id
         column) restricts candidates BEFORE scoring — the
         filtered-vector-search form; see
-        :func:`operators.similarity.ann_ivfpq_topk`. Raises on a
-        torn build; heavy distinct scans memoized per build id like
-        ann_topk's."""
+        :func:`operators.similarity.ann_ivfpq_topk`.
+        ``exclude_query_ids`` as in :meth:`pq_search`: pass False
+        when the external query id space may collide with vec_ids.
+        Raises on a torn build; heavy distinct scans memoized per
+        build id like ann_topk's."""
         from .operators import similarity
 
         codes = self.table(f"{name}_codes")
@@ -850,6 +864,7 @@ class Engine:
                 probes,
                 topk,
                 allowed=filter_ids,
+                exclude_self=exclude_query_ids,
             )
         n_short = similarity.PQ_SHORTLIST if shortlist is None else shortlist
         short = similarity.ann_ivfpq_topk(
@@ -858,6 +873,7 @@ class Engine:
             probes,
             n_short,
             allowed=filter_ids,
+            exclude_self=exclude_query_ids,
         )
         return similarity.ann_ivfpq_rerank(
             vectors.select("vec_id", "centroid_id", "embedding"),

@@ -93,7 +93,13 @@ def _lit(v) -> str:
         return "TRUE" if v else "FALSE"
     if isinstance(v, int):
         return str(v)
-    return "'" + str(v).replace("'", "''") + "'"
+    # the generated VIEW text is parsed with Spark's DEFAULT string
+    # literals (backslash escapes ON), so a backslash in a catalog
+    # name must itself be escaped or it corrupts the literal — and a
+    # TRAILING backslash would swallow the closing quote and splice
+    # the VALUES row (the hostile-identifier contract covers names,
+    # not just quotes)
+    return "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def _values_view_sql(db: str, view: str, names: list, types: list, rows: list) -> str:

@@ -1339,20 +1339,25 @@ def ann_pq_topk(
     codes: DataFrame,
     lut: DataFrame,
     k: int = 10,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ADC probe: score = exact bigint sum of the M LUT partials for
     each candidate's codes; top-k per query by (score desc, vec_id).
     One pass over the CODES (never the float corpus) joined to the
-    broadcast LUT, partial-aggregated map-side; corpus-drawn queries
-    never rank themselves (the self row is dropped BEFORE ranking —
-    a no-op when queries are external). Output (query_id, vec_id,
-    score_micro, rank)."""
+    broadcast LUT, partial-aggregated map-side. ``exclude_self``
+    drops candidates whose vec_id EQUALS the query id before ranking
+    — correct for corpus-drawn queries (a vector should not rank
+    itself); for an EXTERNAL query table whose id space may collide
+    with vec_ids, pass ``exclude_self=False`` or a same-id corpus
+    vector is silently dropped from that query's top-k. Output
+    (query_id, vec_id, score_micro, rank)."""
     scored = (
         codes.join(F.broadcast(lut), ["m", "code"])
         .groupBy("query_id", "vec_id")
         .agg(F.sum("part_micro").alias("score_micro"))
-        .where(F.col("query_id") != F.col("vec_id"))
     )
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col("vec_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_micro").desc(), F.col("vec_id")
     )
@@ -1430,6 +1435,7 @@ def ann_pq_rerank(
     queries: DataFrame | None = None,
     query_id_col: str = "query_id",
     query_vec_col: str = "qv",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """The production PQ serving path: ADC prunes the corpus to a
     per-query shortlist (one compressed-codes pass), then ONLY the
@@ -1440,8 +1446,9 @@ def ann_pq_rerank(
     query vectors from it directly; without it they are fished back
     out of ``emb`` via the shortlist's query ids (an extra corpus
     scan — fine for one-shot analysis, not for serving).
+    ``exclude_self`` as in :func:`ann_pq_topk`.
     Output (query_id, vec_id, sim, rank), ties to the lower vec_id."""
-    short = ann_pq_topk(codes, lut, shortlist)
+    short = ann_pq_topk(codes, lut, shortlist, exclude_self)
     if queries is not None:
         q = queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -1578,6 +1585,7 @@ def ann_ivfpq_topk(
     probes: DataFrame,
     k: int = 10,
     allowed: DataFrame | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ADC over ONLY the probed inverted lists: the candidate set is
     codes semi-restricted to each query's nprobe centroid ids
@@ -1593,7 +1601,10 @@ def ann_ivfpq_topk(
     deliberately unhinted — a small allow-list broadcasts under AQE,
     a corpus-scale predicate becomes a key join. Post-filtering a
     top-k instead UNDERFILLS results (the classic filtered-ANN
-    trap); the pre-filter keeps k exact within the probed lists."""
+    trap); the pre-filter keeps k exact within the probed lists.
+    ``exclude_self`` as in :func:`ann_pq_topk`: True drops same-id
+    candidates (corpus-drawn queries); pass False when an external
+    query id space may collide with vec_ids."""
     cand = codes.join(F.broadcast(probes), "centroid_id")
     if allowed is not None:
         cand = cand.join(
@@ -1606,8 +1617,9 @@ def ann_ivfpq_topk(
             F.first("centroid_id").alias("centroid_id"),
             F.sum("part_micro").alias("score_micro"),
         )
-        .where(F.col("query_id") != F.col("vec_id"))
     )
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col("vec_id"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_micro").desc(), F.col("vec_id")
     )
@@ -1718,17 +1730,24 @@ def ann_bq_topk(
     codes: DataFrame,
     query_codes: DataFrame,
     k: int = 10,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Hamming probe over the 1-bit codes: per query, the k candidates
     with the fewest differing sign bits (ties to the lower vec_id).
     ``query_codes`` is a bq_encode output re-labeled (query_id, q_lo,
     q_hi) — bounded, broadcast onto ONE pass over the packed codes
-    (16 bytes/row); scoring is XOR+popcount, never FP. Corpus-drawn
-    queries never rank themselves. Output (query_id, vec_id, hamming,
-    rank)."""
+    (16 bytes/row); scoring is XOR+popcount, never FP. ``exclude_self``
+    as in :func:`ann_pq_topk`: True drops same-id candidates
+    (corpus-drawn queries never rank themselves); pass False when an
+    external query id space may collide with vec_ids. Output
+    (query_id, vec_id, hamming, rank)."""
     scored = (
         codes.crossJoin(F.broadcast(query_codes))
-        .where(F.col("query_id") != F.col("vec_id"))
+        .where(
+            F.col("query_id") != F.col("vec_id")
+            if exclude_self
+            else F.lit(True)
+        )
         .select(
             "query_id",
             "vec_id",

@@ -99,7 +99,16 @@ def script_lines(
     if only_tables is None:
         for name in sorted(engine.sequences.names()):
             s = engine.sequences.describe(name)
-            ddl = f'CREATE SEQUENCE {q(name)} START WITH {s["next"]}'
+            # an EXHAUSTED sequence's next value sits past its bound
+            # (and a RESTARTed one may sit below it) — CREATE rejects
+            # an out-of-range START WITH, so clamp the CREATE into
+            # bounds and carry the true position via ALTER ... RESTART
+            # WITH (which, like H2's, is unchecked: MINVALUE is a
+            # cycle restart point, not a floor). The restored sequence
+            # then dispenses — or re-raises exhaustion — exactly where
+            # the dumped one would.
+            start = min(max(s["next"], s["min"]), s["max"])
+            ddl = f"CREATE SEQUENCE {q(name)} START WITH {start}"
             if s["inc"] != 1:
                 ddl += f' INCREMENT BY {s["inc"]}'
             ddl += f' MINVALUE {s["min"]} MAXVALUE {s["max"]}'
@@ -108,6 +117,10 @@ def script_lines(
             if s["cache"] is not None:
                 ddl += f' CACHE {s["cache"]}'
             lines.append(ddl + ";")
+            if start != s["next"]:
+                lines.append(
+                    f'ALTER SEQUENCE {q(name)} RESTART WITH {s["next"]};'
+                )
         names = sorted(engine.sink.catalog)
     else:
         by_cf = {str(k).casefold(): str(k) for k in engine.sink.catalog}

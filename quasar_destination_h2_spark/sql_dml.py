@@ -916,7 +916,12 @@ def _rewrite_nextval_select(engine, source: str):
                 "source is not supported with per-row allocation"
             )
     rn_col = f"__seq_rn_{uuid.uuid4().hex[:8]}__"
-    inner = engine.spark.sql("SELECT * " + tail)
+    # _resolve_sql, not bare spark.sql: the source FROM may name an
+    # engine-catalog LOGICAL table (physical names are fingerprint-
+    # suffixed), exactly like the non-NEXTVAL INSERT path. Datasets
+    # analyze eagerly, so the transient binding is baked into the
+    # plan before _resolve_sql drops it.
+    inner = _resolve_sql(engine, "SELECT * " + tail)
     src_cols = list(inner.columns)
     inner_rn = inner.withColumn(
         rn_col,

@@ -578,3 +578,34 @@ def test_ivfpq_search_detects_half_appended_index(engine, spark):
     )
     with pytest.raises(ValueError, match="torn.*code rows"):
         engine.ivfpq_search("ipqtear", queries, topk=3)
+
+
+def test_search_self_exclusion_is_explicit(engine, spark):
+    """r10 advisor: the top-k probes drop candidates whose vec_id
+    equals the query id — right for corpus-drawn queries, wrong when
+    an EXTERNAL query id happens to collide with a corpus id. The
+    exclusion is now a flag: exclude_query_ids=False serves the
+    colliding corpus vector (it's the exact query vector here, so it
+    must rank first); the default keeps the corpus-drawn contract."""
+    emb = load_table(spark, SF_DIR, "embeddings").where("vec_id < 64")
+    engine.build_pq_index("pqxs", emb)
+    # external query whose id COLLIDES with corpus vec_id 5 and whose
+    # vector IS vector 5 — exact self-similarity 1.0
+    queries = (
+        emb.where("vec_id = 5")
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        .localCheckpoint()
+    )
+    dropped = engine.pq_search("pqxs", queries, topk=5)
+    assert 5 not in [r.vec_id for r in dropped.collect()]
+    served = engine.pq_search(
+        "pqxs", queries, topk=5, exclude_query_ids=False
+    ).collect()
+    assert [r.vec_id for r in served if r.rank == 1] == [5]
+    engine.build_ivfpq_index("ipqxs", emb)
+    dropped = engine.ivfpq_search("ipqxs", queries, topk=5)
+    assert 5 not in [r.vec_id for r in dropped.collect()]
+    served = engine.ivfpq_search(
+        "ipqxs", queries, topk=5, exclude_query_ids=False
+    ).collect()
+    assert [r.vec_id for r in served if r.rank == 1] == [5]

@@ -144,3 +144,30 @@ def test_information_schema_hostile_names(engine):
         "WHERE TABLE_NAME LIKE 'weird%'"
     )
     assert [r.TABLE_NAME for r in df.collect()] == [hostile]
+
+
+def test_information_schema_backslash_names(engine):
+    """r10 advisor: the literal-VALUES views are parsed with Spark's
+    DEFAULT backslash-escaped string literals, so a catalog name
+    carrying backslashes — including a TRAILING one, which would
+    otherwise swallow the closing quote and splice the row — must be
+    escaped as data, and one hostile name must not poison every
+    INFORMATION_SCHEMA statement."""
+    hostile = "weird\\table\\"
+    engine.csv_create_sink().consume(
+        "/" + hostile, [Column("c", ColumnType.STRING)], b""
+    )
+    names = [
+        r.TABLE_NAME
+        for r in engine.execute_sql(
+            "SELECT TABLE_NAME FROM INFORMATION_SCHEMA.TABLES"
+        ).collect()
+    ]
+    assert hostile in names
+    cols = [
+        (r.TABLE_NAME, r.COLUMN_NAME)
+        for r in engine.execute_sql(
+            "SELECT TABLE_NAME, COLUMN_NAME FROM INFORMATION_SCHEMA.COLUMNS"
+        ).collect()
+    ]
+    assert (hostile, "c") in cols

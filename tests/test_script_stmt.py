@@ -329,3 +329,36 @@ def test_explain_rejects_csvwrite_side_effect(engine, spark):
             f"EXPLAIN CALL CSVWRITE('{out}', 'SELECT x FROM scr_ev')"
         )
     assert not os.path.exists(out)
+
+
+def test_exhausted_sequence_round_trips(engine):
+    """r10 advisor: an EXHAUSTED sequence's next value sits past
+    MAXVALUE, which CREATE SEQUENCE rejects as a START WITH — the
+    dump clamps the CREATE into bounds and carries the true position
+    via ALTER ... RESTART WITH, so the restored sequence re-raises
+    exhaustion instead of failing the restore (and never re-dispenses
+    an already-dispensed value)."""
+    from quasar_destination_h2_spark.sequences import SequenceError
+
+    engine.execute_sql("DROP SEQUENCE IF EXISTS scr_exh")
+    engine.execute_sql("CREATE SEQUENCE scr_exh START WITH 1 MAXVALUE 2")
+    engine.execute_sql("SELECT NEXTVAL('scr_exh') AS v").collect()
+    engine.execute_sql("SELECT NEXTVAL('scr_exh') AS v").collect()
+    with pytest.raises(SequenceError, match="run out"):
+        engine.execute_sql("SELECT NEXTVAL('scr_exh') AS v").collect()
+    lines = [r.SCRIPT for r in engine.execute_sql("SCRIPT NODATA").collect()]
+    assert (
+        'CREATE SEQUENCE "scr_exh" START WITH 2 MINVALUE 1 MAXVALUE 2;'
+        in lines
+    )
+    assert 'ALTER SEQUENCE "scr_exh" RESTART WITH 3;' in lines
+    f = os.path.join(tempfile.mkdtemp(), "exh.sql")
+    with open(f, "w") as fh:
+        fh.write(
+            "\n".join(ln for ln in lines if "scr_exh" in ln) + "\n"
+        )
+    engine.execute_sql("DROP SEQUENCE scr_exh")
+    engine.execute_sql(f"RUNSCRIPT FROM '{f}'")
+    with pytest.raises(SequenceError, match="run out"):
+        engine.execute_sql("SELECT NEXTVAL('scr_exh') AS v").collect()
+    engine.execute_sql("DROP SEQUENCE scr_exh")

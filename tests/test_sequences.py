@@ -524,3 +524,22 @@ def test_sequence_legacy_merge_values(engine):
             "MERGE INTO seq_mv tg USING (SELECT 1 AS sk) AS s ON tg.k = s.sk "
             "WHEN NOT MATCHED THEN INSERT (k, v) VALUES (NEXTVAL('mg2'), 'x')"
         )
+
+
+def test_sequence_table_source_logical_name(engine):
+    """r10 advisor: the NEXTVAL INSERT source's FROM tail goes through
+    the same logical-name resolution as the non-NEXTVAL INSERT path —
+    engine-catalog names (whose PHYSICAL storage names are
+    fingerprint-suffixed) resolve in ``INSERT INTO t SELECT
+    NEXTVAL(..), v FROM <logical>``."""
+    engine.execute_sql("CREATE SEQUENCE lgn")
+    engine.csv_create_sink().consume("/seq_lgn", COLS, b"1,a\r\n2,b\r\n")
+    # the logical name is NOT natively resolvable (that's the point)
+    assert not engine.spark.catalog.tableExists("seq_lgn")
+    n = engine.execute_sql(
+        "INSERT INTO seq_lgn (k, v) SELECT NEXTVAL('lgn'), v FROM seq_lgn"
+    )
+    assert n == 2
+    got = sorted((float(r.k), r.v) for r in engine.table("seq_lgn").collect())
+    assert got == [(1.0, "a"), (1.0, "a"), (2.0, "b"), (2.0, "b")]
+    assert engine.execute_sql("SELECT NEXTVAL('lgn') AS v").collect()[0].v == 3
