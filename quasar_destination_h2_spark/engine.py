@@ -884,6 +884,291 @@ class Engine:
             query_vec_col=query_vec_col,
         )
 
+    def build_ivfbq_index(
+        self,
+        name: str,
+        emb: DataFrame,
+        n_list: int = 16,
+        kmeans_iters: int = 2,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """[EXT] Build-once IVF+BQ index — the coarse quantizer
+        composed over the 1-bit sign codes, closing the one
+        O(corpus)-per-batch probe in the ANN family (the flat
+        Hamming scan of ``ann_bq_topk``): IVF bounds WHICH codes a
+        probe touches (nprobe of n_list inverted lists), sign
+        quantization bounds what each touched code COSTS (16 B of
+        packed bits vs 256 B of float32). Probe I/O at 100 TB ~
+        corpus x (nprobe/n_list) x (1/16).
+
+        Stores three tables under a shared build id:
+        ``{name}_vectors`` (vec_id, embedding, sim_micro,
+        centroid_id) and ``{name}_codes`` (vec_id, sig_lo, sig_hi,
+        centroid_id), both directory-PARTITIONED by centroid_id so a
+        probe's broadcast list join dynamically prunes the files
+        read to the probed lists; ``{name}_centroids`` (the
+        k-means-refined coarse quantizer, carrying the build-mean
+        drift baseline). Unlike IVFPQ there is NO codebook table —
+        the sign quantizer is parameterless, so the coarse centroids
+        are the only trained state. The sign encode rides the stored
+        assignment (zero extra corpus pass); heavy writes land
+        first; :meth:`ivfbq_search` verifies build-id agreement and
+        the 1-code-per-vector count identity before serving (the
+        build_ivf_index torn-state protocol)."""
+        from pyspark.sql import functions as F
+
+        from .operators import similarity
+
+        cents = (
+            similarity.kmeans_refine(
+                emb, id_col, vec_col, n_list, iters=kmeans_iters
+            )
+            if kmeans_iters
+            else similarity.ivf_centroids(
+                emb, id_col, vec_col, n_list
+            ).localCheckpoint()
+        )
+        build_id = random_alphanum()
+        self._ann_verified.pop(f"ivfbq:{name}", None)
+        assigned = similarity._assign_scored(emb, cents, id_col, vec_col)
+        self.materialize_partitioned(
+            f"{name}_vectors",
+            assigned.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+                "sim_micro",
+                F.lit(build_id).alias("build_id"),
+                "centroid_id",
+            ),
+            ["centroid_id"],
+        )
+        stored = self.table(f"{name}_vectors")
+        codes = similarity.ivfbq_encode(
+            stored, cents, assigned=stored
+        )
+        self.materialize_partitioned(
+            f"{name}_codes",
+            codes.select(
+                "vec_id",
+                "sig_lo",
+                "sig_hi",
+                F.lit(build_id).alias("build_id"),
+                "centroid_id",
+            ),
+            ["centroid_id"],
+        )
+        row = (
+            self.table(f"{name}_vectors")
+            .agg(
+                F.sum("sim_micro").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()[0]
+        )
+        mean_micro = int(row.s) // int(row.n) if row.s is not None else None
+        self.drop_table_if_exists(f"{name}_centroids")
+        self.create_table_as(
+            f"{name}_centroids",
+            cents.withColumn("build_id", F.lit(build_id)).withColumn(
+                "build_mean_sim_micro",
+                F.lit(mean_micro).cast("bigint"),
+            ),
+        )
+
+    def append_to_ivfbq_index(
+        self,
+        name: str,
+        new_emb: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """[EXT] Incremental append to the IVF+BQ index: the batch is
+        assigned against the STORED centroids (one bounded broadcast,
+        one pass over the batch only — the corpus is never rescanned)
+        and sign-packed in the same projection; both
+        centroid-partitioned tables grow under the build's id, and
+        the one-row drift report of :meth:`append_to_ivf_index`
+        returns — (appended_rows, batch_mean_sim_micro,
+        build_mean_sim_micro, drift_micro), the REBUILD TRIGGER.
+        The sign quantizer being parameterless, appended codes are
+        BY CONSTRUCTION what a rebuild against the same centroids
+        would store — the only drift that exists is coarse-
+        assignment drift, which the report measures. The two table
+        appends are not atomic; a failure between them is caught by
+        ivfbq_search's 1-code-per-vector count identity (checked
+        whenever the build-id memo misses)."""
+        from pyspark.sql import functions as F
+
+        from .idents import storage_safe_name
+        from .operators import similarity
+
+        cents = self.table(f"{name}_centroids")
+        cid = [
+            r.build_id
+            for r in cents.select("build_id").distinct().collect()
+        ]
+        if len(cid) != 1:
+            raise ValueError(
+                f"IVFBQ index {name!r} centroids carry build ids "
+                f"{sorted(cid)} — re-run build_ivfbq_index before appending"
+            )
+        build_mean = cents.select("build_mean_sim_micro").first()[0]
+        batch = similarity._assign_scored(
+            new_emb, cents.select("centroid_id", "cvec"), id_col, vec_col
+        ).localCheckpoint()
+        self._ann_verified.pop(f"ivfbq:{name}", None)
+        (
+            batch.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+                "sim_micro",
+                F.lit(cid[0]).alias("build_id"),
+                "centroid_id",
+            )
+            .write.mode("append")
+            .format("parquet")
+            .partitionBy("centroid_id")
+            .saveAsTable(storage_safe_name(f"{name}_vectors"))
+        )
+        (
+            similarity.ivfbq_encode(batch, cents, id_col, vec_col, assigned=batch)
+            .select(
+                "vec_id",
+                "sig_lo",
+                "sig_hi",
+                F.lit(cid[0]).alias("build_id"),
+                "centroid_id",
+            )
+            .write.mode("append")
+            .format("parquet")
+            .partitionBy("centroid_id")
+            .saveAsTable(storage_safe_name(f"{name}_codes"))
+        )
+        row = batch.agg(
+            F.sum("sim_micro").alias("s"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        batch_mean = int(row.s) // int(row.n) if row.s is not None else None
+        drift = (
+            build_mean - batch_mean
+            if build_mean is not None and batch_mean is not None
+            else None
+        )
+        return self.spark.createDataFrame(
+            [(int(row.n), batch_mean, build_mean, drift)],
+            "appended_rows bigint, batch_mean_sim_micro bigint, "
+            "build_mean_sim_micro bigint, drift_micro bigint",
+        )
+
+    def ivfbq_search(
+        self,
+        name: str,
+        queries: DataFrame,
+        topk: int = 10,
+        nprobe: int = 2,
+        shortlist: int | None = None,
+        rerank: bool = True,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "qv",
+        filter_ids: DataFrame | None = None,
+        exclude_query_ids: bool = True,
+    ) -> DataFrame:
+        """[EXT] Query-table-driven search over an IVF+BQ index built
+        by :meth:`build_ivfbq_index`: per query, the nprobe nearest
+        coarse lists are selected against the bounded stored
+        centroids, the query's own sign bits score ONLY the codes in
+        those lists by XOR+popcount (the broadcast probe join
+        dynamically prunes the partitioned codes scan to
+        nprobe/n_list of the files), and the ``shortlist`` best
+        candidates are exact-cosine reranked against the stored
+        vectors — whose (centroid_id, vec_id) point lookups prune
+        the same way. ``rerank=False`` returns the raw Hamming
+        ranking (query_id, vec_id, centroid_id, hamming, rank).
+        ``filter_ids`` / ``exclude_query_ids`` as in
+        :meth:`ivfpq_search`. Raises on a torn build (mismatched
+        build ids, or a half-appended index caught by the
+        1-code-per-vector count identity); heavy distinct scans
+        memoized per build id like ann_topk's."""
+        from .operators import similarity
+
+        codes = self.table(f"{name}_codes")
+        vectors = self.table(f"{name}_vectors")
+        cents = self.table(f"{name}_centroids")
+        cid = [
+            r.build_id
+            for r in cents.select("build_id").distinct().collect()
+        ]
+        memo_key = f"ivfbq:{name}"
+        if len(cid) == 1 and self._ann_verified.get(memo_key) == cid[0]:
+            heavy = cid
+        else:
+            heavy = sorted(
+                set(
+                    r.build_id
+                    for r in codes.select("build_id")
+                    .distinct()
+                    .union(vectors.select("build_id").distinct())
+                    .collect()
+                )
+            )
+            # a failure BETWEEN append_to_ivfbq_index's two appends
+            # leaves vectors without sign codes under the SAME build
+            # id — invisible to the id check, silently absent from
+            # Hamming scoring. Every vector carries exactly one code
+            # row; the column-pruned counts ride the same memo as the
+            # id scan (paid once per build/append, never per
+            # steady-state probe).
+            n_codes = codes.count()
+            n_vecs = vectors.count()
+            if n_codes != n_vecs:
+                raise ValueError(
+                    f"IVFBQ index {name!r} is torn: {n_vecs} vectors "
+                    f"but {n_codes} code rows — a failed append; "
+                    "re-run build_ivfbq_index"
+                )
+        if len(cid) != 1 or (heavy and heavy != sorted(cid)):
+            raise ValueError(
+                f"IVFBQ index {name!r} is torn (centroid builds "
+                f"{sorted(cid)} vs codes/vectors builds {heavy}) — "
+                "re-run build_ivfbq_index"
+            )
+        if heavy:
+            self._ann_verified[memo_key] = cid[0]
+        probes = similarity.ivfpq_probe_lists(
+            queries,
+            cents.select("centroid_id", "cvec"),
+            nprobe,
+            query_id_col,
+            query_vec_col,
+        )
+        qc = similarity.bq_query_codes(queries, query_id_col, query_vec_col)
+        if not rerank:
+            return similarity.ann_ivfbq_topk(
+                codes.select("vec_id", "centroid_id", "sig_lo", "sig_hi"),
+                qc,
+                probes,
+                topk,
+                allowed=filter_ids,
+                exclude_self=exclude_query_ids,
+            )
+        n_short = similarity.PQ_SHORTLIST if shortlist is None else shortlist
+        short = similarity.ann_ivfbq_topk(
+            codes.select("vec_id", "centroid_id", "sig_lo", "sig_hi"),
+            qc,
+            probes,
+            n_short,
+            allowed=filter_ids,
+            exclude_self=exclude_query_ids,
+        )
+        return similarity.ann_ivfpq_rerank(
+            vectors.select("vec_id", "centroid_id", "embedding"),
+            short,
+            queries,
+            topk,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        )
+
     def build_text_index(
         self,
         name: str,

@@ -1812,6 +1812,109 @@ def ann_bq_rerank(
 
 
 # ---------------------------------------------------------------------------
+# IVF+BQ composition — the coarse quantizer over the 1-bit codes
+# ---------------------------------------------------------------------------
+#
+# The flat Hamming probe above is deliberately O(corpus) per query
+# batch (16 bytes/row, measured flat at bench sizes — BQ_PROBE_r10).
+# Composing it with the IVF coarse quantizer bounds WHICH codes a
+# probe touches exactly as IVFPQ does for PQ codes: probe I/O ~
+# corpus x (nprobe/n_list) x (16 B / 256 B float32). Unlike PQ, the
+# sign quantizer is PARAMETERLESS — appends never drift against a
+# trained codebook, only against the coarse centroids.
+
+
+def ivfbq_encode(
+    emb: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """One corpus pass producing the composed 1-bit index rows:
+    (vec_id, centroid_id, sig_lo, sig_hi) — each vector
+    coarse-assigned to its IVF list (broadcast n_list centroids) and
+    sign-packed into two bigint halves. The sign packing is a
+    zero-shuffle codegen projection, so composing costs exactly the
+    coarse assignment; pass ``assigned`` (id, vec, centroid_id —
+    e.g. the engine's stored vectors table) to skip even that."""
+    if dim != 64:
+        raise ValueError(
+            f"ivfbq_encode packs exactly 64 sign bits (got dim={dim}); "
+            "extend the _BQ_SIG word slices for other dimensions"
+        )
+    if assigned is None:
+        assigned = ivf_assign(emb, cents, id_col, vec_col)
+    return assigned.select(
+        F.col(id_col).alias("vec_id"),
+        "centroid_id",
+        F.expr(_BQ_SIG.format(v=vec_col, off=1)).alias("sig_lo"),
+        F.expr(_BQ_SIG.format(v=vec_col, off=33)).alias("sig_hi"),
+    )
+
+
+def ann_ivfbq_topk(
+    codes: DataFrame,
+    query_codes: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    allowed: DataFrame | None = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Hamming over ONLY the probed inverted lists: candidates are
+    the composed codes semi-restricted to each query's nprobe
+    centroid ids (broadcast probe-list join — over a
+    centroid_id-PARTITIONED store this dynamically prunes the files
+    read), scored by XOR+popcount against the broadcast query sign
+    bits, top-k per query (ties to the lower vec_id). ``allowed`` /
+    ``exclude_self`` as in :func:`ann_ivfpq_topk` — the metadata
+    pre-filter lands BEFORE scoring, and same-id drops are for
+    corpus-drawn queries only. Output (query_id, vec_id,
+    centroid_id, hamming, rank)."""
+    cand = codes.join(F.broadcast(probes), "centroid_id")
+    if allowed is not None:
+        cand = cand.join(allowed.select("vec_id"), "vec_id", "left_semi")
+    scored = cand.join(F.broadcast(query_codes), "query_id").select(
+        "query_id",
+        "vec_id",
+        "centroid_id",
+        (
+            F.bit_count(F.col("sig_lo").bitwiseXOR(F.col("q_lo")))
+            + F.bit_count(F.col("sig_hi").bitwiseXOR(F.col("q_hi")))
+        )
+        .cast("bigint")
+        .alias("hamming"),
+    )
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming"), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "centroid_id", "hamming", "rank")
+    )
+
+
+def bq_query_codes(
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """Sign-pack an arbitrary query table into the (query_id, q_lo,
+    q_hi) frame the Hamming probes broadcast — the same _BQ_SIG
+    packing the corpus encode uses, so query and corpus bits agree
+    bit-for-bit."""
+    return queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.expr(_BQ_SIG.format(v=query_vec_col, off=1)).alias("q_lo"),
+        F.expr(_BQ_SIG.format(v=query_vec_col, off=33)).alias("q_hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # MMR — maximal marginal relevance (diverse top-k selection)
 # ---------------------------------------------------------------------------
 

@@ -1,12 +1,11 @@
 """[EXT] North-star extension catalog (SURVEY §2.3).
 
 LLM-data-pipeline operators beyond the reference's own surface,
-registered as conformance queries. Wherever the semantics are
-SQL-expressible the DuckDB oracle reproduces the operator *exactly* —
-including MinHash signatures and SimHash bits, which use md5 (not an
-engine-specific hash) precisely so both engines compute identical
-values. Approximate sketches (HLL / KLL) are registered without an
-oracle → the driver records the weaker rows-only check.
+registered as conformance queries. EVERY registration here is
+oracle-paired: the DuckDB oracle reproduces the operator *exactly* —
+including MinHash signatures, SimHash bits and the HLL/KLL sketches,
+which use md5 (not an engine-specific hash) precisely so both
+engines compute identical values.
 
 Implementations live in ``..operators``; this module is registration
 plus the generated oracle SQL (several oracles are built
@@ -5369,3 +5368,350 @@ def q_mmr_diverse_topk(t: TableSet) -> DataFrame:
         .join(emb.select("vec_id", "embedding"), "vec_id")
     )
     return similarity.mmr_select(cand, 5).orderBy("query_id", "step")
+
+
+# ---------------------------------------------------------------------------
+# IVF+BQ composition (similarity.ivfbq_* / engine.build_ivfbq_index —
+# the coarse quantizer over the 1-bit sign codes). Closes the ANN
+# family's one O(corpus)-per-batch probe: the flat Hamming scan of
+# ann_bq_topk becomes a partition-pruned scan of nprobe/n_list of the
+# packed codes, exactly as IVFPQ bounds PQ codes. Unlike PQ the sign
+# quantizer is parameterless, so the coarse centroids are the only
+# trained state and appends can never drift against a codebook.
+# ---------------------------------------------------------------------------
+
+
+def _ivfbq_ctes(qcte: str, k: int, nprobe: int = 2) -> str:
+    """The shared IVFBQ oracle pipeline, parametrized by the query
+    CTE (``iq`` must expose (query_id, qv) over double[] vectors;
+    corpus rows come from ``e`` of the k-means CTEs): query sign
+    packing, probe-list selection against the refined centroids, the
+    composed (vec_id, centroid_id, sig_lo, sig_hi) index rows,
+    XOR+popcount Hamming restricted to each query's nprobe lists,
+    the PQ_SHORTLIST cut, and the exact rerank to ``k``. Replays
+    similarity.bq_query_codes / ivfpq_probe_lists / ivfbq_encode /
+    ann_ivfbq_topk / ann_ivfpq_rerank term for term."""
+    return f"""iq AS ({qcte}),
+    ibq AS (SELECT query_id, {_BQ_LO.format(v='qv')} AS q_lo,
+                   {_BQ_HI.format(v='qv')} AS q_hi FROM iq),
+    ibpl AS (
+      SELECT query_id, centroid_id FROM (
+        SELECT iq.query_id, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY iq.query_id
+                 ORDER BY round(list_cosine_similarity(iq.qv, c.cvec), 6) DESC,
+                          c.centroid_id) AS rn
+        FROM iq CROSS JOIN {_KM_CENTS} c) WHERE rn <= {nprobe}),
+    ibsig AS (SELECT vec_id, {_BQ_LO.format(v='v')} AS sig_lo,
+                     {_BQ_HI.format(v='v')} AS sig_hi FROM e),
+    ibsc AS (
+      SELECT pl.query_id, s.vec_id, ka.centroid_id,
+             CAST(bit_count(xor(s.sig_lo, q.q_lo))
+                + bit_count(xor(s.sig_hi, q.q_hi)) AS BIGINT) AS hamming
+      FROM ibsig s
+      JOIN {_KM_ASSIGN} ka USING (vec_id)
+      JOIN ibpl pl ON pl.centroid_id = ka.centroid_id
+      JOIN ibq q ON q.query_id = pl.query_id
+      WHERE pl.query_id <> s.vec_id),
+    ibshort AS (
+      SELECT query_id, vec_id, centroid_id, hamming,
+             CAST(rank AS INT) AS rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY hamming, vec_id) AS rank
+        FROM ibsc) WHERE rank <= {similarity.PQ_SHORTLIST}),
+    ibrr AS (
+      SELECT query_id, vec_id, sim, CAST(r AS INT) AS rank FROM (
+        SELECT s.query_id, s.vec_id,
+               round(list_cosine_similarity(q.qv, e2.v), 6) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id
+                 ORDER BY round(list_cosine_similarity(q.qv, e2.v), 6) DESC,
+                          s.vec_id) AS r
+        FROM ibshort s JOIN e e2 ON e2.vec_id = s.vec_id
+                       JOIN iq q ON q.query_id = s.query_id) WHERE r <= {k})"""
+
+
+_IVFBQ_CORPUS_Q = "SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3"
+
+
+def _ivfbq_spark_parts(t: TableSet, nq: int = 3):
+    """Shared Spark-side IVFBQ build for the operator-level queries:
+    (emb, queries, codes, probes, query_codes) over the
+    k-means-refined coarse quantizer."""
+    emb = t.embeddings
+    cents = similarity.kmeans_refine(emb)
+    codes = similarity.ivfbq_encode(emb, cents)
+    q = emb.where(f"vec_id < {nq}").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    probes = similarity.ivfpq_probe_lists(q, cents, 2)
+    qc = similarity.bq_query_codes(q)
+    return emb, q, codes, probes, qc
+
+
+@query(
+    "ann_ivfbq_hamming",
+    oracle=f"""
+    WITH {_KM_CTES},
+    {_ivfbq_ctes(_IVFBQ_CORPUS_Q, 5)}
+    SELECT query_id, vec_id, centroid_id, hamming, rank
+    FROM ibshort WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def q_ann_ivfbq_hamming(t: TableSet) -> DataFrame:
+    """The composed IVF+BQ probe at the Hamming level: each query
+    picks its nprobe=2 nearest k-means-refined lists (bounded
+    centroid cross), and ONLY the packed sign codes in those lists
+    are XOR+popcount-scored — candidate I/O ~ corpus x
+    (nprobe/n_list) x (16 B / 256 B float32), turning the flat
+    ann_bq_topk scan into a pruned one. Pure integer arithmetic;
+    ranks replay identically in SQL."""
+    _, _, codes, probes, qc = _ivfbq_spark_parts(t)
+    return similarity.ann_ivfbq_topk(codes, qc, probes, 10).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
+    "ann_ivfbq_search",
+    oracle=f"""
+    WITH {_KM_CTES},
+    {_ivfbq_ctes(_IVFBQ_CORPUS_Q, 5)}
+    SELECT query_id, vec_id, sim, rank FROM ibrr
+    ORDER BY query_id, rank
+    """,
+)
+def q_ann_ivfbq_search(t: TableSet) -> DataFrame:
+    """The full IVF+BQ serving path: probe-list selection -> Hamming
+    over the probed lists only -> PQ_SHORTLIST cut -> exact cosine
+    rerank of just the shortlisted vectors. Same contract as the
+    IVFPQ serving form at a quarter of its code bytes per candidate
+    (16 B signs vs M=8 ints + lookup tables); the recall query next
+    door places the two on the compression/recall curve."""
+    emb, q, codes, probes, qc = _ivfbq_spark_parts(t)
+    short = similarity.ann_ivfbq_topk(
+        codes, qc, probes, similarity.PQ_SHORTLIST
+    )
+    return similarity.ann_ivfpq_rerank(emb, short, q, 5).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
+    "ann_ivfbq_recall",
+    oracle=f"""
+    WITH {_KM_CTES},
+    {_ivfbq_ctes("SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10", 5)},
+    bex AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e2.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(q.qv, e2.v), 6) DESC,
+                          e2.vec_id) AS r
+        FROM iq q CROSS JOIN e e2 WHERE e2.vec_id <> q.query_id) WHERE r <= 5),
+    bha AS (
+      SELECT bex.query_id, COUNT(*) AS n FROM bex
+      JOIN (SELECT query_id, vec_id FROM ibshort WHERE rank <= 5) a
+        ON bex.query_id = a.query_id AND bex.neighbor_id = a.vec_id
+      GROUP BY bex.query_id),
+    bhr AS (
+      SELECT bex.query_id, COUNT(*) AS n FROM bex
+      JOIN ibrr ON bex.query_id = ibrr.query_id
+               AND bex.neighbor_id = ibrr.vec_id
+      GROUP BY bex.query_id)
+    SELECT x.query_id,
+           CAST(COALESCE(bha.n, 0) AS BIGINT) AS n_hit_hamming,
+           CAST(COALESCE(bha.n, 0) * 1000000 / x.n_exact AS BIGINT)
+             AS recall_hamming_ppm,
+           CAST(COALESCE(bhr.n, 0) AS BIGINT) AS n_hit_rerank,
+           CAST(COALESCE(bhr.n, 0) * 1000000 / x.n_exact AS BIGINT)
+             AS recall_rerank_ppm
+    FROM (SELECT query_id, COUNT(*) AS n_exact FROM bex GROUP BY query_id) x
+    LEFT JOIN bha ON x.query_id = bha.query_id
+    LEFT JOIN bhr ON x.query_id = bhr.query_id
+    ORDER BY x.query_id
+    """,
+)
+def q_ann_ivfbq_recall(t: TableSet) -> DataFrame:
+    """The composed 1-bit index's recall contract, both paths: per
+    query, the exact cosine top-5 recovered by (a) the raw
+    partition-pruned Hamming top-5 and (b) the
+    shortlist-then-exact-rerank serving path — measuring coarse-list
+    misses AND sign-quantization error at once. Read beside
+    ann_bq_recall (flat scan, no list misses) and ann_ivfpq_recall
+    (same lists, finer codes) to place IVF+BQ on the
+    compression/recall curve before serving from it."""
+    emb = t.embeddings
+    cents = similarity.kmeans_refine(emb)
+    codes = similarity.ivfbq_encode(emb, cents)
+    q = emb.where("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    probes = similarity.ivfpq_probe_lists(q, cents, 2)
+    qc = similarity.bq_query_codes(q)
+    short = similarity.ann_ivfbq_topk(
+        codes, qc, probes, similarity.PQ_SHORTLIST
+    )
+    ham = similarity.pq_recall(
+        emb, short.where("rank <= 5").select("query_id", "vec_id"), 5
+    ).select(
+        "query_id",
+        F.col("n_hit").alias("n_hit_hamming"),
+        F.col("recall_ppm").alias("recall_hamming_ppm"),
+    )
+    rr = similarity.pq_recall(
+        emb, similarity.ann_ivfpq_rerank(emb, short, q, 5), 5
+    ).select(
+        "query_id",
+        F.col("n_hit").alias("n_hit_rerank"),
+        F.col("recall_ppm").alias("recall_rerank_ppm"),
+    )
+    return ham.join(rr, "query_id").orderBy("query_id")
+
+
+@query(
+    "ivfbq_index_search",
+    oracle=f"""
+    WITH {_KM_CTES},
+    ibxq AS (
+      SELECT ea.vec_id AS query_id,
+             list_transform(range(0, {similarity.EMBED_DIM}),
+                            i -> round((ea.v[i+1] + eb.v[i+1]) / 2, 6)) AS qv
+      FROM e ea JOIN e eb ON eb.vec_id = ea.vec_id + 1
+      WHERE ea.vec_id < 3),
+    {_ivfbq_ctes("SELECT query_id, qv FROM ibxq", 5)}
+    SELECT query_id, vec_id, sim, rank FROM ibrr
+    ORDER BY query_id, rank
+    """,
+)
+def q_ivfbq_index_search(t: TableSet) -> DataFrame:
+    """The IVF+BQ SERVING form through the ENGINE lifecycle:
+    engine.build_ivfbq_index k-means-refines the coarse quantizer
+    and stores vectors + packed sign codes directory-PARTITIONED by
+    centroid_id; an EXTERNAL query table (deterministic pair-average
+    vectors) is answered by engine.ivfbq_search — the broadcast
+    probe-list join dynamically prunes the codes scan to
+    nprobe/n_list of the files (pinned by tests/test_bucketing.py::
+    test_ivfbq_index_lifecycle), the Hamming shortlist is
+    exact-reranked against the same-pruned vector store. The oracle
+    replays the quantizer training, the query sign packing, probe
+    selection, pruned Hamming and rerank in SQL."""
+    import json as _json
+    import tempfile
+
+    from ..engine import Engine
+
+    spark = t.embeddings.sparkSession
+    eng = Engine.from_config(
+        _json.dumps({"connectionUri": tempfile.mkdtemp()}), spark=spark
+    )
+    emb = t.embeddings
+    eng.build_ivfbq_index("ibqsrv", emb)
+    a = emb.select(F.col("vec_id").alias("_ia"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("_ib"), F.col("embedding").alias("_vb"))
+    queries = (
+        a.join(b, F.col("_ib") == F.col("_ia") + 1)
+        .where(F.col("_ia") < 3)
+        .select(
+            F.col("_ia").alias("query_id"),
+            F.zip_with(
+                "_va",
+                "_vb",
+                lambda x, y: F.round(
+                    (x.cast("double") + y.cast("double")) / 2, 6
+                ),
+            ).alias("qv"),
+        )
+    )
+    return eng.ivfbq_search("ibqsrv", queries, topk=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
+    "ivfbq_index_append",
+    oracle=f"""
+    WITH {_KMH_CTES},
+    nb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 2 = 1),
+    ab AS (
+      SELECT vec_id, centroid_id, sim, v FROM (
+        SELECT nb.vec_id, c.centroid_id, nb.v,
+               round(list_cosine_similarity(nb.v, c.cvec), 6) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY nb.vec_id
+                 ORDER BY round(list_cosine_similarity(nb.v, c.cvec), 6) DESC,
+                          c.centroid_id) AS rn
+        FROM nb CROSS JOIN {_KMH_CENTS} c) WHERE rn = 1),
+    asig AS (
+      SELECT vec_id, centroid_id, sim,
+             {_BQ_LO.format(v='v')} AS sig_lo,
+             {_BQ_HI.format(v='v')} AS sig_hi
+      FROM ab),
+    bsim AS (
+      SELECT vec_id, sim FROM (
+        SELECT e2.vec_id,
+               round(list_cosine_similarity(e2.v, c.cvec), 6) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY e2.vec_id
+                 ORDER BY round(list_cosine_similarity(e2.v, c.cvec), 6) DESC,
+                          c.centroid_id) AS rn
+        FROM e e2 CROSS JOIN {_KMH_CENTS} c) WHERE rn = 1),
+    drift AS (
+      SELECT (SELECT SUM({_APPEND_MICRO}) // COUNT(*) FROM bsim)
+           - (SELECT SUM({_APPEND_MICRO}) // COUNT(*) FROM ab) AS d)
+    SELECT centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_appended,
+           CAST(SUM({_APPEND_MICRO}) AS BIGINT) AS sum_sim_micro,
+           CAST(SUM(sig_lo + 3 * sig_hi) AS BIGINT) AS sig_checksum,
+           CAST(d AS BIGINT) AS drift_micro
+    FROM asig, drift
+    GROUP BY centroid_id, d
+    ORDER BY centroid_id
+    """,
+)
+def q_ivfbq_index_append(t: TableSet) -> DataFrame:
+    """Incremental append to the IVF+BQ index through the engine
+    lifecycle: build_ivfbq_index over the even-id half of the corpus,
+    append_to_ivfbq_index with the odd-id half — the batch is
+    assigned against the STORED centroids and sign-packed in the
+    same single batch pass (no quantizer retrains; the sign encoder
+    is parameterless, so appended codes are BY CONSTRUCTION what a
+    rebuild against these centroids would store), lands in both
+    centroid-partitioned tables under the build's id, and the
+    one-row report carries the coarse-assignment drift instrument
+    (the rebuild trigger). Output: the appended batch per inverted
+    list (occupancy, exact sim sum, exact packed-bits checksum) +
+    the constant drift column; the oracle replays the half-corpus
+    training, the frozen-centroid batch assignment, the sign packing
+    and the integer drift arithmetic."""
+    import json as _json
+    import tempfile
+
+    from ..engine import Engine
+
+    spark = t.embeddings.sparkSession
+    eng = Engine.from_config(
+        _json.dumps({"connectionUri": tempfile.mkdtemp()}), spark=spark
+    )
+    emb = t.embeddings
+    eng.build_ivfbq_index("abq2", emb.where("vec_id % 2 = 0"))
+    report = eng.append_to_ivfbq_index("abq2", emb.where("vec_id % 2 = 1"))
+    codes = eng.table("abq2_codes").where("vec_id % 2 = 1")
+    vecs = eng.table("abq2_vectors").where("vec_id % 2 = 1")
+    return (
+        vecs.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_appended"),
+            F.sum("sim_micro").cast("bigint").alias("sum_sim_micro"),
+        )
+        .join(
+            codes.groupBy("centroid_id").agg(
+                F.sum(F.col("sig_lo") + 3 * F.col("sig_hi"))
+                .cast("bigint")
+                .alias("sig_checksum")
+            ),
+            "centroid_id",
+        )
+        .crossJoin(
+            F.broadcast(report.select(F.col("drift_micro").cast("bigint")))
+        )
+        .orderBy("centroid_id")
+    )

@@ -609,3 +609,135 @@ def test_search_self_exclusion_is_explicit(engine, spark):
         "ipqxs", queries, topk=5, exclude_query_ids=False
     ).collect()
     assert [r.vec_id for r in served if r.rank == 1] == [5]
+
+
+def test_ivfbq_index_lifecycle(engine, spark):
+    """Build-once / probe-many for the composed IVF+BQ index (r10
+    verdict task 1 — the partition-pruned form of the flat Hamming
+    scan): build_ivfbq_index stores vectors + packed sign codes
+    directory-PARTITIONED by centroid_id; ivfbq_search's broadcast
+    probe-list join dynamically prunes BOTH partitioned scans to the
+    probed lists, reads no raw embeddings, matches the operator
+    composition, and refuses to serve a torn build."""
+    import re as _re
+
+    from quasar_destination_h2_spark.operators import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    engine.build_ivfbq_index("ibqix", emb)
+    queries = (
+        emb.where("vec_id < 3")
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        .localCheckpoint()
+    )
+    got = engine.ivfbq_search("ibqix", queries, topk=5)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    rows1 = sorted(map(tuple, got.collect()))
+    assert len(rows1) == 15
+    # dynamic partition pruning on BOTH partitioned index scans
+    for tbl in ("ibqix_codes", "ibqix_vectors"):
+        scans = [
+            ln for ln in plan.splitlines() if tbl in ln and "FileScan" in ln
+        ]
+        assert scans, plan
+        assert all("dynamicpruningexpression" in ln for ln in scans), (
+            tbl,
+            scans,
+        )
+    # the probe reads ONLY the stored index tables + the query input
+    assert (
+        len(_re.findall(r"FileScan parquet [^\n]*embeddings\.parquet", plan))
+        == 0
+    ), plan
+    # probe-many: identical answers on a second probe (memoized
+    # torn-check skips the heavy distinct scans)
+    assert rows1 == sorted(
+        map(tuple, engine.ivfbq_search("ibqix", queries, topk=5).collect())
+    )
+    # parity with the operator composition (training is deterministic)
+    cents = similarity.kmeans_refine(emb)
+    codes = similarity.ivfbq_encode(emb, cents)
+    probes = similarity.ivfpq_probe_lists(queries, cents, 2)
+    qc = similarity.bq_query_codes(queries)
+    short = similarity.ann_ivfbq_topk(
+        codes, qc, probes, similarity.PQ_SHORTLIST
+    )
+    direct = sorted(
+        map(tuple, similarity.ann_ivfpq_rerank(emb, short, queries, 5).collect())
+    )
+    assert direct == rows1
+    # torn build: a codes table from a different build refuses to serve
+    engine.materialize_partitioned(
+        "ibqix_codes",
+        engine.table("ibqix_codes")
+        .withColumn("build_id", F.lit("deadbeef"))
+        .localCheckpoint(),
+        ["centroid_id"],
+    )
+    engine._ann_verified.pop("ivfbq:ibqix", None)
+    with pytest.raises(ValueError, match="torn"):
+        engine.ivfbq_search("ibqix", queries, topk=5)
+
+
+def test_ivfbq_index_append_and_tear(engine, spark):
+    """Incremental IVF+BQ append: the batch is assigned against the
+    STORED centroids and sign-packed in one batch pass; appended
+    codes equal what a same-centroid rebuild would store (the sign
+    quantizer is parameterless); a half-appended index (vectors
+    landed, codes did not) is refused by the 1-code-per-vector count
+    identity even though every build id agrees."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    engine.build_ivfbq_index("ibqap", emb.where("vec_id % 2 = 0"))
+    rep = engine.append_to_ivfbq_index(
+        "ibqap", emb.where("vec_id % 2 = 1")
+    ).collect()[0]
+    assert rep.appended_rows == emb.where("vec_id % 2 = 1").count()
+    assert (
+        rep.drift_micro
+        == rep.build_mean_sim_micro - rep.batch_mean_sim_micro
+    )
+    # append ≡ rebuild against the SAME centroids: the appended codes
+    # match a fresh encode of the odd half against the stored quantizer
+    from quasar_destination_h2_spark.operators import similarity
+
+    cents = engine.table("ibqap_centroids").select("centroid_id", "cvec")
+    expect = sorted(
+        map(
+            tuple,
+            similarity.ivfbq_encode(
+                emb.where("vec_id % 2 = 1"), cents
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            engine.table("ibqap_codes")
+            .where("vec_id % 2 = 1")
+            .select("vec_id", "centroid_id", "sig_lo", "sig_hi")
+            .collect(),
+        )
+    )
+    assert got == expect
+    queries = (
+        emb.where("vec_id < 2")
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        .localCheckpoint()
+    )
+    assert engine.ivfbq_search("ibqap", queries, topk=3).count() == 6
+    # tear: append vectors WITHOUT codes under the same build id
+    bid = engine.table("ibqap_centroids").select("build_id").first()[0]
+    from quasar_destination_h2_spark.idents import storage_safe_name
+
+    (
+        engine.table("ibqap_vectors")
+        .where("vec_id < 4")
+        .withColumn("vec_id", F.col("vec_id") + 900000)
+        .write.mode("append")
+        .format("parquet")
+        .partitionBy("centroid_id")
+        .saveAsTable(storage_safe_name("ibqap_vectors"))
+    )
+    engine._ann_verified.pop("ivfbq:ibqap", None)
+    with pytest.raises(ValueError, match="torn.*code rows"):
+        engine.ivfbq_search("ibqap", queries, topk=3)
