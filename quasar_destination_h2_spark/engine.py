@@ -84,6 +84,7 @@ class Engine:
         #: be visible in engine state, not only in an info log.
         self.endpoint_started: bool = False
         self._sequences = None
+        self._constraints = None
         #: ANN serving: build ids whose assignment-side integrity this
         #: engine has already verified (see ann_topk) — keyed by index
         #: name. Invalidated whenever THIS engine rebuilds or appends.
@@ -1419,6 +1420,22 @@ class Engine:
             )
         return self._sequences
 
+    @property
+    def constraints(self):
+        """Recorded PK/UNIQUE constraint registry (accept-and-record,
+        the CREATE INDEX no-op precedent): durable JSON state beside
+        the sequence registry (see constraints.py)."""
+        if self._constraints is None:
+            import os
+
+            from .constraints import Constraints
+            from .sources.sink import CATALOG_TABLE, warehouse_path
+
+            self._constraints = Constraints(
+                os.path.dirname(warehouse_path(self.spark, CATALOG_TABLE))
+            )
+        return self._constraints
+
     # -- surface (H2Destination.scala:37-46) ---------------------------
 
     def csv_create_sink(self) -> CsvCreateSink:
@@ -1482,6 +1499,8 @@ class Engine:
             # tombstoned persist: the merge protocol must not
             # resurrect this name from a concurrent writer's state
             self.sink.drop_mapping(logical_name)
+            # recorded PK/UNIQUE metadata dies with its table
+            self.constraints.drop_table(logical_name)
 
     # -- DML (SURVEY §2.2: INSERT built-in; UPDATE/DELETE/MERGE are
     # documented overwrite-rewrites — parquet tables have no in-place
@@ -1713,6 +1732,7 @@ class Engine:
         self.sink._dropped.add(src)
         self.sink.catalog[new] = physical
         self.sink._persist_catalog()
+        self.constraints.rename_table(src, new)
 
     def drop_all_objects(self) -> None:
         """H2's ``DROP ALL OBJECTS`` scoped to what this engine owns:

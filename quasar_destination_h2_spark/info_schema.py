@@ -153,6 +153,19 @@ _COLUMNS_COLS = [
     ("REMARKS", "STRING"),
 ]
 
+_CONSTRAINTS_COLS = [
+    ("CONSTRAINT_CATALOG", "STRING"),
+    ("CONSTRAINT_SCHEMA", "STRING"),
+    ("CONSTRAINT_NAME", "STRING"),
+    ("CONSTRAINT_TYPE", "STRING"),
+    ("TABLE_CATALOG", "STRING"),
+    ("TABLE_SCHEMA", "STRING"),
+    ("TABLE_NAME", "STRING"),
+    ("COLUMN_LIST", "STRING"),
+    ("REMARKS", "STRING"),
+    ("SQL", "STRING"),
+]
+
 _SEQUENCES_COLS = [
     ("SEQUENCE_CATALOG", "STRING"),
     ("SEQUENCE_SCHEMA", "STRING"),
@@ -233,11 +246,37 @@ def refresh_information_schema(engine: "Engine") -> None:
                 bool(s["cycle"]),
             )
         )
+    # recorded PK/UNIQUE constraints (accept-and-record; see
+    # constraints.py) — H2 spells them in its CONSTRAINTS view with
+    # the quoted COLUMN_LIST; the registry keys are casefolded, so
+    # the spelled logical name comes from the catalog
+    by_cf = {str(k).casefold(): str(k) for k in engine.sink.catalog}
+    krows = []
+    for tkey, entries in engine.constraints.all().items():
+        tname = by_cf.get(tkey)
+        if tname is None:
+            continue  # constraint of a table dropped elsewhere
+        for e in entries:
+            krows.append(
+                (
+                    cat,
+                    "PUBLIC",
+                    e["name"],
+                    e["type"],
+                    cat,
+                    "PUBLIC",
+                    tname,
+                    ",".join(e["columns"]),
+                    "",
+                    None,
+                )
+            )
     spark.sql(f"CREATE DATABASE IF NOT EXISTS `{DB}`")
     for view, cols, rows in (
         ("tables", _TABLES_COLS, trows),
         ("columns", _COLUMNS_COLS, crows),
         ("sequences", _SEQUENCES_COLS, srows),
+        ("constraints", _CONSTRAINTS_COLS, krows),
     ):
         names = [n for n, _ in cols]
         types = [t for _, t in cols]
@@ -282,6 +321,12 @@ def execute_show(engine: "Engine", statement: str, shadow: str, m) -> DataFrame:
             break
     if target is None:
         raise ValueError(f"SHOW COLUMNS: table not found: {name!r}")
+    # recorded constraints fill the KEY column (H2/MySQL spelling:
+    # PRI for a primary-key member, UNI for a unique member)
+    pk_cols, uni_cols = set(), set()
+    for e in engine.constraints.for_table(target):
+        bucket = pk_cols if e["type"] == "PRIMARY KEY" else uni_cols
+        bucket.update(c.casefold() for c in e["columns"])
     rows = []
     for f in engine.table(target).schema.fields:
         tname, _, cmax, prec, scale = h2_type_info(f.dataType)
@@ -291,8 +336,15 @@ def execute_show(engine: "Engine", statement: str, shadow: str, m) -> DataFrame:
             tspell = f"DECIMAL({prec}, {scale})"
         else:
             tspell = tname
+        key = (
+            "PRI"
+            if f.name.casefold() in pk_cols
+            else "UNI"
+            if f.name.casefold() in uni_cols
+            else ""
+        )
         rows.append(
-            (f.name, tspell, "YES" if f.nullable else "NO", "", None)
+            (f.name, tspell, "YES" if f.nullable else "NO", key, None)
         )
     return spark.createDataFrame(
         rows,

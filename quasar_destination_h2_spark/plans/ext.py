@@ -5715,3 +5715,88 @@ def q_ivfbq_index_append(t: TableSet) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# H2 constraint catalog (constraints.py — PK/UNIQUE accept-and-record)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "constraint_catalog_battery",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('constraint', 'CONSTRAINT_1', 'PRIMARY KEY', 'cb11_t', 'id'),
+      ('constraint', 'uq_pair', 'UNIQUE', 'cb11_t', 'a,b'),
+      ('constraint', 'uq_u', 'UNIQUE', 'cb11_t', 'u'),
+      ('key', 'a', 'UNI', 'cb11_t', NULL),
+      ('key', 'b', 'UNI', 'cb11_t', NULL),
+      ('key', 'id', 'PRI', 'cb11_t', NULL),
+      ('key', 'u', 'UNI', 'cb11_t', NULL),
+      ('script', 'line', 'ALTER TABLE "cb11_t" ADD CONSTRAINT '
+        || '"CONSTRAINT_1" PRIMARY KEY("id");', 'cb11_t', NULL)
+    ) AS T(kind, obj, detail, tbl, cols)
+    ORDER BY kind, obj
+    """,
+)
+def q_constraint_catalog_battery(t: TableSet) -> DataFrame:
+    """The H2 constraint surface (r10 verdict task 3) as ONE
+    driver-witnessed statement battery: a constraint-bearing
+    H2-authored dump shape — inline column PRIMARY KEY, a named
+    table-level composite UNIQUE, a schema-qualified ALTER ... ADD
+    CONSTRAINT (exactly what H2's own SCRIPT emits; the reference's
+    init-script path, H2Server.scala:41-58, runs arbitrary user DDL)
+    — is ACCEPTED AND RECORDED (the CREATE INDEX no-op precedent:
+    parquet tables enforce no keys), then read back through the
+    three surfaces a client sees: INFORMATION_SCHEMA.CONSTRAINTS,
+    SHOW COLUMNS' KEY column (PRI/UNI), and the SCRIPT dump's
+    re-emitted ADD CONSTRAINT line. The oracle is the literal
+    expected frame — the fixture is fully determined here, never by
+    sf data."""
+    import json as _json
+    import tempfile
+
+    from ..engine import Engine
+
+    spark = t.documents.sparkSession
+    eng = Engine.from_config(
+        _json.dumps({"connectionUri": tempfile.mkdtemp()}), spark=spark
+    )
+    # the table catalog is warehouse-shared across runs — make the
+    # battery idempotent (information_schema_battery precedent)
+    eng.execute_sql('DROP TABLE IF EXISTS "cb11_t"')
+    eng.execute_sql(
+        'CREATE CACHED TABLE "cb11_t"("id" INT NOT NULL PRIMARY KEY, '
+        '"a" INT, "b" INT, "u" VARCHAR(16), '
+        'CONSTRAINT "uq_pair" UNIQUE("a", "b"))'
+    )
+    eng.execute_sql(
+        'ALTER TABLE PUBLIC."cb11_t" ADD CONSTRAINT PUBLIC."uq_u" '
+        'UNIQUE("u")'
+    )
+    cons = eng.execute_sql(
+        "SELECT 'constraint' AS kind, CONSTRAINT_NAME AS obj, "
+        "CONSTRAINT_TYPE AS detail, TABLE_NAME AS tbl, "
+        "COLUMN_LIST AS cols "
+        "FROM INFORMATION_SCHEMA.CONSTRAINTS WHERE TABLE_NAME = 'cb11_t'"
+    )
+    keys = eng.execute_sql('SHOW COLUMNS FROM "cb11_t"').where(
+        "KEY <> ''"
+    ).selectExpr(
+        "'key' AS kind",
+        "FIELD AS obj",
+        "KEY AS detail",
+        "'cb11_t' AS tbl",
+        "CAST(NULL AS STRING) AS cols",
+    )
+    script = eng.execute_sql("SCRIPT NODATA TABLE cb11_t")
+    pk_line = script.where(
+        F.col("SCRIPT").contains("PRIMARY KEY")
+    ).selectExpr(
+        "'script' AS kind",
+        "'line' AS obj",
+        "SCRIPT AS detail",
+        "'cb11_t' AS tbl",
+        "CAST(NULL AS STRING) AS cols",
+    )
+    return cons.unionByName(keys).unionByName(pk_line).orderBy("kind", "obj")

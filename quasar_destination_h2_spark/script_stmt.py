@@ -137,12 +137,34 @@ def script_lines(
             if only_tables is not None:
                 raise
             continue  # stale catalog entry: introspection never fails
+        # PK members spell NOT NULL like H2's own dumps: Spark's
+        # file-based saveAsTable forces every column nullable, so the
+        # constraint REGISTRY (not the stored schema) is the
+        # authoritative carrier of the PK's NOT NULL intent
+        pk_cols = {
+            c.casefold()
+            for e in engine.constraints.for_table(logical)
+            if e["type"] == "PRIMARY KEY"
+            for c in e["columns"]
+        }
         cols = ", ".join(
             f"{q(f.name)} {_h2_column_type(f)}"
-            + ("" if f.nullable else " NOT NULL")
+            + (
+                ""
+                if f.nullable and f.name.casefold() not in pk_cols
+                else " NOT NULL"
+            )
             for f in schema.fields
         )
         lines.append(f"CREATE CACHED TABLE {q(logical)}({cols});")
+        # recorded PK/UNIQUE constraints round-trip as H2 SCRIPT
+        # spells them: ALTER ... ADD CONSTRAINT lines after the table
+        for e in engine.constraints.for_table(logical):
+            cq = ", ".join(q(c) for c in e["columns"])
+            lines.append(
+                f"ALTER TABLE {q(logical)} ADD CONSTRAINT "
+                f"{q(e['name'])} {e['type']}({cq});"
+            )
     return lines
 
 

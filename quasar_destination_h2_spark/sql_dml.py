@@ -1237,10 +1237,49 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         if not ma:
             return engine.sql(statement)  # ALTER VIEW / ...
         table, pos = _parse_ident(statement, shadow, ma.end())
+        # H2 SCRIPT qualifies its ALTER lines (ALTER TABLE PUBLIC.T
+        # ADD CONSTRAINT ...) — strip the one schema we model
+        if (
+            pos < len(shadow)
+            and shadow[pos] == "."
+            and table.casefold() == "public"
+        ):
+            table, pos = _parse_ident(statement, shadow, pos + 1)
         try:
             logical = _logical(engine, table)
         except NotAResource:
             return engine.sql(statement)  # session-managed table
+        # ADD/DROP CONSTRAINT must match BEFORE the ADD/DROP COLUMN
+        # forms (whose optional COLUMN keyword would otherwise parse
+        # CONSTRAINT as a column name)
+        mcadd = re.compile(
+            r"\s*ADD\s+(?=CONSTRAINT\b|PRIMARY\s+KEY|UNIQUE\s*\("
+            r"|CHECK\b|FOREIGN\b)",
+            re.I,
+        ).match(shadow, pos)
+        if mcadd:
+            seg = statement[mcadd.end() :].rstrip().rstrip(";")
+            parsed = _parse_constraint_clause(seg, _shadow(seg))
+            assert parsed is not None  # lookahead guarantees a clause
+            cname, ctype, cols = parsed
+            resolve_columns(
+                cols,
+                engine.table(logical).columns,
+                f"ALTER TABLE ADD {ctype}: column not found",
+            )
+            engine.constraints.add(logical, ctype, cols, cname)
+            engine._republish_info_schema()
+            return None
+        mcdrop = re.compile(r"\s*DROP\s+CONSTRAINT\s+", re.I).match(
+            shadow, pos
+        )
+        if mcdrop:
+            cname, p3 = _parse_ident(statement, shadow, mcdrop.end())
+            if p3 < len(shadow) and shadow[p3] == ".":
+                cname, _ = _parse_ident(statement, shadow, p3 + 1)
+            engine.constraints.drop(logical, cname)
+            engine._republish_info_schema()
+            return None
         madd = re.compile(r"\s*ADD\s+(COLUMN\s+)?", re.I).match(shadow, pos)
         if madd:
             col, pos2 = _parse_ident(statement, shadow, madd.end())
@@ -1294,15 +1333,69 @@ def _execute_verb(engine, statement: str, shadow: str, m):
     return n
 
 
+def _parse_constraint_clause(seg: str, sshadow: str):
+    """Parse one table-level constraint segment — ``[CONSTRAINT
+    [PUBLIC.]name] PRIMARY KEY|UNIQUE (col, ...)`` → (name_or_None,
+    type, [cols]). CHECK / FOREIGN KEY raise loudly (the documented
+    choice, see constraints.py: a recorded-but-unenforced integrity
+    predicate is worse than an error). Returns None when the segment
+    is not a constraint clause at all."""
+    if not re.match(
+        r"(?:PRIMARY\s+KEY|CONSTRAINT|UNIQUE|FOREIGN|CHECK)\b",
+        sshadow,
+        re.I,
+    ):
+        return None
+    name, pos = None, 0
+    mcon = re.match(r"\s*CONSTRAINT\s+", sshadow, re.I)
+    if mcon:
+        name, pos = _parse_ident(seg, sshadow, mcon.end())
+        if pos < len(sshadow) and sshadow[pos] == ".":
+            # H2 SCRIPT qualifies: CONSTRAINT PUBLIC.CONSTRAINT_4D
+            name, pos = _parse_ident(seg, sshadow, pos + 1)
+    mk = re.compile(r"\s*(PRIMARY\s+KEY|UNIQUE)\s*\(", re.I).match(
+        sshadow, pos
+    )
+    if not mk:
+        raise ValueError(
+            f"constraint clause {seg!r} is unsupported: only PRIMARY "
+            "KEY and UNIQUE are recorded (parquet tables carry no "
+            "enforced keys); CHECK and FOREIGN KEY are rejected "
+            "loudly by design — a recorded-but-unenforced integrity "
+            "predicate would be trusted by catalog readers while no "
+            "write path upholds it"
+        )
+    ctype = (
+        "PRIMARY KEY"
+        if mk.group(1).upper().startswith("PRIMARY")
+        else "UNIQUE"
+    )
+    open_p = pos + (mk.end() - pos) - 1
+    close = _match_close(sshadow, open_p)
+    cols = [
+        _parse_ident(s, _shadow(s), 0)[0]
+        for s in _split_top_level(seg, sshadow, open_p + 1, close)
+    ]
+    return name, ctype, cols
+
+
 def _create_cached_table(engine, statement: str, shadow: str, mcache):
-    """H2 ``CREATE CACHED|MEMORY TABLE name(col type [NOT NULL],
-    ...)`` → an EMPTY engine-catalog table with the declared schema
-    (CACHED is H2's default table kind — its SCRIPT output spells
-    every table this way, and restoring one must land back in the
-    engine catalog, not Spark's session namespace like the plain
-    column-defs form). Constraint clauses raise loudly — parquet
-    tables have no enforced keys, and silently dropping one would
-    corrupt a restore's contract."""
+    """H2 ``CREATE CACHED|MEMORY TABLE name(col type [NOT NULL]
+    [PRIMARY KEY|UNIQUE], ..., [CONSTRAINT name] PRIMARY KEY|UNIQUE
+    (cols), ...)`` → an EMPTY engine-catalog table with the declared
+    schema (CACHED is H2's default table kind — its SCRIPT output
+    spells every table this way, and restoring one must land back in
+    the engine catalog, not Spark's session namespace like the plain
+    column-defs form). PRIMARY KEY / UNIQUE — inline or table-level
+    — are ACCEPTED AND RECORDED in the constraint registry (the
+    CREATE INDEX no-op precedent; parquet tables have no enforced
+    keys) and surfaced through INFORMATION_SCHEMA.CONSTRAINTS and
+    SHOW COLUMNS' KEY column. PK columns are declared NOT NULL like
+    H2's — note Spark's file-based saveAsTable forces stored columns
+    nullable, so the REGISTRY (which SCRIPT re-emits, spelling PK
+    members NOT NULL) is the authoritative carrier of that intent,
+    not the stored parquet schema. CHECK / FOREIGN KEY still raise
+    loudly (documented choice, see constraints.py)."""
     from pyspark.sql import types as T
 
     table, pos = _parse_ident(statement, shadow, mcache.end())
@@ -1311,22 +1404,38 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
         raise ValueError("CREATE CACHED TABLE: expected (column defs)")
     close = _match_close(shadow, open_p)
     fields = []
+    cons: list[tuple] = []  # (name_or_None, type, [cols])
     for seg in _split_top_level(statement, shadow, open_p + 1, close):
         seg = seg.strip()
         sshadow = _shadow(seg)
-        if re.match(
-            r"(?:PRIMARY\s+KEY|CONSTRAINT|UNIQUE|FOREIGN|CHECK)\b",
-            sshadow,
-            re.I,
-        ):
-            raise ValueError(
-                f"CREATE CACHED TABLE: constraint clause {seg!r} is "
-                "unsupported — parquet tables carry no enforced keys"
-            )
+        parsed = _parse_constraint_clause(seg, sshadow)
+        if parsed is not None:
+            cons.append(parsed)
+            continue
         col, p2 = _parse_ident(seg, sshadow, 0)
         type_text = seg[p2:].strip()
+        tshadow = _shadow(type_text)
+        if re.search(r"\b(CHECK|REFERENCES|FOREIGN)\b", tshadow, re.I):
+            raise ValueError(
+                f"column def {seg!r}: CHECK / FOREIGN KEY are rejected "
+                "loudly by design (see constraints.py) — only PRIMARY "
+                "KEY and UNIQUE are recorded"
+            )
+        # H2 column grammar puts the constraint LAST: type [NOT NULL]
+        # [UNIQUE | PRIMARY KEY [HASH]]
+        mck = re.search(
+            r"\s+(PRIMARY\s+KEY(?:\s+HASH)?|UNIQUE)\s*$", tshadow, re.I
+        )
+        pk_col = False
+        if mck:
+            if mck.group(1).upper().startswith("PRIMARY"):
+                pk_col = True
+                cons.append((None, "PRIMARY KEY", [col]))
+            else:
+                cons.append((None, "UNIQUE", [col]))
+            type_text = type_text[: mck.start()].strip()
         nn = re.search(r"\s+NOT\s+NULL\s*$", _shadow(type_text), re.I)
-        nullable = nn is None
+        nullable = nn is None and not pk_col  # H2: PK implies NOT NULL
         if nn:
             type_text = type_text[: nn.start()].strip()
         sp = _h2_type_to_spark(type_text)
@@ -1337,10 +1446,38 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
         fields.append(
             T.StructField(col, T._parse_datatype_string(sp), nullable)
         )
+    declared = {f.name.casefold() for f in fields}
+    for _, ctype, cols in cons:
+        missing = [c for c in cols if c.casefold() not in declared]
+        if missing:
+            raise ValueError(
+                f"CREATE CACHED TABLE: {ctype} references undeclared "
+                f"column(s) {missing}"
+            )
+    # a table-level PK also forces NOT NULL on its columns (H2)
+    pk_cols = {
+        c.casefold()
+        for _, ctype, cols in cons
+        if ctype == "PRIMARY KEY"
+        for c in cols
+    }
+    fields = [
+        T.StructField(f.name, f.dataType, False)
+        if f.name.casefold() in pk_cols
+        else f
+        for f in fields
+    ]
+    ine = mcache.group("ine") is not None
+    if ine and any(
+        k.casefold() == table.casefold() for k in engine.sink.catalog
+    ):
+        return None  # H2 skips the WHOLE statement, constraints too
     df = engine.spark.createDataFrame([], T.StructType(fields))
-    engine.create_table_as(
-        table, df, if_not_exists=mcache.group("ine") is not None
-    )
+    engine.create_table_as(table, df, if_not_exists=ine)
+    for cname, ctype, cols in cons:
+        engine.constraints.add(table, ctype, cols, cname)
+    if cons:
+        engine._republish_info_schema()
     return None
 
 

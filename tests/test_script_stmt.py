@@ -139,10 +139,19 @@ def test_create_cached_table_lands_in_engine_catalog(engine):
         ("b", "string"),
         ("c", "decimal(10,2)"),
     ]
-    with pytest.raises(ValueError, match="constraint"):
+    # r11: PRIMARY KEY is accepted-and-recorded (constraints.py);
+    # CHECK remains the loud rejection
+    engine.execute_sql("DROP TABLE IF EXISTS scr_pk")
+    engine.execute_sql("CREATE CACHED TABLE scr_pk(a INT, PRIMARY KEY (a))")
+    assert [
+        (e["type"], e["columns"])
+        for e in engine.constraints.for_table("scr_pk")
+    ] == [("PRIMARY KEY", ["a"])]
+    with pytest.raises(ValueError, match="rejected loudly"):
         engine.execute_sql(
-            "CREATE CACHED TABLE scr_pk(a INT, PRIMARY KEY (a))"
+            "CREATE CACHED TABLE scr_ck(a INT, CHECK (a > 0))"
         )
+    engine.drop_table_if_exists("scr_pk")
     engine.drop_table_if_exists("scr_cc")
 
 
