@@ -12,6 +12,25 @@ not session boot. Queries chosen to exercise the scale-critical plan
 shapes: single-shuffle partial aggregation, broadcast-dim multi-join,
 window top-k per group, global top-k (TakeOrderedAndProject), and the
 bucketed LSH near-dup join (no cartesian product).
+
+Attribution protocol (r10 VERDICT task 2 — three same-tree r10 runs
+spread calibration 23% and disagreed on which queries "regressed"):
+
+* the 44-query COMMON set (the r9∩r10 round-over-round comparison
+  basis) runs FIRST in the fresh session, before any of the heavy
+  index-build entries can pollute GC/cache;
+* every family (common / index conformance / index serving) is
+  BRACKETED by its own calibration probes — ``family_calibration``
+  in the output — so drift WITHIN a run is visible, not just across
+  runs;
+* per query: one warm run, then best-of-3 timed runs with the
+  relative spread recorded (``queries_spread``: (max-min)/min of the
+  timed runs) — a query whose spread is large is noise, not signal.
+
+Round-over-round comparison: use ``queries_norm`` (per-query best /
+calibration_sec) over the common set, and treat any per-query delta
+smaller than its recorded spread as noise. See BASELINE.md for the
+full protocol.
 """
 
 from __future__ import annotations
@@ -23,7 +42,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-HEADLINE = (
+#: The round-over-round COMMON set (r9∩r10 basis, minus csv_load
+#: which is timed by the load-path block below, inside the same
+#: family bracket). Runs FIRST — see the module docstring.
+COMMON = (
     "agg_pricing_summary",
     "join_inner_broadcast",
     "window_rank",
@@ -57,30 +79,23 @@ HEADLINE = (
     "range_join_sessions",
     # [EXT] flagship composition: dedup -> quality gate -> stable split
     "pipeline_curate",
-    # r6 additions: two-pass LM scoring with broadcast vocabulary
-    # (the DSIR data-selection shape) and the one-scan multi-distinct
-    # profile aggregation (Expand-based) — plan families not yet in
-    # the headline set
+    # r6: two-pass LM scoring with broadcast vocabulary (the DSIR
+    # data-selection shape) and the one-scan multi-distinct profile
+    # aggregation (Expand-based)
     "importance_weights",
     "table_profile",
-    # r7 additions: zero-shuffle chunk explode, the persisted-tf
-    # three-stage tf-idf ranking, the broadcast-median quality gate,
-    # label-excluded contrastive mining, the dual-model PMI build,
-    # and the head-ranked power-sum Zipf fit — the remaining plan
-    # families (sequence-generate fan-out, cached-reuse aggregation
-    # tree, aggregate-broadcast filter, NLJ-by-design ranking,
-    # two-model broadcast join, TakeOrdered + tiny window + OLS)
+    # r7: zero-shuffle chunk explode, persisted-tf tf-idf ranking,
+    # broadcast-median quality gate, label-excluded contrastive
+    # mining, dual-model PMI build, head-ranked power-sum Zipf fit
     "doc_chunking",
     "tfidf_top_terms",
     "quality_filter_percentile",
     "hard_negative_mining",
     "pmi_collocations",
     "zipf_fit",
-    # r8 additions: zero-explode BM25 retrieval (per-row HOF counting
-    # + one-row stats broadcast), the prefix-filtered Jaccard join
-    # (rarest-prefix inverted index + full verification), the
-    # zero-shuffle sorted-neighbors diversity profile, and the
-    # exact-vs-IVF recall contract — the new plan families
+    # r8: zero-explode BM25 retrieval, prefix-filtered Jaccard join,
+    # zero-shuffle sorted-neighbors diversity profile, exact-vs-IVF
+    # recall contract
     "bm25_search",
     "dedup_prefix_filter",
     "lexical_diversity",
@@ -95,9 +110,8 @@ HEADLINE = (
     # sketch-estimator calibration + training-shard balance audit
     "minhash_calibration",
     "shard_balance",
-    # r9 additions: the iterative Lloyd refinement + objective trace
-    # (one corpus pass per round), the refined-index recall contract,
-    # and the query-table batch BM25 (single pruned posting join)
+    # r9: iterative Lloyd refinement + objective trace, refined-index
+    # recall contract, query-table batch BM25
     "kmeans_convergence",
     "ann_ivf_recall_kmeans",
     "bm25_search_many",
@@ -106,26 +120,23 @@ HEADLINE = (
     # form), so this entry times BUILD + probe; production amortizes
     # the build via engine.build_ivf_index and pays only the probe
     "ann_index_search",
-    # r10: the BM25 text-index serving probe (same declaration-vs-
-    # production split: the registered query builds postings in-plan
-    # for the oracle; text_probe_only below is the serving number)
+)
+
+#: Index-conformance entries (r10+): each registered query rebuilds
+#: its quantizers/postings per run BY DECLARATION so the DuckDB
+#: oracle can replay them — heavy on purpose; the amortized serving
+#: numbers are the *_probe_only entries of the serving family.
+INDEX_CONFORMANCE = (
     "text_index_search",
-    # r10: the PQ serving form (declaration: codebook training +
-    # encode + ADC + rerank per run; pq_probe_only below is the
-    # amortized serving number) and the H2 CSV function round trip
-    # (CSVWRITE one-file export + CSVREAD splittable reload)
     "pq_index_search",
     "csvread_roundtrip",
-    # r10: the composed IVF+PQ serving form (declaration: BOTH
-    # quantizer trainings + encode + pruned ADC + rerank per run;
-    # ivfpq_probe_only below is the amortized serving number over the
-    # centroid-partitioned store)
     "ivfpq_index_search",
-    # r10: the 1-bit quantization serving path (sign-bit encode +
-    # hamming shortlist on packed bigints + exact rerank — the 32x
-    # compression tier) and the hybrid lexical+semantic RRF fusion
     "ann_bq_search",
     "hybrid_search_rrf",
+    # r11: the composed IVF+BQ serving form (coarse training + sign
+    # encode + partition-pruned Hamming + rerank per run;
+    # ivfbq_probe_only is the amortized serving number)
+    "ivfbq_index_search",
 )
 
 
@@ -135,9 +146,7 @@ def _calibration(spark) -> float:
     scheduler roundtrip — whose cost is pure machine/image overhead
     (JVM, scheduler, py4j), independent of every query plan in this
     repo. Round-over-round bench comparisons divide by this to
-    separate machine drift from code regressions mechanically: two
-    rounds burned analysis proving ~30% uniform inflations were
-    environmental; now BENCH_rN.json carries the denominator."""
+    separate machine drift from code regressions mechanically."""
     best = None
     for _ in range(3):
         t0 = time.perf_counter()
@@ -146,6 +155,20 @@ def _calibration(spark) -> float:
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     return round(best, 4)
+
+
+def _timed(fn, runs: int = 3) -> tuple[float, float]:
+    """(best_sec, spread) over ``runs`` timed executions — spread =
+    (max-min)/min, the per-query noise bar: a round-over-round delta
+    smaller than the spread is not a regression signal."""
+    vals = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        vals.append(time.perf_counter() - t0)
+    best = min(vals)
+    spread = round((max(vals) - best) / best, 3) if best > 0 else 0.0
+    return round(best, 4), spread
 
 
 def main() -> int:
@@ -178,19 +201,42 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    from quasar_destination_h2_spark import plans
+    from quasar_destination_h2_spark import cache, plans
 
     qs = plans.all_queries()
     times: dict[str, float] = {}
+    spreads: dict[str, float] = {}
+    fam_calib: dict[str, list[float]] = {}
 
-    # warm the scheduler/JIT before calibrating, then probe the
-    # machine's fixed overhead (re-probed after the queries: the
-    # SMALLER of the two is the calibration — co-tenant noise only
-    # inflates)
+    def run_query(name: str) -> None:
+        fn = qs.get(name)
+        if fn is None:
+            return
+        # time build+execute together: iterative operators (e.g.
+        # dedup_clusters) do their work at build time via
+        # localCheckpoint, so timing only a count of a pre-built
+        # DataFrame would under-report them
+        fn(spark, sf_dir).count()  # warm: footer reads, JIT, plans
+        times[name], spreads[name] = _timed(
+            lambda: fn(spark, sf_dir).count()
+        )
+        # drop operator-level persisted intermediates between
+        # queries (cache stays warm across the warm+timed runs of
+        # ONE query — unchanged measurement — but never leaks into
+        # the next query's memory budget)
+        cache.release()
+
+    # warm the scheduler/JIT before calibrating
     _calibration(spark)
-    calib_start = _calibration(spark)
 
-    # Load-path throughput (the reference IS a loader: CSVREAD-CTAS
+    # ---- family: the round-over-round COMMON set — FIRST, in the
+    # fresh session, before any heavy index build runs (r10 task 2)
+    fam_calib["common"] = [_calibration(spark)]
+    for name in COMMON:
+        run_query(name)
+    fam_calib["common"].append(_calibration(spark))
+
+    # ---- family: load path (the reference IS a loader: CSVREAD-CTAS
     # bulk load, H2CsvCreateSink.scala:121-122). Export lineitem once
     # as headerless CSV, then time the full sink pipeline: validate ->
     # splittable CSV scan -> parquet saveAsTable (atomic replace).
@@ -199,6 +245,7 @@ def main() -> int:
     from quasar_destination_h2_spark.engine import Engine
     from quasar_destination_h2_spark.types import Column, ColumnType
 
+    fam_calib["load"] = [_calibration(spark)]
     stage = tempfile.mkdtemp(prefix="bench-csv-")
     li = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
@@ -226,53 +273,30 @@ def main() -> int:
     )
     sink = engine.csv_create_sink()
     sink.consume("/bench_load", cols, csv_dir)  # warm
-    best = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        sink.consume("/bench_load", cols, csv_dir)
-        dt = time.perf_counter() - t0
-        best = dt if best is None else min(best, dt)
-    times["csv_load"] = round(best, 4)
-    for name in HEADLINE:
-        fn = qs.get(name)
-        if fn is None:
-            continue
-        # time build+execute together: iterative operators (e.g.
-        # dedup_clusters) do their work at build time via
-        # localCheckpoint, so timing only a count of a pre-built
-        # DataFrame would under-report them
-        fn(spark, sf_dir).count()  # warm: footer reads, JIT, plans
-        # best-of-2 timed runs (the csv_load pattern, generalized):
-        # a single timed run is hostage to co-tenant noise — the r3
-        # artifact published ~1.5-2x uniform inflation that a clean
-        # re-run didn't reproduce. min-of-2 bounds that distortion.
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 4)
-        # drop operator-level persisted intermediates between
-        # queries (cache stays warm across the warm+timed runs of
-        # ONE query — unchanged measurement — but never leaks into
-        # the next query's memory budget)
-        from quasar_destination_h2_spark import cache
+    times["csv_load"], spreads["csv_load"] = _timed(
+        lambda: sink.consume("/bench_load", cols, csv_dir)
+    )
+    fam_calib["load"].append(_calibration(spark))
 
-        cache.release()
+    # ---- family: index-conformance entries (heavy by declaration —
+    # each rebuilds its quantizers/postings per run so the DuckDB
+    # oracle can replay them)
+    fam_calib["index_conformance"] = [_calibration(spark)]
+    for name in INDEX_CONFORMANCE:
+        run_query(name)
+    fam_calib["index_conformance"].append(_calibration(spark))
 
-    # ANN serving split (r9 VERDICT task 3): the registered
-    # ann_index_search entry times BUILD + probe by declaration (the
-    # oracle-replayable form). A 100 TB operator amortizes the build
-    # via engine.build_ivf_index and tracks PROBE-ONLY serving
-    # latency — measured here: build the index once, then time
-    # successive ann_topk probe batches over the stored bucketed
-    # lists (includes the torn-build verification, honestly — it is
-    # part of every serving call).
+    # ---- family: index SERVING splits (r9 VERDICT task 3) — the
+    # numbers that matter at 100 TB: build each index ONCE through
+    # the engine lifecycle, then time successive probe batches over
+    # the stored tables (each probe includes the torn-state
+    # verification, memoized after the first call — honestly part of
+    # every serving call).
     from pyspark.sql import functions as F
 
     from quasar_destination_h2_spark.sources.tables import load_table
 
+    fam_calib["index_serving"] = [_calibration(spark)]
     emb = load_table(spark, sf_dir, "embeddings")
     t0 = time.perf_counter()
     engine.build_ivf_index("bench_annix", emb, kmeans_iters=2)
@@ -288,22 +312,27 @@ def main() -> int:
         )
         .localCheckpoint()  # probe timing excludes query-batch prep
     )
-    engine.ann_topk("bench_annix", probe_queries).count()  # warm
-    best = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for _b in range(5):
-            engine.ann_topk("bench_annix", probe_queries).count()
-        dt = (time.perf_counter() - t0) / 5
-        best = dt if best is None else min(best, dt)
-    times["ann_probe_only"] = round(best, 4)
 
-    # Text-retrieval serving split (r10): build the BM25 postings
-    # index once (tok-bucketed store + stats row), then time
-    # successive text_search probe batches — term semi-join prune
-    # over co-located inverted lists, df from the pruned postings,
-    # per-query window top-k. Includes the torn-state verification
-    # (memoized after the first call), honestly part of serving.
+    def probe_split(key: str, probe) -> None:
+        """Warm once, then best-of-3 of (5 probe batches)/5."""
+        probe()  # warm
+
+        def five():
+            for _b in range(5):
+                probe()
+
+        best, spr = _timed(five)
+        times[key] = round(best / 5, 4)
+        spreads[key] = spr
+
+    probe_split(
+        "ann_probe_only",
+        lambda: engine.ann_topk("bench_annix", probe_queries).count(),
+    )
+
+    # BM25 text-index serving: tok-bucketed postings store + stats
+    # row; probes do a term semi-join prune over co-located inverted
+    # lists, df from the pruned postings, per-query window top-k.
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
     t0 = time.perf_counter()
@@ -316,59 +345,51 @@ def main() -> int:
             (3, "stream"), (3, "state"), (3, "window"),
         ],
         "query_id bigint, term string",
-    ).localCheckpoint()  # probe timing excludes query-batch prep
-    engine.text_search("bench_tix", text_queries).count()  # warm
-    best = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for _b in range(5):
-            engine.text_search("bench_tix", text_queries).count()
-        dt = (time.perf_counter() - t0) / 5
-        best = dt if best is None else min(best, dt)
-    times["text_probe_only"] = round(best, 4)
+    ).localCheckpoint()
+    probe_split(
+        "text_probe_only",
+        lambda: engine.text_search("bench_tix", text_queries).count(),
+    )
 
-    # PQ serving split (r10): train codebooks + encode + store ONCE
-    # (pq_index_build), then time successive pq_search probe batches
-    # over the stored codes — bounded ADC LUT onto the vec_id-
-    # bucketed codes (shuffle-free index side), shortlist rerank
-    # against the stored vectors. Includes the torn-build check
-    # (memoized after the first call), honestly part of serving.
+    # PQ serving: codebooks trained + corpus encoded ONCE; probes run
+    # a bounded ADC LUT onto the vec_id-bucketed codes (shuffle-free
+    # index side) + shortlist rerank against the stored vectors.
     t0 = time.perf_counter()
     engine.build_pq_index("bench_pqix", emb)
     times["pq_index_build"] = round(time.perf_counter() - t0, 4)
-    engine.pq_search("bench_pqix", probe_queries).count()  # warm
-    best = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for _b in range(5):
-            engine.pq_search("bench_pqix", probe_queries).count()
-        dt = (time.perf_counter() - t0) / 5
-        best = dt if best is None else min(best, dt)
-    times["pq_probe_only"] = round(best, 4)
+    probe_split(
+        "pq_probe_only",
+        lambda: engine.pq_search("bench_pqix", probe_queries).count(),
+    )
 
-    # IVFPQ serving split (r10): build the composed index ONCE
-    # (coarse k-means + PQ codebooks + encode, stored PARTITIONED by
-    # centroid_id), then time successive ivfpq_search probe batches —
-    # probe-list selection against the bounded stored centroids, ADC
-    # over ONLY the probed lists (dynamic partition pruning restricts
-    # the file reads), exact rerank of the shortlist against the
-    # same-pruned vector store. Includes the torn-build check
-    # (memoized after the first call), honestly part of serving.
+    # IVFPQ serving: the composed index built ONCE (coarse k-means +
+    # PQ codebooks + encode, stored PARTITIONED by centroid_id);
+    # probes select nprobe lists against the bounded stored
+    # centroids, ADC over ONLY the probed lists (dynamic partition
+    # pruning restricts the file reads), exact rerank of the
+    # shortlist against the same-pruned vector store.
     t0 = time.perf_counter()
     engine.build_ivfpq_index("bench_ipqix", emb)
     times["ivfpq_index_build"] = round(time.perf_counter() - t0, 4)
-    engine.ivfpq_search("bench_ipqix", probe_queries).count()  # warm
-    best = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for _b in range(5):
-            engine.ivfpq_search("bench_ipqix", probe_queries).count()
-        dt = (time.perf_counter() - t0) / 5
-        best = dt if best is None else min(best, dt)
-    times["ivfpq_probe_only"] = round(best, 4)
+    probe_split(
+        "ivfpq_probe_only",
+        lambda: engine.ivfpq_search("bench_ipqix", probe_queries).count(),
+    )
 
-    calib_end = _calibration(spark)
-    calib = min(calib_start, calib_end)
+    # r11 — IVF+BQ serving: the coarse quantizer over the 1-bit sign
+    # codes (no codebook — the sign quantizer is parameterless);
+    # probes run XOR+popcount Hamming over ONLY the probed lists of
+    # the centroid-partitioned packed codes + exact rerank.
+    t0 = time.perf_counter()
+    engine.build_ivfbq_index("bench_ibqix", emb)
+    times["ivfbq_index_build"] = round(time.perf_counter() - t0, 4)
+    probe_split(
+        "ivfbq_probe_only",
+        lambda: engine.ivfbq_search("bench_ibqix", probe_queries).count(),
+    )
+    fam_calib["index_serving"].append(_calibration(spark))
+
+    calib = min(v for pair in fam_calib.values() for v in pair)
     total = round(sum(times.values()), 4)
     print(
         json.dumps(
@@ -377,13 +398,15 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
-                # machine fixed-overhead denominator (start/end probes;
-                # calibration_sec = min) — divide query times by this
-                # to compare rounds across machine drift
+                # machine fixed-overhead denominator — divide query
+                # times by this to compare rounds across machine
+                # drift; family brackets expose WITHIN-run drift
                 "calibration_sec": calib,
-                "calibration_start_sec": calib_start,
-                "calibration_end_sec": calib_end,
+                "family_calibration": fam_calib,
                 "queries": times,
+                # per-query noise bar: (max-min)/min of the timed
+                # runs — deltas below the spread are noise
+                "queries_spread": spreads,
                 "queries_norm": {
                     k: round(v / calib, 2) for k, v in times.items()
                 },

@@ -5,141 +5,101 @@ from . import tierb  # noqa: E402,F401
 from . import ext  # noqa: E402,F401
 
 # The driver's conformance harness checks the first ~50 registered
-# queries (dict insertion order; r7-r9 hashed 50). Entering round 10,
-# cumulative driver-witnessed coverage is 186/186 with zero
-# ever-failures (union over CORRECTNESS_r02..r09). The round-10
-# window keeps the rotation discipline:
-#   * first: all NINETEEN round-10 registrations (_R10_NEW below),
-#     newest first, witnessed the same round they land — the H2
-#     script machinery + logical-name resolution, filtered vector
-#     search, hybrid RRF retrieval, the IVF+PQ composed-index family
-#     (ADC / serving / recall / append / list profile), the flat PQ
-#     family, the H2 CSV table functions, catalog introspection,
-#     incremental ANN append, and the text-index serving pair;
-#   * next: every query whose implementation round 10 touches — the
-#     statement surface (INFORMATION_SCHEMA/SHOW front door, per-row
-#     NEXTVAL sources, H2 TIMESTAMP→NTZ mapping, the _resolve_sql
-#     logical-name layer every plain query now routes through) ->
-#     h2_dialect_battery + quantified_subquery; bm25_search_many
-#     (re-expressed over build_postings/bm25_probe); the kmeans/
-#     ANN-serving five and the ivf_topk pair (shared oracle builder +
-#     lifecycle code);
-#   * the remaining slots: cross-era anchors ROTATED to queries whose
-#     last driver witness is oldest (r2-r7 era: join/window/set/
-#     subquery/scalar grammar, outer TPC-H shapes, events, UDF and
-#     sketch families, multimodal) — none of these were in the r9
-#     window.
+# queries (dict insertion order). Entering round 11, cumulative
+# driver-witnessed coverage is 210/210 with zero ever-failures
+# (union over CORRECTNESS_r02..r10). The round-11 window keeps the
+# rotation discipline:
+#   * first: all SIX round-11 registrations (_R11_NEW below),
+#     witnessed the same round they land — the IVF+BQ composed-index
+#     family (partition-pruned Hamming probe / serving / recall /
+#     engine lifecycle / incremental append) and the H2 constraint
+#     catalog battery;
+#   * next: every query whose implementation round 11 touches — the
+#     PQ/IVFPQ/BQ probe family (the exclude_self flag threaded
+#     through ann_pq_topk/ann_pq_rerank/ann_ivfpq_topk/ann_bq_topk
+#     and both engine search paths), information_schema_battery
+#     (backslash-safe literals + the new CONSTRAINTS view + SHOW
+#     COLUMNS KEY markers), and script_roundtrip (exhausted-sequence
+#     clamp+RESTART dumps, constraint ALTER lines);
+#   * the remaining slots: cross-era anchors ROTATED to the queries
+#     whose last driver witness is OLDEST (set_except: r2; the r3
+#     trio; the r4 block — sketches, simhash, multimodal, UDFs,
+#     inner TPC-H shapes; four r5 entries) — none witnessed since.
 # Everything outside the window stays oracle-checked locally via
 # tools/oracle_check.py at sf0.001/0.01/0.1 (see COVERAGE.md).
-_R10_NEW = [
-    # MMR diverse top-k (greedy maximal marginal relevance over the
-    # bounded retrieval shortlist)
-    "mmr_diverse_topk",
-    # binary (1-bit sign) quantization — the 32x-compression ANN tier
-    # (hamming probe on packed bigints, exact rerank, recall
-    # contract, popcount balance instrument)
-    "ann_bq_search",
-    "ann_bq_topk",
-    "ann_bq_recall",
-    "bq_balance_profile",
-    # the H2 script machinery (SCRIPT / RUNSCRIPT / EXPLAIN) and the
-    # logical-name resolution layer it witnesses
-    "script_roundtrip",
-    # filtered vector search + hybrid lexical/semantic retrieval
-    "ann_ivfpq_filtered",
-    "hybrid_search_rrf",
-    # the IVF+PQ composition (IVFADC — coarse-prune which vectors a
-    # probe touches, PQ-compress what each costs, exact-rerank the
-    # shortlist; engine lifecycle stores the lists directory-
-    # partitioned so probes prune file reads; incremental append)
-    "ann_ivfpq_search",
-    "ann_ivfpq_adc",
-    "ann_ivfpq_recall",
-    "ivfpq_index_search",
-    "ivfpq_index_append",
-    "ivfpq_list_profile",
-    # late-round-10 registrations: the PQ family (codebook training,
-    # ADC probe, exact rerank, both-path recall contract, the engine
-    # serving lifecycle) and the H2 CSV table functions round trip
-    "pq_codebook_fingerprint",
+_R11_NEW = [
+    # IVF+BQ: the coarse quantizer composed over the 1-bit sign
+    # codes — closes the family's one O(corpus)-per-batch probe
+    # (the r10 flat Hamming scan) with partition-pruned lists
+    "ivfbq_index_search",
+    "ivfbq_index_append",
+    "ann_ivfbq_search",
+    "ann_ivfbq_hamming",
+    "ann_ivfbq_recall",
+    # H2 PK/UNIQUE constraints accepted-and-recorded (foreign dumps
+    # restore; INFORMATION_SCHEMA.CONSTRAINTS / SHOW KEY / SCRIPT)
+    "constraint_catalog_battery",
+]
+
+_R11_TOUCHED = [
+    # exclude_self threading (r10 ADVICE): the whole compressed-probe
+    # family re-witnessed on the same round its operators changed
     "ann_pq_topk",
     "ann_pq_rerank",
     "ann_pq_recall",
     "pq_index_search",
-    "csvread_roundtrip",
-    # earlier round-10 registrations
+    "ann_ivfpq_adc",
+    "ann_ivfpq_search",
+    "ann_ivfpq_recall",
+    "ann_ivfpq_filtered",
+    "ivfpq_index_search",
+    "ivfpq_index_append",
+    "ann_bq_topk",
+    "ann_bq_search",
+    "ann_bq_recall",
+    # info-schema literals + CONSTRAINTS view + SHOW KEY markers
     "information_schema_battery",
-    "ann_index_append",
-    "text_index_search",
-    "text_index_drift",
+    # sequence dump clamp + constraint ALTER lines in SCRIPT
+    "script_roundtrip",
 ]
 
 _DRIVER_WINDOW = [
-    *_R10_NEW,
-    # --- Implementation touched in round 10 ---
-    "bm25_search_many",  # re-expressed as build_postings + bm25_probe
-    "h2_dialect_battery",
-    "quantified_subquery",
-    "kmeans_convergence",
-    "ivf_topk_kmeans",
-    "ann_ivf_recall_kmeans",
-    "ivf_kmeans_profile",
-    "ann_index_search",
-    "ivf_topk_ann",
-    "ivf_topk_ann_nprobe2",
-    # --- Cross-era anchors (rotated: oldest-witnessed families) ---
-    # Join grammar
-    "join_left",
-    "join_full_outer",
-    "join_anti",
-    "join_theta",
-    "join_natural",
-    "salted_join_agg",
-    # Outer TPC-H shapes
-    "tpch_q3_shipping_priority",
-    "tpch_q8_market_share",
-    "tpch_q2_min_price_supplier",
-    "tpch_q20_dominant_supplier",
-    "tpch_q15_top_supplier",
-    "tpch_q22_dormant_customers",
-    # Window / order / set / subquery grammar
-    "window_lag_lead",
-    "window_rows_frame",
-    "window_distribution",
-    "topk_with_ties",
-    "orderby_nulls_offset",
-    "set_intersect_all",
-    "set_except_all",
-    "subquery_scalar",
-    "subquery_correlated_exists",
-    "lateral_topn_per_group",
-    "recursive_cte_sql",
-    # Scalar batteries
-    "scalar_regex",
-    "scalar_date_extended",
-    "scalar_cast",
-    "null_safe_compare",
-    # Events / time series
-    "events_sessionize",
-    "events_json_props",
-    "event_funnel",
-    "retention_cohorts",
-    "asof_join_forward",
-    "pivot_status_matrix",
-    # Pandas-UDF / multimodal / sketches
+    *_R11_NEW,
+    *_R11_TOUCHED,
+    # --- Cross-era anchors: oldest driver witness first ---
+    # r2/r3-era
+    "set_except",
+    "embed_quantize_int8",
+    "source_cap",
     "udf_zscore_by_source",
-    "multimodal_decode",
-    "multimodal_frame_sample",
-    "sketch_approx_distinct",
-    "quantiles_exact",
-    # Pipeline / text / packing
-    "pipeline_curate",
-    "text_pii_redact",
-    "dedup_passage_exact",
-    "perplexity_buckets",
-    "dedup_containment",
-    "mixture_sample",
+    # r4-era
     "dataset_split",
+    "minhash_signatures",
+    "mixture_sample",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "shuffle_shards",
+    "sketch_approx_distinct",
+    "sketch_approx_quantiles",
+    "sketch_user_rollup",
+    "text_fingerprints",
+    "text_pattern_flags",
+    "text_repetition",
+    "text_simhash",
+    "text_token_stats",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_lateness",
+    "tpch_q14_promo_revenue",
+    "tpch_q16_supplier_count",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q4_order_priority",
+    "udf_vowel_stats",
+    "udf_weighted_mean",
+    # r5-era (the three oldest alphabetical of that block; the window
+    # is exactly 50 — the driver hashes the first ~50)
+    "agg_stats",
+    "asof_join_events",
+    "case_coalesce",
 ]
 
 

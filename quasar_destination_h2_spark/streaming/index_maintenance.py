@@ -45,6 +45,7 @@ if TYPE_CHECKING:  # pragma: no cover
 _APPENDERS = {
     "ivf": "append_to_ivf_index",
     "ivfpq": "append_to_ivfpq_index",
+    "ivfbq": "append_to_ivfbq_index",
     "text": "append_to_text_index",
 }
 
@@ -52,6 +53,7 @@ _APPENDERS = {
 _DRIFT_COL = {
     "ivf": "drift_micro",
     "ivfpq": "drift_micro",
+    "ivfbq": "drift_micro",
     "text": "new_term_ppm",
 }
 

@@ -56,3 +56,23 @@ def test_scan_schema_counter_reports_pruned_columns(spark):
     )
     # every scan is pruned: nothing reads the full 11-column lineitem
     assert all(n <= 5 for n, _ in scans)
+
+
+def test_serving_probes_render_dynamic_partition_pruning(spark):
+    """r10 VERDICT task 4: the composed-index serving queries'
+    pruned-scan shapes are the proof of design at 100x — their
+    executed plans must carry dynamicpruningexpression on the
+    partitioned index scans (the marker PLANS.md now counts), or a
+    regression silently turns every probe into a full-index scan."""
+    from quasar_destination_h2_spark import cache, plans
+
+    qs = plans.all_queries()
+    for name in ("ivfpq_index_search", "ivfbq_index_search"):
+        p = (
+            qs[name](spark, SF_DIR)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        cache.release()
+        assert "dynamicpruningexpression" in p, name

@@ -626,3 +626,73 @@ def test_streaming_index_append_replay_is_skipped(spark, warehouse_dir):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_streaming_index_maintenance_ivfbq(spark, warehouse_dir):
+    """The r11 IVF+BQ index rides the same continuous-crawl loop:
+    one staged file -> one micro-batch append against the frozen
+    coarse centroids, a drift-log row with the verdict, and serving
+    parity with a batch append of the same file (the sign encode is
+    deterministic and parameterless)."""
+    import json
+
+    from quasar_destination_h2_spark.engine import Engine
+    from quasar_destination_h2_spark.streaming import (
+        read_embeddings_stream,
+        stream_append_to_index,
+    )
+
+    engine = Engine.from_config(
+        json.dumps({"connectionUri": warehouse_dir}), spark=spark
+    )
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.where("vec_id % 2 = 0")
+    engine.build_ivfbq_index("sbqix", base)
+    src = tempfile.mkdtemp(prefix="bq-stream-")
+    ck = tempfile.mkdtemp(prefix="bq-ck-")
+    try:
+        emb.where("vec_id % 2 = 1").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b1")
+        q = stream_append_to_index(
+            engine,
+            read_embeddings_stream(spark, f"{src}/b1"),
+            "sbqix",
+            "ivfbq",
+            checkpoint=f"{ck}/1",
+            rebuild_threshold=1_000_000_000,
+        )
+        q.awaitTermination()
+        assert q.exception() is None
+        n_odd = emb.where("vec_id % 2 = 1").count()
+        assert engine.table("sbqix_vectors").count() == base.count() + n_odd
+        log = [
+            (r.appended_rows, bool(r.rebuild_due))
+            for r in engine.table("sbqix_drift_log").collect()
+        ]
+        assert log == [(n_odd, False)]
+        queries = (
+            emb.where("vec_id < 3")
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qv"),
+            )
+            .localCheckpoint()
+        )
+        got = sorted(
+            map(tuple, engine.ivfbq_search("sbqix", queries, topk=5).collect())
+        )
+        engine.build_ivfbq_index("sbqix_ref", base)
+        engine.append_to_ivfbq_index(
+            "sbqix_ref", spark.read.parquet(f"{src}/b1")
+        )
+        want = sorted(
+            map(
+                tuple,
+                engine.ivfbq_search("sbqix_ref", queries, topk=5).collect(),
+            )
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)

@@ -109,6 +109,22 @@ AUDITED = (
     "weighted_sample_stratified",
     # query-table-driven ANN probe over the built IVF index
     "ann_index_search",
+    # round 10 serving family (r10 VERDICT task 4): the engine-
+    # lifecycle probes whose pruned-scan shapes are the proof of
+    # design at 100x — the dynamicpruningexpression marker counts
+    # below show the partitioned index scans pruning to the probed
+    # lists; the *_index_search forms also rebuild their quantizers
+    # in-plan (the oracle-replayable declaration)
+    "text_index_search",
+    "pq_index_search",
+    "ivfpq_index_search",
+    "ivfpq_index_append",
+    "ann_bq_search",
+    "hybrid_search_rrf",
+    "mmr_diverse_topk",
+    # round 11: the IVF+BQ composition (partition-pruned Hamming)
+    "ann_ivfbq_search",
+    "ivfbq_index_search",
 )
 
 MARKERS = (
@@ -125,6 +141,10 @@ MARKERS = (
     "TakeOrderedAndProject",
     "Window",
     "MapInPandas",
+    # dynamic partition pruning on a partitioned index scan — the
+    # marker that proves a serving probe reads nprobe/n_list of the
+    # files, not the corpus (counted from PartitionFilters)
+    "dynamicpruningexpression",
 )
 
 # ---------------------------------------------------------------------------
@@ -225,6 +245,18 @@ NLJ_OK = frozenset({
     # leg carries bm25_search_many's 1-row stats broadcast; fusion
     # itself is bounded frames only
     "hybrid_search_rrf",
+    # r11 IVF+BQ composition: the same bounded shapes as the IVFPQ
+    # family — n_list-row centroid broadcasts (kmeans training +
+    # coarse assignment), the nq-row query cross in probe-list
+    # selection, and for the recall contract the accepted
+    # exact-baseline broadcast (bounded query rows onto the corpus)
+    "ann_ivfbq_hamming",
+    "ann_ivfbq_search",
+    "ann_ivfbq_recall",
+    "ivfbq_index_search",
+    # r11: frozen-centroid batch assignment (bounded broadcast) + the
+    # 1-row drift-report crossJoin — the ivfpq_index_append shape
+    "ivfbq_index_append",
 })
 
 #: Tables whose repeated FileScan in one plan is a 100 TB scale killer.
@@ -401,6 +433,15 @@ RESCAN_REVIEWED = frozenset({
     # production appends touch only the batch (pytest pins appended
     # codes ≡ frozen-quantizer encode, zero corpus rescans)
     "ivfpq_index_append",
+    # r11 IVF+BQ: the conformance forms train the coarse quantizer +
+    # sign-encode in-plan for the oracle (the ivfpq shapes minus the
+    # codebook); the serving/append forms' remaining embeddings reads
+    # are the external query table's pruned pair-join sides — the
+    # production probe reads only the stored centroid-partitioned
+    # tables with DPP (tests/test_bucketing.py pins zero embeddings
+    # scans)
+    "ann_ivfbq_hamming", "ann_ivfbq_search", "ann_ivfbq_recall",
+    "ivfbq_index_search", "ivfbq_index_append",
 })
 
 

@@ -942,6 +942,309 @@ def textindex_probe(spark, sf_dir: str) -> dict:
     return out
 
 
+def ivfbq_probe(spark, sf_dir: str) -> dict:
+    """IVF+BQ composed-index scale probe (round 11 — the
+    partition-pruned form of the r10 flat Hamming scan):
+
+    * build_ivfbq_index wall at 1x/3x/10x replicated embeddings (the
+      coarse k-means rounds + one assign+sign-pack pass, ~linear);
+    * probe-only ivfbq_search wall at fixed nq=5, nprobe=2 per corpus
+      size — Hamming reads only the probed lists' packed codes
+      (dynamic partition pruning), the rerank only their vectors;
+    * compression evidence: on-disk packed-codes bytes vs the float
+      vectors (BQ stores 16 B of sign words per row);
+    * the IVF I/O contract measured: at the 10x corpus, probed-list
+      bytes as a fraction of the stored codes across nprobe=1/2/4/8 —
+      this fraction IS the 100 TB read bound and should track
+      nprobe/n_list (the flat r10 probe read 1_000_000 ppm by
+      design; see BQ_PROBE_r10.json);
+    * probe wall vs query-batch size (5/50/500) at 10x — the codes
+      scan count must be independent of the batch size."""
+    import json as _json
+    import re as _re
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from quasar_destination_h2_spark.engine import Engine
+    from quasar_destination_h2_spark.operators import similarity
+    from quasar_destination_h2_spark.sources.sink import warehouse_path
+    from quasar_destination_h2_spark.sources.tables import TableSet
+
+    t = TableSet(spark, sf_dir)
+    base_emb = t.embeddings
+    out = {"sf_dir": sf_dir, "n_base_vecs": base_emb.count(), "points": []}
+
+    def _queries(src, nq):
+        return (
+            src.orderBy("vec_id")
+            .limit(nq)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.transform(
+                    "embedding",
+                    lambda x: F.round(x.cast("double") * 0.5 + 0.01, 6),
+                ).alias("qv"),
+            )
+            .localCheckpoint()
+        )
+
+    engine = None
+    for k in (1, 3, 10):
+        emb = _replicate_embeddings(spark, base_emb, k, "ibq")[0]
+        stage = tempfile.mkdtemp(prefix=f"ibq-wh-{k}x-")
+        engine = Engine.from_config(
+            _json.dumps({"connectionUri": f"{stage}/wh"}), spark=spark
+        )
+        t0 = time.perf_counter()
+        engine.build_ivfbq_index("ibqp", emb)
+        build = round(time.perf_counter() - t0, 2)
+        queries = _queries(emb, 5)
+        engine.ivfbq_search("ibqp", queries).count()  # warm + memoize
+        t0 = time.perf_counter()
+        rows = engine.ivfbq_search("ibqp", queries).count()
+        probe = round(time.perf_counter() - t0, 2)
+        cb = _dir_bytes(
+            warehouse_path(spark, engine.sink.catalog["ibqp_codes"])
+        )
+        vb = _dir_bytes(
+            warehouse_path(spark, engine.sink.catalog["ibqp_vectors"])
+        )
+        out["points"].append(
+            {
+                "replicas": k,
+                "n_vecs": emb.count(),
+                "build_sec": build,
+                "probe_sec": probe,
+                "probe_rows": rows,
+                "codes_bytes": cb,
+                "vectors_bytes": vb,
+                "compression_x": round(vb / cb, 1) if cb else None,
+            }
+        )
+    codes_root = warehouse_path(spark, engine.sink.catalog["ibqp_codes"])
+    total_codes = _dir_bytes(codes_root)
+    cents = engine.table("ibqp_centroids").select("centroid_id", "cvec")
+    queries10 = _queries(engine.table("ibqp_vectors"), 5)
+    out["probed_fraction_vs_nprobe"] = []
+    for nprobe in (1, 2, 4, 8):
+        probed = sorted(
+            set(
+                r.centroid_id
+                for r in similarity.ivfpq_probe_lists(
+                    queries10, cents, nprobe
+                ).collect()
+            )
+        )
+        probed_bytes = sum(
+            _dir_bytes(os.path.join(codes_root, f"centroid_id={c}"))
+            for c in probed
+        )
+        t0 = time.perf_counter()
+        rows = engine.ivfbq_search("ibqp", queries10, nprobe=nprobe).count()
+        sec = round(time.perf_counter() - t0, 2)
+        out["probed_fraction_vs_nprobe"].append(
+            {
+                "nprobe": nprobe,
+                "n_probed_lists": len(probed),
+                "probed_bytes": probed_bytes,
+                "total_codes_bytes": total_codes,
+                "probed_ppm": int(probed_bytes * 1_000_000 // total_codes),
+                "probe_sec": sec,
+                "rows": rows,
+            }
+        )
+    out["probe_vs_queries"] = []
+    scan_counts = set()
+    for nq in (5, 50, 500):
+        qb = _queries(engine.table("ibqp_vectors"), nq)
+        probe_df = engine.ivfbq_search("ibqp", qb)
+        plan = probe_df._jdf.queryExecution().executedPlan().toString()
+        n_scans = len(_re.findall(r"FileScan parquet [^\n]*ibqp_codes", plan))
+        scan_counts.add(n_scans)
+        t0 = time.perf_counter()
+        rows = probe_df.count()
+        sec = round(time.perf_counter() - t0, 2)
+        out["probe_vs_queries"].append(
+            {"n_queries": nq, "rows": rows, "sec": sec, "codes_scans": n_scans}
+        )
+    assert len(scan_counts) == 1, scan_counts
+    return out
+
+
+def r11_probe(spark, sf_dir: str) -> dict:
+    """Round-11 probes for the r10 operators the earlier probes don't
+    cover (r10 VERDICT task 5):
+
+    * MMR wall vs k (3/5/10 at n_cand=50) and vs shortlist size
+      (20/50/100 at k=5) — the cost driver is k x shortlist;
+    * MMR corpus-independence: the SAME-SIZED candidate frame drawn
+      from a 1x vs a 10x corpus (checkpointed, so candidate BUILD
+      cost is excluded) must select in the same wall — the corpus is
+      never touched after the shortlist exists;
+    * RRF fusion wall — trivially bounded (reads two top-k frames),
+      one point suffices: fusion time for nq x 10 + nq x 10 rows;
+    * streaming index maintenance: per-batch append wall vs batch
+      size (streamed vs the same batch appended directly — the
+      difference is the foreachBatch + drift-log write overhead) and
+      the replay-skip cost (re-running a committed batch id)."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from quasar_destination_h2_spark.engine import Engine
+    from quasar_destination_h2_spark.operators import similarity, text
+    from quasar_destination_h2_spark.sources.tables import TableSet
+    from quasar_destination_h2_spark.streaming import (
+        read_embeddings_stream,
+        stream_append_to_index,
+    )
+
+    t = TableSet(spark, sf_dir)
+    base_emb = t.embeddings
+    out = {"sf_dir": sf_dir, "n_base_vecs": base_emb.count()}
+
+    def _cand(emb, nq, n_cand):
+        return (
+            similarity.brute_force_topk(emb, nq, n_cand)
+            .select(
+                "query_id",
+                F.col("neighbor_id").alias("vec_id"),
+                (F.col("cos_sim").cast("decimal(28,10)") * 1000000)
+                .cast("bigint")
+                .alias("rel_micro"),
+            )
+            .join(emb.select("vec_id", "embedding"), "vec_id")
+            .localCheckpoint()  # exclude the candidate BUILD from timing
+        )
+
+    # MMR wall vs k and vs shortlist
+    out["mmr_vs_k"] = []
+    cand50 = _cand(base_emb, 3, 50)
+    for k in (3, 5, 10):
+        similarity.mmr_select(cand50, k).count()  # warm
+        t0 = time.perf_counter()
+        similarity.mmr_select(cand50, k).count()
+        out["mmr_vs_k"].append(
+            {"k": k, "n_cand": 50, "sec": round(time.perf_counter() - t0, 2)}
+        )
+    out["mmr_vs_shortlist"] = []
+    for n_cand in (20, 50, 100):
+        cand = _cand(base_emb, 3, n_cand)
+        similarity.mmr_select(cand, 5).count()  # warm
+        t0 = time.perf_counter()
+        similarity.mmr_select(cand, 5).count()
+        out["mmr_vs_shortlist"].append(
+            {
+                "k": 5,
+                "n_cand": n_cand,
+                "sec": round(time.perf_counter() - t0, 2),
+            }
+        )
+    # MMR corpus-independence: same-sized shortlists from 1x vs 10x
+    emb10 = _replicate_embeddings(spark, base_emb, 10, "mmr")[0]
+    out["mmr_vs_corpus"] = []
+    for label, emb in (("1x", base_emb), ("10x", emb10)):
+        cand = _cand(emb, 3, 50)
+        similarity.mmr_select(cand, 5).count()  # warm
+        t0 = time.perf_counter()
+        similarity.mmr_select(cand, 5).count()
+        out["mmr_vs_corpus"].append(
+            {
+                "corpus": label,
+                "n_cand": 50,
+                "sec": round(time.perf_counter() - t0, 2),
+            }
+        )
+
+    # RRF: bounded fusion of two top-k frames (one point suffices)
+    docs = t.documents
+    qdf = spark.createDataFrame(
+        [(1, "data"), (2, "spark"), (3, "query")],
+        "query_id bigint, term string",
+    )
+    lex = text.bm25_search_many(docs, qdf, topn=10).select(
+        "query_id", "doc_id", "rank"
+    ).localCheckpoint()
+    sem = similarity.brute_force_topk(base_emb, 3, 10).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    ).localCheckpoint()
+    text.rrf_fuse([lex, sem], 60, 10).count()  # warm
+    t0 = time.perf_counter()
+    n = text.rrf_fuse([lex, sem], 60, 10).count()
+    out["rrf_fusion"] = {
+        "input_rows": lex.count() + sem.count(),
+        "fused_rows": n,
+        "sec": round(time.perf_counter() - t0, 2),
+    }
+
+    # Streaming index maintenance: streamed append vs direct append
+    # (the delta = foreachBatch + drift-log overhead), then the
+    # replay-skip cost of a committed batch id
+    out["stream_maintenance"] = []
+    for k in (1, 3):
+        stage = tempfile.mkdtemp(prefix=f"sm-wh-{k}x-")
+        engine = Engine.from_config(
+            _json.dumps({"connectionUri": f"{stage}/wh"}), spark=spark
+        )
+        engine.build_ivfbq_index("smix", base_emb)
+        batch = _replicate_embeddings(spark, base_emb, k, f"smb{k}")[0]
+        batch = batch.select(
+            (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+        )
+        src = tempfile.mkdtemp(prefix="sm-src-")
+        ck = tempfile.mkdtemp(prefix="sm-ck-")
+        try:
+            batch.coalesce(1).write.mode("overwrite").parquet(f"{src}/b")
+            n_batch = spark.read.parquet(f"{src}/b").count()
+            t0 = time.perf_counter()
+            q = stream_append_to_index(
+                engine,
+                read_embeddings_stream(spark, f"{src}/b"),
+                "smix",
+                "ivfbq",
+                checkpoint=f"{ck}/1",
+            )
+            q.awaitTermination()
+            streamed = round(time.perf_counter() - t0, 2)
+            # replay: same checkpoint, already-committed batch -> the
+            # marker lookup skips the append entirely
+            t0 = time.perf_counter()
+            q = stream_append_to_index(
+                engine,
+                read_embeddings_stream(spark, f"{src}/b"),
+                "smix",
+                "ivfbq",
+                checkpoint=f"{ck}/1",
+            )
+            q.awaitTermination()
+            replay = round(time.perf_counter() - t0, 2)
+            # the same batch appended DIRECTLY to a fresh same-base
+            # index — the no-streaming baseline
+            engine.build_ivfbq_index("smref", base_emb)
+            t0 = time.perf_counter()
+            engine.append_to_ivfbq_index(
+                "smref", spark.read.parquet(f"{src}/b")
+            )
+            direct = round(time.perf_counter() - t0, 2)
+            out["stream_maintenance"].append(
+                {
+                    "batch_replicas": k,
+                    "n_batch_rows": n_batch,
+                    "streamed_append_sec": streamed,
+                    "direct_append_sec": direct,
+                    "stream_overhead_sec": round(streamed - direct, 2),
+                    "replay_skip_sec": replay,
+                }
+            )
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+            shutil.rmtree(ck, ignore_errors=True)
+    return out
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     ivf_mode = "--ivf" in sys.argv[1:]
@@ -954,6 +1257,8 @@ def main() -> int:
     pq_mode = "--pq" in sys.argv[1:]
     ivfpq_mode = "--ivfpq" in sys.argv[1:]
     bq_mode = "--bq" in sys.argv[1:]
+    ivfbq_mode = "--ivfbq" in sys.argv[1:]
+    r11_mode = "--r11" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     from pyspark.sql import SparkSession, functions as F
@@ -1001,6 +1306,14 @@ def main() -> int:
         return 0
     if bq_mode:
         print(json.dumps(bq_probe(spark, sf_dir)))
+        spark.stop()
+        return 0
+    if ivfbq_mode:
+        print(json.dumps(ivfbq_probe(spark, sf_dir)))
+        spark.stop()
+        return 0
+    if r11_mode:
+        print(json.dumps(r11_probe(spark, sf_dir)))
         spark.stop()
         return 0
     if r10_mode:
