@@ -406,6 +406,14 @@ class CsvCreateSink:
             )
             self.catalog[table] = physical
             self._persist_catalog()
+            # replace = one-transaction drop+create (the reference's
+            # semantics): recorded PK/UNIQUE constraints of the OLD
+            # table die with it — the new table declared none
+            from ..constraints import Constraints
+
+            Constraints(
+                os.path.dirname(warehouse_path(self.spark, CATALOG_TABLE))
+            ).drop_table(table)
             return physical
         finally:
             if tmp is not None:

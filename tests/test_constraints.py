@@ -170,3 +170,21 @@ def test_constraint_validation_and_lifecycle(engine):
     assert {e["name"] for e in engine.constraints.for_table("cn_l2")} == {
         "CONSTRAINT_1"
     }
+
+
+def test_sink_replace_clears_constraints(engine):
+    """A CSV-sink push REPLACES its table (the reference's
+    one-transaction drop+create, H2CsvCreateSink.scala:55-58) — the
+    old table's recorded constraints must die with it, or the new
+    schema would surface keys it never declared."""
+    from quasar_destination_h2_spark.types import Column, ColumnType
+
+    engine.execute_sql(
+        'CREATE CACHED TABLE "cn_rep"("id" INT PRIMARY KEY)'
+    )
+    assert engine.constraints.for_table("cn_rep") != []
+    # overwrite via the sink path (new schema, no declared keys)
+    engine.csv_create_sink().consume(
+        "/cn_rep", [Column("x", ColumnType.STRING)], b"a\r\n"
+    )
+    assert engine.constraints.for_table("cn_rep") == []
