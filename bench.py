@@ -27,9 +27,12 @@ spread calibration 23% and disagreed on which queries "regressed"):
   relative spread recorded (``queries_spread``: (max-min)/min of the
   timed runs) — a query whose spread is large is noise, not signal.
 
-Round-over-round comparison: use ``queries_norm`` (per-query best /
-calibration_sec) over the common set, and treat any per-query delta
-smaller than its recorded spread as noise. See BASELINE.md for the
+Round-over-round comparison: use ``queries_norm_cpu`` (per-query
+best / calibration_cpu_sec — the codegen-THROUGHPUT probe, which
+tracks the uniform CPU drift the planless probe misses) over the
+common set, and treat any per-query delta smaller than its recorded
+spread as noise. ``queries_norm`` (planless fixed-overhead divisor)
+remains for continuity with r8-r10 files. See BASELINE.md for the
 full protocol.
 """
 
@@ -135,8 +138,10 @@ INDEX_CONFORMANCE = (
     "hybrid_search_rrf",
     # r11: the composed IVF+BQ serving form (coarse training + sign
     # encode + partition-pruned Hamming + rerank per run;
-    # ivfbq_probe_only is the amortized serving number)
+    # ivfbq_probe_only is the amortized serving number) and the
+    # full retrieval funnel (IVF -> Hamming-200 -> ADC-50 -> exact)
     "ivfbq_index_search",
+    "ann_cascade_search",
 )
 
 
@@ -152,6 +157,28 @@ def _calibration(spark) -> float:
         t0 = time.perf_counter()
         spark.range(1_000_000).count()
         spark.sparkContext.parallelize([], 32).count()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 4)
+
+
+def _calibration_cpu(spark) -> float:
+    """Compute-THROUGHPUT probe (r11): the planless probe above
+    captures fixed overhead (JVM/scheduler/py4j) but not CPU-speed
+    drift — a same-tree rerun measured uniformly ~13% slower showed
+    near-identical planless calibration (thermal/co-tenant CPU
+    contention moves per-core throughput, not the scheduler
+    roundtrip). This probe times a pure whole-stage-codegen
+    aggregation whose cost is ~all CPU, so uniform throughput drift
+    shows up HERE and divides out of ``queries_norm_cpu``."""
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        # avg, not sum: a bigint sum of 150M hashes overflows under
+        # ANSI mode; the double mean costs the same hashing work
+        spark.range(600_000_000).selectExpr(
+            "avg(xxhash64(id)) AS s"
+        ).collect()
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)
     return round(best, 4)
@@ -206,7 +233,19 @@ def main() -> int:
     qs = plans.all_queries()
     times: dict[str, float] = {}
     spreads: dict[str, float] = {}
-    fam_calib: dict[str, list[float]] = {}
+    # per-family brackets for BOTH calibrators: "fixed" (planless
+    # overhead) and "cpu" (codegen throughput) — [start, end] each
+    fam_calib: dict[str, dict[str, list[float]]] = {}
+
+    def bracket_start(fam: str) -> None:
+        fam_calib[fam] = {
+            "fixed": [_calibration(spark)],
+            "cpu": [_calibration_cpu(spark)],
+        }
+
+    def bracket_end(fam: str) -> None:
+        fam_calib[fam]["fixed"].append(_calibration(spark))
+        fam_calib[fam]["cpu"].append(_calibration_cpu(spark))
 
     def run_query(name: str) -> None:
         fn = qs.get(name)
@@ -231,10 +270,10 @@ def main() -> int:
 
     # ---- family: the round-over-round COMMON set — FIRST, in the
     # fresh session, before any heavy index build runs (r10 task 2)
-    fam_calib["common"] = [_calibration(spark)]
+    bracket_start("common")
     for name in COMMON:
         run_query(name)
-    fam_calib["common"].append(_calibration(spark))
+    bracket_end("common")
 
     # ---- family: load path (the reference IS a loader: CSVREAD-CTAS
     # bulk load, H2CsvCreateSink.scala:121-122). Export lineitem once
@@ -245,7 +284,7 @@ def main() -> int:
     from quasar_destination_h2_spark.engine import Engine
     from quasar_destination_h2_spark.types import Column, ColumnType
 
-    fam_calib["load"] = [_calibration(spark)]
+    bracket_start("load")
     stage = tempfile.mkdtemp(prefix="bench-csv-")
     li = spark.read.parquet(f"{sf_dir.rstrip('/')}/lineitem.parquet").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
@@ -276,15 +315,15 @@ def main() -> int:
     times["csv_load"], spreads["csv_load"] = _timed(
         lambda: sink.consume("/bench_load", cols, csv_dir)
     )
-    fam_calib["load"].append(_calibration(spark))
+    bracket_end("load")
 
     # ---- family: index-conformance entries (heavy by declaration —
     # each rebuilds its quantizers/postings per run so the DuckDB
     # oracle can replay them)
-    fam_calib["index_conformance"] = [_calibration(spark)]
+    bracket_start("index_conformance")
     for name in INDEX_CONFORMANCE:
         run_query(name)
-    fam_calib["index_conformance"].append(_calibration(spark))
+    bracket_end("index_conformance")
 
     # ---- family: index SERVING splits (r9 VERDICT task 3) — the
     # numbers that matter at 100 TB: build each index ONCE through
@@ -296,7 +335,7 @@ def main() -> int:
 
     from quasar_destination_h2_spark.sources.tables import load_table
 
-    fam_calib["index_serving"] = [_calibration(spark)]
+    bracket_start("index_serving")
     emb = load_table(spark, sf_dir, "embeddings")
     t0 = time.perf_counter()
     engine.build_ivf_index("bench_annix", emb, kmeans_iters=2)
@@ -387,9 +426,10 @@ def main() -> int:
         "ivfbq_probe_only",
         lambda: engine.ivfbq_search("bench_ibqix", probe_queries).count(),
     )
-    fam_calib["index_serving"].append(_calibration(spark))
+    bracket_end("index_serving")
 
-    calib = min(v for pair in fam_calib.values() for v in pair)
+    calib = min(v for f in fam_calib.values() for v in f["fixed"])
+    calib_cpu = min(v for f in fam_calib.values() for v in f["cpu"])
     total = round(sum(times.values()), 4)
     print(
         json.dumps(
@@ -402,6 +442,7 @@ def main() -> int:
                 # times by this to compare rounds across machine
                 # drift; family brackets expose WITHIN-run drift
                 "calibration_sec": calib,
+                "calibration_cpu_sec": calib_cpu,
                 "family_calibration": fam_calib,
                 "queries": times,
                 # per-query noise bar: (max-min)/min of the timed
@@ -409,6 +450,11 @@ def main() -> int:
                 "queries_spread": spreads,
                 "queries_norm": {
                     k: round(v / calib, 2) for k, v in times.items()
+                },
+                # normalized by codegen THROUGHPUT — the divisor that
+                # tracks uniform CPU drift between same-tree runs
+                "queries_norm_cpu": {
+                    k: round(v / calib_cpu, 2) for k, v in times.items()
                 },
                 # the headline repeated at the END of the line: the
                 # driver's capture keeps the TAIL, and r9's file lost

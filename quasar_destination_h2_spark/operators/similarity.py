@@ -1898,6 +1898,40 @@ def ann_ivfbq_topk(
     )
 
 
+def ann_cascade_pq_narrow(
+    shortlist: DataFrame,
+    codes: DataFrame,
+    lut: DataFrame,
+    k: int = 50,
+) -> DataFrame:
+    """The middle stage of a retrieval CASCADE: re-score an existing
+    per-query candidate SHORTLIST (query_id, vec_id — e.g. a wide,
+    cheap Hamming cut) with the finer PQ ADC scores and narrow it to
+    ``k`` (ties to the lower vec_id). Unlike :func:`ann_pq_topk` the
+    candidate set is the given PAIRS, not the corpus: the codes join
+    touches exactly nq x |shortlist| x M rows — bounded work
+    regardless of corpus size, which is what makes a
+    coarse->binary->PQ->exact funnel pay at 100 TB (each stage reads
+    less data per candidate than the one below it and passes fewer
+    candidates to the one above). Output (query_id, vec_id,
+    score_micro, rank)."""
+    pairs = shortlist.select("query_id", "vec_id")
+    scored = (
+        codes.join(F.broadcast(pairs), "vec_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("part_micro").alias("score_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score_micro", "rank")
+    )
+
+
 def bq_query_codes(
     queries: DataFrame,
     query_id_col: str = "query_id",

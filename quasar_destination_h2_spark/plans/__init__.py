@@ -36,6 +36,9 @@ _R11_NEW = [
     "ann_ivfbq_search",
     "ann_ivfbq_hamming",
     "ann_ivfbq_recall",
+    # the production retrieval funnel: IVF prune -> wide Hamming cut
+    # -> PQ ADC narrowing -> exact rerank, all tiers in one stack
+    "ann_cascade_search",
     # H2 PK/UNIQUE constraints accepted-and-recorded (foreign dumps
     # restore; INFORMATION_SCHEMA.CONSTRAINTS / SHOW KEY / SCRIPT)
     "constraint_catalog_battery",
@@ -95,11 +98,10 @@ _DRIVER_WINDOW = [
     "tpch_q4_order_priority",
     "udf_vowel_stats",
     "udf_weighted_mean",
-    # r5-era (the three oldest alphabetical of that block; the window
+    # r5-era (the two oldest alphabetical of that block; the window
     # is exactly 50 — the driver hashes the first ~50)
     "agg_stats",
     "asof_join_events",
-    "case_coalesce",
 ]
 
 

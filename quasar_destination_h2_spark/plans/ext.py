@@ -5381,16 +5381,20 @@ def q_mmr_diverse_topk(t: TableSet) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _ivfbq_ctes(qcte: str, k: int, nprobe: int = 2) -> str:
+def _ivfbq_ctes(
+    qcte: str, k: int, nprobe: int = 2, shortlist: int | None = None
+) -> str:
     """The shared IVFBQ oracle pipeline, parametrized by the query
     CTE (``iq`` must expose (query_id, qv) over double[] vectors;
     corpus rows come from ``e`` of the k-means CTEs): query sign
     packing, probe-list selection against the refined centroids, the
     composed (vec_id, centroid_id, sig_lo, sig_hi) index rows,
     XOR+popcount Hamming restricted to each query's nprobe lists,
-    the PQ_SHORTLIST cut, and the exact rerank to ``k``. Replays
-    similarity.bq_query_codes / ivfpq_probe_lists / ivfbq_encode /
-    ann_ivfbq_topk / ann_ivfpq_rerank term for term."""
+    the ``shortlist`` cut (default PQ_SHORTLIST), and the exact
+    rerank to ``k``. Replays similarity.bq_query_codes /
+    ivfpq_probe_lists / ivfbq_encode / ann_ivfbq_topk /
+    ann_ivfpq_rerank term for term."""
+    shortlist = similarity.PQ_SHORTLIST if shortlist is None else shortlist
     return f"""iq AS ({qcte}),
     ibq AS (SELECT query_id, {_BQ_LO.format(v='qv')} AS q_lo,
                    {_BQ_HI.format(v='qv')} AS q_hi FROM iq),
@@ -5417,7 +5421,7 @@ def _ivfbq_ctes(qcte: str, k: int, nprobe: int = 2) -> str:
              CAST(rank AS INT) AS rank FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                     ORDER BY hamming, vec_id) AS rank
-        FROM ibsc) WHERE rank <= {similarity.PQ_SHORTLIST}),
+        FROM ibsc) WHERE rank <= {shortlist}),
     ibrr AS (
       SELECT query_id, vec_id, sim, CAST(r AS INT) AS rank FROM (
         SELECT s.query_id, s.vec_id,
@@ -5800,3 +5804,78 @@ def q_constraint_catalog_battery(t: TableSet) -> DataFrame:
         "CAST(NULL AS STRING) AS cols",
     )
     return cons.unionByName(keys).unionByName(pk_line).orderBy("kind", "obj")
+
+
+_CASC_PART = _PQ_MICRO.format(
+    x=f"""round(
+               list_inner_product(iq.qv[(c.m*{_PQ_S}+1):(c.m*{_PQ_S}+{_PQ_S})], c.cvec)
+               / sqrt(list_inner_product(c.cvec, c.cvec)), 6)"""
+)
+
+
+@query(
+    "ann_cascade_search",
+    oracle=f"""
+    WITH {_KM_CTES},
+    {_PQ_CTES},
+    {_ivfbq_ctes(_IVFBQ_CORPUS_Q, 5, shortlist=200)},
+    clut AS (
+      SELECT iq.query_id, c.m, c.code, {_CASC_PART} AS part_micro
+      FROM iq CROSS JOIN {_PQ_CB} c),
+    csc AS (
+      SELECT s.query_id, s.vec_id,
+             CAST(SUM(l.part_micro) AS BIGINT) AS score_micro
+      FROM ibshort s
+      JOIN {_PQ_ASSIGN} p2 ON p2.vec_id = s.vec_id
+      JOIN clut l ON l.query_id = s.query_id
+                 AND l.m = p2.m AND l.code = p2.code
+      GROUP BY s.query_id, s.vec_id),
+    cnar AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY score_micro DESC, vec_id) AS rank
+        FROM csc) WHERE rank <= 50),
+    crr AS (
+      SELECT query_id, vec_id, sim, CAST(r AS INT) AS rank FROM (
+        SELECT n.query_id, n.vec_id,
+               round(list_cosine_similarity(q.qv, e2.v), 6) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY n.query_id
+                 ORDER BY round(list_cosine_similarity(q.qv, e2.v), 6) DESC,
+                          n.vec_id) AS r
+        FROM cnar n JOIN e e2 ON e2.vec_id = n.vec_id
+                    JOIN iq q ON q.query_id = n.query_id) WHERE r <= 5)
+    SELECT query_id, vec_id, sim, rank FROM crr
+    ORDER BY query_id, rank
+    """,
+)
+def q_ann_cascade_search(t: TableSet) -> DataFrame:
+    """The production retrieval FUNNEL — every compression tier in
+    one serving stack, each stage reading less data per candidate
+    than the one below and passing fewer candidates to the one
+    above: (1) the IVF coarse quantizer prunes WHICH lists a probe
+    touches (nprobe/n_list of the corpus), (2) a WIDE Hamming cut
+    over the probed lists' 16-byte sign codes keeps 200 candidates
+    per query (the cheapest possible scoring — XOR+popcount), (3)
+    the PQ ADC re-scores exactly those pairs with the finer
+    codebook LUTs and narrows to 50 (bounded: nq x 200 x M integer
+    rows — the corpus codes are never rescanned), (4) the exact
+    cosine rerank reads only the 50 surviving float vectors per
+    query. Probe I/O ~ corpus x (nprobe/n_list) x (16 B/256 B) +
+    bounded-pair work. The oracle replays the coarse training, sign
+    packing, both shortlist cuts, ADC narrowing and the rerank."""
+    emb = t.embeddings
+    cents = similarity.kmeans_refine(emb)
+    cb = similarity.pq_codebooks(emb)
+    codes_bq = similarity.ivfbq_encode(emb, cents)
+    codes_pq = similarity.pq_encode(emb, cb)
+    q = emb.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    qc = similarity.bq_query_codes(q)
+    probes = similarity.ivfpq_probe_lists(q, cents, 2)
+    stage1 = similarity.ann_ivfbq_topk(codes_bq, qc, probes, 200)
+    lut = similarity.pq_query_lut(q, cb, id_col="query_id", vec_col="qv")
+    stage2 = similarity.ann_cascade_pq_narrow(stage1, codes_pq, lut, 50)
+    return similarity.ann_bq_rerank(emb, stage2, q, 5).orderBy(
+        "query_id", "rank"
+    )

@@ -257,6 +257,10 @@ NLJ_OK = frozenset({
     # r11: frozen-centroid batch assignment (bounded broadcast) + the
     # 1-row drift-report crossJoin — the ivfpq_index_append shape
     "ivfbq_index_append",
+    # r11 cascade funnel: composes the reviewed ivfbq shapes (centroid
+    # broadcasts, nq-row probe cross) with bounded-pair PQ narrowing —
+    # every NLJ is a bounded frame
+    "ann_cascade_search",
 })
 
 #: Tables whose repeated FileScan in one plan is a 100 TB scale killer.
@@ -442,6 +446,12 @@ RESCAN_REVIEWED = frozenset({
     # scans)
     "ann_ivfbq_hamming", "ann_ivfbq_search", "ann_ivfbq_recall",
     "ivfbq_index_search", "ivfbq_index_append",
+    # r11 cascade: the conformance form trains the coarse quantizer +
+    # PQ codebooks + both encodes in ONE plan for the oracle — each
+    # stage re-reads the embeddings scan (the ivfbq + ann_pq shapes
+    # composed); a deployment stores both code tables once and the
+    # funnel reads codes, never the corpus
+    "ann_cascade_search",
 })
 
 
