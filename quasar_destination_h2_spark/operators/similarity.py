@@ -1936,11 +1936,29 @@ def bq_query_codes(
     queries: DataFrame,
     query_id_col: str = "query_id",
     query_vec_col: str = "qv",
+    dim: int = EMBED_DIM,
 ) -> DataFrame:
     """Sign-pack an arbitrary query table into the (query_id, q_lo,
     q_hi) frame the Hamming probes broadcast — the same _BQ_SIG
     packing the corpus encode uses, so query and corpus bits agree
-    bit-for-bit."""
+    bit-for-bit. Like bq_encode/ivfbq_encode this REFUSES dims other
+    than 64 — and because queries are EXTERNAL (the one place a
+    wrong-width vector realistically arrives) and BOUNDED, it also
+    validates the actual array lengths with one pass over the query
+    table: a short vector would otherwise silently pack zero bits
+    and return confidently wrong rankings."""
+    if dim != 64:
+        raise ValueError(
+            f"bq_query_codes packs exactly 64 sign bits (got dim={dim}); "
+            "extend the _BQ_SIG word slices for other dimensions"
+        )
+    bad = queries.where(F.size(F.col(query_vec_col)) != dim).take(1)
+    if bad:
+        raise ValueError(
+            f"bq_query_codes: query vector of {query_id_col}="
+            f"{bad[0][query_id_col]!r} has "
+            f"{len(bad[0][query_vec_col] or [])} dims, expected {dim}"
+        )
     return queries.select(
         F.col(query_id_col).alias("query_id"),
         F.expr(_BQ_SIG.format(v=query_vec_col, off=1)).alias("q_lo"),

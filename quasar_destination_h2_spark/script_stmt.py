@@ -130,6 +130,11 @@ def script_lines(
                 raise ValueError(f"SCRIPT: table not found: {t!r}")
             names.append(by_cf[t.casefold()])
         names.sort()
+    # ONE registry snapshot for the whole dump (the
+    # refresh_information_schema pattern): per-table for_table calls
+    # would re-open and re-parse the JSON twice per table, and a
+    # concurrent writer could slip between the two reads of one table
+    all_cons = engine.constraints.all()
     for logical in names:
         try:
             schema = engine.table(logical).schema
@@ -137,13 +142,14 @@ def script_lines(
             if only_tables is not None:
                 raise
             continue  # stale catalog entry: introspection never fails
+        tcons = all_cons.get(logical.casefold(), [])
         # PK members spell NOT NULL like H2's own dumps: Spark's
         # file-based saveAsTable forces every column nullable, so the
         # constraint REGISTRY (not the stored schema) is the
         # authoritative carrier of the PK's NOT NULL intent
         pk_cols = {
             c.casefold()
-            for e in engine.constraints.for_table(logical)
+            for e in tcons
             if e["type"] == "PRIMARY KEY"
             for c in e["columns"]
         }
@@ -159,7 +165,7 @@ def script_lines(
         lines.append(f"CREATE CACHED TABLE {q(logical)}({cols});")
         # recorded PK/UNIQUE constraints round-trip as H2 SCRIPT
         # spells them: ALTER ... ADD CONSTRAINT lines after the table
-        for e in engine.constraints.for_table(logical):
+        for e in tcons:
             cq = ", ".join(q(c) for c in e["columns"])
             lines.append(
                 f"ALTER TABLE {q(logical)} ADD CONSTRAINT "

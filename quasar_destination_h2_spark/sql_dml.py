@@ -1262,22 +1262,30 @@ def _execute_verb(engine, statement: str, shadow: str, m):
             parsed = _parse_constraint_clause(seg, _shadow(seg))
             assert parsed is not None  # lookahead guarantees a clause
             cname, ctype, cols = parsed
-            resolve_columns(
+            # record the table's ACTUAL column spellings, not the
+            # statement's (case-insensitive resolution by design) —
+            # the registry feeds COLUMN_LIST and SCRIPT dumps, where
+            # a wrong-case quoted identifier names a different column
+            res = resolve_columns(
                 cols,
                 engine.table(logical).columns,
                 f"ALTER TABLE ADD {ctype}: column not found",
             )
-            engine.constraints.add(logical, ctype, cols, cname)
+            engine.constraints.add(
+                logical, ctype, [res[c] for c in cols], cname
+            )
             engine._republish_info_schema()
             return None
-        mcdrop = re.compile(r"\s*DROP\s+CONSTRAINT\s+", re.I).match(
-            shadow, pos
-        )
+        mcdrop = re.compile(
+            r"\s*DROP\s+CONSTRAINT\s+(?P<ie>IF\s+EXISTS\s+)?", re.I
+        ).match(shadow, pos)
         if mcdrop:
             cname, p3 = _parse_ident(statement, shadow, mcdrop.end())
             if p3 < len(shadow) and shadow[p3] == ".":
                 cname, _ = _parse_ident(statement, shadow, p3 + 1)
-            engine.constraints.drop(logical, cname)
+            engine.constraints.drop(
+                logical, cname, if_exists=mcdrop.group("ie") is not None
+            )
             engine._republish_info_schema()
             return None
         madd = re.compile(r"\s*ADD\s+(COLUMN\s+)?", re.I).match(shadow, pos)
@@ -1353,9 +1361,10 @@ def _parse_constraint_clause(seg: str, sshadow: str):
         if pos < len(sshadow) and sshadow[pos] == ".":
             # H2 SCRIPT qualifies: CONSTRAINT PUBLIC.CONSTRAINT_4D
             name, pos = _parse_ident(seg, sshadow, pos + 1)
-    mk = re.compile(r"\s*(PRIMARY\s+KEY|UNIQUE)\s*\(", re.I).match(
-        sshadow, pos
-    )
+    # H2 grammar allows PRIMARY KEY [HASH] at table level too
+    mk = re.compile(
+        r"\s*(PRIMARY\s+KEY(?:\s+HASH)?|UNIQUE)\s*\(", re.I
+    ).match(sshadow, pos)
     if not mk:
         raise ValueError(
             f"constraint clause {seg!r} is unsupported: only PRIMARY "
@@ -1370,12 +1379,19 @@ def _parse_constraint_clause(seg: str, sshadow: str):
         if mk.group(1).upper().startswith("PRIMARY")
         else "UNIQUE"
     )
-    open_p = pos + (mk.end() - pos) - 1
+    open_p = mk.end() - 1
     close = _match_close(sshadow, open_p)
     cols = [
         _parse_ident(s, _shadow(s), 0)[0]
         for s in _split_top_level(seg, sshadow, open_p + 1, close)
     ]
+    seen: set = set()
+    for c in cols:
+        if c.casefold() in seen:
+            raise ValueError(
+                f"constraint clause {seg!r}: column {c!r} listed twice"
+            )
+        seen.add(c.casefold())
     return name, ctype, cols
 
 
@@ -1421,23 +1437,32 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
                 "loudly by design (see constraints.py) — only PRIMARY "
                 "KEY and UNIQUE are recorded"
             )
-        # H2 column grammar puts the constraint LAST: type [NOT NULL]
-        # [UNIQUE | PRIMARY KEY [HASH]]
-        mck = re.search(
-            r"\s+(PRIMARY\s+KEY(?:\s+HASH)?|UNIQUE)\s*$", tshadow, re.I
-        )
-        pk_col = False
-        if mck:
-            if mck.group(1).upper().startswith("PRIMARY"):
+        # H2 column grammar: type then NOT NULL and/or
+        # UNIQUE | PRIMARY KEY [HASH], in EITHER order — strip
+        # trailing tokens until the bare type remains
+        pk_col, uniq_col, not_null = False, False, False
+        while True:
+            tshadow2 = _shadow(type_text)
+            mck = re.search(
+                r"\s+(PRIMARY\s+KEY(?:\s+HASH)?|UNIQUE|NOT\s+NULL)\s*$",
+                tshadow2,
+                re.I,
+            )
+            if not mck:
+                break
+            tok = mck.group(1).upper()
+            if tok.startswith("PRIMARY"):
                 pk_col = True
-                cons.append((None, "PRIMARY KEY", [col]))
+            elif tok.startswith("UNIQUE"):
+                uniq_col = True
             else:
-                cons.append((None, "UNIQUE", [col]))
+                not_null = True
             type_text = type_text[: mck.start()].strip()
-        nn = re.search(r"\s+NOT\s+NULL\s*$", _shadow(type_text), re.I)
-        nullable = nn is None and not pk_col  # H2: PK implies NOT NULL
-        if nn:
-            type_text = type_text[: nn.start()].strip()
+        if pk_col:
+            cons.append((None, "PRIMARY KEY", [col]))
+        if uniq_col:
+            cons.append((None, "UNIQUE", [col]))
+        nullable = not not_null and not pk_col  # H2: PK implies NOT NULL
         sp = _h2_type_to_spark(type_text)
         # a DataFrame can't carry char/varchar without
         # spark.sql.preserveCharVarcharTypeInfo, and parquet doesn't
@@ -1447,6 +1472,23 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
             T.StructField(col, T._parse_datatype_string(sp), nullable)
         )
     declared = {f.name.casefold() for f in fields}
+    # validate the WHOLE constraint set BEFORE creating the table —
+    # H2 rejects the statement atomically, and recording after
+    # create_table_as would otherwise leave a half-constrained table
+    # behind a failed statement (advisor r11)
+    if sum(1 for _, ctype, _ in cons if ctype == "PRIMARY KEY") > 1:
+        raise ValueError(
+            "CREATE CACHED TABLE: more than one PRIMARY KEY declared"
+        )
+    names_seen: set = set()
+    for cname, _, _ in cons:
+        if cname is None:
+            continue
+        if cname.casefold() in names_seen:
+            raise ValueError(
+                f"CREATE CACHED TABLE: duplicate constraint name {cname!r}"
+            )
+        names_seen.add(cname.casefold())
     for _, ctype, cols in cons:
         missing = [c for c in cols if c.casefold() not in declared]
         if missing:

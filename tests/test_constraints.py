@@ -188,3 +188,73 @@ def test_sink_replace_clears_constraints(engine):
         "/cn_rep", [Column("x", ColumnType.STRING)], b"a\r\n"
     )
     assert engine.constraints.for_table("cn_rep") == []
+
+
+def test_review_findings_hardened(engine):
+    """r11 self-review regressions: PRIMARY KEY HASH at table/ALTER
+    level, constraint-before-NOT-NULL column order, atomic statement
+    validation (no half-constrained table left behind), duplicate
+    columns in one key rejected, DROP CONSTRAINT IF EXISTS, and
+    recorded column spellings follow the TABLE's case."""
+    # PRIMARY KEY HASH — valid H2 1.4.200 grammar at every position
+    engine.execute_sql(
+        'CREATE CACHED TABLE "cn_h"("id" INT, "u" VARCHAR, '
+        'PRIMARY KEY HASH("id"))'
+    )
+    engine.execute_sql('ALTER TABLE "cn_h" ADD CONSTRAINT "uh" UNIQUE("u")')
+    assert {e["type"] for e in engine.constraints.for_table("cn_h")} == {
+        "PRIMARY KEY",
+        "UNIQUE",
+    }
+    # constraint BEFORE NOT NULL in the column def (both valid in H2)
+    engine.execute_sql(
+        'CREATE CACHED TABLE "cn_o"("id" INT PRIMARY KEY NOT NULL, '
+        '"u" VARCHAR UNIQUE NOT NULL)'
+    )
+    got = {
+        (e["type"], tuple(e["columns"]))
+        for e in engine.constraints.for_table("cn_o")
+    }
+    assert got == {("PRIMARY KEY", ("id",)), ("UNIQUE", ("u",))}
+    # atomicity: a second PK fails BEFORE the table is created
+    with pytest.raises(ValueError, match="more than one PRIMARY KEY"):
+        engine.execute_sql(
+            'CREATE CACHED TABLE "cn_2pk"("a" INT PRIMARY KEY, "b" INT, '
+            'PRIMARY KEY("b"))'
+        )
+    assert "cn_2pk" not in engine.sink.catalog  # nothing half-created
+    with pytest.raises(ValueError, match="duplicate constraint name"):
+        engine.execute_sql(
+            'CREATE CACHED TABLE "cn_dn"("a" INT, "b" INT, '
+            'CONSTRAINT "x" UNIQUE("a"), CONSTRAINT "x" UNIQUE("b"))'
+        )
+    assert "cn_dn" not in engine.sink.catalog
+    # duplicate column inside one key
+    with pytest.raises(ValueError, match="listed twice"):
+        engine.execute_sql(
+            'CREATE CACHED TABLE "cn_dc"("a" INT, UNIQUE("a", "a"))'
+        )
+    # recorded spellings follow the TABLE's case, so SCRIPT dumps
+    # emit identifiers that name real columns
+    engine.execute_sql('CREATE CACHED TABLE "cn_cs"("val" INT)')
+    engine.execute_sql('ALTER TABLE "cn_cs" ADD CONSTRAINT "uv" UNIQUE(VAL)')
+    assert engine.constraints.for_table("cn_cs")[0]["columns"] == ["val"]
+    # DROP CONSTRAINT IF EXISTS: silent on absence, real on presence
+    engine.execute_sql('ALTER TABLE "cn_cs" DROP CONSTRAINT IF EXISTS "ghost"')
+    engine.execute_sql('ALTER TABLE "cn_cs" DROP CONSTRAINT IF EXISTS "uv"')
+    assert engine.constraints.for_table("cn_cs") == []
+
+
+def test_bq_query_codes_rejects_wrong_width(spark):
+    """r11 self-review: an external query vector with the wrong
+    dimensionality must REFUSE loudly, not silently pack zero bits
+    and return confidently wrong rankings."""
+    from quasar_destination_h2_spark.operators import similarity
+
+    q = spark.createDataFrame(
+        [(1, [0.5] * 32)], "query_id bigint, qv array<double>"
+    )
+    with pytest.raises(ValueError, match="32 dims, expected 64"):
+        similarity.bq_query_codes(q)
+    with pytest.raises(ValueError, match="dim=16"):
+        similarity.bq_query_codes(q, dim=16)
