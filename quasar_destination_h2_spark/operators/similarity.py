@@ -1673,6 +1673,314 @@ def ann_ivfpq_rerank(
 
 
 # ---------------------------------------------------------------------------
+# Residual IVF+PQ — the faithful IVFADC form (Jegou et al., PAMI
+# 2011 §III encodes x − q1(x), the RESIDUAL from the coarse centroid,
+# not x itself). Carried over to this repo's COSINE metric by the
+# exact inner-product identity on unit vectors:
+#
+#     cos(q, x) = <q̂, x̂> = <q̂, c> + <q̂, x̂ − c>     for ANY c,
+#
+# so per probed list the score is an EXACT coarse term <q̂, c> (the
+# probe already touches c) plus the ADC estimate of <q̂, r> over the
+# quantized residual r = x̂ − c — the only approximation left is PQ
+# quantization error on r, which is the smaller, better-centered
+# target the residual form exists to exploit. (A first cut that
+# scored residual codes with the raw-encode per-subspace COSINE — no
+# coarse term, normalization mismatch — measured at or below the
+# raw form; this IP decomposition is what makes residuals pay.)
+# ---------------------------------------------------------------------------
+
+
+def ivf_residuals(
+    emb: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assigned: DataFrame | None = None,
+) -> DataFrame:
+    """(vec_id, centroid_id, resid) — each vector's 6-rounded UNIT
+    copy minus the 6-rounded UNIT copy of its coarse centroid,
+    re-rounded to 6 decimals (the engine-replayable carrier every
+    downstream exact-DECIMAL sum needs; zero-norm rows drop out, as
+    in the k-means update). The centroid is unit-normalized HERE
+    because the k-means centroids are mean-direction SUMS (norm ~
+    cluster size): subtracting a same-direction UNIT anchor keeps
+    the residual small — ||x̂ − ĉ|| ≤ sqrt(2) — which is the whole
+    point of residual quantization (a first cut subtracting the raw
+    sums produced cluster-sized "residuals" whose quantization error
+    swamped the signal). One corpus pass (the coarse assignment) +
+    a broadcast centroid join; pass ``assigned`` (id, vec,
+    centroid_id) to ride an existing assignment instead."""
+    if assigned is None:
+        assigned = ivf_assign(emb, cents, id_col, vec_col)
+    ncents = cents.select(
+        "centroid_id", _unit_rounded(F.col("cvec")).alias("_c")
+    ).where(F.col("_c").isNotNull())
+    return (
+        assigned.join(F.broadcast(ncents), "centroid_id")
+        .select(
+            F.col(id_col).alias("vec_id"),
+            "centroid_id",
+            _unit_rounded(F.col(vec_col)).alias("_u"),
+            "_c",
+        )
+        .where(F.col("_u").isNotNull())
+        .select(
+            "vec_id",
+            "centroid_id",
+            F.zip_with(
+                "_u", "_c", lambda x, y: F.round(x - y, 6)
+            ).alias("resid"),
+        )
+    )
+
+
+def pq_assign_codes_l2(sub: DataFrame, cb: DataFrame) -> DataFrame:
+    """Assign every (vec_id, m) subvector its nearest code by MIN
+    rounded squared Euclidean distance (ties to the lower code id) —
+    the assignment residual quantization needs: unlike the spherical
+    :func:`pq_assign_codes`, L2 sees MAGNITUDE, and residual
+    magnitudes are exactly what the inner-product ADC reconstructs.
+    Same broadcast + map-side-combined min_by shape."""
+    d2 = F.round(
+        _dot(
+            F.zip_with(
+                F.col("subvec"), F.col("cvec"), lambda x, y: x - y
+            ),
+            F.zip_with(
+                F.col("subvec"), F.col("cvec"), lambda x, y: x - y
+            ),
+        ),
+        6,
+    )
+    scored = sub.join(F.broadcast(cb), "m").select(
+        "vec_id", "m", "subvec", "code", d2.alias("_d2")
+    )
+    return scored.groupBy("vec_id", "m").agg(
+        F.first("subvec").alias("subvec"),
+        F.min_by("code", F.struct(F.col("_d2"), F.col("code"))).alias("code"),
+    )
+
+
+def _pq_means(assigned: DataFrame) -> DataFrame:
+    """Per-(subspace, code) Euclidean MEAN of the member subvectors:
+    exact DECIMAL(38,6) sums of the 6-rounded elements divided by
+    the member count — both engines compute the identical double
+    (exact decimal numerator, integer denominator, one IEEE
+    division). Unlike :func:`_pq_mean_directions` the magnitude
+    survives — the property residual-IP ADC depends on. The shuffle
+    carries m x k x (dim/m) rows regardless of corpus size."""
+    e = assigned.select(
+        "m",
+        "code",
+        F.posexplode(
+            F.transform(
+                F.col("subvec"), lambda x: F.round(x.cast("double"), 6)
+            )
+        ).alias("pos", "u"),
+    )
+    sums = e.groupBy("m", "code", "pos").agg(
+        F.sum(F.col("u").cast("decimal(38,6)")).alias("sm"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return sums.groupBy("m", "code").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("pos"),
+                        (F.col("sm").cast("double") / F.col("n")).alias("v"),
+                    )
+                )
+            ),
+            lambda s: s["v"],
+        ).alias("cvec")
+    )
+
+
+def pq_codebooks_l2(
+    emb: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """Euclidean PQ training (the residual quantizer): md5-seeded
+    init (the pq_codebooks protocol) + ``iters`` Lloyd rounds of
+    (min-L2 assign, exact-mean update) — all M subspace problems
+    ride one corpus pass per round. Returns (m, code, cvec) with
+    magnitude-true centroids."""
+    sub = pq_subvectors(emb, m, id_col, vec_col, dim)
+    cb = pq_seed_codebooks(emb, m, k, id_col, vec_col, dim).localCheckpoint()
+    for _ in range(iters):
+        assigned = pq_assign_codes_l2(sub, cb)
+        cb = _pq_means(assigned).localCheckpoint()
+    return cb
+
+
+def ivfpq_residual_encode(
+    res: DataFrame,
+    cb: DataFrame,
+    m: int = PQ_M,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """One pass producing the residual-index rows: each residual
+    (from :func:`ivf_residuals` — carries centroid_id) L2-assigned
+    to its nearest code per subspace — (vec_id, centroid_id, m,
+    code). The centroid id rides the argmax aggregation exactly as
+    in :func:`ivfpq_encode`."""
+    sub = dim // m
+    slices = F.array(
+        *[F.slice(F.col("resid"), i * sub + 1, sub) for i in range(m)]
+    )
+    subv = res.select(
+        "vec_id", "centroid_id", F.posexplode(slices).alias("m", "subvec")
+    )
+    d2 = F.round(
+        _dot(
+            F.zip_with(F.col("subvec"), F.col("cvec"), lambda x, y: x - y),
+            F.zip_with(F.col("subvec"), F.col("cvec"), lambda x, y: x - y),
+        ),
+        6,
+    )
+    scored = subv.join(F.broadcast(cb), "m").select(
+        "vec_id", "centroid_id", "m", "code", d2.alias("_d2")
+    )
+    return (
+        scored.groupBy("vec_id", "m")
+        .agg(
+            F.first("centroid_id").alias("centroid_id"),
+            F.min_by("code", F.struct(F.col("_d2"), F.col("code"))).alias(
+                "code"
+            ),
+        )
+        .select("vec_id", "centroid_id", "m", "code")
+    )
+
+
+def residual_coarse_micro(
+    queries: DataFrame,
+    probes: DataFrame,
+    cents: DataFrame,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+) -> DataFrame:
+    """The EXACT coarse term of the residual decomposition, per
+    (query, probed centroid): micro(round(<q̂, ĉ>, 6)) against the
+    same 6-rounded UNIT centroid copy :func:`ivf_residuals`
+    subtracts (the decomposition must use ONE anchor end to end).
+    Queries must already be unit-normalized (the caller's contract;
+    cosine equals plain inner product only then). Bounded nq x
+    nprobe rows."""
+    ncents = cents.select(
+        "centroid_id", _unit_rounded(F.col("cvec")).alias("_c")
+    ).where(F.col("_c").isNotNull())
+    return (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(query_vec_col).alias("_q"),
+        )
+        .join(F.broadcast(probes), "query_id")
+        .join(F.broadcast(ncents), "centroid_id")
+        .select(
+            "query_id",
+            "centroid_id",
+            _micro(F.round(_dot(F.col("_q"), F.col("_c")), 6)).alias(
+                "coarse_micro"
+            ),
+        )
+    )
+
+
+def pq_residual_lut(
+    queries: DataFrame,
+    cb: DataFrame,
+    m: int = PQ_M,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "qv",
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """Residual ADC lookup table: for each (query, subspace, code),
+    the RAW inner-product partial micro(round(<q̂_m, cb_code_m>, 6))
+    of the QUERY ITSELF against the residual codebook — (query_id,
+    m, code, part_micro). The decomposition is <q̂, x̂> = <q̂, c> +
+    <q̂, r>: the second term is the query against the residual, so
+    the LUT slices q̂, NOT a query residual (that is the L2
+    formulation's shape; using it here double-subtracts the centroid
+    and measurably destroys recall), and consequently ONE bounded
+    nq x M x K table serves every probed list. No per-subspace
+    normalization — plain IPs are what make coarse + ADC sum to an
+    estimate of cos(q, x). Queries must be unit-normalized (the
+    caller's contract)."""
+    sub = dim // m
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col(query_vec_col), i * sub + 1, sub)
+                    for i in range(m)
+                ]
+            )
+        ).alias("m", "qsub"),
+    )
+    return q.join(F.broadcast(cb), "m").select(
+        "query_id",
+        "m",
+        "code",
+        _micro(F.round(_dot(F.col("qsub"), F.col("cvec")), 6)).alias(
+            "part_micro"
+        ),
+    )
+
+
+def ann_ivfpq_residual_topk(
+    codes: DataFrame,
+    lut: DataFrame,
+    probes: DataFrame,
+    coarse: DataFrame,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Residual ADC over ONLY the probed inverted lists: candidates
+    are the residual codes restricted to each query's nprobe lists
+    (broadcast probe join — dynamically prunes a centroid-partitioned
+    store); score = the query's EXACT coarse term for that list +
+    the residual LUT sums (see the section comment: together they
+    estimate cos(q, x) with only PQ quantization error on the
+    residual). Same output contract as :func:`ann_ivfpq_topk` —
+    (query_id, vec_id, centroid_id, score_micro, rank)."""
+    cand = codes.join(F.broadcast(probes), "centroid_id")
+    scored = (
+        cand.join(F.broadcast(lut), ["query_id", "m", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.first("centroid_id").alias("centroid_id"),
+            F.sum("part_micro").alias("res_micro"),
+        )
+        .join(F.broadcast(coarse), ["query_id", "centroid_id"])
+        .select(
+            "query_id",
+            "vec_id",
+            "centroid_id",
+            (F.col("coarse_micro") + F.col("res_micro")).alias("score_micro"),
+        )
+    )
+    if exclude_self:
+        scored = scored.where(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "centroid_id", "score_micro", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Binary (1-bit sign) quantization — the extreme-compression ANN tier
 # ---------------------------------------------------------------------------
 #

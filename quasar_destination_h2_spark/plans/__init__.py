@@ -39,6 +39,12 @@ _R11_NEW = [
     # the production retrieval funnel: IVF prune -> wide Hamming cut
     # -> PQ ADC narrowing -> exact rerank, all tiers in one stack
     "ann_cascade_search",
+    # the faithful residual-IVFADC form (Euclidean PQ over x̂ − ĉ,
+    # coarse + IP-ADC = a CALIBRATED cosine estimate) + its recall
+    # and calibration instruments
+    "ann_ivfpq_residual_search",
+    "ann_ivfpq_residual_recall",
+    "ivfpq_residual_calibration",
     # H2 PK/UNIQUE constraints accepted-and-recorded (foreign dumps
     # restore; INFORMATION_SCHEMA.CONSTRAINTS / SHOW KEY / SCRIPT)
     "constraint_catalog_battery",
@@ -97,11 +103,8 @@ _DRIVER_WINDOW = [
     "tpch_q19_disjunctive_revenue",
     "tpch_q4_order_priority",
     "udf_vowel_stats",
-    "udf_weighted_mean",
-    # r5-era (the two oldest alphabetical of that block; the window
-    # is exactly 50 — the driver hashes the first ~50)
-    "agg_stats",
-    "asof_join_events",
+    # (window is exactly 50 — the driver hashes the first ~50;
+    # udf_weighted_mean and the r5-era block rotate in next round)
 ]
 
 

@@ -261,6 +261,12 @@ NLJ_OK = frozenset({
     # broadcasts, nq-row probe cross) with bounded-pair PQ narrowing —
     # every NLJ is a bounded frame
     "ann_cascade_search",
+    # r11 residual IVFADC: the same bounded shapes (n_list centroid
+    # broadcasts in coarse training/assignment + residual anchoring,
+    # the nq-row probe cross, the exact-baseline recall broadcast)
+    "ann_ivfpq_residual_search",
+    "ann_ivfpq_residual_recall",
+    "ivfpq_residual_calibration",
 })
 
 #: Tables whose repeated FileScan in one plan is a 100 TB scale killer.
@@ -452,6 +458,13 @@ RESCAN_REVIEWED = frozenset({
     # composed); a deployment stores both code tables once and the
     # funnel reads codes, never the corpus
     "ann_cascade_search",
+    # r11 residual IVFADC: coarse training + residual frame +
+    # Euclidean PQ training + encode in ONE plan for the oracle (the
+    # ivfpq conformance declaration over the residual pipeline); a
+    # deployment stores residual codes once
+    "ann_ivfpq_residual_search",
+    "ann_ivfpq_residual_recall",
+    "ivfpq_residual_calibration",
 })
 
 
