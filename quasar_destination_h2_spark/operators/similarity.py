@@ -1374,13 +1374,24 @@ def pq_recall(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Recall contract for the PQ index: fraction (ppm) of the exact
     cosine top-k recovered by the ADC top-k, per query — the
     instrument that says whether M/K are adequate before anyone
     serves from the compressed codes. The exact side is brute-force
-    cosine over the query set only (bounded broadcast of queries)."""
-    qids = topk_pq.select("query_id").distinct()
+    cosine over the query set only (bounded broadcast of queries).
+    Pass ``query_ids`` (a frame with a query_id column — the actual
+    query set) so a query whose probe produced an EMPTY top-k still
+    reports a recall-0 row instead of silently vanishing (the
+    topk-derived default can only see queries that scored
+    something); the DuckDB recall oracles anchor on the exact side
+    and emit those zero rows."""
+    qids = (
+        query_ids.select("query_id").distinct()
+        if query_ids is not None
+        else topk_pq.select("query_id").distinct()
+    )
     q = emb.join(
         F.broadcast(qids), emb[id_col] == qids["query_id"]
     ).select("query_id", F.col(vec_col).alias("qv"))
@@ -1705,8 +1716,10 @@ def ivf_residuals(
     in the k-means update). The centroid is unit-normalized HERE
     because the k-means centroids are mean-direction SUMS (norm ~
     cluster size): subtracting a same-direction UNIT anchor keeps
-    the residual small — ||x̂ − ĉ|| ≤ sqrt(2) — which is the whole
-    point of residual quantization (a first cut subtracting the raw
+    the residual small — ||x̂ − ĉ||² = 2(1 − cos(x̂, ĉ)), ≤ sqrt(2)
+    whenever the vector is within 90° of its nearest centroid and
+    never above 2 — which is the whole point of residual
+    quantization (a first cut subtracting the raw
     sums produced cluster-sized "residuals" whose quantization error
     swamped the signal). One corpus pass (the coarse assignment) +
     a broadcast centroid join; pass ``assigned`` (id, vec,
@@ -1735,6 +1748,18 @@ def ivf_residuals(
     )
 
 
+def _d2_rounded(a: Column, b: Column) -> Column:
+    """6-rounded squared Euclidean distance — the difference array is
+    BOUND once (the _unit_rounded idiom) so the expression tree
+    carries one zip_with, not four."""
+    from .text import bind_once
+
+    return bind_once(
+        F.zip_with(a, b, lambda x, y: x - y),
+        lambda d: F.round(_dot(d, d), 6),
+    )
+
+
 def pq_assign_codes_l2(sub: DataFrame, cb: DataFrame) -> DataFrame:
     """Assign every (vec_id, m) subvector its nearest code by MIN
     rounded squared Euclidean distance (ties to the lower code id) —
@@ -1742,19 +1767,12 @@ def pq_assign_codes_l2(sub: DataFrame, cb: DataFrame) -> DataFrame:
     :func:`pq_assign_codes`, L2 sees MAGNITUDE, and residual
     magnitudes are exactly what the inner-product ADC reconstructs.
     Same broadcast + map-side-combined min_by shape."""
-    d2 = F.round(
-        _dot(
-            F.zip_with(
-                F.col("subvec"), F.col("cvec"), lambda x, y: x - y
-            ),
-            F.zip_with(
-                F.col("subvec"), F.col("cvec"), lambda x, y: x - y
-            ),
-        ),
-        6,
-    )
     scored = sub.join(F.broadcast(cb), "m").select(
-        "vec_id", "m", "subvec", "code", d2.alias("_d2")
+        "vec_id",
+        "m",
+        "subvec",
+        "code",
+        _d2_rounded(F.col("subvec"), F.col("cvec")).alias("_d2"),
     )
     return scored.groupBy("vec_id", "m").agg(
         F.first("subvec").alias("subvec"),
@@ -1838,15 +1856,12 @@ def ivfpq_residual_encode(
     subv = res.select(
         "vec_id", "centroid_id", F.posexplode(slices).alias("m", "subvec")
     )
-    d2 = F.round(
-        _dot(
-            F.zip_with(F.col("subvec"), F.col("cvec"), lambda x, y: x - y),
-            F.zip_with(F.col("subvec"), F.col("cvec"), lambda x, y: x - y),
-        ),
-        6,
-    )
     scored = subv.join(F.broadcast(cb), "m").select(
-        "vec_id", "centroid_id", "m", "code", d2.alias("_d2")
+        "vec_id",
+        "centroid_id",
+        "m",
+        "code",
+        _d2_rounded(F.col("subvec"), F.col("cvec")).alias("_d2"),
     )
     return (
         scored.groupBy("vec_id", "m")
@@ -1936,22 +1951,23 @@ def pq_residual_lut(
     )
 
 
-def ann_ivfpq_residual_topk(
+def ivfpq_residual_scores(
     codes: DataFrame,
     lut: DataFrame,
     probes: DataFrame,
     coarse: DataFrame,
-    k: int = 10,
     exclude_self: bool = True,
 ) -> DataFrame:
-    """Residual ADC over ONLY the probed inverted lists: candidates
-    are the residual codes restricted to each query's nprobe lists
+    """The UNRANKED residual ADC estimates over the probed lists —
+    (query_id, vec_id, centroid_id, score_micro): candidates are the
+    residual codes restricted to each query's nprobe lists
     (broadcast probe join — dynamically prunes a centroid-partitioned
     store); score = the query's EXACT coarse term for that list +
     the residual LUT sums (see the section comment: together they
     estimate cos(q, x) with only PQ quantization error on the
-    residual). Same output contract as :func:`ann_ivfpq_topk` —
-    (query_id, vec_id, centroid_id, score_micro, rank)."""
+    residual). Consumers that need every estimate — the calibration
+    instrument — read this directly; top-k ranking lives in
+    :func:`ann_ivfpq_residual_topk`."""
     cand = codes.join(F.broadcast(probes), "centroid_id")
     scored = (
         cand.join(F.broadcast(lut), ["query_id", "m", "code"])
@@ -1970,6 +1986,22 @@ def ann_ivfpq_residual_topk(
     )
     if exclude_self:
         scored = scored.where(F.col("query_id") != F.col("vec_id"))
+    return scored
+
+
+def ann_ivfpq_residual_topk(
+    codes: DataFrame,
+    lut: DataFrame,
+    probes: DataFrame,
+    coarse: DataFrame,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Top-k over :func:`ivfpq_residual_scores` (score desc, ties to
+    the lower vec_id). Same output contract as
+    :func:`ann_ivfpq_topk` — (query_id, vec_id, centroid_id,
+    score_micro, rank)."""
+    scored = ivfpq_residual_scores(codes, lut, probes, coarse, exclude_self)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score_micro").desc(), F.col("vec_id")
     )

@@ -9,10 +9,11 @@ from . import ext  # noqa: E402,F401
 # driver-witnessed coverage is 210/210 with zero ever-failures
 # (union over CORRECTNESS_r02..r10). The round-11 window keeps the
 # rotation discipline:
-#   * first: all SIX round-11 registrations (_R11_NEW below),
+#   * first: all TEN round-11 registrations (_R11_NEW below),
 #     witnessed the same round they land — the IVF+BQ composed-index
 #     family (partition-pruned Hamming probe / serving / recall /
-#     engine lifecycle / incremental append) and the H2 constraint
+#     engine lifecycle / incremental append), the cascade retrieval
+#     funnel, the residual-IVFADC trio, and the H2 constraint
 #     catalog battery;
 #   * next: every query whose implementation round 11 touches — the
 #     PQ/IVFPQ/BQ probe family (the exclude_self flag threaded
@@ -24,7 +25,8 @@ from . import ext  # noqa: E402,F401
 #   * the remaining slots: cross-era anchors ROTATED to the queries
 #     whose last driver witness is OLDEST (set_except: r2; the r3
 #     trio; the r4 block — sketches, simhash, multimodal, UDFs,
-#     inner TPC-H shapes; four r5 entries) — none witnessed since.
+#     inner TPC-H shapes) — none witnessed since; the r5-era block
+#     rotates in next round.
 # Everything outside the window stays oracle-checked locally via
 # tools/oracle_check.py at sf0.001/0.01/0.1 (see COVERAGE.md).
 _R11_NEW = [

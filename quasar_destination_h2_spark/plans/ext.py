@@ -4124,7 +4124,6 @@ _PQ_MICRO = "CAST(CAST({x} AS DECIMAL(28,10)) * 1000000 AS BIGINT)"
 def _pq_ctes(
     iters: int = similarity.PQ_ITERS,
     where: str = "",
-    src_sql: str | None = None,
 ) -> tuple[str, str, str]:
     """Unrolled per-subspace spherical-k-means CTEs for the DuckDB
     oracle: md5 seeds sliced into M subspace codebooks -> ``iters``
@@ -4133,19 +4132,14 @@ def _pq_ctes(
     6-rounded unit subvectors) -> final code assignment. Replays
     ``similarity.pq_codebooks`` / ``pq_encode`` exactly (``where``
     filters the training corpus — the half-corpus append replays;
-    ``src_sql`` substitutes a whole different (vec_id, v) source,
-    e.g. the residual frame of the residual-IVFADC queries).
+    the residual-IVFADC queries use the separate Euclidean builder
+    ``_pq_l2_ctes``, which takes its source SQL directly).
     Returns (cte_sql, final_codebook_name, final_assign_name); pa{k}
     carries (vec_id, m, sv, usv, code)."""
     s, m, k = _PQ_S, _PQ_M, _PQ_K
     cond = f" WHERE {where}" if where else ""
-    src = (
-        src_sql
-        if src_sql is not None
-        else f"SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings{cond}"
-    )
     parts = [
-        f"pe AS ({src})",
+        f"pe AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings{cond})",
         f"pms AS (SELECT unnest(range({m})) AS m)",
         f"""pseed AS (SELECT vec_id AS code, v FROM pe
           WHERE vec_id IN (SELECT vec_id FROM pe
@@ -4350,15 +4344,17 @@ def q_ann_pq_recall(t: TableSet) -> DataFrame:
     cb = similarity.pq_codebooks(emb)
     codes = similarity.pq_encode(emb, cb)
     lut = similarity.pq_query_lut(emb.where("vec_id < 3"), cb)
+    qids = emb.where("vec_id < 3").select(F.col("vec_id").alias("query_id"))
     adc = similarity.pq_recall(
-        emb, similarity.ann_pq_topk(codes, lut, 10), 10
+        emb, similarity.ann_pq_topk(codes, lut, 10), 10, query_ids=qids
     ).select(
         "query_id",
         F.col("n_hit").alias("n_hit_adc"),
         F.col("recall_ppm").alias("recall_adc_ppm"),
     )
     rr = similarity.pq_recall(
-        emb, similarity.ann_pq_rerank(emb, codes, lut, 10), 10
+        emb, similarity.ann_pq_rerank(emb, codes, lut, 10), 10,
+        query_ids=qids,
     ).select(
         "query_id",
         F.col("n_hit").alias("n_hit_rerank"),
@@ -4655,14 +4651,17 @@ def q_ann_ivfpq_recall(t: TableSet) -> DataFrame:
         codes, lut, probes, similarity.PQ_SHORTLIST
     )
     adc = similarity.pq_recall(
-        emb, short.where("rank <= 5").select("query_id", "vec_id"), 5
+        emb,
+        short.where("rank <= 5").select("query_id", "vec_id"),
+        5,
+        query_ids=q,
     ).select(
         "query_id",
         F.col("n_hit").alias("n_hit_adc"),
         F.col("recall_ppm").alias("recall_adc_ppm"),
     )
     rr = similarity.pq_recall(
-        emb, similarity.ann_ivfpq_rerank(emb, short, q, 5), 5
+        emb, similarity.ann_ivfpq_rerank(emb, short, q, 5), 5, query_ids=q
     ).select(
         "query_id",
         F.col("n_hit").alias("n_hit_rerank"),
@@ -5248,14 +5247,17 @@ def q_ann_bq_recall(t: TableSet) -> DataFrame:
     )
     short = similarity.ann_bq_topk(codes, qc, similarity.PQ_SHORTLIST)
     adc = similarity.pq_recall(
-        emb, short.where("rank <= 5").select("query_id", "vec_id"), 5
+        emb,
+        short.where("rank <= 5").select("query_id", "vec_id"),
+        5,
+        query_ids=q,
     ).select(
         "query_id",
         F.col("n_hit").alias("n_hit_adc"),
         F.col("recall_ppm").alias("recall_adc_ppm"),
     )
     rr = similarity.pq_recall(
-        emb, similarity.ann_bq_rerank(emb, short, q, 5), 5
+        emb, similarity.ann_bq_rerank(emb, short, q, 5), 5, query_ids=q
     ).select(
         "query_id",
         F.col("n_hit").alias("n_hit_rerank"),
@@ -5565,14 +5567,17 @@ def q_ann_ivfbq_recall(t: TableSet) -> DataFrame:
         codes, qc, probes, similarity.PQ_SHORTLIST
     )
     ham = similarity.pq_recall(
-        emb, short.where("rank <= 5").select("query_id", "vec_id"), 5
+        emb,
+        short.where("rank <= 5").select("query_id", "vec_id"),
+        5,
+        query_ids=q,
     ).select(
         "query_id",
         F.col("n_hit").alias("n_hit_hamming"),
         F.col("recall_ppm").alias("recall_hamming_ppm"),
     )
     rr = similarity.pq_recall(
-        emb, similarity.ann_ivfpq_rerank(emb, short, q, 5), 5
+        emb, similarity.ann_ivfpq_rerank(emb, short, q, 5), 5, query_ids=q
     ).select(
         "query_id",
         F.col("n_hit").alias("n_hit_rerank"),
@@ -6155,30 +6160,22 @@ def q_ann_ivfpq_residual_recall(t: TableSet) -> DataFrame:
     encoding DOES buy unconditionally is a CALIBRATED score (see
     ivfpq_residual_calibration). The instrument exists precisely so
     a deployment measures its own corpus before switching."""
-    emb = t.embeddings
-    cents = similarity.kmeans_refine(emb)
-    res = similarity.ivf_residuals(emb, cents)
-    cb_r = similarity.pq_codebooks_l2(res, vec_col="resid")
-    codes = similarity.ivfpq_residual_encode(res, cb_r)
-    q = emb.where("vec_id < 10").select(
-        F.col("vec_id").alias("query_id"),
-        similarity._unit_rounded(F.col("embedding")).alias("qv"),
-    )
-    probes = similarity.ivfpq_probe_lists(q, cents, 2)
-    coarse = similarity.residual_coarse_micro(q, probes, cents)
-    lut = similarity.pq_residual_lut(q, cb_r)
+    emb, q, codes, probes, coarse, lut = _ivfpq_res_spark_parts(t, 10)
     short = similarity.ann_ivfpq_residual_topk(
         codes, lut, probes, coarse, similarity.PQ_SHORTLIST
     )
     adc = similarity.pq_recall(
-        emb, short.where("rank <= 5").select("query_id", "vec_id"), 5
+        emb,
+        short.where("rank <= 5").select("query_id", "vec_id"),
+        5,
+        query_ids=q,
     ).select(
         "query_id",
         F.col("n_hit").alias("n_hit_adc"),
         F.col("recall_ppm").alias("recall_adc_ppm"),
     )
     rr = similarity.pq_recall(
-        emb, similarity.ann_ivfpq_rerank(emb, short, q, 5), 5
+        emb, similarity.ann_ivfpq_rerank(emb, short, q, 5), 5, query_ids=q
     ).select(
         "query_id",
         F.col("n_hit").alias("n_hit_rerank"),
@@ -6223,21 +6220,8 @@ def q_ivfpq_residual_calibration(t: TableSet) -> DataFrame:
     micro-units (measured ~0.10 mean on the synthetic fixture). One
     pass over the probed lists' codes + the true-cosine join on the
     same bounded candidate set."""
-    emb = t.embeddings
-    cents = similarity.kmeans_refine(emb)
-    res = similarity.ivf_residuals(emb, cents)
-    cb_r = similarity.pq_codebooks_l2(res, vec_col="resid")
-    codes = similarity.ivfpq_residual_encode(res, cb_r)
-    q = emb.where("vec_id < 3").select(
-        F.col("vec_id").alias("query_id"),
-        similarity._unit_rounded(F.col("embedding")).alias("qv"),
-    )
-    probes = similarity.ivfpq_probe_lists(q, cents, 2)
-    coarse = similarity.residual_coarse_micro(q, probes, cents)
-    lut = similarity.pq_residual_lut(q, cb_r)
-    est = similarity.ann_ivfpq_residual_topk(
-        codes, lut, probes, coarse, 10_000_000
-    )
+    emb, q, codes, probes, coarse, lut = _ivfpq_res_spark_parts(t)
+    est = similarity.ivfpq_residual_scores(codes, lut, probes, coarse)
     j = (
         est.join(
             emb.select("vec_id", F.col("embedding").alias("cv")), "vec_id"
