@@ -233,6 +233,7 @@ def main() -> int:
     qs = plans.all_queries()
     times: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    missing: list[str] = []
     # per-family brackets for BOTH calibrators: "fixed" (planless
     # overhead) and "cpu" (codegen throughput) — [start, end] each
     fam_calib: dict[str, dict[str, list[float]]] = {}
@@ -250,6 +251,13 @@ def main() -> int:
     def run_query(name: str) -> None:
         fn = qs.get(name)
         if fn is None:
+            # a typo'd or renamed entry must not silently vanish from
+            # the round-over-round comparison set (advisor r11) — it
+            # surfaces on stderr AND in the output JSON's "missing"
+            import sys
+
+            print(f"bench: query not in registry: {name!r}", file=sys.stderr)
+            missing.append(name)
             return
         # time build+execute together: iterative operators (e.g.
         # dedup_clusters) do their work at build time via
@@ -460,6 +468,9 @@ def main() -> int:
                 # driver's capture keeps the TAIL, and r9's file lost
                 # the leading summary to truncation — now both ends
                 # carry it (r9 VERDICT task 8)
+                # names requested but absent from the registry —
+                # non-empty means the comparison set silently shrank
+                "missing": missing,
                 "total_sec": total,
                 "total_norm": round(total / calib, 2),
             }

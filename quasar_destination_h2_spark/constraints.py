@@ -84,51 +84,103 @@ class Constraints:
 
     # -- mutations ------------------------------------------------------
 
+    def _add_to_state(
+        self,
+        state: dict,
+        table: str,
+        ctype: str,
+        columns: list[str],
+        name: str | None,
+        predicate: str | None,
+    ) -> str:
+        """Validate + append one constraint into an in-memory state
+        snapshot (caller holds the lock and writes once — the
+        atomicity carrier for multi-constraint DDL, advisor r11).
+        H2 parity: at most one PRIMARY KEY per table; names are
+        unique across the whole SCHEMA (H2's scope — a per-table
+        scope would let two tables share a name and the SCRIPT dump
+        would then be rejected by a real H2 on restore, advisor
+        r11); unnamed constraints get H2-looking ``CONSTRAINT_<n>``
+        names, counted per table but skipping any schema-wide
+        collision."""
+        if ctype not in ("PRIMARY KEY", "UNIQUE", "CHECK"):
+            raise ConstraintError(
+                f"only PRIMARY KEY, UNIQUE and CHECK are recordable, "
+                f"got {ctype!r}"
+            )
+        if ctype == "CHECK":
+            if not predicate or not predicate.strip():
+                raise ConstraintError("CHECK needs a predicate")
+        elif not columns:
+            raise ConstraintError(f"{ctype} needs at least one column")
+        key = table.casefold()
+        entries = state.setdefault(key, [])
+        if ctype == "PRIMARY KEY" and any(
+            e["type"] == "PRIMARY KEY" for e in entries
+        ):
+            raise ConstraintError(
+                f"table {table!r} already has a PRIMARY KEY"
+            )
+        taken_schema = {
+            e["name"].casefold() for es in state.values() for e in es
+        }
+        if name is None:
+            i = len(entries) + 1
+            while f"constraint_{i}" in taken_schema:
+                i += 1
+            name = f"CONSTRAINT_{i}"
+        elif name.casefold() in taken_schema:
+            raise ConstraintError(
+                f"constraint {name!r} already exists in schema PUBLIC "
+                "(H2 scopes constraint names per schema, not per table)"
+            )
+        entry = {"name": name, "type": ctype, "columns": list(columns)}
+        if ctype == "CHECK":
+            entry["predicate"] = predicate.strip()
+        entries.append(entry)
+        return name
+
     def add(
         self,
         table: str,
         ctype: str,
         columns: list[str],
         name: str | None = None,
+        predicate: str | None = None,
     ) -> str:
         """Record one constraint; returns its (possibly generated)
-        name. H2 parity: at most one PRIMARY KEY per table; names are
-        unique per table (H2 scopes them per schema — per table is
-        the stricter, safer subset); unnamed constraints get
-        H2-looking ``CONSTRAINT_<n>`` names."""
-        if ctype not in ("PRIMARY KEY", "UNIQUE"):
-            raise ConstraintError(
-                f"only PRIMARY KEY and UNIQUE are recordable, got {ctype!r}"
-            )
-        if not columns:
-            raise ConstraintError(f"{ctype} needs at least one column")
-        key = table.casefold()
+        name. See :meth:`_add_to_state` for the H2-parity rules."""
         with self._locked():
             state = self._read()
-            entries = state.setdefault(key, [])
-            if ctype == "PRIMARY KEY" and any(
-                e["type"] == "PRIMARY KEY" for e in entries
-            ):
-                raise ConstraintError(
-                    f"table {table!r} already has a PRIMARY KEY"
-                )
-            if name is None:
-                taken = {e["name"].casefold() for e in entries}
-                i = len(entries) + 1
-                while f"constraint_{i}" in taken:
-                    i += 1
-                name = f"CONSTRAINT_{i}"
-            elif any(
-                e["name"].casefold() == name.casefold() for e in entries
-            ):
-                raise ConstraintError(
-                    f"constraint {name!r} already exists on {table!r}"
-                )
-            entries.append(
-                {"name": name, "type": ctype, "columns": list(columns)}
+            name = self._add_to_state(
+                state, table, ctype, columns, name, predicate
             )
             self._write(state)
         return name
+
+    def add_many(self, table: str, cons: list[tuple]) -> list[str]:
+        """Record a CREATE TABLE's whole constraint set in ONE locked
+        read-validate-write cycle (one atomic ``os.replace``): a
+        crash can no longer land between a table write and its n-th
+        constraint record, leaving a restored table silently missing
+        declared metadata (advisor r11). ``cons`` items are
+        ``(name_or_None, ctype, columns[, predicate])`` as the DDL
+        parser produces them. All-or-nothing: any invalid entry
+        raises before anything is written."""
+        names = []
+        with self._locked():
+            state = self._read()
+            for item in cons:
+                cname, ctype, cols = item[0], item[1], item[2]
+                pred = item[3] if len(item) > 3 else None
+                names.append(
+                    self._add_to_state(
+                        state, table, ctype, cols, cname, pred
+                    )
+                )
+            if names:
+                self._write(state)
+        return names
 
     def drop(self, table: str, name: str, if_exists: bool = False) -> None:
         key = table.casefold()

@@ -201,6 +201,9 @@ def refresh_information_schema(engine: "Engine") -> None:
     by catalog size (schemas come from parquet footers)."""
     spark = engine.spark
     cat = _catalog_name(engine)
+    # ONE registry snapshot feeds both the COLUMNS nullability fix
+    # and the CONSTRAINTS rows below (script_lines' rationale)
+    all_cons = engine.constraints.all()
     trows, crows = [], []
     for logical in sorted(engine.sink.catalog):
         try:
@@ -208,8 +211,20 @@ def refresh_information_schema(engine: "Engine") -> None:
         except Exception:
             continue  # stale catalog entry: skip, never fail introspection
         trows.append((cat, "PUBLIC", logical, "TABLE", "PARQUET", None, ""))
+        # PK members report IS_NULLABLE='NO' like H2: Spark's
+        # file-based saveAsTable stores every column nullable, so the
+        # constraint REGISTRY is the NOT NULL carrier — without this
+        # the same row would read nullable here, KEY='PRI' next door
+        # and NOT NULL in the SCRIPT dump (advisor r11)
+        pk_cols = {
+            c.casefold()
+            for e in all_cons.get(logical.casefold(), [])
+            if e["type"] == "PRIMARY KEY"
+            for c in e["columns"]
+        }
         for i, f in enumerate(schema.fields, start=1):
             tname, code, cmax, prec, scale = h2_type_info(f.dataType)
+            nullable = f.nullable and f.name.casefold() not in pk_cols
             crows.append(
                 (
                     cat,
@@ -218,13 +233,13 @@ def refresh_information_schema(engine: "Engine") -> None:
                     f.name,
                     i,
                     None,
-                    "YES" if f.nullable else "NO",
+                    "YES" if nullable else "NO",
                     code,
                     cmax,
                     prec,
                     scale,
                     tname,
-                    1 if f.nullable else 0,
+                    1 if nullable else 0,
                     "",
                 )
             )
@@ -252,7 +267,7 @@ def refresh_information_schema(engine: "Engine") -> None:
     # the spelled logical name comes from the catalog
     by_cf = {str(k).casefold(): str(k) for k in engine.sink.catalog}
     krows = []
-    for tkey, entries in engine.constraints.all().items():
+    for tkey, entries in all_cons.items():
         tname = by_cf.get(tkey)
         if tname is None:
             continue  # constraint of a table dropped elsewhere
@@ -343,8 +358,13 @@ def execute_show(engine: "Engine", statement: str, shadow: str, m) -> DataFrame:
             if f.name.casefold() in uni_cols
             else ""
         )
+        # PK members are NOT NULL in H2 — the registry carries that
+        # intent (stored parquet columns are always nullable), so
+        # NULL must agree with KEY='PRI' here and with the SCRIPT
+        # dump's NOT NULL spelling (advisor r11)
+        nullable = f.nullable and f.name.casefold() not in pk_cols
         rows.append(
-            (f.name, tspell, "YES" if f.nullable else "NO", key, None)
+            (f.name, tspell, "YES" if nullable else "NO", key, None)
         )
     return spark.createDataFrame(
         rows,

@@ -1282,6 +1282,15 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         if mcdrop:
             cname, p3 = _parse_ident(statement, shadow, mcdrop.end())
             if p3 < len(shadow) and shadow[p3] == ".":
+                # H2 SCRIPT qualifies constraint names (PUBLIC.name);
+                # mirror the ADD path: ONLY the one schema we model is
+                # strippable — a wrong-schema DROP must error, not
+                # silently drop the PUBLIC constraint (advisor r11)
+                if cname.casefold() != "public":
+                    raise ValueError(
+                        f"DROP CONSTRAINT: unknown schema {cname!r} "
+                        "(only PUBLIC is modeled)"
+                    )
                 cname, _ = _parse_ident(statement, shadow, p3 + 1)
             engine.constraints.drop(
                 logical, cname, if_exists=mcdrop.group("ie") is not None
@@ -1359,7 +1368,14 @@ def _parse_constraint_clause(seg: str, sshadow: str):
     if mcon:
         name, pos = _parse_ident(seg, sshadow, mcon.end())
         if pos < len(sshadow) and sshadow[pos] == ".":
-            # H2 SCRIPT qualifies: CONSTRAINT PUBLIC.CONSTRAINT_4D
+            # H2 SCRIPT qualifies: CONSTRAINT PUBLIC.CONSTRAINT_4D —
+            # only the one schema we model is strippable (the DROP
+            # CONSTRAINT rule; a wrong schema must error loudly)
+            if name.casefold() != "public":
+                raise ValueError(
+                    f"CONSTRAINT: unknown schema {name!r} "
+                    "(only PUBLIC is modeled)"
+                )
             name, pos = _parse_ident(seg, sshadow, pos + 1)
     # H2 grammar allows PRIMARY KEY [HASH] at table level too
     mk = re.compile(
@@ -1516,8 +1532,11 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
         return None  # H2 skips the WHOLE statement, constraints too
     df = engine.spark.createDataFrame([], T.StructType(fields))
     engine.create_table_as(table, df, if_not_exists=ine)
-    for cname, ctype, cols in cons:
-        engine.constraints.add(table, ctype, cols, cname)
+    # ONE locked registry write for the whole constraint set: a
+    # crash after create_table_as can no longer leave a restored
+    # table silently missing part of its declared metadata — the
+    # window shrinks to a single atomic os.replace (advisor r11)
+    engine.constraints.add_many(table, cons)
     if cons:
         engine._republish_info_schema()
     return None

@@ -139,6 +139,11 @@ def test_constraint_validation_and_lifecycle(engine):
             'CREATE CACHED TABLE "cn_bad"("a" INT, PRIMARY KEY("zz"))'
         )
     engine.execute_sql('CREATE CACHED TABLE "cn_l"("a" INT PRIMARY KEY, "b" INT)')
+    # the generated PK name is schema-wide unique (H2's scope), so
+    # its counter depends on what earlier tests left in the shared
+    # registry — capture it rather than pinning CONSTRAINT_1
+    gen_pk = {e["name"] for e in engine.constraints.for_table("cn_l")}
+    assert len(gen_pk) == 1 and next(iter(gen_pk)).startswith("CONSTRAINT_")
     # one PK per table, H2 parity
     with pytest.raises(ConstraintError, match="already has a PRIMARY KEY"):
         engine.execute_sql('ALTER TABLE "cn_l" ADD PRIMARY KEY("b")')
@@ -151,25 +156,19 @@ def test_constraint_validation_and_lifecycle(engine):
         engine.execute_sql('ALTER TABLE "cn_l" ADD CONSTRAINT "u1" UNIQUE("a")')
     # DROP CONSTRAINT removes exactly one
     engine.execute_sql('ALTER TABLE "cn_l" DROP CONSTRAINT "u1"')
-    assert {e["name"] for e in engine.constraints.for_table("cn_l")} == {
-        "CONSTRAINT_1"
-    }
+    assert {e["name"] for e in engine.constraints.for_table("cn_l")} == gen_pk
     with pytest.raises(ConstraintError, match="not found"):
         engine.execute_sql('ALTER TABLE "cn_l" DROP CONSTRAINT "u1"')
     # RENAME migrates the registry
     engine.execute_sql('ALTER TABLE "cn_l" RENAME TO "cn_l2"')
     assert engine.constraints.for_table("cn_l") == []
-    assert {e["name"] for e in engine.constraints.for_table("cn_l2")} == {
-        "CONSTRAINT_1"
-    }
+    assert {e["name"] for e in engine.constraints.for_table("cn_l2")} == gen_pk
     # IF NOT EXISTS on an existing table skips the WHOLE statement —
     # no duplicate constraint recording
     engine.execute_sql(
         'CREATE CACHED TABLE IF NOT EXISTS "cn_l2"("z" INT PRIMARY KEY)'
     )
-    assert {e["name"] for e in engine.constraints.for_table("cn_l2")} == {
-        "CONSTRAINT_1"
-    }
+    assert {e["name"] for e in engine.constraints.for_table("cn_l2")} == gen_pk
 
 
 def test_sink_replace_clears_constraints(engine):

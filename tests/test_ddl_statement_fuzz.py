@@ -288,6 +288,15 @@ def test_random_constraint_statements_match_model(ddl_engine):
     finally:
         con.close()
     model: list[dict] = []  # [{name, type, columns}]
+    # constraint names are schema-wide unique (H2's scope, advisor
+    # r11) — other tables' recorded names in the shared registry
+    # participate in both duplicate detection and name generation
+    foreign_taken = {
+        e["name"].casefold()
+        for tkey, es in ddl_engine.constraints.all().items()
+        if tkey != "ddlfuzz"
+        for e in es
+    }
     cols = ["k", "g", "n", "v"]
     for step in range(N_STATEMENTS):
         op = rng.choices(("add", "drop"), weights=(65, 35))[0]
@@ -313,8 +322,11 @@ def test_random_constraint_statements_match_model(ddl_engine):
             dup_pk = ctype == "PRIMARY KEY" and any(
                 e["type"] == "PRIMARY KEY" for e in model
             )
-            dup_name = name is not None and any(
-                e["name"].casefold() == name.casefold() for e in model
+            dup_name = name is not None and (
+                name.casefold() in foreign_taken
+                or any(
+                    e["name"].casefold() == name.casefold() for e in model
+                )
             )
             if dup_pk or dup_name:
                 with pytest.raises(ConstraintError):
@@ -323,8 +335,10 @@ def test_random_constraint_statements_match_model(ddl_engine):
                 ddl_engine.execute_sql(sql)
                 if name is None:
                     # replicate the registry's generator exactly:
-                    # len+1, bumped past taken names
-                    taken = {e["name"].casefold() for e in model}
+                    # len+1, bumped past SCHEMA-wide taken names
+                    taken = foreign_taken | {
+                        e["name"].casefold() for e in model
+                    }
                     i = len(model) + 1
                     while f"constraint_{i}" in taken:
                         i += 1
