@@ -530,6 +530,26 @@ def execute(engine, statement: str):
 
     statement = statement.strip().rstrip(";").strip()
     shadow = _shadow(statement)
+    mtx = _TXN_RE.match(shadow)
+    if mtx:
+        # H2 transaction control (JDBC clients and pools emit these
+        # against the reference's wire endpoints as a matter of
+        # course, H2Server.scala:60-84). This engine's semantics is
+        # each-statement-auto-committed, so COMMIT is a TRUE no-op
+        # and BEGIN / SAVEPOINT are observationally identical no-ops
+        # (a savepoint is only visible via ROLLBACK TO). ROLLBACK
+        # cannot be honored — the statement that would be rolled
+        # back already committed — and a silent no-op would lie
+        # about durability, so it raises loudly (r11 verdict task 4)
+        if mtx.group(2):  # the ROLLBACK alternative
+            raise ValueError(
+                "ROLLBACK: cannot be honored — this engine commits "
+                "each statement eagerly (parquet overwrite-rewrites "
+                "have no transaction log to unwind); a silent no-op "
+                "would lie about durability. Re-issue compensating "
+                "statements instead."
+            )
+        return None
     mset = _SET_RE.match(shadow)
     if mset:
         # H2 session SET commands (JDBC pools emit these on connect)
@@ -611,6 +631,23 @@ def execute(engine, statement: str):
     return _execute_verb(engine, statement, shadow, m)
 
 
+#: H2 transaction-control statements (grammar: COMMIT [WORK],
+#: ROLLBACK [WORK] [TO SAVEPOINT name], SAVEPOINT name, and the
+#: BEGIN / START TRANSACTION spellings PG-wire clients emit).
+#: Anchored full-statement forms only: a bare BEGIN is a PG-client
+#: transaction start, but ``BEGIN ... END`` is Spark SQL scripting
+#: and must fall through untouched.
+_TXN_RE = re.compile(
+    r"\s*(?:"
+    r"(COMMIT)(?:\s+WORK)?"
+    r"|(ROLLBACK)(?:\s+WORK)?(?:\s+TO\s+SAVEPOINT\s+\S+)?"
+    r"|(SAVEPOINT)\s+\S+"
+    r"|(BEGIN)(?:\s+(?:TRANSACTION|WORK))?"
+    r"|(START)\s+TRANSACTION"
+    r")\s*$",
+    re.I,
+)
+
 _SET_RE = re.compile(r"\s*SET\s+(@?[A-Za-z_][A-Za-z0-9_]*)\b", re.I)
 
 #: H2 1.4.200 session knobs with NO analogue on a Spark/parquet
@@ -656,6 +693,18 @@ def _execute_set(engine, statement: str, shadow: str, m):
         or (knob == "TIME" and re.match(r"ZONE\b", tail, re.I))
     ):
         return engine.sql(statement)  # Spark SET forms, conf reads
+    if knob == "AUTOCOMMIT":
+        # JDBC drivers and connection pools flip autocommit as a
+        # matter of course against the reference's wire endpoints
+        # (H2Server.scala:60-84). This engine's actual semantics is
+        # each-statement-auto-committed, so ON is trivially true and
+        # OFF is observationally identical right up to a ROLLBACK —
+        # which raises loudly (execute) — so accepting both keeps
+        # replayed client scripts alive without lying about
+        # durability (r11 verdict task 4)
+        if re.fullmatch(r"(ON|OFF|TRUE|FALSE|0|1)", tail, re.I):
+            return None
+        raise ValueError(f"SET AUTOCOMMIT: expected ON/OFF, got {tail!r}")
     if knob == "SCHEMA":
         name, _ = _parse_ident(statement, shadow, m.end())
         if name.upper() != "PUBLIC":

@@ -198,10 +198,26 @@ def _insert_seqs() -> st.SearchStrategy[tuple]:
     )
 
 
+def _txn_noops() -> st.SearchStrategy[tuple]:
+    """r12: transaction-control statements interleave with DML the
+    way a pooled JDBC client emits them (H2Server.scala:60-84) —
+    each must be a true no-op (None update count, table unchanged);
+    ROLLBACK is excluded here because it raises loudly by design
+    (covered in test_sql_dml)."""
+    return st.builds(
+        lambda s: ("txn", s),
+        st.sampled_from([
+            "COMMIT", "COMMIT WORK", "BEGIN", "BEGIN TRANSACTION",
+            "START TRANSACTION", "SAVEPOINT fz_sp",
+            "SET AUTOCOMMIT ON", "SET AUTOCOMMIT OFF",
+        ]),
+    )
+
+
 def _statements() -> st.SearchStrategy[tuple]:
     return st.one_of(
         _updates(), _deletes(), _merges(), _inserts(), _legacy_merges(),
-        _insert_seqs(),
+        _insert_seqs(), _txn_noops(),
     )
 
 
@@ -237,6 +253,8 @@ _SEQ_MODEL = {"next": 1}
 
 
 def _engine_sql(spec: tuple, physical: str | None = None) -> str:
+    if spec[0] == "txn":
+        return spec[1]
     if spec[0] == "insert_seq":
         _, pred, tag = spec
         # the SELECT source must name the PHYSICAL table (Spark-SQL
@@ -291,6 +309,8 @@ def _duck_apply(con, spec: tuple) -> int:
     under the engine's JDBC semantics (UPDATE: rows matching the
     condition; DELETE: rows removed; MERGE: matched-with-branch +
     inserted)."""
+    if spec[0] == "txn":
+        return None  # transaction control: no-op on both sides
     if spec[0] == "insert_seq":
         # replay the per-row allocation from its DEFINITION: count the
         # matching rows, advance the model counter by that count, and

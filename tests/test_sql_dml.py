@@ -932,3 +932,50 @@ def test_h2_set_commands(engine):
         engine.execute_sql("SET TIME ZONE 'UTC'")
     finally:
         engine.spark.conf.set("spark.sql.session.timeZone", tz)
+
+
+def test_transaction_control_statements(engine):
+    """H2 transaction control (r11 verdict task 4): JDBC clients and
+    pools issue COMMIT / SET AUTOCOMMIT / BEGIN as a matter of course
+    against the reference's wire endpoints (H2Server.scala:60-84).
+    Each-statement-auto-committed is this engine's actual semantics,
+    so COMMIT is a TRUE no-op and BEGIN / SAVEPOINT / SET AUTOCOMMIT
+    are observationally identical no-ops; ROLLBACK cannot be honored
+    and raises loudly — a silent no-op would lie about durability."""
+    import pytest
+
+    for stmt in (
+        "COMMIT",
+        "COMMIT WORK",
+        "commit;",
+        "BEGIN",
+        "BEGIN TRANSACTION",
+        "START TRANSACTION",
+        "SAVEPOINT sp1",
+        "SET AUTOCOMMIT ON",
+        "SET AUTOCOMMIT OFF",
+        "SET AUTOCOMMIT TRUE",
+        "SET AUTOCOMMIT FALSE",
+    ):
+        assert engine.execute_sql(stmt) is None, stmt
+    for stmt in (
+        "ROLLBACK",
+        "ROLLBACK WORK",
+        "ROLLBACK TO SAVEPOINT sp1",
+    ):
+        with pytest.raises(ValueError, match="cannot be honored"):
+            engine.execute_sql(stmt)
+    with pytest.raises(ValueError, match="AUTOCOMMIT"):
+        engine.execute_sql("SET AUTOCOMMIT MAYBE")
+    # a replayed pool-style client preamble survives end-to-end and
+    # the DML inside it lands (the motivating scenario)
+    _load(engine, "txn_t")
+    engine.execute_sql("SET AUTOCOMMIT OFF")
+    assert engine.execute_sql("UPDATE txn_t SET v = 'z' WHERE k = 1") == 1
+    assert engine.execute_sql("COMMIT") is None
+    assert ("z" in {v for _, v in _rows(engine, "txn_t")})
+    # COMMIT/ROLLBACK spellings that are NOT transaction control fall
+    # through to Spark untouched (identifier/function positions)
+    assert engine.execute_sql(
+        "SELECT 1 AS commit_count"
+    ).collect()[0][0] == 1
