@@ -13,11 +13,18 @@ foreign dumps restore, the constraint surfaces in
 where H2 spells it, SCRIPT re-emits it, and PK columns are marked
 NOT NULL (H2's semantic).
 
-Documented choice: ``CHECK`` and ``FOREIGN KEY`` keep REJECTING
-LOUDLY. A recorded-but-unenforced integrity predicate is worse than
-an error — readers of the catalog would trust a contract no write
-path upholds — and enforcing CHECK across every write surface (CSV
-sink appends, DML rewrites, wire inserts) cannot be guaranteed here.
+``CHECK`` constraints are ACCEPTED AND ENFORCED (r11 verdict task
+2): every INSERT / UPDATE / MERGE flows through the engine's DML
+rewrite (sql_dml -> Engine.insert_rows / update_where / merge_into),
+so a recorded predicate costs ONE bounded filter over the written
+rows — violating statements raise :class:`CheckViolation` with the
+constraint name and example rows BEFORE anything lands. ALTER ADD
+validates the existing rows first (one scan), H2's own behavior.
+PK/UNIQUE stay record-only (enforcement would be an O(table)
+anti-join per write). Documented choice: ``FOREIGN KEY`` keeps
+REJECTING LOUDLY — cross-table enforcement on every write is a
+different cost class, and a recorded-but-unenforced referential
+predicate is worse than an error.
 
 Durable state is a tiny JSON file in the warehouse directory under
 the same advisory-flock protocol as the sequence registry
@@ -40,6 +47,12 @@ class ConstraintError(ValueError):
     """Constraint misuse (duplicate name, unknown table/name) —
     ValueError so the statement surface reports it like its other
     parse/validation errors."""
+
+
+class CheckViolation(ConstraintError):
+    """A DML write (or ALTER ADD over existing rows) produced rows
+    failing a recorded CHECK predicate — the statement is rejected
+    BEFORE anything is written (H2's integrity-violation error)."""
 
 
 class Constraints:

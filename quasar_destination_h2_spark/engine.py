@@ -1570,13 +1570,17 @@ class Engine:
             else:
                 tmp = self.sink._spool(source)
                 csv_path = tmp
+            def _checked_append(d):
+                # recorded CHECK constraints hold on the wire-append
+                # path too — same bounded pre-write filter as
+                # insert_rows
+                self._enforce_check_constraints(logical_name, d, "INSERT")
+                d.write.mode("append").format("parquet").saveAsTable(
+                    physical
+                )
+
             df = load_csv_with_fallback(
-                self.spark,
-                csv_path,
-                schema,
-                lambda d: d.write.mode("append")
-                .format("parquet")
-                .saveAsTable(physical),
+                self.spark, csv_path, schema, _checked_append
             )
             return df.count()
         finally:
@@ -1588,16 +1592,86 @@ class Engine:
                 except OSError:
                     pass
 
+    def _enforce_check_constraints(
+        self, logical_name: str, rows: DataFrame, verb: str
+    ) -> None:
+        """Evaluate every recorded CHECK predicate over the rows a
+        DML statement is ABOUT to write (accept-and-enforce, r11
+        verdict task 2): one bounded filter per constraint over only
+        the written/changed rows — never a table rescan. SQL CHECK
+        semantics: NULL/unknown passes; a violation is the predicate
+        evaluating to FALSE. Raises :class:`CheckViolation` with the
+        constraint name, violation count and example rows BEFORE
+        anything lands (statement atomicity: the caller writes only
+        after this returns)."""
+        checks = [
+            e
+            for e in self.constraints.for_table(logical_name)
+            if e["type"] == "CHECK"
+        ]
+        if not checks:
+            return
+        from pyspark.sql import functions as F
+
+        from .constraints import CheckViolation
+
+        for e in checks:
+            pred = e["predicate"]
+            viol = rows.where(
+                ~F.coalesce(F.expr(pred).cast("boolean"), F.lit(True))
+            )
+            sample = viol.take(3)
+            if sample:
+                n = viol.count()
+                raise CheckViolation(
+                    f"{verb}: {n} row(s) violate CHECK constraint "
+                    f"{e['name']!r} on {logical_name!r} "
+                    f"(predicate: {pred}); examples: "
+                    + "; ".join(str(tuple(r)) for r in sample)
+                )
+
+    def validate_check_predicate(
+        self, logical_name: str, predicate: str
+    ) -> None:
+        """ALTER TABLE ... ADD CONSTRAINT ... CHECK: H2 validates the
+        EXISTING rows when the constraint is added — one bounded scan
+        — and rejects the DDL if any fail (or if the predicate does
+        not analyze against the table's columns)."""
+        from pyspark.sql import functions as F
+
+        target = self.table(logical_name)
+        try:
+            target.where(F.expr(predicate)).schema  # analysis only
+        except Exception as e:
+            raise ValueError(
+                f"ADD CONSTRAINT CHECK: predicate {predicate!r} does "
+                f"not analyze against {logical_name!r}: {e}"
+            ) from None
+        from .constraints import CheckViolation
+
+        viol = target.where(
+            ~F.coalesce(F.expr(predicate).cast("boolean"), F.lit(True))
+        )
+        sample = viol.take(3)
+        if sample:
+            raise CheckViolation(
+                f"ADD CONSTRAINT CHECK: {viol.count()} existing row(s) "
+                f"of {logical_name!r} violate {predicate!r}; examples: "
+                + "; ".join(str(tuple(r)) for r in sample)
+            )
+
     def insert_rows(self, logical_name: str, df: DataFrame) -> int:
         """INSERT (append) of an arbitrary DataFrame whose schema
         already matches the target (the SQL front door conforms it).
-        Returns the number of appended rows."""
+        Returns the number of appended rows. Recorded CHECK
+        constraints are enforced on the incoming rows first."""
         physical = self.sink.catalog.get(logical_name)
         if physical is None:
             from .errors import NotAResource
 
             raise NotAResource(logical_name)
         self._ensure_registered(physical)
+        self._enforce_check_constraints(logical_name, df, "INSERT")
         n = df.count()
         df.write.mode("append").format("parquet").saveAsTable(physical)
         return n
@@ -1780,6 +1854,18 @@ class Engine:
         assignments = {res[c]: e for c, e in assignments.items()}
         cond = F.expr(condition)
         n = target.where(cond).count()
+        # CHECK enforcement over ONLY the changed rows, with the
+        # assignments applied (the values that would land) — one
+        # bounded filter, before the rewrite touches storage
+        changed = target.where(cond).select(
+            *[
+                F.expr(assignments[c]).alias(c)
+                if c in assignments
+                else F.col(c)
+                for c in target.columns
+            ]
+        )
+        self._enforce_check_constraints(logical_name, changed, "UPDATE")
         updated = target.select(
             *[
                 F.when(cond, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
@@ -1863,5 +1949,8 @@ class Engine:
         on the key, no driver materialization."""
         target = self.table(logical_name)
         physical = self.sink.catalog[logical_name]
+        # CHECK enforcement over the incoming rows (every row the
+        # merge writes comes from the source frame)
+        self._enforce_check_constraints(logical_name, source, "MERGE")
         kept = target.join(source, list(key_cols), "left_anti")
         self._rewrite(physical, kept.unionByName(source))

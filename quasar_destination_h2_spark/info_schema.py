@@ -161,6 +161,7 @@ _CONSTRAINTS_COLS = [
     ("TABLE_CATALOG", "STRING"),
     ("TABLE_SCHEMA", "STRING"),
     ("TABLE_NAME", "STRING"),
+    ("CHECK_EXPRESSION", "STRING"),
     ("COLUMN_LIST", "STRING"),
     ("REMARKS", "STRING"),
     ("SQL", "STRING"),
@@ -181,6 +182,14 @@ _SEQUENCES_COLS = [
 ]
 
 DB = "information_schema"
+
+
+def _h2_spell(predicate: str) -> str:
+    """Registry CHECK predicates are stored Spark-dialect (backtick
+    identifiers); H2 clients read double-quoted spelling."""
+    from .script_stmt import _spark_expr_to_h2
+
+    return _spark_expr_to_h2(predicate)
 
 
 def _catalog_name(engine: "Engine") -> str:
@@ -281,6 +290,11 @@ def refresh_information_schema(engine: "Engine") -> None:
                     cat,
                     "PUBLIC",
                     tname,
+                    # H2 surfaces the CHECK predicate in its own
+                    # CHECK_EXPRESSION column (H2 spelling)
+                    _h2_spell(e["predicate"])
+                    if e["type"] == "CHECK"
+                    else None,
                     ",".join(e["columns"]),
                     "",
                     None,

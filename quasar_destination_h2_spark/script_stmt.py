@@ -82,6 +82,44 @@ def _h2_column_type(field) -> str:
     return tname
 
 
+def _spark_expr_to_h2(expr: str) -> str:
+    """Backtick-quoted identifiers -> H2 double-quoted form (the
+    inverse of sql_dml._h2_expr_to_spark, for SCRIPT dumps a real H2
+    must be able to load). Single-quoted literals pass through."""
+    out, i, n = [], 0, len(expr)
+    while i < n:
+        ch = expr[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if expr[j] == "'":
+                    if j + 1 < n and expr[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(expr[i : j + 1])
+            i = j + 1
+        elif ch == "`":
+            j = i + 1
+            ident = []
+            while j < n:
+                if expr[j] == "`":
+                    if j + 1 < n and expr[j + 1] == "`":
+                        ident.append("`")
+                        j += 2
+                        continue
+                    break
+                ident.append(expr[j])
+                j += 1
+            out.append('"' + "".join(ident).replace('"', '""') + '"')
+            i = j + 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def script_lines(
     engine: "Engine", only_tables: list[str] | None = None
 ) -> list[str]:
@@ -163,13 +201,20 @@ def script_lines(
             for f in schema.fields
         )
         lines.append(f"CREATE CACHED TABLE {q(logical)}({cols});")
-        # recorded PK/UNIQUE constraints round-trip as H2 SCRIPT
-        # spells them: ALTER ... ADD CONSTRAINT lines after the table
+        # recorded PK/UNIQUE/CHECK constraints round-trip as H2
+        # SCRIPT spells them: ALTER ... ADD CONSTRAINT lines after
+        # the table (CHECK predicates are stored in the Spark
+        # expression dialect — backtick identifiers — and re-spelled
+        # with H2 double quotes so a real H2 could load the dump)
         for e in tcons:
-            cq = ", ".join(q(c) for c in e["columns"])
+            if e["type"] == "CHECK":
+                body = f"CHECK({_spark_expr_to_h2(e['predicate'])})"
+            else:
+                cq = ", ".join(q(c) for c in e["columns"])
+                body = f"{e['type']}({cq})"
             lines.append(
                 f"ALTER TABLE {q(logical)} ADD CONSTRAINT "
-                f"{q(e['name'])} {e['type']}({cq});"
+                f"{q(e['name'])} {body};"
             )
     return lines
 

@@ -1310,7 +1310,18 @@ def _execute_verb(engine, statement: str, shadow: str, m):
             seg = statement[mcadd.end() :].rstrip().rstrip(";")
             parsed = _parse_constraint_clause(seg, _shadow(seg))
             assert parsed is not None  # lookahead guarantees a clause
-            cname, ctype, cols = parsed
+            cname, ctype, cols, pred = parsed
+            if ctype == "CHECK":
+                # accept-and-ENFORCE (r11 verdict task 2): H2 checks
+                # the EXISTING rows when the constraint is added —
+                # one bounded scan — then every DML write enforces it
+                pred = _h2_expr_to_spark(pred)
+                engine.validate_check_predicate(logical, pred)
+                engine.constraints.add(
+                    logical, "CHECK", [], cname, predicate=pred
+                )
+                engine._republish_info_schema()
+                return None
             # record the table's ACTUAL column spellings, not the
             # statement's (case-insensitive resolution by design) —
             # the registry feeds COLUMN_LIST and SCRIPT dumps, where
@@ -1399,13 +1410,60 @@ def _execute_verb(engine, statement: str, shadow: str, m):
     return n
 
 
+def _h2_expr_to_spark(expr: str) -> str:
+    """Convert H2 double-quoted identifiers inside an expression to
+    Spark backtick form (H2 strings are single-quoted, so every
+    double-quoted segment IS an identifier; ``""`` escapes a quote,
+    backtick doubles inside backticks). Single-quoted literals pass
+    through untouched. The CHECK-predicate restore path: H2's own
+    SCRIPT spells ``CHECK("X" > 0)`` and Spark's parser would read
+    the double quotes as a string literal."""
+    out, i, n = [], 0, len(expr)
+    while i < n:
+        ch = expr[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if expr[j] == "'":
+                    if j + 1 < n and expr[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(expr[i : j + 1])
+            i = j + 1
+        elif ch == '"':
+            j = i + 1
+            ident = []
+            while j < n:
+                if expr[j] == '"':
+                    if j + 1 < n and expr[j + 1] == '"':
+                        ident.append('"')
+                        j += 2
+                        continue
+                    break
+                ident.append(expr[j])
+                j += 1
+            out.append("`" + "".join(ident).replace("`", "``") + "`")
+            i = j + 1
+        else:
+            out.append(ch)
+            i += 1
+    return "".join(out)
+
+
 def _parse_constraint_clause(seg: str, sshadow: str):
     """Parse one table-level constraint segment — ``[CONSTRAINT
-    [PUBLIC.]name] PRIMARY KEY|UNIQUE (col, ...)`` → (name_or_None,
-    type, [cols]). CHECK / FOREIGN KEY raise loudly (the documented
-    choice, see constraints.py: a recorded-but-unenforced integrity
-    predicate is worse than an error). Returns None when the segment
-    is not a constraint clause at all."""
+    [PUBLIC.]name] PRIMARY KEY|UNIQUE (col, ...) | CHECK (pred)`` →
+    (name_or_None, type, [cols], predicate_or_None). PK/UNIQUE are
+    accept-and-record; CHECK is accept-and-ENFORCE on the engine's
+    DML rewrite path (r11 verdict task 2 — every INSERT/UPDATE/MERGE
+    flows through sql_dml, so the predicate costs one bounded filter
+    over the written rows). FOREIGN KEY still raises loudly (cross-
+    table enforcement on every write is a different cost class, and
+    a recorded-but-unenforced referential predicate would be trusted
+    by catalog readers while no write path upholds it). Returns None
+    when the segment is not a constraint clause at all."""
     if not re.match(
         r"(?:PRIMARY\s+KEY|CONSTRAINT|UNIQUE|FOREIGN|CHECK)\b",
         sshadow,
@@ -1426,16 +1484,29 @@ def _parse_constraint_clause(seg: str, sshadow: str):
                     "(only PUBLIC is modeled)"
                 )
             name, pos = _parse_ident(seg, sshadow, pos + 1)
+    mck = re.compile(r"\s*CHECK\s*\(", re.I).match(sshadow, pos)
+    if mck:
+        open_p = mck.end() - 1
+        close = _match_close(sshadow, open_p)
+        if sshadow[close + 1 :].strip():
+            raise ValueError(
+                f"constraint clause {seg!r}: unexpected trailing text "
+                "after CHECK (...)"
+            )
+        pred = seg[open_p + 1 : close].strip()
+        if not pred:
+            raise ValueError(f"constraint clause {seg!r}: empty CHECK")
+        return name, "CHECK", [], pred
     # H2 grammar allows PRIMARY KEY [HASH] at table level too
     mk = re.compile(
         r"\s*(PRIMARY\s+KEY(?:\s+HASH)?|UNIQUE)\s*\(", re.I
     ).match(sshadow, pos)
     if not mk:
         raise ValueError(
-            f"constraint clause {seg!r} is unsupported: only PRIMARY "
-            "KEY and UNIQUE are recorded (parquet tables carry no "
-            "enforced keys); CHECK and FOREIGN KEY are rejected "
-            "loudly by design — a recorded-but-unenforced integrity "
+            f"constraint clause {seg!r} is unsupported: PRIMARY KEY "
+            "and UNIQUE are recorded, CHECK is recorded AND enforced "
+            "on the DML path; FOREIGN KEY is rejected loudly by "
+            "design — a recorded-but-unenforced referential "
             "predicate would be trusted by catalog readers while no "
             "write path upholds it"
         )
@@ -1457,7 +1528,7 @@ def _parse_constraint_clause(seg: str, sshadow: str):
                 f"constraint clause {seg!r}: column {c!r} listed twice"
             )
         seen.add(c.casefold())
-    return name, ctype, cols
+    return name, ctype, cols, None
 
 
 def _create_cached_table(engine, statement: str, shadow: str, mcache):
@@ -1496,18 +1567,30 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
         col, p2 = _parse_ident(seg, sshadow, 0)
         type_text = seg[p2:].strip()
         tshadow = _shadow(type_text)
-        if re.search(r"\b(CHECK|REFERENCES|FOREIGN)\b", tshadow, re.I):
+        if re.search(r"\b(REFERENCES|FOREIGN)\b", tshadow, re.I):
             raise ValueError(
-                f"column def {seg!r}: CHECK / FOREIGN KEY are rejected "
-                "loudly by design (see constraints.py) — only PRIMARY "
-                "KEY and UNIQUE are recorded"
+                f"column def {seg!r}: FOREIGN KEY is rejected loudly "
+                "by design (see constraints.py) — PRIMARY KEY and "
+                "UNIQUE are recorded, CHECK is recorded and enforced"
             )
         # H2 column grammar: type then NOT NULL and/or
-        # UNIQUE | PRIMARY KEY [HASH], in EITHER order — strip
-        # trailing tokens until the bare type remains
+        # UNIQUE | PRIMARY KEY [HASH] | CHECK (pred), in EITHER
+        # order — strip trailing tokens until the bare type remains
         pk_col, uniq_col, not_null = False, False, False
+        col_check: str | None = None
         while True:
             tshadow2 = _shadow(type_text)
+            mcc = re.search(r"\bCHECK\s*\(", tshadow2, re.I)
+            if mcc:
+                open_p = mcc.end() - 1
+                close = _match_close(tshadow2, open_p)
+                col_check = type_text[open_p + 1 : close].strip()
+                if not col_check:
+                    raise ValueError(f"column def {seg!r}: empty CHECK")
+                type_text = (
+                    type_text[: mcc.start()] + type_text[close + 1 :]
+                ).strip()
+                continue
             mck = re.search(
                 r"\s+(PRIMARY\s+KEY(?:\s+HASH)?|UNIQUE|NOT\s+NULL)\s*$",
                 tshadow2,
@@ -1524,9 +1607,13 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
                 not_null = True
             type_text = type_text[: mck.start()].strip()
         if pk_col:
-            cons.append((None, "PRIMARY KEY", [col]))
+            cons.append((None, "PRIMARY KEY", [col], None))
         if uniq_col:
-            cons.append((None, "UNIQUE", [col]))
+            cons.append((None, "UNIQUE", [col], None))
+        if col_check is not None:
+            # a column-level CHECK is recorded exactly like H2's
+            # table-level form (H2 itself hoists them in SCRIPT)
+            cons.append((None, "CHECK", [], col_check))
         nullable = not not_null and not pk_col  # H2: PK implies NOT NULL
         sp = _h2_type_to_spark(type_text)
         # a DataFrame can't carry char/varchar without
@@ -1541,12 +1628,12 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
     # H2 rejects the statement atomically, and recording after
     # create_table_as would otherwise leave a half-constrained table
     # behind a failed statement (advisor r11)
-    if sum(1 for _, ctype, _ in cons if ctype == "PRIMARY KEY") > 1:
+    if sum(1 for _, ctype, *_ in cons if ctype == "PRIMARY KEY") > 1:
         raise ValueError(
             "CREATE CACHED TABLE: more than one PRIMARY KEY declared"
         )
     names_seen: set = set()
-    for cname, _, _ in cons:
+    for cname, *_ in cons:
         if cname is None:
             continue
         if cname.casefold() in names_seen:
@@ -1554,17 +1641,26 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
                 f"CREATE CACHED TABLE: duplicate constraint name {cname!r}"
             )
         names_seen.add(cname.casefold())
-    for _, ctype, cols in cons:
+    for _, ctype, cols, _pred in cons:
         missing = [c for c in cols if c.casefold() not in declared]
         if missing:
             raise ValueError(
                 f"CREATE CACHED TABLE: {ctype} references undeclared "
                 f"column(s) {missing}"
             )
+    # CHECK predicates: convert H2 double-quoted identifiers to the
+    # Spark expression dialect the enforcement filter evaluates, and
+    # validate each analyzes against the declared schema NOW — an
+    # unparseable predicate must fail the CREATE, not the first
+    # INSERT months later (statement atomicity: nothing written yet)
+    cons = [
+        (cname, ctype, cols, _h2_expr_to_spark(pred) if pred else pred)
+        for cname, ctype, cols, pred in cons
+    ]
     # a table-level PK also forces NOT NULL on its columns (H2)
     pk_cols = {
         c.casefold()
-        for _, ctype, cols in cons
+        for _, ctype, cols, _pred in cons
         if ctype == "PRIMARY KEY"
         for c in cols
     }
@@ -1580,6 +1676,15 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
     ):
         return None  # H2 skips the WHOLE statement, constraints too
     df = engine.spark.createDataFrame([], T.StructType(fields))
+    for _, ctype, _cols, pred in cons:
+        if ctype == "CHECK":
+            try:
+                df.where(F.expr(pred)).schema  # analysis only
+            except Exception as e:
+                raise ValueError(
+                    f"CREATE CACHED TABLE: CHECK predicate {pred!r} "
+                    f"does not analyze against the declared columns: {e}"
+                ) from None
     engine.create_table_as(table, df, if_not_exists=ine)
     # ONE locked registry write for the whole constraint set: a
     # crash after create_table_as can no longer leave a restored
@@ -2346,6 +2451,11 @@ def _execute_merge_using(engine, statement: str, shadow: str) -> int:
         )
         n_changed += int(n_inserted)
 
+    # CHECK enforcement over ONLY the changed/inserted rows
+    # (parts[0] is the untouched remainder of the target) — one
+    # bounded filter per constraint, before the rewrite lands
+    for p in parts[1:]:
+        engine._enforce_check_constraints(logical, p, "MERGE")
     result = parts[0]
     for p in parts[1:]:
         result = result.unionByName(p)

@@ -5,7 +5,8 @@ table-level clauses, schema-qualified ALTER ... ADD CONSTRAINT lines
 (the shapes H2's own SCRIPT emits; the reference's init-script path,
 H2Server.scala:41-58, runs arbitrary user DDL) — must restore, be
 introspectable where H2 spells it, and round-trip through SCRIPT.
-CHECK / FOREIGN KEY keep rejecting loudly (documented choice)."""
+CHECK is accepted AND ENFORCED on every DML write path (r11 verdict
+task 2); FOREIGN KEY keeps rejecting loudly (documented choice)."""
 
 from __future__ import annotations
 
@@ -111,25 +112,138 @@ def test_script_roundtrip_preserves_constraints(engine):
     }
 
 
-def test_check_and_foreign_reject_loudly(engine):
-    with pytest.raises(ValueError, match="rejected\\s+loudly"):
-        engine.execute_sql(
-            'CREATE CACHED TABLE "cn_ck"("x" INT CHECK ("x" > 0))'
-        )
-    with pytest.raises(ValueError, match="rejected loudly"):
-        engine.execute_sql(
-            'CREATE CACHED TABLE "cn_ck2"("x" INT, CHECK ("x" > 0))'
-        )
-    with pytest.raises(ValueError, match="rejected loudly"):
+def test_foreign_key_rejects_loudly(engine):
+    """FOREIGN KEY keeps rejecting loudly (documented choice:
+    cross-table enforcement on every write is a different cost
+    class; a recorded-but-unenforced referential predicate would be
+    trusted by catalog readers while no write path upholds it)."""
+    with pytest.raises(ValueError, match="FOREIGN KEY"):
         engine.execute_sql(
             'CREATE CACHED TABLE "cn_fk"("x" INT, '
             'FOREIGN KEY ("x") REFERENCES "other"("y"))'
         )
-    engine.execute_sql('CREATE CACHED TABLE "cn_ok"("x" INT)')
     with pytest.raises(ValueError, match="rejected loudly"):
         engine.execute_sql(
-            'ALTER TABLE "cn_ok" ADD CONSTRAINT "c1" CHECK ("x" > 0)'
+            'CREATE CACHED TABLE "cn_fk2"("x" INT '
+            'REFERENCES "other"("y"))'
         )
+
+
+def test_check_constraints_accepted_and_enforced(engine):
+    """CHECK is accept-and-ENFORCE (r11 verdict task 2): column-level
+    and table-level forms record; every DML write path — INSERT,
+    UPDATE, legacy MERGE, ANSI MERGE — evaluates the predicate over
+    the rows it is about to write and rejects violations BEFORE
+    anything lands; NULL passes (SQL three-valued semantics)."""
+    from quasar_destination_h2_spark.constraints import CheckViolation
+
+    engine.execute_sql('DROP TABLE IF EXISTS "cn_ck"')
+    engine.execute_sql(
+        'CREATE CACHED TABLE "cn_ck"("x" INT CHECK ("x" > 0), '
+        '"v" VARCHAR(8), '
+        'CONSTRAINT "ck_len" CHECK (LENGTH("v") < 5))'
+    )
+    ents = engine.constraints.for_table("cn_ck")
+    assert {(e["type"], e.get("predicate")) for e in ents} == {
+        ("CHECK", "LENGTH(`v`) < 5"),
+        ("CHECK", "`x` > 0"),
+    }
+    # the column-level CHECK got a generated (schema-wide unique)
+    # name; capture it for the violation-message assertions below
+    gen_ck = next(
+        e["name"] for e in ents if e.get("predicate") == "`x` > 0"
+    )
+    assert gen_ck.startswith("CONSTRAINT_")
+    assert {e["name"] for e in ents} == {gen_ck, "ck_len"}
+    # valid rows land; NULL passes (unknown is not a violation)
+    assert engine.execute_sql(
+        "INSERT INTO cn_ck VALUES (1, 'ab'), (2, NULL), (NULL, 'c')"
+    ) == 3
+    # violating INSERT raises with the constraint name, writes nothing
+    with pytest.raises(CheckViolation, match=gen_ck):
+        engine.execute_sql("INSERT INTO cn_ck VALUES (-1, 'ab')")
+    with pytest.raises(CheckViolation, match="ck_len"):
+        engine.execute_sql("INSERT INTO cn_ck VALUES (4, 'toolong')")
+    assert engine.table("cn_ck").count() == 3
+    # UPDATE: enforcement sees the post-assignment values
+    with pytest.raises(CheckViolation, match=gen_ck):
+        engine.execute_sql("UPDATE cn_ck SET x = -5 WHERE v = 'ab'")
+    assert engine.execute_sql("UPDATE cn_ck SET x = 7 WHERE v = 'ab'") == 1
+    # legacy MERGE and ANSI MERGE both enforce on the incoming rows
+    with pytest.raises(CheckViolation, match=gen_ck):
+        engine.execute_sql(
+            "MERGE INTO cn_ck (x, v) KEY (v) VALUES (-9, 'ab')"
+        )
+    with pytest.raises(CheckViolation, match="ck_len"):
+        engine.execute_sql(
+            "MERGE INTO cn_ck USING (SELECT 3 AS sx, 'wayloong' AS sv) s "
+            "ON cn_ck.v = s.sv "
+            "WHEN NOT MATCHED THEN INSERT (x, v) VALUES (s.sx, s.sv)"
+        )
+    assert engine.table("cn_ck").count() == 3
+
+
+def test_alter_add_check_validates_existing_rows(engine):
+    """ALTER ... ADD CONSTRAINT CHECK scans the EXISTING rows (H2's
+    behavior) — violating data rejects the DDL; a predicate that
+    does not analyze rejects too; once added, DML enforces it."""
+    from quasar_destination_h2_spark.constraints import CheckViolation
+
+    engine.execute_sql('DROP TABLE IF EXISTS "cn_ac"')
+    engine.execute_sql('CREATE CACHED TABLE "cn_ac"("n" INT)')
+    engine.execute_sql("INSERT INTO cn_ac VALUES (1), (2), (30)")
+    with pytest.raises(CheckViolation, match="existing row"):
+        engine.execute_sql(
+            'ALTER TABLE "cn_ac" ADD CONSTRAINT "ck_n" CHECK ("n" < 10)'
+        )
+    with pytest.raises(ValueError, match="does not analyze"):
+        engine.execute_sql(
+            'ALTER TABLE "cn_ac" ADD CONSTRAINT "ck_bad" '
+            'CHECK ("no_such_col" < 10)'
+        )
+    engine.execute_sql(
+        'ALTER TABLE "cn_ac" ADD CONSTRAINT "ck_n" CHECK ("n" < 100)'
+    )
+    with pytest.raises(CheckViolation, match="ck_n"):
+        engine.execute_sql("INSERT INTO cn_ac VALUES (150)")
+    engine.execute_sql('ALTER TABLE "cn_ac" DROP CONSTRAINT "ck_n"')
+    assert engine.execute_sql("INSERT INTO cn_ac VALUES (150)") == 1
+
+
+def test_check_constraints_script_roundtrip(engine):
+    """The restore-failure class the r11 verdict queued: an
+    H2-authored dump carrying CHECK constraints (double-quoted
+    identifiers) restores, SCRIPT re-emits the constraint in H2
+    spelling, and enforcement survives the round-trip."""
+    from quasar_destination_h2_spark.constraints import CheckViolation
+
+    engine.execute_sql('DROP TABLE IF EXISTS "cn_sc"')
+    engine.execute_sql(
+        'CREATE CACHED TABLE "cn_sc"("q" INT, '
+        'CONSTRAINT "ck_q" CHECK ("q" BETWEEN 0 AND 9))'
+    )
+    lines = [
+        r.SCRIPT
+        for r in engine.execute_sql("SCRIPT NODATA TABLE cn_sc").collect()
+    ]
+    assert (
+        'ALTER TABLE "cn_sc" ADD CONSTRAINT "ck_q" '
+        'CHECK("q" BETWEEN 0 AND 9);' in lines
+    )
+    # INFORMATION_SCHEMA carries the H2-spelled CHECK_EXPRESSION
+    expr = engine.execute_sql(
+        "SELECT CHECK_EXPRESSION FROM INFORMATION_SCHEMA.CONSTRAINTS "
+        "WHERE CONSTRAINT_NAME = 'ck_q'"
+    ).collect()
+    assert [r[0] for r in expr] == ['"q" BETWEEN 0 AND 9']
+    f = os.path.join(tempfile.mkdtemp(), "ck.sql")
+    with open(f, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    engine.execute_sql('DROP TABLE "cn_sc"')
+    engine.execute_sql(f"RUNSCRIPT FROM '{f}'")
+    assert engine.execute_sql("INSERT INTO cn_sc VALUES (5)") == 1
+    with pytest.raises(CheckViolation, match="ck_q"):
+        engine.execute_sql("INSERT INTO cn_sc VALUES (11)")
 
 
 def test_constraint_validation_and_lifecycle(engine):

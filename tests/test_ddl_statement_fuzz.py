@@ -298,9 +298,37 @@ def test_random_constraint_statements_match_model(ddl_engine):
         for e in es
     }
     cols = ["k", "g", "n", "v"]
+    # CHECK predicate pool with KNOWN truth over the static fuzz
+    # rows (k in 1..20, n = (k*13)%97, g in xyz): ALTER ADD CHECK
+    # validates existing data, so the model must predict pass/fail
+    check_pool = [
+        ('"k" > 0', True),
+        ('"n" < 100', True),
+        ('LENGTH("v") <= 3', True),
+        ('"k" < 10', False),   # rows 10..20 violate
+        ('"n" > 50', False),
+    ]
     for step in range(N_STATEMENTS):
-        op = rng.choices(("add", "drop"), weights=(65, 35))[0]
-        if op == "add":
+        op = rng.choices(("add", "addck", "drop"), weights=(50, 15, 35))[0]
+        if op == "addck":
+            pred, passes = rng.choice(check_pool)
+            name = f"ck_{rng.randint(0, 9)}"
+            sql = (
+                f"ALTER TABLE ddlfuzz ADD CONSTRAINT {_q(name)} "
+                f"CHECK ({pred})"
+            )
+            dup_name = name.casefold() in foreign_taken or any(
+                e["name"].casefold() == name.casefold() for e in model
+            )
+            if not passes or dup_name:
+                with pytest.raises(ConstraintError):
+                    ddl_engine.execute_sql(sql)
+            else:
+                ddl_engine.execute_sql(sql)
+                model.append(
+                    {"name": name, "type": "CHECK", "columns": []}
+                )
+        elif op == "add":
             ctype = rng.choice(("PRIMARY KEY", "UNIQUE"))
             ncols = rng.randint(1, 2)
             ccols = rng.sample(cols, ncols)

@@ -140,18 +140,25 @@ def test_create_cached_table_lands_in_engine_catalog(engine):
         ("c", "decimal(10,2)"),
     ]
     # r11: PRIMARY KEY is accepted-and-recorded (constraints.py);
-    # CHECK remains the loud rejection
+    # r12: CHECK is accepted-and-enforced, FOREIGN KEY stays loud
     engine.execute_sql("DROP TABLE IF EXISTS scr_pk")
     engine.execute_sql("CREATE CACHED TABLE scr_pk(a INT, PRIMARY KEY (a))")
     assert [
         (e["type"], e["columns"])
         for e in engine.constraints.for_table("scr_pk")
     ] == [("PRIMARY KEY", ["a"])]
+    engine.execute_sql("DROP TABLE IF EXISTS scr_ck")
+    engine.execute_sql("CREATE CACHED TABLE scr_ck(a INT, CHECK (a > 0))")
+    assert [
+        e["type"] for e in engine.constraints.for_table("scr_ck")
+    ] == ["CHECK"]
     with pytest.raises(ValueError, match="rejected loudly"):
         engine.execute_sql(
-            "CREATE CACHED TABLE scr_ck(a INT, CHECK (a > 0))"
+            "CREATE CACHED TABLE scr_fk(a INT, "
+            "FOREIGN KEY (a) REFERENCES other(b))"
         )
     engine.drop_table_if_exists("scr_pk")
+    engine.drop_table_if_exists("scr_ck")
     engine.drop_table_if_exists("scr_cc")
 
 
