@@ -85,6 +85,7 @@ class Engine:
         self.endpoint_started: bool = False
         self._sequences = None
         self._constraints = None
+        self._views = None
         #: ANN serving: build ids whose assignment-side integrity this
         #: engine has already verified (see ann_topk) — keyed by index
         #: name. Invalidated whenever THIS engine rebuilds or appends.
@@ -1436,6 +1437,25 @@ class Engine:
             )
         return self._constraints
 
+    @property
+    def views(self):
+        """Durable H2-view registry (CREATE [FORCE] VIEW / DROP VIEW
+        / SCRIPT round-trip): JSON state beside the sequence and
+        constraint registries (see views.py). A view is pure
+        metadata — its definition inlines into consuming queries at
+        analysis time, so Catalyst pushes filters through it into
+        the parquet scans (zero materialization at any scale)."""
+        if self._views is None:
+            import os
+
+            from .views import Views
+            from .sources.sink import CATALOG_TABLE, warehouse_path
+
+            self._views = Views(
+                os.path.dirname(warehouse_path(self.spark, CATALOG_TABLE))
+            )
+        return self._views
+
     # -- surface (H2Destination.scala:37-46) ---------------------------
 
     def csv_create_sink(self) -> CsvCreateSink:
@@ -1690,6 +1710,10 @@ class Engine:
             if if_not_exists:
                 return self.sink.catalog[logical_name]
             raise ValueError(f"table already exists: {logical_name!r}")
+        if self.views.get(logical_name) is not None:
+            raise ValueError(
+                f"a view named {logical_name!r} already exists"
+            )
         physical = storage_safe_name(logical_name)
         prepare_replace(self.spark, physical)
         df.write.mode("overwrite").format("parquet").saveAsTable(physical)
@@ -1802,6 +1826,8 @@ class Engine:
         for logical in self.sink.catalog:
             if logical.casefold() == new.casefold():
                 raise ValueError(f"RENAME: table already exists: {new!r}")
+        if self.views.get(new) is not None:
+            raise ValueError(f"RENAME: a view named {new!r} exists")
         physical = self.sink.catalog.pop(src)
         self.sink._dropped.add(src)
         self.sink.catalog[new] = physical
@@ -1817,6 +1843,7 @@ class Engine:
             self.drop_table_if_exists(logical)
         for name in self.sequences.names():
             self.sequences.drop(name, if_exists=True)
+        self.views.drop_all()
         self._republish_info_schema()
 
     def delete_where(self, logical_name: str, condition: str) -> int:

@@ -167,6 +167,17 @@ _CONSTRAINTS_COLS = [
     ("SQL", "STRING"),
 ]
 
+_VIEWS_COLS = [
+    ("TABLE_CATALOG", "STRING"),
+    ("TABLE_SCHEMA", "STRING"),
+    ("TABLE_NAME", "STRING"),
+    ("VIEW_DEFINITION", "STRING"),
+    ("CHECK_OPTION", "STRING"),
+    ("IS_UPDATABLE", "STRING"),
+    ("STATUS", "STRING"),
+    ("REMARKS", "STRING"),
+]
+
 _SEQUENCES_COLS = [
     ("SEQUENCE_CATALOG", "STRING"),
     ("SEQUENCE_SCHEMA", "STRING"),
@@ -252,6 +263,23 @@ def refresh_information_schema(engine: "Engine") -> None:
                     "",
                 )
             )
+    # registered views appear in TABLES (TABLE_TYPE='VIEW', like H2)
+    # and in the VIEWS table with their H2-spelled definition
+    vrows = []
+    for e in engine.views.all().values():
+        trows.append((cat, "PUBLIC", e["name"], "VIEW", "", None, ""))
+        vrows.append(
+            (
+                cat,
+                "PUBLIC",
+                e["name"],
+                _h2_spell(e["definition"]),
+                "NONE",
+                "NO",
+                "VALID" if not e.get("force") else "FORCE",
+                "",
+            )
+        )
     srows = []
     for name in engine.sequences.names():
         s = engine.sequences.describe(name)
@@ -306,6 +334,7 @@ def refresh_information_schema(engine: "Engine") -> None:
         ("columns", _COLUMNS_COLS, crows),
         ("sequences", _SEQUENCES_COLS, srows),
         ("constraints", _CONSTRAINTS_COLS, krows),
+        ("views", _VIEWS_COLS, vrows),
     ):
         names = [n for n, _ in cols]
         types = [t for _, t in cols]
@@ -332,7 +361,12 @@ def execute_show(engine: "Engine", statement: str, shadow: str, m) -> DataFrame:
             [("INFORMATION_SCHEMA",), ("PUBLIC",)], "SCHEMA_NAME string"
         )
     if kind == "TABLES":
-        rows = [(t, "PUBLIC") for t in sorted(engine.sink.catalog)]
+        # H2's SHOW TABLES lists views too (they share the TABLES
+        # namespace; INFORMATION_SCHEMA.TABLES carries the type)
+        rows = sorted(
+            [(t, "PUBLIC") for t in engine.sink.catalog]
+            + [(v, "PUBLIC") for v in engine.views.names()]
+        )
         return spark.createDataFrame(
             rows, "TABLE_NAME string, TABLE_SCHEMA string"
         )
@@ -349,6 +383,26 @@ def execute_show(engine: "Engine", statement: str, shadow: str, m) -> DataFrame:
             target = logical
             break
     if target is None:
+        ventry = engine.views.get(name)
+        if ventry is not None:
+            # SHOW COLUMNS works on views too (H2): the analyzed
+            # definition supplies the schema; no keys, all nullable
+            from .sql_dml import _materialize_view
+
+            vdf = _materialize_view(engine, ventry, frozenset())
+            rows = []
+            for f in vdf.schema.fields:
+                tname, _, cmax, prec, scale = h2_type_info(f.dataType)
+                if tname == "VARCHAR" and cmax:
+                    tname = f"VARCHAR({cmax})"
+                elif tname == "DECIMAL" and prec is not None:
+                    tname = f"DECIMAL({prec}, {scale})"
+                rows.append((f.name, tname, "YES", "", None))
+            return spark.createDataFrame(
+                rows,
+                "FIELD string, TYPE string, `NULL` string, KEY string, "
+                "DEFAULT string",
+            )
         raise ValueError(f"SHOW COLUMNS: table not found: {name!r}")
     # recorded constraints fill the KEY column (H2/MySQL spelling:
     # PRI for a primary-key member, UNI for a unique member)

@@ -6375,3 +6375,158 @@ def q_check_constraint_battery(t: TableSet) -> DataFrame:
     return spark.createDataFrame(
         rows, "kind string, obj string, detail string"
     ).orderBy("kind", "obj")
+
+
+@query(
+    "view_catalog_battery",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('select', 'vcb_top', '3', 'k=3,k=4,k=5'),
+      ('select', 'vcb_wide', '2', 'k=4,k=5'),
+      ('catalog', 'show_tables', 'vcb_t,vcb_top,vcb_wide', NULL),
+      ('catalog', 'table_type', 'VIEW', NULL),
+      ('catalog', 'view_definition',
+        'SELECT "k", "v" FROM "vcb_t" WHERE "k" >= 3', NULL),
+      ('guard', 'insert_into_view', 'is a view', NULL),
+      ('guard', 'drop_restrict', 'depend', NULL),
+      ('script', 'line', 'CREATE FORCE VIEW "vcb_top" AS '
+        || 'SELECT "k", "v" FROM "vcb_t" WHERE "k" >= 3;', NULL),
+      ('restore', 'select_after_runscript', '3', 'k=3,k=4,k=5')
+    ) AS T(kind, obj, detail, rows)
+    ORDER BY kind, obj
+    """,
+)
+def q_view_catalog_battery(t: TableSet) -> DataFrame:
+    """The H2 view surface (r11 verdict task 1) as ONE
+    driver-witnessed statement battery: H2-SCRIPT view spellings —
+    ``CREATE [FORCE] VIEW`` with double-quoted identifiers and
+    PUBLIC qualifiers, exactly what H2's own SCRIPT emits and the
+    reference's init-script path runs (H2Server.scala:41-58) — are
+    accepted into the durable view registry; queries resolve THROUGH
+    views (including views over views) by inlining the definition at
+    analysis (Catalyst pushes filters through into the parquet
+    scan); DML against a view and RESTRICT-blocked drops error
+    loudly; SCRIPT emits ``CREATE FORCE VIEW`` lines a RUNSCRIPT
+    restores with resolution intact; INFORMATION_SCHEMA.VIEWS /
+    TABLES / SHOW TABLES all surface the view. The oracle is the
+    literal expected frame — the fixture is fully determined here,
+    never by sf data."""
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..engine import Engine
+
+    spark = t.documents.sparkSession
+    eng = Engine.from_config(
+        _json.dumps({"connectionUri": _tempfile.mkdtemp()}), spark=spark
+    )
+    # shared-warehouse idempotence: drop dependents before the base
+    eng.execute_sql('DROP VIEW IF EXISTS "vcb_wide"')
+    eng.execute_sql('DROP VIEW IF EXISTS "vcb_top"')
+    eng.execute_sql('DROP TABLE IF EXISTS "vcb_t"')
+    eng.execute_sql('CREATE CACHED TABLE "vcb_t"("k" INT, "v" VARCHAR(8))')
+    eng.execute_sql(
+        "INSERT INTO vcb_t VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d'), (5,'e')"
+    )
+    # the foreign-dump shape: FORCE + PUBLIC + double-quoted idents
+    eng.execute_sql(
+        'CREATE FORCE VIEW PUBLIC."vcb_top" AS '
+        'SELECT "k", "v" FROM PUBLIC."vcb_t" WHERE "k" >= 3'
+    )
+    eng.execute_sql(
+        'CREATE VIEW "vcb_wide"("kk") AS SELECT "k" FROM "vcb_top" '
+        'WHERE "k" > 3'
+    )
+    rows: list[tuple] = []
+
+    def digest(label: str, sql: str, col: str) -> None:
+        got = sorted(r[0] for r in eng.execute_sql(sql).collect())
+        rows.append(
+            (
+                "select",
+                label,
+                str(len(got)),
+                ",".join(f"{col}={g}" for g in got),
+            )
+        )
+
+    digest("vcb_top", "SELECT k FROM vcb_top", "k")
+    digest("vcb_wide", "SELECT kk FROM vcb_wide", "k")
+    names = sorted(
+        r.TABLE_NAME
+        for r in eng.execute_sql("SHOW TABLES").collect()
+        if r.TABLE_NAME.startswith("vcb_")
+    )
+    rows.append(("catalog", "show_tables", ",".join(names), None))
+    ttype = [
+        r[0]
+        for r in eng.execute_sql(
+            "SELECT TABLE_TYPE FROM INFORMATION_SCHEMA.TABLES "
+            "WHERE TABLE_NAME = 'vcb_top'"
+        ).collect()
+    ]
+    rows.append(("catalog", "table_type", ",".join(ttype), None))
+    vdef = [
+        r[0]
+        for r in eng.execute_sql(
+            "SELECT VIEW_DEFINITION FROM INFORMATION_SCHEMA.VIEWS "
+            "WHERE TABLE_NAME = 'vcb_top'"
+        ).collect()
+    ]
+    rows.append(("catalog", "view_definition", ",".join(vdef), None))
+    try:
+        eng.execute_sql("INSERT INTO vcb_top VALUES (9, 'z')")
+        rows.append(("guard", "insert_into_view", "NO ERROR", None))
+    except ValueError as e:
+        rows.append(
+            (
+                "guard",
+                "insert_into_view",
+                "is a view" if "is a view" in str(e) else str(e)[:40],
+                None,
+            )
+        )
+    try:
+        eng.execute_sql("DROP VIEW vcb_top")  # vcb_wide depends on it
+        rows.append(("guard", "drop_restrict", "NO ERROR", None))
+    except ValueError as e:
+        rows.append(
+            (
+                "guard",
+                "drop_restrict",
+                "depend" if "depend" in str(e) else str(e)[:40],
+                None,
+            )
+        )
+    # TABLE-scoped dump (the shared oracle warehouse holds
+    # vector-typed tables a full dump cannot DDL): the scope
+    # extension emits the dependent views too
+    script = [
+        r.SCRIPT
+        for r in eng.execute_sql("SCRIPT NODATA TABLE vcb_t").collect()
+    ]
+    for line in script:
+        if 'FORCE VIEW "vcb_top"' in line:
+            rows.append(("script", "line", line, None))
+    f = _os.path.join(_tempfile.mkdtemp(), "vcb.sql")
+    with open(f, "w") as fh:
+        fh.write("\n".join(script) + "\n")
+    eng.execute_sql('DROP VIEW "vcb_wide"')
+    eng.execute_sql('DROP TABLE "vcb_t" CASCADE')
+    eng.execute_sql(f"RUNSCRIPT FROM '{f}'")
+    eng.execute_sql(
+        "INSERT INTO vcb_t VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d'), (5,'e')"
+    )
+    got = sorted(r[0] for r in eng.execute_sql("SELECT k FROM vcb_top").collect())
+    rows.append(
+        (
+            "restore",
+            "select_after_runscript",
+            str(len(got)),
+            ",".join(f"k={g}" for g in got),
+        )
+    )
+    return spark.createDataFrame(
+        rows, "kind string, obj string, detail string, rows string"
+    ).orderBy("kind", "obj")

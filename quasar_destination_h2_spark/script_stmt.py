@@ -216,6 +216,54 @@ def script_lines(
                 f"ALTER TABLE {q(logical)} ADD CONSTRAINT "
                 f"{q(e['name'])} {body};"
             )
+    # views LAST and spelled CREATE FORCE VIEW, exactly like H2's own
+    # SCRIPT output: FORCE lets the dump load regardless of
+    # view-over-view order, and the definition re-spells its
+    # identifiers with double quotes so a real H2 could load it.
+    # TABLE scoping: H2 emits only the named tables; this engine
+    # ADDITIONALLY emits views whose dependency closure lies within
+    # the scoped tables (+ already-included views) — a documented
+    # extension: without it a scoped dump of a-table-and-its-views
+    # is unrestorable, and scoped dumps are the only kind a warehouse
+    # holding vector-typed (un-DDL-able) tables can produce at all.
+    allv = engine.views.all()
+    if only_tables is None:
+        emit = list(allv)
+    else:
+        candidates = [str(k) for k in engine.sink.catalog] + [
+            e["name"] for e in allv.values()
+        ]
+        refs = {
+            key: {
+                c.casefold()
+                for c in candidates
+                if e["name"] in engine.views.dependents_of(c)
+            }
+            for key, e in allv.items()
+        }
+        scoped = {n.casefold() for n in names}
+        emit_set: set = set()
+        changed = True
+        while changed:
+            changed = False
+            for key in allv:
+                if key in emit_set:
+                    continue
+                if refs[key] <= scoped | emit_set:
+                    emit_set.add(key)
+                    changed = True
+        emit = sorted(emit_set)
+    for key in emit:
+        e = allv[key]
+        cols = (
+            "(" + ", ".join(q(c) for c in e["columns"]) + ")"
+            if e.get("columns")
+            else ""
+        )
+        lines.append(
+            f"CREATE FORCE VIEW {q(e['name'])}{cols} AS "
+            f"{_spark_expr_to_h2(e['definition'])};"
+        )
     return lines
 
 

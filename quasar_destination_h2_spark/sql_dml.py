@@ -318,18 +318,53 @@ def _missing_relation(exc) -> Optional[str]:
     return parts[0] if len(parts) == 1 else None
 
 
-def _resolve_sql(engine, statement: str):
-    """``spark.sql`` with H2-parity LOGICAL table resolution: H2
+def _materialize_view(engine, entry: dict, stack: frozenset):
+    """Build the DataFrame of a registered view from its stored
+    definition — recursively, so views over views (and over
+    engine-catalog logical names) resolve; ``stack`` carries the
+    names currently being expanded for cycle detection. Pure
+    analysis-time work: the returned plan inlines into the consuming
+    query, so Catalyst pushes filters/projections through it into
+    the underlying parquet scans (a view costs zero I/O of its
+    own)."""
+    from .views import ViewError
+
+    key = entry["name"].casefold()
+    if key in stack:
+        raise ViewError(
+            f"cyclic view definition through {entry['name']!r}"
+        )
+    try:
+        df = _resolve_sql(
+            engine, entry["definition"], _view_stack=stack | {key}
+        )
+        if entry.get("columns"):
+            df = df.toDF(*entry["columns"])
+        df.schema  # force analysis NOW — FORCE views fail here
+        return df
+    except ViewError:
+        raise
+    except Exception as e:
+        raise ViewError(
+            f"view {entry['name']!r}: definition does not resolve "
+            f"({entry['definition'][:120]!r}): {e}"
+        ) from None
+
+
+def _resolve_sql(engine, statement: str, _view_stack: frozenset = frozenset()):
+    """``spark.sql`` with H2-parity LOGICAL name resolution: H2
     resolves a loaded table by the name it was loaded under, but the
     engine catalog maps logical names to storage-safe PHYSICAL names
     (hostile-identifier hygiene), so a wire client's ``SELECT * FROM
-    mytable`` doesn't resolve natively. Strategy: run the statement;
-    when Spark reports an unresolved relation whose name IS an
-    engine-catalog entry, bind a session temp view for it and retry
-    (resolution-on-demand — a name Spark already resolves is NEVER
-    shadowed). Bound views are dropped after forcing analysis, so
-    they cannot shadow later same-name session objects. Bounded by
-    the statement's distinct table names."""
+    mytable`` doesn't resolve natively — and registered VIEWS exist
+    only in the engine registry. Strategy: run the statement; when
+    Spark reports an unresolved relation whose name IS an
+    engine-catalog entry (or a registered view), bind a session temp
+    view for it and retry (resolution-on-demand — a name Spark
+    already resolves is NEVER shadowed). Bound views are dropped
+    after forcing analysis, so they cannot shadow later same-name
+    session objects. Bounded by the statement's distinct relation
+    names (+ the view-expansion depth, cycle-guarded)."""
     from .errors import NotAResource
 
     try:
@@ -369,7 +404,14 @@ def _resolve_sql(engine, statement: str):
                 try:
                     logical = _logical(engine, name)
                 except NotAResource:
-                    raise e from None
+                    ventry = engine.views.get(name)
+                    if ventry is None:
+                        raise e from None
+                    _materialize_view(
+                        engine, ventry, _view_stack
+                    ).createOrReplaceTempView(name)
+                    bound.append(name)
+                    continue
                 try:
                     engine.table(logical).createOrReplaceTempView(name)
                 except Exception:
@@ -1108,16 +1150,19 @@ def _execute_verb(engine, statement: str, shadow: str, m):
 
     if verb == "UPDATE":
         table, assignments, cond = parse_update(statement, shadow)
+        _guard_view_target(engine, table, "UPDATE")
         return engine.update_where(_logical(engine, table), assignments, cond)
 
     if verb == "DELETE":
         table, cond = parse_delete(statement, shadow)
+        _guard_view_target(engine, table, "DELETE")
         return engine.delete_where(_logical(engine, table), cond)
 
     if verb == "INSERT":
         from .sequences import SequenceError
 
         table, cols, kind, source = parse_insert(statement, shadow)
+        _guard_view_target(engine, table, "INSERT")
         deferred_nextval = kind == "select" and _NEXTVAL_OCC_RE.search(
             _shadow(source)
         )
@@ -1190,12 +1235,26 @@ def _execute_verb(engine, statement: str, shadow: str, m):
             return _create_cached_table(
                 engine, statement, shadow, mcache
             )
+        mv = re.match(
+            r"\s*CREATE\s+(?P<orr>OR\s+REPLACE\s+)?(?P<force>FORCE\s+)?"
+            r"VIEW\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?",
+            shadow,
+            re.I,
+        )
+        if mv:
+            # H2 CREATE [OR REPLACE] [FORCE] VIEW — first-class in
+            # the engine registry (r11 verdict task 1: H2's own
+            # SCRIPT spells views CREATE FORCE VIEW, and the bare
+            # Spark fall-through parsed neither FORCE nor H2
+            # identifier spellings, so view-bearing dumps failed)
+            return _create_view(engine, statement, shadow, mv)
         mc = re.match(
             r"\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?", shadow, re.I
         )
         if not mc:
-            return engine.sql(statement)  # CREATE VIEW / DATABASE / ...
+            return engine.sql(statement)  # CREATE DATABASE / FUNCTION ...
         table, pos = _parse_ident(statement, shadow, mc.end())
+        _guard_view_collision(engine, table, "CREATE TABLE")
         mas = re.compile(r"\s*AS\b", re.I).match(shadow, pos)
         if not mas:
             return engine.sql(statement)  # column-defs form: native DDL
@@ -1221,19 +1280,48 @@ def _execute_verb(engine, statement: str, shadow: str, m):
             return None
         if re.match(r"\s*DROP\s+INDEX\b", shadow, re.I):
             return None  # pair of the CREATE INDEX no-op above
+        mdv = re.match(
+            r"\s*DROP\s+VIEW\s+(?P<ie>IF\s+EXISTS\s+)?", shadow, re.I
+        )
+        if mdv:
+            return _drop_view(engine, statement, shadow, mdv)
         md = re.match(
             r"\s*DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?", shadow, re.I
         )
         if not md:
-            return engine.sql(statement)  # DROP VIEW / ...
-        table, _ = _parse_ident(statement, shadow, md.end())
+            return engine.sql(statement)  # DROP DATABASE / ...
+        table, pos = _parse_ident(statement, shadow, md.end())
+        if engine.views.get(table) is not None:
+            # H2 parity: DROP TABLE on a view errors with the hint
+            raise ValueError(
+                f"DROP TABLE: {table!r} is a view — use DROP VIEW"
+            )
+        tail = shadow[pos:].strip()
+        cascade = bool(re.fullmatch(r"CASCADE", tail, re.I))
+        if tail and not cascade and not re.fullmatch(r"RESTRICT", tail, re.I):
+            raise ValueError(
+                f"DROP TABLE: unexpected trailing text {tail!r} "
+                "(expected CASCADE or RESTRICT)"
+            )
         try:
             logical = _logical(engine, table)
         except NotAResource:
             if md.group("ie") is not None:
                 return None
             return engine.sql(statement)  # session-managed table or error
+        # H2's RESTRICT default: a view depending on the table blocks
+        # the drop; CASCADE drops the dependent views (recursively)
+        deps = engine.views.dependents_of(logical)
+        if deps and not cascade:
+            raise ValueError(
+                f"DROP TABLE: view(s) {deps} depend on {logical!r} "
+                "(H2 RESTRICT default) — use DROP TABLE ... CASCADE"
+            )
+        if cascade:
+            _drop_dependent_views(engine, logical)
         engine.drop_table_if_exists(logical)
+        if deps:
+            engine._republish_info_schema()
         return None
 
     if verb == "TRUNCATE":
@@ -1241,6 +1329,7 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         if not mt:
             raise ValueError("TRUNCATE: expected TRUNCATE TABLE")
         table, _ = _parse_ident(statement, shadow, mt.end())
+        _guard_view_target(engine, table, "TRUNCATE")
         try:
             logical = _logical(engine, table)
         except NotAResource:
@@ -1282,9 +1371,27 @@ def _execute_verb(engine, statement: str, shadow: str, m):
             )
             engine._republish_info_schema()
             return None
+        mav = re.match(
+            r"\s*ALTER\s+VIEW\s+", shadow, re.I
+        )
+        if mav:
+            vname, vpos = _parse_ident(statement, shadow, mav.end())
+            vname, vpos = _strip_public_qualifier(
+                statement, shadow, vname, vpos, "ALTER VIEW"
+            )
+            if engine.views.get(vname) is not None:
+                # H2's only ALTER VIEW form is RECOMPILE — naturally
+                # a no-op here: registry views re-analyze per query
+                if re.fullmatch(r"RECOMPILE", shadow[vpos:].strip(), re.I):
+                    return None
+                raise ValueError(
+                    "ALTER VIEW: only RECOMPILE is supported "
+                    "(H2 1.4.200 grammar)"
+                )
+            return engine.sql(statement)  # session-managed view
         ma = re.match(r"\s*ALTER\s+TABLE\s", shadow, re.I)
         if not ma:
-            return engine.sql(statement)  # ALTER VIEW / ...
+            return engine.sql(statement)
         table, pos = _parse_ident(statement, shadow, ma.end())
         # H2 SCRIPT qualifies its ALTER lines (ALTER TABLE PUBLIC.T
         # ADD CONSTRAINT ...) — strip the one schema we model
@@ -1294,6 +1401,7 @@ def _execute_verb(engine, statement: str, shadow: str, m):
             and table.casefold() == "public"
         ):
             table, pos = _parse_ident(statement, shadow, pos + 1)
+        _guard_view_target(engine, table, "ALTER TABLE")
         try:
             logical = _logical(engine, table)
         except NotAResource:
@@ -1393,6 +1501,7 @@ def _execute_verb(engine, statement: str, shadow: str, m):
     if re.search(r"\bUSING\b", shadow, re.I):
         return _execute_merge_using(engine, statement, shadow)
     table, cols, key_cols, kind, source = parse_merge(statement, shadow)
+    _guard_view_target(engine, table, "MERGE")
     logical = _logical(engine, table)
     target = engine.table(logical)
     names = cols if cols is not None else list(target.columns)
@@ -1450,6 +1559,185 @@ def _h2_expr_to_spark(expr: str) -> str:
             out.append(ch)
             i += 1
     return "".join(out)
+
+
+def _h2_view_def_to_spark(definition: str) -> str:
+    """An H2 view definition (the text after AS in ``CREATE [FORCE]
+    VIEW``) -> the Spark dialect the registry stores: double-quoted
+    identifiers become backticks (H2 strings are single-quoted, so
+    this is unambiguous) and ``PUBLIC.`` schema qualifiers drop (the
+    one schema we model; Spark would read it as a database name).
+    Shadow-scanned, so PUBLIC inside a string literal is never
+    touched."""
+    definition = _h2_expr_to_spark(definition)
+    # quoted form `PUBLIC`. — scan the TEXT but require the shadow to
+    # carry the opening backtick at that position (inside a '...'
+    # literal the backtick is blanked content, so it never matches)
+    shadow = _shadow(definition)
+    out, last = [], 0
+    for m in re.finditer(r"`PUBLIC`\s*\.", definition, re.I):
+        if shadow[m.start()] != "`":
+            continue
+        out.append(definition[last : m.start()])
+        last = m.end()
+    out.append(definition[last:])
+    definition = "".join(out)
+    # bare form PUBLIC. — keyword scan runs on the shadow directly
+    shadow = _shadow(definition)
+    out, last = [], 0
+    for m in re.finditer(r"(?<![A-Za-z0-9_$.])PUBLIC\s*\.", shadow, re.I):
+        out.append(definition[last : m.start()])
+        last = m.end()
+    out.append(definition[last:])
+    return "".join(out)
+
+
+def _strip_public_qualifier(statement, shadow, name, pos, ctx):
+    """H2 dumps qualify object names (``PUBLIC."V"``): strip the one
+    schema we model, error on any other (the ALTER TABLE rule)."""
+    if pos < len(shadow) and shadow[pos] == ".":
+        if name.casefold() != "public":
+            raise ValueError(
+                f"{ctx}: unknown schema {name!r} (only PUBLIC is modeled)"
+            )
+        return _parse_ident(statement, shadow, pos + 1)
+    return name, pos
+
+
+def _guard_view_collision(engine, name: str, ctx: str) -> None:
+    """Creating a table over a registered view's name must error
+    (H2: object name clash across tables and views in a schema)."""
+    if engine.views.get(name) is not None:
+        raise ValueError(
+            f"{ctx}: a view named {name!r} already exists"
+        )
+
+
+def _guard_view_target(engine, name: str, verb: str) -> None:
+    """DML against a view errors loudly (H2's updatable views are a
+    narrow special case this engine does not model — and silently
+    rewriting the underlying table would be worse than the error)."""
+    if engine.views.get(name) is not None:
+        raise ValueError(
+            f"{verb}: {name!r} is a view — views are read-only here "
+            "(H2 updatable-view rewriting is not modeled)"
+        )
+
+
+def _create_view(engine, statement: str, shadow: str, mv):
+    """H2 ``CREATE [OR REPLACE] [FORCE] VIEW [IF NOT EXISTS]
+    [PUBLIC.]name [(col, ...)] AS select`` — records the definition
+    (converted to the Spark dialect) in the durable view registry.
+    Without FORCE the definition must analyze NOW (H2 validates at
+    create); FORCE records it unvalidated — H2's semantics for dump
+    loading, where a view may precede a table it reads — and the
+    first query through it raises if it still doesn't resolve."""
+    from .views import ViewError
+
+    name, pos = _parse_ident(statement, shadow, mv.end())
+    name, pos = _strip_public_qualifier(
+        statement, shadow, name, pos, "CREATE VIEW"
+    )
+    columns = None
+    mopen = re.compile(r"\s*\(", re.I).match(shadow, pos)
+    if mopen:
+        open_p = mopen.end() - 1
+        close = _match_close(shadow, open_p)
+        columns = [
+            _parse_ident(s, _shadow(s), 0)[0]
+            for s in _split_top_level(statement, shadow, open_p + 1, close)
+        ]
+        if len({c.casefold() for c in columns}) != len(columns):
+            raise ValueError(
+                f"CREATE VIEW {name!r}: duplicate column alias"
+            )
+        pos = close + 1
+    mas = re.compile(r"\s*AS\b", re.I).match(shadow, pos)
+    if not mas:
+        raise ValueError("CREATE VIEW: expected AS <query>")
+    definition = _h2_view_def_to_spark(statement[mas.end() :].strip())
+    if not definition:
+        raise ValueError("CREATE VIEW: empty definition")
+    # name-clash with an engine-catalog TABLE (H2: one namespace per
+    # schema) — OR REPLACE replaces a VIEW, never a table
+    if any(
+        str(k).casefold() == name.casefold() for k in engine.sink.catalog
+    ):
+        raise ValueError(
+            f"CREATE VIEW: a table named {name!r} already exists"
+        )
+    force = mv.group("force") is not None
+    entry = {"name": name, "definition": definition, "columns": columns}
+    if not force:
+        _materialize_view(engine, entry, frozenset())  # validate now
+    else:
+        # even FORCE must reject a SELF-cycle that can never resolve;
+        # deeper cycles surface at first query (cycle-guarded there)
+        sdef = _shadow(definition)
+        if re.search(
+            rf"(?<![A-Za-z0-9_$.]){re.escape(name)}(?![A-Za-z0-9_$])",
+            sdef,
+            re.I,
+        ):
+            raise ViewError(
+                f"CREATE FORCE VIEW {name!r}: definition references "
+                "itself"
+            )
+    engine.views.create(
+        name,
+        definition,
+        columns=columns,
+        force=force,
+        or_replace=mv.group("orr") is not None,
+        if_not_exists=mv.group("ine") is not None,
+    )
+    engine._republish_info_schema()
+    return None
+
+
+def _drop_dependent_views(engine, relation: str, _seen=None) -> None:
+    """CASCADE: drop every view that (transitively) references
+    ``relation``. Bounded by registry size; cycle-safe."""
+    seen = _seen if _seen is not None else set()
+    for dep in engine.views.dependents_of(relation):
+        if dep.casefold() in seen:
+            continue
+        seen.add(dep.casefold())
+        _drop_dependent_views(engine, dep, seen)
+        engine.views.drop(dep, if_exists=True)
+
+
+def _drop_view(engine, statement: str, shadow: str, mdv):
+    """H2 ``DROP VIEW [IF EXISTS] [PUBLIC.]name [RESTRICT|CASCADE]``.
+    RESTRICT (the default) errors when other views read this one;
+    CASCADE drops them too. A name not in the registry falls through
+    to Spark (session temp views keep working)."""
+    name, pos = _parse_ident(statement, shadow, mdv.end())
+    name, pos = _strip_public_qualifier(
+        statement, shadow, name, pos, "DROP VIEW"
+    )
+    tail = shadow[pos:].strip()
+    cascade = bool(re.fullmatch(r"CASCADE", tail, re.I))
+    if tail and not cascade and not re.fullmatch(r"RESTRICT", tail, re.I):
+        raise ValueError(
+            f"DROP VIEW: unexpected trailing text {tail!r} "
+            "(expected CASCADE or RESTRICT)"
+        )
+    if engine.views.get(name) is None:
+        if mdv.group("ie") is not None:
+            return None
+        return engine.sql(statement)  # session-managed view or error
+    deps = engine.views.dependents_of(name)
+    if deps and not cascade:
+        raise ValueError(
+            f"DROP VIEW: view(s) {deps} depend on {name!r} "
+            "(H2 RESTRICT default) — use DROP VIEW ... CASCADE"
+        )
+    if cascade:
+        _drop_dependent_views(engine, name)
+    engine.views.drop(name)
+    engine._republish_info_schema()
+    return None
 
 
 def _parse_constraint_clause(seg: str, sshadow: str):
@@ -2333,6 +2621,7 @@ def _execute_merge_using(engine, statement: str, shadow: str) -> int:
     from .errors import NotAResource
 
     spec = parse_merge_using(statement, shadow)
+    _guard_view_target(engine, spec["target"], "MERGE")
     logical = _logical(engine, spec["target"])
     target = engine.table(logical)
     physical = engine.sink.catalog[logical]

@@ -1,0 +1,176 @@
+"""H2 views as durable engine-catalog metadata (r11 verdict task 1).
+
+The reference's init-script and RUNSCRIPT paths run arbitrary user
+DDL (``/root/reference/core/src/main/scala/quasar/destination/h2/
+server/H2Server.scala:41-58``), and a dump authored by a REAL H2
+instance spells every view ``CREATE FORCE VIEW PUBLIC."V"(...) AS
+SELECT ...`` — FORCE so the dump loads regardless of statement
+order. Before round 12 that line fell through to bare Spark SQL,
+which parses neither FORCE nor H2's double-quoted identifiers, so a
+view-bearing dump failed to restore and the engine's own SCRIPT
+silently dropped views.
+
+A view here is a NAME plus a DEFINITION — no data, no files. The
+registry stores the definition in the Spark expression dialect
+(backtick identifiers; the statement parser converts H2 spellings on
+the way in, sql_dml._h2_view_def_to_spark) and the query surface
+binds it on demand: when a statement references a view name Spark
+cannot resolve, ``_resolve_sql`` runs the stored definition
+(recursively — views over views), registers the result as a
+transient temp view for the one analysis, and drops it after. At
+100 TB this is exactly H2's (and Spark's own) view semantics: the
+definition inlines into the consuming query's plan, so Catalyst
+pushes filters/projections THROUGH the view into the parquet scan —
+a view adds zero materialization and zero extra I/O.
+
+Durable state is a tiny JSON file in the warehouse directory under
+the same advisory-flock protocol as the sequence and constraint
+registries — bounded driver-side metadata, never data-path work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+try:
+    import fcntl
+except ImportError:  # pragma: no cover — non-POSIX fallback
+    fcntl = None  # type: ignore[assignment]
+
+
+class ViewError(ValueError):
+    """View misuse (duplicate name, unknown view, dependency cycle,
+    RESTRICT violation) — ValueError so the statement surface reports
+    it like its other parse/validation errors."""
+
+
+class Views:
+    """Durable view registry for one warehouse directory.
+
+    State shape: ``{name_key: {"name": str, "definition": str,
+    "columns": [str, ...] | None, "force": bool}}`` — keys are
+    casefolded view names; definitions are Spark-dialect SQL."""
+
+    def __init__(self, warehouse_dir: str):
+        self.dir = warehouse_dir
+        self.path = os.path.join(warehouse_dir, "_views.json")
+
+    # -- locked state I/O ---------------------------------------------------
+
+    def _locked(self):
+        os.makedirs(self.dir, exist_ok=True)
+        fh = open(os.path.join(self.dir, "_views.lock"), "w")
+        if fcntl is not None:
+            fcntl.flock(fh, fcntl.LOCK_EX)
+        return fh
+
+    def _read(self) -> dict:
+        """Absence = empty registry; corruption surfaces (the
+        sequences._read rationale: silently resetting metadata would
+        break the restore contract this module exists for)."""
+        try:
+            with open(self.path) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {}
+        except (json.JSONDecodeError, OSError) as e:
+            raise ViewError(
+                f"view state unreadable at {self.path!r}: {e}"
+            ) from e
+
+    def _write(self, state: dict) -> None:
+        fd, tmp = tempfile.mkstemp(dir=self.dir, prefix="_vw")
+        with os.fdopen(fd, "w") as f:
+            json.dump(state, f)
+        os.replace(tmp, self.path)
+
+    # -- mutations ------------------------------------------------------
+
+    def create(
+        self,
+        name: str,
+        definition: str,
+        columns: list[str] | None = None,
+        force: bool = False,
+        or_replace: bool = False,
+        if_not_exists: bool = False,
+    ) -> bool:
+        """Record one view; returns False when IF NOT EXISTS skipped
+        an existing one. The caller validates the definition (FORCE
+        skips validation — H2's semantics: the view exists, querying
+        it errors until its relations do)."""
+        if not definition.strip():
+            raise ViewError(f"view {name!r}: empty definition")
+        key = name.casefold()
+        with self._locked():
+            state = self._read()
+            if key in state and not or_replace:
+                if if_not_exists:
+                    return False
+                raise ViewError(f"view already exists: {name!r}")
+            state[key] = {
+                "name": name,
+                "definition": definition.strip(),
+                "columns": list(columns) if columns else None,
+                "force": bool(force),
+            }
+            self._write(state)
+        return True
+
+    def drop(self, name: str, if_exists: bool = False) -> bool:
+        key = name.casefold()
+        with self._locked():
+            state = self._read()
+            if key not in state:
+                if if_exists:
+                    return False
+                raise ViewError(f"view not found: {name!r}")
+            del state[key]
+            self._write(state)
+        return True
+
+    def drop_all(self) -> None:
+        """Forget every view (DROP ALL OBJECTS)."""
+        with self._locked():
+            self._write({})
+
+    # -- reads ----------------------------------------------------------
+
+    def get(self, name: str) -> dict | None:
+        e = self._read().get(name.casefold())
+        return dict(e) if e is not None else None
+
+    def names(self) -> list[str]:
+        """Spelled view names, sorted (deterministic introspection)."""
+        return sorted(e["name"] for e in self._read().values())
+
+    def all(self) -> dict[str, dict]:
+        """Whole registry snapshot (casefolded key -> entry),
+        sorted for deterministic introspection output."""
+        return {k: dict(v) for k, v in sorted(self._read().items())}
+
+    def dependents_of(self, relation: str) -> list[str]:
+        """Views whose definition references ``relation`` by name —
+        the RESTRICT check for DROP TABLE / DROP VIEW. Token-matched
+        against a literal-blanked shadow of each stored definition
+        (conservative: a column spelled like the relation counts as
+        a dependency; CASCADE is the escape hatch, like H2's)."""
+        import re
+
+        from .sql_dml import _shadow
+
+        out = []
+        pat = re.compile(
+            rf"(?<![A-Za-z0-9_$`]){re.escape(relation)}(?![A-Za-z0-9_$`])",
+            re.I,
+        )
+        bq = f"`{relation.casefold()}`"
+        for e in self._read().values():
+            if e["name"].casefold() == relation.casefold():
+                continue
+            shadow = _shadow(e["definition"])
+            if pat.search(shadow) or bq in e["definition"].casefold():
+                out.append(e["name"])
+        return sorted(out)

@@ -1,0 +1,260 @@
+"""H2 views as first-class engine objects (views.py + sql_dml +
+info_schema + script_stmt; r11 verdict task 1): H2's own SCRIPT
+spells every view ``CREATE FORCE VIEW PUBLIC."V"(..) AS SELECT ..``
+— the reference's init-script path (H2Server.scala:41-58) runs
+arbitrary user DDL including views — so the engine must parse H2's
+spellings, resolve engine-catalog logical names inside definitions,
+answer queries THROUGH views (with the definition inlined so
+Catalyst pushes filters into the scans), round-trip SCRIPT ->
+RUNSCRIPT, and surface views in INFORMATION_SCHEMA / SHOW TABLES."""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+
+from quasar_destination_h2_spark.engine import Engine
+from quasar_destination_h2_spark.views import ViewError
+
+
+@pytest.fixture()
+def engine(spark, warehouse_dir):
+    return Engine.from_config(
+        json.dumps({"connectionUri": warehouse_dir}), spark=spark
+    )
+
+
+@pytest.fixture()
+def base(engine):
+    """A small engine-catalog table for definitions to read."""
+    engine.execute_sql("DROP ALL OBJECTS")
+    engine.execute_sql('CREATE CACHED TABLE "vw_base"("k" INT, "v" VARCHAR)')
+    engine.execute_sql(
+        "INSERT INTO vw_base VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')"
+    )
+    return engine
+
+
+def _vals(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_create_select_drop_roundtrip(base):
+    engine = base
+    engine.execute_sql(
+        "CREATE VIEW vw_even AS SELECT k, v FROM vw_base WHERE k % 2 = 0"
+    )
+    assert _vals(engine.execute_sql("SELECT * FROM vw_even")) == [
+        (2, "b"),
+        (4, "d"),
+    ]
+    # views compose into arbitrary queries (joins, aggregates)
+    assert _vals(
+        engine.execute_sql(
+            "SELECT COUNT(*) FROM vw_even e JOIN vw_base b ON e.k = b.k"
+        )
+    ) == [(2,)]
+    engine.execute_sql("DROP VIEW vw_even")
+    assert engine.views.get("vw_even") is None
+
+
+def test_h2_spellings_and_force(base):
+    """The motivating case: H2-SCRIPT spellings — FORCE, PUBLIC
+    qualifier, double-quoted identifiers — parse and resolve."""
+    engine = base
+    engine.execute_sql(
+        'CREATE FORCE VIEW PUBLIC."vw_h2"("kk", "vv") AS '
+        'SELECT "k", "v" FROM PUBLIC."vw_base" WHERE "k" > 2'
+    )
+    assert _vals(engine.execute_sql("SELECT kk, vv FROM vw_h2")) == [
+        (3, "c"),
+        (4, "d"),
+    ]
+    # FORCE over a missing relation: created now, errors at query
+    engine.execute_sql(
+        'CREATE FORCE VIEW "vw_ghost" AS SELECT * FROM "no_such_t"'
+    )
+    with pytest.raises(ViewError, match="does not resolve"):
+        engine.execute_sql("SELECT * FROM vw_ghost").collect()
+    # ... and starts working the moment the relation appears
+    engine.execute_sql('CREATE CACHED TABLE "no_such_t"("z" INT)')
+    engine.execute_sql("INSERT INTO no_such_t VALUES (9)")
+    assert _vals(engine.execute_sql("SELECT * FROM vw_ghost")) == [(9,)]
+    # non-FORCE validates at CREATE
+    with pytest.raises(ViewError, match="does not resolve"):
+        engine.execute_sql(
+            'CREATE VIEW "vw_bad" AS SELECT * FROM "also_missing"'
+        )
+
+
+def test_views_over_views_and_cycles(base):
+    engine = base
+    engine.execute_sql(
+        "CREATE VIEW vw_l1 AS SELECT k * 10 AS k10 FROM vw_base"
+    )
+    engine.execute_sql(
+        "CREATE VIEW vw_l2 AS SELECT SUM(k10) AS total FROM vw_l1"
+    )
+    assert _vals(engine.execute_sql("SELECT total FROM vw_l2")) == [(100,)]
+    # self-reference rejected even under FORCE
+    with pytest.raises(ViewError, match="references itself"):
+        engine.execute_sql(
+            "CREATE FORCE VIEW vw_self AS SELECT * FROM vw_self"
+        )
+    # a FORCE-built mutual cycle errors loudly at query time
+    engine.execute_sql("CREATE FORCE VIEW vw_a AS SELECT * FROM vw_b")
+    engine.execute_sql("CREATE FORCE VIEW vw_b AS SELECT * FROM vw_a")
+    with pytest.raises(ViewError, match="cyclic|does not resolve"):
+        engine.execute_sql("SELECT * FROM vw_a").collect()
+
+
+def test_or_replace_if_not_exists_and_collisions(base):
+    engine = base
+    engine.execute_sql("CREATE VIEW vw_r AS SELECT k FROM vw_base")
+    with pytest.raises(ViewError, match="already exists"):
+        engine.execute_sql("CREATE VIEW vw_r AS SELECT v FROM vw_base")
+    engine.execute_sql(
+        "CREATE VIEW IF NOT EXISTS vw_r AS SELECT v FROM vw_base"
+    )  # skipped, old definition stands
+    assert _vals(engine.execute_sql("SELECT * FROM vw_r")) == [
+        (1,), (2,), (3,), (4,),
+    ]
+    engine.execute_sql(
+        "CREATE OR REPLACE VIEW vw_r AS SELECT v FROM vw_base WHERE k = 1"
+    )
+    assert _vals(engine.execute_sql("SELECT * FROM vw_r")) == [("a",)]
+    # one namespace per schema: view/table name clashes error
+    with pytest.raises(ValueError, match="already exists"):
+        engine.execute_sql("CREATE VIEW vw_base AS SELECT 1 AS one")
+    with pytest.raises(ValueError, match="view named"):
+        engine.execute_sql("CREATE CACHED TABLE vw_r(x INT)")
+    with pytest.raises(ValueError, match="view named"):
+        engine.execute_sql(
+            "CREATE TABLE vw_r AS SELECT * FROM vw_base"
+        )
+
+
+def test_views_are_read_only(base):
+    engine = base
+    engine.execute_sql("CREATE VIEW vw_ro AS SELECT k, v FROM vw_base")
+    for stmt in (
+        "INSERT INTO vw_ro VALUES (9, 'z')",
+        "UPDATE vw_ro SET v = 'z' WHERE k = 1",
+        "DELETE FROM vw_ro WHERE k = 1",
+        "MERGE INTO vw_ro (k, v) KEY (k) VALUES (9, 'z')",
+        "MERGE INTO vw_ro USING (SELECT 1 AS a) s ON vw_ro.k = s.a "
+        "WHEN NOT MATCHED THEN INSERT (k) VALUES (s.a)",
+        "TRUNCATE TABLE vw_ro",
+        "ALTER TABLE vw_ro ADD COLUMN x INT",
+    ):
+        with pytest.raises(ValueError, match="is a view"):
+            engine.execute_sql(stmt)
+    with pytest.raises(ValueError, match="use DROP VIEW"):
+        engine.execute_sql("DROP TABLE vw_ro")
+
+
+def test_restrict_and_cascade(base):
+    engine = base
+    engine.execute_sql("CREATE VIEW vw_d1 AS SELECT k FROM vw_base")
+    engine.execute_sql("CREATE VIEW vw_d2 AS SELECT k FROM vw_d1")
+    # RESTRICT default: dependents block both view and table drops
+    with pytest.raises(ValueError, match="depend"):
+        engine.execute_sql("DROP VIEW vw_d1")
+    with pytest.raises(ValueError, match="depend"):
+        engine.execute_sql("DROP TABLE vw_base")
+    # CASCADE drops the chain
+    engine.execute_sql("DROP TABLE vw_base CASCADE")
+    assert engine.views.get("vw_d1") is None
+    assert engine.views.get("vw_d2") is None
+    assert "vw_base" not in engine.sink.catalog
+
+
+def test_script_runscript_roundtrip(base):
+    """An engine-authored dump carries its views (CREATE FORCE VIEW,
+    H2's own spelling) and restores them with resolution intact."""
+    engine = base
+    engine.execute_sql(
+        'CREATE VIEW "vw_s"("big_k") AS SELECT "k" FROM "vw_base" '
+        "WHERE \"k\" >= 3"
+    )
+    lines = [r.SCRIPT for r in engine.execute_sql("SCRIPT NODATA").collect()]
+    assert (
+        'CREATE FORCE VIEW "vw_s"("big_k") AS '
+        'SELECT "k" FROM "vw_base" WHERE "k" >= 3;' in lines
+    )
+    f = os.path.join(tempfile.mkdtemp(), "views.sql")
+    with open(f, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    engine.execute_sql("DROP ALL OBJECTS")
+    assert engine.views.names() == []
+    engine.execute_sql(f"RUNSCRIPT FROM '{f}'")
+    engine.execute_sql("INSERT INTO vw_base VALUES (7, 'x')")
+    assert _vals(engine.execute_sql("SELECT big_k FROM vw_s")) == [(7,)]
+    # TABLE-scoped SCRIPT: views whose dependency CLOSURE lies within
+    # the scoped tables are included (documented extension — scoped
+    # dumps are the only kind a warehouse holding vector-typed
+    # tables can produce); views reading outside the scope are not
+    engine.execute_sql('CREATE CACHED TABLE "vw_other"("z" INT)')
+    engine.execute_sql(
+        "CREATE VIEW vw_on_other AS SELECT z FROM vw_other"
+    )
+    scoped = [
+        r.SCRIPT
+        for r in engine.execute_sql("SCRIPT NODATA TABLE vw_base").collect()
+    ]
+    assert any('FORCE VIEW "vw_s"' in s for s in scoped)
+    assert not any("vw_on_other" in s for s in scoped)
+
+
+def test_views_introspection_surfaces(base):
+    engine = base
+    engine.execute_sql(
+        "CREATE VIEW vw_i AS SELECT k AS kk FROM vw_base WHERE k < 3"
+    )
+    rows = [
+        tuple(r)
+        for r in engine.execute_sql(
+            "SELECT TABLE_NAME, VIEW_DEFINITION, STATUS "
+            "FROM INFORMATION_SCHEMA.VIEWS WHERE TABLE_NAME = 'vw_i'"
+        ).collect()
+    ]
+    assert rows == [
+        ("vw_i", 'SELECT k AS kk FROM vw_base WHERE k < 3', "VALID")
+    ]
+    # TABLES carries the VIEW row; SHOW TABLES lists it
+    ttype = [
+        r.TABLE_TYPE
+        for r in engine.execute_sql(
+            "SELECT TABLE_TYPE FROM INFORMATION_SCHEMA.TABLES "
+            "WHERE TABLE_NAME = 'vw_i'"
+        ).collect()
+    ]
+    assert ttype == ["VIEW"]
+    names = {
+        r.TABLE_NAME for r in engine.execute_sql("SHOW TABLES").collect()
+    }
+    assert {"vw_base", "vw_i"} <= names
+    cols = [
+        (r.FIELD, r.TYPE)
+        for r in engine.execute_sql("SHOW COLUMNS FROM vw_i").collect()
+    ]
+    assert cols == [("kk", "INTEGER")]
+    # ALTER VIEW RECOMPILE is the natural no-op (re-analyzed per query)
+    assert engine.execute_sql("ALTER VIEW vw_i RECOMPILE") is None
+    with pytest.raises(ValueError, match="RECOMPILE"):
+        engine.execute_sql("ALTER VIEW vw_i RENAME TO vw_j")
+
+
+def test_view_plan_inlines_with_pushdown(base):
+    """The 100 TB contract: a filter on a view reaches the parquet
+    scan — the definition inlines at analysis, so Catalyst pushes
+    predicates through (a view adds zero I/O of its own)."""
+    engine = base
+    engine.execute_sql("CREATE VIEW vw_p AS SELECT k, v FROM vw_base")
+    df = engine.execute_sql("SELECT v FROM vw_p WHERE k = 2")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "IsNotNull(k)" in plan
+    assert _vals(df) == [("b",)]
