@@ -142,6 +142,10 @@ INDEX_CONFORMANCE = (
     # full retrieval funnel (IVF -> Hamming-200 -> ADC-50 -> exact)
     "ivfbq_index_search",
     "ann_cascade_search",
+    # r12: the funnel's ENGINE-lifecycle serving form (one cascade
+    # build, every stage's scan centroid-pruned;
+    # cascade_probe_only is the amortized steady-state number)
+    "cascade_index_search",
 )
 
 
@@ -433,6 +437,21 @@ def main() -> int:
     probe_split(
         "ivfbq_probe_only",
         lambda: engine.ivfbq_search("bench_ibqix", probe_queries).count(),
+    )
+
+    # r12 — CASCADE serving: the full funnel's steady-state split
+    # (coarse prune -> Hamming-200 cut -> PQ ADC narrow -> exact
+    # rerank) over ONE build storing sign codes, PQ codes and
+    # vectors all centroid-partitioned; every probe stage's scan is
+    # dynamically pruned to the probed lists.
+    t0 = time.perf_counter()
+    engine.build_cascade_index("bench_cascix", emb)
+    times["cascade_index_build"] = round(time.perf_counter() - t0, 4)
+    probe_split(
+        "cascade_probe_only",
+        lambda: engine.cascade_search(
+            "bench_cascix", probe_queries
+        ).count(),
     )
     bracket_end("index_serving")
 

@@ -1171,6 +1171,183 @@ class Engine:
             query_vec_col=query_vec_col,
         )
 
+    def build_cascade_index(
+        self,
+        name: str,
+        emb: DataFrame,
+        n_list: int = 16,
+        kmeans_iters: int = 2,
+        m: int | None = None,
+        k: int | None = None,
+        pq_iters: int | None = None,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> None:
+        """[EXT] Build-once CASCADE index — every compression tier of
+        the production retrieval funnel in ONE build: the IVF+BQ
+        composed index (:meth:`build_ivfbq_index` — coarse quantizer
+        + centroid-partitioned 16 B sign codes + vectors) PLUS a
+        centroid-PARTITIONED product-quantization code table and its
+        trained codebook, all sharing the IVFBQ build id. Serving
+        (:meth:`cascade_search`) then runs coarse prune -> wide
+        Hamming cut -> PQ ADC narrow -> exact rerank with EVERY
+        stage's scan dynamically pruned to the probed lists: the PQ
+        codes being partitioned like the sign codes is what lifts
+        the r11 funnel's one remaining full-table read (the PQ-narrow
+        join over unpartitioned codes) into the same
+        nprobe/n_list-pruned shape as the other stages. Training
+        reads the STORED vectors (deterministic: the md5-seeded PQ
+        init keys on vec_id, so codebooks equal an emb-direct
+        train)."""
+        from pyspark.sql import functions as F
+
+        from .operators import similarity
+
+        self.build_ivfbq_index(
+            name, emb, n_list, kmeans_iters, id_col, vec_col
+        )
+        build_id = (
+            self.table(f"{name}_centroids").select("build_id").first()[0]
+        )
+        m = similarity.PQ_M if m is None else m
+        k = similarity.PQ_K if k is None else k
+        iters = similarity.PQ_ITERS if pq_iters is None else pq_iters
+        stored = self.table(f"{name}_vectors")
+        cb = similarity.pq_codebooks(
+            stored, m, k, iters, "vec_id", "embedding"
+        ).localCheckpoint()
+        codes = similarity.pq_encode(stored, cb, m, "vec_id", "embedding")
+        # one build-time corpus join pins each code row to its list so
+        # the SERVING scan prunes; steady-state probes never pay it
+        self.materialize_partitioned(
+            f"{name}_codes_pq",
+            codes.join(
+                stored.select("vec_id", "centroid_id"), "vec_id"
+            ).select(
+                "vec_id",
+                "m",
+                "code",
+                F.lit(build_id).alias("build_id"),
+                "centroid_id",
+            ),
+            ["centroid_id"],
+        )
+        self.drop_table_if_exists(f"{name}_codebook")
+        self.create_table_as(
+            f"{name}_codebook",
+            cb.withColumn("build_id", F.lit(build_id))
+            .withColumn("pq_m", F.lit(m).cast("int"))
+            .withColumn("pq_k", F.lit(k).cast("int")),
+        )
+        self._ann_verified.pop(f"cascade:{name}", None)
+
+    def cascade_search(
+        self,
+        name: str,
+        queries: DataFrame,
+        topk: int = 10,
+        nprobe: int = 2,
+        hamming_cut: int = 200,
+        pq_narrow: int = 50,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "qv",
+        filter_ids: DataFrame | None = None,
+        exclude_query_ids: bool = True,
+    ) -> DataFrame:
+        """[EXT] The production retrieval FUNNEL over a built cascade
+        index (r11 verdict task 3 — the steady-state serving split of
+        ``ann_cascade_search``, which trains per run): (1) the
+        bounded stored centroids pick each query's nprobe lists, (2)
+        XOR+popcount over ONLY those lists' 16 B sign codes keeps
+        ``hamming_cut`` candidates (the probe join dynamically prunes
+        the partitioned codes scan to nprobe/n_list of the files),
+        (3) the PQ ADC re-scores exactly those pairs from the
+        centroid-partitioned PQ codes — the (centroid_id, vec_id)
+        broadcast prunes this scan the same way — and narrows to
+        ``pq_narrow``, (4) the exact cosine rerank reads only the
+        survivors' float vectors via the same pruned point lookups.
+        Probe I/O ~ corpus x (nprobe/n_list) x (17 B/256 B of the
+        compressed tiers) + bounded-pair work; no stage rescans the
+        corpus. Torn-build discipline: all five tables must agree on
+        one build id and both code tables must carry exactly one row
+        per vector (memoized per build like :meth:`ivfbq_search`)."""
+        from .operators import similarity
+
+        codes_bq = self.table(f"{name}_codes")
+        codes_pq = self.table(f"{name}_codes_pq")
+        vectors = self.table(f"{name}_vectors")
+        cents = self.table(f"{name}_centroids")
+        cb = self.table(f"{name}_codebook")
+        cid = [
+            r.build_id
+            for r in cents.select("build_id").distinct().collect()
+        ]
+        memo_key = f"cascade:{name}"
+        if not (len(cid) == 1 and self._ann_verified.get(memo_key) == cid[0]):
+            heavy = sorted(
+                set(
+                    r.build_id
+                    for r in codes_bq.select("build_id")
+                    .distinct()
+                    .union(codes_pq.select("build_id").distinct())
+                    .union(vectors.select("build_id").distinct())
+                    .union(cb.select("build_id").distinct())
+                    .collect()
+                )
+            )
+            if len(cid) != 1 or heavy != sorted(cid):
+                raise ValueError(
+                    f"cascade index {name!r} is torn (centroid builds "
+                    f"{sorted(cid)} vs member builds {heavy}) — re-run "
+                    "build_cascade_index"
+                )
+            n_vecs = vectors.count()
+            pq_m = int(cb.select("pq_m").first()[0])
+            if codes_bq.count() != n_vecs or codes_pq.count() != n_vecs * pq_m:
+                raise ValueError(
+                    f"cascade index {name!r} is torn: code counts do "
+                    "not match the vector count — a failed write; "
+                    "re-run build_cascade_index"
+                )
+            self._ann_verified[memo_key] = cid[0]
+        probes = similarity.ivfpq_probe_lists(
+            queries,
+            cents.select("centroid_id", "cvec"),
+            nprobe,
+            query_id_col,
+            query_vec_col,
+        )
+        qc = similarity.bq_query_codes(queries, query_id_col, query_vec_col)
+        stage1 = similarity.ann_ivfbq_topk(
+            codes_bq.select("vec_id", "centroid_id", "sig_lo", "sig_hi"),
+            qc,
+            probes,
+            hamming_cut,
+            allowed=filter_ids,
+            exclude_self=exclude_query_ids,
+        )
+        lut = similarity.pq_query_lut(
+            queries,
+            cb.select("m", "code", "cvec"),
+            m=int(cb.select("pq_m").first()[0]),
+            id_col=query_id_col,
+            vec_col=query_vec_col,
+        )
+        stage2 = similarity.ann_cascade_pq_narrow(
+            stage1,
+            codes_pq.select("vec_id", "centroid_id", "m", "code"),
+            lut,
+            pq_narrow,
+        )
+        return similarity.ann_ivfpq_rerank(
+            vectors.select("vec_id", "centroid_id", "embedding"),
+            stage2,
+            queries,
+            topk,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        )
+
     def build_text_index(
         self,
         name: str,

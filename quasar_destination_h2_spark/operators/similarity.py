@@ -2253,13 +2253,25 @@ def ann_cascade_pq_narrow(
     regardless of corpus size, which is what makes a
     coarse->binary->PQ->exact funnel pay at 100 TB (each stage reads
     less data per candidate than the one below it and passes fewer
-    candidates to the one above). Output (query_id, vec_id,
-    score_micro, rank)."""
-    pairs = shortlist.select("query_id", "vec_id")
+    candidates to the one above). When BOTH sides carry centroid_id
+    (the engine's cascade index stores the PQ codes
+    centroid-partitioned; the Hamming cut's survivors carry their
+    list), the join adds the partition key so the broadcast
+    dynamically prunes the codes SCAN to the probed lists as well —
+    and the output keeps centroid_id so the exact rerank prunes the
+    same way. Output (query_id, vec_id[, centroid_id], score_micro,
+    rank)."""
+    pruned = (
+        "centroid_id" in shortlist.columns
+        and "centroid_id" in codes.columns
+    )
+    keys = ["centroid_id", "vec_id"] if pruned else ["vec_id"]
+    carry = ["centroid_id"] if pruned else []
+    pairs = shortlist.select("query_id", *keys)
     scored = (
-        codes.join(F.broadcast(pairs), "vec_id")
+        codes.join(F.broadcast(pairs), keys)
         .join(F.broadcast(lut), ["query_id", "m", "code"])
-        .groupBy("query_id", "vec_id")
+        .groupBy("query_id", "vec_id", *carry)
         .agg(F.sum("part_micro").alias("score_micro"))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -2268,7 +2280,7 @@ def ann_cascade_pq_narrow(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
-        .select("query_id", "vec_id", "score_micro", "rank")
+        .select("query_id", "vec_id", *carry, "score_micro", "rank")
     )
 
 

@@ -5827,9 +5827,7 @@ _CASC_PART = _PQ_MICRO.format(
 )
 
 
-@query(
-    "ann_cascade_search",
-    oracle=f"""
+_CASCADE_ORACLE = f"""
     WITH {_KM_CTES},
     {_PQ_CTES},
     {_ivfbq_ctes(_IVFBQ_CORPUS_Q, 5, shortlist=200)},
@@ -5860,7 +5858,12 @@ _CASC_PART = _PQ_MICRO.format(
                     JOIN iq q ON q.query_id = n.query_id) WHERE r <= 5)
     SELECT query_id, vec_id, sim, rank FROM crr
     ORDER BY query_id, rank
-    """,
+    """
+
+
+@query(
+    "ann_cascade_search",
+    oracle=_CASCADE_ORACLE,
 )
 def q_ann_cascade_search(t: TableSet) -> DataFrame:
     """The production retrieval FUNNEL — every compression tier in
@@ -6530,3 +6533,41 @@ def q_view_catalog_battery(t: TableSet) -> DataFrame:
     return spark.createDataFrame(
         rows, "kind string, obj string, detail string, rows string"
     ).orderBy("kind", "obj")
+
+
+@query(
+    "cascade_index_search",
+    oracle=_CASCADE_ORACLE,
+)
+def q_cascade_index_search(t: TableSet) -> DataFrame:
+    """The retrieval FUNNEL's steady-state SERVING form through the
+    ENGINE lifecycle (r11 verdict task 3 — ``ann_cascade_search``
+    next door trains every tier per run; this is what a deployment
+    actually runs): engine.build_cascade_index stores the coarse
+    quantizer, the centroid-partitioned 16 B sign codes, a
+    centroid-PARTITIONED PQ code table + codebook, and the vectors
+    under one build id; engine.cascade_search then answers corpus
+    queries with coarse prune -> Hamming-200 cut -> PQ ADC narrow to
+    50 -> exact top-5 rerank, EVERY stage's scan dynamically pruned
+    to the probed lists (the partitioned PQ codes close the r11
+    funnel's one unpruned read; pinned by tests/test_bucketing.py::
+    test_cascade_index_lifecycle). Training is deterministic
+    (md5-seeded by vec_id), so the oracle — the same full replay the
+    per-run form uses — verifies the whole build+serve cycle."""
+    import json as _json
+    import tempfile
+
+    from ..engine import Engine
+
+    spark = t.embeddings.sparkSession
+    eng = Engine.from_config(
+        _json.dumps({"connectionUri": tempfile.mkdtemp()}), spark=spark
+    )
+    emb = t.embeddings
+    eng.build_cascade_index("cascsrv", emb)
+    q = emb.where("vec_id < 3").select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    return eng.cascade_search(
+        "cascsrv", q, topk=5, nprobe=2, hamming_cut=200, pq_narrow=50
+    ).orderBy("query_id", "rank")

@@ -741,3 +741,88 @@ def test_ivfbq_index_append_and_tear(engine, spark):
     engine._ann_verified.pop("ivfbq:ibqap", None)
     with pytest.raises(ValueError, match="torn.*code rows"):
         engine.ivfbq_search("ibqap", queries, topk=3)
+
+
+def test_cascade_index_lifecycle(engine, spark):
+    """Build-once / probe-many for the CASCADE index (r11 verdict
+    task 3 — the steady-state serving split of the retrieval
+    funnel): build_cascade_index stores sign codes, PQ codes and
+    vectors all directory-PARTITIONED by centroid_id under one build
+    id; cascade_search's broadcast joins dynamically prune ALL THREE
+    partitioned scans to the probed lists (the partitioned PQ codes
+    close the r11 funnel's one unpruned read), no raw-embedding scan
+    appears in the probe plan, the answer matches the per-run
+    operator composition, and a torn build refuses to serve."""
+    import re as _re
+
+    from quasar_destination_h2_spark.operators import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    engine.build_cascade_index("cascix", emb)
+    queries = (
+        emb.where("vec_id < 3")
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        .localCheckpoint()
+    )
+    got = engine.cascade_search(
+        "cascix", queries, topk=5, nprobe=2, hamming_cut=200, pq_narrow=50
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    rows1 = sorted(map(tuple, got.collect()))
+    assert len(rows1) == 15
+    # dynamic partition pruning on ALL THREE partitioned index scans
+    for tbl in ("cascix_codes", "cascix_codes_pq", "cascix_vectors"):
+        scans = [
+            ln
+            for ln in plan.splitlines()
+            if f"{tbl}]" in ln or (tbl in ln and "FileScan" in ln)
+        ]
+        scans = [ln for ln in scans if "FileScan" in ln]
+        assert scans, (tbl, plan)
+        assert all("dynamicpruningexpression" in ln for ln in scans), (
+            tbl,
+            scans,
+        )
+    # the probe reads ONLY the stored index tables + the query input
+    assert (
+        len(_re.findall(r"FileScan parquet [^\n]*embeddings\.parquet", plan))
+        == 0
+    ), plan
+    # probe-many: identical answers, memoized torn-check
+    assert rows1 == sorted(
+        map(
+            tuple,
+            engine.cascade_search(
+                "cascix", queries, topk=5, hamming_cut=200, pq_narrow=50
+            ).collect(),
+        )
+    )
+    # parity with the per-run operator composition (deterministic
+    # training; the registered ann_cascade_search shape)
+    cents = similarity.kmeans_refine(emb)
+    cb = similarity.pq_codebooks(emb)
+    codes_bq = similarity.ivfbq_encode(emb, cents)
+    codes_pq = similarity.pq_encode(emb, cb)
+    probes = similarity.ivfpq_probe_lists(queries, cents, 2)
+    qc = similarity.bq_query_codes(queries)
+    stage1 = similarity.ann_ivfbq_topk(codes_bq, qc, probes, 200)
+    lut = similarity.pq_query_lut(queries, cb, id_col="query_id", vec_col="qv")
+    stage2 = similarity.ann_cascade_pq_narrow(stage1, codes_pq, lut, 50)
+    direct = sorted(
+        map(
+            tuple,
+            similarity.ann_bq_rerank(emb, stage2, queries, 5).collect(),
+        )
+    )
+    assert direct == rows1
+    # torn build: a PQ codes table from a different build refuses
+    engine.materialize_partitioned(
+        "cascix_codes_pq",
+        engine.table("cascix_codes_pq")
+        .withColumn("build_id", F.lit("deadbeef"))
+        .localCheckpoint(),
+        ["centroid_id"],
+    )
+    engine._ann_verified.pop("cascade:cascix", None)
+    with pytest.raises(ValueError, match="torn"):
+        engine.cascade_search("cascix", queries, topk=5)

@@ -7,8 +7,17 @@
 #      + the 120-statement DML statement fuzz sweep
 #   5. plan audit       — regenerates PLANS.md (0 cartesian / 0 row-UDF)
 #   6. bench            — one JSON line, best-of-2 per query
+#
+# Every run STAMPS its log with the tree it ran on (r11 verdict task
+# 5: mid-round logs that predate the final tree must be identifiable
+# — a gatelog whose stamp doesn't match HEAD at round close is stale
+# and gets -superseded renamed or regenerated).
 set -e
 cd "$(dirname "$0")/.."
+echo "=== GATE STAMP: HEAD=$(git rev-parse --short HEAD)\
+ dirty=$(git status --porcelain | wc -l | tr -d ' ')\
+ registry=$(python -c 'from quasar_destination_h2_spark.plans import REGISTRY; print(len(REGISTRY))')\
+ date=$(date -u +%Y-%m-%dT%H:%M:%SZ) ==="
 python -m pytest tests/ -q
 python tools/oracle_check.py /root/testdata/sf0.01
 python tools/oracle_check.py /root/testdata/sf0.1
@@ -18,3 +27,5 @@ SPARK_GRAFT_DML_FUZZ=120 python -m pytest tests/test_dml_statement_fuzz.py -q
 SPARK_GRAFT_DDL_FUZZ=120 python -m pytest tests/test_ddl_statement_fuzz.py -q
 python tools/plan_audit.py /root/testdata/sf0.1
 python bench.py
+echo "=== GATE END: HEAD=$(git rev-parse --short HEAD)\
+ dirty=$(git status --porcelain | wc -l | tr -d ' ') ==="

@@ -1072,6 +1072,164 @@ def ivfbq_probe(spark, sf_dir: str) -> dict:
     return out
 
 
+def cascade_probe(spark, sf_dir: str) -> dict:
+    """Cascade-funnel scale probe (round 12 — the steady-state
+    serving split of the production retrieval funnel, r11 verdict
+    task 3):
+
+    * build_cascade_index + probe-only cascade_search wall at
+      1x/3x/10x replicated embeddings — probe wall must stay ~flat
+      (every stage reads only the probed lists);
+    * the funnel's PER-STAGE contract measured at the 10x corpus:
+      candidate counts (Hamming-200 cut -> ADC narrow to 50 -> exact
+      top-5) and the per-tier probed bytes over the probed lists of
+      each centroid-partitioned store (sign codes ~16 B/row, PQ
+      codes ~M ints/row, float vectors ~256 B/row) as ppm of that
+      tier's total — each stage reads MORE bytes per candidate than
+      the one below but touches FEWER candidates, which is the
+      whole design;
+    * probe wall vs query-batch size (5/50/500) with the
+      scan-count-constancy pin on all three partitioned stores."""
+    import json as _json
+    import re as _re
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from quasar_destination_h2_spark.engine import Engine
+    from quasar_destination_h2_spark.operators import similarity
+    from quasar_destination_h2_spark.sources.sink import warehouse_path
+    from quasar_destination_h2_spark.sources.tables import TableSet
+
+    t = TableSet(spark, sf_dir)
+    base_emb = t.embeddings
+    out = {"sf_dir": sf_dir, "n_base_vecs": base_emb.count(), "points": []}
+
+    def _queries(src, nq):
+        return (
+            src.orderBy("vec_id")
+            .limit(nq)
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.transform(
+                    "embedding",
+                    lambda x: F.round(x.cast("double") * 0.5 + 0.01, 6),
+                ).alias("qv"),
+            )
+            .localCheckpoint()
+        )
+
+    engine = None
+    for k in (1, 3, 10):
+        emb = _replicate_embeddings(spark, base_emb, k, "csc")[0]
+        stage = tempfile.mkdtemp(prefix=f"csc-wh-{k}x-")
+        engine = Engine.from_config(
+            _json.dumps({"connectionUri": f"{stage}/wh"}), spark=spark
+        )
+        t0 = time.perf_counter()
+        engine.build_cascade_index("cscp", emb)
+        build = round(time.perf_counter() - t0, 2)
+        queries = _queries(emb, 5)
+        engine.cascade_search("cscp", queries).count()  # warm + memoize
+        t0 = time.perf_counter()
+        rows = engine.cascade_search("cscp", queries).count()
+        probe = round(time.perf_counter() - t0, 2)
+        out["points"].append(
+            {
+                "replicas": k,
+                "n_vecs": emb.count(),
+                "build_sec": build,
+                "probe_sec": probe,
+                "probe_rows": rows,
+                "bq_codes_bytes": _dir_bytes(
+                    warehouse_path(spark, engine.sink.catalog["cscp_codes"])
+                ),
+                "pq_codes_bytes": _dir_bytes(
+                    warehouse_path(
+                        spark, engine.sink.catalog["cscp_codes_pq"]
+                    )
+                ),
+                "vectors_bytes": _dir_bytes(
+                    warehouse_path(spark, engine.sink.catalog["cscp_vectors"])
+                ),
+            }
+        )
+    # ---- the per-stage funnel contract at the 10x corpus ----
+    cents = engine.table("cscp_centroids").select("centroid_id", "cvec")
+    cb = engine.table("cscp_codebook")
+    queries10 = _queries(engine.table("cscp_vectors"), 5)
+    probes = similarity.ivfpq_probe_lists(queries10, cents, 2)
+    probed = sorted(set(r.centroid_id for r in probes.collect()))
+    qc = similarity.bq_query_codes(queries10)
+    codes_bq = engine.table("cscp_codes")
+    codes_pq = engine.table("cscp_codes_pq")
+    vectors = engine.table("cscp_vectors")
+    stage1 = similarity.ann_ivfbq_topk(
+        codes_bq.select("vec_id", "centroid_id", "sig_lo", "sig_hi"),
+        qc, probes, 200,
+    ).localCheckpoint()
+    lut = similarity.pq_query_lut(
+        queries10, cb.select("m", "code", "cvec"),
+        id_col="query_id", vec_col="qv",
+    )
+    stage2 = similarity.ann_cascade_pq_narrow(
+        stage1, codes_pq.select("vec_id", "centroid_id", "m", "code"),
+        lut, 50,
+    ).localCheckpoint()
+    stage3 = similarity.ann_ivfpq_rerank(
+        vectors.select("vec_id", "centroid_id", "embedding"),
+        stage2, queries10, 5,
+    )
+    stages = []
+    for label, tbl, n_cand in (
+        ("hamming_cut", "cscp_codes", stage1.count()),
+        ("pq_narrow", "cscp_codes_pq", stage2.count()),
+        ("exact_rerank", "cscp_vectors", stage3.count()),
+    ):
+        root = warehouse_path(spark, engine.sink.catalog[tbl])
+        total = _dir_bytes(root)
+        probed_bytes = sum(
+            _dir_bytes(os.path.join(root, f"centroid_id={c}"))
+            for c in probed
+        )
+        stages.append(
+            {
+                "stage": label,
+                "candidates": n_cand,
+                "store": tbl,
+                "probed_bytes": probed_bytes,
+                "total_bytes": total,
+                "probed_ppm": int(probed_bytes * 1_000_000 // total),
+            }
+        )
+    out["funnel_stages"] = stages
+    # each stage passes FEWER candidates up than it received
+    assert stages[0]["candidates"] >= stages[1]["candidates"] >= stages[2]["candidates"], stages
+    # ---- probe wall vs query-batch size; scan-count constancy ----
+    out["probe_vs_queries"] = []
+    scan_counts = {"cscp_codes": set(), "cscp_codes_pq": set(), "cscp_vectors": set()}
+    for nq in (5, 50, 500):
+        qb = _queries(engine.table("cscp_vectors"), nq)
+        probe_df = engine.cascade_search("cscp", qb)
+        plan = probe_df._jdf.queryExecution().executedPlan().toString()
+        for tbl in scan_counts:
+            # match the PHYSICAL (fingerprint-suffixed) name — exact,
+            # so cscp_codes never counts cscp_codes_pq's scans
+            phys = engine.sink.catalog[tbl]
+            pat = rf"FileScan parquet [^\n]*{_re.escape(phys)}"
+            scan_counts[tbl].add(len(_re.findall(pat, plan)))
+        t0 = time.perf_counter()
+        rows = probe_df.count()
+        sec = round(time.perf_counter() - t0, 2)
+        out["probe_vs_queries"].append({"n_queries": nq, "rows": rows, "sec": sec})
+    for tbl, counts in scan_counts.items():
+        assert len(counts) == 1, (tbl, counts)
+    out["scan_count_constancy"] = {
+        tbl: sorted(c)[0] for tbl, c in scan_counts.items()
+    }
+    return out
+
+
 def r11_probe(spark, sf_dir: str) -> dict:
     """Round-11 probes for the r10 operators the earlier probes don't
     cover (r10 VERDICT task 5):
@@ -1258,6 +1416,7 @@ def main() -> int:
     ivfpq_mode = "--ivfpq" in sys.argv[1:]
     bq_mode = "--bq" in sys.argv[1:]
     ivfbq_mode = "--ivfbq" in sys.argv[1:]
+    cascade_mode = "--cascade" in sys.argv[1:]
     r11_mode = "--r11" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
@@ -1306,6 +1465,10 @@ def main() -> int:
         return 0
     if bq_mode:
         print(json.dumps(bq_probe(spark, sf_dir)))
+        spark.stop()
+        return 0
+    if cascade_mode:
+        print(json.dumps(cascade_probe(spark, sf_dir)))
         spark.stop()
         return 0
     if ivfbq_mode:
