@@ -1283,7 +1283,12 @@ class Engine:
             for r in cents.select("build_id").distinct().collect()
         ]
         memo_key = f"cascade:{name}"
-        if not (len(cid) == 1 and self._ann_verified.get(memo_key) == cid[0]):
+        memo = self._ann_verified.get(memo_key)
+        if len(cid) == 1 and memo and memo[0] == cid[0]:
+            # steady-state probe: build verified; pq_m rides the memo
+            # so serving never re-collects it (self-review r12)
+            pq_m = memo[1]
+        else:
             heavy = sorted(
                 set(
                     r.build_id
@@ -1309,7 +1314,7 @@ class Engine:
                     "not match the vector count — a failed write; "
                     "re-run build_cascade_index"
                 )
-            self._ann_verified[memo_key] = cid[0]
+            self._ann_verified[memo_key] = (cid[0], pq_m)
         probes = similarity.ivfpq_probe_lists(
             queries,
             cents.select("centroid_id", "cvec"),
@@ -1329,7 +1334,7 @@ class Engine:
         lut = similarity.pq_query_lut(
             queries,
             cb.select("m", "code", "cvec"),
-            m=int(cb.select("pq_m").first()[0]),
+            m=pq_m,
             id_col=query_id_col,
             vec_col=query_vec_col,
         )
@@ -1812,18 +1817,30 @@ class Engine:
 
         from .constraints import CheckViolation
 
-        for e in checks:
-            pred = e["predicate"]
-            viol = rows.where(
-                ~F.coalesce(F.expr(pred).cast("boolean"), F.lit(True))
+        def _viol(e):
+            return ~F.coalesce(
+                F.expr(e["predicate"]).cast("boolean"), F.lit(True)
             )
-            sample = viol.take(3)
-            if sample:
-                n = viol.count()
+
+        # ONE pass over the incoming frame counts every constraint's
+        # violations together — per-constraint filter jobs would
+        # recompute an expensive DML source N_constraints times
+        # (self-review r12); the steady state (no violations) costs
+        # exactly one extra aggregation
+        counts = rows.agg(
+            *[
+                F.sum(_viol(e).cast("int")).alias(f"c{i}")
+                for i, e in enumerate(checks)
+            ]
+        ).collect()[0]
+        for i, e in enumerate(checks):
+            n = counts[i] or 0
+            if n:
+                sample = rows.where(_viol(e)).take(3)
                 raise CheckViolation(
                     f"{verb}: {n} row(s) violate CHECK constraint "
                     f"{e['name']!r} on {logical_name!r} "
-                    f"(predicate: {pred}); examples: "
+                    f"(predicate: {e['predicate']}); examples: "
                     + "; ".join(str(tuple(r)) for r in sample)
                 )
 
@@ -2005,6 +2022,15 @@ class Engine:
                 raise ValueError(f"RENAME: table already exists: {new!r}")
         if self.views.get(new) is not None:
             raise ValueError(f"RENAME: a view named {new!r} exists")
+        # a view reading this table dangles after a rename exactly as
+        # after a drop — the H2 RESTRICT discipline applies to both
+        # (self-review r12)
+        deps = self.views.dependents_of(src)
+        if deps:
+            raise ValueError(
+                f"RENAME: view(s) {deps} depend on {src!r} — drop or "
+                "redefine them first"
+            )
         physical = self.sink.catalog.pop(src)
         self.sink._dropped.add(src)
         self.sink.catalog[new] = physical

@@ -230,17 +230,37 @@ def script_lines(
     if only_tables is None:
         emit = list(allv)
     else:
+        import re as _re
+
+        from .sql_dml import _shadow as _shadow_sql
+
+        # ONE pass per view over the already-held registry snapshot:
+        # scan each definition's literal-blanked shadow against the
+        # candidate relation names (the direction Views.dependents_of
+        # computes internally) — calling dependents_of per candidate
+        # would re-read and re-scan the registry O(tables x views)
+        # times (self-review r12)
         candidates = [str(k) for k in engine.sink.catalog] + [
             e["name"] for e in allv.values()
         ]
-        refs = {
-            key: {
+        refs: dict = {}
+        for key, e in allv.items():
+            shadow = _shadow_sql(e["definition"])
+            dlow = e["definition"].casefold()
+            refs[key] = {
                 c.casefold()
                 for c in candidates
-                if e["name"] in engine.views.dependents_of(c)
+                if c.casefold() != key
+                and (
+                    _re.search(
+                        rf"(?<![A-Za-z0-9_$`]){_re.escape(c)}"
+                        rf"(?![A-Za-z0-9_$`])",
+                        shadow,
+                        _re.I,
+                    )
+                    or f"`{c.casefold()}`" in dlow
+                )
             }
-            for key, e in allv.items()
-        }
         scoped = {n.casefold() for n in names}
         emit_set: set = set()
         changed = True

@@ -379,6 +379,21 @@ class CsvCreateSink:
         table name the data landed in."""
         table = ensure_valid_table_name(path)  # step 1
         schema = ensure_valid_columns(columns, self.type_options)  # step 2
+        # one namespace per schema (H2): a registered VIEW owns its
+        # name — a wire push under it must error like CREATE TABLE
+        # does, not silently shadow the view (self-review r12)
+        from ..views import Views
+
+        if (
+            Views(
+                os.path.dirname(warehouse_path(self.spark, CATALOG_TABLE))
+            ).get(table)
+            is not None
+        ):
+            raise ValueError(
+                f"cannot load table {table!r}: a view with this name "
+                "exists (DROP VIEW it first)"
+            )
 
         tmp: str | None = None
         try:

@@ -1672,13 +1672,27 @@ def _create_view(engine, statement: str, shadow: str, mv):
         _materialize_view(engine, entry, frozenset())  # validate now
     else:
         # even FORCE must reject a SELF-cycle that can never resolve;
-        # deeper cycles surface at first query (cycle-guarded there)
+        # deeper cycles surface at first query (cycle-guarded there).
+        # The match requires a RELATION position (FROM/JOIN) so a
+        # mere column or alias sharing the view's name never
+        # false-positives, and covers both the bare and the
+        # backtick-quoted (H2-dump-converted) spellings (self-review
+        # r12)
         sdef = _shadow(definition)
-        if re.search(
-            rf"(?<![A-Za-z0-9_$.]){re.escape(name)}(?![A-Za-z0-9_$])",
+        bare = re.search(
+            rf"\b(?:FROM|JOIN)\s+{re.escape(name)}(?![A-Za-z0-9_$])",
             sdef,
             re.I,
-        ):
+        )
+        quoted = any(
+            sdef[m.end()] == "`"
+            for m in re.finditer(r"\b(?:FROM|JOIN)\s+(?=`)", sdef, re.I)
+            if definition[
+                m.end() : m.end() + len(name) + 2
+            ].casefold()
+            == f"`{name.casefold()}`"
+        )
+        if bare or quoted:
             raise ViewError(
                 f"CREATE FORCE VIEW {name!r}: definition references "
                 "itself"
@@ -1724,9 +1738,16 @@ def _drop_view(engine, statement: str, shadow: str, mdv):
             "(expected CASCADE or RESTRICT)"
         )
     if engine.views.get(name) is None:
-        if mdv.group("ie") is not None:
-            return None
-        return engine.sql(statement)  # session-managed view or error
+        # session-managed (Spark temp) views must still drop — the
+        # registry miss cannot swallow the statement (self-review
+        # r12). H2-spelled statements Spark cannot parse surface
+        # their error unless IF EXISTS was given.
+        try:
+            return engine.sql(statement)
+        except Exception:
+            if mdv.group("ie") is not None:
+                return None
+            raise
     deps = engine.views.dependents_of(name)
     if deps and not cascade:
         raise ValueError(
@@ -1865,16 +1886,19 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
         # UNIQUE | PRIMARY KEY [HASH] | CHECK (pred), in EITHER
         # order — strip trailing tokens until the bare type remains
         pk_col, uniq_col, not_null = False, False, False
-        col_check: str | None = None
+        col_checks: list[str] = []
         while True:
             tshadow2 = _shadow(type_text)
             mcc = re.search(r"\bCHECK\s*\(", tshadow2, re.I)
             if mcc:
                 open_p = mcc.end() - 1
                 close = _match_close(tshadow2, open_p)
-                col_check = type_text[open_p + 1 : close].strip()
-                if not col_check:
+                one = type_text[open_p + 1 : close].strip()
+                if not one:
                     raise ValueError(f"column def {seg!r}: empty CHECK")
+                # a column may carry SEVERAL CHECK clauses (H2 accepts
+                # and enforces each) — collect them all, never drop
+                col_checks.append(one)
                 type_text = (
                     type_text[: mcc.start()] + type_text[close + 1 :]
                 ).strip()
@@ -1898,10 +1922,10 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
             cons.append((None, "PRIMARY KEY", [col], None))
         if uniq_col:
             cons.append((None, "UNIQUE", [col], None))
-        if col_check is not None:
+        for one in col_checks:
             # a column-level CHECK is recorded exactly like H2's
             # table-level form (H2 itself hoists them in SCRIPT)
-            cons.append((None, "CHECK", [], col_check))
+            cons.append((None, "CHECK", [], one))
         nullable = not not_null and not pk_col  # H2: PK implies NOT NULL
         sp = _h2_type_to_spark(type_text)
         # a DataFrame can't carry char/varchar without
@@ -1921,12 +1945,24 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
             "CREATE CACHED TABLE: more than one PRIMARY KEY declared"
         )
     names_seen: set = set()
+    # schema-wide duplicate detection must run BEFORE the table is
+    # created — add_many would catch it too, but only AFTER
+    # create_table_as, leaving the failed statement's table behind
+    # unconstrained (self-review r12; a concurrent-writer race can
+    # still slip past this pre-check, and add_many remains the
+    # locked authority)
+    taken_schema = {
+        e["name"].casefold()
+        for es in engine.constraints.all().values()
+        for e in es
+    }
     for cname, *_ in cons:
         if cname is None:
             continue
-        if cname.casefold() in names_seen:
+        if cname.casefold() in names_seen or cname.casefold() in taken_schema:
             raise ValueError(
                 f"CREATE CACHED TABLE: duplicate constraint name {cname!r}"
+                " (names are schema-scoped, H2 parity)"
             )
         names_seen.add(cname.casefold())
     for _, ctype, cols, _pred in cons:

@@ -371,3 +371,40 @@ def test_bq_query_codes_rejects_wrong_width(spark):
         similarity.bq_query_codes(q)
     with pytest.raises(ValueError, match="dim=16"):
         similarity.bq_query_codes(q, dim=16)
+
+
+def test_review_fixes_constraints(engine):
+    """r12 self-review regressions: (a) EVERY CHECK clause on one
+    column records and enforces (not just the last); (b) a
+    schema-wide duplicate constraint name rejects the CREATE CACHED
+    TABLE statement BEFORE the table is created (statement
+    atomicity)."""
+    from quasar_destination_h2_spark.constraints import CheckViolation
+
+    engine.execute_sql('DROP TABLE IF EXISTS "cn_multi"')
+    engine.execute_sql(
+        'CREATE CACHED TABLE "cn_multi"('
+        '"x" INT CHECK ("x" > 0) CHECK ("x" < 10))'
+    )
+    preds = {
+        e["predicate"] for e in engine.constraints.for_table("cn_multi")
+    }
+    assert preds == {"`x` > 0", "`x` < 10"}
+    with pytest.raises(CheckViolation):
+        engine.execute_sql("INSERT INTO cn_multi VALUES (-1)")
+    with pytest.raises(CheckViolation):
+        engine.execute_sql("INSERT INTO cn_multi VALUES (15)")
+    assert engine.execute_sql("INSERT INTO cn_multi VALUES (5)") == 1
+    # (b) the duplicate name is detected BEFORE create_table_as
+    engine.execute_sql('DROP TABLE IF EXISTS "cn_dup1"')
+    engine.execute_sql('DROP TABLE IF EXISTS "cn_dup2"')
+    engine.execute_sql(
+        'CREATE CACHED TABLE "cn_dup1"("a" INT, '
+        'CONSTRAINT "shared_nm" UNIQUE("a"))'
+    )
+    with pytest.raises(ValueError, match="duplicate constraint name"):
+        engine.execute_sql(
+            'CREATE CACHED TABLE "cn_dup2"("b" INT, '
+            'CONSTRAINT "shared_nm" UNIQUE("b"))'
+        )
+    assert "cn_dup2" not in engine.sink.catalog  # nothing half-created

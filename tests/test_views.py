@@ -258,3 +258,43 @@ def test_view_plan_inlines_with_pushdown(base):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "IsNotNull(k)" in plan
     assert _vals(df) == [("b",)]
+
+
+def test_review_fixes_views(base):
+    """r12 self-review regressions: (a) DROP VIEW IF EXISTS must
+    still drop a SESSION temp view (the registry miss cannot swallow
+    the statement); (b) a wire CSV push under a registered view's
+    name errors; (c) ALTER TABLE RENAME blocks on dependent views
+    like DROP does; (d) the FORCE self-reference guard does not
+    false-positive on a mere column sharing the view's name."""
+    from quasar_destination_h2_spark.types import Column, ColumnType
+
+    engine = base
+    # (a) session temp view drops through the statement surface
+    engine.spark.createDataFrame([(1,)], "x int").createOrReplaceTempView(
+        "vw_tmp_sess"
+    )
+    engine.execute_sql("DROP VIEW IF EXISTS vw_tmp_sess")
+    assert not engine.spark.catalog.tableExists("vw_tmp_sess")
+    engine.execute_sql("DROP VIEW IF EXISTS vw_tmp_sess")  # absent: no-op
+    # (b) the sink respects the view namespace
+    engine.execute_sql("CREATE VIEW vw_owned AS SELECT k FROM vw_base")
+    with pytest.raises(ValueError, match="view with this name"):
+        engine.csv_create_sink().consume(
+            "/vw_owned", [Column("a", ColumnType.NUMBER)], b"1\r\n"
+        )
+    # (c) rename is observationally a drop for dependent views
+    with pytest.raises(ValueError, match="depend"):
+        engine.execute_sql('ALTER TABLE "vw_base" RENAME TO "vw_base2"')
+    # (d) a column named like the view is not a self-reference...
+    engine.execute_sql(
+        "CREATE FORCE VIEW vw_total AS SELECT k AS vw_total FROM vw_base"
+    )
+    assert _vals(engine.execute_sql("SELECT vw_total FROM vw_total")) == [
+        (1,), (2,), (3,), (4,),
+    ]
+    # ...but a quoted H2-dump self-reference IS caught at create
+    with pytest.raises(ViewError, match="references itself"):
+        engine.execute_sql(
+            'CREATE FORCE VIEW "vw_sq" AS SELECT * FROM "vw_sq"'
+        )
