@@ -1353,6 +1353,123 @@ class Engine:
             query_vec_col=query_vec_col,
         )
 
+    def append_to_cascade_index(
+        self,
+        name: str,
+        new_emb: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+    ) -> DataFrame:
+        """[EXT] Incremental append to the cascade index — the
+        nightly-crawl story for the full funnel: the batch is
+        assigned against the STORED centroids, sign-packed AND
+        PQ-encoded against the STORED codebook in bounded batch
+        passes (no quantizer retrains; the corpus is never
+        rescanned), appended to ALL THREE centroid-partitioned
+        tables under the build's id, and returns the one-row drift
+        report — (appended_rows, batch_mean_sim_micro,
+        build_mean_sim_micro, drift_micro), the REBUILD TRIGGER.
+        Appended sign codes ≡ a same-centroid rebuild BY
+        CONSTRUCTION (parameterless quantizer); appended PQ codes ≡
+        a frozen-codebook re-encode (the IVFPQ append property). The
+        three appends are not atomic; a failure between them is
+        caught by cascade_search's per-tier count identities
+        (1 sign-code row and exactly M PQ-code rows per vector),
+        checked whenever the build-id memo misses."""
+        from pyspark.sql import functions as F
+
+        from .idents import storage_safe_name
+        from .operators import similarity
+
+        cents = self.table(f"{name}_centroids")
+        cb = self.table(f"{name}_codebook")
+        cid = sorted(
+            set(
+                r.build_id
+                for r in cents.select("build_id")
+                .distinct()
+                .union(cb.select("build_id").distinct())
+                .collect()
+            )
+        )
+        if len(cid) != 1:
+            raise ValueError(
+                f"cascade index {name!r} quantizers carry build ids "
+                f"{cid} — re-run build_cascade_index before appending"
+            )
+        build_mean = cents.select("build_mean_sim_micro").first()[0]
+        pq_m = int(cb.select("pq_m").first()[0])
+        batch = similarity._assign_scored(
+            new_emb, cents.select("centroid_id", "cvec"), id_col, vec_col
+        ).localCheckpoint()
+        self._ann_verified.pop(f"cascade:{name}", None)
+        self._ann_verified.pop(f"ivfbq:{name}", None)
+        (
+            batch.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("embedding"),
+                "sim_micro",
+                F.lit(cid[0]).alias("build_id"),
+                "centroid_id",
+            )
+            .write.mode("append")
+            .format("parquet")
+            .partitionBy("centroid_id")
+            .saveAsTable(storage_safe_name(f"{name}_vectors"))
+        )
+        (
+            similarity.ivfbq_encode(
+                batch, cents, id_col, vec_col, assigned=batch
+            )
+            .select(
+                "vec_id",
+                "sig_lo",
+                "sig_hi",
+                F.lit(cid[0]).alias("build_id"),
+                "centroid_id",
+            )
+            .write.mode("append")
+            .format("parquet")
+            .partitionBy("centroid_id")
+            .saveAsTable(storage_safe_name(f"{name}_codes"))
+        )
+        (
+            similarity.pq_encode(
+                batch, cb.select("m", "code", "cvec"), pq_m, id_col, vec_col
+            )
+            .join(
+                batch.select(
+                    F.col(id_col).alias("vec_id"), "centroid_id"
+                ),
+                "vec_id",
+            )
+            .select(
+                "vec_id",
+                "m",
+                "code",
+                F.lit(cid[0]).alias("build_id"),
+                "centroid_id",
+            )
+            .write.mode("append")
+            .format("parquet")
+            .partitionBy("centroid_id")
+            .saveAsTable(storage_safe_name(f"{name}_codes_pq"))
+        )
+        row = batch.agg(
+            F.sum("sim_micro").alias("s"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        batch_mean = int(row.s) // int(row.n) if row.s is not None else None
+        drift = (
+            build_mean - batch_mean
+            if build_mean is not None and batch_mean is not None
+            else None
+        )
+        return self.spark.createDataFrame(
+            [(int(row.n), batch_mean, build_mean, drift)],
+            "appended_rows bigint, batch_mean_sim_micro bigint, "
+            "build_mean_sim_micro bigint, drift_micro bigint",
+        )
+
     def build_text_index(
         self,
         name: str,

@@ -9,7 +9,7 @@ from . import ext  # noqa: E402,F401
 # driver-witnessed coverage is 220/220 with zero ever-failures
 # (union over CORRECTNESS_r02..r11). The round-12 window keeps the
 # rotation discipline:
-#   * first: all THREE round-12 registrations (_R12_NEW below),
+#   * first: all FOUR round-12 registrations (_R12_NEW below),
 #     witnessed the same round they land — the CHECK-constraint
 #     accept-and-enforce battery, the first-class-views battery, and
 #     the cascade funnel's engine-lifecycle serving form;
@@ -40,6 +40,9 @@ _R12_NEW = [
     # task 3): one cascade build, every probe stage's scan
     # centroid-pruned (incl. the previously-unpruned PQ narrow)
     "cascade_index_search",
+    # ...and its nightly-crawl append: frozen-quantizer batch encode
+    # into all three partitioned tiers + the drift report
+    "cascade_index_append",
 ]
 
 _R12_TOUCHED = [
@@ -98,8 +101,8 @@ _DRIVER_WINDOW = [
     "filter_projection",
     "group_concat",
     "join_cross",
-    "join_right",
-    # (window is exactly 50 — the driver hashes the first ~50)
+    # (window is exactly 50 — the driver hashes the first ~50;
+    # join_right and the rest of r6 rotate in next round)
 ]
 
 

@@ -6565,9 +6565,140 @@ def q_cascade_index_search(t: TableSet) -> DataFrame:
     )
     emb = t.embeddings
     eng.build_cascade_index("cascsrv", emb)
-    q = emb.where("vec_id < 3").select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    # checkpoint the bounded (3-row) query frame so the SERVING plan
+    # references materialized rows — the plan then reads the corpus
+    # exclusively through the stored centroid-partitioned tables
+    q = (
+        emb.where("vec_id < 3")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+        )
+        .localCheckpoint()
     )
     return eng.cascade_search(
         "cascsrv", q, topk=5, nprobe=2, hamming_cut=200, pq_narrow=50
     ).orderBy("query_id", "rank")
+
+
+_PQH_CTES, _PQH_CB, _PQH_ASSIGN = _pq_ctes(where="vec_id % 2 = 0")
+
+
+@query(
+    "cascade_index_append",
+    oracle=f"""
+    WITH {_KMH_CTES},
+    {_PQH_CTES},
+    nb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 2 = 1),
+    ab AS (
+      SELECT vec_id, centroid_id, sim, v FROM (
+        SELECT nb.vec_id, c.centroid_id, nb.v,
+               round(list_cosine_similarity(nb.v, c.cvec), 6) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY nb.vec_id
+                 ORDER BY round(list_cosine_similarity(nb.v, c.cvec), 6) DESC,
+                          c.centroid_id) AS rn
+        FROM nb CROSS JOIN {_KMH_CENTS} c) WHERE rn = 1),
+    asig AS (
+      SELECT vec_id, centroid_id, sim,
+             {_BQ_LO.format(v='v')} AS sig_lo,
+             {_BQ_HI.format(v='v')} AS sig_hi
+      FROM ab),
+    bsub AS (
+      SELECT nb.vec_id, pms.m,
+             nb.v[(pms.m*{_PQ_S}+1):(pms.m*{_PQ_S}+{_PQ_S})] AS sv
+      FROM nb CROSS JOIN pms),
+    bcode AS (
+      SELECT vec_id, m, code FROM (
+        SELECT b.vec_id, b.m, c.code,
+               ROW_NUMBER() OVER (PARTITION BY b.vec_id, b.m
+                 ORDER BY round(list_cosine_similarity(b.sv, c.cvec), 6) DESC,
+                          c.code) AS rn
+        FROM bsub b JOIN {_PQH_CB} c USING (m)) WHERE rn = 1),
+    pqsum AS (
+      SELECT ab.centroid_id,
+             CAST(SUM((bcode.m + 1) * (bcode.code + 7)) AS BIGINT)
+               AS pq_checksum
+      FROM bcode JOIN ab USING (vec_id)
+      GROUP BY ab.centroid_id),
+    bsim AS (
+      SELECT vec_id, sim FROM (
+        SELECT e2.vec_id,
+               round(list_cosine_similarity(e2.v, c.cvec), 6) AS sim,
+               ROW_NUMBER() OVER (PARTITION BY e2.vec_id
+                 ORDER BY round(list_cosine_similarity(e2.v, c.cvec), 6) DESC,
+                          c.centroid_id) AS rn
+        FROM e e2 CROSS JOIN {_KMH_CENTS} c) WHERE rn = 1),
+    drift AS (
+      SELECT (SELECT SUM({_APPEND_MICRO}) // COUNT(*) FROM bsim)
+           - (SELECT SUM({_APPEND_MICRO}) // COUNT(*) FROM ab) AS d)
+    SELECT asig.centroid_id,
+           CAST(COUNT(*) AS BIGINT) AS n_appended,
+           CAST(SUM({_APPEND_MICRO}) AS BIGINT) AS sum_sim_micro,
+           CAST(SUM(sig_lo + 3 * sig_hi) AS BIGINT) AS sig_checksum,
+           MIN(pqsum.pq_checksum) AS pq_checksum,
+           CAST(d AS BIGINT) AS drift_micro
+    FROM asig JOIN pqsum ON pqsum.centroid_id = asig.centroid_id, drift
+    GROUP BY asig.centroid_id, d
+    ORDER BY asig.centroid_id
+    """,
+)
+def q_cascade_index_append(t: TableSet) -> DataFrame:
+    """Incremental append to the CASCADE index through the engine
+    lifecycle (completes the funnel's build/serve/append story begun
+    in `cascade_index_search`): build_cascade_index over the even-id
+    half of the corpus, append_to_cascade_index with the odd-id half
+    — the batch is assigned against the STORED centroids, sign-packed
+    AND PQ-encoded against the STORED codebook in bounded batch
+    passes (no quantizer retrains; appended sign codes ≡ a
+    same-centroid rebuild BY CONSTRUCTION, appended PQ codes ≡ a
+    frozen-codebook re-encode), lands in all THREE
+    centroid-partitioned tables under the build's id, and the
+    one-row report carries the coarse-assignment drift instrument.
+    Output: the appended batch per inverted list (occupancy, exact
+    sim sum, packed-bits checksum, PQ-code checksum) + the constant
+    drift column; the oracle replays the half-corpus coarse AND PQ
+    training, the frozen-quantizer batch encodes and the integer
+    drift arithmetic."""
+    import json as _json
+    import tempfile
+
+    from ..engine import Engine
+
+    spark = t.embeddings.sparkSession
+    eng = Engine.from_config(
+        _json.dumps({"connectionUri": tempfile.mkdtemp()}), spark=spark
+    )
+    emb = t.embeddings
+    eng.build_cascade_index("acs2", emb.where("vec_id % 2 = 0"))
+    report = eng.append_to_cascade_index("acs2", emb.where("vec_id % 2 = 1"))
+    codes = eng.table("acs2_codes").where("vec_id % 2 = 1")
+    vecs = eng.table("acs2_vectors").where("vec_id % 2 = 1")
+    pq = eng.table("acs2_codes_pq").where("vec_id % 2 = 1")
+    return (
+        vecs.groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_appended"),
+            F.sum("sim_micro").cast("bigint").alias("sum_sim_micro"),
+        )
+        .join(
+            codes.groupBy("centroid_id").agg(
+                F.sum(F.col("sig_lo") + 3 * F.col("sig_hi"))
+                .cast("bigint")
+                .alias("sig_checksum")
+            ),
+            "centroid_id",
+        )
+        .join(
+            pq.groupBy("centroid_id").agg(
+                F.sum((F.col("m") + 1) * (F.col("code") + 7))
+                .cast("bigint")
+                .alias("pq_checksum")
+            ),
+            "centroid_id",
+        )
+        .crossJoin(
+            F.broadcast(report.select(F.col("drift_micro").cast("bigint")))
+        )
+        .orderBy("centroid_id")
+    )

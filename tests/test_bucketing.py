@@ -826,3 +826,83 @@ def test_cascade_index_lifecycle(engine, spark):
     engine._ann_verified.pop("cascade:cascix", None)
     with pytest.raises(ValueError, match="torn"):
         engine.cascade_search("cascix", queries, topk=5)
+
+
+def test_cascade_index_append_and_tear(engine, spark):
+    """Incremental cascade append (r12): the batch is assigned
+    against the STORED centroids, sign-packed and PQ-encoded against
+    the STORED codebook in bounded batch passes; appended codes in
+    BOTH tiers equal a frozen-quantizer re-encode; a half-appended
+    index (vectors landed, PQ codes did not) is refused by the
+    M-codes-per-vector count identity even though every build id
+    agrees."""
+    from quasar_destination_h2_spark.idents import storage_safe_name
+    from quasar_destination_h2_spark.operators import similarity
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    engine.build_cascade_index("cscap", emb.where("vec_id % 2 = 0"))
+    rep = engine.append_to_cascade_index(
+        "cscap", emb.where("vec_id % 2 = 1")
+    ).collect()[0]
+    n_odd = emb.where("vec_id % 2 = 1").count()
+    assert rep.appended_rows == n_odd
+    assert (
+        rep.drift_micro
+        == rep.build_mean_sim_micro - rep.batch_mean_sim_micro
+    )
+    # appended PQ codes ≡ frozen-codebook re-encode of the odd half
+    cb = engine.table("cscap_codebook").select("m", "code", "cvec")
+    expect_pq = sorted(
+        map(
+            tuple,
+            similarity.pq_encode(emb.where("vec_id % 2 = 1"), cb).collect(),
+        )
+    )
+    got_pq = sorted(
+        map(
+            tuple,
+            engine.table("cscap_codes_pq")
+            .where("vec_id % 2 = 1")
+            .select("vec_id", "m", "code")
+            .collect(),
+        )
+    )
+    assert got_pq == expect_pq
+    # the appended index serves (memoized after the verify pass)
+    queries = (
+        emb.where("vec_id < 2")
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        .localCheckpoint()
+    )
+    assert engine.cascade_search("cscap", queries, topk=3).count() == 6
+    # tear: append vectors + sign codes WITHOUT PQ codes under the
+    # same build id — caught by the M-codes-per-vector identity
+    bid = engine.table("cscap_centroids").select("build_id").first()[0]
+    extra = (
+        engine.table("cscap_vectors")
+        .where("vec_id < 4")
+        .withColumn("vec_id", F.col("vec_id") + 900000)
+        .localCheckpoint()
+    )
+    extra.write.mode("append").format("parquet").partitionBy(
+        "centroid_id"
+    ).saveAsTable(storage_safe_name("cscap_vectors"))
+    engine.spark.catalog.refreshTable(storage_safe_name("cscap_vectors"))
+    (
+        similarity.ivfbq_encode(extra, None, assigned=extra)
+        .select(
+            "vec_id",
+            "sig_lo",
+            "sig_hi",
+            F.lit(bid).alias("build_id"),
+            "centroid_id",
+        )
+        .write.mode("append")
+        .format("parquet")
+        .partitionBy("centroid_id")
+        .saveAsTable(storage_safe_name("cscap_codes"))
+    )
+    engine.spark.catalog.refreshTable(storage_safe_name("cscap_codes"))
+    engine._ann_verified.pop("cascade:cscap", None)
+    with pytest.raises(ValueError, match="torn"):
+        engine.cascade_search("cscap", queries, topk=3)

@@ -267,6 +267,13 @@ NLJ_OK = frozenset({
     "ann_ivfpq_residual_search",
     "ann_ivfpq_residual_recall",
     "ivfpq_residual_calibration",
+    # r12 cascade ENGINE lifecycle: the ivfbq serving shapes — the
+    # n_list-row centroid broadcast in probe-list selection (nq-row
+    # query cross) and the bounded-pair narrowing broadcasts; the
+    # append adds the frozen-quantizer batch assignment + 1-row
+    # drift crossJoin (the ivfpq_index_append shape)
+    "cascade_index_search",
+    "cascade_index_append",
 })
 
 #: Tables whose repeated FileScan in one plan is a 100 TB scale killer.
@@ -465,6 +472,16 @@ RESCAN_REVIEWED = frozenset({
     "ann_ivfpq_residual_search",
     "ann_ivfpq_residual_recall",
     "ivfpq_residual_calibration",
+    # r12 cascade ENGINE lifecycle: the serving plan's embeddings
+    # reads are the EXTERNAL query table's bounded sides (probe
+    # selection / sign pack / LUT / rerank each reference the nq-row
+    # query frame; the corpus is read only through the stored
+    # centroid-partitioned tables with DPP —
+    # tests/test_bucketing.py::test_cascade_index_lifecycle pins zero
+    # embeddings scans on a checkpointed query frame); the append
+    # form's reads are the batch assignment + frozen encodes
+    "cascade_index_search",
+    "cascade_index_append",
 })
 
 
