@@ -46,6 +46,7 @@ _APPENDERS = {
     "ivf": "append_to_ivf_index",
     "ivfpq": "append_to_ivfpq_index",
     "ivfbq": "append_to_ivfbq_index",
+    "cascade": "append_to_cascade_index",
     "text": "append_to_text_index",
 }
 
@@ -54,6 +55,7 @@ _DRIFT_COL = {
     "ivf": "drift_micro",
     "ivfpq": "drift_micro",
     "ivfbq": "drift_micro",
+    "cascade": "drift_micro",
     "text": "new_term_ppm",
 }
 

@@ -696,3 +696,76 @@ def test_streaming_index_maintenance_ivfbq(spark, warehouse_dir):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ck, ignore_errors=True)
+
+
+def test_streaming_index_maintenance_cascade(spark, warehouse_dir):
+    """The r12 cascade index rides the same continuous-crawl loop:
+    one staged file -> one micro-batch append against BOTH frozen
+    quantizers (coarse centroids + PQ codebook), a drift-log row
+    with the verdict, and serving parity with a batch append of the
+    same file."""
+    import json
+
+    from quasar_destination_h2_spark.engine import Engine
+    from quasar_destination_h2_spark.streaming import (
+        read_embeddings_stream,
+        stream_append_to_index,
+    )
+
+    engine = Engine.from_config(
+        json.dumps({"connectionUri": warehouse_dir}), spark=spark
+    )
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.where("vec_id % 2 = 0")
+    engine.build_cascade_index("scsix", base)
+    src = tempfile.mkdtemp(prefix="csc-stream-")
+    ck = tempfile.mkdtemp(prefix="csc-ck-")
+    try:
+        emb.where("vec_id % 2 = 1").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{src}/b1")
+        q = stream_append_to_index(
+            engine,
+            read_embeddings_stream(spark, f"{src}/b1"),
+            "scsix",
+            "cascade",
+            checkpoint=f"{ck}/1",
+            rebuild_threshold=1_000_000_000,
+        )
+        q.awaitTermination()
+        assert q.exception() is None
+        n_odd = emb.where("vec_id % 2 = 1").count()
+        assert engine.table("scsix_vectors").count() == base.count() + n_odd
+        log = [
+            (r.appended_rows, bool(r.rebuild_due))
+            for r in engine.table("scsix_drift_log").collect()
+        ]
+        assert log == [(n_odd, False)]
+        queries = (
+            emb.where("vec_id < 3")
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("qv"),
+            )
+            .localCheckpoint()
+        )
+        got = sorted(
+            map(
+                tuple,
+                engine.cascade_search("scsix", queries, topk=5).collect(),
+            )
+        )
+        engine.build_cascade_index("scsix_ref", base)
+        engine.append_to_cascade_index(
+            "scsix_ref", spark.read.parquet(f"{src}/b1")
+        )
+        want = sorted(
+            map(
+                tuple,
+                engine.cascade_search("scsix_ref", queries, topk=5).collect(),
+            )
+        )
+        assert got == want
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ck, ignore_errors=True)
