@@ -5745,8 +5745,8 @@ def q_ivfbq_index_append(t: TableSet) -> DataFrame:
     oracle="""
     SELECT * FROM (VALUES
       ('constraint', 'CONSTRAINT_1', 'PRIMARY KEY', 'cb11_t', 'id'),
-      ('constraint', 'uq_pair', 'UNIQUE', 'cb11_t', 'a,b'),
-      ('constraint', 'uq_u', 'UNIQUE', 'cb11_t', 'u'),
+      ('constraint', 'cb11_uq_pair', 'UNIQUE', 'cb11_t', 'a,b'),
+      ('constraint', 'cb11_uq_u', 'UNIQUE', 'cb11_t', 'u'),
       ('key', 'a', 'UNI', 'cb11_t', NULL),
       ('key', 'b', 'UNI', 'cb11_t', NULL),
       ('key', 'id', 'PRI', 'cb11_t', NULL),
@@ -5783,13 +5783,16 @@ def q_constraint_catalog_battery(t: TableSet) -> DataFrame:
     # the table catalog is warehouse-shared across runs — make the
     # battery idempotent (information_schema_battery precedent)
     eng.execute_sql('DROP TABLE IF EXISTS "cb11_t"')
+    # explicit names carry a battery prefix: constraint names are
+    # SCHEMA-scoped (r12, H2 parity), so bare spellings could collide
+    # with other fixtures' constraints in a shared warehouse
     eng.execute_sql(
         'CREATE CACHED TABLE "cb11_t"("id" INT NOT NULL PRIMARY KEY, '
         '"a" INT, "b" INT, "u" VARCHAR(16), '
-        'CONSTRAINT "uq_pair" UNIQUE("a", "b"))'
+        'CONSTRAINT "cb11_uq_pair" UNIQUE("a", "b"))'
     )
     eng.execute_sql(
-        'ALTER TABLE PUBLIC."cb11_t" ADD CONSTRAINT PUBLIC."uq_u" '
+        'ALTER TABLE PUBLIC."cb11_t" ADD CONSTRAINT PUBLIC."cb11_uq_u" '
         'UNIQUE("u")'
     )
     cons = eng.execute_sql(
