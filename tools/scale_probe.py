@@ -1230,6 +1230,133 @@ def cascade_probe(spark, sf_dir: str) -> dict:
     return out
 
 
+def views_probe(spark, sf_dir: str) -> dict:
+    """View-resolution scale probe (round 12 — the zero-cost claim
+    measured): a registered view inlines its definition at ANALYSIS
+    time, so (a) the OPTIMIZED plan of a filtered query through a
+    view must equal the direct query's plan (same pushdown, same
+    scans — a view adds zero materialization and zero I/O at any
+    corpus size), (b) wall time through the view tracks the direct
+    query at 1x/3x/10x the corpus, and (c) a views-over-views chain
+    costs only per-query ANALYSIS work — measured as the wall delta
+    of a depth-8 chain over depth-1 on the same corpus."""
+    import json as _json
+    import re as _re
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from quasar_destination_h2_spark.engine import Engine
+    from quasar_destination_h2_spark.sources.tables import TableSet
+
+    t = TableSet(spark, sf_dir)
+    base = t.documents.select("doc_id", "source", "text")
+    out = {"sf_dir": sf_dir, "n_base_docs": base.count(), "points": []}
+    stage = tempfile.mkdtemp(prefix="vwp-wh-")
+    engine = Engine.from_config(
+        _json.dumps({"connectionUri": f"{stage}/wh"}), spark=spark
+    )
+    # idempotence against a previous probe run's registry leftovers
+    # (the view registry lives in the shared session warehouse):
+    # drop the chain deepest-first, then each per-scale view
+    for d in range(8, 1, -1):
+        engine.execute_sql(f'DROP VIEW IF EXISTS "vwp_chain{d}"')
+    for k in (1, 3, 10):
+        engine.execute_sql(f'DROP VIEW IF EXISTS "vwp_v{k}"')
+
+    def _scan_contract(df) -> list:
+        """The plan facts that carry the zero-I/O claim: every
+        FileScan line's pushed filters + read schema (aliases in the
+        aggregate layer legitimately differ between the view and the
+        direct spelling — the SCANS must not)."""
+        p = df._jdf.queryExecution().executedPlan().toString()
+        out = []
+        for ln in p.splitlines():
+            if "FileScan" in ln:
+                pf = _re.search(r"PushedFilters: \[[^\]]*\]", ln)
+                rs = _re.search(r"ReadSchema: [^,\s]+", ln)
+                out.append(
+                    (pf.group(0) if pf else "", rs.group(0) if rs else "")
+                )
+        return sorted(out)
+
+    for k in (1, 3, 10):
+        reps = [
+            base.withColumn(
+                "doc_id", (F.col("doc_id") + F.lit(i * 10_000_000)).cast("long")
+            )
+            for i in range(k)
+        ]
+        corpus = reps[0]
+        for r in reps[1:]:
+            corpus = corpus.unionByName(r)
+        engine.drop_table_if_exists(f"vwp_docs_{k}")
+        engine.create_table_as(f"vwp_docs_{k}", corpus)
+        engine.execute_sql(f'DROP VIEW IF EXISTS "vwp_v{k}"')
+        engine.execute_sql(
+            f'CREATE VIEW "vwp_v{k}" AS SELECT "doc_id", "source", '
+            f'LENGTH("text") AS n_chars FROM "vwp_docs_{k}"'
+        )
+        q_view = (
+            f"SELECT source, COUNT(*) AS n, SUM(n_chars) AS chars "
+            f"FROM vwp_v{k} WHERE doc_id % 7 = 0 GROUP BY source"
+        )
+        q_direct = (
+            f"SELECT source, COUNT(*) AS n, SUM(LENGTH(text)) AS chars "
+            f"FROM vwp_docs_{k} WHERE doc_id % 7 = 0 GROUP BY source"
+        )
+        dfv = engine.execute_sql(q_view)
+        dfd = engine.execute_sql(q_direct)
+        scans_equal = _scan_contract(dfv) == _scan_contract(dfd)
+        pushed = any(
+            "isnotnull" in pf.lower() or "IsNotNull" in pf or pf != "PushedFilters: []"
+            for pf, _ in _scan_contract(dfv)
+        )
+        engine.execute_sql(q_view).count()  # warm
+        t0 = time.perf_counter()
+        rows_v = engine.execute_sql(q_view).count()
+        wall_view = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        rows_d = engine.execute_sql(q_direct).count()
+        wall_direct = round(time.perf_counter() - t0, 3)
+        assert rows_v == rows_d
+        out["points"].append(
+            {
+                "replicas": k,
+                "rows": rows_v,
+                "wall_view_sec": wall_view,
+                "wall_direct_sec": wall_direct,
+                "scan_contracts_equal": scans_equal,
+                "filter_pushed_to_scan": pushed,
+            }
+        )
+    # (c) analysis cost of a deep view chain: depth-8 over the 10x
+    # corpus vs depth-1 — the data work is identical, so the delta
+    # is the recursive bind/analysis overhead per query
+    prev = "vwp_v10"
+    for d in range(2, 9):
+        engine.execute_sql(f'DROP VIEW IF EXISTS "vwp_chain{d}"')
+        engine.execute_sql(
+            f'CREATE VIEW "vwp_chain{d}" AS SELECT * FROM "{prev}"'
+        )
+        prev = f"vwp_chain{d}"
+    q1 = "SELECT COUNT(*) AS n FROM vwp_v10 WHERE doc_id % 7 = 0"
+    q8 = f"SELECT COUNT(*) AS n FROM {prev} WHERE doc_id % 7 = 0"
+    engine.execute_sql(q8).count()  # warm
+    t0 = time.perf_counter()
+    engine.execute_sql(q1).count()
+    w1 = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    engine.execute_sql(q8).count()
+    w8 = round(time.perf_counter() - t0, 3)
+    out["chain"] = {
+        "depth1_sec": w1,
+        "depth8_sec": w8,
+        "analysis_overhead_sec": round(w8 - w1, 3),
+    }
+    return out
+
+
 def r11_probe(spark, sf_dir: str) -> dict:
     """Round-11 probes for the r10 operators the earlier probes don't
     cover (r10 VERDICT task 5):
@@ -1417,6 +1544,7 @@ def main() -> int:
     bq_mode = "--bq" in sys.argv[1:]
     ivfbq_mode = "--ivfbq" in sys.argv[1:]
     cascade_mode = "--cascade" in sys.argv[1:]
+    views_mode = "--views" in sys.argv[1:]
     r11_mode = "--r11" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
@@ -1469,6 +1597,10 @@ def main() -> int:
         return 0
     if cascade_mode:
         print(json.dumps(cascade_probe(spark, sf_dir)))
+        spark.stop()
+        return 0
+    if views_mode:
+        print(json.dumps(views_probe(spark, sf_dir)))
         spark.stop()
         return 0
     if ivfbq_mode:
