@@ -1892,8 +1892,11 @@ class Engine:
             def _checked_append(d):
                 # recorded CHECK constraints hold on the wire-append
                 # path too — same bounded pre-write filter as
-                # insert_rows
-                self._enforce_check_constraints(logical_name, d, "INSERT")
+                # insert_rows; the returned (checkpointed) frame is
+                # what lands, so checked rows = written rows
+                d = self._enforce_check_constraints(
+                    logical_name, d, "INSERT"
+                )
                 d.write.mode("append").format("parquet").saveAsTable(
                     physical
                 )
@@ -1911,9 +1914,15 @@ class Engine:
                 except OSError:
                     pass
 
+    def _has_check_constraints(self, logical_name: str) -> bool:
+        return any(
+            e["type"] == "CHECK"
+            for e in self.constraints.for_table(logical_name)
+        )
+
     def _enforce_check_constraints(
         self, logical_name: str, rows: DataFrame, verb: str
-    ) -> None:
+    ) -> DataFrame:
         """Evaluate every recorded CHECK predicate over the rows a
         DML statement is ABOUT to write (accept-and-enforce, r11
         verdict task 2): one bounded filter per constraint over only
@@ -1922,14 +1931,24 @@ class Engine:
         evaluating to FALSE. Raises :class:`CheckViolation` with the
         constraint name, violation count and example rows BEFORE
         anything lands (statement atomicity: the caller writes only
-        after this returns)."""
+        after this returns).
+
+        Returns the frame THE CALLER MUST WRITE: when CHECKs exist
+        the incoming frame is localCheckpoint-ed first, so a
+        non-deterministic source (``rand()`` in an INSERT...SELECT)
+        cannot pass the check and then re-evaluate into different,
+        violating rows at write time (advisor r12 — the checked rows
+        ARE the written rows). Bounded: only the rows being written
+        materialize, only on tables that declare CHECKs. Without
+        CHECKs the frame passes through untouched."""
         checks = [
             e
             for e in self.constraints.for_table(logical_name)
             if e["type"] == "CHECK"
         ]
         if not checks:
-            return
+            return rows
+        rows = rows.localCheckpoint(eager=True)
         from pyspark.sql import functions as F
 
         from .constraints import CheckViolation
@@ -1960,6 +1979,7 @@ class Engine:
                     f"(predicate: {e['predicate']}); examples: "
                     + "; ".join(str(tuple(r)) for r in sample)
                 )
+        return rows
 
     def validate_check_predicate(
         self, logical_name: str, predicate: str
@@ -2002,7 +2022,7 @@ class Engine:
 
             raise NotAResource(logical_name)
         self._ensure_registered(physical)
-        self._enforce_check_constraints(logical_name, df, "INSERT")
+        df = self._enforce_check_constraints(logical_name, df, "INSERT")
         n = df.count()
         df.write.mode("append").format("parquet").saveAsTable(physical)
         return n
@@ -2201,18 +2221,33 @@ class Engine:
         assignments = {res[c]: e for c, e in assignments.items()}
         cond = F.expr(condition)
         n = target.where(cond).count()
-        # CHECK enforcement over ONLY the changed rows, with the
-        # assignments applied (the values that would land) — one
-        # bounded filter, before the rewrite touches storage
-        changed = target.where(cond).select(
-            *[
-                F.expr(assignments[c]).alias(c)
-                if c in assignments
-                else F.col(c)
-                for c in target.columns
-            ]
-        )
-        self._enforce_check_constraints(logical_name, changed, "UPDATE")
+        if self._has_check_constraints(logical_name):
+            # CHECK enforcement over ONLY the changed rows, with the
+            # assignments applied and cast to the stored schema (the
+            # values that land). The enforced frame comes back
+            # checkpointed, and the rewrite writes THAT frame plus
+            # the untouched remainder — so a non-deterministic
+            # assignment (rand()) cannot pass the check and then
+            # re-evaluate into different rows at write time
+            # (advisor r12)
+            changed = target.where(cond).select(
+                *[
+                    (
+                        F.expr(assignments[f.name])
+                        if f.name in assignments
+                        else F.col(f.name)
+                    )
+                    .cast(f.dataType)
+                    .alias(f.name)
+                    for f in target.schema.fields
+                ]
+            )
+            checked = self._enforce_check_constraints(
+                logical_name, changed, "UPDATE"
+            )
+            kept = target.where(~cond | cond.isNull())
+            self._rewrite(physical, kept.unionByName(checked))
+            return n
         updated = target.select(
             *[
                 F.when(cond, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
@@ -2297,7 +2332,10 @@ class Engine:
         target = self.table(logical_name)
         physical = self.sink.catalog[logical_name]
         # CHECK enforcement over the incoming rows (every row the
-        # merge writes comes from the source frame)
-        self._enforce_check_constraints(logical_name, source, "MERGE")
+        # merge writes comes from the source frame); the returned
+        # checkpointed frame is what the union writes below
+        source = self._enforce_check_constraints(
+            logical_name, source, "MERGE"
+        )
         kept = target.join(source, list(key_cols), "left_anti")
         self._rewrite(physical, kept.unionByName(source))

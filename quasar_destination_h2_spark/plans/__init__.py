@@ -92,7 +92,7 @@ _DRIVER_WINDOW = [
     "vocab_topk",
     "window_range_frame",
     "window_rank",
-    # r6-era head (9 — the rest rotates next round)
+    # r6-era head (8 — the rest rotates next round)
     "agg_bool",
     "agg_filter_clause",
     "agg_having",

@@ -230,37 +230,18 @@ def script_lines(
     if only_tables is None:
         emit = list(allv)
     else:
-        import re as _re
+        from .views import relation_names
 
-        from .sql_dml import _shadow as _shadow_sql
-
-        # ONE pass per view over the already-held registry snapshot:
-        # scan each definition's literal-blanked shadow against the
-        # candidate relation names (the direction Views.dependents_of
-        # computes internally) — calling dependents_of per candidate
-        # would re-read and re-scan the registry O(tables x views)
-        # times (self-review r12)
-        candidates = [str(k) for k in engine.sink.catalog] + [
-            e["name"] for e in allv.values()
-        ]
+        # ONE relation-position scan per view over the already-held
+        # registry snapshot (the r13 dependents_of semantics): a view
+        # is emitted into a scoped dump only when every RELATION its
+        # definition reads is in scope — a name mentioned merely as a
+        # column/alias no longer excludes it, and a view reading a
+        # relation outside the dump is excluded (it could only
+        # FORCE-restore into a permanently erroring state)
         refs: dict = {}
         for key, e in allv.items():
-            shadow = _shadow_sql(e["definition"])
-            dlow = e["definition"].casefold()
-            refs[key] = {
-                c.casefold()
-                for c in candidates
-                if c.casefold() != key
-                and (
-                    _re.search(
-                        rf"(?<![A-Za-z0-9_$`]){_re.escape(c)}"
-                        rf"(?![A-Za-z0-9_$`])",
-                        shadow,
-                        _re.I,
-                    )
-                    or f"`{c.casefold()}`" in dlow
-                )
-            }
+            refs[key] = relation_names(e["definition"]) - {key}
         scoped = {n.casefold() for n in names}
         emit_set: set = set()
         changed = True

@@ -1638,6 +1638,20 @@ def _create_view(engine, statement: str, shadow: str, mv):
     name, pos = _strip_public_qualifier(
         statement, shadow, name, pos, "CREATE VIEW"
     )
+    # the registry binds a view by createOrReplaceTempView(name),
+    # which accepts exactly [A-Za-z0-9_]+ (probed: spaces, $, -, dots
+    # and non-ASCII all raise 'Invalid view name'). An H2-legal
+    # quoted name outside that set would CREATE fine but then fail
+    # at EVERY query through it — a permanently unqueryable view
+    # restored from a foreign dump (advisor r12) — so reject it NOW,
+    # at the statement that can still be fixed
+    if not re.fullmatch(r"[A-Za-z0-9_]+", name):
+        raise ViewError(
+            f"CREATE VIEW: name {name!r} is not addressable at this "
+            "engine's SQL surface (view names must match "
+            "[A-Za-z0-9_]+ — Spark's temp-view binding rejects "
+            "anything else, so the view could never be queried)"
+        )
     columns = None
     mopen = re.compile(r"\s*\(", re.I).match(shadow, pos)
     if mopen:
@@ -2778,9 +2792,13 @@ def _execute_merge_using(engine, statement: str, shadow: str) -> int:
 
     # CHECK enforcement over ONLY the changed/inserted rows
     # (parts[0] is the untouched remainder of the target) — one
-    # bounded filter per constraint, before the rewrite lands
-    for p in parts[1:]:
+    # bounded filter per constraint, before the rewrite lands; the
+    # enforced frames come back checkpointed so the union writes the
+    # exact rows that passed (advisor r12, non-deterministic sources)
+    parts[1:] = [
         engine._enforce_check_constraints(logical, p, "MERGE")
+        for p in parts[1:]
+    ]
     result = parts[0]
     for p in parts[1:]:
         result = result.unionByName(p)

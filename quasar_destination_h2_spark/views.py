@@ -152,25 +152,110 @@ class Views:
         return {k: dict(v) for k, v in sorted(self._read().items())}
 
     def dependents_of(self, relation: str) -> list[str]:
-        """Views whose definition references ``relation`` by name —
-        the RESTRICT check for DROP TABLE / DROP VIEW. Token-matched
-        against a literal-blanked shadow of each stored definition
-        (conservative: a column spelled like the relation counts as
-        a dependency; CASCADE is the escape hatch, like H2's)."""
-        import re
-
-        from .sql_dml import _shadow
-
+        """Views whose definition references ``relation`` in a
+        RELATION position — the RESTRICT check for DROP TABLE / DROP
+        VIEW / RENAME. Scans each stored definition for names after
+        FROM / JOIN (plus the comma-continuation of a FROM list), so
+        a mere column or alias spelled like the relation no longer
+        blocks a rename/drop (advisor r12 — the old whole-text token
+        match made an unrelated view's COLUMN name freeze a table)."""
+        key = relation.casefold()
         out = []
-        pat = re.compile(
-            rf"(?<![A-Za-z0-9_$`]){re.escape(relation)}(?![A-Za-z0-9_$`])",
-            re.I,
-        )
-        bq = f"`{relation.casefold()}`"
         for e in self._read().values():
-            if e["name"].casefold() == relation.casefold():
+            if e["name"].casefold() == key:
                 continue
-            shadow = _shadow(e["definition"])
-            if pat.search(shadow) or bq in e["definition"].casefold():
+            if key in relation_names(e["definition"]):
                 out.append(e["name"])
         return sorted(out)
+
+
+def relation_names(definition: str) -> set:
+    """Casefolded identifiers appearing in RELATION position in a SQL
+    text: the name after each FROM / JOIN keyword and after each
+    depth-0 comma continuing a FROM list. Scanned on the
+    literal-blanked shadow (sql_dml._shadow) so quoted strings never
+    match; bare and backtick-quoted spellings both parse. Skipped on
+    purpose: parenthesized subqueries (their inner FROMs get their
+    own keyword match), table-function calls (``name(...)``), and
+    dotted multi-part names (qualified names never map to engine
+    logicals — the ``_missing_relation`` rule). Remaining known
+    over-match: ``extract(YEAR FROM d)``-style in-function FROMs
+    count ``d`` — conservative in the safe direction (a false
+    dependency blocks, never orphans), and strictly narrower than
+    the pre-r13 whole-text match."""
+    import re
+
+    from .sql_dml import _parse_ident, _shadow
+
+    shadow = _shadow(definition)
+    stop = re.compile(
+        r"\b(WHERE|GROUP|HAVING|ORDER|LIMIT|OFFSET|FETCH|UNION|"
+        r"INTERSECT|EXCEPT|JOIN|ON|USING|WINDOW|QUALIFY|LEFT|RIGHT|"
+        r"FULL|INNER|CROSS|NATURAL|LATERAL|SELECT)\b|[,()]",
+        re.I,
+    )
+    names: set = set()
+
+    def _skip_group(p: int) -> int:
+        """p at '(' — return position just past its matching ')'."""
+        depth = 0
+        while p < len(shadow):
+            if shadow[p] == "(":
+                depth += 1
+            elif shadow[p] == ")":
+                depth -= 1
+                if depth == 0:
+                    return p + 1
+            p += 1
+        return p
+
+    def _one_relation(p: int) -> int:
+        """Parse one table ref at p; record it when it is a plain
+        (single-part, non-function) name. Returns the position after
+        the ref."""
+        while p < len(shadow) and shadow[p].isspace():
+            p += 1
+        if p >= len(shadow):
+            return p
+        if shadow[p] == "(":
+            return _skip_group(p)  # subquery / grouped join
+        try:
+            name, p2 = _parse_ident(definition, shadow, p)
+        except ValueError:
+            return p + 1
+        while p2 < len(shadow) and shadow[p2].isspace():
+            p2 += 1
+        if p2 < len(shadow) and shadow[p2] == "(":
+            return _skip_group(p2)  # table function: not a relation
+        if p2 < len(shadow) and shadow[p2] == ".":
+            # dotted qualified name: consume the remaining parts but
+            # record nothing (qualified names never map to engine
+            # logicals — the _missing_relation rule)
+            while p2 < len(shadow) and shadow[p2] == ".":
+                try:
+                    _, p2 = _parse_ident(definition, shadow, p2 + 1)
+                except ValueError:
+                    return p2 + 1
+            return p2
+        names.add(name.casefold())
+        return p2
+
+    for m in re.finditer(r"\b(FROM|JOIN)\b", shadow, re.I):
+        p = _one_relation(m.end())
+        if m.group(1).upper() == "JOIN":
+            continue
+        # FROM list: follow depth-0 commas (aliases and hints sit
+        # between the ref and the comma and are skipped by the scan)
+        while True:
+            ms = stop.search(shadow, p)
+            if ms is None:
+                break
+            tok = ms.group(0)
+            if tok == "(":
+                p = _skip_group(ms.start())
+                continue
+            if tok == ",":
+                p = _one_relation(ms.end())
+                continue
+            break  # ')' or a clause keyword ends this FROM list
+    return names
