@@ -21,10 +21,22 @@ rows — violating statements raise :class:`CheckViolation` with the
 constraint name and example rows BEFORE anything lands. ALTER ADD
 validates the existing rows first (one scan), H2's own behavior.
 PK/UNIQUE stay record-only (enforcement would be an O(table)
-anti-join per write). Documented choice: ``FOREIGN KEY`` keeps
-REJECTING LOUDLY — cross-table enforcement on every write is a
-different cost class, and a recorded-but-unenforced referential
-predicate is worse than an error.
+anti-join per write).
+
+``FOREIGN KEY`` is ACCEPT-AND-RECORD since round 13 (r12 verdict
+task 1): a dump authored by a real H2 1.4.200 carries ``ALTER TABLE
+... ADD CONSTRAINT ... FOREIGN KEY(...) REFERENCES ...(...)
+NOCHECK`` lines, and loud rejection killed the exact restore path
+the views/CHECK work targeted. Like PK/UNIQUE the record is catalog
+metadata only — it surfaces in INFORMATION_SCHEMA.CONSTRAINTS
+(CONSTRAINT_TYPE='REFERENTIAL', H2's spelling) and
+INFORMATION_SCHEMA.CROSS_REFERENCES, SCRIPT re-emits it (after all
+tables, like H2), DROP TABLE honors the referential RESTRICT, and
+RENAME migrates both directions. ENFORCEMENT IS NOT PROVIDED,
+deliberately and visibly: cross-table anti-joins on every write are
+a different cost class at 100 TB, and ``SET REFERENTIAL_INTEGRITY``
+is already an accepted no-op on this engine (sql_dml._SET_NOOP) —
+the registry is a faithful restore carrier, not a promise.
 
 Durable state is a tiny JSON file in the warehouse directory under
 the same advisory-flock protocol as the sequence registry
@@ -105,6 +117,7 @@ class Constraints:
         columns: list[str],
         name: str | None,
         predicate: str | None,
+        foreign: dict | None = None,
     ) -> str:
         """Validate + append one constraint into an in-memory state
         snapshot (caller holds the lock and writes once — the
@@ -115,17 +128,30 @@ class Constraints:
         would then be rejected by a real H2 on restore, advisor
         r11); unnamed constraints get H2-looking ``CONSTRAINT_<n>``
         names, counted per table but skipping any schema-wide
-        collision."""
-        if ctype not in ("PRIMARY KEY", "UNIQUE", "CHECK"):
+        collision. ``foreign`` (FOREIGN KEY only) carries
+        ``{"ref_table": str, "ref_columns": [str], "update_rule":
+        str|None, "delete_rule": str|None}`` — the DDL layer
+        resolves/validates it before recording."""
+        if ctype not in ("PRIMARY KEY", "UNIQUE", "CHECK", "FOREIGN KEY"):
             raise ConstraintError(
-                f"only PRIMARY KEY, UNIQUE and CHECK are recordable, "
-                f"got {ctype!r}"
+                f"only PRIMARY KEY, UNIQUE, CHECK and FOREIGN KEY are "
+                f"recordable, got {ctype!r}"
             )
         if ctype == "CHECK":
             if not predicate or not predicate.strip():
                 raise ConstraintError("CHECK needs a predicate")
         elif not columns:
             raise ConstraintError(f"{ctype} needs at least one column")
+        if ctype == "FOREIGN KEY":
+            if not foreign or not foreign.get("ref_table"):
+                raise ConstraintError(
+                    "FOREIGN KEY needs a referenced table"
+                )
+            if len(foreign.get("ref_columns") or []) != len(columns):
+                raise ConstraintError(
+                    "FOREIGN KEY column count must match the "
+                    "referenced column count"
+                )
         key = table.casefold()
         entries = state.setdefault(key, [])
         if ctype == "PRIMARY KEY" and any(
@@ -150,6 +176,11 @@ class Constraints:
         entry = {"name": name, "type": ctype, "columns": list(columns)}
         if ctype == "CHECK":
             entry["predicate"] = predicate.strip()
+        if ctype == "FOREIGN KEY":
+            entry["ref_table"] = foreign["ref_table"]
+            entry["ref_columns"] = list(foreign["ref_columns"])
+            entry["update_rule"] = foreign.get("update_rule")
+            entry["delete_rule"] = foreign.get("delete_rule")
         entries.append(entry)
         return name
 
@@ -160,13 +191,14 @@ class Constraints:
         columns: list[str],
         name: str | None = None,
         predicate: str | None = None,
+        foreign: dict | None = None,
     ) -> str:
         """Record one constraint; returns its (possibly generated)
         name. See :meth:`_add_to_state` for the H2-parity rules."""
         with self._locked():
             state = self._read()
             name = self._add_to_state(
-                state, table, ctype, columns, name, predicate
+                state, table, ctype, columns, name, predicate, foreign
             )
             self._write(state)
         return name
@@ -177,23 +209,45 @@ class Constraints:
         crash can no longer land between a table write and its n-th
         constraint record, leaving a restored table silently missing
         declared metadata (advisor r11). ``cons`` items are
-        ``(name_or_None, ctype, columns[, predicate])`` as the DDL
-        parser produces them. All-or-nothing: any invalid entry
-        raises before anything is written."""
+        ``(name_or_None, ctype, columns[, predicate_or_foreign])``
+        as the DDL parser produces them — slot 4 is the CHECK
+        predicate string for CHECK, the foreign dict for FOREIGN
+        KEY. All-or-nothing: any invalid entry raises before
+        anything is written."""
         names = []
         with self._locked():
             state = self._read()
             for item in cons:
                 cname, ctype, cols = item[0], item[1], item[2]
-                pred = item[3] if len(item) > 3 else None
+                extra = item[3] if len(item) > 3 else None
+                pred = extra if ctype == "CHECK" else None
+                foreign = extra if ctype == "FOREIGN KEY" else None
                 names.append(
                     self._add_to_state(
-                        state, table, ctype, cols, cname, pred
+                        state, table, ctype, cols, cname, pred, foreign
                     )
                 )
             if names:
                 self._write(state)
         return names
+
+    def referencing(self, table: str) -> list[tuple[str, dict]]:
+        """(owner_table_key, entry) for every recorded FOREIGN KEY —
+        on OTHER tables — whose ``ref_table`` is ``table``: the
+        inbound-reference set DROP TABLE's RESTRICT check consults
+        (H2 refuses to drop a referenced table without CASCADE)."""
+        key = table.casefold()
+        out = []
+        for tkey, entries in self._read().items():
+            if tkey == key:
+                continue  # a self-referencing FK dies with its table
+            for e in entries:
+                if (
+                    e["type"] == "FOREIGN KEY"
+                    and e["ref_table"].casefold() == key
+                ):
+                    out.append((tkey, dict(e)))
+        return out
 
     def drop(self, table: str, name: str, if_exists: bool = False) -> None:
         key = table.casefold()
@@ -226,12 +280,27 @@ class Constraints:
                 self._write(state)
 
     def rename_table(self, old: str, new: str) -> None:
-        """Migrate recorded constraints on ALTER TABLE RENAME."""
+        """Migrate recorded constraints on ALTER TABLE RENAME — both
+        the renamed table's own entries AND the ``ref_table`` of any
+        FOREIGN KEY on another table that references it (H2 renames
+        track referential constraints; a stale ref_table would dump
+        an unrestorable SCRIPT)."""
         okey, nkey = old.casefold(), new.casefold()
         with self._locked():
             state = self._read()
+            changed = False
             if okey in state:
                 state[nkey] = state.pop(okey)
+                changed = True
+            for entries in state.values():
+                for e in entries:
+                    if (
+                        e["type"] == "FOREIGN KEY"
+                        and e["ref_table"].casefold() == okey
+                    ):
+                        e["ref_table"] = new
+                        changed = True
+            if changed:
                 self._write(state)
 
     # -- reads ----------------------------------------------------------

@@ -1982,12 +1982,16 @@ class Engine:
         return rows
 
     def validate_check_predicate(
-        self, logical_name: str, predicate: str
+        self, logical_name: str, predicate: str, validate_rows: bool = True
     ) -> None:
         """ALTER TABLE ... ADD CONSTRAINT ... CHECK: H2 validates the
         EXISTING rows when the constraint is added — one bounded scan
         — and rejects the DDL if any fail (or if the predicate does
-        not analyze against the table's columns)."""
+        not analyze against the table's columns).
+        ``validate_rows=False`` is the trailing-NOCHECK form H2's own
+        SCRIPT dumps spell (skip the existing-row scan; the analysis
+        check always runs — an unparseable predicate must fail the
+        DDL, not the first INSERT months later)."""
         from pyspark.sql import functions as F
 
         target = self.table(logical_name)
@@ -1998,6 +2002,8 @@ class Engine:
                 f"ADD CONSTRAINT CHECK: predicate {predicate!r} does "
                 f"not analyze against {logical_name!r}: {e}"
             ) from None
+        if not validate_rows:
+            return
         from .constraints import CheckViolation
 
         viol = target.where(

@@ -167,6 +167,38 @@ _CONSTRAINTS_COLS = [
     ("SQL", "STRING"),
 ]
 
+#: H2 1.4.200's CROSS_REFERENCES table (the JDBC metadata shape:
+#: getImportedKeys/getExportedKeys read it) — one row per FK column
+#: pair. UPDATE_RULE/DELETE_RULE carry java.sql.DatabaseMetaData
+#: smallint codes (CASCADE=0, RESTRICT=1, SET NULL=2, NO ACTION=3,
+#: SET DEFAULT=4); DEFERRABILITY=7 (importedKeyNotDeferrable, H2's
+#: only mode).
+_CROSS_REFS_COLS = [
+    ("PKTABLE_CATALOG", "STRING"),
+    ("PKTABLE_SCHEMA", "STRING"),
+    ("PKTABLE_NAME", "STRING"),
+    ("PKCOLUMN_NAME", "STRING"),
+    ("FKTABLE_CATALOG", "STRING"),
+    ("FKTABLE_SCHEMA", "STRING"),
+    ("FKTABLE_NAME", "STRING"),
+    ("FKCOLUMN_NAME", "STRING"),
+    ("ORDINAL_POSITION", "INT"),
+    ("UPDATE_RULE", "SMALLINT"),
+    ("DELETE_RULE", "SMALLINT"),
+    ("FK_NAME", "STRING"),
+    ("PK_NAME", "STRING"),
+    ("DEFERRABILITY", "SMALLINT"),
+]
+
+_FK_RULE_CODES = {
+    "CASCADE": 0,
+    "RESTRICT": 1,
+    "SET NULL": 2,
+    "NO ACTION": 3,
+    "SET DEFAULT": 4,
+    None: 1,  # H2 1.4.200's default referential action is RESTRICT
+}
+
 _VIEWS_COLS = [
     ("TABLE_CATALOG", "STRING"),
     ("TABLE_SCHEMA", "STRING"),
@@ -303,7 +335,17 @@ def refresh_information_schema(engine: "Engine") -> None:
     # the quoted COLUMN_LIST; the registry keys are casefolded, so
     # the spelled logical name comes from the catalog
     by_cf = {str(k).casefold(): str(k) for k in engine.sink.catalog}
-    krows = []
+    # the referenced table's recorded PK name fills PK_NAME (H2's
+    # getImportedKeys convention; NULL when the FK references a
+    # plain column list)
+    pk_name_of = {
+        tkey: next(
+            (e["name"] for e in entries if e["type"] == "PRIMARY KEY"),
+            None,
+        )
+        for tkey, entries in all_cons.items()
+    }
+    krows, xrows = [], []
     for tkey, entries in all_cons.items():
         tname = by_cf.get(tkey)
         if tname is None:
@@ -314,7 +356,11 @@ def refresh_information_schema(engine: "Engine") -> None:
                     cat,
                     "PUBLIC",
                     e["name"],
-                    e["type"],
+                    # H2 spells the FK type REFERENTIAL in its
+                    # CONSTRAINTS view
+                    "REFERENTIAL"
+                    if e["type"] == "FOREIGN KEY"
+                    else e["type"],
                     cat,
                     "PUBLIC",
                     tname,
@@ -328,12 +374,38 @@ def refresh_information_schema(engine: "Engine") -> None:
                     None,
                 )
             )
+            if e["type"] != "FOREIGN KEY":
+                continue
+            rkey = e["ref_table"].casefold()
+            rname = by_cf.get(rkey, e["ref_table"])
+            for i, (fc, pc) in enumerate(
+                zip(e["columns"], e["ref_columns"]), start=1
+            ):
+                xrows.append(
+                    (
+                        cat,
+                        "PUBLIC",
+                        rname,
+                        pc,
+                        cat,
+                        "PUBLIC",
+                        tname,
+                        fc,
+                        i,
+                        _FK_RULE_CODES.get(e.get("update_rule"), 1),
+                        _FK_RULE_CODES.get(e.get("delete_rule"), 1),
+                        e["name"],
+                        pk_name_of.get(rkey),
+                        7,
+                    )
+                )
     spark.sql(f"CREATE DATABASE IF NOT EXISTS `{DB}`")
     for view, cols, rows in (
         ("tables", _TABLES_COLS, trows),
         ("columns", _COLUMNS_COLS, crows),
         ("sequences", _SEQUENCES_COLS, srows),
         ("constraints", _CONSTRAINTS_COLS, krows),
+        ("cross_references", _CROSS_REFS_COLS, xrows),
         ("views", _VIEWS_COLS, vrows),
     ):
         names = [n for n, _ in cols]
@@ -408,8 +480,12 @@ def execute_show(engine: "Engine", statement: str, shadow: str, m) -> DataFrame:
     # PRI for a primary-key member, UNI for a unique member)
     pk_cols, uni_cols = set(), set()
     for e in engine.constraints.for_table(target):
-        bucket = pk_cols if e["type"] == "PRIMARY KEY" else uni_cols
-        bucket.update(c.casefold() for c in e["columns"])
+        if e["type"] == "PRIMARY KEY":
+            pk_cols.update(c.casefold() for c in e["columns"])
+        elif e["type"] == "UNIQUE":
+            uni_cols.update(c.casefold() for c in e["columns"])
+        # CHECK has no members; FOREIGN KEY members carry no KEY mark
+        # here (H2's PRI/UNI come from unique indexes only)
     rows = []
     for f in engine.table(target).schema.fields:
         tname, _, cmax, prec, scale = h2_type_info(f.dataType)

@@ -173,6 +173,8 @@ def script_lines(
     # would re-open and re-parse the JSON twice per table, and a
     # concurrent writer could slip between the two reads of one table
     all_cons = engine.constraints.all()
+    fk_lines: list[str] = []
+    scoped_cf = {n.casefold() for n in names}
     for logical in names:
         try:
             schema = engine.table(logical).schema
@@ -207,6 +209,32 @@ def script_lines(
         # expression dialect — backtick identifiers — and re-spelled
         # with H2 double quotes so a real H2 could load the dump)
         for e in tcons:
+            if e["type"] == "FOREIGN KEY":
+                # H2 emits referential constraints AFTER all tables
+                # (a restore must create the referenced table first)
+                # with its own dumps' trailing NOCHECK. A scoped dump
+                # (our extension) emits an FK only when its
+                # referenced table is also in scope — the line could
+                # not restore otherwise.
+                if e["ref_table"].casefold() not in scoped_cf and (
+                    only_tables is not None
+                ):
+                    continue
+                cq = ", ".join(q(c) for c in e["columns"])
+                rq = ", ".join(q(c) for c in e["ref_columns"])
+                body = (
+                    f"FOREIGN KEY({cq}) REFERENCES "
+                    f"{q(e['ref_table'])}({rq})"
+                )
+                if e.get("delete_rule"):
+                    body += f" ON DELETE {e['delete_rule']}"
+                if e.get("update_rule"):
+                    body += f" ON UPDATE {e['update_rule']}"
+                fk_lines.append(
+                    f"ALTER TABLE {q(logical)} ADD CONSTRAINT "
+                    f"{q(e['name'])} {body} NOCHECK;"
+                )
+                continue
             if e["type"] == "CHECK":
                 body = f"CHECK({_spark_expr_to_h2(e['predicate'])})"
             else:
@@ -216,6 +244,7 @@ def script_lines(
                 f"ALTER TABLE {q(logical)} ADD CONSTRAINT "
                 f"{q(e['name'])} {body};"
             )
+    lines.extend(fk_lines)
     # views LAST and spelled CREATE FORCE VIEW, exactly like H2's own
     # SCRIPT output: FORCE lets the dump load regardless of
     # view-over-view order, and the definition re-spells its

@@ -29,25 +29,45 @@ log = logging.getLogger(__name__)
 
 def split_sql_script(script: str) -> list[str]:
     """Split a SQL script into statements on ';' outside single/double
-    quotes and backticks."""
+    quotes and backticks, COMMENT-AWARE: ``--`` to end-of-line and
+    ``/* */`` blocks are dropped (a ';' inside one never splits, and
+    a statement that is ONLY comments is not a statement at all).
+    This is what lets a dump authored by a real H2 1.4.200 — whose
+    SCRIPT output interleaves ``-- 3 +/- SELECT COUNT(*) FROM
+    PUBLIC.T;`` row-count comment lines with the data — replay
+    through RUNSCRIPT (H2Server.scala:41-58 runs arbitrary user
+    scripts; r12 verdict gap #3)."""
     out: list[str] = []
     buf: list[str] = []
     quote: Optional[str] = None
-    for ch in script:
+    i, n = 0, len(script)
+    while i < n:
+        ch = script[i]
         if quote is not None:
             buf.append(ch)
             if ch == quote:
                 quote = None
+            i += 1
         elif ch in ("'", '"', "`"):
             quote = ch
             buf.append(ch)
+            i += 1
+        elif ch == "-" and i + 1 < n and script[i + 1] == "-":
+            while i < n and script[i] != "\n":
+                i += 1  # drop comment text; keep the newline
+        elif ch == "/" and i + 1 < n and script[i + 1] == "*":
+            j = script.find("*/", i + 2)
+            i = n if j == -1 else j + 2
+            buf.append(" ")  # a block comment is whitespace, not glue
         elif ch == ";":
             stmt = "".join(buf).strip()
             if stmt:
                 out.append(stmt)
             buf = []
+            i += 1
         else:
             buf.append(ch)
+            i += 1
     stmt = "".join(buf).strip()
     if stmt:
         out.append(stmt)

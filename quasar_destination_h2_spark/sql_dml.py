@@ -136,6 +136,7 @@ def parse_update(sql: str, shadow: str):
     """-> (table, {col: expr_text}, cond_text)"""
     m = re.compile(r"\s*UPDATE\s", re.I).match(shadow)
     table, pos = _parse_ident(sql, shadow, m.end())
+    table, pos = _strip_public_qualifier(sql, shadow, table, pos, "UPDATE")
     mset = re.compile(r"\s*SET\s", re.I).match(shadow, pos)
     if not mset:
         raise ValueError("UPDATE: expected SET")
@@ -167,6 +168,7 @@ def parse_delete(sql: str, shadow: str):
     if not m:
         raise ValueError("DELETE: expected DELETE FROM")
     table, pos = _parse_ident(sql, shadow, m.end())
+    table, pos = _strip_public_qualifier(sql, shadow, table, pos, "DELETE")
     mwhere = _find_kw(shadow, "WHERE", pos)
     cond = sql[mwhere.end() :].strip() if mwhere else "true"
     if not mwhere and sql[pos:].strip():
@@ -181,6 +183,7 @@ def parse_merge(sql: str, shadow: str):
     if not m:
         raise ValueError("MERGE: expected MERGE INTO")
     table, pos = _parse_ident(sql, shadow, m.end())
+    table, pos = _strip_public_qualifier(sql, shadow, table, pos, "MERGE")
     while pos < len(sql) and sql[pos].isspace():
         pos += 1
     cols = None
@@ -222,6 +225,7 @@ def parse_insert(sql: str, shadow: str):
     if not m:
         raise ValueError("INSERT: expected INSERT INTO")
     table, pos = _parse_ident(sql, shadow, m.end())
+    table, pos = _strip_public_qualifier(sql, shadow, table, pos, "INSERT")
     while pos < len(sql) and sql[pos].isspace():
         pos += 1
     cols = None
@@ -592,6 +596,12 @@ def execute(engine, statement: str):
                 "statements instead."
             )
         return None
+    mpr = _PRINCIPAL_RE.match(shadow)
+    if mpr:
+        # H2 users / roles / rights (the preamble of every dump a
+        # real H2 1.4.200 authors) — documented no-ops on this
+        # single-principal engine (r12 verdict task 1)
+        return _execute_principal(engine, statement, shadow, mpr)
     mset = _SET_RE.match(shadow)
     if mset:
         # H2 session SET commands (JDBC pools emit these on connect)
@@ -690,6 +700,18 @@ _TXN_RE = re.compile(
     re.I,
 )
 
+#: H2 principal / rights statements: the PREAMBLE of every dump a
+#: real H2 1.4.200 authors. Its SCRIPT output opens with ``CREATE
+#: USER IF NOT EXISTS "SA" SALT '...' HASH '...' ADMIN;`` and may
+#: carry CREATE ROLE / GRANT / REVOKE lines for any users and rights
+#: the dumped database held — so RUNSCRIPT of a genuinely foreign
+#: dump hits these before its first table (r12 verdict gap #3).
+_PRINCIPAL_RE = re.compile(
+    r"\s*(?:(?P<verb>CREATE|DROP|ALTER)\s+(?P<kind>USER|ROLE)\b"
+    r"|(?P<right>GRANT|REVOKE)\b)",
+    re.I,
+)
+
 _SET_RE = re.compile(r"\s*SET\s+(@?[A-Za-z_][A-Za-z0-9_]*)\b", re.I)
 
 #: H2 1.4.200 session knobs with NO analogue on a Spark/parquet
@@ -713,6 +735,57 @@ _SET_SEMANTIC = frozenset({
     "MODE", "IGNORECASE", "COLLATION", "ALLOW_LITERALS",
     "DEFAULT_TABLE_TYPE", "COMPRESS_LOB", "BINARY_COLLATION",
 })
+
+
+def _execute_principal(engine, statement: str, shadow: str, m):
+    """H2 ``CREATE/DROP/ALTER USER``, ``CREATE/DROP ROLE``,
+    ``GRANT``/``REVOKE`` — ACCEPTED NO-OPS, documented: this engine
+    has a single principal (the process), so H2's authorization
+    surface has nothing to attach to — exactly the SET-knob
+    precedent (storage/locking knobs with no analogue are no-ops,
+    ``_SET_NOOP``). What it buys: a dump authored by a real H2
+    1.4.200 opens with ``CREATE USER IF NOT EXISTS "SA" SALT '...'
+    HASH '...' ADMIN;`` and may carry GRANT lines — RUNSCRIPT of a
+    foreign dump must replay them, not die on line 1 (the reference
+    feeds arbitrary user scripts through its H2,
+    H2Server.scala:41-58). Passwords/salts/hashes are NOT recorded
+    anywhere (no catalog surface exposes them). Shape is validated —
+    a principal statement must still parse its principal name, and
+    GRANT/REVOKE their TO/FROM clause — so a typo errors rather than
+    silently no-oping."""
+    if m.group("right"):
+        kw = m.group("right").upper()
+        need = "TO" if kw == "GRANT" else "FROM"
+        if not re.search(rf"\b{need}\b", shadow[m.end():], re.I):
+            raise ValueError(
+                f"{kw}: expected {kw} <right|role> {need} <principal>"
+            )
+        return None
+    verb = m.group("verb").upper()
+    kind = m.group("kind").upper()
+    pos = m.end()
+    mex = re.compile(
+        r"\s*IF\s+(?:NOT\s+)?EXISTS\s+", re.I
+    ).match(shadow, pos)
+    if mex:
+        if (verb == "CREATE") != ("NOT" in mex.group(0).upper()):
+            raise ValueError(
+                f"{verb} {kind}: IF {'NOT ' if verb == 'CREATE' else ''}"
+                f"EXISTS is the supported form"
+            )
+        pos = mex.end()
+    name, pos = _parse_ident(statement, shadow, pos)
+    if not name:
+        raise ValueError(f"{verb} {kind}: expected a name")
+    tail = shadow[pos:].strip()
+    if verb == "DROP" and tail:
+        raise ValueError(f"DROP {kind}: unexpected trailing text {tail!r}")
+    if kind == "ROLE" and verb != "DROP" and tail:
+        raise ValueError(f"{verb} ROLE: unexpected trailing text {tail!r}")
+    # CREATE/ALTER USER tails (PASSWORD/SALT/HASH/ADMIN/RENAME TO/
+    # SET ...) are accepted without further parsing: H2 grammars
+    # several credential forms and none of them is recorded here
+    return None
 
 
 def _execute_set(engine, statement: str, shadow: str, m):
@@ -1196,6 +1269,9 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         )
         if ms:
             name, pos = _parse_ident(statement, shadow, ms.end())
+            name, pos = _strip_public_qualifier(
+                statement, shadow, name, pos, "CREATE SEQUENCE"
+            )
             tail = shadow[pos:]
             opts, consumed = _parse_sequence_options(tail)
             _reject_sequence_tail(tail, consumed, "CREATE SEQUENCE")
@@ -1254,6 +1330,14 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         if not mc:
             return engine.sql(statement)  # CREATE DATABASE / FUNCTION ...
         table, pos = _parse_ident(statement, shadow, mc.end())
+        if (
+            pos < len(shadow)
+            and shadow[pos] == "."
+            and table.casefold() == "public"
+        ):
+            # qualified CTAS targets strip the one schema we model;
+            # other qualifiers stay Spark-native (CREATE TABLE db.t)
+            table, pos = _parse_ident(statement, shadow, pos + 1)
         _guard_view_collision(engine, table, "CREATE TABLE")
         mas = re.compile(r"\s*AS\b", re.I).match(shadow, pos)
         if not mas:
@@ -1274,7 +1358,10 @@ def _execute_verb(engine, statement: str, shadow: str, m):
             r"\s*DROP\s+SEQUENCE\s+(?P<ie>IF\s+EXISTS\s+)?", shadow, re.I
         )
         if md:
-            name, _ = _parse_ident(statement, shadow, md.end())
+            name, npos = _parse_ident(statement, shadow, md.end())
+            name, _ = _strip_public_qualifier(
+                statement, shadow, name, npos, "DROP SEQUENCE"
+            )
             engine.sequences.drop(name, if_exists=md.group("ie") is not None)
             engine._republish_info_schema()
             return None
@@ -1291,6 +1378,9 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         if not md:
             return engine.sql(statement)  # DROP DATABASE / ...
         table, pos = _parse_ident(statement, shadow, md.end())
+        table, pos = _strip_public_qualifier(
+            statement, shadow, table, pos, "DROP TABLE"
+        )
         if engine.views.get(table) is not None:
             # H2 parity: DROP TABLE on a view errors with the hint
             raise ValueError(
@@ -1310,17 +1400,32 @@ def _execute_verb(engine, statement: str, shadow: str, m):
                 return None
             return engine.sql(statement)  # session-managed table or error
         # H2's RESTRICT default: a view depending on the table blocks
-        # the drop; CASCADE drops the dependent views (recursively)
+        # the drop; CASCADE drops the dependent views (recursively).
+        # Same discipline for recorded inbound FOREIGN KEYs (H2
+        # refuses to drop a referenced table; CASCADE drops the
+        # referencing CONSTRAINTS — never the referencing tables)
         deps = engine.views.dependents_of(logical)
-        if deps and not cascade:
+        inbound = engine.constraints.referencing(logical)
+        if (deps or inbound) and not cascade:
+            what = []
+            if deps:
+                what.append(f"view(s) {deps}")
+            if inbound:
+                what.append(
+                    "FOREIGN KEY(s) "
+                    + str(sorted(e["name"] for _, e in inbound))
+                )
             raise ValueError(
-                f"DROP TABLE: view(s) {deps} depend on {logical!r} "
-                "(H2 RESTRICT default) — use DROP TABLE ... CASCADE"
+                f"DROP TABLE: {' and '.join(what)} depend on "
+                f"{logical!r} (H2 RESTRICT default) — use DROP "
+                "TABLE ... CASCADE"
             )
         if cascade:
             _drop_dependent_views(engine, logical)
+            for tkey, e in inbound:
+                engine.constraints.drop(tkey, e["name"], if_exists=True)
         engine.drop_table_if_exists(logical)
-        if deps:
+        if deps or inbound:
             engine._republish_info_schema()
         return None
 
@@ -1328,7 +1433,10 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         mt = re.match(r"\s*TRUNCATE\s+TABLE\s", shadow, re.I)
         if not mt:
             raise ValueError("TRUNCATE: expected TRUNCATE TABLE")
-        table, _ = _parse_ident(statement, shadow, mt.end())
+        table, tpos = _parse_ident(statement, shadow, mt.end())
+        table, _ = _strip_public_qualifier(
+            statement, shadow, table, tpos, "TRUNCATE"
+        )
         _guard_view_target(engine, table, "TRUNCATE")
         try:
             logical = _logical(engine, table)
@@ -1340,6 +1448,9 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         msq = re.match(r"\s*ALTER\s+SEQUENCE\s", shadow, re.I)
         if msq:
             name, pos = _parse_ident(statement, shadow, msq.end())
+            name, pos = _strip_public_qualifier(
+                statement, shadow, name, pos, "ALTER SEQUENCE"
+            )
             tail = shadow[pos:]
             restart = re.search(r"\bRESTART(?:\s+WITH\s+(-?\d+))?", tail, re.I)
             opts, consumed = _parse_sequence_options(tail)
@@ -1418,15 +1529,43 @@ def _execute_verb(engine, statement: str, shadow: str, m):
             seg = statement[mcadd.end() :].rstrip().rstrip(";")
             parsed = _parse_constraint_clause(seg, _shadow(seg))
             assert parsed is not None  # lookahead guarantees a clause
-            cname, ctype, cols, pred = parsed
+            cname, ctype, cols, extra, nocheck = parsed
             if ctype == "CHECK":
                 # accept-and-ENFORCE (r11 verdict task 2): H2 checks
                 # the EXISTING rows when the constraint is added —
-                # one bounded scan — then every DML write enforces it
-                pred = _h2_expr_to_spark(pred)
-                engine.validate_check_predicate(logical, pred)
+                # one bounded scan — then every DML write enforces
+                # it. NOCHECK (what H2's own dumps spell) skips the
+                # existing-row scan but never the analysis: an
+                # unparseable predicate must still fail the DDL.
+                pred = _h2_expr_to_spark(extra)
+                engine.validate_check_predicate(
+                    logical, pred, validate_rows=not nocheck
+                )
                 engine.constraints.add(
                     logical, "CHECK", [], cname, predicate=pred
+                )
+                engine._republish_info_schema()
+                return None
+            if ctype == "FOREIGN KEY":
+                # accept-and-RECORD (r12 verdict task 1): the FK
+                # lands in the registry + INFORMATION_SCHEMA
+                # (REFERENTIAL / CROSS_REFERENCES) + SCRIPT dumps;
+                # enforcement is documented as not provided
+                # (constraints.py module docstring)
+                res = resolve_columns(
+                    cols,
+                    engine.table(logical).columns,
+                    "ALTER TABLE ADD FOREIGN KEY: column not found",
+                )
+                fk = _resolve_foreign_key(
+                    engine, logical, [res[c] for c in cols], extra
+                )
+                engine.constraints.add(
+                    logical,
+                    "FOREIGN KEY",
+                    [res[c] for c in cols],
+                    cname,
+                    foreign=fk,
                 )
                 engine._republish_info_schema()
                 return None
@@ -1775,18 +1914,162 @@ def _drop_view(engine, statement: str, shadow: str, mdv):
     return None
 
 
+_FK_ACTIONS = ("CASCADE", "RESTRICT", "NO ACTION", "SET NULL",
+               "SET DEFAULT")
+
+
+def _parse_fk_tail(seg: str, sshadow: str, pos: int):
+    """``REFERENCES [PUBLIC.]rtable [(rcols)] [ON DELETE act]
+    [ON UPDATE act]`` → (ref_table, rcols_or_None, update_rule,
+    delete_rule, next_pos). Actions per H2 1.4.200 grammar."""
+    mref = re.compile(r"\s*REFERENCES\s+", re.I).match(sshadow, pos)
+    if not mref:
+        raise ValueError(
+            f"constraint clause {seg!r}: expected REFERENCES"
+        )
+    rtable, pos = _parse_ident(seg, sshadow, mref.end())
+    rtable, pos = _strip_public_qualifier(
+        seg, sshadow, rtable, pos, "FOREIGN KEY REFERENCES"
+    )
+    rcols = None
+    mop = re.compile(r"\s*\(", re.I).match(sshadow, pos)
+    if mop:
+        open_p = mop.end() - 1
+        close = _match_close(sshadow, open_p)
+        rcols = [
+            _parse_ident(s, _shadow(s), 0)[0]
+            for s in _split_top_level(seg, sshadow, open_p + 1, close)
+        ]
+        pos = close + 1
+    rules = {"DELETE": None, "UPDATE": None}
+    while True:
+        mon = re.compile(r"\s*ON\s+(DELETE|UPDATE)\s+", re.I).match(
+            sshadow, pos
+        )
+        if not mon:
+            break
+        which = mon.group(1).upper()
+        mact = re.compile(
+            r"(CASCADE|RESTRICT|NO\s+ACTION|SET\s+NULL|SET\s+DEFAULT)\b",
+            re.I,
+        ).match(sshadow, mon.end())
+        if not mact:
+            raise ValueError(
+                f"constraint clause {seg!r}: ON {which} expects one of "
+                f"{_FK_ACTIONS}"
+            )
+        if rules[which] is not None:
+            raise ValueError(
+                f"constraint clause {seg!r}: duplicate ON {which}"
+            )
+        rules[which] = re.sub(r"\s+", " ", mact.group(1).upper())
+        pos = mact.end()
+    return rtable, rcols, rules["UPDATE"], rules["DELETE"], pos
+
+
+def _resolve_foreign_key(
+    engine,
+    owner: str,
+    cols: list,
+    fk: dict,
+    local_columns: list | None = None,
+    local_pk: list | None = None,
+) -> dict:
+    """Resolve a parsed FOREIGN KEY clause against the catalog before
+    it is recorded (H2 validates referential DDL even when the
+    constraint is restored NOCHECK): the referenced table must exist
+    (engine catalog, case-insensitive), the referenced columns must
+    exist on it, an omitted column list defaults to its recorded
+    PRIMARY KEY (H2's rule), and arity must match. ``local_columns``
+    / ``local_pk`` serve CREATE TABLE's self-referencing FKs, where
+    the owning table is not in the catalog yet. Returns the resolved
+    dict (catalog spellings) for the registry."""
+    rt = fk["ref_table"]
+    if rt.casefold() == owner.casefold():
+        ref_logical = owner
+        if local_columns is not None:
+            avail = list(local_columns)
+            pk_cols = list(local_pk or [])
+        else:
+            avail = engine.table(owner).columns
+            pk_cols = [
+                c
+                for e in engine.constraints.for_table(owner)
+                if e["type"] == "PRIMARY KEY"
+                for c in e["columns"]
+            ]
+    else:
+        ref_logical = None
+        for k in engine.sink.catalog:
+            if str(k).casefold() == rt.casefold():
+                ref_logical = str(k)
+                break
+        if ref_logical is None:
+            raise ValueError(
+                f"FOREIGN KEY: referenced table not found in the "
+                f"engine catalog: {rt!r}"
+            )
+        avail = engine.table(ref_logical).columns
+        pk_cols = [
+            c
+            for e in engine.constraints.for_table(ref_logical)
+            if e["type"] == "PRIMARY KEY"
+            for c in e["columns"]
+        ]
+    rcols = fk.get("ref_columns")
+    if rcols is None:
+        if not pk_cols:
+            raise ValueError(
+                f"FOREIGN KEY: referenced table {ref_logical!r} has "
+                "no recorded PRIMARY KEY — name the referenced "
+                "columns explicitly (H2 defaults to the PK)"
+            )
+        rcols_resolved = list(pk_cols)
+    else:
+        res = resolve_columns(
+            rcols, avail, "FOREIGN KEY: referenced column not found"
+        )
+        rcols_resolved = [res[c] for c in rcols]
+    if len(rcols_resolved) != len(cols):
+        raise ValueError(
+            f"FOREIGN KEY: {len(cols)} column(s) reference "
+            f"{len(rcols_resolved)} column(s) — counts must match"
+        )
+    return {
+        "ref_table": ref_logical,
+        "ref_columns": rcols_resolved,
+        "update_rule": fk.get("update_rule"),
+        "delete_rule": fk.get("delete_rule"),
+    }
+
+
+def _strip_nocheck(seg: str, sshadow: str, pos: int) -> tuple[bool, str]:
+    """Trailing ``[CHECK|NOCHECK]`` of an H2 constraint clause (its
+    own SCRIPT spells every restored CHECK/FK constraint NOCHECK =
+    skip validating existing rows). Returns (nocheck, leftover)."""
+    tail = sshadow[pos:].strip()
+    if re.fullmatch(r"NOCHECK", tail, re.I):
+        return True, ""
+    if re.fullmatch(r"CHECK", tail, re.I):
+        return False, ""
+    return False, tail
+
+
 def _parse_constraint_clause(seg: str, sshadow: str):
     """Parse one table-level constraint segment — ``[CONSTRAINT
-    [PUBLIC.]name] PRIMARY KEY|UNIQUE (col, ...) | CHECK (pred)`` →
-    (name_or_None, type, [cols], predicate_or_None). PK/UNIQUE are
-    accept-and-record; CHECK is accept-and-ENFORCE on the engine's
-    DML rewrite path (r11 verdict task 2 — every INSERT/UPDATE/MERGE
-    flows through sql_dml, so the predicate costs one bounded filter
-    over the written rows). FOREIGN KEY still raises loudly (cross-
-    table enforcement on every write is a different cost class, and
-    a recorded-but-unenforced referential predicate would be trusted
-    by catalog readers while no write path upholds it). Returns None
-    when the segment is not a constraint clause at all."""
+    [PUBLIC.]name] { PRIMARY KEY|UNIQUE (col, ...) | CHECK (pred) |
+    FOREIGN KEY (col, ...) REFERENCES rt [(rcols)] [ON DELETE|UPDATE
+    act] } [CHECK|NOCHECK]`` → (name_or_None, type, [cols], extra,
+    nocheck) where ``extra`` is the CHECK predicate string, the
+    FOREIGN KEY dict (ref_table/ref_columns/update_rule/
+    delete_rule — ref_columns None = referenced table's PK), or
+    None. PK/UNIQUE/FOREIGN KEY are accept-and-record (FK since r13,
+    r12 verdict task 1 — enforcement documented as not provided);
+    CHECK is accept-and-ENFORCE on the engine's DML rewrite path.
+    ``nocheck`` mirrors H2's trailing NOCHECK: skip validating
+    EXISTING rows when the constraint is added (H2's own dumps spell
+    every restored CHECK/FK constraint this way). Returns None when
+    the segment is not a constraint clause at all."""
     if not re.match(
         r"(?:PRIMARY\s+KEY|CONSTRAINT|UNIQUE|FOREIGN|CHECK)\b",
         sshadow,
@@ -1811,7 +2094,8 @@ def _parse_constraint_clause(seg: str, sshadow: str):
     if mck:
         open_p = mck.end() - 1
         close = _match_close(sshadow, open_p)
-        if sshadow[close + 1 :].strip():
+        nocheck, leftover = _strip_nocheck(seg, sshadow, close + 1)
+        if leftover:
             raise ValueError(
                 f"constraint clause {seg!r}: unexpected trailing text "
                 "after CHECK (...)"
@@ -1819,19 +2103,40 @@ def _parse_constraint_clause(seg: str, sshadow: str):
         pred = seg[open_p + 1 : close].strip()
         if not pred:
             raise ValueError(f"constraint clause {seg!r}: empty CHECK")
-        return name, "CHECK", [], pred
+        return name, "CHECK", [], pred, nocheck
+    mfk = re.compile(r"\s*FOREIGN\s+KEY\s*\(", re.I).match(sshadow, pos)
+    if mfk:
+        open_p = mfk.end() - 1
+        close = _match_close(sshadow, open_p)
+        cols = [
+            _parse_ident(s, _shadow(s), 0)[0]
+            for s in _split_top_level(seg, sshadow, open_p + 1, close)
+        ]
+        rtable, rcols, upd, dele, pos = _parse_fk_tail(
+            seg, sshadow, close + 1
+        )
+        nocheck, leftover = _strip_nocheck(seg, sshadow, pos)
+        if leftover:
+            raise ValueError(
+                f"constraint clause {seg!r}: unexpected trailing "
+                f"text {leftover!r}"
+            )
+        fk = {
+            "ref_table": rtable,
+            "ref_columns": rcols,
+            "update_rule": upd,
+            "delete_rule": dele,
+        }
+        return name, "FOREIGN KEY", cols, fk, nocheck
     # H2 grammar allows PRIMARY KEY [HASH] at table level too
     mk = re.compile(
         r"\s*(PRIMARY\s+KEY(?:\s+HASH)?|UNIQUE)\s*\(", re.I
     ).match(sshadow, pos)
     if not mk:
         raise ValueError(
-            f"constraint clause {seg!r} is unsupported: PRIMARY KEY "
-            "and UNIQUE are recorded, CHECK is recorded AND enforced "
-            "on the DML path; FOREIGN KEY is rejected loudly by "
-            "design — a recorded-but-unenforced referential "
-            "predicate would be trusted by catalog readers while no "
-            "write path upholds it"
+            f"constraint clause {seg!r} is unsupported: PRIMARY KEY, "
+            "UNIQUE and FOREIGN KEY are recorded, CHECK is recorded "
+            "AND enforced on the DML path"
         )
     ctype = (
         "PRIMARY KEY"
@@ -1844,6 +2149,14 @@ def _parse_constraint_clause(seg: str, sshadow: str):
         _parse_ident(s, _shadow(s), 0)[0]
         for s in _split_top_level(seg, sshadow, open_p + 1, close)
     ]
+    # H2's ALTER grammar allows a trailing [CHECK|NOCHECK] on every
+    # constraint form; for record-only PK/UNIQUE it is moot either way
+    _, leftover = _strip_nocheck(seg, sshadow, close + 1)
+    if leftover:
+        raise ValueError(
+            f"constraint clause {seg!r}: unexpected trailing text "
+            f"{leftover!r}"
+        )
     seen: set = set()
     for c in cols:
         if c.casefold() in seen:
@@ -1851,7 +2164,7 @@ def _parse_constraint_clause(seg: str, sshadow: str):
                 f"constraint clause {seg!r}: column {c!r} listed twice"
             )
         seen.add(c.casefold())
-    return name, ctype, cols, None
+    return name, ctype, cols, None, False
 
 
 def _create_cached_table(engine, statement: str, shadow: str, mcache):
@@ -1861,19 +2174,23 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
     schema (CACHED is H2's default table kind — its SCRIPT output
     spells every table this way, and restoring one must land back in
     the engine catalog, not Spark's session namespace like the plain
-    column-defs form). PRIMARY KEY / UNIQUE — inline or table-level
-    — are ACCEPTED AND RECORDED in the constraint registry (the
-    CREATE INDEX no-op precedent; parquet tables have no enforced
-    keys) and surfaced through INFORMATION_SCHEMA.CONSTRAINTS and
-    SHOW COLUMNS' KEY column. PK columns are declared NOT NULL like
-    H2's — note Spark's file-based saveAsTable forces stored columns
-    nullable, so the REGISTRY (which SCRIPT re-emits, spelling PK
-    members NOT NULL) is the authoritative carrier of that intent,
-    not the stored parquet schema. CHECK / FOREIGN KEY still raise
-    loudly (documented choice, see constraints.py)."""
+    column-defs form). PRIMARY KEY / UNIQUE / FOREIGN KEY — inline
+    or table-level — are ACCEPTED AND RECORDED in the constraint
+    registry (the CREATE INDEX no-op precedent; parquet tables have
+    no enforced keys; FK since r13, r12 verdict task 1) and surfaced
+    through INFORMATION_SCHEMA.CONSTRAINTS / CROSS_REFERENCES and
+    SHOW COLUMNS' KEY column; CHECK is recorded AND enforced on the
+    DML path. PK columns are declared NOT NULL like H2's — note
+    Spark's file-based saveAsTable forces stored columns nullable,
+    so the REGISTRY (which SCRIPT re-emits, spelling PK members NOT
+    NULL) is the authoritative carrier of that intent, not the
+    stored parquet schema."""
     from pyspark.sql import types as T
 
     table, pos = _parse_ident(statement, shadow, mcache.end())
+    table, pos = _strip_public_qualifier(
+        statement, shadow, table, pos, "CREATE CACHED TABLE"
+    )
     open_p = shadow.find("(", pos)
     if open_p < 0:
         raise ValueError("CREATE CACHED TABLE: expected (column defs)")
@@ -1885,17 +2202,38 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
         sshadow = _shadow(seg)
         parsed = _parse_constraint_clause(seg, sshadow)
         if parsed is not None:
-            cons.append(parsed)
+            # the table is brand-new and empty, so a trailing
+            # NOCHECK (slot 5) has nothing to skip — record slots 1-4
+            cons.append(parsed[:4])
             continue
         col, p2 = _parse_ident(seg, sshadow, 0)
         type_text = seg[p2:].strip()
         tshadow = _shadow(type_text)
-        if re.search(r"\b(REFERENCES|FOREIGN)\b", tshadow, re.I):
-            raise ValueError(
-                f"column def {seg!r}: FOREIGN KEY is rejected loudly "
-                "by design (see constraints.py) — PRIMARY KEY and "
-                "UNIQUE are recorded, CHECK is recorded and enforced"
+        mref = re.search(r"\bREFERENCES\b", tshadow, re.I)
+        if mref:
+            # column-level referential clause (H2 grammar: ``col INT
+            # [NOT NULL] REFERENCES rt [(rc)] [ON DELETE|UPDATE
+            # act]``) — recorded exactly like the table-level form
+            # (accept-and-record, r12 verdict task 1)
+            rtable, rcols, upd, dele, rpos = _parse_fk_tail(
+                type_text, tshadow, mref.start()
             )
+            cons.append(
+                (
+                    None,
+                    "FOREIGN KEY",
+                    [col],
+                    {
+                        "ref_table": rtable,
+                        "ref_columns": rcols,
+                        "update_rule": upd,
+                        "delete_rule": dele,
+                    },
+                )
+            )
+            type_text = (
+                type_text[: mref.start()] + type_text[rpos:]
+            ).strip()
         # H2 column grammar: type then NOT NULL and/or
         # UNIQUE | PRIMARY KEY [HASH] | CHECK (pred), in EITHER
         # order — strip trailing tokens until the bare type remains
@@ -1992,8 +2330,41 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
     # unparseable predicate must fail the CREATE, not the first
     # INSERT months later (statement atomicity: nothing written yet)
     cons = [
-        (cname, ctype, cols, _h2_expr_to_spark(pred) if pred else pred)
-        for cname, ctype, cols, pred in cons
+        (
+            cname,
+            ctype,
+            cols,
+            _h2_expr_to_spark(extra) if ctype == "CHECK" else extra,
+        )
+        for cname, ctype, cols, extra in cons
+    ]
+    # FOREIGN KEYs resolve against the catalog (or, self-referencing,
+    # against the declared columns + declared PK) BEFORE the table is
+    # created — atomic rejection like every other constraint error
+    local_pk = [
+        c
+        for _, ctype, cols, _x in cons
+        if ctype == "PRIMARY KEY"
+        for c in cols
+    ]
+    declared_spelled = [f.name for f in fields]
+    cons = [
+        (
+            cname,
+            ctype,
+            cols,
+            _resolve_foreign_key(
+                engine,
+                table,
+                cols,
+                extra,
+                local_columns=declared_spelled,
+                local_pk=local_pk,
+            )
+            if ctype == "FOREIGN KEY"
+            else extra,
+        )
+        for cname, ctype, cols, extra in cons
     ]
     # a table-level PK also forces NOT NULL on its columns (H2)
     pk_cols = {
@@ -2537,6 +2908,9 @@ def parse_merge_using(sql: str, shadow: str) -> dict:
     one branch of each kind (H2 1.4 semantics), either optional."""
     m = re.compile(r"\s*MERGE\s+INTO\s", re.I).match(shadow)
     target, pos = _parse_ident(sql, shadow, m.end())
+    target, pos = _strip_public_qualifier(
+        sql, shadow, target, pos, "MERGE USING"
+    )
 
     def _opt_alias(pos: int, stop_kw: str) -> tuple[Optional[str], int]:
         save = pos

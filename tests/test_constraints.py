@@ -112,21 +112,125 @@ def test_script_roundtrip_preserves_constraints(engine):
     }
 
 
-def test_foreign_key_rejects_loudly(engine):
-    """FOREIGN KEY keeps rejecting loudly (documented choice:
-    cross-table enforcement on every write is a different cost
-    class; a recorded-but-unenforced referential predicate would be
-    trusted by catalog readers while no write path upholds it)."""
+def test_foreign_key_accept_and_record(engine):
+    """FOREIGN KEY is accept-and-record since r13 (r12 verdict task
+    1: real H2 dumps carry ``ALTER ... FOREIGN KEY ... NOCHECK``
+    lines and the loud reject killed foreign-dump restore).
+    Enforcement is documented as not provided; the record must
+    surface in INFORMATION_SCHEMA (REFERENTIAL + CROSS_REFERENCES),
+    round-trip through SCRIPT, honor DROP RESTRICT/CASCADE, and
+    survive RENAME in both directions."""
+    ex = engine.execute_sql
+    for t in ("cn_fkc", "cn_fkp2", "cn_fkp"):
+        ex(f'DROP TABLE IF EXISTS "{t}" CASCADE')
+    ex('CREATE CACHED TABLE "cn_fkp"("id" INT NOT NULL, "v" VARCHAR(8))')
+    ex('ALTER TABLE "cn_fkp" ADD CONSTRAINT "cn_pk" PRIMARY KEY("id")')
+    # referenced table must EXIST (H2 validates referential DDL)
+    with pytest.raises(ValueError, match="referenced table not found"):
+        ex(
+            'CREATE CACHED TABLE "cn_fkc"("x" INT, '
+            'FOREIGN KEY ("x") REFERENCES "nowhere"("y"))'
+        )
+    # table-level at create (explicit columns + rules), column-level
+    # inline (defaults to the referenced PK), ALTER ADD with H2's
+    # dump spellings (PUBLIC qualifiers + trailing NOCHECK)
+    ex(
+        'CREATE CACHED TABLE "cn_fkc"("x" INT, "y" INT, '
+        'CONSTRAINT "cn_fk1" FOREIGN KEY ("x") REFERENCES '
+        '"cn_fkp"("id") ON DELETE CASCADE ON UPDATE SET NULL)'
+    )
+    ex('CREATE CACHED TABLE "cn_fkp2"("z" INT REFERENCES "cn_fkp")')
+    ex(
+        'ALTER TABLE "PUBLIC"."cn_fkc" ADD CONSTRAINT '
+        '"PUBLIC"."cn_fk2" FOREIGN KEY("y") REFERENCES '
+        '"PUBLIC"."cn_fkp"("id") NOCHECK'
+    )
+    ents = {
+        e["name"]: e for e in engine.constraints.for_table("cn_fkc")
+    }
+    assert ents["cn_fk1"]["ref_table"] == "cn_fkp"
+    assert ents["cn_fk1"]["ref_columns"] == ["id"]
+    assert ents["cn_fk1"]["delete_rule"] == "CASCADE"
+    assert ents["cn_fk1"]["update_rule"] == "SET NULL"
+    assert ents["cn_fk2"]["ref_columns"] == ["id"]
+    inline = engine.constraints.for_table("cn_fkp2")[0]
+    assert inline["ref_columns"] == ["id"]  # defaulted to the PK
+    # INFORMATION_SCHEMA: REFERENTIAL type + CROSS_REFERENCES rows
+    # with JDBC rule codes (CASCADE=0, RESTRICT(default)=1,
+    # SET NULL=2) and the referenced PK's name
+    got = {
+        tuple(r)
+        for r in ex(
+            "SELECT FK_NAME, PKTABLE_NAME, PKCOLUMN_NAME, "
+            "FKCOLUMN_NAME, UPDATE_RULE, DELETE_RULE, PK_NAME "
+            "FROM INFORMATION_SCHEMA.CROSS_REFERENCES "
+            "WHERE FKTABLE_NAME = 'cn_fkc'"
+        ).collect()
+    }
+    assert got == {
+        ("cn_fk1", "cn_fkp", "id", "x", 2, 0, "cn_pk"),
+        ("cn_fk2", "cn_fkp", "id", "y", 1, 1, "cn_pk"),
+    }
+    types = {
+        r[0]: r[1]
+        for r in ex(
+            "SELECT CONSTRAINT_NAME, CONSTRAINT_TYPE FROM "
+            "INFORMATION_SCHEMA.CONSTRAINTS "
+            "WHERE TABLE_NAME = 'cn_fkc'"
+        ).collect()
+    }
+    assert types == {"cn_fk1": "REFERENTIAL", "cn_fk2": "REFERENTIAL"}
+    # SCRIPT: FK lines come AFTER every table (H2's restore order),
+    # spelled with the trailing NOCHECK, and RUNSCRIPT restores them
+    lines = [r[0] for r in ex("SCRIPT NODATA").collect()]
+    fk1 = next(ln for ln in lines if '"cn_fk1"' in ln)
+    assert (
+        'FOREIGN KEY("x") REFERENCES "cn_fkp"("id") '
+        "ON DELETE CASCADE ON UPDATE SET NULL NOCHECK;" in fk1
+    )
+    last_create = max(
+        i for i, ln in enumerate(lines) if ln.startswith("CREATE CACHED")
+    )
+    assert all(
+        i > last_create
+        for i, ln in enumerate(lines)
+        if "FOREIGN KEY" in ln
+    )
+    import os
+    import tempfile
+
+    f = os.path.join(tempfile.mkdtemp(), "fk.sql")
+    scoped = [
+        r[0]
+        for r in ex(
+            'SCRIPT NODATA TABLE "cn_fkp", "cn_fkc", "cn_fkp2"'
+        ).collect()
+    ]
+    with open(f, "w") as fh:
+        fh.write("\n".join(scoped) + "\n")
+    ex('DROP TABLE "cn_fkc"')
+    ex('DROP TABLE "cn_fkp2"')
+    ex('DROP TABLE "cn_fkp" CASCADE')
+    ex(f"RUNSCRIPT FROM '{f}'")
+    rest = {
+        e["name"]: e for e in engine.constraints.for_table("cn_fkc")
+    }
+    assert rest["cn_fk1"]["delete_rule"] == "CASCADE"
+    assert rest["cn_fk2"]["ref_table"] == "cn_fkp"
+    # DROP RESTRICT blocks on inbound FKs; CASCADE drops the FK
+    # RECORDS (never the referencing tables); RENAME migrates refs
     with pytest.raises(ValueError, match="FOREIGN KEY"):
-        engine.execute_sql(
-            'CREATE CACHED TABLE "cn_fk"("x" INT, '
-            'FOREIGN KEY ("x") REFERENCES "other"("y"))'
-        )
-    with pytest.raises(ValueError, match="rejected loudly"):
-        engine.execute_sql(
-            'CREATE CACHED TABLE "cn_fk2"("x" INT '
-            'REFERENCES "other"("y"))'
-        )
+        ex('DROP TABLE "cn_fkp"')
+    ex('ALTER TABLE "cn_fkp" RENAME TO "cn_fkp_rn"')
+    assert (
+        engine.constraints.for_table("cn_fkc")[0]["ref_table"]
+        == "cn_fkp_rn"
+    )
+    ex('DROP TABLE "cn_fkp_rn" CASCADE')
+    assert engine.constraints.for_table("cn_fkc") == []
+    assert engine.constraints.for_table("cn_fkp2") == []
+    for t in ("cn_fkc", "cn_fkp2"):
+        ex(f'DROP TABLE IF EXISTS "{t}"')
 
 
 def test_check_constraints_accepted_and_enforced(engine):

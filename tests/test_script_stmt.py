@@ -140,7 +140,7 @@ def test_create_cached_table_lands_in_engine_catalog(engine):
         ("c", "decimal(10,2)"),
     ]
     # r11: PRIMARY KEY is accepted-and-recorded (constraints.py);
-    # r12: CHECK is accepted-and-enforced, FOREIGN KEY stays loud
+    # r12: CHECK is accepted-and-enforced; r13: FK accept-and-record
     engine.execute_sql("DROP TABLE IF EXISTS scr_pk")
     engine.execute_sql("CREATE CACHED TABLE scr_pk(a INT, PRIMARY KEY (a))")
     assert [
@@ -152,7 +152,9 @@ def test_create_cached_table_lands_in_engine_catalog(engine):
     assert [
         e["type"] for e in engine.constraints.for_table("scr_ck")
     ] == ["CHECK"]
-    with pytest.raises(ValueError, match="rejected loudly"):
+    # r13: FOREIGN KEY is accept-and-record, but DDL validation
+    # still rejects a reference to a table that does not exist
+    with pytest.raises(ValueError, match="referenced table not found"):
         engine.execute_sql(
             "CREATE CACHED TABLE scr_fk(a INT, "
             "FOREIGN KEY (a) REFERENCES other(b))"
