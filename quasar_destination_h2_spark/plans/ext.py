@@ -6705,3 +6705,190 @@ def q_cascade_index_append(t: TableSet) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+@query(
+    "foreign_dump_battery",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('catalog', 'constraints', 'FDB_CK_SALARY:CHECK,'
+        || 'FDB_FK_EMP_DEPT:REFERENTIAL,FDB_PK_DEPT:PRIMARY KEY,'
+        || 'FDB_PK_EMP:PRIMARY KEY,FDB_UQ_ENAME:UNIQUE'),
+      ('catalog', 'cross_references',
+        'FDB_FK_EMP_DEPT:FDB_EMP.DEPT_ID->FDB_DEPT.DEPT_ID#FDB_PK_DEPT'),
+      ('catalog', 'tables', 'FDB_DEPT,FDB_EMP'),
+      ('catalog', 'views', 'FDB_V_RICH'),
+      ('data', 'dept_count', '3'),
+      ('data', 'emp_count', '4'),
+      ('data', 'join_salaries',
+        'Accounting=7450.00,Research=800.00,Sales=2850.00'),
+      ('data', 'seq_next', '1007'),
+      ('data', 'special_chars', 'Smith, Jr; the ''quoted'''),
+      ('enforce', 'check_after_restore', 'CheckViolation:FDB_CK_SALARY'),
+      ('redump', 'fk_line', 'ALTER TABLE "FDB_EMP" ADD CONSTRAINT '
+        || '"FDB_FK_EMP_DEPT" FOREIGN KEY("DEPT_ID") REFERENCES '
+        || '"FDB_DEPT"("DEPT_ID") NOCHECK;'),
+      ('view', 'v_rich', 'Blake=2850.00,Clark=2450.00,King=5000.00')
+    ) AS T(kind, obj, detail)
+    ORDER BY kind, obj
+    """,
+)
+def q_foreign_dump_battery(t: TableSet) -> DataFrame:
+    """End-to-end restore of a dump in the exact format a REAL H2
+    1.4.200 authors (r12 verdict task 1 — the top gap: such a dump
+    previously died on line 1). The checked-in fixture
+    ``plans/h2_foreign_dump.sql`` reproduces H2 1.4.200 SCRIPT
+    output conventions line-for-line (no H2 jar or network exists in
+    this sandbox, so the fixture is authored to the documented
+    format rather than captured from a live run — every convention
+    it uses is pinned below): the leading bare ``;``, ``CREATE USER
+    ... SALT ... HASH ... ADMIN`` preamble, qualified
+    ``"PUBLIC"."name"`` spellings everywhere, multi-line ``CREATE
+    CACHED TABLE``, ``-- N +/- SELECT COUNT(*) ...;`` row-count
+    comments, multi-row INSERT VALUES (with quote escapes and
+    semicolons inside literals), ``ALTER ... ADD CONSTRAINT ...
+    PRIMARY KEY/UNIQUE/CHECK/FOREIGN KEY ... NOCHECK`` lines,
+    ``CREATE FORCE VIEW``, and a trailing GRANT. RUNSCRIPT must
+    replay ALL of it through the statement surface
+    (H2Server.scala:41-58 runs arbitrary user scripts); the battery
+    then probes the restored state: data lands (counts, a join over
+    the restored FK path, special-char round-trip), the sequence
+    dispenses from its dumped position, constraints surface with H2
+    spellings (REFERENTIAL in CONSTRAINTS, JDBC-shaped
+    CROSS_REFERENCES), the FORCE view resolves, the restored CHECK
+    still ENFORCES, and a re-dump re-emits the FK line after all
+    tables. The oracle is the literal expected frame — fully
+    determined by the fixture, never by sf data."""
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..constraints import CheckViolation
+    from ..engine import Engine
+
+    spark = t.documents.sparkSession
+    eng = Engine.from_config(
+        _json.dumps({"connectionUri": _tempfile.mkdtemp()}), spark=spark
+    )
+    # shared-warehouse idempotence: dependents first (view, then the
+    # FK owner, then the referenced table), sequence last
+    eng.execute_sql('DROP VIEW IF EXISTS "FDB_V_RICH"')
+    eng.execute_sql('DROP TABLE IF EXISTS "FDB_EMP" CASCADE')
+    eng.execute_sql('DROP TABLE IF EXISTS "FDB_DEPT" CASCADE')
+    eng.execute_sql('DROP SEQUENCE IF EXISTS "FDB_ORDER_SEQ"')
+    fixture = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "h2_foreign_dump.sql"
+    )
+    eng.execute_sql(f"RUNSCRIPT FROM '{fixture}'")
+    rows: list[tuple] = []
+    cons = sorted(
+        f"{r[0]}:{r[1]}"
+        for r in eng.execute_sql(
+            "SELECT CONSTRAINT_NAME, CONSTRAINT_TYPE FROM "
+            "INFORMATION_SCHEMA.CONSTRAINTS WHERE TABLE_NAME LIKE 'FDB_%'"
+        ).collect()
+    )
+    rows.append(("catalog", "constraints", ",".join(cons)))
+    xref = sorted(
+        f"{r[0]}:{r[1]}.{r[2]}->{r[3]}.{r[4]}#{r[5]}"
+        for r in eng.execute_sql(
+            "SELECT FK_NAME, FKTABLE_NAME, FKCOLUMN_NAME, PKTABLE_NAME, "
+            "PKCOLUMN_NAME, PK_NAME FROM "
+            "INFORMATION_SCHEMA.CROSS_REFERENCES "
+            "WHERE FKTABLE_NAME LIKE 'FDB_%'"
+        ).collect()
+    )
+    rows.append(("catalog", "cross_references", ",".join(xref)))
+    tabs = sorted(
+        r.TABLE_NAME
+        for r in eng.execute_sql("SHOW TABLES").collect()
+        if r.TABLE_NAME.startswith("FDB_")
+        and eng.views.get(r.TABLE_NAME) is None
+    )
+    rows.append(("catalog", "tables", ",".join(tabs)))
+    rows.append(
+        ("catalog", "views", ",".join(
+            v for v in eng.views.names() if v.startswith("FDB_")
+        ))
+    )
+    rows.append(
+        ("data", "dept_count", str(eng.table("FDB_DEPT").count()))
+    )
+    rows.append(("data", "emp_count", str(eng.table("FDB_EMP").count())))
+    joined = sorted(
+        f"{r[0]}={r[1]}"
+        for r in eng.execute_sql(
+            "SELECT d.DNAME AS dname, SUM(e.SALARY) AS pay "
+            "FROM FDB_EMP e JOIN FDB_DEPT d ON e.DEPT_ID = d.DEPT_ID "
+            "GROUP BY d.DNAME"
+        ).collect()
+    )
+    rows.append(("data", "join_salaries", ",".join(joined)))
+    rows.append(
+        (
+            "data",
+            "seq_next",
+            str(
+                eng.execute_sql(
+                    "SELECT NEXTVAL('FDB_ORDER_SEQ') AS v"
+                ).collect()[0].v
+            ),
+        )
+    )
+    rows.append(
+        (
+            "data",
+            "special_chars",
+            eng.execute_sql(
+                "SELECT ENAME FROM FDB_EMP WHERE EMP_ID = 4"
+            ).collect()[0][0],
+        )
+    )
+    try:
+        eng.execute_sql(
+            "INSERT INTO FDB_EMP VALUES "
+            "(9, 'Turner', 10, -5.00, DATE '2020-01-01')"
+        )
+        rows.append(("enforce", "check_after_restore", "NO ERROR"))
+    except CheckViolation as e:
+        rows.append(
+            (
+                "enforce",
+                "check_after_restore",
+                "CheckViolation:FDB_CK_SALARY"
+                if "FDB_CK_SALARY" in str(e)
+                else str(e)[:60],
+            )
+        )
+    redump = [
+        r.SCRIPT
+        for r in eng.execute_sql(
+            "SCRIPT NODATA TABLE FDB_DEPT, FDB_EMP"
+        ).collect()
+    ]
+    fk_lines = [ln for ln in redump if "FOREIGN KEY" in ln]
+    last_create = max(
+        i for i, ln in enumerate(redump) if ln.startswith("CREATE CACHED")
+    )
+    ordered = all(
+        i > last_create
+        for i, ln in enumerate(redump)
+        if "FOREIGN KEY" in ln
+    )
+    rows.append(
+        (
+            "redump",
+            "fk_line",
+            fk_lines[0] if fk_lines and ordered else "MISSING-OR-MISORDERED",
+        )
+    )
+    rich = sorted(
+        f"{r[0]}={r[1]}"
+        for r in eng.execute_sql(
+            "SELECT ENAME, SALARY FROM FDB_V_RICH"
+        ).collect()
+    )
+    rows.append(("view", "v_rich", ",".join(rich)))
+    return spark.createDataFrame(
+        rows, "kind string, obj string, detail string"
+    ).orderBy("kind", "obj")
