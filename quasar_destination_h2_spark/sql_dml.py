@@ -381,7 +381,14 @@ def _resolve_sql(engine, statement: str, _view_stack: frozenset = frozenset()):
         # pre-bind: catalog names literally mentioned in the text and
         # not already resolvable bind up front, so the common case
         # never pays (or logs) a failed analysis; the retry loop
-        # below remains the backstop for spellings this misses
+        # below remains the backstop for spellings this misses.
+        # Registered VIEWS pre-bind the same way (advisor r12 / r13
+        # task 2: the failed-analysis -> materialize -> rebind path
+        # cost a measured ~0.27 s of driver time per view-referencing
+        # statement, ~0.13 s per chain level — VIEWS_PROBE_r12.json);
+        # _materialize_view recurses through THIS function, so a
+        # view-over-view chain binds depth-first and the cycle guard
+        # still carries _view_stack
         sshadow = _shadow(statement)
         for k in engine.sink.catalog:
             if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", str(k)):
@@ -395,6 +402,27 @@ def _resolve_sql(engine, statement: str, _view_stack: frozenset = frozenset()):
                 bound.append(str(k))
             except Exception:
                 continue  # backstop loop handles it loudly
+        for ventry in engine.views.all().values():
+            vname = ventry["name"]
+            if vname.casefold() in _view_stack:
+                continue  # mid-expansion: the cycle guard owns this
+            if not re.search(
+                rf"\b{re.escape(vname)}\b", sshadow, re.I
+            ):
+                continue
+            try:
+                if engine.spark.catalog.tableExists(vname):
+                    continue  # a resolvable name is NEVER shadowed
+                _materialize_view(
+                    engine, ventry, _view_stack
+                ).createOrReplaceTempView(vname)
+                bound.append(vname)
+            except Exception:
+                # incl. ViewError: a broken FORCE view's name might
+                # be a mere column in this statement — the backstop
+                # loop raises loudly only when Spark itself reports
+                # the name unresolved in RELATION position
+                continue
         for _ in range(20):
             try:
                 df = engine.spark.sql(statement)

@@ -298,3 +298,47 @@ def test_review_fixes_views(base):
         engine.execute_sql(
             'CREATE FORCE VIEW "vw_sq" AS SELECT * FROM "vw_sq"'
         )
+
+
+def test_view_names_prebind_without_failed_analysis(base, monkeypatch):
+    """r13 (advisor r12 / verdict task 2): a statement referencing a
+    registered view binds it in _resolve_sql's mention pre-scan —
+    the common path no longer pays the failed-analysis ->
+    materialize -> rebind retry (a measured ~0.27 s/query constant,
+    VIEWS_PROBE_r12.json). Pinned by counting backstop entries: the
+    retry loop consults _missing_relation only after an
+    AnalysisException, so zero calls = zero failed analyses."""
+    from quasar_destination_h2_spark import sql_dml
+
+    base.execute_sql('CREATE VIEW "vw_pb" AS SELECT k, v FROM vw_base')
+    base.execute_sql(
+        'CREATE VIEW "vw_pb2" AS SELECT k FROM vw_pb WHERE k > 1'
+    )
+    calls = []
+    orig = sql_dml._missing_relation
+    monkeypatch.setattr(
+        sql_dml,
+        "_missing_relation",
+        lambda e: calls.append(1) or orig(e),
+    )
+    got = sorted(
+        r.k
+        for r in base.execute_sql(
+            "SELECT k FROM vw_pb2 WHERE k < 4"
+        ).collect()
+    )
+    assert got == [2, 3]
+    assert calls == []  # chain of two views: still zero retries
+    # a broken FORCE view's name used as a MERE COLUMN must not trip
+    # the pre-bind (the backstop only errors in relation position)
+    base.execute_sql(
+        'CREATE FORCE VIEW "vw_broken" AS SELECT * FROM "vw_gone"'
+    )
+    base.execute_sql('CREATE CACHED TABLE "vw_colt"("vw_broken" INT)')
+    base.execute_sql('INSERT INTO vw_colt VALUES (7)')
+    assert [
+        r[0]
+        for r in base.execute_sql(
+            "SELECT vw_broken FROM vw_colt"
+        ).collect()
+    ] == [7]
