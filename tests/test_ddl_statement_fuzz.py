@@ -276,7 +276,11 @@ def test_random_constraint_statements_match_model(ddl_engine):
     AND the INFORMATION_SCHEMA.CONSTRAINTS surface. DuckDB can't
     replay ALTER ADD CONSTRAINT, so the model is the oracle here;
     expected-error statements (duplicate PK, duplicate name, unknown
-    name) must raise on both sides."""
+    name) must raise on both sides. r13 extends the stream with
+    FOREIGN KEY adds (accept-and-record: named/unnamed, explicit or
+    PK-defaulted referenced columns, ON DELETE/UPDATE rules, H2's
+    trailing NOCHECK) and H2 preamble noise (GRANT/REVOKE/CREATE
+    USER/ROLE no-ops that must never touch the registry)."""
     import random as _random
 
     from quasar_destination_h2_spark.constraints import ConstraintError
@@ -287,6 +291,13 @@ def test_random_constraint_statements_match_model(ddl_engine):
         _reset(ddl_engine, con)
     finally:
         con.close()
+    # a referenced table with a recorded PK for the FK branch —
+    # CASCADE clears any stale inbound FK records from a prior run
+    ddl_engine.execute_sql('DROP TABLE IF EXISTS "ddlfuzz_ref" CASCADE')
+    ddl_engine.execute_sql(
+        'CREATE CACHED TABLE "ddlfuzz_ref"("rid" INT, "rk" INT, '
+        'CONSTRAINT "ddlfuzz_ref_pk" PRIMARY KEY ("rid"))'
+    )
     model: list[dict] = []  # [{name, type, columns}]
     # constraint names are schema-wide unique (H2's scope, advisor
     # r11) — other tables' recorded names in the shared registry
@@ -309,8 +320,76 @@ def test_random_constraint_statements_match_model(ddl_engine):
         ('"n" > 50', False),
     ]
     for step in range(N_STATEMENTS):
-        op = rng.choices(("add", "addck", "drop"), weights=(50, 15, 35))[0]
-        if op == "addck":
+        op = rng.choices(
+            ("add", "addck", "addfk", "drop", "noise"),
+            weights=(40, 12, 15, 28, 5),
+        )[0]
+        if op == "noise":
+            # H2 preamble statements are accepted no-ops that must
+            # never touch the registry (r12 verdict task 1)
+            sql = rng.choice(
+                [
+                    "CREATE USER IF NOT EXISTS \"FZU\" PASSWORD 'x'",
+                    "GRANT SELECT ON ddlfuzz TO \"FZU\"",
+                    "REVOKE SELECT ON ddlfuzz FROM \"FZU\"",
+                    "CREATE ROLE IF NOT EXISTS FZR",
+                    "DROP ROLE FZR",
+                    "DROP USER IF EXISTS \"FZU\"",
+                ]
+            )
+            assert ddl_engine.execute_sql(sql) is None
+        elif op == "addfk":
+            ncols = rng.randint(1, 2)
+            ccols = rng.sample(cols, ncols)
+            named = rng.random() < 0.6
+            name = f"fk_{rng.randint(0, 9)}" if named else None
+            explicit = rng.random() < 0.5
+            if explicit:
+                refs = ["rid", "rk"][:ncols]
+                ref_txt = f"ddlfuzz_ref({', '.join(refs)})"
+            else:
+                refs = ["rid"]
+                ref_txt = "ddlfuzz_ref"  # defaults to the PK
+            rule = rng.choice(
+                ["", " ON DELETE CASCADE", " ON UPDATE SET NULL"]
+            )
+            nocheck = " NOCHECK" if rng.random() < 0.5 else ""
+            head = (
+                f"ALTER TABLE ddlfuzz ADD CONSTRAINT {_q(name)} "
+                if name
+                else "ALTER TABLE ddlfuzz ADD "
+            )
+            sql = (
+                f"{head}FOREIGN KEY({', '.join(_q(c) for c in ccols)}) "
+                f"REFERENCES {ref_txt}{rule}{nocheck}"
+            )
+            dup_name = name is not None and (
+                name.casefold() in foreign_taken
+                or any(
+                    e["name"].casefold() == name.casefold() for e in model
+                )
+            )
+            arity_bad = not explicit and ncols != 1
+            if dup_name:
+                with pytest.raises(ConstraintError):
+                    ddl_engine.execute_sql(sql)
+            elif arity_bad:
+                with pytest.raises(ValueError):
+                    ddl_engine.execute_sql(sql)
+            else:
+                ddl_engine.execute_sql(sql)
+                if name is None:
+                    taken = foreign_taken | {
+                        e["name"].casefold() for e in model
+                    }
+                    i = len(model) + 1
+                    while f"constraint_{i}" in taken:
+                        i += 1
+                    name = f"CONSTRAINT_{i}"
+                model.append(
+                    {"name": name, "type": "FOREIGN KEY", "columns": ccols}
+                )
+        elif op == "addck":
             pred, passes = rng.choice(check_pool)
             name = f"ck_{rng.randint(0, 9)}"
             sql = (
@@ -409,8 +488,15 @@ def test_random_constraint_statements_match_model(ddl_engine):
         ).collect()
     }
     assert rows == {
-        (e["name"], e["type"], ",".join(e["columns"])) for e in model
+        (
+            e["name"],
+            # H2's CONSTRAINTS view spells the FK type REFERENTIAL
+            "REFERENTIAL" if e["type"] == "FOREIGN KEY" else e["type"],
+            ",".join(e["columns"]),
+        )
+        for e in model
     }
+    ddl_engine.execute_sql('DROP TABLE "ddlfuzz_ref" CASCADE')
 
 
 def test_random_view_statements_match_duckdb(ddl_engine):
