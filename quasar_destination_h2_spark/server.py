@@ -130,8 +130,9 @@ def start_sql_endpoint(
     to the rewrite-based DML (see ``sql_dml``). Wire-level DML parity
     would require a Delta/Iceberg warehouse — documented trade-off,
     SURVEY §2.2; availability re-checked each round (r6, r8, r9, r10,
-    r11, r12: neither delta-spark nor any delta/iceberg jar is
-    installable in this sandbox — no package source)."""
+    r11, r12, r13: neither delta-spark nor any delta/iceberg jar is
+    installable in this sandbox — no package source, pip index
+    unreachable, zero matching jars on disk)."""
     global _shared_endpoint, _shared_port
     requested = endpoint_port(args)
     if _shared_endpoint is not None:

