@@ -188,6 +188,32 @@ def _calibration_cpu(spark) -> float:
     return round(best, 4)
 
 
+#: The explicit round-over-round comparison basis (r12 VERDICT task
+#: 4): COMMON plus the amortized index-SERVING numbers — the figures
+#: that matter at 100 TB get continuity even though their entries are
+#: computed after the one-time builds late in the run. Emitted in the
+#: output as ``common_set`` so the basis can never silently drift.
+PROBE_ONLY = (
+    "ann_probe_only",
+    "text_probe_only",
+    "pq_probe_only",
+    "ivfpq_probe_only",
+    "ivfbq_probe_only",
+    "cascade_probe_only",
+)
+
+#: SPARK_GRAFT_BENCH_PAIR=1: interleaved same-tree pair mode (r12
+#: VERDICT task 4 — the r12 pair was two SEQUENTIAL full runs, so
+#: slow thermal/co-tenant drift hit one run more than the other and
+#: widened the apparent same-tree noise to a 10.6% median; r11
+#: measured 5.7%). In pair mode every timed entry runs 2x3 times
+#: with the A and B series INTERLEAVED (A,B,A,B,A,B), so any drift
+#: slower than one run hits both series symmetrically; the output
+#: carries the B series beside the A series plus the paired
+#: per-query delta summary. One-shot build timings have no pair.
+PAIR_MODE = os.environ.get("SPARK_GRAFT_BENCH_PAIR") == "1"
+
+
 def _timed(fn, runs: int = 3) -> tuple[float, float]:
     """(best_sec, spread) over ``runs`` timed executions — spread =
     (max-min)/min, the per-query noise bar: a round-over-round delta
@@ -200,6 +226,26 @@ def _timed(fn, runs: int = 3) -> tuple[float, float]:
     best = min(vals)
     spread = round((max(vals) - best) / best, 3) if best > 0 else 0.0
     return round(best, 4), spread
+
+
+def _timed_pair(fn, runs: int = 3):
+    """Pair mode: 2*runs executions with the two best-of-``runs``
+    series interleaved in time — (best_a, spread_a, best_b,
+    spread_b)."""
+    a_vals, b_vals = [], []
+    for i in range(2 * runs):
+        t0 = time.perf_counter()
+        fn()
+        dt = time.perf_counter() - t0
+        (a_vals if i % 2 == 0 else b_vals).append(dt)
+    out = []
+    for vals in (a_vals, b_vals):
+        best = min(vals)
+        out.append(round(best, 4))
+        out.append(
+            round((max(vals) - best) / best, 3) if best > 0 else 0.0
+        )
+    return tuple(out)
 
 
 def main() -> int:
@@ -237,7 +283,18 @@ def main() -> int:
     qs = plans.all_queries()
     times: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    times_b: dict[str, float] = {}
+    spreads_b: dict[str, float] = {}
     missing: list[str] = []
+
+    def timed_into(key: str, fn) -> None:
+        """Route one timed entry through single or pair mode."""
+        if PAIR_MODE:
+            a, sa, b, sb = _timed_pair(fn)
+            times[key], spreads[key] = a, sa
+            times_b[key], spreads_b[key] = b, sb
+        else:
+            times[key], spreads[key] = _timed(fn)
     # per-family brackets for BOTH calibrators: "fixed" (planless
     # overhead) and "cpu" (codegen throughput) — [start, end] each
     fam_calib: dict[str, dict[str, list[float]]] = {}
@@ -268,9 +325,7 @@ def main() -> int:
         # localCheckpoint, so timing only a count of a pre-built
         # DataFrame would under-report them
         fn(spark, sf_dir).count()  # warm: footer reads, JIT, plans
-        times[name], spreads[name] = _timed(
-            lambda: fn(spark, sf_dir).count()
-        )
+        timed_into(name, lambda: fn(spark, sf_dir).count())
         # drop operator-level persisted intermediates between
         # queries (cache stays warm across the warm+timed runs of
         # ONE query — unchanged measurement — but never leaks into
@@ -324,9 +379,7 @@ def main() -> int:
     )
     sink = engine.csv_create_sink()
     sink.consume("/bench_load", cols, csv_dir)  # warm
-    times["csv_load"], spreads["csv_load"] = _timed(
-        lambda: sink.consume("/bench_load", cols, csv_dir)
-    )
+    timed_into("csv_load", lambda: sink.consume("/bench_load", cols, csv_dir))
     bracket_end("load")
 
     # ---- family: index-conformance entries (heavy by declaration —
@@ -365,16 +418,23 @@ def main() -> int:
     )
 
     def probe_split(key: str, probe) -> None:
-        """Warm once, then best-of-3 of (5 probe batches)/5."""
+        """Warm once, then best-of-3 of (5 probe batches)/5 — in pair
+        mode two interleaved best-of-3 series (the probe_only entries
+        are in the round-over-round comparison basis, PROBE_ONLY)."""
         probe()  # warm
 
         def five():
             for _b in range(5):
                 probe()
 
-        best, spr = _timed(five)
-        times[key] = round(best / 5, 4)
-        spreads[key] = spr
+        if PAIR_MODE:
+            a, sa, b, sb = _timed_pair(five)
+            times[key], spreads[key] = round(a / 5, 4), sa
+            times_b[key], spreads_b[key] = round(b / 5, 4), sb
+        else:
+            best, spr = _timed(five)
+            times[key] = round(best / 5, 4)
+            spreads[key] = spr
 
     probe_split(
         "ann_probe_only",
@@ -458,6 +518,31 @@ def main() -> int:
     calib = min(v for f in fam_calib.values() for v in f["fixed"])
     calib_cpu = min(v for f in fam_calib.values() for v in f["cpu"])
     total = round(sum(times.values()), 4)
+    pair_extra = {}
+    if PAIR_MODE:
+        basis = [
+            k
+            for k in (*COMMON, "csv_load", *PROBE_ONLY)
+            if k in times and k in times_b
+        ]
+        deltas = sorted(
+            abs(times[k] - times_b[k]) / min(times[k], times_b[k])
+            for k in basis
+            if min(times[k], times_b[k]) > 0
+        )
+        med = deltas[len(deltas) // 2] if deltas else 0.0
+        pair_extra = {
+            # the interleaved same-tree B series + paired noise bar:
+            # the median per-entry |a-b|/min over the comparison
+            # basis IS what "flat within noise" can mean this round
+            "queries_pair_b": times_b,
+            "queries_spread_pair_b": spreads_b,
+            "queries_norm_cpu_pair_b": {
+                k: round(v / calib_cpu, 2) for k, v in times_b.items()
+            },
+            "pair_median_delta": round(med, 4),
+            "pair_basis_n": len(basis),
+        }
     print(
         json.dumps(
             {
@@ -465,6 +550,12 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "sf": sf,
+                # the explicit round-over-round comparison basis
+                # (COMMON + load path + the amortized serving
+                # numbers) — compare queries_norm_cpu over exactly
+                # these keys
+                "common_set": [*COMMON, "csv_load", *PROBE_ONLY],
+                **pair_extra,
                 # machine fixed-overhead denominator — divide query
                 # times by this to compare rounds across machine
                 # drift; family brackets expose WITHIN-run drift
