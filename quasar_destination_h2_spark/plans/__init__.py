@@ -5,104 +5,100 @@ from . import tierb  # noqa: E402,F401
 from . import ext  # noqa: E402,F401
 
 # The driver's conformance harness checks the first ~50 registered
-# queries (dict insertion order). Entering round 12, cumulative
-# driver-witnessed coverage is 220/220 with zero ever-failures
-# (union over CORRECTNESS_r02..r11). The round-12 window keeps the
+# queries (dict insertion order). Entering round 13, cumulative
+# driver-witnessed coverage is 224/224 with zero ever-failures
+# (union over CORRECTNESS_r02..r12). The round-13 window keeps the
 # rotation discipline:
-#   * first: all FOUR round-12 registrations (_R12_NEW below),
-#     witnessed the same round they land — the CHECK-constraint
-#     accept-and-enforce battery, the first-class-views battery, and
-#     the cascade funnel's engine-lifecycle serving form;
-#   * next: every query whose implementation round 12 touches — the
-#     constraint battery (schema-scope names, atomic multi-constraint
-#     recording, PK nullability), information_schema_battery (the new
-#     CHECK_EXPRESSION column, the VIEWS table, PK IS_NULLABLE,
-#     SHOW TABLES listing views), script_roundtrip (CHECK/view dump
-#     lines, scoped-view emission), and ann_cascade_search (the
-#     centroid-aware ann_cascade_pq_narrow);
+#   * first: the round-13 registration (_R13_NEW below), witnessed
+#     the same round it lands — the foreign-dump restore battery
+#     (r12 verdict task 1: H2 preamble no-ops + FK accept-and-record
+#     against the checked-in H2-1.4.200-format fixture);
+#   * next: every battery whose implementation round 13 touches —
+#     check_constraint_battery (checkpointed enforcement, NOCHECK),
+#     view_catalog_battery (view-name validation, mention-scan
+#     pre-bind, relation-position dependents), the constraint
+#     catalog battery (FK registry fields, rename migration),
+#     information_schema_battery (CROSS_REFERENCES, REFERENTIAL
+#     spelling, VIEW_TABLE_USAGE), and script_roundtrip (FK ALTER
+#     lines after all tables, relation-scan scoped dumps);
 #   * the remaining slots: cross-era anchors ROTATED to the queries
-#     whose last driver witness is OLDEST — udf_weighted_mean (r4,
-#     the single oldest), the full r5-era block (33 queries, none
-#     witnessed since r5), and the alphabetical head of the r6-era
-#     block; the rest of r6 rotates in next round.
+#     whose last driver witness is OLDEST — the full r6-era block
+#     (16, led by join_right, queued since r12), the full r7-era
+#     block (23), and the alphabetical head of the r8-era block;
+#     the rest of r8 rotates in next round.
 # Everything outside the window stays oracle-checked locally via
 # tools/oracle_check.py at sf0.001/0.01/0.1 (see COVERAGE.md).
-_R12_NEW = [
-    # H2 CHECK constraints accepted AND ENFORCED on every DML write
-    # path (r11 verdict task 2 — the last foreign-dump restore gap
-    # bar views), with SCRIPT/RUNSCRIPT round-trip
-    "check_constraint_battery",
-    # H2 views first-class (r11 verdict task 1): CREATE [FORCE] VIEW
-    # spellings, registry resolution with pushdown, RESTRICT/CASCADE,
-    # INFORMATION_SCHEMA.VIEWS, SCRIPT round-trip
-    "view_catalog_battery",
-    # the retrieval funnel's steady-state serving form (r11 verdict
-    # task 3): one cascade build, every probe stage's scan
-    # centroid-pruned (incl. the previously-unpruned PQ narrow)
-    "cascade_index_search",
-    # ...and its nightly-crawl append: frozen-quantizer batch encode
-    # into all three partitioned tiers + the drift report
-    "cascade_index_append",
+_R13_NEW = [
+    # a dump in the exact format a REAL H2 1.4.200 authors restores
+    # end-to-end: CREATE USER/GRANT preamble no-ops, count comments,
+    # multi-row INSERTs, PK/UNIQUE/CHECK/FK NOCHECK lines, FORCE
+    # view — then data/catalog/enforcement probes (r12 verdict
+    # task 1)
+    "foreign_dump_battery",
 ]
 
-_R12_TOUCHED = [
+_R13_TOUCHED = [
+    "check_constraint_battery",
+    "view_catalog_battery",
     "constraint_catalog_battery",
     "information_schema_battery",
     "script_roundtrip",
-    "ann_cascade_search",
 ]
 
 _DRIVER_WINDOW = [
-    *_R12_NEW,
-    *_R12_TOUCHED,
+    *_R13_NEW,
+    *_R13_TOUCHED,
     # --- Cross-era anchors: oldest driver witness first ---
-    # r4-era (the single oldest unrotated witness)
-    "udf_weighted_mean",
-    # r5-era block (33 — last witnessed r5)
-    "agg_stats",
-    "asof_join_events",
-    "case_coalesce",
-    "count_distinct",
-    "cte_multi",
-    "cube_grouping",
-    "embed_cosine_topk",
-    "events_hourly",
-    "events_sessionize",
-    "grouping_sets",
-    "in_between_like",
-    "join_inner_broadcast",
-    "join_semi",
-    "multimodal_decode",
-    "null_handling",
-    "pipeline_curate",
-    "quantiles_exact",
-    "rollup_cascade",
-    "scalar_date",
-    "scalar_math",
-    "scalar_regex",
-    "scalar_string",
-    "sequence_pack",
-    "set_union_all",
-    "subquery_correlated_exists",
-    "subquery_scalar",
-    "text_language_id",
-    "topk",
-    "tpch_q10_returned_items",
-    "tpch_q5_region_volume",
-    "vocab_topk",
-    "window_range_frame",
-    "window_rank",
-    # r6-era head (8 — the rest rotates next round)
-    "agg_bool",
-    "agg_filter_clause",
-    "agg_having",
-    "distinct",
-    "events_json_props",
-    "filter_projection",
-    "group_concat",
-    "join_cross",
+    # r6-era block (16 — last witnessed r6; queued since the r12
+    # window took the alphabetical head of that era)
+    "join_right",
+    "orderby_nulls_offset",
+    "pivot_status_matrix",
+    "range_join_sessions",
+    "scalar_cast",
+    "scalar_date_extended",
+    "scalar_string_extended",
+    "set_intersect",
+    "set_intersect_all",
+    "subquery_derived",
+    "subquery_in",
+    "subquery_scalar_select",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "unpivot_nation_metrics",
+    "values_inline_table",
+    # r7-era block (23 — last witnessed r7)
+    "array_hof_stats",
+    "asof_join_forward",
+    "corr_matrix",
+    "dedup_passage_exact",
+    "docs_domain_stats",
+    "embed_label_centroid",
+    "embed_matryoshka_fidelity",
+    "event_funnel",
+    "gaps_islands",
+    "group_quantiles",
+    "histogram_fixed_width",
+    "lateral_topn_per_group",
+    "length_buckets",
+    "null_safe_compare",
+    "ols_trend",
+    "recursive_cte_sql",
+    "retention_cohorts",
+    "rollup_grouping",
+    "set_except_all",
+    "text_pii_redact",
+    "tokenizer_fertility",
+    "try_cast_safety",
+    "window_ignore_nulls",
+    # r8-era head (5 — the rest rotates next round)
+    "ansi_string_grammar",
+    "dedup_containment",
+    "doc_chunking",
+    "events_anomaly_zscore",
+    "hard_negative_mining",
     # (window is exactly 50 — the driver hashes the first ~50;
-    # join_right and the rest of r6 rotate in next round)
+    # keyword_search and the rest of r8 rotate in next round)
 ]
 
 
