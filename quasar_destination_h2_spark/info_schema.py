@@ -363,16 +363,33 @@ def refresh_information_schema(engine: "Engine") -> None:
     # the quoted COLUMN_LIST; the registry keys are casefolded, so
     # the spelled logical name comes from the catalog
     by_cf = {str(k).casefold(): str(k) for k in engine.sink.catalog}
-    # the referenced table's recorded PK name fills PK_NAME (H2's
-    # getImportedKeys convention; NULL when the FK references a
-    # plain column list)
-    pk_name_of = {
+    # the referenced table's recorded PK fills PK_NAME — but ONLY
+    # when the FK actually references the PK's column set (H2's
+    # getImportedKeys convention); an FK onto a plain/UNIQUE column
+    # list carries NULL, never a constraint that does not cover the
+    # referenced columns (review r13)
+    pk_of = {
         tkey: next(
-            (e["name"] for e in entries if e["type"] == "PRIMARY KEY"),
+            (
+                (e["name"], {c.casefold() for c in e["columns"]})
+                for e in entries
+                if e["type"] == "PRIMARY KEY"
+            ),
             None,
         )
         for tkey, entries in all_cons.items()
     }
+
+    def _pk_name_for(rkey: str, ref_columns: list) -> str | None:
+        pk = pk_of.get(rkey)
+        if pk is None:
+            return None
+        name, pk_cols = pk
+        return (
+            name
+            if {c.casefold() for c in ref_columns} == pk_cols
+            else None
+        )
     krows, xrows = [], []
     for tkey, entries in all_cons.items():
         tname = by_cf.get(tkey)
@@ -423,7 +440,7 @@ def refresh_information_schema(engine: "Engine") -> None:
                         _FK_RULE_CODES.get(e.get("update_rule"), 1),
                         _FK_RULE_CODES.get(e.get("delete_rule"), 1),
                         e["name"],
-                        pk_name_of.get(rkey),
+                        _pk_name_for(rkey, e["ref_columns"]),
                         7,
                     )
                 )

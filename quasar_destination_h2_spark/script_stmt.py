@@ -265,12 +265,20 @@ def script_lines(
         # registry snapshot (the r13 dependents_of semantics): a view
         # is emitted into a scoped dump only when every RELATION its
         # definition reads is in scope — a name mentioned merely as a
-        # column/alias no longer excludes it, and a view reading a
-        # relation outside the dump is excluded (it could only
-        # FORCE-restore into a permanently erroring state)
+        # column/alias no longer excludes it. The scan is intersected
+        # with KNOWN names (catalog tables + registered views): a CTE
+        # alias or an in-function FROM operand (``extract(YEAR FROM
+        # hired)``) is a relation-position token but names no catalog
+        # object, and treating it as an out-of-scope dependency would
+        # silently drop the view from the dump (review r13)
+        known = {str(k).casefold() for k in engine.sink.catalog} | set(
+            allv
+        )
         refs: dict = {}
         for key, e in allv.items():
-            refs[key] = relation_names(e["definition"]) - {key}
+            refs[key] = (
+                relation_names(e["definition"]) & known
+            ) - {key}
         scoped = {n.casefold() for n in names}
         emit_set: set = set()
         changed = True

@@ -402,13 +402,20 @@ def _resolve_sql(engine, statement: str, _view_stack: frozenset = frozenset()):
                 bound.append(str(k))
             except Exception:
                 continue  # backstop loop handles it loudly
-        for ventry in engine.views.all().values():
+        allv = engine.views.all()
+        if allv:
+            # relation-POSITION gate (review r13): a view name used
+            # as a mere column/alias must not trigger a full chain
+            # materialization — only FROM/JOIN mentions count, the
+            # same scanner dependents_of uses
+            from .views import relation_names
+
+            rel_mentions = relation_names(statement)
+        for ventry in allv.values():
             vname = ventry["name"]
             if vname.casefold() in _view_stack:
                 continue  # mid-expansion: the cycle guard owns this
-            if not re.search(
-                rf"\b{re.escape(vname)}\b", sshadow, re.I
-            ):
+            if vname.casefold() not in rel_mentions:
                 continue
             try:
                 if engine.spark.catalog.tableExists(vname):

@@ -188,10 +188,15 @@ def relation_names(definition: str) -> set:
     from .sql_dml import _parse_ident, _shadow
 
     shadow = _shadow(definition)
+    # clause ENDERS only: JOIN-family keywords deliberately continue
+    # the scan, so the comma-continued relation after an explicit
+    # join (``FROM a JOIN b ON a.x=b.x, c``) is still reached — the
+    # joined relations themselves come from the JOIN finditer below,
+    # and an ON expression cannot carry a depth-0 comma (commas live
+    # inside call parens, which the scan skips as groups)
     stop = re.compile(
         r"\b(WHERE|GROUP|HAVING|ORDER|LIMIT|OFFSET|FETCH|UNION|"
-        r"INTERSECT|EXCEPT|JOIN|ON|USING|WINDOW|QUALIFY|LEFT|RIGHT|"
-        r"FULL|INNER|CROSS|NATURAL|LATERAL|SELECT)\b|[,()]",
+        r"INTERSECT|EXCEPT|WINDOW|QUALIFY|SELECT)\b|[,()]",
         re.I,
     )
     names: set = set()

@@ -6,7 +6,8 @@ table-level clauses, schema-qualified ALTER ... ADD CONSTRAINT lines
 H2Server.scala:41-58, runs arbitrary user DDL) — must restore, be
 introspectable where H2 spells it, and round-trip through SCRIPT.
 CHECK is accepted AND ENFORCED on every DML write path (r11 verdict
-task 2); FOREIGN KEY keeps rejecting loudly (documented choice)."""
+task 2); FOREIGN KEY is accept-and-record since r13 (r12 verdict
+task 1 — enforcement documented as not provided)."""
 
 from __future__ import annotations
 
@@ -512,3 +513,36 @@ def test_review_fixes_constraints(engine):
             'CONSTRAINT "shared_nm" UNIQUE("b"))'
         )
     assert "cn_dup2" not in engine.sink.catalog  # nothing half-created
+
+
+def test_cross_references_pk_name_matches_referenced_columns(engine):
+    """PK_NAME is filled only when the FK references the PK's column
+    set — an FK onto a UNIQUE/plain column list carries NULL, never
+    a constraint that does not cover the referenced columns
+    (review r13)."""
+    ex = engine.execute_sql
+    for t in ("cn_pkn_c", "cn_pkn_p"):
+        ex(f'DROP TABLE IF EXISTS "{t}" CASCADE')
+    ex(
+        'CREATE CACHED TABLE "cn_pkn_p"("id" INT, "code" INT, '
+        'CONSTRAINT "cn_pkn_pk" PRIMARY KEY ("id"), '
+        'CONSTRAINT "cn_pkn_uq" UNIQUE ("code"))'
+    )
+    ex(
+        'CREATE CACHED TABLE "cn_pkn_c"("a" INT, "b" INT, '
+        'CONSTRAINT "cn_pkn_f1" FOREIGN KEY ("a") '
+        'REFERENCES "cn_pkn_p"("id"), '
+        'CONSTRAINT "cn_pkn_f2" FOREIGN KEY ("b") '
+        'REFERENCES "cn_pkn_p"("code"))'
+    )
+    got = {
+        r[0]: r[1]
+        for r in ex(
+            "SELECT FK_NAME, PK_NAME FROM "
+            "INFORMATION_SCHEMA.CROSS_REFERENCES "
+            "WHERE FKTABLE_NAME = 'cn_pkn_c'"
+        ).collect()
+    }
+    assert got == {"cn_pkn_f1": "cn_pkn_pk", "cn_pkn_f2": None}
+    ex('DROP TABLE "cn_pkn_c"')
+    ex('DROP TABLE "cn_pkn_p" CASCADE')

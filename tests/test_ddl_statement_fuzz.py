@@ -370,11 +370,14 @@ def test_random_constraint_statements_match_model(ddl_engine):
                 )
             )
             arity_bad = not explicit and ncols != 1
-            if dup_name:
-                with pytest.raises(ConstraintError):
-                    ddl_engine.execute_sql(sql)
-            elif arity_bad:
+            # ORDER MATTERS: the engine resolves the FK (arity check,
+            # plain ValueError) BEFORE the registry's duplicate-name
+            # check (ConstraintError) — when both apply, arity wins
+            if arity_bad:
                 with pytest.raises(ValueError):
+                    ddl_engine.execute_sql(sql)
+            elif dup_name:
+                with pytest.raises(ConstraintError):
                     ddl_engine.execute_sql(sql)
             else:
                 ddl_engine.execute_sql(sql)

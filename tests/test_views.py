@@ -385,3 +385,66 @@ def test_view_table_usage_surfaces_dependency_edges(base):
         ).collect()
     }
     assert rows == {("vw_u1", "vw_base"), ("vw_u2", "vw_u1")}
+
+
+def test_relation_names_unit(base):
+    """Unit pins for views.relation_names (review r13): JOIN-family
+    keywords CONTINUE a FROM-list scan (the comma-continued relation
+    after an explicit join is a real dependency), subqueries /
+    table functions / dotted names record nothing, CTE aliases do
+    record (use sites intersect with known names)."""
+    from quasar_destination_h2_spark.views import relation_names
+
+    cases = [
+        ("SELECT * FROM a JOIN b ON a.x=b.x, c", {"a", "b", "c"}),
+        ("SELECT * FROM a LEFT JOIN b ON a.i=b.i, c", {"a", "b", "c"}),
+        ("SELECT * FROM a JOIN b USING (k), c", {"a", "b", "c"}),
+        (
+            "WITH recent AS (SELECT * FROM t) SELECT 1 FROM recent",
+            {"t", "recent"},
+        ),
+        ("SELECT * FROM (SELECT * FROM inner_t) s", {"inner_t"}),
+        ("SELECT * FROM range(10)", set()),
+        ("SELECT * FROM db.t", set()),
+        ("SELECT a, mytable FROM x", {"x"}),
+        ("SELECT * FROM t ORDER BY a, b", {"t"}),
+    ]
+    for sql, want in cases:
+        assert relation_names(sql) == want, sql
+
+
+def test_relation_comma_after_join_blocks_drop(base):
+    """The comma-continued relation after an explicit JOIN is a REAL
+    dependency: dropping it must hit RESTRICT, not orphan the view
+    (review r13 — the first stop-set draft ended the scan at JOIN)."""
+    base.execute_sql('CREATE CACHED TABLE "vw_jc"("k" INT)')
+    base.execute_sql(
+        'CREATE VIEW "vw_jx" AS SELECT b.k AS bk FROM vw_base b '
+        "JOIN vw_jc j ON b.k = j.k, vw_jc extra WHERE extra.k = 1"
+    )
+    with pytest.raises(ValueError, match="depend"):
+        base.execute_sql("DROP TABLE vw_jc")
+    base.execute_sql("DROP TABLE vw_jc CASCADE")
+
+
+def test_scoped_dump_keeps_cte_views(base):
+    """A view whose definition opens a CTE must still be emitted into
+    a TABLE-scoped dump: the CTE alias is a relation-position token
+    but names no catalog object, so it cannot count as an
+    out-of-scope dependency (review r13 — the unintersected scan
+    silently dropped such views from scoped dumps)."""
+    base.execute_sql(
+        'CREATE VIEW "vw_cte" AS WITH recent AS '
+        "(SELECT k FROM vw_base WHERE k > 1) "
+        "SELECT count(*) AS n FROM recent"
+    )
+    base.execute_sql(
+        'CREATE VIEW "vw_exf" AS SELECT k FROM vw_base '
+        "WHERE length(string(k)) > 0"
+    )
+    lines = [
+        r.SCRIPT
+        for r in base.execute_sql("SCRIPT NODATA TABLE vw_base").collect()
+    ]
+    assert any('"vw_cte"' in ln for ln in lines)
+    assert any('"vw_exf"' in ln for ln in lines)
