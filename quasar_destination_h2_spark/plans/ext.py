@@ -6716,7 +6716,7 @@ def q_cascade_index_append(t: TableSet) -> DataFrame:
         || 'FDB_PK_EMP:PRIMARY KEY,FDB_UQ_ENAME:UNIQUE'),
       ('catalog', 'cross_references',
         'FDB_FK_EMP_DEPT:FDB_EMP.DEPT_ID->FDB_DEPT.DEPT_ID#FDB_PK_DEPT'),
-      ('catalog', 'tables', 'FDB_DEPT,FDB_EMP'),
+      ('catalog', 'tables', 'FDB_DEPT,FDB_EMP,FDB_NOTES'),
       ('catalog', 'views', 'FDB_V_RICH'),
       ('data', 'dept_count', '3'),
       ('data', 'emp_count', '4'),
@@ -6724,6 +6724,9 @@ def q_cascade_index_append(t: TableSet) -> DataFrame:
         'Accounting=7450.00,Research=800.00,Sales=2850.00'),
       ('data', 'seq_next', '1007'),
       ('data', 'special_chars', 'Smith, Jr; the ''quoted'''),
+      ('data', 'stringdecode', 'line1' || chr(10) || 'line2' ||
+        chr(9) || 'tab ' || chr(233) || 'clair ' || chr(92) ||
+        'backslash'),
       ('enforce', 'check_after_restore', 'CheckViolation:FDB_CK_SALARY'),
       ('redump', 'fk_line', 'ALTER TABLE "FDB_EMP" ADD CONSTRAINT '
         || '"FDB_FK_EMP_DEPT" FOREIGN KEY("DEPT_ID") REFERENCES '
@@ -6746,7 +6749,9 @@ def q_foreign_dump_battery(t: TableSet) -> DataFrame:
     ``"PUBLIC"."name"`` spellings everywhere, multi-line ``CREATE
     CACHED TABLE``, ``-- N +/- SELECT COUNT(*) ...;`` row-count
     comments, multi-row INSERT VALUES (with quote escapes and
-    semicolons inside literals), ``ALTER ... ADD CONSTRAINT ...
+    semicolons inside literals), ``STRINGDECODE('..\\n..\\u00e9..')``
+    wrapping (H2 javaEncode's spelling for control-char/non-ASCII/
+    backslash strings), ``ALTER ... ADD CONSTRAINT ...
     PRIMARY KEY/UNIQUE/CHECK/FOREIGN KEY ... NOCHECK`` lines,
     ``CREATE FORCE VIEW``, and a trailing GRANT. RUNSCRIPT must
     replay ALL of it through the statement surface
@@ -6775,6 +6780,7 @@ def q_foreign_dump_battery(t: TableSet) -> DataFrame:
     eng.execute_sql('DROP VIEW IF EXISTS "FDB_V_RICH"')
     eng.execute_sql('DROP TABLE IF EXISTS "FDB_EMP" CASCADE')
     eng.execute_sql('DROP TABLE IF EXISTS "FDB_DEPT" CASCADE')
+    eng.execute_sql('DROP TABLE IF EXISTS "FDB_NOTES"')
     eng.execute_sql('DROP SEQUENCE IF EXISTS "FDB_ORDER_SEQ"')
     fixture = _os.path.join(
         _os.path.dirname(_os.path.abspath(__file__)), "h2_foreign_dump.sql"
@@ -6841,6 +6847,18 @@ def q_foreign_dump_battery(t: TableSet) -> DataFrame:
             "special_chars",
             eng.execute_sql(
                 "SELECT ENAME FROM FDB_EMP WHERE EMP_ID = 4"
+            ).collect()[0][0],
+        )
+    )
+    # STRINGDECODE round-trip: H2's SCRIPT wraps control-char /
+    # non-ASCII / backslash strings in STRINGDECODE('...') —
+    # the restored value must carry the real newline/tab/é/backslash
+    rows.append(
+        (
+            "data",
+            "stringdecode",
+            eng.execute_sql(
+                "SELECT BODY FROM FDB_NOTES WHERE ID = 1"
             ).collect()[0][0],
         )
     )

@@ -689,6 +689,12 @@ def execute(engine, statement: str):
         # DML sources too (see rewrite_h2_dialect)
         statement = rewrite_h2_dialect(statement)
         shadow = _shadow(statement)
+    if _STRINGDECODE_RE.search(shadow):
+        # H2's SCRIPT wraps control-char/backslash/non-ASCII strings
+        # in STRINGDECODE('...') — decode the literal form before
+        # any dispatch so dump INSERTs restore (r12 verdict task 1)
+        statement = rewrite_stringdecode(statement)
+        shadow = _shadow(statement)
     if _QUANT_RE.search(shadow):
         # H2-grammar quantified comparisons (x > ALL (subq)) — Spark
         # can't parse them; rewrite into ANSI-equivalent constructs
@@ -2748,6 +2754,92 @@ _H2_DIALECT_RE = re.compile(
     r"|\b(?:DATEADD|TIMESTAMPADD|DATEDIFF|TIMESTAMPDIFF)\s*\(",
     re.I,
 )
+
+#: H2's STRINGDECODE(literal) — its own SCRIPT wraps any string
+#: carrying control characters / backslashes / non-ASCII in this
+#: (StringUtils.javaEncode), so a real dump whose VARCHARs hold a
+#: newline is unrestorable without it.
+_STRINGDECODE_RE = re.compile(r"\bSTRINGDECODE\s*\(", re.I)
+
+_JAVA_ESCAPES = {
+    "b": "\b", "t": "\t", "n": "\n", "f": "\f", "r": "\r",
+    '"': '"', "'": "'", "\\": "\\",
+}
+
+
+def _java_decode(s: str, ctx: str) -> str:
+    """Java-style unescape, H2's ``StringUtils.javaDecode`` rules:
+    ``\\b \\t \\n \\f \\r \\" \\' \\\\`` and ``\\uXXXX``; anything
+    else after a backslash is a format error (loud, like H2's)."""
+    out, i, n = [], 0, len(s)
+    while i < n:
+        c = s[i]
+        if c != "\\":
+            out.append(c)
+            i += 1
+            continue
+        if i + 1 >= n:
+            raise ValueError(f"{ctx}: dangling backslash in {s!r}")
+        e = s[i + 1]
+        if e in _JAVA_ESCAPES:
+            out.append(_JAVA_ESCAPES[e])
+            i += 2
+        elif e in ("u", "U"):
+            hexpart = s[i + 2 : i + 6]
+            if len(hexpart) != 4:
+                raise ValueError(f"{ctx}: truncated \\u escape in {s!r}")
+            try:
+                out.append(chr(int(hexpart, 16)))
+            except ValueError:
+                raise ValueError(
+                    f"{ctx}: bad \\u escape {hexpart!r} in {s!r}"
+                ) from None
+            i += 6
+        else:
+            raise ValueError(
+                f"{ctx}: unsupported escape \\{e} (H2 javaDecode "
+                "grammar: \\b \\t \\n \\f \\r \\\" \\' \\\\ \\uXXXX)"
+            )
+    return "".join(out)
+
+
+def rewrite_stringdecode(sql: str) -> str:
+    """Replace each ``STRINGDECODE('...')`` call whose argument is a
+    single string LITERAL — the only form H2's SCRIPT emits — with
+    the decoded value as a plain literal (backslashes and quotes
+    re-escaped for Spark's default backslash-escaping parser;
+    control characters embed raw, which SQL literals allow). A
+    non-literal argument errors loudly: decoding a column would need
+    a row-level UDF, and nothing on the H2-dump path produces that
+    form. Scanned on the shadow, so STRINGDECODE inside a string
+    literal or quoted identifier never rewrites."""
+    while True:
+        shadow = _shadow(sql)
+        m = _STRINGDECODE_RE.search(shadow)
+        if m is None:
+            return sql
+        open_p = shadow.find("(", m.start())
+        close = _match_close(shadow, open_p)
+        inner = sql[open_p + 1 : close].strip()
+        inner_shadow = shadow[open_p + 1 : close].strip()
+        if not (
+            len(inner) >= 2
+            and inner_shadow.startswith("'")
+            and inner_shadow.endswith("'")
+            and set(inner_shadow[1:-1]) <= {" "}
+        ):
+            raise ValueError(
+                f"STRINGDECODE: only the single-string-literal form "
+                f"H2 dumps emit is supported, got {inner[:60]!r}"
+            )
+        raw = inner[1:-1].replace("''", "'")
+        decoded = _java_decode(raw, "STRINGDECODE")
+        lit = (
+            "'"
+            + decoded.replace("\\", "\\\\").replace("'", "''")
+            + "'"
+        )
+        sql = sql[: m.start()] + lit + sql[close + 1 :]
 
 #: H2 datetime-unit spellings → Spark unit keywords. H2 1.4.200
 #: accepts both long names and short forms (grammar `datetimeField`);

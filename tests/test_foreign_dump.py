@@ -83,11 +83,37 @@ def test_foreign_dump_restores_end_to_end(engine):
     # referential RESTRICT holds on the restored FK
     with pytest.raises(ValueError, match="FOREIGN KEY"):
         engine.execute_sql("DROP TABLE FDB_DEPT")
+    # STRINGDECODE literal restored with the REAL control chars
+    # (H2 javaEncode wraps such strings in its dumps)
+    body = engine.execute_sql(
+        "SELECT BODY FROM FDB_NOTES WHERE ID = 1"
+    ).collect()[0][0]
+    assert body == "line1\nline2\ttab éclair \\backslash"
     # idempotent teardown (shared warehouse)
     engine.execute_sql("DROP VIEW FDB_V_RICH")
     engine.execute_sql("DROP TABLE FDB_EMP")
     engine.execute_sql("DROP TABLE FDB_DEPT")
+    engine.execute_sql("DROP TABLE FDB_NOTES")
     engine.execute_sql("DROP SEQUENCE FDB_ORDER_SEQ")
+
+
+def test_stringdecode_rewrite_rules(engine):
+    """STRINGDECODE coverage beyond the fixture: '' quote escapes
+    compose with java escapes, SELECT position works, a non-literal
+    argument and a bad escape error loudly, and the spelling inside
+    a string literal never rewrites."""
+    got = engine.execute_sql(
+        "SELECT STRINGDECODE('a\\u0041''\\tb') AS s"
+    ).collect()[0].s
+    assert got == "aA'\tb"
+    kept = engine.execute_sql(
+        "SELECT 'STRINGDECODE(''x'')' AS s"
+    ).collect()[0].s
+    assert kept == "STRINGDECODE('x')"
+    with pytest.raises(ValueError, match="literal form"):
+        engine.execute_sql("SELECT STRINGDECODE(BODY) FROM FDB_X")
+    with pytest.raises(ValueError, match="unsupported escape"):
+        engine.execute_sql("SELECT STRINGDECODE('bad \\q') AS s")
 
 
 def test_runscript_replays_own_user_and_grant_lines(engine, tmp_path):
