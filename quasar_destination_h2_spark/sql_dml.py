@@ -390,10 +390,19 @@ def _resolve_sql(engine, statement: str, _view_stack: frozenset = frozenset()):
         # view-over-view chain binds depth-first and the cycle guard
         # still carries _view_stack
         sshadow = _shadow(statement)
+        stmt_cf = statement.casefold()
         for k in engine.sink.catalog:
             if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", str(k)):
                 continue
-            if not re.search(rf"\b{re.escape(str(k))}\b", sshadow, re.I):
+            # bare mentions scan the shadow; BACKTICK-quoted mentions
+            # must scan the raw text (the shadow blanks quoted
+            # content — a view definition restored from an H2 dump
+            # spells every relation `quoted`, and missing it here
+            # cost one failed analysis per view materialization)
+            if not (
+                re.search(rf"\b{re.escape(str(k))}\b", sshadow, re.I)
+                or f"`{str(k).casefold()}`" in stmt_cf
+            ):
                 continue
             try:
                 if engine.spark.catalog.tableExists(str(k)):
