@@ -86,6 +86,7 @@ class Engine:
         self._sequences = None
         self._constraints = None
         self._views = None
+        self._colmeta = None
         #: ANN serving: build ids whose assignment-side integrity this
         #: engine has already verified (see ann_topk) — keyed by index
         #: name. Invalidated whenever THIS engine rebuilds or appends.
@@ -1755,6 +1756,25 @@ class Engine:
             )
         return self._views
 
+    @property
+    def colmeta(self):
+        """Durable column/table metadata registry (DEFAULT / identity
+        sequence binding / NOT NULL intent / SELECTIVITY / COMMENT
+        remarks): JSON state beside the sequence, constraint and view
+        registries (see colmeta.py). Parquet cannot carry any of
+        these, so the registry is what INSERT defaults, NOT NULL
+        enforcement, INFORMATION_SCHEMA and SCRIPT dumps read."""
+        if self._colmeta is None:
+            import os
+
+            from .colmeta import ColumnMeta
+            from .sources.sink import CATALOG_TABLE, warehouse_path
+
+            self._colmeta = ColumnMeta(
+                os.path.dirname(warehouse_path(self.spark, CATALOG_TABLE))
+            )
+        return self._colmeta
+
     # -- surface (H2Destination.scala:37-46) ---------------------------
 
     def csv_create_sink(self) -> CsvCreateSink:
@@ -1820,6 +1840,22 @@ class Engine:
             self.sink.drop_mapping(logical_name)
             # recorded PK/UNIQUE metadata dies with its table
             self.constraints.drop_table(logical_name)
+            # ... as do defaults / identity bindings / comments; an
+            # identity column's BACKING sequence dies too, but only
+            # when it is marked BELONGS_TO_TABLE (H2's semantic: a
+            # user sequence referenced by a DEFAULT survives)
+            from .sequences import SequenceError
+
+            for entry in self.colmeta.columns_of(logical_name).values():
+                seq = entry.get("sequence")
+                if not seq:
+                    continue
+                try:
+                    if self.sequences.describe(seq)["belongs_to_table"]:
+                        self.sequences.drop(seq, if_exists=True)
+                except SequenceError:
+                    pass  # already dropped elsewhere
+            self.colmeta.drop_table(logical_name)
 
     # -- DML (SURVEY §2.2: INSERT built-in; UPDATE/DELETE/MERGE are
     # documented overwrite-rewrites — parquet tables have no in-place
@@ -1946,12 +1982,25 @@ class Engine:
             for e in self.constraints.for_table(logical_name)
             if e["type"] == "CHECK"
         ]
-        if not checks:
+        # declared NOT NULL columns (colmeta: spelled NOT NULL or
+        # PK-implied at CREATE CACHED TABLE, or ALTER COLUMN SET NOT
+        # NULL) are enforced in the SAME single pass — H2 rejects a
+        # NULL write into them, and a restored dump must keep doing
+        # so. Only columns the incoming frame actually carries are
+        # checked (a frame is always schema-conformed by the caller).
+        frame_cols = {c.casefold() for c in rows.columns}
+        not_null = [
+            e["column"]
+            for e in self.colmeta.columns_of(logical_name).values()
+            if e.get("not_null") and e["column"].casefold() in frame_cols
+        ]
+        if not checks and not not_null:
             return rows
         rows = rows.localCheckpoint(eager=True)
         from pyspark.sql import functions as F
 
         from .constraints import CheckViolation
+        from .colmeta import NullViolation
 
         def _viol(e):
             return ~F.coalesce(
@@ -1967,7 +2016,11 @@ class Engine:
             *[
                 F.sum(_viol(e).cast("int")).alias(f"c{i}")
                 for i, e in enumerate(checks)
-            ]
+            ],
+            *[
+                F.sum(F.col(f"`{c}`").isNull().cast("int")).alias(f"n{j}")
+                for j, c in enumerate(not_null)
+            ],
         ).collect()[0]
         for i, e in enumerate(checks):
             n = counts[i] or 0
@@ -1978,6 +2031,13 @@ class Engine:
                     f"{e['name']!r} on {logical_name!r} "
                     f"(predicate: {e['predicate']}); examples: "
                     + "; ".join(str(tuple(r)) for r in sample)
+                )
+        for j, c in enumerate(not_null):
+            n = counts[len(checks) + j] or 0
+            if n:
+                raise NullViolation(
+                    f"{verb}: NULL not allowed for column {c!r} on "
+                    f"{logical_name!r} ({n} row(s))"
                 )
         return rows
 
@@ -2133,6 +2193,7 @@ class Engine:
         self._rewrite_new_schema(
             self.sink.catalog[logical_name], target.drop(col_name)
         )
+        self.colmeta.drop_column(logical_name, col_name)
 
     def rename_column(self, logical_name: str, old: str, new: str) -> None:
         """ALTER TABLE ... RENAME COLUMN ... TO ..."""
@@ -2143,6 +2204,79 @@ class Engine:
             raise ValueError(f"column already exists: {new!r}")
         self._rewrite_new_schema(
             self.sink.catalog[logical_name], target.withColumnRenamed(old, new)
+        )
+        self.colmeta.rename_column(logical_name, old, new)
+
+    def cast_column_type(
+        self, logical_name: str, col_name: str, spark_type: str
+    ) -> None:
+        """ALTER TABLE ... ALTER COLUMN ... SET DATA TYPE: one
+        bounded cast-rewrite of the table (the same overwrite pass as
+        UPDATE — parquet has no in-place schema mutation). H2
+        semantics: values that do not convert fail the statement, so
+        the cast is validated FIRST with one aggregation counting
+        non-NULL values that cast to NULL (try_cast probe) — a lossy
+        retype errors loudly instead of silently nulling data."""
+        from pyspark.sql import functions as F
+
+        target = self.table(logical_name)
+        if col_name not in target.columns:
+            raise ValueError(f"no such column: {col_name!r}")
+        col = F.col(f"`{col_name}`")
+        lossy = (
+            target.agg(
+                F.sum(
+                    (
+                        col.isNotNull() & col.try_cast(spark_type).isNull()
+                    ).cast("int")
+                ).alias("n")
+            ).collect()[0][0]
+            or 0
+        )
+        if lossy:
+            raise ValueError(
+                f"ALTER COLUMN {col_name!r} SET DATA TYPE {spark_type}: "
+                f"{lossy} value(s) do not convert (H2 rejects a lossy "
+                "retype)"
+            )
+        self._rewrite_new_schema(
+            self.sink.catalog[logical_name],
+            target.withColumn(col_name, col.cast(spark_type)),
+        )
+
+    def set_column_not_null(
+        self, logical_name: str, col_name: str, not_null: bool
+    ) -> None:
+        """ALTER TABLE ... ALTER COLUMN ... SET NOT NULL / SET NULL
+        (H2 also spells the latter DROP NOT NULL). SET NOT NULL
+        validates the EXISTING rows first — one bounded aggregation,
+        H2's own behavior — then records the intent in the column
+        metadata registry so every subsequent DML write enforces it
+        (engine._enforce_check_constraints)."""
+        from pyspark.sql import functions as F
+
+        from .colmeta import NullViolation
+
+        target = self.table(logical_name)
+        res = {c.casefold(): c for c in target.columns}.get(
+            col_name.casefold()
+        )
+        if res is None:
+            raise ValueError(f"no such column: {col_name!r}")
+        if not_null:
+            nulls = (
+                target.agg(
+                    F.sum(F.col(f"`{res}`").isNull().cast("int")).alias("n")
+                ).collect()[0][0]
+                or 0
+            )
+            if nulls:
+                raise NullViolation(
+                    f"ALTER COLUMN {res!r} SET NOT NULL: {nulls} existing "
+                    f"NULL value(s) in {logical_name!r}"
+                )
+        self.colmeta.update_column(
+            logical_name, res, not_null=True if not_null else None
         )
 
     def rename_table(self, old: str, new: str) -> None:
@@ -2179,6 +2313,7 @@ class Engine:
         self.sink.catalog[new] = physical
         self.sink._persist_catalog()
         self.constraints.rename_table(src, new)
+        self.colmeta.rename_table(src, new)
 
     def drop_all_objects(self) -> None:
         """H2's ``DROP ALL OBJECTS`` scoped to what this engine owns:
@@ -2190,6 +2325,7 @@ class Engine:
         for name in self.sequences.names():
             self.sequences.drop(name, if_exists=True)
         self.views.drop_all()
+        self.colmeta.drop_all()
         self._republish_info_schema()
 
     def delete_where(self, logical_name: str, condition: str) -> int:

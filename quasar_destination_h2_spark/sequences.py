@@ -102,6 +102,7 @@ class Sequences:
         max_value: int | None = None,
         cycle: bool = False,
         cache: int | None = None,
+        belongs_to_table: bool = False,
     ) -> None:
         """H2 1.4.200 defaults: ascending ranges [min(1, start),
         2^63-1] starting at MINVALUE when START is unspecified;
@@ -109,7 +110,10 @@ class Sequences:
         MAXVALUE. ``cache`` is accepted and recorded for
         introspection but does not change dispensed values (every
         allocation is durably persisted, so there is nothing for a
-        cache block to lose)."""
+        cache block to lose). ``belongs_to_table`` is H2's own dump
+        flag for identity-backing sequences (its SCRIPT spells
+        ``CREATE SEQUENCE ... BELONGS_TO_TABLE;``): such a sequence
+        is dropped with the table whose identity column it backs."""
         if increment == 0:
             raise SequenceError("CREATE SEQUENCE: INCREMENT BY must not be 0")
         # H2 1.4.200 defaults CLAMP to an explicit start (Sequence.
@@ -154,6 +158,8 @@ class Sequences:
                 "cycle": bool(cycle),
                 "cache": cache,
             }
+            if belongs_to_table:
+                state[key]["belongs_to_table"] = True
             self._write(state)
 
     def drop(self, name: str, if_exists: bool = False) -> None:
@@ -181,6 +187,7 @@ class Sequences:
         )
         s.setdefault("cycle", False)
         s.setdefault("cache", None)
+        s.setdefault("belongs_to_table", False)
         return s
 
     def alter(

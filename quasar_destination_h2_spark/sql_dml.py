@@ -474,20 +474,80 @@ def _resolve_sql(engine, statement: str, _view_stack: frozenset = frozenset()):
                 pass
 
 
-def _conform_source(engine, target, names, kind, source, verb="INSERT"):
+def _substitute_default_keyword(engine, source, names, res, meta, verb):
+    """H2's ``INSERT ... VALUES (DEFAULT, 1)``: replace each bare
+    depth-0 DEFAULT token with the positional column's recorded
+    default — an identity column allocates one sequence value per
+    spelled occurrence (exactly the per-textual-occurrence semantics
+    of :func:`_substitute_sequence_values`), a deterministic default
+    splices its expression, no recorded default means NULL (H2).
+    Returns ``(rewritten_source, changed)``; ``changed`` reroutes
+    the VALUES build through the row-wise SELECT branch so spliced
+    expressions are never constrained to inline-table literals."""
+    vshadow = _shadow(source)
+    rows_out, changed = [], False
+    for r in _split_top_level(source, vshadow, 0, len(source)):
+        r = r.strip()
+        rsh = _shadow(r)
+        if not (r.startswith("(") and r.endswith(")")):
+            return source, False  # malformed: let the caller report
+        items = []
+        for i, item in enumerate(
+            _split_top_level(r, rsh, 1, len(r) - 1)
+        ):
+            if not re.fullmatch(
+                r"\s*DEFAULT\s*", _shadow(item), re.I
+            ):
+                items.append(item)
+                continue
+            changed = True
+            if i >= len(names):
+                raise ValueError(
+                    f"{verb}: DEFAULT at position {i + 1} exceeds the "
+                    "column list"
+                )
+            e = meta.get(res[names[i]].casefold(), {})
+            if e.get("sequence"):
+                items.append(
+                    str(engine.sequences.nextval(e["sequence"])[0])
+                )
+            elif e.get("default"):
+                items.append(f"({e['default']})")
+            else:
+                items.append("NULL")
+        rows_out.append("(" + ", ".join(s.strip() for s in items) + ")")
+    return (", ".join(rows_out), changed) if changed else (source, False)
+
+
+def _conform_source(
+    engine, target, names, kind, source, verb="INSERT", logical=None
+):
     """Build the source DataFrame for INSERT/MERGE and conform it to
-    the target schema: cast provided columns, NULL-fill the rest (H2
-    inserts NULL/default for unspecified columns). An unknown column
-    in the explicit list raises (H2: 'Column not found') instead of
-    silently NULL-filling the whole row; matching is case-insensitive
-    via :func:`resolve_columns`."""
+    the target schema: cast provided columns, fill the rest with
+    their recorded DEFAULT (colmeta.py — H2 inserts the default for
+    unspecified columns) or NULL. An identity column's fill
+    allocates its backing sequence per RESULT row (atomic range +
+    deterministic row_number, the _rewrite_nextval_select protocol),
+    and a NULL_TO_DEFAULT column converts provided NULLs to the
+    default (H2's identity-column insert behavior). An unknown
+    column in the explicit list raises (H2: 'Column not found')
+    instead of silently NULL-filling the whole row; matching is
+    case-insensitive via :func:`resolve_columns`."""
     res = resolve_columns(
         names, target.columns, f"{verb}: column not found in column list"
     )
+    meta = (
+        engine.colmeta.columns_of(logical) if logical is not None else {}
+    )
+    force_select = False
+    if kind == "values" and meta:
+        source, force_select = _substitute_default_keyword(
+            engine, source, names, res, meta, verb
+        )
     if kind == "values":
         quoted = ", ".join(f"`{c}`" for c in names)
         vshadow = _shadow(source)
-        if re.search(r"\bSELECT\b", vshadow, re.I):
+        if force_select or re.search(r"\bSELECT\b", vshadow, re.I):
             # Spark's inline tables reject scalar subqueries
             # (SCALAR_SUBQUERY_IN_VALUES) where H2 accepts
             # ``VALUES (NEXTVAL('s'), (SELECT MAX(x) FROM u))`` —
@@ -509,14 +569,127 @@ def _conform_source(engine, target, names, kind, source, verb="INSERT"):
     else:
         src = _resolve_sql(engine, source).toDF(*names)
     provided = {res[c]: s for c, s in zip(names, src.columns)}
-    return src.select(
-        *[
-            F.col(provided[f.name]).cast(f.dataType).alias(f.name)
-            if f.name in provided
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in target.schema.fields
-        ]
-    )
+
+    def _entry(fname):
+        return meta.get(fname.casefold(), {})
+
+    # identity fills (omitted identity column, or a provided
+    # NULL_TO_DEFAULT identity column whose NULLs convert): allocate
+    # each backing sequence ONCE per statement as an atomic range
+    # sized to EXACTLY the rows that draw from it (H2 advances the
+    # sequence only for filled rows — over-allocating on a statement
+    # whose provided values are all non-NULL would silently diverge
+    # CURRVAL and dump positions), and assign values by a
+    # deterministic row order — a driver-side per-row counter cannot
+    # stream through a distributed write.
+    fills: dict = {}  # target field name -> ("all" | "nulls", seq)
+    for f in target.schema.fields:
+        e = _entry(f.name)
+        seq = e.get("sequence")
+        if not seq:
+            continue
+        if f.name not in provided:
+            fills[f.name] = ("all", seq)
+        elif e.get("null_to_default"):
+            fills[f.name] = ("nulls", seq)
+    fill_expr: dict = {}
+    if fills:
+        import uuid as _uuid
+
+        from pyspark.sql import Window
+
+        from .sequences import SequenceError
+
+        order_cols = [F.col(f"`{c}`") for c in src.columns]
+        rn_col = f"__def_rn_{_uuid.uuid4().hex[:8]}__"
+        src = src.withColumn(
+            rn_col, F.row_number().over(Window.orderBy(*order_cols))
+        ).localCheckpoint(eager=True)
+        n = src.count()
+        null_cols = [f for f, (m, _s) in fills.items() if m == "nulls"]
+        ncounts: dict = {}
+        if null_cols and n:
+            row = src.agg(
+                *[
+                    F.sum(
+                        F.col(f"`{provided[f]}`").isNull().cast("long")
+                    ).alias(f"z{i}")
+                    for i, f in enumerate(null_cols)
+                ]
+            ).collect()[0]
+            ncounts = {f: row[i] or 0 for i, f in enumerate(null_cols)}
+        # one contiguous range per distinct sequence; columns sharing
+        # a sequence draw disjoint sub-ranges (offset per column)
+        per_seq: dict = {}
+        for f, (m, s) in fills.items():
+            per_seq.setdefault(s.casefold(), (s, []))[1].append((f, m))
+        run_w = Window.orderBy(*order_cols).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        for s, cols_m in per_seq.values():
+            req = sum(
+                n if m == "all" else ncounts.get(f, 0) for f, m in cols_m
+            )
+            if not req:
+                continue
+            inc = engine.sequences.describe(s)["inc"]
+            vals = engine.sequences.nextval(s, req)
+            base = vals[0]
+            if vals[-1] != base + (req - 1) * inc:
+                raise SequenceError(
+                    f"sequence {s!r} CYCLEd inside this {verb}'s "
+                    f"{req}-row allocation — identity fill needs a "
+                    "contiguous range; RESTART the sequence or widen "
+                    "its bounds"
+                )
+            off = 0
+            for f, m in cols_m:
+                cnt = n if m == "all" else ncounts.get(f, 0)
+                if not cnt:
+                    continue
+                fill_base = base + off * inc
+                if m == "all":
+                    fill_expr[f] = F.lit(fill_base) + (
+                        F.col(f"`{rn_col}`") - F.lit(1)
+                    ) * F.lit(inc)
+                else:
+                    # rank among THIS column's null rows, same total
+                    # order as rn — only null rows read the value
+                    nullrank = F.sum(
+                        F.col(f"`{provided[f]}`").isNull().cast("long")
+                    ).over(run_w)
+                    fill_expr[f] = F.lit(fill_base) + (
+                        nullrank - F.lit(1)
+                    ) * F.lit(inc)
+                off += cnt
+
+    def _conform_one(f):
+        e = _entry(f.name)
+        if f.name in provided:
+            col = F.col(f"`{provided[f.name]}`")
+            if e.get("null_to_default"):
+                if f.name in fill_expr:
+                    col = F.coalesce(
+                        col.cast(f.dataType),
+                        fill_expr[f.name].cast(f.dataType),
+                    )
+                elif not e.get("sequence") and e.get("default"):
+                    col = F.coalesce(
+                        col.cast(f.dataType),
+                        F.expr(e["default"]).cast(f.dataType),
+                    )
+            return col.cast(f.dataType).alias(f.name)
+        if e.get("sequence"):
+            fx = fill_expr.get(f.name)
+            # no rows (or a zero-length fill): any expression serves
+            return (
+                fx if fx is not None else F.lit(None)
+            ).cast(f.dataType).alias(f.name)
+        if e.get("default"):
+            return F.expr(e["default"]).cast(f.dataType).alias(f.name)
+        return F.lit(None).cast(f.dataType).alias(f.name)
+
+    return src.select(*[_conform_one(f) for f in target.schema.fields])
 
 
 import contextlib
@@ -650,6 +823,12 @@ def execute(engine, statement: str):
     if mset:
         # H2 session SET commands (JDBC pools emit these on connect)
         return _execute_set(engine, statement, shadow, mset)
+    mcom = _COMMENT_ON_RE.match(shadow)
+    if mcom:
+        # H2's COMMENT ON ... IS '...' — dumps of commented databases
+        # carry these lines; remarks land in the column-metadata
+        # registry and surface through INFORMATION_SCHEMA REMARKS
+        return _execute_comment_on(engine, statement, shadow, mcom)
     from . import script_stmt
 
     mex = script_stmt.EXPLAIN_RE.match(shadow)
@@ -756,6 +935,68 @@ _TXN_RE = re.compile(
 #: carry CREATE ROLE / GRANT / REVOKE lines for any users and rights
 #: the dumped database held — so RUNSCRIPT of a genuinely foreign
 #: dump hits these before its first table (r12 verdict gap #3).
+#: H2 ``COMMENT ON <kind> name IS expr`` (its SCRIPT emits one line
+#: per commented object).
+_COMMENT_ON_RE = re.compile(r"\s*COMMENT\s+ON\s+([A-Za-z_]+)\s", re.I)
+
+
+def _execute_comment_on(engine, statement: str, shadow: str, m):
+    """``COMMENT ON TABLE t IS '...'`` / ``COMMENT ON COLUMN t.c IS
+    '...'`` — the remark lands in the column-metadata registry
+    (colmeta.py) and surfaces through the INFORMATION_SCHEMA REMARKS
+    columns and SCRIPT dumps; ``IS NULL`` clears it (H2 semantics).
+    Other object kinds H2 can comment (SEQUENCE, VIEW, ...) raise a
+    clear unsupported error rather than silently dropping the
+    remark."""
+    kind = m.group(1).upper()
+    if kind not in ("TABLE", "COLUMN"):
+        raise ValueError(
+            f"COMMENT ON {kind}: only TABLE and COLUMN remarks are "
+            "supported"
+        )
+    name, pos = _parse_ident(statement, shadow, m.end())
+    parts = [name]
+    while pos < len(shadow) and shadow[pos] == ".":
+        nxt, pos = _parse_ident(statement, shadow, pos + 1)
+        parts.append(nxt)
+    if parts[0].casefold() == "public" and len(parts) > (
+        1 if kind == "TABLE" else 2
+    ):
+        parts = parts[1:]
+    want = 1 if kind == "TABLE" else 2
+    if len(parts) != want:
+        raise ValueError(
+            f"COMMENT ON {kind}: expected "
+            + ("table" if kind == "TABLE" else "table.column")
+            + f" name, got {'.'.join(parts)!r}"
+        )
+    mis = re.compile(r"\s*IS\s+", re.I).match(shadow, pos)
+    if not mis:
+        raise ValueError("COMMENT ON: expected IS <expression>")
+    tail = statement[mis.end() :].strip().rstrip(";").strip()
+    tsh = _shadow(tail)
+    if re.fullmatch(r"NULL", tsh, re.I):
+        value = None
+    else:
+        value, end = _take_string_literal(tail, tsh, 0, "COMMENT ON")
+        if tail[end:].strip():
+            raise ValueError(
+                f"COMMENT ON: unexpected trailing text {tail[end:]!r}"
+            )
+    logical = _logical(engine, parts[0])
+    if kind == "TABLE":
+        engine.colmeta.set_table_remarks(logical, value)
+    else:
+        col = resolve_columns(
+            [parts[1]],
+            engine.table(logical).columns,
+            "COMMENT ON COLUMN: column not found",
+        )[parts[1]]
+        engine.colmeta.update_column(logical, col, remarks=value)
+    engine._republish_info_schema()
+    return None
+
+
 _PRINCIPAL_RE = re.compile(
     r"\s*(?:(?P<verb>CREATE|DROP|ALTER)\s+(?P<kind>USER|ROLE)\b"
     r"|(?P<right>GRANT|REVOKE)\b)",
@@ -963,6 +1204,16 @@ def _substitute_sequence_values(engine, sql: str) -> str:
     has_nextval = re.search(
         r"\bNEXTVAL\s*\(|\bNEXT\s+VALUE\s+FOR\b", shadow0, re.I
     )
+    if re.match(
+        r"\s*(CREATE\s+(CACHED|MEMORY)\s+TABLE|ALTER\s+TABLE)\b",
+        shadow0,
+        re.I,
+    ):
+        # DEFAULT (NEXT VALUE FOR s) in a column DECLARATION (H2's
+        # identity dump spelling / ALTER COLUMN SET DEFAULT) is a
+        # binding, not an evaluation — eager substitution here would
+        # burn a sequence value into the table definition
+        return sql
     currval_only = False
     if has_nextval:
         if re.match(r"\s*(UPDATE|DELETE)\b", shadow0, re.I):
@@ -1021,6 +1272,13 @@ def _substitute_sequence_values(engine, sql: str) -> str:
             return sql
         if m.group(1) is None:  # NEXT VALUE FOR ident
             name, end = _parse_ident(sql, shadow, m.end())
+            if (
+                end < len(shadow)
+                and shadow[end] == "."
+                and name.casefold() == "public"
+            ):
+                # H2 dumps qualify: NEXT VALUE FOR "PUBLIC"."seq"
+                name, end = _parse_ident(sql, shadow, end + 1)
             v = engine.sequences.nextval(name)[0]
         else:
             # the name lives inside a blanked literal on the shadow —
@@ -1305,7 +1563,9 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         if deferred_nextval:
             source, cleanup = _rewrite_nextval_select(engine, source)
         try:
-            src = _conform_source(engine, target, names, kind, source)
+            src = _conform_source(
+                engine, target, names, kind, source, logical=logical
+            )
             return engine.insert_rows(logical, src)
         finally:
             if cleanup is not None:
@@ -1323,6 +1583,17 @@ def _execute_verb(engine, statement: str, shadow: str, m):
                 statement, shadow, name, pos, "CREATE SEQUENCE"
             )
             tail = shadow[pos:]
+            # H2's own dumps flag identity-backing sequences
+            # BELONGS_TO_TABLE (ScriptCommand output) — accepted on
+            # CREATE only (H2's ALTER grammar has no such option) and
+            # recorded so the restored sequence dies with its table
+            mbt = re.search(r"\bBELONGS_TO_TABLE\b", tail, re.I)
+            if mbt:
+                tail = (
+                    tail[: mbt.start()]
+                    + " " * (mbt.end() - mbt.start())
+                    + tail[mbt.end() :]
+                )
             opts, consumed = _parse_sequence_options(tail)
             _reject_sequence_tail(tail, consumed, "CREATE SEQUENCE")
             engine.sequences.create(
@@ -1334,6 +1605,7 @@ def _execute_verb(engine, statement: str, shadow: str, m):
                 max_value=opts["max"],
                 cycle=bool(opts["cycle"]),
                 cache=opts["cache"],
+                belongs_to_table=mbt is not None,
             )
             engine._republish_info_schema()
             return None
@@ -1654,6 +1926,109 @@ def _execute_verb(engine, statement: str, shadow: str, m):
             )
             engine._republish_info_schema()
             return None
+        malt = re.compile(r"\s*ALTER\s+COLUMN\s+", re.I).match(shadow, pos)
+        if malt:
+            col, p2 = _parse_ident(statement, shadow, malt.end())
+            col = resolve_columns(
+                [col],
+                engine.table(logical).columns,
+                "ALTER COLUMN: column not found",
+            )[col]
+            tail = statement[p2:].strip().rstrip(";")
+            tsh = _shadow(tail)
+            mrn = re.match(r"RENAME\s+TO\s+", tsh, re.I)
+            if mrn:
+                new, _ = _parse_ident(tail, tsh, mrn.end())
+                engine.rename_column(logical, col, new)
+                return None
+            msd = re.match(r"SET\s+DEFAULT\s+", tsh, re.I)
+            if msd:
+                expr = tail[msd.end() :].strip()
+                if not expr:
+                    raise ValueError("ALTER COLUMN: empty SET DEFAULT")
+                dseq = _default_sequence_name(
+                    expr, "ALTER COLUMN SET DEFAULT"
+                )
+                if dseq is not None:
+                    # sequence-valued default: a binding, like the
+                    # CREATE form — the sequence must already exist
+                    engine.sequences.describe(dseq)
+                    engine.colmeta.update_column(
+                        logical, col, sequence=dseq, default=None
+                    )
+                    engine._republish_info_schema()
+                    return None
+                spark_default = _h2_expr_to_spark(expr)
+                try:
+                    engine.spark.sql(f"SELECT {spark_default}").schema
+                except Exception as e:
+                    raise ValueError(
+                        f"ALTER COLUMN SET DEFAULT: {expr!r} does not "
+                        f"analyze as a constant expression: {e}"
+                    ) from None
+                engine.colmeta.update_column(
+                    logical, col, default=spark_default, sequence=None
+                )
+                engine._republish_info_schema()
+                return None
+            if re.match(r"DROP\s+DEFAULT\s*$", tsh, re.I):
+                # H2: dropping the default of an identity column also
+                # removes the identity behavior — clear the binding
+                engine.colmeta.update_column(
+                    logical,
+                    col,
+                    default=None,
+                    sequence=None,
+                    null_to_default=None,
+                )
+                engine._republish_info_schema()
+                return None
+            mnn = re.match(
+                r"(SET\s+NOT\s+NULL|SET\s+NULL|DROP\s+NOT\s+NULL)\s*$",
+                tsh,
+                re.I,
+            )
+            if mnn:
+                form = re.sub(r"\s+", " ", mnn.group(1).upper())
+                engine.set_column_not_null(
+                    logical, col, form == "SET NOT NULL"
+                )
+                engine._republish_info_schema()
+                return None
+            mrs = re.match(r"RESTART\s+WITH\s+(-?\d+)\s*$", tsh, re.I)
+            if mrs:
+                entry = engine.colmeta.columns_of(logical).get(
+                    col.casefold(), {}
+                )
+                seq = entry.get("sequence")
+                if not seq:
+                    raise ValueError(
+                        f"ALTER COLUMN RESTART: {col!r} is not an "
+                        "identity column (no backing sequence)"
+                    )
+                engine.sequences.alter(
+                    seq, restart=True, with_=int(mrs.group(1))
+                )
+                return None
+            msl = re.match(r"SELECTIVITY\s+(\d+)\s*$", tsh, re.I)
+            if msl:
+                engine.colmeta.update_column(
+                    logical, col, selectivity=int(msl.group(1))
+                )
+                return None
+            mdt = re.match(r"SET\s+DATA\s+TYPE\s+", tsh, re.I)
+            type_text = tail[mdt.end() :] if mdt else tail
+            if not type_text.strip():
+                raise ValueError(
+                    "ALTER COLUMN: supported forms are RENAME TO, SET "
+                    "DEFAULT, DROP DEFAULT, SET [NOT] NULL / DROP NOT "
+                    "NULL, RESTART WITH n, SELECTIVITY n, [SET DATA "
+                    "TYPE] type"
+                )
+            engine.cast_column_type(
+                logical, col, _h2_type_to_spark(type_text)
+            )
+            return None
         madd = re.compile(r"\s*ADD\s+(COLUMN\s+)?", re.I).match(shadow, pos)
         if madd:
             col, pos2 = _parse_ident(statement, shadow, madd.end())
@@ -1682,6 +2057,7 @@ def _execute_verb(engine, statement: str, shadow: str, m):
             return None
         raise ValueError(
             "ALTER TABLE: supported forms are ADD [COLUMN], DROP [COLUMN], "
+            "ADD/DROP CONSTRAINT, ALTER COLUMN ..., "
             "RENAME COLUMN ... TO ..., RENAME TO ..."
         )
 
@@ -1702,7 +2078,9 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         resolve_columns([k], target.columns, "MERGE: KEY column not found")[k]
         for k in key_cols
     ]
-    src = _conform_source(engine, target, names, kind, source, verb="MERGE")
+    src = _conform_source(
+        engine, target, names, kind, source, verb="MERGE", logical=logical
+    )
     n = src.count()
     engine.merge_into(logical, src, key_cols)
     return n
@@ -2217,6 +2595,207 @@ def _parse_constraint_clause(seg: str, sshadow: str):
     return name, ctype, cols, None, False
 
 
+#: Keywords that terminate a bare (un-parenthesized) DEFAULT
+#: expression inside a column definition — every option token H2's
+#: column grammar admits after the default.
+_COLOPT_BOUNDARY = frozenset(
+    {
+        "NOT",
+        "NULL",
+        "NULL_TO_DEFAULT",
+        "SEQUENCE",
+        "SELECTIVITY",
+        "COMMENT",
+        "AUTO_INCREMENT",
+        "PRIMARY",
+        "UNIQUE",
+        "CHECK",
+        "REFERENCES",
+        "ON",
+    }
+)
+
+
+def _take_string_literal(text: str, shadow: str, pos: int, ctx: str):
+    """Parse a single-quoted literal starting at or after ``pos``
+    (first non-space must be the quote); returns (value, end) with
+    '' escapes resolved."""
+    while pos < len(text) and text[pos].isspace():
+        pos += 1
+    if pos >= len(text) or text[pos] != "'":
+        raise ValueError(f"{ctx}: expected a string literal")
+    j = shadow.find("'", pos + 1)
+    if j < 0:
+        raise ValueError(f"{ctx}: unterminated string literal")
+    return text[pos + 1 : j].replace("''", "'"), j + 1
+
+
+def _search_depth0(shadow: str, pattern: str):
+    """First match of ``pattern`` at paren depth 0 of ``shadow`` —
+    an option keyword inside a still-unexcised ``CHECK (...)``
+    predicate (or any other paren group) must not match."""
+    rx = re.compile(f"[()]|{pattern}", re.I)
+    depth, pos = 0, 0
+    while True:
+        m = rx.search(shadow, pos)
+        if m is None:
+            return None
+        t = m.group(0)
+        if t == "(":
+            depth += 1
+        elif t == ")":
+            depth -= 1
+        elif depth == 0:
+            return m
+        pos = m.end()
+
+
+def _parse_column_options(text: str, ctx: str):
+    """Excise the H2 column options the stored parquet schema cannot
+    carry from one column definition's post-name text — ``DEFAULT
+    expr`` / ``AUTO_INCREMENT[(start[, inc])]`` / ``NULL_TO_DEFAULT``
+    / ``SEQUENCE seq`` / ``SELECTIVITY n`` / ``COMMENT 'txt'`` — in
+    any order (a REAL H2 1.4.200 dump spells an identity column
+    ``"ID" BIGINT DEFAULT (NEXT VALUE FOR "PUBLIC"."S") NOT NULL
+    NULL_TO_DEFAULT SEQUENCE "PUBLIC"."S"`` and an ANALYZEd database
+    adds ``SELECTIVITY n`` to every column). Returns ``(remaining,
+    opts)`` where ``remaining`` still carries the classic trailing
+    tokens (NOT NULL / PRIMARY KEY / UNIQUE / CHECK) for the
+    existing strip loop, and ``opts`` maps default (H2-spelled
+    expression text), auto_increment ((start, inc), values None when
+    unspelled), null_to_default, sequence, selectivity, remarks.
+    Every keyword search is depth-0 gated so an option word inside a
+    CHECK predicate (``CHECK (selectivity > 0)`` over a column named
+    selectivity) never false-matches."""
+    opts = {
+        "default": None,
+        "auto_increment": None,
+        "null_to_default": False,
+        "sequence": None,
+        "selectivity": None,
+        "remarks": None,
+    }
+    # DEFAULT first: its expression may contain any token (it is
+    # excised whole, so the later keyword searches never see it)
+    shadow = _shadow(text)
+    md = _search_depth0(shadow, r"\bDEFAULT\s")
+    if md:
+        j = md.end()
+        while j < len(text) and text[j].isspace():
+            j += 1
+        if j >= len(text):
+            raise ValueError(f"{ctx}: empty DEFAULT expression")
+        if text[j] == "(":
+            close = _match_close(shadow, j)
+            opts["default"] = text[j : close + 1].strip()
+            end = close + 1
+        elif re.match(r"NULL\b", shadow[j:], re.I):
+            # DEFAULT NULL: NULL is itself a boundary keyword, so it
+            # is consumed specially (H2 records it verbatim)
+            opts["default"] = "NULL"
+            end = j + 4
+        else:
+            end = len(text)
+            depth = 0
+            for mt in re.finditer(
+                r"[()]|[A-Za-z_][A-Za-z0-9_$]*", shadow[j:]
+            ):
+                tok = mt.group(0)
+                if tok == "(":
+                    depth += 1
+                elif tok == ")":
+                    depth -= 1
+                elif depth == 0 and tok.upper() in _COLOPT_BOUNDARY:
+                    end = j + mt.start()
+                    break
+            opts["default"] = text[j:end].strip()
+            if not opts["default"]:
+                raise ValueError(f"{ctx}: empty DEFAULT expression")
+        text = (text[: md.start()] + " " + text[end:]).strip()
+        shadow = _shadow(text)
+    ma = _search_depth0(shadow, r"\bAUTO_INCREMENT\b")
+    if ma:
+        end = ma.end()
+        start_inc: tuple = (None, None)
+        mp = re.match(r"\s*\(", shadow[end:])
+        if mp:
+            open_p = end + mp.end() - 1
+            close = _match_close(shadow, open_p)
+            args = [a.strip() for a in text[open_p + 1 : close].split(",")]
+            if not 1 <= len(args) <= 2 or not all(
+                re.fullmatch(r"-?\d+", a) for a in args
+            ):
+                raise ValueError(
+                    f"{ctx}: AUTO_INCREMENT(start[, increment]) takes "
+                    "one or two integer arguments"
+                )
+            start_inc = (
+                int(args[0]),
+                int(args[1]) if len(args) == 2 else None,
+            )
+            end = close + 1
+        opts["auto_increment"] = start_inc
+        text = (text[: ma.start()] + " " + text[end:]).strip()
+        shadow = _shadow(text)
+    mn = _search_depth0(shadow, r"\bNULL_TO_DEFAULT\b")
+    if mn:
+        opts["null_to_default"] = True
+        text = (text[: mn.start()] + " " + text[mn.end() :]).strip()
+        shadow = _shadow(text)
+    msq = _search_depth0(shadow, r"\bSEQUENCE\s")
+    if msq:
+        name, end = _parse_ident(text, shadow, msq.end())
+        if end < len(shadow) and shadow[end] == ".":
+            if name.casefold() != "public":
+                raise ValueError(
+                    f"{ctx}: unknown schema {name!r} in SEQUENCE "
+                    "binding (only PUBLIC is modeled)"
+                )
+            name, end = _parse_ident(text, shadow, end + 1)
+        opts["sequence"] = name
+        text = (text[: msq.start()] + " " + text[end:]).strip()
+        shadow = _shadow(text)
+    msel = _search_depth0(shadow, r"\bSELECTIVITY\s+(\d+)")
+    if msel:
+        opts["selectivity"] = int(msel.group(1))
+        text = (text[: msel.start()] + " " + text[msel.end() :]).strip()
+        shadow = _shadow(text)
+    mc = _search_depth0(shadow, r"\bCOMMENT\s")
+    if mc:
+        val, end = _take_string_literal(
+            text, shadow, mc.end(), f"{ctx}: COMMENT"
+        )
+        opts["remarks"] = val
+        text = (text[: mc.start()] + " " + text[end:]).strip()
+    return text, opts
+
+
+def _default_sequence_name(default: str, ctx: str):
+    """When a DEFAULT expression is H2's identity spelling —
+    ``(NEXT VALUE FOR seq)`` / ``NEXTVAL('seq')``, optionally
+    PUBLIC-qualified — return the sequence name; ``None`` for any
+    other (deterministic) expression."""
+    mseq = re.match(
+        r"(?is)^\(?\s*(?:NEXT\s+VALUE\s+FOR\s+(?P<i>.+?)"
+        r"|NEXTVAL\s*\(\s*'(?P<l>[^']*)'\s*\))\s*\)?\s*$",
+        default,
+    )
+    if not mseq:
+        return None
+    if mseq.group("l") is not None:
+        return mseq.group("l")
+    dshadow = _shadow(default)
+    dseq, dpos = _parse_ident(default, dshadow, mseq.start("i"))
+    if dpos < len(dshadow) and dshadow[dpos] == ".":
+        if dseq.casefold() != "public":
+            raise ValueError(
+                f"{ctx}: unknown schema {dseq!r} in DEFAULT sequence "
+                "(only PUBLIC is modeled)"
+            )
+        dseq, _ = _parse_ident(default, dshadow, dpos + 1)
+    return dseq
+
+
 def _create_cached_table(engine, statement: str, shadow: str, mcache):
     """H2 ``CREATE CACHED|MEMORY TABLE name(col type [NOT NULL]
     [PRIMARY KEY|UNIQUE], ..., [CONSTRAINT name] PRIMARY KEY|UNIQUE
@@ -2247,6 +2826,7 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
     close = _match_close(shadow, open_p)
     fields = []
     cons: list[tuple] = []  # (name_or_None, type, [cols])
+    col_opts: dict = {}  # spelled col -> _parse_column_options opts
     for seg in _split_top_level(statement, shadow, open_p + 1, close):
         seg = seg.strip()
         sshadow = _shadow(seg)
@@ -2284,6 +2864,16 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
             type_text = (
                 type_text[: mref.start()] + type_text[rpos:]
             ).strip()
+        # H2 column options parquet cannot carry (DEFAULT /
+        # AUTO_INCREMENT / NULL_TO_DEFAULT / SEQUENCE / SELECTIVITY
+        # / COMMENT) — excised before the classic trailing-token
+        # strip so a dump-spelled identity column ("ID" BIGINT
+        # DEFAULT (NEXT VALUE FOR "S") NOT NULL NULL_TO_DEFAULT
+        # SEQUENCE "S") leaves NOT NULL trailing; recorded in the
+        # column-metadata registry after the table lands
+        type_text, copts = _parse_column_options(
+            type_text, f"column def {seg!r}"
+        )
         # H2 column grammar: type then NOT NULL and/or
         # UNIQUE | PRIMARY KEY [HASH] | CHECK (pred), in EITHER
         # order — strip trailing tokens until the bare type remains
@@ -2320,6 +2910,29 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
             else:
                 not_null = True
             type_text = type_text[: mck.start()].strip()
+        # identity TYPES: H2 1.4.200's IDENTITY[(start[, inc])] is
+        # BIGINT auto-increment PRIMARY KEY; SERIAL / BIGSERIAL are
+        # the auto-increment INT / BIGINT compat spellings (no PK)
+        mid = re.fullmatch(
+            r"(?is)\s*(IDENTITY|SERIAL|BIGSERIAL)\s*"
+            r"(\(\s*(-?\d+)\s*(?:,\s*(-?\d+)\s*)?\))?\s*;?\s*",
+            type_text,
+        )
+        if mid:
+            kind = mid.group(1).upper()
+            if copts["auto_increment"] is None:
+                copts["auto_increment"] = (
+                    int(mid.group(3)) if mid.group(3) else None,
+                    int(mid.group(4)) if mid.group(4) else None,
+                )
+            type_text = "INT" if kind == "SERIAL" else "BIGINT"
+            if kind == "IDENTITY":
+                pk_col = True
+        if copts["auto_increment"] is not None:
+            # an identity column is NOT NULL and converts explicit
+            # NULLs to its next sequence value, H2's NULL_TO_DEFAULT
+            not_null = True
+            copts["null_to_default"] = True
         if pk_col:
             cons.append((None, "PRIMARY KEY", [col], None))
         if uniq_col:
@@ -2328,6 +2941,20 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
             # a column-level CHECK is recorded exactly like H2's
             # table-level form (H2 itself hoists them in SCRIPT)
             cons.append((None, "CHECK", [], one))
+        if not_null or pk_col:
+            copts["not_null"] = True
+        if copts["auto_increment"] is not None or any(
+            copts.get(k)
+            for k in (
+                "default",
+                "null_to_default",
+                "sequence",
+                "selectivity",
+                "remarks",
+                "not_null",
+            )
+        ):
+            col_opts[col] = copts
         nullable = not not_null and not pk_col  # H2: PK implies NOT NULL
         sp = _h2_type_to_spark(type_text)
         # a DataFrame can't carry char/varchar without
@@ -2429,6 +3056,65 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
         else f
         for f in fields
     ]
+    # column-metadata semantics resolve and VALIDATE before the table
+    # exists (atomic rejection, like the constraint set): a
+    # dump-spelled identity default ``(NEXT VALUE FOR "S")`` becomes
+    # a sequence BINDING (the dump's CREATE SEQUENCE line precedes
+    # the table, so it must already exist); a deterministic default
+    # must analyze as a constant expression NOW, not on the first
+    # INSERT months later
+    col_meta: dict = {}  # spelled col -> colmeta registry fields
+    identity_new: list = []  # (col, start, inc) — sequences to create
+    for col, o in col_opts.items():
+        entry: dict = {}
+        default = o["default"]
+        seq = o["sequence"]
+        if default is not None:
+            dseq = _default_sequence_name(default, "CREATE CACHED TABLE")
+            if dseq is not None:
+                if seq is not None and seq.casefold() != dseq.casefold():
+                    raise ValueError(
+                        f"CREATE CACHED TABLE: column {col!r} DEFAULT "
+                        f"sequence {dseq!r} conflicts with its SEQUENCE "
+                        f"binding {seq!r}"
+                    )
+                seq = dseq
+                default = None
+            else:
+                spark_default = _h2_expr_to_spark(default)
+                try:
+                    engine.spark.sql(f"SELECT {spark_default}").schema
+                except Exception as e:
+                    raise ValueError(
+                        f"CREATE CACHED TABLE: DEFAULT {default!r} on "
+                        f"column {col!r} does not analyze as a constant "
+                        f"expression: {e}"
+                    ) from None
+                entry["default"] = spark_default
+        if seq is not None:
+            engine.sequences.describe(seq)  # loud when absent
+            entry["sequence"] = seq
+        elif o["auto_increment"] is not None:
+            start, inc = o["auto_increment"]
+            identity_new.append((col, start or 1, inc or 1))
+        if o["null_to_default"]:
+            entry["null_to_default"] = True
+        if o.get("not_null"):
+            entry["not_null"] = True
+        if o["selectivity"] is not None:
+            entry["selectivity"] = o["selectivity"]
+        if o["remarks"] is not None:
+            entry["remarks"] = o["remarks"]
+        if entry:
+            col_meta[col] = entry
+    # a TABLE-level PK also carries NOT NULL intent into the
+    # registry (the enforcement reader; pk_cols already unions the
+    # column-level spellings)
+    for f in fields:
+        if f.name.casefold() in pk_cols and not col_meta.get(
+            f.name, {}
+        ).get("not_null"):
+            col_meta.setdefault(f.name, {})["not_null"] = True
     ine = mcache.group("ine") is not None
     if ine and any(
         k.casefold() == table.casefold() for k in engine.sink.catalog
@@ -2445,12 +3131,30 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
                     f"does not analyze against the declared columns: {e}"
                 ) from None
     engine.create_table_as(table, df, if_not_exists=ine)
+    # AUTO_INCREMENT / IDENTITY backing sequences: H2-looking
+    # SYSTEM_SEQUENCE names, marked BELONGS_TO_TABLE (dropped with
+    # the table, and SCRIPT re-emits the flag like H2's own dumps)
+    taken = {n.casefold() for n in engine.sequences.names()}
+    for col, start, inc in identity_new:
+        base = re.sub(r"[^A-Za-z0-9_]", "_", f"{table}_{col}").upper()
+        seq_name = f"SYSTEM_SEQUENCE_{base}"
+        k = 2
+        while seq_name.casefold() in taken:
+            seq_name = f"SYSTEM_SEQUENCE_{base}_{k}"
+            k += 1
+        taken.add(seq_name.casefold())
+        engine.sequences.create(
+            seq_name, start, inc, belongs_to_table=True
+        )
+        col_meta.setdefault(col, {})["sequence"] = seq_name
     # ONE locked registry write for the whole constraint set: a
     # crash after create_table_as can no longer leave a restored
     # table silently missing part of its declared metadata — the
-    # window shrinks to a single atomic os.replace (advisor r11)
+    # window shrinks to a single atomic os.replace (advisor r11);
+    # the column-metadata set lands the same way (one locked write)
     engine.constraints.add_many(table, cons)
-    if cons:
+    engine.colmeta.update_columns(table, col_meta)
+    if cons or col_meta:
         engine._republish_info_schema()
     return None
 
