@@ -267,20 +267,36 @@ def refresh_information_schema(engine: "Engine") -> None:
     spark = engine.spark
     cat = _catalog_name(engine)
     # ONE registry snapshot feeds both the COLUMNS nullability fix
-    # and the CONSTRAINTS rows below (script_lines' rationale)
+    # and the CONSTRAINTS rows below (script_lines' rationale); the
+    # column-metadata snapshot feeds COLUMN_DEFAULT / IS_NULLABLE /
+    # REMARKS the same way
     all_cons = engine.constraints.all()
+    all_meta = engine.colmeta.all()
     trows, crows = [], []
     for logical in sorted(engine.sink.catalog):
         try:
             schema = engine.table(logical).schema
         except Exception:
             continue  # stale catalog entry: skip, never fail introspection
-        trows.append((cat, "PUBLIC", logical, "TABLE", "PARQUET", None, ""))
+        tmeta = all_meta.get(str(logical).casefold(), {})
+        cmeta = tmeta.get("columns", {})
+        trows.append(
+            (
+                cat,
+                "PUBLIC",
+                logical,
+                "TABLE",
+                "PARQUET",
+                None,
+                tmeta.get("remarks", ""),
+            )
+        )
         # PK members report IS_NULLABLE='NO' like H2: Spark's
         # file-based saveAsTable stores every column nullable, so the
         # constraint REGISTRY is the NOT NULL carrier — without this
         # the same row would read nullable here, KEY='PRI' next door
-        # and NOT NULL in the SCRIPT dump (advisor r11)
+        # and NOT NULL in the SCRIPT dump (advisor r11); declared
+        # NOT NULL columns (colmeta) report the same way
         pk_cols = {
             c.casefold()
             for e in all_cons.get(logical.casefold(), [])
@@ -289,7 +305,19 @@ def refresh_information_schema(engine: "Engine") -> None:
         }
         for i, f in enumerate(schema.fields, start=1):
             tname, code, cmax, prec, scale = h2_type_info(f.dataType)
-            nullable = f.nullable and f.name.casefold() not in pk_cols
+            fm = cmeta.get(f.name.casefold(), {})
+            nullable = (
+                f.nullable
+                and f.name.casefold() not in pk_cols
+                and not fm.get("not_null")
+            )
+            if fm.get("sequence"):
+                # H2 1.4.200's own spelling for an identity column
+                default = f'(NEXT VALUE FOR "{fm["sequence"]}")'
+            elif fm.get("default"):
+                default = _h2_spell(fm["default"])
+            else:
+                default = None
             crows.append(
                 (
                     cat,
@@ -297,7 +325,7 @@ def refresh_information_schema(engine: "Engine") -> None:
                     logical,
                     f.name,
                     i,
-                    None,
+                    default,
                     "YES" if nullable else "NO",
                     code,
                     cmax,
@@ -305,7 +333,7 @@ def refresh_information_schema(engine: "Engine") -> None:
                     scale,
                     tname,
                     1 if nullable else 0,
-                    "",
+                    fm.get("remarks", ""),
                 )
             )
     # registered views appear in TABLES (TABLE_TYPE='VIEW', like H2)
@@ -532,6 +560,7 @@ def execute_show(engine: "Engine", statement: str, shadow: str, m) -> DataFrame:
             uni_cols.update(c.casefold() for c in e["columns"])
         # CHECK has no members; FOREIGN KEY members carry no KEY mark
         # here (H2's PRI/UNI come from unique indexes only)
+    cmeta = engine.colmeta.columns_of(target)
     rows = []
     for f in engine.table(target).schema.fields:
         tname, _, cmax, prec, scale = h2_type_info(f.dataType)
@@ -551,10 +580,22 @@ def execute_show(engine: "Engine", statement: str, shadow: str, m) -> DataFrame:
         # PK members are NOT NULL in H2 — the registry carries that
         # intent (stored parquet columns are always nullable), so
         # NULL must agree with KEY='PRI' here and with the SCRIPT
-        # dump's NOT NULL spelling (advisor r11)
-        nullable = f.nullable and f.name.casefold() not in pk_cols
+        # dump's NOT NULL spelling (advisor r11); declared NOT NULL
+        # and recorded defaults come from the colmeta registry
+        fm = cmeta.get(f.name.casefold(), {})
+        nullable = (
+            f.nullable
+            and f.name.casefold() not in pk_cols
+            and not fm.get("not_null")
+        )
+        if fm.get("sequence"):
+            default = f'(NEXT VALUE FOR "{fm["sequence"]}")'
+        elif fm.get("default"):
+            default = _h2_spell(fm["default"])
+        else:
+            default = None
         rows.append(
-            (f.name, tspell, "YES" if nullable else "NO", key, None)
+            (f.name, tspell, "YES" if nullable else "NO", key, default)
         )
     return spark.createDataFrame(
         rows,

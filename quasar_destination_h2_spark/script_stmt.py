@@ -134,31 +134,41 @@ def script_lines(
     from .idents import hygienic_ident_ansi as q
 
     lines: list[str] = []
+    all_meta = engine.colmeta.all()
+
+    def _seq_lines(name: str) -> list[str]:
+        s = engine.sequences.describe(name)
+        # an EXHAUSTED sequence's next value sits past its bound
+        # (and a RESTARTed one may sit below it) — CREATE rejects
+        # an out-of-range START WITH, so clamp the CREATE into
+        # bounds and carry the true position via ALTER ... RESTART
+        # WITH (which, like H2's, is unchecked: MINVALUE is a
+        # cycle restart point, not a floor). The restored sequence
+        # then dispenses — or re-raises exhaustion — exactly where
+        # the dumped one would.
+        start = min(max(s["next"], s["min"]), s["max"])
+        ddl = f"CREATE SEQUENCE {q(name)} START WITH {start}"
+        if s["inc"] != 1:
+            ddl += f' INCREMENT BY {s["inc"]}'
+        ddl += f' MINVALUE {s["min"]} MAXVALUE {s["max"]}'
+        if s["cycle"]:
+            ddl += " CYCLE"
+        if s["cache"] is not None:
+            ddl += f' CACHE {s["cache"]}'
+        if s["belongs_to_table"]:
+            # H2's own flag on identity-backing sequences: the
+            # restored sequence dies with its table again
+            ddl += " BELONGS_TO_TABLE"
+        out = [ddl + ";"]
+        if start != s["next"]:
+            out.append(
+                f'ALTER SEQUENCE {q(name)} RESTART WITH {s["next"]};'
+            )
+        return out
+
     if only_tables is None:
         for name in sorted(engine.sequences.names()):
-            s = engine.sequences.describe(name)
-            # an EXHAUSTED sequence's next value sits past its bound
-            # (and a RESTARTed one may sit below it) — CREATE rejects
-            # an out-of-range START WITH, so clamp the CREATE into
-            # bounds and carry the true position via ALTER ... RESTART
-            # WITH (which, like H2's, is unchecked: MINVALUE is a
-            # cycle restart point, not a floor). The restored sequence
-            # then dispenses — or re-raises exhaustion — exactly where
-            # the dumped one would.
-            start = min(max(s["next"], s["min"]), s["max"])
-            ddl = f"CREATE SEQUENCE {q(name)} START WITH {start}"
-            if s["inc"] != 1:
-                ddl += f' INCREMENT BY {s["inc"]}'
-            ddl += f' MINVALUE {s["min"]} MAXVALUE {s["max"]}'
-            if s["cycle"]:
-                ddl += " CYCLE"
-            if s["cache"] is not None:
-                ddl += f' CACHE {s["cache"]}'
-            lines.append(ddl + ";")
-            if start != s["next"]:
-                lines.append(
-                    f'ALTER SEQUENCE {q(name)} RESTART WITH {s["next"]};'
-                )
+            lines.extend(_seq_lines(name))
         names = sorted(engine.sink.catalog)
     else:
         by_cf = {str(k).casefold(): str(k) for k in engine.sink.catalog}
@@ -168,12 +178,33 @@ def script_lines(
                 raise ValueError(f"SCRIPT: table not found: {t!r}")
             names.append(by_cf[t.casefold()])
         names.sort()
+        # a scoped dump must still restore its identity columns —
+        # their DEFAULT (NEXT VALUE FOR ...) validates the sequence
+        # exists — so, unlike H2's bare TABLE scoping, sequences
+        # BOUND to an in-scope column are emitted (the scoped-views
+        # dependency-closure precedent: a documented extension
+        # without which the dump is unrestorable)
+        emitted_seqs: set = set()
+        for logical in names:
+            cmeta = all_meta.get(str(logical).casefold(), {}).get(
+                "columns", {}
+            )
+            for fm in cmeta.values():
+                seq = fm.get("sequence")
+                if seq and seq.casefold() not in emitted_seqs:
+                    emitted_seqs.add(seq.casefold())
+                    lines.extend(_seq_lines(seq))
     # ONE registry snapshot for the whole dump (the
     # refresh_information_schema pattern): per-table for_table calls
     # would re-open and re-parse the JSON twice per table, and a
     # concurrent writer could slip between the two reads of one table
     all_cons = engine.constraints.all()
     fk_lines: list[str] = []
+    comment_lines: list[str] = []
+
+    def _esc(s: str) -> str:
+        return s.replace("'", "''")
+
     scoped_cf = {n.casefold() for n in names}
     for logical in names:
         try:
@@ -183,26 +214,63 @@ def script_lines(
                 raise
             continue  # stale catalog entry: introspection never fails
         tcons = all_cons.get(logical.casefold(), [])
+        tmeta = all_meta.get(str(logical).casefold(), {})
+        cmeta = tmeta.get("columns", {})
         # PK members spell NOT NULL like H2's own dumps: Spark's
         # file-based saveAsTable forces every column nullable, so the
         # constraint REGISTRY (not the stored schema) is the
-        # authoritative carrier of the PK's NOT NULL intent
+        # authoritative carrier of the PK's NOT NULL intent; declared
+        # NOT NULL / DEFAULT / identity / SELECTIVITY come from the
+        # column-metadata registry the same way (colmeta.py) and are
+        # re-spelled exactly like H2's own dump grammar
         pk_cols = {
             c.casefold()
             for e in tcons
             if e["type"] == "PRIMARY KEY"
             for c in e["columns"]
         }
-        cols = ", ".join(
-            f"{q(f.name)} {_h2_column_type(f)}"
-            + (
-                ""
-                if f.nullable and f.name.casefold() not in pk_cols
-                else " NOT NULL"
-            )
-            for f in schema.fields
-        )
+
+        def _coldef(f) -> str:
+            fm = cmeta.get(f.name.casefold(), {})
+            parts = [f"{q(f.name)} {_h2_column_type(f)}"]
+            if fm.get("sequence"):
+                parts.append(
+                    f"DEFAULT (NEXT VALUE FOR {q(fm['sequence'])})"
+                )
+            elif fm.get("default"):
+                parts.append(
+                    f"DEFAULT {_spark_expr_to_h2(fm['default'])}"
+                )
+            if (
+                not f.nullable
+                or f.name.casefold() in pk_cols
+                or fm.get("not_null")
+            ):
+                parts.append("NOT NULL")
+            if fm.get("null_to_default"):
+                parts.append("NULL_TO_DEFAULT")
+            if fm.get("sequence"):
+                parts.append(f"SEQUENCE {q(fm['sequence'])}")
+            if fm.get("selectivity") is not None:
+                parts.append(f"SELECTIVITY {fm['selectivity']}")
+            return " ".join(parts)
+
+        cols = ", ".join(_coldef(f) for f in schema.fields)
         lines.append(f"CREATE CACHED TABLE {q(logical)}({cols});")
+        # remarks round-trip as H2's own COMMENT ON lines (emitted
+        # after every object exists)
+        if tmeta.get("remarks"):
+            comment_lines.append(
+                f"COMMENT ON TABLE {q(logical)} IS "
+                f"'{_esc(tmeta['remarks'])}';"
+            )
+        for f in schema.fields:
+            fm = cmeta.get(f.name.casefold(), {})
+            if fm.get("remarks"):
+                comment_lines.append(
+                    f"COMMENT ON COLUMN {q(logical)}.{q(f.name)} IS "
+                    f"'{_esc(fm['remarks'])}';"
+                )
         # recorded PK/UNIQUE/CHECK constraints round-trip as H2
         # SCRIPT spells them: ALTER ... ADD CONSTRAINT lines after
         # the table (CHECK predicates are stored in the Spark
@@ -302,6 +370,9 @@ def script_lines(
             f"CREATE FORCE VIEW {q(e['name'])}{cols} AS "
             f"{_spark_expr_to_h2(e['definition'])};"
         )
+    # COMMENT ON lines LAST (every commented object already exists
+    # on restore, whatever the dump's table/view interleave)
+    lines.extend(comment_lines)
     return lines
 
 
