@@ -1951,9 +1951,16 @@ class Engine:
                     pass
 
     def _has_check_constraints(self, logical_name: str) -> bool:
+        """True when a DML write into this table must route through
+        the enforcement pass: a recorded CHECK predicate OR a
+        declared NOT NULL column (colmeta) — both are evaluated in
+        the same single aggregation."""
         return any(
             e["type"] == "CHECK"
             for e in self.constraints.for_table(logical_name)
+        ) or any(
+            e.get("not_null")
+            for e in self.colmeta.columns_of(logical_name).values()
         )
 
     def _enforce_check_constraints(

@@ -35,6 +35,13 @@ _R13_NEW = [
     # view — then data/catalog/enforcement probes (r12 verdict
     # task 1)
     "foreign_dump_battery",
+    # the REMAINING column options of a real H2 dump: identity
+    # columns (DEFAULT (NEXT VALUE FOR ...) NOT NULL NULL_TO_DEFAULT
+    # SEQUENCE ... over a BELONGS_TO_TABLE sequence), DEFAULT
+    # expressions applied on INSERT, NOT NULL enforcement,
+    # SELECTIVITY, COMMENT ON — restored from the checked-in
+    # h2_identity_dump.sql fixture and probed end-to-end
+    "column_defaults_battery",
 ]
 
 _R13_TOUCHED = [
@@ -96,9 +103,9 @@ _DRIVER_WINDOW = [
     "dedup_containment",
     "doc_chunking",
     "events_anomaly_zscore",
-    "hard_negative_mining",
     # (window is exactly 50 — the driver hashes the first ~50;
-    # keyword_search and the rest of r8 rotate in next round)
+    # hard_negative_mining, keyword_search and the rest of r8
+    # rotate in next round)
 ]
 
 

@@ -6910,3 +6910,186 @@ def q_foreign_dump_battery(t: TableSet) -> DataFrame:
     return spark.createDataFrame(
         rows, "kind string, obj string, detail string"
     ).orderBy("kind", "obj")
+
+
+# ---------------------------------------------------------------------------
+# Round 13 (continued): column DEFAULT / identity / NOT NULL / COMMENT
+# metadata — the remaining CREATE CACHED TABLE column options a REAL
+# H2 1.4.200 dump spells (identity columns restore as DEFAULT (NEXT
+# VALUE FOR ...) NOT NULL NULL_TO_DEFAULT SEQUENCE ...; ANALYZEd
+# databases add SELECTIVITY n; commented objects add COMMENT ON
+# lines). colmeta.py is the durable carrier; INSERT applies
+# defaults, NOT NULL enforces, INFORMATION_SCHEMA + SCRIPT surface.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "column_defaults_battery",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('alter', 'drop_default', 'None'),
+      ('alter', 'set_default', 'maint'),
+      ('catalog', 'column_default_id', '(NEXT VALUE FOR '
+        || '"SYSTEM_SEQUENCE_5BD9E2E7_5CF1_4D5A_9E3F_0A1B2C3D4E5F")'),
+      ('catalog', 'is_nullable', 'ID:NO,SKU:NO,STATUS:YES,QTY:NO'),
+      ('catalog', 'remarks', 'table=inventory items,QTY=on-hand count'),
+      ('enforce', 'not_null_qty', 'NullViolation:QTY'),
+      ('identity', 'default_kw', '5'),
+      ('identity', 'insert_next', '4:new:0'),
+      ('identity', 'null_to_default', '6'),
+      ('redump', 'belongs', 'BELONGS_TO_TABLE'),
+      ('redump', 'qty_def', '"QTY" INTEGER DEFAULT 0 NOT NULL '
+        || 'SELECTIVITY 87'),
+      ('restore', 'counts', '3')
+    ) AS T(kind, obj, detail)
+    ORDER BY kind, obj
+    """,
+)
+def q_column_defaults_battery(t: TableSet) -> DataFrame:
+    """Column DEFAULT / identity / NOT NULL / SELECTIVITY / COMMENT
+    metadata as ONE driver-witnessed battery over the checked-in
+    H2-1.4.200-format identity dump (``plans/h2_identity_dump.sql``
+    — the sequence line carries H2's BELONGS_TO_TABLE flag, the
+    identity column its full dump spelling ``DEFAULT (NEXT VALUE FOR
+    "PUBLIC"."SYSTEM_SEQUENCE_...") NOT NULL NULL_TO_DEFAULT
+    SEQUENCE "PUBLIC"."SYSTEM_SEQUENCE_..."``, every column a
+    SELECTIVITY hint, and COMMENT ON lines close the dump). Probes:
+    the dump restores end-to-end; an INSERT omitting the identity
+    column dispenses from the dumped sequence position with the
+    other defaults filled (4:new:0); the DEFAULT keyword and an
+    explicit NULL into the NULL_TO_DEFAULT column draw the next
+    values (5, 6); a NULL into the declared NOT NULL column raises
+    BEFORE anything lands; INFORMATION_SCHEMA.COLUMNS surfaces
+    COLUMN_DEFAULT / IS_NULLABLE / REMARKS from the registry; a
+    re-dump re-spells the column options and the BELONGS_TO_TABLE
+    flag; ALTER COLUMN SET/DROP DEFAULT changes what subsequent
+    INSERTs fill. The oracle is the literal expected frame — fully
+    determined by the fixture, never by sf data."""
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..colmeta import NullViolation
+    from ..engine import Engine
+
+    spark = t.documents.sparkSession
+    eng = Engine.from_config(
+        _json.dumps({"connectionUri": _tempfile.mkdtemp()}), spark=spark
+    )
+    # shared-warehouse idempotence (the battery precedent): the
+    # BELONGS_TO_TABLE sequence dies with the table; a stray copy
+    # from an earlier run is dropped explicitly
+    eng.execute_sql('DROP TABLE IF EXISTS "IDD_ITEM"')
+    eng.execute_sql(
+        'DROP SEQUENCE IF EXISTS '
+        '"SYSTEM_SEQUENCE_5BD9E2E7_5CF1_4D5A_9E3F_0A1B2C3D4E5F"'
+    )
+    fixture = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)), "h2_identity_dump.sql"
+    )
+    eng.execute_sql(f"RUNSCRIPT FROM '{fixture}'")
+    rows: list[tuple] = []
+    rows.append(("restore", "counts", str(eng.table("IDD_ITEM").count())))
+    # identity + defaults fill an INSERT that spells only SKU
+    eng.execute_sql("INSERT INTO IDD_ITEM (SKU) VALUES ('D-400')")
+    r = eng.execute_sql(
+        "SELECT ID, STATUS, QTY FROM IDD_ITEM WHERE SKU = 'D-400'"
+    ).collect()[0]
+    rows.append(("identity", "insert_next", f"{r[0]}:{r[1]}:{r[2]}"))
+    # H2's DEFAULT keyword draws the same machinery per position
+    eng.execute_sql(
+        "INSERT INTO IDD_ITEM VALUES (DEFAULT, 'E-500', DEFAULT, 2)"
+    )
+    r = eng.execute_sql(
+        "SELECT ID FROM IDD_ITEM WHERE SKU = 'E-500'"
+    ).collect()[0]
+    rows.append(("identity", "default_kw", str(r[0])))
+    # NULL_TO_DEFAULT: an explicit NULL into the identity column
+    # converts to the next value (H2's identity insert behavior)
+    eng.execute_sql(
+        "INSERT INTO IDD_ITEM (ID, SKU) VALUES (NULL, 'F-600')"
+    )
+    r = eng.execute_sql(
+        "SELECT ID FROM IDD_ITEM WHERE SKU = 'F-600'"
+    ).collect()[0]
+    rows.append(("identity", "null_to_default", str(r[0])))
+    try:
+        eng.execute_sql(
+            "INSERT INTO IDD_ITEM (SKU, QTY) VALUES ('G-700', NULL)"
+        )
+        rows.append(("enforce", "not_null_qty", "ACCEPTED"))
+    except NullViolation as e:
+        col = "QTY" if "QTY" in str(e) else "?"
+        rows.append(("enforce", "not_null_qty", f"NullViolation:{col}"))
+    # the registry feeds the H2 introspection surfaces
+    r = eng.execute_sql(
+        "SELECT COLUMN_DEFAULT FROM INFORMATION_SCHEMA.COLUMNS "
+        "WHERE TABLE_NAME = 'IDD_ITEM' AND COLUMN_NAME = 'ID'"
+    ).collect()[0]
+    rows.append(("catalog", "column_default_id", r[0]))
+    nn = [
+        f"{r[0]}:{r[1]}"
+        for r in eng.execute_sql(
+            "SELECT COLUMN_NAME, IS_NULLABLE FROM "
+            "INFORMATION_SCHEMA.COLUMNS WHERE TABLE_NAME = 'IDD_ITEM' "
+            "ORDER BY ORDINAL_POSITION"
+        ).collect()
+    ]
+    rows.append(("catalog", "is_nullable", ",".join(nn)))
+    trem = eng.execute_sql(
+        "SELECT REMARKS FROM INFORMATION_SCHEMA.TABLES "
+        "WHERE TABLE_NAME = 'IDD_ITEM'"
+    ).collect()[0][0]
+    crem = eng.execute_sql(
+        "SELECT REMARKS FROM INFORMATION_SCHEMA.COLUMNS "
+        "WHERE TABLE_NAME = 'IDD_ITEM' AND COLUMN_NAME = 'QTY'"
+    ).collect()[0][0]
+    rows.append(("catalog", "remarks", f"table={trem},QTY={crem}"))
+    # the options round-trip through a re-dump in H2's own grammar
+    import re as _re
+
+    redump = [
+        r.SCRIPT
+        for r in eng.execute_sql("SCRIPT NODATA TABLE IDD_ITEM").collect()
+    ]
+    qty_def = next(
+        (
+            _re.search(r'"QTY"[^,)]*', ln).group(0).strip()
+            for ln in redump
+            if '"QTY"' in ln and "CREATE CACHED TABLE" in ln
+        ),
+        "MISSING",
+    )
+    rows.append(("redump", "qty_def", qty_def))
+    rows.append(
+        (
+            "redump",
+            "belongs",
+            "BELONGS_TO_TABLE"
+            if any(
+                "CREATE SEQUENCE" in ln and "BELONGS_TO_TABLE" in ln
+                for ln in redump
+            )
+            else "MISSING",
+        )
+    )
+    # ALTER COLUMN SET/DROP DEFAULT steer subsequent fills
+    eng.execute_sql(
+        "ALTER TABLE IDD_ITEM ALTER COLUMN STATUS SET DEFAULT 'maint'"
+    )
+    eng.execute_sql("INSERT INTO IDD_ITEM (SKU) VALUES ('H-800')")
+    r = eng.execute_sql(
+        "SELECT STATUS FROM IDD_ITEM WHERE SKU = 'H-800'"
+    ).collect()[0]
+    rows.append(("alter", "set_default", str(r[0])))
+    eng.execute_sql(
+        "ALTER TABLE IDD_ITEM ALTER COLUMN STATUS DROP DEFAULT"
+    )
+    eng.execute_sql("INSERT INTO IDD_ITEM (SKU) VALUES ('I-900')")
+    r = eng.execute_sql(
+        "SELECT STATUS FROM IDD_ITEM WHERE SKU = 'I-900'"
+    ).collect()[0]
+    rows.append(("alter", "drop_default", str(r[0])))
+    return spark.createDataFrame(
+        rows, "kind string, obj string, detail string"
+    ).orderBy("kind", "obj")

@@ -1,0 +1,328 @@
+"""Column DEFAULT / identity / NOT NULL / SELECTIVITY / COMMENT
+metadata (colmeta.py): the H2 column options a real 1.4.200 dump
+spells inside ``CREATE CACHED TABLE`` definitions and the reference
+replays through RUNSCRIPT (H2Server.scala:41-58). Covers: option
+parsing, INSERT default application (omitted columns, the DEFAULT
+keyword, NULL_TO_DEFAULT conversion, exact-size identity sequence
+allocation), NOT NULL enforcement on the DML write paths, the
+ALTER COLUMN family, COMMENT ON, the INFORMATION_SCHEMA /
+SHOW COLUMNS surfaces, SCRIPT round-trips, and the checked-in
+H2-1.4.200-format identity dump fixture."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from quasar_destination_h2_spark.colmeta import NullViolation
+from quasar_destination_h2_spark.engine import Engine
+
+FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "quasar_destination_h2_spark",
+    "plans",
+    "h2_identity_dump.sql",
+)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, warehouse_dir):
+    eng = Engine.from_config(
+        json.dumps({"connectionUri": warehouse_dir}), spark=spark
+    )
+    return eng
+
+
+def _fresh(engine, name: str, ddl: str) -> None:
+    engine.execute_sql(f'DROP TABLE IF EXISTS "{name}"')
+    engine.execute_sql(ddl)
+
+
+def test_defaults_fill_omitted_columns(engine):
+    _fresh(
+        engine,
+        "cd_t1",
+        'CREATE CACHED TABLE "cd_t1"("k" INT, '
+        "\"s\" VARCHAR(8) DEFAULT 'none', \"n\" INT DEFAULT 7)",
+    )
+    engine.execute_sql("INSERT INTO cd_t1 (k) VALUES (1)")
+    row = engine.execute_sql("SELECT * FROM cd_t1").collect()[0]
+    assert (row.k, row.s, row.n) == (1, "none", 7)
+
+
+def test_default_keyword_in_values(engine):
+    _fresh(
+        engine,
+        "cd_t2",
+        'CREATE CACHED TABLE "cd_t2"("k" INT, "n" INT DEFAULT 5)',
+    )
+    engine.execute_sql("INSERT INTO cd_t2 VALUES (1, DEFAULT), (2, 9)")
+    got = {
+        (r.k, r.n)
+        for r in engine.execute_sql("SELECT * FROM cd_t2").collect()
+    }
+    assert got == {(1, 5), (2, 9)}
+
+
+def test_default_keyword_without_recorded_default_is_null(engine):
+    _fresh(engine, "cd_t3", 'CREATE CACHED TABLE "cd_t3"("a" INT, "b" INT DEFAULT 1)')
+    engine.execute_sql("INSERT INTO cd_t3 VALUES (DEFAULT, DEFAULT)")
+    row = engine.execute_sql("SELECT * FROM cd_t3").collect()[0]
+    assert (row.a, row.b) == (None, 1)
+
+
+def test_identity_auto_increment_allocates_per_row(engine):
+    _fresh(
+        engine,
+        "cd_id1",
+        'CREATE CACHED TABLE "cd_id1"("id" INT AUTO_INCREMENT(100, 5), '
+        '"x" VARCHAR(4))',
+    )
+    engine.execute_sql("INSERT INTO cd_id1 (x) VALUES ('p'), ('q'), ('r')")
+    ids = [
+        r.id
+        for r in engine.execute_sql(
+            "SELECT id FROM cd_id1 ORDER BY id"
+        ).collect()
+    ]
+    assert ids == [100, 105, 110]
+    # the backing sequence is engine-visible and BELONGS_TO_TABLE
+    seqs = [
+        s
+        for s in engine.sequences.names()
+        if s.startswith("system_sequence_cd_id1")
+    ]
+    assert len(seqs) == 1
+    assert engine.sequences.describe(seqs[0])["belongs_to_table"]
+    # ... and dies with the table
+    engine.execute_sql('DROP TABLE "cd_id1"')
+    assert not [
+        s
+        for s in engine.sequences.names()
+        if s.startswith("system_sequence_cd_id1")
+    ]
+
+
+def test_identity_type_is_bigint_pk(engine):
+    _fresh(
+        engine, "cd_id2", 'CREATE CACHED TABLE "cd_id2"("id" IDENTITY, "y" INT)'
+    )
+    engine.execute_sql("INSERT INTO cd_id2 (y) VALUES (7), (8)")
+    assert engine.table("cd_id2").schema["id"].dataType.simpleString() == (
+        "bigint"
+    )
+    assert any(
+        e["type"] == "PRIMARY KEY" and e["columns"] == ["id"]
+        for e in engine.constraints.for_table("cd_id2")
+    )
+    ids = sorted(
+        r.id for r in engine.execute_sql("SELECT id FROM cd_id2").collect()
+    )
+    assert ids == [1, 2]
+
+
+def test_null_to_default_converts_only_null_rows(engine):
+    _fresh(
+        engine,
+        "cd_id3",
+        'CREATE CACHED TABLE "cd_id3"("id" INT AUTO_INCREMENT, "x" INT)',
+    )
+    # provided non-NULL ids must NOT burn sequence values (H2
+    # advances identity only for NULL/omitted rows)
+    engine.execute_sql("INSERT INTO cd_id3 (id, x) VALUES (50, 1)")
+    engine.execute_sql("INSERT INTO cd_id3 (id, x) VALUES (NULL, 2)")
+    got = {
+        (r.id, r.x)
+        for r in engine.execute_sql("SELECT * FROM cd_id3").collect()
+    }
+    assert got == {(50, 1), (1, 2)}
+
+
+def test_identity_fill_over_table_driven_insert(engine):
+    _fresh(engine, "cd_src", 'CREATE CACHED TABLE "cd_src"("v" INT)')
+    engine.execute_sql("INSERT INTO cd_src VALUES (10), (20), (30)")
+    _fresh(
+        engine,
+        "cd_id4",
+        'CREATE CACHED TABLE "cd_id4"("id" INT AUTO_INCREMENT, "v" INT)',
+    )
+    engine.execute_sql("INSERT INTO cd_id4 (v) SELECT v FROM cd_src")
+    rows = engine.execute_sql("SELECT id, v FROM cd_id4 ORDER BY v").collect()
+    assert [r.v for r in rows] == [10, 20, 30]
+    assert sorted(r.id for r in rows) == [1, 2, 3]
+
+
+def test_not_null_enforced_on_all_dml_paths(engine):
+    _fresh(
+        engine,
+        "cd_nn",
+        'CREATE CACHED TABLE "cd_nn"("a" INT NOT NULL, "b" INT)',
+    )
+    with pytest.raises(NullViolation):
+        engine.execute_sql("INSERT INTO cd_nn VALUES (NULL, 1)")
+    engine.execute_sql("INSERT INTO cd_nn VALUES (1, 1)")
+    with pytest.raises(NullViolation):
+        engine.execute_sql("UPDATE cd_nn SET a = NULL WHERE b = 1")
+    with pytest.raises(NullViolation):
+        engine.execute_sql(
+            "MERGE INTO cd_nn (a, b) KEY (b) VALUES (NULL, 1)"
+        )
+    # nothing landed from the rejected statements
+    assert engine.table("cd_nn").count() == 1
+
+
+def test_pk_column_not_null_enforced_from_create(engine):
+    _fresh(
+        engine,
+        "cd_pk",
+        'CREATE CACHED TABLE "cd_pk"("k" INT PRIMARY KEY, "v" INT)',
+    )
+    with pytest.raises(NullViolation):
+        engine.execute_sql("INSERT INTO cd_pk VALUES (NULL, 1)")
+
+
+def test_alter_column_set_drop_default(engine):
+    _fresh(engine, "cd_a1", 'CREATE CACHED TABLE "cd_a1"("a" INT, "b" INT)')
+    engine.execute_sql('ALTER TABLE "cd_a1" ALTER COLUMN "b" SET DEFAULT 42')
+    engine.execute_sql("INSERT INTO cd_a1 (a) VALUES (1)")
+    engine.execute_sql('ALTER TABLE "cd_a1" ALTER COLUMN "b" DROP DEFAULT')
+    engine.execute_sql("INSERT INTO cd_a1 (a) VALUES (2)")
+    got = {
+        (r.a, r.b)
+        for r in engine.execute_sql("SELECT * FROM cd_a1").collect()
+    }
+    assert got == {(1, 42), (2, None)}
+
+
+def test_alter_column_set_not_null_validates_existing(engine):
+    _fresh(engine, "cd_a2", 'CREATE CACHED TABLE "cd_a2"("a" INT, "b" INT)')
+    engine.execute_sql("INSERT INTO cd_a2 VALUES (NULL, 1)")
+    with pytest.raises(NullViolation):
+        engine.execute_sql('ALTER TABLE "cd_a2" ALTER COLUMN "a" SET NOT NULL')
+    engine.execute_sql("DELETE FROM cd_a2 WHERE a IS NULL")
+    engine.execute_sql('ALTER TABLE "cd_a2" ALTER COLUMN "a" SET NOT NULL')
+    with pytest.raises(NullViolation):
+        engine.execute_sql("INSERT INTO cd_a2 VALUES (NULL, 2)")
+    # DROP NOT NULL lifts it again
+    engine.execute_sql('ALTER TABLE "cd_a2" ALTER COLUMN "a" DROP NOT NULL')
+    engine.execute_sql("INSERT INTO cd_a2 VALUES (NULL, 3)")
+    assert engine.table("cd_a2").count() == 1
+
+
+def test_alter_column_set_data_type_rejects_lossy(engine):
+    _fresh(engine, "cd_a3", 'CREATE CACHED TABLE "cd_a3"("a" VARCHAR(8))')
+    engine.execute_sql("INSERT INTO cd_a3 VALUES ('12'), ('x9')")
+    with pytest.raises(ValueError, match="do not convert"):
+        engine.execute_sql(
+            'ALTER TABLE "cd_a3" ALTER COLUMN "a" SET DATA TYPE INT'
+        )
+    engine.execute_sql("DELETE FROM cd_a3 WHERE a = 'x9'")
+    engine.execute_sql('ALTER TABLE "cd_a3" ALTER COLUMN "a" SET DATA TYPE INT')
+    assert engine.table("cd_a3").schema["a"].dataType.simpleString() == "int"
+    assert engine.execute_sql("SELECT a FROM cd_a3").collect()[0].a == 12
+
+
+def test_alter_column_rename_migrates_metadata(engine):
+    _fresh(
+        engine,
+        "cd_a4",
+        'CREATE CACHED TABLE "cd_a4"("a" INT DEFAULT 3, "b" INT)',
+    )
+    engine.execute_sql('ALTER TABLE "cd_a4" ALTER COLUMN "a" RENAME TO "aa"')
+    assert engine.table("cd_a4").columns == ["aa", "b"]
+    engine.execute_sql("INSERT INTO cd_a4 (b) VALUES (1)")
+    assert engine.execute_sql("SELECT aa FROM cd_a4").collect()[0].aa == 3
+
+
+def test_alter_column_restart_with(engine):
+    _fresh(
+        engine,
+        "cd_a5",
+        'CREATE CACHED TABLE "cd_a5"("id" INT AUTO_INCREMENT, "x" INT)',
+    )
+    engine.execute_sql('ALTER TABLE "cd_a5" ALTER COLUMN "id" RESTART WITH 500')
+    engine.execute_sql("INSERT INTO cd_a5 (x) VALUES (1)")
+    assert engine.execute_sql("SELECT id FROM cd_a5").collect()[0].id == 500
+
+
+def test_comment_on_roundtrip_and_clear(engine):
+    _fresh(engine, "cd_c1", 'CREATE CACHED TABLE "cd_c1"("a" INT)')
+    engine.execute_sql("COMMENT ON TABLE cd_c1 IS 'tbl ''doc'''")
+    engine.execute_sql('COMMENT ON COLUMN cd_c1."a" IS \'col doc\'')
+    meta = engine.colmeta.for_table("cd_c1")
+    assert meta["remarks"] == "tbl 'doc'"
+    assert meta["columns"]["a"]["remarks"] == "col doc"
+    engine.execute_sql("COMMENT ON COLUMN cd_c1.a IS NULL")
+    assert "a" not in engine.colmeta.columns_of("cd_c1")
+    with pytest.raises(ValueError, match="only TABLE and COLUMN"):
+        engine.execute_sql("COMMENT ON SEQUENCE s IS 'x'")
+
+
+def test_script_roundtrip_preserves_column_metadata(engine, tmp_path):
+    _fresh(
+        engine,
+        "cd_rt",
+        'CREATE CACHED TABLE "cd_rt"("id" IDENTITY, '
+        "\"v\" VARCHAR(8) DEFAULT 'none' NOT NULL, \"n\" INT)",
+    )
+    engine.execute_sql("COMMENT ON TABLE cd_rt IS 'rt'")
+    engine.execute_sql("INSERT INTO cd_rt (v, n) VALUES ('a', 1), ('b', 2)")
+    lines = [
+        r.SCRIPT
+        for r in engine.execute_sql("SCRIPT NODATA TABLE cd_rt").collect()
+    ]
+    text = "\n".join(lines)
+    assert "BELONGS_TO_TABLE" in text
+    assert "NULL_TO_DEFAULT" in text
+    assert "DEFAULT 'none' NOT NULL" in text
+    assert "COMMENT ON TABLE \"cd_rt\" IS 'rt';" in text
+    f = tmp_path / "cd_rt.sql"
+    f.write_text(text + "\n")
+    engine.execute_sql('DROP TABLE "cd_rt"')
+    engine.execute_sql(f"RUNSCRIPT FROM '{f}'")
+    # identity resumes from the dumped position; defaults still fill
+    engine.execute_sql("INSERT INTO cd_rt (n) VALUES (3)")
+    row = engine.execute_sql(
+        "SELECT id, v FROM cd_rt WHERE n = 3"
+    ).collect()[0]
+    assert (row.id, row.v) == (3, "none")
+    # NOT NULL still enforces after restore
+    with pytest.raises(NullViolation):
+        engine.execute_sql("INSERT INTO cd_rt (v, n) VALUES (NULL, 4)")
+    engine.execute_sql('DROP TABLE "cd_rt"')
+
+
+def test_identity_dump_fixture_restores(engine):
+    engine.execute_sql('DROP TABLE IF EXISTS "IDD_ITEM"')
+    engine.execute_sql(
+        'DROP SEQUENCE IF EXISTS '
+        '"SYSTEM_SEQUENCE_5BD9E2E7_5CF1_4D5A_9E3F_0A1B2C3D4E5F"'
+    )
+    engine.execute_sql(f"RUNSCRIPT FROM '{FIXTURE}'")
+    assert engine.table("IDD_ITEM").count() == 3
+    # identity dispenses from the dumped position
+    engine.execute_sql("INSERT INTO IDD_ITEM (SKU) VALUES ('D-400')")
+    row = engine.execute_sql(
+        "SELECT ID, STATUS, QTY FROM IDD_ITEM WHERE SKU = 'D-400'"
+    ).collect()[0]
+    assert (row.ID, row.STATUS, row.QTY) == (4, "new", 0)
+    # remarks restored through the COMMENT ON lines
+    meta = engine.colmeta.for_table("IDD_ITEM")
+    assert meta["remarks"] == "inventory items"
+    assert meta["columns"]["qty"]["remarks"] == "on-hand count"
+    # selectivity recorded from the dump spelling
+    assert meta["columns"]["status"]["selectivity"] == 35
+    engine.execute_sql('DROP TABLE "IDD_ITEM"')
+
+
+def test_rename_table_migrates_colmeta(engine):
+    _fresh(
+        engine, "cd_rn", 'CREATE CACHED TABLE "cd_rn"("a" INT DEFAULT 9)'
+    )
+    engine.execute_sql('DROP TABLE IF EXISTS "cd_rn2"')
+    engine.execute_sql('ALTER TABLE "cd_rn" RENAME TO "cd_rn2"')
+    engine.execute_sql("INSERT INTO cd_rn2 (a) VALUES (DEFAULT)")
+    assert engine.execute_sql("SELECT a FROM cd_rn2").collect()[0].a == 9
+    engine.execute_sql('DROP TABLE "cd_rn2"')
