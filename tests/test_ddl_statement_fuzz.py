@@ -319,11 +319,63 @@ def test_random_constraint_statements_match_model(ddl_engine):
         ('"k" < 10', False),   # rows 10..20 violate
         ('"n" > 50', False),
     ]
+    # r13 column-metadata branch: ALTER COLUMN SET/DROP DEFAULT,
+    # SELECTIVITY and COMMENT ON against an independent model of the
+    # colmeta registry (defaults are stored in the Spark expression
+    # dialect; the pool is literal-only so both spellings agree)
+    cm_model: dict = {}  # col -> {default?, selectivity?, remarks?}
+    default_pool = ["7", "-1", "'zz'", "NULL"]
     for step in range(N_STATEMENTS):
         op = rng.choices(
-            ("add", "addck", "addfk", "drop", "noise"),
-            weights=(40, 12, 15, 28, 5),
+            ("add", "addck", "addfk", "drop", "noise", "colmeta"),
+            weights=(36, 12, 15, 26, 5, 10),
         )[0]
+        if op == "colmeta":
+            col = rng.choice(cols)
+            sub = rng.choice(
+                ("set_default", "drop_default", "selectivity", "comment")
+            )
+            entry = cm_model.setdefault(col, {})
+            if sub == "set_default":
+                d = rng.choice(default_pool)
+                ddl_engine.execute_sql(
+                    f"ALTER TABLE ddlfuzz ALTER COLUMN {_q(col)} "
+                    f"SET DEFAULT {d}"
+                )
+                entry["default"] = d
+            elif sub == "drop_default":
+                ddl_engine.execute_sql(
+                    f"ALTER TABLE ddlfuzz ALTER COLUMN {_q(col)} "
+                    "DROP DEFAULT"
+                )
+                entry.pop("default", None)
+            elif sub == "selectivity":
+                s = rng.randint(0, 100)
+                ddl_engine.execute_sql(
+                    f"ALTER TABLE ddlfuzz ALTER COLUMN {_q(col)} "
+                    f"SELECTIVITY {s}"
+                )
+                entry["selectivity"] = s
+            else:
+                if rng.random() < 0.75:
+                    txt = f"c{rng.randint(0, 99)} 'q'"
+                    ddl_engine.execute_sql(
+                        "COMMENT ON COLUMN ddlfuzz."
+                        f"{_q(col)} IS '{txt.replace(chr(39), chr(39) * 2)}'"
+                    )
+                    entry["remarks"] = txt
+                else:
+                    ddl_engine.execute_sql(
+                        f"COMMENT ON COLUMN ddlfuzz.{_q(col)} IS NULL"
+                    )
+                    entry.pop("remarks", None)
+            got = ddl_engine.colmeta.columns_of("ddlfuzz")
+            for c, e in cm_model.items():
+                ge = got.get(c.casefold(), {})
+                assert ge.get("default") == e.get("default"), (c, ge, e)
+                assert ge.get("selectivity") == e.get("selectivity")
+                assert ge.get("remarks") == e.get("remarks")
+            continue
         if op == "noise":
             # H2 preamble statements are accepted no-ops that must
             # never touch the registry (r12 verdict task 1)
