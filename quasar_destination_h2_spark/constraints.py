@@ -303,6 +303,67 @@ class Constraints:
             if changed:
                 self._write(state)
 
+    def rename_column(self, table: str, old: str, new: str) -> None:
+        """Migrate recorded constraint column lists on ALTER TABLE
+        RENAME COLUMN / ALTER COLUMN RENAME TO — the table's own
+        PK/UNIQUE/FK member lists AND the ``ref_columns`` of any
+        FOREIGN KEY elsewhere that references the renamed column of
+        THIS table (a stale spelling would dump an unrestorable
+        SCRIPT — the rename_table rationale)."""
+        tkey, okey = table.casefold(), old.casefold()
+        with self._locked():
+            state = self._read()
+            changed = False
+            for e in state.get(tkey, []):
+                cols = [
+                    new if c.casefold() == okey else c
+                    for c in e.get("columns", [])
+                ]
+                if cols != e.get("columns", []):
+                    e["columns"] = cols
+                    changed = True
+            for entries in state.values():
+                for e in entries:
+                    if (
+                        e["type"] == "FOREIGN KEY"
+                        and e["ref_table"].casefold() == tkey
+                    ):
+                        rcols = [
+                            new if c.casefold() == okey else c
+                            for c in e.get("ref_columns", [])
+                        ]
+                        if rcols != e.get("ref_columns", []):
+                            e["ref_columns"] = rcols
+                            changed = True
+            if changed:
+                self._write(state)
+
+    def column_members(self, table: str, column: str) -> list[str]:
+        """Names of recorded constraints whose member (or, for an
+        inbound FK elsewhere, referenced) columns include ``column``
+        — the DROP COLUMN guard's evidence list (H2 refuses to drop
+        a column a constraint depends on)."""
+        tkey, ckey = table.casefold(), column.casefold()
+        state = self._read()
+        hits = [
+            e["name"]
+            for e in state.get(tkey, [])
+            if any(c.casefold() == ckey for c in e.get("columns", []))
+        ]
+        for entries in state.values():
+            for e in entries:
+                if (
+                    e["type"] == "FOREIGN KEY"
+                    and e["ref_table"].casefold() == tkey
+                    and any(
+                        c.casefold() == ckey
+                        for c in e.get("ref_columns", [])
+                    )
+                    and e["name"] not in hits
+                ):
+                    hits.append(e["name"])
+        return hits
+
     # -- reads ----------------------------------------------------------
 
     def for_table(self, table: str) -> list[dict]:

@@ -2191,12 +2191,35 @@ class Engine:
         )
 
     def drop_column(self, logical_name: str, col_name: str) -> None:
-        """ALTER TABLE ... DROP COLUMN."""
+        """ALTER TABLE ... DROP COLUMN. H2 refuses to drop a column
+        a recorded constraint depends on (member of a PK/UNIQUE/FK,
+        referenced by an inbound FK, or mentioned by a CHECK
+        predicate) — a silent drop would leave the registry dumping
+        unrestorable SCRIPTs and the CHECK enforcement failing
+        analysis on the next write."""
+        import re as _re
+
         target = self.table(logical_name)
         if col_name not in target.columns:
             raise ValueError(f"no such column: {col_name!r}")
         if len(target.columns) == 1:
             raise ValueError("cannot drop the only column")
+        deps = self.constraints.column_members(logical_name, col_name)
+        rx = _re.compile(
+            rf"(?i)(?<![\w$`]){_re.escape(col_name)}(?![\w$`])"
+        )
+        for e in self.constraints.for_table(logical_name):
+            if (
+                e["type"] == "CHECK"
+                and rx.search(e["predicate"].replace("`", ""))
+                and e["name"] not in deps
+            ):
+                deps.append(e["name"])
+        if deps:
+            raise ValueError(
+                f"DROP COLUMN {col_name!r}: constraint(s) {deps} depend "
+                "on it — drop them first (H2 refuses the drop)"
+            )
         self._rewrite_new_schema(
             self.sink.catalog[logical_name], target.drop(col_name)
         )
@@ -2209,9 +2232,29 @@ class Engine:
             raise ValueError(f"no such column: {old!r}")
         if new in target.columns:
             raise ValueError(f"column already exists: {new!r}")
+        # a CHECK predicate mentioning the old spelling would fail
+        # analysis on the next write — H2 rewrites its parsed
+        # expression tree; this engine stores predicate TEXT, so the
+        # rename is refused while a CHECK depends on the column
+        # (PK/UNIQUE/FK member lists migrate in place below)
+        import re as _re
+
+        rx = _re.compile(rf"(?i)(?<![\w$`]){_re.escape(old)}(?![\w$`])")
+        blocked = [
+            e["name"]
+            for e in self.constraints.for_table(logical_name)
+            if e["type"] == "CHECK"
+            and rx.search(e["predicate"].replace("`", ""))
+        ]
+        if blocked:
+            raise ValueError(
+                f"RENAME COLUMN {old!r}: CHECK constraint(s) {blocked} "
+                "reference it — drop them first"
+            )
         self._rewrite_new_schema(
             self.sink.catalog[logical_name], target.withColumnRenamed(old, new)
         )
+        self.constraints.rename_column(logical_name, old, new)
         self.colmeta.rename_column(logical_name, old, new)
 
     def cast_column_type(

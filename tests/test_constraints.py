@@ -546,3 +546,69 @@ def test_cross_references_pk_name_matches_referenced_columns(engine):
     assert got == {"cn_pkn_f1": "cn_pkn_pk", "cn_pkn_f2": None}
     ex('DROP TABLE "cn_pkn_c"')
     ex('DROP TABLE "cn_pkn_p" CASCADE')
+
+
+def test_rename_column_migrates_constraint_members(engine):
+    """ALTER .. RENAME COLUMN keeps the registry restorable (r13):
+    PK/UNIQUE member lists and inbound FK ref_columns follow the
+    rename; a CHECK whose stored predicate TEXT mentions the column
+    refuses the rename (this engine cannot rewrite predicate text
+    the way H2 rewrites its parsed tree)."""
+    ex = engine.execute_sql
+    ex('DROP TABLE IF EXISTS "cn_rc_c" CASCADE')
+    ex('DROP TABLE IF EXISTS "cn_rc_p" CASCADE')
+    ex(
+        'CREATE CACHED TABLE "cn_rc_p"("pid" INT, "u" INT, '
+        'CONSTRAINT "cn_rc_pk" PRIMARY KEY ("pid"), '
+        'CONSTRAINT "cn_rc_uq" UNIQUE ("u"))'
+    )
+    ex(
+        'CREATE CACHED TABLE "cn_rc_c"("cid" INT, CONSTRAINT "cn_rc_fk" '
+        'FOREIGN KEY ("cid") REFERENCES "cn_rc_p"("pid"))'
+    )
+    ex('ALTER TABLE "cn_rc_p" RENAME COLUMN "pid" TO "pid2"')
+    own = {e["name"]: e["columns"] for e in engine.constraints.for_table("cn_rc_p")}
+    assert own["cn_rc_pk"] == ["pid2"]
+    fk = next(
+        e
+        for e in engine.constraints.for_table("cn_rc_c")
+        if e["name"] == "cn_rc_fk"
+    )
+    assert fk["ref_columns"] == ["pid2"]
+    # the dump now spells the renamed column — and restores
+    lines = "\n".join(
+        r.SCRIPT for r in ex("SCRIPT NODATA TABLE cn_rc_p").collect()
+    )
+    assert 'PRIMARY KEY("pid2")' in lines
+    # CHECK blocks the rename of a column its predicate mentions
+    ex('ALTER TABLE "cn_rc_p" ADD CONSTRAINT "cn_rc_ck" CHECK ("u" >= 0)')
+    with pytest.raises(ValueError, match="cn_rc_ck"):
+        ex('ALTER TABLE "cn_rc_p" RENAME COLUMN "u" TO "u2"')
+    ex('DROP TABLE "cn_rc_c"')
+    ex('DROP TABLE "cn_rc_p" CASCADE')
+
+
+def test_drop_column_refuses_constrained_members(engine):
+    """DROP COLUMN on a constraint member (own PK/UNIQUE/CHECK or an
+    inbound FK's referenced column) refuses loudly, H2's behavior —
+    a silent drop would dump unrestorable SCRIPTs."""
+    ex = engine.execute_sql
+    ex('DROP TABLE IF EXISTS "cn_dc_c" CASCADE')
+    ex('DROP TABLE IF EXISTS "cn_dc_p" CASCADE')
+    ex(
+        'CREATE CACHED TABLE "cn_dc_p"("pid" INT, "x" INT, "y" INT, '
+        'CONSTRAINT "cn_dc_pk" PRIMARY KEY ("pid"), '
+        'CONSTRAINT "cn_dc_ck" CHECK ("x" > 0))'
+    )
+    ex(
+        'CREATE CACHED TABLE "cn_dc_c"("cid" INT, CONSTRAINT "cn_dc_fk" '
+        'FOREIGN KEY ("cid") REFERENCES "cn_dc_p"("pid"))'
+    )
+    with pytest.raises(ValueError, match="cn_dc_pk"):
+        ex('ALTER TABLE "cn_dc_p" DROP COLUMN "pid"')
+    with pytest.raises(ValueError, match="cn_dc_ck"):
+        ex('ALTER TABLE "cn_dc_p" DROP COLUMN "x"')
+    ex('ALTER TABLE "cn_dc_p" DROP COLUMN "y"')  # unconstrained: fine
+    assert engine.table("cn_dc_p").columns == ["pid", "x"]
+    ex('DROP TABLE "cn_dc_c"')
+    ex('DROP TABLE "cn_dc_p" CASCADE')
