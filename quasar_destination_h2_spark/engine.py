@@ -2176,19 +2176,49 @@ class Engine:
             self.spark.sql(f"DROP TABLE IF EXISTS {hygienic_ident(staging)}")
 
     def add_column(
-        self, logical_name: str, col_name: str, spark_type: str
+        self,
+        logical_name: str,
+        col_name: str,
+        spark_type: str,
+        default: "str | None" = None,
+        not_null: bool = False,
+        selectivity: "int | None" = None,
+        remarks: "str | None" = None,
     ) -> None:
-        """ALTER TABLE ... ADD COLUMN (NULL-filled, H2 semantics for a
-        column without DEFAULT)."""
+        """ALTER TABLE ... ADD COLUMN: existing rows fill with the
+        DEFAULT when one is declared (H2's back-fill), else NULL.
+        NOT NULL without a DEFAULT on a non-empty table errors (H2's
+        rule — there is nothing lawful to fill). Declared metadata
+        (default / NOT NULL / SELECTIVITY / COMMENT) records in the
+        column-metadata registry for later INSERTs, enforcement and
+        SCRIPT dumps."""
         from pyspark.sql import functions as F
 
         target = self.table(logical_name)
         if col_name in target.columns:
             raise ValueError(f"column already exists: {col_name!r}")
+        fill = (
+            F.expr(default).cast(spark_type)
+            if default is not None
+            else F.lit(None).cast(spark_type)
+        )
+        if not_null and default is None and target.limit(1).count():
+            raise ValueError(
+                f"ADD COLUMN {col_name!r} NOT NULL: the table has rows "
+                "and no DEFAULT to fill them (H2 rejects this)"
+            )
         self._rewrite_new_schema(
             self.sink.catalog[logical_name],
-            target.withColumn(col_name, F.lit(None).cast(spark_type)),
+            target.withColumn(col_name, fill),
         )
+        fields = {
+            "default": default,
+            "not_null": True if not_null else None,
+            "selectivity": selectivity,
+            "remarks": remarks,
+        }
+        if any(v is not None for v in fields.values()):
+            self.colmeta.update_column(logical_name, col_name, **fields)
 
     def drop_column(self, logical_name: str, col_name: str) -> None:
         """ALTER TABLE ... DROP COLUMN. H2 refuses to drop a column

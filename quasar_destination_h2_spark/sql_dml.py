@@ -2032,8 +2032,46 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         madd = re.compile(r"\s*ADD\s+(COLUMN\s+)?", re.I).match(shadow, pos)
         if madd:
             col, pos2 = _parse_ident(statement, shadow, madd.end())
+            tail = statement[pos2:].strip().rstrip(";")
+            tail, copts = _parse_column_options(
+                tail, "ALTER TABLE ADD COLUMN"
+            )
+            if copts["auto_increment"] is not None or (
+                copts["default"]
+                and _default_sequence_name(
+                    copts["default"], "ALTER TABLE ADD COLUMN"
+                )
+            ):
+                raise ValueError(
+                    "ALTER TABLE ADD COLUMN: identity/sequence-valued "
+                    "defaults are supported only at CREATE TABLE "
+                    "(back-filling existing rows from a sequence is "
+                    "not provided)"
+                )
+            not_null = False
+            mnn = re.search(r"\s+NOT\s+NULL\s*$", _shadow(tail), re.I)
+            if mnn:
+                not_null = True
+                tail = tail[: mnn.start()].strip()
+            spark_default = None
+            if copts["default"] is not None:
+                spark_default = _h2_expr_to_spark(copts["default"])
+                try:
+                    engine.spark.sql(f"SELECT {spark_default}").schema
+                except Exception as e:
+                    raise ValueError(
+                        f"ALTER TABLE ADD COLUMN: DEFAULT "
+                        f"{copts['default']!r} does not analyze as a "
+                        f"constant expression: {e}"
+                    ) from None
             engine.add_column(
-                logical, col, _h2_type_to_spark(statement[pos2:].strip())
+                logical,
+                col,
+                _h2_type_to_spark(tail),
+                default=spark_default,
+                not_null=not_null,
+                selectivity=copts["selectivity"],
+                remarks=copts["remarks"],
             )
             return None
         mdrop = re.compile(r"\s*DROP\s+(COLUMN\s+)?", re.I).match(shadow, pos)

@@ -326,3 +326,44 @@ def test_rename_table_migrates_colmeta(engine):
     engine.execute_sql("INSERT INTO cd_rn2 (a) VALUES (DEFAULT)")
     assert engine.execute_sql("SELECT a FROM cd_rn2").collect()[0].a == 9
     engine.execute_sql('DROP TABLE "cd_rn2"')
+
+
+def test_add_column_with_default_backfills(engine):
+    _fresh(engine, "cd_ac", 'CREATE CACHED TABLE "cd_ac"("a" INT)')
+    engine.execute_sql("INSERT INTO cd_ac VALUES (1), (2)")
+    engine.execute_sql(
+        "ALTER TABLE cd_ac ADD COLUMN \"s\" VARCHAR(8) DEFAULT 'bk' NOT NULL"
+    )
+    got = {
+        (r.a, r.s)
+        for r in engine.execute_sql("SELECT * FROM cd_ac").collect()
+    }
+    assert got == {(1, "bk"), (2, "bk")}
+    # the default keeps applying to later inserts, NOT NULL enforces
+    engine.execute_sql("INSERT INTO cd_ac (a) VALUES (3)")
+    assert (
+        engine.execute_sql("SELECT s FROM cd_ac WHERE a = 3").collect()[0].s
+        == "bk"
+    )
+    with pytest.raises(NullViolation):
+        engine.execute_sql("INSERT INTO cd_ac (a, s) VALUES (4, NULL)")
+
+
+def test_add_column_not_null_without_default_rejected_on_rows(engine):
+    _fresh(engine, "cd_ac2", 'CREATE CACHED TABLE "cd_ac2"("a" INT)')
+    engine.execute_sql("INSERT INTO cd_ac2 VALUES (1)")
+    with pytest.raises(ValueError, match="no DEFAULT"):
+        engine.execute_sql('ALTER TABLE cd_ac2 ADD COLUMN "b" INT NOT NULL')
+    # ... but is fine on an empty table
+    engine.execute_sql("DELETE FROM cd_ac2 WHERE a = 1")
+    engine.execute_sql('ALTER TABLE cd_ac2 ADD COLUMN "b" INT NOT NULL')
+    with pytest.raises(NullViolation):
+        engine.execute_sql("INSERT INTO cd_ac2 VALUES (1, NULL)")
+
+
+def test_add_column_identity_rejected(engine):
+    _fresh(engine, "cd_ac3", 'CREATE CACHED TABLE "cd_ac3"("a" INT)')
+    with pytest.raises(ValueError, match="only at CREATE TABLE"):
+        engine.execute_sql(
+            'ALTER TABLE cd_ac3 ADD COLUMN "id" INT AUTO_INCREMENT'
+        )
