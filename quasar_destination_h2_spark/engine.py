@@ -2202,7 +2202,11 @@ class Engine:
             if default is not None
             else F.lit(None).cast(spark_type)
         )
-        if not_null and default is None and target.limit(1).count():
+        # "no lawful fill" includes a DEFAULT NULL spelling — the
+        # recorded default is the STRING 'NULL', which back-fills
+        # NULLs into a column declared NOT NULL (review r13)
+        no_fill = default is None or default.strip().upper() == "NULL"
+        if not_null and no_fill and target.limit(1).count():
             raise ValueError(
                 f"ADD COLUMN {col_name!r} NOT NULL: the table has rows "
                 "and no DEFAULT to fill them (H2 rejects this)"
@@ -2253,6 +2257,7 @@ class Engine:
         self._rewrite_new_schema(
             self.sink.catalog[logical_name], target.drop(col_name)
         )
+        self.drop_identity_backing(logical_name, col_name)
         self.colmeta.drop_column(logical_name, col_name)
 
     def rename_column(self, logical_name: str, old: str, new: str) -> None:
@@ -2286,6 +2291,28 @@ class Engine:
         )
         self.constraints.rename_column(logical_name, old, new)
         self.colmeta.rename_column(logical_name, old, new)
+
+    def drop_identity_backing(self, logical_name: str, col_name: str) -> None:
+        """When a column's sequence binding is removed (DROP COLUMN,
+        ALTER COLUMN SET/DROP DEFAULT), a BELONGS_TO_TABLE backing
+        sequence has no owner left — drop it, or every later dump
+        emits a dangling CREATE SEQUENCE ... BELONGS_TO_TABLE line
+        (H2 drops the auto-increment sequence with its column). A
+        user-created sequence merely referenced by a default
+        survives (not flagged BELONGS_TO_TABLE)."""
+        from .sequences import SequenceError
+
+        entry = self.colmeta.columns_of(logical_name).get(
+            col_name.casefold(), {}
+        )
+        seq = entry.get("sequence")
+        if not seq:
+            return
+        try:
+            if self.sequences.describe(seq)["belongs_to_table"]:
+                self.sequences.drop(seq, if_exists=True)
+        except SequenceError:
+            pass  # already gone elsewhere
 
     def cast_column_type(
         self, logical_name: str, col_name: str, spark_type: str
@@ -2343,6 +2370,24 @@ class Engine:
         )
         if res is None:
             raise ValueError(f"no such column: {col_name!r}")
+        if not not_null:
+            # H2 refuses to make a PRIMARY KEY member nullable
+            # ('column is referenced by a constraint') — and a silent
+            # flag-drop here would desynchronize enforcement from the
+            # IS_NULLABLE='NO' the PK registry keeps reporting
+            pk = [
+                e["name"]
+                for e in self.constraints.for_table(logical_name)
+                if e["type"] == "PRIMARY KEY"
+                and any(
+                    c.casefold() == res.casefold() for c in e["columns"]
+                )
+            ]
+            if pk:
+                raise ValueError(
+                    f"ALTER COLUMN {res!r} SET NULL: the column is a "
+                    f"member of PRIMARY KEY {pk[0]!r} (H2 refuses)"
+                )
         if not_null:
             nulls = (
                 target.agg(
@@ -2545,17 +2590,54 @@ class Engine:
         return physical
 
     def merge_into(
-        self, logical_name: str, source: DataFrame, key_cols: Sequence[str]
+        self,
+        logical_name: str,
+        source: DataFrame,
+        key_cols: Sequence[str],
+        preserve_cols: "Sequence[str] | None" = None,
     ) -> None:
         """MERGE (upsert): matched target rows are replaced by the
         source row, unmatched source rows are inserted. Rewrite =
         target ANTI JOIN source (on keys) UNION source — one shuffle
-        on the key, no driver materialization."""
+        on the key, no driver materialization.
+
+        ``preserve_cols``: columns the statement OMITTED that carry
+        recorded defaults/identity (colmeta) — on MATCHED rows H2
+        keeps the target's value rather than re-defaulting it (an
+        identity column must never be silently reassigned by an
+        upsert), so those columns coalesce from the matched target
+        row; unmatched rows keep the source's filled value. The
+        identity values pre-allocated for rows that turn out matched
+        go unused — a sequence gap, which sequences are defined to
+        tolerate."""
+        from pyspark.sql import functions as F
+
         target = self.table(logical_name)
         physical = self.sink.catalog[logical_name]
-        # CHECK enforcement over the incoming rows (every row the
-        # merge writes comes from the source frame); the returned
-        # checkpointed frame is what the union writes below
+        if preserve_cols:
+            # one row per key from the target (duplicate-key targets
+            # are legal — no enforced uniqueness — and the replace
+            # semantic collapses them to the one source row anyway)
+            tgt = target.select(
+                *[F.col(f"`{k}`") for k in key_cols],
+                *[
+                    F.col(f"`{c}`").alias(f"__mrg_tgt_{c}")
+                    for c in preserve_cols
+                ],
+            ).dropDuplicates(list(key_cols))
+            source = source.join(tgt, list(key_cols), "left").select(
+                *[
+                    F.coalesce(
+                        F.col(f"`__mrg_tgt_{c}`"), F.col(f"`{c}`")
+                    ).alias(c)
+                    if c in set(preserve_cols)
+                    else F.col(f"`{c}`")
+                    for c in target.columns
+                ]
+            )
+        # CHECK/NOT NULL enforcement over the rows as they will LAND
+        # (after any preserve coalesce); the returned checkpointed
+        # frame is what the union writes below
         source = self._enforce_check_constraints(
             logical_name, source, "MERGE"
         )

@@ -540,7 +540,12 @@ def _conform_source(
         engine.colmeta.columns_of(logical) if logical is not None else {}
     )
     force_select = False
-    if kind == "values" and meta:
+    if kind == "values" and re.search(
+        r"\bDEFAULT\b", _shadow(source), re.I
+    ):
+        # not gated on recorded metadata: H2 accepts the DEFAULT
+        # keyword on a default-less column too (it inserts NULL),
+        # and the bare token would otherwise fail Spark's parser
         source, force_select = _substitute_default_keyword(
             engine, source, names, res, meta, verb
         )
@@ -607,13 +612,22 @@ def _conform_source(
         ).localCheckpoint(eager=True)
         n = src.count()
         null_cols = [f for f, (m, _s) in fills.items() if m == "nulls"]
+        dtypes = {f.name: f.dataType for f in target.schema.fields}
+
+        def _cast_null(f):
+            # the coalesce below fires on the CAST value's nullness
+            # (a provided value that casts to NULL draws the default
+            # too) — count and rank must see the SAME nullness or a
+            # cast-NULL row would read an unallocated/duplicate value
+            return (
+                F.col(f"`{provided[f]}`").cast(dtypes[f]).isNull()
+            )
+
         ncounts: dict = {}
         if null_cols and n:
             row = src.agg(
                 *[
-                    F.sum(
-                        F.col(f"`{provided[f]}`").isNull().cast("long")
-                    ).alias(f"z{i}")
+                    F.sum(_cast_null(f).cast("long")).alias(f"z{i}")
                     for i, f in enumerate(null_cols)
                 ]
             ).collect()[0]
@@ -653,11 +667,11 @@ def _conform_source(
                         F.col(f"`{rn_col}`") - F.lit(1)
                     ) * F.lit(inc)
                 else:
-                    # rank among THIS column's null rows, same total
-                    # order as rn — only null rows read the value
-                    nullrank = F.sum(
-                        F.col(f"`{provided[f]}`").isNull().cast("long")
-                    ).over(run_w)
+                    # rank among THIS column's (cast-)null rows, same
+                    # total order as rn — only those rows read it
+                    nullrank = F.sum(_cast_null(f).cast("long")).over(
+                        run_w
+                    )
                     fill_expr[f] = F.lit(fill_base) + (
                         nullrank - F.lit(1)
                     ) * F.lit(inc)
@@ -1684,6 +1698,22 @@ def _execute_verb(engine, statement: str, shadow: str, m):
             name, _ = _strip_public_qualifier(
                 statement, shadow, name, npos, "DROP SEQUENCE"
             )
+            # a sequence a column's default/identity draws from is a
+            # dependency: dropping it would break every later INSERT
+            # and dump with a dangling binding — H2 refuses (the new
+            # DROP COLUMN guard's rationale, review r13)
+            owners = [
+                f"{tkey}.{e['column']}"
+                for tkey, tentry in engine.colmeta.all().items()
+                for e in tentry.get("columns", {}).values()
+                if (e.get("sequence") or "").casefold() == name.casefold()
+            ]
+            if owners:
+                raise ValueError(
+                    f"DROP SEQUENCE {name!r}: column(s) {owners} draw "
+                    "their default from it — drop or re-default them "
+                    "first (H2 refuses)"
+                )
             engine.sequences.drop(name, if_exists=md.group("ie") is not None)
             engine._republish_info_schema()
             return None
@@ -1951,8 +1981,11 @@ def _execute_verb(engine, statement: str, shadow: str, m):
                 )
                 if dseq is not None:
                     # sequence-valued default: a binding, like the
-                    # CREATE form — the sequence must already exist
+                    # CREATE form — the sequence must already exist;
+                    # a replaced BELONGS_TO_TABLE binding loses its
+                    # owner and is reclaimed (review r13)
                     engine.sequences.describe(dseq)
+                    engine.drop_identity_backing(logical, col)
                     engine.colmeta.update_column(
                         logical, col, sequence=dseq, default=None
                     )
@@ -1966,6 +1999,7 @@ def _execute_verb(engine, statement: str, shadow: str, m):
                         f"ALTER COLUMN SET DEFAULT: {expr!r} does not "
                         f"analyze as a constant expression: {e}"
                     ) from None
+                engine.drop_identity_backing(logical, col)
                 engine.colmeta.update_column(
                     logical, col, default=spark_default, sequence=None
                 )
@@ -1974,6 +2008,8 @@ def _execute_verb(engine, statement: str, shadow: str, m):
             if re.match(r"DROP\s+DEFAULT\s*$", tsh, re.I):
                 # H2: dropping the default of an identity column also
                 # removes the identity behavior — clear the binding
+                # and reclaim an owned BELONGS_TO_TABLE sequence
+                engine.drop_identity_backing(logical, col)
                 engine.colmeta.update_column(
                     logical,
                     col,
@@ -2120,7 +2156,21 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         engine, target, names, kind, source, verb="MERGE", logical=logical
     )
     n = src.count()
-    engine.merge_into(logical, src, key_cols)
+    # columns the statement OMITTED that carry recorded defaults or
+    # an identity binding: matched rows must keep the TARGET's value
+    # (H2 never re-defaults an existing row through MERGE)
+    meta = engine.colmeta.columns_of(logical)
+    names_cf = {c.casefold() for c in names}
+    preserve = [
+        f.name
+        for f in target.schema.fields
+        if f.name.casefold() not in names_cf
+        and (
+            meta.get(f.name.casefold(), {}).get("sequence")
+            or meta.get(f.name.casefold(), {}).get("default")
+        )
+    ]
+    engine.merge_into(logical, src, key_cols, preserve_cols=preserve)
     return n
 
 
@@ -2981,16 +3031,16 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
             cons.append((None, "CHECK", [], one))
         if not_null or pk_col:
             copts["not_null"] = True
-        if copts["auto_increment"] is not None or any(
-            copts.get(k)
-            for k in (
-                "default",
-                "null_to_default",
-                "sequence",
-                "selectivity",
-                "remarks",
-                "not_null",
-            )
+        # `is not None`, not truthiness: SELECTIVITY 0 and COMMENT ''
+        # are recordable values (review r13)
+        if (
+            copts["auto_increment"] is not None
+            or copts["default"] is not None
+            or copts["sequence"] is not None
+            or copts["selectivity"] is not None
+            or copts["remarks"] is not None
+            or copts["null_to_default"]
+            or copts.get("not_null")
         ):
             col_opts[col] = copts
         nullable = not not_null and not pk_col  # H2: PK implies NOT NULL
@@ -3002,6 +3052,15 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
         fields.append(
             T.StructField(col, T._parse_datatype_string(sp), nullable)
         )
+    # IF NOT EXISTS with the table present skips the WHOLE statement
+    # BEFORE any state-dependent validation — schema-wide constraint
+    # names, FK targets, DEFAULT sequences (H2 parses but never
+    # validates a statement it skips: a replayed script whose other
+    # objects were since dropped must still no-op, review r13)
+    if mcache.group("ine") is not None and any(
+        k.casefold() == table.casefold() for k in engine.sink.catalog
+    ):
+        return None
     declared = {f.name.casefold() for f in fields}
     # validate the WHOLE constraint set BEFORE creating the table —
     # H2 rejects the statement atomically, and recording after
@@ -3134,7 +3193,22 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
             entry["sequence"] = seq
         elif o["auto_increment"] is not None:
             start, inc = o["auto_increment"]
-            identity_new.append((col, start or 1, inc or 1))
+            # `is None`, not falsy: AUTO_INCREMENT(0) starts at 0.
+            # An explicit increment of 0 is rejected HERE (statement
+            # atomicity: the backing sequence is only created after
+            # the table lands, too late for its own loud rejection)
+            if inc == 0:
+                raise ValueError(
+                    f"CREATE CACHED TABLE: column {col!r} "
+                    "AUTO_INCREMENT increment must not be 0"
+                )
+            identity_new.append(
+                (
+                    col,
+                    1 if start is None else start,
+                    1 if inc is None else inc,
+                )
+            )
         if o["null_to_default"]:
             entry["null_to_default"] = True
         if o.get("not_null"):
@@ -3154,10 +3228,6 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
         ).get("not_null"):
             col_meta.setdefault(f.name, {})["not_null"] = True
     ine = mcache.group("ine") is not None
-    if ine and any(
-        k.casefold() == table.casefold() for k in engine.sink.catalog
-    ):
-        return None  # H2 skips the WHOLE statement, constraints too
     df = engine.spark.createDataFrame([], T.StructType(fields))
     for _, ctype, _cols, pred in cons:
         if ctype == "CHECK":

@@ -367,3 +367,131 @@ def test_add_column_identity_rejected(engine):
         engine.execute_sql(
             'ALTER TABLE cd_ac3 ADD COLUMN "id" INT AUTO_INCREMENT'
         )
+
+
+# --- review-r13 regression pins ------------------------------------------
+
+
+def test_merge_preserves_matched_identity(engine):
+    """MERGE must never reassign a matched row's identity value —
+    the omitted identity column keeps the TARGET's value on matched
+    rows and draws fresh values only for inserted rows."""
+    _fresh(
+        engine,
+        "cd_mg",
+        'CREATE CACHED TABLE "cd_mg"("id" INT AUTO_INCREMENT, '
+        '"sku" VARCHAR(8), "qty" INT)',
+    )
+    engine.execute_sql("INSERT INTO cd_mg (sku, qty) VALUES ('A', 1)")
+    assert engine.execute_sql(
+        "SELECT id FROM cd_mg WHERE sku = 'A'"
+    ).collect()[0].id == 1
+    engine.execute_sql(
+        "MERGE INTO cd_mg (sku, qty) KEY (sku) VALUES ('A', 5), ('B', 7)"
+    )
+    got = {
+        (r.sku, r.id, r.qty)
+        for r in engine.execute_sql("SELECT sku, id, qty FROM cd_mg").collect()
+    }
+    assert ("A", 1, 5) in got  # matched row kept id=1, qty updated
+    b = next(t for t in got if t[0] == "B")
+    assert b[1] is not None and b[1] != 1  # inserted row got a fresh id
+
+
+def test_set_null_on_pk_member_refused(engine):
+    _fresh(
+        engine,
+        "cd_pknn",
+        'CREATE CACHED TABLE "cd_pknn"("k" INT PRIMARY KEY, "v" INT)',
+    )
+    with pytest.raises(ValueError, match="PRIMARY KEY"):
+        engine.execute_sql('ALTER TABLE cd_pknn ALTER COLUMN "k" SET NULL')
+
+
+def test_add_column_default_null_not_null_rejected_on_rows(engine):
+    _fresh(engine, "cd_dnn", 'CREATE CACHED TABLE "cd_dnn"("a" INT)')
+    engine.execute_sql("INSERT INTO cd_dnn VALUES (1)")
+    with pytest.raises(ValueError, match="no DEFAULT"):
+        engine.execute_sql(
+            'ALTER TABLE cd_dnn ADD COLUMN "b" INT DEFAULT NULL NOT NULL'
+        )
+
+
+def test_default_keyword_on_metadata_free_table(engine):
+    _fresh(engine, "cd_nfm", 'CREATE CACHED TABLE "cd_nfm"("a" INT, "b" INT)')
+    engine.execute_sql("INSERT INTO cd_nfm VALUES (DEFAULT, 1)")
+    row = engine.execute_sql("SELECT * FROM cd_nfm").collect()[0]
+    assert (row.a, row.b) == (None, 1)
+
+
+def test_identity_backing_sequence_reclaimed(engine):
+    _fresh(
+        engine,
+        "cd_orp",
+        'CREATE CACHED TABLE "cd_orp"("id" INT AUTO_INCREMENT, "x" INT)',
+    )
+    mine = lambda: [  # noqa: E731
+        s
+        for s in engine.sequences.names()
+        if s.startswith("system_sequence_cd_orp")
+    ]
+    assert len(mine()) == 1
+    engine.execute_sql('ALTER TABLE cd_orp ALTER COLUMN "id" DROP DEFAULT')
+    assert mine() == []  # DROP DEFAULT reclaimed the owned sequence
+    _fresh(
+        engine,
+        "cd_orp",
+        'CREATE CACHED TABLE "cd_orp"("id" INT AUTO_INCREMENT, "x" INT)',
+    )
+    engine.execute_sql('ALTER TABLE cd_orp DROP COLUMN "id"')
+    assert mine() == []  # DROP COLUMN reclaimed it too
+
+
+def test_drop_sequence_with_dependent_column_refused(engine):
+    engine.execute_sql('DROP TABLE IF EXISTS "cd_sd"')
+    engine.execute_sql('DROP SEQUENCE IF EXISTS "cd_sd_seq"')
+    engine.execute_sql('CREATE SEQUENCE "cd_sd_seq" START WITH 1')
+    engine.execute_sql(
+        'CREATE CACHED TABLE "cd_sd"("id" INT DEFAULT '
+        "(NEXT VALUE FOR \"cd_sd_seq\"), \"x\" INT)"
+    )
+    with pytest.raises(ValueError, match="draw their default"):
+        engine.execute_sql('DROP SEQUENCE "cd_sd_seq"')
+    engine.execute_sql('DROP TABLE "cd_sd"')
+    # the USER sequence survives the table (not BELONGS_TO_TABLE) and
+    # is droppable once no column draws from it
+    engine.execute_sql('DROP SEQUENCE "cd_sd_seq"')
+
+
+def test_selectivity_zero_recorded_at_create(engine):
+    _fresh(
+        engine, "cd_s0", 'CREATE CACHED TABLE "cd_s0"("a" INT SELECTIVITY 0)'
+    )
+    assert engine.colmeta.columns_of("cd_s0")["a"]["selectivity"] == 0
+
+
+def test_create_if_not_exists_skips_validation(engine):
+    _fresh(engine, "cd_ine", 'CREATE CACHED TABLE "cd_ine"("a" INT)')
+    # references a sequence that does NOT exist — H2 skips the whole
+    # statement when the table already exists, so no error
+    engine.execute_sql(
+        'CREATE CACHED TABLE IF NOT EXISTS "cd_ine"('
+        '"id" BIGINT DEFAULT (NEXT VALUE FOR "cd_ine_ghost") '
+        'SEQUENCE "cd_ine_ghost")'
+    )
+    assert engine.table("cd_ine").columns == ["a"]
+
+
+def test_auto_increment_zero_start_and_zero_increment(engine):
+    _fresh(
+        engine,
+        "cd_z",
+        'CREATE CACHED TABLE "cd_z"("id" INT AUTO_INCREMENT(0), "x" INT)',
+    )
+    engine.execute_sql("INSERT INTO cd_z (x) VALUES (1)")
+    assert engine.execute_sql("SELECT id FROM cd_z").collect()[0].id == 0
+    with pytest.raises(ValueError, match="must not be 0"):
+        engine.execute_sql(
+            'CREATE CACHED TABLE "cd_z2"("id" INT AUTO_INCREMENT(1, 0))'
+        )
+    assert "cd_z2" not in engine.sink.catalog
