@@ -81,6 +81,12 @@ _FIELDS = frozenset(
         "not_null",
         "selectivity",
         "remarks",
+        # metadata-only ADD COLUMN (no DEFAULT): the Spark type the
+        # column was declared with. Old parquet files never carry the
+        # column (readers fill NULL from the declared table schema),
+        # so a FRESH process re-registering the table from footers
+        # must re-apply it — engine._ensure_registered reads this.
+        "added_type",
     }
 )
 

@@ -1821,6 +1821,14 @@ class Engine:
         return sql_dml.execute(self, statement)
 
     def table(self, logical_name: str) -> DataFrame:
+        # register through the session catalog first (no-op when
+        # already known): a fresh process's raw-parquet fallback
+        # infers schema from file footers, which never carry a
+        # metadata-only ADD COLUMN — the catalog's declared schema
+        # (with _ensure_registered's re-applied columns) does
+        physical = self.sink.catalog.get(logical_name)
+        if physical is not None:
+            self._ensure_registered(str(physical))
         return self.sink.table(logical_name)
 
     def drop_table_if_exists(self, logical_name: str) -> None:
@@ -1896,6 +1904,36 @@ class Engine:
                 f"CREATE TABLE {hygienic_ident(physical)} USING parquet "
                 f"LOCATION '{escaped}'"
             )
+            # metadata-only ADD COLUMNs (colmeta 'added_type') are
+            # invisible to footer inference until some file carries
+            # them — re-apply the declared columns the inferred
+            # schema is missing (skip any a later rewrite already
+            # materialized)
+            logical = next(
+                (
+                    l
+                    for l, p in self.sink.catalog.items()
+                    if str(p) == physical
+                ),
+                None,
+            )
+            if logical is not None:
+                have = {
+                    c.casefold() for c in self.spark.table(physical).columns
+                }
+                pend = [
+                    (e["column"], e["added_type"])
+                    for e in self.colmeta.columns_of(logical).values()
+                    if e.get("added_type")
+                    and e["column"].casefold() not in have
+                ]
+                if pend:
+                    cols = ", ".join(f"`{c}` {t}" for c, t in pend)
+                    self.spark.sql(
+                        f"ALTER TABLE {hygienic_ident(physical)} "
+                        f"ADD COLUMNS ({cols})"
+                    )
+                    self.spark.catalog.refreshTable(physical)
 
     def insert_into(
         self,
@@ -2197,11 +2235,6 @@ class Engine:
         target = self.table(logical_name)
         if col_name in target.columns:
             raise ValueError(f"column already exists: {col_name!r}")
-        fill = (
-            F.expr(default).cast(spark_type)
-            if default is not None
-            else F.lit(None).cast(spark_type)
-        )
         # "no lawful fill" includes a DEFAULT NULL spelling — the
         # recorded default is the STRING 'NULL', which back-fills
         # NULLs into a column declared NOT NULL (review r13)
@@ -2211,16 +2244,39 @@ class Engine:
                 f"ADD COLUMN {col_name!r} NOT NULL: the table has rows "
                 "and no DEFAULT to fill them (H2 rejects this)"
             )
-        self._rewrite_new_schema(
-            self.sink.catalog[logical_name],
-            target.withColumn(col_name, fill),
-        )
+        physical = self.sink.catalog[logical_name]
         fields = {
             "default": default,
             "not_null": True if not_null else None,
             "selectivity": selectivity,
             "remarks": remarks,
         }
+        if no_fill:
+            # NULL-filled ADD COLUMN is PURE METADATA: Spark's
+            # parquet reader fills NULL for a declared column the
+            # old files never wrote, so the 100 TB case is one
+            # catalog statement — no table rewrite, no data moved.
+            # A fresh process re-registers the table from file
+            # footers (which lack the column), so the declared type
+            # is recorded durably and _ensure_registered re-applies
+            # it (colmeta 'added_type').
+            self.spark.sql(
+                f"ALTER TABLE {hygienic_ident(physical)} "
+                f"ADD COLUMNS (`{col_name}` {spark_type})"
+            )
+            self.spark.catalog.refreshTable(physical)
+            fields["added_type"] = spark_type
+        else:
+            # a DEFAULT back-fill freezes the default VALUE into the
+            # existing rows (H2's semantic — a later SET DEFAULT must
+            # not retroactively change them), which is inherently a
+            # bounded rewrite
+            self._rewrite_new_schema(
+                physical,
+                target.withColumn(
+                    col_name, F.expr(default).cast(spark_type)
+                ),
+            )
         if any(v is not None for v in fields.values()):
             self.colmeta.update_column(logical_name, col_name, **fields)
 

@@ -495,3 +495,44 @@ def test_auto_increment_zero_start_and_zero_increment(engine):
             'CREATE CACHED TABLE "cd_z2"("id" INT AUTO_INCREMENT(1, 0))'
         )
     assert "cd_z2" not in engine.sink.catalog
+
+
+def test_plain_add_column_is_metadata_only(engine):
+    """NULL-filled ADD COLUMN must not rewrite the table: the 100 TB
+    case is one catalog statement. Old parquet files never carry the
+    column (the reader fills NULL from the declared schema); the
+    declared type is recorded so a fresh process re-applies it."""
+    import os as _os
+
+    from quasar_destination_h2_spark.sources.sink import warehouse_path
+
+    _fresh(engine, "cd_mo", 'CREATE CACHED TABLE "cd_mo"("a" INT)')
+    engine.execute_sql("INSERT INTO cd_mo VALUES (1), (2)")
+    path = warehouse_path(engine.spark, engine.sink.catalog["cd_mo"])
+    files_before = sorted(
+        f for f in _os.listdir(path) if f.endswith(".parquet")
+    )
+    engine.execute_sql('ALTER TABLE cd_mo ADD COLUMN "b" BIGINT')
+    files_after = sorted(
+        f for f in _os.listdir(path) if f.endswith(".parquet")
+    )
+    assert files_before == files_after  # zero data moved
+    # the raw files still lack the column; the TABLE schema has it
+    assert "b" not in engine.spark.read.parquet(path).columns
+    assert engine.table("cd_mo").columns == ["a", "b"]
+    got = {
+        (r.a, r.b)
+        for r in engine.execute_sql("SELECT * FROM cd_mo").collect()
+    }
+    assert got == {(1, None), (2, None)}
+    # the declared type is recorded for fresh-process re-registration
+    assert (
+        engine.colmeta.columns_of("cd_mo")["b"]["added_type"] == "bigint"
+    )
+    # appends carry the column; old files keep reading NULL
+    engine.execute_sql("INSERT INTO cd_mo VALUES (3, 30)")
+    got = {
+        (r.a, r.b)
+        for r in engine.execute_sql("SELECT * FROM cd_mo").collect()
+    }
+    assert got == {(1, None), (2, None), (3, 30)}

@@ -128,3 +128,65 @@ def test_dml_survives_process_restart():
     assert "LOADED" in out1
     out2 = _run(SCRIPT_DML.format(repo=repo, wh=wh))
     assert "DML-OK" in out2
+
+
+SCRIPT_ADDCOL_A = textwrap.dedent(
+    """
+    import json, sys
+    sys.path.insert(0, {repo!r})
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", {wh!r}).getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    from quasar_destination_h2_spark.engine import Engine
+    e = Engine.from_config(json.dumps({{"connectionUri": {wh!r}}}), spark=spark)
+    e.execute_sql('CREATE CACHED TABLE "rs_mo"("a" INT)')
+    e.execute_sql("INSERT INTO rs_mo VALUES (1), (2)")
+    e.execute_sql('ALTER TABLE rs_mo ADD COLUMN "b" BIGINT')
+    print("ADDED")
+    spark.stop()
+    """
+)
+
+
+SCRIPT_ADDCOL_B = textwrap.dedent(
+    """
+    import json, sys
+    sys.path.insert(0, {repo!r})
+    from pyspark.sql import SparkSession
+    spark = (SparkSession.builder.master("local[2]")
+        .config("spark.sql.shuffle.partitions", "2")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", {wh!r}).getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    from quasar_destination_h2_spark.engine import Engine
+    e = Engine.from_config(json.dumps({{"connectionUri": {wh!r}}}), spark=spark)
+    # the files never carried column b (metadata-only add) — a fresh
+    # process must still see the declared schema, read NULLs, and
+    # write through it
+    assert e.table("rs_mo").columns == ["a", "b"], e.table("rs_mo").columns
+    got = {{(r.a, r.b) for r in e.execute_sql("SELECT * FROM rs_mo").collect()}}
+    assert got == {{(1, None), (2, None)}}, got
+    e.execute_sql("INSERT INTO rs_mo VALUES (3, 30)")
+    got = {{(r.a, r.b) for r in e.execute_sql("SELECT * FROM rs_mo").collect()}}
+    assert got == {{(1, None), (2, None), (3, 30)}}, got
+    print("ADDCOL-OK")
+    spark.stop()
+    """
+)
+
+
+def test_metadata_only_add_column_survives_restart():
+    """A metadata-only ADD COLUMN (colmeta 'added_type') must survive
+    a process restart: footer inference never sees the column, so
+    _ensure_registered re-applies the declared type."""
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    wh = tempfile.mkdtemp(prefix="restart-wh-")
+    out1 = _run(SCRIPT_ADDCOL_A.format(repo=repo, wh=wh))
+    assert "ADDED" in out1
+    out2 = _run(SCRIPT_ADDCOL_B.format(repo=repo, wh=wh))
+    assert "ADDCOL-OK" in out2
