@@ -2597,10 +2597,16 @@ class Engine:
         for repeated 100 TB fact-fact joins. Pinned by
         tests/test_bucketing.py (no Exchange in the joined plan)."""
         from .idents import storage_safe_name
-        from .sources.sink import clear_stale_location
+        from .sources.sink import prepare_replace
 
         physical = storage_safe_name(logical_name)
-        clear_stale_location(self.spark, physical)
+        # prepare_replace, not clear_stale_location: engine.table()
+        # registers surviving warehouse dirs as EXTERNAL (the
+        # metadata-only ADD COLUMN reader path), and an overwrite
+        # saveAsTable over an external entry drops it WITHOUT
+        # deleting the files, then refuses the create
+        # (LOCATION_ALREADY_EXISTS — found by the r13 oracle sweep)
+        prepare_replace(self.spark, physical)
         (
             df.write.mode("overwrite")
             .format("parquet")
@@ -2631,10 +2637,12 @@ class Engine:
         (n_list centroid ids, dates) — per-value directories explode
         on high-cardinality columns."""
         from .idents import storage_safe_name
-        from .sources.sink import clear_stale_location
+        from .sources.sink import prepare_replace
 
         physical = storage_safe_name(logical_name)
-        clear_stale_location(self.spark, physical)
+        # prepare_replace for the same reason as materialize_bucketed:
+        # an EXTERNAL-registered survivor must drop WITH its location
+        prepare_replace(self.spark, physical)
         (
             df.write.mode("overwrite")
             .format("parquet")
