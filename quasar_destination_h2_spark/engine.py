@@ -2681,19 +2681,26 @@ class Engine:
         if preserve_cols:
             # one row per key from the target (duplicate-key targets
             # are legal — no enforced uniqueness — and the replace
-            # semantic collapses them to the one source row anyway)
+            # semantic collapses them to the one source row anyway).
+            # A presence FLAG (not a value coalesce) decides matched
+            # vs inserted: a matched row whose preserved column holds
+            # an explicit NULL keeps that NULL — H2 never re-defaults
+            # an existing row through MERGE (review r13)
             tgt = target.select(
                 *[F.col(f"`{k}`") for k in key_cols],
                 *[
                     F.col(f"`{c}`").alias(f"__mrg_tgt_{c}")
                     for c in preserve_cols
                 ],
+                F.lit(True).alias("__mrg_hit"),
             ).dropDuplicates(list(key_cols))
             source = source.join(tgt, list(key_cols), "left").select(
                 *[
-                    F.coalesce(
-                        F.col(f"`__mrg_tgt_{c}`"), F.col(f"`{c}`")
-                    ).alias(c)
+                    F.when(
+                        F.col("`__mrg_hit`"), F.col(f"`__mrg_tgt_{c}`")
+                    )
+                    .otherwise(F.col(f"`{c}`"))
+                    .alias(c)
                     if c in set(preserve_cols)
                     else F.col(f"`{c}`")
                     for c in target.columns

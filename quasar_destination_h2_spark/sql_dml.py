@@ -549,9 +549,26 @@ def _conform_source(
         source, force_select = _substitute_default_keyword(
             engine, source, names, res, meta, verb
         )
+    ord_col = None
     if kind == "values":
         quoted = ", ".join(f"`{c}`" for c in names)
         vshadow = _shadow(source)
+        rows_txt = [
+            r.strip()
+            for r in _split_top_level(source, vshadow, 0, len(source))
+        ]
+        parenthesized = all(
+            r.startswith("(") and r.endswith(")") for r in rows_txt
+        )
+        if parenthesized:
+            # an ordinal rides along so identity fills assign
+            # sequence values in the STATEMENT's row order — H2's
+            # semantics for multi-row VALUES (review r13: ordering
+            # by the row VALUES is observably different for
+            # non-monotonic rows). Unparenthesized single-column
+            # inline-table rows (Spark grammar) fall through to the
+            # plain build, where source order is unspecified anyway.
+            ord_col = "__vrow_ord__"
         if force_select or re.search(r"\bSELECT\b", vshadow, re.I):
             # Spark's inline tables reject scalar subqueries
             # (SCALAR_SUBQUERY_IN_VALUES) where H2 accepts
@@ -559,14 +576,23 @@ def _conform_source(
             # rewrite each VALUES row as a SELECT and UNION ALL
             # them (bounded: as many branches as spelled rows)
             selects = []
-            for r in _split_top_level(source, vshadow, 0, len(source)):
-                r = r.strip()
+            for i, r in enumerate(rows_txt):
                 if not (r.startswith("(") and r.endswith(")")):
                     raise ValueError(
                         f"{verb}: malformed VALUES row: {r[:80]!r}"
                     )
-                selects.append("SELECT " + r[1:-1])
-            src = _resolve_sql(engine, " UNION ALL ".join(selects)).toDF(*names)
+                selects.append(f"SELECT {r[1:-1]}, {i}")
+            src = _resolve_sql(engine, " UNION ALL ".join(selects)).toDF(
+                *names, ord_col
+            )
+        elif ord_col is not None:
+            rows_ord = ", ".join(
+                f"({r[1:-1]}, {i})" for i, r in enumerate(rows_txt)
+            )
+            src = engine.spark.sql(
+                f"SELECT * FROM VALUES {rows_ord} "
+                f"AS T({quoted}, `{ord_col}`)"
+            )
         else:
             src = engine.spark.sql(
                 f"SELECT * FROM VALUES {source} AS T({quoted})"
@@ -574,19 +600,36 @@ def _conform_source(
     else:
         src = _resolve_sql(engine, source).toDF(*names)
     provided = {res[c]: s for c, s in zip(names, src.columns)}
+    return _apply_column_fills(
+        engine, target, meta, src, provided, verb, ord_col=ord_col
+    )
 
+
+def _apply_column_fills(
+    engine, target, meta, src, provided, verb, ord_col=None
+):
+    """Conform ``src`` to the target schema applying recorded column
+    metadata (colmeta.py): provided columns cast into place (with
+    NULL_TO_DEFAULT conversion), omitted columns fill from their
+    DEFAULT / identity sequence, everything else NULL-fills.
+
+    ``provided`` maps target field name -> src column name.
+    ``ord_col`` names an explicit ordinal column in ``src`` carrying
+    the statement's row order (the VALUES path); without one, a
+    deterministic total order over the source columns stands in
+    (SELECT sources have no defined row order on either engine).
+
+    Identity fills allocate each backing sequence ONCE per statement
+    as an atomic contiguous range sized to EXACTLY the rows that
+    draw from it (H2 advances the sequence only for NULL/omitted
+    rows), assigned by the row order above. The expensive path —
+    localCheckpoint + count + rank — runs only when a fill row can
+    exist: a statement providing every identity value pays ONE probe
+    aggregation (the dump-restore hot path, review r13)."""
     def _entry(fname):
         return meta.get(fname.casefold(), {})
 
-    # identity fills (omitted identity column, or a provided
-    # NULL_TO_DEFAULT identity column whose NULLs convert): allocate
-    # each backing sequence ONCE per statement as an atomic range
-    # sized to EXACTLY the rows that draw from it (H2 advances the
-    # sequence only for filled rows — over-allocating on a statement
-    # whose provided values are all non-NULL would silently diverge
-    # CURRVAL and dump positions), and assign values by a
-    # deterministic row order — a driver-side per-row counter cannot
-    # stream through a distributed write.
+    dtypes = {f.name: f.dataType for f in target.schema.fields}
     fills: dict = {}  # target field name -> ("all" | "nulls", seq)
     for f in target.schema.fields:
         e = _entry(f.name)
@@ -597,7 +640,31 @@ def _conform_source(
             fills[f.name] = ("all", seq)
         elif e.get("null_to_default"):
             fills[f.name] = ("nulls", seq)
+
+    def _cast_null(f):
+        # fills fire on the CAST value's nullness (a provided value
+        # that casts to NULL draws the default too) — count and rank
+        # must see the SAME nullness or a cast-NULL row would read
+        # an unallocated/duplicate value
+        return F.col(f"`{provided[f]}`").cast(dtypes[f]).isNull()
+
     fill_expr: dict = {}
+    if fills and not any(m == "all" for m, _s in fills.values()):
+        # probe BEFORE the checkpoint machinery: when every identity
+        # column is provided and carries no NULLs (one aggregation),
+        # nothing fills and the write proceeds directly. A
+        # non-deterministic source that re-evaluates into NULLs after
+        # a clean probe is caught loudly by the NOT NULL enforcement
+        # (identity columns are NOT NULL), never silently mis-filled.
+        null_cols = list(fills)
+        row = src.agg(
+            *[
+                F.sum(_cast_null(f).cast("long")).alias(f"z{i}")
+                for i, f in enumerate(null_cols)
+            ]
+        ).collect()[0]
+        if not any(row[i] for i in range(len(null_cols))):
+            fills = {}
     if fills:
         import uuid as _uuid
 
@@ -605,26 +672,21 @@ def _conform_source(
 
         from .sequences import SequenceError
 
-        order_cols = [F.col(f"`{c}`") for c in src.columns]
+        order_cols = (
+            [F.col(f"`{ord_col}`")]
+            if ord_col is not None
+            else [F.col(f"`{c}`") for c in src.columns]
+        )
         rn_col = f"__def_rn_{_uuid.uuid4().hex[:8]}__"
         src = src.withColumn(
             rn_col, F.row_number().over(Window.orderBy(*order_cols))
         ).localCheckpoint(eager=True)
         n = src.count()
         null_cols = [f for f, (m, _s) in fills.items() if m == "nulls"]
-        dtypes = {f.name: f.dataType for f in target.schema.fields}
-
-        def _cast_null(f):
-            # the coalesce below fires on the CAST value's nullness
-            # (a provided value that casts to NULL draws the default
-            # too) — count and rank must see the SAME nullness or a
-            # cast-NULL row would read an unallocated/duplicate value
-            return (
-                F.col(f"`{provided[f]}`").cast(dtypes[f]).isNull()
-            )
-
         ncounts: dict = {}
         if null_cols and n:
+            # (re)counted on the CHECKPOINTED frame — the probe above
+            # saw a pre-checkpoint evaluation
             row = src.agg(
                 *[
                     F.sum(_cast_null(f).cast("long")).alias(f"z{i}")
@@ -962,6 +1024,14 @@ def _execute_comment_on(engine, statement: str, shadow: str, m):
     Other object kinds H2 can comment (SEQUENCE, VIEW, ...) raise a
     clear unsupported error rather than silently dropping the
     remark."""
+    if _STRINGDECODE_RE.search(shadow):
+        # H2's SCRIPT wraps control-char/non-ASCII remarks in
+        # STRINGDECODE exactly like its INSERT literals — this
+        # handler dispatches BEFORE the global rewrite pass, so it
+        # decodes its own statement (review r13)
+        statement = rewrite_stringdecode(statement)
+        shadow = _shadow(statement)
+        m = _COMMENT_ON_RE.match(shadow)
     kind = m.group(1).upper()
     if kind not in ("TABLE", "COLUMN"):
         raise ValueError(
@@ -1982,10 +2052,18 @@ def _execute_verb(engine, statement: str, shadow: str, m):
                 if dseq is not None:
                     # sequence-valued default: a binding, like the
                     # CREATE form — the sequence must already exist;
-                    # a replaced BELONGS_TO_TABLE binding loses its
-                    # owner and is reclaimed (review r13)
+                    # a REPLACED BELONGS_TO_TABLE binding loses its
+                    # owner and is reclaimed, but re-asserting the
+                    # SAME binding must not drop the sequence out
+                    # from under itself (review r13)
                     engine.sequences.describe(dseq)
-                    engine.drop_identity_backing(logical, col)
+                    cur = (
+                        engine.colmeta.columns_of(logical)
+                        .get(col.casefold(), {})
+                        .get("sequence")
+                    )
+                    if cur is None or cur.casefold() != dseq.casefold():
+                        engine.drop_identity_backing(logical, col)
                     engine.colmeta.update_column(
                         logical, col, sequence=dseq, default=None
                     )
@@ -2072,17 +2150,22 @@ def _execute_verb(engine, statement: str, shadow: str, m):
             tail, copts = _parse_column_options(
                 tail, "ALTER TABLE ADD COLUMN"
             )
-            if copts["auto_increment"] is not None or (
-                copts["default"]
-                and _default_sequence_name(
-                    copts["default"], "ALTER TABLE ADD COLUMN"
+            if (
+                copts["auto_increment"] is not None
+                or copts["sequence"] is not None
+                or copts["null_to_default"]
+                or (
+                    copts["default"]
+                    and _default_sequence_name(
+                        copts["default"], "ALTER TABLE ADD COLUMN"
+                    )
                 )
             ):
                 raise ValueError(
                     "ALTER TABLE ADD COLUMN: identity/sequence-valued "
-                    "defaults are supported only at CREATE TABLE "
-                    "(back-filling existing rows from a sequence is "
-                    "not provided)"
+                    "defaults (and NULL_TO_DEFAULT/SEQUENCE bindings) "
+                    "are supported only at CREATE TABLE — back-filling "
+                    "existing rows from a sequence is not provided"
                 )
             not_null = False
             mnn = re.search(r"\s+NOT\s+NULL\s*$", _shadow(tail), re.I)
@@ -4096,18 +4179,26 @@ def _execute_merge_using(engine, statement: str, shadow: str) -> int:
         anti_src = s.join(t, cond, "left_anti")
         n_inserted = anti_src.count()
         provided = dict(zip(names, vals))
+        # evaluate the spelled INSERT expressions, then fill the
+        # omitted columns from their recorded DEFAULT / identity
+        # metadata exactly like the INSERT path — H2 defaults the
+        # not-matched leg too, and a NULL-filled identity column
+        # would (rightly) trip the NOT NULL enforcement (review r13)
+        ins = anti_src.select(
+            *[
+                F.expr(provided[f.name]).cast(f.dataType).alias(f.name)
+                for f in fields
+                if f.name in provided
+            ]
+        )
         parts.append(
-            anti_src.select(
-                *[
-                    (
-                        F.expr(provided[f.name])
-                        if f.name in provided
-                        else F.lit(None)
-                    )
-                    .cast(f.dataType)
-                    .alias(f.name)
-                    for f in fields
-                ]
+            _apply_column_fills(
+                engine,
+                target,
+                engine.colmeta.columns_of(logical),
+                ins,
+                {f.name: f.name for f in fields if f.name in provided},
+                "MERGE",
             )
         )
         n_changed += int(n_inserted)

@@ -536,3 +536,93 @@ def test_plain_add_column_is_metadata_only(engine):
         for r in engine.execute_sql("SELECT * FROM cd_mo").collect()
     }
     assert got == {(1, None), (2, None), (3, 30)}
+
+
+def test_values_identity_assigned_in_statement_order(engine):
+    _fresh(
+        engine,
+        "cd_ord",
+        'CREATE CACHED TABLE "cd_ord"("id" INT AUTO_INCREMENT, '
+        '"x" VARCHAR(4))',
+    )
+    # non-monotonic VALUES: H2 assigns in statement row order
+    engine.execute_sql("INSERT INTO cd_ord (x) VALUES ('z'), ('a'), ('m')")
+    got = {
+        (r.x, r.id)
+        for r in engine.execute_sql("SELECT x, id FROM cd_ord").collect()
+    }
+    assert got == {("z", 1), ("a", 2), ("m", 3)}
+
+
+def test_merge_using_not_matched_fills_defaults(engine):
+    _fresh(
+        engine,
+        "cd_mu",
+        'CREATE CACHED TABLE "cd_mu"("id" INT AUTO_INCREMENT, '
+        "\"sku\" VARCHAR(8), \"qty\" INT DEFAULT 3 NOT NULL)",
+    )
+    engine.execute_sql("INSERT INTO cd_mu (sku) VALUES ('A')")
+    engine.execute_sql(
+        "MERGE INTO cd_mu tg USING (SELECT 'B' AS s) src ON tg.sku = src.s "
+        "WHEN NOT MATCHED THEN INSERT (sku) VALUES (src.s)"
+    )
+    row = engine.execute_sql(
+        "SELECT id, qty FROM cd_mu WHERE sku = 'B'"
+    ).collect()[0]
+    assert row.id == 2 and row.qty == 3  # identity + default filled
+
+
+def test_merge_keeps_matched_explicit_null(engine):
+    _fresh(
+        engine,
+        "cd_mnul",
+        'CREATE CACHED TABLE "cd_mnul"("k" INT, '
+        "\"status\" VARCHAR(8) DEFAULT 'new', \"v\" INT)",
+    )
+    engine.execute_sql(
+        "INSERT INTO cd_mnul (k, status, v) VALUES (1, NULL, 0)"
+    )
+    engine.execute_sql("MERGE INTO cd_mnul (k, v) KEY (k) VALUES (1, 9)")
+    row = engine.execute_sql(
+        "SELECT status, v FROM cd_mnul WHERE k = 1"
+    ).collect()[0]
+    # the matched row's explicit NULL survives — never re-defaulted
+    assert (row.status, row.v) == (None, 9)
+
+
+def test_set_default_same_sequence_keeps_it(engine):
+    _fresh(
+        engine,
+        "cd_sseq",
+        'CREATE CACHED TABLE "cd_sseq"("id" INT AUTO_INCREMENT, "x" INT)',
+    )
+    seq = engine.colmeta.columns_of("cd_sseq")["id"]["sequence"]
+    engine.execute_sql(
+        f'ALTER TABLE cd_sseq ALTER COLUMN "id" SET DEFAULT '
+        f"(NEXT VALUE FOR \"{seq}\")"
+    )
+    # the binding's backing sequence must still exist and dispense
+    engine.execute_sql("INSERT INTO cd_sseq (x) VALUES (1)")
+    assert engine.execute_sql("SELECT id FROM cd_sseq").collect()[0].id == 1
+
+
+def test_comment_on_stringdecode_literal(engine):
+    _fresh(engine, "cd_sd2", 'CREATE CACHED TABLE "cd_sd2"("a" INT)')
+    engine.execute_sql(
+        "COMMENT ON TABLE cd_sd2 IS STRINGDECODE('line1\\nline2')"
+    )
+    assert engine.colmeta.for_table("cd_sd2")["remarks"] == "line1\nline2"
+
+
+def test_add_column_sequence_binding_rejected(engine):
+    _fresh(engine, "cd_acsq", 'CREATE CACHED TABLE "cd_acsq"("a" INT)')
+    engine.execute_sql('DROP SEQUENCE IF EXISTS "cd_acsq_s"')
+    engine.execute_sql('CREATE SEQUENCE "cd_acsq_s"')
+    with pytest.raises(ValueError, match="only at CREATE TABLE"):
+        engine.execute_sql(
+            'ALTER TABLE cd_acsq ADD COLUMN "b" INT SEQUENCE "cd_acsq_s"'
+        )
+    with pytest.raises(ValueError, match="only at CREATE TABLE"):
+        engine.execute_sql(
+            'ALTER TABLE cd_acsq ADD COLUMN "c" INT NULL_TO_DEFAULT'
+        )
