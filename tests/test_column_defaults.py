@@ -32,7 +32,13 @@ def engine(spark, warehouse_dir):
     eng = Engine.from_config(
         json.dumps({"connectionUri": warehouse_dir}), spark=spark
     )
-    return eng
+    yield eng
+    # drop this module's tables so the shared warehouse's
+    # SCHEMA-SCOPED auto-constraint-name counter resets — later
+    # suites (test_constraints) pin generated CONSTRAINT_<n> names
+    for logical in list(eng.sink.catalog):
+        if str(logical).casefold().startswith(("cd_", "idd_")):
+            eng.drop_table_if_exists(logical)
 
 
 def _fresh(engine, name: str, ddl: str) -> None:
