@@ -95,6 +95,11 @@ class Engine:
         #: effective Thrift listen port (may differ from the requested
         #: port when joining an already-running JVM-wide endpoint)
         self.endpoint_port: Optional[str] = None
+        #: physical names this engine has already pushed through
+        #: _ensure_registered — memo so the hot read path
+        #: (engine.table on every probe/statement) pays the
+        #: session-catalog RPC once per table, not once per call
+        self._registered: set = set()
 
     # -- lifecycle -----------------------------------------------------
 
@@ -1838,6 +1843,7 @@ class Engine:
             from .sources.sink import warehouse_path
 
             self.spark.sql(f"DROP TABLE IF EXISTS {hygienic_ident(physical)}")
+            self._registered.discard(str(physical))
             # cross-process: data of a table this session never
             # registered survives DROP — remove it explicitly
             import shutil
@@ -1895,7 +1901,10 @@ class Engine:
 
         from .sources.sink import warehouse_path
 
+        if physical in self._registered:
+            return
         if self.spark.catalog.tableExists(physical):
+            self._registered.add(physical)
             return
         path = warehouse_path(self.spark, physical)
         if os.path.isdir(path):
@@ -1934,6 +1943,7 @@ class Engine:
                         f"ADD COLUMNS ({cols})"
                     )
                     self.spark.catalog.refreshTable(physical)
+            self._registered.add(physical)
 
     def insert_into(
         self,
