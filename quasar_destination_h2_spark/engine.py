@@ -43,6 +43,17 @@ def random_alphanum(n: int = 6) -> str:
     return "".join(random.choices(string.ascii_letters + string.digits, k=n))
 
 
+def _is_null_literal(expr: str) -> bool:
+    """True when a recorded DEFAULT expression is the NULL constant
+    under any parenthesized/whitespace spelling (``NULL``, ``(NULL)``,
+    ``(( null ))``) — the spellings H2 folds to the same constant
+    before its "no lawful fill" rejection (advice r14)."""
+    s = expr.strip()
+    while s.startswith("(") and s.endswith(")"):
+        s = s[1:-1].strip()
+    return s.upper() == "NULL"
+
+
 #: Default session tuning. Sized for correctness on local[32] while
 #: keeping every knob that matters at cluster scale explicit: AQE for
 #: runtime re-planning (partition coalescing + skew-join splitting),
@@ -87,6 +98,11 @@ class Engine:
         self._constraints = None
         self._views = None
         self._colmeta = None
+        self._schemas = None
+        #: session current schema (H2 SET SCHEMA; casefolded key).
+        #: Unqualified names resolve here; PUBLIC objects keep bare
+        #: logical names, schema objects live under "key.<name>".
+        self.current_schema: str = "public"
         #: ANN serving: build ids whose assignment-side integrity this
         #: engine has already verified (see ann_topk) — keyed by index
         #: name. Invalidated whenever THIS engine rebuilds or appends.
@@ -1727,6 +1743,22 @@ class Engine:
         return self._sequences
 
     @property
+    def schemas(self):
+        """H2 schema registry (CREATE SCHEMA / DROP SCHEMA / the
+        dotted-logical-name prefix for non-PUBLIC objects): durable
+        JSON state beside the sequence registry (see schemas.py)."""
+        if self._schemas is None:
+            import os
+
+            from .schemas import Schemas
+            from .sources.sink import CATALOG_TABLE, warehouse_path
+
+            self._schemas = Schemas(
+                os.path.dirname(warehouse_path(self.spark, CATALOG_TABLE))
+            )
+        return self._schemas
+
+    @property
     def constraints(self):
         """Recorded PK/UNIQUE constraint registry (accept-and-record,
         the CREATE INDEX no-op precedent): durable JSON state beside
@@ -1864,12 +1896,41 @@ class Engine:
                 seq = entry.get("sequence")
                 if not seq:
                     continue
+                # same owner scan as the DROP SEQUENCE statement
+                # guard: a second table's column bound to this
+                # sequence (ALTER COLUMN SET DEFAULT NEXT VALUE FOR)
+                # would be left with a dangling binding if the drop
+                # proceeded (advice r14)
+                if self._seq_drawn_elsewhere(seq, exclude_table=logical_name):
+                    continue
                 try:
                     if self.sequences.describe(seq)["belongs_to_table"]:
                         self.sequences.drop(seq, if_exists=True)
                 except SequenceError:
                     pass  # already dropped elsewhere
             self.colmeta.drop_table(logical_name)
+
+    def _seq_drawn_elsewhere(
+        self,
+        seq: str,
+        exclude_table: str,
+        exclude_column: "str | None" = None,
+    ) -> bool:
+        """True when any colmeta column OUTSIDE the excluded
+        table/column still draws from ``seq`` — the guard DROP
+        SEQUENCE applies, reused by the implicit drops (table drop,
+        identity unbind) so they never strand another column's
+        binding (advice r14)."""
+        skey = seq.casefold()
+        t_ex = exclude_table.casefold()
+        c_ex = exclude_column.casefold() if exclude_column else None
+        for tkey, tentry in self.colmeta.all().items():
+            for ckey, e in tentry.get("columns", {}).items():
+                if tkey == t_ex and (c_ex is None or ckey == c_ex):
+                    continue
+                if (e.get("sequence") or "").casefold() == skey:
+                    return True
+        return False
 
     # -- DML (SURVEY §2.2: INSERT built-in; UPDATE/DELETE/MERGE are
     # documented overwrite-rewrites — parquet tables have no in-place
@@ -2247,8 +2308,11 @@ class Engine:
             raise ValueError(f"column already exists: {col_name!r}")
         # "no lawful fill" includes a DEFAULT NULL spelling — the
         # recorded default is the STRING 'NULL', which back-fills
-        # NULLs into a column declared NOT NULL (review r13)
-        no_fill = default is None or default.strip().upper() == "NULL"
+        # NULLs into a column declared NOT NULL (review r13).
+        # Parenthesized spellings (`DEFAULT (NULL)`, `((NULL))`) are
+        # the same NULL constant and must hit the same guard
+        # (advice r14)
+        no_fill = default is None or _is_null_literal(default)
         if not_null and no_fill and target.limit(1).count():
             raise ValueError(
                 f"ADD COLUMN {col_name!r} NOT NULL: the table has rows "
@@ -2373,6 +2437,13 @@ class Engine:
         )
         seq = entry.get("sequence")
         if not seq:
+            return
+        # another column (any table, or even this table) still bound
+        # to the sequence keeps it alive — the DROP SEQUENCE guard's
+        # owner scan, minus the column being unbound (advice r14)
+        if self._seq_drawn_elsewhere(
+            seq, exclude_table=logical_name, exclude_column=col_name
+        ):
             return
         try:
             if self.sequences.describe(seq)["belongs_to_table"]:

@@ -259,14 +259,17 @@ def script_lines(
         lines.append(f"CREATE CACHED TABLE {q(logical)}({cols});")
         # remarks round-trip as H2's own COMMENT ON lines (emitted
         # after every object exists)
-        if tmeta.get("remarks"):
+        # `is not None`, not truthiness: COMMENT '' is recordable
+        # (the registry removes on None, keeps ''), so an empty
+        # remark must round-trip through the dump too (advice r14)
+        if tmeta.get("remarks") is not None:
             comment_lines.append(
                 f"COMMENT ON TABLE {q(logical)} IS "
                 f"'{_esc(tmeta['remarks'])}';"
             )
         for f in schema.fields:
             fm = cmeta.get(f.name.casefold(), {})
-            if fm.get("remarks"):
+            if fm.get("remarks") is not None:
                 comment_lines.append(
                     f"COMMENT ON COLUMN {q(logical)}.{q(f.name)} IS "
                     f"'{_esc(fm['remarks'])}';"

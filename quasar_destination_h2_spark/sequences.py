@@ -269,6 +269,26 @@ class Sequences:
             self._currval[key] = vals[-1]
         return vals
 
+    def advance_past(self, name: str, value: int) -> None:
+        """H2 1.4.200 ``Column.updateSequenceIfRequired``: an
+        explicitly provided value for a sequence-bound (identity)
+        column moves the sequence when it lies beyond the LAST
+        DISPENSED value (``next - inc``): the next value becomes
+        ``value + inc``. Without this, INSERT INTO t(ID,...) VALUES
+        (4,...) followed by an auto-id row re-dispenses 4 (advice
+        r14). No-op when the sequence already points past ``value``."""
+        key = name.casefold()
+        with self._locked():
+            state = self._read()
+            if key not in state:
+                raise SequenceError(f"sequence not found: {name!r}")
+            s = self._norm(state[key])
+            inc = s["inc"]
+            last = s["next"] - inc
+            if (inc > 0 and value > last) or (inc < 0 and value < last):
+                s["next"] = value + inc
+                self._write(state)
+
     def currval(self, name: str) -> int:
         key = name.casefold()
         if key not in self._currval:

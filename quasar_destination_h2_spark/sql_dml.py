@@ -132,11 +132,11 @@ def _find_kw(shadow: str, kw: str, start: int = 0) -> Optional[re.Match]:
     return re.compile(rf"\b{kw}\b", re.I).search(shadow, start)
 
 
-def parse_update(sql: str, shadow: str):
+def parse_update(engine, sql: str, shadow: str):
     """-> (table, {col: expr_text}, cond_text)"""
     m = re.compile(r"\s*UPDATE\s", re.I).match(shadow)
     table, pos = _parse_ident(sql, shadow, m.end())
-    table, pos = _strip_public_qualifier(sql, shadow, table, pos, "UPDATE")
+    table, pos = _resolve_schema_qualifier(engine, sql, shadow, table, pos, "UPDATE")
     mset = re.compile(r"\s*SET\s", re.I).match(shadow, pos)
     if not mset:
         raise ValueError("UPDATE: expected SET")
@@ -162,13 +162,13 @@ def parse_update(sql: str, shadow: str):
     return table, assignments, cond
 
 
-def parse_delete(sql: str, shadow: str):
+def parse_delete(engine, sql: str, shadow: str):
     """-> (table, cond_text)"""
     m = re.compile(r"\s*DELETE\s+FROM\s", re.I).match(shadow)
     if not m:
         raise ValueError("DELETE: expected DELETE FROM")
     table, pos = _parse_ident(sql, shadow, m.end())
-    table, pos = _strip_public_qualifier(sql, shadow, table, pos, "DELETE")
+    table, pos = _resolve_schema_qualifier(engine, sql, shadow, table, pos, "DELETE")
     mwhere = _find_kw(shadow, "WHERE", pos)
     cond = sql[mwhere.end() :].strip() if mwhere else "true"
     if not mwhere and sql[pos:].strip():
@@ -176,14 +176,14 @@ def parse_delete(sql: str, shadow: str):
     return table, cond
 
 
-def parse_merge(sql: str, shadow: str):
+def parse_merge(engine, sql: str, shadow: str):
     """H2 legacy MERGE -> (table, cols|None, key_cols, source_kind,
     source_text) where source_kind is 'values' or 'select'."""
     m = re.compile(r"\s*MERGE\s+INTO\s", re.I).match(shadow)
     if not m:
         raise ValueError("MERGE: expected MERGE INTO")
     table, pos = _parse_ident(sql, shadow, m.end())
-    table, pos = _strip_public_qualifier(sql, shadow, table, pos, "MERGE")
+    table, pos = _resolve_schema_qualifier(engine, sql, shadow, table, pos, "MERGE")
     while pos < len(sql) and sql[pos].isspace():
         pos += 1
     cols = None
@@ -218,14 +218,14 @@ def parse_merge(sql: str, shadow: str):
     return table, cols, key_cols, kind, source
 
 
-def parse_insert(sql: str, shadow: str):
+def parse_insert(engine, sql: str, shadow: str):
     """``INSERT INTO t [(cols)] { VALUES ... | SELECT ... }`` ->
     (table, cols|None, source_kind, source_text)"""
     m = re.compile(r"\s*INSERT\s+INTO\s", re.I).match(shadow)
     if not m:
         raise ValueError("INSERT: expected INSERT INTO")
     table, pos = _parse_ident(sql, shadow, m.end())
-    table, pos = _strip_public_qualifier(sql, shadow, table, pos, "INSERT")
+    table, pos = _resolve_schema_qualifier(engine, sql, shadow, table, pos, "INSERT")
     while pos < len(sql) and sql[pos].isspace():
         pos += 1
     cols = None
@@ -625,7 +625,28 @@ def _apply_column_fills(
     rows), assigned by the row order above. The expensive path —
     localCheckpoint + count + rank — runs only when a fill row can
     exist: a statement providing every identity value pays ONE probe
-    aggregation (the dump-restore hot path, review r13)."""
+    aggregation (the dump-restore hot path, review r13).
+
+    Explicitly provided values for a sequence-bound column ADVANCE
+    the backing sequence past the statement's extremum, H2 1.4.200's
+    ``Column.updateSequenceIfRequired`` (advice r14): the probe
+    aggregation computes max (ascending) / min (descending) of each
+    provided identity column and the sequence restarts at extremum +
+    increment when it has not already passed it — so mixed explicit/
+    auto id statements never re-dispense an explicitly used value.
+    The advance happens BEFORE this statement's own fill range is
+    allocated (statement-level approximation of H2's row-at-a-time
+    interleave — duplicates are impossible, exact interleavings that
+    H2 itself would have collided on are not reproduced).
+
+    Rank machinery (advice r14): the VALUES path (``ord_col``) keeps
+    a global-window row_number — statement order is semantic and the
+    row count is the literal's. SELECT sources have NO defined row
+    order on either engine, so ranks are assigned partition-locally
+    (monotonically_increasing_id's documented layout: partition index
+    in the upper bits, row ordinal within partition in the lower 33)
+    plus driver-side exclusive prefix offsets from one per-partition
+    count aggregation — no single-partition global sort at any size."""
     def _entry(fname):
         return meta.get(fname.casefold(), {})
 
@@ -648,22 +669,57 @@ def _apply_column_fills(
         # an unallocated/duplicate value
         return F.col(f"`{provided[f]}`").cast(dtypes[f]).isNull()
 
+    # provided sequence-bound columns (whether or not they also fill
+    # on NULL) advance the backing sequence past their extremum —
+    # H2's updateSequenceIfRequired (advice r14)
+    seq_provided: dict = {}  # target field name -> sequence
+    for f in target.schema.fields:
+        seq = _entry(f.name).get("sequence")
+        if seq and f.name in provided:
+            seq_provided[f.name] = seq
+
     fill_expr: dict = {}
-    if fills and not any(m == "all" for m, _s in fills.values()):
+    probe_fills = bool(fills) and not any(
+        m == "all" for m, _s in fills.values()
+    )
+    if probe_fills or seq_provided:
         # probe BEFORE the checkpoint machinery: when every identity
         # column is provided and carries no NULLs (one aggregation),
         # nothing fills and the write proceeds directly. A
         # non-deterministic source that re-evaluates into NULLs after
         # a clean probe is caught loudly by the NOT NULL enforcement
         # (identity columns are NOT NULL), never silently mis-filled.
-        null_cols = list(fills)
-        row = src.agg(
-            *[
-                F.sum(_cast_null(f).cast("long")).alias(f"z{i}")
-                for i, f in enumerate(null_cols)
-            ]
-        ).collect()[0]
-        if not any(row[i] for i in range(len(null_cols))):
+        # The SAME aggregation carries the provided-identity extrema
+        # so the explicit-value advance costs no extra pass.
+        null_cols = list(fills) if probe_fills else []
+        aggs = [
+            F.sum(_cast_null(f).cast("long")).alias(f"z{i}")
+            for i, f in enumerate(null_cols)
+        ]
+        ext_cols = []  # (field, sequence, inc) aligned after the z's
+        for f, s in seq_provided.items():
+            inc = engine.sequences.describe(s)["inc"]
+            val = F.col(f"`{provided[f]}`").cast(dtypes[f]).cast("long")
+            aggs.append(
+                (F.max(val) if inc > 0 else F.min(val)).alias(
+                    f"x{len(ext_cols)}"
+                )
+            )
+            ext_cols.append((f, s, inc))
+        row = src.agg(*aggs).collect()[0]
+        adv: dict = {}  # sequence key -> (extremum, inc, spelled name)
+        for i, (f, s, inc) in enumerate(ext_cols):
+            v = row[len(null_cols) + i]
+            if v is None:
+                continue  # zero rows, or every provided value NULL
+            k = s.casefold()
+            if k in adv:
+                prev = adv[k][0]
+                v = max(prev, v) if inc > 0 else min(prev, v)
+            adv[k] = (v, inc, s)
+        for v, _inc, s in adv.values():
+            engine.sequences.advance_past(s, v)
+        if probe_fills and not any(row[i] for i in range(len(null_cols))):
             fills = {}
     if fills:
         import uuid as _uuid
@@ -672,36 +728,124 @@ def _apply_column_fills(
 
         from .sequences import SequenceError
 
-        order_cols = (
-            [F.col(f"`{ord_col}`")]
-            if ord_col is not None
-            else [F.col(f"`{c}`") for c in src.columns]
-        )
-        rn_col = f"__def_rn_{_uuid.uuid4().hex[:8]}__"
-        src = src.withColumn(
-            rn_col, F.row_number().over(Window.orderBy(*order_cols))
-        ).localCheckpoint(eager=True)
-        n = src.count()
+        sfx = _uuid.uuid4().hex[:8]
         null_cols = [f for f, (m, _s) in fills.items() if m == "nulls"]
         ncounts: dict = {}
-        if null_cols and n:
-            # (re)counted on the CHECKPOINTED frame — the probe above
-            # saw a pre-checkpoint evaluation
-            row = src.agg(
-                *[
-                    F.sum(_cast_null(f).cast("long")).alias(f"z{i}")
-                    for i, f in enumerate(null_cols)
-                ]
-            ).collect()[0]
-            ncounts = {f: row[i] or 0 for i, f in enumerate(null_cols)}
+        if ord_col is not None:
+            # bounded VALUES path: the statement's literal row order
+            # is semantic and the row count is the statement's own —
+            # a global window over those rows is the right tool
+            order_cols = [F.col(f"`{ord_col}`")]
+            rn_col = f"__def_rn_{sfx}__"
+            src = src.withColumn(
+                rn_col, F.row_number().over(Window.orderBy(*order_cols))
+            ).localCheckpoint(eager=True)
+            n = src.count()
+            if null_cols and n:
+                # (re)counted on the CHECKPOINTED frame — the probe
+                # above saw a pre-checkpoint evaluation
+                row = src.agg(
+                    *[
+                        F.sum(_cast_null(f).cast("long")).alias(f"z{i}")
+                        for i, f in enumerate(null_cols)
+                    ]
+                ).collect()[0]
+                ncounts = {
+                    f: row[i] or 0 for i, f in enumerate(null_cols)
+                }
+            rn_expr = F.col(f"`{rn_col}`")
+            run_w = Window.orderBy(*order_cols).rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+
+            def _null_rank(f):
+                # rank among THIS column's (cast-)null rows, same
+                # total order as rn — only those rows read it
+                return F.sum(_cast_null(f).cast("long")).over(run_w)
+
+        else:
+            # SELECT source: row order is unspecified on either
+            # engine, so ranks are assigned partition-locally plus
+            # driver-side exclusive prefix offsets (one per-partition
+            # count aggregation, broadcast-joined back) instead of
+            # funnelling the whole source through a single-partition
+            # global window (advice r14)
+            mono = f"__def_mono_{sfx}__"
+            pcol = f"__def_p_{sfx}__"
+            src = src.withColumn(
+                mono, F.monotonically_increasing_id()
+            ).localCheckpoint(eager=True)
+            local_e = F.col(f"`{mono}`").bitwiseAND(F.lit((1 << 33) - 1))
+            src = src.withColumn(
+                pcol, F.shiftrightunsigned(F.col(f"`{mono}`"), 33)
+            )
+            stats = (
+                src.groupBy(pcol)
+                .agg(
+                    F.count(F.lit(1)).alias("c"),
+                    F.min(local_e).alias("lo"),
+                    F.max(local_e).alias("hi"),
+                    *[
+                        F.sum(_cast_null(f).cast("long")).alias(f"z{i}")
+                        for i, f in enumerate(null_cols)
+                    ],
+                )
+                .collect()
+            )
+            stats.sort(key=lambda r: r[pcol])
+            for r in stats:
+                # pin the documented id layout (per-partition
+                # ordinals 0..c-1 in the low 33 bits); a layout
+                # change must fail loudly, never mis-assign values
+                if r["lo"] != 0 or r["hi"] != r["c"] - 1:
+                    raise RuntimeError(
+                        "monotonically_increasing_id no longer packs "
+                        "per-partition row ordinals in the low 33 "
+                        "bits — identity fill ranking needs updating"
+                    )
+            n = sum(r["c"] for r in stats)
+            ncounts = {
+                f: sum(r[f"z{i}"] or 0 for r in stats)
+                for i, f in enumerate(null_cols)
+            }
+            roff = f"__def_roff_{sfx}__"
+            noffs = {
+                f: f"__def_noff{i}_{sfx}__"
+                for i, f in enumerate(null_cols)
+            }
+            if stats:
+                rows, acc = [], 0
+                naccs = [0] * len(null_cols)
+                for r in stats:
+                    rows.append(
+                        (int(r[pcol]), int(acc))
+                        + tuple(int(a) for a in naccs)
+                    )
+                    acc += r["c"]
+                    for i in range(len(null_cols)):
+                        naccs[i] += r[f"z{i}"] or 0
+                offs = engine.spark.createDataFrame(
+                    rows,
+                    schema=[pcol, roff] + [noffs[f] for f in null_cols],
+                )
+                src = src.join(F.broadcast(offs), pcol)
+            rn_expr = F.col(f"`{roff}`") + local_e + F.lit(1)
+            local_w = (
+                Window.partitionBy(F.col(f"`{pcol}`"))
+                .orderBy(F.col(f"`{mono}`"))
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+
+            def _null_rank(f):
+                return F.col(f"`{noffs[f]}`") + F.sum(
+                    _cast_null(f).cast("long")
+                ).over(local_w)
+
         # one contiguous range per distinct sequence; columns sharing
         # a sequence draw disjoint sub-ranges (offset per column)
         per_seq: dict = {}
         for f, (m, s) in fills.items():
             per_seq.setdefault(s.casefold(), (s, []))[1].append((f, m))
-        run_w = Window.orderBy(*order_cols).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
         for s, cols_m in per_seq.values():
             req = sum(
                 n if m == "all" else ncounts.get(f, 0) for f, m in cols_m
@@ -724,19 +868,10 @@ def _apply_column_fills(
                 if not cnt:
                     continue
                 fill_base = base + off * inc
-                if m == "all":
-                    fill_expr[f] = F.lit(fill_base) + (
-                        F.col(f"`{rn_col}`") - F.lit(1)
-                    ) * F.lit(inc)
-                else:
-                    # rank among THIS column's (cast-)null rows, same
-                    # total order as rn — only those rows read it
-                    nullrank = F.sum(_cast_null(f).cast("long")).over(
-                        run_w
-                    )
-                    fill_expr[f] = F.lit(fill_base) + (
-                        nullrank - F.lit(1)
-                    ) * F.lit(inc)
+                rank = rn_expr if m == "all" else _null_rank(f)
+                fill_expr[f] = F.lit(fill_base) + (
+                    rank - F.lit(1)
+                ) * F.lit(inc)
                 off += cnt
 
     def _conform_one(f):
@@ -1323,7 +1458,7 @@ def _substitute_sequence_values(engine, sql: str) -> str:
                 )
         if re.match(r"\s*INSERT\b", shadow0, re.I):
             try:
-                _t, _c, kind, source = parse_insert(sql, shadow0)
+                _t, _c, kind, source = parse_insert(engine, sql, shadow0)
             except ValueError:
                 kind, source = None, None
             if kind == "select":
@@ -1614,19 +1749,19 @@ def _execute_verb(engine, statement: str, shadow: str, m):
     verb = m.group(1).upper()
 
     if verb == "UPDATE":
-        table, assignments, cond = parse_update(statement, shadow)
+        table, assignments, cond = parse_update(engine, statement, shadow)
         _guard_view_target(engine, table, "UPDATE")
         return engine.update_where(_logical(engine, table), assignments, cond)
 
     if verb == "DELETE":
-        table, cond = parse_delete(statement, shadow)
+        table, cond = parse_delete(engine, statement, shadow)
         _guard_view_target(engine, table, "DELETE")
         return engine.delete_where(_logical(engine, table), cond)
 
     if verb == "INSERT":
         from .sequences import SequenceError
 
-        table, cols, kind, source = parse_insert(statement, shadow)
+        table, cols, kind, source = parse_insert(engine, statement, shadow)
         _guard_view_target(engine, table, "INSERT")
         deferred_nextval = kind == "select" and _NEXTVAL_OCC_RE.search(
             _shadow(source)
@@ -1663,7 +1798,7 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         )
         if ms:
             name, pos = _parse_ident(statement, shadow, ms.end())
-            name, pos = _strip_public_qualifier(
+            name, pos = _resolve_schema_qualifier(engine, 
                 statement, shadow, name, pos, "CREATE SEQUENCE"
             )
             tail = shadow[pos:]
@@ -1765,7 +1900,7 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         )
         if md:
             name, npos = _parse_ident(statement, shadow, md.end())
-            name, _ = _strip_public_qualifier(
+            name, _ = _resolve_schema_qualifier(engine, 
                 statement, shadow, name, npos, "DROP SEQUENCE"
             )
             # a sequence a column's default/identity draws from is a
@@ -1800,7 +1935,7 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         if not md:
             return engine.sql(statement)  # DROP DATABASE / ...
         table, pos = _parse_ident(statement, shadow, md.end())
-        table, pos = _strip_public_qualifier(
+        table, pos = _resolve_schema_qualifier(engine, 
             statement, shadow, table, pos, "DROP TABLE"
         )
         if engine.views.get(table) is not None:
@@ -1856,7 +1991,7 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         if not mt:
             raise ValueError("TRUNCATE: expected TRUNCATE TABLE")
         table, tpos = _parse_ident(statement, shadow, mt.end())
-        table, _ = _strip_public_qualifier(
+        table, _ = _resolve_schema_qualifier(engine, 
             statement, shadow, table, tpos, "TRUNCATE"
         )
         _guard_view_target(engine, table, "TRUNCATE")
@@ -1870,7 +2005,7 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         msq = re.match(r"\s*ALTER\s+SEQUENCE\s", shadow, re.I)
         if msq:
             name, pos = _parse_ident(statement, shadow, msq.end())
-            name, pos = _strip_public_qualifier(
+            name, pos = _resolve_schema_qualifier(engine, 
                 statement, shadow, name, pos, "ALTER SEQUENCE"
             )
             tail = shadow[pos:]
@@ -1909,7 +2044,7 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         )
         if mav:
             vname, vpos = _parse_ident(statement, shadow, mav.end())
-            vname, vpos = _strip_public_qualifier(
+            vname, vpos = _resolve_schema_qualifier(engine, 
                 statement, shadow, vname, vpos, "ALTER VIEW"
             )
             if engine.views.get(vname) is not None:
@@ -2222,7 +2357,7 @@ def _execute_verb(engine, statement: str, shadow: str, m):
     # apart from the legacy `MERGE ... KEY` by its USING keyword
     if re.search(r"\bUSING\b", shadow, re.I):
         return _execute_merge_using(engine, statement, shadow)
-    table, cols, key_cols, kind, source = parse_merge(statement, shadow)
+    table, cols, key_cols, kind, source = parse_merge(engine, statement, shadow)
     _guard_view_target(engine, table, "MERGE")
     logical = _logical(engine, table)
     target = engine.table(logical)
@@ -2330,15 +2465,31 @@ def _h2_view_def_to_spark(definition: str) -> str:
     return "".join(out)
 
 
-def _strip_public_qualifier(statement, shadow, name, pos, ctx):
-    """H2 dumps qualify object names (``PUBLIC."V"``): strip the one
-    schema we model, error on any other (the ALTER TABLE rule)."""
+def _resolve_schema_qualifier(engine, statement, shadow, name, pos, ctx):
+    """H2 name resolution at the statement surface (r14 — multi-
+    schema dumps): a QUALIFIED name resolves in its spelled schema —
+    ``PUBLIC."T"`` strips to the bare logical name, a registered
+    schema maps to the dotted logical name ``key.<name>`` (schemas.py
+    module docstring) — and an UNQUALIFIED name resolves in the
+    session's current schema (H2 ``SET SCHEMA``, default PUBLIC).
+    An unknown qualifier errors precisely, naming the fix (the one
+    statement class a genuinely foreign multi-schema dump used to
+    die on, r13 verdict)."""
     if pos < len(shadow) and shadow[pos] == ".":
-        if name.casefold() != "public":
-            raise ValueError(
-                f"{ctx}: unknown schema {name!r} (only PUBLIC is modeled)"
-            )
-        return _parse_ident(statement, shadow, pos + 1)
+        sch = name
+        name, pos = _parse_ident(statement, shadow, pos + 1)
+        if sch.casefold() == "public":
+            return name, pos
+        if engine.schemas.exists(sch):
+            return f"{sch.casefold()}.{name}", pos
+        raise ValueError(
+            f"{ctx}: unknown schema {sch!r} — CREATE SCHEMA it first "
+            "(PUBLIC is built in; registered schemas list in "
+            "INFORMATION_SCHEMA.SCHEMATA)"
+        )
+    cur = engine.current_schema
+    if cur != "public":
+        return f"{cur}.{name}", pos
     return name, pos
 
 
@@ -2373,7 +2524,7 @@ def _create_view(engine, statement: str, shadow: str, mv):
     from .views import ViewError
 
     name, pos = _parse_ident(statement, shadow, mv.end())
-    name, pos = _strip_public_qualifier(
+    name, pos = _resolve_schema_qualifier(engine, 
         statement, shadow, name, pos, "CREATE VIEW"
     )
     # the registry binds a view by createOrReplaceTempView(name),
@@ -2479,7 +2630,7 @@ def _drop_view(engine, statement: str, shadow: str, mdv):
     CASCADE drops them too. A name not in the registry falls through
     to Spark (session temp views keep working)."""
     name, pos = _parse_ident(statement, shadow, mdv.end())
-    name, pos = _strip_public_qualifier(
+    name, pos = _resolve_schema_qualifier(engine, 
         statement, shadow, name, pos, "DROP VIEW"
     )
     tail = shadow[pos:].strip()
@@ -2517,7 +2668,7 @@ _FK_ACTIONS = ("CASCADE", "RESTRICT", "NO ACTION", "SET NULL",
                "SET DEFAULT")
 
 
-def _parse_fk_tail(seg: str, sshadow: str, pos: int):
+def _parse_fk_tail(engine, seg: str, sshadow: str, pos: int):
     """``REFERENCES [PUBLIC.]rtable [(rcols)] [ON DELETE act]
     [ON UPDATE act]`` → (ref_table, rcols_or_None, update_rule,
     delete_rule, next_pos). Actions per H2 1.4.200 grammar."""
@@ -2527,7 +2678,7 @@ def _parse_fk_tail(seg: str, sshadow: str, pos: int):
             f"constraint clause {seg!r}: expected REFERENCES"
         )
     rtable, pos = _parse_ident(seg, sshadow, mref.end())
-    rtable, pos = _strip_public_qualifier(
+    rtable, pos = _resolve_schema_qualifier(engine, 
         seg, sshadow, rtable, pos, "FOREIGN KEY REFERENCES"
     )
     rcols = None
@@ -2712,7 +2863,7 @@ def _parse_constraint_clause(seg: str, sshadow: str):
             for s in _split_top_level(seg, sshadow, open_p + 1, close)
         ]
         rtable, rcols, upd, dele, pos = _parse_fk_tail(
-            seg, sshadow, close + 1
+            engine, seg, sshadow, close + 1
         )
         nocheck, leftover = _strip_nocheck(seg, sshadow, pos)
         if leftover:
@@ -2988,7 +3139,7 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
     from pyspark.sql import types as T
 
     table, pos = _parse_ident(statement, shadow, mcache.end())
-    table, pos = _strip_public_qualifier(
+    table, pos = _resolve_schema_qualifier(engine, 
         statement, shadow, table, pos, "CREATE CACHED TABLE"
     )
     open_p = shadow.find("(", pos)
@@ -3017,7 +3168,7 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
             # act]``) — recorded exactly like the table-level form
             # (accept-and-record, r12 verdict task 1)
             rtable, rcols, upd, dele, rpos = _parse_fk_tail(
-                type_text, tshadow, mref.start()
+                engine, type_text, tshadow, mref.start()
             )
             cons.append(
                 (
@@ -3932,14 +4083,14 @@ def rewrite_h2_dialect(sql: str) -> str:
 # --- ANSI MERGE ... USING (H2 1.4.x grammars it alongside legacy) ----------
 
 
-def parse_merge_using(sql: str, shadow: str) -> dict:
+def parse_merge_using(engine, sql: str, shadow: str) -> dict:
     """``MERGE INTO t [AS] [ta] USING { s | (query) } [AS] [sa]
     ON cond WHEN MATCHED THEN { UPDATE SET ... | DELETE }
     WHEN NOT MATCHED THEN INSERT [(cols)] VALUES (...)`` — at most
     one branch of each kind (H2 1.4 semantics), either optional."""
     m = re.compile(r"\s*MERGE\s+INTO\s", re.I).match(shadow)
     target, pos = _parse_ident(sql, shadow, m.end())
-    target, pos = _strip_public_qualifier(
+    target, pos = _resolve_schema_qualifier(engine, 
         sql, shadow, target, pos, "MERGE USING"
     )
 
@@ -4075,7 +4226,7 @@ def _execute_merge_using(engine, statement: str, shadow: str) -> int:
     (matched-and-branch-applied + inserted)."""
     from .errors import NotAResource
 
-    spec = parse_merge_using(statement, shadow)
+    spec = parse_merge_using(engine, statement, shadow)
     _guard_view_target(engine, spec["target"], "MERGE")
     logical = _logical(engine, spec["target"])
     target = engine.table(logical)

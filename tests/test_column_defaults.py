@@ -135,15 +135,17 @@ def test_null_to_default_converts_only_null_rows(engine):
         "cd_id3",
         'CREATE CACHED TABLE "cd_id3"("id" INT AUTO_INCREMENT, "x" INT)',
     )
-    # provided non-NULL ids must NOT burn sequence values (H2
-    # advances identity only for NULL/omitted rows)
+    # provided non-NULL ids burn no sequence values, but DO advance
+    # the sequence past themselves (H2 1.4.200's
+    # Column.updateSequenceIfRequired, advice r14) — the NULL row
+    # then converts to the post-advance next value
     engine.execute_sql("INSERT INTO cd_id3 (id, x) VALUES (50, 1)")
     engine.execute_sql("INSERT INTO cd_id3 (id, x) VALUES (NULL, 2)")
     got = {
         (r.id, r.x)
         for r in engine.execute_sql("SELECT * FROM cd_id3").collect()
     }
-    assert got == {(50, 1), (1, 2)}
+    assert got == {(50, 1), (51, 2)}
 
 
 def test_identity_fill_over_table_driven_insert(engine):
@@ -421,6 +423,175 @@ def test_add_column_default_null_not_null_rejected_on_rows(engine):
         engine.execute_sql(
             'ALTER TABLE cd_dnn ADD COLUMN "b" INT DEFAULT NULL NOT NULL'
         )
+
+
+# --- advice-r14 regression pins -------------------------------------------
+
+
+def test_explicit_identity_insert_advances_sequence(engine):
+    """H2 1.4.200 Column.updateSequenceIfRequired: an explicit value
+    at/above the sequence position moves the sequence past it, so
+    mixed explicit/auto statements never re-dispense a used id."""
+    _fresh(
+        engine,
+        "cd_adv",
+        'CREATE CACHED TABLE "cd_adv"("id" INT AUTO_INCREMENT, '
+        '"x" VARCHAR(4))',
+    )
+    engine.execute_sql("INSERT INTO cd_adv (id, x) VALUES (4, 'a')")
+    engine.execute_sql("INSERT INTO cd_adv (x) VALUES ('b')")
+    got = {
+        (r.id, r.x)
+        for r in engine.execute_sql("SELECT * FROM cd_adv").collect()
+    }
+    assert got == {(4, "a"), (5, "b")}
+    # a LOWER explicit value (below the last dispensed) never rewinds
+    engine.execute_sql("INSERT INTO cd_adv (id, x) VALUES (2, 'c')")
+    engine.execute_sql("INSERT INTO cd_adv (x) VALUES ('d')")
+    ids = {
+        r.id for r in engine.execute_sql("SELECT id FROM cd_adv").collect()
+    }
+    assert ids == {4, 5, 2, 6}
+    # one statement mixing explicit and NULL rows: explicit max wins
+    # BEFORE the statement's own fill range allocates
+    engine.execute_sql(
+        "INSERT INTO cd_adv (id, x) VALUES (20, 'e'), (NULL, 'f')"
+    )
+    got = dict(
+        (r.x, r.id)
+        for r in engine.execute_sql("SELECT id, x FROM cd_adv").collect()
+    )
+    assert got["e"] == 20 and got["f"] == 21
+
+
+def test_explicit_identity_advance_h2_gap_rule(engine):
+    """H2 compares against the LAST DISPENSED value, not the next:
+    with increment 5 a provided value INSIDE the gap still bumps."""
+    _fresh(
+        engine,
+        "cd_adv2",
+        'CREATE CACHED TABLE "cd_adv2"("id" INT AUTO_INCREMENT(10, 5), '
+        '"x" INT)',
+    )
+    engine.execute_sql("INSERT INTO cd_adv2 (x) VALUES (1)")  # id=10
+    # 12 > last dispensed (10) → sequence restarts at 12+5=17 (H2's
+    # exact rule), even though 12 < the pending next value 15
+    engine.execute_sql("INSERT INTO cd_adv2 (id, x) VALUES (12, 2)")
+    engine.execute_sql("INSERT INTO cd_adv2 (x) VALUES (3)")
+    got = {
+        (r.id, r.x)
+        for r in engine.execute_sql("SELECT * FROM cd_adv2").collect()
+    }
+    assert got == {(10, 1), (12, 2), (17, 3)}
+
+
+def test_identity_fill_select_source_is_partition_local(engine):
+    """Bulk INSERT ... SELECT into an identity table assigns a
+    contiguous 1..n range without a global single-partition window
+    (advice r14) — ids are exactly the range, and mixed explicit-NULL
+    sources convert only the NULL rows."""
+    _fresh(engine, "cd_bsrc", 'CREATE CACHED TABLE "cd_bsrc"("v" INT)')
+    vals = ", ".join(f"({i})" for i in range(200))
+    engine.execute_sql(f"INSERT INTO cd_bsrc VALUES {vals}")
+    _fresh(
+        engine,
+        "cd_bid",
+        'CREATE CACHED TABLE "cd_bid"("id" INT AUTO_INCREMENT, "v" INT)',
+    )
+    engine.execute_sql("INSERT INTO cd_bid (v) SELECT v FROM cd_bsrc")
+    rows = engine.execute_sql("SELECT id, v FROM cd_bid").collect()
+    assert sorted(r.id for r in rows) == list(range(1, 201))
+    assert sorted(r.v for r in rows) == list(range(200))
+    # NULL_TO_DEFAULT over a SELECT source: only NULL rows draw
+    _fresh(
+        engine,
+        "cd_bid2",
+        'CREATE CACHED TABLE "cd_bid2"("id" INT AUTO_INCREMENT, "v" INT)',
+    )
+    engine.execute_sql(
+        "INSERT INTO cd_bid2 (id, v) "
+        "SELECT CASE WHEN v % 3 = 0 THEN NULL ELSE v + 1000 END, v "
+        "FROM cd_bsrc"
+    )
+    rows = engine.execute_sql("SELECT id, v FROM cd_bid2").collect()
+    explicit = sorted(r.id for r in rows if r.v % 3 != 0)
+    filled = sorted(r.id for r in rows if r.v % 3 == 0)
+    assert explicit == sorted(
+        v + 1000 for v in range(200) if v % 3 != 0
+    )
+    # the explicit max (1199) advanced the sequence first, then the
+    # 67 NULL rows drew a contiguous range after it
+    assert filled == list(range(1200, 1200 + 67))
+    assert len(set(filled) | set(explicit)) == 200
+
+
+def test_drop_table_keeps_sequence_other_table_draws_from(engine):
+    """advice r14: dropping a table whose identity sequence a SECOND
+    table's column draws from must keep the sequence alive."""
+    _fresh(
+        engine,
+        "cd_sh1",
+        'CREATE CACHED TABLE "cd_sh1"("id" INT AUTO_INCREMENT, "x" INT)',
+    )
+    seq = engine.colmeta.columns_of("cd_sh1")["id"]["sequence"]
+    _fresh(engine, "cd_sh2", 'CREATE CACHED TABLE "cd_sh2"("k" INT, "n" INT)')
+    engine.execute_sql(
+        f'ALTER TABLE cd_sh2 ALTER COLUMN "n" SET DEFAULT '
+        f"(NEXT VALUE FOR \"{seq}\")"
+    )
+    engine.execute_sql('DROP TABLE "cd_sh1"')
+    assert engine.sequences.exists(seq)  # survived: cd_sh2 draws
+    engine.execute_sql("INSERT INTO cd_sh2 (k) VALUES (1)")
+    assert (
+        engine.execute_sql("SELECT n FROM cd_sh2").collect()[0].n
+        is not None
+    )
+    # once the LAST owner unbinds, the BELONGS_TO_TABLE drop proceeds
+    engine.execute_sql('ALTER TABLE cd_sh2 ALTER COLUMN "n" DROP DEFAULT')
+    assert not engine.sequences.exists(seq)
+    engine.execute_sql('DROP TABLE "cd_sh2"')
+
+
+def test_add_column_default_null_in_parens_not_null_rejected(engine):
+    """advice r14: DEFAULT (NULL) — any parenthesized NULL spelling —
+    hits the same no-lawful-fill guard as DEFAULT NULL."""
+    _fresh(engine, "cd_dnp", 'CREATE CACHED TABLE "cd_dnp"("a" INT)')
+    engine.execute_sql("INSERT INTO cd_dnp VALUES (1)")
+    with pytest.raises(ValueError, match="no DEFAULT"):
+        engine.execute_sql(
+            'ALTER TABLE cd_dnp ADD COLUMN "b" INT DEFAULT (NULL) NOT NULL'
+        )
+    with pytest.raises(ValueError, match="no DEFAULT"):
+        engine.execute_sql(
+            "ALTER TABLE cd_dnp ADD COLUMN \"b\" INT "
+            "DEFAULT (( null )) NOT NULL"
+        )
+
+
+def test_empty_remarks_roundtrip_through_dump(engine):
+    """advice r14: COMMENT '' is recordable and must survive a dump
+    (truthiness dropped it before)."""
+    _fresh(engine, "cd_er", 'CREATE CACHED TABLE "cd_er"("a" INT)')
+    engine.execute_sql("COMMENT ON TABLE cd_er IS ''")
+    engine.execute_sql("COMMENT ON COLUMN cd_er.a IS ''")
+    lines = [
+        r.SCRIPT
+        for r in engine.execute_sql("SCRIPT NODATA TABLE cd_er").collect()
+    ]
+    assert any(
+        "COMMENT ON TABLE" in ln and "IS ''" in ln for ln in lines
+    )
+    assert any(
+        "COMMENT ON COLUMN" in ln and "IS ''" in ln for ln in lines
+    )
+    # IS NULL still clears (None-removes) — no COMMENT line dumps
+    engine.execute_sql("COMMENT ON TABLE cd_er IS NULL")
+    engine.execute_sql("COMMENT ON COLUMN cd_er.a IS NULL")
+    lines = [
+        r.SCRIPT
+        for r in engine.execute_sql("SCRIPT NODATA TABLE cd_er").collect()
+    ]
+    assert not any("COMMENT ON" in ln for ln in lines)
 
 
 def test_default_keyword_on_metadata_free_table(engine):
