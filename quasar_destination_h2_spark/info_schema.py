@@ -223,6 +223,15 @@ _VIEW_USAGE_COLS = [
     ("TABLE_NAME", "STRING"),
 ]
 
+#: H2 1.4.200 SCHEMATA (subset: the columns JDBC tools read).
+#: IS_DEFAULT marks PUBLIC, H2's default schema.
+_SCHEMATA_COLS = [
+    ("CATALOG_NAME", "STRING"),
+    ("SCHEMA_NAME", "STRING"),
+    ("SCHEMA_OWNER", "STRING"),
+    ("IS_DEFAULT", "STRING"),
+]
+
 _SEQUENCES_COLS = [
     ("SEQUENCE_CATALOG", "STRING"),
     ("SEQUENCE_SCHEMA", "STRING"),
@@ -272,6 +281,24 @@ def refresh_information_schema(engine: "Engine") -> None:
     # REMARKS the same way
     all_cons = engine.constraints.all()
     all_meta = engine.colmeta.all()
+    # r14 multi-schema: one registry snapshot maps dotted logical
+    # names to (display schema, bare name) for every surface below
+    from .schemas import split_logical
+
+    known_sch = engine.schemas.keys()
+    _disp_memo: dict = {}
+
+    def _split(logical):
+        skey, bare = split_logical(str(logical), known_sch)
+        if skey == "public":
+            return "PUBLIC", str(logical)
+        if skey not in _disp_memo:
+            try:
+                _disp_memo[skey] = engine.schemas.display(skey)
+            except Exception:  # concurrent drop: key form still shows
+                _disp_memo[skey] = skey.upper()
+        return _disp_memo[skey], bare
+
     trows, crows = [], []
     for logical in sorted(engine.sink.catalog):
         try:
@@ -280,11 +307,12 @@ def refresh_information_schema(engine: "Engine") -> None:
             continue  # stale catalog entry: skip, never fail introspection
         tmeta = all_meta.get(str(logical).casefold(), {})
         cmeta = tmeta.get("columns", {})
+        tsch, tbare = _split(logical)
         trows.append(
             (
                 cat,
-                "PUBLIC",
-                logical,
+                tsch,
+                tbare,
                 "TABLE",
                 "PARQUET",
                 None,
@@ -321,8 +349,8 @@ def refresh_information_schema(engine: "Engine") -> None:
             crows.append(
                 (
                     cat,
-                    "PUBLIC",
-                    logical,
+                    tsch,
+                    tbare,
                     f.name,
                     i,
                     default,
@@ -365,17 +393,19 @@ def refresh_information_schema(engine: "Engine") -> None:
             spelled = known_cf.get(ref)
             if spelled is None or ref == e["name"].casefold():
                 continue
+            rsch, rbare = _split(spelled)
             urows.append(
-                (cat, "PUBLIC", e["name"], cat, "PUBLIC", spelled)
+                (cat, "PUBLIC", e["name"], cat, rsch, rbare)
             )
     srows = []
     for name in engine.sequences.names():
         s = engine.sequences.describe(name)
+        ssch, sbare = _split(name)
         srows.append(
             (
                 cat,
-                "PUBLIC",
-                name.upper(),
+                ssch,
+                sbare.upper(),
                 s["next"] - s["inc"],
                 s["inc"],
                 False,
@@ -423,11 +453,12 @@ def refresh_information_schema(engine: "Engine") -> None:
         tname = by_cf.get(tkey)
         if tname is None:
             continue  # constraint of a table dropped elsewhere
+        tsch, tbare = _split(tname)
         for e in entries:
             krows.append(
                 (
                     cat,
-                    "PUBLIC",
+                    tsch,
                     e["name"],
                     # H2 spells the FK type REFERENTIAL in its
                     # CONSTRAINTS view
@@ -435,8 +466,8 @@ def refresh_information_schema(engine: "Engine") -> None:
                     if e["type"] == "FOREIGN KEY"
                     else e["type"],
                     cat,
-                    "PUBLIC",
-                    tname,
+                    tsch,
+                    tbare,
                     # H2 surfaces the CHECK predicate in its own
                     # CHECK_EXPRESSION column (H2 spelling)
                     _h2_spell(e["predicate"])
@@ -451,18 +482,19 @@ def refresh_information_schema(engine: "Engine") -> None:
                 continue
             rkey = e["ref_table"].casefold()
             rname = by_cf.get(rkey, e["ref_table"])
+            rsch, rbare = _split(rname)
             for i, (fc, pc) in enumerate(
                 zip(e["columns"], e["ref_columns"]), start=1
             ):
                 xrows.append(
                     (
                         cat,
-                        "PUBLIC",
-                        rname,
+                        rsch,
+                        rbare,
                         pc,
                         cat,
-                        "PUBLIC",
-                        tname,
+                        tsch,
+                        tbare,
                         fc,
                         i,
                         _FK_RULE_CODES.get(e.get("update_rule"), 1),
@@ -472,8 +504,13 @@ def refresh_information_schema(engine: "Engine") -> None:
                         7,
                     )
                 )
+    schrows = [
+        (cat, n, "SA", "YES" if n.casefold() == "public" else "NO")
+        for n in engine.schemas.names()
+    ] + [(cat, "INFORMATION_SCHEMA", "SA", "NO")]
     spark.sql(f"CREATE DATABASE IF NOT EXISTS `{DB}`")
     for view, cols, rows in (
+        ("schemata", _SCHEMATA_COLS, schrows),
         ("tables", _TABLES_COLS, trows),
         ("columns", _COLUMNS_COLS, crows),
         ("sequences", _SEQUENCES_COLS, srows),
@@ -503,14 +540,31 @@ def execute_show(engine: "Engine", statement: str, shadow: str, m) -> DataFrame:
     spark = engine.spark
     kind = m.group(1).upper()
     if kind == "SCHEMAS":
+        names = sorted(
+            ["INFORMATION_SCHEMA"] + engine.schemas.names()
+        )
         return spark.createDataFrame(
-            [("INFORMATION_SCHEMA",), ("PUBLIC",)], "SCHEMA_NAME string"
+            [(n,) for n in names], "SCHEMA_NAME string"
         )
     if kind == "TABLES":
         # H2's SHOW TABLES lists views too (they share the TABLES
         # namespace; INFORMATION_SCHEMA.TABLES carries the type)
+        from .schemas import split_logical
+
+        known_sch = engine.schemas.keys()
+
+        def _sp(t):
+            skey, bare = split_logical(str(t), known_sch)
+            if skey == "public":
+                return (str(t), "PUBLIC")
+            try:
+                disp = engine.schemas.display(skey)
+            except Exception:
+                disp = skey.upper()
+            return (bare, disp)
+
         rows = sorted(
-            [(t, "PUBLIC") for t in engine.sink.catalog]
+            [_sp(t) for t in engine.sink.catalog]
             + [(v, "PUBLIC") for v in engine.views.names()]
         )
         return spark.createDataFrame(
@@ -519,9 +573,12 @@ def execute_show(engine: "Engine", statement: str, shadow: str, m) -> DataFrame:
     mf = re.compile(r"\s*SHOW\s+COLUMNS\s+FROM\s+", re.I).match(shadow)
     if not mf:
         raise ValueError("SHOW COLUMNS: expected SHOW COLUMNS FROM table")
-    from .sql_dml import _parse_ident
+    from .sql_dml import _parse_ident, _resolve_schema_qualifier
 
-    name, _ = _parse_ident(statement, shadow, mf.end())
+    name, pos = _parse_ident(statement, shadow, mf.end())
+    name, pos = _resolve_schema_qualifier(
+        engine, statement, shadow, name, pos, "SHOW COLUMNS"
+    )
     # case-insensitive logical resolution, like the DML surface
     target = None
     for logical in engine.sink.catalog:

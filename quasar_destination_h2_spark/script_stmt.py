@@ -132,6 +132,23 @@ def script_lines(
     Driver-only work bounded by catalog size — the same footprint as
     INFORMATION_SCHEMA refresh."""
     from .idents import hygienic_ident_ansi as q
+    from .schemas import split_logical
+
+    known_sch = engine.schemas.keys()
+
+    def qn(logical) -> str:
+        """H2-style fully-qualified spelling of a logical name: a
+        schema object dumps as "SCHEMA"."NAME" (r14 — multi-schema
+        dumps), a PUBLIC object keeps its bare quoted spelling
+        (byte-stable with pre-r14 dumps)."""
+        skey, bare = split_logical(str(logical), known_sch)
+        if skey == "public":
+            return q(str(logical))
+        try:
+            disp = engine.schemas.display(skey)
+        except Exception:  # concurrent drop: key spelling still loads
+            disp = skey.upper()
+        return f"{q(disp)}.{q(bare)}"
 
     lines: list[str] = []
     all_meta = engine.colmeta.all()
@@ -147,7 +164,7 @@ def script_lines(
         # then dispenses — or re-raises exhaustion — exactly where
         # the dumped one would.
         start = min(max(s["next"], s["min"]), s["max"])
-        ddl = f"CREATE SEQUENCE {q(name)} START WITH {start}"
+        ddl = f"CREATE SEQUENCE {qn(name)} START WITH {start}"
         if s["inc"] != 1:
             ddl += f' INCREMENT BY {s["inc"]}'
         ddl += f' MINVALUE {s["min"]} MAXVALUE {s["max"]}'
@@ -162,11 +179,20 @@ def script_lines(
         out = [ddl + ";"]
         if start != s["next"]:
             out.append(
-                f'ALTER SEQUENCE {q(name)} RESTART WITH {s["next"]};'
+                f'ALTER SEQUENCE {qn(name)} RESTART WITH {s["next"]};'
             )
         return out
 
     if only_tables is None:
+        # registered schemas restore FIRST (every later qualified
+        # statement needs them) — H2's own dump order
+        for disp in engine.schemas.names():
+            if disp.casefold() == "public":
+                continue  # built in, H2 dumps no line for it
+            lines.append(
+                f'CREATE SCHEMA IF NOT EXISTS {q(disp)} '
+                f'AUTHORIZATION "SA";'
+            )
         for name in sorted(engine.sequences.names()):
             lines.extend(_seq_lines(name))
         names = sorted(engine.sink.catalog)
@@ -178,6 +204,20 @@ def script_lines(
                 raise ValueError(f"SCRIPT: table not found: {t!r}")
             names.append(by_cf[t.casefold()])
         names.sort()
+        scoped_schemas = []
+        for logical in names:
+            skey, _b = split_logical(logical, known_sch)
+            if skey != "public" and skey not in scoped_schemas:
+                scoped_schemas.append(skey)
+        for skey in sorted(scoped_schemas):
+            try:
+                disp = engine.schemas.display(skey)
+            except Exception:
+                disp = skey.upper()
+            lines.append(
+                f'CREATE SCHEMA IF NOT EXISTS {q(disp)} '
+                f'AUTHORIZATION "SA";'
+            )
         # a scoped dump must still restore its identity columns —
         # their DEFAULT (NEXT VALUE FOR ...) validates the sequence
         # exists — so, unlike H2's bare TABLE scoping, sequences
@@ -235,7 +275,7 @@ def script_lines(
             parts = [f"{q(f.name)} {_h2_column_type(f)}"]
             if fm.get("sequence"):
                 parts.append(
-                    f"DEFAULT (NEXT VALUE FOR {q(fm['sequence'])})"
+                    f"DEFAULT (NEXT VALUE FOR {qn(fm['sequence'])})"
                 )
             elif fm.get("default"):
                 parts.append(
@@ -250,13 +290,13 @@ def script_lines(
             if fm.get("null_to_default"):
                 parts.append("NULL_TO_DEFAULT")
             if fm.get("sequence"):
-                parts.append(f"SEQUENCE {q(fm['sequence'])}")
+                parts.append(f"SEQUENCE {qn(fm['sequence'])}")
             if fm.get("selectivity") is not None:
                 parts.append(f"SELECTIVITY {fm['selectivity']}")
             return " ".join(parts)
 
         cols = ", ".join(_coldef(f) for f in schema.fields)
-        lines.append(f"CREATE CACHED TABLE {q(logical)}({cols});")
+        lines.append(f"CREATE CACHED TABLE {qn(logical)}({cols});")
         # remarks round-trip as H2's own COMMENT ON lines (emitted
         # after every object exists)
         # `is not None`, not truthiness: COMMENT '' is recordable
@@ -264,14 +304,14 @@ def script_lines(
         # remark must round-trip through the dump too (advice r14)
         if tmeta.get("remarks") is not None:
             comment_lines.append(
-                f"COMMENT ON TABLE {q(logical)} IS "
+                f"COMMENT ON TABLE {qn(logical)} IS "
                 f"'{_esc(tmeta['remarks'])}';"
             )
         for f in schema.fields:
             fm = cmeta.get(f.name.casefold(), {})
             if fm.get("remarks") is not None:
                 comment_lines.append(
-                    f"COMMENT ON COLUMN {q(logical)}.{q(f.name)} IS "
+                    f"COMMENT ON COLUMN {qn(logical)}.{q(f.name)} IS "
                     f"'{_esc(fm['remarks'])}';"
                 )
         # recorded PK/UNIQUE/CHECK constraints round-trip as H2
@@ -295,14 +335,14 @@ def script_lines(
                 rq = ", ".join(q(c) for c in e["ref_columns"])
                 body = (
                     f"FOREIGN KEY({cq}) REFERENCES "
-                    f"{q(e['ref_table'])}({rq})"
+                    f"{qn(e['ref_table'])}({rq})"
                 )
                 if e.get("delete_rule"):
                     body += f" ON DELETE {e['delete_rule']}"
                 if e.get("update_rule"):
                     body += f" ON UPDATE {e['update_rule']}"
                 fk_lines.append(
-                    f"ALTER TABLE {q(logical)} ADD CONSTRAINT "
+                    f"ALTER TABLE {qn(logical)} ADD CONSTRAINT "
                     f"{q(e['name'])} {body} NOCHECK;"
                 )
                 continue
@@ -312,7 +352,7 @@ def script_lines(
                 cq = ", ".join(q(c) for c in e["columns"])
                 body = f"{e['type']}({cq})"
             lines.append(
-                f"ALTER TABLE {q(logical)} ADD CONSTRAINT "
+                f"ALTER TABLE {qn(logical)} ADD CONSTRAINT "
                 f"{q(e['name'])} {body};"
             )
     lines.extend(fk_lines)
@@ -399,13 +439,17 @@ def execute_script(engine: "Engine", statement: str, shadow: str) -> "DataFrame"
     only_tables = None
     mtb = re.match(r"\s*TABLE\s+", tail, re.I)
     if mtb:
-        from .sql_dml import _parse_ident, _shadow
+        from .sql_dml import _parse_ident, _resolve_schema_qualifier, _shadow
 
         rest = raw_tail[mtb.end() :]
         only_tables = []
         for part in rest.split(","):
             part = part.strip()
-            name, pos = _parse_ident(part, _shadow(part), 0)
+            pshadow = _shadow(part)
+            name, pos = _parse_ident(part, pshadow, 0)
+            name, pos = _resolve_schema_qualifier(
+                engine, part, pshadow, name, pos, "SCRIPT TABLE"
+            )
             if part[pos:].strip():
                 raise ValueError(
                     f"SCRIPT: unexpected text after table name: "

@@ -304,10 +304,12 @@ def resolve_columns(names, columns, ctx: str) -> dict:
 
 
 def _missing_relation(exc) -> Optional[str]:
-    """The unresolved SINGLE-PART relation name of a Spark
+    """The unresolved relation name of a Spark
     TABLE_OR_VIEW_NOT_FOUND AnalysisException (backticks stripped),
-    else None — qualified names never map to engine-catalog
-    logicals."""
+    else None. Single-part names return bare; TWO-part names return
+    ``part1.part2`` so the r14 schema lookup in :func:`_logical` can
+    map a qualified spelling to its dotted catalog entry (deeper
+    qualification never maps to an engine logical)."""
     try:
         get_cls = getattr(exc, "getCondition", None) or exc.getErrorClass
         if get_cls() != "TABLE_OR_VIEW_NOT_FOUND":
@@ -319,7 +321,11 @@ def _missing_relation(exc) -> Optional[str]:
     if not (name.startswith("`") and name.endswith("`")):
         return None
     parts = name[1:-1].split("`.`")
-    return parts[0] if len(parts) == 1 else None
+    if len(parts) == 1:
+        return parts[0]
+    if len(parts) == 2:
+        return f"{parts[0]}.{parts[1]}"
+    return None
 
 
 def _materialize_view(engine, entry: dict, stack: frozenset):
@@ -377,6 +383,7 @@ def _resolve_sql(engine, statement: str, _view_stack: frozenset = frozenset()):
         from pyspark.sql.utils import AnalysisException
 
     bound: list[str] = []
+    bound_q: list[str] = []  # database-qualified view bindings (r14)
     try:
         # pre-bind: catalog names literally mentioned in the text and
         # not already resolvable bind up front, so the common case
@@ -391,8 +398,42 @@ def _resolve_sql(engine, statement: str, _view_stack: frozenset = frozenset()):
         # still carries _view_stack
         sshadow = _shadow(statement)
         stmt_cf = statement.casefold()
+        known_schemas = None
         for k in engine.sink.catalog:
-            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", str(k)):
+            ks = str(k)
+            if "." in ks:
+                # schema-qualified entries (r14): bind the bare name
+                # as a temp view when the session's current schema
+                # owns it, and/or the database+view pair when the
+                # statement spells the qualified form
+                if known_schemas is None:
+                    known_schemas = engine.schemas.keys()
+                from .schemas import split_logical
+
+                skey, bare = split_logical(ks, known_schemas)
+                if skey == "public":
+                    continue  # a PUBLIC name that merely contains a dot
+                if engine.current_schema == skey and re.fullmatch(
+                    r"[A-Za-z_][A-Za-z0-9_]*", bare
+                ):
+                    if re.search(
+                        rf"\b{re.escape(bare)}\b", sshadow, re.I
+                    ) or f"`{bare.casefold()}`" in stmt_cf:
+                        try:
+                            if not engine.spark.catalog.tableExists(bare):
+                                engine.table(ks).createOrReplaceTempView(
+                                    bare
+                                )
+                                bound.append(bare)
+                        except Exception:
+                            pass
+                if _qualified_mention(skey, bare).search(statement):
+                    try:
+                        bound_q.append(_bind_qualified(engine, ks))
+                    except Exception:
+                        pass
+                continue
+            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", ks):
                 continue
             # bare mentions scan the shadow; BACKTICK-quoted mentions
             # must scan the raw text (the shadow blanks quoted
@@ -461,15 +502,27 @@ def _resolve_sql(engine, statement: str, _view_stack: frozenset = frozenset()):
                     bound.append(name)
                     continue
                 try:
-                    engine.table(logical).createOrReplaceTempView(name)
+                    if "." in logical:
+                        # schema-qualified: bind natively (a dotted
+                        # name is not a legal temp-view name)
+                        bound_q.append(_bind_qualified(engine, logical))
+                    else:
+                        engine.table(logical).createOrReplaceTempView(
+                            name
+                        )
+                        bound.append(name)
                 except Exception:
                     raise e from None
-                bound.append(name)
         return engine.spark.sql(statement)
     finally:
         for n in bound:
             try:
                 engine.spark.catalog.dropTempView(n)
+            except Exception:  # pragma: no cover — session hygiene only
+                pass
+        for qid in bound_q:
+            try:
+                engine.spark.sql(f"DROP VIEW IF EXISTS {qid}")
             except Exception:  # pragma: no cover — session hygiene only
                 pass
 
@@ -1178,11 +1231,23 @@ def _execute_comment_on(engine, statement: str, shadow: str, m):
     while pos < len(shadow) and shadow[pos] == ".":
         nxt, pos = _parse_ident(statement, shadow, pos + 1)
         parts.append(nxt)
-    if parts[0].casefold() == "public" and len(parts) > (
-        1 if kind == "TABLE" else 2
-    ):
-        parts = parts[1:]
+    # schema qualifier (r14): PUBLIC strips, a registered schema
+    # folds into the dotted logical prefix, and an unqualified name
+    # resolves in the session's current schema
     want = 1 if kind == "TABLE" else 2
+    if len(parts) == want + 1:
+        sch = parts[0]
+        if sch.casefold() == "public":
+            parts = parts[1:]
+        elif engine.schemas.exists(sch):
+            parts = [f"{sch.casefold()}.{parts[1]}"] + parts[2:]
+        else:
+            raise ValueError(
+                f"COMMENT ON {kind}: unknown schema {sch!r} — "
+                "CREATE SCHEMA it first (PUBLIC is built in)"
+            )
+    elif len(parts) == want and engine.current_schema != "public":
+        parts = [f"{engine.current_schema}.{parts[0]}"] + parts[1:]
     if len(parts) != want:
         raise ValueError(
             f"COMMENT ON {kind}: expected "
@@ -1331,12 +1396,16 @@ def _execute_set(engine, statement: str, shadow: str, m):
             return None
         raise ValueError(f"SET AUTOCOMMIT: expected ON/OFF, got {tail!r}")
     if knob == "SCHEMA":
+        # H2 SET SCHEMA: unqualified names resolve in this schema
+        # from here on (r14 — multi-schema support, schemas.py)
         name, _ = _parse_ident(statement, shadow, m.end())
-        if name.upper() != "PUBLIC":
+        if not engine.schemas.exists(name):
             raise ValueError(
-                f"SET SCHEMA {name!r}: this engine has the single "
-                "PUBLIC schema (H2 parity for the reference's layout)"
+                f"SET SCHEMA: unknown schema {name!r} — CREATE "
+                "SCHEMA it first (PUBLIC is built in; registered "
+                "schemas list in INFORMATION_SCHEMA.SCHEMATA)"
             )
+        engine.current_schema = name.casefold()
         return None
     if knob in _SET_NOOP:
         return None  # storage-engine knob with no analogue here
@@ -1491,18 +1560,16 @@ def _substitute_sequence_values(engine, sql: str) -> str:
             return sql
         if m.group(1) is None:  # NEXT VALUE FOR ident
             name, end = _parse_ident(sql, shadow, m.end())
-            if (
-                end < len(shadow)
-                and shadow[end] == "."
-                and name.casefold() == "public"
-            ):
-                # H2 dumps qualify: NEXT VALUE FOR "PUBLIC"."seq"
-                name, end = _parse_ident(sql, shadow, end + 1)
+            # H2 dumps qualify: NEXT VALUE FOR "PUBLIC"."seq" (or a
+            # user schema); unqualified resolves in current schema
+            name, end = _resolve_schema_qualifier(
+                engine, sql, shadow, name, end, "NEXT VALUE FOR"
+            )
             v = engine.sequences.nextval(name)[0]
         else:
             # the name lives inside a blanked literal on the shadow —
             # slice it from the ORIGINAL text
-            name = sql[m.start(2) : m.end(2)]
+            name = _resolve_seq_string(engine, sql[m.start(2) : m.end(2)])
             end = m.end()
             fn = m.group(1).upper()
             v = (
@@ -1511,6 +1578,26 @@ def _substitute_sequence_values(engine, sql: str) -> str:
                 else engine.sequences.currval(name)
             )
         sql = sql[: m.start()] + str(v) + sql[end:]
+
+
+def _resolve_seq_string(engine, name: str) -> str:
+    """Sequence-name resolution for the STRING-argument value
+    functions (``NEXTVAL('s')`` / ``CURRVAL('s')``): a dotted
+    spelling whose prefix is PUBLIC strips, a registered schema maps
+    to the dotted registry key, and an unqualified name resolves in
+    the session's current schema — H2's own resolution for these
+    functions. An unknown dotted prefix passes through untouched so
+    the registry raises its usual not-found (the name might
+    legitimately contain a dot)."""
+    if "." in name:
+        sch, rest = name.split(".", 1)
+        if sch.casefold() == "public":
+            return rest
+        if engine.schemas.exists(sch):
+            return f"{sch.casefold()}.{rest}"
+        return name
+    cur = engine.current_schema
+    return name if cur == "public" else f"{cur}.{name}"
 
 
 #: NEXTVAL occurrences (both spellings) — used by the per-row INSERT
@@ -1651,10 +1738,15 @@ def _rewrite_nextval_select(engine, source: str):
         if not mo:
             break
         if mo.group(1) is not None:  # NEXTVAL('name') — name in literal
-            name = proj[mo.start(1) : mo.end(1)]
+            name = _resolve_seq_string(
+                engine, proj[mo.start(1) : mo.end(1)]
+            )
             end = mo.end()
         else:  # NEXT VALUE FOR ident
             name, end = _parse_ident(proj, pshadow, mo.end())
+            name, end = _resolve_schema_qualifier(
+                engine, proj, pshadow, name, end, "NEXT VALUE FOR"
+            )
         proj = proj[: mo.start()] + _expr_for(name) + proj[end:]
     # expand a bare depth-0 `*` so the rn column never leaks
     star_expansion = ", ".join(f"`{c}`" for c in src_cols)
@@ -1791,6 +1883,52 @@ def _execute_verb(engine, statement: str, shadow: str, m):
                 cleanup()
 
     if verb == "CREATE":
+        msch = re.match(
+            r"\s*CREATE\s+SCHEMA\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?",
+            shadow,
+            re.I,
+        )
+        if msch:
+            # H2 CREATE SCHEMA name [AUTHORIZATION owner] — a real
+            # multi-schema dump's first non-preamble line (r13
+            # verdict missing #3). AUTHORIZATION is accepted and
+            # discarded (single-principal engine, the CREATE USER
+            # no-op precedent).
+            name, pos = _parse_ident(statement, shadow, msch.end())
+            mauth = re.compile(r"\s*AUTHORIZATION\s+", re.I).match(
+                shadow, pos
+            )
+            if mauth:
+                _owner, pos = _parse_ident(statement, shadow, mauth.end())
+            if statement[pos:].strip():
+                raise ValueError(
+                    "CREATE SCHEMA: unexpected trailing text "
+                    f"{statement[pos:].strip()!r}"
+                )
+            engine.schemas.create(
+                name, if_not_exists=msch.group("ine") is not None
+            )
+            engine._republish_info_schema()
+            return None
+        mrej = re.match(
+            r"\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:FORCE\s+)?"
+            r"(ALIAS|TRIGGER|DOMAIN|CONSTANT|AGGREGATE|LINKED\s+TABLE)\b",
+            shadow,
+            re.I,
+        )
+        if mrej:
+            # documented reject taxonomy (r13 verdict missing #4): a
+            # foreign dump carrying these H2 object kinds must name
+            # WHAT it hit, not die in Spark's parser
+            kind = re.sub(r"\s+", " ", mrej.group(1).upper())
+            raise ValueError(
+                f"CREATE {kind}: not supported — H2 {kind} objects "
+                "have no analogue on this engine (user Java functions"
+                "/triggers/domains/constants run inside the H2 JVM; "
+                "here the query surface is Spark SQL). Remove the "
+                f"statement from the dump, or re-express the {kind} "
+                "with Spark-native constructs."
+            )
         ms = re.match(
             r"\s*CREATE\s+SEQUENCE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?",
             shadow,
@@ -1871,14 +2009,20 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         if not mc:
             return engine.sql(statement)  # CREATE DATABASE / FUNCTION ...
         table, pos = _parse_ident(statement, shadow, mc.end())
-        if (
-            pos < len(shadow)
-            and shadow[pos] == "."
-            and table.casefold() == "public"
-        ):
-            # qualified CTAS targets strip the one schema we model;
-            # other qualifiers stay Spark-native (CREATE TABLE db.t)
-            table, pos = _parse_ident(statement, shadow, pos + 1)
+        if pos < len(shadow) and shadow[pos] == ".":
+            # qualified CTAS targets resolve through the engine's
+            # schema rules (PUBLIC strips, a registered schema maps
+            # to the dotted logical name); any OTHER qualifier stays
+            # Spark-native (CREATE TABLE db.t is legal Spark DDL)
+            if table.casefold() == "public":
+                table, pos = _parse_ident(statement, shadow, pos + 1)
+            elif engine.schemas.exists(table):
+                inner, pos = _parse_ident(statement, shadow, pos + 1)
+                table = f"{table.casefold()}.{inner}"
+        elif engine.current_schema != "public":
+            # unqualified CTAS resolves in the session's current
+            # schema, like every other engine-catalog target (r14)
+            table = f"{engine.current_schema}.{table}"
         _guard_view_collision(engine, table, "CREATE TABLE")
         mas = re.compile(r"\s*AS\b", re.I).match(shadow, pos)
         if not mas:
@@ -1895,6 +2039,23 @@ def _execute_verb(engine, statement: str, shadow: str, m):
             # + sequence registry (session views are Spark-managed)
             engine.drop_all_objects()
             return None
+        msch = re.match(
+            r"\s*DROP\s+SCHEMA\s+(?P<ie>IF\s+EXISTS\s+)?", shadow, re.I
+        )
+        if msch:
+            return _drop_schema(engine, statement, shadow, msch)
+        mrej = re.match(
+            r"\s*DROP\s+(ALIAS|TRIGGER|DOMAIN|CONSTANT|AGGREGATE)\b",
+            shadow,
+            re.I,
+        )
+        if mrej:
+            kind = mrej.group(1).upper()
+            raise ValueError(
+                f"DROP {kind}: not supported — H2 {kind} objects "
+                "have no analogue on this engine (see the CREATE "
+                f"{kind} rejection), so there is nothing to drop."
+            )
         md = re.match(
             r"\s*DROP\s+SEQUENCE\s+(?P<ie>IF\s+EXISTS\s+)?", shadow, re.I
         )
@@ -2061,14 +2222,11 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         if not ma:
             return engine.sql(statement)
         table, pos = _parse_ident(statement, shadow, ma.end())
-        # H2 SCRIPT qualifies its ALTER lines (ALTER TABLE PUBLIC.T
-        # ADD CONSTRAINT ...) — strip the one schema we model
-        if (
-            pos < len(shadow)
-            and shadow[pos] == "."
-            and table.casefold() == "public"
-        ):
-            table, pos = _parse_ident(statement, shadow, pos + 1)
+        # H2 SCRIPT qualifies its ALTER lines (ALTER TABLE "S"."T"
+        # ADD CONSTRAINT ...) — resolve through the schema rules
+        table, pos = _resolve_schema_qualifier(
+            engine, statement, shadow, table, pos, "ALTER TABLE"
+        )
         _guard_view_target(engine, table, "ALTER TABLE")
         try:
             logical = _logical(engine, table)
@@ -2084,7 +2242,7 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         ).match(shadow, pos)
         if mcadd:
             seg = statement[mcadd.end() :].rstrip().rstrip(";")
-            parsed = _parse_constraint_clause(seg, _shadow(seg))
+            parsed = _parse_constraint_clause(engine, seg, _shadow(seg))
             assert parsed is not None  # lookahead guarantees a clause
             cname, ctype, cols, extra, nocheck = parsed
             if ctype == "CHECK":
@@ -2146,14 +2304,17 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         if mcdrop:
             cname, p3 = _parse_ident(statement, shadow, mcdrop.end())
             if p3 < len(shadow) and shadow[p3] == ".":
-                # H2 SCRIPT qualifies constraint names (PUBLIC.name);
-                # mirror the ADD path: ONLY the one schema we model is
-                # strippable — a wrong-schema DROP must error, not
+                # H2 SCRIPT qualifies constraint names; mirror the
+                # ADD path: PUBLIC or a registered schema strips (the
+                # registry records constraint names bare, table-
+                # scoped) — a wrong-schema DROP must error, not
                 # silently drop the PUBLIC constraint (advisor r11)
-                if cname.casefold() != "public":
+                if cname.casefold() != "public" and not (
+                    engine.schemas.exists(cname)
+                ):
                     raise ValueError(
-                        f"DROP CONSTRAINT: unknown schema {cname!r} "
-                        "(only PUBLIC is modeled)"
+                        f"DROP CONSTRAINT: unknown schema {cname!r} — "
+                        "CREATE SCHEMA it first (PUBLIC is built in)"
                     )
                 cname, _ = _parse_ident(statement, shadow, p3 + 1)
             engine.constraints.drop(
@@ -2182,7 +2343,7 @@ def _execute_verb(engine, statement: str, shadow: str, m):
                 if not expr:
                     raise ValueError("ALTER COLUMN: empty SET DEFAULT")
                 dseq = _default_sequence_name(
-                    expr, "ALTER COLUMN SET DEFAULT"
+                    engine, expr, "ALTER COLUMN SET DEFAULT"
                 )
                 if dseq is not None:
                     # sequence-valued default: a binding, like the
@@ -2282,7 +2443,7 @@ def _execute_verb(engine, statement: str, shadow: str, m):
         if madd:
             col, pos2 = _parse_ident(statement, shadow, madd.end())
             tail = statement[pos2:].strip().rstrip(";")
-            tail, copts = _parse_column_options(
+            tail, copts = _parse_column_options(engine, 
                 tail, "ALTER TABLE ADD COLUMN"
             )
             if (
@@ -2292,7 +2453,7 @@ def _execute_verb(engine, statement: str, shadow: str, m):
                 or (
                     copts["default"]
                     and _default_sequence_name(
-                        copts["default"], "ALTER TABLE ADD COLUMN"
+                        engine, copts["default"], "ALTER TABLE ADD COLUMN"
                     )
                 )
             ):
@@ -2344,7 +2505,26 @@ def _execute_verb(engine, statement: str, shadow: str, m):
             return None
         mrt = re.compile(r"\s*RENAME\s+TO\s+", re.I).match(shadow, pos)
         if mrt:
-            new, _ = _parse_ident(statement, shadow, mrt.end())
+            new, npos = _parse_ident(statement, shadow, mrt.end())
+            # H2: RENAME keeps the table in ITS schema — an
+            # unqualified target resolves against the source table's
+            # schema, never the session's current one (r14)
+            from .schemas import split_logical
+
+            skey, _bare = split_logical(logical, engine.schemas.keys())
+            if npos < len(shadow) and shadow[npos] == ".":
+                new, npos = _resolve_schema_qualifier(
+                    engine, statement, shadow, new, npos, "RENAME TO"
+                )
+                nskey, _nb = split_logical(new, engine.schemas.keys())
+                if nskey != skey:
+                    raise ValueError(
+                        "ALTER TABLE ... RENAME TO: cannot move a "
+                        "table between schemas (H2 renames within "
+                        "the schema)"
+                    )
+            elif skey != "public":
+                new = f"{skey}.{new}"
             engine.rename_table(logical, new)
             return None
         raise ValueError(
@@ -2534,6 +2714,18 @@ def _create_view(engine, statement: str, shadow: str, mv):
     # at EVERY query through it — a permanently unqueryable view
     # restored from a foreign dump (advisor r12) — so reject it NOW,
     # at the statement that can still be fixed
+    from .schemas import split_logical
+
+    vskey, _bare = split_logical(name, engine.schemas.keys())
+    if vskey != "public":
+        # documented reject (r14): the view registry binds names via
+        # createOrReplaceTempView, which has no schema namespace —
+        # a schema-qualified view could never be queried
+        raise ViewError(
+            f"CREATE VIEW: views are modeled in PUBLIC only — "
+            f"{name!r} targets schema {vskey!r}. Create the view "
+            "unqualified (or under SET SCHEMA PUBLIC)."
+        )
     if not re.fullmatch(r"[A-Za-z0-9_]+", name):
         raise ViewError(
             f"CREATE VIEW: name {name!r} is not addressable at this "
@@ -2608,6 +2800,73 @@ def _create_view(engine, statement: str, shadow: str, mv):
         or_replace=mv.group("orr") is not None,
         if_not_exists=mv.group("ine") is not None,
     )
+    engine._republish_info_schema()
+    return None
+
+
+def _drop_schema(engine, statement: str, shadow: str, msch):
+    """``DROP SCHEMA [IF EXISTS] name [RESTRICT | CASCADE]`` —
+    RESTRICT (H2's default) refuses while the schema still contains
+    objects; CASCADE drops the contained tables (each through the
+    full table-drop path: constraints, colmeta, backing sequences)
+    and then the schema's remaining user sequences — refusing, like
+    DROP SEQUENCE, when a column OUTSIDE the schema still draws from
+    one. PUBLIC is undroppable (H2). Dropping the session's current
+    schema resets it to PUBLIC."""
+    from .schemas import SchemaError
+
+    name, pos = _parse_ident(statement, shadow, msch.end())
+    tail = statement[pos:].strip()
+    cascade = False
+    if tail:
+        if re.fullmatch(r"CASCADE", tail, re.I):
+            cascade = True
+        elif not re.fullmatch(r"RESTRICT", tail, re.I):
+            raise ValueError(
+                f"DROP SCHEMA: unexpected trailing text {tail!r} "
+                "(expected RESTRICT or CASCADE)"
+            )
+    key = name.casefold()
+    if key == "public" or not engine.schemas.exists(name):
+        # registry owns the PUBLIC guard and IF EXISTS semantics
+        engine.schemas.drop(name, if_exists=msch.group("ie") is not None)
+        return None
+    prefix = key + "."
+    tables = [
+        str(t)
+        for t in engine.sink.catalog
+        if str(t).casefold().startswith(prefix)
+    ]
+    seqs = [s for s in engine.sequences.names() if s.startswith(prefix)]
+    if (tables or seqs) and not cascade:
+        raise SchemaError(
+            f"DROP SCHEMA {name!r}: schema is not empty "
+            f"({len(tables)} table(s), {len(seqs)} sequence(s)) — "
+            "use DROP SCHEMA ... CASCADE (H2 RESTRICT default)"
+        )
+    for t in tables:
+        engine.drop_table_if_exists(t)
+    for s in seqs:
+        if not engine.sequences.exists(s):
+            continue  # a table drop reclaimed its backing sequence
+        owners = [
+            f"{tkey}.{e['column']}"
+            for tkey, tentry in engine.colmeta.all().items()
+            for e in tentry.get("columns", {}).values()
+            if (e.get("sequence") or "").casefold() == s
+            and not tkey.startswith(prefix)
+        ]
+        if owners:
+            raise SchemaError(
+                f"DROP SCHEMA {name!r} CASCADE: column(s) {owners} "
+                f"outside the schema draw their default from "
+                f"sequence {s!r} — drop or re-default them first "
+                "(the DROP SEQUENCE rule)"
+            )
+        engine.sequences.drop(s, if_exists=True)
+    engine.schemas.drop(name)
+    if engine.current_schema == key:
+        engine.current_schema = "public"
     engine._republish_info_schema()
     return None
 
@@ -2805,7 +3064,7 @@ def _strip_nocheck(seg: str, sshadow: str, pos: int) -> tuple[bool, str]:
     return False, tail
 
 
-def _parse_constraint_clause(seg: str, sshadow: str):
+def _parse_constraint_clause(engine, seg: str, sshadow: str):
     """Parse one table-level constraint segment — ``[CONSTRAINT
     [PUBLIC.]name] { PRIMARY KEY|UNIQUE (col, ...) | CHECK (pred) |
     FOREIGN KEY (col, ...) REFERENCES rt [(rcols)] [ON DELETE|UPDATE
@@ -2831,13 +3090,17 @@ def _parse_constraint_clause(seg: str, sshadow: str):
     if mcon:
         name, pos = _parse_ident(seg, sshadow, mcon.end())
         if pos < len(sshadow) and sshadow[pos] == ".":
-            # H2 SCRIPT qualifies: CONSTRAINT PUBLIC.CONSTRAINT_4D —
-            # only the one schema we model is strippable (the DROP
-            # CONSTRAINT rule; a wrong schema must error loudly)
-            if name.casefold() != "public":
+            # H2 SCRIPT qualifies: CONSTRAINT "APP"."CONSTRAINT_4D".
+            # Constraint names are recorded BARE (the registry scopes
+            # them by table, which already carries the schema), so a
+            # PUBLIC or registered-schema qualifier strips; an
+            # unknown one errors loudly (the DROP CONSTRAINT rule)
+            if name.casefold() != "public" and not engine.schemas.exists(
+                name
+            ):
                 raise ValueError(
-                    f"CONSTRAINT: unknown schema {name!r} "
-                    "(only PUBLIC is modeled)"
+                    f"CONSTRAINT: unknown schema {name!r} — "
+                    "CREATE SCHEMA it first (PUBLIC is built in)"
                 )
             name, pos = _parse_ident(seg, sshadow, pos + 1)
     mck = re.compile(r"\s*CHECK\s*\(", re.I).match(sshadow, pos)
@@ -2972,7 +3235,7 @@ def _search_depth0(shadow: str, pattern: str):
         pos = m.end()
 
 
-def _parse_column_options(text: str, ctx: str):
+def _parse_column_options(engine, text: str, ctx: str):
     """Excise the H2 column options the stored parquet schema cannot
     carry from one column definition's post-name text — ``DEFAULT
     expr`` / ``AUTO_INCREMENT[(start[, inc])]`` / ``NULL_TO_DEFAULT``
@@ -3067,13 +3330,9 @@ def _parse_column_options(text: str, ctx: str):
     msq = _search_depth0(shadow, r"\bSEQUENCE\s")
     if msq:
         name, end = _parse_ident(text, shadow, msq.end())
-        if end < len(shadow) and shadow[end] == ".":
-            if name.casefold() != "public":
-                raise ValueError(
-                    f"{ctx}: unknown schema {name!r} in SEQUENCE "
-                    "binding (only PUBLIC is modeled)"
-                )
-            name, end = _parse_ident(text, shadow, end + 1)
+        name, end = _resolve_schema_qualifier(
+            engine, text, shadow, name, end, f"{ctx}: SEQUENCE binding"
+        )
         opts["sequence"] = name
         text = (text[: msq.start()] + " " + text[end:]).strip()
         shadow = _shadow(text)
@@ -3092,11 +3351,13 @@ def _parse_column_options(text: str, ctx: str):
     return text, opts
 
 
-def _default_sequence_name(default: str, ctx: str):
+def _default_sequence_name(engine, default: str, ctx: str):
     """When a DEFAULT expression is H2's identity spelling —
     ``(NEXT VALUE FOR seq)`` / ``NEXTVAL('seq')``, optionally
-    PUBLIC-qualified — return the sequence name; ``None`` for any
-    other (deterministic) expression."""
+    schema-qualified — return the RESOLVED sequence name (dotted
+    logical for a registered schema, current-schema-prefixed when
+    unqualified — r14); ``None`` for any other (deterministic)
+    expression."""
     mseq = re.match(
         r"(?is)^\(?\s*(?:NEXT\s+VALUE\s+FOR\s+(?P<i>.+?)"
         r"|NEXTVAL\s*\(\s*'(?P<l>[^']*)'\s*\))\s*\)?\s*$",
@@ -3105,16 +3366,12 @@ def _default_sequence_name(default: str, ctx: str):
     if not mseq:
         return None
     if mseq.group("l") is not None:
-        return mseq.group("l")
+        return _resolve_seq_string(engine, mseq.group("l"))
     dshadow = _shadow(default)
     dseq, dpos = _parse_ident(default, dshadow, mseq.start("i"))
-    if dpos < len(dshadow) and dshadow[dpos] == ".":
-        if dseq.casefold() != "public":
-            raise ValueError(
-                f"{ctx}: unknown schema {dseq!r} in DEFAULT sequence "
-                "(only PUBLIC is modeled)"
-            )
-        dseq, _ = _parse_ident(default, dshadow, dpos + 1)
+    dseq, _ = _resolve_schema_qualifier(
+        engine, default, dshadow, dseq, dpos, f"{ctx}: DEFAULT sequence"
+    )
     return dseq
 
 
@@ -3152,7 +3409,7 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
     for seg in _split_top_level(statement, shadow, open_p + 1, close):
         seg = seg.strip()
         sshadow = _shadow(seg)
-        parsed = _parse_constraint_clause(seg, sshadow)
+        parsed = _parse_constraint_clause(engine, seg, sshadow)
         if parsed is not None:
             # the table is brand-new and empty, so a trailing
             # NOCHECK (slot 5) has nothing to skip — record slots 1-4
@@ -3193,7 +3450,7 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
         # DEFAULT (NEXT VALUE FOR "S") NOT NULL NULL_TO_DEFAULT
         # SEQUENCE "S") leaves NOT NULL trailing; recorded in the
         # column-metadata registry after the table lands
-        type_text, copts = _parse_column_options(
+        type_text, copts = _parse_column_options(engine, 
             type_text, f"column def {seg!r}"
         )
         # H2 column grammar: type then NOT NULL and/or
@@ -3401,7 +3658,7 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
         default = o["default"]
         seq = o["sequence"]
         if default is not None:
-            dseq = _default_sequence_name(default, "CREATE CACHED TABLE")
+            dseq = _default_sequence_name(engine, default, "CREATE CACHED TABLE")
             if dseq is not None:
                 if seq is not None and seq.casefold() != dseq.casefold():
                     raise ValueError(
@@ -3477,12 +3734,18 @@ def _create_cached_table(engine, statement: str, shadow: str, mcache):
     # SYSTEM_SEQUENCE names, marked BELONGS_TO_TABLE (dropped with
     # the table, and SCRIPT re-emits the flag like H2's own dumps)
     taken = {n.casefold() for n in engine.sequences.names()}
+    from .schemas import split_logical
+
+    skey, bare_table = split_logical(table, engine.schemas.keys())
+    # the backing sequence lives in the TABLE's schema (H2 creates
+    # it there; dumps then qualify both names consistently)
+    seq_prefix = "" if skey == "public" else f"{skey}."
     for col, start, inc in identity_new:
-        base = re.sub(r"[^A-Za-z0-9_]", "_", f"{table}_{col}").upper()
-        seq_name = f"SYSTEM_SEQUENCE_{base}"
+        base = re.sub(r"[^A-Za-z0-9_]", "_", f"{bare_table}_{col}").upper()
+        seq_name = f"{seq_prefix}SYSTEM_SEQUENCE_{base}"
         k = 2
         while seq_name.casefold() in taken:
-            seq_name = f"SYSTEM_SEQUENCE_{base}_{k}"
+            seq_name = f"{seq_prefix}SYSTEM_SEQUENCE_{base}_{k}"
             k += 1
         taken.add(seq_name.casefold())
         engine.sequences.create(
@@ -3549,16 +3812,68 @@ def _h2_type_to_spark(type_text: str) -> str:
 
 def _logical(engine, name: str) -> str:
     """Resolve a statement's table name: logical names take priority,
-    then physical (what a wire client sees in SHOW TABLES)."""
+    then schema resolution (a qualified spelling normalizes its
+    schema part to the registry key; an unqualified one resolves in
+    the session's current schema — r14), then physical (what a wire
+    client sees in SHOW TABLES)."""
     catalog = engine.sink.catalog
     if name in catalog:
         return name
+    if "." in name:
+        sch, rest = name.split(".", 1)
+        skey = sch.casefold()
+        cand = f"{skey}.{rest}"
+        if cand != name and cand in catalog and engine.schemas.exists(sch):
+            return cand
+    elif engine.current_schema != "public":
+        cand = f"{engine.current_schema}.{name}"
+        if cand in catalog:
+            return cand
     for logical, physical in catalog.items():
         if name == physical or name.lower() == physical:
             return logical
     from .errors import NotAResource
 
     raise NotAResource(name)
+
+
+def _qualified_mention(skey: str, bare: str):
+    """Regex matching any SQL spelling of ``schema.name`` in raw
+    statement text — bare, double-quoted (H2) or backticked (Spark)
+    on either side, optional whitespace around the dot. Bare-name
+    matching only when the part is a plain identifier (a quoted-only
+    hostile name can only be mentioned quoted)."""
+    q = re.escape(skey)
+    b = re.escape(bare)
+    qual = rf'(?:\b{q}\b|"{q}"|`{q}`)'
+    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", bare):
+        namep = rf'(?:\b{b}\b|"{b}"|`{b}`)'
+    else:
+        namep = rf'(?:"{b}"|`{b}`)'
+    return re.compile(qual + r"\s*\.\s*" + namep, re.I)
+
+
+def _bind_qualified(engine, logical: str) -> str:
+    """Bind a schema-qualified catalog table for NATIVE Spark
+    resolution (``SELECT * FROM app.t``): temp views have no schema
+    namespace, so the binding is a session-catalog DATABASE named
+    after the schema key plus a view over the physical parquet
+    table. Returns the qualified identifier to DROP VIEW afterwards
+    (same bind-then-drop discipline as the temp views — nothing
+    lingers to shadow later session objects)."""
+    from .idents import hygienic_ident
+    from .schemas import split_logical
+
+    skey, bare = split_logical(logical, engine.schemas.keys())
+    physical = engine.sink.catalog[logical]
+    engine._ensure_registered(str(physical))
+    engine.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{skey}`")
+    qid = f"`{skey}`.`{bare.replace('`', '``')}`"
+    engine.spark.sql(
+        f"CREATE OR REPLACE VIEW {qid} AS "
+        f"SELECT * FROM default.{hygienic_ident(str(physical))}"
+    )
+    return qid
 
 
 # --- Quantified comparison subqueries (ALL / ANY / SOME) -------------------

@@ -1,0 +1,389 @@
+"""Multi-schema support (r14, schemas.py + the schema-aware name
+resolver in sql_dml): CREATE/DROP SCHEMA, SET SCHEMA, qualified and
+current-schema name resolution across DDL/DML/SELECT, schema-scoped
+sequences and identity backing, INFORMATION_SCHEMA.SCHEMATA and the
+schema columns of the other views, SCRIPT/RUNSCRIPT round-trips with
+CREATE SCHEMA lines and fully-qualified spellings, the checked-in
+multi-schema H2-1.4.200-format dump fixture, and the documented
+rejects for the H2 object kinds with no analogue here (ALIAS /
+TRIGGER / DOMAIN / CONSTANT).
+
+Reference behavior: a real H2 instance routinely keeps objects
+outside PUBLIC and its dumps qualify every name; the reference
+replays such dumps verbatim (H2Server.scala:41-58)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from quasar_destination_h2_spark.engine import Engine
+from quasar_destination_h2_spark.schemas import SchemaError, split_logical
+
+FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "quasar_destination_h2_spark",
+    "plans",
+    "h2_multischema_dump.sql",
+)
+
+
+@pytest.fixture(scope="module")
+def engine(spark, warehouse_dir):
+    eng = Engine.from_config(
+        json.dumps({"connectionUri": warehouse_dir}), spark=spark
+    )
+    yield eng
+    eng.current_schema = "public"
+    for sc in eng.schemas.names():
+        if sc != "PUBLIC":
+            eng.execute_sql(f'DROP SCHEMA "{sc}" CASCADE')
+    for logical in list(eng.sink.catalog):
+        if str(logical).casefold().startswith("ms_"):
+            eng.drop_table_if_exists(logical)
+
+
+@pytest.fixture(autouse=True)
+def _reset_schema(engine):
+    yield
+    engine.current_schema = "public"
+
+
+def test_create_drop_schema_lifecycle(engine):
+    engine.execute_sql('CREATE SCHEMA "S1"')
+    assert engine.schemas.exists("s1")
+    with pytest.raises(SchemaError, match="already exists"):
+        engine.execute_sql('CREATE SCHEMA "S1"')
+    engine.execute_sql('CREATE SCHEMA IF NOT EXISTS "S1"')  # no-op
+    engine.execute_sql('DROP SCHEMA "S1"')
+    assert not engine.schemas.exists("s1")
+    with pytest.raises(SchemaError, match="not found"):
+        engine.execute_sql('DROP SCHEMA "S1"')
+    engine.execute_sql('DROP SCHEMA IF EXISTS "S1"')  # no-op
+    with pytest.raises(SchemaError, match="PUBLIC cannot be dropped"):
+        engine.execute_sql("DROP SCHEMA PUBLIC")
+    # AUTHORIZATION is accepted and discarded (single principal)
+    engine.execute_sql('CREATE SCHEMA "S2" AUTHORIZATION "SA"')
+    engine.execute_sql('DROP SCHEMA "S2"')
+
+
+def test_schema_name_addressability_guard(engine):
+    with pytest.raises(SchemaError, match="not addressable"):
+        engine.execute_sql('CREATE SCHEMA "has space"')
+    with pytest.raises(SchemaError, match="not addressable"):
+        engine.execute_sql('CREATE SCHEMA "dotted.name"')
+
+
+def test_qualified_ddl_dml_select(engine):
+    engine.execute_sql('CREATE SCHEMA IF NOT EXISTS "APP"')
+    engine.execute_sql('DROP TABLE IF EXISTS "APP"."T1"')
+    engine.execute_sql(
+        'CREATE CACHED TABLE "APP"."T1"("k" INT, "v" VARCHAR(8))'
+    )
+    assert "app.T1" in {str(t) for t in engine.sink.catalog}
+    engine.execute_sql(
+        "INSERT INTO \"APP\".\"T1\" VALUES (1, 'a'), (2, 'b')"
+    )
+    # qualified SELECT resolves natively (database+view binding)
+    rows = engine.execute_sql(
+        "SELECT k, v FROM APP.T1 ORDER BY k"
+    ).collect()
+    assert [(r.k, r.v) for r in rows] == [(1, "a"), (2, "b")]
+    engine.execute_sql("UPDATE \"APP\".\"T1\" SET v = 'z' WHERE k = 2")
+    engine.execute_sql('DELETE FROM "APP"."T1" WHERE k = 1')
+    rows = engine.execute_sql("SELECT k, v FROM APP.T1").collect()
+    assert [(r.k, r.v) for r in rows] == [(2, "z")]
+    # a same-named PUBLIC table is a DIFFERENT object
+    engine.execute_sql('DROP TABLE IF EXISTS "T1"')
+    engine.execute_sql('CREATE CACHED TABLE "T1"("k" INT)')
+    engine.execute_sql("INSERT INTO T1 VALUES (9)")
+    assert engine.execute_sql(
+        "SELECT count(*) AS c FROM APP.T1"
+    ).collect()[0].c == 1
+    assert engine.execute_sql(
+        "SELECT count(*) AS c FROM T1"
+    ).collect()[0].c == 1
+    engine.execute_sql('DROP TABLE "T1"')
+    engine.execute_sql('DROP TABLE "APP"."T1"')
+
+
+def test_set_schema_resolution(engine):
+    engine.execute_sql('CREATE SCHEMA IF NOT EXISTS "APP"')
+    with pytest.raises(ValueError, match="unknown schema"):
+        engine.execute_sql("SET SCHEMA GHOST")
+    engine.execute_sql("SET SCHEMA APP")
+    engine.execute_sql('DROP TABLE IF EXISTS "T2"')  # app.T2
+    engine.execute_sql('CREATE CACHED TABLE "T2"("k" INT)')
+    assert "app.T2" in {str(t) for t in engine.sink.catalog}
+    engine.execute_sql("INSERT INTO T2 VALUES (1), (2)")
+    assert engine.execute_sql(
+        "SELECT count(*) AS c FROM T2"
+    ).collect()[0].c == 2
+    # PUBLIC-qualified names still reach PUBLIC from inside APP
+    engine.execute_sql('DROP TABLE IF EXISTS "PUBLIC"."MS_P"')
+    engine.execute_sql('CREATE CACHED TABLE "PUBLIC"."MS_P"("a" INT)')
+    assert "MS_P" in {str(t) for t in engine.sink.catalog}
+    engine.execute_sql("SET SCHEMA PUBLIC")
+    engine.execute_sql('DROP TABLE "MS_P"')
+    engine.execute_sql('DROP TABLE "APP"."T2"')
+
+
+def test_unknown_schema_errors_precisely(engine):
+    for stmt in (
+        'CREATE CACHED TABLE "GHOST"."T"("a" INT)',
+        'INSERT INTO "GHOST"."T" VALUES (1)',
+        'DROP TABLE "GHOST"."T"',
+        'CREATE SEQUENCE "GHOST"."S"',
+    ):
+        with pytest.raises(ValueError, match="unknown schema 'GHOST'"):
+            engine.execute_sql(stmt)
+
+
+def test_schema_scoped_sequences_and_identity(engine):
+    engine.execute_sql('CREATE SCHEMA IF NOT EXISTS "APP"')
+    engine.execute_sql('DROP TABLE IF EXISTS "APP"."T3"')
+    engine.execute_sql(
+        'CREATE CACHED TABLE "APP"."T3"("id" INT AUTO_INCREMENT, "x" INT)'
+    )
+    backing = [
+        s for s in engine.sequences.names() if s.startswith("app.")
+    ]
+    assert backing == ["app.system_sequence_t3_id"]
+    engine.execute_sql('INSERT INTO "APP"."T3" ("x") VALUES (7)')
+    assert engine.execute_sql(
+        "SELECT id FROM APP.T3"
+    ).collect()[0].id == 1
+    # user sequence in the schema; NEXTVAL resolves under SET SCHEMA
+    engine.execute_sql('DROP SEQUENCE IF EXISTS "APP"."US1"')
+    engine.execute_sql('CREATE SEQUENCE "APP"."US1" START WITH 40')
+    engine.execute_sql("SET SCHEMA APP")
+    r = engine.execute_sql("SELECT NEXTVAL('US1') AS nv").collect()[0]
+    assert r.nv == 40
+    r = engine.execute_sql("SELECT NEXT VALUE FOR US1 AS nv").collect()[0]
+    assert r.nv == 41
+    engine.execute_sql("SET SCHEMA PUBLIC")
+    r = engine.execute_sql(
+        "SELECT NEXT VALUE FOR \"APP\".\"US1\" AS nv"
+    ).collect()[0]
+    assert r.nv == 42
+    engine.execute_sql('DROP SEQUENCE "APP"."US1"')
+    engine.execute_sql('DROP TABLE "APP"."T3"')
+    assert not [
+        s for s in engine.sequences.names() if s.startswith("app.")
+    ]
+
+
+def test_drop_schema_restrict_and_cascade(engine):
+    engine.execute_sql('CREATE SCHEMA IF NOT EXISTS "DS"')
+    engine.execute_sql('CREATE CACHED TABLE "DS"."T"("a" INT)')
+    engine.execute_sql('CREATE SEQUENCE "DS"."SQ"')
+    with pytest.raises(SchemaError, match="not empty"):
+        engine.execute_sql('DROP SCHEMA "DS"')
+    with pytest.raises(SchemaError, match="not empty"):
+        engine.execute_sql('DROP SCHEMA "DS" RESTRICT')
+    engine.execute_sql('DROP SCHEMA "DS" CASCADE')
+    assert not engine.schemas.exists("ds")
+    assert "ds.T" not in {str(t) for t in engine.sink.catalog}
+    assert not [
+        s for s in engine.sequences.names() if s.startswith("ds.")
+    ]
+
+
+def test_drop_schema_cascade_guards_external_sequence_owner(engine):
+    engine.execute_sql('CREATE SCHEMA IF NOT EXISTS "DX"')
+    engine.execute_sql('CREATE SEQUENCE "DX"."SHARED"')
+    engine.execute_sql('DROP TABLE IF EXISTS "MS_OUT"')
+    engine.execute_sql(
+        'CREATE CACHED TABLE "MS_OUT"("n" INT DEFAULT '
+        "(NEXT VALUE FOR \"DX\".\"SHARED\"))"
+    )
+    with pytest.raises(SchemaError, match="outside the schema"):
+        engine.execute_sql('DROP SCHEMA "DX" CASCADE')
+    engine.execute_sql('DROP TABLE "MS_OUT"')
+    engine.execute_sql('DROP SCHEMA "DX" CASCADE')
+
+
+def test_dropping_current_schema_resets_to_public(engine):
+    engine.execute_sql('CREATE SCHEMA IF NOT EXISTS "CUR"')
+    engine.execute_sql("SET SCHEMA CUR")
+    engine.execute_sql('DROP SCHEMA "CUR"')
+    assert engine.current_schema == "public"
+
+
+def test_information_schema_surfaces(engine):
+    engine.execute_sql('CREATE SCHEMA IF NOT EXISTS "APP"')
+    engine.execute_sql('DROP TABLE IF EXISTS "APP"."T4"')
+    engine.execute_sql(
+        'CREATE CACHED TABLE "APP"."T4"("k" INT PRIMARY KEY)'
+    )
+    rows = {
+        (r.SCHEMA_NAME, r.IS_DEFAULT)
+        for r in engine.execute_sql(
+            "SELECT SCHEMA_NAME, IS_DEFAULT FROM "
+            "INFORMATION_SCHEMA.SCHEMATA"
+        ).collect()
+    }
+    assert ("PUBLIC", "YES") in rows and ("APP", "NO") in rows
+    t = engine.execute_sql(
+        "SELECT TABLE_SCHEMA, TABLE_NAME FROM INFORMATION_SCHEMA.TABLES "
+        "WHERE TABLE_NAME = 'T4'"
+    ).collect()
+    assert [(r.TABLE_SCHEMA, r.TABLE_NAME) for r in t] == [("APP", "T4")]
+    c = engine.execute_sql(
+        "SELECT TABLE_SCHEMA, COLUMN_NAME FROM "
+        "INFORMATION_SCHEMA.COLUMNS WHERE TABLE_NAME = 'T4'"
+    ).collect()
+    assert [(r.TABLE_SCHEMA, r.COLUMN_NAME) for r in c] == [("APP", "k")]
+    k = engine.execute_sql(
+        "SELECT TABLE_SCHEMA FROM INFORMATION_SCHEMA.CONSTRAINTS "
+        "WHERE TABLE_NAME = 'T4'"
+    ).collect()
+    assert [r.TABLE_SCHEMA for r in k] == ["APP"]
+    shows = {tuple(r) for r in engine.execute_sql("SHOW SCHEMAS").collect()}
+    assert ("APP",) in shows
+    tabs = {tuple(r) for r in engine.execute_sql("SHOW TABLES").collect()}
+    assert ("T4", "APP") in tabs
+    cols = engine.execute_sql("SHOW COLUMNS FROM APP.T4").collect()
+    assert cols[0].FIELD == "k" and cols[0].KEY == "PRI"
+    engine.execute_sql('DROP TABLE "APP"."T4"')
+
+
+def test_script_roundtrip_multischema(engine, tmp_path):
+    engine.execute_sql('CREATE SCHEMA IF NOT EXISTS "RT"')
+    engine.execute_sql('DROP TABLE IF EXISTS "RT"."T5"')
+    engine.execute_sql(
+        'CREATE CACHED TABLE "RT"."T5"("id" INT AUTO_INCREMENT, '
+        '"v" VARCHAR(8))'
+    )
+    engine.execute_sql('INSERT INTO "RT"."T5" ("v") VALUES (\'a\')')
+    engine.execute_sql('COMMENT ON TABLE "RT"."T5" IS \'rt table\'')
+    lines = [
+        r.SCRIPT for r in engine.execute_sql("SCRIPT NODATA").collect()
+    ]
+    assert any(
+        ln.startswith('CREATE SCHEMA IF NOT EXISTS "RT"') for ln in lines
+    )
+    assert any('CREATE CACHED TABLE "RT"."T5"' in ln for ln in lines)
+    assert any(
+        'COMMENT ON TABLE "RT"."T5" IS \'rt table\'' in ln
+        for ln in lines
+    )
+    # scoped dump by qualified name carries the schema + sequence
+    scoped = [
+        r.SCRIPT
+        for r in engine.execute_sql(
+            "SCRIPT NODATA TABLE RT.T5"
+        ).collect()
+    ]
+    assert scoped[0].startswith('CREATE SCHEMA IF NOT EXISTS "RT"')
+    assert any("BELONGS_TO_TABLE" in ln for ln in scoped)
+    # full round-trip into the same engine after dropping everything
+    dump = tmp_path / "ms_dump.sql"
+    dump.write_text("\n".join(lines) + "\n")
+    engine.execute_sql('DROP SCHEMA "RT" CASCADE')
+    assert not engine.schemas.exists("rt")
+    engine.execute_sql(f"RUNSCRIPT FROM '{dump}'")
+    assert engine.schemas.exists("rt")
+    engine.execute_sql('INSERT INTO "RT"."T5" ("v") VALUES (\'b\')')
+    # identity dispenses from the dumped position (row 'a' used 1)
+    assert engine.execute_sql(
+        "SELECT id FROM RT.T5 WHERE v = 'b'"
+    ).collect()[0].id == 2
+    engine.execute_sql('DROP SCHEMA "RT" CASCADE')
+
+
+def test_multischema_fixture_restores(engine):
+    engine.current_schema = "public"
+    if engine.schemas.exists("INVENTORY"):
+        engine.execute_sql('DROP SCHEMA "INVENTORY" CASCADE')
+    engine.execute_sql('DROP TABLE IF EXISTS "TAGS"')
+    engine.execute_sql(f"RUNSCRIPT FROM '{FIXTURE}'")
+    assert engine.schemas.exists("INVENTORY")
+    assert engine.execute_sql(
+        "SELECT count(*) AS c FROM INVENTORY.ITEMS"
+    ).collect()[0].c == 2
+    assert engine.execute_sql(
+        "SELECT count(*) AS c FROM TAGS"
+    ).collect()[0].c == 1
+    # identity dispenses from the dumped position
+    engine.execute_sql(
+        "INSERT INTO \"INVENTORY\".\"ITEMS\" (\"SKU\") VALUES ('C-300')"
+    )
+    r = engine.execute_sql(
+        "SELECT ID, QTY FROM INVENTORY.ITEMS WHERE SKU = 'C-300'"
+    ).collect()[0]
+    assert (r.ID, r.QTY) == (3, 0)
+    # FK recorded with schema-aware table display
+    x = engine.execute_sql(
+        "SELECT PKTABLE_SCHEMA, PKTABLE_NAME, FKTABLE_SCHEMA, "
+        "FKTABLE_NAME FROM INFORMATION_SCHEMA.CROSS_REFERENCES "
+        "WHERE FK_NAME = 'MOVES_ITEM_FK'"
+    ).collect()
+    assert [tuple(r) for r in x] == [
+        ("INVENTORY", "ITEMS", "INVENTORY", "MOVES")
+    ]
+    # remarks restored
+    assert (
+        engine.colmeta.for_table("inventory.ITEMS")["remarks"]
+        == "stock levels"
+    )
+    engine.execute_sql('DROP SCHEMA "INVENTORY" CASCADE')
+    engine.execute_sql('DROP TABLE "TAGS"')
+
+
+def test_h2_object_kinds_reject_precisely(engine):
+    with pytest.raises(ValueError, match="CREATE ALIAS: not supported"):
+        engine.execute_sql(
+            'CREATE ALIAS MYF FOR "org.example.Funcs.myf"'
+        )
+    with pytest.raises(ValueError, match="CREATE TRIGGER: not supported"):
+        engine.execute_sql(
+            'CREATE TRIGGER TRG BEFORE INSERT ON T FOR EACH ROW '
+            'CALL "org.example.Trg"'
+        )
+    with pytest.raises(ValueError, match="CREATE DOMAIN: not supported"):
+        engine.execute_sql("CREATE DOMAIN EMAIL AS VARCHAR(255)")
+    with pytest.raises(
+        ValueError, match="CREATE CONSTANT: not supported"
+    ):
+        engine.execute_sql("CREATE CONSTANT ONE VALUE 1")
+    with pytest.raises(ValueError, match="DROP ALIAS: not supported"):
+        engine.execute_sql("DROP ALIAS MYF")
+
+
+def test_views_reject_non_public_schema(engine):
+    from quasar_destination_h2_spark.views import ViewError
+
+    engine.execute_sql('CREATE SCHEMA IF NOT EXISTS "APP"')
+    with pytest.raises(ViewError, match="PUBLIC only"):
+        engine.execute_sql(
+            'CREATE VIEW "APP"."V1" AS SELECT 1 AS one'
+        )
+    engine.execute_sql("SET SCHEMA APP")
+    with pytest.raises(ViewError, match="PUBLIC only"):
+        engine.execute_sql("CREATE VIEW V2 AS SELECT 1 AS one")
+    engine.execute_sql("SET SCHEMA PUBLIC")
+
+
+def test_rename_stays_in_schema(engine):
+    engine.execute_sql('CREATE SCHEMA IF NOT EXISTS "APP"')
+    engine.execute_sql('DROP TABLE IF EXISTS "APP"."R1"')
+    engine.execute_sql('DROP TABLE IF EXISTS "APP"."R2"')
+    engine.execute_sql('CREATE CACHED TABLE "APP"."R1"("a" INT)')
+    engine.execute_sql('ALTER TABLE "APP"."R1" RENAME TO "R2"')
+    cat = {str(t) for t in engine.sink.catalog}
+    assert "app.R2" in cat and "app.R1" not in cat
+    with pytest.raises(ValueError, match="between schemas"):
+        engine.execute_sql(
+            'ALTER TABLE "APP"."R2" RENAME TO "PUBLIC"."R3"'
+        )
+    engine.execute_sql('DROP TABLE "APP"."R2"')
+
+
+def test_split_logical_hostile_dotted_public_name(engine):
+    # a PUBLIC table whose name merely CONTAINS a dot is never
+    # misread as schema-qualified (split gates on the registry)
+    assert split_logical("no.such", frozenset()) == ("public", "no.such")
+    assert split_logical("app.T", frozenset({"app"})) == ("app", "T")
