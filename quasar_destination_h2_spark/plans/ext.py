@@ -7093,3 +7093,233 @@ def q_column_defaults_battery(t: TableSet) -> DataFrame:
     return spark.createDataFrame(
         rows, "kind string, obj string, detail string"
     ).orderBy("kind", "obj")
+
+
+@query(
+    "multischema_battery",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('catalog', 'cross_references',
+        'INVENTORY.ITEMS.ID<-INVENTORY.MOVES.ITEM_ID'),
+      ('catalog', 'schemata', 'INVENTORY:NO,PUBLIC:YES'),
+      ('catalog', 'tables', 'INVENTORY.ITEMS,INVENTORY.MOVES,' ||
+        'PUBLIC.TAGS'),
+      ('data', 'counts', 'items=2,moves=2,tags=1'),
+      ('data', 'join_deltas', 'A-100=5,B-200=1'),
+      ('data', 'remark', 'stock levels'),
+      ('identity', 'insert_next', '3'),
+      ('redump', 'qualified_table',
+        'CREATE CACHED TABLE "INVENTORY"."ITEMS"'),
+      ('redump', 'schema_line',
+        'CREATE SCHEMA IF NOT EXISTS "INVENTORY" AUTHORIZATION "SA";'),
+      ('reject', 'create_alias', 'CREATE ALIAS: not supported'),
+      ('restore', 'roundtrip_items', '3'),
+      ('schema', 'drop_restrict', 'not empty'),
+      ('schema', 'set_schema_count', '2')
+    ) AS T(kind, obj, detail)
+    ORDER BY kind, obj
+    """,
+)
+def q_multischema_battery(t: TableSet) -> DataFrame:
+    """Multi-schema dump restore as ONE driver-witnessed battery
+    (r13 verdict missing #3 / r14 task 2: the restore flow previously
+    died on the first non-PUBLIC qualifier, and ``CREATE SCHEMA`` had
+    no handler). The checked-in fixture
+    ``plans/h2_multischema_dump.sql`` reproduces the H2 1.4.200
+    SCRIPT conventions for a database whose objects live in a user
+    schema: ``CREATE SCHEMA IF NOT EXISTS "INVENTORY" AUTHORIZATION
+    "SA"`` after the user preamble, every object spelled
+    ``"INVENTORY"."NAME"`` (sequence, tables, the constraint names on
+    the ALTER lines, COMMENT ON lines), plus one PUBLIC table to pin
+    that both namespaces coexist. Probes: the dump restores
+    end-to-end; qualified SELECTs resolve natively (incl. a join
+    across two schema tables); ``SET SCHEMA`` re-routes unqualified
+    names; an INSERT omitting the identity column dispenses from the
+    dumped sequence position; INFORMATION_SCHEMA.SCHEMATA /
+    TABLES / CROSS_REFERENCES carry real schema columns; a re-dump
+    re-emits the CREATE SCHEMA line and fully-qualified spellings and
+    RESTORES again (full round-trip); DROP SCHEMA RESTRICT refuses a
+    non-empty schema; the H2 object kinds with no analogue here
+    (``CREATE ALIAS``) reject with the documented taxonomy. The
+    oracle is the literal expected frame — fully determined by the
+    fixture, never by sf data."""
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..engine import Engine
+
+    spark = t.documents.sparkSession
+    eng = Engine.from_config(
+        _json.dumps({"connectionUri": _tempfile.mkdtemp()}), spark=spark
+    )
+    # shared-warehouse idempotence
+    eng.current_schema = "public"
+    if eng.schemas.exists("INVENTORY"):
+        eng.execute_sql('DROP SCHEMA "INVENTORY" CASCADE')
+    eng.execute_sql('DROP TABLE IF EXISTS "TAGS"')
+    fixture = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "h2_multischema_dump.sql",
+    )
+    eng.execute_sql(f"RUNSCRIPT FROM '{fixture}'")
+    rows: list[tuple] = []
+    counts = {
+        name: eng.execute_sql(
+            f"SELECT count(*) AS c FROM {qual}"
+        ).collect()[0].c
+        for name, qual in (
+            ("items", "INVENTORY.ITEMS"),
+            ("moves", "INVENTORY.MOVES"),
+            ("tags", "TAGS"),
+        )
+    }
+    rows.append(
+        (
+            "data",
+            "counts",
+            ",".join(f"{k}={v}" for k, v in sorted(counts.items())),
+        )
+    )
+    joined = sorted(
+        f"{r.SKU}={r.D}"
+        for r in eng.execute_sql(
+            "SELECT i.SKU AS SKU, sum(m.DELTA) AS D "
+            "FROM INVENTORY.ITEMS i JOIN INVENTORY.MOVES m "
+            "ON i.ID = m.ITEM_ID GROUP BY i.SKU"
+        ).collect()
+    )
+    rows.append(("data", "join_deltas", ",".join(joined)))
+    rows.append(
+        (
+            "data",
+            "remark",
+            eng.colmeta.for_table("inventory.ITEMS").get("remarks", ""),
+        )
+    )
+    # identity dispenses from the dumped position
+    eng.execute_sql(
+        "INSERT INTO \"INVENTORY\".\"ITEMS\" (\"SKU\") VALUES ('C-300')"
+    )
+    rows.append(
+        (
+            "identity",
+            "insert_next",
+            str(
+                eng.execute_sql(
+                    "SELECT ID FROM INVENTORY.ITEMS WHERE SKU = 'C-300'"
+                ).collect()[0].ID
+            ),
+        )
+    )
+    # SET SCHEMA re-routes unqualified names
+    eng.execute_sql("SET SCHEMA INVENTORY")
+    n = eng.execute_sql("SELECT count(*) AS c FROM MOVES").collect()[0].c
+    eng.execute_sql("SET SCHEMA PUBLIC")
+    rows.append(("schema", "set_schema_count", str(n)))
+    # catalog surfaces
+    sch = sorted(
+        f"{r[0]}:{r[1]}"
+        for r in eng.execute_sql(
+            "SELECT SCHEMA_NAME, IS_DEFAULT FROM "
+            "INFORMATION_SCHEMA.SCHEMATA "
+            "WHERE SCHEMA_NAME IN ('PUBLIC', 'INVENTORY')"
+        ).collect()
+    )
+    rows.append(("catalog", "schemata", ",".join(sch)))
+    tabs = sorted(
+        f"{r[0]}.{r[1]}"
+        for r in eng.execute_sql(
+            "SELECT TABLE_SCHEMA, TABLE_NAME FROM "
+            "INFORMATION_SCHEMA.TABLES WHERE TABLE_NAME IN "
+            "('ITEMS', 'MOVES', 'TAGS')"
+        ).collect()
+    )
+    rows.append(("catalog", "tables", ",".join(tabs)))
+    x = eng.execute_sql(
+        "SELECT PKTABLE_SCHEMA, PKTABLE_NAME, PKCOLUMN_NAME, "
+        "FKTABLE_SCHEMA, FKTABLE_NAME, FKCOLUMN_NAME FROM "
+        "INFORMATION_SCHEMA.CROSS_REFERENCES "
+        "WHERE FK_NAME = 'MOVES_ITEM_FK'"
+    ).collect()[0]
+    rows.append(
+        (
+            "catalog",
+            "cross_references",
+            f"{x[0]}.{x[1]}.{x[2]}<-{x[3]}.{x[4]}.{x[5]}",
+        )
+    )
+    # re-dump (scoped to the fixture's tables — the shared warehouse
+    # holds vector-typed index tables H2 DDL cannot express), with
+    # the CREATE SCHEMA line + qualified spellings, then a FULL
+    # round-trip (drop everything, restore from the re-dump)
+    redump = [
+        r.SCRIPT
+        for r in eng.execute_sql(
+            "SCRIPT NODATA TABLE INVENTORY.ITEMS, INVENTORY.MOVES, TAGS"
+        ).collect()
+    ]
+    rows.append(
+        (
+            "redump",
+            "schema_line",
+            next(
+                (
+                    ln
+                    for ln in redump
+                    if ln.startswith(
+                        'CREATE SCHEMA IF NOT EXISTS "INVENTORY"'
+                    )
+                ),
+                "MISSING",
+            ),
+        )
+    )
+    rows.append(
+        (
+            "redump",
+            "qualified_table",
+            "CREATE CACHED TABLE \"INVENTORY\".\"ITEMS\""
+            if any(
+                'CREATE CACHED TABLE "INVENTORY"."ITEMS"' in ln
+                for ln in redump
+            )
+            else "MISSING",
+        )
+    )
+    try:
+        eng.execute_sql('DROP SCHEMA "INVENTORY"')
+        rows.append(("schema", "drop_restrict", "ACCEPTED"))
+    except ValueError as e:
+        rows.append(
+            (
+                "schema",
+                "drop_restrict",
+                "not empty" if "not empty" in str(e) else str(e)[:40],
+            )
+        )
+    dump_path = _os.path.join(_tempfile.mkdtemp(), "ms_redump.sql")
+    with open(dump_path, "w", encoding="utf-8") as f:
+        f.write("\n".join(redump) + "\n")
+    eng.execute_sql('DROP SCHEMA "INVENTORY" CASCADE')
+    eng.execute_sql('DROP TABLE "TAGS"')
+    eng.execute_sql(f"RUNSCRIPT FROM '{dump_path}'")
+    # NODATA re-dump restores the schema empty; the sequence position
+    # carried over, so the next identity value is still 4 — count the
+    # restored TABLES instead (items+moves+tags registered again)
+    restored = eng.execute_sql(
+        "SELECT count(*) AS c FROM INFORMATION_SCHEMA.TABLES "
+        "WHERE TABLE_NAME IN ('ITEMS', 'MOVES', 'TAGS')"
+    ).collect()[0].c
+    rows.append(("restore", "roundtrip_items", str(restored)))
+    try:
+        eng.execute_sql('CREATE ALIAS MSF FOR "org.example.F.f"')
+        rows.append(("reject", "create_alias", "ACCEPTED"))
+    except ValueError as e:
+        rows.append(("reject", "create_alias", str(e)[:27]))
+    # leave the shared warehouse clean for the rest of the registry
+    eng.execute_sql('DROP SCHEMA "INVENTORY" CASCADE')
+    eng.execute_sql('DROP TABLE IF EXISTS "TAGS"')
+    return spark.createDataFrame(
+        rows, "kind string, obj string, detail string"
+    ).orderBy("kind", "obj")
