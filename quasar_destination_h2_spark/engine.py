@@ -1950,6 +1950,31 @@ class Engine:
         rows.write.mode("append").format("parquet").saveAsTable(physical)
         self.spark.catalog.refreshTable(physical)
 
+    def _session_shadow_exists(self, name: str) -> bool:
+        """``spark.catalog.tableExists`` with a NEGATIVE-result memo
+        for the statement pre-bind path (r14 task 3): a name checked
+        once and absent skips the catalog RPC on every later
+        statement. Only absence is memoized — a present session
+        object is re-checked every time, so dropping it un-shadows
+        promptly — and the memo invalidates whenever the engine
+        catalog's key set changes (any DDL). The one documented
+        blind spot: a session temp view created OUTSIDE the engine's
+        statement surface, with a name colliding with an engine
+        table, AFTER that name was first resolved — the engine's own
+        binds are transient (bound then dropped per statement), so
+        its own traffic never goes stale."""
+        gen = (len(self.sink.catalog), hash(frozenset(map(str, self.sink.catalog))))
+        memo = getattr(self, "_noshadow_memo", None)
+        if memo is None or memo[0] != gen:
+            memo = (gen, set())
+            self._noshadow_memo = memo
+        if name in memo[1]:
+            return False
+        if self.spark.catalog.tableExists(name):
+            return True
+        memo[1].add(name)
+        return False
+
     def _ensure_registered(self, physical: str) -> None:
         """Cross-process DML support: a fresh process's session catalog
         has never heard of a table a previous engine materialized, so

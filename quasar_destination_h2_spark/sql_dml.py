@@ -397,61 +397,57 @@ def _resolve_sql(engine, statement: str, _view_stack: frozenset = frozenset()):
         # view-over-view chain binds depth-first and the cycle guard
         # still carries _view_stack
         sshadow = _shadow(statement)
-        stmt_cf = statement.casefold()
-        known_schemas = None
-        for k in engine.sink.catalog:
-            ks = str(k)
-            if "." in ks:
-                # schema-qualified entries (r14): bind the bare name
-                # as a temp view when the session's current schema
-                # owns it, and/or the database+view pair when the
-                # statement spells the qualified form
-                if known_schemas is None:
-                    known_schemas = engine.schemas.keys()
-                from .schemas import split_logical
-
-                skey, bare = split_logical(ks, known_schemas)
-                if skey == "public":
-                    continue  # a PUBLIC name that merely contains a dot
-                if engine.current_schema == skey and re.fullmatch(
-                    r"[A-Za-z_][A-Za-z0-9_]*", bare
-                ):
-                    if re.search(
-                        rf"\b{re.escape(bare)}\b", sshadow, re.I
-                    ) or f"`{bare.casefold()}`" in stmt_cf:
-                        try:
-                            if not engine.spark.catalog.tableExists(bare):
-                                engine.table(ks).createOrReplaceTempView(
-                                    bare
-                                )
-                                bound.append(bare)
-                        except Exception:
-                            pass
-                if _qualified_mention(skey, bare).search(statement):
-                    try:
-                        bound_q.append(_bind_qualified(engine, ks))
-                    except Exception:
-                        pass
+        # ONE token pass over the STATEMENT against a memoized
+        # catalog index (r13 verdict wrong #3 / r14 task 3: the old
+        # loop regex-scanned every catalog name against the text —
+        # O(catalog x statement) per statement, linear in warehouse
+        # table count). Bare identifier tokens come off the shadow
+        # (\b-delimited, exactly what the per-name \b-search
+        # matched); BACKTICK-quoted mentions come off the raw text
+        # (the shadow blanks quoted content — a view definition
+        # restored from an H2 dump spells every relation `quoted`,
+        # and missing it cost one failed analysis per view
+        # materialization).
+        bare_idx, dotted_idx, dotted_schemas = _prebind_index(engine)
+        tokens = {
+            m.group(0).casefold()
+            for m in _IDENT_TOKEN_RE.finditer(sshadow)
+        }
+        tokens.update(
+            m.group(1).casefold()
+            for m in _BACKTICK_TOKEN_RE.finditer(statement)
+        )
+        for tok in sorted(tokens):
+            ent = bare_idx.get(tok)
+            if ent is None:
                 continue
-            if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", ks):
-                continue
-            # bare mentions scan the shadow; BACKTICK-quoted mentions
-            # must scan the raw text (the shadow blanks quoted
-            # content — a view definition restored from an H2 dump
-            # spells every relation `quoted`, and missing it here
-            # cost one failed analysis per view materialization)
-            if not (
-                re.search(rf"\b{re.escape(str(k))}\b", sshadow, re.I)
-                or f"`{str(k).casefold()}`" in stmt_cf
-            ):
-                continue
+            bind_name, logical = ent
             try:
-                if engine.spark.catalog.tableExists(str(k)):
-                    continue
-                engine.table(str(k)).createOrReplaceTempView(str(k))
-                bound.append(str(k))
+                if engine._session_shadow_exists(bind_name):
+                    continue  # a resolvable name is NEVER shadowed
+                engine.table(logical).createOrReplaceTempView(bind_name)
+                bound.append(bind_name)
             except Exception:
                 continue  # backstop loop handles it loudly
+        if dotted_idx:
+            # schema-qualified mentions (r14): any sch.name spelling
+            # whose schema part is registered binds the database+view
+            # pair for native resolution — one finditer, not one
+            # regex per dotted catalog entry
+            seen_q: set = set()
+            for m in _QUALIFIED_TOKEN_RE.finditer(statement):
+                skey = _unquote_token(m.group(1)).casefold()
+                if skey not in dotted_schemas:
+                    continue
+                b = _unquote_token(m.group(2)).casefold()
+                logical = dotted_idx.get((skey, b))
+                if logical is None or logical in seen_q:
+                    continue
+                seen_q.add(logical)
+                try:
+                    bound_q.append(_bind_qualified(engine, logical))
+                except Exception:
+                    pass
         allv = engine.views.all()
         if allv:
             # relation-POSITION gate (review r13): a view name used
@@ -3837,20 +3833,76 @@ def _logical(engine, name: str) -> str:
     raise NotAResource(name)
 
 
-def _qualified_mention(skey: str, bare: str):
-    """Regex matching any SQL spelling of ``schema.name`` in raw
-    statement text — bare, double-quoted (H2) or backticked (Spark)
-    on either side, optional whitespace around the dot. Bare-name
-    matching only when the part is a plain identifier (a quoted-only
-    hostile name can only be mentioned quoted)."""
-    q = re.escape(skey)
-    b = re.escape(bare)
-    qual = rf'(?:\b{q}\b|"{q}"|`{q}`)'
-    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", bare):
-        namep = rf'(?:\b{b}\b|"{b}"|`{b}`)'
-    else:
-        namep = rf'(?:"{b}"|`{b}`)'
-    return re.compile(qual + r"\s*\.\s*" + namep, re.I)
+#: Pre-bind token scanners (r14 task 3): cost per statement is
+#: O(statement length), independent of catalog size.
+_IDENT_TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+_BACKTICK_TOKEN_RE = re.compile(r"`((?:[^`]|``)+)`")
+_QUALIFIED_TOKEN_RE = re.compile(
+    r'([A-Za-z_][A-Za-z0-9_]*|"(?:[^"]|"")+"|`(?:[^`]|``)+`)'
+    r"\s*\.\s*"
+    r'([A-Za-z_][A-Za-z0-9_]*|"(?:[^"]|"")+"|`(?:[^`]|``)+`)'
+)
+
+
+def _unquote_token(tok: str) -> str:
+    if tok.startswith('"'):
+        return tok[1:-1].replace('""', '"')
+    if tok.startswith("`"):
+        return tok[1:-1].replace("``", "`")
+    return tok
+
+
+def _prebind_index(engine):
+    """Memoized catalog index for the pre-bind scan, rebuilt only
+    when the catalog key set (or the session's current schema)
+    changes — the per-statement cost is one hash of the key set, not
+    one regex scan + tableExists RPC per catalog entry (r13 verdict
+    wrong #3). Returns ``(bare_idx, dotted_idx, dotted_schemas)``:
+
+    * ``bare_idx``: casefolded addressable spelling -> (bind name,
+      logical) — PUBLIC names bind under their own spelling;
+      current-schema entries bind under their bare part and WIN a
+      collision with a same-spelled PUBLIC name (H2 resolves
+      unqualified names in the current schema);
+    * ``dotted_idx``: (schema key, casefolded bare) -> dotted logical
+      for the qualified-mention scan;
+    * ``dotted_schemas``: the schema keys with at least one entry.
+    """
+    keys = engine.sink.catalog
+    gen = (
+        len(keys),
+        hash(frozenset(map(str, keys))),
+        engine.current_schema,
+    )
+    cached = getattr(engine, "_prebind_idx", None)
+    if cached is not None and cached[0] == gen:
+        return cached[1]
+    from .schemas import split_logical
+
+    known = engine.schemas.keys()
+    bare_idx: dict = {}
+    dotted_idx: dict = {}
+    addressable = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+    for k in keys:
+        ks = str(k)
+        if "." in ks:
+            skey, b = split_logical(ks, known)
+            if skey != "public":
+                dotted_idx[(skey, b.casefold())] = ks
+                if engine.current_schema == skey and addressable.fullmatch(
+                    b
+                ):
+                    bare_idx[b.casefold()] = (b, ks)
+                continue
+        if addressable.fullmatch(ks):
+            # current-schema entries win collisions (H2 resolves
+            # unqualified names in the current schema): direct
+            # assignment above beats this setdefault regardless of
+            # catalog iteration order
+            bare_idx.setdefault(ks.casefold(), (ks, ks))
+    idx = (bare_idx, dotted_idx, frozenset(s for s, _b in dotted_idx))
+    engine._prebind_idx = (gen, idx)
+    return idx
 
 
 def _bind_qualified(engine, logical: str) -> str:

@@ -387,3 +387,53 @@ def test_split_logical_hostile_dotted_public_name(engine):
     # misread as schema-qualified (split gates on the registry)
     assert split_logical("no.such", frozenset()) == ("public", "no.such")
     assert split_logical("app.T", frozenset({"app"})) == ("app", "T")
+
+
+def test_prebind_index_current_schema_wins_collision(engine):
+    """r14 task 3: the memoized pre-bind index resolves an
+    unqualified mention to the CURRENT schema's table when a
+    same-spelled PUBLIC table exists (H2 resolution order), and
+    invalidates when the catalog or the current schema changes."""
+    engine.execute_sql('CREATE SCHEMA IF NOT EXISTS "APP"')
+    engine.execute_sql('DROP TABLE IF EXISTS "MS_C"')
+    engine.execute_sql('DROP TABLE IF EXISTS "APP"."MS_C"')
+    engine.execute_sql('CREATE CACHED TABLE "MS_C"("a" INT)')
+    engine.execute_sql("INSERT INTO MS_C VALUES (1)")
+    engine.execute_sql('CREATE CACHED TABLE "APP"."MS_C"("a" INT)')
+    engine.execute_sql('INSERT INTO "APP"."MS_C" VALUES (1), (2), (3)')
+    assert engine.execute_sql(
+        "SELECT count(*) AS c FROM MS_C"
+    ).collect()[0].c == 1
+    engine.execute_sql("SET SCHEMA APP")
+    assert engine.execute_sql(
+        "SELECT count(*) AS c FROM MS_C"
+    ).collect()[0].c == 3
+    engine.execute_sql("SET SCHEMA PUBLIC")
+    assert engine.execute_sql(
+        "SELECT count(*) AS c FROM MS_C"
+    ).collect()[0].c == 1
+    engine.execute_sql('DROP TABLE "APP"."MS_C"')
+    engine.execute_sql('DROP TABLE "MS_C"')
+
+
+def test_session_shadow_memo_stays_correct_across_ddl(engine, spark):
+    """The negative-memo tableExists check must not leave the engine
+    blind after DDL: a table dropped and recreated still resolves,
+    and a PRE-EXISTING session view is still never shadowed."""
+    spark.range(7).toDF("a").createOrReplaceTempView("ms_shadowed")
+    try:
+        engine.execute_sql('DROP TABLE IF EXISTS "ms_shadowed"')
+        engine.execute_sql('CREATE CACHED TABLE "ms_shadowed"("a" INT)')
+        engine.execute_sql("INSERT INTO ms_shadowed VALUES (1)")
+        # the session view wins: it resolved, so it is never shadowed
+        assert engine.execute_sql(
+            "SELECT count(*) AS c FROM ms_shadowed"
+        ).collect()[0].c == 7
+    finally:
+        spark.catalog.dropTempView("ms_shadowed")
+    # with the session view gone, the engine table resolves (the
+    # memo only ever caches ABSENCE, so un-shadowing is prompt)
+    assert engine.execute_sql(
+        "SELECT count(*) AS c FROM ms_shadowed"
+    ).collect()[0].c == 1
+    engine.execute_sql('DROP TABLE "ms_shadowed"')
