@@ -188,6 +188,33 @@ def _calibration_cpu(spark) -> float:
     return round(best, 4)
 
 
+def _calibration_mc(spark) -> float:
+    """Multi-CORE calibration workload (r13 verdict task 1): a FIXED
+    parallel shuffle+scan job — 32-partition range scan, hash
+    projection, 1024-key hash aggregation — that exercises every
+    executor thread AND the shuffle machinery. Round 13 proved the
+    single-threaded codegen probe blind to a real 1.21x machine
+    drift (same tree, identical probe reading, +21% wall): whatever
+    moves multi-core throughput, memory bandwidth or shuffle latency
+    moves THIS number with it. Emitted as ``calibration_mc_sec`` and
+    bracketed per family so within-run drift is visible; cross-TREE
+    perf verdicts come from ``tools/bench_ab.py`` (alternating
+    worktree runs), never from dividing by any probe."""
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 48_000_000, 1, 32)
+            .selectExpr("pmod(xxhash64(id), 1024) AS k", "id")
+            .groupBy("k")
+            .agg({"id": "avg"})
+            .count()
+        )
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(best, 4)
+
+
 #: The explicit round-over-round comparison basis (r12 VERDICT task
 #: 4): COMMON plus the amortized index-SERVING numbers — the figures
 #: that matter at 100 TB get continuity even though their entries are
@@ -303,11 +330,13 @@ def main() -> int:
         fam_calib[fam] = {
             "fixed": [_calibration(spark)],
             "cpu": [_calibration_cpu(spark)],
+            "mc": [_calibration_mc(spark)],
         }
 
     def bracket_end(fam: str) -> None:
         fam_calib[fam]["fixed"].append(_calibration(spark))
         fam_calib[fam]["cpu"].append(_calibration_cpu(spark))
+        fam_calib[fam]["mc"].append(_calibration_mc(spark))
 
     def run_query(name: str) -> None:
         fn = qs.get(name)
@@ -517,6 +546,7 @@ def main() -> int:
 
     calib = min(v for f in fam_calib.values() for v in f["fixed"])
     calib_cpu = min(v for f in fam_calib.values() for v in f["cpu"])
+    calib_mc = min(v for f in fam_calib.values() for v in f["mc"])
     total = round(sum(times.values()), 4)
     pair_extra = {}
     if PAIR_MODE:
@@ -561,6 +591,7 @@ def main() -> int:
                 # drift; family brackets expose WITHIN-run drift
                 "calibration_sec": calib,
                 "calibration_cpu_sec": calib_cpu,
+                "calibration_mc_sec": calib_mc,
                 "family_calibration": fam_calib,
                 "queries": times,
                 # per-query noise bar: (max-min)/min of the timed

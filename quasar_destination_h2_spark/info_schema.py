@@ -257,6 +257,21 @@ def _h2_spell(predicate: str) -> str:
     return _spark_expr_to_h2(predicate)
 
 
+def _seq_default_spelling(engine, seq: str) -> str:
+    """H2 1.4.200's identity-default spelling for a recorded sequence
+    binding, schema-qualified when the sequence lives in one (r14)."""
+    from .schemas import split_logical
+
+    skey, bare = split_logical(seq, engine.schemas.keys())
+    if skey == "public":
+        return f'(NEXT VALUE FOR "{bare}")'
+    try:
+        disp = engine.schemas.display(skey)
+    except Exception:  # concurrent drop: key spelling still reads
+        disp = skey.upper()
+    return f'(NEXT VALUE FOR "{disp}"."{bare}")'
+
+
 def _catalog_name(engine: "Engine") -> str:
     """H2's TABLE_CATALOG is the database name; the closest Spark
     analogue is the warehouse directory's basename."""
@@ -341,7 +356,7 @@ def refresh_information_schema(engine: "Engine") -> None:
             )
             if fm.get("sequence"):
                 # H2 1.4.200's own spelling for an identity column
-                default = f'(NEXT VALUE FOR "{fm["sequence"]}")'
+                default = _seq_default_spelling(engine, fm["sequence"])
             elif fm.get("default"):
                 default = _h2_spell(fm["default"])
             else:
@@ -646,7 +661,7 @@ def execute_show(engine: "Engine", statement: str, shadow: str, m) -> DataFrame:
             and not fm.get("not_null")
         )
         if fm.get("sequence"):
-            default = f'(NEXT VALUE FOR "{fm["sequence"]}")'
+            default = _seq_default_spelling(engine, fm["sequence"])
         elif fm.get("default"):
             default = _h2_spell(fm["default"])
         else:

@@ -666,3 +666,130 @@ def test_random_view_statements_match_duckdb(ddl_engine):
                 del model[n]
     finally:
         con.close()
+
+
+def test_random_schema_statements_agree_with_duckdb(ddl_engine):
+    """r14 schema branch: a deterministic random stream of
+    CREATE SCHEMA / schema-qualified CREATE TABLE / INSERT / UPDATE /
+    DROP TABLE / DROP SCHEMA CASCADE statements applied to BOTH
+    engines (DuckDB has native schemas, so the differential is
+    direct), with every live table's full state compared after each
+    statement. SET SCHEMA is exercised engine-side by issuing a
+    fraction of the statements unqualified under a current schema,
+    while the DuckDB rendering stays explicitly qualified — a
+    resolution bug shows up as a state mismatch on that statement."""
+    engine = ddl_engine
+    rng = random.Random(1414)
+    con = duckdb.connect()
+    n_stmts = max(20, N_STATEMENTS // 2)
+
+    # world state: schema key -> display; tables: logical -> (skey, bare)
+    schemas: dict = {}
+    tables: dict = {}
+    fresh = {"s": 0, "t": 0, "k": 0}
+
+    def duck_name(skey: str, bare: str) -> str:
+        return (_q(schemas[skey]) + "." if skey != "public" else "") + _q(
+            bare
+        )
+
+    def eng_name(skey: str, bare: str) -> str:
+        return (
+            (_q(schemas[skey]) + "." if skey != "public" else "")
+            + _q(bare)
+        )
+
+    def compare_all():
+        for logical, (skey, bare) in tables.items():
+            df = engine.table(logical)
+            got = _norm(tuple(r) for r in df.collect())
+            want = _norm(
+                con.execute(
+                    f"SELECT * FROM {duck_name(skey, bare)}"
+                ).fetchall()
+            )
+            assert got == want, f"state diverged on {logical!r}"
+
+    engine.current_schema = "public"
+    for sc in list(engine.schemas.names()):
+        if sc != "PUBLIC":
+            engine.execute_sql(f'DROP SCHEMA "{sc}" CASCADE')
+    for i in range(n_stmts):
+        op = rng.choices(
+            ("create_schema", "create_table", "insert", "update",
+             "drop_table", "drop_schema"),
+            weights=(15, 25, 25, 15, 10, 10),
+        )[0]
+        if op == "create_schema":
+            fresh["s"] += 1
+            disp = f"FZS{fresh['s']}"
+            engine.execute_sql(f'CREATE SCHEMA "{disp}"')
+            con.execute(f'CREATE SCHEMA "{disp}"')
+            schemas[disp.casefold()] = disp
+        elif op == "create_table":
+            skey = rng.choice(["public", *schemas]) if schemas else "public"
+            if skey != "public" and skey not in schemas:
+                continue
+            fresh["t"] += 1
+            bare = f"FZT{fresh['t']}"
+            logical = bare if skey == "public" else f"{skey}.{bare}"
+            engine.execute_sql(
+                f"CREATE CACHED TABLE {eng_name(skey, bare)}"
+                '("k" INT, "v" VARCHAR(16))'
+            )
+            con.execute(
+                f"CREATE TABLE {duck_name(skey, bare)} (k INT, v VARCHAR)"
+            )
+            tables[logical] = (skey, bare)
+        elif op in ("insert", "update") and tables:
+            logical = rng.choice(sorted(tables))
+            skey, bare = tables[logical]
+            if op == "insert":
+                fresh["k"] += 1
+                vals = f"({fresh['k']}, 'x{fresh['k'] % 7}')"
+                duck_sql = (
+                    f"INSERT INTO {duck_name(skey, bare)} VALUES {vals}"
+                )
+                if skey != "public" and rng.random() < 0.5:
+                    # unqualified spelling under SET SCHEMA
+                    engine.execute_sql(f"SET SCHEMA {schemas[skey]}")
+                    engine.execute_sql(
+                        f"INSERT INTO {_q(bare)} VALUES {vals}"
+                    )
+                    engine.execute_sql("SET SCHEMA PUBLIC")
+                else:
+                    engine.execute_sql(
+                        f"INSERT INTO {eng_name(skey, bare)} VALUES {vals}"
+                    )
+                con.execute(duck_sql)
+            else:
+                pred = f"k % {rng.randint(2, 4)} = 0"
+                sql_e = (
+                    f"UPDATE {eng_name(skey, bare)} SET \"v\" = 'u' "
+                    f"WHERE {pred}"
+                )
+                engine.execute_sql(sql_e)
+                con.execute(
+                    f"UPDATE {duck_name(skey, bare)} SET v = 'u' "
+                    f"WHERE {pred}"
+                )
+        elif op == "drop_table" and tables:
+            logical = rng.choice(sorted(tables))
+            skey, bare = tables.pop(logical)
+            engine.execute_sql(f"DROP TABLE {eng_name(skey, bare)}")
+            con.execute(f"DROP TABLE {duck_name(skey, bare)}")
+        elif op == "drop_schema" and schemas:
+            skey = rng.choice(sorted(schemas))
+            disp = schemas.pop(skey)
+            engine.execute_sql(f'DROP SCHEMA "{disp}" CASCADE')
+            con.execute(f'DROP SCHEMA "{disp}" CASCADE')
+            tables = {
+                lg: tb for lg, tb in tables.items() if tb[0] != skey
+            }
+        compare_all()
+    # cleanup
+    engine.current_schema = "public"
+    for disp in list(schemas.values()):
+        engine.execute_sql(f'DROP SCHEMA "{disp}" CASCADE')
+    for logical in [lg for lg, tb in tables.items() if tb[0] == "public"]:
+        engine.drop_table_if_exists(logical)

@@ -897,8 +897,9 @@ def test_h2_dialect_top_with_trailing_comment():
 def test_h2_set_commands(engine):
     """H2 session SET surface: storage-engine knobs are accepted
     no-ops (JDBC pool init scripts run unmodified), SET SCHEMA
-    PUBLIC is the identity, semantic knobs and unknown names raise
-    loudly, and Spark-native SET spellings pass through."""
+    moves the session's current schema (r14 — an UNREGISTERED name
+    raises), semantic knobs and unknown names raise loudly, and
+    Spark-native SET spellings pass through."""
     import pytest
 
     for stmt in (
@@ -911,8 +912,9 @@ def test_h2_set_commands(engine):
         assert engine.execute_sql(stmt) is None
     assert engine.execute_sql("SET SCHEMA PUBLIC") is None
     assert engine.execute_sql('SET SCHEMA "public"') is None
-    with pytest.raises(ValueError, match="single"):
+    with pytest.raises(ValueError, match="unknown schema"):
         engine.execute_sql("SET SCHEMA other")
+    assert engine.current_schema == "public"
     with pytest.raises(ValueError, match="semantics"):
         engine.execute_sql("SET MODE MySQL")
     with pytest.raises(ValueError, match="unknown H2"):
