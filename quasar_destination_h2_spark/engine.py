@@ -1950,20 +1950,26 @@ class Engine:
         rows.write.mode("append").format("parquet").saveAsTable(physical)
         self.spark.catalog.refreshTable(physical)
 
-    def _session_shadow_exists(self, name: str) -> bool:
+    def _session_shadow_exists(self, name: str, gen=None) -> bool:
         """``spark.catalog.tableExists`` with a NEGATIVE-result memo
         for the statement pre-bind path (r14 task 3): a name checked
         once and absent skips the catalog RPC on every later
         statement. Only absence is memoized — a present session
         object is re-checked every time, so dropping it un-shadows
         promptly — and the memo invalidates whenever the engine
-        catalog's key set changes (any DDL). The one documented
-        blind spot: a session temp view created OUTSIDE the engine's
-        statement surface, with a name colliding with an engine
-        table, AFTER that name was first resolved — the engine's own
-        binds are transient (bound then dropped per statement), so
-        its own traffic never goes stale."""
-        gen = (len(self.sink.catalog), hash(frozenset(map(str, self.sink.catalog))))
+        catalog's key set changes (any DDL). ``gen`` lets the
+        per-statement caller share the generation the pre-bind index
+        just computed instead of re-hashing the key set per token
+        (review r14). Staleness is HARMLESS by construction: the
+        bind site uses createTempView, which raises (instead of
+        replacing) when a session object appeared after the memo
+        recorded absence — the caller then evicts the entry via
+        :meth:`_forget_shadow_absence` and the user's object wins."""
+        if gen is None:
+            gen = (
+                len(self.sink.catalog),
+                hash(frozenset(map(str, self.sink.catalog))),
+            )
         memo = getattr(self, "_noshadow_memo", None)
         if memo is None or memo[0] != gen:
             memo = (gen, set())
@@ -1974,6 +1980,13 @@ class Engine:
             return True
         memo[1].add(name)
         return False
+
+    def _forget_shadow_absence(self, name: str) -> None:
+        """Evict one stale negative-memo entry (a session object
+        appeared under this name since it was recorded absent)."""
+        memo = getattr(self, "_noshadow_memo", None)
+        if memo is not None:
+            memo[1].discard(name)
 
     def _ensure_registered(self, physical: str) -> None:
         """Cross-process DML support: a fresh process's session catalog

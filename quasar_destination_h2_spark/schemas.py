@@ -74,6 +74,14 @@ class Schemas:
     def __init__(self, warehouse_dir: str):
         self.dir = warehouse_dir
         self.path = os.path.join(warehouse_dir, "_schemas.json")
+        #: stat-guarded read cache: (mtime_ns, size, state) — the
+        #: resolver calls exists() per qualified identifier on the
+        #: statement hot path, so re-parsing the JSON per call would
+        #: add file I/O per identifier (review r14). The atomic
+        #: os.replace write always moves mtime/size, and cross-
+        #: process writers go through the same replace, so a stat
+        #: match means the bytes are current.
+        self._cache: "tuple | None" = None
 
     # -- locked state I/O ---------------------------------------------------
 
@@ -87,16 +95,36 @@ class Schemas:
     def _read(self) -> dict:
         """Absence = empty registry; corruption surfaces loudly (the
         sequences._read rationale: silently resetting the registry
-        would re-route every dotted logical name)."""
+        would re-route every dotted logical name). Stat-guarded:
+        unchanged (mtime_ns, size) returns the cached parse — one
+        stat per call instead of one open+parse. Returns a SHALLOW
+        copy so a mutating caller (create/drop, under the lock)
+        never edits the cache in place."""
         try:
-            with open(self.path) as f:
-                return json.load(f)
+            f = open(self.path)
         except FileNotFoundError:
+            self._cache = None
             return {}
-        except (json.JSONDecodeError, OSError) as e:
+        except OSError as e:
             raise SchemaError(
                 f"schema state unreadable at {self.path!r}: {e}"
             ) from e
+        with f:
+            # fstat of the OPEN fd: the signature describes exactly
+            # the bytes this handle reads even if a concurrent
+            # os.replace swaps the path underneath
+            st = os.fstat(f.fileno())
+            sig = (st.st_mtime_ns, st.st_size)
+            if self._cache is not None and self._cache[0] == sig:
+                return dict(self._cache[1])
+            try:
+                state = json.load(f)
+            except (json.JSONDecodeError, OSError) as e:
+                raise SchemaError(
+                    f"schema state unreadable at {self.path!r}: {e}"
+                ) from e
+        self._cache = (sig, state)
+        return dict(state)
 
     def _write(self, state: dict) -> None:
         fd, tmp = tempfile.mkstemp(dir=self.dir, prefix="_sch")

@@ -344,6 +344,12 @@ def _materialize_view(engine, entry: dict, stack: frozenset):
         raise ViewError(
             f"cyclic view definition through {entry['name']!r}"
         )
+    # a view's definition resolves in the VIEW's schema (PUBLIC —
+    # views are modeled there), never the session's current one: H2
+    # binds a view's references at its own schema, so SET SCHEMA
+    # must not change what an existing view reads (review r14)
+    saved_schema = engine.current_schema
+    engine.current_schema = "public"
     try:
         df = _resolve_sql(
             engine, entry["definition"], _view_stack=stack | {key}
@@ -359,6 +365,8 @@ def _materialize_view(engine, entry: dict, stack: frozenset):
             f"view {entry['name']!r}: definition does not resolve "
             f"({entry['definition'][:120]!r}): {e}"
         ) from None
+    finally:
+        engine.current_schema = saved_schema
 
 
 def _resolve_sql(engine, statement: str, _view_stack: frozenset = frozenset()):
@@ -409,6 +417,10 @@ def _resolve_sql(engine, statement: str, _view_stack: frozenset = frozenset()):
         # and missing it cost one failed analysis per view
         # materialization).
         bare_idx, dotted_idx, dotted_schemas = _prebind_index(engine)
+        # the index build just computed the catalog generation — the
+        # shadow memo shares it, so per-token checks pay no second
+        # O(catalog) hash (review r14)
+        gen = engine._prebind_idx[0][:2]
         tokens = {
             m.group(0).casefold()
             for m in _IDENT_TOKEN_RE.finditer(sshadow)
@@ -423,11 +435,17 @@ def _resolve_sql(engine, statement: str, _view_stack: frozenset = frozenset()):
                 continue
             bind_name, logical = ent
             try:
-                if engine._session_shadow_exists(bind_name):
+                if engine._session_shadow_exists(bind_name, gen=gen):
                     continue  # a resolvable name is NEVER shadowed
-                engine.table(logical).createOrReplaceTempView(bind_name)
+                # createTempView, NOT createOrReplace: if a user temp
+                # view appeared after the memo recorded absence, this
+                # RAISES instead of replacing (and later dropping)
+                # the user's object — the stale memo entry is evicted
+                # and the user's view wins (review r14)
+                engine.table(logical).createTempView(bind_name)
                 bound.append(bind_name)
             except Exception:
+                engine._forget_shadow_absence(bind_name)
                 continue  # backstop loop handles it loudly
         if dotted_idx:
             # schema-qualified mentions (r14): any sch.name spelling
@@ -498,9 +516,11 @@ def _resolve_sql(engine, statement: str, _view_stack: frozenset = frozenset()):
                     bound.append(name)
                     continue
                 try:
-                    if "." in logical:
-                        # schema-qualified: bind natively (a dotted
-                        # name is not a legal temp-view name)
+                    if "." in logical or "." in name:
+                        # schema-qualified logical, or a QUALIFIED
+                        # spelling of a PUBLIC table (PUBLIC.t):
+                        # bind natively — a dotted reference cannot
+                        # be satisfied by a temp view
                         bound_q.append(_bind_qualified(engine, logical))
                     else:
                         engine.table(logical).createOrReplaceTempView(
@@ -731,6 +751,16 @@ def _apply_column_fills(
     probe_fills = bool(fills) and not any(
         m == "all" for m, _s in fills.values()
     )
+    if seq_provided and ord_col is None:
+        # explicit identity values from a table-driven source: the
+        # advance extremum must be computed on the SAME evaluation
+        # the write lands, or a nondeterministic source could write
+        # a value beyond the advanced point and a later auto-id
+        # would collide (review r14). Checkpoint ONCE here; the
+        # probe, any fill machinery and the write all read it.
+        # Bounded by the statement's own row count; the dump-restore
+        # hot path (explicit VALUES) never takes this branch.
+        src = src.localCheckpoint(eager=True)
     if probe_fills or seq_provided:
         # probe BEFORE the checkpoint machinery: when every identity
         # column is provided and carries no NULLs (one aggregation),
@@ -2840,14 +2870,15 @@ def _drop_schema(engine, statement: str, shadow: str, msch):
             f"({len(tables)} table(s), {len(seqs)} sequence(s)) — "
             "use DROP SCHEMA ... CASCADE (H2 RESTRICT default)"
         )
-    for t in tables:
-        engine.drop_table_if_exists(t)
+    # ALL validation BEFORE any destruction (review r14): an
+    # outside-schema column drawing from an in-schema sequence must
+    # refuse while the schema is still intact, not after its tables
+    # are gone
+    all_meta = engine.colmeta.all()
     for s in seqs:
-        if not engine.sequences.exists(s):
-            continue  # a table drop reclaimed its backing sequence
         owners = [
             f"{tkey}.{e['column']}"
-            for tkey, tentry in engine.colmeta.all().items()
+            for tkey, tentry in all_meta.items()
             for e in tentry.get("columns", {}).values()
             if (e.get("sequence") or "").casefold() == s
             and not tkey.startswith(prefix)
@@ -2859,7 +2890,19 @@ def _drop_schema(engine, statement: str, shadow: str, msch):
                 f"sequence {s!r} — drop or re-default them first "
                 "(the DROP SEQUENCE rule)"
             )
-        engine.sequences.drop(s, if_exists=True)
+    for t in tables:
+        # the DROP TABLE ... CASCADE discipline per table (review
+        # r14): dependent views drop instead of silently breaking,
+        # and inbound FK records from outside the schema are
+        # reclaimed instead of dangling in the registry
+        _drop_dependent_views(engine, t)
+        for tkey, e in engine.constraints.referencing(t):
+            engine.constraints.drop(tkey, e["name"], if_exists=True)
+        engine.drop_table_if_exists(t)
+    for s in seqs:
+        if engine.sequences.exists(s):
+            # a user sequence no table drop reclaimed
+            engine.sequences.drop(s, if_exists=True)
     engine.schemas.drop(name)
     if engine.current_schema == key:
         engine.current_schema = "public"
@@ -3813,18 +3856,26 @@ def _logical(engine, name: str) -> str:
     the session's current schema — r14), then physical (what a wire
     client sees in SHOW TABLES)."""
     catalog = engine.sink.catalog
-    if name in catalog:
-        return name
+    cur = engine.current_schema
     if "." in name:
+        if name in catalog:
+            return name
         sch, rest = name.split(".", 1)
         skey = sch.casefold()
         cand = f"{skey}.{rest}"
         if cand != name and cand in catalog and engine.schemas.exists(sch):
             return cand
-    elif engine.current_schema != "public":
-        cand = f"{engine.current_schema}.{name}"
+        if skey == "public" and rest in catalog:
+            return rest
+    elif cur != "public":
+        # H2: an unqualified name resolves ONLY in the current
+        # schema — never falls back to a same-spelled PUBLIC table
+        # (review r14: reads and writes must agree)
+        cand = f"{cur}.{name}"
         if cand in catalog:
             return cand
+    elif name in catalog:
+        return name
     for logical, physical in catalog.items():
         if name == physical or name.lower() == physical:
             return logical
@@ -3894,11 +3945,13 @@ def _prebind_index(engine):
                 ):
                     bare_idx[b.casefold()] = (b, ks)
                 continue
-        if addressable.fullmatch(ks):
-            # current-schema entries win collisions (H2 resolves
-            # unqualified names in the current schema): direct
-            # assignment above beats this setdefault regardless of
-            # catalog iteration order
+        if addressable.fullmatch(ks) and engine.current_schema == "public":
+            # unqualified names resolve ONLY in the current schema
+            # (H2 1.4.200 — no search path): PUBLIC bare names bind
+            # only when PUBLIC is current; under SET SCHEMA <other>
+            # they must be spelled PUBLIC.name (review r14 — the
+            # read path previously fell back to PUBLIC while the
+            # write path errored)
             bare_idx.setdefault(ks.casefold(), (ks, ks))
     idx = (bare_idx, dotted_idx, frozenset(s for s, _b in dotted_idx))
     engine._prebind_idx = (gen, idx)
@@ -3921,6 +3974,12 @@ def _bind_qualified(engine, logical: str) -> str:
     engine._ensure_registered(str(physical))
     engine.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{skey}`")
     qid = f"`{skey}`.`{bare.replace('`', '``')}`"
+    # a resolvable qualified name is NEVER shadowed (the bare
+    # pre-bind rule, review r14): a user's own session object under
+    # the same database.name wins — and must not be REPLACEd and
+    # then dropped by the finally block
+    if engine.spark.catalog.tableExists(bare, skey):
+        raise ValueError(f"{qid} already resolves — never shadowed")
     engine.spark.sql(
         f"CREATE OR REPLACE VIEW {qid} AS "
         f"SELECT * FROM default.{hygienic_ident(str(physical))}"

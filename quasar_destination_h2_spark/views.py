@@ -233,14 +233,25 @@ def relation_names(definition: str) -> set:
         if p2 < len(shadow) and shadow[p2] == "(":
             return _skip_group(p2)  # table function: not a relation
         if p2 < len(shadow) and shadow[p2] == ".":
-            # dotted qualified name: consume the remaining parts but
-            # record nothing (qualified names never map to engine
-            # logicals — the _missing_relation rule)
+            # TWO-part qualified name: since r14 schema-qualified
+            # names DO map to engine logicals ("skey.name"), so the
+            # dotted casefolded form is recorded — dependency
+            # tracking must see a view over a schema table, or DROP
+            # TABLE "APP"."T" silently orphans it (review r14). A
+            # PUBLIC qualifier also records the bare logical. Deeper
+            # qualification still records nothing (never an engine
+            # logical — the _missing_relation rule).
+            parts = [name]
             while p2 < len(shadow) and shadow[p2] == ".":
                 try:
-                    _, p2 = _parse_ident(definition, shadow, p2 + 1)
+                    nxt, p2 = _parse_ident(definition, shadow, p2 + 1)
                 except ValueError:
                     return p2 + 1
+                parts.append(nxt)
+            if len(parts) == 2:
+                names.add(f"{parts[0]}.{parts[1]}".casefold())
+                if parts[0].casefold() == "public":
+                    names.add(parts[1].casefold())
             return p2
         names.add(name.casefold())
         return p2

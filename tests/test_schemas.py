@@ -437,3 +437,146 @@ def test_session_shadow_memo_stays_correct_across_ddl(engine, spark):
         "SELECT count(*) AS c FROM ms_shadowed"
     ).collect()[0].c == 1
     engine.execute_sql('DROP TABLE "ms_shadowed"')
+
+
+# --- review-r14 regression pins --------------------------------------------
+
+
+def test_view_over_schema_table_blocks_and_cascades_drop(engine):
+    """review r14: dependency tracking sees views over
+    schema-qualified tables — DROP TABLE RESTRICTs, CASCADE drops."""
+    engine.execute_sql('CREATE SCHEMA IF NOT EXISTS "APP"')
+    engine.execute_sql('DROP VIEW IF EXISTS "MSV1"')
+    engine.execute_sql('DROP TABLE IF EXISTS "APP"."VT1"')
+    engine.execute_sql('CREATE CACHED TABLE "APP"."VT1"("a" INT)')
+    engine.execute_sql('INSERT INTO "APP"."VT1" VALUES (1)')
+    engine.execute_sql("CREATE VIEW MSV1 AS SELECT a FROM APP.VT1")
+    assert engine.execute_sql("SELECT a FROM MSV1").collect()[0].a == 1
+    with pytest.raises(ValueError, match="depend"):
+        engine.execute_sql('DROP TABLE "APP"."VT1"')
+    engine.execute_sql('DROP TABLE "APP"."VT1" CASCADE')
+    assert engine.views.get("MSV1") is None
+
+
+def test_drop_schema_cascade_reclaims_views_and_fk_records(engine):
+    """review r14: DROP SCHEMA CASCADE applies the DROP TABLE CASCADE
+    discipline per table — outside views drop, inbound FK records
+    from outside the schema are reclaimed, nothing dangles."""
+    engine.execute_sql('CREATE SCHEMA IF NOT EXISTS "DC"')
+    engine.execute_sql('DROP VIEW IF EXISTS "MSV2"')
+    engine.execute_sql('DROP TABLE IF EXISTS "MS_FKOUT"')
+    engine.execute_sql(
+        'CREATE CACHED TABLE "DC"."T"("id" INT PRIMARY KEY)'
+    )
+    engine.execute_sql("CREATE VIEW MSV2 AS SELECT id FROM DC.T")
+    engine.execute_sql(
+        'CREATE CACHED TABLE "MS_FKOUT"("r" INT, CONSTRAINT "MS_FK1" '
+        'FOREIGN KEY("r") REFERENCES "DC"."T"("id"))'
+    )
+    engine.execute_sql('DROP SCHEMA "DC" CASCADE')
+    assert engine.views.get("MSV2") is None
+    assert not any(
+        e["name"] == "MS_FK1"
+        for e in engine.constraints.for_table("MS_FKOUT")
+    )
+    engine.execute_sql('DROP TABLE "MS_FKOUT"')
+
+
+def test_drop_schema_cascade_external_owner_check_is_pre_drop(engine):
+    """review r14: the external-sequence-owner refusal fires BEFORE
+    anything drops — the schema survives intact."""
+    engine.execute_sql('CREATE SCHEMA IF NOT EXISTS "DX2"')
+    engine.execute_sql('CREATE CACHED TABLE "DX2"."KEEP"("a" INT)')
+    engine.execute_sql('CREATE SEQUENCE "DX2"."SH"')
+    engine.execute_sql('DROP TABLE IF EXISTS "MS_OWN"')
+    engine.execute_sql(
+        'CREATE CACHED TABLE "MS_OWN"("n" INT DEFAULT '
+        "(NEXT VALUE FOR \"DX2\".\"SH\"))"
+    )
+    with pytest.raises(SchemaError, match="outside the schema"):
+        engine.execute_sql('DROP SCHEMA "DX2" CASCADE')
+    # nothing was destroyed
+    assert "dx2.KEEP" in {str(t) for t in engine.sink.catalog}
+    assert engine.sequences.exists("dx2.SH")
+    engine.execute_sql('DROP TABLE "MS_OWN"')
+    engine.execute_sql('DROP SCHEMA "DX2" CASCADE')
+
+
+def test_set_schema_is_strict_no_public_fallback(engine):
+    """review r14: under SET SCHEMA, an unqualified PUBLIC table
+    neither reads nor writes (H2 has no search path) — both paths
+    agree; PUBLIC-qualified spellings still reach it, and registered
+    views stay session-global (documented deviation: views are
+    modeled in PUBLIC only and a qualified view reference cannot
+    bind, so making them schema-strict would strand them)."""
+    engine.execute_sql('CREATE SCHEMA IF NOT EXISTS "APP"')
+    engine.execute_sql('DROP VIEW IF EXISTS "MSV3"')
+    engine.execute_sql('DROP TABLE IF EXISTS "MS_STRICT"')
+    engine.execute_sql('CREATE CACHED TABLE "MS_STRICT"("a" INT)')
+    engine.execute_sql("INSERT INTO MS_STRICT VALUES (1)")
+    engine.execute_sql(
+        "CREATE VIEW MSV3 AS SELECT a FROM MS_STRICT"
+    )
+    engine.execute_sql("SET SCHEMA APP")
+    with pytest.raises(Exception):
+        engine.execute_sql("SELECT a FROM MS_STRICT").collect()
+    assert (
+        engine.execute_sql(
+            "SELECT a FROM PUBLIC.MS_STRICT"
+        ).collect()[0].a
+        == 1
+    )
+    # views resolve regardless of current schema (deviation above);
+    # their definitions resolve in PUBLIC, the view's own schema
+    assert engine.execute_sql("SELECT a FROM MSV3").collect()[0].a == 1
+    engine.execute_sql("SET SCHEMA PUBLIC")
+    engine.execute_sql("DROP VIEW MSV3")
+    engine.execute_sql('DROP TABLE "MS_STRICT"')
+
+
+def test_stale_shadow_memo_never_destroys_user_view(engine, spark):
+    """review r14: a user temp view created AFTER the memo recorded
+    absence is neither replaced nor dropped — createTempView raises,
+    the stale entry evicts, the user's view wins and SURVIVES."""
+    engine.execute_sql('DROP TABLE IF EXISTS "MS_MEMO"')
+    engine.execute_sql('CREATE CACHED TABLE "MS_MEMO"("a" INT)')
+    engine.execute_sql("INSERT INTO MS_MEMO VALUES (1)")
+    # first resolution memoizes absence of a session object
+    assert engine.execute_sql(
+        "SELECT count(*) AS c FROM MS_MEMO"
+    ).collect()[0].c == 1
+    spark.range(5).toDF("a").createOrReplaceTempView("MS_MEMO")
+    try:
+        # the user's view wins...
+        assert engine.execute_sql(
+            "SELECT count(*) AS c FROM MS_MEMO"
+        ).collect()[0].c == 5
+        # ...and SURVIVES the statement (nothing dropped it)
+        assert spark.catalog.tableExists("MS_MEMO")
+        assert spark.table("MS_MEMO").count() == 5
+    finally:
+        spark.catalog.dropTempView("MS_MEMO")
+    engine.execute_sql('DROP TABLE "MS_MEMO"')
+
+
+def test_qualified_binding_never_shadows_user_database_view(
+    engine, spark
+):
+    """review r14: a user's own session object under schema.name wins
+    over the engine's qualified binding and is never REPLACEd."""
+    engine.execute_sql('CREATE SCHEMA IF NOT EXISTS "QB"')
+    engine.execute_sql('DROP TABLE IF EXISTS "QB"."X"')
+    engine.execute_sql('CREATE CACHED TABLE "QB"."X"("a" INT)')
+    engine.execute_sql('INSERT INTO "QB"."X" VALUES (1)')
+    spark.sql("CREATE DATABASE IF NOT EXISTS qb")
+    spark.sql("CREATE OR REPLACE VIEW qb.x AS SELECT 42 AS a")
+    try:
+        # the user's view resolves; the engine does not shadow it
+        assert engine.execute_sql(
+            "SELECT a FROM QB.X"
+        ).collect()[0].a == 42
+        # and it survives the statement
+        assert spark.sql("SELECT a FROM qb.x").collect()[0].a == 42
+    finally:
+        spark.sql("DROP VIEW IF EXISTS qb.x")
+    engine.execute_sql('DROP SCHEMA "QB" CASCADE')

@@ -391,8 +391,11 @@ def test_relation_names_unit(base):
     """Unit pins for views.relation_names (review r13): JOIN-family
     keywords CONTINUE a FROM-list scan (the comma-continued relation
     after an explicit join is a real dependency), subqueries /
-    table functions / dotted names record nothing, CTE aliases do
-    record (use sites intersect with known names)."""
+    table functions record nothing, CTE aliases do record (use sites
+    intersect with known names). r14: TWO-part qualified names record
+    their dotted casefolded form (schema-qualified names map to
+    engine logicals now), PUBLIC qualifiers also record the bare
+    logical, deeper qualification records nothing."""
     from quasar_destination_h2_spark.views import relation_names
 
     cases = [
@@ -405,7 +408,10 @@ def test_relation_names_unit(base):
         ),
         ("SELECT * FROM (SELECT * FROM inner_t) s", {"inner_t"}),
         ("SELECT * FROM range(10)", set()),
-        ("SELECT * FROM db.t", set()),
+        ("SELECT * FROM db.t", {"db.t"}),
+        ("SELECT * FROM PUBLIC.t", {"public.t", "t"}),
+        ("SELECT * FROM `APP`.`T`", {"app.t"}),
+        ("SELECT * FROM cat.db.t", set()),
         ("SELECT a, mytable FROM x", {"x"}),
         ("SELECT * FROM t ORDER BY a, b", {"t"}),
     ]
