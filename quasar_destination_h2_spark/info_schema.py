@@ -401,7 +401,7 @@ def refresh_information_schema(engine: "Engine") -> None:
                 "NONE",
                 "NO",
                 "VALID" if not e.get("force") else "FORCE",
-                "",
+                e.get("remarks", ""),
             )
         )
         for ref in sorted(relation_names(e["definition"])):
@@ -424,7 +424,7 @@ def refresh_information_schema(engine: "Engine") -> None:
                 s["next"] - s["inc"],
                 s["inc"],
                 False,
-                "",
+                s.get("remarks") or "",
                 s["cache"] if s["cache"] is not None else 0,
                 s["min"],
                 s["max"],
@@ -582,6 +582,27 @@ def execute_show(engine: "Engine", statement: str, shadow: str, m) -> DataFrame:
             [_sp(t) for t in engine.sink.catalog]
             + [(v, "PUBLIC") for v in engine.views.names()]
         )
+        # H2 grammar: SHOW TABLES [FROM schema] filters one schema
+        mfrom = re.compile(r"\s*SHOW\s+TABLES\s+FROM\s+", re.I).match(
+            shadow
+        )
+        if mfrom:
+            from .sql_dml import _parse_ident
+
+            sch, pos = _parse_ident(statement, shadow, mfrom.end())
+            if statement[pos:].strip():
+                raise ValueError(
+                    "SHOW TABLES FROM: unexpected trailing text "
+                    f"{statement[pos:].strip()!r}"
+                )
+            if not engine.schemas.exists(sch):
+                raise ValueError(
+                    f"SHOW TABLES FROM: unknown schema {sch!r} — "
+                    "see INFORMATION_SCHEMA.SCHEMATA"
+                )
+            rows = [
+                r for r in rows if r[1].casefold() == sch.casefold()
+            ]
         return spark.createDataFrame(
             rows, "TABLE_NAME string, TABLE_SCHEMA string"
         )

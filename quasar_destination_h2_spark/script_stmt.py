@@ -151,6 +151,7 @@ def script_lines(
         return f"{q(disp)}.{q(bare)}"
 
     lines: list[str] = []
+    comment_lines: list[str] = []  # COMMENT ON lines emit LAST
     all_meta = engine.colmeta.all()
 
     def _seq_lines(name: str) -> list[str]:
@@ -180,6 +181,11 @@ def script_lines(
         if start != s["next"]:
             out.append(
                 f'ALTER SEQUENCE {qn(name)} RESTART WITH {s["next"]};'
+            )
+        if s.get("remarks") is not None:
+            comment_lines.append(
+                f"COMMENT ON SEQUENCE {qn(name)} IS "
+                f"'{s['remarks'].replace(chr(39), chr(39) * 2)}';"
             )
         return out
 
@@ -240,7 +246,6 @@ def script_lines(
     # concurrent writer could slip between the two reads of one table
     all_cons = engine.constraints.all()
     fk_lines: list[str] = []
-    comment_lines: list[str] = []
 
     def _esc(s: str) -> str:
         return s.replace("'", "''")
@@ -413,6 +418,11 @@ def script_lines(
             f"CREATE FORCE VIEW {q(e['name'])}{cols} AS "
             f"{_spark_expr_to_h2(e['definition'])};"
         )
+        if e.get("remarks") is not None:
+            comment_lines.append(
+                f"COMMENT ON VIEW {q(e['name'])} IS "
+                f"'{_esc(e['remarks'])}';"
+            )
     # COMMENT ON lines LAST (every commented object already exists
     # on restore, whatever the dump's table/view interleave)
     lines.extend(comment_lines)

@@ -188,6 +188,7 @@ class Sequences:
         s.setdefault("cycle", False)
         s.setdefault("cache", None)
         s.setdefault("belongs_to_table", False)
+        s.setdefault("remarks", None)
         return s
 
     def alter(
@@ -268,6 +269,22 @@ class Sequences:
         if vals:
             self._currval[key] = vals[-1]
         return vals
+
+    def set_remarks(self, name: str, remarks: "str | None") -> None:
+        """COMMENT ON SEQUENCE (r14) — ``None`` clears, ``''`` is
+        recordable (the colmeta convention); surfaces through
+        INFORMATION_SCHEMA.SEQUENCES.REMARKS and SCRIPT COMMENT
+        lines."""
+        key = name.casefold()
+        with self._locked():
+            state = self._read()
+            if key not in state:
+                raise SequenceError(f"sequence not found: {name!r}")
+            if remarks is None:
+                state[key].pop("remarks", None)
+            else:
+                state[key]["remarks"] = remarks
+            self._write(state)
 
     def advance_past(self, name: str, value: int) -> None:
         """H2 1.4.200 ``Column.updateSequenceIfRequired``: an

@@ -1247,10 +1247,12 @@ def _execute_comment_on(engine, statement: str, shadow: str, m):
         shadow = _shadow(statement)
         m = _COMMENT_ON_RE.match(shadow)
     kind = m.group(1).upper()
-    if kind not in ("TABLE", "COLUMN"):
+    if kind not in ("TABLE", "COLUMN", "VIEW", "SEQUENCE"):
         raise ValueError(
-            f"COMMENT ON {kind}: only TABLE and COLUMN remarks are "
-            "supported"
+            f"COMMENT ON {kind}: only TABLE, COLUMN, VIEW and "
+            "SEQUENCE remarks are supported (CONSTANT/ALIAS/TRIGGER/"
+            "DOMAIN objects themselves are not — see their CREATE "
+            "rejections)"
         )
     name, pos = _parse_ident(statement, shadow, m.end())
     parts = [name]
@@ -1260,7 +1262,7 @@ def _execute_comment_on(engine, statement: str, shadow: str, m):
     # schema qualifier (r14): PUBLIC strips, a registered schema
     # folds into the dotted logical prefix, and an unqualified name
     # resolves in the session's current schema
-    want = 1 if kind == "TABLE" else 2
+    want = 2 if kind == "COLUMN" else 1
     if len(parts) == want + 1:
         sch = parts[0]
         if sch.casefold() == "public":
@@ -1277,7 +1279,7 @@ def _execute_comment_on(engine, statement: str, shadow: str, m):
     if len(parts) != want:
         raise ValueError(
             f"COMMENT ON {kind}: expected "
-            + ("table" if kind == "TABLE" else "table.column")
+            + ("table.column" if kind == "COLUMN" else "object")
             + f" name, got {'.'.join(parts)!r}"
         )
     mis = re.compile(r"\s*IS\s+", re.I).match(shadow, pos)
@@ -1293,10 +1295,30 @@ def _execute_comment_on(engine, statement: str, shadow: str, m):
             raise ValueError(
                 f"COMMENT ON: unexpected trailing text {tail[end:]!r}"
             )
-    logical = _logical(engine, parts[0])
+    if kind == "VIEW":
+        engine.views.set_remarks(parts[0], value)
+        engine._republish_info_schema()
+        return None
+    if kind == "SEQUENCE":
+        engine.sequences.set_remarks(parts[0], value)
+        engine._republish_info_schema()
+        return None
     if kind == "TABLE":
+        from .errors import NotAResource
+
+        try:
+            logical = _logical(engine, parts[0])
+        except NotAResource:
+            # H2 keeps views in the table namespace, so a dump may
+            # spell a view's remark COMMENT ON TABLE — route it
+            if engine.views.get(parts[0]) is not None:
+                engine.views.set_remarks(parts[0], value)
+                engine._republish_info_schema()
+                return None
+            raise
         engine.colmeta.set_table_remarks(logical, value)
     else:
+        logical = _logical(engine, parts[0])
         col = resolve_columns(
             [parts[1]],
             engine.table(logical).columns,
@@ -1335,6 +1357,10 @@ _SET_NOOP = frozenset({
 _SET_SEMANTIC = frozenset({
     "MODE", "IGNORECASE", "COLLATION", "ALLOW_LITERALS",
     "DEFAULT_TABLE_TYPE", "COMPRESS_LOB", "BINARY_COLLATION",
+    # r14: name resolution is strict current-schema (H2's own
+    # default); accepting a search path silently would change which
+    # objects unqualified names bind to
+    "SCHEMA_SEARCH_PATH",
 })
 
 

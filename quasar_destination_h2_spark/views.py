@@ -131,6 +131,21 @@ class Views:
             self._write(state)
         return True
 
+    def set_remarks(self, name: str, remarks: "str | None") -> None:
+        """COMMENT ON VIEW (r14) — ``None`` clears, ``''`` is
+        recordable (the colmeta convention); surfaces through
+        INFORMATION_SCHEMA.VIEWS.REMARKS and SCRIPT COMMENT lines."""
+        key = name.casefold()
+        with self._locked():
+            state = self._read()
+            if key not in state:
+                raise ViewError(f"view not found: {name!r}")
+            if remarks is None:
+                state[key].pop("remarks", None)
+            else:
+                state[key]["remarks"] = remarks
+            self._write(state)
+
     def drop_all(self) -> None:
         """Forget every view (DROP ALL OBJECTS)."""
         with self._locked():

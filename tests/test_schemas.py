@@ -580,3 +580,75 @@ def test_qualified_binding_never_shadows_user_database_view(
     finally:
         spark.sql("DROP VIEW IF EXISTS qb.x")
     engine.execute_sql('DROP SCHEMA "QB" CASCADE')
+
+
+def test_comment_on_view_and_sequence_roundtrip(engine):
+    """r14: COMMENT ON VIEW / SEQUENCE record, surface through
+    INFORMATION_SCHEMA REMARKS, dump as COMMENT lines, and restore;
+    a view remark spelled COMMENT ON TABLE (H2's table namespace)
+    routes to the view."""
+    engine.execute_sql('DROP VIEW IF EXISTS "MSCV"')
+    engine.execute_sql('DROP TABLE IF EXISTS "MSCT"')
+    engine.execute_sql('DROP SEQUENCE IF EXISTS "MSCS"')
+    engine.execute_sql('CREATE CACHED TABLE "MSCT"("a" INT)')
+    engine.execute_sql("CREATE VIEW MSCV AS SELECT a FROM MSCT")
+    engine.execute_sql("CREATE SEQUENCE MSCS START WITH 3")
+    engine.execute_sql("COMMENT ON VIEW MSCV IS 'view remark'")
+    engine.execute_sql("COMMENT ON SEQUENCE MSCS IS 'seq remark'")
+    assert (
+        engine.execute_sql(
+            "SELECT REMARKS FROM INFORMATION_SCHEMA.VIEWS "
+            "WHERE TABLE_NAME = 'MSCV'"
+        ).collect()[0][0]
+        == "view remark"
+    )
+    assert (
+        engine.execute_sql(
+            "SELECT REMARKS FROM INFORMATION_SCHEMA.SEQUENCES "
+            "WHERE SEQUENCE_NAME = 'MSCS'"
+        ).collect()[0][0]
+        == "seq remark"
+    )
+    lines = [
+        r.SCRIPT for r in engine.execute_sql("SCRIPT NODATA").collect()
+    ]
+    assert any(
+        ln == "COMMENT ON VIEW \"MSCV\" IS 'view remark';"
+        for ln in lines
+    )
+    assert any(
+        ln == "COMMENT ON SEQUENCE \"mscs\" IS 'seq remark';"
+        for ln in lines
+    )
+    # H2's table-namespace spelling routes to the view
+    engine.execute_sql("COMMENT ON TABLE MSCV IS 'via table'")
+    assert engine.views.get("MSCV")["remarks"] == "via table"
+    # IS NULL clears
+    engine.execute_sql("COMMENT ON SEQUENCE MSCS IS NULL")
+    assert engine.sequences.describe("MSCS").get("remarks") is None
+    engine.execute_sql("DROP VIEW MSCV")
+    engine.execute_sql('DROP TABLE "MSCT"')
+    engine.execute_sql("DROP SEQUENCE MSCS")
+
+
+def test_show_tables_from_schema_filter(engine):
+    engine.execute_sql('CREATE SCHEMA IF NOT EXISTS "APP"')
+    engine.execute_sql('DROP TABLE IF EXISTS "APP"."SHF"')
+    engine.execute_sql('CREATE CACHED TABLE "APP"."SHF"("a" INT)')
+    rows = {
+        tuple(r)
+        for r in engine.execute_sql("SHOW TABLES FROM APP").collect()
+    }
+    assert rows == {("SHF", "APP")}
+    assert not any(
+        r.TABLE_SCHEMA == "APP"
+        for r in engine.execute_sql("SHOW TABLES FROM PUBLIC").collect()
+    )
+    with pytest.raises(ValueError, match="unknown schema"):
+        engine.execute_sql("SHOW TABLES FROM GHOST")
+    engine.execute_sql('DROP TABLE "APP"."SHF"')
+
+
+def test_set_schema_search_path_rejected_loudly(engine):
+    with pytest.raises(ValueError, match="semantics"):
+        engine.execute_sql("SET SCHEMA_SEARCH_PATH PUBLIC, APP")
