@@ -2470,20 +2470,29 @@ def test_cache_release_bounds_sweep_state(spark, t):
     from quasar_destination_h2_spark.operators import packing, text
 
     cache.release()
-    jsc = spark.sparkContext._jsc.sc()
+    jsc = spark.sparkContext._jsc
+
+    def ids() -> set:
+        return {
+            int(k) for k in jsc.getPersistentRDDs().keySet().toArray()
+        }
+
     # session-scoped baseline: earlier tests' localCheckpoint RDDs
     # stay pinned until GC and are NOT the operator-persist budget
-    # this hook manages — measure growth relative to it
-    baseline = jsc.getPersistentRDDs().size()
+    # this hook manages — and GC may unpin one of them MID-TEST, so
+    # size comparisons race (a full-suite run measured 3 > 3 when an
+    # old RDD vanished as a new persist appeared). Compare ID SETS:
+    # concurrent GC only ever REMOVES baseline ids, never adds.
+    baseline_ids = ids()
     for build in (
         lambda: text.tfidf_top_terms(t.documents),
         lambda: text.unigram_logprob(t.documents),
         lambda: packing.shard_balance(t.documents),
     ):
         assert build().count() > 0
-        assert jsc.getPersistentRDDs().size() > baseline  # persisted
+        assert ids() - baseline_ids  # persisted something new
         cache.release()
-        assert jsc.getPersistentRDDs().size() <= baseline  # released
+        assert ids() - baseline_ids == set()  # released every new one
 
 
 # ---------------------------------------------------------------------------
