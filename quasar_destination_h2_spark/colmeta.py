@@ -230,6 +230,30 @@ class ColumnMeta:
                 state[nkey] = state.pop(okey)
                 self._write(state)
 
+    def rename_sequences(self, mapping: dict) -> None:
+        """ALTER SCHEMA ... RENAME TO migration: rewrite recorded
+        identity ``sequence`` bindings after the backing sequences
+        moved to the renamed schema's dotted prefix (a stale binding
+        would dump an unrestorable SCRIPT and break the next INSERT's
+        fill — the constraints.rename_table ref_table rationale).
+        ``mapping`` is old dotted name -> new; matching is casefolded.
+        One locked pass over the registry, ALL tables — a column
+        OUTSIDE the schema may legally draw from a moved sequence."""
+        if not mapping:
+            return
+        cf = {k.casefold(): v for k, v in mapping.items()}
+        with self._locked():
+            state = self._read()
+            changed = False
+            for tentry in state.values():
+                for e in tentry.get("columns", {}).values():
+                    s = (e.get("sequence") or "").casefold()
+                    if s in cf:
+                        e["sequence"] = cf[s]
+                        changed = True
+            if changed:
+                self._write(state)
+
     def rename_column(self, table: str, old: str, new: str) -> None:
         tkey = table.casefold()
         with self._locked():

@@ -1526,6 +1526,94 @@ def zipf_fit(
     )
 
 
+def countmin_heavyhitters(
+    docs: DataFrame,
+    text_col: str = "text",
+    depth: int = 4,
+    width: int = 256,
+    k: int = 10,
+) -> DataFrame:
+    """[EXT] Count-min-sketch heavy hitters over the corpus token
+    stream (r15): the streaming-sketch answer to "what are the
+    hottest terms" when the vocabulary itself is too large to hold —
+    the canonical pre-pass for stopword discovery, contamination
+    tracking, and frequency-capped sampling over a 100 TB corpus.
+
+    The sketch: ``depth`` hash rows of ``width`` counters. Every
+    token occurrence increments cell ``(r, md5('cms<r>:' || tok) %
+    width)``; a token's estimate is the MIN over its ``depth`` cells
+    — never below the true count (collisions only ADD), and within
+    2N/width of it with probability 1 − 2^−depth (Cormode &
+    Muthukrishnan 2005). The hash is md5, not an engine-specific
+    hash, exactly like the MinHash/SimHash/HLL oracles: the DuckDB
+    oracle replays the counter table BIT-FOR-BIT, so the estimates
+    hash-match rather than needing tolerance booleans.
+
+    Scale shape: ONE tokenize+count corpus shuffle (map-side
+    combined, vocabulary-sized result, persisted); the sketch build
+    then runs over the DISTINCT vocabulary — ``depth`` rows per
+    distinct token, never per occurrence — into a ``depth × width``
+    cell table (KBs; mergeable across corpora/streams by cell-wise
+    addition, the property that makes CMS the streaming choice). The
+    exact top-``k`` comes off TakeOrderedAndProject (per-partition
+    heap, the zipf_fit rule) and reads its estimates through a
+    broadcast join against the cell table — no second corpus pass
+    anywhere.
+
+    Output: ``k`` rows (tok, freq_exact, cms_est, overestimates,
+    overestimate_bias) ordered by exact frequency — ``overestimates``
+    pins the sketch's one-sided error contract, the bias its
+    collision mass.
+    """
+    from .. import cache
+
+    toks = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("tok")
+    ).where(F.col("tok") != "")
+    # one vocabulary aggregate feeds BOTH the sketch build and the
+    # exact top-k (the build_postings single-corpus-pass rule)
+    counts = cache.persisted(
+        toks.groupBy("tok").agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+    )
+
+    def _bucket(r: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"cms{r}:"), F.col("tok"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % width
+        ).cast("int")
+
+    row_buckets = F.posexplode(
+        F.array(*[_bucket(r) for r in range(depth)])
+    ).alias("r", "b")
+    cells = counts.select("cnt", row_buckets).groupBy("r", "b").agg(
+        F.sum("cnt").alias("c")
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(k)
+    est = (
+        top.select("tok", "cnt", row_buckets)
+        .join(F.broadcast(cells), ["r", "b"])
+        .groupBy("tok", "cnt")
+        .agg(F.min("c").cast("bigint").alias("cms_est"))
+    )
+    return est.select(
+        "tok",
+        F.col("cnt").alias("freq_exact"),
+        "cms_est",
+        (F.col("cms_est") >= F.col("cnt")).alias("overestimates"),
+        (F.col("cms_est") - F.col("cnt"))
+        .cast("bigint")
+        .alias("overestimate_bias"),
+    ).orderBy(F.desc("freq_exact"), F.asc("tok"))
+
+
 def rrf_fuse(
     rankings: "list[DataFrame]",
     rrf_k: int = 60,

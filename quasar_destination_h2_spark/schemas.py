@@ -169,6 +169,41 @@ class Schemas:
             del state[key]
             self._write(state)
 
+    def rename(self, old: str, new: str) -> None:
+        """``ALTER SCHEMA old RENAME TO new`` at the registry level:
+        re-keys (or, for a case-only rename, re-spells) the entry.
+        Migrating the schema's CONTAINED objects — every dotted
+        logical name across the table/sequence/constraint/colmeta
+        registries — is the engine's job (:meth:`Engine.rename_schema`
+        pre-validates and re-keys them around this call); like ALTER
+        TABLE RENAME, the multi-registry move is same-host
+        statement-atomic, not crash-atomic (the documented catalog
+        limitation)."""
+        okey, nkey = old.casefold(), new.casefold()
+        if okey == PUBLIC or nkey == PUBLIC:
+            raise SchemaError(
+                "ALTER SCHEMA: PUBLIC cannot be renamed (H2), nor can "
+                "another schema take its name"
+            )
+        if not _ADDRESSABLE.fullmatch(new):
+            raise SchemaError(
+                f"ALTER SCHEMA ... RENAME TO: name {new!r} is not "
+                "addressable at this engine's SQL surface (schema "
+                "names must match [A-Za-z_][A-Za-z0-9_]* — the name "
+                "prefixes dotted logical names and Spark database "
+                "bindings, which reject anything else)"
+            )
+        with self._locked():
+            state = self._read()
+            if okey not in state:
+                raise SchemaError(f"schema not found: {old!r}")
+            if nkey != okey and nkey in state:
+                raise SchemaError(f"schema already exists: {new!r}")
+            entry = state.pop(okey)
+            entry["name"] = new
+            state[nkey] = entry
+            self._write(state)
+
     # -- reads ----------------------------------------------------------
 
     def exists(self, name: str) -> bool:

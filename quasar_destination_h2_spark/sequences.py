@@ -174,6 +174,26 @@ class Sequences:
             self._write(state)
         self._currval.pop(key, None)
 
+    def rename(self, old: str, new: str) -> None:
+        """ALTER SCHEMA ... RENAME TO migration: re-key a sequence's
+        FULL state — position included, so a renamed schema's
+        identity columns continue exactly where they were, never
+        re-dispensing a value. A same-key rename is a no-op (sequence
+        spelling is not preserved; keys are casefolded)."""
+        okey, nkey = old.casefold(), new.casefold()
+        if okey == nkey:
+            return
+        with self._locked():
+            state = self._read()
+            if okey not in state:
+                raise SequenceError(f"sequence not found: {old!r}")
+            if nkey in state:
+                raise SequenceError(f"sequence already exists: {new!r}")
+            state[nkey] = state.pop(okey)
+            self._write(state)
+        if okey in self._currval:
+            self._currval[nkey] = self._currval.pop(okey)
+
     @classmethod
     def _norm(cls, s: dict) -> dict:
         """Fill bound/cycle defaults for state persisted before the

@@ -3063,6 +3063,28 @@ def test_rrf_fuse_properties(spark):
     assert [r.doc_id for r in self_fused] == [10, 11, 12]
 
 
+def test_countmin_heavyhitters_contract(spark):
+    """CMS invariants on a known-count corpus: the top-k frame is the
+    exact frequency order; every estimate is >= its exact count (the
+    one-sided error contract — collisions only ADD); the bias column
+    is exactly est - exact; a token's estimate never exceeds exact +
+    (total occurrences - exact) (the all-collisions worst case)."""
+    from quasar_destination_h2_spark.operators.text import (
+        countmin_heavyhitters,
+    )
+
+    rows = [(i, "alpha " * 50 + "beta " * 20 + f"uniq{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = countmin_heavyhitters(docs, k=3).collect()
+    assert [r.tok for r in out[:2]] == ["alpha", "beta"]
+    assert [r.freq_exact for r in out[:2]] == [2000, 800]
+    total = 2000 + 800 + 40
+    for r in out:
+        assert r.overestimates and r.cms_est >= r.freq_exact
+        assert r.overestimate_bias == r.cms_est - r.freq_exact
+        assert r.cms_est <= total
+
+
 def test_bq_encode_packs_sign_bits(t):
     """The 1-bit codes: bit i of (sig_hi||sig_lo) == sign(dim i);
     both halves stay in the non-negative 32-bit range (engine-

@@ -36,6 +36,45 @@ def test_every_plan_passes_scale_gates(spark):
     }, violations
 
 
+def test_no_global_window_on_dml_write_paths():
+    """Verdict r14 #3 / r15 task 3: a ``Window.orderBy`` with no
+    ``partitionBy`` funnels every row through ONE task — forbidden on
+    any DML write path that can carry an unbounded (table-driven)
+    source. The identity-fill and per-row-NEXTVAL paths share the
+    partition-local-rank + broadcast-prefix-offset protocol instead
+    (sql_dml._prefix_rank_state). The only allowed global windows in
+    the statement modules are the bounded VALUES-literal sites, each
+    tagged ``# bounded: VALUES rows`` on the Window.orderBy line."""
+    import re
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "quasar_destination_h2_spark",
+    )
+    offenders = []
+    for mod in ("sql_dml.py", "engine.py", os.path.join("sources", "sink.py")):
+        path = os.path.join(pkg, mod)
+        lines = open(path).read().splitlines()
+        for i, line in enumerate(lines):
+            if "Window.orderBy(" not in line:
+                continue  # prose mentions lack the call parenthesis
+            stripped = line.strip()
+            if stripped.startswith("#"):
+                continue  # commentary, not code
+            window = "\n".join(lines[i : i + 3])
+            if re.search(r"#\s*bounded: VALUES rows", window):
+                continue
+            if ".partitionBy(" in window or "Window.partitionBy" in line:
+                continue
+            offenders.append(f"{mod}:{i + 1}: {stripped}")
+    assert not offenders, (
+        "global Window.orderBy on a DML write path (use "
+        "sql_dml._prefix_rank_state, or tag a genuinely bounded "
+        "VALUES-literal site with '# bounded: VALUES rows'):\n"
+        + "\n".join(offenders)
+    )
+
+
 def test_scan_schema_counter_reports_pruned_columns(spark):
     """Regression for the r6 PLANS.md cosmetic bug: column counts came
     from comma-splitting the truncated plan string (decimal(p,s)

@@ -668,3 +668,145 @@ def test_show_tables_from_schema_filter(engine):
 def test_set_schema_search_path_rejected_loudly(engine):
     with pytest.raises(ValueError, match="semantics"):
         engine.execute_sql("SET SCHEMA_SEARCH_PATH PUBLIC, APP")
+
+
+# -- ALTER SCHEMA ... RENAME TO (r15: r14 verdict missing #3) -----------
+
+
+def test_alter_schema_rename_end_to_end(engine):
+    """The rename re-keys every registry: table catalog (data +
+    spelling preserved), identity backing sequence (position
+    preserved — the next auto-id continues, never re-dispenses),
+    standalone sequences, constraints, column metadata (COMMENT)."""
+    engine.execute_sql('DROP SCHEMA IF EXISTS "RN1" CASCADE')
+    engine.execute_sql('DROP SCHEMA IF EXISTS "RN2" CASCADE')
+    engine.execute_sql('CREATE SCHEMA "RN1"')
+    engine.execute_sql(
+        'CREATE CACHED TABLE "RN1"."T"('
+        '"id" INT AUTO_INCREMENT PRIMARY KEY, "x" INT)'
+    )
+    engine.execute_sql('INSERT INTO "RN1"."T" ("x") VALUES (10), (20)')
+    engine.execute_sql('CREATE SEQUENCE "RN1"."US" START WITH 70')
+    assert engine.execute_sql(
+        "SELECT NEXT VALUE FOR \"RN1\".\"US\" AS nv"
+    ).collect()[0].nv == 70
+    engine.execute_sql('COMMENT ON TABLE "RN1"."T" IS \'moved table\'')
+
+    engine.execute_sql('ALTER SCHEMA "RN1" RENAME TO "RN2"')
+
+    assert engine.schemas.exists("rn2") and not engine.schemas.exists("rn1")
+    cat = {str(t) for t in engine.sink.catalog}
+    assert "rn2.T" in cat and "rn1.T" not in cat
+    rows = engine.execute_sql(
+        "SELECT id, x FROM RN2.T ORDER BY id"
+    ).collect()
+    assert [(r.id, r.x) for r in rows] == [(1, 10), (2, 20)]
+    # identity continues from the pre-rename position
+    engine.execute_sql('INSERT INTO "RN2"."T" ("x") VALUES (30)')
+    assert engine.execute_sql(
+        "SELECT max(id) AS m FROM RN2.T"
+    ).collect()[0].m == 3
+    # user sequence moved with its position
+    assert engine.execute_sql(
+        "SELECT NEXT VALUE FOR \"RN2\".\"US\" AS nv"
+    ).collect()[0].nv == 71
+    assert not [
+        s for s in engine.sequences.names() if s.startswith("rn1.")
+    ]
+    # constraint + colmeta records moved with the table key
+    assert any(
+        e["type"] == "PRIMARY KEY"
+        for e in engine.constraints.all().get("rn2.t", [])
+    )
+    assert engine.colmeta.for_table("rn2.T").get("remarks") == "moved table"
+    # the old qualifier errors precisely (schema gone)
+    with pytest.raises(ValueError, match="unknown schema"):
+        engine.execute_sql('INSERT INTO "RN1"."T" ("x") VALUES (99)')
+    engine.execute_sql('DROP SCHEMA "RN2" CASCADE')
+
+
+def test_alter_schema_rename_rewrites_external_sequence_binding(engine):
+    """A PUBLIC column drawing its DEFAULT from an in-schema sequence
+    keeps working after the schema renames (colmeta.rename_sequences
+    rewrites the recorded binding)."""
+    engine.execute_sql('DROP SCHEMA IF EXISTS "RX1" CASCADE')
+    engine.execute_sql('DROP SCHEMA IF EXISTS "RX2" CASCADE')
+    engine.execute_sql('DROP TABLE IF EXISTS "MS_RXOUT"')
+    engine.execute_sql('CREATE SCHEMA "RX1"')
+    engine.execute_sql('CREATE SEQUENCE "RX1"."S" START WITH 5')
+    engine.execute_sql(
+        'CREATE CACHED TABLE "MS_RXOUT"("n" INT DEFAULT '
+        "(NEXT VALUE FOR \"RX1\".\"S\"), \"y\" INT)"
+    )
+    engine.execute_sql('INSERT INTO "MS_RXOUT" ("y") VALUES (1)')
+    engine.execute_sql('ALTER SCHEMA "RX1" RENAME TO "RX2"')
+    meta = engine.colmeta.columns_of("MS_RXOUT")
+    # sequence registry keys are casefolded, so the rewritten binding
+    # is the casefolded dotted name
+    assert meta["n"]["sequence"] == "rx2.s"
+    engine.execute_sql('INSERT INTO "MS_RXOUT" ("y") VALUES (2)')
+    rows = engine.execute_sql(
+        "SELECT n FROM MS_RXOUT ORDER BY n"
+    ).collect()
+    assert [r.n for r in rows] == [5, 6]
+    engine.execute_sql('DROP TABLE "MS_RXOUT"')
+    engine.execute_sql('DROP SCHEMA "RX2" CASCADE')
+
+
+def test_alter_schema_rename_guards(engine):
+    engine.execute_sql('DROP SCHEMA IF EXISTS "RG1" CASCADE')
+    engine.execute_sql('DROP SCHEMA IF EXISTS "RG2" CASCADE')
+    engine.execute_sql('CREATE SCHEMA "RG1"')
+    engine.execute_sql('CREATE SCHEMA "RG2"')
+    with pytest.raises(SchemaError, match="PUBLIC cannot be renamed"):
+        engine.execute_sql('ALTER SCHEMA PUBLIC RENAME TO "P2"')
+    with pytest.raises(SchemaError, match="not found"):
+        engine.execute_sql('ALTER SCHEMA "GHOST" RENAME TO "G2"')
+    with pytest.raises(SchemaError, match="already exists"):
+        engine.execute_sql('ALTER SCHEMA "RG1" RENAME TO "RG2"')
+    with pytest.raises(SchemaError, match="not addressable"):
+        engine.execute_sql('ALTER SCHEMA "RG1" RENAME TO "has space"')
+    with pytest.raises(ValueError, match="only supported form"):
+        engine.execute_sql('ALTER SCHEMA "RG1" OWNER TO "SA"')
+    with pytest.raises(ValueError, match="trailing"):
+        engine.execute_sql('ALTER SCHEMA "RG1" RENAME TO "RG3" EXTRA')
+    # dependent PUBLIC view blocks the rename (RESTRICT discipline)
+    engine.execute_sql('CREATE CACHED TABLE "RG1"."T"("a" INT)')
+    engine.execute_sql(
+        'CREATE VIEW "MS_RGV" AS SELECT a FROM "RG1"."T"'
+    )
+    with pytest.raises(SchemaError, match="depend on"):
+        engine.execute_sql('ALTER SCHEMA "RG1" RENAME TO "RG3"')
+    engine.execute_sql('DROP VIEW "MS_RGV"')
+    engine.execute_sql('ALTER SCHEMA "RG1" RENAME TO "RG3"')
+    assert engine.schemas.exists("rg3")
+    engine.execute_sql('DROP SCHEMA "RG3" CASCADE')
+    engine.execute_sql('DROP SCHEMA "RG2" CASCADE')
+
+
+def test_alter_schema_rename_case_only_respell(engine):
+    engine.execute_sql('DROP SCHEMA IF EXISTS "rsp" CASCADE')
+    engine.execute_sql('CREATE SCHEMA "rsp"')
+    engine.execute_sql('CREATE CACHED TABLE "rsp"."T"("a" INT)')
+    engine.execute_sql('ALTER SCHEMA "rsp" RENAME TO "RSP"')
+    assert engine.schemas.display("rsp") == "RSP"
+    # same key: objects untouched and still addressable
+    assert "rsp.T" in {str(t) for t in engine.sink.catalog}
+    engine.execute_sql('DROP SCHEMA "RSP" CASCADE')
+
+
+def test_alter_schema_rename_follows_current_schema(engine):
+    engine.execute_sql('DROP SCHEMA IF EXISTS "RC1" CASCADE')
+    engine.execute_sql('DROP SCHEMA IF EXISTS "RC2" CASCADE')
+    engine.execute_sql('CREATE SCHEMA "RC1"')
+    engine.execute_sql("SET SCHEMA RC1")
+    engine.execute_sql('CREATE CACHED TABLE "T"("a" INT)')  # rc1.T
+    engine.execute_sql('ALTER SCHEMA "RC1" RENAME TO "RC2"')
+    assert engine.current_schema == "rc2"
+    # unqualified resolution keeps working in the renamed schema
+    engine.execute_sql("INSERT INTO T VALUES (1)")
+    assert engine.execute_sql(
+        "SELECT count(*) AS c FROM T"
+    ).collect()[0].c == 1
+    engine.execute_sql("SET SCHEMA PUBLIC")
+    engine.execute_sql('DROP SCHEMA "RC2" CASCADE')

@@ -14,6 +14,14 @@
 # and gets -superseded renamed or regenerated).
 set -e
 cd "$(dirname "$0")/.."
+# r14 verdict #2: the round closed with a committed 0-byte
+# BENCH_r14_pair.json. Any empty bench artifact is a failed run that
+# must be regenerated or deleted, never committed — fail the gate.
+EMPTY_BENCH=$(find tools/gatelogs -name 'BENCH_*' -size 0 2>/dev/null)
+if [ -n "$EMPTY_BENCH" ]; then
+  echo "GATE FAIL: empty bench artifact(s): $EMPTY_BENCH" >&2
+  exit 1
+fi
 echo "=== GATE STAMP: HEAD=$(git rev-parse --short HEAD)\
  dirty=$(git status --porcelain | wc -l | tr -d ' ')\
  registry=$(python -c 'from quasar_destination_h2_spark.plans import REGISTRY; print(len(REGISTRY))')\
