@@ -2652,14 +2652,21 @@ class Engine:
             # ALL validation before ANY mutation: dependent views and
             # captured-name collisions (a hostile PUBLIC object
             # literally named "nkey.x" would silently become
-            # in-schema once nkey registers) refuse up front
-            for t in tables:
-                deps = self.views.dependents_of(t)
-                if deps:
+            # in-schema once nkey registers) refuse up front. ONE
+            # registry read + one relation_names scan per view (the
+            # rename_sequences single-pass rule), not a
+            # dependents_of call per table (review r15)
+            from .views import relation_names
+
+            table_keys = {str(t).casefold() for t in tables}
+            for ventry in self.views.all().values():
+                hit = relation_names(ventry["definition"]) & table_keys
+                if hit:
                     raise SchemaError(
                         f"ALTER SCHEMA {old!r} RENAME TO: view(s) "
-                        f"{deps} depend on {t!r} — drop or redefine "
-                        "them first (the RENAME TABLE rule)"
+                        f"[{ventry['name']!r}] depend on "
+                        f"{sorted(hit)!r} — drop or redefine them "
+                        "first (the RENAME TABLE rule)"
                     )
             catalog_cf = {str(t).casefold() for t in self.sink.catalog}
             for t in tables:

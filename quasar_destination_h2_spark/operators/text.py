@@ -1579,15 +1579,11 @@ def countmin_heavyhitters(
     )
 
     def _bucket(r: int):
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"cms{r}:"), F.col("tok"))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("long")
-            % width
+        # the module's one engine-agnostic md5 bucket helper — the
+        # idiom must not fork (review r15): if the documented 100 TB
+        # xxhash64 swap ever lands there, the CMS rows follow it
+        return hash_bucket(
+            F.concat(F.lit(f"cms{r}:"), F.col("tok")), width
         ).cast("int")
 
     row_buckets = F.posexplode(

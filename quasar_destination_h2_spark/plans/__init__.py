@@ -87,8 +87,8 @@ _DRIVER_WINDOW = [
     "window_distribution",
     "window_lag_lead",
     "window_rows_frame",
-    # r11-era head (6 — last witnessed r11; alphabetical; the rest
-    # of r11 rotates in next round)
+    # r11-era head (5 — last witnessed r11; alphabetical; the rest
+    # of r11, starting at ann_ivfbq_search, rotates in next round)
     "ann_bq_recall",
     "ann_bq_search",
     "ann_bq_topk",

@@ -1,4 +1,4 @@
-#!/bin/sh
+#!/bin/bash
 # The full round close in ONE sequential command (r14 verdict #2: the
 # round built the perf-verdict instrument and then ran out of clock
 # before it wrote its artifacts — a 0-byte BENCH_r14_pair.json got
@@ -12,9 +12,12 @@
 # The A/B's old ref defaults to the latest `round N:` close commit —
 # pass it explicitly when HEAD already contains driver commits from
 # the round being closed.
-set -e
+# pipefail: the gate and oracle runs are piped through tee — without
+# it their failures would vanish behind tee's exit 0 and a failed
+# gate would still print CLOSE OK (review r15)
+set -euo pipefail
 TAG="${1:?usage: close_round.sh <tag e.g. r15> [old-ref]}"
-OLD_REF="$2"
+OLD_REF="${2:-}"
 cd "$(dirname "$0")/.."
 mkdir -p tools/gatelogs
 
