@@ -307,6 +307,11 @@ RESCAN_REVIEWED = frozenset({
     # persisted, so their one-row totals re-aggregate the cached
     # vocab frames instead of re-scanning the corpus):
     "pmi_collocations",
+    # r15 CMS: the vocabulary count frame is PERSISTED and carries
+    # the only corpus pass; the sketch-cell aggregate and the exact
+    # top-k both read the cache (the tfidf/LM-family shape — the
+    # rendering prints the FileScan under each InMemoryRelation):
+    "sketch_countmin_heavyhitters",
     # query-set vs corpus / self-join sides (pruned or cached):
     "ann_lsh_bucketed", "embed_dedup_pairs", "embed_cosine_topk",
     "hard_negative_mining",
