@@ -2700,6 +2700,87 @@ class Engine:
                 self.current_schema = nkey
         self._republish_info_schema()
 
+    def analyze_tables(
+        self, logical: "str | None" = None, sample_size: "int | None" = None
+    ) -> int:
+        """H2 ``ANALYZE [TABLE t] [SAMPLE_SIZE n]`` (r15): compute
+        every column's SELECTIVITY — H2's 1..100 distinct-ratio
+        optimizer statistic (100 = all values distinct) — and record
+        it in the column-metadata registry, where SCRIPT dumps
+        (``SELECTIVITY n`` column options) and
+        INFORMATION_SCHEMA.COLUMNS already surface it, exactly the
+        columns an ANALYZEd real H2 1.4.200 re-emits
+        (``Analyze.java``; the reference replays such dumps through
+        RUNSCRIPT, ``H2Server.scala:41-58``).
+
+        One aggregation pass per table computes COUNT(*), every
+        atomic column's COUNT(DISTINCT) and its null presence
+        together (the table_profile single-Expand shape — never a
+        scan per column). NULL counts as one distinct value (H2's
+        hash-set iteration treats it as one);
+        ``selectivity = max(1, min(100, 100 * distinct // rows))``;
+        empty tables are skipped (H2 leaves their statistics
+        untouched). Non-atomic columns (array/map/struct — this
+        engine's vector index tables) are skipped: H2 has no such
+        column types, and DISTINCT over them is not universally
+        defined.
+
+        ``SAMPLE_SIZE`` is accepted and ignored, documented: H2
+        samples (default 10000 rows) because single-node exact
+        distincts are expensive; here the exact aggregate is one
+        distributed pass, and exactness keeps the statistic
+        deterministic for the oracle pair. Returns the number of
+        tables analyzed."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if logical is not None:
+            targets = [logical]
+        else:
+            targets = sorted(self.sink.catalog, key=str)
+        analyzed = 0
+        for t in targets:
+            if t not in self.sink.catalog:
+                raise ValueError(f"ANALYZE: table not found: {t!r}")
+            try:
+                df = self.table(t)
+            except Exception:
+                if logical is not None:
+                    raise  # the named table must load
+                continue  # bare ANALYZE: skip stale catalog entries
+                # (the refresh_information_schema discipline)
+            cols = [
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, T.AtomicType)
+            ]
+            if not cols:
+                continue
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            for i, c in enumerate(cols):
+                aggs.append(
+                    F.countDistinct(F.col(f"`{c}`")).alias(f"d{i}")
+                )
+                aggs.append(
+                    F.max(F.col(f"`{c}`").isNull().cast("int")).alias(
+                        f"z{i}"
+                    )
+                )
+            row = df.agg(*aggs).collect()[0]
+            n = row["__n"]
+            analyzed += 1
+            if not n:
+                continue
+            per_col = {}
+            for i, c in enumerate(cols):
+                d = (row[f"d{i}"] or 0) + (1 if row[f"z{i}"] else 0)
+                per_col[c] = {
+                    "selectivity": max(1, min(100, (100 * d) // n))
+                }
+            self.colmeta.update_columns(t, per_col)
+        self._republish_info_schema()
+        return analyzed
+
     def drop_all_objects(self) -> None:
         """H2's ``DROP ALL OBJECTS`` scoped to what this engine owns:
         every catalog table and every sequence. Bounded driver work

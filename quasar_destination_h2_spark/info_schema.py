@@ -151,6 +151,10 @@ _COLUMNS_COLS = [
     ("TYPE_NAME", "STRING"),
     ("NULLABLE", "INT"),
     ("REMARKS", "STRING"),
+    # H2 1.4.200 carries the optimizer's distinct-ratio statistic in
+    # COLUMNS (default 50 until ANALYZE computes one — r15); appended
+    # last so ordinal-based readers of the pre-r15 subset still line up
+    ("SELECTIVITY", "INT"),
 ]
 
 _CONSTRAINTS_COLS = [
@@ -377,6 +381,7 @@ def refresh_information_schema(engine: "Engine") -> None:
                     tname,
                     1 if nullable else 0,
                     fm.get("remarks", ""),
+                    fm.get("selectivity") or 50,
                 )
             )
     # registered views appear in TABLES (TABLE_TYPE='VIEW', like H2)

@@ -9,11 +9,13 @@ from . import ext  # noqa: E402,F401
 # driver-witnessed coverage is 227/227 with zero ever-failures
 # (union over CORRECTNESS_r02..r14). The round-15 window keeps the
 # rotation discipline:
-#   * first: the round-15 registration (_R15_NEW below), witnessed
-#     the same round it lands — the count-min-sketch heavy-hitters
+#   * first: the round-15 registrations (_R15_NEW below), witnessed
+#     the same round they land — the count-min-sketch heavy-hitters
 #     query (md5-bucketed 4x256 CMS whose counter table the DuckDB
 #     oracle replays bit-for-bit; one corpus pass, broadcast
-#     estimate join);
+#     estimate join) and the H2 ANALYZE battery (computed
+#     SELECTIVITY: colmeta + INFORMATION_SCHEMA.COLUMNS + SCRIPT
+#     round-trip);
 #   * next: every battery whose implementation round 15 touches —
 #     multischema_battery (ALTER SCHEMA ... RENAME TO lands in it:
 #     registry re-key across tables/sequences/constraints/colmeta
@@ -32,6 +34,10 @@ from . import ext  # noqa: E402,F401
 # tools/oracle_check.py at sf0.001/0.01/0.1 (see COVERAGE.md).
 _R15_NEW = [
     "sketch_countmin_heavyhitters",
+    # H2 ANALYZE: computed per-column SELECTIVITY recorded where
+    # SCRIPT and INFORMATION_SCHEMA.COLUMNS surface it, full dump
+    # round-trip (r15)
+    "analyze_battery",
 ]
 
 _R15_TOUCHED = [
@@ -87,13 +93,12 @@ _DRIVER_WINDOW = [
     "window_distribution",
     "window_lag_lead",
     "window_rows_frame",
-    # r11-era head (5 — last witnessed r11; alphabetical; the rest
-    # of r11, starting at ann_ivfbq_search, rotates in next round)
+    # r11-era head (4 — last witnessed r11; alphabetical; the rest
+    # of r11, starting at ann_ivfbq_recall, rotates in next round)
     "ann_bq_recall",
     "ann_bq_search",
     "ann_bq_topk",
     "ann_ivfbq_hamming",
-    "ann_ivfbq_recall",
     # (window is exactly 50 — the driver hashes the first ~50)
 ]
 

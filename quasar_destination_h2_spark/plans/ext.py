@@ -7143,6 +7143,115 @@ def q_column_defaults_battery(t: TableSet) -> DataFrame:
 
 
 @query(
+    "analyze_battery",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('colmeta', 'const', '5'),
+      ('colmeta', 'grp', '20'),
+      ('colmeta', 'k', '100'),
+      ('colmeta', 'nl', '55'),
+      ('columns_post', 'nl', '55'),
+      ('columns_pre', 'defaults', '50'),
+      ('roundtrip', 'nl', '55'),
+      ('sample', 'k', '100'),
+      ('script', 'tokens', '4')
+    ) AS T(kind, obj, detail)
+    ORDER BY kind, obj
+    """,
+)
+def q_analyze_battery(t: TableSet) -> DataFrame:
+    """H2 ``ANALYZE`` end-to-end (r15): computed per-column
+    SELECTIVITY — H2's 1..100 distinct-ratio optimizer statistic —
+    recorded in the column-metadata registry and surfaced everywhere
+    a real ANALYZEd H2 1.4.200 spells it. Probes: a 20-row table with
+    an all-distinct column (100), a 4-value group column (20), a
+    constant (5) and a half-NULL column (NULL counts as one distinct
+    value: 11/20 -> 55); INFORMATION_SCHEMA.COLUMNS reads 50 (H2's
+    default) before and the computed values after; ``SAMPLE_SIZE``
+    is accepted-ignored (exact distributed statistics, the engine
+    docstring's documented divergence); the SCRIPT dump carries one
+    ``SELECTIVITY n`` per column and a full dump/drop/RUNSCRIPT
+    round-trip restores the statistics intact. The oracle is the
+    literal expected frame — fully determined by the battery's own
+    data, never by sf data."""
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+
+    from ..engine import Engine
+
+    spark = t.documents.sparkSession
+    eng = Engine.from_config(
+        _json.dumps({"connectionUri": _tempfile.mkdtemp()}), spark=spark
+    )
+    eng.execute_sql('DROP TABLE IF EXISTS "AZB_T"')
+    eng.execute_sql(
+        'CREATE CACHED TABLE "AZB_T"('
+        '"k" INT, "grp" VARCHAR(4), "const" INT, "nl" INT)'
+    )
+    vals = ", ".join(
+        f"({i}, 'g{i % 4}', 7, {'NULL' if i < 10 else i})"
+        for i in range(20)
+    )
+    eng.execute_sql(f'INSERT INTO "AZB_T" VALUES {vals}')
+    rows: list[tuple] = []
+    pre = {
+        r.SELECTIVITY
+        for r in eng.execute_sql(
+            "SELECT SELECTIVITY FROM INFORMATION_SCHEMA.COLUMNS "
+            "WHERE TABLE_NAME = 'AZB_T'"
+        ).collect()
+    }
+    rows.append(
+        ("columns_pre", "defaults", ",".join(str(v) for v in sorted(pre)))
+    )
+    eng.execute_sql('ANALYZE TABLE "AZB_T"')
+    for c, e in sorted(eng.colmeta.columns_of("AZB_T").items()):
+        rows.append(("colmeta", c, str(e.get("selectivity"))))
+    rows.append(
+        (
+            "columns_post",
+            "nl",
+            str(
+                eng.execute_sql(
+                    "SELECT SELECTIVITY FROM INFORMATION_SCHEMA.COLUMNS "
+                    "WHERE TABLE_NAME = 'AZB_T' AND COLUMN_NAME = 'nl'"
+                ).collect()[0].SELECTIVITY
+            ),
+        )
+    )
+    eng.execute_sql('ANALYZE TABLE "AZB_T" SAMPLE_SIZE 3')
+    rows.append(
+        (
+            "sample",
+            "k",
+            str(eng.colmeta.columns_of("AZB_T")["k"]["selectivity"]),
+        )
+    )
+    line = next(
+        r.SCRIPT
+        for r in eng.execute_sql("SCRIPT NODATA TABLE AZB_T").collect()
+        if "CREATE CACHED TABLE" in r.SCRIPT
+    )
+    rows.append(("script", "tokens", str(line.count("SELECTIVITY"))))
+    dump = _os.path.join(_tempfile.mkdtemp(), "azb.sql")
+    eng.execute_sql(f"SCRIPT NODATA TO '{dump}' TABLE AZB_T")
+    eng.execute_sql('DROP TABLE "AZB_T"')
+    eng.execute_sql(f"RUNSCRIPT FROM '{dump}'")
+    rows.append(
+        (
+            "roundtrip",
+            "nl",
+            str(eng.colmeta.columns_of("AZB_T")["nl"]["selectivity"]),
+        )
+    )
+    eng.execute_sql('DROP TABLE "AZB_T"')
+    return spark.createDataFrame(
+        rows, "kind string, obj string, detail string"
+    ).orderBy("kind", "obj")
+
+
+@query(
     "multischema_battery",
     oracle="""
     SELECT * FROM (VALUES

@@ -1186,6 +1186,16 @@ def execute(engine, statement: str):
         # refresh-on-introspection: the views then resolve natively
         # through Spark's case-insensitive catalog
         info_schema.refresh_information_schema(engine)
+    man = re.match(r"\s*ANALYZE\b", shadow, re.I)
+    if man:
+        # H2 ANALYZE [TABLE t] [SAMPLE_SIZE n] — computes per-column
+        # SELECTIVITY into the column-metadata registry (r15). The
+        # Spark spelling (ANALYZE TABLE t COMPUTE STATISTICS ...)
+        # leaves a tail this grammar doesn't consume and falls
+        # through to Spark SQL untouched.
+        result = _execute_analyze(engine, statement, shadow, man)
+        if result is not NotImplemented:
+            return result
     from . import csv_table_funcs
 
     if csv_table_funcs.CSVWRITE_RE.match(shadow):
@@ -1270,6 +1280,41 @@ _TXN_RE = re.compile(
 #: H2 ``COMMENT ON <kind> name IS expr`` (its SCRIPT emits one line
 #: per commented object).
 _COMMENT_ON_RE = re.compile(r"\s*COMMENT\s+ON\s+([A-Za-z_]+)\s", re.I)
+
+
+def _execute_analyze(engine, statement: str, shadow: str, man):
+    """H2 1.4.200 ``ANALYZE [TABLE name] [SAMPLE_SIZE n]`` — computes
+    every (or one) engine-catalog table's per-column SELECTIVITY and
+    records it where SCRIPT and INFORMATION_SCHEMA.COLUMNS surface it
+    (:meth:`Engine.analyze_tables`; r15). SAMPLE_SIZE parses and is
+    accepted-ignored (exact distributed statistics — the engine
+    method documents the divergence). Returns ``NotImplemented`` when
+    the statement is NOT this grammar (e.g. Spark's ``ANALYZE TABLE t
+    COMPUTE STATISTICS``) so the caller falls through to Spark SQL."""
+    from .errors import NotAResource
+
+    pos = man.end()
+    logical = None
+    mt = re.compile(r"\s*TABLE\s+", re.I).match(shadow, pos)
+    if mt:
+        name, pos = _parse_ident(statement, shadow, mt.end())
+        logical, pos = _resolve_schema_qualifier(
+            engine, statement, shadow, name, pos, "ANALYZE"
+        )
+    msz = re.compile(r"\s*SAMPLE_SIZE\s+(\d+)", re.I).match(shadow, pos)
+    if msz:
+        pos = msz.end()
+    if statement[pos:].strip():
+        return NotImplemented  # Spark's ANALYZE grammar — fall through
+    if logical is not None:
+        try:
+            logical = _logical(engine, logical)
+        except NotAResource:
+            raise ValueError(
+                f"ANALYZE: table not found: {logical!r}"
+            ) from None
+    engine.analyze_tables(logical)
+    return None
 
 
 def _execute_comment_on(engine, statement: str, shadow: str, m):
