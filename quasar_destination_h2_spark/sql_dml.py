@@ -1145,6 +1145,30 @@ def execute(engine, statement: str):
                 "statements instead."
             )
         return None
+    if _CHECKPOINT_RE.match(shadow):
+        # H2 CHECKPOINT [SYNC] flushes the page store / transaction
+        # log to disk; every statement here is already durable
+        # parquet when it returns, so both forms are TRUE no-ops
+        # (the COMMIT rationale; r15)
+        return None
+    mlc = _LIFECYCLE_RE.match(shadow)
+    if mlc:
+        # H2 lifecycle/file statements with no honorable analogue —
+        # loud rejects naming the alternative (the ROLLBACK rule:
+        # a silent no-op would lie about what happened; r15)
+        if mlc.group(1).upper() == "SHUTDOWN":
+            raise ValueError(
+                "SHUTDOWN: not supported — this engine shares one "
+                "Spark session across clients, and closing it out "
+                "from under them cannot be honored from a statement. "
+                "Stop the server process (or the Engine's endpoint) "
+                "instead."
+            )
+        raise ValueError(
+            "BACKUP: not supported — there are no H2 storage files "
+            "to zip. Dump the schema with SCRIPT TO 'file' and copy "
+            "the warehouse's parquet directories for the data."
+        )
     mpr = _PRINCIPAL_RE.match(shadow)
     if mpr:
         # H2 users / roles / rights (the preamble of every dump a
@@ -1421,6 +1445,15 @@ _PRINCIPAL_RE = re.compile(
     r"|(?P<right>GRANT|REVOKE)\b)",
     re.I,
 )
+
+#: H2 CHECKPOINT [SYNC]: flush the page store / transaction log.
+#: Anchored full-statement form (a table named CHECKPOINT in a query
+#: never starts the statement).
+_CHECKPOINT_RE = re.compile(r"\s*CHECKPOINT(?:\s+SYNC)?\s*$", re.I)
+
+#: H2 lifecycle/file statements (SHUTDOWN [IMMEDIATELY|COMPACT|
+#: DEFRAG], BACKUP TO 'file.zip') — statement-leading keyword only.
+_LIFECYCLE_RE = re.compile(r"\s*(SHUTDOWN|BACKUP)\b", re.I)
 
 _SET_RE = re.compile(r"\s*SET\s+(@?[A-Za-z_][A-Za-z0-9_]*)\b", re.I)
 

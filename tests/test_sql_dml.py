@@ -936,6 +936,24 @@ def test_h2_set_commands(engine):
         engine.spark.conf.set("spark.sql.session.timeZone", tz)
 
 
+def test_checkpoint_and_lifecycle_statements(engine):
+    """H2 storage-maintenance and lifecycle statements (r15):
+    CHECKPOINT [SYNC] flushes H2's page store — every statement here
+    is already durable parquet when it returns, so both forms are
+    TRUE no-ops (the COMMIT rationale). SHUTDOWN and BACKUP cannot be
+    honored (shared Spark session; no H2 storage files) and raise
+    loudly naming the alternative — the ROLLBACK rule."""
+    import pytest
+
+    for stmt in ("CHECKPOINT", "CHECKPOINT SYNC", "checkpoint;"):
+        assert engine.execute_sql(stmt) is None, stmt
+    for stmt in ("SHUTDOWN", "SHUTDOWN IMMEDIATELY", "SHUTDOWN COMPACT"):
+        with pytest.raises(ValueError, match="SHUTDOWN"):
+            engine.execute_sql(stmt)
+    with pytest.raises(ValueError, match="SCRIPT TO"):
+        engine.execute_sql("BACKUP TO 'backup.zip'")
+
+
 def test_transaction_control_statements(engine):
     """H2 transaction control (r11 verdict task 4): JDBC clients and
     pools issue COMMIT / SET AUTOCOMMIT / BEGIN as a matter of course
