@@ -92,3 +92,99 @@ def fixpoint(
             break
         prev = cur
     return state
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping_pct: int = 85,
+    k: int = 10,
+) -> DataFrame:
+    """[EXT] PageRank over a directed edge list, bounded power
+    iteration in EXACT integer arithmetic (r15) — graph centrality
+    as a curation signal: on a near-dup similarity graph or a
+    citation/link graph, the high-rank nodes are the canonical
+    documents worth keeping and the low-rank tail is the noise
+    (the SemDeDup keep-best idea with global, transitive structure
+    instead of per-cluster scores).
+
+    Semantics (Page et al. 1999, the leak variant): ranks live in
+    parts-per-billion integers, ``r0 = 1e9 // N``; each round every
+    node receives ``sum(rank(src) // outdeg(src))`` over its
+    in-edges and re-ranks to ``(100 - damping_pct) * 1e9 // (100 *
+    N) + damping_pct * contrib // 100``. Dangling nodes (no
+    out-edges) contribute nothing — their mass leaks, which keeps
+    every operation a floor division two engines implement
+    identically (Spark ``DIV``, DuckDB ``//``), so the oracle
+    replays all ``iterations`` rounds bit-for-bit. No floats
+    anywhere; ties in the final top-``k`` break on node id.
+
+    Scale shape: the edge list is deduplicated and checkpointed ONCE
+    (with its out-degrees riding along, so the per-round join reads
+    a single prepared frame); each round is one join on ``src`` plus
+    one aggregation on ``dst`` — two shuffles per round, bounded by
+    ``iterations``, with ``localCheckpoint`` truncating lineage so
+    round ``i``'s plan never nests round ``i-1``'s (the fixpoint
+    rule above; swap to reliable ``checkpoint`` on revocable
+    executors). At 100 TB you would pre-bucket edges by ``src`` so
+    the join side never re-shuffles; the rank frame (one row per
+    node) is the only state that moves.
+
+    Returns the top-``k`` rows ``(node, rank_ppb)`` ordered by rank
+    descending, node ascending.
+    """
+    from pyspark.sql import functions as F
+
+    prepared = (
+        edges.select("src", "dst")
+        .distinct()
+        .join(
+            edges.select("src", "dst")
+            .distinct()
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg")),
+            "src",
+        )
+        .localCheckpoint()
+    )
+    nodes = (
+        prepared.select(F.col("src").alias("node"))
+        .union(prepared.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.select(
+            "node", F.lit(0).cast("bigint").alias("rank_ppb")
+        )
+    base = (100 - damping_pct) * 10**9 // (100 * n)
+    ranks = nodes.select(
+        "node", F.lit(10**9 // n).cast("bigint").alias("rank_ppb")
+    )
+    for _ in range(iterations):
+        contrib = (
+            prepared.join(
+                ranks.withColumnRenamed("node", "src"), "src"
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_ppb DIV deg").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(contrib, 0L)) DIV 100"
+                    )
+                ).cast("bigint").alias("rank_ppb"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.orderBy(F.desc("rank_ppb"), F.asc("node")).limit(k)

@@ -38,6 +38,10 @@ _R15_NEW = [
     # SCRIPT and INFORMATION_SCHEMA.COLUMNS surface it, full dump
     # round-trip (r15)
     "analyze_battery",
+    # PageRank centrality: bounded power iteration in exact ppb
+    # integer arithmetic over the customer->supplier purchase graph;
+    # the oracle unrolls every round as CTEs and hash-matches (r15)
+    "graph_pagerank_centrality",
 ]
 
 _R15_TOUCHED = [
@@ -93,12 +97,11 @@ _DRIVER_WINDOW = [
     "window_distribution",
     "window_lag_lead",
     "window_rows_frame",
-    # r11-era head (4 — last witnessed r11; alphabetical; the rest
-    # of r11, starting at ann_ivfbq_recall, rotates in next round)
+    # r11-era head (3 — last witnessed r11; alphabetical; the rest
+    # of r11, starting at ann_ivfbq_hamming, rotates in next round)
     "ann_bq_recall",
     "ann_bq_search",
     "ann_bq_topk",
-    "ann_ivfbq_hamming",
     # (window is exactly 50 — the driver hashes the first ~50)
 ]
 

@@ -7142,6 +7142,74 @@ def q_column_defaults_battery(t: TableSet) -> DataFrame:
     ).orderBy("kind", "obj")
 
 
+def _pagerank_oracle(iterations: int = 5, damping_pct: int = 85, k: int = 10) -> str:
+    """DuckDB mirror of operators.iterate.pagerank — every round
+    unrolled as a CTE pair (the mmr_diverse_topk precedent), floor
+    divisions term-for-term (`//` vs Spark `DIV`)."""
+    ctes = [
+        "edges AS (SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src, "
+        "CAST(l_suppkey AS BIGINT) + 1000000 AS dst "
+        "FROM orders JOIN lineitem ON l_orderkey = o_orderkey)",
+        "outdeg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg "
+        "FROM edges GROUP BY src)",
+        "nodes AS (SELECT src AS node FROM edges "
+        "UNION SELECT dst FROM edges)",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)",
+        "r0 AS (SELECT node, CAST(1000000000 // n AS BIGINT) AS rank_ppb "
+        "FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS node, "
+            "SUM(r.rank_ppb // d.deg) AS contrib "
+            f"FROM edges e JOIN r{i - 1} r ON r.node = e.src "
+            "JOIN outdeg d ON d.src = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT nd.node, "
+            f"CAST(({100 - damping_pct} * CAST(1000000000 AS BIGINT)) "
+            "// (100 * nn.n) "
+            f"+ ({damping_pct} * COALESCE(c.contrib, 0)) // 100 "
+            "AS BIGINT) AS rank_ppb "
+            f"FROM nodes nd CROSS JOIN nn "
+            f"LEFT JOIN c{i} c ON c.node = nd.node)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, rank_ppb FROM r{iterations} "
+        f"ORDER BY rank_ppb DESC, node ASC LIMIT {k}"
+    )
+
+
+@query("graph_pagerank_centrality", oracle=_pagerank_oracle())
+def q_graph_pagerank_centrality(t: TableSet) -> DataFrame:
+    """PageRank centrality (r15) over the customer->supplier purchase
+    graph (distinct (o_custkey, l_suppkey) pairs through orders x
+    lineitem; suppliers offset into their own id space): 5 bounded
+    power-iteration rounds in exact parts-per-billion integer
+    arithmetic — Spark ``DIV`` and DuckDB ``//`` floor identically,
+    so the oracle (all rounds unrolled as CTEs) hash-matches the
+    ranks bit-for-bit. Two shuffles per round (join on src,
+    aggregate on dst) against a ONCE-prepared deduplicated edge
+    frame with out-degrees riding along; lineage truncated per round.
+    The curation use: on a near-dup similarity graph the high-rank
+    nodes are the canonical documents (operators/iterate.pagerank
+    docstring)."""
+    edges = (
+        t.orders.join(
+            t.lineitem,
+            t.orders["o_orderkey"] == t.lineitem["l_orderkey"],
+        ).select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + 1000000).alias("dst"),
+        )
+    )
+    from ..operators.iterate import pagerank
+
+    return pagerank(edges)
+
+
 @query(
     "analyze_battery",
     oracle="""

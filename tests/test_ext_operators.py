@@ -3063,6 +3063,33 @@ def test_rrf_fuse_properties(spark):
     assert [r.doc_id for r in self_fused] == [10, 11, 12]
 
 
+def test_pagerank_known_graph(spark):
+    """PageRank invariants on a hand-checkable graph: a node every
+    other node points at outranks them all; symmetric peers tie; the
+    integer recurrence matches a by-hand replay of round 1."""
+    from quasar_destination_h2_spark.operators.iterate import pagerank
+
+    # 1 -> 3, 2 -> 3, 3 -> 1  (3 is the hub; 2 is dangling-free but
+    # receives nothing)
+    edges = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 1)], "src bigint, dst bigint"
+    )
+    out = {r.node: r.rank_ppb for r in pagerank(edges, iterations=5).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[3] > out[1] > out[2]
+    # by hand, round 1: n=3, r0 = 333333333, base = 50000000;
+    # contrib(3) = r0//1 + r0//1, contrib(1) = r0//1, contrib(2) = 0
+    r0, base = 10**9 // 3, 15 * 10**9 // 300
+    one = pagerank(edges, iterations=1).collect()
+    got = {r.node: r.rank_ppb for r in one}
+    assert got[2] == base
+    assert got[1] == base + 85 * r0 // 100
+    assert got[3] == base + 85 * (2 * r0) // 100
+    # deterministic across runs (no RNG, no float)
+    again = {r.node: r.rank_ppb for r in pagerank(edges, iterations=5).collect()}
+    assert again == out
+
+
 def test_countmin_heavyhitters_contract(spark):
     """CMS invariants on a known-count corpus: the top-k frame is the
     exact frequency order; every estimate is >= its exact count (the
