@@ -381,7 +381,11 @@ def refresh_information_schema(engine: "Engine") -> None:
                     tname,
                     1 if nullable else 0,
                     fm.get("remarks", ""),
-                    fm.get("selectivity") or 50,
+                    # `is not None`, not truthiness: SELECTIVITY 0 is
+                    # a recordable value (the r13 DDL-path rule)
+                    fm["selectivity"]
+                    if fm.get("selectivity") is not None
+                    else 50,
                 )
             )
     # registered views appear in TABLES (TABLE_TYPE='VIEW', like H2)

@@ -135,18 +135,11 @@ def pagerank(
     """
     from pyspark.sql import functions as F
 
-    prepared = (
-        edges.select("src", "dst")
-        .distinct()
-        .join(
-            edges.select("src", "dst")
-            .distinct()
-            .groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg")),
-            "src",
-        )
-        .localCheckpoint()
-    )
+    deduped = edges.select("src", "dst").distinct()
+    prepared = deduped.join(
+        deduped.groupBy("src").agg(F.count(F.lit(1)).alias("deg")),
+        "src",
+    ).localCheckpoint()
     nodes = (
         prepared.select(F.col("src").alias("node"))
         .union(prepared.select(F.col("dst").alias("node")))

@@ -13,9 +13,9 @@ from . import ext  # noqa: E402,F401
 #     the same round they land — the count-min-sketch heavy-hitters
 #     query (md5-bucketed 4x256 CMS whose counter table the DuckDB
 #     oracle replays bit-for-bit; one corpus pass, broadcast
-#     estimate join) and the H2 ANALYZE battery (computed
-#     SELECTIVITY: colmeta + INFORMATION_SCHEMA.COLUMNS + SCRIPT
-#     round-trip);
+#     estimate join), the H2 ANALYZE battery (computed SELECTIVITY:
+#     colmeta + INFORMATION_SCHEMA.COLUMNS + SCRIPT round-trip) and
+#     the integer power-iteration PageRank (unrolled-CTE oracle);
 #   * next: every battery whose implementation round 15 touches —
 #     multischema_battery (ALTER SCHEMA ... RENAME TO lands in it:
 #     registry re-key across tables/sequences/constraints/colmeta
@@ -28,8 +28,8 @@ from . import ext  # noqa: E402,F401
 #     queued from the r14 window), completing a full driver
 #     re-witness cycle of every query registered through r9;
 #   * the remaining slots: the entire r10-era block (35) and the
-#     alphabetical head of the r11-era block (5; ann_ivfbq_search
-#     rotates in next round).
+#     alphabetical head of the r11-era block (3; the rest of r11,
+#     starting at ann_ivfbq_hamming, rotates in next round).
 # Everything outside the window stays oracle-checked locally via
 # tools/oracle_check.py at sf0.001/0.01/0.1 (see COVERAGE.md).
 _R15_NEW = [

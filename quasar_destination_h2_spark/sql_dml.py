@@ -1318,19 +1318,39 @@ def _execute_analyze(engine, statement: str, shadow: str, man):
     from .errors import NotAResource
 
     pos = man.end()
-    logical = None
+    name = second = None
     mt = re.compile(r"\s*TABLE\s+", re.I).match(shadow, pos)
     if mt:
+        # parse the (possibly qualified) name WITHOUT resolving yet:
+        # resolution must wait for the tail check below, or a Spark
+        # spelling over a Spark database (ANALYZE TABLE mydb.t
+        # COMPUTE STATISTICS) would die on "unknown schema" instead
+        # of falling through (review r15)
         name, pos = _parse_ident(statement, shadow, mt.end())
-        logical, pos = _resolve_schema_qualifier(
-            engine, statement, shadow, name, pos, "ANALYZE"
-        )
+        if pos < len(shadow) and shadow[pos] == ".":
+            second, pos = _parse_ident(statement, shadow, pos + 1)
     msz = re.compile(r"\s*SAMPLE_SIZE\s+(\d+)", re.I).match(shadow, pos)
     if msz:
         pos = msz.end()
     if statement[pos:].strip():
         return NotImplemented  # Spark's ANALYZE grammar — fall through
-    if logical is not None:
+    logical = None
+    if name is not None:
+        # H2 resolution, the _resolve_schema_qualifier semantics on
+        # the already-parsed parts
+        if second is None:
+            cur = engine.current_schema
+            logical = name if cur == "public" else f"{cur}.{name}"
+        elif name.casefold() == "public":
+            logical = second
+        elif engine.schemas.exists(name):
+            logical = f"{name.casefold()}.{second}"
+        else:
+            raise ValueError(
+                f"ANALYZE: unknown schema {name!r} — CREATE SCHEMA it "
+                "first (PUBLIC is built in; registered schemas list "
+                "in INFORMATION_SCHEMA.SCHEMATA)"
+            )
         try:
             logical = _logical(engine, logical)
         except NotAResource:
