@@ -123,6 +123,11 @@ COMMON = (
     # form), so this entry times BUILD + probe; production amortizes
     # the build via engine.build_ivf_index and pays only the probe
     "ann_index_search",
+    # r15: persisted-vocabulary count-min sketch build + broadcast
+    # estimate join; 5-round integer power-iteration PageRank (two
+    # shuffles per round over the prepared edge frame)
+    "sketch_countmin_heavyhitters",
+    "graph_pagerank_centrality",
 )
 
 #: Index-conformance entries (r10+): each registered query rebuilds
