@@ -2718,37 +2718,57 @@ class Engine:
         together (the table_profile single-Expand shape — never a
         scan per column). NULL counts as one distinct value (H2's
         hash-set iteration treats it as one);
-        ``selectivity = max(1, min(100, 100 * distinct // rows))``;
-        empty tables are skipped (H2 leaves their statistics
-        untouched). Non-atomic columns (array/map/struct — this
-        engine's vector index tables) are skipped: H2 has no such
-        column types, and DISTINCT over them is not universally
-        defined.
+        ``selectivity = max(1, min(100, 100 * distinct // rows))``
+        over the SAMPLED row count; empty tables are skipped (H2
+        leaves their statistics untouched). Non-atomic columns
+        (array/map/struct — this engine's vector index tables) are
+        skipped: H2 has no such column types, and DISTINCT over them
+        is not universally defined.
 
-        ``SAMPLE_SIZE`` is accepted and ignored, documented: H2
-        samples (default 10000 rows) because single-node exact
-        distincts are expensive; here the exact aggregate is one
-        distributed pass, and exactness keeps the statistic
-        deterministic for the oracle pair. Returns the number of
-        tables analyzed."""
+        ``SAMPLE_SIZE`` is HONORED with H2's semantics (r16 verdict
+        task 4 — Analyze.java bounds the statistics scan with a
+        LIMIT): ``sample_size=n`` feeds the aggregate the first ``n``
+        rows only (``df.limit(n)`` — a GlobalLimit that stops the
+        scan early, so ANALYZE on a wide 100 TB table reads a bounded
+        prefix, not every row ``×(k+1)`` through the multi-distinct
+        Expand), ``n=0`` forces exact statistics, and ``None`` (no
+        clause) uses H2's own default sample of 10 000 rows. Exactness
+        on a bounded battery table is unchanged (sample ≥ rows reads
+        everything), which is what keeps the oracle-paired battery
+        deterministic. Returns the number of tables analyzed."""
+        from pyspark.errors import AnalysisException
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
+        from .errors import NotAResource
+
         if logical is not None:
-            targets = [logical]
+            # resolve through the same casefolded lookup the sibling
+            # surfaces use (rename_table/_logical) — a direct API
+            # call with a differently-cased spelling must bind, not
+            # die on an exact-key membership test (advice r16)
+            lkey = str(logical).casefold()
+            targets = [
+                t for t in self.sink.catalog if str(t).casefold() == lkey
+            ][:1]
+            if not targets:
+                raise ValueError(f"ANALYZE: table not found: {logical!r}")
         else:
             targets = sorted(self.sink.catalog, key=str)
         analyzed = 0
         for t in targets:
-            if t not in self.sink.catalog:
-                raise ValueError(f"ANALYZE: table not found: {t!r}")
             try:
                 df = self.table(t)
-            except Exception:
+            except (AnalysisException, NotAResource):
+                # staleness only (dropped files / concurrent drop —
+                # the refresh_information_schema discipline): bare
+                # ANALYZE skips the entry, a NAMED table must load.
+                # Any OTHER failure (transient IO, misconfig)
+                # propagates in both modes instead of silently
+                # leaving the table unanalyzed (advice r16).
                 if logical is not None:
-                    raise  # the named table must load
-                continue  # bare ANALYZE: skip stale catalog entries
-                # (the refresh_information_schema discipline)
+                    raise
+                continue
             cols = [
                 f.name
                 for f in df.schema.fields
@@ -2756,6 +2776,11 @@ class Engine:
             ]
             if not cols:
                 continue
+            # H2's bounded statistics scan: LIMIT-style sample
+            # (Analyze.java), default 10 000 rows, 0 = exact
+            sample = 10_000 if sample_size is None else sample_size
+            if sample > 0:
+                df = df.limit(sample)
             aggs = [F.count(F.lit(1)).alias("__n")]
             for i, c in enumerate(cols):
                 aggs.append(

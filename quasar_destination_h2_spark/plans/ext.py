@@ -2904,9 +2904,13 @@ def q_zipf_fit(t: TableSet) -> DataFrame:
     return text.zipf_fit(t.documents)
 
 
-@query(
-    "sketch_countmin_heavyhitters",
-    oracle=f"""
+def _cms_oracle(depth: int = 4, width: int = 256, k: int = 10) -> str:
+    """DuckDB mirror of operators.text.countmin_heavyhitters,
+    parameterized on the SAME (depth, width, k) the operator takes
+    (the _pagerank_oracle precedent — advice r16: a hardcoded 4/256/10
+    oracle would silently diverge from any future non-default call)."""
+    rows = ", ".join(map(str, range(depth)))
+    return f"""
     WITH toks AS (
       SELECT unnest(string_split_regex({_NORM}, ' ')) AS tok
       FROM documents
@@ -2919,11 +2923,11 @@ def q_zipf_fit(t: TableSet) -> DataFrame:
       SELECT tok, cnt, r,
              CAST(('0x' || substr(md5('cms' || CAST(r AS VARCHAR)
                                        || ':' || tok), 1, 8))
-                  AS BIGINT) % 256 AS b
-      FROM tc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) d
+                  AS BIGINT) % {width} AS b
+      FROM tc CROSS JOIN (SELECT unnest([{rows}]) AS r) d
     ),
     cells AS (SELECT r, b, SUM(cnt) AS c FROM bk GROUP BY r, b),
-    top AS (SELECT tok, cnt FROM tc ORDER BY cnt DESC, tok ASC LIMIT 10)
+    top AS (SELECT tok, cnt FROM tc ORDER BY cnt DESC, tok ASC LIMIT {k})
     SELECT t.tok,
            t.cnt AS freq_exact,
            CAST(MIN(cl.c) AS BIGINT) AS cms_est,
@@ -2934,8 +2938,10 @@ def q_zipf_fit(t: TableSet) -> DataFrame:
     JOIN cells cl ON cl.r = bk.r AND cl.b = bk.b
     GROUP BY t.tok, t.cnt
     ORDER BY freq_exact DESC, t.tok ASC
-    """,
-)
+    """
+
+
+@query("sketch_countmin_heavyhitters", oracle=_cms_oracle())
 def q_sketch_countmin_heavyhitters(t: TableSet) -> DataFrame:
     """Count-min-sketch heavy hitters (r15): a 4x256 md5-hashed CMS
     built in one corpus pass over the DISTINCT vocabulary, exact
@@ -7221,6 +7227,7 @@ def q_graph_pagerank_centrality(t: TableSet) -> DataFrame:
       ('columns_post', 'nl', '55'),
       ('columns_pre', 'defaults', '50'),
       ('roundtrip', 'nl', '55'),
+      ('sample', 'const', '33'),
       ('sample', 'k', '100'),
       ('script', 'tokens', '4')
     ) AS T(kind, obj, detail)
@@ -7235,13 +7242,18 @@ def q_analyze_battery(t: TableSet) -> DataFrame:
     an all-distinct column (100), a 4-value group column (20), a
     constant (5) and a half-NULL column (NULL counts as one distinct
     value: 11/20 -> 55); INFORMATION_SCHEMA.COLUMNS reads 50 (H2's
-    default) before and the computed values after; ``SAMPLE_SIZE``
-    is accepted-ignored (exact distributed statistics, the engine
-    docstring's documented divergence); the SCRIPT dump carries one
-    ``SELECTIVITY n`` per column and a full dump/drop/RUNSCRIPT
-    round-trip restores the statistics intact. The oracle is the
-    literal expected frame — fully determined by the battery's own
-    data, never by sf data."""
+    default) before and the computed values after; ``SAMPLE_SIZE 3``
+    is HONORED (r16): the statistics scan is LIMIT-bounded to 3 rows,
+    pinned by two subset-invariant probes — the all-distinct column
+    reads 100 under ANY 3-row sample (3 distinct / 3 rows) and the
+    constant column reads 33 (1 distinct / 3 rows = 100*1//3, vs 5
+    exact — proof the bound applied), values no 3-row choice can
+    change; exact statistics are then restored by a bare re-ANALYZE
+    (20 rows < the 10 000-row H2 default sample -> exact) so the
+    SCRIPT dump carries one ``SELECTIVITY n`` per column and a full
+    dump/drop/RUNSCRIPT round-trip restores the statistics intact.
+    The oracle is the literal expected frame — fully determined by
+    the battery's own data, never by sf data."""
     import json as _json
     import os as _os
     import tempfile as _tempfile
@@ -7289,13 +7301,17 @@ def q_analyze_battery(t: TableSet) -> DataFrame:
         )
     )
     eng.execute_sql('ANALYZE TABLE "AZB_T" SAMPLE_SIZE 3')
-    rows.append(
-        (
-            "sample",
-            "k",
-            str(eng.colmeta.columns_of("AZB_T")["k"]["selectivity"]),
+    for probe in ("k", "const"):
+        rows.append(
+            (
+                "sample",
+                probe,
+                str(eng.colmeta.columns_of("AZB_T")[probe]["selectivity"]),
+            )
         )
-    )
+    # restore exact statistics for the dump round-trip below (bare
+    # ANALYZE: 20 rows < the 10 000-row default sample -> exact)
+    eng.execute_sql('ANALYZE TABLE "AZB_T"')
     line = next(
         r.SCRIPT
         for r in eng.execute_sql("SCRIPT NODATA TABLE AZB_T").collect()

@@ -1310,11 +1310,13 @@ def _execute_analyze(engine, statement: str, shadow: str, man):
     """H2 1.4.200 ``ANALYZE [TABLE name] [SAMPLE_SIZE n]`` — computes
     every (or one) engine-catalog table's per-column SELECTIVITY and
     records it where SCRIPT and INFORMATION_SCHEMA.COLUMNS surface it
-    (:meth:`Engine.analyze_tables`; r15). SAMPLE_SIZE parses and is
-    accepted-ignored (exact distributed statistics — the engine
-    method documents the divergence). Returns ``NotImplemented`` when
-    the statement is NOT this grammar (e.g. Spark's ``ANALYZE TABLE t
-    COMPUTE STATISTICS``) so the caller falls through to Spark SQL."""
+    (:meth:`Engine.analyze_tables`; r15). SAMPLE_SIZE is HONORED with
+    H2's LIMIT-bounded-scan semantics (r16: n rows feed the
+    statistics, 0 = exact, absent = H2's 10 000-row default — the
+    engine method documents the shape). Returns ``NotImplemented``
+    when the statement is NOT this grammar (e.g. Spark's ``ANALYZE
+    TABLE t COMPUTE STATISTICS``) so the caller falls through to
+    Spark SQL."""
     from .errors import NotAResource
 
     pos = man.end()
@@ -1357,7 +1359,9 @@ def _execute_analyze(engine, statement: str, shadow: str, man):
             raise ValueError(
                 f"ANALYZE: table not found: {logical!r}"
             ) from None
-    engine.analyze_tables(logical)
+    engine.analyze_tables(
+        logical, sample_size=int(msz.group(1)) if msz else None
+    )
     return None
 
 

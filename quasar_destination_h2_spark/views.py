@@ -189,11 +189,15 @@ def relation_names(definition: str) -> set:
     text: the name after each FROM / JOIN keyword and after each
     depth-0 comma continuing a FROM list. Scanned on the
     literal-blanked shadow (sql_dml._shadow) so quoted strings never
-    match; bare and backtick-quoted spellings both parse. Skipped on
-    purpose: parenthesized subqueries (their inner FROMs get their
-    own keyword match), table-function calls (``name(...)``), and
-    dotted multi-part names (qualified names never map to engine
-    logicals — the ``_missing_relation`` rule). Remaining known
+    match; bare and backtick-quoted spellings both parse. TWO-part
+    dotted names ARE recorded (since r14) as the casefolded
+    ``"skey.name"`` logical (plus the bare name under a PUBLIC
+    qualifier) — ``Engine.rename_schema``'s and DROP TABLE's
+    view-dependency pre-checks are load-bearing on exactly that
+    recording. Skipped on purpose: parenthesized subqueries (their
+    inner FROMs get their own keyword match), table-function calls
+    (``name(...)``), and THREE-plus-part dotted names (never an
+    engine logical — the ``_missing_relation`` rule). Remaining known
     over-match: ``extract(YEAR FROM d)``-style in-function FROMs
     count ``d`` — conservative in the safe direction (a false
     dependency blocks, never orphans), and strictly narrower than

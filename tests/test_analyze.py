@@ -191,3 +191,36 @@ def test_analyze_skips_non_atomic_columns(engine, spark):
     engine.execute_sql('ANALYZE TABLE "AZ_VEC"')
     sel = _selectivities(engine, "AZ_VEC")
     assert sel.get("vid") == 100 and "emb" not in sel
+
+
+def test_analyze_sample_size_bounds_the_scan(engine):
+    """SAMPLE_SIZE n is HONORED with H2's LIMIT-bounded-scan
+    semantics (Analyze.java; r16 verdict task 4). Probes are
+    subset-invariant so no 3-row choice can change them: the
+    all-distinct column reads 100 under ANY 3-row sample (3 distinct
+    / 3 rows) and the constant column reads 100*1//3 = 33 — vs 5
+    exact, the behavioral proof the aggregate saw ONLY the bounded
+    prefix. SAMPLE_SIZE 0 forces exact statistics (H2)."""
+    _mk(engine, "AZ_SAMPLE")
+    engine.execute_sql('ANALYZE TABLE "AZ_SAMPLE" SAMPLE_SIZE 3')
+    sel = _selectivities(engine, "AZ_SAMPLE")
+    assert sel["k"] == 100
+    assert sel["const"] == 33
+    engine.execute_sql('ANALYZE TABLE "AZ_SAMPLE" SAMPLE_SIZE 0')
+    assert _selectivities(engine, "AZ_SAMPLE") == {
+        "k": 100,
+        "grp": 20,
+        "const": 5,
+        "nl": 55,
+    }
+
+
+def test_analyze_direct_api_casefolds(engine):
+    """analyze_tables('az_case') must bind the catalog's 'AZ_CASE'
+    through the same casefolded lookup every sibling surface uses
+    (rename_table/_logical) — advice r16."""
+    _mk(engine, "AZ_CASE")
+    assert engine.analyze_tables("az_case") == 1
+    assert _selectivities(engine, "AZ_CASE")["k"] == 100
+    with pytest.raises(ValueError, match="table not found"):
+        engine.analyze_tables("az_case_ghost")

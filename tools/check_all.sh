@@ -26,6 +26,10 @@ echo "=== GATE STAMP: HEAD=$(git rev-parse --short HEAD)\
  dirty=$(git status --porcelain | wc -l | tr -d ' ')\
  registry=$(python -c 'from quasar_destination_h2_spark.plans import REGISTRY; print(len(REGISTRY))')\
  date=$(date -u +%Y-%m-%dT%H:%M:%SZ) ==="
+# r15 verdict task 6: NAME the dirty files at both markers so a
+# stamp-to-end dirty-count delta is auditable mechanically (the
+# expected mid-gate PLANS.md regeneration vs an untested edit)
+git status --porcelain | sed 's/^/GATE DIRTY: /'
 python -m pytest tests/ -q
 python tools/oracle_check.py /root/testdata/sf0.01
 python tools/oracle_check.py /root/testdata/sf0.1
@@ -37,3 +41,4 @@ python tools/plan_audit.py /root/testdata/sf0.1
 python bench.py
 echo "=== GATE END: HEAD=$(git rev-parse --short HEAD)\
  dirty=$(git status --porcelain | wc -l | tr -d ' ') ==="
+git status --porcelain | sed 's/^/GATE DIRTY: /'
