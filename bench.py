@@ -232,6 +232,9 @@ PROBE_ONLY = (
     "ivfpq_probe_only",
     "ivfbq_probe_only",
     "cascade_probe_only",
+    # r16: the graph-index serving split — rank iterations over the
+    # stored src-bucketed edge frame, no per-run edge preparation
+    "graph_rank_only",
 )
 
 #: SPARK_GRAFT_BENCH_PAIR=1: interleaved same-tree pair mode (r12
@@ -546,6 +549,36 @@ def main() -> int:
         lambda: engine.cascade_search(
             "bench_cascix", probe_queries
         ).count(),
+    )
+
+    # r16 — GRAPH serving: the purchase-graph edge frame is deduped,
+    # degree-attached and stored src-BUCKETED ONCE
+    # (engine.build_graph_index); graph_rank_only times the 5-round
+    # integer power iteration over the stored frames — the amortized
+    # centrality number (the registered graph_pagerank_centrality
+    # entry in COMMON times dedup+prepare+rank per run by
+    # declaration, the oracle-replayable form). Rank runs are full
+    # iterations, not sub-second probes, so the split uses the
+    # standard best-of-3, not the /5 probe batching.
+    g_orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    g_li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    g_edges = g_orders.join(
+        g_li, g_orders["o_orderkey"] == g_li["l_orderkey"]
+    ).select(
+        F.col("o_custkey").cast("long").alias("src"),
+        (F.col("l_suppkey").cast("long") + 1000000).alias("dst"),
+    )
+    t0 = time.perf_counter()
+    engine.build_graph_index("bench_gix", g_edges, n_buckets=nb)
+    times["graph_index_build"] = round(time.perf_counter() - t0, 4)
+    engine.pagerank_served("bench_gix").count()  # warm
+    timed_into(
+        "graph_rank_only",
+        lambda: engine.pagerank_served("bench_gix").count(),
     )
     bracket_end("index_serving")
 

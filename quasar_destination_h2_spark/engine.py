@@ -108,6 +108,7 @@ class Engine:
         #: name. Invalidated whenever THIS engine rebuilds or appends.
         self._ann_verified: dict = {}
         self._text_verified: dict = {}
+        self._graph_verified: dict = {}
         #: effective Thrift listen port (may differ from the requested
         #: port when joining an already-running JVM-wide endpoint)
         self.endpoint_port: Optional[str] = None
@@ -1724,6 +1725,242 @@ class Engine:
             stats_tbl.select("n_docs", "sum_dl"),
             queries,
             topn,
+        )
+
+    def build_graph_index(
+        self,
+        name: str,
+        edges: DataFrame,
+        n_buckets: int = 32,
+        src_col: str = "src",
+        dst_col: str = "dst",
+    ) -> None:
+        """[EXT] Build-once GRAPH index lifecycle (r16 verdict task
+        5) — the stored 100 TB form the in-run
+        ``operators.iterate.pagerank`` docstring names: prepare the
+        edge frame ONCE so every centrality run pays only its
+        bounded rank iterations. Three tables under one build id:
+
+        * ``{name}_edges`` ``(src, dst, build_id)`` — the DEDUPED
+          edge list, BUCKETED by ``src``: the per-round rank join
+          reads co-located source buckets with NO edge-side shuffle
+          (pinned by tests/test_bucketing.py::
+          test_graph_index_lifecycle); appends land in the same
+          bucket spec.
+        * ``{name}_degrees`` ``(src, deg, build_id)`` — one row per
+          SOURCE node (the out-degree side table). Kept OFF the edge
+          table so appends never rewrite the edge store: degrees are
+          node-sized and merge-rewritten per append.
+        * ``{name}_nodes`` ``(node, build_id)`` — every distinct
+          endpoint; its count seeds the rank frame.
+
+        The heavy write (bucketed edges) lands FIRST, the torn-build
+        discipline of build_ivf_index: a failure between writes
+        leaves tables from different builds, and pagerank_served
+        verifies the ids match before serving."""
+        from pyspark.sql import functions as F
+
+        deduped = (
+            edges.select(
+                F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+            )
+            .distinct()
+            .localCheckpoint()  # reused by all three writes below
+        )
+        build_id = random_alphanum()
+        self._graph_verified.pop(name, None)
+        self.materialize_bucketed(
+            f"{name}_edges",
+            deduped.withColumn("build_id", F.lit(build_id)),
+            ["src"],
+            n_buckets,
+        )
+        degrees = deduped.groupBy("src").agg(
+            F.count(F.lit(1)).cast("bigint").alias("deg")
+        )
+        self.drop_table_if_exists(f"{name}_degrees")
+        self.create_table_as(
+            f"{name}_degrees",
+            degrees.withColumn("build_id", F.lit(build_id)),
+        )
+        nodes = (
+            deduped.select(F.col("src").alias("node"))
+            .union(deduped.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        self.drop_table_if_exists(f"{name}_nodes")
+        self.create_table_as(
+            f"{name}_nodes",
+            nodes.withColumn("build_id", F.lit(build_id)),
+        )
+
+    def append_to_graph_index(
+        self,
+        name: str,
+        new_edges: DataFrame,
+        n_buckets: int = 32,
+        src_col: str = "src",
+        dst_col: str = "dst",
+    ) -> DataFrame:
+        """[EXT] Incremental edge append — the nightly-crawl story
+        for the graph index (the append_to_ivf_index analogue): the
+        batch is deduplicated internally AND against the stored
+        edges (left-anti join on ``(src, dst)`` — the stored side is
+        bucketed by ``src``, so the probe co-locates on the bucket
+        key and the shuffle is batch-sized), the surviving edges
+        append to the bucketed store under the SAME build id, and
+        the NODE-SIZED side tables are merge-rewritten: degrees gain
+        the batch's per-source counts, nodes gain the batch's unseen
+        endpoints. The edge store itself is append-only — no 100 TB
+        rewrite per batch.
+
+        Returns a one-row report ``(appended_edges, duplicate_edges,
+        new_nodes, total_nodes)`` — duplicate_edges is the batch
+        mass already present (re-crawl overlap), new_nodes the graph
+        growth an operator alerts on. Appended state ≡ what
+        build_graph_index would store for the union — pinned by
+        tests/test_bucketing.py. ``n_buckets`` must match the
+        build's (Spark refuses a mismatched bucket spec loudly)."""
+        from pyspark.sql import functions as F
+
+        from .idents import storage_safe_name
+
+        degrees_tbl = self.table(f"{name}_degrees")
+        cid = [
+            r.build_id
+            for r in degrees_tbl.select("build_id").distinct().collect()
+        ]
+        if len(cid) != 1:
+            raise ValueError(
+                f"graph index {name!r} degrees carry build ids {cid} — "
+                "re-run build_graph_index before appending"
+            )
+        batch = (
+            new_edges.select(
+                F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+            )
+            .distinct()
+            .localCheckpoint()
+        )
+        fresh = batch.join(
+            self.table(f"{name}_edges").select("src", "dst"),
+            ["src", "dst"],
+            "left_anti",
+        ).localCheckpoint()  # frozen before the append writes below
+        n_batch, n_fresh = batch.count(), fresh.count()
+        self._graph_verified.pop(name, None)
+        (
+            fresh.withColumn("build_id", F.lit(cid[0]))
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(n_buckets, "src")
+            .sortBy("src")
+            .saveAsTable(storage_safe_name(f"{name}_edges"))
+        )
+        merged_deg = (
+            degrees_tbl.select("src", "deg")
+            .join(
+                fresh.groupBy("src").agg(
+                    F.count(F.lit(1)).cast("bigint").alias("d_new")
+                ),
+                "src",
+                "full_outer",
+            )
+            .select(
+                "src",
+                (
+                    F.coalesce("deg", F.lit(0))
+                    + F.coalesce("d_new", F.lit(0))
+                ).cast("bigint").alias("deg"),
+            )
+            .localCheckpoint()  # materialized BEFORE its source drops
+        )
+        self.drop_table_if_exists(f"{name}_degrees")
+        self.create_table_as(
+            f"{name}_degrees",
+            merged_deg.withColumn("build_id", F.lit(cid[0])),
+        )
+        nodes_tbl = self.table(f"{name}_nodes")
+        new_nodes = (
+            fresh.select(F.col("src").alias("node"))
+            .union(fresh.select(F.col("dst").alias("node")))
+            .distinct()
+            .join(nodes_tbl.select("node"), "node", "left_anti")
+            .localCheckpoint()
+        )
+        n_new_nodes = new_nodes.count()
+        merged_nodes = (
+            nodes_tbl.select("node").union(new_nodes).localCheckpoint()
+        )
+        n_total = merged_nodes.count()
+        self.drop_table_if_exists(f"{name}_nodes")
+        self.create_table_as(
+            f"{name}_nodes",
+            merged_nodes.withColumn("build_id", F.lit(cid[0])),
+        )
+        return self.spark.createDataFrame(
+            [(n_fresh, n_batch - n_fresh, n_new_nodes, n_total)],
+            "appended_edges bigint, duplicate_edges bigint, "
+            "new_nodes bigint, total_nodes bigint",
+        )
+
+    def pagerank_served(
+        self,
+        name: str,
+        iterations: int = 5,
+        damping_pct: int = 85,
+        k: int = 10,
+    ) -> DataFrame:
+        """[EXT] PageRank over an index built by
+        :meth:`build_graph_index` — no edge dedup, no degree
+        aggregation, no per-run preparation: the stored out-degrees
+        join onto the src-bucketed edge store (edge side co-located,
+        only the node-sized frames shuffle) and the SAME bounded
+        integer power iteration as the in-run form runs over it
+        (``operators.iterate.pagerank_rounds`` — one shared loop, so
+        served ranks are bit-identical to ``pagerank`` over the same
+        edges; the graph_pagerank_served conformance query pins that
+        against the unrolled-CTE oracle). Raises if the three index
+        tables carry mismatched build ids (a torn rebuild); the
+        edge/node-side verification is memoized per build id exactly
+        like ann_topk's."""
+        from .operators.iterate import pagerank_rounds
+
+        edges = self.table(f"{name}_edges")
+        degrees_tbl = self.table(f"{name}_degrees")
+        nodes_tbl = self.table(f"{name}_nodes")
+        cid = [
+            r.build_id
+            for r in degrees_tbl.select("build_id").distinct().collect()
+        ]
+        if len(cid) == 1 and self._graph_verified.get(name) == cid[0]:
+            aid = cid
+        else:
+            aid = sorted(
+                {
+                    r.build_id
+                    for r in edges.select("build_id").distinct().collect()
+                }
+                | {
+                    r.build_id
+                    for r in nodes_tbl.select("build_id")
+                    .distinct()
+                    .collect()
+                }
+            )
+        if len(cid) != 1 or (aid and aid != cid):
+            raise ValueError(
+                f"graph index {name!r} is torn (degrees build {cid} vs "
+                f"edges/nodes build {aid}) — re-run build_graph_index"
+            )
+        if aid:
+            self._graph_verified[name] = cid[0]
+        prepared = edges.select("src", "dst").join(
+            degrees_tbl.select("src", "deg"), "src"
+        )
+        nodes = nodes_tbl.select("node")
+        return pagerank_rounds(
+            prepared, nodes, nodes.count(), iterations, damping_pct, k
         )
 
     @property

@@ -126,9 +126,13 @@ def pagerank(
     ``iterations``, with ``localCheckpoint`` truncating lineage so
     round ``i``'s plan never nests round ``i-1``'s (the fixpoint
     rule above; swap to reliable ``checkpoint`` on revocable
-    executors). At 100 TB you would pre-bucket edges by ``src`` so
-    the join side never re-shuffles; the rank frame (one row per
-    node) is the only state that moves.
+    executors). The 100 TB form is BUILT (r16):
+    ``Engine.build_graph_index`` stores the deduped edges bucketed
+    by ``src`` with the out-degrees in a node-sized side table, and
+    ``Engine.pagerank_served`` runs this same loop
+    (:func:`pagerank_rounds`) over the stored frames — the per-round
+    join reads co-located edge buckets with no edge-side shuffle;
+    the rank frame (one row per node) is the only state that moves.
 
     Returns the top-``k`` rows ``(node, rank_ppb)`` ordered by rank
     descending, node ascending.
@@ -146,7 +150,30 @@ def pagerank(
         .distinct()
         .localCheckpoint()
     )
-    n = nodes.count()
+    return pagerank_rounds(prepared, nodes, nodes.count(), iterations,
+                           damping_pct, k)
+
+
+def pagerank_rounds(
+    prepared: DataFrame,
+    nodes: DataFrame,
+    n: int,
+    iterations: int,
+    damping_pct: int,
+    k: int,
+) -> DataFrame:
+    """The bounded power-iteration loop shared by the in-run
+    :func:`pagerank` and the stored-index serving form
+    (``Engine.pagerank_served``, r16) — ONE implementation so the two
+    forms are bit-identical by construction, the property the served
+    conformance query's oracle parity rests on. ``prepared`` must
+    carry ``(src, dst, deg)`` — an edge list with each source's
+    out-degree riding along — and ``nodes`` one ``node`` row per
+    distinct endpoint (``n`` = its count, measured by the caller so
+    a stored-index caller can take it from the node table it already
+    has). Exact ppb integer arithmetic throughout (see pagerank)."""
+    from pyspark.sql import functions as F
+
     if n == 0:
         return nodes.select(
             "node", F.lit(0).cast("bigint").alias("rank_ppb")

@@ -7216,6 +7216,43 @@ def q_graph_pagerank_centrality(t: TableSet) -> DataFrame:
     return pagerank(edges)
 
 
+@query("graph_pagerank_served", oracle=_pagerank_oracle())
+def q_graph_pagerank_served(t: TableSet) -> DataFrame:
+    """PageRank's SERVING form through the ENGINE lifecycle (r16
+    verdict task 5): engine.build_graph_index deduplicates the
+    purchase-graph edges ONCE and stores them BUCKETED by src with
+    the out-degrees and node set in node-sized side tables;
+    engine.pagerank_served then runs the SAME bounded ppb integer
+    power iteration (operators.iterate.pagerank_rounds — one shared
+    loop) over the stored frames, so the per-round rank join reads
+    co-located edge buckets with no edge-side shuffle and only the
+    one-row-per-node rank frame moves. The oracle is the identical
+    unrolled-CTE replay the in-run graph_pagerank_centrality uses —
+    served ranks must hash-match it bit-for-bit, which is the
+    build-once/serve-many parity contract (the ann_index_search
+    story for graphs)."""
+    import json as _json
+    import tempfile as _tempfile
+
+    from ..engine import Engine
+
+    spark = t.orders.sparkSession
+    eng = Engine.from_config(
+        _json.dumps({"connectionUri": _tempfile.mkdtemp()}), spark=spark
+    )
+    edges = (
+        t.orders.join(
+            t.lineitem,
+            t.orders["o_orderkey"] == t.lineitem["l_orderkey"],
+        ).select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + 1000000).alias("dst"),
+        )
+    )
+    eng.build_graph_index("gpr_srv", edges)
+    return eng.pagerank_served("gpr_srv")
+
+
 @query(
     "analyze_battery",
     oracle="""
