@@ -103,6 +103,13 @@ class Engine:
         #: Unqualified names resolve here; PUBLIC objects keep bare
         #: logical names, schema objects live under "key.<name>".
         self.current_schema: str = "public"
+        #: H2 ``SET SCHEMA_SEARCH_PATH s1, s2, ...`` (r16): after the
+        #: current schema, unqualified TABLE names resolve through
+        #: these casefolded keys in order (first match wins —
+        #: Parser.readTableOrView). Session state, like
+        #: current_schema; empty = strict current-schema (H2's
+        #: default). See sql_dml._resolution_order.
+        self.schema_search_path: list = []
         #: ANN serving: build ids whose assignment-side integrity this
         #: engine has already verified (see ann_topk) — keyed by index
         #: name. Invalidated whenever THIS engine rebuilds or appends.

@@ -7647,3 +7647,114 @@ def q_multischema_battery(t: TableSet) -> DataFrame:
     return spark.createDataFrame(
         rows, "kind string, obj string, detail string"
     ).orderBy("kind", "obj")
+
+
+@query(
+    "search_path_battery",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('order', 'spa_first', 'a'),
+      ('order', 'spb_first', 'b'),
+      ('path', 'current_wins', 'a'),
+      ('path', 'fallback_t', 'b'),
+      ('path', 'fallback_u', 'u'),
+      ('public', 'not_implicit', 'unresolved'),
+      ('public', 'on_path_ghost_skipped', 'p'),
+      ('reject', 'trailing', 'unexpected trailing text'),
+      ('strict', 'default_unresolved', 'unresolved')
+    ) AS T(kind, obj, detail)
+    ORDER BY kind, obj
+    """,
+)
+def q_search_path_battery(t: TableSet) -> DataFrame:
+    """H2 ``SET SCHEMA_SEARCH_PATH`` end-to-end (r16 — the r15
+    verdict's missing #3, a loud reject through r15): unqualified
+    QUERY-position relation names resolve current-schema-FIRST, then
+    through the path entries in order (Parser.readTableOrView's
+    first-match-wins), exactly what a JDBC pool's connection-init
+    script sets before its session queries run. Probes: the empty
+    path stays strict current-schema (H2's default); a path entry
+    resolves names the current schema lacks; the current schema
+    still WINS a same-spelled collision; PUBLIC is NOT implicit —
+    it participates only when current or explicitly on the path —
+    and an unregistered path entry is skipped at lookup, not an
+    error (a client may set its path before creating the schemas);
+    among path entries, order decides; trailing text after the list
+    rejects loudly. The oracle is the literal expected frame —
+    fully determined by the battery's own data, never by sf data."""
+    import json as _json
+    import tempfile as _tempfile
+
+    from ..engine import Engine
+
+    spark = t.documents.sparkSession
+    eng = Engine.from_config(
+        _json.dumps({"connectionUri": _tempfile.mkdtemp()}), spark=spark
+    )
+    rows: list = []
+
+    def one(sql):
+        return eng.execute_sql(sql).collect()[0][0]
+
+    def unresolved(sql):
+        try:
+            eng.execute_sql(sql).collect()
+            return "RESOLVED"
+        except Exception:
+            return "unresolved"
+
+    eng.execute_sql('CREATE SCHEMA "SPQA"')
+    eng.execute_sql('CREATE SCHEMA "SPQB"')
+    eng.execute_sql('CREATE CACHED TABLE "SPQA"."SPQ_T"("v" VARCHAR(2))')
+    eng.execute_sql("INSERT INTO \"SPQA\".\"SPQ_T\" VALUES ('a')")
+    eng.execute_sql('CREATE CACHED TABLE "SPQB"."SPQ_T"("v" VARCHAR(2))')
+    eng.execute_sql("INSERT INTO \"SPQB\".\"SPQ_T\" VALUES ('b')")
+    eng.execute_sql('CREATE CACHED TABLE "SPQB"."SPQ_U"("v" VARCHAR(2))')
+    eng.execute_sql("INSERT INTO \"SPQB\".\"SPQ_U\" VALUES ('u')")
+    eng.execute_sql('CREATE CACHED TABLE "SPQ_P"("v" VARCHAR(2))')
+    eng.execute_sql("INSERT INTO \"SPQ_P\" VALUES ('p')")
+    # H2 default: no path, strict current-schema resolution
+    rows.append(
+        ("strict", "default_unresolved", unresolved("SELECT v FROM SPQ_U"))
+    )
+    eng.execute_sql("SET SCHEMA_SEARCH_PATH SPQB")
+    rows.append(("path", "fallback_u", one("SELECT v FROM SPQ_U")))
+    rows.append(("path", "fallback_t", one("SELECT v FROM SPQ_T")))
+    eng.execute_sql("SET SCHEMA SPQA")
+    rows.append(("path", "current_wins", one("SELECT v FROM SPQ_T")))
+    # PUBLIC participates only when current or on the path; GHOST
+    # (never created) is skipped at lookup
+    rows.append(
+        ("public", "not_implicit", unresolved("SELECT v FROM SPQ_P"))
+    )
+    eng.execute_sql("SET SCHEMA_SEARCH_PATH GHOST, PUBLIC")
+    rows.append(
+        ("public", "on_path_ghost_skipped", one("SELECT v FROM SPQ_P"))
+    )
+    # among path entries, first match wins
+    eng.execute_sql("SET SCHEMA PUBLIC")
+    eng.execute_sql("SET SCHEMA_SEARCH_PATH SPQB, SPQA")
+    rows.append(("order", "spb_first", one("SELECT v FROM SPQ_T")))
+    eng.execute_sql("SET SCHEMA_SEARCH_PATH SPQA, SPQB")
+    rows.append(("order", "spa_first", one("SELECT v FROM SPQ_T")))
+    try:
+        eng.execute_sql("SET SCHEMA_SEARCH_PATH SPQA SPQB")
+        rows.append(("reject", "trailing", "ACCEPTED"))
+    except ValueError as e:
+        rows.append(
+            (
+                "reject",
+                "trailing",
+                "unexpected trailing text"
+                if "unexpected trailing text" in str(e)
+                else str(e)[:40],
+            )
+        )
+    # leave the shared warehouse clean for the rest of the registry
+    eng.schema_search_path = []
+    eng.execute_sql('DROP SCHEMA "SPQA" CASCADE')
+    eng.execute_sql('DROP SCHEMA "SPQB" CASCADE')
+    eng.execute_sql('DROP TABLE "SPQ_P"')
+    return spark.createDataFrame(
+        rows, "kind string, obj string, detail string"
+    ).orderBy("kind", "obj")

@@ -1501,10 +1501,9 @@ _SET_NOOP = frozenset({
 _SET_SEMANTIC = frozenset({
     "MODE", "IGNORECASE", "COLLATION", "ALLOW_LITERALS",
     "DEFAULT_TABLE_TYPE", "COMPRESS_LOB", "BINARY_COLLATION",
-    # r14: name resolution is strict current-schema (H2's own
-    # default); accepting a search path silently would change which
-    # objects unqualified names bind to
-    "SCHEMA_SEARCH_PATH",
+    # SCHEMA_SEARCH_PATH graduated from this set in r16: it is now
+    # IMPLEMENTED with H2's first-match-wins semantics for
+    # query-position relations (see _execute_set / _resolution_order)
 })
 
 
@@ -1602,6 +1601,41 @@ def _execute_set(engine, statement: str, shadow: str, m):
                 "schemas list in INFORMATION_SCHEMA.SCHEMATA)"
             )
         engine.current_schema = name.casefold()
+        return None
+    if knob == "SCHEMA_SEARCH_PATH":
+        # H2 ``SET SCHEMA_SEARCH_PATH s1, s2, ...`` (r16 — was a loud
+        # reject through r15): unqualified QUERY-position relation
+        # names resolve current-schema-first, then through these
+        # entries in order (Parser.readTableOrView; _resolution_order
+        # / _logical / _prebind_index). Entries are recorded
+        # casefolded without an existence check — H2 lets a client
+        # set its path before creating the schemas; unknown entries
+        # are skipped at lookup. SCOPE, documented: the path steers
+        # reads (relations in _resolve_sql); statement TARGETS
+        # (DML/DDL through _resolve_schema_qualifier) remain strict
+        # current-schema, so a cross-schema write must be qualified —
+        # the failure mode is a loud not-found, never a silent write
+        # to a different table than H2 would pick.
+        pos = m.end()
+        path = []
+        while True:
+            pname, pos = _parse_ident(statement, shadow, pos)
+            if not pname:
+                raise ValueError(
+                    "SET SCHEMA_SEARCH_PATH: expected a comma-"
+                    "separated schema name list"
+                )
+            path.append(pname.casefold())
+            mc = re.compile(r"\s*,").match(shadow, pos)
+            if not mc:
+                break
+            pos = mc.end()
+        if statement[pos:].strip():
+            raise ValueError(
+                "SET SCHEMA_SEARCH_PATH: unexpected trailing text "
+                f"{statement[pos:].strip()!r}"
+            )
+        engine.schema_search_path = path
         return None
     if knob in _SET_NOOP:
         return None  # storage-engine knob with no analogue here
@@ -4057,14 +4091,29 @@ def _h2_type_to_spark(type_text: str) -> str:
     return t.lower()  # DECIMAL(p,s), VARCHAR(n), ... — Spark-parsable
 
 
+def _resolution_order(engine) -> list:
+    """H2's unqualified-name lookup order (Parser.readTableOrView,
+    1.4.200): the session's CURRENT schema first, then each ``SET
+    SCHEMA_SEARCH_PATH`` entry in order — first match wins. A path
+    entry naming no registered schema is skipped at lookup time (so
+    a client may set its path before creating the schemas), and the
+    empty path degenerates to H2's default strict current-schema
+    resolution (r16)."""
+    order = [engine.current_schema]
+    for p in getattr(engine, "schema_search_path", ()):  # empty pre-r16
+        if p not in order and (p == "public" or engine.schemas.exists(p)):
+            order.append(p)
+    return order
+
+
 def _logical(engine, name: str) -> str:
     """Resolve a statement's table name: logical names take priority,
     then schema resolution (a qualified spelling normalizes its
     schema part to the registry key; an unqualified one resolves in
-    the session's current schema — r14), then physical (what a wire
-    client sees in SHOW TABLES)."""
+    the session's current schema, then the SCHEMA_SEARCH_PATH in
+    order — r14/r16), then physical (what a wire client sees in
+    SHOW TABLES)."""
     catalog = engine.sink.catalog
-    cur = engine.current_schema
     if "." in name:
         if name in catalog:
             return name
@@ -4075,15 +4124,15 @@ def _logical(engine, name: str) -> str:
             return cand
         if skey == "public" and rest in catalog:
             return rest
-    elif cur != "public":
-        # H2: an unqualified name resolves ONLY in the current
-        # schema — never falls back to a same-spelled PUBLIC table
-        # (review r14: reads and writes must agree)
-        cand = f"{cur}.{name}"
-        if cand in catalog:
-            return cand
-    elif name in catalog:
-        return name
+    else:
+        # H2: an unqualified name resolves in the current schema,
+        # then the search path in order — and NEVER falls back to a
+        # same-spelled PUBLIC table unless PUBLIC is current or on
+        # the path (review r14: reads and writes must agree)
+        for skey in _resolution_order(engine):
+            cand = name if skey == "public" else f"{skey}.{name}"
+            if cand in catalog:
+                return cand
     for logical, physical in catalog.items():
         if name == physical or name.lower() == physical:
             return logical
@@ -4119,19 +4168,22 @@ def _prebind_index(engine):
     wrong #3). Returns ``(bare_idx, dotted_idx, dotted_schemas)``:
 
     * ``bare_idx``: casefolded addressable spelling -> (bind name,
-      logical) — PUBLIC names bind under their own spelling;
-      current-schema entries bind under their bare part and WIN a
-      collision with a same-spelled PUBLIC name (H2 resolves
-      unqualified names in the current schema);
+      logical) — a bare spelling binds to the FIRST schema in the
+      session's resolution order (current schema, then the
+      SCHEMA_SEARCH_PATH entries — r16) that has it, so a
+      current-schema entry still WINS a collision with a
+      same-spelled PUBLIC or path-schema name (H2's
+      Parser.readTableOrView order);
     * ``dotted_idx``: (schema key, casefolded bare) -> dotted logical
       for the qualified-mention scan;
     * ``dotted_schemas``: the schema keys with at least one entry.
     """
     keys = engine.sink.catalog
+    order = _resolution_order(engine)
     gen = (
         len(keys),
         hash(frozenset(map(str, keys))),
-        engine.current_schema,
+        tuple(order),
     )
     cached = getattr(engine, "_prebind_idx", None)
     if cached is not None and cached[0] == gen:
@@ -4139,7 +4191,17 @@ def _prebind_index(engine):
     from .schemas import split_logical
 
     known = engine.schemas.keys()
-    bare_idx: dict = {}
+    rank = {s: i for i, s in enumerate(order)}
+    best: dict = {}  # casefolded bare -> (rank, bind name, logical)
+
+    def claim(skey: str, bind: str, logical: str) -> None:
+        r = rank.get(skey)
+        if r is None:
+            return  # schema not in the resolution order: never bare
+        prev = best.get(bind.casefold())
+        if prev is None or r < prev[0]:
+            best[bind.casefold()] = (r, bind, logical)
+
     dotted_idx: dict = {}
     addressable = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
     for k in keys:
@@ -4148,19 +4210,17 @@ def _prebind_index(engine):
             skey, b = split_logical(ks, known)
             if skey != "public":
                 dotted_idx[(skey, b.casefold())] = ks
-                if engine.current_schema == skey and addressable.fullmatch(
-                    b
-                ):
-                    bare_idx[b.casefold()] = (b, ks)
+                if addressable.fullmatch(b):
+                    claim(skey, b, ks)
                 continue
-        if addressable.fullmatch(ks) and engine.current_schema == "public":
-            # unqualified names resolve ONLY in the current schema
-            # (H2 1.4.200 — no search path): PUBLIC bare names bind
-            # only when PUBLIC is current; under SET SCHEMA <other>
-            # they must be spelled PUBLIC.name (review r14 — the
-            # read path previously fell back to PUBLIC while the
-            # write path errored)
-            bare_idx.setdefault(ks.casefold(), (ks, ks))
+        if addressable.fullmatch(ks):
+            # PUBLIC bare names bind only when PUBLIC is current or
+            # on the search path; under SET SCHEMA <other> with no
+            # path they must be spelled PUBLIC.name (review r14 —
+            # the read path previously fell back to PUBLIC while
+            # the write path errored)
+            claim("public", ks, ks)
+    bare_idx = {c: (bind, lg) for c, (_r, bind, lg) in best.items()}
     idx = (bare_idx, dotted_idx, frozenset(s for s, _b in dotted_idx))
     engine._prebind_idx = (gen, idx)
     return idx

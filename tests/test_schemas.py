@@ -665,9 +665,60 @@ def test_show_tables_from_schema_filter(engine):
     engine.execute_sql('DROP TABLE "APP"."SHF"')
 
 
-def test_set_schema_search_path_rejected_loudly(engine):
-    with pytest.raises(ValueError, match="semantics"):
-        engine.execute_sql("SET SCHEMA_SEARCH_PATH PUBLIC, APP")
+def test_set_schema_search_path_resolution(engine):
+    """r16 (was a loud reject through r15): SET SCHEMA_SEARCH_PATH
+    implements H2's first-match-wins lookup for query-position
+    relations — current schema first, then path entries in order;
+    PUBLIC participates only when current or on the path; a path
+    entry naming no registered schema is skipped at lookup."""
+
+    def one(sql):
+        return engine.execute_sql(sql).collect()[0][0]
+
+    try:
+        engine.execute_sql('CREATE SCHEMA "SPA"')
+        engine.execute_sql('CREATE SCHEMA "SPB"')
+        engine.execute_sql('CREATE CACHED TABLE "SPA"."SP_T"("v" VARCHAR(2))')
+        engine.execute_sql("INSERT INTO \"SPA\".\"SP_T\" VALUES ('a')")
+        engine.execute_sql('CREATE CACHED TABLE "SPB"."SP_T"("v" VARCHAR(2))')
+        engine.execute_sql("INSERT INTO \"SPB\".\"SP_T\" VALUES ('b')")
+        engine.execute_sql('CREATE CACHED TABLE "SPB"."SP_U"("v" VARCHAR(2))')
+        engine.execute_sql("INSERT INTO \"SPB\".\"SP_U\" VALUES ('u')")
+        engine.execute_sql('CREATE CACHED TABLE "SP_P"("v" VARCHAR(2))')
+        engine.execute_sql("INSERT INTO \"SP_P\" VALUES ('p')")
+        # empty path (H2 default): strict current-schema
+        with pytest.raises(Exception):
+            engine.execute_sql("SELECT v FROM SP_U").collect()
+        # path consulted after the current schema, in order
+        engine.execute_sql("SET SCHEMA_SEARCH_PATH SPB")
+        assert one("SELECT v FROM SP_U") == "u"
+        assert one("SELECT v FROM SP_T") == "b"
+        engine.execute_sql("SET SCHEMA SPA")
+        assert one("SELECT v FROM SP_T") == "a"  # current wins
+        assert one("SELECT v FROM SP_U") == "u"
+        # PUBLIC is NOT implicit: from SPA with path [SPB], a PUBLIC
+        # bare name does not bind ...
+        with pytest.raises(Exception):
+            engine.execute_sql("SELECT v FROM SP_P").collect()
+        # ... until PUBLIC is on the path; unknown entries skipped
+        engine.execute_sql("SET SCHEMA_SEARCH_PATH GHOST, PUBLIC")
+        assert one("SELECT v FROM SP_P") == "p"
+        # first-match-wins order among path entries
+        engine.execute_sql("SET SCHEMA PUBLIC")
+        engine.execute_sql("SET SCHEMA_SEARCH_PATH SPB, SPA")
+        assert one("SELECT v FROM SP_T") == "b"
+        engine.execute_sql("SET SCHEMA_SEARCH_PATH SPA, SPB")
+        assert one("SELECT v FROM SP_T") == "a"
+        # grammar guard (a bare `SET SCHEMA_SEARCH_PATH` is Spark's
+        # conf-read form and passes through like every valueless SET)
+        with pytest.raises(ValueError, match="trailing"):
+            engine.execute_sql("SET SCHEMA_SEARCH_PATH SPA SPB")
+    finally:
+        engine.schema_search_path = []
+        engine.current_schema = "public"
+        engine.execute_sql('DROP TABLE IF EXISTS "SP_P"')
+        engine.execute_sql('DROP SCHEMA IF EXISTS "SPA" CASCADE')
+        engine.execute_sql('DROP SCHEMA IF EXISTS "SPB" CASCADE')
 
 
 # -- ALTER SCHEMA ... RENAME TO (r15: r14 verdict missing #3) -----------
