@@ -1610,6 +1610,106 @@ def countmin_heavyhitters(
     ).orderBy(F.desc("freq_exact"), F.asc("tok"))
 
 
+def bloom_membership(
+    docs: DataFrame,
+    text_col: str = "text",
+    m: int = 2048,
+    k: int = 4,
+    n_probes: int = 100,
+) -> DataFrame:
+    """[EXT] Bloom-filter membership sketch over corpus content
+    fingerprints (r16; Bloom 1970) — the count-min sibling for SET
+    membership: the mergeable KB-sized pre-filter that answers "is
+    this document already in the 100 TB reference corpus?" with a
+    broadcast instead of a corpus join (the dedup_cross_corpus
+    fast path; a miss is DEFINITIVE, only hits need the exact
+    verify).
+
+    The sketch: one ``m``-bit array, ``k`` hash functions. Every
+    distinct corpus fingerprint ``fp = md5(norm_text(text))`` sets
+    bits ``md5('bloom<j>:' || fp) % m`` for ``j < k``; a probe is a
+    member iff ALL its ``k`` bits are set. No false negatives ever
+    (the one-sided contract, materialized as a column the oracle
+    hash-checks); false positives at rate ~``(1-e^(-kn/m))^k``. The
+    hash is md5 like the MinHash/SimHash/CMS oracles, so DuckDB
+    replays the bit table BIT-FOR-BIT and the verdict columns
+    hash-match rather than needing tolerance.
+
+    Scale shape: ONE corpus pass to distinct fingerprints, then
+    ``k`` rows per distinct fingerprint into a DISTINCT over [0, m)
+    — the stored state is at most ``m`` rows (KBs), mergeable
+    across corpora/shards/streams by plain set union, which is why
+    a Bloom filter (not the corpus, not even its fingerprint list)
+    is what ships to the probing side. Probes pay a broadcast join
+    against the bit table — corpus never rescanned.
+
+    Output: one row per probe — ``n_probes`` corpus documents
+    (``doc:<id>``, expect member) interleaved with ``n_probes``
+    synthetic absent keys (``absent:<i>``) — with (probe_key,
+    in_corpus, bloom_member, false_positive, false_negative),
+    ordered by probe_key; false_negative must be all-false."""
+    spark = docs.sparkSession
+    fp_expr = F.md5(norm_text(F.col(text_col)))
+
+    def _bits(col: Column):
+        # the module's one engine-agnostic md5 bucket helper — the
+        # CMS idiom (review r15): if the documented 100 TB xxhash64
+        # swap ever lands in hash_bucket, the bloom bits follow it
+        return F.posexplode(
+            F.array(
+                *[
+                    hash_bucket(
+                        F.concat(F.lit(f"bloom{j}:"), col), m
+                    ).cast("int")
+                    for j in range(k)
+                ]
+            )
+        ).alias("j", "bit")
+
+    bits = (
+        docs.select(fp_expr.alias("fp"))
+        .distinct()
+        .select(_bits(F.col("fp")))
+        .select("bit")
+        .distinct()
+    )
+    present = docs.where(F.col("doc_id") < n_probes).select(
+        F.concat(F.lit("doc:"), F.col("doc_id").cast("string")).alias(
+            "probe_key"
+        ),
+        fp_expr.alias("pfp"),
+        F.lit(True).alias("in_corpus"),
+    )
+    absent = spark.range(n_probes).select(
+        F.concat(F.lit("absent:"), F.col("id").cast("string")).alias(
+            "probe_key"
+        ),
+        F.md5(F.concat(F.lit("absent:"), F.col("id").cast("string"))).alias(
+            "pfp"
+        ),
+        F.lit(False).alias("in_corpus"),
+    )
+    probe_bits = present.unionByName(absent).select(
+        "probe_key", "in_corpus", _bits(F.col("pfp"))
+    )
+    verdicts = (
+        probe_bits.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "bit", "left")
+        .groupBy("probe_key", "in_corpus")
+        .agg((F.min(F.coalesce("hit", F.lit(0))) == 1).alias("bloom_member"))
+    )
+    return verdicts.select(
+        "probe_key",
+        "in_corpus",
+        "bloom_member",
+        (F.col("bloom_member") & ~F.col("in_corpus")).alias(
+            "false_positive"
+        ),
+        (F.col("in_corpus") & ~F.col("bloom_member")).alias(
+            "false_negative"
+        ),
+    ).orderBy("probe_key")
+
+
 def rrf_fuse(
     rankings: "list[DataFrame]",
     rrf_k: int = 60,

@@ -2941,6 +2941,64 @@ def _cms_oracle(depth: int = 4, width: int = 256, k: int = 10) -> str:
     """
 
 
+def _bloom_oracle(m: int = 2048, k: int = 4, n_probes: int = 100) -> str:
+    """DuckDB mirror of operators.text.bloom_membership, parameterized
+    on the SAME (m, k, n_probes) the operator takes (the
+    _cms_oracle/_pagerank_oracle rule)."""
+    js = ", ".join(map(str, range(k)))
+    return f"""
+    WITH fp AS (SELECT DISTINCT md5({_NORM}) AS fp FROM documents),
+    h AS (SELECT unnest([{js}]) AS j),
+    bits AS (
+      SELECT DISTINCT CAST(('0x' || substr(md5('bloom' ||
+               CAST(j AS VARCHAR) || ':' || fp), 1, 8))
+             AS BIGINT) % {m} AS bit
+      FROM fp CROSS JOIN h
+    ),
+    probes AS (
+      SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS probe_key,
+             md5({_NORM}) AS pfp, TRUE AS in_corpus
+      FROM documents WHERE doc_id < {n_probes}
+      UNION ALL
+      SELECT 'absent:' || CAST(i AS VARCHAR),
+             md5('absent:' || CAST(i AS VARCHAR)), FALSE
+      FROM range({n_probes}) t(i)
+    ),
+    pb AS (
+      SELECT probe_key, in_corpus,
+             CAST(('0x' || substr(md5('bloom' ||
+               CAST(j AS VARCHAR) || ':' || pfp), 1, 8))
+             AS BIGINT) % {m} AS bit
+      FROM probes CROSS JOIN h
+    ),
+    verdicts AS (
+      SELECT pb.probe_key, pb.in_corpus,
+             MIN(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) = 1
+               AS bloom_member
+      FROM pb LEFT JOIN bits b ON b.bit = pb.bit
+      GROUP BY pb.probe_key, pb.in_corpus
+    )
+    SELECT probe_key, in_corpus, bloom_member,
+           (bloom_member AND NOT in_corpus) AS false_positive,
+           (in_corpus AND NOT bloom_member) AS false_negative
+    FROM verdicts ORDER BY probe_key
+    """
+
+
+@query("sketch_bloom_membership", oracle=_bloom_oracle())
+def q_sketch_bloom_membership(t: TableSet) -> DataFrame:
+    """Bloom-filter membership sketch (r16): a 2048-bit, 4-hash md5
+    Bloom filter over distinct corpus content fingerprints — the
+    mergeable KB-sized pre-filter for cross-corpus membership at
+    100 TB (a miss is definitive; only hits pay the exact verify).
+    100 in-corpus probes and 100 synthetic absent keys are judged by
+    the broadcast bit table; the no-false-negative contract is a
+    materialized column, and the md5 bit derivation makes the DuckDB
+    oracle replay the bit table bit-for-bit (the CMS determinism
+    rule), so the verdicts hash-match."""
+    return text.bloom_membership(t.documents)
+
+
 @query("sketch_countmin_heavyhitters", oracle=_cms_oracle())
 def q_sketch_countmin_heavyhitters(t: TableSet) -> DataFrame:
     """Count-min-sketch heavy hitters (r15): a 4x256 md5-hashed CMS

@@ -3112,6 +3112,36 @@ def test_countmin_heavyhitters_contract(spark):
         assert r.cms_est <= total
 
 
+def test_bloom_membership_contract(spark):
+    """Bloom invariants on a known corpus: every in-corpus probe IS a
+    member (no false negatives — the one-sided contract); duplicate
+    texts share a fingerprint so the bit table stays distinct-sized;
+    a tiny m forces false positives (all bits saturate) while a
+    roomy m keeps the absent side mostly clean; the verdict columns
+    are exactly member&~in / in&~member; deterministic across runs."""
+    from quasar_destination_h2_spark.operators.text import (
+        bloom_membership,
+    )
+
+    rows = [(i, f"document body {i % 7}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = bloom_membership(docs, n_probes=10).collect()
+    assert len(out) == 20  # 10 present + 10 absent probes
+    for r in out:
+        assert not r.false_negative
+        assert r.false_positive == (r.bloom_member and not r.in_corpus)
+        assert r.false_negative == (r.in_corpus and not r.bloom_member)
+        if r.in_corpus:
+            assert r.bloom_member
+    # m=1: every bit collides -> every absent probe false-positives
+    sat = bloom_membership(docs, m=1, k=2, n_probes=10).collect()
+    assert all(r.bloom_member for r in sat)
+    assert sum(r.false_positive for r in sat) == 10
+    # deterministic (no RNG)
+    again = bloom_membership(docs, n_probes=10).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
 def test_bq_encode_packs_sign_bits(t):
     """The 1-bit codes: bit i of (sig_hi||sig_lo) == sign(dim i);
     both halves stay in the non-negative 32-bit range (engine-
