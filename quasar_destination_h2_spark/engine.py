@@ -1748,23 +1748,29 @@ class Engine:
         edge frame ONCE so every centrality run pays only its
         bounded rank iterations. Three tables under one build id:
 
-        * ``{name}_edges`` ``(src, dst, build_id)`` — the DEDUPED
-          edge list, BUCKETED by ``src``: the per-round rank join
-          reads co-located source buckets with NO edge-side shuffle
-          (pinned by tests/test_bucketing.py::
+        * ``{name}_edges`` ``(src, dst, build_id, revision)`` — the
+          DEDUPED edge list, BUCKETED by ``src``: the per-round rank
+          join reads co-located source buckets with NO edge-side
+          shuffle (pinned by tests/test_bucketing.py::
           test_graph_index_lifecycle); appends land in the same
-          bucket spec.
-        * ``{name}_degrees`` ``(src, deg, build_id)`` — one row per
-          SOURCE node (the out-degree side table). Kept OFF the edge
-          table so appends never rewrite the edge store: degrees are
-          node-sized and merge-rewritten per append.
-        * ``{name}_nodes`` ``(node, build_id)`` — every distinct
-          endpoint; its count seeds the rank frame.
+          bucket spec at revision+1.
+        * ``{name}_degrees`` ``(src, deg, build_id, revision)`` —
+          one row per SOURCE node (the out-degree side table). Kept
+          OFF the edge table so appends never rewrite the edge
+          store: degrees are node-sized and merge-rewritten per
+          append.
+        * ``{name}_nodes`` ``(node, build_id, revision)`` — every
+          distinct endpoint; its count seeds the rank frame.
 
-        The heavy write (bucketed edges) lands FIRST, the torn-build
-        discipline of build_ivf_index: a failure between writes
-        leaves tables from different builds, and pagerank_served
-        verifies the ids match before serving."""
+        Torn-state detection (the text-index revision discipline —
+        an append under an UNCHANGED build id would otherwise be
+        undetectable, review r16): the build stamps revision 0
+        everywhere; each append writes edges at revision+1 FIRST,
+        then rewrites degrees and nodes at revision+1.
+        pagerank_served refuses when edges run AHEAD of the degrees
+        revision (crash after the edge append) or nodes lag it
+        (crash between the side-table rewrites), as well as on any
+        build-id mismatch."""
         from pyspark.sql import functions as F
 
         deduped = (
@@ -1776,30 +1782,24 @@ class Engine:
         )
         build_id = random_alphanum()
         self._graph_verified.pop(name, None)
+        stamp = lambda df: df.withColumn(  # noqa: E731
+            "build_id", F.lit(build_id)
+        ).withColumn("revision", F.lit(0).cast("bigint"))
         self.materialize_bucketed(
-            f"{name}_edges",
-            deduped.withColumn("build_id", F.lit(build_id)),
-            ["src"],
-            n_buckets,
+            f"{name}_edges", stamp(deduped), ["src"], n_buckets
         )
         degrees = deduped.groupBy("src").agg(
             F.count(F.lit(1)).cast("bigint").alias("deg")
         )
         self.drop_table_if_exists(f"{name}_degrees")
-        self.create_table_as(
-            f"{name}_degrees",
-            degrees.withColumn("build_id", F.lit(build_id)),
-        )
+        self.create_table_as(f"{name}_degrees", stamp(degrees))
         nodes = (
             deduped.select(F.col("src").alias("node"))
             .union(deduped.select(F.col("dst").alias("node")))
             .distinct()
         )
         self.drop_table_if_exists(f"{name}_nodes")
-        self.create_table_as(
-            f"{name}_nodes",
-            nodes.withColumn("build_id", F.lit(build_id)),
-        )
+        self.create_table_as(f"{name}_nodes", stamp(nodes))
 
     def append_to_graph_index(
         self,
@@ -1826,22 +1826,35 @@ class Engine:
         mass already present (re-crawl overlap), new_nodes the graph
         growth an operator alerts on. Appended state ≡ what
         build_graph_index would store for the union — pinned by
-        tests/test_bucketing.py. ``n_buckets`` must match the
-        build's (Spark refuses a mismatched bucket spec loudly)."""
+        tests/test_bucketing.py. The edge batch lands FIRST at
+        revision+1, then degrees and nodes rewrite at revision+1 —
+        a crash at any point leaves a revision mismatch
+        pagerank_served refuses (review r16: the build id alone
+        cannot detect a torn APPEND because appends keep it; the
+        text-index revision discipline). ``n_buckets`` must match
+        the build's (Spark refuses a mismatched bucket spec
+        loudly)."""
         from pyspark.sql import functions as F
 
         from .idents import storage_safe_name
 
         degrees_tbl = self.table(f"{name}_degrees")
-        cid = [
-            r.build_id
-            for r in degrees_tbl.select("build_id").distinct().collect()
+        state = [
+            (r.build_id, int(r.revision))
+            for r in degrees_tbl.select("build_id", "revision")
+            .distinct()
+            .collect()
         ]
-        if len(cid) != 1:
+        if len(state) != 1:
             raise ValueError(
-                f"graph index {name!r} degrees carry build ids {cid} — "
-                "re-run build_graph_index before appending"
+                f"graph index {name!r} degrees carry build/revision "
+                f"states {state} — re-run build_graph_index before "
+                "appending"
             )
+        bid, revision = state[0][0], state[0][1] + 1
+        stamp = lambda df: df.withColumn(  # noqa: E731
+            "build_id", F.lit(bid)
+        ).withColumn("revision", F.lit(revision).cast("bigint"))
         batch = (
             new_edges.select(
                 F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
@@ -1857,7 +1870,7 @@ class Engine:
         n_batch, n_fresh = batch.count(), fresh.count()
         self._graph_verified.pop(name, None)
         (
-            fresh.withColumn("build_id", F.lit(cid[0]))
+            stamp(fresh)
             .write.mode("append")
             .format("parquet")
             .bucketBy(n_buckets, "src")
@@ -1883,10 +1896,7 @@ class Engine:
             .localCheckpoint()  # materialized BEFORE its source drops
         )
         self.drop_table_if_exists(f"{name}_degrees")
-        self.create_table_as(
-            f"{name}_degrees",
-            merged_deg.withColumn("build_id", F.lit(cid[0])),
-        )
+        self.create_table_as(f"{name}_degrees", stamp(merged_deg))
         nodes_tbl = self.table(f"{name}_nodes")
         new_nodes = (
             fresh.select(F.col("src").alias("node"))
@@ -1901,10 +1911,7 @@ class Engine:
         )
         n_total = merged_nodes.count()
         self.drop_table_if_exists(f"{name}_nodes")
-        self.create_table_as(
-            f"{name}_nodes",
-            merged_nodes.withColumn("build_id", F.lit(cid[0])),
-        )
+        self.create_table_as(f"{name}_nodes", stamp(merged_nodes))
         return self.spark.createDataFrame(
             [(n_fresh, n_batch - n_fresh, n_new_nodes, n_total)],
             "appended_edges bigint, duplicate_edges bigint, "
@@ -1927,41 +1934,59 @@ class Engine:
         (``operators.iterate.pagerank_rounds`` — one shared loop, so
         served ranks are bit-identical to ``pagerank`` over the same
         edges; the graph_pagerank_served conformance query pins that
-        against the unrolled-CTE oracle). Raises if the three index
-        tables carry mismatched build ids (a torn rebuild); the
-        edge/node-side verification is memoized per build id exactly
-        like ann_topk's."""
+        against the unrolled-CTE oracle). Raises on a torn REBUILD
+        (mismatched build ids) and on a torn APPEND (the text-index
+        revision discipline, review r16: edges running AHEAD of the
+        degrees revision = crash after the edge append; nodes
+        lagging it = crash between the side-table rewrites — the
+        build id alone cannot see either, because appends keep it).
+        Verification is memoized per (build id, revision) exactly
+        like text_search's."""
         from .operators.iterate import pagerank_rounds
 
         edges = self.table(f"{name}_edges")
         degrees_tbl = self.table(f"{name}_degrees")
         nodes_tbl = self.table(f"{name}_nodes")
-        cid = [
-            r.build_id
-            for r in degrees_tbl.select("build_id").distinct().collect()
-        ]
-        if len(cid) == 1 and self._graph_verified.get(name) == cid[0]:
-            aid = cid
-        else:
-            aid = sorted(
-                {
-                    r.build_id
-                    for r in edges.select("build_id").distinct().collect()
-                }
-                | {
-                    r.build_id
-                    for r in nodes_tbl.select("build_id")
-                    .distinct()
-                    .collect()
-                }
+        dstate = sorted(
+            (r.build_id, int(r.revision))
+            for r in degrees_tbl.select("build_id", "revision")
+            .distinct()
+            .collect()
+        )
+        want = dstate[0] if len(dstate) == 1 else None
+        if want is None or self._graph_verified.get(name) != want:
+            estate = sorted(
+                (r.build_id, int(r.revision))
+                for r in edges.select("build_id", "revision")
+                .distinct()
+                .collect()
             )
-        if len(cid) != 1 or (aid and aid != cid):
-            raise ValueError(
-                f"graph index {name!r} is torn (degrees build {cid} vs "
-                f"edges/nodes build {aid}) — re-run build_graph_index"
+            nstate = sorted(
+                (r.build_id, int(r.revision))
+                for r in nodes_tbl.select("build_id", "revision")
+                .distinct()
+                .collect()
             )
-        if aid:
-            self._graph_verified[name] = cid[0]
+            torn = (
+                want is None
+                # foreign build id anywhere, or edges from a FUTURE
+                # revision (crash after an edge append, before the
+                # degrees rewrite); PAST-revision edge rows are the
+                # normal append-only layering
+                or any(b != want[0] for b, _ in (*estate, *nstate))
+                or max((r for _, r in estate), default=0) > want[1]
+                # nodes rewrite LAST: a single row set strictly at
+                # the degrees revision, or the append tore between
+                # the two side-table rewrites
+                or nstate != [want]
+            )
+            if torn:
+                raise ValueError(
+                    f"graph index {name!r} is torn (degrees "
+                    f"build/revision {dstate} vs edges {estate} / "
+                    f"nodes {nstate}) — re-run build_graph_index"
+                )
+            self._graph_verified[name] = want
         prepared = edges.select("src", "dst").join(
             degrees_tbl.select("src", "deg"), "src"
         )

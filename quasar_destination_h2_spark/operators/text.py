@@ -1649,7 +1649,11 @@ def bloom_membership(
     in_corpus, bloom_member, false_positive, false_negative),
     ordered by probe_key; false_negative must be all-false."""
     spark = docs.sparkSession
-    fp_expr = F.md5(norm_text(F.col(text_col)))
+    # NULL text fingerprints as the empty string: a bare md5(NULL)
+    # is NULL, which would set no bits and turn the document's own
+    # probe into a false NEGATIVE — breaking the one-sided contract
+    # the operator exists for (review r16)
+    fp_expr = F.md5(F.coalesce(norm_text(F.col(text_col)), F.lit("")))
 
     def _bits(col: Column):
         # the module's one engine-agnostic md5 bucket helper — the

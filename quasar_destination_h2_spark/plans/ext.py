@@ -2947,7 +2947,8 @@ def _bloom_oracle(m: int = 2048, k: int = 4, n_probes: int = 100) -> str:
     _cms_oracle/_pagerank_oracle rule)."""
     js = ", ".join(map(str, range(k)))
     return f"""
-    WITH fp AS (SELECT DISTINCT md5({_NORM}) AS fp FROM documents),
+    WITH fp AS (SELECT DISTINCT md5(coalesce({_NORM}, '')) AS fp
+         FROM documents),
     h AS (SELECT unnest([{js}]) AS j),
     bits AS (
       SELECT DISTINCT CAST(('0x' || substr(md5('bloom' ||
@@ -2957,7 +2958,7 @@ def _bloom_oracle(m: int = 2048, k: int = 4, n_probes: int = 100) -> str:
     ),
     probes AS (
       SELECT 'doc:' || CAST(doc_id AS VARCHAR) AS probe_key,
-             md5({_NORM}) AS pfp, TRUE AS in_corpus
+             md5(coalesce({_NORM}, '')) AS pfp, TRUE AS in_corpus
       FROM documents WHERE doc_id < {n_probes}
       UNION ALL
       SELECT 'absent:' || CAST(i AS VARCHAR),
@@ -7711,6 +7712,8 @@ def q_multischema_battery(t: TableSet) -> DataFrame:
     "search_path_battery",
     oracle="""
     SELECT * FROM (VALUES
+      ('dml', 'delete_via_path', '1'),
+      ('dml', 'insert_via_path', '2'),
       ('order', 'spa_first', 'a'),
       ('order', 'spb_first', 'b'),
       ('path', 'current_wins', 'a'),
@@ -7737,8 +7740,9 @@ def q_search_path_battery(t: TableSet) -> DataFrame:
     it participates only when current or explicitly on the path —
     and an unregistered path entry is skipped at lookup, not an
     error (a client may set its path before creating the schemas);
-    among path entries, order decides; trailing text after the list
-    rejects loudly. The oracle is the literal expected frame —
+    among path entries, order decides; DML targets (INSERT/DELETE)
+    resolve through the SAME lookup so reads and writes agree
+    (review r16); trailing text after the list rejects loudly. The oracle is the literal expected frame —
     fully determined by the battery's own data, never by sf data."""
     import json as _json
     import tempfile as _tempfile
@@ -7795,6 +7799,25 @@ def q_search_path_battery(t: TableSet) -> DataFrame:
     rows.append(("order", "spb_first", one("SELECT v FROM SPQ_T")))
     eng.execute_sql("SET SCHEMA_SEARCH_PATH SPQA, SPQB")
     rows.append(("order", "spa_first", one("SELECT v FROM SPQ_T")))
+    # DML targets consult the path too — H2 resolves them through the
+    # same readTableOrView lookup, so reads and writes agree
+    # (review r16)
+    eng.execute_sql("INSERT INTO SPQ_U VALUES ('w')")
+    rows.append(
+        (
+            "dml",
+            "insert_via_path",
+            str(one("SELECT COUNT(*) FROM SPQB.SPQ_U")),
+        )
+    )
+    eng.execute_sql("DELETE FROM SPQ_U WHERE v = 'w'")
+    rows.append(
+        (
+            "dml",
+            "delete_via_path",
+            str(one("SELECT COUNT(*) FROM SPQB.SPQ_U")),
+        )
+    )
     try:
         eng.execute_sql("SET SCHEMA_SEARCH_PATH SPQA SPQB")
         rows.append(("reject", "trailing", "ACCEPTED"))

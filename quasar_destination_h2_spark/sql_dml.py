@@ -1341,8 +1341,13 @@ def _execute_analyze(engine, statement: str, shadow: str, man):
         # H2 resolution, the _resolve_schema_qualifier semantics on
         # the already-parsed parts
         if second is None:
-            cur = engine.current_schema
-            logical = name if cur == "public" else f"{cur}.{name}"
+            # let _logical run the full unqualified lookup (current
+            # schema, then the SCHEMA_SEARCH_PATH in order) — pre-
+            # qualifying to the current schema here made ANALYZE's
+            # resolution flip on which schema was current while
+            # SELECT in the same session consulted the path
+            # (review r16)
+            logical = name
         elif name.casefold() == "public":
             logical = second
         elif engine.schemas.exists(name):
@@ -1604,18 +1609,21 @@ def _execute_set(engine, statement: str, shadow: str, m):
         return None
     if knob == "SCHEMA_SEARCH_PATH":
         # H2 ``SET SCHEMA_SEARCH_PATH s1, s2, ...`` (r16 — was a loud
-        # reject through r15): unqualified QUERY-position relation
-        # names resolve current-schema-first, then through these
-        # entries in order (Parser.readTableOrView; _resolution_order
-        # / _logical / _prebind_index). Entries are recorded
-        # casefolded without an existence check — H2 lets a client
-        # set its path before creating the schemas; unknown entries
-        # are skipped at lookup. SCOPE, documented: the path steers
-        # reads (relations in _resolve_sql); statement TARGETS
-        # (DML/DDL through _resolve_schema_qualifier) remain strict
-        # current-schema, so a cross-schema write must be qualified —
-        # the failure mode is a loud not-found, never a silent write
-        # to a different table than H2 would pick.
+        # reject through r15): unqualified TABLE names resolve
+        # current-schema-first, then through these entries in order
+        # (Parser.readTableOrView's first-match-wins), for BOTH
+        # query-position relations (_resolution_order / _logical /
+        # _prebind_index) and table-referencing statement targets
+        # (UPDATE/DELETE/MERGE/INSERT/DROP TABLE/TRUNCATE via
+        # _resolve_schema_qualifier's _PATH_CTX) — H2 resolves both
+        # through the same lookup, and reads and writes must agree
+        # (review r16). Entries are recorded casefolded without an
+        # existence check — H2 lets a client set its path before
+        # creating the schemas; unknown entries are skipped at
+        # lookup. SCOPE, documented: CREATE verbs still target the
+        # current schema only (H2), and sequence/view DDL names
+        # resolve strict current-schema in their own registries —
+        # those misses fail loudly, never silently elsewhere.
         pos = m.end()
         path = []
         while True:
@@ -2913,16 +2921,35 @@ def _h2_view_def_to_spark(definition: str) -> str:
     return "".join(out)
 
 
+#: Statement contexts whose name references an EXISTING table — H2
+#: resolves these through Parser.readTableOrView, i.e. the schema
+#: search path applies (r16). CREATE-side contexts and the
+#: sequence/view DDL verbs are deliberately absent: creation targets
+#: the current schema only, and sequence/view names resolve in their
+#: own registries (strict current-schema — the documented scope).
+_PATH_CTX = frozenset(
+    {"UPDATE", "DELETE", "MERGE", "INSERT", "DROP TABLE", "TRUNCATE"}
+)
+
+
 def _resolve_schema_qualifier(engine, statement, shadow, name, pos, ctx):
     """H2 name resolution at the statement surface (r14 — multi-
     schema dumps): a QUALIFIED name resolves in its spelled schema —
     ``PUBLIC."T"`` strips to the bare logical name, a registered
     schema maps to the dotted logical name ``key.<name>`` (schemas.py
     module docstring) — and an UNQUALIFIED name resolves in the
-    session's current schema (H2 ``SET SCHEMA``, default PUBLIC).
-    An unknown qualifier errors precisely, naming the fix (the one
-    statement class a genuinely foreign multi-schema dump used to
-    die on, r13 verdict)."""
+    session's current schema (H2 ``SET SCHEMA``, default PUBLIC),
+    then — for the table-referencing contexts in ``_PATH_CTX`` —
+    through the SCHEMA_SEARCH_PATH in order (r16: H2 resolves DML
+    targets through Parser.readTableOrView exactly like query
+    relations, so reads and writes must agree — review r16; a
+    current-schema VIEW still shadows a path table, so the view
+    guards fire exactly as before). When nothing on the path
+    matches, the strict current-schema mapping is returned so
+    not-found error messages are unchanged. An unknown qualifier
+    errors precisely, naming the fix (the one statement class a
+    genuinely foreign multi-schema dump used to die on, r13
+    verdict)."""
     if pos < len(shadow) and shadow[pos] == ".":
         sch = name
         name, pos = _parse_ident(statement, shadow, pos + 1)
@@ -2936,6 +2963,21 @@ def _resolve_schema_qualifier(engine, statement, shadow, name, pos, ctx):
             "INFORMATION_SCHEMA.SCHEMATA)"
         )
     cur = engine.current_schema
+    if ctx in _PATH_CTX:
+        catalog = engine.sink.catalog
+        for skey in _resolution_order(engine):
+            if skey == "public":
+                # views are PUBLIC-only: a view claims its name in
+                # its schema (H2 keeps views in the table namespace)
+                # so the DML view guards judge it, not a path table
+                if engine.views.get(name) is not None:
+                    return name, pos
+                if name in catalog:
+                    return name, pos
+            else:
+                cand = f"{skey}.{name}"
+                if cand in catalog:
+                    return cand, pos
     if cur != "public":
         return f"{cur}.{name}", pos
     return name, pos

@@ -1010,6 +1010,32 @@ def test_graph_index_append_and_tear(engine, spark):
     assert sorted(
         map(tuple, engine.pagerank_served("gix2").collect())
     ) == full
+    # torn APPEND: edge rows from a FUTURE revision (a crash after
+    # the edge append, before the degrees rewrite — the build id
+    # alone cannot see this, appends keep it) refuse to serve; the
+    # memo is popped the way a real crashed append pops it before
+    # its first write
+    from quasar_destination_h2_spark.idents import storage_safe_name
+
+    deg_state = engine.table("gix2_degrees").select(
+        "build_id", "revision"
+    ).first()
+    engine._graph_verified.pop("gix2", None)
+    (
+        spark.createDataFrame([(999999, 999998)], "src long, dst long")
+        .withColumn("build_id", F.lit(deg_state.build_id))
+        .withColumn(
+            "revision",
+            F.lit(int(deg_state.revision) + 1).cast("bigint"),
+        )
+        .write.mode("append")
+        .format("parquet")
+        .bucketBy(8, "src")
+        .sortBy("src")
+        .saveAsTable(storage_safe_name("gix2_edges"))
+    )
+    with pytest.raises(ValueError, match="torn"):
+        engine.pagerank_served("gix2")
     # torn build: degrees under a foreign id refuse to serve
     deg2 = (
         engine.table("gix2_degrees")

@@ -3123,7 +3123,10 @@ def test_bloom_membership_contract(spark):
         bloom_membership,
     )
 
-    rows = [(i, f"document body {i % 7}") for i in range(20)]
+    rows = [
+        (i, None if i == 3 else f"document body {i % 7}")
+        for i in range(20)
+    ]  # doc 3's NULL text must still be a member (coalesced to '')
     docs = spark.createDataFrame(rows, "doc_id bigint, text string")
     out = bloom_membership(docs, n_probes=10).collect()
     assert len(out) == 20  # 10 present + 10 absent probes

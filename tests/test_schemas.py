@@ -709,6 +709,21 @@ def test_set_schema_search_path_resolution(engine):
         assert one("SELECT v FROM SP_T") == "b"
         engine.execute_sql("SET SCHEMA_SEARCH_PATH SPA, SPB")
         assert one("SELECT v FROM SP_T") == "a"
+        # review r16: DML targets consult the path too (H2 resolves
+        # them through the same readTableOrView) — reads and writes
+        # must agree
+        engine.execute_sql("INSERT INTO SP_U VALUES ('w')")
+        assert one("SELECT COUNT(*) FROM SPB.SP_U") == 2
+        engine.execute_sql("DELETE FROM SP_U WHERE v = 'w'")
+        assert one("SELECT COUNT(*) FROM SPB.SP_U") == 1
+        # ... and ANALYZE resolves its unqualified name the same way
+        # (pre-fix it pre-qualified to the CURRENT schema and missed
+        # what SELECT in the same session found — review r16)
+        engine.execute_sql("SET SCHEMA SPA")
+        engine.execute_sql("ANALYZE TABLE SP_U")  # via the path
+        engine.execute_sql("SET SCHEMA_SEARCH_PATH SPA")
+        with pytest.raises(ValueError, match="table not found"):
+            engine.execute_sql("ANALYZE TABLE SP_U")
         # grammar guard (a bare `SET SCHEMA_SEARCH_PATH` is Spark's
         # conf-read form and passes through like every valueless SET)
         with pytest.raises(ValueError, match="trailing"):
