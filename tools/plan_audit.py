@@ -312,6 +312,14 @@ RESCAN_REVIEWED = frozenset({
     # top-k both read the cache (the tfidf/LM-family shape — the
     # rendering prints the FileScan under each InMemoryRelation):
     "sketch_countmin_heavyhitters",
+    # r16 Bloom sketch: the bit table is ONE corpus pass (distinct
+    # fingerprints -> <=m distinct bits, KB-sized, broadcast); the
+    # second documents scan is the bounded probe-sample slice
+    # (doc_id < n_probes, filter pushed to the scan) — the reviewed
+    # bounded-query-sample shape of ann_index_search/ann_bq_*. A
+    # production probe ships only the bit table; the corpus is never
+    # rescanned at probe time.
+    "sketch_bloom_membership",
     # query-set vs corpus / self-join sides (pruned or cached):
     "ann_lsh_bucketed", "embed_dedup_pairs", "embed_cosine_topk",
     "hard_negative_mining",
