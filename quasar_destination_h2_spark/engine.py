@@ -533,10 +533,17 @@ class Engine:
         codes = self.table(f"{name}_codes")
         vectors = self.table(f"{name}_vectors")
         cb = self.table(f"{name}_codebook")
-        cid = [r.build_id for r in cb.select("build_id").distinct().collect()]
+        # ONE collect serves the freshness check AND pq_m (r16: the
+        # steady-state probe used to pay two driver actions on the
+        # bounded codebook before searching); the memo carries
+        # (build_id, m) so the verified path never re-reads pq_m
+        meta = cb.select("build_id", "pq_m").distinct().collect()
+        cid = sorted({r.build_id for r in meta})
         memo_key = f"pq:{name}"
-        if len(cid) == 1 and self._ann_verified.get(memo_key) == cid[0]:
+        memo = self._ann_verified.get(memo_key)
+        if len(cid) == 1 and memo and memo[0] == cid[0]:
             heavy = cid
+            m = memo[1]
         else:
             heavy = sorted(
                 set(
@@ -547,15 +554,14 @@ class Engine:
                     .collect()
                 )
             )
+            m = int(meta[0].pq_m) if meta else similarity.PQ_M
         if len(cid) != 1 or (heavy and heavy != cid):
             raise ValueError(
                 f"PQ index {name!r} is torn (codebook build {cid} vs "
                 f"codes/vectors builds {heavy}) — re-run build_pq_index"
             )
         if heavy:
-            self._ann_verified[memo_key] = cid[0]
-        mrow = cb.select("pq_m").first()
-        m = int(mrow.pq_m) if mrow else similarity.PQ_M
+            self._ann_verified[memo_key] = (cid[0], m)
         lut = similarity.pq_query_lut(
             queries, cb.select("m", "code", "cvec"), m, query_id_col, query_vec_col
         )
@@ -824,44 +830,56 @@ class Engine:
         build id like ann_topk's."""
         from .operators import similarity
 
+        from pyspark.sql import functions as F
+
         codes = self.table(f"{name}_codes")
         vectors = self.table(f"{name}_vectors")
         cents = self.table(f"{name}_centroids")
         cb = self.table(f"{name}_codebook")
-        cid = sorted(
-            set(
-                r.build_id
-                for r in cents.select("build_id")
-                .distinct()
-                .union(cb.select("build_id").distinct())
-                .collect()
+        # ONE collect over the two bounded quantizer tables serves the
+        # freshness check AND pq_m (r16: previously two driver
+        # actions per probe); the memo carries (build_id, m) so the
+        # verified steady state never re-reads pq_m either
+        meta = (
+            cents.select(
+                "build_id", F.lit(None).cast("int").alias("pq_m")
             )
+            .unionByName(cb.select("build_id", "pq_m"))
+            .distinct()
+            .collect()
         )
+        cid = sorted({r.build_id for r in meta})
+        m_vals = sorted({int(r.pq_m) for r in meta if r.pq_m is not None})
+        m = m_vals[0] if m_vals else similarity.PQ_M
         memo_key = f"ivfpq:{name}"
-        mrow = cb.select("pq_m").first()
-        m = int(mrow.pq_m) if mrow else similarity.PQ_M
-        if len(cid) == 1 and self._ann_verified.get(memo_key) == cid[0]:
+        memo = self._ann_verified.get(memo_key)
+        if len(cid) == 1 and memo and memo[0] == cid[0]:
             heavy = cid
+            m = memo[1]
         else:
-            heavy = sorted(
-                set(
-                    r.build_id
-                    for r in codes.select("build_id")
-                    .distinct()
-                    .union(vectors.select("build_id").distinct())
-                    .collect()
-                )
-            )
             # a failure BETWEEN append_to_ivfpq_index's two table
             # appends leaves vectors without codes under the SAME
             # build id — invisible to the id check, silently absent
             # from ADC scoring. Every vector carries exactly m code
-            # rows, so the count identity detects the tear; the two
-            # column-pruned counts ride the same memo as the id scan
-            # (paid once per build/append, never per steady-state
-            # probe).
-            n_codes = codes.count()
-            n_vecs = vectors.count()
+            # rows, so the count identity detects the tear. The ids
+            # AND both counts ride ONE per-build aggregation job
+            # (r16: previously three — a distinct-union collect plus
+            # two count jobs), paid once per build/append, never per
+            # steady-state probe.
+            stats = (
+                codes.groupBy("build_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select("build_id", "n", F.lit("codes").alias("side"))
+                .unionByName(
+                    vectors.groupBy("build_id")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .select("build_id", "n", F.lit("vectors").alias("side"))
+                )
+                .collect()
+            )
+            heavy = sorted({r.build_id for r in stats})
+            n_codes = sum(int(r.n) for r in stats if r.side == "codes")
+            n_vecs = sum(int(r.n) for r in stats if r.side == "vectors")
             if n_codes != m * n_vecs:
                 raise ValueError(
                     f"IVFPQ index {name!r} is torn: {n_vecs} vectors "
@@ -874,7 +892,7 @@ class Engine:
                 f"codes/vectors builds {heavy}) — re-run build_ivfpq_index"
             )
         if heavy:
-            self._ann_verified[memo_key] = cid[0]
+            self._ann_verified[memo_key] = (cid[0], m)
         probes = similarity.ivfpq_probe_lists(
             queries,
             cents.select("centroid_id", "cvec"),
@@ -924,7 +942,7 @@ class Engine:
         kmeans_iters: int = 2,
         id_col: str = "vec_id",
         vec_col: str = "embedding",
-    ) -> None:
+    ) -> str:
         """[EXT] Build-once IVF+BQ index — the coarse quantizer
         composed over the 1-bit sign codes, closing the one
         O(corpus)-per-batch probe in the ANN family (the flat
@@ -1007,6 +1025,9 @@ class Engine:
                 F.lit(mean_micro).cast("bigint"),
             ),
         )
+        # returned so build_cascade_index composes without re-reading
+        # the just-written centroids (r16)
+        return build_id
 
     def append_to_ivfbq_index(
         self,
@@ -1123,6 +1144,8 @@ class Engine:
         memoized per build id like ann_topk's."""
         from .operators import similarity
 
+        from pyspark.sql import functions as F
+
         codes = self.table(f"{name}_codes")
         vectors = self.table(f"{name}_vectors")
         cents = self.table(f"{name}_centroids")
@@ -1134,24 +1157,28 @@ class Engine:
         if len(cid) == 1 and self._ann_verified.get(memo_key) == cid[0]:
             heavy = cid
         else:
-            heavy = sorted(
-                set(
-                    r.build_id
-                    for r in codes.select("build_id")
-                    .distinct()
-                    .union(vectors.select("build_id").distinct())
-                    .collect()
-                )
-            )
             # a failure BETWEEN append_to_ivfbq_index's two appends
             # leaves vectors without sign codes under the SAME build
             # id — invisible to the id check, silently absent from
             # Hamming scoring. Every vector carries exactly one code
-            # row; the column-pruned counts ride the same memo as the
-            # id scan (paid once per build/append, never per
-            # steady-state probe).
-            n_codes = codes.count()
-            n_vecs = vectors.count()
+            # row; the ids AND both counts ride ONE per-build
+            # aggregation job (r16: previously a distinct-union
+            # collect plus two count jobs), paid once per
+            # build/append, never per steady-state probe.
+            stats = (
+                codes.groupBy("build_id")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select("build_id", "n", F.lit("codes").alias("side"))
+                .unionByName(
+                    vectors.groupBy("build_id")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .select("build_id", "n", F.lit("vectors").alias("side"))
+                )
+                .collect()
+            )
+            heavy = sorted({r.build_id for r in stats})
+            n_codes = sum(int(r.n) for r in stats if r.side == "codes")
+            n_vecs = sum(int(r.n) for r in stats if r.side == "vectors")
             if n_codes != n_vecs:
                 raise ValueError(
                     f"IVFBQ index {name!r} is torn: {n_vecs} vectors "
@@ -1233,19 +1260,18 @@ class Engine:
 
         from .operators import similarity
 
-        self.build_ivfbq_index(
+        build_id = self.build_ivfbq_index(
             name, emb, n_list, kmeans_iters, id_col, vec_col
-        )
-        build_id = (
-            self.table(f"{name}_centroids").select("build_id").first()[0]
         )
         m = similarity.PQ_M if m is None else m
         k = similarity.PQ_K if k is None else k
         iters = similarity.PQ_ITERS if pq_iters is None else pq_iters
         stored = self.table(f"{name}_vectors")
+        # pq_codebooks returns a LocalRelation since r16 — no
+        # checkpoint needed to make its consumers free
         cb = similarity.pq_codebooks(
             stored, m, k, iters, "vec_id", "embedding"
-        ).localCheckpoint()
+        )
         codes = similarity.pq_encode(stored, cb, m, "vec_id", "embedding")
         # one build-time corpus join pins each code row to its list so
         # the SERVING scan prunes; steady-state probes never pay it
@@ -1319,26 +1345,49 @@ class Engine:
             # so serving never re-collects it (self-review r12)
             pq_m = memo[1]
         else:
-            heavy = sorted(
-                set(
-                    r.build_id
-                    for r in codes_bq.select("build_id")
-                    .distinct()
-                    .union(codes_pq.select("build_id").distinct())
-                    .union(vectors.select("build_id").distinct())
-                    .union(cb.select("build_id").distinct())
-                    .collect()
+            from pyspark.sql import functions as F
+
+            # ids, per-tier counts AND pq_m in ONE aggregation job
+            # (r16: previously a 4-way distinct-union collect plus
+            # pq_m first() plus three count jobs), paid once per
+            # build, never per steady-state probe
+            def _leg(df, side):
+                return (
+                    df.groupBy("build_id")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .select(
+                        "build_id",
+                        "n",
+                        F.lit(None).cast("int").alias("pq_m"),
+                        F.lit(side).alias("side"),
+                    )
                 )
+
+            stats = (
+                _leg(codes_bq, "bq")
+                .unionByName(_leg(codes_pq, "pq"))
+                .unionByName(_leg(vectors, "vec"))
+                .unionByName(
+                    cb.groupBy("build_id", "pq_m")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .select("build_id", "n", "pq_m", F.lit("cb").alias("side"))
+                )
+                .collect()
             )
+            heavy = sorted({r.build_id for r in stats})
             if len(cid) != 1 or heavy != sorted(cid):
                 raise ValueError(
                     f"cascade index {name!r} is torn (centroid builds "
                     f"{sorted(cid)} vs member builds {heavy}) — re-run "
                     "build_cascade_index"
                 )
-            n_vecs = vectors.count()
-            pq_m = int(cb.select("pq_m").first()[0])
-            if codes_bq.count() != n_vecs or codes_pq.count() != n_vecs * pq_m:
+            n_vecs = sum(int(r.n) for r in stats if r.side == "vec")
+            n_bq = sum(int(r.n) for r in stats if r.side == "bq")
+            n_pq = sum(int(r.n) for r in stats if r.side == "pq")
+            pq_m = int(
+                [r.pq_m for r in stats if r.side == "cb"][0]
+            )
+            if n_bq != n_vecs or n_pq != n_vecs * pq_m:
                 raise ValueError(
                     f"cascade index {name!r} is torn: code counts do "
                     "not match the vector count — a failed write; "
@@ -1987,10 +2036,25 @@ class Engine:
                     f"nodes {nstate}) — re-run build_graph_index"
                 )
             self._graph_verified[name] = want
-        prepared = edges.select("src", "dst").join(
-            degrees_tbl.select("src", "deg"), "src"
+        from . import cache
+
+        # persist the degree-attached edge frame and the node frame
+        # for the run (r16, guide §5): pagerank_rounds reads both once
+        # PER ROUND, and a lazy join/scan here re-read the stored
+        # tables and re-ran the degree join every round (measured:
+        # graph_rank_only benched SLOWER than the in-run form, which
+        # localCheckpoints its prepared frame). The cached join keeps
+        # the bucketed edge side's hash(src) partitioning, so rounds
+        # stay edge-side-exchange-free; at 100 TB MEMORY_AND_DISK
+        # spills to local disk — still cheaper than iterations x
+        # (remote bucket read + degree join). nodes.count() doubles
+        # as the materializing action.
+        prepared = cache.persisted(
+            edges.select("src", "dst").join(
+                degrees_tbl.select("src", "deg"), "src"
+            )
         )
-        nodes = nodes_tbl.select("node")
+        nodes = cache.persisted(nodes_tbl.select("node"))
         return pagerank_rounds(
             prepared, nodes, nodes.count(), iterations, damping_pct, k
         )

@@ -191,6 +191,107 @@ def ivf_centroids(
     )
 
 
+def _centroid_rows(cents: DataFrame) -> list[tuple[int, list[float]]]:
+    """Driver-collected (centroid_id, cvec) pairs of a BOUNDED
+    quantizer frame (n_list or m x k rows — never corpus-sized).
+
+    r16 optimization (guide §2.4 — remove shuffles outright): the
+    assign/encode argmaxes used to be broadcast-crossJoin + groupBy
+    aggregations whose Exchange carried one row PER CORPUS VECTOR,
+    each dragging the full embedding, once per k-means round / encode
+    pass — a full-corpus shuffle that existed only to pick a per-row
+    max. Collecting the tiny quantizer to the driver and embedding it
+    as plan literals turns the argmax into a per-row expression inside
+    the scan stage: same 6-rounded cosines, same tie order, ZERO
+    exchange, and the quantizer lineage is truncated at the driver so
+    training rounds no longer need per-round checkpoints. float32
+    values widen to double exactly; every cosine here already cast to
+    double, so the arithmetic is bit-identical."""
+    return [
+        (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
+        for r in cents.select("centroid_id", "cvec").collect()
+    ]
+
+
+def _sql_double(x: float) -> str:
+    """Exact SQL rendering of a double: ``repr`` emits the shortest
+    decimal that round-trips to the same IEEE-754 double, and the
+    string cast parses it back bit-exactly."""
+    return f"CAST('{x!r}' AS DOUBLE)"
+
+
+def _sql_entries(rows: list[tuple[int, list[float]]]) -> str:
+    """SQL literal array<struct<id bigint, cv array<double>>> of the
+    collected quantizer entries."""
+    return (
+        "array("
+        + ",".join(
+            "named_struct('id', CAST(%d AS BIGINT), 'cv', array(%s))"
+            % (cid, ",".join(_sql_double(v) for v in cv))
+            for cid, cv in rows
+        )
+        + ")"
+    )
+
+
+#: SQL twin of :func:`_dot` — elementwise double product, in-order
+#: double sum (identical operations, identical result).
+_SQL_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+    "CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    """SQL twin of :func:`cosine`: dot / (sqrt(dot_aa) * sqrt(dot_bb))
+    with the same operation tree, so the doubles are bit-identical."""
+    dot = _SQL_DOT.format(a=a, b=b)
+    na = _SQL_DOT.format(a=a, b=a)
+    nb = _SQL_DOT.format(a=b, b=b)
+    return f"({dot} / (SQRT({na}) * SQRT({nb})))"
+
+
+def _nearest_struct(vec_sql: str, rows: list[tuple[int, list[float]]]) -> Column:
+    """struct(s = round(cosine(vec, cvec), 6), nc = -id) of the
+    nearest entry: array_max compares the per-entry structs
+    lexicographically, which IS ``max_by(id, struct(sim, -id))`` —
+    max similarity first, ties to the LOWER id. Bit-identical to the
+    groupBy argmax it replaces (same cosine operation tree, same
+    rounding, same tie order), evaluated per row with no shuffle.
+
+    Built as ONE ``F.expr`` over a single literal entry array with
+    the cosine written once against the lambda variable — a
+    per-Column construction (one py4j round trip per expression node,
+    one cosine subtree per entry) measured 3-5 s of pure DRIVER time
+    per call site at n_list=16 x dim=64; the one-string form parses
+    in milliseconds and evaluates identically."""
+    return F.expr(
+        f"array_max(transform({_sql_entries(rows)}, c -> named_struct("
+        f"'s', round({_sql_cosine(vec_sql, 'c.cv')}, 6), "
+        f"'nc', -c.id)))"
+    )
+
+
+def _nearest_l2_struct(
+    vec_sql: str, rows: list[tuple[int, list[float]]]
+) -> Column:
+    """struct(d2 = round(||vec-cvec||^2, 6), code) of the nearest
+    entry by MIN squared Euclidean distance — array_min over the
+    per-entry structs is ``min_by(code, struct(d2, code))``: min
+    distance first, ties to the LOWER code id. The difference array
+    is bound once via the single-element-transform idiom (the SQL
+    twin of :func:`_d2_rounded`'s bind_once)."""
+    diff = f"zip_with({vec_sql}, c.cv, (x, y) -> x - y)"
+    d2 = (
+        f"transform(array({diff}), d -> "
+        f"round({_SQL_DOT.format(a='d', b='d')}, 6))[0]"
+    )
+    return F.expr(
+        f"array_min(transform({_sql_entries(rows)}, c -> named_struct("
+        f"'d2', {d2}, 'code', c.id)))"
+    )
+
+
 def ivf_assign(
     emb: DataFrame,
     cents: DataFrame,
@@ -198,38 +299,29 @@ def ivf_assign(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine —
-    ties broken by lower centroid id). Broadcast the n_list centroid
-    vectors; the per-vector argmax is a ``max_by`` AGGREGATION, not a
-    window: the broadcast cross join emits each vector's n_list
-    scored rows consecutively in the same partition, so the partial
-    (map-side) aggregate collapses them to one row BEFORE any
-    exchange — the shuffle carries |corpus| rows regardless of
-    n_list. The window formulation shuffled |corpus| x n_list rows
-    each dragging the full embedding — ``tools/scale_probe.py --ivf``
-    measures it 15.5x slower at n_list=256 / 1.5x at n_list=16 on
-    sf0.1 (log: tools/gatelogs/IVF_PROBE_r7.json), and the gap grows
-    with n_list because only the window's shuffle volume does."""
-    scored = emb.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-    ).crossJoin(F.broadcast(cents)).select(
-        "_id",
-        "_v",
-        "centroid_id",
-        F.round(cosine(F.col("_v"), F.col("cvec")), 6).alias("_sim"),
-    )
-    return (
-        scored.groupBy("_id")
-        .agg(
-            F.first("_v").alias("_vv"),
-            F.max_by(
-                "centroid_id", F.struct(F.col("_sim"), (-F.col("centroid_id")))
-            ).alias("centroid_id"),
-        )
-        .select(
-            F.col("_id").alias(id_col),
-            F.col("_vv").alias(vec_col),
-            "centroid_id",
-        )
+    ties broken by lower centroid id). The n_list centroid vectors
+    are driver-collected and embedded as plan LITERALS
+    (:func:`_centroid_rows`), so the per-vector argmax is a per-row
+    expression evaluated inside the scan stage — ZERO exchange (r16;
+    guide §2.4). Earlier forms compared: the broadcast-crossJoin +
+    map-side-combined ``max_by`` aggregation still shuffled |corpus|
+    rows (each dragging the full embedding) through its groupBy
+    Exchange; the window formulation shuffled |corpus| x n_list rows
+    (``tools/scale_probe.py --ivf`` measured it 15.5x slower at
+    n_list=256 — IVF_PROBE_r7.json). The literal form shuffles
+    nothing and scales with n_list only in per-row FLOPs."""
+    rows = _centroid_rows(cents)
+    if not rows:
+        return emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.lit(None).cast("bigint").alias("centroid_id"),
+        ).where(F.lit(False))
+    best = _nearest_struct(f"`{vec_col}`", rows)
+    return emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (-best["nc"]).alias("centroid_id"),
     )
 
 
@@ -309,22 +401,35 @@ def kmeans_refine(
     tests/test_ext_operators.py on a synthetically clustered corpus,
     measured per-query by the ann_ivf_recall_kmeans contract).
 
-    Scale shape per round: ONE corpus pass (broadcast n_list
-    centroids, map-side-combined argmax — ivf_assign's shape) plus
-    the n_list x dim mean-direction aggregate; the tiny centroid
-    frame is localCheckpoint-ed each round so lineage stays flat
-    (swap to reliable checkpoint on revocable executors, as
-    operators/iterate.py documents). Returns (centroid_id, cvec);
-    centroid ids remain the seed ids (clusters that empty out
+    Scale shape per round (r16): ONE shuffle-free corpus pass — the
+    literal-argmax assign (:func:`_centroid_rows`) fused with the
+    n_list x dim mean-direction aggregate, materialized by the
+    driver collect that feeds the NEXT round's literals. The collect
+    replaces the per-round localCheckpoint: both truncate lineage,
+    but the collect also removes the assign Exchange and makes the
+    returned centroids a LocalRelation every consumer (store,
+    broadcast, re-assign) reads for free. Returns (centroid_id,
+    cvec); centroid ids remain the seed ids (clusters that empty out
     disappear). Precondition (shared by every cosine operator here):
     no zero-norm vectors in ``emb`` — cosine is undefined for them
     and ANSI mode aborts on the 0/0; the centroid UPDATE is guarded
     regardless (_unit_rounded yields NULL -> the row drops out)."""
-    cents = ivf_centroids(emb, id_col, vec_col, n_list).localCheckpoint()
+    if iters <= 0:
+        return ivf_centroids(emb, id_col, vec_col, n_list).localCheckpoint()
+    cents = ivf_centroids(emb, id_col, vec_col, n_list)
     for _ in range(iters):
+        # ivf_assign collects `cents` (the seed top-k on round 1, the
+        # previous round's mean-direction aggregate after) — one
+        # bounded driver action per round, the only action in it
         assigned = ivf_assign(emb, cents, id_col, vec_col)
-        cents = kmeans_mean_directions(assigned, vec_col).localCheckpoint()
-    return cents
+        cents = kmeans_mean_directions(assigned, vec_col)
+    rows = [
+        (int(r["centroid_id"]), [float(x) for x in r["cvec"]])
+        for r in cents.select("centroid_id", "cvec").collect()
+    ]
+    return emb.sparkSession.createDataFrame(
+        rows, "centroid_id bigint, cvec array<double>"
+    )
 
 
 def _assign_scored(
@@ -334,30 +439,26 @@ def _assign_scored(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """ivf_assign carrying the winning similarity: (id, vec,
-    centroid_id, sim_micro). Same single-shuffle argmax shape — the
-    struct max collapses map-side; sim_micro is the 6-rounded cosine
-    lifted to exact integer micro-units."""
-    scored = emb.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-    ).crossJoin(F.broadcast(cents)).select(
-        "_id",
-        "_v",
-        "centroid_id",
-        F.round(cosine(F.col("_v"), F.col("cvec")), 6).alias("_sim"),
-    )
-    best = scored.groupBy("_id").agg(
-        F.first("_v").alias("_vv"),
-        F.max(
-            F.struct(
-                F.col("_sim").alias("s"), (-F.col("centroid_id")).alias("nc")
-            )
-        ).alias("b"),
-    )
-    return best.select(
-        F.col("_id").alias(id_col),
-        F.col("_vv").alias(vec_col),
-        (-F.col("b.nc")).alias("centroid_id"),
-        (F.col("b.s").cast("decimal(28,10)") * 1000000)
+    centroid_id, sim_micro). Same literal-argmax shape (r16 —
+    :func:`_centroid_rows`): zero-exchange per-row expression;
+    sim_micro is the 6-rounded cosine lifted to exact integer
+    micro-units. The struct max is referenced twice (id and score);
+    whole-stage codegen's subexpression elimination evaluates it
+    once per row."""
+    rows = _centroid_rows(cents)
+    if not rows:
+        return emb.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.lit(None).cast("bigint").alias("centroid_id"),
+            F.lit(None).cast("bigint").alias("sim_micro"),
+        ).where(F.lit(False))
+    best = _nearest_struct(f"`{vec_col}`", rows)
+    return emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        (-best["nc"]).alias("centroid_id"),
+        (best["s"].cast("decimal(28,10)") * 1000000)
         .cast("bigint")
         .alias("sim_micro"),
     )
@@ -396,12 +497,12 @@ def kmeans_refine_converged(
     state0 = _assign_scored(emb, cents0, id_col, vec_col)
 
     def step(state: DataFrame) -> DataFrame:
-        # lazy checkpoint: the measure's aggregation job materializes
-        # the round (fixpoint's one-action-per-round contract); an
-        # eager one would run a second full job per round
-        cents = kmeans_mean_directions(state, vec_col).localCheckpoint(
-            eager=False
-        )
+        # _assign_scored collects the mean-direction aggregate (r16
+        # literal-argmax form) — a bounded driver action over the
+        # PRIOR round's checkpointed state that doubles as the
+        # round's lineage truncation, so no checkpoint of the tiny
+        # centroid frame is needed here
+        cents = kmeans_mean_directions(state, vec_col)
         return _assign_scored(emb, cents, id_col, vec_col)
 
     def measure(state: DataFrame) -> float:
@@ -436,9 +537,15 @@ def kmeans_convergence(
     n_clusters, sum_sim_micro), iter 0 = the md5 seeds."""
     from .. import cache
 
-    cents = ivf_centroids(emb, id_col, vec_col, n_list).localCheckpoint()
+    cents = ivf_centroids(emb, id_col, vec_col, n_list)
     rows = []
     for it in range(iters + 1):
+        # _assign_scored collects `cents` (r16 literal-argmax form):
+        # round 0 materializes the seed top-k, later rounds the
+        # mean-direction aggregate over the PERSISTED prior
+        # assignment — the collect replaces the former per-round
+        # localCheckpoint (same one-action-per-round cost, no assign
+        # Exchange, lineage truncated at the driver)
         sc = cache.persisted(_assign_scored(emb, cents, id_col, vec_col))
         rows.append(
             sc.agg(
@@ -453,7 +560,7 @@ def kmeans_convergence(
             )
         )
         if it < iters:
-            cents = kmeans_mean_directions(sc, vec_col).localCheckpoint()
+            cents = kmeans_mean_directions(sc, vec_col)
     out = rows[0]
     for r in rows[1:]:
         out = out.unionAll(r)
@@ -1218,23 +1325,51 @@ def pq_seed_codebooks(
     return seeds.select("code", F.posexplode(slices).alias("m", "cvec"))
 
 
+def _codebook_by_m(cb: DataFrame) -> dict[int, list[tuple[int, list[float]]]]:
+    """Driver-collected codebook grouped by subspace — the
+    _centroid_rows idiom for the m x k PQ quantizer."""
+    by_m: dict[int, list[tuple[int, list[float]]]] = {}
+    for r in cb.select("m", "code", "cvec").collect():
+        by_m.setdefault(int(r["m"]), []).append(
+            (int(r["code"]), [float(x) for x in r["cvec"]])
+        )
+    return by_m
+
+
+def _code_branches(by_m, nearest, pick) -> Column:
+    """CASE chain on the subspace column: the matched branch computes
+    the literal argmax/argmin over THAT subspace's codes only (CASE
+    evaluates lazily per row, so each row pays one subspace's k
+    comparisons — the same work the broadcast join's matched rows
+    cost, minus the join and the exchange)."""
+    expr = None
+    for mi in sorted(by_m):
+        branch = pick(nearest("`subvec`", by_m[mi]))
+        expr = (
+            F.when(F.col("m") == mi, branch)
+            if expr is None
+            else expr.when(F.col("m") == mi, branch)
+        )
+    return expr
+
+
 def pq_assign_codes(sub: DataFrame, cb: DataFrame) -> DataFrame:
     """Assign every (vec_id, m) subvector its nearest code (max
-    rounded cosine, ties to the lower code id). Broadcast the m x k
-    codebook; per-(vector, subspace) argmax is a map-side-combined
-    max_by aggregation (the ivf_assign shape — the broadcast join
-    emits a subvector's k scored rows consecutively, so the partial
-    aggregate collapses them before any exchange)."""
-    scored = sub.join(F.broadcast(cb), "m").select(
-        "vec_id",
-        "m",
-        "subvec",
-        "code",
-        F.round(cosine(F.col("subvec"), F.col("cvec")), 6).alias("_sim"),
-    )
-    return scored.groupBy("vec_id", "m").agg(
-        F.first("subvec").alias("subvec"),
-        F.max_by("code", F.struct(F.col("_sim"), -F.col("code"))).alias("code"),
+    rounded cosine, ties to the lower code id). The m x k codebook is
+    driver-collected and embedded as plan literals (r16 — the
+    :func:`_centroid_rows` idiom): the per-(vector, subspace) argmax
+    is a per-row CASE-on-m expression, ZERO exchange (the broadcast
+    join + map-side-combined max_by it replaces still shuffled one
+    row per (vector, subspace) through its groupBy)."""
+    by_m = _codebook_by_m(cb)
+    if not by_m:
+        return sub.select(
+            "vec_id", "m", "subvec",
+            F.lit(None).cast("bigint").alias("code"),
+        ).where(F.lit(False))
+    code = _code_branches(by_m, _nearest_struct, lambda b: -b["nc"])
+    return sub.select("vec_id", "m", "subvec", code.alias("code")).where(
+        F.col("code").isNotNull()
     )
 
 
@@ -1274,14 +1409,28 @@ def pq_codebooks(
     bounded Lloyd rounds (assign, exact mean-direction update) run
     for ALL subspaces in one pass per round (the subspace axis rides
     the same corpus scan — m independent k-means problems cost one
-    traversal, not m). Returns (m, code, cvec); the tiny codebook is
-    localCheckpoint-ed per round to keep lineage flat."""
+    traversal, not m). Returns (m, code, cvec) as a LocalRelation
+    (r16 — the kmeans_refine shape: each round's assign embeds the
+    prior codebook as literals, the collect that feeds the next
+    round's literals replaces the per-round localCheckpoint, and the
+    final driver copy makes every consumer read — encode, store,
+    LUT broadcast — free)."""
+    if iters <= 0:
+        return pq_seed_codebooks(
+            emb, m, k, id_col, vec_col, dim
+        ).localCheckpoint()
     sub = pq_subvectors(emb, m, id_col, vec_col, dim)
-    cb = pq_seed_codebooks(emb, m, k, id_col, vec_col, dim).localCheckpoint()
+    cb = pq_seed_codebooks(emb, m, k, id_col, vec_col, dim)
     for _ in range(iters):
-        assigned = pq_assign_codes(sub, cb)
-        cb = _pq_mean_directions(assigned).localCheckpoint()
-    return cb
+        assigned = pq_assign_codes(sub, cb)  # collects cb (one action)
+        cb = _pq_mean_directions(assigned)
+    rows = [
+        (int(r["m"]), int(r["code"]), [float(x) for x in r["cvec"]])
+        for r in cb.select("m", "code", "cvec").collect()
+    ]
+    return emb.sparkSession.createDataFrame(
+        rows, "m int, code bigint, cvec array<double>"
+    )
 
 
 def pq_encode(
@@ -1520,15 +1669,15 @@ def ivfpq_encode(
     assigned: DataFrame | None = None,
 ) -> DataFrame:
     """One corpus pass producing the composed index rows: each vector
-    coarse-assigned to its IVF list (broadcast n_list centroids) and
-    PQ-encoded against the trained codebooks (broadcast m x k) —
-    (vec_id, centroid_id, m, code). The centroid id RIDES the code
-    argmax aggregation (``F.first`` over the per-(vector, subspace)
-    group, constant within it), so composing the two quantizers
-    costs the same single pass as PQ encoding alone — no join back
-    to the assignment. Pass ``assigned`` (id, vec, centroid_id — e.g.
-    the engine's stored vectors table) to skip the coarse
-    assignment's corpus pass entirely."""
+    coarse-assigned to its IVF list and PQ-encoded against the
+    trained codebooks — (vec_id, centroid_id, m, code). Both
+    quantizers are driver-collected literals (r16 — the
+    :func:`_centroid_rows` idiom), so the whole encode is a
+    zero-exchange per-row projection: the centroid id simply rides
+    the row, and the code argmax is the CASE-on-m expression of
+    :func:`pq_assign_codes`. Pass ``assigned`` (id, vec, centroid_id
+    — e.g. the engine's stored vectors table) to skip the coarse
+    assignment entirely."""
     if assigned is None:
         assigned = ivf_assign(emb, cents, id_col, vec_col)
     base = assigned.select(
@@ -1543,22 +1692,16 @@ def ivfpq_encode(
     subv = base.select(
         "vec_id", "centroid_id", F.posexplode(slices).alias("m", "subvec")
     )
-    scored = subv.join(F.broadcast(cb), "m").select(
-        "vec_id",
-        "centroid_id",
-        "m",
-        "code",
-        F.round(cosine(F.col("subvec"), F.col("cvec")), 6).alias("_sim"),
-    )
+    by_m = _codebook_by_m(cb)
+    if not by_m:
+        return subv.select(
+            "vec_id", "centroid_id", "m",
+            F.lit(None).cast("bigint").alias("code"),
+        ).where(F.lit(False))
+    code = _code_branches(by_m, _nearest_struct, lambda b: -b["nc"])
     return (
-        scored.groupBy("vec_id", "m")
-        .agg(
-            F.first("centroid_id").alias("centroid_id"),
-            F.max_by("code", F.struct(F.col("_sim"), -F.col("code"))).alias(
-                "code"
-            ),
-        )
-        .select("vec_id", "centroid_id", "m", "code")
+        subv.select("vec_id", "centroid_id", "m", code.alias("code"))
+        .where(F.col("code").isNotNull())
     )
 
 
@@ -1766,17 +1909,17 @@ def pq_assign_codes_l2(sub: DataFrame, cb: DataFrame) -> DataFrame:
     the assignment residual quantization needs: unlike the spherical
     :func:`pq_assign_codes`, L2 sees MAGNITUDE, and residual
     magnitudes are exactly what the inner-product ADC reconstructs.
-    Same broadcast + map-side-combined min_by shape."""
-    scored = sub.join(F.broadcast(cb), "m").select(
-        "vec_id",
-        "m",
-        "subvec",
-        "code",
-        _d2_rounded(F.col("subvec"), F.col("cvec")).alias("_d2"),
-    )
-    return scored.groupBy("vec_id", "m").agg(
-        F.first("subvec").alias("subvec"),
-        F.min_by("code", F.struct(F.col("_d2"), F.col("code"))).alias("code"),
+    Same literal-argmin shape (r16): per-row CASE-on-m expression
+    over the driver-collected codebook, zero exchange."""
+    by_m = _codebook_by_m(cb)
+    if not by_m:
+        return sub.select(
+            "vec_id", "m", "subvec",
+            F.lit(None).cast("bigint").alias("code"),
+        ).where(F.lit(False))
+    code = _code_branches(by_m, _nearest_l2_struct, lambda b: b["code"])
+    return sub.select("vec_id", "m", "subvec", code.alias("code")).where(
+        F.col("code").isNotNull()
     )
 
 
@@ -1829,13 +1972,25 @@ def pq_codebooks_l2(
     init (the pq_codebooks protocol) + ``iters`` Lloyd rounds of
     (min-L2 assign, exact-mean update) — all M subspace problems
     ride one corpus pass per round. Returns (m, code, cvec) with
-    magnitude-true centroids."""
+    magnitude-true centroids, as a LocalRelation (the r16
+    pq_codebooks shape: literal-argmin rounds, collect replaces the
+    per-round checkpoint)."""
+    if iters <= 0:
+        return pq_seed_codebooks(
+            emb, m, k, id_col, vec_col, dim
+        ).localCheckpoint()
     sub = pq_subvectors(emb, m, id_col, vec_col, dim)
-    cb = pq_seed_codebooks(emb, m, k, id_col, vec_col, dim).localCheckpoint()
+    cb = pq_seed_codebooks(emb, m, k, id_col, vec_col, dim)
     for _ in range(iters):
-        assigned = pq_assign_codes_l2(sub, cb)
-        cb = _pq_means(assigned).localCheckpoint()
-    return cb
+        assigned = pq_assign_codes_l2(sub, cb)  # collects cb
+        cb = _pq_means(assigned)
+    rows = [
+        (int(r["m"]), int(r["code"]), [float(x) for x in r["cvec"]])
+        for r in cb.select("m", "code", "cvec").collect()
+    ]
+    return emb.sparkSession.createDataFrame(
+        rows, "m int, code bigint, cvec array<double>"
+    )
 
 
 def ivfpq_residual_encode(
@@ -1847,7 +2002,7 @@ def ivfpq_residual_encode(
     """One pass producing the residual-index rows: each residual
     (from :func:`ivf_residuals` — carries centroid_id) L2-assigned
     to its nearest code per subspace — (vec_id, centroid_id, m,
-    code). The centroid id rides the argmax aggregation exactly as
+    code). Zero-exchange literal-argmin projection (r16), exactly as
     in :func:`ivfpq_encode`."""
     sub = dim // m
     slices = F.array(
@@ -1856,22 +2011,16 @@ def ivfpq_residual_encode(
     subv = res.select(
         "vec_id", "centroid_id", F.posexplode(slices).alias("m", "subvec")
     )
-    scored = subv.join(F.broadcast(cb), "m").select(
-        "vec_id",
-        "centroid_id",
-        "m",
-        "code",
-        _d2_rounded(F.col("subvec"), F.col("cvec")).alias("_d2"),
-    )
+    by_m = _codebook_by_m(cb)
+    if not by_m:
+        return subv.select(
+            "vec_id", "centroid_id", "m",
+            F.lit(None).cast("bigint").alias("code"),
+        ).where(F.lit(False))
+    code = _code_branches(by_m, _nearest_l2_struct, lambda b: b["code"])
     return (
-        scored.groupBy("vec_id", "m")
-        .agg(
-            F.first("centroid_id").alias("centroid_id"),
-            F.min_by("code", F.struct(F.col("_d2"), F.col("code"))).alias(
-                "code"
-            ),
-        )
-        .select("vec_id", "centroid_id", "m", "code")
+        subv.select("vec_id", "centroid_id", "m", code.alias("code"))
+        .where(F.col("code").isNotNull())
     )
 
 
