@@ -3251,7 +3251,17 @@ class Engine:
         # (LOCATION_ALREADY_EXISTS — found by the r13 oracle sweep)
         prepare_replace(self.spark, physical)
         (
-            df.write.mode("overwrite")
+            # cluster rows by the bucket key first (r16, guide §6):
+            # a bucketed write emits one file per (task, bucket), so
+            # an UNCLUSTERED upstream — e.g. the r16 map-only
+            # literal-argmax encodes, or any wide scan — writes up to
+            # tasks x n_buckets tiny files and every probe pays the
+            # open cost forever. The repartition makes it exactly one
+            # file per bucket; when the upstream already ends in a
+            # matching hash exchange the planner satisfies the
+            # requirement without a second shuffle.
+            df.repartition(n_buckets, *[df[c] for c in bucket_cols])
+            .write.mode("overwrite")
             .format("parquet")
             .bucketBy(n_buckets, *bucket_cols)
             .sortBy(*bucket_cols)
@@ -3287,7 +3297,16 @@ class Engine:
         # an EXTERNAL-registered survivor must drop WITH its location
         prepare_replace(self.spark, physical)
         (
-            df.write.mode("overwrite")
+            # cluster rows by the partition key first (r16, guide §6
+            # — the materialize_bucketed rationale): a partitioned
+            # write emits one file per (task, directory), so an
+            # unclustered upstream writes up to tasks x n_values tiny
+            # files and every DPP-pruned probe re-opens them forever;
+            # clustered, each directory holds one file per holding
+            # task. Low-cardinality keys only (the method's existing
+            # contract), so the exchange is node-bounded.
+            df.repartition(*[df[c] for c in partition_cols])
+            .write.mode("overwrite")
             .format("parquet")
             .partitionBy(*partition_cols)
             .saveAsTable(physical)
