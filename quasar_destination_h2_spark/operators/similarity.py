@@ -909,37 +909,49 @@ def ivf_cluster_profile(
     recall loss at small nprobe — read together with
     :func:`ivf_recall`.
 
-    Shape: the assignment's one aggregation is the only corpus
-    shuffle; the profile is a second aggregate over the |corpus|-row
-    assignment keyed by n_list values, plus a one-row total
-    broadcast. Cohesion is published as the exact integer micro-unit
-    SUM (not the mean): cosines can be negative, and floor-vs-
-    truncate integer division diverges across engines below zero —
-    the sum is division-free and bit-exact.
+    Shape (r16, guide §2.3/§2.4): ONE corpus pass — the literal-
+    argmax scored assignment (:func:`_assign_scored`) already carries
+    the winning 6-rounded cosine in integer micro-units, so the
+    profile is a single n_list-key aggregation over it, plus a
+    one-row total broadcast. The earlier form re-joined the
+    assignment to a broadcast centroid frame and recomputed the
+    winning cosine per corpus row — a whole extra corpus-wide
+    broadcast join + cosine pass that the r16opt A/B measured as a
+    1.55x regression on this entry once the assign itself went
+    exchange-free. Cohesion is published as the exact integer
+    micro-unit SUM (not the mean): cosines can be negative, and
+    floor-vs-truncate integer division diverges across engines below
+    zero — the sum is division-free and bit-exact.
 
     Output: (centroid_id, n_members, share_ppm, sum_sim_micro).
     ``cents`` swaps in a refined coarse quantizer (kmeans_refine).
     """
     if cents is None:
         cents = ivf_centroids(emb, id_col, vec_col, n_list)
-    cents = cents.localCheckpoint()
-    assigned = ivf_assign(emb, cents, id_col, vec_col)
-    sim6 = F.round(cosine(F.col(vec_col), F.col("cvec")), 6)
-    micro = (sim6.cast("decimal(28,10)") * 1000000).cast("bigint")
+    # _assign_scored driver-collects the bounded quantizer itself —
+    # no checkpoint needed, and sim_micro IS the joined-recompute's
+    # value: the same round-6 cosine of (vector, winning centroid),
+    # lifted through the same DECIMAL(28,10) x 1e6 cast
+    assigned = _assign_scored(emb, cents, id_col, vec_col)
     per = (
-        assigned.join(F.broadcast(cents), "centroid_id")
-        .select("centroid_id", micro.alias("m"))
-        .groupBy("centroid_id")
+        assigned.groupBy("centroid_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_members"),
-            F.sum("m").cast("bigint").alias("sum_sim_micro"),
+            F.sum("sim_micro").cast("bigint").alias("sum_sim_micro"),
         )
     )
-    totals = per.agg(F.sum("n_members").alias("total"))
-    return per.crossJoin(F.broadcast(totals)).select(
+    # the corpus-share denominator as a global windowed sum over the
+    # n_list-row aggregate (r16): the crossJoin(broadcast(agg(per)))
+    # form instantiated the whole corpus-agg subtree TWICE in the
+    # plan (the audit's allowlisted "1-row total rescan"); the window
+    # keeps one subtree — its exchange is a single partition of
+    # n_list rows, not corpus data. Same exact integer arithmetic.
+    return per.withColumn(
+        "_total", F.sum("n_members").over(Window.partitionBy())
+    ).select(
         "centroid_id",
         "n_members",
-        F.expr("CAST(n_members * 1000000 DIV total AS BIGINT)").alias(
+        F.expr("CAST(n_members * 1000000 DIV _total AS BIGINT)").alias(
             "share_ppm"
         ),
         "sum_sim_micro",
