@@ -116,6 +116,11 @@ class Engine:
         self._ann_verified: dict = {}
         self._text_verified: dict = {}
         self._graph_verified: dict = {}
+        #: per-index persisted (prepared, nodes) frames of the LAST
+        #: pagerank_served call — unpersisted on the next call so a
+        #: long-lived session never accumulates pinned blocks
+        #: (advisor r16)
+        self._graph_frames: dict = {}
         #: effective Thrift listen port (may differ from the requested
         #: port when joining an already-running JVM-wide endpoint)
         self.endpoint_port: Optional[str] = None
@@ -1831,6 +1836,11 @@ class Engine:
         )
         build_id = random_alphanum()
         self._graph_verified.pop(name, None)
+        for prior in self._graph_frames.pop(name, (None,))[1:]:
+            try:
+                prior.unpersist()
+            except Exception:
+                pass
         stamp = lambda df: df.withColumn(  # noqa: E731
             "build_id", F.lit(build_id)
         ).withColumn("revision", F.lit(0).cast("bigint"))
@@ -1918,6 +1928,11 @@ class Engine:
         ).localCheckpoint()  # frozen before the append writes below
         n_batch, n_fresh = batch.count(), fresh.count()
         self._graph_verified.pop(name, None)
+        for prior in self._graph_frames.pop(name, (None,))[1:]:
+            try:
+                prior.unpersist()
+            except Exception:
+                pass
         (
             stamp(fresh)
             .write.mode("append")
@@ -2039,22 +2054,63 @@ class Engine:
         from . import cache
 
         # persist the degree-attached edge frame and the node frame
-        # for the run (r16, guide §5): pagerank_rounds reads both once
-        # PER ROUND, and a lazy join/scan here re-read the stored
-        # tables and re-ran the degree join every round (measured:
-        # graph_rank_only benched SLOWER than the in-run form, which
-        # localCheckpoints its prepared frame). The cached join keeps
-        # the bucketed edge side's hash(src) partitioning, so rounds
-        # stay edge-side-exchange-free; at 100 TB MEMORY_AND_DISK
-        # spills to local disk — still cheaper than iterations x
-        # (remote bucket read + degree join). nodes.count() doubles
-        # as the materializing action.
-        prepared = cache.persisted(
-            edges.select("src", "dst").join(
-                degrees_tbl.select("src", "deg"), "src"
+        # (r16, guide §5): pagerank_rounds reads both once PER ROUND,
+        # and a lazy join/scan here re-read the stored tables and
+        # re-ran the degree join every round (measured:
+        # graph_rank_only benched SLOWER than the in-run form). The
+        # cached join keeps the bucketed edge side's hash(src)
+        # partitioning AND (r17) its src sort, so rounds stay
+        # edge-side-exchange-free AND edge-side-sort-free; at 100 TB
+        # MEMORY_AND_DISK spills to local disk — still cheaper than
+        # iterations x (remote bucket read + degree join).
+        # nodes.count() doubles as the materializing action.
+        #
+        # The frames are MEMOIZED per (build_id, revision) alongside
+        # _graph_verified (advisor r16: repeated pagerank_served
+        # calls in a long-lived session must not accumulate pinned
+        # blocks) — a serving session pays the cache build once, and
+        # a rebuild/append (new build id or revision, memo popped by
+        # build/append) or a harness cache.release() (storage level
+        # drops to NONE, checked below) invalidates it. Input-frame
+        # reuse only, never query results: the rank iterations run in
+        # full on every call.
+        memo = self._graph_frames.get(name)
+        if memo is not None and memo[0] == want and all(
+            f.storageLevel.useMemory or f.storageLevel.useDisk
+            for f in memo[1:]
+        ):
+            prepared, nodes = memo[1], memo[2]
+        else:
+            if memo is not None:
+                for prior in memo[1:]:
+                    try:
+                        prior.unpersist()
+                    except Exception:
+                        pass
+            prepared = cache.persisted(
+                edges.select("src", "dst")
+                .join(degrees_tbl.select("src", "deg"), "src")
+                # sort the cache ONCE so each round's merge join reads
+                # the src order instead of re-sorting the edge frame
+                # per round (elided when the join already emits it)
+                .sortWithinPartitions("src")
             )
-        )
-        nodes = cache.persisted(nodes_tbl.select("node"))
+            # lay the node frame out co-partitioned with the edge
+            # store (hash(node) over the same id domain as hash(src),
+            # same partition count) and pre-sorted, so every round's
+            # left join against it needs no exchange and no sort, and
+            # the rank frame inherits that layout for the NEXT
+            # round's src join — one Exchange per round total (r17;
+            # operators/iterate.py pagerank_rounds docstring).
+            # getNumPartitions on the cached, exchange-free prepared
+            # plan is metadata-only.
+            n_parts = prepared.rdd.getNumPartitions()
+            nodes = cache.persisted(
+                nodes_tbl.select("node")
+                .repartition(n_parts, "node")
+                .sortWithinPartitions("node")
+            )
+            self._graph_frames[name] = (want, prepared, nodes)
         return pagerank_rounds(
             prepared, nodes, nodes.count(), iterations, damping_pct, k
         )

@@ -119,14 +119,25 @@ def pagerank(
     replays all ``iterations`` rounds bit-for-bit. No floats
     anywhere; ties in the final top-``k`` break on node id.
 
-    Scale shape: the edge list is deduplicated and checkpointed ONCE
-    (with its out-degrees riding along, so the per-round join reads
-    a single prepared frame); each round is one join on ``src`` plus
-    one aggregation on ``dst`` — two shuffles per round, bounded by
-    ``iterations``, with ``localCheckpoint`` truncating lineage so
-    round ``i``'s plan never nests round ``i-1``'s (the fixpoint
-    rule above; swap to reliable ``checkpoint`` on revocable
-    executors). The 100 TB form is BUILT (r16):
+    Scale shape (r17): the edge list is deduplicated and PERSISTED
+    ONCE with its out-degrees riding along — ``persist`` rather than
+    ``localCheckpoint``, because a checkpointed frame surfaces as a
+    ``Scan ExistingRDD`` with *UnknownPartitioning* and Catalyst
+    re-shuffles it in every consumer, while an ``InMemoryRelation``
+    keeps the cached plan's hash partitioning AND sort order
+    (``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning``
+    is false by default, so the cached layout is deterministic).
+    With ``prepared`` cached as hash(src) and ``nodes`` cached as
+    hash(node) — the same hash function over the same id domain —
+    every round plans with exactly ONE Exchange (the contrib
+    aggregation, the fundamental src→dst movement): the rank frame
+    comes out of round ``i`` partitioned AND sorted by ``node``, so
+    round ``i+1``'s join on ``src`` reuses that layout with no
+    exchange and no sort (alias-aware partitioning propagation
+    through the rename). The bounded ``iterations`` keep the nested
+    plan small, so no per-round lineage truncation is needed — and
+    none is wanted, since truncation is what destroyed the
+    co-partitioning. The 100 TB form is BUILT (r16):
     ``Engine.build_graph_index`` stores the deduped edges bucketed
     by ``src`` with the out-degrees in a node-sized side table, and
     ``Engine.pagerank_served`` runs this same loop
@@ -139,16 +150,40 @@ def pagerank(
     """
     from pyspark.sql import functions as F
 
+    from .. import cache
+
     deduped = edges.select("src", "dst").distinct()
-    prepared = deduped.join(
-        deduped.groupBy("src").agg(F.count(F.lit(1)).alias("deg")),
-        "src",
-    ).localCheckpoint()
-    nodes = (
+    # persist, don't checkpoint: the cached plans carry hash(src) /
+    # hash(node) partitioning and the join's src sort order into
+    # every round, which is what keeps each round at ONE exchange
+    # (see the docstring). Registered in cache so harnesses release
+    # them between queries; nodes.count() below materializes both
+    # (nodes derives from the prepared cache) in a single pass.
+    # pin the cached layout to hash(src) + src order: when the degree
+    # join plans as SMJ (the at-scale shape) both the repartition and
+    # the sort are ELIDED (the join already ends in a matching
+    # exchange + order — verified against 4.1.2 plans); when Catalyst
+    # broadcasts the degree side (small inputs) its output keeps the
+    # distinct's hash(src, dst) layout, and this one prep-time
+    # exchange is what buys the rounds their exchange-free src join
+    n_parts = int(
+        edges.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    prepared = cache.persisted(
+        deduped.join(
+            deduped.groupBy("src").agg(F.count(F.lit(1)).alias("deg")),
+            "src",
+        )
+        .repartition(n_parts, "src")
+        .sortWithinPartitions("src")
+    )
+    nodes = cache.persisted(
         prepared.select(F.col("src").alias("node"))
         .union(prepared.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .sortWithinPartitions("node")  # rounds' left-join side skips
+        #                                its per-round sort (SMJ reads
+        #                                the cached node-asc order)
     )
     return pagerank_rounds(prepared, nodes, nodes.count(), iterations,
                            damping_pct, k)
@@ -171,7 +206,23 @@ def pagerank_rounds(
     out-degree riding along — and ``nodes`` one ``node`` row per
     distinct endpoint (``n`` = its count, measured by the caller so
     a stored-index caller can take it from the node table it already
-    has). Exact ppb integer arithmetic throughout (see pagerank)."""
+    has). Exact ppb integer arithmetic throughout (see pagerank).
+
+    One Exchange per round (r17): callers supply ``prepared`` as a
+    hash(src)-laid-out frame (persisted join / bucketed store) and
+    ``nodes`` as a hash(node)-persisted frame with a MATCHING
+    partition count, and the loop carries the rank frame's
+    partitioning and sort order across rounds through lineage — no
+    per-round ``localCheckpoint`` (checkpointing erases partitioning,
+    which is exactly what forced the old loop to re-shuffle the rank
+    frame twice per round). The per-round plan is then: co-partitioned
+    src join (no exchange) → contrib aggregation (THE exchange, the
+    fundamental src→dst movement) → co-partitioned left join against
+    ``nodes`` (no exchange). Iterations are bounded and each round's
+    output feeds exactly one consumer, so the nested plan stays small
+    and nothing is recomputed. Results are unchanged: integer sums
+    are exact under any partitioning, and the final top-k orders by
+    (rank desc, node asc) deterministically."""
     from pyspark.sql import functions as F
 
     if n == 0:
@@ -205,6 +256,5 @@ def pagerank_rounds(
                     )
                 ).cast("bigint").alias("rank_ppb"),
             )
-            .localCheckpoint(eager=False)
         )
     return ranks.orderBy(F.desc("rank_ppb"), F.asc("node")).limit(k)
