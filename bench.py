@@ -1,10 +1,19 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
 Runs the headline Tier-B + [EXT] queries on local[$SPARK_GRAFT_CPUS]
-and prints ONE JSON line:
+and prints the full-payload JSON line
 
     {"metric": "wall_time_headline", "value": N, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": 0.1}
+     "queries": {"q1": sec, ...}, "sf": 0.1, ...}
+
+followed by a COMPACT self-contained headline line (same metric/
+value/unit/sf/queries keys, 2-decimal seconds, ~1.8 KB) as the very
+LAST stdout line — the driver's artifact keeps only the final ~2000
+characters, and in r15 the single ever-growing payload line outgrew
+that window: the stored tail began mid-object and the r15→r16 PERF
+comparison silently compared nothing (r16 verdict item 1). Both
+lines carry the contract keys; consumers that parsed the old single
+line parse either of these.
 
 Each query is executed with a count-only terminal action (the driver
 collects separately in correctness); timing covers plan + execution,
@@ -249,6 +258,20 @@ PROBE_ONLY = (
 PAIR_MODE = os.environ.get("SPARK_GRAFT_BENCH_PAIR") == "1"
 
 
+def _next_job_id(spark) -> int:
+    """Driver-side DAGScheduler job counter (r17 verdict task 3): at
+    sf0.1 the heavy entries are scheduler-bound (~0.15-0.2 s fixed
+    overhead per Spark job), so per-entry JOB COUNT is the
+    mechanism-level signal wall time can't show — and it is also the
+    number that tracks the shuffle/action structure the 100 TB
+    claims rest on. Returns -1 if the internal API ever moves; the
+    bench must never fail over an instrumentation probe."""
+    try:
+        return int(spark.sparkContext._jsc.sc().dagScheduler().nextJobId())
+    except Exception:
+        return -1
+
+
 def _timed(fn, runs: int = 3) -> tuple[float, float]:
     """(best_sec, spread) over ``runs`` timed executions — spread =
     (max-min)/min, the per-query noise bar: a round-over-round delta
@@ -320,16 +343,32 @@ def main() -> int:
     spreads: dict[str, float] = {}
     times_b: dict[str, float] = {}
     spreads_b: dict[str, float] = {}
+    #: Spark jobs per single execution of each entry (r17 verdict
+    #: task 3): measured as the DAGScheduler job-id delta across the
+    #: timed runs divided by the run count — additions-only field
+    jobs: dict[str, float] = {}
+    #: best-of-2 one-shot index-build timings (r17 verdict task 6):
+    #: the one-shot `queries` build fields keep their continuity, but
+    #: their cold spread reaches 1.4x same-tree; this field is the
+    #: one regression flags on build entries should use
+    build_b2: dict[str, float] = {}
     missing: list[str] = []
 
     def timed_into(key: str, fn) -> None:
-        """Route one timed entry through single or pair mode."""
+        """Route one timed entry through single or pair mode; record
+        the per-execution Spark job count alongside."""
+        j0 = _next_job_id(spark)
         if PAIR_MODE:
             a, sa, b, sb = _timed_pair(fn)
             times[key], spreads[key] = a, sa
             times_b[key], spreads_b[key] = b, sb
+            n_execs = 6
         else:
             times[key], spreads[key] = _timed(fn)
+            n_execs = 3
+        j1 = _next_job_id(spark)
+        if j0 >= 0 and j1 >= 0:
+            jobs[key] = round((j1 - j0) / n_execs, 1)
     # per-family brackets for BOTH calibrators: "fixed" (planless
     # overhead) and "cpu" (codegen throughput) — [start, end] each
     fam_calib: dict[str, dict[str, list[float]]] = {}
@@ -437,11 +476,34 @@ def main() -> int:
 
     from quasar_destination_h2_spark.sources.tables import load_table
 
+    def build_entry(key: str, build) -> None:
+        """One-shot build timing (the historical `queries` field, kept
+        for continuity) plus a SECOND build timed into
+        ``queries_build_b2`` (r17 verdict task 6: one-shot cold builds
+        spread up to 1.4x same-tree, generating false regression
+        flags every round — flag build entries on the best-of-2
+        field). The rebuild retrains deterministically from the same
+        inputs, so the probes that follow serve identical tables. The
+        job count is the FIRST (cold) build's."""
+        j0 = _next_job_id(spark)
+        t0 = time.perf_counter()
+        build()
+        times[key] = round(time.perf_counter() - t0, 4)
+        j1 = _next_job_id(spark)
+        if j0 >= 0 and j1 >= 0:
+            jobs[key] = float(j1 - j0)
+        t0 = time.perf_counter()
+        build()
+        build_b2[key] = min(
+            times[key], round(time.perf_counter() - t0, 4)
+        )
+
     bracket_start("index_serving")
     emb = load_table(spark, sf_dir, "embeddings")
-    t0 = time.perf_counter()
-    engine.build_ivf_index("bench_annix", emb, kmeans_iters=2)
-    times["ann_index_build"] = round(time.perf_counter() - t0, 4)
+    build_entry(
+        "ann_index_build",
+        lambda: engine.build_ivf_index("bench_annix", emb, kmeans_iters=2),
+    )
     probe_queries = (
         emb.where("vec_id < 5")
         .select(
@@ -464,14 +526,20 @@ def main() -> int:
             for _b in range(5):
                 probe()
 
+        j0 = _next_job_id(spark)
         if PAIR_MODE:
             a, sa, b, sb = _timed_pair(five)
             times[key], spreads[key] = round(a / 5, 4), sa
             times_b[key], spreads_b[key] = round(b / 5, 4), sb
+            n_probes = 30
         else:
             best, spr = _timed(five)
             times[key] = round(best / 5, 4)
             spreads[key] = spr
+            n_probes = 15
+        j1 = _next_job_id(spark)
+        if j0 >= 0 and j1 >= 0:
+            jobs[key] = round((j1 - j0) / n_probes, 1)
 
     probe_split(
         "ann_probe_only",
@@ -483,9 +551,10 @@ def main() -> int:
     # lists, df from the pruned postings, per-query window top-k.
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    t0 = time.perf_counter()
-    engine.build_text_index("bench_tix", docs, n_buckets=nb)
-    times["text_index_build"] = round(time.perf_counter() - t0, 4)
+    build_entry(
+        "text_index_build",
+        lambda: engine.build_text_index("bench_tix", docs, n_buckets=nb),
+    )
     text_queries = spark.createDataFrame(
         [
             (1, "query"), (1, "spark"), (1, "window"),
@@ -502,9 +571,9 @@ def main() -> int:
     # PQ serving: codebooks trained + corpus encoded ONCE; probes run
     # a bounded ADC LUT onto the vec_id-bucketed codes (shuffle-free
     # index side) + shortlist rerank against the stored vectors.
-    t0 = time.perf_counter()
-    engine.build_pq_index("bench_pqix", emb)
-    times["pq_index_build"] = round(time.perf_counter() - t0, 4)
+    build_entry(
+        "pq_index_build", lambda: engine.build_pq_index("bench_pqix", emb)
+    )
     probe_split(
         "pq_probe_only",
         lambda: engine.pq_search("bench_pqix", probe_queries).count(),
@@ -516,9 +585,10 @@ def main() -> int:
     # centroids, ADC over ONLY the probed lists (dynamic partition
     # pruning restricts the file reads), exact rerank of the
     # shortlist against the same-pruned vector store.
-    t0 = time.perf_counter()
-    engine.build_ivfpq_index("bench_ipqix", emb)
-    times["ivfpq_index_build"] = round(time.perf_counter() - t0, 4)
+    build_entry(
+        "ivfpq_index_build",
+        lambda: engine.build_ivfpq_index("bench_ipqix", emb),
+    )
     probe_split(
         "ivfpq_probe_only",
         lambda: engine.ivfpq_search("bench_ipqix", probe_queries).count(),
@@ -528,9 +598,10 @@ def main() -> int:
     # codes (no codebook — the sign quantizer is parameterless);
     # probes run XOR+popcount Hamming over ONLY the probed lists of
     # the centroid-partitioned packed codes + exact rerank.
-    t0 = time.perf_counter()
-    engine.build_ivfbq_index("bench_ibqix", emb)
-    times["ivfbq_index_build"] = round(time.perf_counter() - t0, 4)
+    build_entry(
+        "ivfbq_index_build",
+        lambda: engine.build_ivfbq_index("bench_ibqix", emb),
+    )
     probe_split(
         "ivfbq_probe_only",
         lambda: engine.ivfbq_search("bench_ibqix", probe_queries).count(),
@@ -541,9 +612,10 @@ def main() -> int:
     # rerank) over ONE build storing sign codes, PQ codes and
     # vectors all centroid-partitioned; every probe stage's scan is
     # dynamically pruned to the probed lists.
-    t0 = time.perf_counter()
-    engine.build_cascade_index("bench_cascix", emb)
-    times["cascade_index_build"] = round(time.perf_counter() - t0, 4)
+    build_entry(
+        "cascade_index_build",
+        lambda: engine.build_cascade_index("bench_cascix", emb),
+    )
     probe_split(
         "cascade_probe_only",
         lambda: engine.cascade_search(
@@ -572,9 +644,10 @@ def main() -> int:
         F.col("o_custkey").cast("long").alias("src"),
         (F.col("l_suppkey").cast("long") + 1000000).alias("dst"),
     )
-    t0 = time.perf_counter()
-    engine.build_graph_index("bench_gix", g_edges, n_buckets=nb)
-    times["graph_index_build"] = round(time.perf_counter() - t0, 4)
+    build_entry(
+        "graph_index_build",
+        lambda: engine.build_graph_index("bench_gix", g_edges, n_buckets=nb),
+    )
     engine.pagerank_served("bench_gix").count()  # warm
     timed_into(
         "graph_rank_only",
@@ -643,6 +716,15 @@ def main() -> int:
                 "queries_norm_cpu": {
                     k: round(v / calib_cpu, 2) for k, v in times.items()
                 },
+                # Spark jobs per execution (r17): the structural
+                # signal — at sf0.1 the heavy entries are
+                # scheduler-bound (~0.15-0.2 s/job), and the job
+                # count is what the shuffle/action-removal work
+                # actually moves
+                "queries_jobs": jobs,
+                # best-of-2 one-shot build timings (r17): flag build
+                # regressions on THIS, not the cold one-shot field
+                "queries_build_b2": build_b2,
                 # the headline repeated at the END of the line: the
                 # driver's capture keeps the TAIL, and r9's file lost
                 # the leading summary to truncation — now both ends
@@ -653,6 +735,30 @@ def main() -> int:
                 "total_sec": total,
                 "total_norm": round(total / calib, 2),
             }
+        )
+    )
+    # Compact headline as the very LAST stdout line (r17 verdict task
+    # 2): the driver's artifact keeps only the final ~2000 characters
+    # of stdout, and the full payload above outgrew that in r15 — its
+    # stored tail began mid-object, PERF_r16 parsed nothing, and the
+    # round-over-round comparison silently vanished. This line is
+    # self-contained (metric/value/unit/sf/queries at 2-decimal
+    # precision, compact separators, ~1.8 KB at 69 entries) so a
+    # tail-only capture still parses. The full-precision payload
+    # stays on the preceding line; both lines are additions-only
+    # relative to the r16 output.
+    print(
+        json.dumps(
+            {
+                "metric": "wall_time_headline",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "total_sec": total,
+                "queries": {k: round(v, 2) for k, v in times.items()},
+                **({"missing": missing} if missing else {}),
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

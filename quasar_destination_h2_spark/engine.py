@@ -1389,9 +1389,17 @@ class Engine:
             n_vecs = sum(int(r.n) for r in stats if r.side == "vec")
             n_bq = sum(int(r.n) for r in stats if r.side == "bq")
             n_pq = sum(int(r.n) for r in stats if r.side == "pq")
-            pq_m = int(
-                [r.pq_m for r in stats if r.side == "cb"][0]
-            )
+            cb_ms = [r.pq_m for r in stats if r.side == "cb"]
+            if not cb_ms:
+                # an EMPTY codebook table contributes no build ids, so
+                # the tear check above passes vacuously on that leg
+                # (advisor r16) — name the missing rows instead of
+                # dying on a bare IndexError
+                raise ValueError(
+                    f"cascade index {name!r} is torn: the codebook "
+                    f"table has no rows — re-run build_cascade_index"
+                )
+            pq_m = int(cb_ms[0])
             if n_bq != n_vecs or n_pq != n_vecs * pq_m:
                 raise ValueError(
                     f"cascade index {name!r} is torn: code counts do "

@@ -247,6 +247,14 @@ def _sql_entries(rows: list[tuple[int, list[float]]]) -> str:
     return "array(" + ",".join(out) + ")"
 
 
+def _quoted(col: str) -> str:
+    """Backtick-quote a column name for embedding in a raw SQL
+    fragment, escaping embedded backticks (advisor r16: a column
+    name containing a backtick must not break out of the quoted
+    identifier in the generated argmax expression)."""
+    return "`" + col.replace("`", "``") + "`"
+
+
 #: SQL twin of :func:`_dot` — elementwise double product, in-order
 #: double sum (identical operations, identical result).
 _SQL_DOT = (
@@ -328,7 +336,7 @@ def ivf_assign(
             F.col(vec_col),
             F.lit(None).cast("bigint").alias("centroid_id"),
         ).where(F.lit(False))
-    best = _nearest_struct(f"`{vec_col}`", rows)
+    best = _nearest_struct(_quoted(vec_col), rows)
     return emb.select(
         F.col(id_col),
         F.col(vec_col),
@@ -464,7 +472,7 @@ def _assign_scored(
             F.lit(None).cast("bigint").alias("centroid_id"),
             F.lit(None).cast("bigint").alias("sim_micro"),
         ).where(F.lit(False))
-    best = _nearest_struct(f"`{vec_col}`", rows)
+    best = _nearest_struct(_quoted(vec_col), rows)
     return emb.select(
         F.col(id_col),
         F.col(vec_col),
@@ -545,37 +553,55 @@ def kmeans_convergence(
     cache.persisted) and feeds BOTH its one-row objective aggregate
     and the next round's centroid update — one corpus pass per
     round, exactly the kmeans_refine cost. Output: (iter,
-    n_clusters, sum_sim_micro), iter 0 = the md5 seeds."""
+    n_clusters, sum_sim_micro), iter 0 = the md5 seeds.
+
+    Cache lifecycle (r17, guide §5): the objective row is collected
+    EAGERLY per round (the same action that materializes that
+    round's cache) and the PRIOR round's assignment unpersists as
+    soon as the next round's centroid literals have been collected
+    from it — at most two corpus-sized cached frames are ever live,
+    where the lazy-union form accumulated all ``iters + 1`` of them
+    (MEMORY_AND_DISK) until the final action. The last round's frame
+    stays registered for the harness-level release between queries,
+    like every operator cache."""
     from .. import cache
 
     cents = ivf_centroids(emb, id_col, vec_col, n_list)
     rows = []
+    prev_sc = None
     for it in range(iters + 1):
         # _assign_scored collects `cents` (r16 literal-argmax form):
         # round 0 materializes the seed top-k, later rounds the
         # mean-direction aggregate over the PERSISTED prior
         # assignment — the collect replaces the former per-round
         # localCheckpoint (same one-action-per-round cost, no assign
-        # Exchange, lineage truncated at the driver)
+        # Exchange, lineage truncated at the driver). After it, the
+        # prior round's cache has no remaining reader (its objective
+        # row is already collected), so it unpersists here.
         sc = cache.persisted(_assign_scored(emb, cents, id_col, vec_col))
+        if prev_sc is not None:
+            prev_sc.unpersist()
+        prev_sc = sc
+        r = sc.agg(
+            F.count_distinct("centroid_id").cast("bigint").alias(
+                "n_clusters"
+            ),
+            F.sum("sim_micro").cast("bigint").alias("sum_sim_micro"),
+        ).collect()[0]
         rows.append(
-            sc.agg(
-                F.count_distinct("centroid_id").cast("bigint").alias(
-                    "n_clusters"
-                ),
-                F.sum("sim_micro").cast("bigint").alias("sum_sim_micro"),
-            ).select(
-                F.lit(it).cast("bigint").alias("iter"),
-                "n_clusters",
-                "sum_sim_micro",
+            (
+                it,
+                int(r["n_clusters"]),
+                None
+                if r["sum_sim_micro"] is None
+                else int(r["sum_sim_micro"]),
             )
         )
         if it < iters:
             cents = kmeans_mean_directions(sc, vec_col)
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out
+    return emb.sparkSession.createDataFrame(
+        rows, "iter bigint, n_clusters bigint, sum_sim_micro bigint"
+    )
 
 
 def semantic_dedup(
@@ -1364,7 +1390,16 @@ def _code_branches(by_m, nearest, pick) -> Column:
     the literal argmax/argmin over THAT subspace's codes only (CASE
     evaluates lazily per row, so each row pays one subspace's k
     comparisons — the same work the broadcast join's matched rows
-    cost, minus the join and the exchange)."""
+    cost, minus the join and the exchange).
+
+    Size bound (advisor r16): the generated SQL text and expression
+    tree scale O(m * k * sub_dim) because each branch inlines its own
+    k-entry literal array — ~40 KB at the PQ_M=8 x PQ_K=16 x dim/8
+    defaults, parsed in milliseconds. This literal-CASE form is for
+    bounded codebooks of that order; a much larger quantizer (say
+    m*k*dim beyond ~10^6 rendered doubles) should bind the entries
+    once (one literal map indexed by m) instead of inlining per
+    branch — not needed at any codebook size this engine declares."""
     expr = None
     for mi in sorted(by_m):
         branch = pick(nearest("`subvec`", by_m[mi]))

